@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Public function surface: Scala `Column` API + SQL registration for the
+  * vector kernels. Mirrors the reference's scalar-function surface
+  * (array_distance / list_distance / *_inner_product / *_cosine_similarity,
+  * reference: src/ann_optimizer.cpp:237-258) with the sqrt-vs-squared
+  * duality kept explicit.
+  */
+object AnnFunctions {
+
+  private def col(e: Expression): Column = GraftBridge.column(e)
+  private def expr(c: Column): Expression = GraftBridge.expression(c)
+
+  /** Euclidean (sqrt) distance — SQL `array_distance` semantics. */
+  def l2_distance(a: Column, b: Column): Column = col(L2Distance(expr(a), expr(b)))
+
+  /** Squared L2 — index-internal `_distance` semantics. */
+  def l2_distance_sq(a: Column, b: Column): Column = col(L2DistanceSq(expr(a), expr(b)))
+
+  def inner_product(a: Column, b: Column): Column = col(InnerProduct(expr(a), expr(b)))
+
+  def cosine_similarity(a: Column, b: Column): Column = col(CosineSimilarity(expr(a), expr(b)))
+
+  /** Register all functions for SQL use (idempotent per session). */
+  def register(spark: SparkSession): Unit = {
+    val r = spark.sessionState.functionRegistry
+    r.createOrReplaceTempFunction("l2_distance", es => L2Distance(es(0), es(1)), "scala_udf")
+    r.createOrReplaceTempFunction("l2_distance_sq", es => L2DistanceSq(es(0), es(1)), "scala_udf")
+    // DuckDB-compatible aliases (reference surface names)
+    r.createOrReplaceTempFunction("array_distance", es => L2Distance(es(0), es(1)), "scala_udf")
+    r.createOrReplaceTempFunction("list_distance", es => L2Distance(es(0), es(1)), "scala_udf")
+    r.createOrReplaceTempFunction("inner_product", es => InnerProduct(es(0), es(1)), "scala_udf")
+    r.createOrReplaceTempFunction("array_inner_product", es => InnerProduct(es(0), es(1)), "scala_udf")
+    r.createOrReplaceTempFunction("list_inner_product", es => InnerProduct(es(0), es(1)), "scala_udf")
+    r.createOrReplaceTempFunction("cosine_similarity", es => CosineSimilarity(es(0), es(1)), "scala_udf")
+    r.createOrReplaceTempFunction("array_cosine_similarity", es => CosineSimilarity(es(0), es(1)), "scala_udf")
+    r.createOrReplaceTempFunction("list_cosine_similarity", es => CosineSimilarity(es(0), es(1)), "scala_udf")
+  }
+}

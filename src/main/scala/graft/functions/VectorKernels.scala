@@ -1,0 +1,87 @@
+package graft.functions
+
+/** Plain-Scala distance kernels over primitive float arrays.
+  *
+  * Used inside `mapPartitions` search kernels (index scans, graph search)
+  * where we work on `Array[Float]` directly; the Catalyst expressions in
+  * [[VectorExpressions]] are the DataFrame-visible twins.
+  *
+  * Semantics mirror the reference engine's kernels
+  * (reference: rust_lib/src/distance.rs:15-24 — SquaredL2 and InnerProduct):
+  *  - index-internal distances are **squared** L2 (lower = better);
+  *  - inner product is negated only when used as an index ordering key
+  *    (reference: src/ann_search.cpp:711-717);
+  *  - accumulation is in Double for determinism and precision, matching a
+  *    DuckDB oracle computing over DOUBLE[].
+  *
+  * Hot loops are over primitive arrays with no allocation so the JIT can
+  * unroll/vectorize — the JVM stand-in for the reference's SIMD kernels.
+  */
+object VectorKernels extends Serializable {
+
+  /** Squared L2 distance (sum of squared diffs). */
+  def l2Sq(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) {
+      val d = a(i).toDouble - b(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Euclidean (sqrt) L2 distance — SQL-level `array_distance` semantics. */
+  def l2(a: Array[Float], b: Array[Float]): Double = math.sqrt(l2Sq(a, b))
+
+  /** Dot product (positive; negate for index ordering where needed). */
+  def dot(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) {
+      acc += a(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+
+  def cosineSimilarity(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Distance under a named metric, in "lower is better" orientation.
+    * Metrics mirror the reference (l2 → squared L2, ip → negated dot,
+    * cosine → 1 - cosine similarity). */
+  def orderingDistance(metric: String)(a: Array[Float], b: Array[Float]): Double =
+    metric match {
+      case "l2"     => l2Sq(a, b)
+      case "ip"     => -dot(a, b)
+      case "cosine" => 1.0 - cosineSimilarity(a, b)
+      case m        => throw new IllegalArgumentException(s"unknown metric: $m")
+    }
+
+  /** L2-normalize in place-free copy (cosine index = normalize + IP,
+    * reference: src/ann_optimizer.cpp:241-243 capability note). */
+  def normalize(a: Array[Float]): Array[Float] = {
+    val n = norm(a)
+    if (n == 0.0) a.clone()
+    else {
+      val out = new Array[Float](a.length)
+      var i = 0
+      while (i < a.length) { out(i) = (a(i) / n).toFloat; i += 1 }
+      out
+    }
+  }
+}

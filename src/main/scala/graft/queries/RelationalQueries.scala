@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import QuerySupport._
+
+/** Relational-engine sanity surface over the driver's TPC-H-ish testdata.
+  * The reference delegates all of this to the DuckDB host engine; here it
+  * demonstrates the Spark host side the ANN operators compose with.
+  * All plans are scale-clean: partial aggregation, broadcastable dims,
+  * no driver-side loops.
+  */
+object RelationalQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> ((s: SparkSession, dir: String) => {
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          min("l_extendedprice").as("min_price"),
+          max("l_extendedprice").as("max_price"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q2_join_agg" -> ((s: SparkSession, dir: String) => {
+      val customer = table(s, dir, "customer")
+      val nation = table(s, dir, "nation")
+      val orders = table(s, dir, "orders")
+      // nation is tiny → broadcast; customer joins orders on custkey (shuffle
+      // hash at scale, AQE decides). No order-sensitive double arithmetic.
+      orders
+        .join(customer, orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"))
+        .orderBy("n_name")
+    }),
+
+    "q3_window" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+      table(s, dir, "events")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+        .orderBy("user_id", "rn")
+    }),
+
+    "q4_topk_orders" -> ((s: SparkSession, dir: String) => {
+      // global top-k: executes as per-partition TakeOrdered + merge.
+      table(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    }),
+
+    "q5_events_hourly" -> ((s: SparkSession, dir: String) => {
+      // ts is nanos-since-epoch (long); integer div keeps full precision
+      // (ns magnitudes exceed double's 53-bit mantissa).
+      table(s, dir, "events")
+        .groupBy(
+          col("event_type"),
+          (expr("ts div 3600000000000") * 3600L).as("hour_epoch"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "hour_epoch")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q2_join_agg" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+        | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q3_window" ->
+      """SELECT user_id, event_id, rn FROM (
+        |  SELECT user_id, event_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS BIGINT) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+
+    "q4_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_events_hourly" ->
+      """SELECT event_type,
+        | CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

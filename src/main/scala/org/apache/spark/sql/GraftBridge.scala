@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal friend-package bridge: Column ↔ catalyst Expression converters
+  * (Spark 4's Column wraps a ColumnNode; the classic converters are
+  * `private[sql]`). This is the only file outside the `graft` package.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,89 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorFunctionsSpec extends SparkSpec {
+  import AnnFunctions._
+
+  private lazy val _ = AnnFunctions.register(spark)
+
+  private def fixture = {
+    import spark.implicits._
+    // F1 — minimal unit vectors (reference diskann_basic.test:8-16)
+    Seq(
+      (1, Array(1f, 0f, 0f)),
+      (2, Array(0f, 1f, 0f)),
+      (3, Array(0f, 0f, 1f)),
+      (4, Array(0.5f, 0.5f, 0f))
+    ).toDF("id", "embedding")
+  }
+
+  test("l2_distance_sq: orthogonal unit vectors at squared distance 2.0 (F1)") {
+    val q = typedLit(Array(1.0, 0.0, 0.0))
+    val rows = fixture
+      .select(col("id"), l2_distance_sq(col("embedding"), q).as("d"))
+      .orderBy("id").collect()
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(0.0, 2.0, 2.0, 0.5))
+  }
+
+  test("l2_distance is sqrt of squared (SQL array_distance semantics)") {
+    val q = typedLit(Array(0.0, 1.0, 0.0))
+    val rows = fixture
+      .select(col("id"), l2_distance(col("embedding"), q).as("d"))
+      .orderBy("id").collect()
+    assert(math.abs(rows(3).getDouble(1) - 0.70710678) < 1e-6) // diskann_optimizer.test:27-33
+    assert(math.abs(rows(0).getDouble(1) - math.sqrt(2.0)) < 1e-12)
+  }
+
+  test("inner_product and cosine_similarity basics") {
+    val q = typedLit(Array(1.0, 1.0, 0.0))
+    val rows = fixture
+      .select(
+        col("id"),
+        inner_product(col("embedding"), q).as("ip"),
+        cosine_similarity(col("embedding"), q).as("cs"))
+      .orderBy("id").collect()
+    assert(rows(0).getDouble(1) == 1.0)
+    assert(rows(3).getDouble(1) == 1.0)
+    assert(math.abs(rows(3).getDouble(2) - 1.0) < 1e-12) // parallel vectors
+  }
+
+  test("SQL registration: list_distance / array_distance aliases work") {
+    AnnFunctions.register(spark)
+    fixture.createOrReplaceTempView("f1_vectors")
+    val d = spark.sql(
+      """SELECT id, list_distance(embedding, array(1.0D, 0.0D, 0.0D)) AS d
+        |FROM f1_vectors ORDER BY d, id""".stripMargin).collect()
+    assert(d.head.getInt(0) == 1 && d.head.getDouble(1) == 0.0)
+  }
+
+  test("expressions agree with plain-Scala kernels on random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(50)((
+      Array.fill(16)(rnd.nextFloat() * 20f - 10f),
+      Array.fill(16)(rnd.nextFloat() * 20f - 10f)))
+    val rows = pairs.toDF("a", "b").select(
+      col("a"), col("b"),
+      l2_distance_sq(col("a"), col("b")).as("d2"),
+      inner_product(col("a"), col("b")).as("ip"),
+      cosine_similarity(col("a"), col("b")).as("cs")).collect()
+    rows.foreach { r =>
+      val a = r.getSeq[Float](0).toArray; val b = r.getSeq[Float](1).toArray
+      assert(math.abs(r.getDouble(2) - VectorKernels.l2Sq(a, b)) < 1e-9)
+      assert(math.abs(r.getDouble(3) - VectorKernels.dot(a, b)) < 1e-9)
+      val cs = VectorKernels.cosineSimilarity(a, b)
+      if (!cs.isNaN) assert(math.abs(r.getDouble(4) - cs) < 1e-9)
+    }
+  }
+
+  test("dimension mismatch throws") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(l2_distance(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+}
