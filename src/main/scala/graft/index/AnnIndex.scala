@@ -1,0 +1,189 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.AnnFunctions._
+import graft.functions.VectorKernels
+import graft.operators.TopK
+
+/** An ANN index as a *dataset, not a process object* (SURVEY §7.0):
+  * partitioned parquet `(id BIGINT, vector ARRAY<FLOAT>)` bucketed by
+  * `list_id` (IVF cell / FLAT single cell), plus `meta.json`, a `centroids`
+  * dataset (IVF), and a tombstone delete-log dataset.
+  *
+  * Replaces the reference's in-memory/mmap index object
+  * (reference: src/include/diskann_index.hpp:144-149 — label↔rowid maps and
+  * tombstone set become columns and a delete-log DataFrame;
+  * src/faiss_index.cpp:301-319 — IVF train/assign).
+  *
+  * Scale posture: searches prune parquet partitions by `list_id` (nprobe of
+  * nlist directories are read at all), distances run in whole-stage codegen,
+  * and top-k reduces map-side before any shuffle (TopK.grouped). The only
+  * driver-side state is the centroid table (nlist × dim floats).
+  */
+class AnnIndex(val spark: SparkSession, val path: String) {
+
+  @volatile var meta: IndexMeta = IndexMeta.read(path)
+
+  private def dataPath = s"$path/data"
+  private def deletesPath = s"$path/deletes"
+  private def centroidsPath = s"$path/centroids"
+
+  def data: DataFrame = spark.read.parquet(dataPath)
+
+  def hasDeletes: Boolean = IndexMeta.existsDir(deletesPath)
+
+  def deletes: DataFrame =
+    if (hasDeletes) spark.read.parquet(deletesPath)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType))))
+
+  /** Live rows = data minus tombstones (reference filters post-search,
+    * src/diskann_index.cpp:584-592; an anti-join before top-k keeps
+    * exactness without the k+|deleted| overfetch). */
+  def live: DataFrame =
+    if (hasDeletes) data.join(deletes, Seq("id"), "left_anti") else data
+
+  /** IVF centroids, collected once per index instance (nlist × dim — tiny). */
+  lazy val centroids: Array[(Int, Array[Float])] =
+    if (meta.engine == "FLAT") Array((0, Array.empty[Float]))
+    else spark.read.parquet(centroidsPath)
+      .collect()
+      .map(r => (r.getAs[Int]("list_id"), r.getAs[Seq[Float]]("centroid").toArray))
+      .sortBy(_._1)
+
+  def centroidsDf: DataFrame = spark.read.parquet(centroidsPath)
+
+  /** The nprobe nearest cells for a query (L2 assignment, as faiss IVF). */
+  def probeLists(q: Array[Float], nprobe: Int): Seq[Int] =
+    if (meta.engine == "FLAT") Seq(0)
+    else centroids
+      .map { case (lid, c) => (lid, VectorKernels.l2Sq(q, c)) }
+      .sortBy { case (lid, d) => (d, lid) }
+      .take(math.max(1, nprobe))
+      .map(_._1)
+
+  /** Query prepared for this index's metric (cosine → L2-normalized,
+    * matching normalize-at-build + IP, SURVEY §2.7). */
+  def prepQuery(q: Array[Float]): Array[Float] =
+    if (meta.metric == "cosine") VectorKernels.normalize(q) else q
+
+  /** Ordering-oriented distance column (lower = better):
+    * l2 → squared L2 (reference index semantics, diskann_basic.test:35-38),
+    * ip → negated dot (rust_lib/src/distance.rs:20-23),
+    * cosine → 1 - dot over normalized vectors. */
+  def distColumn(vec: Column, query: Column): Column = meta.metric match {
+    case "l2"     => l2_distance_sq(vec, query)
+    case "ip"     => negate(inner_product(vec, query))
+    case "cosine" => lit(1.0) - inner_product(vec, query)
+    case m        => throw new IllegalArgumentException(s"unknown metric: $m")
+  }
+
+  def defaultNprobe: Int = meta.param("nprobe", 1)
+
+  /** S1/S2 `*_index_scan`: raw index search → (id, _distance), pre-sorted,
+    * no base-row fetch (reference: src/diskann_functions.cpp:34-125). */
+  def scan(q: Array[Float], k: Int, nprobe: Int = -1): DataFrame = {
+    val qq = prepQuery(q)
+    val np = if (nprobe > 0) nprobe else defaultNprobe
+    val probed = pruneToLists(live, probeLists(qq, np))
+    probed
+      .withColumn("_distance", distColumn(col("vector"), typedLit(qq)))
+      .select("id", "_distance")
+      .orderBy(col("_distance"), col("id"))
+      .limit(k)
+  }
+
+  /** Partition-pruned cell scan: `list_id IN (...)` reaches the parquet
+    * source as partition filters — only nprobe directories are read. */
+  private def pruneToLists(df: DataFrame, lists: Seq[Int]): DataFrame =
+    if (meta.engine == "FLAT" || lists.size >= centroids.length) df
+    else df.filter(col("list_id").isin(lists: _*))
+
+  /** S3 `ann_search`: scan + fetch base columns + `_distance`, ordered.
+    * The row fetch-by-rowid becomes a broadcast join of the (≤ k·oversample)
+    * result set against the base table (reference: src/ann_search.cpp:31-195;
+    * oversample :123). */
+  def search(base: DataFrame, baseIdCol: String, q: Array[Float], k: Int,
+             nprobe: Int = -1, oversample: Int = 1): DataFrame = {
+    val hits = scan(q, k * math.max(1, oversample), nprobe)
+    base.join(broadcast(hits), base(baseIdCol) === hits("id"))
+      .drop("id")
+      .orderBy(col("_distance"), col(baseIdCol))
+      .limit(k)
+  }
+
+  /** S4 `ann_search_batch`: N queries at once → (query_idx, id, _distance).
+    * Probe pairs are computed driver-side from the centroid table and
+    * broadcast; data partitions are scanned once; per-query top-k reduces
+    * map-side (reference: src/ann_search.cpp:202-388 + lock-step batch
+    * search rust_lib/src/provider.rs:248-440). */
+  def searchBatch(qs: Seq[Array[Float]], k: Int, nprobe: Int = -1): DataFrame = {
+    import spark.implicits._
+    val np = if (nprobe > 0) nprobe else defaultNprobe
+    val prepped = qs.map(prepQuery)
+    val queriesDf = prepped.zipWithIndex.map { case (q, i) => (i, q) }.toDF("query_idx", "qvec")
+    val pairs = prepped.zipWithIndex
+      .flatMap { case (q, i) => probeLists(q, np).map(l => (i, l)) }
+      .toDF("query_idx", "list_id")
+
+    val scored =
+      if (meta.engine == "FLAT") {
+        live.crossJoin(broadcast(queriesDf))
+      } else {
+        live.join(broadcast(pairs), Seq("list_id"))
+          .join(broadcast(queriesDf), Seq("query_idx"))
+      }
+    val withDist = scored.withColumn("_distance", distColumn(col("vector"), col("qvec")))
+      .select("query_idx", "id", "_distance")
+    TopK.grouped(withDist, "query_idx", "_distance", "id", k)
+  }
+
+  // ---- maintenance (reference §2.10 BoundIndex hooks) ----
+
+  /** Append/Insert hook: assign cells, append to the index dataset
+    * (reference: src/diskann_index.cpp:316-361). */
+  def insert(rows: DataFrame, idCol: String, vecCol: String): Unit = {
+    val prepared = AnnIndexBuilder.prepare(rows, idCol, vecCol, meta.metric)
+    val assigned = AnnIndexBuilder.assignLists(prepared, centroids, meta.engine)
+    assigned.write.mode("append").partitionBy("list_id").parquet(dataPath)
+    val n = prepared.count()
+    meta = meta.copy(numVectors = meta.numVectors + n)
+    IndexMeta.write(path, meta)
+  }
+
+  /** Delete hook: tombstone the ids (reference: src/diskann_index.cpp:363-385). */
+  def delete(ids: DataFrame): Unit = {
+    ids.select(col(ids.columns.head).cast(LongType).as("id"))
+      .write.mode("append").parquet(deletesPath)
+    val n = ids.count()
+    meta = meta.copy(numDeleted = meta.numDeleted + n)
+    IndexMeta.write(path, meta)
+  }
+
+  def delete(ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    delete(ids.toDF("id"))
+  }
+
+  /** Vacuum: compact away tombstones, atomically replacing the dataset
+    * (reference: src/diskann_index.cpp:701-741). */
+  def vacuum(): Unit = {
+    if (!hasDeletes) return
+    val tmp = s"$path/data_compact"
+    val liveCount = live.count()
+    live.write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+    IndexMeta.replaceDir(tmp, dataPath)
+    IndexMeta.deleteDir(deletesPath)
+    meta = meta.copy(numVectors = liveCount, numDeleted = 0)
+    IndexMeta.write(path, meta)
+  }
+
+  /** MergeIndexes: pull every live vector from the other index and insert
+    * (reference: src/diskann_index.cpp:655-699). */
+  def mergeFrom(other: AnnIndex): Unit =
+    insert(other.live.select("id", "vector"), "id", "vector")
+}

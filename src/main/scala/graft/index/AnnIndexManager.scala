@@ -1,0 +1,176 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+
+import scala.collection.concurrent.TrieMap
+
+/** Index build internals shared by create + insert paths. */
+object AnnIndexBuilder {
+
+  /** Canonicalize (id BIGINT, vector ARRAY<FLOAT>); cosine metric stores
+    * L2-normalized vectors (normalize-at-build + IP, SURVEY §2.7). */
+  def prepare(df: DataFrame, idCol: String, vecCol: String, metric: String): DataFrame = {
+    val base = df.select(
+      col(idCol).cast(LongType).as("id"),
+      col(vecCol).cast(ArrayType(FloatType)).as("vector"))
+    if (metric == "cosine") {
+      base.withColumn("_norm",
+          sqrt(aggregate(col("vector"), lit(0.0d),
+            (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))))
+        .withColumn("vector",
+          transform(col("vector"), x =>
+            when(col("_norm") > 0.0, x.cast(DoubleType) / col("_norm")).otherwise(x.cast(DoubleType))
+              .cast(FloatType)))
+        .drop("_norm")
+    } else base
+  }
+
+  /** Assign each row to its nearest cell (L2, as faiss IVF assignment,
+    * reference: src/faiss_index.cpp:301-319). Executor-side loop over the
+    * broadcast centroid array — no shuffle. */
+  def assignLists(df: DataFrame, centroids: Array[(Int, Array[Float])],
+                  engine: String): DataFrame = {
+    if (engine == "FLAT" || centroids.length <= 1) {
+      df.withColumn("list_id", lit(0))
+    } else {
+      val sc = df.sparkSession.sparkContext
+      val bc = sc.broadcast(centroids)
+      val assign = udf { (v: Seq[Float]) =>
+        val q = v.toArray
+        var best = 0; var bestD = Double.MaxValue
+        for ((lid, c) <- bc.value) {
+          val d = graft.functions.VectorKernels.l2Sq(q, c)
+          if (d < bestD) { bestD = d; best = lid }
+        }
+        best
+      }
+      df.withColumn("list_id", assign(col("vector")))
+    }
+  }
+}
+
+/** Index lifecycle manager — the catalog the reference keeps in DuckDB's
+  * catalog + extension registry (reference: src/ann_extension.cpp:23-41,
+  * src/ann_list.cpp:35-221). Indexes persist as parquet datasets + JSON
+  * metadata; a JVM-wide registry maps name → path for `list`/`info`.
+  *
+  * The build replaces the reference's explicitly single-threaded sink
+  * (`ParallelSink()=false`, src/include/diskann_index.hpp:197-199) with a
+  * fully parallel Spark job: train on a sample, assign partitions in
+  * parallel, write cell-partitioned parquet.
+  */
+object AnnIndexManager {
+
+  private val registry = TrieMap.empty[String, String] // name → path
+  private val buildLocks = TrieMap.empty[String, Object]
+
+  def register(name: String, path: String): Unit = registry.put(name, path)
+  def registered: Map[String, String] = registry.toMap
+
+  /** CREATE INDEX (S12): validates the column shape like the reference
+    * (FLOAT[N] with fixed dim, src/diskann_index.cpp:78-84), trains IVF
+    * cells if requested, writes the index dataset.
+    *
+    * params: metric (l2|ip|cosine), nlist, nprobe, train_sample (0=all),
+    * plus engine-specific knobs carried through to meta.
+    */
+  def create(spark: SparkSession, name: String, df: DataFrame,
+             idCol: String, vecCol: String, engine: String,
+             params: Map[String, String], path: String): AnnIndex = {
+    val metric = params.getOrElse("metric", "l2")
+    require(Seq("l2", "ip", "cosine").contains(metric), s"unknown metric $metric")
+    require(Seq("FLAT", "IVF").contains(engine) || engine == "DISKANN",
+      s"unknown engine $engine")
+
+    // dimension check on a sample row (schema validation, reference
+    // src/diskann_index.cpp:82-84)
+    val firstVec = df.select(vecCol).limit(1).collect()
+    require(firstVec.nonEmpty, s"cannot index empty input for $name")
+    val dim = firstVec.head.getSeq[Any](0).size
+
+    val prepared = AnnIndexBuilder.prepare(df, idCol, vecCol, metric).cache()
+    try {
+      val n = prepared.count()
+
+      val centroids: Array[(Int, Array[Float])] = engine match {
+        case "IVF" =>
+          val nlist = params.getOrElse("nlist", "100").toInt
+          val trainSample = params.getOrElse("train_sample", "0").toInt
+          val trainDf =
+            if (trainSample > 0 && trainSample < n)
+              prepared.sample(withReplacement = false, trainSample.toDouble / n, seed = 42)
+            else prepared
+          val features = trainDf.withColumn("features", array_to_vector(col("vector")))
+          val model = new KMeans()
+            .setK(math.min(nlist, math.max(1, n.toInt)))
+            .setSeed(42).setMaxIter(20).setFeaturesCol("features")
+            .fit(features)
+          model.clusterCenters.zipWithIndex
+            .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+        case _ => Array((0, Array.empty[Float]))
+      }
+
+      val assigned = AnnIndexBuilder.assignLists(prepared, centroids, engine)
+      IndexMeta.deleteDir(path)
+      assigned.write.mode("overwrite").partitionBy("list_id").parquet(s"$path/data")
+
+      if (engine == "IVF") {
+        import spark.implicits._
+        centroids.toSeq.map { case (l, c) => (l, c) }.toDF("list_id", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      }
+
+      val meta = IndexMeta(name, engine, metric, dim, idCol, vecCol, n, 0L, params)
+      IndexMeta.write(path, meta)
+      register(name, path)
+      new AnnIndex(spark, path)
+    } finally prepared.unpersist()
+  }
+
+  def load(spark: SparkSession, path: String): AnnIndex = {
+    val idx = new AnnIndex(spark, path)
+    register(idx.meta.name, path)
+    idx
+  }
+
+  def drop(name: String): Unit = {
+    registry.remove(name).foreach(IndexMeta.deleteDir)
+  }
+
+  /** S8 `ann_list`: catalog scan → (name, engine, table_name). */
+  def list(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    registry.toSeq.sortBy(_._1).map { case (name, path) =>
+      val m = IndexMeta.read(path)
+      (m.name, m.engine, m.params.getOrElse("table", ""))
+    }.toDF("name", "engine", "table_name")
+  }
+
+  /** S9 `ann_index_info`: diagnostics (reference: src/ann_list.cpp:97-221). */
+  def info(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    registry.toSeq.sortBy(_._1).map { case (name, path) =>
+      val m = IndexMeta.read(path)
+      (m.name, m.engine, m.params.getOrElse("table", ""),
+        m.numVectors, m.numDeleted, m.memoryBytes, m.quantized)
+    }.toDF("name", "engine", "table_name", "num_vectors", "num_deleted",
+      "memory_bytes", "quantized")
+  }
+
+  /** Build-once cache for driver-run queries: same JVM reuses the built
+    * index; the fingerprint keys on data dir + engine + params. */
+  def getOrBuild(spark: SparkSession, name: String, sfDir: String,
+                 build: String => AnnIndex): AnnIndex = {
+    val fp = math.abs((name + sfDir).hashCode).toString
+    val path = s"${sys.props("java.io.tmpdir")}/graft_indexes/${name}_$fp"
+    val lock = buildLocks.getOrElseUpdate(path, new Object)
+    lock.synchronized {
+      if (IndexMeta.exists(path)) load(spark, path)
+      else build(path)
+    }
+  }
+}

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.index.{AnnIndex, AnnIndexManager}
+import QuerySupport._
+
+/** Index-backed search surface (reference operators S1-S4, S8-S9, S12 and
+  * the §2.10 maintenance hooks), exercised through the driver's DuckDB
+  * oracle: exact configurations (FLAT, or IVF probed exhaustively) must
+  * hash-match the brute-force SQL; approximate configurations are
+  * rows-only here and recall-tested in ScalaTest.
+  */
+object IndexQueries {
+
+  private val K = 10
+
+  private def emb(s: SparkSession, dir: String) = table(s, dir, "embeddings")
+
+  private def flatIndex(s: SparkSession, dir: String): AnnIndex =
+    AnnIndexManager.getOrBuild(s, "emb_flat", dir, path =>
+      AnnIndexManager.create(s, "emb_flat", emb(s, dir), "vec_id", "embedding",
+        "FLAT", Map("metric" -> "l2", "table" -> "embeddings"), path))
+
+  private def ivfIndex(s: SparkSession, dir: String): AnnIndex =
+    AnnIndexManager.getOrBuild(s, "emb_ivf8", dir, path =>
+      AnnIndexManager.create(s, "emb_ivf8", emb(s, dir), "vec_id", "embedding",
+        "IVF", Map("metric" -> "l2", "nlist" -> "8", "nprobe" -> "8",
+          "table" -> "embeddings"), path))
+
+  /** FLAT index with label=3 rows tombstoned (build-once, idempotent). */
+  private def deletedIndex(s: SparkSession, dir: String): AnnIndex =
+    AnnIndexManager.getOrBuild(s, "emb_flat_del", dir, path => {
+      val idx = AnnIndexManager.create(s, "emb_flat_del", emb(s, dir),
+        "vec_id", "embedding", "FLAT", Map("metric" -> "l2"), path)
+      idx.delete(emb(s, dir).filter(col("label") === 3).select("vec_id"))
+      idx
+    })
+
+  /** Deleted + vacuumed (compaction rewrites the dataset without tombstones). */
+  private def vacuumedIndex(s: SparkSession, dir: String): AnnIndex =
+    AnnIndexManager.getOrBuild(s, "emb_flat_vac", dir, path => {
+      val idx = AnnIndexManager.create(s, "emb_flat_vac", emb(s, dir),
+        "vec_id", "embedding", "FLAT", Map("metric" -> "l2"), path)
+      idx.delete(emb(s, dir).filter(col("label") === 3).select("vec_id"))
+      idx.vacuum()
+      idx
+    })
+
+  /** (id, _distance) scan → (rank, vec_id) for oracle compare. */
+  private def ranked(scan: DataFrame): DataFrame =
+    scan
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("_distance"), col("id"))).cast("long"))
+      .select(col("rank"), col("id").as("vec_id"))
+      .orderBy("rank")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_flat_topk" -> ((s: SparkSession, dir: String) =>
+      ranked(flatIndex(s, dir).scan(qvecF(5), K))),
+
+    // IVF probed exhaustively (nprobe = nlist) exercises train/assign/prune/
+    // merge machinery while staying exact → strict oracle.
+    "ann_ivf_topk" -> ((s: SparkSession, dir: String) =>
+      ranked(ivfIndex(s, dir).scan(qvecF(6), K, nprobe = 8))),
+
+    // approximate config (nprobe=2): rows-only check here; recall asserted
+    // in IndexSpec.
+    "ann_ivf_probe" -> ((s: SparkSession, dir: String) =>
+      ranked(ivfIndex(s, dir).scan(qvecF(6), K, nprobe = 2))),
+
+    // S3: fetch base columns through the broadcast join-back.
+    "ann_search_fetch" -> ((s: SparkSession, dir: String) => {
+      val res = flatIndex(s, dir).search(emb(s, dir), "vec_id", qvecF(7), K)
+      res.withColumn("rank",
+          row_number().over(Window.orderBy(col("_distance"), col("vec_id"))).cast("long"))
+        .select("rank", "vec_id", "label")
+        .orderBy("rank")
+    }),
+
+    // S4: batched multi-query search through probe pairs + map-side top-k.
+    "ann_batch" -> ((s: SparkSession, dir: String) => {
+      val res = ivfIndex(s, dir).searchBatch(Seq.tabulate(4)(i => qvecF(i)), K, nprobe = 8)
+      res.withColumn("rank",
+          row_number().over(
+            Window.partitionBy("query_idx").orderBy(col("_distance"), col("id"))).cast("long"))
+        .select(col("query_idx"), col("rank"), col("id").as("vec_id"))
+        .orderBy("query_idx", "rank")
+    }),
+
+    "ann_delete_topk" -> ((s: SparkSession, dir: String) =>
+      ranked(deletedIndex(s, dir).scan(qvecF(0), K))),
+
+    "ann_vacuum_topk" -> ((s: SparkSession, dir: String) =>
+      ranked(vacuumedIndex(s, dir).scan(qvecF(0), K))),
+
+    "ann_index_info" -> ((s: SparkSession, dir: String) => {
+      flatIndex(s, dir); ivfIndex(s, dir) // ensure built + registered
+      AnnIndexManager.info(s)
+        .filter(col("name").isin("emb_flat", "emb_ivf8"))
+        .select("name", "engine", "num_vectors", "num_deleted", "quantized")
+        .orderBy("name")
+    })
+  )
+
+  private def bruteForceTopK(qSeed: Int, extraCols: String = "",
+                             where: String = ""): String =
+    s"""SELECT rank, vec_id$extraCols FROM (
+       |  SELECT vec_id${if (extraCols.nonEmpty) extraCols else ""},
+       |    CAST(row_number() OVER (
+       |      ORDER BY list_distance($EmbD, ${sqlVec(qSeed)}), vec_id) AS BIGINT) AS rank
+       |  FROM embeddings $where) t
+       |WHERE rank <= $K ORDER BY rank""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "ann_flat_topk" -> bruteForceTopK(5),
+    "ann_ivf_topk" -> bruteForceTopK(6),
+    "ann_search_fetch" -> bruteForceTopK(7, extraCols = ", label"),
+    "ann_delete_topk" -> bruteForceTopK(0, where = "WHERE label <> 3"),
+    "ann_vacuum_topk" -> bruteForceTopK(0, where = "WHERE label <> 3"),
+
+    "ann_batch" ->
+      s"""SELECT query_idx, rank, vec_id FROM (
+         |  SELECT q.query_idx, e.vec_id, CAST(row_number() OVER (
+         |    PARTITION BY q.query_idx
+         |    ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), q.qvec), e.vec_id) AS BIGINT) AS rank
+         |  FROM (VALUES
+         |    (CAST(0 AS INTEGER), ${sqlVec(0)}),
+         |    (1, ${sqlVec(1)}),
+         |    (2, ${sqlVec(2)}),
+         |    (3, ${sqlVec(3)})) q(query_idx, qvec)
+         |  CROSS JOIN embeddings e) t
+         |WHERE rank <= $K ORDER BY query_idx, rank""".stripMargin,
+
+    "ann_index_info" ->
+      """SELECT * FROM (
+        |  SELECT 'emb_flat' AS name, 'FLAT' AS engine,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS num_vectors,
+        |    CAST(0 AS BIGINT) AS num_deleted, false AS quantized
+        |  UNION ALL
+        |  SELECT 'emb_ivf8', 'IVF',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM embeddings),
+        |    CAST(0 AS BIGINT), false) t
+        |ORDER BY name""".stripMargin
+  )
+}

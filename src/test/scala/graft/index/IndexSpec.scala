@@ -1,0 +1,154 @@
+package graft.index
+
+import graft.SparkSpec
+import graft.functions.VectorKernels
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class IndexSpec extends SparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("graft_index_spec").toString
+
+  // F3-style fixture: 200 seeded random FLOAT[4] vectors
+  // (reference: diskann_streaming.test:11-17, setseed(0.42))
+  private lazy val vecs: Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(42)
+    Seq.tabulate(200)(i => (i.toLong, Array.fill(4)(rnd.nextFloat())))
+  }
+
+  private lazy val vecsDf = {
+    import spark.implicits._
+    vecs.toDF("id", "embedding")
+  }
+
+  private def bruteTopK(q: Array[Float], k: Int,
+                        excl: Set[Long] = Set.empty): Seq[Long] =
+    vecs.filterNot(v => excl(v._1))
+      .map { case (id, v) => (id, VectorKernels.l2Sq(q, v)) }
+      .sortBy { case (id, d) => (d, id) }.take(k).map(_._1)
+
+  private val queries = Seq(
+    Array(0.5f, 0.5f, 0.5f, 0.5f), Array(1f, 0f, 0f, 0f),
+    Array(0f, 0f, 1f, 1f), Array(0.2f, 0.8f, 0.3f, 0.7f))
+
+  test("FLAT index scan is exact") {
+    val idx = AnnIndexManager.create(spark, "t_flat", vecsDf, "id", "embedding",
+      "FLAT", Map("metric" -> "l2"), s"$tmp/t_flat")
+    for (q <- queries) {
+      val got = idx.scan(q, 10).collect().map(_.getLong(0)).toSeq
+      assert(got == bruteTopK(q, 10))
+    }
+  }
+
+  test("IVF exhaustive probe is exact; partial probe recall >= 70% (F3)") {
+    val idx = AnnIndexManager.create(spark, "t_ivf", vecsDf, "id", "embedding",
+      "IVF", Map("metric" -> "l2", "nlist" -> "8", "nprobe" -> "8"), s"$tmp/t_ivf")
+    for (q <- queries) {
+      val exact = idx.scan(q, 10, nprobe = 8).collect().map(_.getLong(0)).toSeq
+      assert(exact == bruteTopK(q, 10))
+      // recall floor from the reference's statistical contract (>=7/10)
+      val approx = idx.scan(q, 10, nprobe = 3).collect().map(_.getLong(0)).toSet
+      assert(approx.intersect(bruteTopK(q, 10).toSet).size >= 7,
+        s"recall too low for ${q.toSeq}")
+    }
+  }
+
+  test("persistence round-trip: reload from disk gives identical results (F9)") {
+    val q = queries.head
+    val before = AnnIndexManager.create(spark, "t_persist", vecsDf, "id", "embedding",
+      "IVF", Map("metric" -> "l2", "nlist" -> "4", "nprobe" -> "4"), s"$tmp/t_persist")
+      .scan(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val reloaded = AnnIndexManager.load(spark, s"$tmp/t_persist")
+    val after = reloaded.scan(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(before == after)
+    assert(reloaded.meta.engine == "IVF" && reloaded.meta.dim == 4)
+  }
+
+  test("delete tombstones exclude ids; vacuum compacts; re-insert works (F4)") {
+    val idx = AnnIndexManager.create(spark, "t_dml", vecsDf, "id", "embedding",
+      "FLAT", Map("metric" -> "l2"), s"$tmp/t_dml")
+    val q = queries(1)
+    val victims = bruteTopK(q, 3).toSet
+    idx.delete(victims.toSeq)
+    val afterDelete = idx.scan(q, 10).collect().map(_.getLong(0)).toSeq
+    assert(afterDelete == bruteTopK(q, 10, excl = victims))
+    assert(idx.meta.numDeleted == 3)
+
+    idx.vacuum()
+    assert(idx.meta.numDeleted == 0 && idx.meta.numVectors == 197)
+    val afterVacuum = idx.scan(q, 10).collect().map(_.getLong(0)).toSeq
+    assert(afterVacuum == afterDelete)
+
+    // re-insert the victims (reference: diskann_delete.test re-insert path)
+    import spark.implicits._
+    val reins = vecs.filter(v => victims(v._1)).toDF("id", "embedding")
+    idx.insert(reins, "id", "embedding")
+    val afterInsert = idx.scan(q, 10).collect().map(_.getLong(0)).toSeq
+    assert(afterInsert == bruteTopK(q, 10))
+    assert(idx.meta.numVectors == 200)
+  }
+
+  test("mergeFrom pulls live vectors from the other index (§2.10)") {
+    import spark.implicits._
+    val left = vecs.take(100).toDF("id", "embedding")
+    val right = vecs.drop(100).toDF("id", "embedding")
+    val a = AnnIndexManager.create(spark, "t_merge_a", left, "id", "embedding",
+      "FLAT", Map("metric" -> "l2"), s"$tmp/t_merge_a")
+    val b = AnnIndexManager.create(spark, "t_merge_b", right, "id", "embedding",
+      "FLAT", Map("metric" -> "l2"), s"$tmp/t_merge_b")
+    a.mergeFrom(b)
+    val q = queries(2)
+    assert(a.scan(q, 10).collect().map(_.getLong(0)).toSeq == bruteTopK(q, 10))
+    assert(a.meta.numVectors == 200)
+  }
+
+  test("IP metric orders by negated dot product (diskann_metric_ip)") {
+    val idx = AnnIndexManager.create(spark, "t_ip", vecsDf, "id", "embedding",
+      "FLAT", Map("metric" -> "ip"), s"$tmp/t_ip")
+    val q = queries.head
+    val got = idx.scan(q, 10).collect().map(_.getLong(0)).toSeq
+    val expect = vecs
+      .map { case (id, v) => (id, -VectorKernels.dot(q, v)) }
+      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1)
+    assert(got == expect)
+  }
+
+  test("cosine metric normalizes at build and orders by 1-cos") {
+    val idx = AnnIndexManager.create(spark, "t_cos", vecsDf, "id", "embedding",
+      "FLAT", Map("metric" -> "cosine"), s"$tmp/t_cos")
+    val q = queries(3)
+    val got = idx.scan(q, 10).collect().map(_.getLong(0)).toSeq
+    val expect = vecs
+      .map { case (id, v) => (id, 1.0 - VectorKernels.cosineSimilarity(q, v)) }
+      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1)
+    assert(got == expect)
+  }
+
+  test("searchBatch matches per-query exact results") {
+    val idx = AnnIndexManager.create(spark, "t_batch", vecsDf, "id", "embedding",
+      "IVF", Map("metric" -> "l2", "nlist" -> "4", "nprobe" -> "4"), s"$tmp/t_batch")
+    val res = idx.searchBatch(queries, 5, nprobe = 4)
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (qi, rows) =>
+        qi -> rows.sortBy(r => (r.getDouble(2), r.getLong(1))).map(_.getLong(1)).toSeq }
+    for ((qi, q) <- queries.zipWithIndex.map(_.swap))
+      assert(res(qi) == bruteTopK(q, 5), s"query $qi")
+  }
+
+  test("empty input rejected; k > n returns n rows (F6 edge cases)") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      AnnIndexManager.create(spark, "t_empty",
+        Seq.empty[(Long, Array[Float])].toDF("id", "embedding"),
+        "id", "embedding", "FLAT", Map(), s"$tmp/t_empty")
+    }
+    assert(e.getMessage.contains("empty"))
+
+    val small = AnnIndexManager.create(spark, "t_small",
+      vecs.take(2).toDF("id", "embedding"), "id", "embedding", "FLAT", Map(),
+      s"$tmp/t_small")
+    assert(small.scan(queries.head, 100).count() == 2)
+  }
+}
