@@ -24,6 +24,19 @@ object AnnFunctions {
 
   def cosine_similarity(a: Column, b: Column): Column = col(CosineSimilarity(expr(a), expr(b)))
 
+  /** L2-normalize an ARRAY column to unit length (float elements);
+    * zero vectors pass through. Cosine-metric plumbing (normalize-at-build
+    * + inner product, SURVEY §2.7). */
+  def normalize_vector(c: Column): Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val norm = sqrt(aggregate(c, lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    when(norm > 0.0,
+      transform(c, x => (x.cast("double") / norm).cast("float")))
+      .otherwise(c.cast(ArrayType(FloatType)))
+  }
+
   /** Register all functions for SQL use (idempotent per session). */
   def register(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry

@@ -111,8 +111,8 @@ class AnnIndex(val spark: SparkSession, val path: String) {
              nprobe: Int = -1, oversample: Int = 1): DataFrame = {
     val hits = scan(q, k * math.max(1, oversample), nprobe)
     base.join(broadcast(hits), base(baseIdCol) === hits("id"))
-      .drop("id")
-      .orderBy(col("_distance"), col(baseIdCol))
+      .drop(hits("id")) // keep the base's own key even when also named "id"
+      .orderBy(col("_distance"), base(baseIdCol))
       .limit(k)
   }
 

@@ -169,8 +169,10 @@ object AnnIndexManager {
     val path = s"${sys.props("java.io.tmpdir")}/graft_indexes/${name}_$fp"
     val lock = buildLocks.getOrElseUpdate(path, new Object)
     lock.synchronized {
-      if (IndexMeta.exists(path)) load(spark, path)
-      else build(path)
+      // a usable cached index needs BOTH meta.json and the data dataset —
+      // a half-deleted cache must rebuild, not fail every query
+      if (IndexMeta.exists(path) && IndexMeta.existsDir(s"$path/data")) load(spark, path)
+      else { IndexMeta.deleteDir(path); build(path) }
     }
   }
 }

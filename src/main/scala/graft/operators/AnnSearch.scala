@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.functions.AnnFunctions._
+import graft.index.AnnIndex
+
+/** Whole-operator search shapes over an [[AnnIndex]].
+  *
+  * `searchTable` is the reference's flagship in-out operator
+  * `ann_search_table` (reference: src/ann_search.cpp:397-691): query vectors
+  * come from ANY relation, input columns pass through, output appends the
+  * matched id + `_distance`. In the reference the index is one in-memory
+  * object and input streams chunk-by-chunk; here the index is a partitioned
+  * dataset, so the plan is genuinely distributed: probe assignment runs as a
+  * broadcast join against the centroid table, candidate scoring joins
+  * cell-pruned index partitions, and per-query top-k reduces map-side
+  * before the only shuffle (TopK.grouped).
+  */
+object AnnSearch {
+
+  /** First LIST/ARRAY-of-numeric column, mirroring the reference's
+    * query-column auto-detection (src/ann_search.cpp:472-495). */
+  def detectVectorCol(schema: StructType): String =
+    schema.fields
+      .collectFirst {
+        case f if f.dataType.isInstanceOf[ArrayType] &&
+          f.dataType.asInstanceOf[ArrayType].elementType.isInstanceOf[NumericType] => f.name
+      }
+      .getOrElse(throw new IllegalArgumentException(
+        "input has no numeric array column to use as query vector"))
+
+  /** S5 `ann_search_table`: batch search with query vectors from a DataFrame.
+    *
+    * @param queryIdCol unique key of the query relation; if None an internal
+    *                   id is generated (the input is then cached to keep the
+    *                   two plan branches consistent).
+    * @return input.* + `id` (matched index id) + `_distance`
+    */
+  def searchTable(idx: AnnIndex, queries: DataFrame, k: Int,
+                  nprobe: Int = -1, queryVecCol: Option[String] = None,
+                  queryIdCol: Option[String] = None): DataFrame = {
+    val vecColName = queryVecCol.getOrElse(detectVectorCol(queries.schema))
+    val np = if (nprobe > 0) nprobe else idx.defaultNprobe
+
+    val (qin, qidCol) = queryIdCol match {
+      case Some(c) => (queries, c)
+      case None => (queries.withColumn("__qid", monotonically_increasing_id()).cache(), "__qid")
+    }
+    val qvecRaw = col(vecColName).cast(ArrayType(FloatType))
+    val qvec = if (idx.meta.metric == "cosine") normalize_vector(qvecRaw) else qvecRaw
+    val qkeys = qin.select(col(qidCol).as("__qid"), qvec.as("__qvec"))
+
+    val candidates =
+      if (idx.meta.engine == "FLAT") {
+        // brute force: every query visits every live row
+        idx.live.crossJoin(broadcast(qkeys))
+      } else {
+        // distributed probe assignment: query × centroid (nlist rows — tiny,
+        // broadcast), keep the np nearest cells per query, then join the
+        // cell-pruned index partitions.
+        val probes = qkeys.crossJoin(broadcast(idx.centroidsDf))
+          .withColumn("__cd", l2_distance_sq(col("__qvec"), col("centroid")))
+          .withColumn("__cr", row_number().over(
+            Window.partitionBy("__qid").orderBy(col("__cd"), col("list_id"))))
+          .filter(col("__cr") <= np)
+          .select("__qid", "__qvec", "list_id")
+        idx.live.join(broadcast(probes), Seq("list_id"))
+      }
+
+    val scored = candidates
+      .withColumn("_distance", idx.distColumn(col("vector"), col("__qvec")))
+      .select(col("__qid"), col("id"), col("_distance"))
+
+    val top = TopK.grouped(scored, "__qid", "_distance", "id", k)
+
+    // replicate input rows per result (reference output shape: input cols +
+    // matched row + _distance, src/ann_search.cpp:499-532)
+    val out = qin.join(top, qin(qidCol) === top("__qid")).drop("__qid")
+    if (queryIdCol.isEmpty) out.drop("__qid") else out
+  }
+
+  /** S6 `vector_distances`: brute-force distance of a query against every
+    * candidate row — input.* + `_distance`, no top-k
+    * (reference: src/ann_search.cpp:741-892; the GPU batch kernel's job is
+    * done by whole-stage codegen over the scan). */
+  def vectorDistances(candidates: DataFrame, vecCol: String, q: Array[Float],
+                      metric: String = "l2"): DataFrame = {
+    val v = col(vecCol)
+    val lit_q = typedLit(q)
+    val d: Column = metric match {
+      case "l2"     => l2_distance_sq(v, lit_q)
+      case "l2sqrt" => l2_distance(v, lit_q)
+      case "ip"     => negate(inner_product(v, lit_q))
+      case "cosine" => lit(1.0) - cosine_similarity(v, lit_q)
+      case m        => throw new IllegalArgumentException(s"unknown metric: $m")
+    }
+    candidates.withColumn("_distance", d)
+  }
+
+  /** Filtered ANN search via overfetch-and-post-filter — the capability the
+    * reference documents but never implements (README.md:164 "3x+100",
+    * `ann_overfetch_multiplier` registered but unread,
+    * src/ann_extension.cpp:57-60; its optimizer instead bails out on any
+    * FILTER, src/ann_optimizer.cpp:479-481). Falls back to exact brute force
+    * over the filtered base when the overfetched candidate set can't fill k.
+    */
+  def searchFiltered(idx: AnnIndex, base: DataFrame, baseIdCol: String,
+                     q: Array[Float], k: Int, predicate: Column,
+                     nprobe: Int = -1, overfetchMultiplier: Int = 3): DataFrame = {
+    val overfetch = k * overfetchMultiplier + 100
+    val exhaustive = overfetch >= idx.meta.numVectors && idx.meta.engine == "FLAT"
+    val hits = idx.scan(q, overfetch, nprobe)
+    val filtered = base.filter(predicate)
+      .join(broadcast(hits), base(baseIdCol) === hits("id"))
+      .drop(hits("id")) // keep the base's own key even when also named "id"
+      .orderBy(col("_distance"), base(baseIdCol))
+      .limit(k)
+    if (exhaustive || filtered.count() >= k) filtered
+    else {
+      // exact fallback: score the filtered base directly
+      val qq = idx.prepQuery(q)
+      base.filter(predicate)
+        .withColumn("_distance",
+          idx.distColumn(col(idx.meta.vecCol).cast(ArrayType(FloatType)), typedLit(qq)))
+        .orderBy(col("_distance"), col(baseIdCol))
+        .limit(k)
+    }
+  }
+}

@@ -95,6 +95,32 @@ object IndexQueries {
     "ann_vacuum_topk" -> ((s: SparkSession, dir: String) =>
       ranked(vacuumedIndex(s, dir).scan(qvecF(0), K))),
 
+    // S5: table-input search — queries from a relation (first 4 embeddings
+    // querying themselves), input key passthrough, exact via FLAT.
+    "ann_search_table" -> ((s: SparkSession, dir: String) => {
+      val queries = emb(s, dir).filter(col("vec_id") < 4)
+        .select(col("vec_id").as("q_vec_id"), col("embedding"))
+      val res = graft.operators.AnnSearch.searchTable(
+        flatIndex(s, dir), queries, k = 5, queryIdCol = Some("q_vec_id"))
+      res.withColumn("rank",
+          row_number().over(
+            Window.partitionBy("q_vec_id").orderBy(col("_distance"), col("id"))).cast("long"))
+        .select(col("q_vec_id"), col("rank"), col("id").as("vec_id"))
+        .orderBy("q_vec_id", "rank")
+    }),
+
+    // filtered search via overfetch-and-post-filter (capability upgrade over
+    // the reference's filter bailout, SURVEY §2.2).
+    "ann_filtered_topk" -> ((s: SparkSession, dir: String) => {
+      val res = graft.operators.AnnSearch.searchFiltered(
+        flatIndex(s, dir), emb(s, dir), "vec_id", qvecF(8), K,
+        predicate = col("label") === 5)
+      res.withColumn("rank",
+          row_number().over(Window.orderBy(col("_distance"), col("vec_id"))).cast("long"))
+        .select("rank", "vec_id", "label")
+        .orderBy("rank")
+    }),
+
     "ann_index_info" -> ((s: SparkSession, dir: String) => {
       flatIndex(s, dir); ivfIndex(s, dir) // ensure built + registered
       AnnIndexManager.info(s)
@@ -119,6 +145,23 @@ object IndexQueries {
     "ann_search_fetch" -> bruteForceTopK(7, extraCols = ", label"),
     "ann_delete_topk" -> bruteForceTopK(0, where = "WHERE label <> 3"),
     "ann_vacuum_topk" -> bruteForceTopK(0, where = "WHERE label <> 3"),
+
+    "ann_search_table" ->
+      s"""SELECT q_vec_id, rank, vec_id FROM (
+         |  SELECT q.vec_id AS q_vec_id, e.vec_id, CAST(row_number() OVER (
+         |    PARTITION BY q.vec_id
+         |    ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+         |                           CAST(q.embedding AS DOUBLE[])), e.vec_id) AS BIGINT) AS rank
+         |  FROM (SELECT * FROM embeddings WHERE vec_id < 4) q
+         |  CROSS JOIN embeddings e) t
+         |WHERE rank <= 5 ORDER BY q_vec_id, rank""".stripMargin,
+
+    "ann_filtered_topk" ->
+      s"""SELECT rank, vec_id, label FROM (
+         |  SELECT vec_id, label, CAST(row_number() OVER (
+         |    ORDER BY list_distance($EmbD, ${sqlVec(8)}), vec_id) AS BIGINT) AS rank
+         |  FROM embeddings WHERE label = 5) t
+         |WHERE rank <= $K ORDER BY rank""".stripMargin,
 
     "ann_batch" ->
       s"""SELECT query_idx, rank, vec_id FROM (
