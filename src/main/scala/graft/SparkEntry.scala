@@ -17,12 +17,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++
       VectorQueries.queries ++
-      IndexQueries.queries
+      IndexQueries.queries ++
+      TextQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++
       VectorQueries.oracleSql ++
-      IndexQueries.oracleSql
+      IndexQueries.oracleSql ++
+      TextQueries.oracleSql
 }

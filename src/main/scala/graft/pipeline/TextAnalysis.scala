@@ -1,0 +1,129 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (north-star extension beyond the reference surface, BASELINE.json).
+  *
+  * Everything here is row-local: no shuffles, no driver state. The
+  * heuristics stay inside whole-stage codegen where expressible
+  * (token/char stats, language scores); only the rolling fingerprint is a
+  * Scala UDF (tight per-row loop over the string, no allocation per char).
+  */
+object TextAnalysis {
+
+  // ---- token counting ----
+
+  /** Whitespace token count: chars - chars-without-spaces + 1. Identical
+    * arithmetic is mirrored in the DuckDB oracle. */
+  def wsTokenCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, " ", "")) + 1).cast("long")
+
+  /** BPE-ish word-token count: runs of [a-z0-9] after lowercasing — a cheap
+    * stand-in for subword tokenization that both engines compute identically. */
+  def wordTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))).cast("long")
+
+  def withTokenStats(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_chars", length(col(textCol)).cast("long"))
+      .withColumn("n_ws_tokens", wsTokenCount(col(textCol)))
+      .withColumn("n_word_tokens", wordTokenCount(col(textCol)))
+
+  // ---- language ID (n-gram/stopword heuristic) ----
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu", "den", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour", "des", "du"),
+    "es" -> Seq("el", "los", "las", "de", "que", "y", "en", "un", "una", "es", "por", "con"))
+
+  /** Stopword-hit score for one language: distinct stopwords present. */
+  private def langScore(tokens: Column, lang: String): Column =
+    size(array_intersect(tokens, typedLit(stopwords(lang))))
+
+  /** Fraction of CJK codepoints — decides zh before the stopword vote. */
+  def cjkRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\x{4e00}-\\x{9fff}]", "")))
+      .cast("double") / greatest(length(text), lit(1)).cast("double")
+
+  /** Heuristic language ID over {en, de, fr, es, zh}; "und" when nothing
+    * matches. Deterministic ties: fixed language priority order. */
+  def langId(text: Column): Column = {
+    val tokens = split(lower(text), "\\s+")
+    val s = Seq("en", "de", "fr", "es").map(l => l -> langScore(tokens, l))
+    val best = s.map(_._2).reduce((a, b) => greatest(a, b))
+    // chained when(): earlier languages win ties (fixed priority order)
+    val voteOrdered = s.foldLeft(Option.empty[Column]) {
+      case (None, (l, sc)) => Some(when(sc === best && best > 0, lit(l)))
+      case (Some(c), (l, sc)) => Some(c.when(sc === best && best > 0, lit(l)))
+    }.get.otherwise(lit("und"))
+    when(cjkRatio(text) > 0.3, lit("zh")).otherwise(voteOrdered)
+  }
+
+  def withLangId(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("lang_pred", langId(col(textCol)))
+
+  // ---- quality scoring ----
+
+  /** Composite [0,1] quality score from length / stopword density /
+    * alphabetic ratio / mean token length — the standard cheap filters in
+    * web-scale corpus cleaning. */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val tokens = split(lower(text), "\\s+")
+    val nTokens = greatest(size(tokens), lit(1)).cast("double")
+    val lenScore = least(nChars / 500.0, lit(1.0))
+    val stopHits = Seq("en", "de", "fr", "es")
+      .map(l => size(array_intersect(tokens, typedLit(stopwords(l)))))
+      .reduce(_ + _).cast("double")
+    val stopScore = least(stopHits / 5.0, lit(1.0))
+    val alphaRatio = length(regexp_replace(lower(text), "[^a-z\\x{4e00}-\\x{9fff}]", ""))
+      .cast("double") / greatest(nChars, lit(1.0))
+    val meanTokLen = nChars / nTokens
+    val tokLenScore = when(meanTokLen.between(3.0, 12.0), 1.0).otherwise(0.3)
+    round(lenScore * 0.3 + stopScore * 0.2 + alphaRatio * 0.3 + tokLenScore * 0.2, 4)
+  }
+
+  def withQualityScore(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("quality_score", qualityScore(col(textCol)))
+
+  // ---- fingerprints ----
+
+  /** Canonical-form md5: lowercase, collapse whitespace, trim. SQL-mirrored
+    * in the DuckDB oracle. */
+  def fingerprintMd5(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Rolling (Karp-Rabin) content fingerprint: minimum 64-bit hash over
+    * all w-char windows of the normalized text — winnowing-style, robust to
+    * local edits. Deterministic across runs/JVMs. */
+  val rollingFingerprint: (String, Int) => Long = (text: String, w: Int) => {
+    val s = text.toLowerCase.replaceAll("\\s+", " ").trim
+    val B = 1099511628211L // FNV-ish odd multiplier, mod 2^64 arithmetic
+    if (s.length <= w) {
+      var h = 0L; var i = 0
+      while (i < s.length) { h = h * B + s.charAt(i); i += 1 }
+      h
+    } else {
+      var pow = 1L
+      var j = 0
+      while (j < w - 1) { pow *= B; j += 1 }
+      var h = 0L; var i = 0
+      while (i < w) { h = h * B + s.charAt(i); i += 1 }
+      var min = h
+      while (i < s.length) {
+        h = (h - s.charAt(i - w) * pow) * B + s.charAt(i)
+        if (h < min) min = h
+        i += 1
+      }
+      min
+    }
+  }
+
+  def withFingerprints(df: DataFrame, textCol: String, window: Int = 16): DataFrame = {
+    val fpRolling = udf((t: String) => rollingFingerprint(t, window))
+    df.withColumn("fp_md5", fingerprintMd5(col(textCol)))
+      .withColumn("fp_rolling", fpRolling(col(textCol)))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, TextAnalysis}
+import QuerySupport._
+
+/** Training-data pipeline surface: dedup, text analysis, embedding near-dup
+  * (north-star extension operators). SQL-expressible ops carry a strict
+  * DuckDB oracle; hash-family ops (minhash/simhash/rolling fingerprints)
+  * are deterministic rows-only entries verified in DedupSpec/TextSpec.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String) = table(s, dir, "documents")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s: SparkSession, dir: String) =>
+      Dedup.exactGroups(docs(s, dir), "doc_id", "text")
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")),
+
+    "text_stats" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.withTokenStats(docs(s, dir), "text")
+        .select("doc_id", "n_chars", "n_ws_tokens", "n_word_tokens")
+        .orderBy("doc_id")),
+
+    "doc_fingerprint" -> ((s: SparkSession, dir: String) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
+        .orderBy("doc_id")),
+
+    // raw vectors: cosine is scale-invariant, and using the same arithmetic
+    // as the DuckDB oracle keeps the rounded values bit-comparable
+    "neardup_cosine" -> ((s: SparkSession, dir: String) =>
+      Dedup.embeddingNearDups(table(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.42)
+        .orderBy("a", "b")),
+
+    // deterministic rows-only entries (hash families not SQL-mirrorable)
+    "dedup_minhash" -> ((s: SparkSession, dir: String) =>
+      Dedup.minhashNearDups(docs(s, dir), "doc_id", "text", threshold = 0.5)
+        .orderBy("a", "b")),
+
+    "dedup_simhash" -> ((s: SparkSession, dir: String) =>
+      Dedup.withSimhash(docs(s, dir), "text")
+        .select("doc_id", "simhash")
+        .orderBy("doc_id")),
+
+    "ngram_jaccard" -> ((s: SparkSession, dir: String) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", shingleSize = 2)
+        .orderBy("a", "b")),
+
+    // moderate threshold (cos 0.42 ≈ 60°) needs short codes + many repeats:
+    // collision prob per repeat (1-θ/π)^bits ≈ 0.07, 20 repeats → ~78% recall
+    "neardup_lsh" -> ((s: SparkSession, dir: String) =>
+      Dedup.embeddingNearDupsLsh(table(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.42, bits = 6, repeats = 20)
+        .orderBy("a", "b")),
+
+    "text_langid" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.withLangId(docs(s, dir), "text")
+        .select("doc_id", "lang_pred")
+        .orderBy("doc_id")),
+
+    "text_quality" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.withQualityScore(docs(s, dir), "text")
+        .select("doc_id", "quality_score")
+        .orderBy("doc_id")),
+
+    "doc_fingerprint_rolling" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.withFingerprints(docs(s, dir), "text")
+        .select("doc_id", "fp_rolling")
+        .orderBy("doc_id"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+
+    "text_stats" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS n_chars,
+        | CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_word_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        | md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "neardup_cosine" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                              CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) > 0.42
+        |ORDER BY a, b""".stripMargin
+  )
+}

@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+
+  private lazy val docsDf = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "the quick brown fox jumps over a lazy dog"),   // near dup of 1
+      (4L, "der schnelle braune fuchs springt und ist nicht faul"),
+      (5L, "le renard brun est dans la foret pour une promenade"),
+      (6L, "el zorro marron es un animal que vive en el bosque"),
+      (7L, "这是一个中文文档的例子这是一个中文文档"),
+      (8L, "completely different content about spark engines and data"),
+      (9L, "THE QUICK  BROWN fox jumps over the lazy dog") // case/ws variant
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup: identical texts collapse, first id wins") {
+    val groups = Dedup.exactGroups(docsDf, "doc_id", "text").collect()
+    assert(groups.length == 8) // 1&2 collapse
+    val g = groups.find(_.getAs[Long]("n_copies") == 2).get
+    assert(g.getAs[Long]("doc_id") == 1L)
+    assert(Dedup.dropExactDuplicates(docsDf, "doc_id", "text").count() == 8)
+  }
+
+  test("minhash LSH finds near-dup pair (1,3) and exact pair (1,2)") {
+    val pairs = Dedup.minhashNearDups(docsDf, "doc_id", "text",
+      shingleSize = 2, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs.contains((1L, 2L))) // jaccard 1.0
+    assert(pairs.contains((1L, 3L))) // high overlap
+    assert(!pairs.exists(p => p._1 == 8L || p._2 == 8L))
+  }
+
+  test("simhash: identical docs share fingerprint; near-dups within hamming 3") {
+    val fps = Dedup.withSimhash(docsDf, "text")
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(3L)) <= 8)
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(8L)) > 10)
+
+    val pairs = Dedup.simhashNearDups(docsDf, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("langid: stopword + CJK heuristic recovers language on real text") {
+    val preds = TextAnalysis.withLangId(docsDf, "text")
+      .select("doc_id", "lang_pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(1L) == "en")
+    assert(preds(4L) == "de")
+    assert(preds(5L) == "fr")
+    assert(preds(6L) == "es")
+    assert(preds(7L) == "zh")
+  }
+
+  test("token stats and fingerprints") {
+    val row = TextAnalysis.withTokenStats(docsDf, "text")
+      .filter(col("doc_id") === 1).head()
+    assert(row.getAs[Long]("n_ws_tokens") == 9)
+    assert(row.getAs[Long]("n_word_tokens") == 9)
+
+    val fps = TextAnalysis.withFingerprints(docsDf, "text")
+      .select("doc_id", "fp_md5", "fp_rolling").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(fps(1L) == fps(2L))
+    // case/whitespace variant normalizes to the same md5 fingerprint
+    assert(fps(1L)._1 == fps(9L)._1)
+    assert(fps(1L)._2 == fps(9L)._2)
+    assert(fps(1L)._1 != fps(8L)._1)
+  }
+
+  test("quality score: long real text beats short junk") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the project is a complete analytics engine with many useful operators and the design is clean"),
+      (2L, "x")
+    ).toDF("doc_id", "text")
+    val q = TextAnalysis.withQualityScore(df, "text").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality_score")).toMap
+    assert(q(1L) > q(2L))
+  }
+
+  test("embedding near-dup: exact finds planted pair; LSH finds it too") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val base = Seq.tabulate(100)(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    // plant a near-duplicate of row 0 as id 100
+    val nearDup = (100L, base(0)._2.map(x => x + 0.01f))
+    val df = (base :+ nearDup).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDups(df, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((0L, 100L)))
+    val lsh = Dedup.embeddingNearDupsLsh(df, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.contains((0L, 100L)))
+  }
+}
