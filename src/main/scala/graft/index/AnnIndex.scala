@@ -49,7 +49,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
 
   /** IVF centroids, collected once per index instance (nlist × dim — tiny). */
   lazy val centroids: Array[(Int, Array[Float])] =
-    if (meta.engine == "FLAT") Array((0, Array.empty[Float]))
+    if (meta.engine != "IVF") Array((0, Array.empty[Float]))
     else spark.read.parquet(centroidsPath)
       .collect()
       .map(r => (r.getAs[Int]("list_id"), r.getAs[Seq[Float]]("centroid").toArray))
@@ -85,16 +85,40 @@ class AnnIndex(val spark: SparkSession, val path: String) {
   def defaultNprobe: Int = meta.param("nprobe", 1)
 
   /** S1/S2 `*_index_scan`: raw index search → (id, _distance), pre-sorted,
-    * no base-row fetch (reference: src/diskann_functions.cpp:34-125). */
-  def scan(q: Array[Float], k: Int, nprobe: Int = -1): DataFrame = {
+    * no base-row fetch (reference: src/diskann_functions.cpp:34-125).
+    *
+    * @param searchParam engine-specific: IVF nprobe; DISKANN
+    *                    search_complexity (beam width override). */
+  def scan(q: Array[Float], k: Int, searchParam: Int = -1): DataFrame = {
+    if (meta.engine == "DISKANN")
+      return scanGraph(Seq((0, prepQuery(q))), k, searchParam)
+        .select("id", "_distance")
+        .orderBy(col("_distance"), col("id"))
+        .limit(k)
     val qq = prepQuery(q)
-    val np = if (nprobe > 0) nprobe else defaultNprobe
+    val np = if (searchParam > 0) searchParam else defaultNprobe
     val probed = pruneToLists(live, probeLists(qq, np))
     probed
       .withColumn("_distance", distColumn(col("vector"), typedLit(qq)))
       .select("id", "_distance")
       .orderBy(col("_distance"), col("id"))
       .limit(k)
+  }
+
+  /** DISKANN batch graph search with tombstone overfetch: beam width
+    * l = max(k, search_complexity or build_complexity) plus |deleted|
+    * (reference: rust_lib/src/index_manager.rs:344-350,
+    * src/diskann_index.cpp:558-561). */
+  private def scanGraph(qs: Seq[(Int, Array[Float])], k: Int,
+                        searchComplexity: Int): DataFrame = {
+    val p = Vamana.Params.from(meta)
+    val overfetch = meta.numDeleted.toInt
+    val l = Vamana.beamWidth(k + overfetch, searchComplexity, p.buildComplexity) + overfetch
+    val res = Vamana.searchBatch(spark, s"$path/data", qs, k + overfetch, l, meta.metric)
+    if (hasDeletes) {
+      val filtered = res.join(deletes, Seq("id"), "left_anti")
+      graft.operators.TopK.grouped(filtered, "query_idx", "_distance", "id", k)
+    } else res
   }
 
   /** Partition-pruned cell scan: `list_id IN (...)` reaches the parquet
@@ -108,8 +132,8 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * result set against the base table (reference: src/ann_search.cpp:31-195;
     * oversample :123). */
   def search(base: DataFrame, baseIdCol: String, q: Array[Float], k: Int,
-             nprobe: Int = -1, oversample: Int = 1): DataFrame = {
-    val hits = scan(q, k * math.max(1, oversample), nprobe)
+             searchParam: Int = -1, oversample: Int = 1): DataFrame = {
+    val hits = scan(q, k * math.max(1, oversample), searchParam)
     base.join(broadcast(hits), base(baseIdCol) === hits("id"))
       .drop(hits("id")) // keep the base's own key even when also named "id"
       .orderBy(col("_distance"), base(baseIdCol))
@@ -121,9 +145,11 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * broadcast; data partitions are scanned once; per-query top-k reduces
     * map-side (reference: src/ann_search.cpp:202-388 + lock-step batch
     * search rust_lib/src/provider.rs:248-440). */
-  def searchBatch(qs: Seq[Array[Float]], k: Int, nprobe: Int = -1): DataFrame = {
+  def searchBatch(qs: Seq[Array[Float]], k: Int, searchParam: Int = -1): DataFrame = {
     import spark.implicits._
-    val np = if (nprobe > 0) nprobe else defaultNprobe
+    if (meta.engine == "DISKANN")
+      return scanGraph(qs.map(prepQuery).zipWithIndex.map(_.swap), k, searchParam)
+    val np = if (searchParam > 0) searchParam else defaultNprobe
     val prepped = qs.map(prepQuery)
     val queriesDf = prepped.zipWithIndex.map { case (q, i) => (i, q) }.toDF("query_idx", "qvec")
     val pairs = prepped.zipWithIndex
@@ -144,14 +170,24 @@ class AnnIndex(val spark: SparkSession, val path: String) {
 
   // ---- maintenance (reference §2.10 BoundIndex hooks) ----
 
-  /** Append/Insert hook: assign cells, append to the index dataset
-    * (reference: src/diskann_index.cpp:316-361). */
+  /** Append/Insert hook: assign cells (FLAT/IVF) or build a delta graph
+    * shard (DISKANN — the append-segment model of §2.8), append to the
+    * index dataset (reference: src/diskann_index.cpp:316-361). */
   def insert(rows: DataFrame, idCol: String, vecCol: String): Unit = {
     val prepared = AnnIndexBuilder.prepare(rows, idCol, vecCol, meta.metric)
-    val assigned = AnnIndexBuilder.assignLists(prepared, centroids, meta.engine)
-    assigned.write.mode("append").partitionBy("list_id").parquet(dataPath)
     val n = prepared.count()
-    meta = meta.copy(numVectors = meta.numVectors + n)
+    if (meta.engine == "DISKANN") {
+      val nextShard = meta.param("shards", 1)
+      val delta = Vamana.build(prepared, 1, Vamana.Params.from(meta), meta.metric)
+        .withColumn("shard", lit(nextShard))
+      delta.write.mode("append").partitionBy("shard").parquet(dataPath)
+      meta = meta.copy(numVectors = meta.numVectors + n,
+        params = meta.params + ("shards" -> (nextShard + 1).toString))
+    } else {
+      val assigned = AnnIndexBuilder.assignLists(prepared, centroids, meta.engine)
+      assigned.write.mode("append").partitionBy("list_id").parquet(dataPath)
+      meta = meta.copy(numVectors = meta.numVectors + n)
+    }
     IndexMeta.write(path, meta)
   }
 
@@ -174,11 +210,25 @@ class AnnIndex(val spark: SparkSession, val path: String) {
   def vacuum(): Unit = {
     if (!hasDeletes) return
     val tmp = s"$path/data_compact"
-    val liveCount = live.count()
-    live.write.mode("overwrite").partitionBy("list_id").parquet(tmp)
-    IndexMeta.replaceDir(tmp, dataPath)
-    IndexMeta.deleteDir(deletesPath)
-    meta = meta.copy(numVectors = liveCount, numDeleted = 0)
+    if (meta.engine == "DISKANN") {
+      // graph compaction = rebuild without tombstones (the reference also
+      // rebuilds + remaps, rust_lib/src/index_manager.rs:687-716)
+      val liveVecs = data.select("id", "vector").join(deletes, Seq("id"), "left_anti")
+      val liveCount = liveVecs.count()
+      val shards = meta.param("shards", 1)
+      Vamana.build(liveVecs, shards, Vamana.Params.from(meta), meta.metric)
+        .write.mode("overwrite").partitionBy("shard").parquet(tmp)
+      IndexMeta.replaceDir(tmp, dataPath)
+      IndexMeta.deleteDir(deletesPath)
+      meta = meta.copy(numVectors = liveCount, numDeleted = 0,
+        params = meta.params + ("shards" -> shards.toString))
+    } else {
+      val liveCount = live.count()
+      live.write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+      IndexMeta.replaceDir(tmp, dataPath)
+      IndexMeta.deleteDir(deletesPath)
+      meta = meta.copy(numVectors = liveCount, numDeleted = 0)
+    }
     IndexMeta.write(path, meta)
   }
 

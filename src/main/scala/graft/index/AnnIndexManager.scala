@@ -96,6 +96,25 @@ object AnnIndexManager {
     try {
       val n = prepared.count()
 
+      if (engine == "DISKANN") {
+        // partition-local Vamana graphs; default shard sizing targets
+        // ~100k vectors per graph (bounded task memory at any total scale)
+        val shards = params.get("shards").map(_.toInt)
+          .getOrElse(math.max(1, math.ceil(n / 100000.0).toInt))
+        val p = Vamana.Params(
+          params.getOrElse("max_degree", "64").toInt,
+          params.getOrElse("build_complexity", "128").toInt,
+          params.getOrElse("alpha", "1.2").toDouble)
+        IndexMeta.deleteDir(path)
+        Vamana.build(prepared, shards, p, metric)
+          .write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
+        val meta = IndexMeta(name, engine, metric, dim, idCol, vecCol, n, 0L,
+          params + ("shards" -> shards.toString))
+        IndexMeta.write(path, meta)
+        register(name, path)
+        return new AnnIndex(spark, path)
+      }
+
       val centroids: Array[(Int, Array[Float])] = engine match {
         case "IVF" =>
           val nlist = params.getOrElse("nlist", "100").toInt

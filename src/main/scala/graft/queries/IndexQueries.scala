@@ -29,6 +29,12 @@ object IndexQueries {
         "IVF", Map("metric" -> "l2", "nlist" -> "8", "nprobe" -> "8",
           "table" -> "embeddings"), path))
 
+  private def diskannIndex(s: SparkSession, dir: String): AnnIndex =
+    AnnIndexManager.getOrBuild(s, "emb_vamana", dir, path =>
+      AnnIndexManager.create(s, "emb_vamana", emb(s, dir), "vec_id", "embedding",
+        "DISKANN", Map("metric" -> "l2", "max_degree" -> "64",
+          "build_complexity" -> "128", "table" -> "embeddings"), path))
+
   /** FLAT index with label=3 rows tombstoned (build-once, idempotent). */
   private def deletedIndex(s: SparkSession, dir: String): AnnIndex =
     AnnIndexManager.getOrBuild(s, "emb_flat_del", dir, path => {
@@ -63,12 +69,12 @@ object IndexQueries {
     // IVF probed exhaustively (nprobe = nlist) exercises train/assign/prune/
     // merge machinery while staying exact → strict oracle.
     "ann_ivf_topk" -> ((s: SparkSession, dir: String) =>
-      ranked(ivfIndex(s, dir).scan(qvecF(6), K, nprobe = 8))),
+      ranked(ivfIndex(s, dir).scan(qvecF(6), K, searchParam = 8))),
 
     // approximate config (nprobe=2): rows-only check here; recall asserted
     // in IndexSpec.
     "ann_ivf_probe" -> ((s: SparkSession, dir: String) =>
-      ranked(ivfIndex(s, dir).scan(qvecF(6), K, nprobe = 2))),
+      ranked(ivfIndex(s, dir).scan(qvecF(6), K, searchParam = 2))),
 
     // S3: fetch base columns through the broadcast join-back.
     "ann_search_fetch" -> ((s: SparkSession, dir: String) => {
@@ -81,7 +87,7 @@ object IndexQueries {
 
     // S4: batched multi-query search through probe pairs + map-side top-k.
     "ann_batch" -> ((s: SparkSession, dir: String) => {
-      val res = ivfIndex(s, dir).searchBatch(Seq.tabulate(4)(i => qvecF(i)), K, nprobe = 8)
+      val res = ivfIndex(s, dir).searchBatch(Seq.tabulate(4)(i => qvecF(i)), K, searchParam = 8)
       res.withColumn("rank",
           row_number().over(
             Window.partitionBy("query_idx").orderBy(col("_distance"), col("id"))).cast("long"))
@@ -94,6 +100,17 @@ object IndexQueries {
 
     "ann_vacuum_topk" -> ((s: SparkSession, dir: String) =>
       ranked(vacuumedIndex(s, dir).scan(qvecF(0), K))),
+
+    // DISKANN graph search with an exhaustive beam (l >= n): the greedy
+    // search visits every reachable node, so results are exact when the
+    // graph is connected → strict oracle (verified locally at both SFs).
+    "ann_vamana_topk" -> ((s: SparkSession, dir: String) =>
+      ranked(diskannIndex(s, dir).scan(qvecF(9), K, searchParam = 100000))),
+
+    // default beam width (build_complexity=128): approximate; recall
+    // asserted statistically in VamanaSpec per the reference contract.
+    "ann_vamana_probe" -> ((s: SparkSession, dir: String) =>
+      ranked(diskannIndex(s, dir).scan(qvecF(9), K))),
 
     // S5: table-input search — queries from a relation (first 4 embeddings
     // querying themselves), input key passthrough, exact via FLAT.
@@ -143,6 +160,7 @@ object IndexQueries {
     "ann_flat_topk" -> bruteForceTopK(5),
     "ann_ivf_topk" -> bruteForceTopK(6),
     "ann_search_fetch" -> bruteForceTopK(7, extraCols = ", label"),
+    "ann_vamana_topk" -> bruteForceTopK(9),
     "ann_delete_topk" -> bruteForceTopK(0, where = "WHERE label <> 3"),
     "ann_vacuum_topk" -> bruteForceTopK(0, where = "WHERE label <> 3"),
 

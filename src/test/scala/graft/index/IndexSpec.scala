@@ -45,10 +45,10 @@ class IndexSpec extends SparkSpec {
     val idx = AnnIndexManager.create(spark, "t_ivf", vecsDf, "id", "embedding",
       "IVF", Map("metric" -> "l2", "nlist" -> "8", "nprobe" -> "8"), s"$tmp/t_ivf")
     for (q <- queries) {
-      val exact = idx.scan(q, 10, nprobe = 8).collect().map(_.getLong(0)).toSeq
+      val exact = idx.scan(q, 10, searchParam = 8).collect().map(_.getLong(0)).toSeq
       assert(exact == bruteTopK(q, 10))
       // recall floor from the reference's statistical contract (>=7/10)
-      val approx = idx.scan(q, 10, nprobe = 3).collect().map(_.getLong(0)).toSet
+      val approx = idx.scan(q, 10, searchParam = 3).collect().map(_.getLong(0)).toSet
       assert(approx.intersect(bruteTopK(q, 10).toSet).size >= 7,
         s"recall too low for ${q.toSeq}")
     }
@@ -128,7 +128,7 @@ class IndexSpec extends SparkSpec {
   test("searchBatch matches per-query exact results") {
     val idx = AnnIndexManager.create(spark, "t_batch", vecsDf, "id", "embedding",
       "IVF", Map("metric" -> "l2", "nlist" -> "4", "nprobe" -> "4"), s"$tmp/t_batch")
-    val res = idx.searchBatch(queries, 5, nprobe = 4)
+    val res = idx.searchBatch(queries, 5, searchParam = 4)
       .collect()
       .groupBy(_.getInt(0))
       .map { case (qi, rows) =>

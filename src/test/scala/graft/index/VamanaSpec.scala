@@ -1,0 +1,117 @@
+package graft.index
+
+import graft.SparkSpec
+import graft.functions.VectorKernels
+
+import java.nio.file.Files
+
+class VamanaSpec extends SparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("graft_vamana_spec").toString
+
+  // F3: 200 seeded random FLOAT[4] vectors (diskann_streaming.test:11-17)
+  private lazy val vecs: Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(42)
+    Seq.tabulate(200)(i => (i.toLong, Array.fill(4)(rnd.nextFloat())))
+  }
+
+  private lazy val vecsDf = {
+    import spark.implicits._
+    vecs.toDF("id", "embedding")
+  }
+
+  private def brute(q: Array[Float], k: Int, excl: Set[Long] = Set.empty): Seq[Long] =
+    vecs.filterNot(v => excl(v._1))
+      .map { case (id, v) => (id, VectorKernels.l2Sq(q, v)) }
+      .sortBy { case (id, d) => (d, id) }.take(k).map(_._1)
+
+  private val queries = Seq(
+    Array(0.5f, 0.5f, 0.5f, 0.5f), Array(1f, 0f, 0f, 0f),
+    Array(0f, 0f, 1f, 1f), Array(0.2f, 0.8f, 0.3f, 0.7f))
+
+  private lazy val idx = AnnIndexManager.create(spark, "v_graph", vecsDf,
+    "id", "embedding", "DISKANN",
+    Map("metric" -> "l2", "max_degree" -> "64", "build_complexity" -> "128"),
+    s"$tmp/v_graph")
+
+  test("recall >= 70% on the F3 contract (200 vecs, k=10, defaults)") {
+    for (q <- queries) {
+      val got = idx.scan(q, 10).collect().map(_.getLong(0)).toSet
+      val overlap = got.intersect(brute(q, 10).toSet).size
+      assert(overlap >= 7, s"recall $overlap/10 for ${q.toSeq}")
+    }
+  }
+
+  test("kernel-level beam search: pool is sorted, distances correct") {
+    val sh = Vamana.buildShard(vecs.map(_._1).toArray, vecs.map(_._2).toArray,
+      Vamana.Params(32, 64, 1.2), "l2")
+    val q = queries.head
+    val pool = Vamana.beamSearch(sh, q, 64, VectorKernels.orderingDistance("l2"))
+    assert(pool.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    for ((label, d) <- pool.take(5))
+      assert(math.abs(d - VectorKernels.l2Sq(q, sh.vectors(label))) < 1e-9)
+    // every graph node respects max degree
+    assert(sh.neighbors.forall(_.length <= 32))
+  }
+
+  test("multi-shard build partitions the id space and still meets recall") {
+    val sharded = AnnIndexManager.create(spark, "v_sharded", vecsDf,
+      "id", "embedding", "DISKANN",
+      Map("metric" -> "l2", "shards" -> "4"), s"$tmp/v_sharded")
+    assert(sharded.meta.param("shards", 1) == 4)
+    for (q <- queries) {
+      val got = sharded.scan(q, 10).collect().map(_.getLong(0)).toSet
+      assert(got.intersect(brute(q, 10).toSet).size >= 7)
+    }
+  }
+
+  test("searchBatch returns per-query results with the recall floor") {
+    val res = idx.searchBatch(queries, 10)
+      .collect().groupBy(_.getInt(0))
+    assert(res.keySet == Set(0, 1, 2, 3))
+    for ((qi, rows) <- res) {
+      val got = rows.map(_.getLong(1)).toSet
+      assert(got.intersect(brute(queries(qi), 10).toSet).size >= 7, s"query $qi")
+    }
+  }
+
+  test("delete excludes ids (tombstone overfetch); vacuum rebuilds; insert appends a delta shard (F4)") {
+    val dml = AnnIndexManager.create(spark, "v_dml", vecsDf, "id", "embedding",
+      "DISKANN", Map("metric" -> "l2"), s"$tmp/v_dml")
+    val q = queries(1)
+    val top3 = brute(q, 3).toSet
+    dml.delete(top3.toSeq)
+    val afterDelete = dml.scan(q, 10).collect().map(_.getLong(0)).toSet
+    assert(afterDelete.intersect(top3).isEmpty)
+    assert(afterDelete.intersect(brute(q, 10, excl = top3).toSet).size >= 7)
+
+    dml.vacuum()
+    assert(dml.meta.numDeleted == 0 && dml.meta.numVectors == 197)
+    val afterVacuum = dml.scan(q, 10).collect().map(_.getLong(0)).toSet
+    assert(afterVacuum.intersect(top3).isEmpty)
+
+    import spark.implicits._
+    dml.insert(vecs.filter(v => top3(v._1)).toDF("id", "embedding"), "id", "embedding")
+    assert(dml.meta.numVectors == 200)
+    val afterInsert = dml.scan(q, 10).collect().map(_.getLong(0)).toSet
+    // re-inserted nearest neighbors are findable again via the delta shard
+    assert(afterInsert.intersect(top3).nonEmpty)
+  }
+
+  test("persistence round-trip gives identical results (F9)") {
+    val q = queries(2)
+    val before = idx.scan(q, 10).collect().map(_.getLong(0)).toSeq
+    val reloaded = AnnIndexManager.load(spark, s"$tmp/v_graph")
+    val after = reloaded.scan(q, 10).collect().map(_.getLong(0)).toSeq
+    assert(before == after)
+  }
+
+  test("search_complexity semantics: l = max(k, sc or bc)") {
+    assert(Vamana.beamWidth(10, 0, 128) == 128)
+    assert(Vamana.beamWidth(10, 50, 128) == 50)
+    assert(Vamana.beamWidth(200, 50, 128) == 200)
+    // tiny beam still returns k results (bounded by pool size)
+    val got = idx.scan(queries(0), 10, searchParam = 10).collect()
+    assert(got.length == 10)
+  }
+}
