@@ -57,6 +57,19 @@ class AnnIndex(val spark: SparkSession, val path: String) {
 
   def centroidsDf: DataFrame = spark.read.parquet(centroidsPath)
 
+  /** SQ8 params when the index stores codes instead of float vectors. */
+  lazy val quantParams: Option[graft.functions.Sq8.QuantParams] =
+    if (!meta.quantized) None
+    else {
+      val rows = spark.read.parquet(s"$path/quant").collect()
+        .map(r => (r.getAs[Int]("dim"), r.getAs[Float]("vmin"), r.getAs[Float]("scale")))
+        .sortBy(_._1)
+      Some(graft.functions.Sq8.QuantParams(rows.map(_._2), rows.map(_._3)))
+    }
+
+  /** Name of the stored vector column: float array, or SQ8 codes. */
+  def dataVecCol: String = if (meta.quantized) "codes" else "vector"
+
   /** The nprobe nearest cells for a query (L2 assignment, as faiss IVF). */
   def probeLists(q: Array[Float], nprobe: Int): Seq[Int] =
     if (meta.engine == "FLAT") Seq(0)
@@ -71,15 +84,29 @@ class AnnIndex(val spark: SparkSession, val path: String) {
   def prepQuery(q: Array[Float]): Array[Float] =
     if (meta.metric == "cosine") VectorKernels.normalize(q) else q
 
-  /** Ordering-oriented distance column (lower = better):
+  /** Ordering-oriented distance column over FLOAT vectors (lower = better):
     * l2 → squared L2 (reference index semantics, diskann_basic.test:35-38),
     * ip → negated dot (rust_lib/src/distance.rs:20-23),
     * cosine → 1 - dot over normalized vectors. */
-  def distColumn(vec: Column, query: Column): Column = meta.metric match {
+  def floatDistColumn(vec: Column, query: Column): Column = meta.metric match {
     case "l2"     => l2_distance_sq(vec, query)
     case "ip"     => negate(inner_product(vec, query))
     case "cosine" => lit(1.0) - inner_product(vec, query)
     case m        => throw new IllegalArgumentException(s"unknown metric: $m")
+  }
+
+  /** Storage-aware distance: SQ8 indexes dequantize-on-access inside the
+    * codegen'd loop; float indexes use the plain expressions. `vec` must be
+    * the [[dataVecCol]] column. */
+  def distColumn(vec: Column, query: Column): Column = quantParams match {
+    case Some(p) =>
+      // "cosine" renormalizes inside the kernel, absorbing quantization
+      // drift of the build-time-normalized vectors
+      org.apache.spark.sql.GraftBridge.column(graft.functions.Sq8Distance(
+        org.apache.spark.sql.GraftBridge.expression(vec),
+        org.apache.spark.sql.GraftBridge.expression(query),
+        p.mins, p.scales, meta.metric))
+    case None => floatDistColumn(vec, query)
   }
 
   def defaultNprobe: Int = meta.param("nprobe", 1)
@@ -99,7 +126,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     val np = if (searchParam > 0) searchParam else defaultNprobe
     val probed = pruneToLists(live, probeLists(qq, np))
     probed
-      .withColumn("_distance", distColumn(col("vector"), typedLit(qq)))
+      .withColumn("_distance", distColumn(col(dataVecCol), typedLit(qq)))
       .select("id", "_distance")
       .orderBy(col("_distance"), col("id"))
       .limit(k)
@@ -163,7 +190,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         live.join(broadcast(pairs), Seq("list_id"))
           .join(broadcast(queriesDf), Seq("query_idx"))
       }
-    val withDist = scored.withColumn("_distance", distColumn(col("vector"), col("qvec")))
+    val withDist = scored.withColumn("_distance", distColumn(col(dataVecCol), col("qvec")))
       .select("query_idx", "id", "_distance")
     TopK.grouped(withDist, "query_idx", "_distance", "id", k)
   }
@@ -185,7 +212,13 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         params = meta.params + ("shards" -> (nextShard + 1).toString))
     } else {
       val assigned = AnnIndexBuilder.assignLists(prepared, centroids, meta.engine)
-      assigned.write.mode("append").partitionBy("list_id").parquet(dataPath)
+      val stored = quantParams match {
+        case Some(p) => assigned
+          .withColumn("codes", graft.functions.Sq8.quantizeUdf(p)(col("vector")))
+          .drop("vector") // out-of-range values clamp to the build-time range
+        case None => assigned
+      }
+      stored.write.mode("append").partitionBy("list_id").parquet(dataPath)
       meta = meta.copy(numVectors = meta.numVectors + n)
     }
     IndexMeta.write(path, meta)
@@ -232,8 +265,15 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     IndexMeta.write(path, meta)
   }
 
-  /** MergeIndexes: pull every live vector from the other index and insert
-    * (reference: src/diskann_index.cpp:655-699). */
-  def mergeFrom(other: AnnIndex): Unit =
-    insert(other.live.select("id", "vector"), "id", "vector")
+  /** MergeIndexes: pull every live vector from the other index and insert;
+    * quantized sources are dequantized first (FAISS path uses
+    * reconstruct_n the same way, src/faiss_index.cpp:783-838). */
+  def mergeFrom(other: AnnIndex): Unit = {
+    val src = other.quantParams match {
+      case Some(p) => other.live.select(col("id"),
+        graft.functions.Sq8.dequantizeUdf(p)(col("codes")).as("vector"))
+      case None => other.live.select(col("id"), col("vector"))
+    }
+    insert(src, "id", "vector")
+  }
 }

@@ -135,7 +135,27 @@ object AnnIndexManager {
 
       val assigned = AnnIndexBuilder.assignLists(prepared, centroids, engine)
       IndexMeta.deleteDir(path)
-      assigned.write.mode("overwrite").partitionBy("list_id").parquet(s"$path/data")
+
+      // SQ8: derive per-dim min/scale from the data, store codes not floats
+      val stored =
+        if (params.get("quantization").contains("sq8")) {
+          import spark.implicits._
+          val mm = prepared
+            .select(posexplode(col("vector")).as(Seq("dim", "v")))
+            .groupBy("dim").agg(min("v").as("vmin"), max("v").as("vmax"))
+            .collect().map(r => (r.getInt(0), r.getFloat(1), r.getFloat(2)))
+            .sortBy(_._1)
+          val qp = graft.functions.Sq8.QuantParams(
+            mm.map(_._2), mm.map(t => t._3 - t._2))
+          mm.toSeq.map { case (d, lo, hi) => (d, lo, hi - lo) }
+            .toDF("dim", "vmin", "scale")
+            .coalesce(1).write.mode("overwrite").parquet(s"$path/quant")
+          assigned
+            .withColumn("codes", graft.functions.Sq8.quantizeUdf(qp)(col("vector")))
+            .drop("vector")
+        } else assigned
+
+      stored.write.mode("overwrite").partitionBy("list_id").parquet(s"$path/data")
 
       if (engine == "IVF") {
         import spark.implicits._

@@ -72,7 +72,7 @@ object AnnSearch {
       }
 
     val scored = candidates
-      .withColumn("_distance", idx.distColumn(col("vector"), col("__qvec")))
+      .withColumn("_distance", idx.distColumn(col(idx.dataVecCol), col("__qvec")))
       .select(col("__qid"), col("id"), col("_distance"))
 
     val top = TopK.grouped(scored, "__qid", "_distance", "id", k)
@@ -125,7 +125,7 @@ object AnnSearch {
       val qq = idx.prepQuery(q)
       base.filter(predicate)
         .withColumn("_distance",
-          idx.distColumn(col(idx.meta.vecCol).cast(ArrayType(FloatType)), typedLit(qq)))
+          idx.floatDistColumn(col(idx.meta.vecCol).cast(ArrayType(FloatType)), typedLit(qq)))
         .orderBy(col("_distance"), col(baseIdCol))
         .limit(k)
     }

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.index.AnnIndex
+
+/** BM25 full-text scoring + hybrid BM25/vector search with weighted RRF
+  * fusion (reference operator S7 `hybrid_search`,
+  * src/ann_search.cpp:903-1163; the reference delegates BM25 to DuckDB's
+  * FTS extension via `match_bm25` — here the inverted index is itself a
+  * DataFrame, so scoring is a distributed join, not a side-engine call).
+  *
+  * Scale notes: the inverted index is partitioned by term (posting lists);
+  * a query touches only its own terms' postings (filter pushdown on term),
+  * corpus stats are a broadcast of one row, and document scores partial-
+  * aggregate map-side before the final top-k.
+  */
+object HybridSearch {
+
+  val DefaultRrfK = 60 // reference RRF_K (src/ann_search.cpp:1026)
+
+  def tokenize(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(split(lower(c), "[^\\p{L}\\p{Nd}]+"), t => length(t) > 0)
+
+  /** Inverted-index datasets for BM25: postings (term, id, tf) and doc
+    * lengths (id, dl), plus corpus stats. */
+  final case class TextIndex(postings: DataFrame, docLens: DataFrame,
+                             numDocs: Long, avgDl: Double)
+
+  def buildTextIndex(docs: DataFrame, idCol: String, textCol: String): TextIndex = {
+    val toks = docs.select(col(idCol).as("id"), tokenize(col(textCol)).as("toks"))
+    val postings = toks
+      .select(col("id"), explode(col("toks")).as("term"))
+      .groupBy("term", "id").agg(count(lit(1)).as("tf"))
+    val docLens = toks.select(col("id"), size(col("toks")).cast("double").as("dl"))
+    val stats = docLens.agg(count(lit(1)), avg("dl")).head()
+    TextIndex(postings, docLens, stats.getLong(0), stats.getDouble(1))
+  }
+
+  /** BM25 (k1=1.2, b=0.75) scores for a tokenized query: only the query
+    * terms' posting lists are read. Ties broken by id for determinism. */
+  def bm25(ti: TextIndex, queryTerms: Seq[String], k: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val matched = ti.postings.filter(col("term").isin(terms: _*))
+    val df = matched.groupBy("term").agg(countDistinct("id").as("df"))
+    val idf = df.withColumn("idf",
+      log((lit(ti.numDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+    val scored = matched
+      .join(broadcast(idf), "term")
+      .join(ti.docLens, "id")
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / ti.avgDl)))
+      .groupBy("id").agg(sum("contrib").as("_bm25_score"))
+    scored.orderBy(col("_bm25_score").desc, col("id")).limit(k)
+  }
+
+  /** S7 `hybrid_search`: BM25 candidates + ANN candidates, fused by
+    * weighted Reciprocal Rank Fusion; absent ranks contribute 0
+    * (reference: src/ann_search.cpp:1028-1106). Output: base.* +
+    * `_rrf_score`, `_bm25_rank`, `_vector_rank`, ordered by score desc. */
+  def hybridSearch(base: DataFrame, baseIdCol: String, ti: TextIndex,
+                   idx: AnnIndex, queryText: String, queryVec: Array[Float],
+                   k: Int, bm25Weight: Double = 0.3, vectorWeight: Double = 0.7,
+                   bm25Candidates: Int = 100, vectorCandidates: Int = 100,
+                   searchParam: Int = -1, rrfK: Int = DefaultRrfK): DataFrame = {
+    val terms = queryText.toLowerCase.split("[^\\p{L}\\p{Nd}]+").filter(_.nonEmpty).toSeq
+    val bm25Ranks = bm25(ti, terms, bm25Candidates)
+      .withColumn("_bm25_rank",
+        row_number().over(Window.orderBy(col("_bm25_score").desc, col("id"))))
+      .select(col("id"), col("_bm25_rank"))
+    val vecRanks = idx.scan(queryVec, vectorCandidates, searchParam)
+      .withColumn("_vector_rank",
+        row_number().over(Window.orderBy(col("_distance"), col("id"))))
+      .select(col("id"), col("_vector_rank"))
+
+    val fused = bm25Ranks.join(vecRanks, Seq("id"), "full_outer")
+      .withColumn("_rrf_score",
+        when(col("_bm25_rank").isNotNull,
+          lit(bm25Weight) / (lit(rrfK) + col("_bm25_rank"))).otherwise(0.0) +
+        when(col("_vector_rank").isNotNull,
+          lit(vectorWeight) / (lit(rrfK) + col("_vector_rank"))).otherwise(0.0))
+      .withColumn("_bm25_rank", coalesce(col("_bm25_rank"), lit(0)))
+      .withColumn("_vector_rank", coalesce(col("_vector_rank"), lit(0)))
+      .orderBy(col("_rrf_score").desc, col("id"))
+      .limit(k)
+
+    base.join(broadcast(fused), base(baseIdCol) === fused("id"))
+      .drop(fused("id"))
+      .orderBy(col("_rrf_score").desc, base(baseIdCol))
+  }
+}

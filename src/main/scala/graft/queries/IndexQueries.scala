@@ -21,7 +21,14 @@ object IndexQueries {
   private def flatIndex(s: SparkSession, dir: String): AnnIndex =
     AnnIndexManager.getOrBuild(s, "emb_flat", dir, path =>
       AnnIndexManager.create(s, "emb_flat", emb(s, dir), "vec_id", "embedding",
-        "FLAT", Map("metric" -> "l2", "table" -> "embeddings"), path))
+        "FLAT", Map("metric" -> "l2", "table" -> "embeddings",
+          "table_path" -> s"$dir/embeddings.parquet"), path))
+
+  private def sq8Index(s: SparkSession, dir: String): AnnIndex =
+    AnnIndexManager.getOrBuild(s, "emb_sq8", dir, path =>
+      AnnIndexManager.create(s, "emb_sq8", emb(s, dir), "vec_id", "embedding",
+        "FLAT", Map("metric" -> "l2", "quantization" -> "sq8",
+          "table" -> "embeddings"), path))
 
   private def ivfIndex(s: SparkSession, dir: String): AnnIndex =
     AnnIndexManager.getOrBuild(s, "emb_ivf8", dir, path =>
@@ -144,6 +151,41 @@ object IndexQueries {
         .filter(col("name").isin("emb_flat", "emb_ivf8"))
         .select("name", "engine", "num_vectors", "num_deleted", "quantized")
         .orderBy("name")
+    }),
+
+    // M4 optimizer rewrite: ORDER BY l2_distance LIMIT k over the raw
+    // parquet relation is rewritten by AnnTopKRule into an index-backed
+    // scan (exact via FLAT) → strict oracle proves result equivalence.
+    "ann_optimized_topk" -> ((s: SparkSession, dir: String) => {
+      flatIndex(s, dir) // register the index for this table_path
+      graft.plans.AnnOptimizer.enable(s)
+      import graft.functions.AnnFunctions.l2_distance
+      val df = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("_d", l2_distance(col("embedding"), typedLit(qvec(4))))
+        .orderBy("_d")
+        .limit(K)
+      df.withColumn("rank",
+          row_number().over(Window.orderBy(col("_d"), col("vec_id"))).cast("long"))
+        .select("rank", "vec_id")
+        .orderBy("rank")
+    }),
+
+    // SQ8 quantized index: rows-only (quantization error can reorder
+    // near-boundary ranks vs the float oracle); exactness on the F5-style
+    // fixture is asserted in Sq8Spec.
+    "ann_sq8_topk" -> ((s: SparkSession, dir: String) =>
+      ranked(sq8Index(s, dir).scan(qvecF(5), K))),
+
+    // S7 hybrid BM25+vector RRF fusion: rows-only (BM25 float sums are not
+    // bit-mirrorable in SQL); semantics asserted in HybridSpec.
+    "hybrid_search" -> ((s: SparkSession, dir: String) => {
+      val ti = graft.operators.HybridSearch.buildTextIndex(
+        table(s, dir, "documents"), "doc_id", "text")
+      graft.operators.HybridSearch.hybridSearch(
+          table(s, dir, "documents"), "doc_id", ti, flatIndex(s, dir),
+          queryText = "spark table join merge", queryVec = qvecF(1), k = K)
+        .select("doc_id", "_bm25_rank", "_vector_rank")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -161,6 +203,7 @@ object IndexQueries {
     "ann_ivf_topk" -> bruteForceTopK(6),
     "ann_search_fetch" -> bruteForceTopK(7, extraCols = ", label"),
     "ann_vamana_topk" -> bruteForceTopK(9),
+    "ann_optimized_topk" -> bruteForceTopK(4),
     "ann_delete_topk" -> bruteForceTopK(0, where = "WHERE label <> 3"),
     "ann_vacuum_topk" -> bruteForceTopK(0, where = "WHERE label <> 3"),
 

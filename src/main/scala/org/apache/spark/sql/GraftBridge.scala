@@ -1,13 +1,24 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Minimal friend-package bridge: Column ↔ catalyst Expression converters
-  * (Spark 4's Column wraps a ColumnNode; the classic converters are
-  * `private[sql]`). This is the only file outside the `graft` package.
+/** Minimal friend-package bridge: Column ↔ catalyst Expression and
+  * DataFrame ↔ LogicalPlan converters (Spark 4's Column wraps a ColumnNode;
+  * the classic converters are `private[sql]`). This is the only file
+  * outside the `graft` package.
   */
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def analyzedPlan(df: Dataset[_]): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  def optimizedPlan(df: Dataset[_]): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.optimizedPlan
 }
