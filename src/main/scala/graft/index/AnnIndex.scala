@@ -31,7 +31,34 @@ class AnnIndex(val spark: SparkSession, val path: String) {
   private def deletesPath = s"$path/deletes"
   private def centroidsPath = s"$path/centroids"
 
-  def data: DataFrame = spark.read.parquet(dataPath)
+  /** Optional in-memory pin of the index dataset — the Spark analogue of
+    * the reference's in-memory index object (SURVEY §2.11: cached
+    * DataFrames replace mmap). Repeated query batches then skip the
+    * parquet scan entirely. Invalidated by insert/vacuum. */
+  @volatile private var pinned: Option[DataFrame] = None
+
+  def persist(): this.type = synchronized {
+    if (pinned.isEmpty) {
+      val df = spark.read.parquet(dataPath)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize now
+      pinned = Some(df)
+    }
+    this
+  }
+
+  def unpersist(): this.type = synchronized {
+    pinned.foreach(_.unpersist())
+    pinned = None
+    this
+  }
+
+  private def invalidatePin(): Unit = synchronized {
+    pinned.foreach(_.unpersist())
+    pinned = None
+  }
+
+  def data: DataFrame = pinned.getOrElse(spark.read.parquet(dataPath))
 
   def hasDeletes: Boolean = IndexMeta.existsDir(deletesPath)
 
@@ -141,7 +168,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     val p = Vamana.Params.from(meta)
     val overfetch = meta.numDeleted.toInt
     val l = Vamana.beamWidth(k + overfetch, searchComplexity, p.buildComplexity) + overfetch
-    val res = Vamana.searchBatch(spark, s"$path/data", qs, k + overfetch, l, meta.metric)
+    val res = Vamana.searchBatch(spark, data, qs, k + overfetch, l, meta.metric)
     if (hasDeletes) {
       val filtered = res.join(deletes, Seq("id"), "left_anti")
       graft.operators.TopK.grouped(filtered, "query_idx", "_distance", "id", k)
@@ -222,6 +249,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       meta = meta.copy(numVectors = meta.numVectors + n)
     }
     IndexMeta.write(path, meta)
+    invalidatePin()
   }
 
   /** Delete hook: tombstone the ids (reference: src/diskann_index.cpp:363-385). */
@@ -263,6 +291,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       meta = meta.copy(numVectors = liveCount, numDeleted = 0)
     }
     IndexMeta.write(path, meta)
+    invalidatePin()
   }
 
   /** MergeIndexes: pull every live vector from the other index and insert;

@@ -210,7 +210,7 @@ object Vamana {
   /** Batch search: one pass over the graph dataset; each task materializes
     * its shard group(s) once, answers every query, emits per-shard top-l;
     * a grouped top-k merge resolves the global answer. */
-  def searchBatch(spark: SparkSession, graphPath: String,
+  def searchBatch(spark: SparkSession, graphDf: DataFrame,
                   queries: Seq[(Int, Array[Float])], k: Int, l: Int,
                   metric: String): DataFrame = {
     val dist = VectorKernels.orderingDistance(metric) _
@@ -220,7 +220,7 @@ object Vamana {
       StructField("id", LongType, nullable = false),
       StructField("_distance", DoubleType, nullable = false)))
 
-    val graph = spark.read.parquet(graphPath)
+    val graph = graphDf
       .select("shard", "label", "id", "vector", "neighbors", "is_entry")
 
     val perShard = graph.mapPartitions { rows =>

@@ -153,6 +153,26 @@ object IndexQueries {
         .orderBy("name")
     }),
 
+    // S8 ann_list: catalog scan (name, engine, table_name).
+    "ann_list" -> ((s: SparkSession, dir: String) => {
+      flatIndex(s, dir); ivfIndex(s, dir)
+      AnnIndexManager.list(s)
+        .filter(col("name").isin("emb_flat", "emb_ivf8"))
+        .orderBy("name")
+    }),
+
+    // S11 streaming build: binary vector file → DISKANN index dataset;
+    // result row (num_vectors, dimension, sample_size = max(sqrt(N), 1000)).
+    "streaming_build" -> ((s: SparkSession, dir: String) => {
+      val vecs = emb(s, dir).select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sb")
+      val bin = s"$tmp/vectors.bin"
+      graft.sources.BinaryVectorSource.write(bin, vecs.toSeq)
+      graft.sources.BinaryVectorSource.diskannStreamingBuild(
+        s, bin, s"$tmp/idx", Map("metric" -> "l2", "name" -> "sb_idx"))
+    }),
+
     // M4 optimizer rewrite: ORDER BY l2_distance LIMIT k over the raw
     // parquet relation is rewritten by AnnTopKRule into an index-backed
     // scan (exact via FLAT) → strict oracle proves result equivalence.
@@ -204,6 +224,19 @@ object IndexQueries {
     "ann_search_fetch" -> bruteForceTopK(7, extraCols = ", label"),
     "ann_vamana_topk" -> bruteForceTopK(9),
     "ann_optimized_topk" -> bruteForceTopK(4),
+
+    "ann_list" ->
+      """SELECT * FROM (
+        |  SELECT 'emb_flat' AS name, 'FLAT' AS engine, 'embeddings' AS table_name
+        |  UNION ALL
+        |  SELECT 'emb_ivf8', 'IVF', 'embeddings') t
+        |ORDER BY name""".stripMargin,
+
+    "streaming_build" ->
+      """SELECT CAST(count(*) AS BIGINT) AS num_vectors,
+        | CAST(64 AS INTEGER) AS dimension,
+        | CAST(1000 AS INTEGER) AS sample_size
+        |FROM embeddings""".stripMargin,
     "ann_delete_topk" -> bruteForceTopK(0, where = "WHERE label <> 3"),
     "ann_vacuum_topk" -> bruteForceTopK(0, where = "WHERE label <> 3"),
 
