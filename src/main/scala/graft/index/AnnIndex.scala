@@ -144,7 +144,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * @param searchParam engine-specific: IVF nprobe; DISKANN
     *                    search_complexity (beam width override). */
   def scan(q: Array[Float], k: Int, searchParam: Int = -1): DataFrame = {
-    if (meta.engine == "DISKANN")
+    if (isGraphEngine)
       return scanGraph(Seq((0, prepQuery(q))), k, searchParam)
         .select("id", "_distance")
         .orderBy(col("_distance"), col("id"))
@@ -163,12 +163,24 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * l = max(k, search_complexity or build_complexity) plus |deleted|
     * (reference: rust_lib/src/index_manager.rs:344-350,
     * src/diskann_index.cpp:558-561). */
+  def isGraphEngine: Boolean = meta.engine == "DISKANN" || meta.engine == "HNSW"
+
   private def scanGraph(qs: Seq[(Int, Array[Float])], k: Int,
                         searchComplexity: Int): DataFrame = {
-    val p = Vamana.Params.from(meta)
     val overfetch = meta.numDeleted.toInt
-    val l = Vamana.beamWidth(k + overfetch, searchComplexity, p.buildComplexity) + overfetch
-    val res = Vamana.searchBatch(spark, data, qs, k + overfetch, l, meta.metric)
+    val res = meta.engine match {
+      case "DISKANN" =>
+        val p = Vamana.Params.from(meta)
+        val l = Vamana.beamWidth(k + overfetch, searchComplexity,
+          p.buildComplexity) + overfetch
+        Vamana.searchBatch(spark, data, qs, k + overfetch, l, meta.metric)
+      case "HNSW" =>
+        // searchParam = ef_search override; default ef = ef_construction
+        val p = Hnsw.Params.from(meta)
+        val ef = math.max(k + overfetch,
+          if (searchComplexity > 0) searchComplexity else p.efConstruction) + overfetch
+        Hnsw.searchBatch(spark, data, qs, k + overfetch, ef, meta.metric)
+    }
     if (hasDeletes) {
       val filtered = res.join(deletes, Seq("id"), "left_anti")
       graft.operators.TopK.grouped(filtered, "query_idx", "_distance", "id", k)
@@ -201,7 +213,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * search rust_lib/src/provider.rs:248-440). */
   def searchBatch(qs: Seq[Array[Float]], k: Int, searchParam: Int = -1): DataFrame = {
     import spark.implicits._
-    if (meta.engine == "DISKANN")
+    if (isGraphEngine)
       return scanGraph(qs.map(prepQuery).zipWithIndex.map(_.swap), k, searchParam)
     val np = if (searchParam > 0) searchParam else defaultNprobe
     val prepped = qs.map(prepQuery)
@@ -230,10 +242,12 @@ class AnnIndex(val spark: SparkSession, val path: String) {
   def insert(rows: DataFrame, idCol: String, vecCol: String): Unit = {
     val prepared = AnnIndexBuilder.prepare(rows, idCol, vecCol, meta.metric)
     val n = prepared.count()
-    if (meta.engine == "DISKANN") {
+    if (isGraphEngine) {
       val nextShard = meta.param("shards", 1)
-      val delta = Vamana.build(prepared, 1, Vamana.Params.from(meta), meta.metric)
-        .withColumn("shard", lit(nextShard))
+      val delta = (meta.engine match {
+        case "DISKANN" => Vamana.build(prepared, 1, Vamana.Params.from(meta), meta.metric)
+        case "HNSW" => Hnsw.build(prepared, 1, Hnsw.Params.from(meta), meta.metric)
+      }).withColumn("shard", lit(nextShard))
       delta.write.mode("append").partitionBy("shard").parquet(dataPath)
       meta = meta.copy(numVectors = meta.numVectors + n,
         params = meta.params + ("shards" -> (nextShard + 1).toString))
@@ -271,14 +285,17 @@ class AnnIndex(val spark: SparkSession, val path: String) {
   def vacuum(): Unit = {
     if (!hasDeletes) return
     val tmp = s"$path/data_compact"
-    if (meta.engine == "DISKANN") {
+    if (isGraphEngine) {
       // graph compaction = rebuild without tombstones (the reference also
       // rebuilds + remaps, rust_lib/src/index_manager.rs:687-716)
       val liveVecs = data.select("id", "vector").join(deletes, Seq("id"), "left_anti")
       val liveCount = liveVecs.count()
       val shards = meta.param("shards", 1)
-      Vamana.build(liveVecs, shards, Vamana.Params.from(meta), meta.metric)
-        .write.mode("overwrite").partitionBy("shard").parquet(tmp)
+      val rebuilt = meta.engine match {
+        case "DISKANN" => Vamana.build(liveVecs, shards, Vamana.Params.from(meta), meta.metric)
+        case "HNSW" => Hnsw.build(liveVecs, shards, Hnsw.Params.from(meta), meta.metric)
+      }
+      rebuilt.write.mode("overwrite").partitionBy("shard").parquet(tmp)
       IndexMeta.replaceDir(tmp, dataPath)
       IndexMeta.deleteDir(deletesPath)
       meta = meta.copy(numVectors = liveCount, numDeleted = 0,

@@ -83,7 +83,7 @@ object AnnIndexManager {
              params: Map[String, String], path: String): AnnIndex = {
     val metric = params.getOrElse("metric", "l2")
     require(Seq("l2", "ip", "cosine").contains(metric), s"unknown metric $metric")
-    require(Seq("FLAT", "IVF").contains(engine) || engine == "DISKANN",
+    require(Seq("FLAT", "IVF", "DISKANN", "HNSW").contains(engine),
       s"unknown engine $engine")
 
     // dimension check on a sample row (schema validation, reference
@@ -96,18 +96,22 @@ object AnnIndexManager {
     try {
       val n = prepared.count()
 
-      if (engine == "DISKANN") {
-        // partition-local Vamana graphs; default shard sizing targets
-        // ~100k vectors per graph (bounded task memory at any total scale)
+      if (engine == "DISKANN" || engine == "HNSW") {
+        // partition-local graphs; default shard sizing targets ~100k
+        // vectors per graph (bounded task memory at any total scale)
         val shards = params.get("shards").map(_.toInt)
           .getOrElse(math.max(1, math.ceil(n / 100000.0).toInt))
-        val p = Vamana.Params(
-          params.getOrElse("max_degree", "64").toInt,
-          params.getOrElse("build_complexity", "128").toInt,
-          params.getOrElse("alpha", "1.2").toDouble)
+        val graph = engine match {
+          case "DISKANN" => Vamana.build(prepared, shards, Vamana.Params(
+            params.getOrElse("max_degree", "64").toInt,
+            params.getOrElse("build_complexity", "128").toInt,
+            params.getOrElse("alpha", "1.2").toDouble), metric)
+          case "HNSW" => Hnsw.build(prepared, shards, Hnsw.Params(
+            params.getOrElse("hnsw_m", "32").toInt,
+            params.getOrElse("ef_construction", "64").toInt), metric)
+        }
         IndexMeta.deleteDir(path)
-        Vamana.build(prepared, shards, p, metric)
-          .write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
+        graph.write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
         val meta = IndexMeta(name, engine, metric, dim, idCol, vecCol, n, 0L,
           params + ("shards" -> shards.toString))
         IndexMeta.write(path, meta)

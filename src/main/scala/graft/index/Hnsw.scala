@@ -1,0 +1,243 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.TaskContext
+
+import graft.functions.VectorKernels
+import graft.operators.TopK
+
+import scala.collection.mutable.ArrayBuffer
+
+/** HNSW graph engine (public algorithm: Malkov & Yashunin, "Efficient and
+  * robust approximate nearest neighbor search using Hierarchical Navigable
+  * Small World graphs", 2016). The reference exposes HNSW through FAISS
+  * (`type='HNSW'`, hnsw_m default 32, src/include/faiss_index.hpp:38-44);
+  * this is a fresh Scala implementation.
+  *
+  * Same distribution model as [[Vamana]]: partition-local layered graphs
+  * (shards), built fully parallel, searched batch-amortized per task with
+  * a grouped top-k merge. Level assignment is deterministic per id
+  * (hash-seeded), so builds are reproducible.
+  */
+object Hnsw {
+
+  /** node → level → neighbor labels (level 0 = base layer). */
+  final case class Shard(ids: Array[Long], vectors: Array[Array[Float]],
+                         levels: Array[Int], neighbors: Array[Array[Array[Int]]],
+                         entry: Int, maxLevel: Int)
+
+  final case class Params(m: Int, efConstruction: Int) {
+    val mMax0: Int = 2 * m
+    val mL: Double = 1.0 / math.log(m.toDouble)
+  }
+
+  object Params {
+    def from(meta: IndexMeta): Params =
+      Params(meta.param("hnsw_m", 32), meta.param("ef_construction", 64))
+  }
+
+  /** Deterministic level draw per id: floor(-ln(U) · mL) with U derived
+    * from a splitmix of the id. */
+  def levelFor(id: Long, mL: Double): Int = {
+    var z = id + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    val u = ((z >>> 11).toDouble / (1L << 53).toDouble) max 1e-12
+    math.min((-math.log(u) * mL).toInt, 31)
+  }
+
+  /** Greedy search on one layer with a bounded candidate pool of size ef.
+    * Returns (label, distance) ascending. */
+  def searchLayer(sh: Shard, q: Array[Float], entryPoints: Seq[(Int, Double)],
+                  ef: Int, level: Int,
+                  dist: (Array[Float], Array[Float]) => Double): ArrayBuffer[(Int, Double)] = {
+    val visited = new java.util.BitSet(sh.vectors.length)
+    val pool = new ArrayBuffer[(Int, Double)](ef + 1)
+
+    def poolInsert(label: Int, d: Double): Unit = {
+      if (pool.length >= ef && d >= pool.last._2) return
+      var lo = 0; var hi = pool.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (pool(mid)._2 <= d) lo = mid + 1 else hi = mid
+      }
+      pool.insert(lo, (label, d))
+      if (pool.length > ef) pool.remove(pool.length - 1)
+    }
+
+    val inPool = new java.util.BitSet(sh.vectors.length)
+    entryPoints.foreach { case (l, d) =>
+      if (!inPool.get(l)) { inPool.set(l); poolInsert(l, d) }
+    }
+    var continue = true
+    while (continue) {
+      var idx = -1; var i = 0
+      while (idx < 0 && i < pool.length) {
+        if (!visited.get(pool(i)._1)) idx = i
+        i += 1
+      }
+      if (idx < 0) continue = false
+      else {
+        val (label, _) = pool(idx)
+        visited.set(label)
+        val nbrs = if (level < sh.neighbors(label).length) sh.neighbors(label)(level)
+                   else Array.empty[Int]
+        var j = 0
+        while (j < nbrs.length) {
+          val nb = nbrs(j)
+          if (!inPool.get(nb)) {
+            inPool.set(nb)
+            poolInsert(nb, dist(q, sh.vectors(nb)))
+          }
+          j += 1
+        }
+      }
+    }
+    pool
+  }
+
+  /** Full top-down search: greedy descent (ef=1) to level 1, then level-0
+    * search with ef. */
+  def search(sh: Shard, q: Array[Float], k: Int, ef: Int,
+             dist: (Array[Float], Array[Float]) => Double): ArrayBuffer[(Int, Double)] = {
+    if (sh.vectors.isEmpty) return ArrayBuffer.empty
+    var ep = Seq((sh.entry, dist(q, sh.vectors(sh.entry))))
+    var lvl = sh.maxLevel
+    while (lvl > 0) {
+      ep = Seq(searchLayer(sh, q, ep, 1, lvl, dist).head)
+      lvl -= 1
+    }
+    searchLayer(sh, q, ep, math.max(ef, k), 0, dist)
+  }
+
+  /** Build one shard by incremental insert. */
+  def buildShard(ids: Array[Long], vectors: Array[Array[Float]],
+                 params: Params, metric: String): Shard = {
+    val n = vectors.length
+    val dist = VectorKernels.orderingDistance(metric) _
+    val levels = Array.tabulate(n)(i => levelFor(ids(i), params.mL))
+    val neighbors = Array.tabulate(n)(i => Array.fill(levels(i) + 1)(Array.empty[Int]))
+    if (n == 0) return Shard(ids, vectors, levels, neighbors, 0, 0)
+
+    var entry = 0
+    var maxLevel = levels(0)
+    var built = Shard(ids, vectors, levels, neighbors, entry, maxLevel)
+
+    def selectNeighbors(cands: ArrayBuffer[(Int, Double)], m: Int): Array[Int] =
+      cands.sortBy(_._2).take(m).map(_._1).toArray
+
+    var v = 1
+    while (v < n) {
+      val q = vectors(v)
+      val vLevel = levels(v)
+      var ep = Seq((built.entry, dist(q, vectors(built.entry))))
+      // descend levels above the node's level
+      var lvl = built.maxLevel
+      while (lvl > vLevel) {
+        ep = Seq(searchLayer(built, q, ep, 1, lvl, dist).head)
+        lvl -= 1
+      }
+      // connect on each level from min(vLevel, maxLevel) down to 0
+      lvl = math.min(vLevel, built.maxLevel)
+      while (lvl >= 0) {
+        val cands = searchLayer(built, q, ep, params.efConstruction, lvl, dist)
+        val m = if (lvl == 0) params.mMax0 else params.m
+        val selected = selectNeighbors(cands.filter(_._1 != v), params.m)
+        neighbors(v)(lvl) = selected
+        // bidirectional links with overflow prune (keep closest m)
+        for (u <- selected) {
+          val cur = neighbors(u)(lvl)
+          if (!cur.contains(v)) {
+            val merged = cur :+ v
+            neighbors(u)(lvl) =
+              if (merged.length <= m) merged
+              else {
+                val withD = merged.map(x => (x, dist(vectors(u), vectors(x))))
+                withD.sortBy(_._2).take(m).map(_._1)
+              }
+          }
+        }
+        ep = cands.toSeq
+        lvl -= 1
+      }
+      if (vLevel > built.maxLevel) { entry = v; maxLevel = vLevel }
+      else { entry = built.entry; maxLevel = built.maxLevel }
+      built = Shard(ids, vectors, levels, neighbors, entry, maxLevel)
+      v += 1
+    }
+    built
+  }
+
+  val graphSchema: StructType = StructType(Seq(
+    StructField("shard", IntegerType, nullable = false),
+    StructField("label", IntegerType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("vector", ArrayType(FloatType), nullable = false),
+    StructField("level", IntegerType, nullable = false),
+    StructField("neighbors", ArrayType(ArrayType(IntegerType)), nullable = false),
+    StructField("is_entry", BooleanType, nullable = false)))
+
+  def build(prepared: DataFrame, shards: Int, params: Params, metric: String): DataFrame =
+    prepared
+      .repartition(shards, col("id"))
+      .mapPartitions { rows =>
+        val buf = rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toArray
+        if (buf.isEmpty) Iterator.empty
+        else {
+          val shardId = TaskContext.getPartitionId()
+          val sh = buildShard(buf.map(_._1), buf.map(_._2), params, metric)
+          sh.ids.indices.iterator.map { label =>
+            Row(shardId, label, sh.ids(label), sh.vectors(label).toSeq,
+              sh.levels(label),
+              sh.neighbors(label).map(_.toIndexedSeq).toIndexedSeq,
+              label == sh.entry)
+          }
+        }
+      }(Encoders.row(graphSchema))
+
+  def searchBatch(spark: SparkSession, graphDf: DataFrame,
+                  queries: Seq[(Int, Array[Float])], k: Int, ef: Int,
+                  metric: String): DataFrame = {
+    val dist = VectorKernels.orderingDistance(metric) _
+    val bcQueries = spark.sparkContext.broadcast(queries)
+    val out = StructType(Seq(
+      StructField("query_idx", IntegerType, nullable = false),
+      StructField("id", LongType, nullable = false),
+      StructField("_distance", DoubleType, nullable = false)))
+
+    val graph = graphDf.select("shard", "label", "id", "vector", "level",
+      "neighbors", "is_entry")
+
+    val perShard = graph.mapPartitions { rows =>
+      val grouped = new scala.collection.mutable.LinkedHashMap[Int, ArrayBuffer[Row]]()
+      rows.foreach { r => grouped.getOrElseUpdate(r.getInt(0), new ArrayBuffer[Row]) += r }
+      grouped.iterator.flatMap { case (_, shardRows) =>
+        val n = shardRows.length
+        val ids = new Array[Long](n)
+        val vecs = new Array[Array[Float]](n)
+        val lvls = new Array[Int](n)
+        val nbrs = new Array[Array[Array[Int]]](n)
+        var entry = 0; var maxLevel = 0
+        shardRows.foreach { r =>
+          val label = r.getInt(1)
+          ids(label) = r.getLong(2)
+          vecs(label) = r.getSeq[Float](3).toArray
+          lvls(label) = r.getInt(4)
+          // Row gives mutable ArraySeq elements; scala.Seq (=immutable) would CCE
+          nbrs(label) = r.getSeq[scala.collection.Seq[Int]](5).map(_.toArray).toArray
+          if (r.getBoolean(6)) { entry = label; maxLevel = lvls(label) }
+        }
+        val sh = Shard(ids, vecs, lvls, nbrs, entry, maxLevel)
+        bcQueries.value.iterator.flatMap { case (qi, q) =>
+          search(sh, q, k, ef, dist).take(math.max(k, ef))
+            .map { case (label, d) => Row(qi, ids(label), d) }
+        }
+      }
+    }(Encoders.row(out))
+
+    TopK.grouped(perShard, "query_idx", "_distance", "id", k)
+  }
+}

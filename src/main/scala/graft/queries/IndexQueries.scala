@@ -36,6 +36,12 @@ object IndexQueries {
         "IVF", Map("metric" -> "l2", "nlist" -> "8", "nprobe" -> "8",
           "table" -> "embeddings"), path))
 
+  private def hnswIndex(s: SparkSession, dir: String): AnnIndex =
+    AnnIndexManager.getOrBuild(s, "emb_hnsw", dir, path =>
+      AnnIndexManager.create(s, "emb_hnsw", emb(s, dir), "vec_id", "embedding",
+        "HNSW", Map("metric" -> "l2", "hnsw_m" -> "32",
+          "table" -> "embeddings"), path))
+
   private def diskannIndex(s: SparkSession, dir: String): AnnIndex =
     AnnIndexManager.getOrBuild(s, "emb_vamana", dir, path =>
       AnnIndexManager.create(s, "emb_vamana", emb(s, dir), "vec_id", "embedding",
@@ -153,6 +159,14 @@ object IndexQueries {
         .orderBy("name")
     }),
 
+    // HNSW engine (FAISS type='HNSW' capability): exhaustive ef → exact
+    // (strict oracle); default ef rows-only, recall in HnswSpec.
+    "ann_hnsw_topk" -> ((s: SparkSession, dir: String) =>
+      ranked(hnswIndex(s, dir).scan(qvecF(10), K, searchParam = 100000))),
+
+    "ann_hnsw_probe" -> ((s: SparkSession, dir: String) =>
+      ranked(hnswIndex(s, dir).scan(qvecF(10), K))),
+
     // S8 ann_list: catalog scan (name, engine, table_name).
     "ann_list" -> ((s: SparkSession, dir: String) => {
       flatIndex(s, dir); ivfIndex(s, dir)
@@ -223,6 +237,7 @@ object IndexQueries {
     "ann_ivf_topk" -> bruteForceTopK(6),
     "ann_search_fetch" -> bruteForceTopK(7, extraCols = ", label"),
     "ann_vamana_topk" -> bruteForceTopK(9),
+    "ann_hnsw_topk" -> bruteForceTopK(10),
     "ann_optimized_topk" -> bruteForceTopK(4),
 
     "ann_list" ->
