@@ -204,6 +204,24 @@ object AnnIndexManager {
       "memory_bytes", "quantized")
   }
 
+  /** S10 analogue of `faiss_gpu_info`: there is no GPU in a Spark CPU
+    * engine, so report the execution-capability probe that matters here —
+    * cluster shape + codegen/AQE status (reference: src/faiss_fn_gpu.cpp:13-56
+    * answers "what accelerates my search"; for this engine that is
+    * whole-stage codegen and the executor pool). */
+  def engineInfo(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    Seq((
+      org.apache.spark.SPARK_VERSION,
+      sc.master,
+      sc.defaultParallelism,
+      spark.conf.get("spark.sql.codegen.wholeStage", "true").toBoolean,
+      spark.conf.get("spark.sql.adaptive.enabled", "false").toBoolean
+    )).toDF("spark_version", "master", "default_parallelism",
+      "whole_stage_codegen", "adaptive_enabled")
+  }
+
   /** Build-once cache for driver-run queries: same JVM reuses the built
     * index; the fingerprint keys on data dir + engine + params. */
   def getOrBuild(spark: SparkSession, name: String, sfDir: String,

@@ -48,29 +48,49 @@ object Vamana {
 
   // ---- kernels ----
 
-  /** Greedy best-first beam search with a bounded sorted result pool of
-    * size l (the reference's streaming top-l, rust_lib/src/provider.rs:520-540).
-    * Returns (label, distance) ascending. */
-  def beamSearch(sh: Shard, q: Array[Float], l: Int,
-                 dist: (Array[Float], Array[Float]) => Double): ArrayBuffer[(Int, Double)] = {
-    val n = sh.vectors.length
-    if (n == 0) return ArrayBuffer.empty
-    val visited = new java.util.BitSet(n)
-    val inPool = new java.util.BitSet(n)
-    val pool = new ArrayBuffer[(Int, Double)](l + 1)
+  /** Bounded sorted candidate pool over primitive parallel arrays — the
+    * reference's streaming top-l (rust_lib/src/provider.rs:520-540) without
+    * per-candidate boxing; inserts shift via System.arraycopy. */
+  final class Pool(val cap: Int) {
+    val labels = new Array[Int](cap)
+    val dists = new Array[Double](cap)
+    var size = 0
 
-    def poolInsert(label: Int, d: Double): Unit = {
-      if (pool.length >= l && d >= pool.last._2) return
-      var lo = 0; var hi = pool.length
+    def insert(label: Int, d: Double): Unit = {
+      if (size >= cap && d >= dists(size - 1)) return
+      var lo = 0; var hi = size
       while (lo < hi) {
         val mid = (lo + hi) >>> 1
-        if (pool(mid)._2 <= d) lo = mid + 1 else hi = mid
+        if (dists(mid) <= d) lo = mid + 1 else hi = mid
       }
-      pool.insert(lo, (label, d))
-      if (pool.length > l) pool.remove(pool.length - 1)
+      val moveTo = math.min(size, cap - 1)
+      if (moveTo > lo) {
+        System.arraycopy(labels, lo, labels, lo + 1, moveTo - lo)
+        System.arraycopy(dists, lo, dists, lo + 1, moveTo - lo)
+      }
+      labels(lo) = label; dists(lo) = d
+      if (size < cap) size += 1
     }
 
-    poolInsert(sh.entry, dist(q, sh.vectors(sh.entry)))
+    def toBuffer: ArrayBuffer[(Int, Double)] = {
+      val b = new ArrayBuffer[(Int, Double)](size)
+      var i = 0
+      while (i < size) { b += ((labels(i), dists(i))); i += 1 }
+      b
+    }
+  }
+
+  /** Greedy best-first beam search with a bounded sorted result pool of
+    * size l. Returns the pool, ascending by distance. */
+  def beamSearchPool(sh: Shard, q: Array[Float], l: Int,
+                     dist: (Array[Float], Array[Float]) => Double): Pool = {
+    val n = sh.vectors.length
+    val pool = new Pool(math.max(1, l))
+    if (n == 0) return pool
+    val visited = new java.util.BitSet(n)
+    val inPool = new java.util.BitSet(n)
+
+    pool.insert(sh.entry, dist(q, sh.vectors(sh.entry)))
     inPool.set(sh.entry)
 
     var continue = true
@@ -78,13 +98,13 @@ object Vamana {
       // closest unvisited in pool
       var idx = -1
       var i = 0
-      while (idx < 0 && i < pool.length) {
-        if (!visited.get(pool(i)._1)) idx = i
+      while (idx < 0 && i < pool.size) {
+        if (!visited.get(pool.labels(i))) idx = i
         i += 1
       }
       if (idx < 0) continue = false
       else {
-        val (label, _) = pool(idx)
+        val label = pool.labels(idx)
         visited.set(label)
         val nbrs = sh.neighbors(label)
         var j = 0
@@ -92,7 +112,7 @@ object Vamana {
           val nb = nbrs(j)
           if (!inPool.get(nb)) {
             inPool.set(nb)
-            poolInsert(nb, dist(q, sh.vectors(nb)))
+            pool.insert(nb, dist(q, sh.vectors(nb)))
           }
           j += 1
         }
@@ -101,31 +121,47 @@ object Vamana {
     pool
   }
 
-  /** RobustPrune (DiskANN Algorithm 2): keep closest candidate p*, drop
-    * any candidate c with alpha · d(p*, c) ≤ d(p, c); repeat to maxDegree. */
-  def robustPrune(p: Int, candidates: ArrayBuffer[(Int, Double)],
-                  vectors: Array[Array[Float]], alpha: Double, maxDegree: Int,
-                  dist: (Array[Float], Array[Float]) => Double): Array[Int] = {
-    val cands = candidates.filter(_._1 != p).sortBy(_._2)
-    val result = new ArrayBuffer[Int](maxDegree)
-    val removed = new java.util.BitSet()
+  /** Tuple-returning wrapper (tests / non-hot callers). */
+  def beamSearch(sh: Shard, q: Array[Float], l: Int,
+                 dist: (Array[Float], Array[Float]) => Double): ArrayBuffer[(Int, Double)] =
+    beamSearchPool(sh, q, l, dist).toBuffer
+
+  /** RobustPrune (DiskANN Algorithm 2) over sorted primitive candidate
+    * arrays: keep closest candidate p*, drop any candidate c with
+    * alpha · d(p*, c) ≤ d(p, c); repeat to maxDegree. */
+  def robustPruneArr(p: Int, candLabels: Array[Int], candDists: Array[Double],
+                     candSize: Int, vectors: Array[Array[Float]], alpha: Double,
+                     maxDegree: Int,
+                     dist: (Array[Float], Array[Float]) => Double): Array[Int] = {
+    val result = new Array[Int](maxDegree)
+    var rs = 0
+    val removed = new java.util.BitSet(candSize)
     var i = 0
-    while (i < cands.length && result.length < maxDegree) {
-      if (!removed.get(i)) {
-        val (star, _) = cands(i)
-        result += star
+    while (i < candSize && rs < maxDegree) {
+      if (!removed.get(i) && candLabels(i) != p) {
+        val star = candLabels(i)
+        result(rs) = star; rs += 1
         var j = i + 1
-        while (j < cands.length) {
-          if (!removed.get(j)) {
-            val (c, dpc) = cands(j)
-            if (alpha * dist(vectors(star), vectors(c)) <= dpc) removed.set(j)
+        while (j < candSize) {
+          if (!removed.get(j) && candLabels(j) != p &&
+              alpha * dist(vectors(star), vectors(candLabels(j))) <= candDists(j)) {
+            removed.set(j)
           }
           j += 1
         }
       }
       i += 1
     }
-    result.toArray
+    java.util.Arrays.copyOf(result, rs)
+  }
+
+  /** Tuple-based wrapper (overflow-prune path and tests). */
+  def robustPrune(p: Int, candidates: ArrayBuffer[(Int, Double)],
+                  vectors: Array[Array[Float]], alpha: Double, maxDegree: Int,
+                  dist: (Array[Float], Array[Float]) => Double): Array[Int] = {
+    val sorted = candidates.sortBy(_._2)
+    robustPruneArr(p, sorted.map(_._1).toArray, sorted.map(_._2).toArray,
+      sorted.length, vectors, alpha, maxDegree, dist)
   }
 
   /** Build one shard's graph by incremental insert (DiskANN Algorithm 3). */
@@ -153,8 +189,9 @@ object Vamana {
     var v = 0
     while (v < n) {
       if (v != entry) {
-        val pool = beamSearch(partial, vectors(v), params.buildComplexity, dist)
-        neighbors(v) = robustPrune(v, pool, vectors, params.alpha, params.maxDegree, dist)
+        val pool = beamSearchPool(partial, vectors(v), params.buildComplexity, dist)
+        neighbors(v) = robustPruneArr(v, pool.labels, pool.dists, pool.size,
+          vectors, params.alpha, params.maxDegree, dist)
         // reverse edges + overflow prune
         for (u <- neighbors(v)) {
           if (!neighbors(u).contains(v)) {
