@@ -167,6 +167,19 @@ object IndexQueries {
     "ann_hnsw_probe" -> ((s: SparkSession, dir: String) =>
       ranked(hnswIndex(s, dir).scan(qvecF(10), K))),
 
+    // SQL TVF surface: the reference's operators are SQL table functions;
+    // this drives ann_index_scan through spark.sql end-to-end.
+    "sql_index_scan" -> ((s: SparkSession, dir: String) => {
+      flatIndex(s, dir)
+      graft.functions.AnnSql.register(s)
+      val vecSql = qvec(11).mkString("array(", ", ", ")")
+      s.sql(
+        s"""SELECT CAST(row_number() OVER (ORDER BY _distance, id) AS BIGINT) AS rank,
+           |  id AS vec_id
+           |FROM ann_index_scan('emb_flat', $vecSql, $K)
+           |ORDER BY rank""".stripMargin)
+    }),
+
     // S8 ann_list: catalog scan (name, engine, table_name).
     "ann_list" -> ((s: SparkSession, dir: String) => {
       flatIndex(s, dir); ivfIndex(s, dir)
@@ -238,6 +251,7 @@ object IndexQueries {
     "ann_search_fetch" -> bruteForceTopK(7, extraCols = ", label"),
     "ann_vamana_topk" -> bruteForceTopK(9),
     "ann_hnsw_topk" -> bruteForceTopK(10),
+    "sql_index_scan" -> bruteForceTopK(11),
     "ann_optimized_topk" -> bruteForceTopK(4),
 
     "ann_list" ->
