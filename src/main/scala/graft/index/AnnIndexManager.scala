@@ -78,9 +78,31 @@ object AnnIndexManager {
     * params: metric (l2|ip|cosine), nlist, nprobe, train_sample (0=all),
     * plus engine-specific knobs carried through to meta.
     */
+  /** FAISS `index_factory`-style description strings (reference
+    * `description` param, src/include/faiss_index.hpp:37-113):
+    * "Flat" → FLAT; "IVF<n>,Flat" → IVF nlist=n; "HNSW<m>" → HNSW. */
+  def parseDescription(desc: String): (String, Map[String, String]) = {
+    val ivf = "(?i)IVF(\\d+)(,Flat)?".r
+    val hnsw = "(?i)HNSW(\\d+)?".r
+    desc.trim match {
+      case d if d.equalsIgnoreCase("Flat") => ("FLAT", Map.empty)
+      case ivf(n, _) => ("IVF", Map("nlist" -> n))
+      case hnsw(m) => ("HNSW", Option(m).map(v => Map("hnsw_m" -> v)).getOrElse(Map.empty))
+      case other => throw new IllegalArgumentException(
+        s"unsupported index description: $other")
+    }
+  }
+
   def create(spark: SparkSession, name: String, df: DataFrame,
-             idCol: String, vecCol: String, engine: String,
-             params: Map[String, String], path: String): AnnIndex = {
+             idCol: String, vecCol: String, engineIn: String,
+             params0: Map[String, String], path: String): AnnIndex = {
+    // `description` overrides the engine choice, faiss-factory style
+    val (engine, params) = params0.get("description") match {
+      case Some(desc) =>
+        val (e, extra) = parseDescription(desc)
+        (e, params0 ++ extra)
+      case None => (engineIn, params0)
+    }
     val metric = params.getOrElse("metric", "l2")
     require(Seq("l2", "ip", "cosine").contains(metric), s"unknown metric $metric")
     require(Seq("FLAT", "IVF", "DISKANN", "HNSW").contains(engine),

@@ -41,7 +41,7 @@ object VectorQueries {
       table(s, dir, "embeddings")
         .select(
           col("vec_id"),
-          round(inner_product(col("embedding"), typedLit(qvec(2))), 4).as("ip"))
+          (round(inner_product(col("embedding"), typedLit(qvec(2))), 4) + 0.0).as("ip"))
         .orderBy("vec_id")
     }),
 
@@ -49,7 +49,7 @@ object VectorQueries {
       table(s, dir, "embeddings")
         .select(
           col("vec_id"),
-          round(cosine_similarity(col("embedding"), typedLit(qvec(3))), 4).as("cos_sim"))
+          (round(cosine_similarity(col("embedding"), typedLit(qvec(3))), 4) + 0.0).as("cos_sim"))
         .orderBy("vec_id")
     }),
 
@@ -97,12 +97,12 @@ object VectorQueries {
 
     "vector_inner_product" ->
       s"""SELECT vec_id,
-         | round(list_inner_product($EmbD, ${sqlVec(2)}), 4) AS ip
+         | round(list_inner_product($EmbD, ${sqlVec(2)}), 4) + 0.0 AS ip
          |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "vector_cosine" ->
       s"""SELECT vec_id,
-         | round(list_cosine_similarity($EmbD, ${sqlVec(3)}), 4) AS cos_sim
+         | round(list_cosine_similarity($EmbD, ${sqlVec(3)}), 4) + 0.0 AS cos_sim
          |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "knn_topk" ->

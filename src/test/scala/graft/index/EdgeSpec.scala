@@ -80,6 +80,23 @@ class EdgeSpec extends SparkSpec {
     assert(!IndexMeta.exists(s"$tmp/e_drop"))
   }
 
+  test("description factory strings select the engine (F7 / faiss index_factory)") {
+    import spark.implicits._
+    assert(AnnIndexManager.parseDescription("Flat") == ("FLAT", Map.empty))
+    assert(AnnIndexManager.parseDescription("IVF100,Flat") == ("IVF", Map("nlist" -> "100")))
+    assert(AnnIndexManager.parseDescription("HNSW32") == ("HNSW", Map("hnsw_m" -> "32")))
+    intercept[IllegalArgumentException] { AnnIndexManager.parseDescription("PQ16") }
+
+    val rnd = new scala.util.Random(37)
+    val df = Seq.tabulate(60)(i => (i.toLong, Array.fill(4)(rnd.nextFloat())))
+      .toDF("id", "embedding")
+    val idx = AnnIndexManager.create(spark, "e_desc", df, "id", "embedding",
+      "FLAT" /* overridden */, Map("description" -> "IVF4,Flat", "nprobe" -> "4"),
+      s"$tmp/e_desc")
+    assert(idx.meta.engine == "IVF")
+    assert(idx.scan(Array(0.5f, 0.5f, 0.5f, 0.5f), 5).count() == 5)
+  }
+
   test("engineInfo (S10 analogue) reports codegen + parallelism") {
     val row = AnnIndexManager.engineInfo(spark).head()
     assert(row.getAs[String]("spark_version").nonEmpty)

@@ -106,6 +106,25 @@ class VamanaSpec extends SparkSpec {
     assert(before == after)
   }
 
+  test("recall holds at realistic scale: 2000 vecs dim 32, 4 shards, 20 queries") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(88)
+    val big = Seq.tabulate(2000)(i => (i.toLong, Array.fill(32)(rnd.nextFloat())))
+    val idx = AnnIndexManager.create(spark, "v_big", big.toDF("id", "embedding"),
+      "id", "embedding", "DISKANN",
+      Map("metric" -> "l2", "shards" -> "4"), s"$tmp/v_big")
+    val qrnd = new scala.util.Random(99)
+    val recalls = Seq.fill(20) {
+      val q = Array.fill(32)(qrnd.nextFloat())
+      val exact = big.map { case (id, v) => (id, VectorKernels.l2Sq(q, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+      val got = idx.scan(q, 10).collect().map(_.getLong(0)).toSet
+      got.intersect(exact).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"mean recall $mean; per-query: $recalls")
+  }
+
   test("search_complexity semantics: l = max(k, sc or bc)") {
     assert(Vamana.beamWidth(10, 0, 128) == 128)
     assert(Vamana.beamWidth(10, 50, 128) == 50)
