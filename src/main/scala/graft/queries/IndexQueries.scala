@@ -48,6 +48,16 @@ object IndexQueries {
         "DISKANN", Map("metric" -> "l2", "max_degree" -> "64",
           "build_complexity" -> "128", "table" -> "embeddings"), path))
 
+  private def cosineIndex(s: SparkSession, dir: String): AnnIndex =
+    AnnIndexManager.getOrBuild(s, "emb_cos", dir, path =>
+      AnnIndexManager.create(s, "emb_cos", emb(s, dir), "vec_id", "embedding",
+        "FLAT", Map("metric" -> "cosine"), path))
+
+  private def ipIndex(s: SparkSession, dir: String): AnnIndex =
+    AnnIndexManager.getOrBuild(s, "emb_ip", dir, path =>
+      AnnIndexManager.create(s, "emb_ip", emb(s, dir), "vec_id", "embedding",
+        "FLAT", Map("metric" -> "ip"), path))
+
   /** FLAT index with label=3 rows tombstoned (build-once, idempotent). */
   private def deletedIndex(s: SparkSession, dir: String): AnnIndex =
     AnnIndexManager.getOrBuild(s, "emb_flat_del", dir, path => {
@@ -167,6 +177,28 @@ object IndexQueries {
     "ann_hnsw_probe" -> ((s: SparkSession, dir: String) =>
       ranked(hnswIndex(s, dir).scan(qvecF(10), K))),
 
+    // cosine metric through the index (normalize-at-build + IP ordering
+    // equals cosine-similarity DESC ordering) → strict oracle.
+    "ann_cosine_topk" -> ((s: SparkSession, dir: String) =>
+      ranked(cosineIndex(s, dir).scan(qvecF(12), K))),
+
+    // IP metric: negated-dot ordering equals inner-product DESC.
+    "ann_ip_topk" -> ((s: SparkSession, dir: String) =>
+      ranked(ipIndex(s, dir).scan(qvecF(13), K))),
+
+    // cross-table pipeline shape: ANN hits joined to the documents table
+    // (doc_id aligned with vec_id in the testdata) with text stats.
+    "ann_doc_join" -> ((s: SparkSession, dir: String) => {
+      val hits = flatIndex(s, dir).scan(qvecF(14), K)
+      val docs = table(s, dir, "documents")
+      docs.join(broadcast(hits), docs("doc_id") === hits("id"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("_distance"), col("doc_id"))).cast("long"))
+        .select(col("rank"), col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+          col("lang"))
+        .orderBy("rank")
+    }),
+
     // SQL TVF surface: the reference's operators are SQL table functions;
     // this drives ann_index_scan through spark.sql end-to-end.
     "sql_index_scan" -> ((s: SparkSession, dir: String) => {
@@ -252,6 +284,28 @@ object IndexQueries {
     "ann_vamana_topk" -> bruteForceTopK(9),
     "ann_hnsw_topk" -> bruteForceTopK(10),
     "sql_index_scan" -> bruteForceTopK(11),
+
+    "ann_cosine_topk" ->
+      s"""SELECT rank, vec_id FROM (
+         |  SELECT vec_id, CAST(row_number() OVER (
+         |    ORDER BY list_cosine_similarity($EmbD, ${sqlVec(12)}) DESC, vec_id) AS BIGINT) AS rank
+         |  FROM embeddings) t
+         |WHERE rank <= $K ORDER BY rank""".stripMargin,
+
+    "ann_ip_topk" ->
+      s"""SELECT rank, vec_id FROM (
+         |  SELECT vec_id, CAST(row_number() OVER (
+         |    ORDER BY list_inner_product($EmbD, ${sqlVec(13)}) DESC, vec_id) AS BIGINT) AS rank
+         |  FROM embeddings) t
+         |WHERE rank <= $K ORDER BY rank""".stripMargin,
+
+    "ann_doc_join" ->
+      s"""SELECT rank, doc_id, n_chars, lang FROM (
+         |  SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars, d.lang,
+         |    CAST(row_number() OVER (
+         |      ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), ${sqlVec(14)}), d.doc_id) AS BIGINT) AS rank
+         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id) t
+         |WHERE rank <= $K ORDER BY rank""".stripMargin,
     "ann_optimized_topk" -> bruteForceTopK(4),
 
     "ann_list" ->
