@@ -165,21 +165,30 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * src/diskann_index.cpp:558-561). */
   def isGraphEngine: Boolean = meta.engine == "DISKANN" || meta.engine == "HNSW"
 
+  /** Cache key for executor-side decoded shards: any index write rewrites
+    * meta.json, so its mtime versions the dataset. */
+  private def shardCacheKey: Option[String] = scala.util.Try {
+    val mtime = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(path, "meta.json")).toMillis
+    s"$path@$mtime"
+  }.toOption
+
   private def scanGraph(qs: Seq[(Int, Array[Float])], k: Int,
                         searchComplexity: Int): DataFrame = {
     val overfetch = meta.numDeleted.toInt
+    val ck = shardCacheKey
     val res = meta.engine match {
       case "DISKANN" =>
         val p = Vamana.Params.from(meta)
         val l = Vamana.beamWidth(k + overfetch, searchComplexity,
           p.buildComplexity) + overfetch
-        Vamana.searchBatch(spark, data, qs, k + overfetch, l, meta.metric)
+        Vamana.searchBatch(spark, data, qs, k + overfetch, l, meta.metric, ck)
       case "HNSW" =>
         // searchParam = ef_search override; default ef = ef_construction
         val p = Hnsw.Params.from(meta)
         val ef = math.max(k + overfetch,
           if (searchComplexity > 0) searchComplexity else p.efConstruction) + overfetch
-        Hnsw.searchBatch(spark, data, qs, k + overfetch, ef, meta.metric)
+        Hnsw.searchBatch(spark, data, qs, k + overfetch, ef, meta.metric, ck)
     }
     if (hasDeletes) {
       val filtered = res.join(deletes, Seq("id"), "left_anti")

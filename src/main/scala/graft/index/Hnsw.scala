@@ -200,7 +200,7 @@ object Hnsw {
 
   def searchBatch(spark: SparkSession, graphDf: DataFrame,
                   queries: Seq[(Int, Array[Float])], k: Int, ef: Int,
-                  metric: String): DataFrame = {
+                  metric: String, cacheKey: Option[String] = None): DataFrame = {
     val dist = VectorKernels.orderingDistance(metric) _
     val bcQueries = spark.sparkContext.broadcast(queries)
     val out = StructType(Seq(
@@ -214,26 +214,32 @@ object Hnsw {
     val perShard = graph.mapPartitions { rows =>
       val grouped = new scala.collection.mutable.LinkedHashMap[Int, ArrayBuffer[Row]]()
       rows.foreach { r => grouped.getOrElseUpdate(r.getInt(0), new ArrayBuffer[Row]) += r }
-      grouped.iterator.flatMap { case (_, shardRows) =>
-        val n = shardRows.length
-        val ids = new Array[Long](n)
-        val vecs = new Array[Array[Float]](n)
-        val lvls = new Array[Int](n)
-        val nbrs = new Array[Array[Array[Int]]](n)
-        var entry = 0; var maxLevel = 0
-        shardRows.foreach { r =>
-          val label = r.getInt(1)
-          ids(label) = r.getLong(2)
-          vecs(label) = r.getSeq[Float](3).toArray
-          lvls(label) = r.getInt(4)
-          // Row gives mutable ArraySeq elements; scala.Seq (=immutable) would CCE
-          nbrs(label) = r.getSeq[scala.collection.Seq[Int]](5).map(_.toArray).toArray
-          if (r.getBoolean(6)) { entry = label; maxLevel = lvls(label) }
+      grouped.iterator.flatMap { case (shardId, shardRows) =>
+        def decode(): Shard = {
+          val n = shardRows.length
+          val ids = new Array[Long](n)
+          val vecs = new Array[Array[Float]](n)
+          val lvls = new Array[Int](n)
+          val nbrs = new Array[Array[Array[Int]]](n)
+          var entry = 0; var maxLevel = 0
+          shardRows.foreach { r =>
+            val label = r.getInt(1)
+            ids(label) = r.getLong(2)
+            vecs(label) = r.getSeq[Float](3).toArray
+            lvls(label) = r.getInt(4)
+            // Row gives mutable ArraySeq elements; scala.Seq (=immutable) would CCE
+            nbrs(label) = r.getSeq[scala.collection.Seq[Int]](5).map(_.toArray).toArray
+            if (r.getBoolean(6)) { entry = label; maxLevel = lvls(label) }
+          }
+          Shard(ids, vecs, lvls, nbrs, entry, maxLevel)
         }
-        val sh = Shard(ids, vecs, lvls, nbrs, entry, maxLevel)
+        val sh = cacheKey match {
+          case Some(ck) => GraphShardCache.getOrBuild(s"$ck#$shardId")(decode())
+          case None => decode()
+        }
         bcQueries.value.iterator.flatMap { case (qi, q) =>
           search(sh, q, k, ef, dist).take(math.max(k, ef))
-            .map { case (label, d) => Row(qi, ids(label), d) }
+            .map { case (label, d) => Row(qi, sh.ids(label), d) }
         }
       }
     }(Encoders.row(out))

@@ -10,6 +10,23 @@ import graft.operators.TopK
 
 import scala.collection.mutable.ArrayBuffer
 
+/** Executor-JVM cache of decoded graph shards, keyed by
+  * `<indexPath>@<metaVersion>#<shardId>` — repeated query batches against a
+  * pinned index skip the row→array decode (the analogue of the reference's
+  * long-lived in-memory index object). Any index write changes the meta
+  * version, so stale entries are never served; a simple size bound clears
+  * the whole cache (entries rebuild lazily).
+  */
+object GraphShardCache {
+  private val MaxEntries = 256
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  def getOrBuild[T <: AnyRef](key: String)(build: => T): T = {
+    if (cache.size() > MaxEntries) cache.clear()
+    cache.computeIfAbsent(key, _ => build).asInstanceOf[T]
+  }
+}
+
 /** Vamana (DiskANN) graph engine, Spark-native.
   *
   * Public algorithm: Subramanya et al., "DiskANN: Fast Accurate
@@ -249,7 +266,7 @@ object Vamana {
     * a grouped top-k merge resolves the global answer. */
   def searchBatch(spark: SparkSession, graphDf: DataFrame,
                   queries: Seq[(Int, Array[Float])], k: Int, l: Int,
-                  metric: String): DataFrame = {
+                  metric: String, cacheKey: Option[String] = None): DataFrame = {
     val dist = VectorKernels.orderingDistance(metric) _
     val bcQueries = spark.sparkContext.broadcast(queries)
     val out = StructType(Seq(
@@ -265,23 +282,29 @@ object Vamana {
       // the shard column; rows of one shard are contiguous per file.
       val grouped = new scala.collection.mutable.LinkedHashMap[Int, ArrayBuffer[Row]]()
       rows.foreach { r => grouped.getOrElseUpdate(r.getInt(0), new ArrayBuffer[Row]) += r }
-      grouped.iterator.flatMap { case (_, shardRows) =>
-        val n = shardRows.length
-        val ids = new Array[Long](n)
-        val vecs = new Array[Array[Float]](n)
-        val nbrs = new Array[Array[Int]](n)
-        var entry = 0
-        shardRows.foreach { r =>
-          val label = r.getInt(1)
-          ids(label) = r.getLong(2)
-          vecs(label) = r.getSeq[Float](3).toArray
-          nbrs(label) = r.getSeq[Int](4).toArray
-          if (r.getBoolean(5)) entry = label
+      grouped.iterator.flatMap { case (shardId, shardRows) =>
+        def decode(): Shard = {
+          val n = shardRows.length
+          val ids = new Array[Long](n)
+          val vecs = new Array[Array[Float]](n)
+          val nbrs = new Array[Array[Int]](n)
+          var entry = 0
+          shardRows.foreach { r =>
+            val label = r.getInt(1)
+            ids(label) = r.getLong(2)
+            vecs(label) = r.getSeq[Float](3).toArray
+            nbrs(label) = r.getSeq[Int](4).toArray
+            if (r.getBoolean(5)) entry = label
+          }
+          Shard(ids, vecs, nbrs, entry)
         }
-        val sh = Shard(ids, vecs, nbrs, entry)
+        val sh = cacheKey match {
+          case Some(ck) => GraphShardCache.getOrBuild(s"$ck#$shardId")(decode())
+          case None => decode()
+        }
         bcQueries.value.iterator.flatMap { case (qi, q) =>
           beamSearch(sh, q, l, dist).take(l)
-            .map { case (label, d) => Row(qi, ids(label), d) }
+            .map { case (label, d) => Row(qi, sh.ids(label), d) }
         }
       }
     }(Encoders.row(out))
