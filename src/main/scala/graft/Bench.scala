@@ -84,6 +84,14 @@ object Bench {
     }
     vam.persist()
     time("diskann_search_50q_sf") { noop(vam.searchBatch(queries50, 10)) }
+    var hnsw: graft.index.AnnIndex = null
+    time("hnsw_build_sf") {
+      hnsw = graft.index.AnnIndexManager.create(spark, "bench_hnsw", emb,
+        "vec_id", "embedding", "HNSW",
+        Map("metric" -> "l2", "hnsw_m" -> "32", "shards" -> "8"), s"$tmp/hnsw")
+    }
+    hnsw.persist()
+    time("hnsw_search_50q_sf") { noop(hnsw.searchBatch(queries50, 10)) }
 
     // ---- reference bench workload: 10k seeded vectors, dims 128 ----
     // (bench/metal_diskann_bench.sql: 10k random, max_degree=64, bc=100,

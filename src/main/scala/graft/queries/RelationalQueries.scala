@@ -59,6 +59,20 @@ object RelationalQueries {
         .select("o_orderkey", "o_totalprice")
     }),
 
+    // §2.6 set operations: INTERSECT/EXCEPT composition (distinct set
+    // semantics, matching SQL INTERSECT/EXCEPT)
+    "q6_setops" -> ((s: SparkSession, dir: String) => {
+      val orders = table(s, dir, "orders")
+      val customer = table(s, dir, "customer")
+      val bigSpenders = orders.filter(col("o_totalprice") > 150000)
+        .select(col("o_custkey").as("custkey"))
+      val richCustomers = customer.filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey"))
+      val nation3 = customer.filter(col("c_nationkey") === 3)
+        .select(col("c_custkey").as("custkey"))
+      bigSpenders.intersect(richCustomers).except(nation3).orderBy("custkey")
+    }),
+
     "q5_events_hourly" -> ((s: SparkSession, dir: String) => {
       // ts is nanos-since-epoch (long); integer div keeps full precision
       // (ns magnitudes exceed double's 53-bit mantissa).
@@ -97,6 +111,15 @@ object RelationalQueries {
     "q4_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q6_setops" ->
+      """SELECT * FROM (
+        |  (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+        |   INTERSECT
+        |   SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |  EXCEPT
+        |  SELECT c_custkey FROM customer WHERE c_nationkey = 3) t
+        |ORDER BY custkey""".stripMargin,
 
     "q5_events_hourly" ->
       """SELECT event_type,
