@@ -246,9 +246,13 @@ object AnnIndexManager {
 
   /** Build-once cache for driver-run queries: same JVM reuses the built
     * index; the fingerprint keys on data dir + engine + params. */
+  /** Bump when the on-disk index layout changes: keys the build cache so
+    * caches from older code versions rebuild instead of misloading. */
+  val FormatVersion = 1
+
   def getOrBuild(spark: SparkSession, name: String, sfDir: String,
                  build: String => AnnIndex): AnnIndex = {
-    val fp = math.abs((name + sfDir).hashCode).toString
+    val fp = math.abs((name + sfDir + s"v$FormatVersion").hashCode).toString
     val path = s"${sys.props("java.io.tmpdir")}/graft_indexes/${name}_$fp"
     val lock = buildLocks.getOrElseUpdate(path, new Object)
     lock.synchronized {
