@@ -72,13 +72,14 @@ object VectorQueries {
       import s.implicits._
       val queries = Seq.tabulate(4)(i => (i, qvec(i))).toDF("query_idx", "qvec")
       val emb = table(s, dir, "embeddings")
-      // broadcast the (tiny) query side against the data; grouped top-k.
-      emb.crossJoin(broadcast(queries))
+      // broadcast the (tiny) query side against the data; per-query top-k
+      // reduces map-side (a plain window would shuffle+sort every scored
+      // row — nq x N at scale).
+      val scored = emb.crossJoin(broadcast(queries))
         .withColumn("_d", l2_distance_sq(col("embedding"), col("qvec")))
-        .withColumn("rank",
-          row_number().over(
-            Window.partitionBy("query_idx").orderBy(col("_d"), col("vec_id"))).cast("long"))
-        .filter(col("rank") <= K)
+        .select("query_idx", "vec_id", "_d")
+      graft.operators.TopK
+        .groupedWithRank(scored, "query_idx", "_d", "vec_id", K, "rank")
         .select("query_idx", "rank", "vec_id")
         .orderBy("query_idx", "rank")
     })
