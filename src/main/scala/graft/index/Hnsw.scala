@@ -198,9 +198,13 @@ object Hnsw {
         }
       }(Encoders.row(graphSchema))
 
+  /** Batch search; see [[Vamana.searchBatch]] for the whole-shard
+    * guarantee — identical contract: repartition by shard unless the caller
+    * certifies pre-partitioned input, and validate label completeness. */
   def searchBatch(spark: SparkSession, graphDf: DataFrame,
                   queries: Seq[(Int, Array[Float])], k: Int, ef: Int,
-                  metric: String, cacheKey: Option[String] = None): DataFrame = {
+                  metric: String, cacheKey: Option[String] = None,
+                  prePartitioned: Boolean = false): DataFrame = {
     val dist = VectorKernels.orderingDistance(metric) _
     val bcQueries = spark.sparkContext.broadcast(queries)
     val out = StructType(Seq(
@@ -208,8 +212,9 @@ object Hnsw {
       StructField("id", LongType, nullable = false),
       StructField("_distance", DoubleType, nullable = false)))
 
-    val graph = graphDf.select("shard", "label", "id", "vector", "level",
+    val graph0 = graphDf.select("shard", "label", "id", "vector", "level",
       "neighbors", "is_entry")
+    val graph = if (prePartitioned) graph0 else graph0.repartition(col("shard"))
 
     val perShard = graph.mapPartitions { rows =>
       val grouped = new scala.collection.mutable.LinkedHashMap[Int, ArrayBuffer[Row]]()
@@ -217,6 +222,11 @@ object Hnsw {
       grouped.iterator.flatMap { case (shardId, shardRows) =>
         def decode(): Shard = {
           val n = shardRows.length
+          var maxLabel = -1
+          shardRows.foreach { r => val lb = r.getInt(1); if (lb > maxLabel) maxLabel = lb }
+          if (maxLabel + 1 != n) throw new IllegalStateException(
+            s"partial graph shard $shardId: $n rows but max label $maxLabel — " +
+              "input must deliver whole shards per task")
           val ids = new Array[Long](n)
           val vecs = new Array[Array[Float]](n)
           val lvls = new Array[Int](n)
@@ -230,6 +240,12 @@ object Hnsw {
             // Row gives mutable ArraySeq elements; scala.Seq (=immutable) would CCE
             nbrs(label) = r.getSeq[scala.collection.Seq[Int]](5).map(_.toArray).toArray
             if (r.getBoolean(6)) { entry = label; maxLevel = lvls(label) }
+          }
+          var i = 0
+          while (i < n) {
+            if (vecs(i) == null) throw new IllegalStateException(
+              s"graph shard $shardId missing label $i — duplicate or dropped rows")
+            i += 1
           }
           Shard(ids, vecs, lvls, nbrs, entry, maxLevel)
         }

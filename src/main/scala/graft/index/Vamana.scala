@@ -14,16 +14,28 @@ import scala.collection.mutable.ArrayBuffer
   * `<indexPath>@<metaVersion>#<shardId>` — repeated query batches against a
   * pinned index skip the row→array decode (the analogue of the reference's
   * long-lived in-memory index object). Any index write changes the meta
-  * version, so stale entries are never served; a simple size bound clears
-  * the whole cache (entries rebuild lazily).
+  * version, so stale entries are never served.
+  *
+  * Values are SoftReferences: a decoded shard can be hundreds of MB, so the
+  * executor JVM must be able to reclaim entries under memory pressure
+  * instead of OOMing; a cleared entry just rebuilds lazily. The entry bound
+  * only caps map-key garbage accumulation.
   */
 object GraphShardCache {
-  private val MaxEntries = 256
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private val MaxEntries = 1024
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[AnyRef]]()
 
   def getOrBuild[T <: AnyRef](key: String)(build: => T): T = {
+    val ref = cache.get(key)
+    if (ref != null) {
+      val hit = ref.get()
+      if (hit != null) return hit.asInstanceOf[T]
+    }
+    val v = build // concurrent duplicate builds are harmless (idempotent)
     if (cache.size() > MaxEntries) cache.clear()
-    cache.computeIfAbsent(key, _ => build).asInstanceOf[T]
+    cache.put(key, new java.lang.ref.SoftReference[AnyRef](v))
+    v
   }
 }
 
@@ -263,10 +275,21 @@ object Vamana {
 
   /** Batch search: one pass over the graph dataset; each task materializes
     * its shard group(s) once, answers every query, emits per-shard top-l;
-    * a grouped top-k merge resolves the global answer. */
+    * a grouped top-k merge resolves the global answer.
+    *
+    * Whole-shard guarantee: a task must see EVERY row of a shard — a
+    * partial shard decodes to a graph with dangling labels and silently
+    * wrong (or crashing) searches. Parquet scans split large files by byte
+    * range (`spark.sql.files.maxPartitionBytes`), so raw reads give no such
+    * guarantee at realistic shard sizes; unless the caller certifies the
+    * input is already hash-partitioned by `shard` (`prePartitioned`, e.g. a
+    * pinned dataset persisted post-repartition), we repartition here.
+    * Decode additionally validates label completeness and fails loudly
+    * rather than serving a truncated graph. */
   def searchBatch(spark: SparkSession, graphDf: DataFrame,
                   queries: Seq[(Int, Array[Float])], k: Int, l: Int,
-                  metric: String, cacheKey: Option[String] = None): DataFrame = {
+                  metric: String, cacheKey: Option[String] = None,
+                  prePartitioned: Boolean = false): DataFrame = {
     val dist = VectorKernels.orderingDistance(metric) _
     val bcQueries = spark.sparkContext.broadcast(queries)
     val out = StructType(Seq(
@@ -274,17 +297,22 @@ object Vamana {
       StructField("id", LongType, nullable = false),
       StructField("_distance", DoubleType, nullable = false)))
 
-    val graph = graphDf
+    val graph0 = graphDf
       .select("shard", "label", "id", "vector", "neighbors", "is_entry")
+    val graph = if (prePartitioned) graph0 else graph0.repartition(col("shard"))
 
     val perShard = graph.mapPartitions { rows =>
-      // a task may receive several (whole) shards back-to-back — group by
-      // the shard column; rows of one shard are contiguous per file.
+      // a task may receive several (whole) shards — group by the shard column
       val grouped = new scala.collection.mutable.LinkedHashMap[Int, ArrayBuffer[Row]]()
       rows.foreach { r => grouped.getOrElseUpdate(r.getInt(0), new ArrayBuffer[Row]) += r }
       grouped.iterator.flatMap { case (shardId, shardRows) =>
         def decode(): Shard = {
           val n = shardRows.length
+          var maxLabel = -1
+          shardRows.foreach { r => val lb = r.getInt(1); if (lb > maxLabel) maxLabel = lb }
+          if (maxLabel + 1 != n) throw new IllegalStateException(
+            s"partial graph shard $shardId: $n rows but max label $maxLabel — " +
+              "input must deliver whole shards per task")
           val ids = new Array[Long](n)
           val vecs = new Array[Array[Float]](n)
           val nbrs = new Array[Array[Int]](n)
@@ -295,6 +323,12 @@ object Vamana {
             vecs(label) = r.getSeq[Float](3).toArray
             nbrs(label) = r.getSeq[Int](4).toArray
             if (r.getBoolean(5)) entry = label
+          }
+          var i = 0
+          while (i < n) {
+            if (vecs(i) == null) throw new IllegalStateException(
+              s"graph shard $shardId missing label $i — duplicate or dropped rows")
+            i += 1
           }
           Shard(ids, vecs, nbrs, entry)
         }
