@@ -34,13 +34,23 @@ class AnnIndex(val spark: SparkSession, val path: String) {
   /** Optional in-memory pin of the index dataset — the Spark analogue of
     * the reference's in-memory index object (SURVEY §2.11: cached
     * DataFrames replace mmap). Repeated query batches then skip the
-    * parquet scan entirely. Invalidated by insert/vacuum. */
+    * parquet scan entirely. Invalidated by insert/vacuum.
+    *
+    * Graph engines pin the dataset ALREADY hash-partitioned by `shard`
+    * (one shuffle at pin time), so every subsequent query batch satisfies
+    * the whole-shard-per-task contract without re-shuffling the index —
+    * at scale the difference between touching cached shards and moving
+    * the full graph over the network per batch. */
   @volatile private var pinned: Option[DataFrame] = None
 
   def persist(): this.type = synchronized {
     if (pinned.isEmpty) {
-      val df = spark.read.parquet(dataPath)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val raw = spark.read.parquet(dataPath)
+      val laidOut =
+        if (isGraphEngine)
+          raw.repartition(math.max(1, meta.param("shards", 1)), col("shard"))
+        else raw
+      val df = laidOut.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // materialize now
       pinned = Some(df)
     }
@@ -122,6 +132,15 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     case m        => throw new IllegalArgumentException(s"unknown metric: $m")
   }
 
+  /** Like [[floatDistColumn]] but correct for RAW (not build-normalized)
+    * vectors, e.g. base-table columns in a brute-force fallback: cosine uses
+    * the full `1 - cosine_similarity` (the stored-vector shortcut `1 - dot`
+    * assumes unit vectors and mis-ranks raw ones). */
+  def rawDistColumn(vec: Column, query: Column): Column = meta.metric match {
+    case "cosine" => lit(1.0) - cosine_similarity(vec, query)
+    case _        => floatDistColumn(vec, query)
+  }
+
   /** Storage-aware distance: SQ8 indexes dequantize-on-access inside the
     * codegen'd loop; float indexes use the plain expressions. `vec` must be
     * the [[dataVecCol]] column. */
@@ -173,22 +192,31 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     s"$path@$mtime"
   }.toOption
 
-  private def scanGraph(qs: Seq[(Int, Array[Float])], k: Int,
-                        searchComplexity: Int): DataFrame = {
+  private[graft] def scanGraph(qs: Seq[(Int, Array[Float])], k: Int,
+                               searchComplexity: Int): DataFrame = {
     val overfetch = meta.numDeleted.toInt
     val ck = shardCacheKey
+    // a pinned graph dataset is persisted post-repartition(shard): serve it
+    // directly and certify the whole-shard layout (no per-batch shuffle)
+    val (src, prePart) = pinned match {
+      case Some(p) => (p, true)
+      case None => (data, false)
+    }
+    val nShards = math.max(1, meta.param("shards", 1))
     val res = meta.engine match {
       case "DISKANN" =>
         val p = Vamana.Params.from(meta)
         val l = Vamana.beamWidth(k + overfetch, searchComplexity,
           p.buildComplexity) + overfetch
-        Vamana.searchBatch(spark, data, qs, k + overfetch, l, meta.metric, ck)
+        Vamana.searchBatch(spark, src, qs, k + overfetch, l, meta.metric, ck,
+          prePartitioned = prePart, numShards = nShards)
       case "HNSW" =>
         // searchParam = ef_search override; default ef = ef_construction
         val p = Hnsw.Params.from(meta)
         val ef = math.max(k + overfetch,
           if (searchComplexity > 0) searchComplexity else p.efConstruction) + overfetch
-        Hnsw.searchBatch(spark, data, qs, k + overfetch, ef, meta.metric, ck)
+        Hnsw.searchBatch(spark, src, qs, k + overfetch, ef, meta.metric, ck,
+          prePartitioned = prePart, numShards = nShards)
     }
     if (hasDeletes) {
       val filtered = res.join(deletes, Seq("id"), "left_anti")

@@ -204,7 +204,7 @@ object Hnsw {
   def searchBatch(spark: SparkSession, graphDf: DataFrame,
                   queries: Seq[(Int, Array[Float])], k: Int, ef: Int,
                   metric: String, cacheKey: Option[String] = None,
-                  prePartitioned: Boolean = false): DataFrame = {
+                  prePartitioned: Boolean = false, numShards: Int = 0): DataFrame = {
     val dist = VectorKernels.orderingDistance(metric) _
     val bcQueries = spark.sparkContext.broadcast(queries)
     val out = StructType(Seq(
@@ -214,7 +214,10 @@ object Hnsw {
 
     val graph0 = graphDf.select("shard", "label", "id", "vector", "level",
       "neighbors", "is_entry")
-    val graph = if (prePartitioned) graph0 else graph0.repartition(col("shard"))
+    val graph =
+      if (prePartitioned) graph0
+      else if (numShards > 0) graph0.repartition(numShards, col("shard"))
+      else graph0.repartition(col("shard"))
 
     val perShard = graph.mapPartitions { rows =>
       val grouped = new scala.collection.mutable.LinkedHashMap[Int, ArrayBuffer[Row]]()
@@ -225,8 +228,8 @@ object Hnsw {
           var maxLabel = -1
           shardRows.foreach { r => val lb = r.getInt(1); if (lb > maxLabel) maxLabel = lb }
           if (maxLabel + 1 != n) throw new IllegalStateException(
-            s"partial graph shard $shardId: $n rows but max label $maxLabel — " +
-              "input must deliver whole shards per task")
+            s"partial or duplicated graph shard $shardId: $n rows but max label $maxLabel — " +
+              "input must deliver each shard's rows exactly once per task")
           val ids = new Array[Long](n)
           val vecs = new Array[Array[Float]](n)
           val lvls = new Array[Int](n)

@@ -33,7 +33,12 @@ object GraphShardCache {
       if (hit != null) return hit.asInstanceOf[T]
     }
     val v = build // concurrent duplicate builds are harmless (idempotent)
-    if (cache.size() > MaxEntries) cache.clear()
+    // evict single arbitrary entries, never the whole map: clearing would
+    // thrash every cached shard once the key bound is reached
+    while (cache.size() >= MaxEntries) {
+      val it = cache.keySet().iterator()
+      if (it.hasNext) cache.remove(it.next()) else return v
+    }
     cache.put(key, new java.lang.ref.SoftReference[AnyRef](v))
     v
   }
@@ -289,7 +294,7 @@ object Vamana {
   def searchBatch(spark: SparkSession, graphDf: DataFrame,
                   queries: Seq[(Int, Array[Float])], k: Int, l: Int,
                   metric: String, cacheKey: Option[String] = None,
-                  prePartitioned: Boolean = false): DataFrame = {
+                  prePartitioned: Boolean = false, numShards: Int = 0): DataFrame = {
     val dist = VectorKernels.orderingDistance(metric) _
     val bcQueries = spark.sparkContext.broadcast(queries)
     val out = StructType(Seq(
@@ -299,7 +304,13 @@ object Vamana {
 
     val graph0 = graphDf
       .select("shard", "label", "id", "vector", "neighbors", "is_entry")
-    val graph = if (prePartitioned) graph0 else graph0.repartition(col("shard"))
+    // sized to the shard count when known — default shuffle partitions would
+    // leave most output partitions empty; either way one task buffers an
+    // entire shard's rows (plus decoded arrays), which bounds shard sizing
+    val graph =
+      if (prePartitioned) graph0
+      else if (numShards > 0) graph0.repartition(numShards, col("shard"))
+      else graph0.repartition(col("shard"))
 
     val perShard = graph.mapPartitions { rows =>
       // a task may receive several (whole) shards — group by the shard column
@@ -311,8 +322,8 @@ object Vamana {
           var maxLabel = -1
           shardRows.foreach { r => val lb = r.getInt(1); if (lb > maxLabel) maxLabel = lb }
           if (maxLabel + 1 != n) throw new IllegalStateException(
-            s"partial graph shard $shardId: $n rows but max label $maxLabel — " +
-              "input must deliver whole shards per task")
+            s"partial or duplicated graph shard $shardId: $n rows but max label $maxLabel — " +
+              "input must deliver each shard's rows exactly once per task")
           val ids = new Array[Long](n)
           val vecs = new Array[Array[Float]](n)
           val nbrs = new Array[Array[Int]](n)

@@ -54,28 +54,50 @@ object AnnSearch {
     val qvec = if (idx.meta.metric == "cosine") normalize_vector(qvecRaw) else qvecRaw
     val qkeys = qin.select(col(qidCol).as("__qid"), qvec.as("__qvec"))
 
-    val candidates =
-      if (idx.meta.engine == "FLAT") {
-        // brute force: every query visits every live row
-        idx.live.crossJoin(broadcast(qkeys))
+    val top =
+      if (idx.isGraphEngine) {
+        // graph engines (DISKANN/HNSW): query vectors are a bounded batch by
+        // contract (the reference streams them chunk-at-a-time through one
+        // in-memory index, src/ann_search.cpp:397-691) — collect them, run
+        // the shard-local batch kernel, map query_idx back to the caller's
+        // key with a broadcast join.
+        val spark = queries.sparkSession
+        val qrows = qkeys.collect()
+        val vecs = qrows.map(_.getSeq[Float](1).toArray).toSeq
+        val hits = idx.searchBatch(vecs, k, nprobe) // (query_idx, id, _distance)
+        val qidField = qkeys.schema("__qid")
+        val mapping = spark.createDataFrame(
+          java.util.Arrays.asList(qrows.zipWithIndex.map {
+            case (r, i) => org.apache.spark.sql.Row(i, r.get(0))
+          }: _*),
+          StructType(Seq(StructField("query_idx", IntegerType, nullable = false),
+            qidField.copy(name = "__qid"))))
+        hits.join(broadcast(mapping), Seq("query_idx"))
+          .select(col("__qid"), col("id"), col("_distance"))
       } else {
-        // distributed probe assignment: query × centroid (nlist rows — tiny,
-        // broadcast), keep the np nearest cells per query, then join the
-        // cell-pruned index partitions.
-        val probes = qkeys.crossJoin(broadcast(idx.centroidsDf))
-          .withColumn("__cd", l2_distance_sq(col("__qvec"), col("centroid")))
-          .withColumn("__cr", row_number().over(
-            Window.partitionBy("__qid").orderBy(col("__cd"), col("list_id"))))
-          .filter(col("__cr") <= np)
-          .select("__qid", "__qvec", "list_id")
-        idx.live.join(broadcast(probes), Seq("list_id"))
+        val candidates =
+          if (idx.meta.engine == "FLAT") {
+            // brute force: every query visits every live row
+            idx.live.crossJoin(broadcast(qkeys))
+          } else {
+            // distributed probe assignment: query × centroid (nlist rows —
+            // tiny, broadcast), keep the np nearest cells per query, then
+            // join the cell-pruned index partitions.
+            val probes = qkeys.crossJoin(broadcast(idx.centroidsDf))
+              .withColumn("__cd", l2_distance_sq(col("__qvec"), col("centroid")))
+              .withColumn("__cr", row_number().over(
+                Window.partitionBy("__qid").orderBy(col("__cd"), col("list_id"))))
+              .filter(col("__cr") <= np)
+              .select("__qid", "__qvec", "list_id")
+            idx.live.join(broadcast(probes), Seq("list_id"))
+          }
+
+        val scored = candidates
+          .withColumn("_distance", idx.distColumn(col(idx.dataVecCol), col("__qvec")))
+          .select(col("__qid"), col("id"), col("_distance"))
+
+        TopK.grouped(scored, "__qid", "_distance", "id", k)
       }
-
-    val scored = candidates
-      .withColumn("_distance", idx.distColumn(col(idx.dataVecCol), col("__qvec")))
-      .select(col("__qid"), col("id"), col("_distance"))
-
-    val top = TopK.grouped(scored, "__qid", "_distance", "id", k)
 
     // replicate input rows per result (reference output shape: input cols +
     // matched row + _distance, src/ann_search.cpp:499-532)
@@ -111,6 +133,7 @@ object AnnSearch {
   def searchFiltered(idx: AnnIndex, base: DataFrame, baseIdCol: String,
                      q: Array[Float], k: Int, predicate: Column,
                      nprobe: Int = -1, overfetchMultiplier: Int = 3): DataFrame = {
+    val spark = base.sparkSession
     val overfetch = k * overfetchMultiplier + 100
     val exhaustive = overfetch >= idx.meta.numVectors && idx.meta.engine == "FLAT"
     val hits = idx.scan(q, overfetch, nprobe)
@@ -119,13 +142,20 @@ object AnnSearch {
       .drop(hits("id")) // keep the base's own key even when also named "id"
       .orderBy(col("_distance"), base(baseIdCol))
       .limit(k)
-    if (exhaustive || filtered.count() >= k) filtered
+    // single pass: materialize the ≤ k overfetch survivors once (k rows —
+    // driver-tiny at any scale) instead of running the pipeline for count()
+    // and again for the result
+    val survivors = filtered.collect()
+    if (exhaustive || survivors.length >= k)
+      spark.createDataFrame(java.util.Arrays.asList(survivors: _*), filtered.schema)
+        .orderBy(col("_distance"), col(baseIdCol))
     else {
-      // exact fallback: score the filtered base directly
+      // exact fallback: score the filtered base directly. rawDistColumn, not
+      // floatDistColumn — base vectors are raw, not build-normalized.
       val qq = idx.prepQuery(q)
       base.filter(predicate)
         .withColumn("_distance",
-          idx.floatDistColumn(col(idx.meta.vecCol).cast(ArrayType(FloatType)), typedLit(qq)))
+          idx.rawDistColumn(col(idx.meta.vecCol).cast(ArrayType(FloatType)), typedLit(qq)))
         .orderBy(col("_distance"), col(baseIdCol))
         .limit(k)
     }

@@ -149,6 +149,34 @@ object IndexQueries {
         .orderBy("q_vec_id", "rank")
     }),
 
+    // S5 against a graph engine: query batch collected, shard-local batch
+    // kernel, exhaustive beam (l >= n) → exact → strict oracle.
+    "ann_search_table_vamana" -> ((s: SparkSession, dir: String) => {
+      val queries = emb(s, dir).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_vec_id"), col("embedding"))
+      val res = graft.operators.AnnSearch.searchTable(
+        diskannIndex(s, dir), queries, k = 5, nprobe = 100000,
+        queryIdCol = Some("q_vec_id"))
+      res.withColumn("rank",
+          row_number().over(
+            Window.partitionBy("q_vec_id").orderBy(col("_distance"), col("id"))).cast("long"))
+        .select(col("q_vec_id"), col("rank"), col("id").as("vec_id"))
+        .orderBy("q_vec_id", "rank")
+    }),
+
+    // filtered search exercising the exact-fallback path on a COSINE index:
+    // the predicate is selective enough that the overfetch can't fill k, so
+    // the raw-vector cosine fallback produces the result → strict oracle.
+    "ann_filtered_cosine" -> ((s: SparkSession, dir: String) => {
+      val res = graft.operators.AnnSearch.searchFiltered(
+        cosineIndex(s, dir), emb(s, dir), "vec_id", qvecF(3), K,
+        predicate = col("label") === 5 && col("vec_id") % 7 === 0)
+      res.withColumn("rank",
+          row_number().over(Window.orderBy(col("_distance"), col("vec_id"))).cast("long"))
+        .select("rank", "vec_id", "label")
+        .orderBy("rank")
+    }),
+
     // filtered search via overfetch-and-post-filter (capability upgrade over
     // the reference's filter bailout, SURVEY §2.2).
     "ann_filtered_topk" -> ((s: SparkSession, dir: String) => {
@@ -332,6 +360,23 @@ object IndexQueries {
          |  FROM (SELECT * FROM embeddings WHERE vec_id < 4) q
          |  CROSS JOIN embeddings e) t
          |WHERE rank <= 5 ORDER BY q_vec_id, rank""".stripMargin,
+
+    "ann_search_table_vamana" ->
+      s"""SELECT q_vec_id, rank, vec_id FROM (
+         |  SELECT q.vec_id AS q_vec_id, e.vec_id, CAST(row_number() OVER (
+         |    PARTITION BY q.vec_id
+         |    ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+         |                           CAST(q.embedding AS DOUBLE[])), e.vec_id) AS BIGINT) AS rank
+         |  FROM (SELECT * FROM embeddings WHERE vec_id < 3) q
+         |  CROSS JOIN embeddings e) t
+         |WHERE rank <= 5 ORDER BY q_vec_id, rank""".stripMargin,
+
+    "ann_filtered_cosine" ->
+      s"""SELECT rank, vec_id, label FROM (
+         |  SELECT vec_id, label, CAST(row_number() OVER (
+         |    ORDER BY list_cosine_similarity($EmbD, ${sqlVec(3)}) DESC, vec_id) AS BIGINT) AS rank
+         |  FROM embeddings WHERE label = 5 AND vec_id % 7 = 0) t
+         |WHERE rank <= $K ORDER BY rank""".stripMargin,
 
     "ann_filtered_topk" ->
       s"""SELECT rank, vec_id, label FROM (

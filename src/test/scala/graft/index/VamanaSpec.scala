@@ -125,6 +125,32 @@ class VamanaSpec extends SparkSpec {
     assert(mean >= 0.7, s"mean recall $mean; per-query: $recalls")
   }
 
+  test("pinned index serves pre-partitioned shards — no per-batch shard shuffle") {
+    import org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
+    def shardRepartitions(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case r: RepartitionByExpression
+          if r.partitionExpressions.exists(_.references.exists(_.name == "shard")) => r
+      }.size
+
+    val pinIdx = AnnIndexManager.create(spark, "v_pin", vecsDf, "id", "embedding",
+      "DISKANN", Map("metric" -> "l2", "shards" -> "3"), s"$tmp/v_pin")
+    // unpinned read: defensive repartition guards the whole-shard contract
+    val unpinned = pinIdx.searchBatch(queries, 10, searchParam = 100000)
+    assert(shardRepartitions(unpinned) == 1)
+    val unpinnedRes = unpinned.collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+
+    pinIdx.persist()
+    val pinned = pinIdx.searchBatch(queries, 10, searchParam = 100000)
+    // the pin is pre-partitioned by shard: the query batch adds NO shuffle
+    // of the graph dataset
+    assert(shardRepartitions(pinned) == 0)
+    val pinnedRes = pinned.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(pinnedRes == unpinnedRes) // exhaustive beam → both exact
+    pinIdx.unpersist()
+  }
+
   test("search_complexity semantics: l = max(k, sc or bc)") {
     assert(Vamana.beamWidth(10, 0, 128) == 128)
     assert(Vamana.beamWidth(10, 50, 128) == 50)

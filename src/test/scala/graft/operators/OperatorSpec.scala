@@ -62,6 +62,59 @@ class OperatorSpec extends SparkSpec {
     assert(zero == 5)
   }
 
+  private lazy val diskann = AnnIndexManager.create(spark, "op_vam", vecsDf,
+    "id", "vec", "DISKANN", Map("metric" -> "l2", "shards" -> "2"), s"$tmp/op_vam")
+
+  private lazy val hnsw = AnnIndexManager.create(spark, "op_hnsw", vecsDf,
+    "id", "vec", "HNSW", Map("metric" -> "l2", "shards" -> "2"), s"$tmp/op_hnsw")
+
+  test("searchTable routes graph engines through the batch kernel (S5, DISKANN)") {
+    import spark.implicits._
+    val queries = Seq(
+      ("near_first", vecs(0)._3),
+      ("near_last", vecs(299)._3)
+    ).toDF("qname", "qvec")
+    // exhaustive beam (l >= n) → exact results on a connected graph
+    val res = AnnSearch.searchTable(diskann, queries, k = 3, nprobe = 100000,
+      queryIdCol = Some("qname"))
+    val byName = res.collect().groupBy(_.getAs[String]("qname"))
+    assert(byName.keySet == Set("near_first", "near_last"))
+    for ((name, rows) <- byName) {
+      val ids = rows.sortBy(r => (r.getAs[Double]("_distance"), r.getAs[Long]("id")))
+        .map(_.getAs[Long]("id")).toSeq
+      val q = if (name == "near_first") vecs(0)._3 else vecs(299)._3
+      assert(ids == brute(q, 3), name)
+    }
+  }
+
+  test("searchTable routes graph engines through the batch kernel (S5, HNSW)") {
+    import spark.implicits._
+    val queries = Seq.tabulate(3)(i => Tuple1(vecs(i * 90)._3)).toDF("qvec")
+    val res = AnnSearch.searchTable(hnsw, queries, k = 4, nprobe = 100000)
+    assert(res.count() == 12)
+    assert(res.filter(col("_distance") === 0.0).count() == 3) // self-hits
+  }
+
+  test("searchFiltered cosine fallback ranks raw (non-unit) base vectors correctly") {
+    val cosIdx = AnnIndexManager.create(spark, "op_cos", vecsDf,
+      "id", "vec", "FLAT", Map("metric" -> "cosine"), s"$tmp/op_cos")
+    val q = vecs(42)._3
+    // predicate matches only 6 rows < k=8 → exact fallback always fires
+    val pred = col("tag") === 2 && col("id") > 270
+    val res = AnnSearch.searchFiltered(cosIdx, vecsDf, "id", q, 8, predicate = pred)
+    val got = res.collect().map(_.getAs[Long]("id")).toSeq
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val expect = vecs.filter(t => t._2 == 2 && t._1 > 270)
+      .map { case (id, _, v) => (id, 1.0 - cos(q, v)) }
+      .sortBy { case (id, d) => (d, id) }.map(_._1)
+    assert(got == expect)
+  }
+
   test("searchTable errors when no numeric array column exists (F8 error case)") {
     import spark.implicits._
     val bad = Seq(("a", 1)).toDF("s", "i")
