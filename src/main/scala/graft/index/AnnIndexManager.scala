@@ -248,7 +248,7 @@ object AnnIndexManager {
     * index; the fingerprint keys on data dir + engine + params. */
   /** Bump when the on-disk index layout changes: keys the build cache so
     * caches from older code versions rebuild instead of misloading. */
-  val FormatVersion = 1
+  val FormatVersion = 2 // v2: ip/cosine driver indexes carry table_path
 
   def getOrBuild(spark: SparkSession, name: String, sfDir: String,
                  build: String => AnnIndex): AnnIndex = {

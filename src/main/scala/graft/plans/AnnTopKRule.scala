@@ -6,16 +6,23 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.functions.{broadcast, col, lit}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
-import graft.functions.{L2Distance, L2DistanceSq}
+import graft.functions.{CosineSimilarity, InnerProduct, L2Distance, L2DistanceSq}
 import graft.index.{AnnIndexManager, IndexMeta}
 
-/** Optimizer rewrite: `ORDER BY l2_distance(col, const) LIMIT k` over a
+/** Optimizer rewrite: `ORDER BY <distance fn>(col, const) LIMIT k` over a
   * relation with a registered ANN index → index-backed top-k scan
   * (reference: src/ann_optimizer.cpp:348-530 — pattern validation, metric
   * routing, cost gates, cardinality=k, ORDER BY removal).
+  *
+  * Metric routing mirrors the reference's 6-function table
+  * (src/ann_optimizer.cpp:237-258): `l2_distance(_sq)` ASC → l2 index,
+  * `inner_product` DESC (or negated ASC) → ip index, `cosine_similarity`
+  * DESC (or `1 - cos` ASC) → cosine index. The wrong direction for a
+  * metric (e.g. l2 DESC) never rewrites — the reference tests that
+  * negative case (test/sql/faiss_optimizer.test:72-80).
   *
   * Differences from the reference, on purpose:
   *  - standalone ORDER BY without LIMIT is NOT rewritten (the reference
@@ -27,13 +34,19 @@ import graft.index.{AnnIndexManager, IndexMeta}
   * Cost gates (reference :459-472) are confs:
   * `spark.ann.minTableRows` (50), `spark.ann.maxSelectivity` (0.1),
   * `spark.ann.maxSelectivityGraph` (0.3).
+  *
+  * When the rewrite fires it stamps a constant marker column
+  * `__ann_index_scan_<index>_k<k>` into the replacement subtree (dropped
+  * from the final output), so `df.explain()` shows whether the index was
+  * used — the analogue of the reference's `ANN_INDEX_SCAN (index:…, k:…)`
+  * plan label (src/ann_optimizer.cpp:509-524).
   */
 case class AnnTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case gl @ GlobalLimit(Literal(k: Int, _), LocalLimit(_,
-        Sort(Seq(SortOrder(sortExpr, Ascending, _, _)), true, sortChild, _))) =>
-      tryRewrite(k, sortExpr, sortChild).getOrElse(gl)
+        Sort(Seq(SortOrder(sortExpr, direction, _, _)), true, sortChild, _))) =>
+      tryRewrite(k, sortExpr, direction, sortChild).getOrElse(gl)
   }
 
   private def confInt(key: String, default: Int): Int =
@@ -74,19 +87,42 @@ case class AnnTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def tryRewrite(k: Int, sortExpr: Expression,
+  /** Distance-function pattern → (required index metric, vector column,
+    * query literal). Direction-sensitive, as in the reference's metric
+    * table (src/ann_optimizer.cpp:237-258). */
+  private def matchDistance(resolved: Expression,
+                            direction: SortDirection): Option[(String, AttributeReference, Option[Array[Float]])] = {
+    def args(l: Expression, r: Expression): Option[(AttributeReference, Option[Array[Float]])] =
+      (l, r) match {
+        case (a: AttributeReference, lit: Literal) => Some((a, literalToFloats(lit)))
+        case (lit: Literal, a: AttributeReference) => Some((a, literalToFloats(lit)))
+        case _ => None
+      }
+    (resolved, direction) match {
+      // smaller-is-better functions, ascending
+      case (L2Distance(l, r), Ascending)   => args(l, r).map { case (a, q) => ("l2", a, q) }
+      case (L2DistanceSq(l, r), Ascending) => args(l, r).map { case (a, q) => ("l2", a, q) }
+      // larger-is-better functions, descending
+      case (InnerProduct(l, r), Descending)     => args(l, r).map { case (a, q) => ("ip", a, q) }
+      case (CosineSimilarity(l, r), Descending) => args(l, r).map { case (a, q) => ("cosine", a, q) }
+      // ...or their negated/complemented ascending forms
+      case (UnaryMinus(InnerProduct(l, r), _), Ascending) =>
+        args(l, r).map { case (a, q) => ("ip", a, q) }
+      case (UnaryMinus(CosineSimilarity(l, r), _), Ascending) =>
+        args(l, r).map { case (a, q) => ("cosine", a, q) }
+      case (Subtract(_: Literal, CosineSimilarity(l, r), _), Ascending) =>
+        args(l, r).map { case (a, q) => ("cosine", a, q) }
+      case _ => None
+    }
+  }
+
+  private def tryRewrite(k: Int, sortExpr: Expression, direction: SortDirection,
                          sortChild: LogicalPlan): Option[LogicalPlan] = {
     val relation = findRelation(sortChild).getOrElse(return None)
     val resolved = resolveThroughProjects(sortExpr, sortChild).getOrElse(return None)
 
-    // pattern: l2_distance(_sq)(vecCol, constant) in either arg order
-    val (vecAttr, qvec) = resolved match {
-      case L2Distance(a: AttributeReference, l: Literal) => (a, literalToFloats(l))
-      case L2Distance(l: Literal, a: AttributeReference) => (a, literalToFloats(l))
-      case L2DistanceSq(a: AttributeReference, l: Literal) => (a, literalToFloats(l))
-      case L2DistanceSq(l: Literal, a: AttributeReference) => (a, literalToFloats(l))
-      case _ => return None
-    }
+    val (metricNeeded, vecAttr, qvec) =
+      matchDistance(resolved, direction).getOrElse(return None)
     val q = qvec.getOrElse(return None)
 
     // the sorted column must come straight from the scanned relation
@@ -102,7 +138,7 @@ case class AnnTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val hit = AnnIndexManager.registered.iterator.flatMap { case (_, path) =>
       scala.util.Try(IndexMeta.read(path)).toOption.map(m => (path, m))
     }.find { case (_, m) =>
-      m.metric == "l2" && m.vecCol == vecAttr.name &&
+      m.metric == metricNeeded && m.vecCol == vecAttr.name &&
         m.params.get("table_path").exists(tp =>
           relPaths.exists(rp => rp == tp || rp.stripSuffix("/") == tp.stripSuffix("/")))
     }
@@ -116,17 +152,20 @@ case class AnnTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     else confDouble("spark.ann.maxSelectivity", 0.1)
     if (k > n * maxSel) return None
 
-    logInfo(s"AnnTopKRule: rewriting ORDER BY ${resolved.prettyName} LIMIT $k " +
-      s"to index scan (index=${meta.name}, engine=${meta.engine}, k=$k)")
+    logInfo(s"AnnTopKRule: rewriting ORDER BY ${resolved.prettyName} " +
+      s"${direction.sql} LIMIT $k to index scan " +
+      s"(index=${meta.name}, engine=${meta.engine}, metric=$metricNeeded, k=$k)")
 
     // replacement: index scan joined back to the base relation, keeping the
-    // original output attributes (exprIds preserved via aliases)
+    // original output attributes (exprIds preserved via aliases). The marker
+    // column makes the rewrite visible in df.explain() (dropped from output).
     val idx = AnnIndexManager.load(spark, idxPath)
     val base = GraftBridge.ofRows(spark, relation)
     val hits = idx.scan(q, k)
     val joined = base
       .join(broadcast(hits), base(meta.idCol) === hits("id"))
       .drop(hits("id"))
+      .withColumn(s"__ann_index_scan_${meta.name}_k$k", lit(true))
       .orderBy(col("_distance"), base(meta.idCol))
       .limit(k)
 

@@ -51,12 +51,14 @@ object IndexQueries {
   private def cosineIndex(s: SparkSession, dir: String): AnnIndex =
     AnnIndexManager.getOrBuild(s, "emb_cos", dir, path =>
       AnnIndexManager.create(s, "emb_cos", emb(s, dir), "vec_id", "embedding",
-        "FLAT", Map("metric" -> "cosine"), path))
+        "FLAT", Map("metric" -> "cosine", "table" -> "embeddings",
+          "table_path" -> s"$dir/embeddings.parquet"), path))
 
   private def ipIndex(s: SparkSession, dir: String): AnnIndex =
     AnnIndexManager.getOrBuild(s, "emb_ip", dir, path =>
       AnnIndexManager.create(s, "emb_ip", emb(s, dir), "vec_id", "embedding",
-        "FLAT", Map("metric" -> "ip"), path))
+        "FLAT", Map("metric" -> "ip", "table" -> "embeddings",
+          "table_path" -> s"$dir/embeddings.parquet"), path))
 
   /** FLAT index with label=3 rows tombstoned (build-once, idempotent). */
   private def deletedIndex(s: SparkSession, dir: String): AnnIndex =
@@ -277,6 +279,38 @@ object IndexQueries {
         .orderBy("rank")
     }),
 
+    // M4 metric routing: ORDER BY inner_product DESC LIMIT k rewritten to
+    // the registered ip index (reference routes 6 distance functions by
+    // metric, src/ann_optimizer.cpp:237-258) → strict oracle.
+    "ann_optimized_ip" -> ((s: SparkSession, dir: String) => {
+      ipIndex(s, dir)
+      graft.plans.AnnOptimizer.enable(s)
+      import graft.functions.AnnFunctions.inner_product
+      val df = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("_ip", inner_product(col("embedding"), typedLit(qvec(15))))
+        .orderBy(col("_ip").desc)
+        .limit(K)
+      df.withColumn("rank",
+          row_number().over(Window.orderBy(col("_ip").desc, col("vec_id"))).cast("long"))
+        .select("rank", "vec_id")
+        .orderBy("rank")
+    }),
+
+    // M4 metric routing: cosine_similarity DESC → cosine index.
+    "ann_optimized_cosine" -> ((s: SparkSession, dir: String) => {
+      cosineIndex(s, dir)
+      graft.plans.AnnOptimizer.enable(s)
+      import graft.functions.AnnFunctions.cosine_similarity
+      val df = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("_cos", cosine_similarity(col("embedding"), typedLit(qvec(16))))
+        .orderBy(col("_cos").desc)
+        .limit(K)
+      df.withColumn("rank",
+          row_number().over(Window.orderBy(col("_cos").desc, col("vec_id"))).cast("long"))
+        .select("rank", "vec_id")
+        .orderBy("rank")
+    }),
+
     // SQ8 quantized index: rows-only (quantization error can reorder
     // near-boundary ranks vs the float oracle); exactness on the F5-style
     // fixture is asserted in Sq8Spec.
@@ -335,6 +369,20 @@ object IndexQueries {
          |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id) t
          |WHERE rank <= $K ORDER BY rank""".stripMargin,
     "ann_optimized_topk" -> bruteForceTopK(4),
+
+    "ann_optimized_ip" ->
+      s"""SELECT rank, vec_id FROM (
+         |  SELECT vec_id, CAST(row_number() OVER (
+         |    ORDER BY list_inner_product($EmbD, ${sqlVec(15)}) DESC, vec_id) AS BIGINT) AS rank
+         |  FROM embeddings) t
+         |WHERE rank <= $K ORDER BY rank""".stripMargin,
+
+    "ann_optimized_cosine" ->
+      s"""SELECT rank, vec_id FROM (
+         |  SELECT vec_id, CAST(row_number() OVER (
+         |    ORDER BY list_cosine_similarity($EmbD, ${sqlVec(16)}) DESC, vec_id) AS BIGINT) AS rank
+         |  FROM embeddings) t
+         |WHERE rank <= $K ORDER BY rank""".stripMargin,
 
     "ann_list" ->
       """SELECT * FROM (

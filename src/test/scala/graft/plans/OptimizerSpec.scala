@@ -95,4 +95,74 @@ class OptimizerSpec extends SparkSpec {
       assert(df.queryExecution.optimizedPlan.toString.contains("Sort ["))
     } finally AnnOptimizer.disable(spark)
   }
+
+  test("rewrite fires and stamps the explain marker (ANN_INDEX_SCAN analogue)") {
+    idx
+    AnnOptimizer.enable(spark)
+    try {
+      val df = spark.read.parquet(tablePath)
+        .withColumn("_d", l2_distance(col("embedding"), typedLit(q.map(_.toDouble))))
+        .orderBy("_d").limit(10)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__ann_index_scan_opt_idx_k10"), s"marker missing:\n$plan")
+      // the marker is internal: it must not leak into the result schema
+      assert(!df.schema.fieldNames.exists(_.startsWith("__ann_index_scan")))
+    } finally AnnOptimizer.disable(spark)
+  }
+
+  private def bruteBy(score: Array[Float] => Double, k: Int): Seq[Long] =
+    vecs.map { case (id, v) => (id, score(v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)
+
+  test("inner_product DESC routes to an ip index; ip ASC is not rewritten") {
+    import spark.implicits._
+    val ipIdx = AnnIndexManager.create(spark, "opt_ip",
+      spark.read.parquet(tablePath), "id", "embedding", "FLAT",
+      Map("metric" -> "ip", "table_path" -> tablePath), s"$tmp/opt_ip")
+    AnnOptimizer.enable(spark)
+    try {
+      val df = spark.read.parquet(tablePath)
+        .withColumn("_ip", inner_product(col("embedding"), typedLit(q.map(_.toDouble))))
+        .orderBy(col("_ip").desc).limit(10)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__ann_index_scan_opt_ip_k10"), s"ip rewrite did not fire:\n$plan")
+      val got = df.collect().map(_.getAs[Long]("id")).toSeq
+      assert(got.sorted == bruteBy(v => v.zip(q).map { case (x, w) => x.toDouble * w }.sum, 10).sorted)
+
+      // wrong direction for a larger-is-better metric: no rewrite
+      val asc = spark.read.parquet(tablePath)
+        .withColumn("_ip", inner_product(col("embedding"), typedLit(q.map(_.toDouble))))
+        .orderBy(col("_ip").asc).limit(10)
+      assert(!asc.queryExecution.optimizedPlan.toString.contains("__ann_index_scan_opt_ip"))
+      assert(asc.queryExecution.optimizedPlan.toString.contains("Sort ["))
+    } finally AnnOptimizer.disable(spark)
+  }
+
+  test("cosine_similarity DESC routes to a cosine index; negated ASC too") {
+    val cosIdx = AnnIndexManager.create(spark, "opt_cos",
+      spark.read.parquet(tablePath), "id", "embedding", "FLAT",
+      Map("metric" -> "cosine", "table_path" -> tablePath), s"$tmp/opt_cos")
+    AnnOptimizer.enable(spark)
+    try {
+      def cosScore(v: Array[Float]): Double = {
+        val dot = v.zip(q).map { case (x, w) => x.toDouble * w }.sum
+        val nv = math.sqrt(v.map(x => x.toDouble * x).sum)
+        val nq = math.sqrt(q.map(x => x.toDouble * x).sum)
+        dot / (nv * nq)
+      }
+      val df = spark.read.parquet(tablePath)
+        .withColumn("_cos", cosine_similarity(col("embedding"), typedLit(q.map(_.toDouble))))
+        .orderBy(col("_cos").desc).limit(10)
+      assert(df.queryExecution.optimizedPlan.toString.contains("__ann_index_scan_opt_cos_k10"))
+      assert(df.collect().map(_.getAs[Long]("id")).toSeq.sorted == bruteBy(cosScore, 10).sorted)
+
+      // 1 - cosine ASC (distance form) also routes
+      val dist = spark.read.parquet(tablePath)
+        .withColumn("_cd", lit(1.0) - cosine_similarity(col("embedding"), typedLit(q.map(_.toDouble))))
+        .orderBy(col("_cd").asc).limit(10)
+      assert(dist.queryExecution.optimizedPlan.toString.contains("__ann_index_scan_opt_cos_k10"),
+        s"1-cos ASC did not route:\n${dist.queryExecution.optimizedPlan}")
+      assert(dist.collect().map(_.getAs[Long]("id")).toSeq.sorted == bruteBy(cosScore, 10).sorted)
+    } finally AnnOptimizer.disable(spark)
+  }
 }
