@@ -273,10 +273,33 @@ class AnnIndex(val spark: SparkSession, val path: String) {
 
   // ---- maintenance (reference §2.10 BoundIndex hooks) ----
 
+  /** Highest streaming micro-batch id applied to this index; -1 when the
+    * index has never been fed by a stream. Persisted in meta.json so
+    * replayed batches after a restart are recognized (SURVEY §2.8). */
+  def lastAppliedBatch: Long =
+    meta.params.get("last_batch_id").map(_.toLong).getOrElse(-1L)
+
+  /** Record a batch id without any data change (empty micro-batch). */
+  def recordAppliedBatch(batchId: Long): Unit = {
+    meta = meta.copy(params = meta.params + ("last_batch_id" -> batchId.toString))
+    IndexMeta.write(path, meta)
+  }
+
+  private def withBatch(params: Map[String, String],
+                        batchId: Option[Long]): Map[String, String] =
+    params ++ batchId.map(b => "last_batch_id" -> b.toString)
+
   /** Append/Insert hook: assign cells (FLAT/IVF) or build a delta graph
     * shard (DISKANN — the append-segment model of §2.8), append to the
-    * index dataset (reference: src/diskann_index.cpp:316-361). */
-  def insert(rows: DataFrame, idCol: String, vecCol: String): Unit = {
+    * index dataset (reference: src/diskann_index.cpp:316-361).
+    *
+    * `batchId` (streaming maintenance) is recorded in the SAME meta write
+    * that publishes the new row count, so a replayed micro-batch can be
+    * detected and skipped; the redo window is only a crash between the
+    * data append and the meta write (the reference's WAL redo has the same
+    * semantics, src/diskann_index.cpp:536-546). */
+  def insert(rows: DataFrame, idCol: String, vecCol: String,
+             batchId: Option[Long] = None): Unit = {
     val prepared = AnnIndexBuilder.prepare(rows, idCol, vecCol, meta.metric)
     val n = prepared.count()
     if (isGraphEngine) {
@@ -287,7 +310,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       }).withColumn("shard", lit(nextShard))
       delta.write.mode("append").partitionBy("shard").parquet(dataPath)
       meta = meta.copy(numVectors = meta.numVectors + n,
-        params = meta.params + ("shards" -> (nextShard + 1).toString))
+        params = withBatch(meta.params + ("shards" -> (nextShard + 1).toString), batchId))
     } else {
       val assigned = AnnIndexBuilder.assignLists(prepared, centroids, meta.engine)
       val stored = quantParams match {
@@ -297,18 +320,20 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         case None => assigned
       }
       stored.write.mode("append").partitionBy("list_id").parquet(dataPath)
-      meta = meta.copy(numVectors = meta.numVectors + n)
+      meta = meta.copy(numVectors = meta.numVectors + n,
+        params = withBatch(meta.params, batchId))
     }
     IndexMeta.write(path, meta)
     invalidatePin()
   }
 
   /** Delete hook: tombstone the ids (reference: src/diskann_index.cpp:363-385). */
-  def delete(ids: DataFrame): Unit = {
+  def delete(ids: DataFrame, batchId: Option[Long] = None): Unit = {
     ids.select(col(ids.columns.head).cast(LongType).as("id"))
       .write.mode("append").parquet(deletesPath)
     val n = ids.count()
-    meta = meta.copy(numDeleted = meta.numDeleted + n)
+    meta = meta.copy(numDeleted = meta.numDeleted + n,
+      params = withBatch(meta.params, batchId))
     IndexMeta.write(path, meta)
   }
 

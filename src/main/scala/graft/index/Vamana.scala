@@ -220,16 +220,22 @@ object Vamana {
     }
 
     val partial = Shard(ids, vectors, neighbors, entry)
+    // Reverse-edge slack (standard DiskANN implementation device): pruning a
+    // saturated list on EVERY reverse edge makes the O(R²·d) RobustPrune the
+    // dominant build cost (~R prunes per insert). Letting lists grow to
+    // ~1.5·R and pruning only on slack overflow amortizes it ~(slack-R)×;
+    // a final pass restores the strict R bound.
+    val slack = math.max(params.maxDegree + 8, params.maxDegree * 3 / 2)
     var v = 0
     while (v < n) {
       if (v != entry) {
         val pool = beamSearchPool(partial, vectors(v), params.buildComplexity, dist)
         neighbors(v) = robustPruneArr(v, pool.labels, pool.dists, pool.size,
           vectors, params.alpha, params.maxDegree, dist)
-        // reverse edges + overflow prune
+        // reverse edges + amortized overflow prune
         for (u <- neighbors(v)) {
           if (!neighbors(u).contains(v)) {
-            if (neighbors(u).length < params.maxDegree) {
+            if (neighbors(u).length < slack) {
               neighbors(u) = neighbors(u) :+ v
             } else {
               val cands = ArrayBuffer.from(
@@ -241,6 +247,17 @@ object Vamana {
         }
       }
       v += 1
+    }
+    // restore the strict maxDegree bound on lists still inside the slack
+    var u = 0
+    while (u < n) {
+      if (neighbors(u).length > params.maxDegree) {
+        val cands = ArrayBuffer.from(
+          neighbors(u).map(x => (x, dist(vectors(u), vectors(x)))))
+        neighbors(u) = robustPrune(u, cands, vectors, params.alpha,
+          params.maxDegree, dist)
+      }
+      u += 1
     }
     Shard(ids, vectors, neighbors, entry)
   }

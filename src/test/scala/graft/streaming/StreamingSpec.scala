@@ -64,6 +64,41 @@ class StreamingSpec extends SparkSpec {
     assert(ids.size == 15)
   }
 
+  test("replayed micro-batch is skipped: numVectors and results unchanged") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def vec() = Array.fill(4)(rnd.nextFloat())
+    val initial = Seq.tabulate(40)(i => (i.toLong, vec()))
+    val idx = AnnIndexManager.create(spark, "st_replay", initial.toDF("id", "embedding"),
+      "id", "embedding", "FLAT", Map("metric" -> "l2"), s"$tmp/st_replay")
+
+    val batch = Seq.tabulate(10)(i => ((200 + i).toLong, vec())).toDF("id", "embedding")
+    IndexMaintenance.applyAppendBatch(idx, batch, batchId = 0, "id", "embedding")
+    assert(idx.meta.numVectors == 50)
+    assert(idx.lastAppliedBatch == 0)
+    val q = initial.head._2
+    val resBefore = idx.scan(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    // replay the same micro-batch (failure-recovery redelivery)
+    IndexMaintenance.applyAppendBatch(idx, batch, batchId = 0, "id", "embedding")
+    assert(idx.meta.numVectors == 50, "replayed batch must not double-insert")
+    val resAfter = idx.scan(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(resAfter == resBefore)
+
+    // a replayed CDC batch is skipped the same way
+    val cdc = initial.take(3).map { case (id, v) => (id, v, "delete") }
+      .toDF("id", "embedding", "op")
+    IndexMaintenance.applyCdcBatch(idx, cdc, batchId = 1, "id", "embedding", "op")
+    assert(idx.meta.numDeleted == 3 && idx.lastAppliedBatch == 1)
+    IndexMaintenance.applyCdcBatch(idx, cdc, batchId = 1, "id", "embedding", "op")
+    assert(idx.meta.numDeleted == 3, "replayed CDC batch must not double-count deletes")
+
+    // restart with the SAME checkpoint source: a fresh index handle reloaded
+    // from disk still sees the watermark
+    val reloaded = AnnIndexManager.load(spark, s"$tmp/st_replay")
+    assert(reloaded.lastAppliedBatch == 1)
+  }
+
   test("streaming windowed aggregation over events (engine capability demo)") {
     import spark.implicits._
     // nanos ts as long, matching the driver events table shape
