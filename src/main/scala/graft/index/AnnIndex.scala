@@ -209,14 +209,14 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         val l = Vamana.beamWidth(k + overfetch, searchComplexity,
           p.buildComplexity) + overfetch
         Vamana.searchBatch(spark, src, qs, k + overfetch, l, meta.metric, ck,
-          prePartitioned = prePart, numShards = nShards)
+          prePartitioned = prePart, numShards = nShards, quant = quantParams)
       case "HNSW" =>
         // searchParam = ef_search override; default ef = ef_construction
         val p = Hnsw.Params.from(meta)
         val ef = math.max(k + overfetch,
           if (searchComplexity > 0) searchComplexity else p.efConstruction) + overfetch
         Hnsw.searchBatch(spark, src, qs, k + overfetch, ef, meta.metric, ck,
-          prePartitioned = prePart, numShards = nShards)
+          prePartitioned = prePart, numShards = nShards, quant = quantParams)
     }
     if (hasDeletes) {
       val filtered = res.join(deletes, Seq("id"), "left_anti")
@@ -304,10 +304,16 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     val n = prepared.count()
     if (isGraphEngine) {
       val nextShard = meta.param("shards", 1)
-      val delta = (meta.engine match {
+      val delta0 = (meta.engine match {
         case "DISKANN" => Vamana.build(prepared, 1, Vamana.Params.from(meta), meta.metric)
         case "HNSW" => Hnsw.build(prepared, 1, Hnsw.Params.from(meta), meta.metric)
       }).withColumn("shard", lit(nextShard))
+      val delta = quantParams match {
+        case Some(p) => delta0 // out-of-range values clamp to the build-time range
+          .withColumn("codes", graft.functions.Sq8.quantizeUdf(p)(col("vector")))
+          .drop("vector")
+        case None => delta0
+      }
       delta.write.mode("append").partitionBy("shard").parquet(dataPath)
       meta = meta.copy(numVectors = meta.numVectors + n,
         params = withBatch(meta.params + ("shards" -> (nextShard + 1).toString), batchId))
@@ -350,12 +356,26 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     if (isGraphEngine) {
       // graph compaction = rebuild without tombstones (the reference also
       // rebuilds + remaps, rust_lib/src/index_manager.rs:687-716)
-      val liveVecs = data.select("id", "vector").join(deletes, Seq("id"), "left_anti")
+      // quantized graphs rebuild from dequantized vectors (same reconstruct-
+      // then-rebuild shape as mergeFrom; codes are re-fit-free: quant params
+      // are range-stable under row removal)
+      val liveFloats = quantParams match {
+        case Some(p) => data.select(col("id"),
+          graft.functions.Sq8.dequantizeUdf(p)(col("codes")).as("vector"))
+        case None => data.select(col("id"), col("vector"))
+      }
+      val liveVecs = liveFloats.join(deletes, Seq("id"), "left_anti")
       val liveCount = liveVecs.count()
       val shards = meta.param("shards", 1)
-      val rebuilt = meta.engine match {
+      val rebuilt0 = meta.engine match {
         case "DISKANN" => Vamana.build(liveVecs, shards, Vamana.Params.from(meta), meta.metric)
         case "HNSW" => Hnsw.build(liveVecs, shards, Hnsw.Params.from(meta), meta.metric)
+      }
+      val rebuilt = quantParams match {
+        case Some(p) => rebuilt0
+          .withColumn("codes", graft.functions.Sq8.quantizeUdf(p)(col("vector")))
+          .drop("vector")
+        case None => rebuilt0
       }
       rebuilt.write.mode("overwrite").partitionBy("shard").parquet(tmp)
       IndexMeta.replaceDir(tmp, dataPath)

@@ -139,6 +139,23 @@ object AnnIndexBuilder {
     }
     centroids.zipWithIndex.map { case (v, i) => (i, v) }
   }
+
+  /** Fit SQ8 per-dimension (min, scale) from the prepared vectors and
+    * persist them under `$path/quant`; returns the params for the quantize
+    * pass (reference SQ8 appendix, rust_lib/src/index_manager.rs:508-536). */
+  def fitSq8(prepared: DataFrame, path: String): graft.functions.Sq8.QuantParams = {
+    val spark = prepared.sparkSession
+    import spark.implicits._
+    val mm = prepared
+      .select(posexplode(col("vector")).as(Seq("dim", "v")))
+      .groupBy("dim").agg(min("v").as("vmin"), max("v").as("vmax"))
+      .collect().map(r => (r.getInt(0), r.getFloat(1), r.getFloat(2)))
+      .sortBy(_._1)
+    mm.toSeq.map { case (d, lo, hi) => (d, lo, hi - lo) }
+      .toDF("dim", "vmin", "scale")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/quant")
+    graft.functions.Sq8.QuantParams(mm.map(_._2), mm.map(t => t._3 - t._2))
+  }
 }
 
 /** Index lifecycle manager — the catalog the reference keeps in DuckDB's
@@ -195,6 +212,8 @@ object AnnIndexManager {
     require(Seq("l2", "ip", "cosine").contains(metric), s"unknown metric $metric")
     require(Seq("FLAT", "IVF", "DISKANN", "HNSW").contains(engine),
       s"unknown engine $engine")
+    params.get("quantization").foreach(q =>
+      require(q == "sq8", s"unknown quantization $q (supported: sq8)"))
 
     // dimension check on a sample row (schema validation, reference
     // src/diskann_index.cpp:82-84)
@@ -221,7 +240,18 @@ object AnnIndexManager {
             params.getOrElse("ef_construction", "64").toInt), metric)
         }
         IndexMeta.deleteDir(path)
-        graph.write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
+        // SQ8 on graph engines: the topology is built on EXACT floats (no
+        // quantization noise in edge selection), then only the stored rows
+        // carry u8 codes — 4x smaller dataset on disk and over any shuffle.
+        // Search dequantizes once per shard at decode time (cached), which
+        // is value-identical to the reference's dequantize-on-access.
+        val storedGraph =
+          if (params.get("quantization").contains("sq8")) {
+            val qp = AnnIndexBuilder.fitSq8(prepared, path)
+            graph.withColumn("codes",
+              graft.functions.Sq8.quantizeUdf(qp)(col("vector"))).drop("vector")
+          } else graph
+        storedGraph.write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
         val meta = IndexMeta(name, engine, metric, dim, idCol, vecCol, n, 0L,
           params + ("shards" -> shards.toString))
         IndexMeta.write(path, meta)
@@ -255,17 +285,7 @@ object AnnIndexManager {
       // SQ8: derive per-dim min/scale from the data, store codes not floats
       val stored =
         if (params.get("quantization").contains("sq8")) {
-          import spark.implicits._
-          val mm = prepared
-            .select(posexplode(col("vector")).as(Seq("dim", "v")))
-            .groupBy("dim").agg(min("v").as("vmin"), max("v").as("vmax"))
-            .collect().map(r => (r.getInt(0), r.getFloat(1), r.getFloat(2)))
-            .sortBy(_._1)
-          val qp = graft.functions.Sq8.QuantParams(
-            mm.map(_._2), mm.map(t => t._3 - t._2))
-          mm.toSeq.map { case (d, lo, hi) => (d, lo, hi - lo) }
-            .toDF("dim", "vmin", "scale")
-            .coalesce(1).write.mode("overwrite").parquet(s"$path/quant")
+          val qp = AnnIndexBuilder.fitSq8(prepared, path)
           assigned
             .withColumn("codes", graft.functions.Sq8.quantizeUdf(qp)(col("vector")))
             .drop("vector")

@@ -204,7 +204,8 @@ object Hnsw {
   def searchBatch(spark: SparkSession, graphDf: DataFrame,
                   queries: Seq[(Int, Array[Float])], k: Int, ef: Int,
                   metric: String, cacheKey: Option[String] = None,
-                  prePartitioned: Boolean = false, numShards: Int = 0): DataFrame = {
+                  prePartitioned: Boolean = false, numShards: Int = 0,
+                  quant: Option[graft.functions.Sq8.QuantParams] = None): DataFrame = {
     val dist = VectorKernels.orderingDistance(metric) _
     val bcQueries = spark.sparkContext.broadcast(queries)
     val out = StructType(Seq(
@@ -212,7 +213,9 @@ object Hnsw {
       StructField("id", LongType, nullable = false),
       StructField("_distance", DoubleType, nullable = false)))
 
-    val graph0 = graphDf.select("shard", "label", "id", "vector", "level",
+    // SQ8 datasets store u8 codes; dequantize once at shard decode (cached)
+    val vecColName = if (quant.isDefined) "codes" else "vector"
+    val graph0 = graphDf.select("shard", "label", "id", vecColName, "level",
       "neighbors", "is_entry")
     val graph =
       if (prePartitioned) graph0
@@ -238,7 +241,10 @@ object Hnsw {
           shardRows.foreach { r =>
             val label = r.getInt(1)
             ids(label) = r.getLong(2)
-            vecs(label) = r.getSeq[Float](3).toArray
+            vecs(label) = quant match {
+              case Some(p) => graft.functions.Sq8.dequantize(r.getAs[Array[Byte]](3), p)
+              case None => r.getSeq[Float](3).toArray
+            }
             lvls(label) = r.getInt(4)
             // Row gives mutable ArraySeq elements; scala.Seq (=immutable) would CCE
             nbrs(label) = r.getSeq[scala.collection.Seq[Int]](5).map(_.toArray).toArray

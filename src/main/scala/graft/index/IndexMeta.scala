@@ -27,7 +27,8 @@ case class IndexMeta(
   /** In-memory size estimate (vectors + ids + graph edges if any), mirroring
     * GetInMemorySize (reference: src/diskann_index.cpp:643-653). */
   def memoryBytes: Long = {
-    val perVec = dim.toLong * 4 + 8 + 4 // vector + id + list/label
+    val bytesPerDim = if (quantized) 1L else 4L // SQ8 stores u8 codes
+    val perVec = dim.toLong * bytesPerDim + 8 + 4 // vector + id + list/label
     val graph = if (engine == "DISKANN") param("max_degree", 64).toLong * 4 else 0L
     numVectors * (perVec + graph)
   }

@@ -311,7 +311,8 @@ object Vamana {
   def searchBatch(spark: SparkSession, graphDf: DataFrame,
                   queries: Seq[(Int, Array[Float])], k: Int, l: Int,
                   metric: String, cacheKey: Option[String] = None,
-                  prePartitioned: Boolean = false, numShards: Int = 0): DataFrame = {
+                  prePartitioned: Boolean = false, numShards: Int = 0,
+                  quant: Option[graft.functions.Sq8.QuantParams] = None): DataFrame = {
     val dist = VectorKernels.orderingDistance(metric) _
     val bcQueries = spark.sparkContext.broadcast(queries)
     val out = StructType(Seq(
@@ -319,8 +320,12 @@ object Vamana {
       StructField("id", LongType, nullable = false),
       StructField("_distance", DoubleType, nullable = false)))
 
+    // SQ8 graph datasets store u8 codes; dequantize ONCE at shard decode
+    // (the decoded float arrays live in GraphShardCache) — value-identical
+    // to per-access dequantization, amortized across query batches.
+    val vecColName = if (quant.isDefined) "codes" else "vector"
     val graph0 = graphDf
-      .select("shard", "label", "id", "vector", "neighbors", "is_entry")
+      .select("shard", "label", "id", vecColName, "neighbors", "is_entry")
     // sized to the shard count when known — default shuffle partitions would
     // leave most output partitions empty; either way one task buffers an
     // entire shard's rows (plus decoded arrays), which bounds shard sizing
@@ -348,7 +353,10 @@ object Vamana {
           shardRows.foreach { r =>
             val label = r.getInt(1)
             ids(label) = r.getLong(2)
-            vecs(label) = r.getSeq[Float](3).toArray
+            vecs(label) = quant match {
+              case Some(p) => graft.functions.Sq8.dequantize(r.getAs[Array[Byte]](3), p)
+              case None => r.getSeq[Float](3).toArray
+            }
             nbrs(label) = r.getSeq[Int](4).toArray
             if (r.getBoolean(5)) entry = label
           }

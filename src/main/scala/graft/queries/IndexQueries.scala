@@ -36,6 +36,13 @@ object IndexQueries {
         "IVF", Map("metric" -> "l2", "nlist" -> "8", "nprobe" -> "8",
           "table" -> "embeddings"), path))
 
+  private def sq8VamanaIndex(s: SparkSession, dir: String): AnnIndex =
+    AnnIndexManager.getOrBuild(s, "emb_vamana_sq8", dir, path =>
+      AnnIndexManager.create(s, "emb_vamana_sq8", emb(s, dir), "vec_id", "embedding",
+        "DISKANN", Map("metric" -> "l2", "max_degree" -> "64",
+          "build_complexity" -> "128", "quantization" -> "sq8",
+          "table" -> "embeddings"), path))
+
   private def hnswIndex(s: SparkSession, dir: String): AnnIndex =
     AnnIndexManager.getOrBuild(s, "emb_hnsw", dir, path =>
       AnnIndexManager.create(s, "emb_hnsw", emb(s, dir), "vec_id", "embedding",
@@ -316,6 +323,13 @@ object IndexQueries {
     // fixture is asserted in Sq8Spec.
     "ann_sq8_topk" -> ((s: SparkSession, dir: String) =>
       ranked(sq8Index(s, dir).scan(qvecF(5), K))),
+
+    // SQ8 on the graph engine (reference SQ8 appendix,
+    // rust_lib/src/index_manager.rs:508-536): the shard dataset stores u8
+    // codes, dequantized once per shard decode. Rows-only (quantization
+    // error vs the float oracle); recall floor asserted in VamanaSpec.
+    "ann_vamana_sq8" -> ((s: SparkSession, dir: String) =>
+      ranked(sq8VamanaIndex(s, dir).scan(qvecF(5), K, searchParam = 100000))),
 
     // S7 hybrid BM25+vector RRF fusion: rows-only (BM25 float sums are not
     // bit-mirrorable in SQL); semantics asserted in HybridSpec.

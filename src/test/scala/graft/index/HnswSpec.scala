@@ -75,6 +75,19 @@ class HnswSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("SQ8 HNSW index: codes stored, exhaustive-ef recall holds") {
+    val sq8 = AnnIndexManager.create(spark, "h_sq8", vecsDf, "id", "embedding",
+      "HNSW", Map("metric" -> "l2", "hnsw_m" -> "16", "quantization" -> "sq8"),
+      s"$tmp/h_sq8")
+    assert(sq8.meta.quantized)
+    val cols = spark.read.parquet(s"$tmp/h_sq8/data").columns.toSet
+    assert(cols.contains("codes") && !cols.contains("vector"))
+    for (q <- queries) {
+      val got = sq8.scan(q, 10, searchParam = 100000).collect().map(_.getLong(0)).toSet
+      assert(got.intersect(brute(q, 10).toSet).size >= 7, s"recall for ${q.toSeq}")
+    }
+  }
+
   test("delete + vacuum + insert on HNSW (graph maintenance parity)") {
     val dml = AnnIndexManager.create(spark, "h_dml", vecsDf, "id", "embedding",
       "HNSW", Map("metric" -> "l2"), s"$tmp/h_dml")

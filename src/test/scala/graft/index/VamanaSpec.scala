@@ -151,6 +151,33 @@ class VamanaSpec extends SparkSpec {
     pinIdx.unpersist()
   }
 
+  test("SQ8 graph index: codes stored, recall floor holds, DML round-trip") {
+    val sq8 = AnnIndexManager.create(spark, "v_sq8", vecsDf, "id", "embedding",
+      "DISKANN", Map("metric" -> "l2", "quantization" -> "sq8"), s"$tmp/v_sq8")
+    assert(sq8.meta.quantized)
+    // the graph dataset stores u8 codes, not float vectors
+    val cols = spark.read.parquet(s"$tmp/v_sq8/data").columns.toSet
+    assert(cols.contains("codes") && !cols.contains("vector"))
+    for (q <- queries) {
+      val got = sq8.scan(q, 10, searchParam = 100000).collect().map(_.getLong(0)).toSet
+      assert(got.intersect(brute(q, 10).toSet).size >= 7, s"recall for ${q.toSeq}")
+    }
+    // tombstone, compaction-rebuild (dequantize → rebuild → requantize) and
+    // delta-shard insert all run against the quantized dataset
+    val q = queries(1)
+    val top3 = brute(q, 3).toSet
+    sq8.delete(top3.toSeq)
+    sq8.vacuum()
+    assert(sq8.meta.numDeleted == 0 && sq8.meta.numVectors == 197)
+    assert(sq8.scan(q, 10, searchParam = 100000).collect()
+      .map(_.getLong(0)).toSet.intersect(top3).isEmpty)
+    import spark.implicits._
+    sq8.insert(vecs.filter(v => top3(v._1)).toDF("id", "embedding"), "id", "embedding")
+    assert(sq8.meta.numVectors == 200)
+    val afterInsert = sq8.scan(q, 10, searchParam = 100000).collect().map(_.getLong(0)).toSet
+    assert(afterInsert.intersect(top3).nonEmpty)
+  }
+
   test("search_complexity semantics: l = max(k, sc or bc)") {
     assert(Vamana.beamWidth(10, 0, 128) == 128)
     assert(Vamana.beamWidth(10, 50, 128) == 50)
