@@ -17,6 +17,58 @@ import scala.util.hashing.MurmurHash3
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Sessions that already carry the capped-bucket log listener. */
+  private val capListenerSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  /** Log observed capped-bucket metrics after each action touching a
+    * Dedup plan — the reporting the bucket caps promise, at zero extra
+    * job cost (the metric rides the aggregation via Dataset.observe). */
+  private def ensureCapListener(spark: org.apache.spark.sql.SparkSession): Unit =
+    capListenerSessions.synchronized {
+      if (!capListenerSessions.containsKey(spark)) {
+        capListenerSessions.put(spark, java.lang.Boolean.TRUE)
+        spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+                                 qe: org.apache.spark.sql.execution.QueryExecution,
+                                 durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith("graft.dedup.") && !row.isNullAt(0) && row.getLong(0) > 0)
+                log.warn(s"$name: dropped ${row.getLong(0)} oversized LSH bucket(s); " +
+                  s"largest bucket had ${row.getLong(1)} members — degenerate near-identical " +
+                  "content is not pair-expanded (raise maxBucket to include it)")
+            }
+          override def onFailure(funcName: String,
+                                 qe: org.apache.spark.sql.execution.QueryExecution,
+                                 exception: Exception): Unit = ()
+        })
+      }
+    }
+
+  /** Skew-safe bucket formation shared by every LSH candidate generator:
+    * per-key COUNTS aggregate first (map-side partials — a degenerate key
+    * never materializes), oversized keys are dropped by a semi-join BEFORE
+    * `collect_list` builds any array, and the number of capped buckets is
+    * observed on the plan and logged by [[ensureCapListener]]. The input's
+    * shuffle by `keyCols` is shared between the count and collect passes
+    * (same key → exchange reuse). */
+  private def cappedBuckets(rows: DataFrame, keyCols: Seq[String],
+                            payload: Column, maxBucket: Int,
+                            what: String): DataFrame = {
+    ensureCapListener(rows.sparkSession)
+    val keys = keyCols.map(col)
+    val counts = rows.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+      .observe(s"graft.dedup.$what",
+        sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("capped_buckets"),
+        max(col("__n")).as("largest_bucket"))
+    val eligible = counts.filter(col("__n").between(2, maxBucket)).select(keys: _*)
+    rows.join(eligible, keyCols, "left_semi")
+      .groupBy(keys: _*).agg(collect_list(payload).as("items"))
+  }
+
   // ---- exact ----
 
   /** Exact dedup groups: one row per distinct text, keeping the smallest id
@@ -92,9 +144,8 @@ object Dedup {
     val banded = sigs.select(col(idCol), posexplode(
       expr(s"transform(sequence(0, ${bands - 1}), " +
         s"b -> hash(slice($sigCol, b * $rows + 1, $rows)))")).as(Seq("band", "band_hash")))
-    val buckets = banded.groupBy("band", "band_hash")
-      .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")) between(2, maxBucket))
+    val buckets = cappedBuckets(banded, Seq("band", "band_hash"), col(idCol),
+      maxBucket, "minhash_lsh").withColumnRenamed("items", "ids")
     buckets.select(explode(pairsExpr(col("ids"))).as("pair"))
       .select(col("pair._1").as("a"), col("pair._2").as("b"))
       .distinct()
@@ -168,14 +219,13 @@ object Dedup {
     * via 4×16-bit chunk banding (pigeonhole: any pair within distance 3
     * shares at least one exact chunk). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val hashed = withSimhash(df, textCol).select(col(idCol), col("simhash")).cache()
     val chunked = hashed.select(col(idCol), col("simhash"), posexplode(
       expr("transform(sequence(0,3), c -> shiftright(simhash, c*16) & 65535)"))
       .as(Seq("chunk", "chunk_val")))
-    val buckets = chunked.groupBy("chunk", "chunk_val")
-      .agg(collect_list(struct(col(idCol), col("simhash"))).as("items"))
-      .filter(size(col("items")) between(2, 1000))
+    val buckets = cappedBuckets(chunked, Seq("chunk", "chunk_val"),
+      struct(col(idCol), col("simhash")), maxBucket, "simhash")
     val hamming = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
     buckets.select(explode(pairsExprStruct(col("items"), idCol)).as("pair"))
       .select(col(s"pair.a_$idCol").as("a"), col(s"pair.b_$idCol").as("b"),
@@ -216,7 +266,8 @@ object Dedup {
     * < 1 by construction; raise repeats for higher recall. */
   def embeddingNearDupsLsh(df: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, bits: Int = 12,
-                           repeats: Int = 4, seed: Int = 42): DataFrame = {
+                           repeats: Int = 4, seed: Int = 42,
+                           maxBucket: Int = 10000): DataFrame = {
     import graft.functions.AnnFunctions._
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     val rnd = new scala.util.Random(seed)
@@ -241,9 +292,8 @@ object Dedup {
     val reps = df.select(col(idCol), col(vecCol))
       .crossJoin(spark_rep(df, repeats))
       .withColumn("bucket", sigUdf(col(vecCol), col("rep")))
-    val buckets = reps.groupBy("rep", "bucket")
-      .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")) between(2, 10000))
+    val buckets = cappedBuckets(reps, Seq("rep", "bucket"), col(idCol),
+      maxBucket, "embedding_lsh").withColumnRenamed("items", "ids")
     val cands = buckets.select(explode(pairsExpr(col("ids"))).as("pair"))
       .select(col("pair._1").as("a"), col("pair._2").as("b"))
       .distinct()

@@ -37,6 +37,30 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 8L || p._2 == 8L))
   }
 
+  test("degenerate corpus: oversized buckets are capped BEFORE materialization, distinct pairs survive") {
+    import spark.implicits._
+    // 1500 identical docs form a single bucket of 1500 ids in every band —
+    // over the 1000 cap, so the bucket must be dropped by the count-first
+    // path (never collect_list'd) and the query still completes.
+    val degenerate = (0L until 1500L).map(i => (i, "the same boilerplate line repeated"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashNearDups(degenerate, "doc_id", "text",
+      shingleSize = 2, threshold = 0.5)
+    assert(capped.count() == 0) // every bucket oversized → no pairs, no blow-up
+
+    // a mixed corpus: the degenerate mass is capped away but a small planted
+    // near-dup pair in its own bucket still comes through
+    val mixed = degenerate.union(Seq(
+      (2001L, "a genuinely unique document about spark aggregation pipelines"),
+      (2002L, "a genuinely unique document about spark aggregation pipeline")
+    ).toDF("doc_id", "text"))
+    val pairs = Dedup.minhashNearDups(mixed, "doc_id", "text",
+      shingleSize = 2, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs.contains((2001L, 2002L)))
+    assert(pairs.forall { case (a, b) => a >= 2000L && b >= 2000L })
+  }
+
   test("simhash: identical docs share fingerprint; near-dups within hamming 3") {
     val fps = Dedup.withSimhash(docsDf, "text")
       .select("doc_id", "simhash").collect()
