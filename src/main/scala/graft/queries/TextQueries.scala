@@ -98,6 +98,58 @@ object TextQueries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) > 0.42
-        |ORDER BY a, b""".stripMargin
+        |ORDER BY a, b""".stripMargin,
+
+    // langId mirrored stopword-for-stopword: list_intersect = Spark's
+    // array_intersect (distinct elements in both), CASE order = the fixed
+    // language priority, CJK ratio decided first.
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(text), '\s+') AS toks,
+        |    CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS cjk
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, cjk,
+        |    len(list_intersect(toks, ['the','and','of','to','in','is','that','it','was','for','with','a'])) AS s_en,
+        |    len(list_intersect(toks, ['der','die','das','und','ist','nicht','mit','ein','eine','zu','den','von'])) AS s_de,
+        |    len(list_intersect(toks, ['le','la','les','et','est','un','une','dans','que','pour','des','du'])) AS s_fr,
+        |    len(list_intersect(toks, ['el','los','las','de','que','y','en','un','una','es','por','con'])) AS s_es
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN cjk > 0.3 THEN 'zh'
+        |       WHEN greatest(s_en,s_de,s_fr,s_es) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en,s_de,s_fr,s_es) THEN 'en'
+        |       WHEN s_de = greatest(s_en,s_de,s_fr,s_es) THEN 'de'
+        |       WHEN s_fr = greatest(s_en,s_de,s_fr,s_es) THEN 'fr'
+        |       ELSE 'es' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // quality score mirrored term-for-term in DOUBLE; round(4) both sides
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    string_split_regex(lower(text), '\s+') AS toks,
+        |    CAST(length(regexp_replace(lower(text), '[^a-z\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, n_chars, alpha_ratio,
+        |    greatest(len(toks), 1) AS n_tokens,
+        |    CAST(len(list_intersect(toks, ['the','and','of','to','in','is','that','it','was','for','with','a']))
+        |      + len(list_intersect(toks, ['der','die','das','und','ist','nicht','mit','ein','eine','zu','den','von']))
+        |      + len(list_intersect(toks, ['le','la','les','et','est','un','une','dans','que','pour','des','du']))
+        |      + len(list_intersect(toks, ['el','los','las','de','que','y','en','un','una','es','por','con'])) AS DOUBLE) AS stop_hits
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  round(least(n_chars / 500.0, 1.0) * 0.3
+        |      + least(stop_hits / 5.0, 1.0) * 0.2
+        |      + alpha_ratio * 0.3
+        |      + (CASE WHEN n_chars / n_tokens BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2, 4) AS quality_score
+        |FROM s ORDER BY doc_id""".stripMargin
   )
 }
