@@ -55,13 +55,17 @@ object Dedup {
     * observed on the plan and logged by [[ensureCapListener]]. The input's
     * shuffle by `keyCols` is shared between the count and collect passes
     * (same key → exchange reuse). */
+  private val observeSeq = new java.util.concurrent.atomic.AtomicLong()
+
   private def cappedBuckets(rows: DataFrame, keyCols: Seq[String],
                             payload: Column, maxBucket: Int,
                             what: String): DataFrame = {
     ensureCapListener(rows.sparkSession)
     val keys = keyCols.map(col)
+    // unique observation name per call: two dedup operators composed into
+    // ONE query (e.g. a union) must not collide at analysis time
     val counts = rows.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
-      .observe(s"graft.dedup.$what",
+      .observe(s"graft.dedup.$what.${observeSeq.incrementAndGet()}",
         sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("capped_buckets"),
         max(col("__n")).as("largest_bucket"))
     val eligible = counts.filter(col("__n").between(2, maxBucket)).select(keys: _*)
