@@ -54,7 +54,15 @@ object HybridSearch {
       .withColumn("contrib",
         col("idf") * (col("tf") * (k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / ti.avgDl)))
-      .groupBy("id").agg(sum("contrib").as("_bm25_score"))
+      // deterministic score: double addition is not associative, and a plain
+      // sum() combines per-term contributions in partition order — near-equal
+      // docs could flip ranks between runs. Summing the (few) query-term
+      // contributions in sorted term order makes scores bit-stable.
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("term"), col("contrib")))).as("cs"))
+      .withColumn("_bm25_score",
+        aggregate(col("cs"), lit(0.0d), (acc, x) => acc + x("contrib")))
+      .select(col("id"), col("_bm25_score"))
     scored.orderBy(col("_bm25_score").desc, col("id")).limit(k)
   }
 
