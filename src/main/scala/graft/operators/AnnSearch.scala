@@ -132,9 +132,15 @@ object AnnSearch {
     */
   def searchFiltered(idx: AnnIndex, base: DataFrame, baseIdCol: String,
                      q: Array[Float], k: Int, predicate: Column,
-                     nprobe: Int = -1, overfetchMultiplier: Int = 3): DataFrame = {
+                     nprobe: Int = -1, overfetchMultiplier: Int = -1): DataFrame = {
     val spark = base.sparkSession
-    val overfetch = k * overfetchMultiplier + 100
+    // the reference registers `ann_overfetch_multiplier` as an extension
+    // option (src/ann_extension.cpp:57-60, default 3 → "3x+100"); the Spark
+    // analogue is a session conf, overridable per call via the parameter
+    val mult =
+      if (overfetchMultiplier > 0) overfetchMultiplier
+      else spark.conf.get("spark.ann.overfetchMultiplier", "3").toInt
+    val overfetch = k * mult + 100
     val exhaustive = overfetch >= idx.meta.numVectors && idx.meta.engine == "FLAT"
     val hits = idx.scan(q, overfetch, nprobe)
     val filtered = base.filter(predicate)

@@ -82,7 +82,13 @@ object TextAnalysis {
       .cast("double") / greatest(nChars, lit(1.0))
     val meanTokLen = nChars / nTokens
     val tokLenScore = when(meanTokLen.between(3.0, 12.0), 1.0).otherwise(0.3)
-    round(lenScore * 0.3 + stopScore * 0.2 + alphaRatio * 0.3 + tokLenScore * 0.2, 4)
+    // +1e-9 before round(4): the nice-decimal weights put some scores
+    // EXACTLY on the 4th-decimal .5 boundary (e.g. 0.49925), where rounding
+    // implementations legitimately disagree (BigDecimal HALF_UP on the
+    // binary value vs multiply-then-round). The epsilon shifts the boundary
+    // off the representable point; the oracle applies the same nudge.
+    round(lenScore * 0.3 + stopScore * 0.2 + alphaRatio * 0.3 + tokLenScore * 0.2
+      + 1e-9, 4)
   }
 
   def withQualityScore(df: DataFrame, textCol: String): DataFrame =

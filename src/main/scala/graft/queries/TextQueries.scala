@@ -149,7 +149,8 @@ object TextQueries {
         |  round(least(n_chars / 500.0, 1.0) * 0.3
         |      + least(stop_hits / 5.0, 1.0) * 0.2
         |      + alpha_ratio * 0.3
-        |      + (CASE WHEN n_chars / n_tokens BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2, 4) AS quality_score
+        |      + (CASE WHEN n_chars / n_tokens BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2
+        |      + 0.000000001, 4) AS quality_score
         |FROM s ORDER BY doc_id""".stripMargin
   )
 }

@@ -142,6 +142,18 @@ class OperatorSpec extends SparkSpec {
     assert(got == brute(q, 5, t => t._2 == 2))
   }
 
+  test("searchFiltered honors spark.ann.overfetchMultiplier (extension-option analogue)") {
+    val q = vecs(42)._3
+    spark.conf.set("spark.ann.overfetchMultiplier", "1")
+    try {
+      val res = AnnSearch.searchFiltered(flat, vecsDf, "id", q, 5,
+        predicate = col("tag") === 2)
+      // correctness must be invariant to the multiplier (fallback covers
+      // whatever the overfetch misses)
+      assert(res.collect().map(_.getAs[Long]("id")).toSeq == brute(q, 5, t => t._2 == 2))
+    } finally spark.conf.unset("spark.ann.overfetchMultiplier")
+  }
+
   test("TopK.grouped equals window-based top-k") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
