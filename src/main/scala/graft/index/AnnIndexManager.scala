@@ -54,6 +54,16 @@ object AnnIndexBuilder {
     * caller asks for — training is ALWAYS sampled, as in faiss. */
   val MaxTrainRows = 262144
 
+  /** Default graph-engine shard count: bounded per-task BUILD TIME, not
+    * just memory. Empirical (tools/ShardSizing, single thread): insert cost
+    * scales ~ n·d — 1.5 ms/insert at d=64 but ~17 ms at d=768, so a fixed
+    * 100k-row shard would be a ~3 min task at d=64 yet ~30 min at d=768
+    * (straggler/retry poison). Budgeting n·d ≈ 12.8M per shard (100k rows
+    * at d=128) keeps any shard's build at roughly 3-5 minutes and its
+    * decoded size ≈ 50 MB + edges at every dimension. */
+  def defaultGraphShards(n: Long, dim: Int): Int =
+    math.max(1, math.ceil(n.toDouble * math.max(dim, 1) / 12800000.0).toInt)
+
   /** IVF centroid training: kmeans++ seeding + Lloyd iterations over a
     * DRIVER-SIDE bounded sample.
     *
@@ -226,10 +236,10 @@ object AnnIndexManager {
       val n = prepared.count()
 
       if (engine == "DISKANN" || engine == "HNSW") {
-        // partition-local graphs; default shard sizing targets ~100k
-        // vectors per graph (bounded task memory at any total scale)
+        // partition-local graphs; default shard sizing bounds per-task
+        // build time AND memory at any total scale (dimension-aware)
         val shards = params.get("shards").map(_.toInt)
-          .getOrElse(math.max(1, math.ceil(n / 100000.0).toInt))
+          .getOrElse(AnnIndexBuilder.defaultGraphShards(n, dim))
         val graph = engine match {
           case "DISKANN" => Vamana.build(prepared, shards, Vamana.Params(
             params.getOrElse("max_degree", "64").toInt,
