@@ -48,7 +48,8 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       val raw = spark.read.parquet(dataPath)
       val laidOut =
         if (isGraphEngine)
-          raw.repartition(math.max(1, meta.param("shards", 1)), col("shard"))
+          raw.repartition(Vamana.shardPartitions(math.max(1, meta.param("shards", 1))),
+            col("shard"))
         else raw
       val df = laidOut.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // materialize now
@@ -72,17 +73,31 @@ class AnnIndex(val spark: SparkSession, val path: String) {
 
   def hasDeletes: Boolean = IndexMeta.existsDir(deletesPath)
 
+  /** Current insert epoch. Every data row carries the epoch (`seg`) of the
+    * insert batch that wrote it; tombstones record the epoch at delete
+    * time. A row is dead iff a tombstone for its id has seg >= the row's
+    * seg — so deleting an id and re-inserting it later (the standard CDC
+    * update encoding) leaves the NEW row visible, like the reference's
+    * rowid-keyed tombstones where a re-insert is a fresh rowid
+    * (src/diskann_index.cpp:316-385). */
+  def currentSeg: Long = meta.params.get("seg").map(_.toLong).getOrElse(0L)
+
   def deletes: DataFrame =
     if (hasDeletes) spark.read.parquet(deletesPath)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("id", LongType))))
+      StructType(Seq(StructField("id", LongType), StructField("seg", LongType))))
 
-  /** Live rows = data minus tombstones (reference filters post-search,
-    * src/diskann_index.cpp:584-592; an anti-join before top-k keeps
-    * exactness without the k+|deleted| overfetch). */
+  /** Live rows = data minus epoch-masked tombstones (reference filters
+    * post-search, src/diskann_index.cpp:584-592; an anti-join before top-k
+    * keeps exactness without the k+|deleted| overfetch). */
   def live: DataFrame =
-    if (hasDeletes) data.join(deletes, Seq("id"), "left_anti") else data
+    if (hasDeletes) {
+      val d = deletes.select(col("id").as("__did"), col("seg").as("__dseg"))
+      val base = data // bind once: `data` is a def, each call has fresh expr ids
+      base.join(broadcast(d),
+        base("id") === col("__did") && base("seg") <= col("__dseg"), "left_anti")
+    } else data
 
   /** IVF centroids, collected once per index instance (nlist × dim — tiny). */
   lazy val centroids: Array[(Int, Array[Float])] =
@@ -218,10 +233,16 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         Hnsw.searchBatch(spark, src, qs, k + overfetch, ef, meta.metric, ck,
           prePartitioned = prePart, numShards = nShards, quant = quantParams)
     }
-    if (hasDeletes) {
-      val filtered = res.join(deletes, Seq("id"), "left_anti")
-      graft.operators.TopK.grouped(filtered, "query_idx", "_distance", "id", k)
-    } else res
+    val cleaned =
+      if (hasDeletes) {
+        // hits carry the per-shard insert epoch: a tombstone only masks
+        // rows it is newer than (epoch semantics, see currentSeg)
+        val d = deletes.select(col("id").as("__did"), col("seg").as("__dseg"))
+        val filtered = res.join(broadcast(d),
+          res("id") === col("__did") && res("seg") <= col("__dseg"), "left_anti")
+        graft.operators.TopK.grouped(filtered, "query_idx", "_distance", "id", k)
+      } else res
+    cleaned.drop("seg")
   }
 
   /** Partition-pruned cell scan: `list_id IN (...)` reaches the parquet
@@ -273,35 +294,33 @@ class AnnIndex(val spark: SparkSession, val path: String) {
 
   // ---- maintenance (reference §2.10 BoundIndex hooks) ----
 
-  /** Highest streaming micro-batch id applied to this index; -1 when the
-    * index has never been fed by a stream. Persisted in meta.json so
-    * replayed batches after a restart are recognized (SURVEY §2.8). */
-  def lastAppliedBatch: Long =
-    meta.params.get("last_batch_id").map(_.toLong).getOrElse(-1L)
+  /** Highest streaming micro-batch id applied to this index by the given
+    * stream; -1 when that stream has never fed the index. Watermarks are
+    * scoped PER STREAM because Spark batch ids are monotonic only per
+    * checkpoint — a fresh checkpoint (ids restart at 0) or a second stream
+    * feeding the same index must not be masked by another stream's
+    * watermark. Persisted in meta.json (SURVEY §2.8). */
+  def lastAppliedBatch(streamId: String = "default"): Long =
+    meta.params.get(s"last_batch_id.$streamId").map(_.toLong).getOrElse(-1L)
 
   /** Record a batch id without any data change (empty micro-batch). */
-  def recordAppliedBatch(batchId: Long): Unit = {
-    meta = meta.copy(params = meta.params + ("last_batch_id" -> batchId.toString))
+  def recordAppliedBatch(batchId: Long, streamId: String = "default"): Unit = {
+    meta = meta.copy(params =
+      meta.params + (s"last_batch_id.$streamId" -> batchId.toString))
     IndexMeta.write(path, meta)
   }
 
   private def withBatch(params: Map[String, String],
-                        batchId: Option[Long]): Map[String, String] =
-    params ++ batchId.map(b => "last_batch_id" -> b.toString)
+                        batch: Option[(String, Long)]): Map[String, String] =
+    params ++ batch.map { case (sid, b) => s"last_batch_id.$sid" -> b.toString }
 
-  /** Append/Insert hook: assign cells (FLAT/IVF) or build a delta graph
-    * shard (DISKANN — the append-segment model of §2.8), append to the
-    * index dataset (reference: src/diskann_index.cpp:316-361).
-    *
-    * `batchId` (streaming maintenance) is recorded in the SAME meta write
-    * that publishes the new row count, so a replayed micro-batch can be
-    * detected and skipped; the redo window is only a crash between the
-    * data append and the meta write (the reference's WAL redo has the same
-    * semantics, src/diskann_index.cpp:536-546). */
-  def insert(rows: DataFrame, idCol: String, vecCol: String,
-             batchId: Option[Long] = None): Unit = {
+  /** Append the insert rows to the data dataset at epoch currentSeg+1;
+    * returns (rowCount, paramsDelta) for the caller's single meta publish. */
+  private def writeInsertData(rows: DataFrame, idCol: String,
+                              vecCol: String): (Long, Map[String, String]) = {
     val prepared = AnnIndexBuilder.prepare(rows, idCol, vecCol, meta.metric)
     val n = prepared.count()
+    val segNew = currentSeg + 1
     if (isGraphEngine) {
       val nextShard = meta.param("shards", 1)
       val delta0 = (meta.engine match {
@@ -314,9 +333,9 @@ class AnnIndex(val spark: SparkSession, val path: String) {
           .drop("vector")
         case None => delta0
       }
-      delta.write.mode("append").partitionBy("shard").parquet(dataPath)
-      meta = meta.copy(numVectors = meta.numVectors + n,
-        params = withBatch(meta.params + ("shards" -> (nextShard + 1).toString), batchId))
+      delta.withColumn("seg", lit(segNew))
+        .write.mode("append").partitionBy("shard").parquet(dataPath)
+      (n, Map("seg" -> segNew.toString, "shards" -> (nextShard + 1).toString))
     } else {
       val assigned = AnnIndexBuilder.assignLists(prepared, centroids, meta.engine)
       val stored = quantParams match {
@@ -325,27 +344,72 @@ class AnnIndex(val spark: SparkSession, val path: String) {
           .drop("vector") // out-of-range values clamp to the build-time range
         case None => assigned
       }
-      stored.write.mode("append").partitionBy("list_id").parquet(dataPath)
-      meta = meta.copy(numVectors = meta.numVectors + n,
-        params = withBatch(meta.params, batchId))
+      stored.withColumn("seg", lit(segNew))
+        .write.mode("append").partitionBy("list_id").parquet(dataPath)
+      (n, Map("seg" -> segNew.toString))
     }
+  }
+
+  /** Append (id, epoch) tombstones; returns the tombstone count. */
+  private def writeTombstones(ids: DataFrame): Long = {
+    ids.select(col(ids.columns.head).cast(LongType).as("id"),
+        lit(currentSeg).as("seg"))
+      .write.mode("append").parquet(deletesPath)
+    ids.count()
+  }
+
+  /** Append/Insert hook: assign cells (FLAT/IVF) or build a delta graph
+    * shard (DISKANN — the append-segment model of §2.8), append to the
+    * index dataset (reference: src/diskann_index.cpp:316-361).
+    *
+    * `batch` = (streamId, batchId) for streaming maintenance, recorded in
+    * the SAME meta write that publishes the new row count, so a replayed
+    * micro-batch can be detected and skipped; the redo window is only a
+    * crash between the data append and the meta write (the reference's
+    * WAL redo has the same semantics, src/diskann_index.cpp:536-546). */
+  def insert(rows: DataFrame, idCol: String, vecCol: String,
+             batch: Option[(String, Long)] = None): Unit = {
+    val (n, delta) = writeInsertData(rows, idCol, vecCol)
+    meta = meta.copy(numVectors = meta.numVectors + n,
+      params = withBatch(meta.params ++ delta, batch))
     IndexMeta.write(path, meta)
     invalidatePin()
   }
 
-  /** Delete hook: tombstone the ids (reference: src/diskann_index.cpp:363-385). */
-  def delete(ids: DataFrame, batchId: Option[Long] = None): Unit = {
-    ids.select(col(ids.columns.head).cast(LongType).as("id"))
-      .write.mode("append").parquet(deletesPath)
-    val n = ids.count()
+  /** Delete hook: tombstone the ids at the current epoch
+    * (reference: src/diskann_index.cpp:363-385). */
+  def delete(ids: DataFrame, batch: Option[(String, Long)] = None): Unit = {
+    val n = writeTombstones(ids)
     meta = meta.copy(numDeleted = meta.numDeleted + n,
-      params = withBatch(meta.params, batchId))
+      params = withBatch(meta.params, batch))
     IndexMeta.write(path, meta)
   }
 
   def delete(ids: Seq[Long]): Unit = {
     import spark.implicits._
     delete(ids.toDF("id"))
+  }
+
+  /** Mixed CDC micro-batch with ONE meta publish: tombstones land at the
+    * pre-batch epoch, inserts at the next epoch (so a delete+insert of the
+    * same id in one batch is a visible update), and a single meta write
+    * publishes both counts plus the stream watermark. A crash before that
+    * write replays the whole batch: re-appended tombstone rows are
+    * duplicates with identical (id, seg) — semantically inert — and
+    * re-appended data rows are superseded only by the watermark skip, so
+    * the redo window stays the same single append-vs-meta gap as insert. */
+  def applyCdc(delIds: DataFrame, insRows: DataFrame, idCol: String,
+               vecCol: String, batch: Option[(String, Long)] = None): Unit = {
+    val nDel = if (delIds.isEmpty) 0L else writeTombstones(delIds)
+    val (nIns, delta) =
+      if (insRows.isEmpty) (0L, Map.empty[String, String])
+      else writeInsertData(insRows, idCol, vecCol)
+    meta = meta.copy(
+      numVectors = meta.numVectors + nIns,
+      numDeleted = meta.numDeleted + nDel,
+      params = withBatch(meta.params ++ delta, batch))
+    IndexMeta.write(path, meta)
+    invalidatePin()
   }
 
   /** Vacuum: compact away tombstones, atomically replacing the dataset
@@ -361,22 +425,28 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       // are range-stable under row removal)
       val liveFloats = quantParams match {
         case Some(p) => data.select(col("id"),
-          graft.functions.Sq8.dequantizeUdf(p)(col("codes")).as("vector"))
-        case None => data.select(col("id"), col("vector"))
+          graft.functions.Sq8.dequantizeUdf(p)(col("codes")).as("vector"), col("seg"))
+        case None => data.select(col("id"), col("vector"), col("seg"))
       }
-      val liveVecs = liveFloats.join(deletes, Seq("id"), "left_anti")
+      // epoch-aware tombstone mask, matching `live`
+      val d = deletes.select(col("id").as("__did"), col("seg").as("__dseg"))
+      val liveVecs = liveFloats.join(broadcast(d),
+          liveFloats("id") === col("__did") && liveFloats("seg") <= col("__dseg"),
+          "left_anti")
+        .select("id", "vector")
       val liveCount = liveVecs.count()
       val shards = meta.param("shards", 1)
       val rebuilt0 = meta.engine match {
         case "DISKANN" => Vamana.build(liveVecs, shards, Vamana.Params.from(meta), meta.metric)
         case "HNSW" => Hnsw.build(liveVecs, shards, Hnsw.Params.from(meta), meta.metric)
       }
-      val rebuilt = quantParams match {
+      val rebuilt = (quantParams match {
         case Some(p) => rebuilt0
           .withColumn("codes", graft.functions.Sq8.quantizeUdf(p)(col("vector")))
           .drop("vector")
         case None => rebuilt0
-      }
+      }).withColumn("seg", lit(currentSeg)) // tombstones are cleared below,
+      // so a uniform epoch on the rebuilt shards is sound
       rebuilt.write.mode("overwrite").partitionBy("shard").parquet(tmp)
       IndexMeta.replaceDir(tmp, dataPath)
       IndexMeta.deleteDir(deletesPath)

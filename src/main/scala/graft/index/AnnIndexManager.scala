@@ -256,11 +256,11 @@ object AnnIndexManager {
         // Search dequantizes once per shard at decode time (cached), which
         // is value-identical to the reference's dequantize-on-access.
         val storedGraph =
-          if (params.get("quantization").contains("sq8")) {
+          (if (params.get("quantization").contains("sq8")) {
             val qp = AnnIndexBuilder.fitSq8(prepared, path)
             graph.withColumn("codes",
               graft.functions.Sq8.quantizeUdf(qp)(col("vector"))).drop("vector")
-          } else graph
+          } else graph).withColumn("seg", lit(0L)) // insert epoch 0 = create
         storedGraph.write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
         val meta = IndexMeta(name, engine, metric, dim, idCol, vecCol, n, 0L,
           params + ("shards" -> shards.toString))
@@ -301,7 +301,8 @@ object AnnIndexManager {
             .drop("vector")
         } else assigned
 
-      stored.write.mode("overwrite").partitionBy("list_id").parquet(s"$path/data")
+      stored.withColumn("seg", lit(0L)) // insert epoch 0 = create
+        .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/data")
 
       if (engine == "IVF") {
         import spark.implicits._
@@ -368,7 +369,7 @@ object AnnIndexManager {
     * index; the fingerprint keys on data dir + engine + params. */
   /** Bump when the on-disk index layout changes: keys the build cache so
     * caches from older code versions rebuild instead of misloading. */
-  val FormatVersion = 2 // v2: ip/cosine driver indexes carry table_path
+  val FormatVersion = 3 // v3: per-row insert epoch (seg) + (id, seg) tombstones
 
   def getOrBuild(spark: SparkSession, name: String, sfDir: String,
                  build: String => AnnIndex): AnnIndex = {

@@ -211,15 +211,16 @@ object Hnsw {
     val out = StructType(Seq(
       StructField("query_idx", IntegerType, nullable = false),
       StructField("id", LongType, nullable = false),
-      StructField("_distance", DoubleType, nullable = false)))
+      StructField("_distance", DoubleType, nullable = false),
+      StructField("seg", LongType, nullable = false)))
 
     // SQ8 datasets store u8 codes; dequantize once at shard decode (cached)
     val vecColName = if (quant.isDefined) "codes" else "vector"
     val graph0 = graphDf.select("shard", "label", "id", vecColName, "level",
-      "neighbors", "is_entry")
+      "neighbors", "is_entry", "seg")
     val graph =
       if (prePartitioned) graph0
-      else if (numShards > 0) graph0.repartition(numShards, col("shard"))
+      else if (numShards > 0) graph0.repartition(Vamana.shardPartitions(numShards), col("shard"))
       else graph0.repartition(col("shard"))
 
     val perShard = graph.mapPartitions { rows =>
@@ -262,9 +263,11 @@ object Hnsw {
           case Some(ck) => GraphShardCache.getOrBuild(s"$ck#$shardId")(decode())
           case None => decode()
         }
+        // per-shard-constant insert epoch, read from the raw rows
+        val shardSeg = shardRows.head.getLong(7)
         bcQueries.value.iterator.flatMap { case (qi, q) =>
           search(sh, q, k, ef, dist).take(math.max(k, ef))
-            .map { case (label, d) => Row(qi, sh.ids(label), d) }
+            .map { case (label, d) => Row(qi, sh.ids(label), d, shardSeg) }
         }
       }
     }(Encoders.row(out))

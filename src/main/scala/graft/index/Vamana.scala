@@ -318,20 +318,21 @@ object Vamana {
     val out = StructType(Seq(
       StructField("query_idx", IntegerType, nullable = false),
       StructField("id", LongType, nullable = false),
-      StructField("_distance", DoubleType, nullable = false)))
+      StructField("_distance", DoubleType, nullable = false),
+      StructField("seg", LongType, nullable = false)))
 
     // SQ8 graph datasets store u8 codes; dequantize ONCE at shard decode
     // (the decoded float arrays live in GraphShardCache) — value-identical
     // to per-access dequantization, amortized across query batches.
     val vecColName = if (quant.isDefined) "codes" else "vector"
     val graph0 = graphDf
-      .select("shard", "label", "id", vecColName, "neighbors", "is_entry")
+      .select("shard", "label", "id", vecColName, "neighbors", "is_entry", "seg")
     // sized to the shard count when known — default shuffle partitions would
     // leave most output partitions empty; either way one task buffers an
     // entire shard's rows (plus decoded arrays), which bounds shard sizing
     val graph =
       if (prePartitioned) graph0
-      else if (numShards > 0) graph0.repartition(numShards, col("shard"))
+      else if (numShards > 0) graph0.repartition(shardPartitions(numShards), col("shard"))
       else graph0.repartition(col("shard"))
 
     val perShard = graph.mapPartitions { rows =>
@@ -372,15 +373,27 @@ object Vamana {
           case Some(ck) => GraphShardCache.getOrBuild(s"$ck#$shardId")(decode())
           case None => decode()
         }
+        // insert epoch is constant per shard by construction (create = 0,
+        // each delta shard = one insert, vacuum resets uniformly) — read it
+        // from the raw rows so cached decodes need no schema change
+        val shardSeg = shardRows.head.getLong(6)
         bcQueries.value.iterator.flatMap { case (qi, q) =>
           beamSearch(sh, q, l, dist).take(l)
-            .map { case (label, d) => Row(qi, sh.ids(label), d) }
+            .map { case (label, d) => Row(qi, sh.ids(label), d, shardSeg) }
         }
       }
     }(Encoders.row(out))
 
     TopK.grouped(perShard, "query_idx", "_distance", "id", k)
   }
+
+  /** Shuffle-partition count for shard-keyed repartitions: hashing shard
+    * ids collides (birthday effect — at P=numShards ~1/3 of partitions hold
+    * 2+ whole shards and as many sit empty), so use a few buckets per shard
+    * to keep one-shard-per-task likely; cap the inflation for huge shard
+    * counts where multi-shard tasks are inevitable anyway. */
+  def shardPartitions(numShards: Int): Int =
+    math.max(numShards, math.min(numShards * 4, 4096))
 
   /** Search-time beam width: l = max(k, search_complexity or
     * build_complexity) (reference: rust_lib/src/index_manager.rs:344-350). */

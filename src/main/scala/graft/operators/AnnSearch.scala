@@ -60,9 +60,16 @@ object AnnSearch {
         // contract (the reference streams them chunk-at-a-time through one
         // in-memory index, src/ann_search.cpp:397-691) — collect them, run
         // the shard-local batch kernel, map query_idx back to the caller's
-        // key with a broadcast join.
+        // key with a broadcast join. The bound is ENFORCED: a table-scale
+        // query set must fail with a clear message, not an opaque driver OOM.
         val spark = queries.sparkSession
-        val qrows = qkeys.collect()
+        val maxQ = spark.conf.get("spark.ann.maxCollectedQueries", "100000").toInt
+        val qrows = qkeys.limit(maxQ + 1).collect()
+        require(qrows.length <= maxQ,
+          s"searchTable against a graph index collects the query batch to the " +
+            s"driver and got more than $maxQ rows; raise " +
+            "spark.ann.maxCollectedQueries, split the query relation, or use " +
+            "a FLAT/IVF index for table-scale query sets (fully distributed)")
         val vecs = qrows.map(_.getSeq[Float](1).toArray).toSeq
         val hits = idx.searchBatch(vecs, k, nprobe) // (query_idx, id, _distance)
         val qidField = qkeys.schema("__qid")

@@ -52,9 +52,14 @@ object Dedup {
     * per-key COUNTS aggregate first (map-side partials — a degenerate key
     * never materializes), oversized keys are dropped by a semi-join BEFORE
     * `collect_list` builds any array, and the number of capped buckets is
-    * observed on the plan and logged by [[ensureCapListener]]. The input's
-    * shuffle by `keyCols` is shared between the count and collect passes
-    * (same key → exchange reuse). */
+    * observed on the plan and logged by [[ensureCapListener]].
+    *
+    * The input feeds two branches (count + collect) whose exchanges carry
+    * different data (aggregation buffers vs raw rows), so Spark cannot
+    * reuse one shuffle between them — the input would be COMPUTED TWICE.
+    * Since it is an expensive hash projection (minhash/simhash/hyperplane
+    * UDFs), it is cached here; entries evict LRU under storage pressure.
+    * Callers pass a slim (key cols + payload) projection. */
   private val observeSeq = new java.util.concurrent.atomic.AtomicLong()
 
   private def cappedBuckets(rows: DataFrame, keyCols: Seq[String],
@@ -62,14 +67,15 @@ object Dedup {
                             what: String): DataFrame = {
     ensureCapListener(rows.sparkSession)
     val keys = keyCols.map(col)
+    val cached = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // unique observation name per call: two dedup operators composed into
     // ONE query (e.g. a union) must not collide at analysis time
-    val counts = rows.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+    val counts = cached.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
       .observe(s"graft.dedup.$what.${observeSeq.incrementAndGet()}",
         sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("capped_buckets"),
         max(col("__n")).as("largest_bucket"))
     val eligible = counts.filter(col("__n").between(2, maxBucket)).select(keys: _*)
-    rows.join(eligible, keyCols, "left_semi")
+    cached.join(eligible, keyCols, "left_semi")
       .groupBy(keys: _*).agg(collect_list(payload).as("items"))
   }
 
@@ -296,6 +302,7 @@ object Dedup {
     val reps = df.select(col(idCol), col(vecCol))
       .crossJoin(spark_rep(df, repeats))
       .withColumn("bucket", sigUdf(col(vecCol), col("rep")))
+      .select(col(idCol), col("rep"), col("bucket")) // drop vectors pre-shuffle
     val buckets = cappedBuckets(reps, Seq("rep", "bucket"), col(idCol),
       maxBucket, "embedding_lsh").withColumnRenamed("items", "ids")
     val cands = buckets.select(explode(pairsExpr(col("ids"))).as("pair"))

@@ -26,39 +26,46 @@ import graft.index.AnnIndex
   */
 object IndexMaintenance {
 
-  /** Apply one append micro-batch exactly once (skips replayed ids). */
+  /** Apply one append micro-batch exactly once (skips replayed ids).
+    *
+    * `streamId` scopes the replay watermark: Spark batch ids are monotonic
+    * only per checkpoint, so each stream feeding an index (or each fresh
+    * checkpoint location) must use a distinct id or its batches would be
+    * masked by another stream's watermark. */
   def applyAppendBatch(idx: AnnIndex, batch: DataFrame, batchId: Long,
-                       idCol: String, vecCol: String): Unit = {
-    if (batchId <= idx.lastAppliedBatch) return // replay: already applied
-    if (batch.isEmpty) idx.recordAppliedBatch(batchId)
-    else idx.insert(batch, idCol, vecCol, batchId = Some(batchId))
+                       idCol: String, vecCol: String,
+                       streamId: String = "default"): Unit = {
+    if (batchId <= idx.lastAppliedBatch(streamId)) return // replay
+    if (batch.isEmpty) idx.recordAppliedBatch(batchId, streamId)
+    else idx.insert(batch, idCol, vecCol, batch = Some((streamId, batchId)))
   }
 
-  /** Apply one CDC micro-batch exactly once: tombstone deletes, then
-    * insert appends; the batch id is recorded by the LAST write so a crash
-    * mid-batch replays the whole batch (deletes are tombstone-idempotent
-    * in effect; numDeleted is corrected by the replay skip afterwards). */
+  /** Apply one CDC micro-batch exactly once through `AnnIndex.applyCdc`:
+    * tombstones land at the pre-batch epoch, inserts at the next epoch (a
+    * delete+insert of one id in the same batch is therefore a visible
+    * update, not a lost row), and ONE meta write publishes both counts and
+    * the watermark — a crash mid-batch replays the whole batch with only
+    * inert duplicate tombstone rows as residue. */
   def applyCdcBatch(idx: AnnIndex, batch: DataFrame, batchId: Long,
-                    idCol: String, vecCol: String, opCol: String): Unit = {
-    if (batchId <= idx.lastAppliedBatch) return // replay: already applied
+                    idCol: String, vecCol: String, opCol: String,
+                    streamId: String = "default"): Unit = {
+    if (batchId <= idx.lastAppliedBatch(streamId)) return // replay
     val dels = batch.filter(col(opCol) === "delete").select(col(idCol))
-    val ins = batch.filter(col(opCol) === "insert")
-    val hasIns = !ins.isEmpty
-    if (!dels.isEmpty) idx.delete(dels, batchId = if (hasIns) None else Some(batchId))
-    if (hasIns) idx.insert(ins.select(col(idCol), col(vecCol)), idCol, vecCol,
-      batchId = Some(batchId))
-    if (dels.isEmpty && !hasIns) idx.recordAppliedBatch(batchId)
+    val ins = batch.filter(col(opCol) === "insert").select(col(idCol), col(vecCol))
+    if (dels.isEmpty && ins.isEmpty) idx.recordAppliedBatch(batchId, streamId)
+    else idx.applyCdc(dels, ins, idCol, vecCol, batch = Some((streamId, batchId)))
   }
 
   /** Append-only maintenance: every micro-batch is inserted into the index. */
   def attachAppend(stream: DataFrame, idx: AnnIndex, idCol: String,
                    vecCol: String, checkpoint: String,
-                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                   trigger: Trigger = Trigger.AvailableNow(),
+                   streamId: String = "default"): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyAppendBatch(idx, batch, batchId, idCol, vecCol)
+        applyAppendBatch(idx, batch, batchId, idCol, vecCol, streamId)
       }
       .start()
 
@@ -67,12 +74,13 @@ object IndexMaintenance {
     * src/diskann_index.cpp:363-385). */
   def attachCdc(stream: DataFrame, idx: AnnIndex, idCol: String,
                 vecCol: String, opCol: String, checkpoint: String,
-                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                trigger: Trigger = Trigger.AvailableNow(),
+                streamId: String = "default"): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyCdcBatch(idx, batch, batchId, idCol, vecCol, opCol)
+        applyCdcBatch(idx, batch, batchId, idCol, vecCol, opCol, streamId)
       }
       .start()
 }

@@ -75,7 +75,7 @@ class StreamingSpec extends SparkSpec {
     val batch = Seq.tabulate(10)(i => ((200 + i).toLong, vec())).toDF("id", "embedding")
     IndexMaintenance.applyAppendBatch(idx, batch, batchId = 0, "id", "embedding")
     assert(idx.meta.numVectors == 50)
-    assert(idx.lastAppliedBatch == 0)
+    assert(idx.lastAppliedBatch() == 0)
     val q = initial.head._2
     val resBefore = idx.scan(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
 
@@ -89,14 +89,65 @@ class StreamingSpec extends SparkSpec {
     val cdc = initial.take(3).map { case (id, v) => (id, v, "delete") }
       .toDF("id", "embedding", "op")
     IndexMaintenance.applyCdcBatch(idx, cdc, batchId = 1, "id", "embedding", "op")
-    assert(idx.meta.numDeleted == 3 && idx.lastAppliedBatch == 1)
+    assert(idx.meta.numDeleted == 3 && idx.lastAppliedBatch() == 1)
     IndexMaintenance.applyCdcBatch(idx, cdc, batchId = 1, "id", "embedding", "op")
     assert(idx.meta.numDeleted == 3, "replayed CDC batch must not double-count deletes")
 
     // restart with the SAME checkpoint source: a fresh index handle reloaded
     // from disk still sees the watermark
     val reloaded = AnnIndexManager.load(spark, s"$tmp/st_replay")
-    assert(reloaded.lastAppliedBatch == 1)
+    assert(reloaded.lastAppliedBatch() == 1)
+  }
+
+  test("CDC update (delete+insert of one id in ONE batch) leaves the new row visible") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(24)
+    def vec() = Array.fill(4)(rnd.nextFloat())
+    for (engine <- Seq("FLAT", "DISKANN")) {
+      val initial = Seq.tabulate(20)(i => (i.toLong, vec()))
+      val idx = AnnIndexManager.create(spark, s"st_upd_$engine",
+        initial.toDF("id", "embedding"), "id", "embedding", engine,
+        Map("metric" -> "l2"), s"$tmp/st_upd_$engine")
+      // update id=7 to a brand-new vector via the standard CDC encoding
+      val newVec = Array(9f, 9f, 9f, 9f)
+      val batch = Seq((7L, initial(7)._2, "delete"), (7L, newVec, "insert"))
+        .toDF("id", "embedding", "op")
+      IndexMaintenance.applyCdcBatch(idx, batch, batchId = 0, "id", "embedding", "op")
+      // the new row must be found (nearest to its own vector), not masked
+      // by the same-batch tombstone
+      val hit = idx.scan(newVec, 1, searchParam = 100000).head()
+      assert(hit.getLong(0) == 7L, s"$engine: updated row must be visible")
+      // and the OLD row is masked: searching near the old vector must not
+      // return a distance-0 hit for id 7
+      val old = idx.scan(initial(7)._2, 20, searchParam = 100000).collect()
+        .filter(_.getLong(0) == 7L)
+      assert(old.length == 1 && old.head.getDouble(1) > 1e-6,
+        s"$engine: old row must be tombstone-masked")
+      // vacuum keeps the updated row
+      idx.vacuum()
+      assert(idx.scan(newVec, 1, searchParam = 100000).head().getLong(0) == 7L,
+        s"$engine: update must survive vacuum")
+    }
+  }
+
+  test("watermarks are scoped per stream: a second stream's batch 0 is not masked") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(25)
+    def vec() = Array.fill(4)(rnd.nextFloat())
+    val initial = Seq.tabulate(10)(i => (i.toLong, vec()))
+    val idx = AnnIndexManager.create(spark, "st_two",
+      initial.toDF("id", "embedding"), "id", "embedding", "FLAT",
+      Map("metric" -> "l2"), s"$tmp/st_two")
+    val a = Seq.tabulate(5)(i => ((100 + i).toLong, vec())).toDF("id", "embedding")
+    val b = Seq.tabulate(5)(i => ((200 + i).toLong, vec())).toDF("id", "embedding")
+    // stream A applies batches 0..3; stream B then starts at ITS OWN batch 0
+    IndexMaintenance.applyAppendBatch(idx, a, batchId = 3, "id", "embedding", streamId = "a")
+    IndexMaintenance.applyAppendBatch(idx, b, batchId = 0, "id", "embedding", streamId = "b")
+    assert(idx.meta.numVectors == 20, "stream b's batch must not be masked by stream a")
+    assert(idx.lastAppliedBatch("a") == 3 && idx.lastAppliedBatch("b") == 0)
+    // replay within each stream is still skipped
+    IndexMaintenance.applyAppendBatch(idx, b, batchId = 0, "id", "embedding", streamId = "b")
+    assert(idx.meta.numVectors == 20)
   }
 
   test("streaming windowed aggregation over events (engine capability demo)") {
