@@ -142,6 +142,22 @@ class OperatorSpec extends SparkSpec {
     assert(got == brute(q, 5, t => t._2 == 2))
   }
 
+  test("searchTable on a graph index enforces the bounded-query-batch contract") {
+    import spark.implicits._
+    val graph = AnnIndexManager.create(spark, "op_guard", vecsDf,
+      "id", "vec", "DISKANN", Map("metric" -> "l2"), s"$tmp/op_guard")
+    val queries = vecs.take(10).map { case (id, _, v) => (id, v) }.toDF("qid", "qvec")
+    spark.conf.set("spark.ann.maxCollectedQueries", "5")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        AnnSearch.searchTable(graph, queries, k = 3)
+      }
+      assert(e.getMessage.contains("maxCollectedQueries"))
+    } finally spark.conf.unset("spark.ann.maxCollectedQueries")
+    // within the bound it works
+    assert(AnnSearch.searchTable(graph, queries, k = 3).count() == 30)
+  }
+
   test("searchFiltered honors spark.ann.overfetchMultiplier (extension-option analogue)") {
     val q = vecs(42)._3
     spark.conf.set("spark.ann.overfetchMultiplier", "1")
