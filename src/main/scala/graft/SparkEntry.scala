@@ -18,7 +18,8 @@ object SparkEntry {
     RelationalQueries.queries ++
       VectorQueries.queries ++
       IndexQueries.queries ++
-      TextQueries.queries
+      TextQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
     RelationalQueries.oracleSql ++
       VectorQueries.oracleSql ++
       IndexQueries.oracleSql ++
-      TextQueries.oracleSql
+      TextQueries.oracleSql ++
+      MultimodalQueries.oracleSql
 }

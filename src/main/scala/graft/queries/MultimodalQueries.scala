@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.Multimodal
+import QuerySupport._
+
+/** Driver surface for the multimodal-column plumbing: binary payloads are
+  * synthesized DETERMINISTICALLY from the documents table (12-byte LE
+  * header + UTF-8 text bytes), then run through the real pipeline —
+  * mapPartitions decode, frame sampling explode, per-media aggregation.
+  * The DuckDB oracle computes the expected metadata arithmetically, so the
+  * whole binary path (encode → decode → sample → agg) is hash-verified
+  * end-to-end even though the codec kernel itself is a sandbox stub.
+  */
+object MultimodalQueries {
+
+  private val FrameBytes = 64
+  private val Stride = 2
+
+  /** payload = [w:i32][h:i32][c:i32] LE ++ utf8(text), with (w,h,c) derived
+    * from doc_id — the decode stub recovers exactly these values. */
+  private val payloadUdf = udf { (id: Long, text: String) =>
+    val w = (id % 640 + 1).toInt
+    val h = (id % 480 + 1).toInt
+    val c = (id % 3 + 1).toInt
+    val txt = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = java.nio.ByteBuffer.allocate(12 + txt.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(w).putInt(h).putInt(c).put(txt)
+    bb.array()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_decode" -> ((s: SparkSession, dir: String) => {
+      val docs = table(s, dir, "documents")
+      val media = docs.select(
+        col("doc_id").as("media_id"),
+        lit("image").as("media_type"),
+        payloadUdf(col("doc_id"), col("text")).as("payload"),
+        lit(null).cast("string").as("source"))
+      val decoded = Multimodal.withDecodedMeta(media)
+      val framed = Multimodal.sampleFrames(decoded, FrameBytes, Stride)
+      framed.filter(col("decoded.ok"))
+        .groupBy(col("media_id"))
+        .agg(
+          min(col("decoded.width")).cast("long").as("width"),
+          min(col("decoded.height")).cast("long").as("height"),
+          min(col("decoded.channels")).cast("long").as("channels"),
+          count(lit(1)).as("n_frames"))
+        .select(col("media_id").as("doc_id"), col("width"), col("height"),
+          col("channels"), col("n_frames"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // width/height/channels mirror the header derivation; n_frames =
+    // ceil(nf/2) kept of nf = ceil(payloadBytes/64) frames, with
+    // payloadBytes = 12 + strlen(text) (DuckDB strlen = UTF-8 bytes)
+    "multimodal_decode" ->
+      s"""SELECT doc_id,
+         |  CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+         |  CAST(doc_id % 480 + 1 AS BIGINT) AS height,
+         |  CAST(doc_id % 3 + 1 AS BIGINT) AS channels,
+         |  CAST(CEIL(CEIL((12.0 + strlen(text)) / $FrameBytes) / $Stride) AS BIGINT) AS n_frames
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
