@@ -26,15 +26,22 @@ object AnnFunctions {
 
   /** L2-normalize an ARRAY column to unit length (float elements);
     * zero vectors pass through. Cosine-metric plumbing (normalize-at-build
-    * + inner product, SURVEY §2.7). */
-  def normalize_vector(c: Column): Column = {
+    * + inner product, SURVEY §2.7). Single-pass codegen expression — the
+    * aggregate+transform SQL formulation is O(d²) per row (see
+    * [[NormalizeVector]]). */
+  def normalize_vector(c: Column): Column = col(NormalizeVector(expr(c)))
+
+  /** Narrow an ARRAY<FLOAT|DOUBLE> column to `containsNull=false` float
+    * elements by mapping null ELEMENTS to NaN. NaN distances fail every
+    * threshold and sort after all real values, so such rows drop out of
+    * near-dup filters and top-k exactly like a NULL-propagating oracle
+    * under the same predicate. The narrowed TYPE lets the distance kernels
+    * compile WITHOUT the per-element null guard — one array rebuild per
+    * input row buys a branch-free (auto-vectorizable) kernel loop on
+    * quadratic and scan paths. */
+  def vector_nonnull(c: Column): Column = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{ArrayType, FloatType}
-    val norm = sqrt(aggregate(c, lit(0.0d),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
-    when(norm > 0.0,
-      transform(c, x => (x.cast("double") / norm).cast("float")))
-      .otherwise(c.cast(ArrayType(FloatType)))
+    transform(c, x => coalesce(x.cast("float"), lit(Float.NaN)))
   }
 
   /** Register all functions for SQL use (idempotent per session). */

@@ -67,10 +67,18 @@ case class Sq8Distance(left: Expression, right: Expression,
 
   private def qIsFloat = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  private def checkDims(nCodes: Int, nQ: Int): Unit =
+    if (nQ != nCodes || nCodes > mins.length)
+      throw new IllegalArgumentException(
+        s"$prettyName: dimensions differ (codes=$nCodes, query=$nQ, " +
+          s"params=${mins.length}) — out-of-bounds reads would silently " +
+          "corrupt distances")
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val codes = l.asInstanceOf[Array[Byte]]
     val q = r.asInstanceOf[ArrayData]
     val n = codes.length
+    checkDims(n, q.numElements())
     metric match {
       case "l2" =>
         var acc = 0.0; var i = 0
@@ -107,10 +115,16 @@ case class Sq8Distance(left: Expression, right: Expression,
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val v = ctx.freshName("v")
       val qe = getQ(i).format(q)
+      val dimCheck =
+        s"""if ($q.numElements() != $n || $n > $minsRef.length) {
+           |  throw new IllegalArgumentException("$prettyName: dimensions differ (codes="
+           |    + $n + ", query=" + $q.numElements() + ", params=" + $minsRef.length + ")");
+           |}""".stripMargin
       metric match {
         case "l2" =>
           val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
           s"""final int $n = $codes.length;
+             |$dimCheck
              |double $acc = 0.0;
              |for (int $i = 0; $i < $n; $i++) {
              |  final double $v = ($codes[$i] & 0xff) / 255.0 * $scalesRef[$i] + $minsRef[$i];
@@ -121,6 +135,7 @@ case class Sq8Distance(left: Expression, right: Expression,
         case "ip" =>
           val acc = ctx.freshName("acc")
           s"""final int $n = $codes.length;
+             |$dimCheck
              |double $acc = 0.0;
              |for (int $i = 0; $i < $n; $i++) {
              |  final double $v = ($codes[$i] & 0xff) / 255.0 * $scalesRef[$i] + $minsRef[$i];
@@ -131,6 +146,7 @@ case class Sq8Distance(left: Expression, right: Expression,
           val d = ctx.freshName("dot"); val nv = ctx.freshName("nv")
           val nq = ctx.freshName("nq"); val x = ctx.freshName("x")
           s"""final int $n = $codes.length;
+             |$dimCheck
              |double $d = 0.0; double $nv = 0.0; double $nq = 0.0;
              |for (int $i = 0; $i < $n; $i++) {
              |  final double $v = ($codes[$i] & 0xff) / 255.0 * $scalesRef[$i] + $minsRef[$i];

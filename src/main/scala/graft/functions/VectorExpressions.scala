@@ -62,6 +62,63 @@ abstract class BinaryVectorDoubleExpression extends BinaryExpression
        |  throw new IllegalArgumentException("$prettyName: vector dimensions differ ("
        |    + $n + " vs " + $b.numElements() + ")");
        |}""".stripMargin
+
+  /** Whether either input's TYPE admits null elements. When false (e.g.
+    * typedLit query vectors, canonicalized index datasets) the null-element
+    * guard is compiled out entirely. */
+  protected final def mayHaveNullElems: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
+  /** A null ELEMENT must make the whole distance NULL (Spark's
+    * null-propagation), never be read as 0.0 — ArrayData getters return
+    * zeroed bytes for null slots, which would corrupt rankings silently. */
+  @inline protected final def anyNullElem(a: ArrayData, b: ArrayData, n: Int): Boolean = {
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Generates the kernel loop: `init` declares accumulators, `perElem`
+    * emits the per-element statements from (xa, xb) double accessors, and
+    * `finish` assigns `ev.value`. When the input TYPES admit null elements
+    * the guard is folded INTO the loop (one pass, two bit-tests per
+    * element — a separate pre-scan would double the memory passes of the
+    * hottest path); when they don't, it is compiled out entirely. */
+  protected final def genKernel(ctx: CodegenContext, ev: ExprCode,
+                                a: String, b: String, n: String,
+                                init: String,
+                                perElem: (String, String) => String,
+                                finish: String): String = {
+    val dims = genDimCheck(a, b, n)
+    val i = ctx.freshName("i")
+    val body = perElem(getter(left, a, i), getter(right, b, i))
+    if (!mayHaveNullElems)
+      s"""$dims
+         |$init
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $body
+         |}
+         |$finish""".stripMargin
+    else {
+      val hn = ctx.freshName("hasNullElem")
+      s"""$dims
+         |$init
+         |boolean $hn = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $hn = true; break; }
+         |  $body
+         |}
+         |if ($hn) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  $finish
+         |}""".stripMargin
+    }
+  }
 }
 
 /** Squared L2: sum((a_i - b_i)^2). Index-internal distance semantics
@@ -74,6 +131,7 @@ case class L2DistanceSq(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
     val n = checkDims(a, b)
+    if (mayHaveNullElems && anyNullElem(a, b, n)) return null
     val af = elemIsFloat(left); val bf = elemIsFloat(right)
     var acc = 0.0; var i = 0
     while (i < n) {
@@ -86,14 +144,11 @@ case class L2DistanceSq(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
-      val i = ctx.freshName("i"); val d = ctx.freshName("d")
-      s"""${genDimCheck(a, b, n)}
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $d = ${getter(left, a, i)} - ${getter(right, b, i)};
-         |  $acc += $d * $d;
-         |}
-         |${ev.value} = $acc;""".stripMargin
+      val d = ctx.freshName("d")
+      genKernel(ctx, ev, a, b, n,
+        init = s"double $acc = 0.0;",
+        perElem = (xa, xb) => s"final double $d = $xa - $xb; $acc += $d * $d;",
+        finish = s"${ev.value} = $acc;")
     })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -109,6 +164,7 @@ case class L2Distance(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
     val n = checkDims(a, b)
+    if (mayHaveNullElems && anyNullElem(a, b, n)) return null
     val af = elemIsFloat(left); val bf = elemIsFloat(right)
     var acc = 0.0; var i = 0
     while (i < n) {
@@ -121,14 +177,11 @@ case class L2Distance(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
-      val i = ctx.freshName("i"); val d = ctx.freshName("d")
-      s"""${genDimCheck(a, b, n)}
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $d = ${getter(left, a, i)} - ${getter(right, b, i)};
-         |  $acc += $d * $d;
-         |}
-         |${ev.value} = java.lang.Math.sqrt($acc);""".stripMargin
+      val d = ctx.freshName("d")
+      genKernel(ctx, ev, a, b, n,
+        init = s"double $acc = 0.0;",
+        perElem = (xa, xb) => s"final double $d = $xa - $xb; $acc += $d * $d;",
+        finish = s"${ev.value} = java.lang.Math.sqrt($acc);")
     })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -144,6 +197,7 @@ case class InnerProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
     val n = checkDims(a, b)
+    if (mayHaveNullElems && anyNullElem(a, b, n)) return null
     val af = elemIsFloat(left); val bf = elemIsFloat(right)
     var acc = 0.0; var i = 0
     while (i < n) {
@@ -155,17 +209,98 @@ case class InnerProduct(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
-      val i = ctx.freshName("i")
-      s"""${genDimCheck(a, b, n)}
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${getter(left, a, i)} * ${getter(right, b, i)};
-         |}
-         |${ev.value} = $acc;""".stripMargin
+      genKernel(ctx, ev, a, b, n,
+        init = s"double $acc = 0.0;",
+        perElem = (xa, xb) => s"$acc += $xa * $xb;",
+        finish = s"${ev.value} = $acc;")
     })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** L2-normalize an array to unit length → ARRAY<FLOAT>; zero vectors pass
+  * through unchanged (cast to float). Single pass per row — the
+  * SQL-builtin formulation (`transform(v, x -> x / sqrt(aggregate(...)))`)
+  * re-evaluates the O(d) norm inside the per-element lambda, i.e. O(d²)
+  * per row, because Catalyst neither hoists loop-invariant subtrees out of
+  * higher-order functions nor CSEs lambda-bearing expressions. */
+case class NormalizeVector(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def prettyName: String = "normalize_vector"
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT> or ARRAY<DOUBLE>, got ${dt.catalogString}")
+  }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def mayHaveNullElems: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (mayHaveNullElems) {
+      var i = 0
+      while (i < n) { if (a.isNullAt(i)) return null; i += 1 }
+    }
+    val isF = elemIsFloat
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+      acc += x * x; i += 1
+    }
+    val norm = math.sqrt(acc)
+    val out = new Array[Float](n)
+    i = 0
+    while (i < n) {
+      val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+      out(i) = (if (norm > 0.0) x / norm else x).toFloat
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val nrm = ctx.freshName("nrm")
+      val out = ctx.freshName("out"); val x = ctx.freshName("x")
+      val get = if (elemIsFloat) (idx: String) => s"((double) $a.getFloat($idx))"
+                else (idx: String) => s"$a.getDouble($idx)"
+      val nullScan =
+        if (!mayHaveNullElems) ""
+        else {
+          val j = ctx.freshName("j")
+          s"""for (int $j = 0; $j < $n; $j++) {
+             |  if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }
+             |}""".stripMargin
+        }
+      s"""final int $n = $a.numElements();
+         |$nullScan
+         |if (!${ev.isNull}) {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $x = ${get(i)};
+         |    $acc += $x * $x;
+         |  }
+         |  final double $nrm = java.lang.Math.sqrt($acc);
+         |  final float[] $out = new float[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $x = ${get(i)};
+         |    $out[$i] = (float) ($nrm > 0.0 ? $x / $nrm : $x);
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |}""".stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Cosine similarity: dot(a,b) / (|a| * |b|). Zero-norm inputs yield NaN,
@@ -177,6 +312,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
     val n = checkDims(a, b)
+    if (mayHaveNullElems && anyNullElem(a, b, n)) return null
     val af = elemIsFloat(left); val bf = elemIsFloat(right)
     var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
@@ -188,18 +324,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
       val d = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
-      s"""${genDimCheck(a, b, n)}
-         |double $d = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $x = ${getter(left, a, i)};
-         |  final double $y = ${getter(right, b, i)};
-         |  $d += $x * $y; $na += $x * $x; $nb += $y * $y;
-         |}
-         |${ev.value} = $d / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));""".stripMargin
+      genKernel(ctx, ev, a, b, n,
+        init = s"double $d = 0.0; double $na = 0.0; double $nb = 0.0;",
+        perElem = (xa, xb) =>
+          s"""final double $x = $xa;
+             |final double $y = $xb;
+             |$d += $x * $y; $na += $x * $x; $nb += $y * $y;""".stripMargin,
+        finish = s"${ev.value} = $d / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));")
     })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

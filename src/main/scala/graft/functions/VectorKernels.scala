@@ -19,8 +19,18 @@ package graft.functions
   */
 object VectorKernels extends Serializable {
 
+  /** One-branch guard on every kernel: iterating `a.length` over a shorter
+    * `b` would throw mid-loop, and over a longer `b` would silently compare
+    * only a prefix (e.g. a short user query vs index centroids → wrong
+    * cells probed, wrong results with no error). */
+  @inline private def checkLen(a: Array[Float], b: Array[Float]): Unit =
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"vector dimensions differ (${a.length} vs ${b.length})")
+
   /** Squared L2 distance (sum of squared diffs). */
   def l2Sq(a: Array[Float], b: Array[Float]): Double = {
+    checkLen(a, b)
     var acc = 0.0
     var i = 0
     val n = a.length
@@ -37,6 +47,7 @@ object VectorKernels extends Serializable {
 
   /** Dot product (positive; negate for index ordering where needed). */
   def dot(a: Array[Float], b: Array[Float]): Double = {
+    checkLen(a, b)
     var acc = 0.0
     var i = 0
     val n = a.length
@@ -50,6 +61,7 @@ object VectorKernels extends Serializable {
   def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
 
   def cosineSimilarity(a: Array[Float], b: Array[Float]): Double = {
+    checkLen(a, b)
     var d = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     val n = a.length

@@ -10,21 +10,22 @@ import scala.collection.concurrent.TrieMap
 object AnnIndexBuilder {
 
   /** Canonicalize (id BIGINT, vector ARRAY<FLOAT>); cosine metric stores
-    * L2-normalized vectors (normalize-at-build + IP, SURVEY §2.7). */
+    * L2-normalized vectors (normalize-at-build + IP, SURVEY §2.7). The
+    * single-pass [[graft.functions.NormalizeVector]] expression is the SAME
+    * kernel queries use at search time, so build- and query-side
+    * normalization are bit-identical. */
   def prepare(df: DataFrame, idCol: String, vecCol: String, metric: String): DataFrame = {
+    // vector_nonnull narrows the element type to containsNull=false (null
+    // elements → NaN, excluded from every top-k): index datasets then store
+    // REQUIRED parquet elements and every scan/build kernel compiles
+    // without the per-element null guard.
     val base = df.select(
       col(idCol).cast(LongType).as("id"),
-      col(vecCol).cast(ArrayType(FloatType)).as("vector"))
-    if (metric == "cosine") {
-      base.withColumn("_norm",
-          sqrt(aggregate(col("vector"), lit(0.0d),
-            (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))))
-        .withColumn("vector",
-          transform(col("vector"), x =>
-            when(col("_norm") > 0.0, x.cast(DoubleType) / col("_norm")).otherwise(x.cast(DoubleType))
-              .cast(FloatType)))
-        .drop("_norm")
-    } else base
+      graft.functions.AnnFunctions.vector_nonnull(col(vecCol)).as("vector"))
+    if (metric == "cosine")
+      base.withColumn("vector",
+        graft.functions.AnnFunctions.normalize_vector(col("vector")))
+    else base
   }
 
   /** Assign each row to its nearest cell (L2, as faiss IVF assignment,
@@ -182,9 +183,25 @@ object AnnIndexManager {
 
   private val registry = TrieMap.empty[String, String] // name → path
   private val buildLocks = TrieMap.empty[String, Object]
+  private val metaCache = TrieMap.empty[String, (Long, IndexMeta)] // path → (mtime, meta)
 
   def register(name: String, path: String): Unit = registry.put(name, path)
   def registered: Map[String, String] = registry.toMap
+
+  /** Index metadata cached by meta.json mtime: hot paths (the optimizer
+    * rule scans the whole catalog per candidate query) must not re-read
+    * from storage; any index write rewrites meta.json and invalidates. */
+  def cachedMeta(path: String): Option[IndexMeta] = scala.util.Try {
+    val mtime = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(path, "meta.json")).toMillis
+    metaCache.get(path) match {
+      case Some((t, m)) if t == mtime => m
+      case _ =>
+        val m = IndexMeta.read(path)
+        metaCache.put(path, (mtime, m))
+        m
+    }
+  }.toOption
 
   /** CREATE INDEX (S12): validates the column shape like the reference
     * (FLOAT[N] with fixed dim, src/diskann_index.cpp:78-84), trains IVF

@@ -28,6 +28,13 @@ object TopK {
   /** Per-group top-k (smallest distCol first, tieBreak for determinism),
     * passing through all columns. Output is NOT globally ordered; callers
     * add a final orderBy if they need one.
+    *
+    * Memory: heaps hold ≤ k rows per group, but the number of DISTINCT
+    * groups per partition is unbounded (e.g. every query id reaches every
+    * data partition in a batch search) — so buffered rows are capped and
+    * the heap map FLUSHES to the output when the cap is hit. Emitting more
+    * than k rows per group from phase 1 is sound: phase 2 is the exact
+    * reducer; the flush only trades reduction ratio for flat memory.
     */
   def grouped(df: DataFrame, groupCol: String, distCol: String,
               tieBreakCol: String, k: Int): DataFrame = {
@@ -36,26 +43,42 @@ object TopK {
     val di = schema.fieldIndex(distCol)
     val ti = schema.fieldIndex(tieBreakCol)
 
-    // (distance, tieBreak) lexicographic; tie-break column must be numeric
-    // (an id). Heap keeps the k smallest by evicting the largest.
-    require(schema(ti).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"tieBreakCol $tieBreakCol must be numeric")
+    // phase-1 ordering must MATCH phase 2's column ordering exactly, or the
+    // heap could evict a row the window would have kept: distance must be
+    // DoubleType (getDouble) and the tie-break an integral id — a fractional
+    // tie-break would be truncated by longValue() and compare differently.
+    import org.apache.spark.sql.types._
+    require(schema(di).dataType == DoubleType,
+      s"distCol $distCol must be DOUBLE, got ${schema(di).dataType.catalogString}")
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(schema(ti).dataType),
+      s"tieBreakCol $tieBreakCol must be an integral id column, " +
+        s"got ${schema(ti).dataType.catalogString}")
     val rowOrd: Ordering[Row] = Ordering.by((r: Row) =>
       (r.getDouble(di), r.getAs[Number](ti).longValue()))(
         Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
 
+    val maxBuffered = df.sparkSession.conf
+      .get("spark.ann.topkMaxBufferedRows", (1 << 20).toString).toInt
+
     val reduced = df.mapPartitions { it =>
-      val heaps = mutable.HashMap.empty[Any, mutable.PriorityQueue[Row]]
-      it.foreach { row =>
-        val heap = heaps.getOrElseUpdate(row.getAs[Any](gi),
-          mutable.PriorityQueue.empty[Row](rowOrd)) // max-heap: worst on top
-        if (heap.size < k) heap.enqueue(row)
-        else if (rowOrd.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row) }
-      }
-      heaps.valuesIterator.flatMap(_.iterator)
+      new Iterator[Iterator[Row]] {
+        override def hasNext: Boolean = it.hasNext
+        override def next(): Iterator[Row] = {
+          val heaps = mutable.HashMap.empty[Any, mutable.PriorityQueue[Row]]
+          var buffered = 0
+          while (it.hasNext && buffered < maxBuffered) {
+            val row = it.next()
+            val heap = heaps.getOrElseUpdate(row.getAs[Any](gi),
+              mutable.PriorityQueue.empty[Row](rowOrd)) // max-heap: worst on top
+            if (heap.size < k) { heap.enqueue(row); buffered += 1 }
+            else if (rowOrd.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row) }
+          }
+          heaps.valuesIterator.flatMap(_.iterator)
+        }
+      }.flatten
     }(Encoders.row(schema))
 
-    // phase 2: exact top-k over the reduced set (≤ k·P rows per group).
+    // phase 2: exact top-k over the reduced set (≤ k·P·flushes rows per group).
     val w = Window.partitionBy(groupCol).orderBy(col(distCol).asc, col(tieBreakCol).asc)
     reduced
       .withColumn("__rn", row_number().over(w))

@@ -263,8 +263,10 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double): DataFrame = {
     import graft.functions.AnnFunctions._
-    val a = df.select(col(idCol).as("a"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    // narrow once per input row so the quadratic cosine loop compiles
+    // branch-free (null elements → NaN → excluded by the threshold)
+    val a = df.select(col(idCol).as("a"), vector_nonnull(col(vecCol)).as("va"))
+    val b = df.select(col(idCol).as("b"), vector_nonnull(col(vecCol)).as("vb"))
     a.join(b, col("a") < col("b"))
       .withColumn("cos_sim", cosine_similarity(col("va"), col("vb")))
       .filter(col("cos_sim") > threshold)
@@ -308,8 +310,8 @@ object Dedup {
     val cands = buckets.select(explode(pairsExpr(col("ids"))).as("pair"))
       .select(col("pair._1").as("a"), col("pair._2").as("b"))
       .distinct()
-    val va = df.select(col(idCol).as("a"), col(vecCol).as("va"))
-    val vb = df.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    val va = df.select(col(idCol).as("a"), vector_nonnull(col(vecCol)).as("va"))
+    val vb = df.select(col(idCol).as("b"), vector_nonnull(col(vecCol)).as("vb"))
     cands.join(va, "a").join(vb, "b")
       .withColumn("cos_sim", cosine_similarity(col("va"), col("vb")))
       .filter(col("cos_sim") > threshold)

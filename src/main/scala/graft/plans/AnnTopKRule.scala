@@ -79,13 +79,17 @@ case class AnnTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None // Filter or anything else → bail out
   }
 
-  private def literalToFloats(lit: Literal): Option[Array[Float]] = lit.dataType match {
-    case ArrayType(FloatType, _) =>
-      Some(lit.value.asInstanceOf[ArrayData].toFloatArray())
-    case ArrayType(DoubleType, _) =>
-      Some(lit.value.asInstanceOf[ArrayData].toDoubleArray().map(_.toFloat))
-    case _ => None
-  }
+  /** Null-safe: a typed NULL array literal (or null elements in a
+    * GenericArrayData) must make the rule bail, never throw. */
+  private def literalToFloats(lit: Literal): Option[Array[Float]] =
+    if (lit.value == null) None
+    else scala.util.Try(lit.dataType match {
+      case ArrayType(FloatType, _) =>
+        Some(lit.value.asInstanceOf[ArrayData].toFloatArray())
+      case ArrayType(DoubleType, _) =>
+        Some(lit.value.asInstanceOf[ArrayData].toDoubleArray().map(_.toFloat))
+      case _ => None
+    }).toOption.flatten
 
   /** Distance-function pattern → (required index metric, vector column,
     * query literal). Direction-sensitive, as in the reference's metric
@@ -116,8 +120,22 @@ case class AnnTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** An optimizer rule must NEVER turn a valid query into an error: any
+    * exception during rewrite construction (schema collisions with
+    * `_distance`, malformed spark.ann.* confs, unreadable index metadata,
+    * analysis failures in the replacement) means "don't rewrite", with the
+    * cause logged for diagnosis. */
   private def tryRewrite(k: Int, sortExpr: Expression, direction: SortDirection,
-                         sortChild: LogicalPlan): Option[LogicalPlan] = {
+                         sortChild: LogicalPlan): Option[LogicalPlan] =
+    try doRewrite(k, sortExpr, direction, sortChild)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        logInfo(s"AnnTopKRule: rewrite skipped after error: ${e.getMessage}")
+        None
+    }
+
+  private def doRewrite(k: Int, sortExpr: Expression, direction: SortDirection,
+                        sortChild: LogicalPlan): Option[LogicalPlan] = {
     val relation = findRelation(sortChild).getOrElse(return None)
     val resolved = resolveThroughProjects(sortExpr, sortChild).getOrElse(return None)
 
@@ -135,8 +153,10 @@ case class AnnTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
     // locate a registered, metric-compatible index on that path + column
+    // (metadata served from the mtime-keyed cache — with a large catalog,
+    // per-query disk reads of every meta.json would stall the optimizer)
     val hit = AnnIndexManager.registered.iterator.flatMap { case (_, path) =>
-      scala.util.Try(IndexMeta.read(path)).toOption.map(m => (path, m))
+      AnnIndexManager.cachedMeta(path).map(m => (path, m))
     }.find { case (_, m) =>
       m.metric == metricNeeded && m.vecCol == vecAttr.name &&
         m.params.get("table_path").exists(tp =>

@@ -60,6 +60,12 @@ object BinaryVectorSource {
       .mapPartitions { it =>
         it.flatMap { case (start, end) =>
           val raf = new RandomAccessFile(path, "r")
+          // close on TASK COMPLETION, not iterator exhaustion: a limit/take
+          // (or task failure) stops pulling early and would leak the handle
+          // until the executor hits its descriptor ulimit
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ =>
+              scala.util.Try(raf.close())))
           val rowBytes = dim * 4
           raf.seek(8L + start.toLong * rowBytes)
           val buf = new Array[Byte](rowBytes)

@@ -86,4 +86,31 @@ class VectorFunctionsSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("null ELEMENT propagates to a null distance, never reads as 0.0") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq[java.lang.Float](1f, null), Seq[java.lang.Float](0f, 5f)),
+      (Seq[java.lang.Float](1f, 2f), Seq[java.lang.Float](0f, 5f))
+    ).toDF("a", "b")
+    val rows = df.select(
+        l2_distance(col("a"), col("b")).as("d"),
+        inner_product(col("a"), col("b")).as("ip"),
+        cosine_similarity(col("a"), col("b")).as("cos"))
+      .collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1) && rows(0).isNullAt(2))
+    assert(!rows(1).isNullAt(0) && math.abs(rows(1).getDouble(0) - math.sqrt(10.0)) < 1e-9)
+  }
+
+  test("normalize_vector: single-pass unit normalization, zero vector passes through") {
+    import spark.implicits._
+    val df = Seq(Array(3f, 4f), Array(0f, 0f)).toDF("v")
+    val out = df.select(normalize_vector(col("v")).as("n")).collect()
+      .map(_.getSeq[Float](0))
+    assert(math.abs(out(0)(0) - 0.6f) < 1e-6 && math.abs(out(0)(1) - 0.8f) < 1e-6)
+    assert(out(1) == Seq(0f, 0f))
+    // norm of the result is 1
+    val nrm = math.sqrt(out(0).map(x => x.toDouble * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-6)
+  }
 }

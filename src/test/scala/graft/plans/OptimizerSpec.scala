@@ -56,6 +56,28 @@ class OptimizerSpec extends SparkSpec {
     } finally AnnOptimizer.disable(spark)
   }
 
+  test("rule never breaks a valid query: NULL query literal and _distance-name collision bail out") {
+    idx
+    AnnOptimizer.enable(spark)
+    try {
+      // typed NULL array literal: vanilla Spark answers this (all-null sort
+      // key); the rule must bail, not NPE inside the optimizer
+      val nullQ = spark.read.parquet(tablePath)
+        .withColumn("_d", l2_distance(col("embedding"),
+          lit(null).cast("array<float>")))
+        .orderBy("_d").limit(5)
+      assert(nullQ.collect().length == 5)
+
+      // a base column named _distance collides with the replacement's
+      // internal column: the rewrite must skip, and the query still answers
+      val collide = spark.read.parquet(tablePath)
+        .withColumn("_distance", lit(0.0))
+        .withColumn("_d", l2_distance(col("embedding"), typedLit(q.map(_.toDouble))))
+        .orderBy("_d").limit(10)
+      assert(collide.collect().map(_.getAs[Long]("id")).toSeq == brute(10))
+    } finally AnnOptimizer.disable(spark)
+  }
+
   test("cost gate: k over max selectivity falls back to scan (no rewrite)") {
     idx
     AnnOptimizer.enable(spark)
