@@ -201,6 +201,40 @@ object Dedup {
                         bands: Int = 16): DataFrame =
     minhashNearDups(df, idCol, textCol, shingleSize, numHashes, bands, threshold = 0.0)
 
+  /** Exact all-pairs word n-gram Jaccard over DISTINCT shingle STRINGS,
+    * composed purely from codegen'd array built-ins — no hash family, so a
+    * SQL oracle can recompute it bit-for-bit. This is the exact baseline;
+    * [[ngramJaccardPairs]]'s minhash-LSH banding is the scale path.
+    *
+    * Quadratic by declared design (like [[embeddingNearDups]]): bounded
+    * inputs only. A size-ratio prefilter prunes pairs before the
+    * O(|A|·|B|) intersect — J ≥ t implies min(|A|,|B|)/max(|A|,|B|) ≥ t,
+    * so the filter never drops a qualifying pair, and with t = 0.5 the
+    * comparison is exact in doubles on both engines. */
+  def ngramJaccardExact(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val n = shingleSize
+    def shingles(c: Column): Column = {
+      val toks = filter(split(lower(c), "\\s+"), t => length(t) > 0)
+      array_distinct(
+        when(size(toks) < n, array(concat_ws(" ", toks)))
+          .otherwise(transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+    }
+    val a = df.select(col(idCol).as("a"), shingles(col(textCol)).as("sa"))
+    val b = df.select(col(idCol).as("b"), shingles(col(textCol)).as("sb"))
+    val union = size(col("sa")) + size(col("sb")) - col("inter")
+    a.join(b, col("a") < col("b"))
+      .filter(least(size(col("sa")), size(col("sb"))).cast("double")
+        >= lit(threshold) * greatest(size(col("sa")), size(col("sb"))))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .filter(col("inter") / union >= threshold)
+      // +1e-9 before round(4): keeps ratios landing EXACTLY on a .00005
+      // boundary from flipping between Spark HALF_UP and DuckDB rounding
+      .select(col("a"), col("b"),
+        round(col("inter") / union + lit(1e-9), 4).as("jaccard"))
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash over word tokens (murmur token hashes, ±1 per bit). */

@@ -331,15 +331,18 @@ object IndexQueries {
     "ann_vamana_sq8" -> ((s: SparkSession, dir: String) =>
       ranked(sq8VamanaIndex(s, dir).scan(qvecF(5), K, searchParam = 100000))),
 
-    // S7 hybrid BM25+vector RRF fusion: rows-only (BM25 float sums are not
-    // bit-mirrorable in SQL); semantics asserted in HybridSpec.
+    // S7 hybrid BM25+vector RRF fusion — strict oracle: the output is
+    // RANKS only, and every float that decides an ordering (BM25 term
+    // sums in sorted-term order, RRF weights) is mirrored operation-for-
+    // operation in the DuckDB SQL.
     "hybrid_search" -> ((s: SparkSession, dir: String) => {
       val ti = graft.operators.HybridSearch.buildTextIndex(
         table(s, dir, "documents"), "doc_id", "text")
       graft.operators.HybridSearch.hybridSearch(
           table(s, dir, "documents"), "doc_id", ti, flatIndex(s, dir),
           queryText = "spark table join merge", queryVec = qvecF(1), k = K)
-        .select("doc_id", "_bm25_rank", "_vector_rank")
+        .select(col("doc_id"), col("_bm25_rank").cast("long").as("_bm25_rank"),
+          col("_vector_rank").cast("long").as("_vector_rank"))
         .orderBy(col("doc_id"))
     })
   )
@@ -469,6 +472,56 @@ object IndexQueries {
         |  SELECT 'emb_ivf8', 'IVF',
         |    (SELECT CAST(count(*) AS BIGINT) FROM embeddings),
         |    CAST(0 AS BIGINT), false) t
-        |ORDER BY name""".stripMargin
+        |ORDER BY name""".stripMargin,
+
+    // S7 mirrored operation-for-operation against HybridSearch.scala:
+    // same tokenizer regex, BM25 constants spelled as the same double OPS
+    // Scala performs ((1.2 + 1.0), 0.25), per-doc term sums folded in
+    // sorted term order (sum(... ORDER BY term) = Spark's
+    // aggregate(sort_array(...))), RRF added bm25-term-first. Output is
+    // ranks only — no float column survives to the compare.
+    "hybrid_search" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id,
+         |    [t FOR t IN string_split_regex(lower(text), '[^\\p{L}\\p{Nd}]+') IF len(t) > 0] AS toks
+         |  FROM documents
+         |), postings AS (
+         |  SELECT id, term, count(*) AS tf
+         |  FROM (SELECT id, unnest(toks) AS term FROM toks)
+         |  WHERE term IN ('spark', 'table', 'join', 'merge')
+         |  GROUP BY id, term
+         |), doclens AS (
+         |  SELECT id, CAST(len(toks) AS DOUBLE) AS dl FROM toks
+         |), stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM doclens
+         |), idf AS (
+         |  SELECT term, ln(((SELECT n FROM stats) - df + 0.5) / (df + 0.5) + 1.0) AS idf
+         |  FROM (SELECT term, count(DISTINCT id) AS df FROM postings GROUP BY term)
+         |), contribs AS (
+         |  SELECT p.id, p.term,
+         |    i.idf * (p.tf * (1.2 + 1.0))
+         |      / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / (SELECT avgdl FROM stats))) AS contrib
+         |  FROM postings p JOIN idf i USING (term) JOIN doclens d ON d.id = p.id
+         |), bm25 AS (
+         |  SELECT id, row_number() OVER (ORDER BY score DESC, id) AS bm25_rank
+         |  FROM (SELECT id, sum(contrib ORDER BY term) AS score FROM contribs GROUP BY id)
+         |  QUALIFY bm25_rank <= 100
+         |), vec AS (
+         |  SELECT vec_id AS id, row_number() OVER (
+         |    ORDER BY list_distance($EmbD, ${sqlVec(1)}), vec_id) AS vector_rank
+         |  FROM embeddings QUALIFY vector_rank <= 100
+         |), fused AS (
+         |  SELECT coalesce(b.id, v.id) AS id,
+         |    (CASE WHEN b.bm25_rank IS NOT NULL THEN 0.3 / (60 + b.bm25_rank) ELSE 0.0 END)
+         |      + (CASE WHEN v.vector_rank IS NOT NULL THEN 0.7 / (60 + v.vector_rank) ELSE 0.0 END) AS rrf,
+         |    coalesce(b.bm25_rank, 0) AS bm25_rank,
+         |    coalesce(v.vector_rank, 0) AS vector_rank
+         |  FROM bm25 b FULL OUTER JOIN vec v ON b.id = v.id
+         |  ORDER BY rrf DESC, id LIMIT $K
+         |)
+         |SELECT d.doc_id, CAST(f.bm25_rank AS BIGINT) AS _bm25_rank,
+         |  CAST(f.vector_rank AS BIGINT) AS _vector_rank
+         |FROM fused f JOIN documents d ON d.doc_id = f.id
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -47,7 +47,16 @@ object TextQueries {
         .select("doc_id", "simhash")
         .orderBy("doc_id")),
 
+    // exact all-pairs bigram Jaccard: built-ins only → strict oracle
     "ngram_jaccard" -> ((s: SparkSession, dir: String) =>
+      Dedup.ngramJaccardExact(docs(s, dir), "doc_id", "text",
+          shingleSize = 2, threshold = 0.5)
+        .orderBy("a", "b")),
+
+    // same surface through the minhash-LSH scale path (hash family not
+    // SQL-mirrorable → deterministic rows-only; recall vs the exact
+    // variant asserted in PipelineSpec)
+    "ngram_jaccard_lsh" -> ((s: SparkSession, dir: String) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", shingleSize = 2)
         .orderBy("a", "b")),
 
@@ -151,6 +160,30 @@ object TextQueries {
         |      + alpha_ratio * 0.3
         |      + (CASE WHEN n_chars / n_tokens BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2
         |      + 0.000000001, 4) AS quality_score
-        |FROM s ORDER BY doc_id""".stripMargin
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // mirrored shingle-for-shingle: list comprehension = Spark transform/
+    // sequence/slice; list_distinct/list_intersect = array_distinct/
+    // array_intersect (distinct-set semantics both sides); the size-ratio
+    // prefilter and the J >= 0.5 cut are exact double comparisons
+    "ngram_jaccard" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |      ELSE [array_to_string(toks[i+1:i+2], ' ')
+        |            FOR i IN generate_series(0, len(toks)-2)] END) AS sh
+        |  FROM (SELECT doc_id,
+        |          [t FOR t IN string_split_regex(lower(text), '\s+') IF len(t) > 0] AS toks
+        |        FROM documents)
+        |)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE))
+        |      + 0.000000001, 4) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) >= 0.5 * greatest(len(a.sh), len(b.sh))
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.5
+        |ORDER BY a, b""".stripMargin
   )
 }

@@ -37,6 +37,19 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 8L || p._2 == 8L))
   }
 
+  test("exact bigram Jaccard: identical docs score 1.0, one-word swap scores 0.6, rest pruned") {
+    val rows = Dedup.ngramJaccardExact(docsDf, "doc_id", "text",
+        shingleSize = 2, threshold = 0.5)
+      .collect()
+      .map(r => ((r.getAs[Long]("a"), r.getAs[Long]("b")), r.getAs[Double]("jaccard")))
+      .toMap
+    // 1=2=9 after lowercasing/ws-normalization; 3 swaps one word:
+    // bigram sets intersect 6 of union 10 → J = 0.6 exactly
+    assert(rows.keySet == Set((1L, 2L), (1L, 9L), (2L, 9L), (1L, 3L), (2L, 3L), (3L, 9L)))
+    assert(rows((1L, 2L)) == 1.0 && rows((1L, 9L)) == 1.0)
+    assert(rows((1L, 3L)) == 0.6 && rows((3L, 9L)) == 0.6)
+  }
+
   test("degenerate corpus: oversized buckets are capped BEFORE materialization, distinct pairs survive") {
     import spark.implicits._
     // 1500 identical docs form a single bucket of 1500 ids in every band —
