@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.pipeline.TextAnalysis
+
+/** Structured-Streaming ingest surface for a training-data pipeline.
+  *
+  * The reference engine has no continuous queries (SURVEY §2.8 — its
+  * "streaming" is out-of-core build + chunk-wise operators); this module is
+  * the beyond-reference streaming tier a 100 TB corpus ingest needs:
+  * watermarked per-window corpus telemetry, in-stream exact dedup with
+  * bounded state, and per-key running statistics as explicit
+  * `flatMapGroupsWithState` state machines.
+  *
+  * Scale posture: every operator here keys its state (window, fingerprint,
+  * group key) so state is hash-partitioned across executors, and every
+  * stateful operator is watermark-bounded (or timeout-bounded) so state
+  * size is O(active keys in the watermark horizon), never O(stream).
+  */
+object StreamingPipeline {
+
+  /** Per-window ingest telemetry over an event-timestamped document stream:
+    * doc/char counts, mean quality, and per-window language histogram
+    * pieces (one row per window × language). Append-mode safe: results
+    * emit once the watermark passes the window end.
+    *
+    * All columns are codegen'd built-ins (quality/langid are Column
+    * expressions), so the stream stays in whole-stage codegen until the
+    * windowed aggregation's state store.
+    */
+  def windowedIngestStats(stream: DataFrame, tsCol: String, textCol: String,
+                          windowLen: String = "1 hour",
+                          watermarkDelay: String = "2 hours"): DataFrame =
+    stream
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+      .withColumn("lang", TextAnalysis.langId(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col(textCol))).as("n_chars"),
+        avg(col("quality")).as("mean_quality"))
+
+  /** In-stream exact dedup: documents whose canonical fingerprint
+    * ([[TextAnalysis.fingerprintMd5]]) was already seen within the
+    * watermark horizon are dropped. State is one row per distinct
+    * fingerprint inside the horizon — bounded, unlike a naive
+    * `dropDuplicates` whose state grows forever on an unbounded stream.
+    */
+  def streamingExactDedup(stream: DataFrame, tsCol: String, textCol: String,
+                          watermarkDelay: String = "24 hours"): DataFrame =
+    stream
+      .withColumn("__fp", TextAnalysis.fingerprintMd5(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
+  /** Running per-key corpus state (docs/chars/quality mean) emitted as an
+    * update row per key per micro-batch. */
+  final case class CorpusState(nDocs: Long, nChars: Long, qualitySum: Double)
+  final case class CorpusUpdate(key: String, nDocs: Long, nChars: Long,
+                                meanQuality: Double)
+
+  /** Per-key running corpus statistics as an explicit state machine
+    * (`flatMapGroupsWithState`, update mode): the streaming analogue of a
+    * running `GROUP BY` that must survive across micro-batches and emit
+    * intermediate results. With `maxIdle = Some(d)`, `ProcessingTimeTimeout`
+    * evicts keys idle longer than `d`, bounding state on unbounded key
+    * spaces (e.g. keying by source domain); `None` keeps state forever
+    * (bounded key spaces only).
+    *
+    * NOTE: with a timeout set, Spark schedules no-data micro-batches
+    * indefinitely to fire evictions — `shouldRunAnotherBatch` is always
+    * true — so `processAllAvailable()` never returns on such a query; pace
+    * it with a processing-time trigger and poll the sink instead.
+    *
+    * Input must be pre-projected to (key, nChars, quality) rows — keeping
+    * the shuffled payload to 3 columns matters when the raw stream carries
+    * multi-KB documents.
+    */
+  def runningCorpusStats(rows: Dataset[(String, Long, Double)],
+                         maxIdle: Option[String] = Some("30 minutes")): Dataset[CorpusUpdate] = {
+    import rows.sparkSession.implicits._
+    val timeoutConf = if (maxIdle.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+                      else GroupStateTimeout.NoTimeout()
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[CorpusState, CorpusUpdate](
+        OutputMode.Update(), timeoutConf) {
+        case (key, it, state: GroupState[CorpusState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(CorpusState(0L, 0L, 0.0))
+            var changed = false
+            it.foreach { case (_, nChars, quality) =>
+              s = CorpusState(s.nDocs + 1, s.nChars + nChars, s.qualitySum + quality)
+              changed = true
+            }
+            if (changed) {
+              state.update(s)
+              maxIdle.foreach(state.setTimeoutDuration)
+              Iterator.single(CorpusUpdate(key, s.nDocs, s.nChars,
+                s.qualitySum / s.nDocs))
+            } else Iterator.empty
+          }
+      }
+  }
+}

@@ -11,6 +11,125 @@ class StreamingSpec extends SparkSpec {
 
   private lazy val tmp = Files.createTempDirectory("graft_stream_spec").toString
 
+  test("windowed ingest stats: watermark closes hourly windows per language (append mode)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val en = "the cat and the dog sat with a book for a while it was good"
+    val de = "der hund und die katze sind nicht mit der maus zu dem haus"
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+
+    val out = StreamingPipeline.windowedIngestStats(
+      ms.toDF().toDF("ts", "text"), "ts", "text",
+      windowLen = "1 hour", watermarkDelay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("ingest_stats")
+      .outputMode("append").start()
+    try {
+      // hour-10 window: 2 en + 1 de; hour-11: 1 en
+      ms.addData((ts(10, 5), en), (ts(10, 20), en), (ts(10, 40), de), (ts(11, 10), en))
+      q.processAllAvailable()
+      // nothing emitted yet: watermark (max 11:10 - 1h = 10:10) hasn't
+      // passed the hour-10 window end
+      assert(spark.table("ingest_stats").isEmpty)
+      // late-ish doc INSIDE the horizon still lands in hour 10; then an
+      // event at 13:00 advances the watermark past both windows
+      ms.addData((ts(10, 55), en))
+      q.processAllAvailable()
+      ms.addData((ts(13, 0), en))
+      q.processAllAvailable()
+      val rows = spark.table("ingest_stats")
+        .selectExpr("window.start AS ws", "lang", "n_docs", "n_chars").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(rows(("2026-01-01 10:00:00.0", "en")) == ((3L, en.length * 3L)))
+      assert(rows(("2026-01-01 10:00:00.0", "de")) == ((1L, de.length.toLong)))
+      assert(rows(("2026-01-01 11:00:00.0", "en")) == ((1L, en.length.toLong)))
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup drops in-horizon duplicate fingerprints, state watermark-bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long, String)]
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")
+
+    val out = StreamingPipeline.streamingExactDedup(
+      ms.toDF().toDF("ts", "doc_id", "text"), "ts", "text",
+      watermarkDelay = "2 hours")
+    val q = out.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      // doc 2 is an exact dup of doc 1 (same batch); doc 4 a ws/case variant
+      // dup of doc 1 in a LATER batch — both dropped by in-horizon state
+      ms.addData((ts(10), 1L, "a good document"), (ts(10), 2L, "a good document"),
+        (ts(10), 3L, "another document"))
+      q.processAllAvailable()
+      ms.addData((ts(11), 4L, "A  GOOD document"), (ts(11), 5L, "fresh content"))
+      q.processAllAvailable()
+      val ids = spark.table("stream_dedup").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
+  test("running corpus stats: flatMapGroupsWithState accumulates across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Double)]
+
+    // NoTimeout → no perpetual timeout batches → processAllAvailable works
+    val out = StreamingPipeline.runningCorpusStats(ms.toDS(), maxIdle = None)
+    val q = out.writeStream.format("memory").queryName("corpus_stats")
+      .outputMode("update").start()
+    try {
+      ms.addData(("web", 100L, 0.8), ("web", 300L, 0.6), ("books", 1000L, 0.9))
+      q.processAllAvailable()
+      ms.addData(("web", 200L, 0.7))
+      q.processAllAvailable()
+      // memory sink in update mode appends update rows; the LAST row per
+      // key is the current running state
+      val last = spark.table("corpus_stats").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .groupBy(_._1).map { case (k, v) => k -> v.last._2 }
+      assert(last("web") == ((3L, 600L, (0.8 + 0.6 + 0.7) / 3)))
+      assert(last("books") == ((1L, 1000L, 0.9)))
+    } finally q.stop()
+  }
+
+  test("running corpus stats: idle keys are EVICTED under ProcessingTimeTimeout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Double)]
+
+    // timeout queries run no-data batches forever (to fire evictions), so
+    // processAllAvailable would hang — pace with a trigger and POLL the sink
+    val out = StreamingPipeline.runningCorpusStats(ms.toDS(), maxIdle = Some("1 second"))
+    val q = out.writeStream.format("memory").queryName("corpus_evict")
+      .outputMode("update").trigger(Trigger.ProcessingTime("250 milliseconds")).start()
+
+    def rowsFor(key: String): Seq[Long] =
+      spark.table("corpus_evict").filter(col("key") === key)
+        .select("nDocs").as[Long].collect().toSeq
+    def awaitUntil(deadlineMs: Long)(cond: => Boolean): Boolean = {
+      val end = System.currentTimeMillis() + deadlineMs
+      while (!cond && System.currentTimeMillis() < end) Thread.sleep(100)
+      cond
+    }
+
+    try {
+      ms.addData(("web", 100L, 0.8), ("web", 300L, 0.6))
+      assert(awaitUntil(30000)(rowsFor("web") == Seq(2L)))
+      Thread.sleep(3000) // > maxIdle → the web key's state is evicted
+      ms.addData(("web", 200L, 0.7))
+      // a fresh count of 1 (not 3) proves the state machine restarted
+      assert(awaitUntil(30000)(rowsFor("web") == Seq(2L, 1L)))
+    } finally q.stop()
+  }
+
   private val schema = StructType(Seq(
     StructField("id", LongType), StructField("embedding", ArrayType(FloatType))))
 
