@@ -1,0 +1,195 @@
+package graft.pipeline
+
+/** REAL pure-JVM media codecs for the multimodal pipeline: netpbm images
+  * (PGM/PPM, ASCII and binary) and RIFF/WAV PCM-16 audio. These formats
+  * are fully specified by public documentation and need no native
+  * libraries, so decode / resize / feature-extract can be exercised
+  * end-to-end in any environment; compressed formats (JPEG/MP3/H.264)
+  * still route through the declared stub in [[Multimodal]].
+  *
+  * All functions are total: malformed payloads return None, never throw —
+  * at corpus scale a decoder that dies on one corrupt file kills a
+  * 10k-partition job.
+  */
+object MediaCodecs {
+
+  /** Decoded raster: `pixels` is row-major interleaved, `maxval`-scaled
+    * unsigned bytes (maxval <= 255 enforced). */
+  final case class ImageData(width: Int, height: Int, channels: Int,
+                             pixels: Array[Byte])
+
+  /** PCM audio: interleaved 16-bit samples. */
+  final case class AudioData(sampleRate: Int, channels: Int,
+                             samples: Array[Short])
+
+  // ---- netpbm (PGM P2/P5, PPM P3/P6) ----
+
+  def decodeNetpbm(payload: Array[Byte]): Option[ImageData] = {
+    if (payload == null || payload.length < 2 || payload(0) != 'P') return None
+    val channels = payload(1) match {
+      case '2' | '5' => 1
+      case '3' | '6' => 3
+      case _ => return None
+    }
+    val binary = payload(1) == '5' || payload(1) == '6'
+    try {
+      var pos = 2
+      // header tokens with '#' comments; binary raster starts after EXACTLY
+      // one whitespace char following maxval
+      def nextToken(): Option[Int] = {
+        while (pos < payload.length &&
+               (payload(pos).toChar.isWhitespace || payload(pos) == '#')) {
+          if (payload(pos) == '#')
+            while (pos < payload.length && payload(pos) != '\n') pos += 1
+          else pos += 1
+        }
+        val start = pos
+        while (pos < payload.length && !payload(pos).toChar.isWhitespace) pos += 1
+        if (pos == start) None
+        else Some(new String(payload, start, pos - start, "US-ASCII").toInt)
+      }
+      val w = nextToken().getOrElse(return None)
+      val h = nextToken().getOrElse(return None)
+      val maxval = nextToken().getOrElse(return None)
+      if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
+      val n = w * h * channels
+      val px = new Array[Byte](n)
+      if (binary) {
+        pos += 1 // the single whitespace after maxval
+        if (payload.length - pos < n) return None
+        System.arraycopy(payload, pos, px, 0, n)
+      } else {
+        var i = 0
+        while (i < n) {
+          val v = nextToken().getOrElse(return None)
+          if (v < 0 || v > maxval) return None
+          px(i) = v.toByte; i += 1
+        }
+      }
+      Some(ImageData(w, h, channels, px))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Binary netpbm encode (P5 for 1 channel, P6 for 3). */
+  def encodeNetpbm(img: ImageData): Array[Byte] = {
+    val magic = if (img.channels == 1) "P5" else "P6"
+    val header = s"$magic\n${img.width} ${img.height}\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + img.pixels.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(img.pixels, 0, out, header.length, img.pixels.length)
+    out
+  }
+
+  /** Nearest-neighbor resize (row-major interleaved, any channel count). */
+  def resizeNearest(img: ImageData, outW: Int, outH: Int): ImageData = {
+    require(outW > 0 && outH > 0, "target dimensions must be positive")
+    val c = img.channels
+    val out = new Array[Byte](outW * outH * c)
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * img.height / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val sx = (x.toLong * img.width / outW).toInt
+        val src = (sy * img.width + sx) * c
+        val dst = (y * outW + x) * c
+        var k = 0
+        while (k < c) { out(dst + k) = img.pixels(src + k); k += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    ImageData(outW, outH, c, out)
+  }
+
+  /** Normalized luminance histogram (`bins` buckets over 0..255): a real,
+    * deterministic image feature. RGB collapses via integer BT.601 weights
+    * ((77r + 150g + 29b) >> 8 — exact, no float rounding ambiguity). */
+  def luminanceHistogram(img: ImageData, bins: Int): Array[Float] = {
+    require(bins > 0 && bins <= 256)
+    val counts = new Array[Int](bins)
+    val n = img.width * img.height
+    var i = 0
+    while (i < n) {
+      val lum = if (img.channels == 1) img.pixels(i) & 0xff
+      else {
+        val b = i * img.channels
+        (77 * (img.pixels(b) & 0xff) + 150 * (img.pixels(b + 1) & 0xff) +
+          29 * (img.pixels(b + 2) & 0xff)) >> 8
+      }
+      counts(lum * bins / 256) += 1
+      i += 1
+    }
+    val out = new Array[Float](bins)
+    i = 0
+    while (i < bins) { out(i) = counts(i).toFloat / n; i += 1 }
+    out
+  }
+
+  // ---- RIFF / WAV (PCM 16-bit) ----
+
+  def decodeWavPcm16(payload: Array[Byte]): Option[AudioData] = {
+    if (payload == null || payload.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    try {
+      if (bb.getInt(0) != 0x46464952 /* "RIFF" */ ||
+          bb.getInt(8) != 0x45564157 /* "WAVE" */) return None
+      var pos = 12
+      var sampleRate = 0; var channels = 0; var bits = 0; var fmtOk = false
+      var samples: Array[Short] = null
+      // chunk walk: [id:4][size:4][data:size (padded to even)]
+      while (pos + 8 <= payload.length && (samples == null || !fmtOk)) {
+        val id = bb.getInt(pos)
+        val size = bb.getInt(pos + 4)
+        if (size < 0 || pos + 8 + size > payload.length) return None
+        if (id == 0x20746d66) { // "fmt "
+          if (size < 16) return None
+          if (bb.getShort(pos + 8) != 1) return None // PCM only
+          channels = bb.getShort(pos + 10)
+          sampleRate = bb.getInt(pos + 12)
+          bits = bb.getShort(pos + 22)
+          fmtOk = channels > 0 && sampleRate > 0 && bits == 16
+          if (!fmtOk) return None
+        } else if (id == 0x61746164) { // "data"
+          val n = size / 2
+          samples = new Array[Short](n)
+          var i = 0
+          while (i < n) { samples(i) = bb.getShort(pos + 8 + i * 2); i += 1 }
+        }
+        pos += 8 + size + (size & 1)
+      }
+      if (fmtOk && samples != null) Some(AudioData(sampleRate, channels, samples))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** RMS energy per window of `windowFrames` frames (channel-averaged,
+    * normalized to [0,1]): a real, deterministic audio feature usable for
+    * silence trimming / energy-based segmentation. */
+  def rmsWindows(audio: AudioData, windowFrames: Int): Array[Float] = {
+    require(windowFrames > 0)
+    val c = audio.channels
+    val frames = audio.samples.length / c
+    val nWin = (frames + windowFrames - 1) / windowFrames
+    val out = new Array[Float](nWin)
+    var w = 0
+    while (w < nWin) {
+      val from = w * windowFrames
+      val to = math.min(frames, from + windowFrames)
+      var acc = 0.0
+      var f = from
+      while (f < to) {
+        var k = 0
+        while (k < c) {
+          val s = audio.samples(f * c + k) / 32768.0
+          acc += s * s; k += 1
+        }
+        f += 1
+      }
+      out(w) = math.sqrt(acc / ((to - from) * c)).toFloat
+      w += 1
+    }
+    out
+  }
+}

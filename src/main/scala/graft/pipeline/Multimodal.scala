@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   * are opaque BINARY columns with typed metadata; decode / feature-extract /
   * frame-sample run as partition-batched transforms.
   *
-  * The image/audio codecs are NOT available in this environment, so the
-  * decode kernels are deterministic STUBS (clearly marked) behind the real
-  * Spark plumbing — schema, batching shape (one in-memory batch per
-  * partition iterator, like `mapInPandas`), and partitioning are what a
-  * codec-backed deployment would reuse unchanged.
+  * Uncompressed formats decode for REAL through [[MediaCodecs]] (netpbm
+  * PGM/PPM images; RIFF/WAV PCM-16 audio) — decode, nearest-neighbor
+  * resize, luminance-histogram and RMS-energy features are all exact and
+  * tested. Compressed formats (JPEG/MP3/H.264 — codecs unavailable in
+  * this environment) fall back to the clearly-marked header STUB; a real
+  * deployment swaps only that branch, the Spark plumbing (schema,
+  * partition batching, null/error discipline) stays.
   */
 object Multimodal {
 
@@ -22,16 +24,22 @@ object Multimodal {
     StructField("payload", BinaryType, nullable = false),
     StructField("source", StringType, nullable = true)))
 
+  /** `width`/`height`/`channels` describe images; audio maps frames →
+    * `n_frames`, rate → `sample_rate`, with width/height 0. `format` is
+    * the detected container: pgm|ppm|wav|raw12(stub)|unknown. */
   val decodedMetaType: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
     StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
     StructField("ok", BooleanType, nullable = false)))
 
-  /** ==== STUB ==== decode kernel: parses a fake 12-byte LE header
-    * [w:i32][h:i32][c:i32] from the payload. A real deployment swaps this
-    * single function for an image codec (e.g. via JavaCV); everything else
-    * (schema, partition batching, null/error discipline) stays. */
+  /** ==== STUB ==== decode kernel for formats whose codecs are not on the
+    * JVM: parses a fake 12-byte LE header [w:i32][h:i32][c:i32]. A real
+    * deployment swaps this single function for an image codec (e.g. via
+    * JavaCV); everything else stays. */
   private def decodeStub(payload: Array[Byte]): (Int, Int, Int, Boolean) = {
     if (payload == null || payload.length < 12) (0, 0, 0, false)
     else {
@@ -43,18 +51,71 @@ object Multimodal {
     }
   }
 
+  /** Magic-sniff is only a HINT: a failed real-codec parse falls through
+    * to the stub rather than rejecting, because arbitrary binary (e.g. the
+    * raw12 test fixtures) can legitimately start with 'P' or 'R'. */
+  private def decodeMeta(payload: Array[Byte]): Row = {
+    MediaCodecs.decodeNetpbm(payload) match {
+      case Some(img) =>
+        val fmt = if (img.channels == 1) "pgm" else "ppm"
+        return Row(fmt, img.width, img.height, img.channels, 0, 0L, true)
+      case None => ()
+    }
+    MediaCodecs.decodeWavPcm16(payload) match {
+      case Some(a) =>
+        return Row("wav", 0, 0, a.channels, a.sampleRate,
+          (a.samples.length / a.channels).toLong, true)
+      case None => ()
+    }
+    val (w, h, c, ok) = decodeStub(payload)
+    Row(if (ok) "raw12" else "unknown", w, h, c, 0, 0L, ok)
+  }
+
   /** Decode metadata for every row, partition-batched (the mapInPandas
-    * shape: one buffer of rows per partition, codec state reused). */
+    * shape: one buffer of rows per partition, codec state reused). Netpbm
+    * and WAV decode for real; other formats hit the header stub. */
   def withDecodedMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
     val schema = df.schema.add("decoded", decodedMetaType)
     val pIdx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
-      // per-partition codec state would be initialized here (stub: none)
-      rows.map { r =>
-        val (w, h, c, ok) = decodeStub(r.getAs[Array[Byte]](pIdx))
-        Row.fromSeq(r.toSeq :+ Row(w, h, c, ok))
-      }
+      // per-partition codec state would be initialized here
+      rows.map(r => Row.fromSeq(r.toSeq :+ decodeMeta(r.getAs[Array[Byte]](pIdx))))
     }(Encoders.row(schema))
+  }
+
+  /** REAL resize: netpbm payloads are decoded, nearest-neighbor-resized to
+    * (w, h) and re-encoded (binary P5/P6); non-netpbm rows get null.
+    * Row-local → scales embarrassingly. */
+  def resizeImages(df: DataFrame, w: Int, h: Int,
+                   payloadCol: String = "payload"): DataFrame = {
+    val resizeUdf = udf { payload: Array[Byte] =>
+      MediaCodecs.decodeNetpbm(payload)
+        .map(img => MediaCodecs.encodeNetpbm(MediaCodecs.resizeNearest(img, w, h)))
+        .orNull
+    }
+    df.withColumn("resized_payload", resizeUdf(col(payloadCol)))
+  }
+
+  /** REAL image features: normalized luminance histogram over `bins`
+    * buckets for netpbm payloads; null otherwise. */
+  def withImageFeatures(df: DataFrame, bins: Int = 16,
+                        payloadCol: String = "payload"): DataFrame = {
+    val histUdf = udf { payload: Array[Byte] =>
+      MediaCodecs.decodeNetpbm(payload)
+        .map(MediaCodecs.luminanceHistogram(_, bins)).orNull
+    }
+    df.withColumn("image_features", histUdf(col(payloadCol)))
+  }
+
+  /** REAL audio features: per-window RMS energy for WAV PCM-16 payloads
+    * (silence detection / energy segmentation); null otherwise. */
+  def withAudioFeatures(df: DataFrame, windowFrames: Int,
+                        payloadCol: String = "payload"): DataFrame = {
+    val rmsUdf = udf { payload: Array[Byte] =>
+      MediaCodecs.decodeWavPcm16(payload)
+        .map(MediaCodecs.rmsWindows(_, windowFrames)).orNull
+    }
+    df.withColumn("audio_rms", rmsUdf(col(payloadCol)))
   }
 
   /** ==== STUB ==== feature extractor: deterministic pseudo-embedding from
