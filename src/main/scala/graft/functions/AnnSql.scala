@@ -11,16 +11,24 @@ import graft.index.AnnIndexManager
 
 /** SQL table-valued-function surface, mirroring the reference's TVF
   * registrations (src/ann_search.cpp:1165-1218, src/ann_list.cpp:88-222,
-  * src/diskann_functions.cpp:118-125):
+  * src/diskann_functions.cpp:118-125) — the FULL function list, so a
+  * reference SQL user can run every query they run today:
   *
   *   SELECT * FROM ann_index_scan('idx', array(...), 10[, search_param])
-  *   SELECT * FROM ann_list()
-  *   SELECT * FROM ann_index_info()
-  *   SELECT * FROM ann_engine_info()
+  *   SELECT * FROM ann_search('tbl', 'idx', array(...), 10[, oversample])
+  *   SELECT * FROM ann_search_batch('idx', array(array(...), ...), 10[, sp])
+  *   SELECT * FROM ann_search_table(TABLE(queries), 'idx', 10[, nprobe])
+  *   SELECT * FROM vector_distances(TABLE(t), 'vec_col', array(...)[, metric])
+  *   SELECT * FROM hybrid_search(TABLE(docs), 'id', 'text', 'idx', 'query text', array(...), 10)
+  *   SELECT * FROM diskann_streaming_build('in.bin', '/out/dir'[, 'name'])
+  *   SELECT * FROM ann_list() / ann_index_info() / ann_engine_info()
   *
-  * Scalar functions (l2_distance etc.) are registered by [[AnnFunctions]];
-  * the in-out TABLE-argument shapes (S5/S6) are Scala-API operators
-  * (`AnnSearch.searchTable` / `vectorDistances`).
+  * TABLE(...) arguments arrive as `FunctionTableSubqueryArgumentExpression`
+  * and their analyzed child plan is embedded directly into the returned
+  * plan — the Spark-native analogue of the reference's in-out table
+  * functions (chunk-at-a-time backpressure becomes plain iterator pull).
+  *
+  * Scalar functions (l2_distance etc.) are registered by [[AnnFunctions]].
   */
 object AnnSql {
 
@@ -58,6 +66,40 @@ object AnnSql {
       s"expected an integer literal, got: ${other.sql}")
   }
 
+  /** Constant list of query vectors: array(array(...), array(...)). */
+  private def constVectorList(e: Expression): Seq[Array[Float]] = e match {
+    case CreateArray(children, _) => children.map(constVector)
+    case uf: UnresolvedFunction if uf.nameParts.map(_.toLowerCase) == Seq("array") =>
+      uf.arguments.map(constVector)
+    case Literal(a: ArrayData, ArrayType(ArrayType(et, _), _)) =>
+      (0 until a.numElements()).map { i =>
+        val inner = a.getArray(i)
+        et match {
+          case FloatType => inner.toFloatArray()
+          case DoubleType => inner.toDoubleArray().map(_.toFloat)
+          case _ => throw new IllegalArgumentException(
+            s"expected float/double vectors, got element type $et")
+        }
+      }
+    case other => throw new IllegalArgumentException(
+      s"expected a constant array-of-arrays literal, got: ${other.sql}")
+  }
+
+  /** TABLE(...) argument → its analyzed child plan as a DataFrame. */
+  private def tableArg(spark: SparkSession, e: Expression): org.apache.spark.sql.DataFrame =
+    e match {
+      case t: FunctionTableSubqueryArgumentExpression =>
+        GraftBridge.ofRows(spark, t.plan.asInstanceOf[LogicalPlan])
+      case other => throw new IllegalArgumentException(
+        s"expected a TABLE(...) argument, got: ${other.sql}")
+    }
+
+  private def indexByName(spark: SparkSession, name: String): graft.index.AnnIndex = {
+    val path = AnnIndexManager.registered.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown ANN index: $name"))
+    AnnIndexManager.load(spark, path)
+  }
+
   def register(spark: SparkSession): Unit = {
     val r = spark.sessionState.tableFunctionRegistry
 
@@ -82,9 +124,94 @@ object AnnSql {
       val q = constVector(exprs(1))
       val k = constInt(exprs(2))
       val sp = if (exprs.length > 3) constInt(exprs(3)) else -1
-      val path = AnnIndexManager.registered.getOrElse(name,
-        throw new IllegalArgumentException(s"unknown ANN index: $name"))
-      plan(AnnIndexManager.load(spark, path).scan(q, k, sp))
+      plan(indexByName(spark, name).scan(q, k, sp))
+    }, "scala_udf")
+
+    // ann_search(table_name, index_name, query_vec, k[, oversample]) →
+    // base-table rows fetched through the broadcast join-back (S3,
+    // reference convenience fn src/ann_search.cpp:31-195)
+    r.createOrReplaceTempFunction("ann_search", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 4 && exprs.length <= 5,
+        "usage: ann_search(table, index, query_vec, k[, oversample])")
+      val base = spark.table(constString(exprs(0)))
+      val idx = indexByName(spark, constString(exprs(1)))
+      val q = constVector(exprs(2))
+      val k = constInt(exprs(3))
+      val os = if (exprs.length > 4) constInt(exprs(4)) else 1
+      plan(idx.search(base, idx.meta.idCol, q, k, oversample = os))
+    }, "scala_udf")
+
+    // ann_search_batch(index_name, array(array(...), ...), k[, search_param])
+    // → (query_idx, id, _distance) (S4)
+    r.createOrReplaceTempFunction("ann_search_batch", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 3 && exprs.length <= 4,
+        "usage: ann_search_batch(name, query_vecs, k[, search_param])")
+      val idx = indexByName(spark, constString(exprs(0)))
+      val qs = constVectorList(exprs(1))
+      val k = constInt(exprs(2))
+      val sp = if (exprs.length > 3) constInt(exprs(3)) else -1
+      plan(idx.searchBatch(qs, k, sp))
+    }, "scala_udf")
+
+    // ann_search_table(TABLE(queries), index_name, k[, nprobe]) — the
+    // flagship in-out operator (S5): input rows pass through, top-k index
+    // hits appended per row
+    r.createOrReplaceTempFunction("ann_search_table", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 3 && exprs.length <= 4,
+        "usage: ann_search_table(TABLE(queries), index, k[, nprobe])")
+      val queries = tableArg(spark, exprs(0))
+      val idx = indexByName(spark, constString(exprs(1)))
+      val k = constInt(exprs(2))
+      val np = if (exprs.length > 3) constInt(exprs(3)) else -1
+      plan(graft.operators.AnnSearch.searchTable(idx, queries, k, np))
+    }, "scala_udf")
+
+    // vector_distances(TABLE(t), vec_col, query_vec[, metric]) — input.* +
+    // _distance, no top-k (S6)
+    r.createOrReplaceTempFunction("vector_distances", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 3 && exprs.length <= 4,
+        "usage: vector_distances(TABLE(t), vec_col, query_vec[, metric])")
+      val t = tableArg(spark, exprs(0))
+      val vecCol = constString(exprs(1))
+      val q = constVector(exprs(2))
+      val metric = if (exprs.length > 3) constString(exprs(3)) else "l2"
+      plan(graft.operators.AnnSearch.vectorDistances(t, vecCol, q, metric))
+    }, "scala_udf")
+
+    // hybrid_search(TABLE(docs), id_col, text_col, index_name, query_text,
+    // query_vec, k[, bm25_weight, vector_weight]) — BM25 + ANN fused by
+    // weighted RRF (S7). The text inverted index is built per invocation
+    // (the reference delegates to a prebuilt FTS index; cache the
+    // DataFrame-side TextIndex in the Scala API for repeated queries).
+    r.createOrReplaceTempFunction("hybrid_search", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 7 && exprs.length <= 9,
+        "usage: hybrid_search(TABLE(docs), id_col, text_col, index, query_text, query_vec, k[, bm25_w, vec_w])")
+      val docs = tableArg(spark, exprs(0))
+      val idCol = constString(exprs(1))
+      val textCol = constString(exprs(2))
+      val idx = indexByName(spark, constString(exprs(3)))
+      val qText = constString(exprs(4))
+      val qVec = constVector(exprs(5))
+      val k = constInt(exprs(6))
+      val bw = if (exprs.length > 7) constNum(exprs(7)).toDouble else 0.3
+      val vw = if (exprs.length > 8) constNum(exprs(8)).toDouble else 0.7
+      val ti = graft.operators.HybridSearch.buildTextIndex(docs, idCol, textCol)
+      plan(graft.operators.HybridSearch.hybridSearch(docs, idCol, ti, idx,
+        qText, qVec, k, bm25Weight = bw, vectorWeight = vw))
+    }, "scala_udf")
+
+    // diskann_streaming_build(input_bin, output_dir[, name]) → one stats
+    // row (num_vectors, dimension, sample_size) (S11,
+    // rust_lib/src/streaming_build.rs:42-122)
+    r.createOrReplaceTempFunction("diskann_streaming_build", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 2 && exprs.length <= 3,
+        "usage: diskann_streaming_build(input_file, output_dir[, name])")
+      val input = constString(exprs(0))
+      val output = constString(exprs(1))
+      val params = if (exprs.length > 2) Map("name" -> constString(exprs(2)))
+                   else Map.empty[String, String]
+      plan(graft.sources.BinaryVectorSource.diskannStreamingBuild(
+        spark, input, output, params))
     }, "scala_udf")
   }
 }

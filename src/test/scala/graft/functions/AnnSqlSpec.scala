@@ -64,4 +64,92 @@ class AnnSqlSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unknown ANN index") || e.getMessage.contains("nope_idx"))
   }
+
+  test("SQL TVF ann_search fetches base rows; ann_search_batch tags query_idx") {
+    import spark.implicits._
+    idx
+    AnnSql.register(spark)
+    vecs.toDF("id", "embedding").createOrReplaceTempView("sql_vecs")
+    val rows = spark.sql(
+      "SELECT id, _distance FROM ann_search('sql_vecs', 'sql_idx', array(0.5, 0.5, 0.5), 4)")
+      .collect()
+    assert(rows.length == 4)
+    val expect = vecs
+      .map { case (id, v) => (id, VectorKernels.l2Sq(Array(0.5f, 0.5f, 0.5f), v)) }
+      .sortBy { case (id, d) => (d, id) }.take(4).map(_._1)
+    assert(rows.map(_.getLong(0)).toSeq == expect)
+
+    val batch = spark.sql(
+      """SELECT query_idx, id FROM ann_search_batch('sql_idx',
+        |  array(array(0.1, 0.1, 0.1), array(0.9, 0.9, 0.9)), 3)""".stripMargin)
+      .collect()
+    assert(batch.map(_.getInt(0)).toSet == Set(0, 1))
+    assert(batch.length == 6)
+  }
+
+  test("SQL TVF ann_search_table takes a TABLE() argument with passthrough columns") {
+    import spark.implicits._
+    idx
+    AnnSql.register(spark)
+    Seq((100L, "first", Array(0.1f, 0.1f, 0.1f)),
+        (200L, "second", Array(0.9f, 0.9f, 0.9f)))
+      .toDF("qid", "tag", "qvec").createOrReplaceTempView("sql_queries")
+    val rows = spark.sql(
+      "SELECT qid, tag, id, _distance FROM ann_search_table(TABLE(sql_queries), 'sql_idx', 3)")
+      .collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getString(1)).toSet == Set("first", "second")) // passthrough
+    val brute = vecs
+      .map { case (id, v) => (id, VectorKernels.l2Sq(Array(0.1f, 0.1f, 0.1f), v)) }
+      .sortBy { case (id, d) => (d, id) }.take(3).map(_._1).toSet
+    assert(rows.filter(_.getLong(0) == 100L).map(_.getLong(2)).toSet == brute)
+  }
+
+  test("SQL TVF vector_distances appends _distance to every input row") {
+    import spark.implicits._
+    idx
+    AnnSql.register(spark)
+    vecs.toDF("id", "embedding").createOrReplaceTempView("sql_vecs")
+    val rows = spark.sql(
+      "SELECT id, _distance FROM vector_distances(TABLE(sql_vecs), 'embedding', array(0.5, 0.5, 0.5))")
+      .collect()
+    assert(rows.length == vecs.length) // no top-k: one row per input
+    val byId = rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((id, v) <- vecs.take(10))
+      assert(math.abs(byId(id) - VectorKernels.l2Sq(Array(0.5f, 0.5f, 0.5f), v)) < 1e-6)
+  }
+
+  test("SQL TVF hybrid_search fuses BM25 and vector ranks from SQL") {
+    import spark.implicits._
+    idx
+    AnnSql.register(spark)
+    // cover every indexed id: fused vector candidates must find their doc
+    vecs.map { case (id, v) =>
+      (id, s"document number $id about ${if (id % 2 == 0) "spark joins" else "cats"}", v)
+    }.toDF("id", "text", "embedding").createOrReplaceTempView("sql_docs")
+    val rows = spark.sql(
+      """SELECT id, _bm25_rank, _vector_rank FROM hybrid_search(
+        |  TABLE(sql_docs), 'id', 'text', 'sql_idx', 'spark joins',
+        |  array(0.5, 0.5, 0.5), 5)""".stripMargin).collect()
+    assert(rows.length == 5)
+    // docs mentioning the query terms must hold the top BM25 ranks
+    val bm25Ranked = rows.filter(_.getInt(1) > 0).map(_.getLong(0))
+    assert(bm25Ranked.nonEmpty && bm25Ranked.forall(_ % 2 == 0))
+  }
+
+  test("SQL TVF diskann_streaming_build builds an index from a binary file") {
+    val bin = s"$tmp/sql_sb.bin"
+    val rnd = new scala.util.Random(3)
+    graft.sources.BinaryVectorSource.write(bin,
+      Seq.tabulate(64)(_ => Array.fill(4)(rnd.nextFloat())))
+    AnnSql.register(spark)
+    val row = spark.sql(
+      s"SELECT * FROM diskann_streaming_build('$bin', '$tmp/sql_sb_idx', 'sql_sb_idx')")
+      .head()
+    assert(row.getLong(0) == 64 && row.getInt(1) == 4)
+    // the built index is immediately queryable through the SQL surface
+    val hits = spark.sql(
+      "SELECT * FROM ann_index_scan('sql_sb_idx', array(0.5, 0.5, 0.5, 0.5), 3)").collect()
+    assert(hits.length == 3)
+  }
 }
