@@ -331,6 +331,23 @@ object IndexQueries {
     "ann_vamana_sq8" -> ((s: SparkSession, dir: String) =>
       ranked(sq8VamanaIndex(s, dir).scan(qvecF(5), K, searchParam = 100000))),
 
+    // the SQL surface end-to-end with a TABLE() argument: same in-out
+    // operator as ann_search_table, invoked purely through spark.sql —
+    // strict (FLAT index = exact)
+    "sql_search_table" -> ((s: SparkSession, dir: String) => {
+      flatIndex(s, dir)
+      graft.functions.AnnSql.register(s)
+      import s.implicits._
+      Seq((0, qvecF(14)), (1, qvecF(15))).toDF("query_idx", "qvec")
+        .createOrReplaceTempView("sql_st_queries")
+      val res = s.sql(
+        "SELECT query_idx, id, _distance FROM ann_search_table(TABLE(sql_st_queries), 'emb_flat', 10)")
+      res.withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_idx")).orderBy(col("_distance"), col("id"))).cast("long"))
+        .select(col("query_idx"), col("rank"), col("id").as("vec_id"))
+        .orderBy("query_idx", "rank")
+    }),
+
     // S7 hybrid BM25+vector RRF fusion — strict oracle: the output is
     // RANKS only, and every float that decides an ordering (BM25 term
     // sums in sorted-term order, RRF weights) is mirrored operation-for-
@@ -473,6 +490,17 @@ object IndexQueries {
         |    (SELECT CAST(count(*) AS BIGINT) FROM embeddings),
         |    CAST(0 AS BIGINT), false) t
         |ORDER BY name""".stripMargin,
+
+    "sql_search_table" ->
+      s"""SELECT query_idx, rank, vec_id FROM (
+         |  SELECT q.query_idx, e.vec_id, CAST(row_number() OVER (
+         |    PARTITION BY q.query_idx
+         |    ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), q.qvec), e.vec_id) AS BIGINT) AS rank
+         |  FROM (VALUES
+         |    (CAST(0 AS INTEGER), ${sqlVec(14)}),
+         |    (1, ${sqlVec(15)})) q(query_idx, qvec)
+         |  CROSS JOIN embeddings e) t
+         |WHERE rank <= $K ORDER BY query_idx, rank""".stripMargin,
 
     // S7 mirrored operation-for-operation against HybridSearch.scala:
     // same tokenizer regex, BM25 constants spelled as the same double OPS

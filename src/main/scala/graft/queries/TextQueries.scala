@@ -80,6 +80,15 @@ object TextQueries {
     "doc_fingerprint_rolling" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.withFingerprints(docs(s, dir), "text")
         .select("doc_id", "fp_rolling")
+        .orderBy("doc_id")),
+
+    // end-to-end cleaning pass: dedup -> langid -> quality -> filters, one
+    // declarative plan; every stage is SQL-mirrorable, so the COMPOSITION
+    // gets a strict oracle too
+    "corpus_clean" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.CorpusPipeline.clean(docs(s, dir), "doc_id", "text",
+          minQuality = 0.5, langs = Set("en", "de", "fr", "es"), minChars = 20)
+        .select("doc_id", "lang_pred", "quality_score")
         .orderBy("doc_id"))
   )
 
@@ -161,6 +170,48 @@ object TextQueries {
         |      + (CASE WHEN n_chars / n_tokens BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2
         |      + 0.000000001, 4) AS quality_score
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // the composed cleaning pass reuses the text_langid and text_quality
+    // mirrors verbatim, plus the md5 first-id dedup winner set
+    "corpus_clean" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(lower(text), '\s+') AS toks,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS cjk,
+        |    CAST(length(regexp_replace(lower(text), '[^a-z\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio
+        |  FROM documents
+        |  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+        |), s AS (
+        |  SELECT doc_id, n_chars, cjk, alpha_ratio,
+        |    greatest(len(toks), 1) AS n_tokens,
+        |    len(list_intersect(toks, ['the','and','of','to','in','is','that','it','was','for','with','a'])) AS s_en,
+        |    len(list_intersect(toks, ['der','die','das','und','ist','nicht','mit','ein','eine','zu','den','von'])) AS s_de,
+        |    len(list_intersect(toks, ['le','la','les','et','est','un','une','dans','que','pour','des','du'])) AS s_fr,
+        |    len(list_intersect(toks, ['el','los','las','de','que','y','en','un','una','es','por','con'])) AS s_es
+        |  FROM t
+        |), scored AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN cjk > 0.3 THEN 'zh'
+        |         WHEN greatest(s_en,s_de,s_fr,s_es) = 0 THEN 'und'
+        |         WHEN s_en = greatest(s_en,s_de,s_fr,s_es) THEN 'en'
+        |         WHEN s_de = greatest(s_en,s_de,s_fr,s_es) THEN 'de'
+        |         WHEN s_fr = greatest(s_en,s_de,s_fr,s_es) THEN 'fr'
+        |         ELSE 'es' END AS lang_pred,
+        |    round(least(n_chars / 500.0, 1.0) * 0.3
+        |        + least(CAST(s_en + s_de + s_fr + s_es AS DOUBLE) / 5.0, 1.0) * 0.2
+        |        + alpha_ratio * 0.3
+        |        + (CASE WHEN n_chars / n_tokens BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2
+        |        + 0.000000001, 4) AS quality_score
+        |  FROM s
+        |)
+        |SELECT doc_id, lang_pred, quality_score FROM scored
+        |WHERE quality_score >= 0.5
+        |  AND lang_pred IN ('en', 'de', 'fr', 'es')
+        |  AND n_chars >= 20
+        |ORDER BY doc_id""".stripMargin,
 
     // mirrored shingle-for-shingle: list comprehension = Spark transform/
     // sequence/slice; list_distinct/list_intersect = array_distinct/

@@ -37,6 +37,28 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 8L || p._2 == 8L))
   }
 
+  test("corpus clean: dedup, language, quality and length filters compose in one plan") {
+    import spark.implicits._
+    val extra = Seq(
+      (20L, "a" * 600 + " the and of to in is that it was for with a good long document"),
+      (21L, "zz")).toDF("doc_id", "text")
+    val corpus = docsDf.union(extra)
+    val cleaned = CorpusPipeline.clean(corpus, "doc_id", "text",
+      minQuality = 0.3, langs = Set("en", "de", "fr", "es"), minChars = 10)
+    val ids = cleaned.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(2L)) // exact dup of 1 dropped
+    assert(!ids.contains(7L)) // zh filtered by lang policy
+    assert(!ids.contains(21L)) // too short
+    assert(ids.contains(20L)) // long real text passes
+    assert(cleaned.columns.contains("lang_pred") && cleaned.columns.contains("quality_score"))
+
+    val report = CorpusPipeline.attritionReport(corpus, "doc_id", "text",
+      minQuality = 0.3, langs = Set("en", "de", "fr", "es"), minChars = 10).head()
+    assert(report.getAs[Long]("n_after_dedup") == corpus.count() - 1)
+    assert(report.getAs[Long]("n_wrong_lang") >= 1) // the zh doc
+    assert(report.getAs[Long]("n_too_short") >= 1)  // "zz"
+  }
+
   test("exact bigram Jaccard: identical docs score 1.0, one-word swap scores 0.6, rest pruned") {
     val rows = Dedup.ngramJaccardExact(docsDf, "doc_id", "text",
         shingleSize = 2, threshold = 0.5)
