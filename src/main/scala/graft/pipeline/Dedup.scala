@@ -235,6 +235,42 @@ object Dedup {
         round(col("inter") / union + lit(1e-9), 4).as("jaccard"))
   }
 
+  private val annDedupSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Embedding near-dup via an ANN-index self-join — the INDEX-BACKED
+    * scale path: build a transient cosine IVF index over the vectors, feed
+    * the table itself through the fully-distributed cell-pruned batch
+    * search ([[graft.operators.AnnSearch.searchTable]]), and keep pairs
+    * above the similarity threshold. Work is O(n · nprobe/nlist · n) vs
+    * O(n²) exact, with every stage a DataFrame job (no driver collection
+    * of the corpus); recall follows probe coverage and is asserted in
+    * PipelineSpec. Requires `idCol != "id"` (the hit column is `id`).
+    *
+    * Both sides normalize through the same [[graft.functions.NormalizeVector]]
+    * kernel, so the (a,b) and (b,a) directions carry bit-identical
+    * similarities and collapse exactly in the final distinct. */
+  def embeddingNearDupsAnn(df: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, nlist: Int = 64, nprobe: Int = 8,
+                           k: Int = 10): DataFrame = {
+    require(idCol != "id", "idCol must differ from the index hit column 'id'")
+    val spark = df.sparkSession
+    val name = s"__neardup_ann_${annDedupSeq.incrementAndGet()}"
+    val path = java.nio.file.Files.createTempDirectory("graft_neardup_ann").toString
+    val idx = graft.index.AnnIndexManager.create(spark, name, df, idCol, vecCol,
+      "IVF", Map("metric" -> "cosine", "nlist" -> nlist.toString,
+        "nprobe" -> nprobe.toString), path)
+    val hits = graft.operators.AnnSearch.searchTable(idx,
+      df.select(col(idCol), col(vecCol)), k + 1, nprobe,
+      queryVecCol = Some(vecCol), queryIdCol = Some(idCol))
+    hits.filter(col(idCol).cast("long") =!= col("id"))
+      .withColumn("cos_sim", lit(1.0) - col("_distance")) // cosine dist = 1 - dot
+      .filter(col("cos_sim") > threshold)
+      .select(least(col(idCol).cast("long"), col("id")).as("a"),
+        greatest(col(idCol).cast("long"), col("id")).as("b"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+      .distinct()
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash over word tokens (murmur token hashes, ±1 per bit). */

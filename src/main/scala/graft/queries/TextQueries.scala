@@ -67,6 +67,14 @@ object TextQueries {
           "vec_id", "embedding", threshold = 0.42, bits = 6, repeats = 20)
         .orderBy("a", "b")),
 
+    // index-backed near-dup (transient cosine IVF + distributed self-join
+    // search): deterministic rows-only (probe coverage < 1 is approximate
+    // by design; recall vs exact asserted in PipelineSpec)
+    "neardup_ann" -> ((s: SparkSession, dir: String) =>
+      Dedup.embeddingNearDupsAnn(table(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.42, nlist = 16, nprobe = 8)
+        .orderBy("a", "b")),
+
     "text_langid" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.withLangId(docs(s, dir), "text")
         .select("doc_id", "lang_pred")

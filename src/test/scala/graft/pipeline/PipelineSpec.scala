@@ -160,5 +160,12 @@ class PipelineSpec extends SparkSpec {
     val lsh = Dedup.embeddingNearDupsLsh(df, "vec_id", "embedding", 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.contains((0L, 100L)))
+
+    // index-backed path: exhaustive probes (nprobe = nlist) must find the
+    // planted pair exactly once (directions collapse bit-identically)
+    val ann = Dedup.embeddingNearDupsAnn(df, "vec_id", "embedding", 0.95,
+      nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ann.count(_ == ((0L, 100L))) == 1)
   }
 }
