@@ -123,24 +123,28 @@ object Bench {
     time("vamana_50q_10k_d128") { noop(synthIdx.searchBatch(synthQ, 10)) }
 
     // ---- kernel microbench: batch L2, one query vs n cands (per-batch s) ----
-    // comparable to README.md:145 (n=1024, dim=768 → 784µs CPU on M1 Pro).
-    // Two numbers: the raw JVM kernel (like-for-like with the reference's
-    // SIMD kernel) and the codegen'd expression amortized inside one Spark
-    // job (500 batches per job — scheduling overhead divided out).
-    val kd = 768; val kn = 1024
-    val krnd = new scala.util.Random(7)
-    val candArr = Array.fill(kn)(Array.fill(kd)(krnd.nextFloat()))
-    val qArr = Array.fill(kd)(krnd.nextFloat())
+    // the FULL reference CPU shape table (README.md:140-145: 4µs @ 64×128
+    // … 870µs @ 512×1536, 784µs @ 1024×768 on M1 Pro) so BENCH vs BASELINE
+    // compares shape-for-shape. Raw JVM kernel = like-for-like with the
+    // reference's SIMD kernel; plus the codegen'd expression amortized
+    // inside one Spark job (500 batches — scheduling overhead divided out).
     var sink = 0.0
-    for (_ <- 1 to 50) { var i = 0; while (i < kn) { sink += graft.functions.VectorKernels.l2Sq(qArr, candArr(i)); i += 1 } } // warm JIT
-    val kt0 = System.nanoTime()
-    val kreps = 500
-    for (_ <- 1 to kreps) {
-      var i = 0
-      while (i < kn) { sink += graft.functions.VectorKernels.l2Sq(qArr, candArr(i)); i += 1 }
+    for ((kn, kd) <- Seq((64, 128), (64, 768), (128, 1536), (256, 1536),
+                         (512, 1536), (1024, 768))) {
+      val krnd = new scala.util.Random(7)
+      val candArr = Array.fill(kn)(Array.fill(kd)(krnd.nextFloat()))
+      val qArr = Array.fill(kd)(krnd.nextFloat())
+      for (_ <- 1 to 50) { var i = 0; while (i < kn) { sink += graft.functions.VectorKernels.l2Sq(qArr, candArr(i)); i += 1 } } // warm JIT
+      val kt0 = System.nanoTime()
+      val kreps = 500
+      for (_ <- 1 to kreps) {
+        var i = 0
+        while (i < kn) { sink += graft.functions.VectorKernels.l2Sq(qArr, candArr(i)); i += 1 }
+      }
+      times(s"kernel_batch_l2_n${kn}_d${kd}_jvm") = (System.nanoTime() - kt0) / 1e9 / kreps
     }
-    times("kernel_batch_l2_n1024_d768_jvm") = (System.nanoTime() - kt0) / 1e9 / kreps
     if (sink == Double.NaN) println(sink) // keep the JIT honest
+    val kd = 768; val kn = 1024
 
     // codegen path: 500 query batches against the same candidates in ONE job
     import graft.functions.AnnFunctions.l2_distance_sq
@@ -159,8 +163,12 @@ object Bench {
     noop(batchPlan)
     times("kernel_batch_l2_n1024_d768_spark") = (System.nanoTime() - st0) / 1e9 / 500
 
-    val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
-      .mkString("{", ",", "}")
+    // kernel lines are microseconds-scale: 4 decimals of seconds would
+    // round 4µs to 0.0000 — keep 7 for them, 4 for engine queries
+    val qs = times.map { case (k, v) =>
+      val fmt = if (k.startsWith("kernel_")) f"$v%.7f" else f"$v%.4f"
+      "\"" + k + "\":" + fmt
+    }.mkString("{", ",", "}")
     val total = times.values.filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
