@@ -32,13 +32,14 @@ object AnnFunctions {
   def normalize_vector(c: Column): Column = col(NormalizeVector(expr(c)))
 
   /** Narrow an ARRAY<FLOAT|DOUBLE> column to `containsNull=false` float
-    * elements by mapping null ELEMENTS to NaN. NaN distances fail every
-    * threshold and sort after all real values, so such rows drop out of
-    * near-dup filters and top-k exactly like a NULL-propagating oracle
-    * under the same predicate. The narrowed TYPE lets the distance kernels
-    * compile WITHOUT the per-element null guard — one array rebuild per
-    * input row buys a branch-free (auto-vectorizable) kernel loop on
-    * quadratic and scan paths. */
+    * elements by mapping null ELEMENTS to NaN. NaN distances sort after
+    * all real values (nan-safe compare: NaN is greatest), so such rows
+    * drop out of ascending top-k. CAUTION: the same rule makes NaN PASS
+    * `sim > threshold` similarity cuts — consumers must pair the cut with
+    * `!isnan(sim)` (the Dedup near-dup paths do). The narrowed TYPE lets
+    * the distance kernels compile WITHOUT the per-element null guard —
+    * one array rebuild per input row buys a branch-free
+    * (auto-vectorizable) kernel loop on quadratic and scan paths. */
   def vector_nonnull(c: Column): Column = {
     import org.apache.spark.sql.functions._
     transform(c, x => coalesce(x.cast("float"), lit(Float.NaN)))
@@ -58,5 +59,6 @@ object AnnFunctions {
     r.createOrReplaceTempFunction("cosine_similarity", es => CosineSimilarity(es(0), es(1)), "scala_udf")
     r.createOrReplaceTempFunction("array_cosine_similarity", es => CosineSimilarity(es(0), es(1)), "scala_udf")
     r.createOrReplaceTempFunction("list_cosine_similarity", es => CosineSimilarity(es(0), es(1)), "scala_udf")
+    r.createOrReplaceTempFunction("normalize_vector", es => NormalizeVector(es(0)), "scala_udf")
   }
 }

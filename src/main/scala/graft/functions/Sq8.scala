@@ -67,6 +67,19 @@ case class Sq8Distance(left: Expression, right: Expression,
 
   private def qIsFloat = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  /** Same null-element contract as the float kernels
+    * ([[BinaryVectorDoubleExpression]]): a null query ELEMENT yields a
+    * null distance — reading the zeroed slot would silently corrupt
+    * rankings — and makes the expression nullable even for non-nullable
+    * inputs (nullSafeCodeGen would otherwise pin ev.isNull to `false`). */
+  private def qMayHaveNullElems: Boolean =
+    childrenResolved && (right.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => false
+    })
+
+  override def nullable: Boolean = super.nullable || qMayHaveNullElems
+
   private def checkDims(nCodes: Int, nQ: Int): Unit =
     if (nQ != nCodes || nCodes > mins.length)
       throw new IllegalArgumentException(
@@ -79,6 +92,10 @@ case class Sq8Distance(left: Expression, right: Expression,
     val q = r.asInstanceOf[ArrayData]
     val n = codes.length
     checkDims(n, q.numElements())
+    if (qMayHaveNullElems) {
+      var i = 0
+      while (i < n) { if (q.isNullAt(i)) return null; i += 1 }
+    }
     metric match {
       case "l2" =>
         var acc = 0.0; var i = 0
@@ -115,11 +132,22 @@ case class Sq8Distance(left: Expression, right: Expression,
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val v = ctx.freshName("v")
       val qe = getQ(i).format(q)
+      val nullGuard =
+        if (!qMayHaveNullElems) ""
+        else {
+          val j = ctx.freshName("j")
+          s"""for (int $j = 0; $j < $n; $j++) {
+             |  if ($q.isNullAt($j)) { ${ev.isNull} = true; break; }
+             |}
+             |if (!${ev.isNull}) {""".stripMargin
+        }
+      val nullGuardClose = if (qMayHaveNullElems) "}" else ""
       val dimCheck =
         s"""if ($q.numElements() != $n || $n > $minsRef.length) {
            |  throw new IllegalArgumentException("$prettyName: dimensions differ (codes="
            |    + $n + ", query=" + $q.numElements() + ", params=" + $minsRef.length + ")");
-           |}""".stripMargin
+           |}
+           |$nullGuard""".stripMargin
       metric match {
         case "l2" =>
           val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
@@ -131,7 +159,8 @@ case class Sq8Distance(left: Expression, right: Expression,
              |  final double $d = $v - $qe;
              |  $acc += $d * $d;
              |}
-             |${ev.value} = $acc;""".stripMargin
+             |${ev.value} = $acc;
+             |$nullGuardClose""".stripMargin
         case "ip" =>
           val acc = ctx.freshName("acc")
           s"""final int $n = $codes.length;
@@ -141,7 +170,8 @@ case class Sq8Distance(left: Expression, right: Expression,
              |  final double $v = ($codes[$i] & 0xff) / 255.0 * $scalesRef[$i] + $minsRef[$i];
              |  $acc += $v * $qe;
              |}
-             |${ev.value} = -$acc;""".stripMargin
+             |${ev.value} = -$acc;
+             |$nullGuardClose""".stripMargin
         case "cosine" =>
           val d = ctx.freshName("dot"); val nv = ctx.freshName("nv")
           val nq = ctx.freshName("nq"); val x = ctx.freshName("x")
@@ -153,7 +183,8 @@ case class Sq8Distance(left: Expression, right: Expression,
              |  final double $x = $qe;
              |  $d += $v * $x; $nv += $v * $v; $nq += $x * $x;
              |}
-             |${ev.value} = 1.0 - $d / (java.lang.Math.sqrt($nv) * java.lang.Math.sqrt($nq));""".stripMargin
+             |${ev.value} = 1.0 - $d / (java.lang.Math.sqrt($nv) * java.lang.Math.sqrt($nq));
+             |$nullGuardClose""".stripMargin
       }
     })
   }

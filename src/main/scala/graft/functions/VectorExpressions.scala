@@ -25,6 +25,13 @@ abstract class BinaryVectorDoubleExpression extends BinaryExpression
 
   override def dataType: DataType = DoubleType
 
+  /** A null ELEMENT yields a null result even when the array inputs
+    * themselves are non-nullable (e.g. array(a, b) literals over nullable
+    * columns) — without this override nullSafeCodeGen would pin
+    * `ev.isNull` to the FalseLiteral and the null-elem branch would
+    * generate the non-compilable statement `false = true;`. */
+  override def nullable: Boolean = super.nullable || mayHaveNullElems
+
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
       case ArrayType(FloatType | DoubleType, _) => true
@@ -65,10 +72,13 @@ abstract class BinaryVectorDoubleExpression extends BinaryExpression
 
   /** Whether either input's TYPE admits null elements. When false (e.g.
     * typedLit query vectors, canonicalized index datasets) the null-element
-    * guard is compiled out entirely. */
+    * guard is compiled out entirely. Safe pre-resolution (nullable may be
+    * queried before type checking): non-array inputs report false. */
   protected final def mayHaveNullElems: Boolean =
-    left.dataType.asInstanceOf[ArrayType].containsNull ||
-      right.dataType.asInstanceOf[ArrayType].containsNull
+    childrenResolved && Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => false
+    })
 
   /** A null ELEMENT must make the whole distance NULL (Spark's
     * null-propagation), never be read as 0.0 — ArrayData getters return
@@ -240,7 +250,14 @@ case class NormalizeVector(child: Expression)
   private def elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
   private def mayHaveNullElems: Boolean =
-    child.dataType.asInstanceOf[ArrayType].containsNull
+    childrenResolved && (child.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => false
+    })
+
+  /** See [[BinaryVectorDoubleExpression.nullable]]: a null ELEMENT makes
+    * the result null even when the array input is non-nullable. */
+  override def nullable: Boolean = super.nullable || mayHaveNullElems
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]

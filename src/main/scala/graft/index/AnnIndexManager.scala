@@ -183,25 +183,38 @@ object AnnIndexManager {
 
   private val registry = TrieMap.empty[String, String] // name → path
   private val buildLocks = TrieMap.empty[String, Object]
-  private val metaCache = TrieMap.empty[String, (Long, IndexMeta)] // path → (mtime, meta)
+  private val metaCache = TrieMap.empty[String, ((Long, Long), IndexMeta)] // path → ((mtime, size), meta)
 
   def register(name: String, path: String): Unit = registry.put(name, path)
   def registered: Map[String, String] = registry.toMap
 
-  /** Index metadata cached by meta.json mtime: hot paths (the optimizer
-    * rule scans the whole catalog per candidate query) must not re-read
-    * from storage; any index write rewrites meta.json and invalidates. */
+  /** Remove a catalog entry (the on-disk index dataset is untouched and
+    * any loaded AnnIndex keeps working from its path). Transient indexes —
+    * e.g. dedup scratch builds — unregister so they don't pollute
+    * ann_list() or widen the optimizer rule's per-query catalog scan. */
+  def unregister(name: String): Unit = registry.remove(name)
+
+  /** Index metadata cached by meta.json (mtime, size): hot paths (the
+    * optimizer rule scans the whole catalog per candidate query) must not
+    * re-read from storage. In-process writes invalidate explicitly
+    * (IndexMeta.write); the (mtime, size) key also catches out-of-process
+    * rewrites unless both collide within the mtime granularity. */
   def cachedMeta(path: String): Option[IndexMeta] = scala.util.Try {
-    val mtime = java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(path, "meta.json")).toMillis
+    val p = java.nio.file.Paths.get(path, "meta.json")
+    val stamp = (java.nio.file.Files.getLastModifiedTime(p).toMillis,
+      java.nio.file.Files.size(p))
     metaCache.get(path) match {
-      case Some((t, m)) if t == mtime => m
+      case Some((s, m)) if s == stamp => m
       case _ =>
         val m = IndexMeta.read(path)
-        metaCache.put(path, (mtime, m))
+        metaCache.put(path, (stamp, m))
         m
     }
   }.toOption
+
+  /** Drop a path's cached metadata (called by IndexMeta.write). */
+  private[index] def invalidateMetaCache(path: String): Unit =
+    metaCache.remove(path)
 
   /** CREATE INDEX (S12): validates the column shape like the reference
     * (FLOAT[N] with fixed dim, src/diskann_index.cpp:78-84), trains IVF

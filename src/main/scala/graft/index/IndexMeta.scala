@@ -48,6 +48,9 @@ object IndexMeta {
     Files.writeString(tmp, Serialization.write(meta))
     Files.move(tmp, Paths.get(path, "meta.json"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    // same-process rewrites within the filesystem's mtime granularity
+    // would otherwise serve stale cached metadata to the optimizer rule
+    AnnIndexManager.invalidateMetaCache(path)
   }
 
   def read(path: String): IndexMeta =

@@ -50,7 +50,10 @@ object AnnSearch {
       case Some(c) => (queries, c)
       case None => (queries.withColumn("__qid", monotonically_increasing_id()).cache(), "__qid")
     }
-    val qvecRaw = col(vecColName).cast(ArrayType(FloatType))
+    // narrow at the edge: a null ELEMENT becomes NaN, so the row's
+    // distances sort last and it drops out of its own top-k — without this
+    // the distance would be NULL and TopK's phase-1 getDouble would NPE
+    val qvecRaw = vector_nonnull(col(vecColName))
     val qvec = if (idx.meta.metric == "cosine") normalize_vector(qvecRaw) else qvecRaw
     val qkeys = qin.select(col(qidCol).as("__qid"), qvec.as("__qvec"))
 

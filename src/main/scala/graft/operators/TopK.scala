@@ -53,8 +53,12 @@ object TopK {
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(schema(ti).dataType),
       s"tieBreakCol $tieBreakCol must be an integral id column, " +
         s"got ${schema(ti).dataType.catalogString}")
+    // `+ 0.0` collapses -0.0 to 0.0: SQL comparison treats them equal and
+    // tie-breaks on id, but TotalOrdering sorts -0.0 < 0.0 — the heap
+    // could evict the row the window would keep (ip metric emits -0.0 for
+    // an exactly-zero dot). NaN stays consistent (greatest on both sides).
     val rowOrd: Ordering[Row] = Ordering.by((r: Row) =>
-      (r.getDouble(di), r.getAs[Number](ti).longValue()))(
+      (r.getDouble(di) + 0.0, r.getAs[Number](ti).longValue()))(
         Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
 
     val maxBuffered = df.sparkSession.conf

@@ -44,10 +44,15 @@ object CorpusPipeline {
     val scored = TextAnalysis.withQualityScore(
       TextAnalysis.withLangId(Dedup.dropExactDuplicates(df, idCol, textCol),
         textCol), textCol)
+    // empty langs = keep-all (mirrors clean()): zero-arg isin is always
+    // false, so not(isin()) would count EVERY row as wrong-language
+    val wrongLang =
+      if (langs.isEmpty) lit(0L)
+      else sum(when(not(col("lang_pred").isin(langs.toSeq: _*)), 1L).otherwise(0L))
     scored.agg(
       total.as("n_after_dedup"),
       sum(when(col("quality_score") < minQuality, 1L).otherwise(0L)).as("n_low_quality"),
-      sum(when(not(col("lang_pred").isin(langs.toSeq: _*)), 1L).otherwise(0L)).as("n_wrong_lang"),
+      wrongLang.as("n_wrong_lang"),
       sum(when(length(col(textCol)) < minChars, 1L).otherwise(0L)).as("n_too_short"))
   }
 }

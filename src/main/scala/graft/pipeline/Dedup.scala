@@ -259,12 +259,16 @@ object Dedup {
     val idx = graft.index.AnnIndexManager.create(spark, name, df, idCol, vecCol,
       "IVF", Map("metric" -> "cosine", "nlist" -> nlist.toString,
         "nprobe" -> nprobe.toString), path)
+    // scratch index: drop the catalog entry immediately (the loaded idx
+    // keeps serving from its path, which the returned lazy plan needs —
+    // callers own deleting `path` once the result is consumed)
+    graft.index.AnnIndexManager.unregister(name)
     val hits = graft.operators.AnnSearch.searchTable(idx,
       df.select(col(idCol), col(vecCol)), k + 1, nprobe,
       queryVecCol = Some(vecCol), queryIdCol = Some(idCol))
     hits.filter(col(idCol).cast("long") =!= col("id"))
       .withColumn("cos_sim", lit(1.0) - col("_distance")) // cosine dist = 1 - dot
-      .filter(col("cos_sim") > threshold)
+      .filter(col("cos_sim") > threshold && !isnan(col("cos_sim")))
       .select(least(col(idCol).cast("long"), col("id")).as("a"),
         greatest(col(idCol).cast("long"), col("id")).as("b"),
         round(col("cos_sim"), 4).as("cos_sim"))
@@ -339,7 +343,10 @@ object Dedup {
     val b = df.select(col(idCol).as("b"), vector_nonnull(col(vecCol)).as("vb"))
     a.join(b, col("a") < col("b"))
       .withColumn("cos_sim", cosine_similarity(col("va"), col("vb")))
-      .filter(col("cos_sim") > threshold)
+      // NaN (null elements narrowed by vector_nonnull, or zero-norm
+      // vectors) must FAIL the cut: Spark's nan-safe compare treats NaN as
+      // greater than every number, so `> threshold` alone would PASS it
+      .filter(col("cos_sim") > threshold && !isnan(col("cos_sim")))
       .select(col("a"), col("b"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 
@@ -384,7 +391,10 @@ object Dedup {
     val vb = df.select(col(idCol).as("b"), vector_nonnull(col(vecCol)).as("vb"))
     cands.join(va, "a").join(vb, "b")
       .withColumn("cos_sim", cosine_similarity(col("va"), col("vb")))
-      .filter(col("cos_sim") > threshold)
+      // NaN (null elements narrowed by vector_nonnull, or zero-norm
+      // vectors) must FAIL the cut: Spark's nan-safe compare treats NaN as
+      // greater than every number, so `> threshold` alone would PASS it
+      .filter(col("cos_sim") > threshold && !isnan(col("cos_sim")))
       .select(col("a"), col("b"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 

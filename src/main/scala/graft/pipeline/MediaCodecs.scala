@@ -52,7 +52,11 @@ object MediaCodecs {
       val h = nextToken().getOrElse(return None)
       val maxval = nextToken().getOrElse(return None)
       if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
-      val n = w * h * channels
+      // long math: a crafted header like 65536x65536 would overflow the
+      // int raster size to ~0, "decode" ok, then crash resize with AIOOBE
+      val nL = w.toLong * h * channels
+      if (nL > payload.length.toLong) return None // also bounds Int overflow
+      val n = nL.toInt
       val px = new Array[Byte](n)
       if (binary) {
         pos += 1 // the single whitespace after maxval

@@ -102,6 +102,21 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(!rows(1).isNullAt(0) && math.abs(rows(1).getDouble(0) - math.sqrt(10.0)) < 1e-9)
   }
 
+  test("null elements inside NON-nullable array inputs compile and propagate (nullable override)") {
+    import spark.implicits._
+    // array(a, b) over nullable columns: the CreateArray input itself is
+    // non-nullable but containsNull=true — without the nullable override
+    // codegen emits `false = true;` and Janino fails
+    AnnFunctions.register(spark)
+    val df = Seq((Some(1f), Some(2f)), (Some(1f), None))
+      .toDF("a", "b")
+      .selectExpr("l2_distance(array(a, b), array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS d",
+        "normalize_vector(array(a, b)) AS nv")
+    val rows = df.collect()
+    assert(math.abs(rows(0).getDouble(0) - math.sqrt(5.0)) < 1e-9)
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+  }
+
   test("normalize_vector: single-pass unit normalization, zero vector passes through") {
     import spark.implicits._
     val df = Seq(Array(3f, 4f), Array(0f, 0f)).toDF("v")

@@ -62,4 +62,23 @@ class Sq8Spec extends SparkSpec {
       .sortBy { case (id, d) => (d, id) }.take(5).map(_._1)
     assert(got == expect)
   }
+
+  test("Sq8Distance: a null query ELEMENT yields a null distance, never reads 0.0") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftBridge
+    val p = Sq8.QuantParams(Array(0f, 0f), Array(1f, 1f))
+    val codes = Sq8.quantize(Array(0.5f, 0.5f), p)
+    val df = Seq(
+      (codes, Seq[java.lang.Float](0.5f, null)),
+      (codes, Seq[java.lang.Float](0.5f, 0.5f))
+    ).toDF("codes", "q")
+    for (metric <- Seq("l2", "ip", "cosine")) {
+      val rows = df.select(GraftBridge.column(graft.functions.Sq8Distance(
+        GraftBridge.expression(org.apache.spark.sql.functions.col("codes")),
+        GraftBridge.expression(org.apache.spark.sql.functions.col("q")),
+        p.mins, p.scales, metric)).as("d")).collect()
+      assert(rows(0).isNullAt(0), s"metric $metric: null element must propagate")
+      assert(!rows(1).isNullAt(0))
+    }
+  }
 }

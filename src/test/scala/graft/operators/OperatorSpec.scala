@@ -182,4 +182,35 @@ class OperatorSpec extends SparkSpec {
     }.toSet
     assert(got == expect)
   }
+
+  test("TopK.grouped treats -0.0 and 0.0 as equal (id tie-break, matching SQL)") {
+    import spark.implicits._
+    // phase-1 heap must not keep -0.0 over 0.0 when SQL would tie-break to
+    // the smaller id (ip metric emits -0.0 for an exactly-zero dot)
+    val df = Seq((0, 5L, -0.0), (0, 3L, 0.0), (0, 7L, 1.0)).toDF("g", "id", "d")
+      .repartition(1)
+    val got = TopK.grouped(df, "g", "d", "id", 1).collect()
+    assert(got.length == 1 && got(0).getLong(1) == 3L)
+  }
+
+  test("searchTable: a query row with a null vector ELEMENT drops out instead of crashing") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val base = Seq.tabulate(50)(i => (i.toLong, Array.fill(4)(rnd.nextFloat())))
+    val idx = AnnIndexManager.create(spark, "nullq_idx", base.toDF("id", "embedding"),
+      "id", "embedding", "FLAT", Map("metric" -> "l2"),
+      s"${Files.createTempDirectory("graft_nullq")}/idx")
+    val queries = Seq(
+      (10L, Seq[java.lang.Float](0.5f, 0.5f, 0.5f, 0.5f)),
+      (20L, Seq[java.lang.Float](0.5f, null, 0.5f, 0.5f))
+    ).toDF("qid", "qvec")
+    val out = AnnSearch.searchTable(idx, queries, k = 3,
+      queryVecCol = Some("qvec"), queryIdCol = Some("qid")).collect()
+    // the good query returns k hits; the null-element query's NaN
+    // distances sort last — it still returns rows but all-NaN distances
+    val good = out.filter(_.getAs[Long]("qid") == 10L)
+    assert(good.length == 3 && good.forall(!_.getAs[Double]("_distance").isNaN))
+    assert(out.filter(_.getAs[Long]("qid") == 20L)
+      .forall(_.getAs[Double]("_distance").isNaN))
+  }
 }

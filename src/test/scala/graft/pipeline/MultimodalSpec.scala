@@ -121,6 +121,10 @@ class MultimodalSpec extends SparkSpec {
     import spark.implicits._
     val truncated = pgm(100, 100, Array.fill(10)(1.toByte)) // raster too short
     val badWav = "RIFFxxxxWAVEjunk".getBytes
+    // 65536*65536*1 overflows int to 0 — must reject, not "decode" ok
+    // with garbage dims that would AIOOBE in resize
+    assert(MediaCodecs.decodeNetpbm(
+      ("P5\n65536 65536\n255\n" + "x" * 64).getBytes("US-ASCII")).isEmpty)
     val df = Seq((1L, truncated), (2L, badWav)).toDF("media_id", "payload")
     val meta = Multimodal.withDecodedMeta(df).collect()
       .map(r => r.getAs[Long]("media_id") -> r.getAs[org.apache.spark.sql.Row]("decoded")).toMap

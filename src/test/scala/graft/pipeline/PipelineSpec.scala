@@ -168,4 +168,25 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(ann.count(_ == ((0L, 100L))) == 1)
   }
+
+  test("near-dup thresholds reject NaN similarities (null elements, zero vectors)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[java.lang.Float](1f, 0f)),
+      (2L, Seq[java.lang.Float](1f, null)), // null element → NaN
+      (3L, Seq[java.lang.Float](0f, 0f)),   // zero norm → NaN cosine
+      (4L, Seq[java.lang.Float](1f, 0.01f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(df, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // NaN > 0.9 is TRUE under Spark's nan-safe compare; the isnan guard
+    // must keep docs 2 and 3 out of every pair
+    assert(pairs == Set((1L, 4L)))
+  }
+
+  test("attritionReport with empty langs counts zero wrong-language rows (keep-all)") {
+    val report = CorpusPipeline.attritionReport(docsDf, "doc_id", "text",
+      minQuality = 0.3, langs = Set.empty, minChars = 10).head()
+    assert(report.getAs[Long]("n_wrong_lang") == 0L)
+  }
 }
