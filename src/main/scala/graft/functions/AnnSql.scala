@@ -200,6 +200,15 @@ object AnnSql {
         qText, qVec, k, bm25Weight = bw, vectorWeight = vw))
     }, "scala_udf")
 
+    // ann_drop_index(name) → one row (name, dropped) — DROP INDEX analogue
+    r.createOrReplaceTempFunction("ann_drop_index", (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, "usage: ann_drop_index(name)")
+      val name = constString(exprs(0))
+      val dropped = AnnIndexManager.drop(name)
+      import spark.implicits._
+      plan(Seq((name, dropped)).toDF("name", "dropped"))
+    }, "scala_udf")
+
     // diskann_streaming_build(input_bin, output_dir[, name]) → one stats
     // row (num_vectors, dimension, sample_size) (S11,
     // rust_lib/src/streaming_build.rs:42-122)

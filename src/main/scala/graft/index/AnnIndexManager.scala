@@ -353,8 +353,16 @@ object AnnIndexManager {
     idx
   }
 
-  def drop(name: String): Unit = {
-    registry.remove(name).foreach(IndexMeta.deleteDir)
+  /** DROP INDEX: unregister AND delete the on-disk dataset (reference
+    * CommitDrop hook). Returns whether the name was registered. Any
+    * still-referenced lazy plan over this index fails on next execution —
+    * same contract as dropping a table out from under a reader. */
+  def drop(name: String): Boolean = registry.remove(name) match {
+    case Some(path) =>
+      metaCache.remove(path)
+      IndexMeta.deleteDir(path)
+      true
+    case None => false
   }
 
   /** S8 `ann_list`: catalog scan → (name, engine, table_name). */

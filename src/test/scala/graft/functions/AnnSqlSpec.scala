@@ -137,6 +137,23 @@ class AnnSqlSpec extends SparkSpec {
     assert(bm25Ranked.nonEmpty && bm25Ranked.forall(_ % 2 == 0))
   }
 
+  test("SQL TVF ann_drop_index removes the catalog entry and the dataset") {
+    import spark.implicits._
+    AnnSql.register(spark)
+    val path = s"$tmp/drop_idx"
+    AnnIndexManager.create(spark, "drop_me", vecs.take(20).toDF("id", "embedding"),
+      "id", "embedding", "FLAT", Map("metric" -> "l2"), path)
+    assert(spark.sql("SELECT name FROM ann_list()").collect()
+      .exists(_.getString(0) == "drop_me"))
+    val row = spark.sql("SELECT * FROM ann_drop_index('drop_me')").head()
+    assert(row.getString(0) == "drop_me" && row.getBoolean(1))
+    assert(!spark.sql("SELECT name FROM ann_list()").collect()
+      .exists(_.getString(0) == "drop_me"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+    // dropping again reports false, not an error
+    assert(!spark.sql("SELECT * FROM ann_drop_index('drop_me')").head().getBoolean(1))
+  }
+
   test("SQL TVF diskann_streaming_build builds an index from a binary file") {
     val bin = s"$tmp/sql_sb.bin"
     val rnd = new scala.util.Random(3)
