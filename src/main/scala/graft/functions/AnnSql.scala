@@ -153,17 +153,29 @@ object AnnSql {
       plan(idx.searchBatch(qs, k, sp))
     }, "scala_udf")
 
-    // ann_search_table(TABLE(queries), index_name, k[, nprobe]) — the
-    // flagship in-out operator (S5): input rows pass through, top-k index
-    // hits appended per row
+    // ann_search_table(TABLE(queries), index_name, k[, nprobe][, base_table])
+    // — the flagship in-out operator (S5): input rows pass through, top-k
+    // index hits appended per row; with a base_table name the matched base
+    // ROWS are fetched too (the reference's full `input.*, base.*,
+    // _distance` shape)
     r.createOrReplaceTempFunction("ann_search_table", (exprs: Seq[Expression]) => {
-      require(exprs.length >= 3 && exprs.length <= 4,
-        "usage: ann_search_table(TABLE(queries), index, k[, nprobe])")
+      require(exprs.length >= 3 && exprs.length <= 5,
+        "usage: ann_search_table(TABLE(queries), index, k[, nprobe][, base_table])")
       val queries = tableArg(spark, exprs(0))
       val idx = indexByName(spark, constString(exprs(1)))
       val k = constInt(exprs(2))
-      val np = if (exprs.length > 3) constInt(exprs(3)) else -1
-      plan(graft.operators.AnnSearch.searchTable(idx, queries, k, np))
+      // trailing args: an int is nprobe, a string is the base table name
+      var np = -1
+      var baseTable: Option[String] = None
+      exprs.drop(3).foreach {
+        case Literal(s, StringType) => baseTable = Some(s.toString)
+        case e => np = constInt(e)
+      }
+      plan(baseTable match {
+        case Some(t) => graft.operators.AnnSearch.searchTableFetch(
+          idx, queries, spark.table(t), idx.meta.idCol, k, np)
+        case None => graft.operators.AnnSearch.searchTable(idx, queries, k, np)
+      })
     }, "scala_udf")
 
     // vector_distances(TABLE(t), vec_col, query_vec[, metric]) — input.* +

@@ -115,6 +115,22 @@ object AnnSearch {
     if (queryIdCol.isEmpty) out.drop("__qid") else out
   }
 
+  /** S5 with the reference's FULL output shape — `input.*, base.*,
+    * _distance` (src/ann_search.cpp:499-532 fetches the matched base row,
+    * not just its rowid). The hit set is ≤ k × |queries| rows, so the
+    * base-row fetch is a broadcast join against the (arbitrarily large)
+    * base table; base's own id column is kept, the internal `id` dropped. */
+  def searchTableFetch(idx: AnnIndex, queries: DataFrame, base: DataFrame,
+                       baseIdCol: String, k: Int, nprobe: Int = -1,
+                       queryVecCol: Option[String] = None,
+                       queryIdCol: Option[String] = None): DataFrame = {
+    val hits = searchTable(idx, queries, k, nprobe, queryVecCol, queryIdCol)
+    val inputCols = hits.columns.filterNot(c => c == "id" || c == "_distance")
+    base.join(broadcast(hits), base(baseIdCol) === hits("id"))
+      .select(inputCols.map(hits(_)) ++ base.columns.map(base(_))
+        :+ hits("_distance"): _*)
+  }
+
   /** S6 `vector_distances`: brute-force distance of a query against every
     * candidate row — input.* + `_distance`, no top-k
     * (reference: src/ann_search.cpp:741-892; the GPU batch kernel's job is

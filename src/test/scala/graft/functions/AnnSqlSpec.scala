@@ -105,6 +105,24 @@ class AnnSqlSpec extends SparkSpec {
     assert(rows.filter(_.getLong(0) == 100L).map(_.getLong(2)).toSet == brute)
   }
 
+  test("SQL TVF ann_search_table with base_table fetches input.*, base.*, _distance") {
+    import spark.implicits._
+    idx
+    AnnSql.register(spark)
+    vecs.map { case (id, v) => (id, s"label_$id", v) }
+      .toDF("id", "tag", "embedding").createOrReplaceTempView("sql_base")
+    Seq((7L, Array(0.5f, 0.5f, 0.5f))).toDF("qid", "qvec")
+      .createOrReplaceTempView("sql_fetch_q")
+    val rows = spark.sql(
+      """SELECT qid, id, tag, _distance FROM
+        |ann_search_table(TABLE(sql_fetch_q), 'sql_idx', 3, 'sql_base')""".stripMargin)
+      .collect()
+    assert(rows.length == 3)
+    // base columns really come from the base rows
+    assert(rows.forall(r => r.getString(2) == s"label_${r.getLong(1)}"))
+    assert(rows.forall(_.getLong(0) == 7L))
+  }
+
   test("SQL TVF vector_distances appends _distance to every input row") {
     import spark.implicits._
     idx
