@@ -192,9 +192,9 @@ object AnnSql {
 
     // hybrid_search(TABLE(docs), id_col, text_col, index_name, query_text,
     // query_vec, k[, bm25_weight, vector_weight]) — BM25 + ANN fused by
-    // weighted RRF (S7). The text inverted index is built per invocation
-    // (the reference delegates to a prebuilt FTS index; cache the
-    // DataFrame-side TextIndex in the Scala API for repeated queries).
+    // weighted RRF (S7). The text inverted index is cached on the docs
+    // plan's semantic hash, so repeated queries over the same relation
+    // build it once (the reference delegates to a prebuilt FTS index).
     r.createOrReplaceTempFunction("hybrid_search", (exprs: Seq[Expression]) => {
       require(exprs.length >= 7 && exprs.length <= 9,
         "usage: hybrid_search(TABLE(docs), id_col, text_col, index, query_text, query_vec, k[, bm25_w, vec_w])")
@@ -207,7 +207,7 @@ object AnnSql {
       val k = constInt(exprs(6))
       val bw = if (exprs.length > 7) constNum(exprs(7)).toDouble else 0.3
       val vw = if (exprs.length > 8) constNum(exprs(8)).toDouble else 0.7
-      val ti = graft.operators.HybridSearch.buildTextIndex(docs, idCol, textCol)
+      val ti = graft.operators.HybridSearch.cachedTextIndex(docs, idCol, textCol)
       plan(graft.operators.HybridSearch.hybridSearch(docs, idCol, ti, idx,
         qText, qVec, k, bm25Weight = bw, vectorWeight = vw))
     }, "scala_udf")

@@ -29,6 +29,21 @@ object HybridSearch {
   final case class TextIndex(postings: DataFrame, docLens: DataFrame,
                              numDocs: Long, avgDl: Double)
 
+  private val textIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), TextIndex]
+
+  /** [[buildTextIndex]] cached on the docs plan's semantic hash — repeated
+    * hybrid_search SQL calls over the same relation (the TVF builds at
+    * analysis time) reuse one inverted index instead of recomputing the
+    * corpus stats action per query. Plan-change (new data, new filter)
+    * yields a new hash → fresh build; entries are plain DataFrames, so
+    * memory cost is plan metadata, not data. */
+  def cachedTextIndex(docs: DataFrame, idCol: String, textCol: String): TextIndex = {
+    val key = (org.apache.spark.sql.GraftBridge.analyzedPlan(docs).semanticHash(),
+      idCol, textCol)
+    textIndexCache.getOrElseUpdate(key, buildTextIndex(docs, idCol, textCol))
+  }
+
   def buildTextIndex(docs: DataFrame, idCol: String, textCol: String): TextIndex = {
     val toks = docs.select(col(idCol).as("id"), tokenize(col(textCol)).as("toks"))
     val postings = toks

@@ -55,4 +55,14 @@ class HybridSpec extends SparkSpec {
       0.7 / (60 + top.getAs[Int]("_vector_rank"))
     assert(math.abs(top.getAs[Double]("_rrf_score") - expect) < 1e-12)
   }
+
+  test("cachedTextIndex: same relation reuses the index, a changed plan rebuilds") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val a = HybridSearch.cachedTextIndex(docs, "doc_id", "text")
+    val b = HybridSearch.cachedTextIndex(docs, "doc_id", "text")
+    assert(a eq b) // semantic-hash hit → no rebuild
+    val c = HybridSearch.cachedTextIndex(docs.filter(col("doc_id") > 1), "doc_id", "text")
+    assert(!(a eq c) && c.numDocs == 1)
+  }
 }
