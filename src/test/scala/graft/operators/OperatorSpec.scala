@@ -183,6 +183,30 @@ class OperatorSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("TopK.grouped stays exact when the buffer cap forces multiple heap flushes") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.ann.topkMaxBufferedRows")
+    spark.conf.set("spark.ann.topkMaxBufferedRows", "100")
+    try {
+      val rnd = new scala.util.Random(41)
+      // 60 groups × k=10 ≫ 100 buffered rows → every partition flushes
+      // its heap map many times; phase 2 must still reduce exactly
+      val rows = Seq.tabulate(20000)(i => (i % 60, i.toLong, rnd.nextDouble()))
+      val df = rows.toDF("g", "id", "d").repartition(4)
+      val got = TopK.grouped(df, "g", "d", "id", 10)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      val expect = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        rs.sortBy(r => (r._3, r._2)).take(10).map(r => (g, r._2))
+      }.toSet
+      assert(got == expect)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.ann.topkMaxBufferedRows", v)
+        case None => spark.conf.unset("spark.ann.topkMaxBufferedRows")
+      }
+    }
+  }
+
   test("TopK.grouped treats -0.0 and 0.0 as equal (id tie-break, matching SQL)") {
     import spark.implicits._
     // phase-1 heap must not keep -0.0 over 0.0 when SQL would tie-break to
