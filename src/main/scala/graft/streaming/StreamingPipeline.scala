@@ -58,6 +58,28 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Continuous ANN enrichment: every micro-batch of embedded documents is
+    * run through the table-input index search and lands in `sink` with its
+    * top-k neighbors attached (input.*, id, _distance) — e.g. tagging
+    * incoming documents with their nearest corpus cluster, or online
+    * near-dup flagging against a reference index. The per-batch work is
+    * the same fully-distributed cell-pruned search as the batch operator;
+    * state lives in the INDEX, not the stream, so the query itself is
+    * stateless and restarts cleanly from the checkpoint. */
+  def attachAnnEnrich(stream: DataFrame, idx: graft.index.AnnIndex,
+                      vecCol: String, idCol: String, k: Int,
+                      checkpoint: String,
+                      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.AnnSearch.searchTable(idx, batch, k,
+            queryVecCol = Some(vecCol), queryIdCol = Some(idCol)))
+      }
+      .start()
+
   /** Running per-key corpus state (docs/chars/quality mean) emitted as an
     * update row per key per micro-batch. */
   final case class CorpusState(nDocs: Long, nChars: Long, qualitySum: Double)

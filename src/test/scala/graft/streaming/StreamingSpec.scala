@@ -138,6 +138,37 @@ class StreamingSpec extends SparkSpec {
     rows.toDF("id", "embedding").coalesce(1).write.mode("append").parquet(dir)
   }
 
+  test("streaming ANN enrichment: each micro-batch gets top-k neighbors from the index") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val base = Seq.tabulate(60)(i => (i.toLong, Array.fill(4)(rnd.nextFloat())))
+    val idx = AnnIndexManager.create(spark, "enrich_idx", base.toDF("id", "embedding"),
+      "id", "embedding", "FLAT", Map("metric" -> "l2"), s"$tmp/enrich_idx")
+
+    val srcDir = s"$tmp/enrich_src"
+    // two incoming docs: one exactly equals base row 7 → its top hit
+    Seq((1000L, base(7)._2), (1001L, Array.fill(4)(rnd.nextFloat())))
+      .toDF("doc_id", "embedding").coalesce(1).write.mode("append").parquet(srcDir)
+
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .parquet(srcDir)
+    val q = StreamingPipeline.attachAnnEnrich(stream, idx, "embedding", "doc_id",
+      k = 3, s"$tmp/enrich_ckpt", out => collected.synchronized {
+        collected ++= out.collect().map(r =>
+          (r.getAs[Long]("doc_id"), r.getAs[Long]("id"), r.getAs[Double]("_distance")))
+      })
+    q.awaitTermination(60000)
+    val byDoc = collected.groupBy(_._1)
+    assert(byDoc.keySet == Set(1000L, 1001L))
+    assert(byDoc(1000L).size == 3 && byDoc(1001L).size == 3)
+    // the exact duplicate's nearest neighbor is base id 7 at distance 0
+    val best = byDoc(1000L).minBy(t => (t._3, t._2))
+    assert(best._2 == 7L && best._3 == 0.0)
+  }
+
   test("incremental append maintenance via foreachBatch (§2.8)") {
     import spark.implicits._
     val rnd = new scala.util.Random(21)
