@@ -212,7 +212,11 @@ object AnnSql {
         qText, qVec, k, bm25Weight = bw, vectorWeight = vw))
     }, "scala_udf")
 
-    // ann_drop_index(name) → one row (name, dropped) — DROP INDEX analogue
+    // ann_drop_index(name) → one row (name, dropped) — DROP INDEX
+    // analogue with CALL/PRAGMA semantics: the drop executes EAGERLY at
+    // analysis time (deferring to execution would run it executor-side,
+    // mutating the wrong JVM's registry on a real cluster); EXPLAIN of a
+    // statement containing this TVF therefore also drops
     r.createOrReplaceTempFunction("ann_drop_index", (exprs: Seq[Expression]) => {
       require(exprs.length == 1, "usage: ann_drop_index(name)")
       val name = constString(exprs(0))

@@ -117,18 +117,43 @@ object AnnSearch {
 
   /** S5 with the reference's FULL output shape — `input.*, base.*,
     * _distance` (src/ann_search.cpp:499-532 fetches the matched base row,
-    * not just its rowid). The hit set is ≤ k × |queries| rows, so the
-    * base-row fetch is a broadcast join against the (arbitrarily large)
-    * base table; base's own id column is kept, the internal `id` dropped. */
+    * not just its rowid).
+    *
+    * Semantics and scale notes:
+    *  - LEFT join from the hit set: a hit whose id is missing from `base`
+    *    keeps its row (base columns null) instead of silently shrinking
+    *    below k — the reference's rowid fetch can never miss, a
+    *    user-supplied base CAN. Duplicate base ids still multiply rows
+    *    (as any SQL join would).
+    *  - The hit `id` is matched positionally (searchTable appends it), so
+    *    a query relation may itself carry an `id` column; base columns
+    *    whose names collide with input columns are emitted as `base_<c>`.
+    *  - No broadcast hint: the hit set is k × |queries| rows — small for
+    *    bounded batches (AQE broadcasts it automatically) but unbounded
+    *    for table-scale FLAT/IVF query sets, where a forced broadcast
+    *    would OOM the driver. */
   def searchTableFetch(idx: AnnIndex, queries: DataFrame, base: DataFrame,
                        baseIdCol: String, k: Int, nprobe: Int = -1,
                        queryVecCol: Option[String] = None,
                        queryIdCol: Option[String] = None): DataFrame = {
-    val hits = searchTable(idx, queries, k, nprobe, queryVecCol, queryIdCol)
-    val inputCols = hits.columns.filterNot(c => c == "id" || c == "_distance")
-    base.join(broadcast(hits), base(baseIdCol) === hits("id"))
-      .select(inputCols.map(hits(_)) ++ base.columns.map(base(_))
-        :+ hits("_distance"): _*)
+    val raw = searchTable(idx, queries, k, nprobe, queryVecCol, queryIdCol)
+    // searchTable output is input.* ++ (id, _distance): rename the LAST
+    // two positions so caller columns named id/_distance stay untouched
+    val n = raw.columns.length
+    val renamed = raw.columns.zipWithIndex.map {
+      case (_, i) if i == n - 2 => "__hit_id"
+      case (_, i) if i == n - 1 => "__hit_distance"
+      case (c, _) => c
+    }
+    val hits = raw.toDF(renamed.toIndexedSeq: _*)
+    val inputCols = hits.columns.dropRight(2)
+    val baseOut = base.columns.map { c =>
+      val name = if (inputCols.contains(c)) s"base_$c" else c
+      base(c).as(name)
+    }
+    hits.join(base, hits("__hit_id") === base(baseIdCol), "left")
+      .select(inputCols.map(hits(_)) ++ baseOut
+        :+ hits("__hit_distance").as("_distance"): _*)
   }
 
   /** S6 `vector_distances`: brute-force distance of a query against every

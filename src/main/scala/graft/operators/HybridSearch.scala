@@ -29,19 +29,35 @@ object HybridSearch {
   final case class TextIndex(postings: DataFrame, docLens: DataFrame,
                              numDocs: Long, avgDl: Double)
 
-  private val textIndexCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), TextIndex]
+  private val MaxCachedTextIndexes = 32
+  private val textIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String),
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, TextIndex)]
 
-  /** [[buildTextIndex]] cached on the docs plan's semantic hash — repeated
-    * hybrid_search SQL calls over the same relation (the TVF builds at
-    * analysis time) reuse one inverted index instead of recomputing the
-    * corpus stats action per query. Plan-change (new data, new filter)
-    * yields a new hash → fresh build; entries are plain DataFrames, so
-    * memory cost is plan metadata, not data. */
+  /** [[buildTextIndex]] cached on the docs plan — OPT-IN via
+    * `spark.ann.cacheTextIndex=true` (default off): the cache keys on the
+    * PLAN, so appending data to the same underlying table serves a STALE
+    * index until the plan changes — correct only for immutable snapshots,
+    * which is why fresh-per-call is the default. When enabled: keyed by
+    * semanticHash and verified with sameResult (a 32-bit hash collision
+    * must never serve another corpus's postings), bounded at
+    * 32 entries (arbitrary eviction; SoftReference-like pressure relief is
+    * unnecessary — entries hold plan metadata, not materialized data,
+    * though LocalRelation plans do embed their rows). */
   def cachedTextIndex(docs: DataFrame, idCol: String, textCol: String): TextIndex = {
-    val key = (org.apache.spark.sql.GraftBridge.analyzedPlan(docs).semanticHash(),
-      idCol, textCol)
-    textIndexCache.getOrElseUpdate(key, buildTextIndex(docs, idCol, textCol))
+    if (!docs.sparkSession.conf.get("spark.ann.cacheTextIndex", "false").toBoolean)
+      return buildTextIndex(docs, idCol, textCol)
+    val plan = org.apache.spark.sql.GraftBridge.analyzedPlan(docs)
+    val key = (plan.semanticHash(), idCol, textCol)
+    textIndexCache.get(key) match {
+      case Some((p, ti)) if p.sameResult(plan) => ti
+      case _ =>
+        val ti = buildTextIndex(docs, idCol, textCol)
+        if (textIndexCache.size >= MaxCachedTextIndexes)
+          textIndexCache.headOption.foreach(e => textIndexCache.remove(e._1))
+        textIndexCache.put(key, (plan, ti))
+        ti
+    }
   }
 
   def buildTextIndex(docs: DataFrame, idCol: String, textCol: String): TextIndex = {

@@ -69,10 +69,13 @@ object StreamingPipeline {
   def attachAnnEnrich(stream: DataFrame, idx: graft.index.AnnIndex,
                       vecCol: String, idCol: String, k: Int,
                       checkpoint: String,
-                      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+                      sink: DataFrame => Unit,
+                      trigger: org.apache.spark.sql.streaming.Trigger =
+                        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
           sink(graft.operators.AnnSearch.searchTable(idx, batch, k,

@@ -56,13 +56,20 @@ class HybridSpec extends SparkSpec {
     assert(math.abs(top.getAs[Double]("_rrf_score") - expect) < 1e-12)
   }
 
-  test("cachedTextIndex: same relation reuses the index, a changed plan rebuilds") {
+  test("cachedTextIndex: off by default (always fresh); opt-in caches per plan") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
-    val a = HybridSearch.cachedTextIndex(docs, "doc_id", "text")
-    val b = HybridSearch.cachedTextIndex(docs, "doc_id", "text")
-    assert(a eq b) // semantic-hash hit → no rebuild
-    val c = HybridSearch.cachedTextIndex(docs.filter(col("doc_id") > 1), "doc_id", "text")
-    assert(!(a eq c) && c.numDocs == 1)
+    // default: no caching — appended data must never be served stale
+    val f1 = HybridSearch.cachedTextIndex(docs, "doc_id", "text")
+    val f2 = HybridSearch.cachedTextIndex(docs, "doc_id", "text")
+    assert(!(f1 eq f2))
+    spark.conf.set("spark.ann.cacheTextIndex", "true")
+    try {
+      val a = HybridSearch.cachedTextIndex(docs, "doc_id", "text")
+      val b = HybridSearch.cachedTextIndex(docs, "doc_id", "text")
+      assert(a eq b) // sameResult hit → no rebuild
+      val c = HybridSearch.cachedTextIndex(docs.filter(col("doc_id") > 1), "doc_id", "text")
+      assert(!(a eq c) && c.numDocs == 1)
+    } finally spark.conf.unset("spark.ann.cacheTextIndex")
   }
 }

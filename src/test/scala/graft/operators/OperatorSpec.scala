@@ -217,6 +217,29 @@ class OperatorSpec extends SparkSpec {
     assert(got.length == 1 && got(0).getLong(1) == 3L)
   }
 
+  test("searchTableFetch: query column named 'id' and shared base names survive; missing base ids keep hits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val vecs = Seq.tabulate(40)(i => (i.toLong, Array.fill(4)(rnd.nextFloat())))
+    val idx = AnnIndexManager.create(spark, "fetch_idx", vecs.toDF("id", "embedding"),
+      "id", "embedding", "FLAT", Map("metric" -> "l2"),
+      s"${Files.createTempDirectory("graft_fetch")}/idx")
+    // query relation uses the hostile names: its OWN id + an embedding col
+    val queries = Seq((900L, vecs(3)._2)).toDF("id", "embedding")
+    // base drops row 3 (a guaranteed hit: the query IS vector 3)
+    val base = vecs.filter(_._1 != 3L)
+      .map { case (i, v) => (i, s"t$i", v) }.toDF("id", "tag", "embedding")
+    val out = AnnSearch.searchTableFetch(idx, queries, base, "id", k = 3,
+      queryVecCol = Some("embedding"), queryIdCol = Some("id"))
+    val rows = out.collect()
+    assert(rows.length == 3) // left join: the missing base id keeps its hit row
+    // caller's own id column intact; colliding base columns prefixed
+    assert(out.columns.count(_ == "id") == 1 && rows.forall(_.getAs[Long]("id") == 900L))
+    assert(out.columns.contains("base_id") && out.columns.contains("base_embedding"))
+    val missing = rows.filter(_.isNullAt(out.columns.indexOf("base_id")))
+    assert(missing.length == 1 && missing.head.getAs[Double]("_distance") == 0.0)
+  }
+
   test("searchTable: a query row with a null vector ELEMENT drops out instead of crashing") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
