@@ -36,14 +36,25 @@ object Bench {
     import spark.implicits._
 
     val times = mutable.LinkedHashMap.empty[String, Double]
-    def time(name: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime()
-      try f catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        times(name) = -1.0
-        return
+    // min-of-reps: a single-shot timing is hostage to transient host
+    // contention (observed 40x inflation on one line while the rest of the
+    // run was clean); the minimum over a few runs is the standard
+    // noise-robust estimator for a deterministic workload
+    def time(name: String, reps: Int = 3)(f: => Unit): Unit = {
+      var best = Double.MaxValue
+      var i = 0
+      while (i < reps) {
+        val t0 = System.nanoTime()
+        try f catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          times(name) = -1.0
+          return
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (dt < best) best = dt
+        i += 1
       }
-      times(name) = (System.nanoTime() - t0) / 1e9
+      times(name) = best
     }
 
     // ---- headline engine queries over driver testdata ----
@@ -67,28 +78,34 @@ object Bench {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toString
     var ivf: graft.index.AnnIndex = null
     var vam: graft.index.AnnIndex = null
-    time("ivf_build") {
-      ivf = graft.index.AnnIndexManager.create(spark, "bench_ivf", emb,
+    // builds rebuild into a fresh dir each rep (create is not idempotent on
+    // a populated path); 2 reps bounds the added wall time
+    var rep = 0
+    time("ivf_build", reps = 2) {
+      rep += 1
+      ivf = graft.index.AnnIndexManager.create(spark, s"bench_ivf_$rep", emb,
         "vec_id", "embedding", "IVF",
-        Map("metric" -> "l2", "nlist" -> "16", "nprobe" -> "4"), s"$tmp/ivf")
+        Map("metric" -> "l2", "nlist" -> "16", "nprobe" -> "4"), s"$tmp/ivf$rep")
     }
     val queries50 = Seq.tabulate(50)(i => graft.queries.QuerySupport.qvecF(i))
     ivf.persist() // pin index dataset in memory (the reference serves from RAM)
     time("ivf_search_50q") { noop(ivf.searchBatch(queries50, 10)) }
-    time("diskann_build_sf") {
-      vam = graft.index.AnnIndexManager.create(spark, "bench_vam", emb,
+    time("diskann_build_sf", reps = 2) {
+      rep += 1
+      vam = graft.index.AnnIndexManager.create(spark, s"bench_vam_$rep", emb,
         "vec_id", "embedding", "DISKANN",
         Map("metric" -> "l2", "max_degree" -> "64", "build_complexity" -> "100",
           "shards" -> "8"), // parallel build; default sizing would use 1 shard here
-        s"$tmp/vam")
+        s"$tmp/vam$rep")
     }
     vam.persist()
     time("diskann_search_50q_sf") { noop(vam.searchBatch(queries50, 10)) }
     var hnsw: graft.index.AnnIndex = null
-    time("hnsw_build_sf") {
-      hnsw = graft.index.AnnIndexManager.create(spark, "bench_hnsw", emb,
+    time("hnsw_build_sf", reps = 2) {
+      rep += 1
+      hnsw = graft.index.AnnIndexManager.create(spark, s"bench_hnsw_$rep", emb,
         "vec_id", "embedding", "HNSW",
-        Map("metric" -> "l2", "hnsw_m" -> "32", "shards" -> "8"), s"$tmp/hnsw")
+        Map("metric" -> "l2", "hnsw_m" -> "32", "shards" -> "8"), s"$tmp/hnsw$rep")
     }
     hnsw.persist()
     time("hnsw_search_50q_sf") { noop(hnsw.searchBatch(queries50, 10)) }
@@ -107,12 +124,13 @@ object Bench {
       .cache()
     synthDf.count()
     var synthIdx: graft.index.AnnIndex = null
-    time("vamana_build_10k_d128") {
-      synthIdx = graft.index.AnnIndexManager.create(spark, "bench_10k", synthDf,
+    time("vamana_build_10k_d128", reps = 2) {
+      rep += 1
+      synthIdx = graft.index.AnnIndexManager.create(spark, s"bench_10k_$rep", synthDf,
         "id", "vec", "DISKANN",
         Map("metric" -> "l2", "max_degree" -> "64", "build_complexity" -> "100",
           "shards" -> cpus),
-        s"$tmp/b10k")
+        s"$tmp/b10k$rep")
     }
     val synthQ = Seq.tabulate(50)(i => {
       val r = new scala.util.Random(1000 + i)
