@@ -122,14 +122,40 @@ class AnnIndex(val spark: SparkSession, val path: String) {
   /** Name of the stored vector column: float array, or SQ8 codes. */
   def dataVecCol: String = if (meta.quantized) "codes" else "vector"
 
-  /** The nprobe nearest cells for a query (L2 assignment, as faiss IVF). */
-  def probeLists(q: Array[Float], nprobe: Int): Seq[Int] =
-    if (meta.engine == "FLAT") Seq(0)
-    else centroids
+  /** Adaptive probing (create param `adaptive_nprobe=true`): instead of a
+    * fixed cell count, probe every cell whose centroid distance is within
+    * `nprobe_ratio` × the nearest centroid's distance (ratio of SQUARED L2,
+    * so 4.0 ≈ 2× in actual distance). The distance-ratio prune is the
+    * posting-list selection rule SPANN uses at billion scale (Chen et al.,
+    * NeurIPS'21 §4.2): queries deep inside one cluster touch one cell,
+    * boundary queries fan out — per-query cost tracks per-query ambiguity.
+    * `nprobe` stays the floor and `nprobe_max` the cap; an explicit
+    * searchParam always bypasses adaptivity (caller knows best). */
+  private def adaptiveEnabled: Boolean =
+    meta.params.get("adaptive_nprobe").exists(_.equalsIgnoreCase("true"))
+
+  private def nprobeRatio: Double =
+    meta.params.get("nprobe_ratio").map(_.toDouble).getOrElse(4.0)
+
+  /** The probe cells for a query (L2 assignment, as faiss IVF): nearest
+    * `nprobe` cells, widened/narrowed per query when adaptive probing is
+    * allowed and enabled. Driver-side over the broadcast-size centroid
+    * table — no extra pass over data. */
+  def probeLists(q: Array[Float], nprobe: Int,
+                 allowAdaptive: Boolean = false): Seq[Int] = {
+    if (meta.engine == "FLAT") return Seq(0)
+    val sorted = centroids
       .map { case (lid, c) => (lid, VectorKernels.l2Sq(q, c)) }
       .sortBy { case (lid, d) => (d, lid) }
-      .take(math.max(1, nprobe))
-      .map(_._1)
+    val n =
+      if (allowAdaptive && adaptiveEnabled) {
+        val cut = sorted.head._2 * nprobeRatio
+        val within = sorted.segmentLength(_._2 <= cut) // prefix of the sort
+        val cap = math.min(sorted.length, meta.param("nprobe_max", sorted.length))
+        math.min(cap, math.max(math.max(1, nprobe), within))
+      } else math.max(1, nprobe)
+    sorted.take(n).map(_._1).toSeq
+  }
 
   /** Query prepared for this index's metric (cosine → L2-normalized,
     * matching normalize-at-build + IP, SURVEY §2.7). */
@@ -185,7 +211,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         .limit(k)
     val qq = prepQuery(q)
     val np = if (searchParam > 0) searchParam else defaultNprobe
-    val probed = pruneToLists(live, probeLists(qq, np))
+    val probed = pruneToLists(live, probeLists(qq, np, allowAdaptive = searchParam <= 0))
     probed
       .withColumn("_distance", distColumn(col(dataVecCol), typedLit(qq)))
       .select("id", "_distance")
@@ -277,7 +303,8 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     val prepped = qs.map(prepQuery)
     val queriesDf = prepped.zipWithIndex.map { case (q, i) => (i, q) }.toDF("query_idx", "qvec")
     val pairs = prepped.zipWithIndex
-      .flatMap { case (q, i) => probeLists(q, np).map(l => (i, l)) }
+      .flatMap { case (q, i) =>
+        probeLists(q, np, allowAdaptive = searchParam <= 0).map(l => (i, l)) }
       .toDF("query_idx", "list_id")
 
     val scored =
@@ -322,11 +349,19 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     val n = prepared.count()
     val segNew = currentSeg + 1
     if (isGraphEngine) {
-      val nextShard = meta.param("shards", 1)
+      // size-aware delta: a small CDC batch stays one shard, but a bulk
+      // insert (mergeFrom of a large index) splits by the same per-task
+      // build budget as create — one fixed-size shard per task, never a
+      // single straggler task building a giant graph
+      val nDelta = AnnIndexBuilder.defaultGraphShards(n, meta.dim)
+      // `next_shard` allocates ids; `shards` counts live shards for
+      // partition sizing. They diverge once compactShards leaves id gaps —
+      // reusing a live id would mix two graphs in one shard directory.
+      val nextShard = meta.param("next_shard", meta.param("shards", 1))
       val delta0 = (meta.engine match {
-        case "DISKANN" => Vamana.build(prepared, 1, Vamana.Params.from(meta), meta.metric)
-        case "HNSW" => Hnsw.build(prepared, 1, Hnsw.Params.from(meta), meta.metric)
-      }).withColumn("shard", lit(nextShard))
+        case "DISKANN" => Vamana.build(prepared, nDelta, Vamana.Params.from(meta), meta.metric)
+        case "HNSW" => Hnsw.build(prepared, nDelta, Hnsw.Params.from(meta), meta.metric)
+      }).withColumn("shard", (col("shard") + lit(nextShard)).cast("int"))
       val delta = quantParams match {
         case Some(p) => delta0 // out-of-range values clamp to the build-time range
           .withColumn("codes", graft.functions.Sq8.quantizeUdf(p)(col("vector")))
@@ -335,7 +370,9 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       }
       delta.withColumn("seg", lit(segNew))
         .write.mode("append").partitionBy("shard").parquet(dataPath)
-      (n, Map("seg" -> segNew.toString, "shards" -> (nextShard + 1).toString))
+      (n, Map("seg" -> segNew.toString,
+        "shards" -> (meta.param("shards", 1) + nDelta).toString,
+        "next_shard" -> (nextShard + nDelta).toString))
     } else {
       val assigned = AnnIndexBuilder.assignLists(prepared, centroids, meta.engine)
       val stored = quantParams match {
@@ -451,7 +488,8 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       IndexMeta.replaceDir(tmp, dataPath)
       IndexMeta.deleteDir(deletesPath)
       meta = meta.copy(numVectors = liveCount, numDeleted = 0,
-        params = meta.params + ("shards" -> shards.toString))
+        params = meta.params + ("shards" -> shards.toString)
+          + ("next_shard" -> shards.toString)) // contiguous ids again
     } else {
       val liveCount = live.count()
       live.write.mode("overwrite").partitionBy("list_id").parquet(tmp)
@@ -473,5 +511,77 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       case None => other.live.select(col("id"), col("vector"))
     }
     insert(src, "id", "vector")
+  }
+
+  /** Compact small graph shards WITHOUT a full rebuild. Repeated
+    * inserts/CDC batches accumulate small delta shards, and every shard
+    * costs one beam search per query — search time grows with shard
+    * count even when row count doesn't. This rebuilds ONLY the shards
+    * below `minRows` (default: half the dimension-aware per-shard budget)
+    * into properly-sized shards and leaves large shards untouched; at
+    * scale that rewrites a few small segments instead of vacuum()'s
+    * whole-index rebuild. Dead rows of the compacted shards are dropped
+    * (their tombstones remain and keep masking other shards' rows —
+    * sound, because a surviving row's epoch strictly exceeds every
+    * tombstone epoch for its id, so re-stamping it at the current epoch
+    * cannot resurrect anything; see `currentSeg`).
+    *
+    * Crash window: the new-shard append, old-shard-dir deletes, and meta
+    * publish are not one atomic step (the same append-vs-meta redo window
+    * as `insert`); a failure in between is repaired by re-running
+    * compactShards or vacuum().
+    *
+    * Returns the number of shards compacted away (0 = nothing to do). */
+  def compactShards(minRows: Long = 0): Int = {
+    require(isGraphEngine, s"compactShards: ${meta.engine} has no graph shards")
+    val counts = data.groupBy("shard").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val threshold =
+      if (minRows > 0) minRows
+      else AnnIndexBuilder.targetShardRows(meta.dim) / 2
+    val small = counts.filter(_._2 < threshold).map(_._1).sorted
+    if (small.length < 2) return 0 // one small shard is already compact
+
+    val smallSet = small.toSet
+    val subsetTotal = counts.collect { case (s, c) if smallSet(s) => c }.sum
+    val subset = data.filter(col("shard").isin(small.toSeq: _*))
+    val floats = quantParams match {
+      case Some(p) => subset.select(col("id"),
+        graft.functions.Sq8.dequantizeUdf(p)(col("codes")).as("vector"), col("seg"))
+      case None => subset.select(col("id"), col("vector"), col("seg"))
+    }
+    // epoch-aware tombstone mask, matching `live`
+    val d = deletes.select(col("id").as("__did"), col("seg").as("__dseg"))
+    val liveSub = floats.join(broadcast(d),
+        floats("id") === col("__did") && floats("seg") <= col("__dseg"), "left_anti")
+      .select("id", "vector")
+    val liveCount = liveSub.count()
+
+    val nextShard = meta.param("next_shard", meta.param("shards", 1))
+    val nNew = if (liveCount == 0) 0
+      else AnnIndexBuilder.defaultGraphShards(liveCount, meta.dim)
+    if (nNew > 0) {
+      val rebuilt0 = meta.engine match {
+        case "DISKANN" => Vamana.build(liveSub, nNew, Vamana.Params.from(meta), meta.metric)
+        case "HNSW" => Hnsw.build(liveSub, nNew, Hnsw.Params.from(meta), meta.metric)
+      }
+      val rebuilt = (quantParams match {
+        case Some(p) => rebuilt0
+          .withColumn("codes", graft.functions.Sq8.quantizeUdf(p)(col("vector")))
+          .drop("vector")
+        case None => rebuilt0
+      }).withColumn("shard", (col("shard") + lit(nextShard)).cast("int"))
+        .withColumn("seg", lit(currentSeg))
+      rebuilt.write.mode("append").partitionBy("shard").parquet(dataPath)
+    }
+    small.foreach(sid => IndexMeta.deleteDir(s"$dataPath/shard=$sid"))
+    meta = meta.copy(
+      numVectors = meta.numVectors - (subsetTotal - liveCount),
+      params = meta.params
+        + ("shards" -> (meta.param("shards", 1) - small.length + nNew).toString)
+        + ("next_shard" -> (nextShard + nNew).toString))
+    IndexMeta.write(path, meta)
+    invalidatePin()
+    small.length
   }
 }

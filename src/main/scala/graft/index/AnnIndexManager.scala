@@ -62,8 +62,14 @@ object AnnIndexBuilder {
     * (straggler/retry poison). Budgeting n·d ≈ 12.8M per shard (100k rows
     * at d=128) keeps any shard's build at roughly 3-5 minutes and its
     * decoded size ≈ 50 MB + edges at every dimension. */
+  val ShardCellBudget = 12800000L // n·d per shard
+
   def defaultGraphShards(n: Long, dim: Int): Int =
-    math.max(1, math.ceil(n.toDouble * math.max(dim, 1) / 12800000.0).toInt)
+    math.max(1, math.ceil(n.toDouble * math.max(dim, 1) / ShardCellBudget.toDouble).toInt)
+
+  /** Target rows per shard at a given dimension (the budget above in rows). */
+  def targetShardRows(dim: Int): Long =
+    math.max(1L, ShardCellBudget / math.max(dim, 1))
 
   /** IVF centroid training: kmeans++ seeding + Lloyd iterations over a
     * DRIVER-SIDE bounded sample.

@@ -43,6 +43,30 @@ object IndexQueries {
           "build_complexity" -> "128", "quantization" -> "sq8",
           "table" -> "embeddings"), path))
 
+  private def adaptiveIvfIndex(s: SparkSession, dir: String): AnnIndex =
+    AnnIndexManager.getOrBuild(s, "emb_ivf_adapt", dir, path =>
+      AnnIndexManager.create(s, "emb_ivf_adapt", emb(s, dir), "vec_id", "embedding",
+        "IVF", Map("metric" -> "l2", "nlist" -> "8", "nprobe" -> "1",
+          "adaptive_nprobe" -> "true", "nprobe_ratio" -> "4.0",
+          "table" -> "embeddings"), path))
+
+  /** DISKANN lifecycle: create on most rows, two delta-shard inserts, a
+    * delete, then compactShards merges the small deltas (build-once). */
+  private def compactedIndex(s: SparkSession, dir: String): AnnIndex =
+    AnnIndexManager.getOrBuild(s, "emb_vamana_compact", dir, path => {
+      val all = emb(s, dir)
+      val idx = AnnIndexManager.create(s, "emb_vamana_compact",
+        all.filter(col("vec_id") >= 20), "vec_id", "embedding",
+        "DISKANN", Map("metric" -> "l2", "max_degree" -> "64",
+          "build_complexity" -> "128"), path)
+      idx.insert(all.filter(col("vec_id") < 10), "vec_id", "embedding")
+      idx.insert(all.filter(col("vec_id") >= 10 && col("vec_id") < 20),
+        "vec_id", "embedding")
+      idx.delete(Seq(0L, 1L, 2L, 3L, 4L))
+      idx.compactShards(minRows = 50) // merges the two 10-row delta shards
+      idx
+    })
+
   private def hnswIndex(s: SparkSession, dir: String): AnnIndex =
     AnnIndexManager.getOrBuild(s, "emb_hnsw", dir, path =>
       AnnIndexManager.create(s, "emb_hnsw", emb(s, dir), "vec_id", "embedding",
@@ -107,6 +131,18 @@ object IndexQueries {
     // in IndexSpec.
     "ann_ivf_probe" -> ((s: SparkSession, dir: String) =>
       ranked(ivfIndex(s, dir).scan(qvecF(6), K, searchParam = 2))),
+
+    // adaptive probing (SPANN-style distance-ratio cell pruning): per-query
+    // probe width — approximate, so rows-only; widening/floor/cap semantics
+    // and boundary-query exactness are asserted in CompactionSpec.
+    "ann_ivf_adaptive" -> ((s: SparkSession, dir: String) =>
+      ranked(adaptiveIvfIndex(s, dir).scan(qvecF(6), K))),
+
+    // shard compaction lifecycle: create + 2 delta inserts + delete +
+    // compactShards, searched with an exhaustive beam → exact → strict
+    // oracle proves compaction loses and resurrects nothing.
+    "ann_compact_topk" -> ((s: SparkSession, dir: String) =>
+      ranked(compactedIndex(s, dir).scan(qvecF(17), K, searchParam = 100000))),
 
     // S3: fetch base columns through the broadcast join-back.
     "ann_search_fetch" -> ((s: SparkSession, dir: String) => {
@@ -432,6 +468,8 @@ object IndexQueries {
         |FROM embeddings""".stripMargin,
     "ann_delete_topk" -> bruteForceTopK(0, where = "WHERE label <> 3"),
     "ann_vacuum_topk" -> bruteForceTopK(0, where = "WHERE label <> 3"),
+    // compacted index = all rows except the 5 tombstoned ids
+    "ann_compact_topk" -> bruteForceTopK(17, where = "WHERE vec_id >= 5"),
 
     "ann_search_table" ->
       s"""SELECT q_vec_id, rank, vec_id FROM (
