@@ -109,15 +109,21 @@ class AnnIndex(val spark: SparkSession, val path: String) {
 
   def centroidsDf: DataFrame = spark.read.parquet(centroidsPath)
 
-  /** SQ8 params when the index stores codes instead of float vectors. */
+  /** SQ8 params when the index stores u8 codes (sq8 only; fp16 is
+    * parameter-free). */
   lazy val quantParams: Option[graft.functions.Sq8.QuantParams] =
-    if (!meta.quantized) None
+    if (!meta.params.get("quantization").contains("sq8")) None
     else {
       val rows = spark.read.parquet(s"$path/quant").collect()
         .map(r => (r.getAs[Int]("dim"), r.getAs[Float]("vmin"), r.getAs[Float]("scale")))
         .sortBy(_._1)
       Some(graft.functions.Sq8.QuantParams(rows.map(_._2), rows.map(_._3)))
     }
+
+  /** Stored-vector codec (None = plain float32 storage). */
+  lazy val codec: Option[graft.functions.VectorCodec] =
+    graft.functions.VectorCodec.forQuantization(
+      meta.params.get("quantization"), quantParams)
 
   /** Name of the stored vector column: float array, or SQ8 codes. */
   def dataVecCol: String = if (meta.quantized) "codes" else "vector"
@@ -182,17 +188,22 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     case _        => floatDistColumn(vec, query)
   }
 
-  /** Storage-aware distance: SQ8 indexes dequantize-on-access inside the
-    * codegen'd loop; float indexes use the plain expressions. `vec` must be
-    * the [[dataVecCol]] column. */
-  def distColumn(vec: Column, query: Column): Column = quantParams match {
-    case Some(p) =>
+  /** Storage-aware distance: quantized indexes decode-on-access inside
+    * the codegen'd loop; float indexes use the plain expressions. `vec`
+    * must be the [[dataVecCol]] column. */
+  def distColumn(vec: Column, query: Column): Column = codec match {
+    case Some(graft.functions.Sq8Codec(p)) =>
       // "cosine" renormalizes inside the kernel, absorbing quantization
       // drift of the build-time-normalized vectors
       org.apache.spark.sql.GraftBridge.column(graft.functions.Sq8Distance(
         org.apache.spark.sql.GraftBridge.expression(vec),
         org.apache.spark.sql.GraftBridge.expression(query),
         p.mins, p.scales, meta.metric))
+    case Some(graft.functions.Fp16Codec) =>
+      org.apache.spark.sql.GraftBridge.column(graft.functions.Fp16Distance(
+        org.apache.spark.sql.GraftBridge.expression(vec),
+        org.apache.spark.sql.GraftBridge.expression(query),
+        meta.metric))
     case None => floatDistColumn(vec, query)
   }
 
@@ -250,14 +261,14 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         val l = Vamana.beamWidth(k + overfetch, searchComplexity,
           p.buildComplexity) + overfetch
         Vamana.searchBatch(spark, src, qs, k + overfetch, l, meta.metric, ck,
-          prePartitioned = prePart, numShards = nShards, quant = quantParams)
+          prePartitioned = prePart, numShards = nShards, codec = codec)
       case "HNSW" =>
         // searchParam = ef_search override; default ef = ef_construction
         val p = Hnsw.Params.from(meta)
         val ef = math.max(k + overfetch,
           if (searchComplexity > 0) searchComplexity else p.efConstruction) + overfetch
         Hnsw.searchBatch(spark, src, qs, k + overfetch, ef, meta.metric, ck,
-          prePartitioned = prePart, numShards = nShards, quant = quantParams)
+          prePartitioned = prePart, numShards = nShards, codec = codec)
     }
     val cleaned =
       if (hasDeletes) {
@@ -362,9 +373,9 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         case "DISKANN" => Vamana.build(prepared, nDelta, Vamana.Params.from(meta), meta.metric)
         case "HNSW" => Hnsw.build(prepared, nDelta, Hnsw.Params.from(meta), meta.metric)
       }).withColumn("shard", (col("shard") + lit(nextShard)).cast("int"))
-      val delta = quantParams match {
-        case Some(p) => delta0 // out-of-range values clamp to the build-time range
-          .withColumn("codes", graft.functions.Sq8.quantizeUdf(p)(col("vector")))
+      val delta = codec match {
+        case Some(c) => delta0 // sq8: out-of-range values clamp to the build-time range
+          .withColumn("codes", c.encodeUdf(col("vector")))
           .drop("vector")
         case None => delta0
       }
@@ -375,10 +386,10 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         "next_shard" -> (nextShard + nDelta).toString))
     } else {
       val assigned = AnnIndexBuilder.assignLists(prepared, centroids, meta.engine)
-      val stored = quantParams match {
-        case Some(p) => assigned
-          .withColumn("codes", graft.functions.Sq8.quantizeUdf(p)(col("vector")))
-          .drop("vector") // out-of-range values clamp to the build-time range
+      val stored = codec match {
+        case Some(c) => assigned
+          .withColumn("codes", c.encodeUdf(col("vector")))
+          .drop("vector") // sq8: out-of-range values clamp to the build-time range
         case None => assigned
       }
       stored.withColumn("seg", lit(segNew))
@@ -460,9 +471,9 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       // quantized graphs rebuild from dequantized vectors (same reconstruct-
       // then-rebuild shape as mergeFrom; codes are re-fit-free: quant params
       // are range-stable under row removal)
-      val liveFloats = quantParams match {
-        case Some(p) => data.select(col("id"),
-          graft.functions.Sq8.dequantizeUdf(p)(col("codes")).as("vector"), col("seg"))
+      val liveFloats = codec match {
+        case Some(c) => data.select(col("id"),
+          c.decodeUdf(col("codes")).as("vector"), col("seg"))
         case None => data.select(col("id"), col("vector"), col("seg"))
       }
       // epoch-aware tombstone mask, matching `live`
@@ -477,9 +488,9 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         case "DISKANN" => Vamana.build(liveVecs, shards, Vamana.Params.from(meta), meta.metric)
         case "HNSW" => Hnsw.build(liveVecs, shards, Hnsw.Params.from(meta), meta.metric)
       }
-      val rebuilt = (quantParams match {
-        case Some(p) => rebuilt0
-          .withColumn("codes", graft.functions.Sq8.quantizeUdf(p)(col("vector")))
+      val rebuilt = (codec match {
+        case Some(c) => rebuilt0
+          .withColumn("codes", c.encodeUdf(col("vector")))
           .drop("vector")
         case None => rebuilt0
       }).withColumn("seg", lit(currentSeg)) // tombstones are cleared below,
@@ -505,9 +516,9 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * quantized sources are dequantized first (FAISS path uses
     * reconstruct_n the same way, src/faiss_index.cpp:783-838). */
   def mergeFrom(other: AnnIndex): Unit = {
-    val src = other.quantParams match {
-      case Some(p) => other.live.select(col("id"),
-        graft.functions.Sq8.dequantizeUdf(p)(col("codes")).as("vector"))
+    val src = other.codec match {
+      case Some(c) => other.live.select(col("id"),
+        c.decodeUdf(col("codes")).as("vector"))
       case None => other.live.select(col("id"), col("vector"))
     }
     insert(src, "id", "vector")
@@ -545,9 +556,9 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     val smallSet = small.toSet
     val subsetTotal = counts.collect { case (s, c) if smallSet(s) => c }.sum
     val subset = data.filter(col("shard").isin(small.toSeq: _*))
-    val floats = quantParams match {
-      case Some(p) => subset.select(col("id"),
-        graft.functions.Sq8.dequantizeUdf(p)(col("codes")).as("vector"), col("seg"))
+    val floats = codec match {
+      case Some(c) => subset.select(col("id"),
+        c.decodeUdf(col("codes")).as("vector"), col("seg"))
       case None => subset.select(col("id"), col("vector"), col("seg"))
     }
     // epoch-aware tombstone mask, matching `live`
@@ -565,9 +576,9 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         case "DISKANN" => Vamana.build(liveSub, nNew, Vamana.Params.from(meta), meta.metric)
         case "HNSW" => Hnsw.build(liveSub, nNew, Hnsw.Params.from(meta), meta.metric)
       }
-      val rebuilt = (quantParams match {
-        case Some(p) => rebuilt0
-          .withColumn("codes", graft.functions.Sq8.quantizeUdf(p)(col("vector")))
+      val rebuilt = (codec match {
+        case Some(c) => rebuilt0
+          .withColumn("codes", c.encodeUdf(col("vector")))
           .drop("vector")
         case None => rebuilt0
       }).withColumn("shard", (col("shard") + lit(nextShard)).cast("int"))

@@ -259,7 +259,8 @@ object AnnIndexManager {
     require(Seq("FLAT", "IVF", "DISKANN", "HNSW").contains(engine),
       s"unknown engine $engine")
     params.get("quantization").foreach(q =>
-      require(q == "sq8", s"unknown quantization $q (supported: sq8)"))
+      require(graft.functions.VectorCodec.Supported(q),
+        s"unknown quantization $q (supported: ${graft.functions.VectorCodec.Supported.mkString(", ")})"))
 
     // dimension check on a sample row (schema validation, reference
     // src/diskann_index.cpp:82-84)
@@ -270,6 +271,19 @@ object AnnIndexManager {
     val prepared = AnnIndexBuilder.prepare(df, idCol, vecCol, metric).cache()
     try {
       val n = prepared.count()
+
+      // build the stored representation: sq8 fits per-dim params from the
+      // data first; fp16 is parameter-free half-precision packing
+      def encodeStored(df0: DataFrame): DataFrame = params.get("quantization") match {
+        case Some("sq8") =>
+          val qp = AnnIndexBuilder.fitSq8(prepared, path)
+          df0.withColumn("codes",
+            graft.functions.Sq8.quantizeUdf(qp)(col("vector"))).drop("vector")
+        case Some("fp16") =>
+          df0.withColumn("codes",
+            graft.functions.Fp16.encodeUdf(col("vector"))).drop("vector")
+        case _ => df0
+      }
 
       if (engine == "DISKANN" || engine == "HNSW") {
         // partition-local graphs; default shard sizing bounds per-task
@@ -286,17 +300,14 @@ object AnnIndexManager {
             params.getOrElse("ef_construction", "64").toInt), metric)
         }
         IndexMeta.deleteDir(path)
-        // SQ8 on graph engines: the topology is built on EXACT floats (no
-        // quantization noise in edge selection), then only the stored rows
-        // carry u8 codes — 4x smaller dataset on disk and over any shuffle.
-        // Search dequantizes once per shard at decode time (cached), which
-        // is value-identical to the reference's dequantize-on-access.
+        // Quantization on graph engines: the topology is built on EXACT
+        // floats (no quantization noise in edge selection), then only the
+        // stored rows carry codes — 4x (sq8) / 2x (fp16) smaller on disk
+        // and over any shuffle. Search decodes once per shard at decode
+        // time (cached) — value-identical to the reference's
+        // dequantize-on-access.
         val storedGraph =
-          (if (params.get("quantization").contains("sq8")) {
-            val qp = AnnIndexBuilder.fitSq8(prepared, path)
-            graph.withColumn("codes",
-              graft.functions.Sq8.quantizeUdf(qp)(col("vector"))).drop("vector")
-          } else graph).withColumn("seg", lit(0L)) // insert epoch 0 = create
+          encodeStored(graph).withColumn("seg", lit(0L)) // insert epoch 0 = create
         storedGraph.write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
         val meta = IndexMeta(name, engine, metric, dim, idCol, vecCol, n, 0L,
           params + ("shards" -> shards.toString))
@@ -328,14 +339,8 @@ object AnnIndexManager {
       val assigned = AnnIndexBuilder.assignLists(prepared, centroids, engine)
       IndexMeta.deleteDir(path)
 
-      // SQ8: derive per-dim min/scale from the data, store codes not floats
-      val stored =
-        if (params.get("quantization").contains("sq8")) {
-          val qp = AnnIndexBuilder.fitSq8(prepared, path)
-          assigned
-            .withColumn("codes", graft.functions.Sq8.quantizeUdf(qp)(col("vector")))
-            .drop("vector")
-        } else assigned
+      // quantized storage: codes instead of floats (sq8 fits params first)
+      val stored = encodeStored(assigned)
 
       stored.withColumn("seg", lit(0L)) // insert epoch 0 = create
         .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/data")

@@ -205,7 +205,7 @@ object Hnsw {
                   queries: Seq[(Int, Array[Float])], k: Int, ef: Int,
                   metric: String, cacheKey: Option[String] = None,
                   prePartitioned: Boolean = false, numShards: Int = 0,
-                  quant: Option[graft.functions.Sq8.QuantParams] = None): DataFrame = {
+                  codec: Option[graft.functions.VectorCodec] = None): DataFrame = {
     val dist = VectorKernels.orderingDistance(metric) _
     val bcQueries = spark.sparkContext.broadcast(queries)
     val out = StructType(Seq(
@@ -214,8 +214,8 @@ object Hnsw {
       StructField("_distance", DoubleType, nullable = false),
       StructField("seg", LongType, nullable = false)))
 
-    // SQ8 datasets store u8 codes; dequantize once at shard decode (cached)
-    val vecColName = if (quant.isDefined) "codes" else "vector"
+    // quantized datasets store codes; decode once at shard decode (cached)
+    val vecColName = if (codec.isDefined) "codes" else "vector"
     val graph0 = graphDf.select("shard", "label", "id", vecColName, "level",
       "neighbors", "is_entry", "seg")
     val graph =
@@ -242,8 +242,8 @@ object Hnsw {
           shardRows.foreach { r =>
             val label = r.getInt(1)
             ids(label) = r.getLong(2)
-            vecs(label) = quant match {
-              case Some(p) => graft.functions.Sq8.dequantize(r.getAs[Array[Byte]](3), p)
+            vecs(label) = codec match {
+              case Some(c) => c.decode(r.getAs[Array[Byte]](3))
               case None => r.getSeq[Float](3).toArray
             }
             lvls(label) = r.getInt(4)

@@ -27,13 +27,18 @@ case class IndexMeta(
   /** In-memory size estimate (vectors + ids + graph edges if any), mirroring
     * GetInMemorySize (reference: src/diskann_index.cpp:643-653). */
   def memoryBytes: Long = {
-    val bytesPerDim = if (quantized) 1L else 4L // SQ8 stores u8 codes
+    val bytesPerDim = params.get("quantization") match {
+      case Some("sq8") => 1L // u8 codes
+      case Some("fp16") => 2L // packed half floats
+      case _ => 4L
+    }
     val perVec = dim.toLong * bytesPerDim + 8 + 4 // vector + id + list/label
     val graph = if (engine == "DISKANN") param("max_degree", 64).toLong * 4 else 0L
     numVectors * (perVec + graph)
   }
 
-  def quantized: Boolean = params.get("quantization").contains("sq8")
+  def quantized: Boolean =
+    params.get("quantization").exists(graft.functions.VectorCodec.Supported)
 }
 
 object IndexMeta {

@@ -312,7 +312,7 @@ object Vamana {
                   queries: Seq[(Int, Array[Float])], k: Int, l: Int,
                   metric: String, cacheKey: Option[String] = None,
                   prePartitioned: Boolean = false, numShards: Int = 0,
-                  quant: Option[graft.functions.Sq8.QuantParams] = None): DataFrame = {
+                  codec: Option[graft.functions.VectorCodec] = None): DataFrame = {
     val dist = VectorKernels.orderingDistance(metric) _
     val bcQueries = spark.sparkContext.broadcast(queries)
     val out = StructType(Seq(
@@ -321,10 +321,10 @@ object Vamana {
       StructField("_distance", DoubleType, nullable = false),
       StructField("seg", LongType, nullable = false)))
 
-    // SQ8 graph datasets store u8 codes; dequantize ONCE at shard decode
-    // (the decoded float arrays live in GraphShardCache) — value-identical
-    // to per-access dequantization, amortized across query batches.
-    val vecColName = if (quant.isDefined) "codes" else "vector"
+    // Quantized graph datasets store codes (sq8 u8 / fp16 halves); decode
+    // ONCE at shard decode (the float arrays live in GraphShardCache) —
+    // value-identical to per-access decoding, amortized across batches.
+    val vecColName = if (codec.isDefined) "codes" else "vector"
     val graph0 = graphDf
       .select("shard", "label", "id", vecColName, "neighbors", "is_entry", "seg")
     // sized to the shard count when known — default shuffle partitions would
@@ -354,8 +354,8 @@ object Vamana {
           shardRows.foreach { r =>
             val label = r.getInt(1)
             ids(label) = r.getLong(2)
-            vecs(label) = quant match {
-              case Some(p) => graft.functions.Sq8.dequantize(r.getAs[Array[Byte]](3), p)
+            vecs(label) = codec match {
+              case Some(c) => c.decode(r.getAs[Array[Byte]](3))
               case None => r.getSeq[Float](3).toArray
             }
             nbrs(label) = r.getSeq[Int](4).toArray

@@ -36,6 +36,12 @@ object IndexQueries {
         "IVF", Map("metric" -> "l2", "nlist" -> "8", "nprobe" -> "8",
           "table" -> "embeddings"), path))
 
+  private def fp16Index(s: SparkSession, dir: String): AnnIndex =
+    AnnIndexManager.getOrBuild(s, "emb_fp16", dir, path =>
+      AnnIndexManager.create(s, "emb_fp16", emb(s, dir), "vec_id", "embedding",
+        "FLAT", Map("metric" -> "l2", "quantization" -> "fp16",
+          "table" -> "embeddings"), path))
+
   private def sq8VamanaIndex(s: SparkSession, dir: String): AnnIndex =
     AnnIndexManager.getOrBuild(s, "emb_vamana_sq8", dir, path =>
       AnnIndexManager.create(s, "emb_vamana_sq8", emb(s, dir), "vec_id", "embedding",
@@ -359,6 +365,12 @@ object IndexQueries {
     // fixture is asserted in Sq8Spec.
     "ann_sq8_topk" -> ((s: SparkSession, dir: String) =>
       ranked(sq8Index(s, dir).scan(qvecF(5), K))),
+
+    // fp16 packed storage (2 bytes/dim): ~1e-3 relative rounding can
+    // reorder near-ties vs the float oracle → rows-only; losslessness on
+    // representable data and full DML survival are asserted in Fp16Spec.
+    "ann_fp16_topk" -> ((s: SparkSession, dir: String) =>
+      ranked(fp16Index(s, dir).scan(qvecF(5), K))),
 
     // SQ8 on the graph engine (reference SQ8 appendix,
     // rust_lib/src/index_manager.rs:508-536): the shard dataset stores u8
