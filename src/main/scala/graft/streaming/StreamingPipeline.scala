@@ -83,6 +83,35 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Stream-stream interval join with bounded state: equality on `key`
+    * plus `rightTs` constrained to [leftTs, leftTs + maxDelay]. Both
+    * sides are watermarked, and the time-range condition is what lets
+    * Spark compute how long each side's join state can matter — state is
+    * evicted as the watermark advances, so an unbounded stream never
+    * accumulates unbounded join state (the canonical Structured
+    * Streaming inner-join pattern). Typical shape: document-ingest
+    * events joined to their quality-check/annotation events arriving
+    * within the delay horizon.
+    *
+    * The right side's `key` column is dropped from the output (it equals
+    * the left's); all other column names must be distinct across sides.
+    * Inner join: matches emit as soon as both rows are present —
+    * the watermark bounds state, not emission latency. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   maxDelay: String = "1 hour",
+                   watermarkDelay: String = "2 hours"): DataFrame = {
+    require(leftTs != rightTs,
+      s"leftTs and rightTs must have distinct names (both '$leftTs')")
+    val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
+    val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
+    l.join(r,
+        expr(s"l.`$key` = r.`$key`") &&
+          col(s"r.`$rightTs`") >= col(s"l.`$leftTs`") &&
+          col(s"r.`$rightTs`") <= col(s"l.`$leftTs`") + expr(s"interval $maxDelay"))
+      .drop(col(s"r.`$key`"))
+  }
+
   /** Running per-key corpus state (docs/chars/quality mean) emitted as an
     * update row per key per micro-batch. */
   final case class CorpusState(nDocs: Long, nChars: Long, qualitySum: Double)

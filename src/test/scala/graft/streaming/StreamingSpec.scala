@@ -329,4 +329,46 @@ class StreamingSpec extends SparkSpec {
     assert(out.nonEmpty)
     assert(out.map(_.getAs[Long]("n")).sum == 100)
   }
+
+  test("stream-stream interval join matches within the delay horizon only") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+
+    // left: document ingests; right: quality-check events on the same doc
+    val ingests = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val checks = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = StreamingPipeline.intervalJoin(
+      ingests.toDF().toDF("doc_id", "ingest_ts", "source"),
+      checks.toDF().toDF("doc_id", "check_ts", "verdict"),
+      key = "doc_id", leftTs = "ingest_ts", rightTs = "check_ts",
+      maxDelay = "10 minutes", watermarkDelay = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    try {
+      ingests.addData((1L, ts(10, 0), "web"), (2L, ts(10, 0), "pdf"))
+      checks.addData(
+        (1L, ts(10, 5), "pass"),   // in horizon → match
+        (2L, ts(10, 20), "late"),  // 20 min after ingest → outside horizon
+        (3L, ts(10, 5), "orphan")) // no ingest → no match
+      q.processAllAvailable()
+      val rows = spark.table("ivj")
+        .select("doc_id", "source", "verdict").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(rows == Set((1L, "web", "pass")))
+
+      // a second check inside the horizon still matches (inner join emits
+      // per matching pair, not first-only)
+      checks.addData((2L, ts(10, 8), "pass2"))
+      q.processAllAvailable()
+      val rows2 = spark.table("ivj")
+        .select("doc_id", "verdict").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows2 == Set((1L, "pass"), (2L, "pass2")))
+
+      // output schema: single doc_id column (right side's dropped)
+      assert(spark.table("ivj").columns.count(_ == "doc_id") == 1)
+    } finally q.stop()
+  }
 }
