@@ -535,12 +535,20 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * (their tombstones remain and keep masking other shards' rows —
     * sound, because a surviving row's epoch strictly exceeds every
     * tombstone epoch for its id, so re-stamping it at the current epoch
-    * cannot resurrect anything; see `currentSeg`).
+    * cannot resurrect anything; see `currentSeg`). After the drop,
+    * `numDeleted` is recounted against the surviving data so the search
+    * overfetch (k + numDeleted) deflates with the dead rows instead of
+    * staying permanently inflated until a full vacuum; a delete log
+    * that no longer masks anything is removed outright.
     *
-    * Crash window: the new-shard append, old-shard-dir deletes, and meta
-    * publish are not one atomic step (the same append-vs-meta redo window
-    * as `insert`); a failure in between is repaired by re-running
-    * compactShards or vacuum().
+    * Crash window: the new-shard append, meta publish, and
+    * old-shard-dir deletes are not one atomic step. Meta (new shard
+    * count + next_shard) is published IMMEDIATELY after the append and
+    * BEFORE the deletes: a crash in between then degrades to duplicate
+    * rows — the same redo class as `insert`'s documented append-vs-meta
+    * window, repaired by `vacuum()` — rather than leaving `next_shard`
+    * stale, where the NEXT insert would reuse the merged shard's id and
+    * corrupt that shard dir with two overlapping graphs.
     *
     * Returns the number of shards compacted away (0 = nothing to do). */
   def compactShards(minRows: Long = 0): Int = {
@@ -585,14 +593,36 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         .withColumn("seg", lit(currentSeg))
       rebuilt.write.mode("append").partitionBy("shard").parquet(dataPath)
     }
-    small.foreach(sid => IndexMeta.deleteDir(s"$dataPath/shard=$sid"))
+    // Publish meta BEFORE deleting the old shard dirs (see docstring:
+    // keeps the crash window in the duplicate-rows redo class and never
+    // re-issues a live shard id).
     meta = meta.copy(
       numVectors = meta.numVectors - (subsetTotal - liveCount),
       params = meta.params
         + ("shards" -> (meta.param("shards", 1) - small.length + nNew).toString)
         + ("next_shard" -> (nextShard + nNew).toString))
     IndexMeta.write(path, meta)
+    small.foreach(sid => IndexMeta.deleteDir(s"$dataPath/shard=$sid"))
     invalidatePin()
+    refreshDeadCount()
     small.length
+  }
+
+  /** Recount `numDeleted` as the number of data rows a tombstone still
+    * masks. Physical drops (compactShards) make tombstones obsolete
+    * without shrinking the counter, and the counter drives the graph
+    * search overfetch (k + numDeleted) — left to only grow, every search
+    * carries beam width for rows that no longer exist. When no row is
+    * masked anymore the delete log itself is removed (the log is an
+    * upper bound between refreshes; `vacuum()` still clears everything). */
+  private def refreshDeadCount(): Unit = if (hasDeletes) {
+    val d = deletes.select(col("id").as("__did"), col("seg").as("__dseg"))
+    val base = spark.read.parquet(dataPath) // raw: pin may predate the drop
+    val dead = base.join(broadcast(d),
+      base("id") === col("__did") && base("seg") <= col("__dseg"), "left_semi")
+      .count()
+    if (dead == 0) IndexMeta.deleteDir(deletesPath)
+    meta = meta.copy(numDeleted = dead)
+    IndexMeta.write(path, meta)
   }
 }

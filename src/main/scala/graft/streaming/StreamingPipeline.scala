@@ -103,6 +103,14 @@ object StreamingPipeline {
                    watermarkDelay: String = "2 hours"): DataFrame = {
     require(leftTs != rightTs,
       s"leftTs and rightTs must have distinct names (both '$leftTs')")
+    // The stated horizon semantics ("right rows within [leftTs, leftTs +
+    // maxDelay] are joined") only hold while the watermark keeps such rows
+    // in state. With watermarkDelay < maxDelay, in-horizon right rows are
+    // silently dropped as late once the watermark passes them — that
+    // presents as missed joins, not as a config error, so fail fast here.
+    require(intervalMicros(watermarkDelay) >= intervalMicros(maxDelay),
+      s"watermarkDelay ('$watermarkDelay') must cover maxDelay ('$maxDelay'): " +
+        "a shorter watermark evicts in-horizon right-side rows as late data")
     val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
     val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
     l.join(r,
@@ -162,5 +170,17 @@ object StreamingPipeline {
             } else Iterator.empty
           }
       }
+  }
+
+  /** Interval string → microseconds, via the same catalyst parser Spark
+    * applies to `withWatermark` delays. Calendar units are flattened the
+    * way streaming state management does (a month as 31 days), which only
+    * has to be monotone and consistent across both operands for the
+    * `watermarkDelay >= maxDelay` guard to be meaningful. */
+  private def intervalMicros(s: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    require(iv != null, s"cannot parse interval '$s'")
+    iv.microseconds + iv.days * 86400000000L + iv.months * 31L * 86400000000L
   }
 }

@@ -132,8 +132,14 @@ class CompactionSpec extends SparkSpec {
     // shard is already compact, so force it together with another delta
     idx.insert(Seq((2000L, Array(0.9f, 0.9f, 0.9f, 0.9f))).toDF("id", "embedding"),
       "id", "embedding")
+    assert(idx.meta.numDeleted == 3)
     assert(idx.compactShards(minRows = 40) == 2)
     assert(idx.meta.numVectors == nBefore + 1 - 3) // one insert, three dead dropped
+    // the dropped rows' tombstones no longer mask anything: numDeleted is
+    // recounted to 0 (search overfetch deflates) and the empty delete log
+    // is removed rather than anti-joined forever
+    assert(idx.meta.numDeleted == 0)
+    assert(!idx.hasDeletes)
     val ids = idx.scan(q, 300, searchParam = 100000).collect().map(_.getLong(0)).toSet
     assert(!ids.contains(1000L) && !ids.contains(1001L) && !ids.contains(1002L))
     assert(ids.contains(2000L))

@@ -371,4 +371,24 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("ivj").columns.count(_ == "doc_id") == 1)
     } finally q.stop()
   }
+
+  test("interval join rejects a watermark shorter than the join horizon") {
+    import spark.implicits._
+    // watermarkDelay < maxDelay would silently evict in-horizon right rows
+    // as late data (missed joins, not an error) — must fail fast instead
+    val l = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), "a"))
+      .toDF("doc_id", "ingest_ts", "source")
+    val r = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 10:05:00"), "ok"))
+      .toDF("doc_id", "check_ts", "verdict")
+    val e = intercept[IllegalArgumentException] {
+      StreamingPipeline.intervalJoin(l, r, key = "doc_id",
+        leftTs = "ingest_ts", rightTs = "check_ts",
+        maxDelay = "2 hours", watermarkDelay = "30 minutes")
+    }
+    assert(e.getMessage.contains("watermarkDelay"))
+    // boundary: equal horizons are allowed (including mixed units)
+    StreamingPipeline.intervalJoin(l, r, key = "doc_id",
+      leftTs = "ingest_ts", rightTs = "check_ts",
+      maxDelay = "90 minutes", watermarkDelay = "1 hour 30 minutes")
+  }
 }
