@@ -45,7 +45,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
 
   def persist(): this.type = synchronized {
     if (pinned.isEmpty) {
-      val raw = spark.read.parquet(dataPath)
+      val raw = readData()
       val laidOut =
         if (isGraphEngine)
           raw.repartition(Vamana.shardPartitions(math.max(1, meta.param("shards", 1))),
@@ -69,7 +69,40 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     pinned = None
   }
 
-  def data: DataFrame = pinned.getOrElse(spark.read.parquet(dataPath))
+  /** The index dataset as a reader may see it. Graph engines go through
+    * the shard manifest (`meta.liveShards`): only dirs named by the
+    * atomically-published manifest are read, so in-flight or crashed
+    * writers' dirs are invisible — the read side of the copy-on-write
+    * commit protocol (see `IndexMeta.liveShards`). FLAT/IVF append into
+    * hive `list_id` dirs and keep the plain dataset read (their only
+    * crash window is insert's documented append-vs-meta redo, handled by
+    * streaming batch-id replay detection). */
+  private def readData(): DataFrame = meta.liveShards match {
+    case Some(live) if isGraphEngine =>
+      if (live.isEmpty) emptyGraphData
+      else spark.read.option("basePath", dataPath)
+        .parquet(live.map(s => s"$dataPath/shard=$s"): _*)
+    case _ => spark.read.parquet(dataPath)
+  }
+
+  /** Zero-row frame in the stored graph layout (fully-vacuumed index). */
+  private def emptyGraphData: DataFrame = {
+    val vecField =
+      if (meta.quantized) StructField("codes", BinaryType)
+      else StructField("vector", ArrayType(FloatType))
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("shard", IntegerType),
+        StructField("label", IntegerType), StructField("id", LongType),
+        vecField, StructField("neighbors", ArrayType(IntegerType)),
+        StructField("is_entry", BooleanType), StructField("seg", LongType))))
+  }
+
+  /** Live shard ids (manifest, or dir listing for legacy layouts). */
+  private def liveShardIds: Seq[Int] =
+    meta.liveShards.getOrElse(IndexMeta.listShardDirs(dataPath))
+
+  def data: DataFrame = pinned.getOrElse(readData())
 
   def hasDeletes: Boolean = IndexMeta.existsDir(deletesPath)
 
@@ -369,6 +402,14 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       // partition sizing. They diverge once compactShards leaves id gaps —
       // reusing a live id would mix two graphs in one shard directory.
       val nextShard = meta.param("next_shard", meta.param("shards", 1))
+      val preLive = liveShardIds // capture before the write (legacy
+        // fallback lists dirs, which would include the delta post-write)
+        .filterNot(sid => sid >= nextShard && sid < nextShard + nDelta)
+      // Ids at/after next_shard are unlisted by definition: any dir there
+      // is a crashed writer's orphan. Reclaim before writing so the
+      // append can't mix two graphs under one shard id.
+      (nextShard until nextShard + nDelta).foreach(sid =>
+        IndexMeta.deleteDir(s"$dataPath/shard=$sid"))
       val delta0 = (meta.engine match {
         case "DISKANN" => Vamana.build(prepared, nDelta, Vamana.Params.from(meta), meta.metric)
         case "HNSW" => Hnsw.build(prepared, nDelta, Hnsw.Params.from(meta), meta.metric)
@@ -381,9 +422,17 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       }
       delta.withColumn("seg", lit(segNew))
         .write.mode("append").partitionBy("shard").parquet(dataPath)
+      // Learn which target ids actually received rows (an empty build
+      // task writes no dir; manifesting a missing dir would break reads),
+      // and publish them. Readers see the delta only after the caller's
+      // meta write lands — the commit point.
+      val written = IndexMeta.listShardDirs(dataPath)
+        .filter(sid => sid >= nextShard && sid < nextShard + nDelta)
+      val newLive = preLive ++ written
       (n, Map("seg" -> segNew.toString,
-        "shards" -> (meta.param("shards", 1) + nDelta).toString,
-        "next_shard" -> (nextShard + nDelta).toString))
+        "shards" -> newLive.size.toString,
+        "next_shard" -> (nextShard + nDelta).toString,
+        "live_shards" -> newLive.mkString(",")))
     } else {
       val assigned = AnnIndexBuilder.assignLists(prepared, centroids, meta.engine)
       val stored = codec match {
@@ -412,9 +461,13 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     *
     * `batch` = (streamId, batchId) for streaming maintenance, recorded in
     * the SAME meta write that publishes the new row count, so a replayed
-    * micro-batch can be detected and skipped; the redo window is only a
-    * crash between the data append and the meta write (the reference's
-    * WAL redo has the same semantics, src/diskann_index.cpp:536-546). */
+    * micro-batch after a successful commit is detected and skipped.
+    * Crash before that write: graph engines leave only unmanifested
+    * orphan shard dirs — invisible to readers, reclaimed at the next
+    * allocation of those ids — so the replay is clean; FLAT/IVF append
+    * into shared list_id dirs, where the same crash is a redo window
+    * with duplicate rows until the batch replays (the reference's WAL
+    * redo has those semantics, src/diskann_index.cpp:536-546). */
   def insert(rows: DataFrame, idCol: String, vecCol: String,
              batch: Option[(String, Long)] = None): Unit = {
     val (n, delta) = writeInsertData(rows, idCol, vecCol)
@@ -498,9 +551,13 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       rebuilt.write.mode("overwrite").partitionBy("shard").parquet(tmp)
       IndexMeta.replaceDir(tmp, dataPath)
       IndexMeta.deleteDir(deletesPath)
+      // full-rebuild manifest: exactly the dirs the rebuild produced
+      // (orphans died with the old dir); contiguous ids again
+      val liveNow = IndexMeta.listShardDirs(dataPath)
       meta = meta.copy(numVectors = liveCount, numDeleted = 0,
-        params = meta.params + ("shards" -> shards.toString)
-          + ("next_shard" -> shards.toString)) // contiguous ids again
+        params = meta.params + ("shards" -> math.max(liveNow.size, 1).toString)
+          + ("next_shard" -> shards.toString)
+          + ("live_shards" -> liveNow.mkString(",")))
     } else {
       val liveCount = live.count()
       live.write.mode("overwrite").partitionBy("list_id").parquet(tmp)
@@ -541,14 +598,13 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * staying permanently inflated until a full vacuum; a delete log
     * that no longer masks anything is removed outright.
     *
-    * Crash window: the new-shard append, meta publish, and
-    * old-shard-dir deletes are not one atomic step. Meta (new shard
-    * count + next_shard) is published IMMEDIATELY after the append and
-    * BEFORE the deletes: a crash in between then degrades to duplicate
-    * rows — the same redo class as `insert`'s documented append-vs-meta
-    * window, repaired by `vacuum()` — rather than leaving `next_shard`
-    * stale, where the NEXT insert would reuse the merged shard's id and
-    * corrupt that shard dir with two overlapping graphs.
+    * Atomicity: copy-on-write via the shard manifest. The merged shards
+    * are appended under fresh ids (invisible — not yet manifested), then
+    * ONE atomic meta write swaps small-out/merged-in, then the old dirs
+    * are deleted (pure space reclamation). A reader observes either the
+    * full pre- or full post-compaction index at every point; a crash
+    * leaves only unlisted junk dirs, reclaimed when their ids are next
+    * allocated or by `vacuum()`.
     *
     * Returns the number of shards compacted away (0 = nothing to do). */
   def compactShards(minRows: Long = 0): Int = {
@@ -579,6 +635,12 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     val nextShard = meta.param("next_shard", meta.param("shards", 1))
     val nNew = if (liveCount == 0) 0
       else AnnIndexBuilder.defaultGraphShards(liveCount, meta.dim)
+    val preLive = liveShardIds // legacy fallback lists dirs: exclude the
+      // target range, which is reclaimed and rewritten below
+      .filterNot(sid => sid >= nextShard && sid < nextShard + nNew)
+    // reclaim crashed writers' orphans at the target ids (never live)
+    (nextShard until nextShard + nNew).foreach(sid =>
+      IndexMeta.deleteDir(s"$dataPath/shard=$sid"))
     if (nNew > 0) {
       val rebuilt0 = meta.engine match {
         case "DISKANN" => Vamana.build(liveSub, nNew, Vamana.Params.from(meta), meta.metric)
@@ -593,14 +655,19 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         .withColumn("seg", lit(currentSeg))
       rebuilt.write.mode("append").partitionBy("shard").parquet(dataPath)
     }
-    // Publish meta BEFORE deleting the old shard dirs (see docstring:
-    // keeps the crash window in the duplicate-rows redo class and never
-    // re-issues a live shard id).
+    // Manifest swap: old small shards out, written merged shards in —
+    // published in ONE atomic meta write, so every reader sees either the
+    // full pre-compaction or the full post-compaction index. The dir
+    // deletes after the publish are pure space reclamation.
+    val written = IndexMeta.listShardDirs(dataPath)
+      .filter(sid => sid >= nextShard && sid < nextShard + nNew)
+    val newLive = preLive.filterNot(smallSet) ++ written
     meta = meta.copy(
       numVectors = meta.numVectors - (subsetTotal - liveCount),
       params = meta.params
-        + ("shards" -> (meta.param("shards", 1) - small.length + nNew).toString)
-        + ("next_shard" -> (nextShard + nNew).toString))
+        + ("shards" -> newLive.size.toString)
+        + ("next_shard" -> (nextShard + nNew).toString)
+        + ("live_shards" -> newLive.mkString(",")))
     IndexMeta.write(path, meta)
     small.foreach(sid => IndexMeta.deleteDir(s"$dataPath/shard=$sid"))
     invalidatePin()
@@ -617,7 +684,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * upper bound between refreshes; `vacuum()` still clears everything). */
   private def refreshDeadCount(): Unit = if (hasDeletes) {
     val d = deletes.select(col("id").as("__did"), col("seg").as("__dseg"))
-    val base = spark.read.parquet(dataPath) // raw: pin may predate the drop
+    val base = readData() // unpinned: the pin may predate the drop
     val dead = base.join(broadcast(d),
       base("id") === col("__did") && base("seg") <= col("__dseg"), "left_semi")
       .count()

@@ -309,8 +309,14 @@ object AnnIndexManager {
         val storedGraph =
           encodeStored(graph).withColumn("seg", lit(0L)) // insert epoch 0 = create
         storedGraph.write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
+        // manifest = the dirs the build actually produced (an empty task
+        // writes none); readers only ever see manifested dirs, making
+        // every later mutation a copy-on-write commit (IndexMeta.liveShards)
+        val liveIds = IndexMeta.listShardDirs(s"$path/data")
         val meta = IndexMeta(name, engine, metric, dim, idCol, vecCol, n, 0L,
-          params + ("shards" -> shards.toString))
+          params + ("shards" -> math.max(liveIds.size, 1).toString)
+            + ("next_shard" -> shards.toString)
+            + ("live_shards" -> liveIds.mkString(",")))
         IndexMeta.write(path, meta)
         register(name, path)
         return new AnnIndex(spark, path)

@@ -39,6 +39,19 @@ case class IndexMeta(
 
   def quantized: Boolean =
     params.get("quantization").exists(graft.functions.VectorCodec.Supported)
+
+  /** Graph-engine segment manifest: the shard ids readers may see.
+    * Published atomically with the rest of the metadata (meta.json is
+    * written tmp-then-rename), it is what makes index mutations
+    * copy-on-write commits: writers lay down new shard dirs first and a
+    * reader only ever observes dirs named by the manifest it read — a
+    * crashed writer leaves invisible orphan dirs (reclaimed by the next
+    * allocation of those ids, or by vacuum), never duplicate rows and
+    * never a half-written shard. `None` = legacy layout (every dir under
+    * data/ is live). */
+  def liveShards: Option[Seq[Int]] =
+    params.get("live_shards").map(s =>
+      if (s.isEmpty) Seq.empty[Int] else s.split(',').map(_.toInt).toSeq)
 }
 
 object IndexMeta {
@@ -83,5 +96,22 @@ object IndexMeta {
   def replaceDir(tmp: String, target: String): Unit = {
     deleteDir(target)
     Files.move(Paths.get(tmp), Paths.get(target))
+  }
+
+  /** Shard ids physically present under a graph index's data dir (the
+    * `shard=K` hive dirs), sorted. Used right after a write to learn
+    * which target partitions actually received rows (an empty task writes
+    * no dir), and to migrate legacy manifests. One listing of one
+    * directory — object-store-cheap even at thousands of shards. */
+  def listShardDirs(dataPath: String): Seq[Int] = {
+    val p = Paths.get(dataPath)
+    if (!Files.isDirectory(p)) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    Files.list(p).forEach { f =>
+      val n = f.getFileName.toString
+      if (n.startsWith("shard=") && Files.isDirectory(f))
+        scala.util.Try(n.stripPrefix("shard=").toInt).foreach(out += _)
+    }
+    out.sorted.toSeq
   }
 }

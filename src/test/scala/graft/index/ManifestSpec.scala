@@ -1,0 +1,136 @@
+package graft.index
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Shard-manifest commit protocol: readers see only manifested shard dirs,
+  * so a crashed writer's half-published segments are invisible instead of
+  * duplicated, and orphaned shard ids are reclaimed on the next allocation
+  * (IndexMeta.liveShards, AnnIndex.readData). */
+class ManifestSpec extends SparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("graft_manifest_spec").toString
+
+  private lazy val baseVecs: Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(11)
+    Seq.tabulate(120)(i => (i.toLong, Array.fill(4)(rnd.nextFloat())))
+  }
+
+  private def copyDir(src: Path, dst: Path): Unit = {
+    Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  private def exhaustive(idx: AnnIndex, q: Array[Float], k: Int): Seq[(Long, Double)] =
+    idx.scan(q, k, searchParam = 100000).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("create publishes a manifest naming exactly the written shard dirs") {
+    import spark.implicits._
+    val idx = AnnIndexManager.create(spark, "t_mf_create", baseVecs.toDF("id", "embedding"),
+      "id", "embedding", "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "32",
+        "shards" -> "2"),
+      s"$tmp/t_mf_create")
+    val live = idx.meta.liveShards.getOrElse(fail("no manifest on a fresh index"))
+    assert(live == IndexMeta.listShardDirs(s"$tmp/t_mf_create/data"))
+    assert(idx.meta.param("shards", 0) == live.size)
+  }
+
+  test("an unmanifested orphan shard dir is invisible to reads and reclaimed on insert") {
+    import spark.implicits._
+    val path = s"$tmp/t_mf_orphan"
+    val idx = AnnIndexManager.create(spark, "t_mf_orphan", baseVecs.toDF("id", "embedding"),
+      "id", "embedding", "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "32",
+        "shards" -> "2"),
+      path)
+    val q = Array(0.5f, 0.5f, 0.5f, 0.5f)
+    val before = exhaustive(idx, q, 120)
+    assert(before.size == 120)
+
+    // Simulate a writer that crashed after its data append but before the
+    // meta publish: a full copy of shard 0's graph parked at the next
+    // unallocated id. Legacy layout would serve every row of it twice.
+    val nextShard = idx.meta.param("next_shard", idx.meta.param("shards", 1))
+    copyDir(Paths.get(path, "data", "shard=0"),
+      Paths.get(path, "data", s"shard=$nextShard"))
+    assert(IndexMeta.listShardDirs(s"$path/data").contains(nextShard))
+
+    // invisible: same rows, same results, no duplicated-shard error
+    assert(idx.data.count() == 120)
+    assert(exhaustive(idx, q, 120) == before)
+
+    // the next insert allocates that id, reclaims the junk dir, and the
+    // fresh delta is served exactly once
+    idx.insert(Seq((500L, Array(0.9f, 0.9f, 0.9f, 0.9f))).toDF("id", "embedding"),
+      "id", "embedding")
+    val after = idx.scan(q, 121, searchParam = 100000).collect().map(_.getLong(0))
+    assert(after.length == 121)
+    assert(after.count(_ == 500L) == 1)
+    assert(idx.meta.liveShards.get.contains(nextShard))
+  }
+
+  test("a crash between compaction publish and dir deletes leaves readers on the new manifest") {
+    import spark.implicits._
+    val path = s"$tmp/t_mf_compact"
+    val idx = AnnIndexManager.create(spark, "t_mf_compact", baseVecs.toDF("id", "embedding"),
+      "id", "embedding", "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "32",
+        "shards" -> "2"),
+      path)
+    val rnd = new scala.util.Random(3)
+    for (b <- 0 until 2) {
+      val batch = Seq.tabulate(8)(i => (900L + b * 8 + i, Array.fill(4)(rnd.nextFloat())))
+      idx.insert(batch.toDF("id", "embedding"), "id", "embedding")
+    }
+    val q = Array(0.4f, 0.4f, 0.4f, 0.4f)
+    val before = exhaustive(idx, q, 136)
+
+    // compact, then un-delete the small dirs (as if the process died after
+    // the atomic publish but before space reclamation): a fresh reader of
+    // the SAME on-disk state must not see the resurrected dirs
+    val smallDirs = idx.meta.liveShards.get.filter(_ >= 2) // the two deltas
+    val saved = Paths.get(s"$tmp/saved_small")
+    Files.createDirectories(saved)
+    smallDirs.foreach(s => copyDir(Paths.get(path, "data", s"shard=$s"),
+      saved.resolve(s"shard=$s")))
+    assert(idx.compactShards(minRows = 40) == 2)
+    smallDirs.foreach(s => copyDir(saved.resolve(s"shard=$s"),
+      Paths.get(path, "data", s"shard=$s")))
+
+    val reader = AnnIndexManager.load(spark, path)
+    assert(reader.data.count() == 136) // not 136 + 16 resurrected
+    assert(exhaustive(reader, q, 136).toSet == before.toSet)
+    assert(!reader.meta.liveShards.get.exists(smallDirs.contains))
+  }
+
+  test("vacuum of a fully-deleted index publishes an empty manifest; scans return no rows") {
+    import spark.implicits._
+    val path = s"$tmp/t_mf_empty"
+    val idx = AnnIndexManager.create(spark, "t_mf_empty",
+      baseVecs.take(20).toDF("id", "embedding"),
+      "id", "embedding", "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "32",
+        "shards" -> "2"),
+      path)
+    idx.delete(baseVecs.take(20).map(_._1))
+    idx.vacuum()
+    assert(idx.meta.numVectors == 0)
+    assert(idx.meta.liveShards.exists(_.isEmpty))
+    assert(idx.data.count() == 0)
+    assert(idx.scan(Array(0.1f, 0.1f, 0.1f, 0.1f), 5, searchParam = 1000).count() == 0)
+
+    // and the index comes back to life on insert
+    idx.insert(Seq((7L, Array(0.2f, 0.2f, 0.2f, 0.2f))).toDF("id", "embedding"),
+      "id", "embedding")
+    val ids = idx.scan(Array(0.2f, 0.2f, 0.2f, 0.2f), 1, searchParam = 1000)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(7L))
+  }
+}
