@@ -675,6 +675,25 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     small.length
   }
 
+  /** Delete unmanifested shard dirs — a crashed writer's leftovers.
+    * Reclaim normally happens lazily when an orphan's id is next
+    * allocated (insert/compactShards pre-clean their target range) or
+    * wholesale at vacuum; this makes the space reclamation schedulable.
+    * Single-writer assumption (same as every mutation here): must not
+    * run concurrently with an in-flight insert, whose pre-publish dirs
+    * are indistinguishable from orphans. Returns dirs removed. */
+  def gcOrphans(): Int = {
+    require(isGraphEngine, s"gcOrphans: ${meta.engine} has no shard manifest")
+    meta.liveShards match {
+      case None => 0 // legacy layout: every dir is live
+      case Some(live) =>
+        val liveSet = live.toSet
+        val orphans = IndexMeta.listShardDirs(dataPath).filterNot(liveSet)
+        orphans.foreach(sid => IndexMeta.deleteDir(s"$dataPath/shard=$sid"))
+        orphans.size
+    }
+  }
+
   /** Recount `numDeleted` as the number of data rows a tombstone still
     * masks. Physical drops (compactShards) make tombstones obsolete
     * without shrinking the counter, and the counter drives the graph

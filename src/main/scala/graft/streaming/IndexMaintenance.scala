@@ -20,9 +20,16 @@ import graft.index.AnnIndex
   * index records the last applied id in meta.json atomically with the
   * count it publishes — a batch re-delivered after a failure (or a
   * restarted query re-running its last epoch) is detected and skipped
-  * instead of double-inserting. The remaining redo window is a crash
-  * between the parquet append and the meta write, the same redo semantics
-  * as the reference's WAL (src/diskann_index.cpp:536-546).
+  * instead of double-inserting. A crash BEFORE that publish leaves graph
+  * engines with only unmanifested (invisible) shard dirs, so the replay
+  * is clean; FLAT/IVF appends keep the reference's WAL-style redo window
+  * there (src/diskann_index.cpp:536-546).
+  *
+  * Unbounded streams accumulate delta shards, and every live shard costs
+  * one beam search per query — `autoCompact` caps that: when the live
+  * shard count exceeds the cap after a batch, small shards are merged
+  * in-line (`AnnIndex.compactShards`, a manifest-atomic copy-on-write
+  * step), so steady-state search cost tracks data volume, not stream age.
   */
 object IndexMaintenance {
 
@@ -56,31 +63,51 @@ object IndexMaintenance {
     else idx.applyCdc(dels, ins, idCol, vecCol, batch = Some((streamId, batchId)))
   }
 
-  /** Append-only maintenance: every micro-batch is inserted into the index. */
+  /** Compact in-line when the live shard count exceeds the cap. The
+    * trigger reads the count from metadata (free); the compaction itself
+    * is a maintenance job over the small shards only. Runs AFTER the
+    * batch commit, so a crash mid-compaction never loses batch data —
+    * the manifest keeps readers on the pre-compaction index until the
+    * swap publishes. */
+  private def maybeCompact(idx: AnnIndex, cap: Option[Int]): Unit =
+    cap.foreach { n =>
+      if (idx.isGraphEngine && idx.meta.param("shards", 1) > n)
+        idx.compactShards()
+    }
+
+  /** Append-only maintenance: every micro-batch is inserted into the
+    * index. `autoCompact = Some(n)` merges small delta shards whenever
+    * the live shard count passes `n`. */
   def attachAppend(stream: DataFrame, idx: AnnIndex, idCol: String,
                    vecCol: String, checkpoint: String,
                    trigger: Trigger = Trigger.AvailableNow(),
-                   streamId: String = "default"): StreamingQuery =
+                   streamId: String = "default",
+                   autoCompact: Option[Int] = None): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyAppendBatch(idx, batch, batchId, idCol, vecCol, streamId)
+        maybeCompact(idx, autoCompact)
       }
       .start()
 
   /** CDC-style maintenance: rows carry an `op` column ("insert"/"delete");
     * deletes tombstone, inserts append (reference Delete hook,
-    * src/diskann_index.cpp:363-385). */
+    * src/diskann_index.cpp:363-385). `autoCompact` as in `attachAppend`;
+    * compaction also drops the compacted shards' dead rows and deflates
+    * the tombstone overfetch, so a delete-heavy stream self-maintains. */
   def attachCdc(stream: DataFrame, idx: AnnIndex, idCol: String,
                 vecCol: String, opCol: String, checkpoint: String,
                 trigger: Trigger = Trigger.AvailableNow(),
-                streamId: String = "default"): StreamingQuery =
+                streamId: String = "default",
+                autoCompact: Option[Int] = None): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyCdcBatch(idx, batch, batchId, idCol, vecCol, opCol, streamId)
+        maybeCompact(idx, autoCompact)
       }
       .start()
 }

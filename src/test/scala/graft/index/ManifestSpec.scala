@@ -110,6 +110,22 @@ class ManifestSpec extends SparkSpec {
     assert(!reader.meta.liveShards.get.exists(smallDirs.contains))
   }
 
+  test("gcOrphans removes exactly the unmanifested dirs") {
+    import spark.implicits._
+    val path = s"$tmp/t_mf_gc"
+    val idx = AnnIndexManager.create(spark, "t_mf_gc", baseVecs.toDF("id", "embedding"),
+      "id", "embedding", "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "32",
+        "shards" -> "2"),
+      path)
+    assert(idx.gcOrphans() == 0) // clean index: nothing to collect
+    copyDir(Paths.get(path, "data", "shard=0"), Paths.get(path, "data", "shard=9"))
+    copyDir(Paths.get(path, "data", "shard=1"), Paths.get(path, "data", "shard=12"))
+    assert(idx.gcOrphans() == 2)
+    assert(IndexMeta.listShardDirs(s"$path/data") == Seq(0, 1))
+    assert(idx.data.count() == 120) // live dirs untouched
+  }
+
   test("vacuum of a fully-deleted index publishes an empty manifest; scans return no rows") {
     import spark.implicits._
     val path = s"$tmp/t_mf_empty"

@@ -214,6 +214,48 @@ class StreamingSpec extends SparkSpec {
     assert(ids.size == 15)
   }
 
+  test("autoCompact bounds live shard count under a long append stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    def vec() = Array.fill(4)(rnd.nextFloat())
+    val initial = Seq.tabulate(60)(i => (i.toLong, vec()))
+    val idx = AnnIndexManager.create(spark, "st_autoc", initial.toDF("id", "embedding"),
+      "id", "embedding", "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "32",
+        "shards" -> "2"),
+      s"$tmp/st_autoc")
+
+    val ms = MemoryStream[(Long, Array[Float])]
+    val inserted = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    // a continuous trigger: AvailableNow would stop after draining the
+    // first addData, silently dropping the later batches
+    val q = IndexMaintenance.attachAppend(
+      ms.toDF().toDF("id", "embedding"), idx, "id", "embedding",
+      s"$tmp/ckpt_autoc",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      autoCompact = Some(4))
+    try {
+      for (b <- 0 until 6) { // 6 delta shards without compaction
+        val batch = Seq.tabulate(5)(i => ((1000 + b * 5 + i).toLong, vec()))
+        inserted ++= batch
+        ms.addData(batch: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // without autoCompact: 2 base + 6 deltas = 8 live shards; the cap held
+    assert(idx.meta.param("shards", 0) <= 4,
+      s"live shards ${idx.meta.param("shards", 0)} exceeded the cap")
+    assert(idx.meta.numVectors == 90)
+    // exhaustive search still finds every streamed row exactly once
+    val all = idx.scan(Array(0.5f, 0.5f, 0.5f, 0.5f), 90, searchParam = 100000)
+      .collect().map(_.getLong(0))
+    assert(all.length == 90 && all.toSet.size == 90)
+    assert(inserted.map(_._1).forall(all.toSet))
+  }
+
   test("replayed micro-batch is skipped: numVectors and results unchanged") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
