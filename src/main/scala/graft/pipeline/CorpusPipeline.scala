@@ -33,6 +33,73 @@ object CorpusPipeline {
     filters.foldLeft(scored)(_ filter _)
   }
 
+  /** Hex threshold for `deterministicSample`: rows whose 16-bit md5-prefix
+    * value is below `round(fraction * 65536)` are kept. "zzzz" sorts above
+    * every hex digit, so fraction >= 1 keeps all rows without a special
+    * case in the comparison (and stays a plain string compare in any
+    * engine). */
+  private def thresholdHex(fraction: Double): String = {
+    require(fraction >= 0.0, s"negative sampling fraction $fraction")
+    if (fraction >= 1.0) "zzzz"
+    else f"${math.round(fraction * 65536)}%04x"
+  }
+
+  /** First 4 hex chars of md5 of the row id — a uniform 16-bit bucket. */
+  private def idHashPrefix(idCol: String): Column =
+    substring(md5(col(idCol).cast("string").cast("binary")), 1, 4)
+
+  /** Deterministic Bernoulli sampling keyed on the row id: keep iff the
+    * 16-bit md5 prefix of the id falls below the fraction threshold.
+    * Unlike `df.sample` (partition-order-dependent RNG), the decision is
+    * a pure function of the id — stable across reruns, repartitioning,
+    * engines, and incremental arrivals of the same rows, which is what a
+    * reproducible training-data pipeline needs (and what makes held-out
+    * splits consistent between jobs: sample(0.9) and its complement
+    * partition the corpus exactly). Row-local, codegen'd, no shuffle. */
+  def deterministicSample(df: DataFrame, idCol: String,
+                          fraction: Double): DataFrame =
+    df.filter(idHashPrefix(idCol) < lit(thresholdHex(fraction)))
+
+  /** Per-stratum deterministic sampling — the corpus-mixing primitive:
+    * one pass keeps each stratum (language, source, quality band) at its
+    * own rate, e.g. downsample web text while keeping all books. Same
+    * id-keyed hash as `deterministicSample`, so mixes are reproducible
+    * and consistent across jobs. Strata absent from `fractions` use
+    * `defaultFraction`. Row-local; the fraction lookup is a when-chain
+    * over a handful of literals, not a join. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 1.0): DataFrame = {
+    val thr = fractions.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
+      case (None, (s, f)) => Some(when(col(stratumCol) === s, lit(thresholdHex(f))))
+      case (Some(c), (s, f)) => Some(c.when(col(stratumCol) === s, lit(thresholdHex(f))))
+    }.map(_.otherwise(lit(thresholdHex(defaultFraction))))
+      .getOrElse(lit(thresholdHex(defaultFraction)))
+    df.filter(idHashPrefix(idCol) < thr)
+  }
+
+  /** Deterministic token-budget cut: order rows by id (within a stratum
+    * when `partitionBy` is set), keep the prefix whose running
+    * whitespace-token total stays within `maxTokens` — "take the first N
+    * tokens of each source", the standard way pretraining mixes cap a
+    * corpus. Adds `n_tokens` and `cum_tokens`.
+    *
+    * Scale note: with `partitionBy` the running sum is a partitioned
+    * window (shuffle by stratum, parallel across strata) — use it at any
+    * scale. Without it the global ordered window is inherently
+    * single-stream; reserve that form for bounded outputs. */
+  def tokenBudget(df: DataFrame, idCol: String, textCol: String,
+                  maxTokens: Long,
+                  partitionBy: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = partitionBy.map(Window.partitionBy(_)).getOrElse(Window.partitionBy())
+    val w = base.orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", TextAnalysis.wsTokenCount(col(textCol)).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= maxTokens)
+  }
+
   /** Per-reason attrition report for a cleaning run: how many rows each
     * stage would drop (stages evaluated independently over the deduped
     * set, the way corpus-cleaning audits report them). One aggregation

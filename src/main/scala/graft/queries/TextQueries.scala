@@ -97,6 +97,28 @@ object TextQueries {
       graft.pipeline.CorpusPipeline.clean(docs(s, dir), "doc_id", "text",
           minQuality = 0.5, langs = Set("en", "de", "fr", "es"), minChars = 20)
         .select("doc_id", "lang_pred", "quality_score")
+        .orderBy("doc_id")),
+
+    // deterministic id-keyed sampling (md5-prefix threshold): pure
+    // function of the id -> reproducible across engines, so strict oracle
+    "corpus_sample" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.CorpusPipeline.deterministicSample(docs(s, dir), "doc_id", 0.25)
+        .select("doc_id")
+        .orderBy("doc_id")),
+
+    // per-stratum rates: downsample en hard, zh by half, keep the rest
+    "corpus_stratified" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.CorpusPipeline.stratifiedSample(docs(s, dir), "doc_id", "lang",
+          Map("en" -> 0.1, "zh" -> 0.5), defaultFraction = 1.0)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // per-language token budget: keep the id-ordered prefix of each
+    // stratum within 2000 whitespace tokens
+    "corpus_token_budget" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.CorpusPipeline.tokenBudget(docs(s, dir), "doc_id", "text",
+          maxTokens = 2000, partitionBy = Some("lang"))
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
         .orderBy("doc_id"))
   )
 
@@ -219,6 +241,34 @@ object TextQueries {
         |WHERE quality_score >= 0.5
         |  AND lang_pred IN ('en', 'de', 'fr', 'es')
         |  AND n_chars >= 20
+        |ORDER BY doc_id""".stripMargin,
+
+    // md5 hex of the SAME input string is engine-identical, so the
+    // deterministic samplers mirror exactly; thresholds are
+    // round(f * 65536) as %04x ('zzzz' sorts above hex = keep-all)
+    "corpus_sample" ->
+      """SELECT doc_id FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+        |ORDER BY doc_id""".stripMargin,
+
+    "corpus_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE WHEN lang = 'en' THEN '199a'
+        |       WHEN lang = 'zh' THEN '8000'
+        |       ELSE 'zzzz' END
+        |ORDER BY doc_id""".stripMargin,
+
+    // same ws-token arithmetic as text_stats; ordered-frame running sum
+    "corpus_token_budget" ->
+      """SELECT doc_id, lang, n_tokens, cum_tokens FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT))
+        |      OVER (PARTITION BY lang ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM documents)
+        |WHERE cum_tokens <= 2000
         |ORDER BY doc_id""".stripMargin,
 
     // mirrored shingle-for-shingle: list comprehension = Spark transform/

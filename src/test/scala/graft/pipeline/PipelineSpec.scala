@@ -189,4 +189,70 @@ class PipelineSpec extends SparkSpec {
       minQuality = 0.3, langs = Set.empty, minChars = 10).head()
     assert(report.getAs[Long]("n_wrong_lang") == 0L)
   }
+
+  test("deterministic sample: id-keyed, complementary, repartition-stable") {
+    import spark.implicits._
+    val ids = spark.range(2000).select(col("id").as("doc_id"), lit("x").as("text"))
+    val kept = CorpusPipeline.deterministicSample(ids, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // uniform within a loose band (16-bit hash over 2000 ids)
+    assert(kept.size > 2000 * 0.25 && kept.size < 2000 * 0.35, s"${kept.size}")
+    // pure function of the id: same rows after an arbitrary repartition
+    val kept2 = CorpusPipeline.deterministicSample(ids.repartition(7), "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == kept)
+    // fraction 1 keeps everything, 0 keeps nothing ('zzzz' / '0000' bounds)
+    assert(CorpusPipeline.deterministicSample(ids, "doc_id", 1.0).count() == 2000)
+    assert(CorpusPipeline.deterministicSample(ids, "doc_id", 0.0).count() == 0)
+    // sample(f) and its 1-f "complement" partition the corpus: a row is in
+    // the 0.3 sample iff it is NOT in the [0.3, 1) band — consistent
+    // held-out splits across jobs
+    val rest = ids.filter(not(
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4) < lit("4ccd")))
+      .collect().map(_.getLong(0)).toSet // 0x4ccd = round(0.3*65536)
+    assert(rest.intersect(kept).isEmpty && rest.size + kept.size == 2000)
+  }
+
+  test("stratified sample: per-stratum rates, unknown strata use the default") {
+    import spark.implicits._
+    val rows = spark.range(3000).select(col("id").as("doc_id"),
+      when(col("id") % 3 === 0, "en").when(col("id") % 3 === 1, "zh")
+        .otherwise("misc").as("lang"))
+    val kept = CorpusPipeline.stratifiedSample(rows, "doc_id", "lang",
+      Map("en" -> 0.1, "zh" -> 0.5), defaultFraction = 1.0)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("misc") == 1000) // default 1.0 keeps all
+    assert(byLang("en") > 50 && byLang("en") < 150, s"en=${byLang("en")}")
+    assert(byLang("zh") > 420 && byLang("zh") < 580, s"zh=${byLang("zh")}")
+    // a row's fate depends only on (id, own stratum): the en-sample ids are
+    // exactly the 0.1-band ids that are en
+    val enIds = kept.filter(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val bandIds = CorpusPipeline.deterministicSample(rows.filter(col("lang") === "en"),
+      "doc_id", 0.1).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(enIds == bandIds)
+  }
+
+  test("token budget keeps the id-ordered prefix within the cap, per stratum") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "en", "one two three"),           // 3 tokens, cum 3
+      (2L, "en", "four five"),               // 2, cum 5
+      (3L, "en", "six seven eight nine"),    // 4, cum 9 > 8 -> cut
+      (4L, "de", "eins zwei"),               // 2, cum 2
+      (5L, "de", "drei vier funf sechs"),    // 4, cum 6
+      (6L, "de", "sieben acht neun")         // 3, cum 9 > 8 -> cut
+    ).toDF("doc_id", "lang", "text")
+    val out = CorpusPipeline.tokenBudget(rows, "doc_id", "text", maxTokens = 8,
+      partitionBy = Some("lang"))
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 3L, 2L -> 5L, 4L -> 2L, 5L -> 6L))
+    // global form: one stream, same arithmetic
+    val g = CorpusPipeline.tokenBudget(rows.filter(col("lang") === "en"),
+      "doc_id", "text", maxTokens = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(g == Seq(1L, 2L))
+  }
 }
