@@ -247,6 +247,30 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     *
     * @param searchParam engine-specific: IVF nprobe; DISKANN
     *                    search_complexity (beam width override). */
+  /** Radius (range) search: every live row whose index distance (squared
+    * L2 / negated IP / 1-cos — the `_distance` scale used everywhere) is
+    * within `radius`, ordered by distance. faiss exposes this as
+    * range_search (public API); the reference surfaces only top-k.
+    * Exact on FLAT; on IVF, exact when probed exhaustively and
+    * cell-pruned-approximate at lower nprobe (the top-k probing
+    * contract). Graph engines have no range structure — the scan is the
+    * exhaustive distance filter, which is also what makes it exact; it
+    * runs as partition-parallel codegen over the (possibly pinned)
+    * dataset, never a beam search. */
+  def rangeScan(q: Array[Float], radius: Double, searchParam: Int = -1): DataFrame = {
+    val qq = prepQuery(q)
+    val base =
+      if (isGraphEngine) live
+      else {
+        val np = if (searchParam > 0) searchParam else defaultNprobe
+        pruneToLists(live, probeLists(qq, np, allowAdaptive = searchParam <= 0))
+      }
+    base.withColumn("_distance", distColumn(col(dataVecCol), typedLit(qq)))
+      .filter(col("_distance") <= radius)
+      .select("id", "_distance")
+      .orderBy(col("_distance"), col("id"))
+  }
+
   def scan(q: Array[Float], k: Int, searchParam: Int = -1): DataFrame = {
     if (isGraphEngine)
       return scanGraph(Seq((0, prepQuery(q))), k, searchParam)

@@ -181,6 +181,15 @@ object IndexQueries {
     "ann_vamana_topk" -> ((s: SparkSession, dir: String) =>
       ranked(diskannIndex(s, dir).scan(qvecF(9), K, searchParam = 100000))),
 
+    // radius search (faiss range_search analogue): exact on FLAT, exact on
+    // graph engines by construction (exhaustive codegen filter, no beam) —
+    // both strict; radius 8.5 sits in a distance gap at every sf
+    "ann_range" -> ((s: SparkSession, dir: String) =>
+      ranked(flatIndex(s, dir).rangeScan(qvecF(5), 8.5))),
+
+    "ann_range_vamana" -> ((s: SparkSession, dir: String) =>
+      ranked(diskannIndex(s, dir).rangeScan(qvecF(5), 8.5))),
+
     // default beam width (build_complexity=128): approximate; recall
     // asserted statistically in VamanaSpec per the reference contract.
     "ann_vamana_probe" -> ((s: SparkSession, dir: String) =>
@@ -421,9 +430,24 @@ object IndexQueries {
        |  FROM embeddings $where) t
        |WHERE rank <= $K ORDER BY rank""".stripMargin
 
+  /** All rows within sqrt(radiusSq) of the query, as (rank, vec_id) —
+    * the boundary compares squared L2 in double on both engines, and the
+    * chosen radii sit in distance gaps far wider than the power(sqrt(x),2)
+    * vs direct-sum ulp. */
+  private def bruteForceRange(qSeed: Int, radiusSq: Double): String =
+    s"""SELECT rank, vec_id FROM (
+       |  SELECT vec_id,
+       |    CAST(row_number() OVER (
+       |      ORDER BY list_distance($EmbD, ${sqlVec(qSeed)}), vec_id) AS BIGINT) AS rank,
+       |    power(list_distance($EmbD, ${sqlVec(qSeed)}), 2) AS d
+       |  FROM embeddings) t
+       |WHERE d <= $radiusSq ORDER BY rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "ann_flat_topk" -> bruteForceTopK(5),
     "ann_ivf_topk" -> bruteForceTopK(6),
+    "ann_range" -> bruteForceRange(5, 8.5),
+    "ann_range_vamana" -> bruteForceRange(5, 8.5),
     "ann_search_fetch" -> bruteForceTopK(7, extraCols = ", label"),
     "ann_vamana_topk" -> bruteForceTopK(9),
     "ann_hnsw_topk" -> bruteForceTopK(10),

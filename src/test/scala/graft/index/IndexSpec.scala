@@ -151,4 +151,41 @@ class IndexSpec extends SparkSpec {
       s"$tmp/t_small")
     assert(small.scan(queries.head, 100).count() == 2)
   }
+
+  test("rangeScan returns exactly the rows within the radius, minus tombstones") {
+    def bruteRange(q: Array[Float], r: Double, excl: Set[Long] = Set.empty) =
+      vecs.filterNot(v => excl(v._1))
+        .map { case (id, v) => (id, VectorKernels.l2Sq(q, v)) }
+        .filter(_._2 <= r).sortBy { case (id, d) => (d, id) }.map(_._1)
+
+    val q = queries.head
+    val flat = AnnIndexManager.create(spark, "t_range_flat", vecsDf,
+      "id", "embedding", "FLAT", Map("metric" -> "l2"), s"$tmp/t_range_flat")
+    val expected = bruteRange(q, 0.3)
+    assert(expected.nonEmpty && expected.size < 200) // radius actually cuts
+    assert(flat.rangeScan(q, 0.3).collect().map(_.getLong(0)).toSeq == expected)
+    // every returned distance honors the bound
+    assert(flat.rangeScan(q, 0.3).collect().forall(_.getDouble(1) <= 0.3))
+
+    // tombstoned rows never come back
+    flat.delete(expected.take(2))
+    assert(flat.rangeScan(q, 0.3).collect().map(_.getLong(0)).toSeq ==
+      bruteRange(q, 0.3, excl = expected.take(2).toSet))
+
+    // graph engine: exhaustive filter = exact, same contract
+    val vam = AnnIndexManager.create(spark, "t_range_vam", vecsDf,
+      "id", "embedding", "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "32",
+        "shards" -> "2"), s"$tmp/t_range_vam")
+    assert(vam.rangeScan(q, 0.3).collect().map(_.getLong(0)).toSeq == expected)
+
+    // IVF probed exhaustively = exact; nprobe=1 is a subset (cell pruning)
+    val ivf = AnnIndexManager.create(spark, "t_range_ivf", vecsDf,
+      "id", "embedding", "IVF",
+      Map("metric" -> "l2", "nlist" -> "8", "nprobe" -> "1"), s"$tmp/t_range_ivf")
+    assert(ivf.rangeScan(q, 0.3, searchParam = 8).collect()
+      .map(_.getLong(0)).toSeq == expected)
+    val pruned = ivf.rangeScan(q, 0.3).collect().map(_.getLong(0)).toSet
+    assert(pruned.subsetOf(expected.toSet))
+  }
 }
