@@ -127,6 +127,19 @@ object AnnSql {
       plan(indexByName(spark, name).scan(q, k, sp))
     }, "scala_udf")
 
+    // ann_range_search(index_name, query_vec, radius [, search_param])
+    // → (id BIGINT, _distance DOUBLE), every live row within the radius
+    // (faiss range_search analogue; no top-k cut)
+    r.createOrReplaceTempFunction("ann_range_search", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 3 && exprs.length <= 4,
+        "usage: ann_range_search(name, query_vec, radius[, search_param])")
+      val name = constString(exprs(0))
+      val q = constVector(exprs(1))
+      val radius = constNum(exprs(2)).toDouble
+      val sp = if (exprs.length > 3) constInt(exprs(3)) else -1
+      plan(indexByName(spark, name).rangeScan(q, radius, sp))
+    }, "scala_udf")
+
     // ann_search(table_name, index_name, query_vec, k[, oversample]) →
     // base-table rows fetched through the broadcast join-back (S3,
     // reference convenience fn src/ann_search.cpp:31-195)

@@ -34,6 +34,19 @@ class AnnSqlSpec extends SparkSpec {
     assert(rows.map(_.getDouble(1)).toSeq.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
   }
 
+  test("SQL TVF ann_range_search returns every row within the radius") {
+    idx
+    AnnSql.register(spark)
+    val q = Array(0.5f, 0.5f, 0.5f)
+    val expect = vecs
+      .map { case (id, v) => (id, VectorKernels.l2Sq(q, v)) }
+      .filter(_._2 <= 0.05).sortBy { case (id, d) => (d, id) }.map(_._1)
+    val rows = spark.sql(
+      "SELECT * FROM ann_range_search('sql_idx', array(0.5, 0.5, 0.5), 0.05)").collect()
+    assert(rows.map(_.getLong(0)).toSeq == expect)
+    assert(rows.forall(_.getDouble(1) <= 0.05))
+  }
+
   test("SQL TVFs ann_list / ann_index_info / ann_engine_info") {
     idx
     AnnSql.register(spark)
