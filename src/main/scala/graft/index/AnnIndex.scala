@@ -251,24 +251,46 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * L2 / negated IP / 1-cos — the `_distance` scale used everywhere) is
     * within `radius`, ordered by distance. faiss exposes this as
     * range_search (public API); the reference surfaces only top-k.
-    * Exact on FLAT; on IVF, exact when probed exhaustively and
-    * cell-pruned-approximate at lower nprobe (the top-k probing
-    * contract). Graph engines have no range structure — the scan is the
-    * exhaustive distance filter, which is also what makes it exact; it
-    * runs as partition-parallel codegen over the (possibly pinned)
-    * dataset, never a beam search. */
+    * Exact on FLAT. Exact on IVF too, by default: each cell stores its
+    * max member distance (see create), so the triangle inequality
+    * d(q, centroid) <= r + cell_radius prunes to exactly the cells a
+    * match can live in — partition-pruned AND exact, the posture that
+    * matters when nlist is large. An explicit `searchParam` overrides
+    * with a plain nprobe cap (approximate, the top-k probing contract).
+    * Graph engines have no range structure — the scan is the exhaustive
+    * distance filter, which is also what makes it exact; it runs as
+    * partition-parallel codegen over the (possibly pinned) dataset,
+    * never a beam search. */
   def rangeScan(q: Array[Float], radius: Double, searchParam: Int = -1): DataFrame = {
     val qq = prepQuery(q)
     val base =
       if (isGraphEngine) live
-      else {
-        val np = if (searchParam > 0) searchParam else defaultNprobe
-        pruneToLists(live, probeLists(qq, np, allowAdaptive = searchParam <= 0))
-      }
+      else if (searchParam > 0)
+        pruneToLists(live, probeLists(qq, searchParam, allowAdaptive = false))
+      else pruneToLists(live, rangeProbeLists(qq, radius))
     base.withColumn("_distance", distColumn(col(dataVecCol), typedLit(qq)))
       .filter(col("_distance") <= radius)
       .select("id", "_distance")
       .orderBy(col("_distance"), col("id"))
+  }
+
+  /** Cells a within-`radius` match can live in. l2 with tracked radii →
+    * triangle-inequality prune (exact — radii are maintained upper
+    * bounds: create computes them, insert extends, deletes only shrink
+    * the truth). Non-l2 metrics and legacy centroid datasets without a
+    * radius column fall back to every cell, which stays exact by
+    * exhaustiveness. Driver-side over the nlist-row centroid table. */
+  private[graft] def rangeProbeLists(q: Array[Float], radius: Double): Seq[Int] = {
+    val all = centroids.map(_._1).toSeq
+    if (meta.engine != "IVF" || meta.metric != "l2") return all
+    val cdf = centroidsDf
+    if (!cdf.columns.contains("radius")) return all
+    val rQ = math.sqrt(math.max(radius, 0.0)) // radius is squared-L2 scale
+    cdf.collect().iterator.flatMap { r =>
+      val d = math.sqrt(VectorKernels.l2Sq(q, r.getAs[Seq[Float]]("centroid").toArray))
+      if (d <= rQ + r.getAs[Double]("radius") + 1e-9) Some(r.getAs[Int]("list_id"))
+      else None
+    }.toSeq.sorted
   }
 
   def scan(q: Array[Float], k: Int, searchParam: Int = -1): DataFrame = {
@@ -467,8 +489,37 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       }
       stored.withColumn("seg", lit(segNew))
         .write.mode("append").partitionBy("list_id").parquet(dataPath)
+      if (meta.engine == "IVF") extendCellRadii(assigned)
       (n, Map("seg" -> segNew.toString))
     }
+  }
+
+  /** Grow the stored per-cell radii to cover an insert batch, keeping the
+    * range-search prune bound an upper bound (see create). Driver-side
+    * merge of two nlist-row sets, rewritten tmp-then-swap. */
+  private def extendCellRadii(assigned: DataFrame): Unit = {
+    val cdf = centroidsDf
+    if (!cdf.columns.contains("radius")) return // legacy: no radii tracked
+    val bcC = spark.sparkContext.broadcast(centroids.toMap)
+    val dToCent = udf { (lid: Int, v: Seq[Float]) =>
+      math.sqrt(graft.functions.VectorKernels.l2Sq(v.toArray, bcC.value(lid)))
+    }
+    val batchMax = assigned
+      .groupBy("list_id").agg(max(dToCent(col("list_id"), col("vector"))).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    if (batchMax.isEmpty) return
+    val merged = cdf.collect().map { r =>
+      val lid = r.getAs[Int]("list_id")
+      // toArray: parquet reads yield mutable ArraySeq, which the tuple
+      // encoder rejects (Spark 4.1)
+      (lid, r.getAs[Seq[Float]]("centroid").toArray,
+        math.max(r.getAs[Double]("radius"), batchMax.getOrElse(lid, 0.0)))
+    }
+    import spark.implicits._
+    val tmp = s"$path/centroids_tmp"
+    merged.toSeq.toDF("list_id", "centroid", "radius")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    IndexMeta.replaceDir(tmp, centroidsPath)
   }
 
   /** Append (id, epoch) tombstones; returns the tombstone count. */

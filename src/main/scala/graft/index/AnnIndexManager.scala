@@ -353,7 +353,22 @@ object AnnIndexManager {
 
       if (engine == "IVF") {
         import spark.implicits._
-        centroids.toSeq.map { case (l, c) => (l, c) }.toDF("list_id", "centroid")
+        // Per-cell max member distance (sqrt L2) alongside each centroid:
+        // the triangle-inequality bound that lets range search prune cells
+        // EXACTLY — a cell can hold a point within r of q only if
+        // d(q, centroid) <= r + cell_radius. One extra agg pass over the
+        // cached prepared set; radii are upper bounds thereafter (deletes/
+        // vacuum only shrink cells; inserts extend them, AnnIndex keeps
+        // the maxima fresh).
+        val bcC = spark.sparkContext.broadcast(centroids.toMap)
+        val dToCent = udf { (lid: Int, v: Seq[Float]) =>
+          math.sqrt(graft.functions.VectorKernels.l2Sq(v.toArray, bcC.value(lid)))
+        }
+        val radii = assigned
+          .groupBy("list_id").agg(max(dToCent(col("list_id"), col("vector"))).as("r"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        centroids.toSeq.map { case (l, c) => (l, c, radii.getOrElse(l, 0.0)) }
+          .toDF("list_id", "centroid", "radius")
           .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
       }
 

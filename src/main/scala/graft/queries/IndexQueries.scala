@@ -190,6 +190,11 @@ object IndexQueries {
     "ann_range_vamana" -> ((s: SparkSession, dir: String) =>
       ranked(diskannIndex(s, dir).rangeScan(qvecF(5), 8.5))),
 
+    // IVF default range = triangle-inequality cell prune on stored per-cell
+    // radii — exact WITH pruning, hence a strict oracle (no searchParam)
+    "ann_range_ivf" -> ((s: SparkSession, dir: String) =>
+      ranked(ivfIndex(s, dir).rangeScan(qvecF(5), 8.5))),
+
     // default beam width (build_complexity=128): approximate; recall
     // asserted statistically in VamanaSpec per the reference contract.
     "ann_vamana_probe" -> ((s: SparkSession, dir: String) =>
@@ -448,6 +453,7 @@ object IndexQueries {
     "ann_ivf_topk" -> bruteForceTopK(6),
     "ann_range" -> bruteForceRange(5, 8.5),
     "ann_range_vamana" -> bruteForceRange(5, 8.5),
+    "ann_range_ivf" -> bruteForceRange(5, 8.5),
     "ann_search_fetch" -> bruteForceTopK(7, extraCols = ", label"),
     "ann_vamana_topk" -> bruteForceTopK(9),
     "ann_hnsw_topk" -> bruteForceTopK(10),

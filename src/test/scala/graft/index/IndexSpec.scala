@@ -179,13 +179,29 @@ class IndexSpec extends SparkSpec {
         "shards" -> "2"), s"$tmp/t_range_vam")
     assert(vam.rangeScan(q, 0.3).collect().map(_.getLong(0)).toSeq == expected)
 
-    // IVF probed exhaustively = exact; nprobe=1 is a subset (cell pruning)
+    // IVF default = EXACT via the triangle-inequality cell prune
+    import spark.implicits._
     val ivf = AnnIndexManager.create(spark, "t_range_ivf", vecsDf,
       "id", "embedding", "IVF",
       Map("metric" -> "l2", "nlist" -> "8", "nprobe" -> "1"), s"$tmp/t_range_ivf")
+    assert(ivf.rangeScan(q, 0.3).collect().map(_.getLong(0)).toSeq == expected)
+    // ...and the prune really skips unreachable cells: from a far corner,
+    // no cell is within reach at a tight radius (all data is in [0,1]^4)
+    assert(ivf.rangeProbeLists(Array(3f, 3f, 3f, 3f), 0.02).isEmpty)
+    assert(ivf.rangeScan(Array(3f, 3f, 3f, 3f), 0.02).count() == 0)
+    // exhaustive probe also exact; explicit nprobe cap = approximate subset
     assert(ivf.rangeScan(q, 0.3, searchParam = 8).collect()
       .map(_.getLong(0)).toSeq == expected)
-    val pruned = ivf.rangeScan(q, 0.3).collect().map(_.getLong(0)).toSet
-    assert(pruned.subsetOf(expected.toSet))
+    assert(ivf.rangeScan(q, 0.3, searchParam = 1).collect()
+      .map(_.getLong(0)).toSet.subsetOf(expected.toSet))
+
+    // an insert that stretches a cell keeps that cell reachable: a far
+    // outlier must be findable at a radius far below its cell's centroid
+    // distance (stale radii would prune its cell and silently miss it)
+    ivf.insert(Seq((999L, Array(3f, 3f, 3f, 3f))).toDF("id", "embedding"),
+      "id", "embedding")
+    val got = ivf.rangeScan(Array(3.05f, 3.05f, 3.05f, 3.05f), 0.05)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(999L))
   }
 }
