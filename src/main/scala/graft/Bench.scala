@@ -152,20 +152,30 @@ object Bench {
     // compares shape-for-shape. Raw JVM kernel = like-for-like with the
     // reference's SIMD kernel; plus the codegen'd expression amortized
     // inside one Spark job (500 batches — scheduling overhead divided out).
+    // Timed as min over BLOCKS of reps (not one mean over 500 reps): a
+    // single GC pause or host-contention blip inside the one timed block
+    // inflated r4's kernel lines ~2.7x while the Spark-side line (already
+    // min-of-reps) barely moved. The min block mean is the same estimator
+    // the engine lines use, applied at microsecond scale.
     var sink = 0.0
     for ((kn, kd) <- Seq((64, 128), (64, 768), (128, 1536), (256, 1536),
                          (512, 1536), (1024, 768))) {
       val krnd = new scala.util.Random(7)
       val candArr = Array.fill(kn)(Array.fill(kd)(krnd.nextFloat()))
       val qArr = Array.fill(kd)(krnd.nextFloat())
-      for (_ <- 1 to 50) { var i = 0; while (i < kn) { sink += graft.functions.VectorKernels.l2Sq(qArr, candArr(i)); i += 1 } } // warm JIT
-      val kt0 = System.nanoTime()
-      val kreps = 500
-      for (_ <- 1 to kreps) {
-        var i = 0
-        while (i < kn) { sink += graft.functions.VectorKernels.l2Sq(qArr, candArr(i)); i += 1 }
+      for (_ <- 1 to 200) { var i = 0; while (i < kn) { sink += graft.functions.VectorKernels.l2Sq(qArr, candArr(i)); i += 1 } } // warm JIT
+      val blockReps = 25
+      var bestPerRep = Double.MaxValue
+      for (_ <- 1 to 20) {
+        val kt0 = System.nanoTime()
+        for (_ <- 1 to blockReps) {
+          var i = 0
+          while (i < kn) { sink += graft.functions.VectorKernels.l2Sq(qArr, candArr(i)); i += 1 }
+        }
+        val perRep = (System.nanoTime() - kt0) / 1e9 / blockReps
+        if (perRep < bestPerRep) bestPerRep = perRep
       }
-      times(s"kernel_batch_l2_n${kn}_d${kd}_jvm") = (System.nanoTime() - kt0) / 1e9 / kreps
+      times(s"kernel_batch_l2_n${kn}_d${kd}_jvm") = bestPerRep
     }
     if (sink == Double.NaN) println(sink) // keep the JIT honest
     val kd = 768; val kn = 1024
@@ -183,9 +193,13 @@ object Bench {
     val batchPlan = cands.crossJoin(batchQs)
       .select(sum(l2_distance_sq(col("vec"), col("qvec"))))
     noop(batchPlan) // warm codegen
-    val st0 = System.nanoTime()
-    noop(batchPlan)
-    times("kernel_batch_l2_n1024_d768_spark") = (System.nanoTime() - st0) / 1e9 / 500
+    var bestSpark = Double.MaxValue
+    for (_ <- 1 to 3) {
+      val st0 = System.nanoTime()
+      noop(batchPlan)
+      bestSpark = math.min(bestSpark, (System.nanoTime() - st0) / 1e9 / 500)
+    }
+    times("kernel_batch_l2_n1024_d768_spark") = bestSpark
 
     // kernel lines are microseconds-scale: 4 decimals of seconds would
     // round 4µs to 0.0000 — keep 7 for them, 4 for engine queries

@@ -17,8 +17,9 @@ sealed trait VectorCodec extends Serializable {
   def encode(v: Array[Float]): Array[Byte]
   def encodeUdf: UserDefinedFunction
   def decodeUdf: UserDefinedFunction
-  /** Bytes per stored dimension (memory accounting). */
-  def bytesPerDim: Int
+  /** Stored bytes per vector of `dim` dims (memory accounting) — per-dim
+    * for the scalar codecs, but PQ stores `m` bytes regardless of dim. */
+  def bytesPerVector(dim: Int): Long
 }
 
 /** SQ8: 1 byte/dim with per-dimension (min, scale) — see [[Sq8]]. */
@@ -27,7 +28,7 @@ final case class Sq8Codec(p: Sq8.QuantParams) extends VectorCodec {
   def encode(v: Array[Float]): Array[Byte] = Sq8.quantize(v, p)
   def encodeUdf: UserDefinedFunction = Sq8.quantizeUdf(p)
   def decodeUdf: UserDefinedFunction = Sq8.dequantizeUdf(p)
-  def bytesPerDim: Int = 1
+  def bytesPerVector(dim: Int): Long = dim.toLong
 }
 
 /** IEEE 754 half precision: 2 bytes/dim, parameter-free, ~1e-3 relative
@@ -38,20 +39,34 @@ case object Fp16Codec extends VectorCodec {
   def encode(v: Array[Float]): Array[Byte] = Fp16.encode(v)
   def encodeUdf: UserDefinedFunction = Fp16.encodeUdf
   def decodeUdf: UserDefinedFunction = Fp16.decodeUdf
-  def bytesPerDim: Int = 2
+  def bytesPerVector(dim: Int): Long = 2L * dim
+}
+
+/** PQ codec behind the shared [[VectorCodec]] seam — graph shard decode and
+  * every insert/vacuum/merge re-encode path pick it up unchanged (see
+  * [[Pq]] for the algorithm and the ADC distance expression). */
+final case class PqCodec(b: Pq.Codebooks) extends VectorCodec {
+  def decode(codes: Array[Byte]): Array[Float] = Pq.decode(codes, b)
+  def encode(v: Array[Float]): Array[Byte] = Pq.encode(v, b)
+  def encodeUdf: UserDefinedFunction = Pq.encodeUdf(b)
+  def decodeUdf: UserDefinedFunction = Pq.decodeUdf(b)
+  def bytesPerVector(dim: Int): Long = b.m.toLong
 }
 
 object VectorCodec {
-  /** Codec for a `quantization` param value; sq8 needs its fitted params. */
+  /** Codec for a `quantization` param value; sq8 needs its fitted params,
+    * pq its trained codebooks (both persisted next to the index dataset). */
   def forQuantization(q: Option[String],
-                      sq8Params: => Option[Sq8.QuantParams]): Option[VectorCodec] =
+                      sq8Params: => Option[Sq8.QuantParams],
+                      pqBooks: => Option[Pq.Codebooks] = None): Option[VectorCodec] =
     q match {
       case Some("sq8") => sq8Params.map(Sq8Codec.apply)
       case Some("fp16") => Some(Fp16Codec)
+      case Some("pq") => pqBooks.map(PqCodec.apply)
       case _ => None
     }
 
-  val Supported: Set[String] = Set("sq8", "fp16")
+  val Supported: Set[String] = Set("sq8", "fp16", "pq")
 }
 
 /** IEEE 754 binary16 conversions (JDK 17 predates Float.float16ToFloat).

@@ -153,10 +153,31 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       Some(graft.functions.Sq8.QuantParams(rows.map(_._2), rows.map(_._3)))
     }
 
+  /** PQ codebooks when the index stores product-quantized codes. Collected
+    * once per index instance (m × ksub rows of dsub floats — for dim 768,
+    * m=96 that's ~75 MB at most; typical geometries are a few MB). */
+  lazy val pqBooks: Option[graft.functions.Pq.Codebooks] =
+    if (!meta.params.get("quantization").contains("pq")) None
+    else {
+      val m = meta.param("pq_m", 0)
+      val ksub = meta.param("pq_ksub", 256)
+      require(m > 0 && meta.dim % m == 0,
+        s"index ${meta.name}: invalid persisted pq_m=$m for dim=${meta.dim}")
+      val dsub = meta.dim / m
+      val flat = new Array[Float](m * ksub * dsub)
+      spark.read.parquet(s"$path/pq").collect().foreach { r =>
+        val base = (r.getAs[Int]("sub") * ksub + r.getAs[Int]("code")) * dsub
+        val cent = r.getSeq[Float](r.fieldIndex("centroid"))
+        var j = 0
+        cent.foreach { x => flat(base + j) = x; j += 1 }
+      }
+      Some(graft.functions.Pq.Codebooks(m, ksub, dsub, flat))
+    }
+
   /** Stored-vector codec (None = plain float32 storage). */
   lazy val codec: Option[graft.functions.VectorCodec] =
     graft.functions.VectorCodec.forQuantization(
-      meta.params.get("quantization"), quantParams)
+      meta.params.get("quantization"), quantParams, pqBooks)
 
   /** Name of the stored vector column: float array, or SQ8 codes. */
   def dataVecCol: String = if (meta.quantized) "codes" else "vector"
@@ -237,6 +258,13 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         org.apache.spark.sql.GraftBridge.expression(vec),
         org.apache.spark.sql.GraftBridge.expression(query),
         meta.metric))
+    case Some(graft.functions.PqCodec(books)) =>
+      // a literal query folds the codebooks into ADC lookup tables (O(m)
+      // per row); a column query decodes-on-access (O(dim), like sq8/fp16)
+      org.apache.spark.sql.GraftBridge.column(graft.functions.PqDistance(
+        org.apache.spark.sql.GraftBridge.expression(vec),
+        org.apache.spark.sql.GraftBridge.expression(query),
+        books, meta.metric))
     case None => floatDistColumn(vec, query)
   }
 

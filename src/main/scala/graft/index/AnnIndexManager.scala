@@ -173,6 +173,43 @@ object AnnIndexBuilder {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/quant")
     graft.functions.Sq8.QuantParams(mm.map(_._2), mm.map(t => t._3 - t._2))
   }
+
+  /** Train PQ codebooks (per-subspace kmeans over a bounded driver-side
+    * sample — faiss likewise trains PQ on a subsample) and persist them
+    * under `$path/pq`; returns the codebooks for the encode pass. The
+    * sample is O(ksub) rows at ANY table scale, so training cost never
+    * grows with the data (same posture as IVF centroid training above). */
+  def fitPq(prepared: DataFrame, path: String, dim: Int, n: Long,
+            params: Map[String, String]): graft.functions.Pq.Codebooks = {
+    val (m, ksub) = graft.functions.Pq.resolveGeometry(dim, params)
+    val dsub = dim / m
+    val want = math.min(math.max(64L * ksub, 16384L), MaxTrainRows.toLong)
+    val trainDf =
+      if (want < n) prepared.sample(withReplacement = false, want.toDouble / n, seed = 42)
+      else prepared
+    val sample = trainDf.select("vector").collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "cannot train PQ codebooks on an empty sample")
+    val kk = math.min(ksub, sample.length)
+    val flat = new Array[Float](m * ksub * dsub)
+    for (s <- 0 until m) {
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      val cents = trainCentroids(sub, kk, maxIter = 10, seed = 42 + s)
+      for ((c, vec) <- cents)
+        System.arraycopy(vec, 0, flat, (s * ksub + c) * dsub, dsub)
+      // kk < ksub (tiny training set): unused slots repeat the last trained
+      // centroid so no reachable code ever decodes to zeros
+      for (c <- kk until ksub)
+        System.arraycopy(cents.last._2, 0, flat, (s * ksub + c) * dsub, dsub)
+    }
+    val spark = prepared.sparkSession
+    import spark.implicits._
+    (0 until m).flatMap(s => (0 until ksub).map { c =>
+      val base = (s * ksub + c) * dsub
+      (s, c, java.util.Arrays.copyOfRange(flat, base, base + dsub).toSeq)
+    }).toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
+    graft.functions.Pq.Codebooks(m, ksub, dsub, flat)
+  }
 }
 
 /** Index lifecycle manager — the catalog the reference keeps in DuckDB's
@@ -248,17 +285,17 @@ object AnnIndexManager {
              idCol: String, vecCol: String, engineIn: String,
              params0: Map[String, String], path: String): AnnIndex = {
     // `description` overrides the engine choice, faiss-factory style
-    val (engine, params) = params0.get("description") match {
+    val (engine, params1) = params0.get("description") match {
       case Some(desc) =>
         val (e, extra) = parseDescription(desc)
         (e, params0 ++ extra)
       case None => (engineIn, params0)
     }
-    val metric = params.getOrElse("metric", "l2")
+    val metric = params1.getOrElse("metric", "l2")
     require(Seq("l2", "ip", "cosine").contains(metric), s"unknown metric $metric")
     require(Seq("FLAT", "IVF", "DISKANN", "HNSW").contains(engine),
       s"unknown engine $engine")
-    params.get("quantization").foreach(q =>
+    params1.get("quantization").foreach(q =>
       require(graft.functions.VectorCodec.Supported(q),
         s"unknown quantization $q (supported: ${graft.functions.VectorCodec.Supported.mkString(", ")})"))
 
@@ -267,6 +304,14 @@ object AnnIndexManager {
     val firstVec = df.select(vecCol).limit(1).collect()
     require(firstVec.nonEmpty, s"cannot index empty input for $name")
     val dim = firstVec.head.getSeq[Any](0).size
+
+    // PQ geometry resolves (and validates against dim) up front so meta
+    // always records the effective (pq_m, pq_ksub) — memory accounting and
+    // reload both need them
+    val params = params1 ++ (if (params1.get("quantization").contains("pq")) {
+      val (m, ksub) = graft.functions.Pq.resolveGeometry(dim, params1)
+      Map("pq_m" -> m.toString, "pq_ksub" -> ksub.toString)
+    } else Map.empty[String, String])
 
     val prepared = AnnIndexBuilder.prepare(df, idCol, vecCol, metric).cache()
     try {
@@ -282,6 +327,10 @@ object AnnIndexManager {
         case Some("fp16") =>
           df0.withColumn("codes",
             graft.functions.Fp16.encodeUdf(col("vector"))).drop("vector")
+        case Some("pq") =>
+          val books = AnnIndexBuilder.fitPq(prepared, path, dim, n, params)
+          df0.withColumn("codes",
+            graft.functions.Pq.encodeUdf(books)(col("vector"))).drop("vector")
         case _ => df0
       }
 

@@ -27,12 +27,13 @@ case class IndexMeta(
   /** In-memory size estimate (vectors + ids + graph edges if any), mirroring
     * GetInMemorySize (reference: src/diskann_index.cpp:643-653). */
   def memoryBytes: Long = {
-    val bytesPerDim = params.get("quantization") match {
-      case Some("sq8") => 1L // u8 codes
-      case Some("fp16") => 2L // packed half floats
-      case _ => 4L
+    val vecBytes = params.get("quantization") match {
+      case Some("sq8") => dim.toLong // u8 codes
+      case Some("fp16") => 2L * dim // packed half floats
+      case Some("pq") => param("pq_m", math.max(1, dim / 8)).toLong // m byte codes
+      case _ => 4L * dim
     }
-    val perVec = dim.toLong * bytesPerDim + 8 + 4 // vector + id + list/label
+    val perVec = vecBytes + 8 + 4 // vector + id + list/label
     val graph = if (engine == "DISKANN") param("max_degree", 64).toLong * 4 else 0L
     numVectors * (perVec + graph)
   }

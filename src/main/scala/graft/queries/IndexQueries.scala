@@ -49,6 +49,18 @@ object IndexQueries {
           "build_complexity" -> "128", "quantization" -> "sq8",
           "table" -> "embeddings"), path))
 
+  private def pqIndex(s: SparkSession, dir: String): AnnIndex =
+    AnnIndexManager.getOrBuild(s, "emb_pq", dir, path =>
+      AnnIndexManager.create(s, "emb_pq", emb(s, dir), "vec_id", "embedding",
+        "FLAT", Map("metric" -> "l2", "quantization" -> "pq", "pq_m" -> "16",
+          "table" -> "embeddings"), path))
+
+  private def ivfPqIndex(s: SparkSession, dir: String): AnnIndex =
+    AnnIndexManager.getOrBuild(s, "emb_ivfpq", dir, path =>
+      AnnIndexManager.create(s, "emb_ivfpq", emb(s, dir), "vec_id", "embedding",
+        "IVF", Map("metric" -> "l2", "quantization" -> "pq", "pq_m" -> "16",
+          "nlist" -> "8", "nprobe" -> "8", "table" -> "embeddings"), path))
+
   private def adaptiveIvfIndex(s: SparkSession, dir: String): AnnIndex =
     AnnIndexManager.getOrBuild(s, "emb_ivf_adapt", dir, path =>
       AnnIndexManager.create(s, "emb_ivf_adapt", emb(s, dir), "vec_id", "embedding",
@@ -385,6 +397,20 @@ object IndexQueries {
     // representable data and full DML survival are asserted in Fp16Spec.
     "ann_fp16_topk" -> ((s: SparkSession, dir: String) =>
       ranked(fp16Index(s, dir).scan(qvecF(5), K))),
+
+    // Product quantization (Jégou et al., TPAMI 2011) — the compression
+    // tier past SQ8: pq_m=16 on dim-64 stores 16 bytes/vector (16x vs
+    // float32), searched via constant-query ADC lookup tables. Rows-only
+    // (PQ is lossy by design); exactness on lossless geometry and LUT vs
+    // decode-on-access parity are asserted in PqSpec.
+    "ann_pq_topk" -> ((s: SparkSession, dir: String) =>
+      ranked(pqIndex(s, dir).scan(qvecF(5), K))),
+
+    // IVF + PQ composed (the faiss IVFPQ shape): coarse cells prune the
+    // scan, PQ codes compress what remains — at 100 TB the difference
+    // between an in-memory index tier and re-reading float vectors.
+    "ann_ivfpq_topk" -> ((s: SparkSession, dir: String) =>
+      ranked(ivfPqIndex(s, dir).scan(qvecF(6), K))),
 
     // SQ8 on the graph engine (reference SQ8 appendix,
     // rust_lib/src/index_manager.rs:508-536): the shard dataset stores u8
