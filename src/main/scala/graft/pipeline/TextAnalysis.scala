@@ -94,6 +94,34 @@ object TextAnalysis {
   def withQualityScore(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("quality_score", qualityScore(col(textCol)))
 
+  // ---- PII redaction ----
+
+  /** PII patterns, deliberately inside the RE2-compatible subset (no
+    * lookarounds, ASCII classes) so the DuckDB oracle runs the IDENTICAL
+    * pattern strings. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d{1,3}-\\d{3}-\\d{3,4}"
+
+  /** Redact emails / IPv4 addresses / international phone numbers and keep
+    * per-category match counts — the audit trail a compliance scrub of a
+    * training corpus needs. Row-local codegen'd regex work: no shuffle, no
+    * UDF, scales linearly with the corpus.
+    *
+    * Counts are taken on the ORIGINAL text; scrub order is
+    * email → ip → phone, and the replacement tokens contain no digits or
+    * '@', so one category's replacement can never manufacture (or destroy)
+    * a later category's match. */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", regexp_count(t, lit(EmailRe)).cast("long"))
+      .withColumn("n_ipv4", regexp_count(t, lit(Ipv4Re)).cast("long"))
+      .withColumn("n_phones", regexp_count(t, lit(PhoneRe)).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace(t,
+          EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>"))
+  }
+
   // ---- fingerprints ----
 
   /** Canonical-form md5: lowercase, collapse whitespace, trim. SQL-mirrored

@@ -90,6 +90,22 @@ object TextQueries {
         .select("doc_id", "fp_rolling")
         .orderBy("doc_id")),
 
+    // PII redaction with a strict oracle: the corpus text is synthetic
+    // word-soup with no PII, so the query first INJECTS deterministic
+    // doc_id-derived emails/IPs/phones (same SQL arithmetic both engines),
+    // then scrubs — the oracle exercises real matches, not a no-op
+    "pii_scrub" -> ((s: SparkSession, dir: String) => {
+      val dirty = docs(s, dir).select(col("doc_id"), concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"),
+        lit(" call +1-555-"), (lit(1000) + col("doc_id") % 9000).cast("string")
+      ).as("text"))
+      TextAnalysis.piiScrub(dirty, "text")
+        .select(col("doc_id"), col("redacted"),
+          col("n_emails"), col("n_ipv4"), col("n_phones"))
+        .orderBy("doc_id")
+    }),
+
     // end-to-end cleaning pass: dedup -> langid -> quality -> filters, one
     // declarative plan; every stage is SQL-mirrorable, so the COMPOSITION
     // gets a strict oracle too
@@ -200,6 +216,26 @@ object TextQueries {
         |      + (CASE WHEN n_chars / n_tokens BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2
         |      + 0.000000001, 4) AS quality_score
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // identical pattern strings as TextAnalysis.{EmailRe,Ipv4Re,PhoneRe}
+    // (RE2-compatible subset); counts on the dirty text, scrub order
+    // email → ip → phone on both engines
+    "pii_scrub" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |         || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+        |         || ' call +1-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d{1,3}-\d{3}-\d{3,4}', '<PHONE>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(text, '\+\d{1,3}-\d{3}-\d{3,4}')) AS BIGINT) AS n_phones
+        |FROM dirty ORDER BY doc_id""".stripMargin,
 
     // the composed cleaning pass reuses the text_langid and text_quality
     // mirrors verbatim, plus the md5 first-id dedup winner set
