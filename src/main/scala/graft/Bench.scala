@@ -146,6 +146,19 @@ object Bench {
     synthIdx.persist()
     time("vamana_50q_10k_d128") { noop(synthIdx.searchBatch(synthQ, 10)) }
 
+    // IVF+PQ at the same 10k shape: 16-byte ADC codes vs 512-byte floats —
+    // the compressed-index serving tier (build includes codebook training)
+    var pqIdx: graft.index.AnnIndex = null
+    time("ivfpq_build_10k_d128", reps = 2) {
+      rep += 1
+      pqIdx = graft.index.AnnIndexManager.create(spark, s"bench_pq_$rep", synthDf,
+        "id", "vec", "IVF",
+        Map("metric" -> "l2", "nlist" -> "16", "nprobe" -> "4",
+          "quantization" -> "pq", "pq_m" -> "16"), s"$tmp/pq$rep")
+    }
+    pqIdx.persist()
+    time("ivfpq_50q_10k_d128") { noop(pqIdx.searchBatch(synthQ, 10)) }
+
     // ---- kernel microbench: batch L2, one query vs n cands (per-batch s) ----
     // the FULL reference CPU shape table (README.md:140-145: 4µs @ 64×128
     // … 870µs @ 512×1536, 784µs @ 1024×768 on M1 Pro) so BENCH vs BASELINE

@@ -398,14 +398,28 @@ class AnnIndex(val spark: SparkSession, val path: String) {
   /** S3 `ann_search`: scan + fetch base columns + `_distance`, ordered.
     * The row fetch-by-rowid becomes a broadcast join of the (≤ k·oversample)
     * result set against the base table (reference: src/ann_search.cpp:31-195;
-    * oversample :123). */
+    * oversample :123).
+    *
+    * @param rerank recompute `_distance` EXACTLY from the base table's raw
+    *               float vectors after the fetch and re-sort (the faiss
+    *               IndexRefineFlat pattern). The natural partner of a lossy
+    *               codec: ADC/quantized distances pick the k·oversample
+    *               candidates cheaply, the k·oversample fetched rows —
+    *               driver-tiny at any scale — are re-scored losslessly, so
+    *               quantization error affects only candidate selection,
+    *               never the final ranking. */
   def search(base: DataFrame, baseIdCol: String, q: Array[Float], k: Int,
-             searchParam: Int = -1, oversample: Int = 1): DataFrame = {
+             searchParam: Int = -1, oversample: Int = 1,
+             rerank: Boolean = false): DataFrame = {
     val hits = scan(q, k * math.max(1, oversample), searchParam)
-    base.join(broadcast(hits), base(baseIdCol) === hits("id"))
+    val fetched = base.join(broadcast(hits), base(baseIdCol) === hits("id"))
       .drop(hits("id")) // keep the base's own key even when also named "id"
-      .orderBy(col("_distance"), base(baseIdCol))
-      .limit(k)
+    val scored =
+      if (!rerank) fetched
+      else fetched.withColumn("_distance", rawDistColumn(
+        graft.functions.AnnFunctions.vector_nonnull(col(meta.vecCol)),
+        typedLit(prepQuery(q))))
+    scored.orderBy(col("_distance"), base(baseIdCol)).limit(k)
   }
 
   /** S4 `ann_search_batch`: N queries at once → (query_idx, id, _distance).

@@ -412,6 +412,21 @@ object IndexQueries {
     "ann_ivfpq_topk" -> ((s: SparkSession, dir: String) =>
       ranked(ivfPqIndex(s, dir).scan(qvecF(6), K))),
 
+    // PQ + exact re-rank (faiss IndexRefineFlat pattern): ADC picks
+    // k*oversample candidates from the 16-byte codes, the fetched rows are
+    // re-scored on raw floats. STRICT oracle: oversample 64 covers the
+    // whole sf0.01 corpus, so the re-ranked result is provably the exact
+    // top-k whatever the quantization error — the oracle exercises the
+    // full PQ encode → ADC scan → fetch → refine pipeline.
+    "ann_pq_rerank" -> ((s: SparkSession, dir: String) => {
+      val res = pqIndex(s, dir).search(emb(s, dir), "vec_id", qvecF(8), K,
+        oversample = 64, rerank = true)
+      res.withColumn("rank", row_number().over(
+          Window.orderBy(col("_distance"), col("vec_id"))).cast("long"))
+        .select("rank", "vec_id")
+        .orderBy("rank")
+    }),
+
     // SQ8 on the graph engine (reference SQ8 appendix,
     // rust_lib/src/index_manager.rs:508-536): the shard dataset stores u8
     // codes, dequantized once per shard decode. Rows-only (quantization
@@ -481,6 +496,7 @@ object IndexQueries {
     "ann_range_vamana" -> bruteForceRange(5, 8.5),
     "ann_range_ivf" -> bruteForceRange(5, 8.5),
     "ann_search_fetch" -> bruteForceTopK(7, extraCols = ", label"),
+    "ann_pq_rerank" -> bruteForceTopK(8),
     "ann_vamana_topk" -> bruteForceTopK(9),
     "ann_hnsw_topk" -> bruteForceTopK(10),
     "sql_index_scan" -> bruteForceTopK(11),

@@ -189,6 +189,30 @@ class PqSpec extends SparkSpec {
       s"PQ graph search overlap ${got.toSet.intersect(exact).size}/5")
   }
 
+  test("PQ + exact rerank: exhaustive oversample recovers the exact top-k") {
+    import spark.implicits._
+    val vecs = randVecs(200, 16, seed = 41)
+    val df = vecs.toDF("id", "embedding")
+    // coarse geometry on purpose (m=2 → 2 bytes/vector): raw ADC ranking is
+    // visibly lossy here, the refine step must still be exact
+    val idx = AnnIndexManager.create(spark, "pq_rr", df, "id", "embedding",
+      "FLAT", Map("metric" -> "l2", "quantization" -> "pq", "pq_m" -> "2"),
+      s"$tmp/pq_rr")
+    val q = Array.fill(16)(0.2f)
+    val exact = vecs.map { case (id, v) => (id, VectorKernels.l2Sq(q, v)) }
+      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1)
+    // oversample 20 → k*oversample = 200 = full corpus → provably exact
+    val got = idx.search(df, "id", q, 10, oversample = 20, rerank = true)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got == exact, "exhaustive-oversample rerank must equal brute force")
+    // rerank must not lose to the raw ADC ranking at moderate oversample
+    val adc = idx.scan(q, 10).collect().map(_.getLong(0)).toSet
+    val rr = idx.search(df, "id", q, 10, oversample = 4, rerank = true)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(rr.intersect(exact.toSet).size >= adc.intersect(exact.toSet).size,
+      "refined recall must dominate raw ADC recall")
+  }
+
   test("PQ insert path encodes new vectors with the existing codebooks") {
     import spark.implicits._
     val vecs = randVecs(64, 8, seed = 37)
