@@ -211,16 +211,22 @@ object Dedup {
     * O(|A|·|B|) intersect — J ≥ t implies min(|A|,|B|)/max(|A|,|B|) ≥ t,
     * so the filter never drops a qualifying pair, and with t = 0.5 the
     * comparison is exact in doubles on both engines. */
+  /** Word n-shingles as DISTINCT strings, composed purely from codegen'd
+    * array built-ins — no hash family, so a SQL oracle recomputes them
+    * bit-for-bit. Shared by [[ngramJaccardExact]] and the decontamination
+    * operators. */
+  private[pipeline] def sqlShingles(n: Int)(c: Column): Column = {
+    val toks = filter(split(lower(c), "\\s+"), t => length(t) > 0)
+    array_distinct(
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+  }
+
   def ngramJaccardExact(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 2, threshold: Double = 0.5): DataFrame = {
     val n = shingleSize
-    def shingles(c: Column): Column = {
-      val toks = filter(split(lower(c), "\\s+"), t => length(t) > 0)
-      array_distinct(
-        when(size(toks) < n, array(concat_ws(" ", toks)))
-          .otherwise(transform(sequence(lit(0), size(toks) - n),
-            i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
-    }
+    def shingles(c: Column): Column = sqlShingles(n)(c)
     val a = df.select(col(idCol).as("a"), shingles(col(textCol)).as("sa"))
     val b = df.select(col(idCol).as("b"), shingles(col(textCol)).as("sb"))
     val union = size(col("sa")) + size(col("sb")) - col("inter")
@@ -400,4 +406,40 @@ object Dedup {
 
   private def spark_rep(df: DataFrame, repeats: Int): DataFrame =
     df.sparkSession.range(repeats).select(col("id").cast("int").as("rep"))
+
+  // ---- benchmark decontamination ----
+
+  /** Corpus documents sharing ≥ `minOverlap` distinct word n-grams with ANY
+    * benchmark document → (idCol, n_hit_ngrams). The standard eval-set
+    * decontamination pass of an LLM training pipeline (n-gram collision
+    * against held-out benchmarks), built only from SQL-mirrorable
+    * primitives — the same [[sqlShingles]] builder as [[ngramJaccardExact]].
+    *
+    * Scale posture: the corpus side explodes to (doc, shingle) rows and is
+    * joined on the shingle string against the DISTINCT benchmark shingle
+    * set, which is broadcast — benchmarks are small by nature (an eval set,
+    * not a second corpus), so the corpus is never shuffled: one map-side
+    * join + one partial-agg count per doc. Per-doc shingles are distinct by
+    * construction, so count(*) after the join IS the distinct-overlap count. */
+  def contaminationHits(corpus: DataFrame, idCol: String, textCol: String,
+                        benchmark: DataFrame, benchTextCol: String,
+                        shingleSize: Int = 8, minOverlap: Int = 1): DataFrame = {
+    val sh = sqlShingles(shingleSize) _
+    val corpusSh = corpus.select(col(idCol), explode(sh(col(textCol))).as("__sh"))
+    val benchSh = benchmark
+      .select(explode(sh(col(benchTextCol))).as("__sh")).distinct()
+    corpusSh.join(broadcast(benchSh), Seq("__sh"))
+      .groupBy(idCol).agg(count(lit(1)).cast("long").as("n_hit_ngrams"))
+      .filter(col("n_hit_ngrams") >= minOverlap)
+  }
+
+  /** The corpus minus contaminated documents (left anti-join on the hit
+    * set) — the actual cleaning step; [[contaminationHits]] is the audit. */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    shingleSize: Int = 8, minOverlap: Int = 1): DataFrame =
+    corpus.join(
+      contaminationHits(corpus, idCol, textCol, benchmark, benchTextCol,
+        shingleSize, minOverlap).select(idCol),
+      Seq(idCol), "left_anti")
 }

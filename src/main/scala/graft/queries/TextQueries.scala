@@ -90,6 +90,17 @@ object TextQueries {
         .select("doc_id", "fp_rolling")
         .orderBy("doc_id")),
 
+    // eval-set decontamination audit: every 50th doc plays the held-out
+    // benchmark; corpus docs sharing any 8-gram with it are flagged with
+    // their distinct-overlap counts. Strict oracle (same shingle
+    // arithmetic as ngram_jaccard, joined instead of compared)
+    "decontaminate" -> ((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      Dedup.contaminationHits(d, "doc_id", "text",
+          d.filter(col("doc_id") % 50 === 0), "text", shingleSize = 8)
+        .orderBy("doc_id")
+    }),
+
     // PII redaction with a strict oracle: the corpus text is synthetic
     // word-soup with no PII, so the query first INJECTS deterministic
     // doc_id-derived emails/IPs/phones (same SQL arithmetic both engines),
@@ -216,6 +227,25 @@ object TextQueries {
         |      + (CASE WHEN n_chars / n_tokens BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2
         |      + 0.000000001, 4) AS quality_score
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // same shingle comprehension as ngram_jaccard (8-wide slices); the
+    // benchmark side is the distinct shingle set of every 50th doc
+    "decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i+1:i+8], ' ')
+        |               FOR i IN generate_series(0, len(toks)-8)] END)) AS sh
+        |  FROM (SELECT doc_id,
+        |          [t FOR t IN string_split_regex(lower(text), '\s+') IF len(t) > 0] AS toks
+        |        FROM documents)
+        |), bench AS (
+        |  SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0
+        |)
+        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hit_ngrams
+        |FROM sh s JOIN bench b USING (sh)
+        |GROUP BY s.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // identical pattern strings as TextAnalysis.{EmailRe,Ipv4Re,PhoneRe}
     // (RE2-compatible subset); counts on the dirty text, scrub order
