@@ -191,16 +191,22 @@ object AnnIndexBuilder {
     require(sample.nonEmpty, "cannot train PQ codebooks on an empty sample")
     val kk = math.min(ksub, sample.length)
     val flat = new Array[Float](m * ksub * dsub)
-    for (s <- 0 until m) {
-      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
-      val cents = trainCentroids(sub, kk, maxIter = 10, seed = 42 + s)
-      for ((c, vec) <- cents)
-        System.arraycopy(vec, 0, flat, (s * ksub + c) * dsub, dsub)
-      // kk < ksub (tiny training set): unused slots repeat the last trained
-      // centroid so no reachable code ever decodes to zeros
-      for (c <- kk until ksub)
-        System.arraycopy(cents.last._2, 0, flat, (s * ksub + c) * dsub, dsub)
+    // subspaces are independent kmeans problems — train them on parallel
+    // driver threads (each writes a disjoint flat-array slice; results stay
+    // deterministic because every subspace keeps its own fixed seed)
+    val futures = (0 until m).map { s =>
+      java.util.concurrent.CompletableFuture.runAsync(() => {
+        val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+        val cents = trainCentroids(sub, kk, maxIter = 10, seed = 42 + s)
+        for ((c, vec) <- cents)
+          System.arraycopy(vec, 0, flat, (s * ksub + c) * dsub, dsub)
+        // kk < ksub (tiny training set): unused slots repeat the last
+        // trained centroid so no reachable code ever decodes to zeros
+        for (c <- kk until ksub)
+          System.arraycopy(cents.last._2, 0, flat, (s * ksub + c) * dsub, dsub)
+      })
     }
+    futures.foreach(_.join())
     val spark = prepared.sparkSession
     import spark.implicits._
     (0 until m).flatMap(s => (0 until ksub).map { c =>
