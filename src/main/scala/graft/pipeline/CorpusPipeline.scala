@@ -122,4 +122,40 @@ object CorpusPipeline {
       wrongLang.as("n_wrong_lang"),
       sum(when(length(col(textCol)) < minChars, 1L).otherwise(0L)).as("n_too_short"))
   }
+
+  /** Deterministic k-means clustering over an embedding column → adds
+    * `cluster_id`. The topic-bucketing primitive of corpus curation
+    * (semantic dedup, per-topic mixing quotas, diversity sampling).
+    *
+    * Scale posture: training runs driver-side on a bounded seeded sample
+    * (O(sampleCap) rows at ANY table scale, same stance as IVF centroid
+    * training); assignment is a row-local loop over the broadcast centroid
+    * array — no shuffle, and the same rows land in the same clusters on
+    * rerun or repartition (fixed seeds, fixed iteration order). */
+  def clusterEmbeddings(df: DataFrame, idCol: String, vecCol: String,
+                        k: Int, maxIter: Int = 10, seed: Long = 42,
+                        sampleCap: Int = 65536): DataFrame = {
+    import graft.functions.AnnFunctions.vector_nonnull
+    require(k >= 1, s"k=$k must be >= 1")
+    val n = df.count()
+    require(n > 0, "cannot cluster an empty relation")
+    val train =
+      if (sampleCap < n) df.sample(withReplacement = false, sampleCap.toDouble / n, seed)
+      else df
+    val sample = train.select(vector_nonnull(col(vecCol)).as("__v"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val centroids = graft.index.AnnIndexBuilder.trainCentroids(
+      sample, math.min(k, sample.length), maxIter, seed)
+    val bc = df.sparkSession.sparkContext.broadcast(centroids)
+    val assign = udf { (v: Seq[Float]) =>
+      val q = v.toArray
+      var best = 0; var bestD = Double.MaxValue
+      for ((cid, c) <- bc.value) {
+        val d = graft.functions.VectorKernels.l2Sq(q, c)
+        if (d < bestD) { bestD = d; best = cid }
+      }
+      best
+    }
+    df.withColumn("cluster_id", assign(vector_nonnull(col(vecCol))))
+  }
 }

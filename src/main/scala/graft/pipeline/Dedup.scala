@@ -407,6 +407,54 @@ object Dedup {
   private def spark_rep(df: DataFrame, repeats: Int): DataFrame =
     df.sparkSession.range(repeats).select(col("id").cast("int").as("rep"))
 
+  // ---- semantic dedup (SemDeDup, Abbas et al. 2023) ----
+
+  /** Semantic dedup, exact variant: drop every row that has a
+    * more-similar-than-threshold neighbor with a SMALLER id (first id
+    * wins, the same winner rule as exact dedup). All-pairs — quadratic by
+    * declared design like [[embeddingNearDups]]; SQL-mirrorable, so it
+    * carries a strict oracle. [[semanticDedup]] is the clustered scale
+    * path. */
+  def semanticDedupExact(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    val drops = embeddingNearDups(df, idCol, vecCol, threshold)
+      .select(col("b").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** Semantic dedup, clustered scale path: k-means buckets the corpus by
+    * embedding (SemDeDup's observation: near-duplicates land in the same
+    * cluster), the quadratic cosine pass runs only WITHIN clusters, and a
+    * row is dropped when a smaller-id neighbor in its cluster exceeds the
+    * threshold. Work falls from O(n²) to O(Σ cᵢ²) with every stage a
+    * DataFrame job. Deterministic: seeded driver-side training, fixed
+    * assignment (see [[CorpusPipeline.clusterEmbeddings]]).
+    *
+    * Skew safety (same stance as the LSH bucket caps): clusters larger
+    * than `maxCluster` pass through UNdeduped rather than detonating a
+    * quadratic join — count-filtered before any pairing. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nClusters: Int = 256,
+                    maxCluster: Int = 10000): DataFrame = {
+    import graft.functions.AnnFunctions._
+    val clustered = CorpusPipeline.clusterEmbeddings(df, idCol, vecCol, nClusters)
+    val small = clustered.groupBy("cluster_id")
+      .agg(count(lit(1)).as("__cn"))
+      .filter(col("__cn") <= maxCluster)
+      .select("cluster_id")
+    val dedupable = clustered.join(broadcast(small), Seq("cluster_id"))
+    val a = dedupable.select(col("cluster_id"),
+      col(idCol).as("a"), vector_nonnull(col(vecCol)).as("va"))
+    val b = dedupable.select(col("cluster_id"),
+      col(idCol).as("b"), vector_nonnull(col(vecCol)).as("vb"))
+    val drops = a.join(b, Seq("cluster_id"))
+      .filter(col("a") < col("b"))
+      .withColumn("__cos", cosine_similarity(col("va"), col("vb")))
+      .filter(col("__cos") > threshold && !isnan(col("__cos")))
+      .select(col("b").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   // ---- benchmark decontamination ----
 
   /** Corpus documents sharing ≥ `minOverlap` distinct word n-grams with ANY

@@ -90,6 +90,25 @@ object TextQueries {
         .select("doc_id", "fp_rolling")
         .orderBy("doc_id")),
 
+    // SemDeDup survivors, exact variant: drop rows with a more-similar-
+    // than-threshold smaller-id neighbor — SQL-mirrorable (NOT EXISTS over
+    // the same cosine arithmetic as neardup_cosine) → strict oracle
+    "semantic_dedup" -> ((s: SparkSession, dir: String) =>
+      Dedup.semanticDedupExact(table(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.42)
+        .select("vec_id")
+        .orderBy("vec_id")),
+
+    // the clustered scale path (k-means buckets bound the quadratic pass):
+    // deterministic rows-only — cluster boundaries can split a near-dup
+    // pair, so survivors are approximate by design; equivalence to the
+    // exact variant at nClusters=1 is asserted in SemanticDedupSpec
+    "semantic_dedup_clustered" -> ((s: SparkSession, dir: String) =>
+      Dedup.semanticDedup(table(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.42, nClusters = 16)
+        .select("vec_id")
+        .orderBy("vec_id")),
+
     // eval-set decontamination audit: every 50th doc plays the held-out
     // benchmark; corpus docs sharing any 8-gram with it are flagged with
     // their distinct-overlap counts. Strict oracle (same shingle
@@ -227,6 +246,17 @@ object TextQueries {
         |      + (CASE WHEN n_chars / n_tokens BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2
         |      + 0.000000001, 4) AS quality_score
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // survivors = rows with no more-similar smaller-id neighbor; the
+    // cosine arithmetic (DOUBLE cast) matches the neardup_cosine mirror
+    "semantic_dedup" ->
+      """SELECT e.vec_id FROM embeddings e
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM embeddings a
+        |  WHERE a.vec_id < e.vec_id
+        |    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(e.embedding AS DOUBLE[])) > 0.42)
+        |ORDER BY vec_id""".stripMargin,
 
     // same shingle comprehension as ngram_jaccard (8-wide slices); the
     // benchmark side is the distinct shingle set of every 50th doc
