@@ -22,6 +22,7 @@ import graft.index.AnnIndexManager
   *   SELECT * FROM hybrid_search(TABLE(docs), 'id', 'text', 'idx', 'query text', array(...), 10)
   *   SELECT * FROM diskann_streaming_build('in.bin', '/out/dir'[, 'name'])
   *   SELECT * FROM ann_list() / ann_index_info() / ann_engine_info()
+  *   SELECT * FROM ann_create_index('idx', '/t.parquet', 'id', 'vec', 'IVF', 'metric=l2,nlist=16')
   *
   * TABLE(...) arguments arrive as `FunctionTableSubqueryArgumentExpression`
   * and their analyzed child plan is embedded directly into the returned
@@ -223,6 +224,37 @@ object AnnSql {
       val ti = graft.operators.HybridSearch.cachedTextIndex(docs, idCol, textCol)
       plan(graft.operators.HybridSearch.hybridSearch(docs, idCol, ti, idx,
         qText, qVec, k, bm25Weight = bw, vectorWeight = vw))
+    }, "scala_udf")
+
+    // ann_create_index(name, table_path, id_col, vec_col, engine
+    //   [, 'k=v,...'[, index_path]]) → one row (name, engine, num_vectors,
+    // dim) — the CREATE INDEX ... USING <engine> WITH (...) DDL analogue
+    // (reference src/ann_extension.cpp:23-41). CALL semantics like
+    // ann_drop_index: the build executes EAGERLY at analysis time (the
+    // driver owns the registry; deferring would run it executor-side on a
+    // real cluster). Params CSV carries the same keys as the Scala API,
+    // e.g. 'metric=cosine,nlist=64,quantization=pq,pq_m=16'.
+    r.createOrReplaceTempFunction("ann_create_index", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 5 && exprs.length <= 7,
+        "usage: ann_create_index(name, table_path, id_col, vec_col, engine[, 'k=v,...'[, index_path]])")
+      val name = constString(exprs(0))
+      val tablePath = constString(exprs(1))
+      val idCol = constString(exprs(2))
+      val vecCol = constString(exprs(3))
+      val engine = constString(exprs(4))
+      val csv = if (exprs.length > 5) constString(exprs(5)) else ""
+      val params = csv.split(',').iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"ann_create_index params must be 'key=value,...', got: $kv")
+        kv.substring(0, i).trim -> kv.substring(i + 1).trim
+      }.toMap + ("table_path" -> tablePath)
+      val path = if (exprs.length > 6) constString(exprs(6))
+        else java.nio.file.Files.createTempDirectory(s"graft_sql_idx_$name").toString
+      val idx = AnnIndexManager.create(spark, name,
+        spark.read.parquet(tablePath), idCol, vecCol, engine, params, path)
+      import spark.implicits._
+      plan(Seq((idx.meta.name, idx.meta.engine, idx.meta.numVectors, idx.meta.dim))
+        .toDF("name", "engine", "num_vectors", "dim"))
     }, "scala_udf")
 
     // ann_drop_index(name) → one row (name, dropped) — DROP INDEX

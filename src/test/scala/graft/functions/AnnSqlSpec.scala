@@ -185,6 +185,30 @@ class AnnSqlSpec extends SparkSpec {
     assert(!spark.sql("SELECT * FROM ann_drop_index('drop_me')").head().getBoolean(1))
   }
 
+  test("SQL TVF ann_create_index builds, registers, and is queryable end-to-end") {
+    import spark.implicits._
+    // write a parquet table, create the index purely through SQL, scan it
+    val tablePath = s"$tmp/sql_ci.parquet"
+    vecs.toDF("id", "embedding").write.mode("overwrite").parquet(tablePath)
+    AnnSql.register(spark)
+    val row = spark.sql(
+      s"""SELECT * FROM ann_create_index('sql_ci', '$tablePath', 'id', 'embedding',
+         |  'IVF', 'metric=l2,nlist=4,nprobe=4,quantization=pq,pq_m=3,pq_ksub=64',
+         |  '$tmp/sql_ci_idx')""".stripMargin).head()
+    assert(row.getString(0) == "sql_ci" && row.getString(1) == "IVF")
+    assert(row.getLong(2) == 100 && row.getInt(3) == 3)
+    // PQ params survived the CSV: the stored column is codes
+    assert(AnnIndexManager.load(spark, s"$tmp/sql_ci_idx").meta.quantized)
+    val hits = spark.sql(
+      "SELECT * FROM ann_index_scan('sql_ci', array(0.5, 0.5, 0.5), 5)").collect()
+    assert(hits.length == 5)
+    // malformed params fail with guidance, not a silent default
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM ann_create_index('bad', '$tablePath', 'id', 'embedding', 'FLAT', 'metric')"))
+    assert(e.getMessage.contains("key=value"))
+    spark.sql("SELECT * FROM ann_drop_index('sql_ci')").collect()
+  }
+
   test("SQL TVF diskann_streaming_build builds an index from a binary file") {
     val bin = s"$tmp/sql_sb.bin"
     val rnd = new scala.util.Random(3)
