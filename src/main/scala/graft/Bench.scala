@@ -76,7 +76,8 @@ object Bench {
     // dedup / text pipeline
     for (name <- Seq("dedup_exact", "dedup_minhash", "dedup_simhash",
                      "text_stats", "text_langid", "text_quality",
-                     "neardup_cosine", "neardup_lsh")) {
+                     "neardup_cosine", "neardup_lsh",
+                     "pii_scrub", "decontaminate", "semantic_dedup_clustered")) {
       time(name) { noop(q(name)(spark, sfDir)) }
     }
 

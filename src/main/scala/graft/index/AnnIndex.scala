@@ -288,7 +288,10 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * Graph engines have no range structure — the scan is the exhaustive
     * distance filter, which is also what makes it exact; it runs as
     * partition-parallel codegen over the (possibly pinned) dataset,
-    * never a beam search. */
+    * never a beam search. On quantized storage (sq8/fp16/pq) "exact"
+    * means exact over the STORED representation: the boundary is
+    * measured on decoded/ADC distances, so rows within quantization
+    * error of the radius can flip sides vs float storage. */
   def rangeScan(q: Array[Float], radius: Double, searchParam: Int = -1): DataFrame = {
     val qq = prepQuery(q)
     val base =

@@ -154,14 +154,17 @@ case class AnnTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     // locate a registered, metric-compatible index on that path + column
     // (metadata served from the mtime-keyed cache — with a large catalog,
-    // per-query disk reads of every meta.json would stall the optimizer)
+    // per-query disk reads of every meta.json would stall the optimizer).
+    // Deterministic routing when several indexes match: prefer a lossless
+    // (non-quantized) index, then lowest name — registry iteration order
+    // (a concurrent map) must never decide query semantics.
     val hit = AnnIndexManager.registered.iterator.flatMap { case (_, path) =>
       AnnIndexManager.cachedMeta(path).map(m => (path, m))
-    }.find { case (_, m) =>
+    }.filter { case (_, m) =>
       m.metric == metricNeeded && m.vecCol == vecAttr.name &&
         m.params.get("table_path").exists(tp =>
           relPaths.exists(rp => rp == tp || rp.stripSuffix("/") == tp.stripSuffix("/")))
-    }
+    }.toSeq.sortBy { case (_, m) => (m.quantized, m.name) }.headOption
     val (idxPath, meta) = hit.getOrElse(return None)
 
     // cost gates (reference: src/ann_optimizer.cpp:459-472)
@@ -179,12 +182,27 @@ case class AnnTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // replacement: index scan joined back to the base relation, keeping the
     // original output attributes (exprIds preserved via aliases). The marker
     // column makes the rewrite visible in df.explain() (dropped from output).
+    //
+    // Quantized index: ADC/decoded distances pick the candidates, but the
+    // user wrote an EXACT ORDER BY — overfetch k×mult and re-rank on the
+    // base table's raw floats (the IndexRefineFlat pattern), so
+    // quantization degrades candidate selection only, never the visible
+    // ordering. mult is `spark.ann.quantizedRerankMultiplier` (4).
     val idx = AnnIndexManager.load(spark, idxPath)
     val base = GraftBridge.ofRows(spark, relation)
-    val hits = idx.scan(q, k)
-    val joined = base
+    val mult =
+      if (meta.quantized) math.max(1, confInt("spark.ann.quantizedRerankMultiplier", 4))
+      else 1
+    val hits = idx.scan(q, k * mult)
+    val fetched = base
       .join(broadcast(hits), base(meta.idCol) === hits("id"))
       .drop(hits("id"))
+    val rescored =
+      if (!meta.quantized) fetched
+      else fetched.withColumn("_distance", idx.rawDistColumn(
+        graft.functions.AnnFunctions.vector_nonnull(col(meta.vecCol)),
+        org.apache.spark.sql.functions.typedLit(idx.prepQuery(q))))
+    val joined = rescored
       .withColumn(s"__ann_index_scan_${meta.name}_k$k", lit(true))
       .orderBy(col("_distance"), base(meta.idCol))
       .limit(k)

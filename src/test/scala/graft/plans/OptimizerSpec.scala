@@ -187,4 +187,52 @@ class OptimizerSpec extends SparkSpec {
       assert(dist.collect().map(_.getAs[Long]("id")).toSeq.sorted == bruteBy(cosScore, 10).sorted)
     } finally AnnOptimizer.disable(spark)
   }
+
+  test("quantized index: rewrite overfetches and re-ranks exactly; lossless index preferred") {
+    // a dedicated table so the PQ index is the ONLY candidate on its path
+    import spark.implicits._
+    val pqPath = s"$tmp/pq_table.parquet"
+    vecs.toDF("id", "embedding").write.mode("overwrite").parquet(pqPath)
+    AnnIndexManager.create(spark, "opt_pq",
+      spark.read.parquet(pqPath), "id", "embedding", "FLAT",
+      // deliberately coarse PQ (m=2): raw ADC top-10 visibly differs from exact
+      Map("metric" -> "l2", "quantization" -> "pq", "pq_m" -> "2",
+        "table_path" -> pqPath), s"$tmp/opt_pq")
+    AnnOptimizer.enable(spark)
+    try {
+      // mult*k = 300 covers the corpus → the re-ranked rewrite is provably exact
+      spark.conf.set("spark.ann.quantizedRerankMultiplier", "30")
+      val df = spark.read.parquet(pqPath)
+        .withColumn("_d", l2_distance(col("embedding"), typedLit(q.map(_.toDouble))))
+        .orderBy("_d").limit(10)
+      assert(df.queryExecution.optimizedPlan.toString.contains("__ann_index_scan_opt_pq_k10"),
+        s"quantized rewrite did not fire:\n${df.queryExecution.optimizedPlan}")
+      assert(df.collect().map(_.getAs[Long]("id")).toSeq == brute(10),
+        "re-ranked quantized rewrite must return the exact ordering")
+    } finally {
+      spark.conf.unset("spark.ann.quantizedRerankMultiplier")
+      AnnOptimizer.disable(spark)
+    }
+
+    // routing: with BOTH opt_idx (lossless) and a quantized twin registered
+    // on the ORIGINAL table path, the lossless index must win deterministically
+    idx // ensure opt_idx is registered
+    AnnIndexManager.create(spark, "aaa_quant_twin",
+      spark.read.parquet(tablePath), "id", "embedding", "FLAT",
+      Map("metric" -> "l2", "quantization" -> "pq", "pq_m" -> "2",
+        "table_path" -> tablePath), s"$tmp/opt_twin")
+    AnnOptimizer.enable(spark)
+    try {
+      val df = spark.read.parquet(tablePath)
+        .withColumn("_d", l2_distance(col("embedding"), typedLit(q.map(_.toDouble))))
+        .orderBy("_d").limit(10)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__ann_index_scan_opt_idx_k10"),
+        s"lossless index must be preferred over the quantized twin " +
+          s"(name order would pick aaa_quant_twin):\n$plan")
+    } finally {
+      AnnIndexManager.drop("aaa_quant_twin")
+      AnnOptimizer.disable(spark)
+    }
+  }
 }
