@@ -94,6 +94,26 @@ object TextAnalysis {
   def withQualityScore(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("quality_score", qualityScore(col(textCol)))
 
+  // ---- repetition (Gopher-style duplicate n-gram fraction) ----
+
+  /** Intra-document repetition: `1 − distinct/total` word n-grams — the
+    * duplicate-n-gram fraction of the Gopher quality filters (Rae et al.
+    * 2021, §A1.1). High values flag boilerplate/spam/looping generations.
+    * Row-local array built-ins (NON-distinct gram list, unlike the dedup
+    * shingles), SQL-mirrorable bit-for-bit. */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    val grams = when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+    // +1e-9 before round(4): same boundary nudge as qualityScore
+    round(lit(1.0) - size(array_distinct(grams)).cast("double")
+      / greatest(size(grams), lit(1)).cast("double") + lit(1e-9), 4)
+  }
+
+  def withRepetition(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
+    df.withColumn("repetition_ratio", repetitionRatio(col(textCol), n))
+
   // ---- PII redaction ----
 
   /** PII patterns, deliberately inside the RE2-compatible subset (no

@@ -90,6 +90,23 @@ object TextQueries {
         .select("doc_id", "fp_rolling")
         .orderBy("doc_id")),
 
+    // Gopher-style duplicate-trigram fraction per doc (strict oracle:
+    // same comprehension arithmetic, round(4) both sides)
+    "text_repetition" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.withRepetition(docs(s, dir), "text")
+        .select("doc_id", "repetition_ratio")
+        .orderBy("doc_id")),
+
+    // deterministic k-means topic buckets over the embedding corpus:
+    // per-cluster sizes (rows-only — kmeans is not SQL-mirrorable, but the
+    // seeded driver-side training + row-local assignment make the output
+    // bit-stable across runs; determinism asserted in SemanticDedupSpec)
+    "corpus_clusters" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.CorpusPipeline.clusterEmbeddings(
+          table(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+        .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+        .orderBy("cluster_id")),
+
     // SemDeDup survivors, exact variant: drop rows with a more-similar-
     // than-threshold smaller-id neighbor — SQL-mirrorable (NOT EXISTS over
     // the same cosine arithmetic as neardup_cosine) → strict oracle
@@ -246,6 +263,22 @@ object TextQueries {
         |      + (CASE WHEN n_chars / n_tokens BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2
         |      + 0.000000001, 4) AS quality_score
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // non-distinct trigram list (repetition needs duplicates), mirrored
+    // comprehension-for-comprehension
+    "text_repetition" ->
+      """SELECT doc_id,
+        |  round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+        |      / greatest(len(grams), 1) + 0.000000001, 4) AS repetition_ratio
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i+1:i+3], ' ')
+        |               FOR i IN generate_series(0, len(toks)-3)] END AS grams
+        |  FROM (SELECT doc_id,
+        |          [t FOR t IN string_split_regex(lower(text), '\s+') IF len(t) > 0] AS toks
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin,
 
     // survivors = rows with no more-similar smaller-id neighbor; the
     // cosine arithmetic (DOUBLE cast) matches the neardup_cosine mirror

@@ -136,6 +136,22 @@ class PipelineSpec extends SparkSpec {
     assert(fps(1L)._1 != fps(8L)._1)
   }
 
+  test("repetition ratio: looping text scores high, varied text low, short text zero") {
+    import spark.implicits._
+    val out = TextAnalysis.withRepetition(Seq(
+        (1L, "spam spam spam spam spam spam"), // 4 identical trigrams → 3/4 dup
+        (2L, "one two three four five six"), // all 4 trigrams distinct → 0
+        (3L, "ab cd"), // below n → single whole-text gram → 0
+        (4L, "a b a b a b a b") // trigrams alternate between 2 forms: 1 - 2/6
+      ).toDF("id", "text"), "text")
+      .orderBy("id").select("repetition_ratio")
+      .collect().map(_.getDouble(0))
+    assert(out(0) == 0.75)
+    assert(out(1) == 0.0)
+    assert(out(2) == 0.0)
+    assert(math.abs(out(3) - (1.0 - 2.0 / 6.0)) < 1e-3)
+  }
+
   test("quality score: long real text beats short junk") {
     import spark.implicits._
     val df = Seq(
