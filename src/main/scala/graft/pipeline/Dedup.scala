@@ -40,6 +40,10 @@ object Dedup {
                 log.warn(s"$name: dropped ${row.getLong(0)} oversized LSH bucket(s); " +
                   s"largest bucket had ${row.getLong(1)} members — degenerate near-identical " +
                   "content is not pair-expanded (raise maxBucket to include it)")
+              else if (name.startsWith("graft.semdedup.") && !row.isNullAt(0) && row.getLong(0) > 0)
+                log.warn(s"$name: ${row.getLong(0)} cluster(s) above maxCluster passed " +
+                  s"through UNdeduped; largest cluster had ${row.getLong(1)} members " +
+                  "(raise maxCluster, or nClusters to split them)")
             }
           override def onFailure(funcName: String,
                                  qe: org.apache.spark.sql.execution.QueryExecution,
@@ -437,9 +441,13 @@ object Dedup {
                     threshold: Double, nClusters: Int = 256,
                     maxCluster: Int = 10000): DataFrame = {
     import graft.functions.AnnFunctions._
+    ensureCapListener(df.sparkSession)
     val clustered = CorpusPipeline.clusterEmbeddings(df, idCol, vecCol, nClusters)
     val small = clustered.groupBy("cluster_id")
       .agg(count(lit(1)).as("__cn"))
+      .observe(s"graft.semdedup.capped.${observeSeq.incrementAndGet()}",
+        sum(when(col("__cn") > maxCluster, 1L).otherwise(0L)).as("capped_clusters"),
+        max(col("__cn")).as("largest_cluster"))
       .filter(col("__cn") <= maxCluster)
       .select("cluster_id")
     val dedupable = clustered.join(broadcast(small), Seq("cluster_id"))
