@@ -23,6 +23,12 @@ import org.apache.spark.sql.types._
   * between the query and the PQ reconstruction, so for a CONSTANT query the
   * whole per-subspace geometry folds into an `m·ksub` lookup table and the
   * per-row cost is `m` table loads instead of `dim` multiply-adds.
+  *
+  * Codes quantize RAW vectors (the faiss IndexPQ shape; IVFPQ here is
+  * by_residual=false). Residual encoding would couple every code to its
+  * cell assignment, breaking the codec seam insert/vacuum/merge and the
+  * graph engines decode through — instead `search(rerank = true)` recovers
+  * exact ranking from the fetched raw floats at k·oversample cost.
   */
 object Pq {
 
