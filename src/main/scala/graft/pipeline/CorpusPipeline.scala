@@ -17,18 +17,22 @@ object CorpusPipeline {
 
   /** Cleaned relation: exact duplicates dropped (first id wins), then rows
     * must pass `quality_score >= minQuality`, language membership (empty set
-    * = keep all), and `length >= minChars`. Adds `lang_pred` and
-    * `quality_score` columns. */
+    * = keep all), `length >= minChars`, and — when `maxRepetition < 1` —
+    * the Gopher duplicate-trigram cap ([[TextAnalysis.repetitionRatio]]).
+    * Adds `lang_pred` and `quality_score` columns. */
   def clean(df: DataFrame, idCol: String, textCol: String,
             minQuality: Double = 0.0, langs: Set[String] = Set.empty,
-            minChars: Int = 0): DataFrame = {
+            minChars: Int = 0, maxRepetition: Double = 1.0): DataFrame = {
     val deduped = Dedup.dropExactDuplicates(df, idCol, textCol)
     val scored = TextAnalysis.withQualityScore(
       TextAnalysis.withLangId(deduped, textCol), textCol)
     val filters = Seq[Option[Column]](
       if (minQuality > 0) Some(col("quality_score") >= minQuality) else None,
       if (langs.nonEmpty) Some(col("lang_pred").isin(langs.toSeq: _*)) else None,
-      if (minChars > 0) Some(length(col(textCol)) >= minChars) else None
+      if (minChars > 0) Some(length(col(textCol)) >= minChars) else None,
+      if (maxRepetition < 1.0)
+        Some(TextAnalysis.repetitionRatio(col(textCol)) <= maxRepetition)
+      else None
     ).flatten
     filters.foldLeft(scored)(_ filter _)
   }

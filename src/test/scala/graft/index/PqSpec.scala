@@ -213,6 +213,23 @@ class PqSpec extends SparkSpec {
       "refined recall must dominate raw ADC recall")
   }
 
+  test("PQ edges: dim-1 vectors, k > n, duplicate vectors") {
+    import spark.implicits._
+    // dim 1 → m=1, dsub=1 (the degenerate geometry must still round-trip)
+    val oneD = Seq((1L, Array(0.1f)), (2L, Array(0.5f)), (3L, Array(0.9f)),
+      (4L, Array(0.5f))) // duplicate of 2
+    val idx = AnnIndexManager.create(spark, "pq_edge", oneD.toDF("id", "embedding"),
+      "id", "embedding", "FLAT",
+      Map("metric" -> "l2", "quantization" -> "pq", "pq_ksub" -> "4"),
+      s"$tmp/pq_edge")
+    assert(idx.pqBooks.get.m == 1 && idx.pqBooks.get.dsub == 1)
+    // k > n returns all rows, closest (the duplicates, dist 0) first
+    val got = idx.scan(Array(0.5f), 10).collect()
+    assert(got.length == 4)
+    assert(got.take(2).map(_.getLong(0)).toSet == Set(2L, 4L))
+    assert(got(0).getDouble(1) == 0.0 && got(1).getDouble(1) == 0.0)
+  }
+
   test("PQ insert path encodes new vectors with the existing codebooks") {
     import spark.implicits._
     val vecs = randVecs(64, 8, seed = 37)

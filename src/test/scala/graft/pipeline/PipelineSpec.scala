@@ -152,6 +152,21 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(out(3) - (1.0 - 2.0 / 6.0)) < 1e-3)
   }
 
+  test("clean with maxRepetition drops looping boilerplate, keeps varied text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (2L, "buy now buy now buy now buy now buy now buy now buy now buy now")
+    ).toDF("doc_id", "text")
+    val kept = CorpusPipeline.clean(df, "doc_id", "text", maxRepetition = 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+    // default (1.0) leaves the filter off entirely
+    val all = CorpusPipeline.clean(df, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 2L))
+  }
+
   test("quality score: long real text beats short junk") {
     import spark.implicits._
     val df = Seq(
