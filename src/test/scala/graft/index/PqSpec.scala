@@ -230,6 +230,29 @@ class PqSpec extends SparkSpec {
     assert(got(0).getDouble(1) == 0.0 && got(1).getDouble(1) == 0.0)
   }
 
+  test("PQ cosine index: build-normalized codes rank by renormalized ADC cosine") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val vecs = Seq.tabulate(100)(i => (i.toLong, Array.fill(8)(rnd.nextFloat() + 0.1f)))
+    val idx = AnnIndexManager.create(spark, "pq_cos", vecs.toDF("id", "embedding"),
+      "id", "embedding", "FLAT",
+      Map("metric" -> "cosine", "quantization" -> "pq", "pq_m" -> "4", "pq_ksub" -> "128"),
+      s"$tmp/pq_cos")
+    val q = vecs(31)._2
+    val got = idx.scan(q, 5).collect().map(_.getLong(0))
+    // the query's own vector must rank first: its normalized form is the
+    // nearest codeword sequence, and ADC cosine renormalizes the
+    // reconstruction, absorbing quantization drift of the unit vectors
+    assert(got.head == 31L, s"self-query must rank first, got ${got.toSeq}")
+    val exact = vecs.map { case (id, v) =>
+      val d = VectorKernels.dot(q, v) /
+        (math.sqrt(VectorKernels.dot(q, q)) * math.sqrt(VectorKernels.dot(v, v)))
+      (id, 1.0 - d)
+    }.sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
+    assert(got.toSet.intersect(exact).size >= 3,
+      s"cosine PQ overlap ${got.toSet.intersect(exact).size}/5")
+  }
+
   test("PQ insert path encodes new vectors with the existing codebooks") {
     import spark.implicits._
     val vecs = randVecs(64, 8, seed = 37)
