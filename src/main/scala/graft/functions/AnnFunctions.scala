@@ -24,6 +24,14 @@ object AnnFunctions {
 
   def cosine_similarity(a: Column, b: Column): Column = col(CosineSimilarity(expr(a), expr(b)))
 
+  /** Pack an ARRAY<FLOAT> column's sign bits, 8 dims/byte (see [[Bq]]). */
+  def bq_encode(c: Column): Column = Bq.encodeUdf(c)
+
+  /** Hamming distance (bit-disagreement count, as a double) between
+    * bq-packed codes and a float query of dimension `dim`. */
+  def bq_hamming(codes: Column, q: Column, dim: Int): Column =
+    col(BqDistance(expr(codes), expr(q), dim, "hamming"))
+
   /** L2-normalize an ARRAY column to unit length (float elements);
     * zero vectors pass through. Cosine-metric plumbing (normalize-at-build
     * + inner product, SURVEY §2.7). Single-pass codegen expression — the

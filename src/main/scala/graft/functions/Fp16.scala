@@ -53,20 +53,34 @@ final case class PqCodec(b: Pq.Codebooks) extends VectorCodec {
   def bytesPerVector(dim: Int): Long = b.m.toLong
 }
 
+/** Binary quantization: 1 bit/dim sign codes — see [[Bq]]. Decode is the
+  * best direction-only reconstruction (±1/sqrt(dim) unit vector), which is
+  * faithful exactly under the cosine metric the manager restricts bq to. */
+final case class BqCodec(dim: Int) extends VectorCodec {
+  def decode(codes: Array[Byte]): Array[Float] = Bq.decode(codes, dim)
+  def encode(v: Array[Float]): Array[Byte] = Bq.encode(v)
+  def encodeUdf: UserDefinedFunction = Bq.encodeUdf
+  def decodeUdf: UserDefinedFunction = Bq.decodeUdf(dim)
+  def bytesPerVector(dim: Int): Long = Bq.numBytes(dim).toLong
+}
+
 object VectorCodec {
   /** Codec for a `quantization` param value; sq8 needs its fitted params,
-    * pq its trained codebooks (both persisted next to the index dataset). */
+    * pq its trained codebooks (both persisted next to the index dataset),
+    * bq the dimension (packed-bit geometry). */
   def forQuantization(q: Option[String],
                       sq8Params: => Option[Sq8.QuantParams],
-                      pqBooks: => Option[Pq.Codebooks] = None): Option[VectorCodec] =
+                      pqBooks: => Option[Pq.Codebooks] = None,
+                      dim: => Int = 0): Option[VectorCodec] =
     q match {
       case Some("sq8") => sq8Params.map(Sq8Codec.apply)
       case Some("fp16") => Some(Fp16Codec)
       case Some("pq") => pqBooks.map(PqCodec.apply)
+      case Some("bq") => Some(BqCodec(dim))
       case _ => None
     }
 
-  val Supported: Set[String] = Set("sq8", "fp16", "pq")
+  val Supported: Set[String] = Set("sq8", "fp16", "pq", "bq")
 }
 
 /** IEEE 754 binary16 conversions (JDK 17 predates Float.float16ToFloat).

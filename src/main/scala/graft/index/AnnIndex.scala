@@ -177,7 +177,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
   /** Stored-vector codec (None = plain float32 storage). */
   lazy val codec: Option[graft.functions.VectorCodec] =
     graft.functions.VectorCodec.forQuantization(
-      meta.params.get("quantization"), quantParams, pqBooks)
+      meta.params.get("quantization"), quantParams, pqBooks, meta.dim)
 
   /** Name of the stored vector column: float array, or SQ8 codes. */
   def dataVecCol: String = if (meta.quantized) "codes" else "vector"
@@ -265,6 +265,14 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         org.apache.spark.sql.GraftBridge.expression(vec),
         org.apache.spark.sql.GraftBridge.expression(query),
         books, meta.metric))
+    case Some(graft.functions.BqCodec(d)) =>
+      // Hamming-ordered angular estimate (cosine metric only — enforced at
+      // create): a literal query folds to packed sign bits, per-row work is
+      // XOR+popcount over d/8 bytes
+      org.apache.spark.sql.GraftBridge.column(graft.functions.BqDistance(
+        org.apache.spark.sql.GraftBridge.expression(vec),
+        org.apache.spark.sql.GraftBridge.expression(query),
+        d, meta.metric))
     case None => floatDistColumn(vec, query)
   }
 

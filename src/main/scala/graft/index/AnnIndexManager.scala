@@ -304,6 +304,12 @@ object AnnIndexManager {
     params1.get("quantization").foreach(q =>
       require(graft.functions.VectorCodec.Supported(q),
         s"unknown quantization $q (supported: ${graft.functions.VectorCodec.Supported.mkString(", ")})"))
+    // sign bits carry direction only — Hamming is an angular proxy, not a
+    // magnitude-aware one, so bq storage is cosine-metric-only (fail fast,
+    // never silently mis-rank; cf. the graph-engine sq8 lesson)
+    if (params1.get("quantization").contains("bq"))
+      require(metric == "cosine",
+        s"quantization=bq requires metric=cosine (got $metric): sign bits cannot rank l2/ip")
 
     // dimension check on a sample row (schema validation, reference
     // src/diskann_index.cpp:82-84)
@@ -337,6 +343,9 @@ object AnnIndexManager {
           val books = AnnIndexBuilder.fitPq(prepared, path, dim, n, params)
           df0.withColumn("codes",
             graft.functions.Pq.encodeUdf(books)(col("vector"))).drop("vector")
+        case Some("bq") => // parameter-free sign packing, 1 bit/dim
+          df0.withColumn("codes",
+            graft.functions.Bq.encodeUdf(col("vector"))).drop("vector")
         case _ => df0
       }
 

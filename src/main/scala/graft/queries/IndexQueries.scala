@@ -49,6 +49,12 @@ object IndexQueries {
           "build_complexity" -> "128", "quantization" -> "sq8",
           "table" -> "embeddings"), path))
 
+  private def bqIndex(s: SparkSession, dir: String): AnnIndex =
+    AnnIndexManager.getOrBuild(s, "emb_bq", dir, path =>
+      AnnIndexManager.create(s, "emb_bq", emb(s, dir), "vec_id", "embedding",
+        "FLAT", Map("metric" -> "cosine", "quantization" -> "bq",
+          "table" -> "embeddings"), path))
+
   private def pqIndex(s: SparkSession, dir: String): AnnIndex =
     AnnIndexManager.getOrBuild(s, "emb_pq", dir, path =>
       AnnIndexManager.create(s, "emb_pq", emb(s, dir), "vec_id", "embedding",
@@ -287,6 +293,25 @@ object IndexQueries {
     "ann_cosine_topk" -> ((s: SparkSession, dir: String) =>
       ranked(cosineIndex(s, dir).scan(qvecF(12), K))),
 
+    // Binary quantization (1 bit/dim sign codes, 32x smaller): candidates
+    // ordered by XOR+popcount Hamming, an angular proxy. Rows-only (sign
+    // ranking is approximate vs the float oracle); kernel exactness and
+    // recall floors in BqSpec.
+    "ann_bq_topk" -> ((s: SparkSession, dir: String) =>
+      ranked(bqIndex(s, dir).scan(qvecF(18), K))),
+
+    // BQ candidates + exact cosine re-rank at exhaustive oversample
+    // (k*64 >= corpus): candidate generation is quantized, the final
+    // ranking is lossless → strict oracle (the IndexRefineFlat pattern).
+    "ann_bq_rerank" -> ((s: SparkSession, dir: String) => {
+      val res = bqIndex(s, dir).search(emb(s, dir), "vec_id", qvecF(18), K,
+        oversample = 64, rerank = true)
+      res.withColumn("rank", row_number().over(
+          Window.orderBy(col("_distance"), col("vec_id"))).cast("long"))
+        .select("rank", "vec_id")
+        .orderBy("rank")
+    }),
+
     // IP metric: negated-dot ordering equals inner-product DESC.
     "ann_ip_topk" -> ((s: SparkSession, dir: String) =>
       ranked(ipIndex(s, dir).scan(qvecF(13), K))),
@@ -505,6 +530,13 @@ object IndexQueries {
       s"""SELECT rank, vec_id FROM (
          |  SELECT vec_id, CAST(row_number() OVER (
          |    ORDER BY list_cosine_similarity($EmbD, ${sqlVec(12)}) DESC, vec_id) AS BIGINT) AS rank
+         |  FROM embeddings) t
+         |WHERE rank <= $K ORDER BY rank""".stripMargin,
+
+    "ann_bq_rerank" ->
+      s"""SELECT rank, vec_id FROM (
+         |  SELECT vec_id, CAST(row_number() OVER (
+         |    ORDER BY list_cosine_similarity($EmbD, ${sqlVec(18)}) DESC, vec_id) AS BIGINT) AS rank
          |  FROM embeddings) t
          |WHERE rank <= $K ORDER BY rank""".stripMargin,
 

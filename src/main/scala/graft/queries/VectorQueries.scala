@@ -82,6 +82,18 @@ object VectorQueries {
         .groupedWithRank(scored, "query_idx", "_d", "vec_id", K, "rank")
         .select("query_idx", "rank", "vec_id")
         .orderBy("query_idx", "rank")
+    }),
+
+    "vector_bq_hamming" -> ((s: SparkSession, dir: String) => {
+      // binary-quantization kernel end-to-end: pack each embedding's sign
+      // bits (8 dims/byte), then XOR+popcount against the folded query
+      // bits. Integer-valued → exact oracle (the sign-disagreement count).
+      table(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          bq_hamming(bq_encode(col("embedding")), typedLit(qvec(4)), Dim)
+            .cast("long").as("hamming"))
+        .orderBy("vec_id")
     })
   )
 
@@ -124,6 +136,17 @@ object VectorQueries {
          |    (2, ${sqlVec(2)}),
          |    (3, ${sqlVec(3)})) q(query_idx, qvec)
          |  CROSS JOIN embeddings e) t
-         |WHERE rank <= $K ORDER BY query_idx, rank""".stripMargin
+         |WHERE rank <= $K ORDER BY query_idx, rank""".stripMargin,
+
+    // the query's sign pattern is a compile-time constant, so the oracle
+    // unrolls one boolean term per dimension (both engines apply the same
+    // `> 0` sign rule; DuckDB lists are 1-indexed)
+    "vector_bq_hamming" -> {
+      val terms = qvec(4).zipWithIndex.map { case (x, i) =>
+        s"CASE WHEN (embedding[${i + 1}] > 0) != ${x > 0.0} THEN 1 ELSE 0 END"
+      }
+      s"""SELECT vec_id, CAST(${terms.mkString(" + ")} AS BIGINT) AS hamming
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+    }
   )
 }
