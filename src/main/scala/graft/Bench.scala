@@ -160,6 +160,33 @@ object Bench {
     pqIdx.persist()
     time("ivfpq_50q_10k_d128") { noop(pqIdx.searchBatch(synthQ, 10)) }
 
+    // BQ at the same 10k shape, on CENTERED data (sign bits need both
+    // signs; the all-positive synth corpus would collapse to one pattern):
+    // 16-byte packed sign codes, batch search = XOR+popcount per pair
+    // against driver-binarized query bits
+    val seededVecC = udf { (id: Long, d: Int) =>
+      val r = new scala.util.Random(id * 2654435761L + 77)
+      Array.fill(d)(r.nextFloat() * 2f - 1f)
+    }
+    val synthC = spark.range(10000)
+      .repartition(cpus.toInt)
+      .select(col("id"), seededVecC(col("id"), lit(dim)).as("vec"))
+      .cache()
+    synthC.count()
+    var bqIdx: graft.index.AnnIndex = null
+    time("bq_build_10k_d128", reps = 2) {
+      rep += 1
+      bqIdx = graft.index.AnnIndexManager.create(spark, s"bench_bq_$rep", synthC,
+        "id", "vec", "FLAT", Map("metric" -> "cosine", "quantization" -> "bq"),
+        s"$tmp/bq$rep")
+    }
+    val synthQC = Seq.tabulate(50)(i => {
+      val r = new scala.util.Random(2000 + i)
+      Array.fill(dim)(r.nextFloat() * 2f - 1f)
+    })
+    bqIdx.persist()
+    time("bq_50q_10k_d128") { noop(bqIdx.searchBatch(synthQC, 10)) }
+
     // ---- kernel microbench: batch L2, one query vs n cands (per-batch s) ----
     // the FULL reference CPU shape table (README.md:140-145: 4µs @ 64×128
     // … 870µs @ 512×1536, 784µs @ 1024×768 on M1 Pro) so BENCH vs BASELINE

@@ -235,3 +235,58 @@ case class BqDistance(left: Expression, right: Expression, dim: Int, metric: Str
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** Distance between two bq-packed sign codes — the batch-search fast path:
+  * queries are binarized ONCE driver-side (50 queries → 50 tiny encodes),
+  * and every (candidate, query) pair is pure XOR+popcount over dim/8
+  * bytes. Same output contract as [[BqDistance]] (cosine estimate or raw
+  * Hamming count), so the two are interchangeable in ranking. */
+case class BqCodesDistance(left: Expression, right: Expression, dim: Int, metric: String)
+    extends BinaryExpression with Serializable {
+
+  require(metric == "cosine" || metric == "hamming",
+    s"bq_codes_distance supports cosine|hamming, got $metric")
+
+  override def prettyName: String = s"bq_codes_distance_$metric"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (BINARY, BINARY), got ${l.catalogString}, ${r.catalogString}")
+  }
+
+  private def finish(h: Int): Double =
+    if (metric == "hamming") h.toDouble else Bq.cosineDistanceEstimate(h, dim)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[Array[Byte]]
+    val b = r.asInstanceOf[Array[Byte]]
+    val nb = Bq.numBytes(dim)
+    if (a.length != nb || b.length != nb) throw new IllegalArgumentException(
+      s"$prettyName: code lengths (${a.length}, ${b.length}) != $nb (dim=$dim)")
+    finish(Bq.hamming(a, b))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nb = Bq.numBytes(dim)
+    val finishCode = (h: String) =>
+      if (metric == "hamming") s"(double) $h"
+      else s"1.0 - java.lang.Math.cos(java.lang.Math.PI * $h / (double) $dim)"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val h = ctx.freshName("h")
+      s"""if ($a.length != $nb || $b.length != $nb) {
+         |  throw new IllegalArgumentException("$prettyName: code lengths ("
+         |    + $a.length + ", " + $b.length + ") != $nb (dim=$dim)");
+         |}
+         |int $h = 0;
+         |for (int $i = 0; $i < $nb; $i++) {
+         |  $h += java.lang.Integer.bitCount(($a[$i] ^ $b[$i]) & 0xff);
+         |}
+         |${ev.value} = ${finishCode(h)};""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

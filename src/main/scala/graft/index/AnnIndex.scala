@@ -444,7 +444,18 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       return scanGraph(qs.map(prepQuery).zipWithIndex.map(_.swap), k, searchParam)
     val np = if (searchParam > 0) searchParam else defaultNprobe
     val prepped = qs.map(prepQuery)
-    val queriesDf = prepped.zipWithIndex.map { case (q, i) => (i, q) }.toDF("query_idx", "qvec")
+    // bq fast path: binarize the (tiny) query batch ONCE driver-side, so
+    // every (candidate, query) pair is XOR+popcount over dim/8 bytes — a
+    // float query column would force the O(dim) binarize-on-access kernel
+    // per pair, forfeiting the packed representation's whole advantage
+    val bqDim = codec.collect { case graft.functions.BqCodec(d) => d }
+    val queriesDf = bqDim match {
+      case Some(_) =>
+        prepped.zipWithIndex.map { case (q, i) => (i, graft.functions.Bq.encode(q)) }
+          .toDF("query_idx", "qbits")
+      case None =>
+        prepped.zipWithIndex.map { case (q, i) => (i, q) }.toDF("query_idx", "qvec")
+    }
     val pairs = prepped.zipWithIndex
       .flatMap { case (q, i) =>
         probeLists(q, np, allowAdaptive = searchParam <= 0).map(l => (i, l)) }
@@ -457,7 +468,15 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         live.join(broadcast(pairs), Seq("list_id"))
           .join(broadcast(queriesDf), Seq("query_idx"))
       }
-    val withDist = scored.withColumn("_distance", distColumn(col(dataVecCol), col("qvec")))
+    val dist = bqDim match {
+      case Some(d) => org.apache.spark.sql.GraftBridge.column(
+        graft.functions.BqCodesDistance(
+          org.apache.spark.sql.GraftBridge.expression(col(dataVecCol)),
+          org.apache.spark.sql.GraftBridge.expression(col("qbits")),
+          d, meta.metric))
+      case None => distColumn(col(dataVecCol), col("qvec"))
+    }
+    val withDist = scored.withColumn("_distance", dist)
       .select("query_idx", "id", "_distance")
     TopK.grouped(withDist, "query_idx", "_distance", "id", k)
   }

@@ -147,6 +147,44 @@ class BqSpec extends SparkSpec {
       s"BQ rerank recall ${rr.intersect(exact.toSet).size}/10 below floor")
   }
 
+  test("BqCodesDistance: codes-vs-codes agrees with codes-vs-float on every pair") {
+    import spark.implicits._
+    val dim = 37
+    val vecs = randVecs(40, dim, seed = 29)
+    val q = vecs(7)._2
+    val df = vecs.map { case (id, v) => (id, Bq.encode(v)) }.toDF("id", "codes")
+      .withColumn("qbits", lit(Bq.encode(q)))
+    for (metric <- Seq("cosine", "hamming")) {
+      val viaCodes = df.select(col("id"), GraftBridge.column(
+        graft.functions.BqCodesDistance(
+          GraftBridge.expression(col("codes")),
+          GraftBridge.expression(col("qbits")), dim, metric)).as("d"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val viaFloat = df.select(col("id"), GraftBridge.column(BqDistance(
+        GraftBridge.expression(col("codes")),
+        GraftBridge.expression(lit(q)), dim, metric)).as("d"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      for ((id, _) <- vecs)
+        assert(viaCodes(id) == viaFloat(id), s"$metric mismatch for id $id")
+    }
+  }
+
+  test("searchBatch on a bq index (popcount fast path) equals per-query scans") {
+    import spark.implicits._
+    val vecs = randVecs(150, 64, seed = 43)
+    val idx = AnnIndexManager.create(spark, "bq_batch", vecs.toDF("id", "embedding"),
+      "id", "embedding", "FLAT",
+      Map("metric" -> "cosine", "quantization" -> "bq"), s"$tmp/bq_batch")
+    val qs = Seq(vecs(3)._2, vecs(88)._2, Array.fill(64)(0.5f))
+    val batch = idx.searchBatch(qs, 5).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(x => (x._3, x._2)).map(_._2).toSeq).toMap
+    for ((q, i) <- qs.zipWithIndex) {
+      val single = idx.scan(q, 5).collect().map(_.getLong(0)).toSeq
+      assert(batch(i) == single, s"query $i: batch ${batch(i)} vs scan $single")
+    }
+  }
+
   test("BQ persistence round-trip and insert path") {
     import spark.implicits._
     val reloaded = AnnIndexManager.load(spark, s"$tmp/bq_flat")
