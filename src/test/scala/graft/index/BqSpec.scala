@@ -185,6 +185,30 @@ class BqSpec extends SparkSpec {
     }
   }
 
+  test("BQ DISKANN: edges build on exact floats, shards decode sign vectors") {
+    import spark.implicits._
+    val vecs = randVecs(300, 64, seed = 47)
+    val idx = AnnIndexManager.create(spark, "bq_vam", vecs.toDF("id", "embedding"),
+      "id", "embedding", "DISKANN",
+      Map("metric" -> "cosine", "max_degree" -> "32", "build_complexity" -> "64",
+        "quantization" -> "bq", "shards" -> "2"), s"$tmp/bq_vam")
+    assert(idx.meta.quantized && idx.codec.contains(BqCodec(64)))
+    val q = vecs(42)._2
+    // exhaustive beam over the decoded shards: ranking is by cosine of the
+    // ±1/sqrt(d) sign reconstructions — monotone in Hamming, so the query's
+    // own sign pattern (hamming 0) must surface
+    val got = idx.scan(q, 5, searchParam = 100000).collect().map(_.getLong(0)).toSeq
+    assert(got.size == 5)
+    assert(got.contains(42L), s"self sign-pattern missing from $got")
+    val exact = vecs.map { case (id, v) =>
+      val d = 1.0 - VectorKernels.dot(q, v) /
+        (math.sqrt(VectorKernels.dot(q, q)) * math.sqrt(VectorKernels.dot(v, v)))
+      (id, d)
+    }.sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
+    assert(got.toSet.intersect(exact).size >= 2,
+      s"bq graph overlap ${got.toSet.intersect(exact).size}/5")
+  }
+
   test("BQ persistence round-trip and insert path") {
     import spark.implicits._
     val reloaded = AnnIndexManager.load(spark, s"$tmp/bq_flat")

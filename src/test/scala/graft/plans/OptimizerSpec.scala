@@ -235,4 +235,40 @@ class OptimizerSpec extends SparkSpec {
       AnnOptimizer.disable(spark)
     }
   }
+
+  test("bq index: cosine DESC rewrite re-ranks Hamming candidates exactly") {
+    import spark.implicits._
+    // centered data — the shared all-positive corpus would collapse every
+    // sign pattern to one code and make Hamming ranking degenerate
+    val cvecs = {
+      val rnd = new scala.util.Random(61)
+      Seq.tabulate(300)(i => (i.toLong, Array.fill(6)(rnd.nextFloat() * 2f - 1f)))
+    }
+    val bqPath = s"$tmp/bq_table.parquet"
+    cvecs.toDF("id", "embedding").write.mode("overwrite").parquet(bqPath)
+    AnnIndexManager.create(spark, "opt_bq",
+      spark.read.parquet(bqPath), "id", "embedding", "FLAT",
+      Map("metric" -> "cosine", "quantization" -> "bq", "table_path" -> bqPath),
+      s"$tmp/opt_bq")
+    AnnOptimizer.enable(spark)
+    try {
+      // mult*k = 300 covers the corpus → provably exact despite 1-bit codes
+      spark.conf.set("spark.ann.quantizedRerankMultiplier", "30")
+      val df = spark.read.parquet(bqPath)
+        .withColumn("_cos", cosine_similarity(col("embedding"), typedLit(q.map(_.toDouble))))
+        .orderBy(col("_cos").desc).limit(10)
+      assert(df.queryExecution.optimizedPlan.toString.contains("__ann_index_scan_opt_bq_k10"),
+        s"bq rewrite did not fire:\n${df.queryExecution.optimizedPlan}")
+      def cosScore(v: Array[Float]): Double =
+        VectorKernels.dot(q, v) /
+          (math.sqrt(VectorKernels.dot(q, q)) * math.sqrt(VectorKernels.dot(v, v)))
+      val exact = cvecs.map { case (id, v) => (id, -cosScore(v)) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1)
+      assert(df.collect().map(_.getAs[Long]("id")).toSeq == exact,
+        "re-ranked bq rewrite must return the exact cosine ordering")
+    } finally {
+      spark.conf.unset("spark.ann.quantizedRerankMultiplier")
+      AnnOptimizer.disable(spark)
+    }
+  }
 }
