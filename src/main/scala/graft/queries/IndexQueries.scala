@@ -293,6 +293,24 @@ object IndexQueries {
     "ann_cosine_topk" -> ((s: SparkSession, dir: String) =>
       ranked(cosineIndex(s, dir).scan(qvecF(12), K))),
 
+    // Recall@k harness (operator form of the reference's recall tests,
+    // test/sql/diskann_streaming.test:29-55): exhaustive probing (nprobe =
+    // nlist) must measure exactly 1.0 against the independently computed
+    // brute-force ground truth — the oracle pins all four (hits, recall)
+    // rows, so any drift in searchBatch, grouped top-k, or the distance
+    // kernels breaks the match. Strict.
+    "ann_recall_exact" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Recall.evaluate(ivfIndex(s, dir),
+        Seq.tabulate(4)(i => qvecF(i)), K, searchParam = 8)),
+
+    // the tuning shape users actually run: partial probes (nprobe=2 of 8)
+    // scored against exact ground truth. Deterministic rows-only (the
+    // recall VALUE depends on the probe approximation); floors asserted in
+    // RecallSpec.
+    "ann_recall_probe" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Recall.evaluate(ivfIndex(s, dir),
+        Seq.tabulate(4)(i => qvecF(i)), K, searchParam = 2)),
+
     // Binary quantization (1 bit/dim sign codes, 32x smaller): candidates
     // ordered by XOR+popcount Hamming, an angular proxy. Rows-only (sign
     // ranking is approximate vs the float oracle); kernel exactness and
@@ -532,6 +550,11 @@ object IndexQueries {
          |    ORDER BY list_cosine_similarity($EmbD, ${sqlVec(12)}) DESC, vec_id) AS BIGINT) AS rank
          |  FROM embeddings) t
          |WHERE rank <= $K ORDER BY rank""".stripMargin,
+
+    "ann_recall_exact" ->
+      s"""SELECT CAST(i AS INTEGER) AS query_idx, CAST($K AS BIGINT) AS hits,
+         | CAST($K AS BIGINT) AS k, CAST(1.0 AS DOUBLE) AS recall
+         |FROM range(4) t(i) ORDER BY query_idx""".stripMargin,
 
     "ann_bq_rerank" ->
       s"""SELECT rank, vec_id FROM (
