@@ -167,6 +167,19 @@ object AnnSql {
       plan(idx.searchBatch(qs, k, sp))
     }, "scala_udf")
 
+    // ann_recall(index_name, array(array(...), ...), k[, search_param])
+    // → (query_idx, hits, k, recall): recall@k of the given knob vs exact
+    // exhaustive ground truth over the stored rows (tuning harness)
+    r.createOrReplaceTempFunction("ann_recall", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 3 && exprs.length <= 4,
+        "usage: ann_recall(name, query_vecs, k[, search_param])")
+      val idx = indexByName(spark, constString(exprs(0)))
+      val qs = constVectorList(exprs(1))
+      val k = constInt(exprs(2))
+      val sp = if (exprs.length > 3) constInt(exprs(3)) else -1
+      plan(graft.operators.Recall.evaluate(idx, qs, k, sp))
+    }, "scala_udf")
+
     // ann_search_table(TABLE(queries), index_name, k[, nprobe][, base_table])
     // — the flagship in-out operator (S5): input rows pass through, top-k
     // index hits appended per row; with a base_table name the matched base

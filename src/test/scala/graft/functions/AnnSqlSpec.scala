@@ -100,6 +100,18 @@ class AnnSqlSpec extends SparkSpec {
     assert(batch.length == 6)
   }
 
+  test("SQL TVF ann_recall measures 1.0 for an exact index from SQL") {
+    idx
+    AnnSql.register(spark)
+    val rows = spark.sql(
+      """SELECT query_idx, hits, k, recall FROM ann_recall('sql_idx',
+        |  array(array(0.1, 0.1, 0.1), array(0.9, 0.9, 0.9)), 3)""".stripMargin)
+      .collect()
+    assert(rows.length == 2)
+    assert(rows.forall(r => r.getLong(1) == 3L && r.getDouble(3) == 1.0),
+      s"FLAT index is exact → recall 1.0: ${rows.toSeq}")
+  }
+
   test("SQL TVF ann_search_table takes a TABLE() argument with passthrough columns") {
     import spark.implicits._
     idx
