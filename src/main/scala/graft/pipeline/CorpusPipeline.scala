@@ -82,6 +82,45 @@ object CorpusPipeline {
     df.filter(idHashPrefix(idCol) < thr)
   }
 
+  /** Temperature-scaled mixture weights: per-stratum keep-fractions
+    * proportional to `count^alpha`, scaled so the expected kept total is
+    * `budgetRows`. alpha < 1 flattens the mix (upweights rare domains /
+    * languages — the standard temperature-sampling rule for multilingual
+    * and multi-domain pretraining mixes; alpha = 1 is proportional,
+    * alpha = 0 uniform per stratum). Fractions clamp to 1.0 (a stratum
+    * can't be sampled above its size; the shortfall is NOT redistributed —
+    * the returned map is transparent about what each stratum contributes).
+    *
+    * Driver-side arithmetic over one tiny groupBy-count (one row per
+    * stratum); feed the result straight into [[stratifiedSample]] for the
+    * id-keyed deterministic cut. Returns (stratum -> fraction), fractions
+    * rounded to 6 decimals for cross-engine reproducibility of downstream
+    * hash thresholds. */
+  def temperatureFractions(df: DataFrame, stratumCol: String, alpha: Double,
+                           budgetRows: Long): Map[String, Double] = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    require(budgetRows > 0, s"budgetRows must be positive, got $budgetRows")
+    val counts = df.groupBy(stratumCol).count().collect()
+      .map(r => (r.get(0) match { case null => "" case v => v.toString },
+        r.getLong(1)))
+      .sortBy(_._1) // deterministic weight-sum order
+    val weights = counts.map { case (s, n) => (s, n, math.pow(n.toDouble, alpha)) }
+    val wSum = weights.map(_._3).sum
+    weights.map { case (s, n, w) =>
+      val target = budgetRows.toDouble * w / wSum
+      val frac = math.min(1.0, target / n.toDouble)
+      s -> (math.rint(frac * 1e6) / 1e6)
+    }.toMap
+  }
+
+  /** [[temperatureFractions]] + [[stratifiedSample]] in one call: the
+    * temperature-mixed corpus itself. */
+  def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
+                        alpha: Double, budgetRows: Long): DataFrame =
+    stratifiedSample(df, idCol, stratumCol,
+      temperatureFractions(df, stratumCol, alpha, budgetRows),
+      defaultFraction = 1.0)
+
   /** Deterministic token-budget cut: order rows by id (within a stratum
     * when `partitionBy` is set), keep the prefix whose running
     * whitespace-token total stays within `maxTokens` — "take the first N

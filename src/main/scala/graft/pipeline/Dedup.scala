@@ -498,4 +498,75 @@ object Dedup {
       contaminationHits(corpus, idCol, textCol, benchmark, benchTextCol,
         shingleSize, minOverlap).select(idCol),
       Seq(idCol), "left_anti")
+
+  /** Resolve near-duplicate PAIRS into duplicate GROUPS: every document
+    * that appears in a pair gets `group_id` = the smallest id reachable
+    * through the pair graph (connected components). Pairwise dedup alone
+    * under-deletes transitive chains (a~b, b~c but not a~c): keeping one
+    * winner per PAIR can retain both ends of an unmatched edge. Grouping
+    * first, then keeping min-id per group, is the standard fix (the
+    * union-find step of MinHash dedup pipelines, run here as iterative
+    * min-label propagation — the Spark-shaped equivalent).
+    *
+    * Scale posture: each round is one shuffle-join of the sparse edge set
+    * against the label set plus a min-aggregate, all keyed on id — no
+    * driver-side graph state; rounds needed = component diameter (near-dup
+    * chains are shallow; `maxIter` bounds adversarial corpora, and hitting
+    * it throws rather than returning silently-unconverged groups). The
+    * per-round convergence check is a driver-side scalar count.
+    *
+    * Returns (id, group_id) for every id appearing in `pairs`; isolated
+    * documents (no pair) are their own group by definition — union them
+    * in downstream if a total mapping is needed.
+    */
+  def resolveComponents(pairs: DataFrame, aCol: String, bCol: String,
+                        maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    // localCheckpoint (eager) each round: an iterative plan otherwise
+    // DOUBLES its lineage per round (labels feeds both the join and the
+    // union) — by ~10 rounds the logical plan alone is exponential.
+    // Truncating to the materialized RDD keeps every round's plan O(1),
+    // the same pattern Spark's own iterative algorithms use. (On a
+    // cluster with executor churn, a reliable checkpoint dir is the
+    // durable variant; label sets here are (id, group_id) pairs — tiny
+    // relative to the corpus.)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("group_id", col("id")).localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged) {
+      if (it >= maxIter) {
+        edges.unpersist()
+        throw new IllegalStateException(
+          s"resolveComponents did not converge in $maxIter rounds " +
+            "(component diameter exceeds maxIter — raise it)")
+      }
+      // one hop: every node offers its label to its neighbors; each node
+      // keeps the minimum of its own and all offered labels
+      val offered = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("group_id"))
+      val updated = labels.union(offered)
+        .groupBy("id").agg(min("group_id").as("group_id")).localCheckpoint()
+      val changed = updated.as("u").join(labels.as("l"), "id")
+        .filter(col("u.group_id") =!= col("l.group_id")).limit(1).count()
+      labels = updated
+      converged = changed == 0L
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** One row per duplicate group that [[resolveComponents]] found, keeping
+    * the min-id representative — the group-level analogue of the exact
+    * dedup winner rule. */
+  def dedupByComponents(df: DataFrame, idCol: String, pairs: DataFrame,
+                        aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+    val losers = resolveComponents(pairs, aCol, bCol, maxIter)
+      .filter(col("id") =!= col("group_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

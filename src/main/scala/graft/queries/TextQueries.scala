@@ -60,6 +60,18 @@ object TextQueries {
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", shingleSize = 2)
         .orderBy("a", "b")),
 
+    // near-dup pairs resolved into duplicate GROUPS (connected components
+    // via iterative min-label propagation): transitive chains collapse to
+    // one group id. Strict — the oracle replays the same pair predicate
+    // and takes its transitive closure with a recursive CTE.
+    "dedup_components" -> ((s: SparkSession, dir: String) => {
+      val pairs = Dedup.ngramJaccardExact(docs(s, dir), "doc_id", "text",
+        shingleSize = 2, threshold = 0.5)
+      Dedup.resolveComponents(pairs, "a", "b")
+        .select(col("id").as("doc_id"), col("group_id"))
+        .orderBy("doc_id")
+    }),
+
     // moderate threshold (cos 0.42 ≈ 60°) needs short codes + many repeats:
     // collision prob per repeat (1-θ/π)^bits ≈ 0.07, 20 repeats → ~78% recall
     "neardup_lsh" -> ((s: SparkSession, dir: String) =>
@@ -175,6 +187,22 @@ object TextQueries {
           Map("en" -> 0.1, "zh" -> 0.5), defaultFraction = 1.0)
         .select("doc_id", "lang")
         .orderBy("doc_id")),
+
+    // temperature-scaled mixture weights (count^alpha, budget-normalized,
+    // clamped at 1.0): the per-language fractions a temperature-mixed
+    // pretraining corpus would sample at. Strict — pure count arithmetic
+    // mirrored in SQL, fractions pinned at 6 decimals on both sides.
+    "corpus_temperature" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val fr = graft.pipeline.CorpusPipeline
+        .temperatureFractions(d, "lang", alpha = 0.5, budgetRows = 300)
+      val frDf = fr.toSeq.toDF("lang", "fraction")
+      d.groupBy("lang").count()
+        .join(frDf, Seq("lang"))
+        .select(col("lang"), col("count").as("n_docs"), col("fraction"))
+        .orderBy("lang")
+    }),
 
     // per-language token budget: keep the id-ordered prefix of each
     // stratum within 2000 whitespace tokens
@@ -388,6 +416,16 @@ object TextQueries {
         |       ELSE 'zzzz' END
         |ORDER BY doc_id""".stripMargin,
 
+    // count^0.5 weights normalized to the 300-row budget, clamped at 1,
+    // rounded to the same 6 decimals the Scala side pins
+    "corpus_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n_docs, pow(CAST(n_docs AS DOUBLE), 0.5) AS wt FROM c)
+        |SELECT lang, n_docs,
+        |  round(least(1.0, (300.0 * wt / (SELECT sum(wt) FROM w)) / n_docs) * 1000000)
+        |    / 1000000 AS fraction
+        |FROM w ORDER BY lang""".stripMargin,
+
     // same ws-token arithmetic as text_stats; ordered-frame running sum
     "corpus_token_budget" ->
       """SELECT doc_id, lang, n_tokens, cum_tokens FROM (
@@ -398,6 +436,39 @@ object TextQueries {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         |  FROM documents)
         |WHERE cum_tokens <= 2000
+        |ORDER BY doc_id""".stripMargin,
+
+    // the ngram_jaccard pair predicate, transitively closed by a recursive
+    // CTE (reach(id, r): r reaches id through the symmetrized pair graph),
+    // then MIN(reachable) = the same group representative the Spark-side
+    // label propagation converges to
+    "dedup_components" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |      ELSE [array_to_string(toks[i+1:i+2], ' ')
+        |            FOR i IN generate_series(0, len(toks)-2)] END) AS sh
+        |  FROM (SELECT doc_id,
+        |          [t FOR t IN string_split_regex(lower(text), '\s+') IF len(t) > 0] AS toks
+        |        FROM documents)
+        |),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) >= 0.5 * greatest(len(a.sh), len(b.sh))
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.5
+        |),
+        |edges AS (
+        |  SELECT a AS src, b AS dst FROM pairs
+        |  UNION ALL SELECT b AS src, a AS dst FROM pairs
+        |),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON e.src = reach.id
+        |)
+        |SELECT id AS doc_id, MIN(r) AS group_id FROM reach GROUP BY id
         |ORDER BY doc_id""".stripMargin,
 
     // mirrored shingle-for-shingle: list comprehension = Spark transform/

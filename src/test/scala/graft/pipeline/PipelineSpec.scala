@@ -59,6 +59,36 @@ class PipelineSpec extends SparkSpec {
     assert(report.getAs[Long]("n_too_short") >= 1)  // "zz"
   }
 
+  test("resolveComponents: transitive chains collapse to min-id groups") {
+    import spark.implicits._
+    // chain 1-2, 2-3, 3-4 (no direct 1-4 edge) plus an island 8-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L)).toDF("a", "b")
+    val got = graft.pipeline.Dedup.resolveComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 8L -> 8L, 9L -> 8L))
+
+    // group dedup keeps the min-id representative per component and every
+    // isolated doc (id 7 never appears in a pair)
+    val docs = Seq(1L, 2L, 3L, 4L, 7L, 8L, 9L).toDF("id")
+    val kept = graft.pipeline.Dedup.dedupByComponents(docs, "id", pairs, "a", "b")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 7L, 8L))
+  }
+
+  test("resolveComponents: maxIter guard throws instead of returning unconverged groups") {
+    import spark.implicits._
+    // a 12-node chain needs ~11 rounds for the min label to reach the tail
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      graft.pipeline.Dedup.resolveComponents(chain, "a", "b", maxIter = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // with enough rounds the same chain resolves to one group
+    val ok = graft.pipeline.Dedup.resolveComponents(chain, "a", "b", maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.values.toSet == Set(0L) && ok.size == 12)
+  }
+
   test("exact bigram Jaccard: identical docs score 1.0, one-word swap scores 0.6, rest pruned") {
     val rows = Dedup.ngramJaccardExact(docsDf, "doc_id", "text",
         shingleSize = 2, threshold = 0.5)
@@ -263,6 +293,34 @@ class PipelineSpec extends SparkSpec {
     val bandIds = CorpusPipeline.deterministicSample(rows.filter(col("lang") === "en"),
       "doc_id", 0.1).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(enIds == bandIds)
+  }
+
+  test("temperature fractions: alpha=1 proportional, alpha=0 uniform with clamping, alpha=0.5 flattens") {
+    import spark.implicits._
+    val df = (Seq.fill(100)("web") ++ Seq.fill(16)("books") ++ Seq.fill(4)("code"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "stratum")
+
+    // alpha=1: target_s = budget * n_s / N → fraction = budget/N for all
+    val prop = graft.pipeline.CorpusPipeline.temperatureFractions(df, "stratum", 1.0, 60)
+    assert(prop.values.forall(f => math.abs(f - 0.5) < 1e-9), s"$prop")
+
+    // alpha=0: equal targets (20 each); 'code' (4 rows) clamps to 1.0
+    val flat = graft.pipeline.CorpusPipeline.temperatureFractions(df, "stratum", 0.0, 60)
+    assert(flat("code") == 1.0)
+    assert(math.abs(flat("web") - 0.2) < 1e-9 && math.abs(flat("books") - 1.0) < 1e-9,
+      s"$flat") // books: 20/16 clamps to 1.0 too
+
+    // alpha=0.5: rare strata keep a HIGHER fraction than common ones
+    val half = graft.pipeline.CorpusPipeline.temperatureFractions(df, "stratum", 0.5, 60)
+    assert(half("code") > half("books") && half("books") > half("web"), s"$half")
+
+    // end-to-end sample: deterministic (rerun-identical) and stratum-bounded
+    val s1 = graft.pipeline.CorpusPipeline
+      .temperatureSample(df, "id", "stratum", 0.5, 60).collect().map(_.getLong(0)).toSet
+    val s2 = graft.pipeline.CorpusPipeline
+      .temperatureSample(df, "id", "stratum", 0.5, 60).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "temperature sample must be rerun-stable")
+    assert(s1.nonEmpty && s1.size < 120)
   }
 
   test("token budget keeps the id-ordered prefix within the cap, per stratum") {
