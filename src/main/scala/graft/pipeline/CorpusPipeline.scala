@@ -143,6 +143,34 @@ object CorpusPipeline {
       .filter(col("cum_tokens") <= maxTokens)
   }
 
+  /** Greedy sequence packing — the concat-and-chunk batching rule
+    * pretraining loaders use: documents are concatenated in id order
+    * (per stratum when `partitionBy` is set) and the token stream is cut
+    * every `seqLen` tokens. Each doc is tagged with the sequence it
+    * STARTS in (`seq_id`) and its token offset there (`seq_offset`);
+    * docs longer than the remaining window simply span into following
+    * sequences, exactly like the flattened-stream chunker.
+    *
+    * One partitioned window cumsum — same scale shape as [[tokenBudget]]
+    * (shuffle by stratum, parallel across strata; reserve the global
+    * un-partitioned form for bounded outputs). Deterministic: a pure
+    * function of (id order, token counts). */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    seqLen: Long,
+                    partitionBy: Option[String] = None): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    import org.apache.spark.sql.expressions.Window
+    val base = partitionBy.map(Window.partitionBy(_)).getOrElse(Window.partitionBy())
+    val w = base.orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", TextAnalysis.wsTokenCount(col(textCol)).cast("long"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("__start", col("__cum") - col("n_tokens"))
+      .withColumn("seq_id", floor(col("__start") / seqLen).cast("long"))
+      .withColumn("seq_offset", (col("__start") % seqLen).cast("long"))
+      .drop("__cum", "__start")
+  }
+
   /** Per-reason attrition report for a cleaning run: how many rows each
     * stage would drop (stages evaluated independently over the deduped
     * set, the way corpus-cleaning audits report them). One aggregation

@@ -204,6 +204,15 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // concat-and-chunk sequence packing per language: each doc tagged
+    // with the 512-token window it starts in and its offset there. Strict
+    // (pure window arithmetic, mirrored ws-token counts).
+    "corpus_pack" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.CorpusPipeline.packSequences(docs(s, dir), "doc_id", "text",
+          seqLen = 512, partitionBy = Some("lang"))
+        .select("doc_id", "lang", "n_tokens", "seq_id", "seq_offset")
+        .orderBy("doc_id")),
+
     // per-language token budget: keep the id-ordered prefix of each
     // stratum within 2000 whitespace tokens
     "corpus_token_budget" -> ((s: SparkSession, dir: String) =>
@@ -425,6 +434,21 @@ object TextQueries {
         |  round(least(1.0, (300.0 * wt / (SELECT sum(wt) FROM w)) / n_docs) * 1000000)
         |    / 1000000 AS fraction
         |FROM w ORDER BY lang""".stripMargin,
+
+    // same running-sum shape as corpus_token_budget; the start offset of
+    // each doc in the concatenated per-language stream, chunked every 512
+    "corpus_pack" ->
+      """SELECT doc_id, lang, n_tokens,
+        |  CAST(floor((cum_tokens - n_tokens) / 512) AS BIGINT) AS seq_id,
+        |  CAST((cum_tokens - n_tokens) % 512 AS BIGINT) AS seq_offset
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT))
+        |      OVER (PARTITION BY lang ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
 
     // same ws-token arithmetic as text_stats; ordered-frame running sum
     "corpus_token_budget" ->

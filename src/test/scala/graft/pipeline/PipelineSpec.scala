@@ -323,6 +323,35 @@ class PipelineSpec extends SparkSpec {
     assert(s1.nonEmpty && s1.size < 120)
   }
 
+  test("sequence packing: concat-and-chunk offsets, long docs span windows") {
+    import spark.implicits._
+    // token counts: "a b c" = 3, "d e" = 2, 12 words = 12, "x" = 1
+    val df = Seq(
+      (1L, "a b c"),                            // starts seq 0 @ 0
+      (2L, "d e"),                              // starts seq 0 @ 3
+      (3L, Seq.fill(12)("w").mkString(" ")),    // starts seq 0 @ 5, spans into 2
+      (4L, "x")                                 // starts seq 2 @ 1 (5+12=17 → 17%8=1)
+    ).toDF("id", "text")
+    val got = graft.pipeline.CorpusPipeline.packSequences(df, "id", "text", seqLen = 8)
+      .select("id", "n_tokens", "seq_id", "seq_offset")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((3L, 0L, 0L)))
+    assert(got(2L) == ((2L, 0L, 3L)))
+    assert(got(3L) == ((12L, 0L, 5L)))
+    assert(got(4L) == ((1L, 2L, 1L)))
+
+    // per-stratum packing restarts the stream per stratum
+    val strat = Seq((1L, "en", "a b c d e f"), (2L, "en", "g h"),
+                    (3L, "zh", "i j k")).toDF("id", "lang", "text")
+    val g2 = graft.pipeline.CorpusPipeline
+      .packSequences(strat, "id", "text", seqLen = 4, partitionBy = Some("lang"))
+      .select("id", "seq_id", "seq_offset")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(g2(1L) == ((0L, 0L)))
+    assert(g2(2L) == ((1L, 2L))) // 6 tokens → starts at 6 → seq 1 offset 2
+    assert(g2(3L) == ((0L, 0L))) // zh stream starts fresh
+  }
+
   test("token budget keeps the id-ordered prefix within the cap, per stratum") {
     import spark.implicits._
     val rows = Seq(
