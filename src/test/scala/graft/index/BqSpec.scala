@@ -209,6 +209,24 @@ class BqSpec extends SparkSpec {
       s"bq graph overlap ${got.toSet.intersect(exact).size}/5")
   }
 
+  test("BQ survives delete and vacuum (decode -> re-encode keeps every sign)") {
+    import spark.implicits._
+    val vecs = randVecs(120, 64, seed = 53)
+    val idx = AnnIndexManager.create(spark, "bq_vac", vecs.toDF("id", "embedding"),
+      "id", "embedding", "FLAT",
+      Map("metric" -> "cosine", "quantization" -> "bq"), s"$tmp/bq_vac")
+    val q = vecs(30)._2
+    val before = idx.scan(q, 120).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    idx.delete(Seq(30L, 31L))
+    assert(!idx.scan(q, 5).collect().map(_.getLong(0)).contains(30L))
+    idx.vacuum() // rewrites the dataset via decode -> re-encode
+    assert(idx.meta.numVectors == 118 && idx.meta.numDeleted == 0)
+    val after = idx.scan(q, 118).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(after.keySet == before.keySet -- Set(30L, 31L))
+    // sign packing is idempotent, so every surviving distance is unchanged
+    assert(after.forall { case (id, d) => d == before(id) })
+  }
+
   test("BQ persistence round-trip and insert path") {
     import spark.implicits._
     val reloaded = AnnIndexManager.load(spark, s"$tmp/bq_flat")
