@@ -135,8 +135,14 @@ object AnnSearch {
   def searchTableFetch(idx: AnnIndex, queries: DataFrame, base: DataFrame,
                        baseIdCol: String, k: Int, nprobe: Int = -1,
                        queryVecCol: Option[String] = None,
-                       queryIdCol: Option[String] = None): DataFrame = {
-    val raw = searchTable(idx, queries, k, nprobe, queryVecCol, queryIdCol)
+                       queryIdCol: Option[String] = None,
+                       oversample: Int = 1,
+                       rerank: Boolean = false): DataFrame = {
+    require(!rerank || queryIdCol.isDefined,
+      "searchTableFetch(rerank = true) needs queryIdCol: re-ranking re-cuts " +
+        "top-k per QUERY, which requires the caller's unique query key")
+    val fetchK = if (rerank) k * math.max(1, oversample) else k
+    val raw = searchTable(idx, queries, fetchK, nprobe, queryVecCol, queryIdCol)
     // searchTable output is input.* ++ (id, _distance): rename the LAST
     // two positions so caller columns named id/_distance stay untouched
     val n = raw.columns.length
@@ -151,9 +157,32 @@ object AnnSearch {
       val name = if (inputCols.contains(c)) s"base_$c" else c
       base(c).as(name)
     }
-    hits.join(base, hits("__hit_id") === base(baseIdCol), "left")
-      .select(inputCols.map(hits(_)) ++ baseOut
+    val joined = hits.join(base, hits("__hit_id") === base(baseIdCol), "left")
+    if (!rerank)
+      joined.select(inputCols.map(hits(_)) ++ baseOut
         :+ hits("__hit_distance").as("_distance"): _*)
+    else {
+      // re-score the k·oversample candidates EXACTLY from the fetched base
+      // row's raw float vectors, then re-cut to k per query — the refine
+      // step that makes quantized (sq8/fp16/pq/bq) candidate generation
+      // end in the lossless ranking (same contract as search(rerank=true)).
+      val baseVecName =
+        if (inputCols.contains(idx.meta.vecCol)) s"base_${idx.meta.vecCol}"
+        else idx.meta.vecCol
+      require(base.columns.contains(idx.meta.vecCol),
+        s"rerank needs the raw vector column '${idx.meta.vecCol}' in base")
+      val qvecName = queryVecCol.getOrElse(detectVectorCol(queries.schema))
+      // a LEFT-join miss has no base vector: NaN keeps the row (contract
+      // above) but ranks it after every real candidate
+      val exact = when(col(baseVecName).isNull, lit(Double.NaN))
+        .otherwise(idx.rawDistColumn(
+          vector_nonnull(col(baseVecName)), vector_nonnull(hits(qvecName))))
+      val scored = joined
+        .select((inputCols.map(hits(_)) :+ hits("__hit_id")) ++ baseOut: _*)
+        .withColumn("_distance", exact)
+      TopK.grouped(scored, queryIdCol.get, "_distance", "__hit_id", k)
+        .drop("__hit_id")
+    }
   }
 
   /** S6 `vector_distances`: brute-force distance of a query against every

@@ -293,6 +293,23 @@ object IndexQueries {
     "ann_cosine_topk" -> ((s: SparkSession, dir: String) =>
       ranked(cosineIndex(s, dir).scan(qvecF(12), K))),
 
+    // the flagship table-input operator composed with the refine step:
+    // coarse-PQ candidates from a TABLE of queries, re-scored exactly from
+    // the fetched base vectors at exhaustive oversample (k*64 >= corpus)
+    // → strict per-query oracle.
+    "ann_search_table_rerank" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val res = graft.operators.AnnSearch.searchTableFetch(
+        pqIndex(s, dir), Seq((0, qvecF(19)), (1, qvecF(20))).toDF("query_idx", "qvec"),
+        emb(s, dir), "vec_id", K, queryVecCol = Some("qvec"),
+        queryIdCol = Some("query_idx"), oversample = 64, rerank = true)
+      res.withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_idx"))
+            .orderBy(col("_distance"), col("vec_id"))).cast("long"))
+        .select(col("query_idx"), col("rank"), col("vec_id"))
+        .orderBy("query_idx", "rank")
+    }),
+
     // Recall@k harness (operator form of the reference's recall tests,
     // test/sql/diskann_streaming.test:29-55): exhaustive probing (nprobe =
     // nlist) must measure exactly 1.0 against the independently computed
@@ -550,6 +567,17 @@ object IndexQueries {
          |    ORDER BY list_cosine_similarity($EmbD, ${sqlVec(12)}) DESC, vec_id) AS BIGINT) AS rank
          |  FROM embeddings) t
          |WHERE rank <= $K ORDER BY rank""".stripMargin,
+
+    "ann_search_table_rerank" ->
+      s"""SELECT query_idx, rank, vec_id FROM (
+         |  SELECT q.query_idx, e.vec_id, CAST(row_number() OVER (
+         |    PARTITION BY q.query_idx
+         |    ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), q.qvec), e.vec_id) AS BIGINT) AS rank
+         |  FROM (VALUES
+         |    (CAST(0 AS INTEGER), ${sqlVec(19)}),
+         |    (1, ${sqlVec(20)})) q(query_idx, qvec)
+         |  CROSS JOIN embeddings e) t
+         |WHERE rank <= $K ORDER BY query_idx, rank""".stripMargin,
 
     "ann_recall_exact" ->
       s"""SELECT CAST(i AS INTEGER) AS query_idx, CAST($K AS BIGINT) AS hits,

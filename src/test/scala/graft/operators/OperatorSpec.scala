@@ -240,6 +240,37 @@ class OperatorSpec extends SparkSpec {
     assert(missing.length == 1 && missing.head.getAs[Double]("_distance") == 0.0)
   }
 
+  test("searchTableFetch rerank: coarse-PQ candidates refine to the exact top-k per query") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val vecs = Seq.tabulate(120)(i => (i.toLong, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+    val df = vecs.toDF("id", "embedding")
+    // deliberately coarse PQ (m=2): raw ADC ranking is visibly lossy
+    val idx = AnnIndexManager.create(spark, "fetch_rr_idx", df,
+      "id", "embedding", "FLAT",
+      Map("metric" -> "l2", "quantization" -> "pq", "pq_m" -> "2"),
+      s"${Files.createTempDirectory("graft_fetch_rr")}/idx")
+    val queries = Seq((900L, vecs(7)._2), (901L, vecs(90)._2)).toDF("qid", "qvec")
+    // oversample 12 → 5*12 = 60 candidates... not the full corpus; use 24 → 120 = all
+    val out = AnnSearch.searchTableFetch(idx, queries, df, "id", k = 5,
+      queryVecCol = Some("qvec"), queryIdCol = Some("qid"),
+      oversample = 24, rerank = true)
+    val got = out.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"), r.getAs[Double]("_distance")))
+      .groupBy(_._1).view.mapValues(_.sortBy(x => (x._3, x._2)).map(_._2).toSeq).toMap
+    for ((qid, q) <- Seq((900L, vecs(7)._2), (901L, vecs(90)._2))) {
+      val exact = vecs.map { case (id, v) => (id, VectorKernels.l2Sq(q, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(5).map(_._1)
+      assert(got(qid) == exact, s"query $qid: ${got(qid)} vs $exact")
+    }
+    // rerank without a query key must fail fast, not mis-group
+    val e = intercept[IllegalArgumentException] {
+      AnnSearch.searchTableFetch(idx, queries, df, "id", k = 5,
+        queryVecCol = Some("qvec"), rerank = true)
+    }
+    assert(e.getMessage.contains("queryIdCol"))
+  }
+
   test("searchTable: a query row with a null vector ELEMENT drops out instead of crashing") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
