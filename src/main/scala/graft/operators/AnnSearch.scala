@@ -55,7 +55,14 @@ object AnnSearch {
     // the distance would be NULL and TopK's phase-1 getDouble would NPE
     val qvecRaw = vector_nonnull(col(vecColName))
     val qvec = if (idx.meta.metric == "cosine") normalize_vector(qvecRaw) else qvecRaw
-    val qkeys = qin.select(col(qidCol).as("__qid"), qvec.as("__qvec"))
+    // bq: binarize each query ONCE here (one row per query), so the pair
+    // kernel below is pure XOR+popcount (mirrors AnnIndex.searchBatch)
+    val bqDim = idx.codec.collect { case graft.functions.BqCodec(d) => d }
+    val qkeys = bqDim match {
+      case Some(_) => qin.select(col(qidCol).as("__qid"), qvec.as("__qvec"),
+        graft.functions.Bq.encodeUdf(qvec).as("__qbits"))
+      case None => qin.select(col(qidCol).as("__qid"), qvec.as("__qvec"))
+    }
 
     val top =
       if (idx.isGraphEngine) {
@@ -93,17 +100,27 @@ object AnnSearch {
             // distributed probe assignment: query × centroid (nlist rows —
             // tiny, broadcast), keep the np nearest cells per query, then
             // join the cell-pruned index partitions.
+            val probeCols = Seq("__qid", "__qvec") ++
+              (if (bqDim.isDefined) Seq("__qbits") else Nil) :+ "list_id"
             val probes = qkeys.crossJoin(broadcast(idx.centroidsDf))
               .withColumn("__cd", l2_distance_sq(col("__qvec"), col("centroid")))
               .withColumn("__cr", row_number().over(
                 Window.partitionBy("__qid").orderBy(col("__cd"), col("list_id"))))
               .filter(col("__cr") <= np)
-              .select("__qid", "__qvec", "list_id")
+              .select(probeCols.map(col): _*)
             idx.live.join(broadcast(probes), Seq("list_id"))
           }
 
+        val dist = bqDim match {
+          case Some(d) =>
+            org.apache.spark.sql.GraftBridge.column(graft.functions.BqCodesDistance(
+              org.apache.spark.sql.GraftBridge.expression(col(idx.dataVecCol)),
+              org.apache.spark.sql.GraftBridge.expression(col("__qbits")),
+              d, idx.meta.metric))
+          case None => idx.distColumn(col(idx.dataVecCol), col("__qvec"))
+        }
         val scored = candidates
-          .withColumn("_distance", idx.distColumn(col(idx.dataVecCol), col("__qvec")))
+          .withColumn("_distance", dist)
           .select(col("__qid"), col("id"), col("_distance"))
 
         TopK.grouped(scored, "__qid", "_distance", "id", k)

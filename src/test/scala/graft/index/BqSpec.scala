@@ -209,6 +209,32 @@ class BqSpec extends SparkSpec {
       s"bq graph overlap ${got.toSet.intersect(exact).size}/5")
   }
 
+  test("searchTable on bq indexes (FLAT and IVF branches) matches per-query scans") {
+    import spark.implicits._
+    val vecs = randVecs(150, 64, seed = 67)
+    val df = vecs.toDF("id", "embedding")
+    val queries = Seq((100L, vecs(5)._2), (101L, vecs(60)._2)).toDF("qid", "qvec")
+    def viaTable(idx: AnnIndex, np: Int): Map[Long, Seq[Long]] =
+      graft.operators.AnnSearch.searchTable(idx, queries, 5, nprobe = np,
+        queryVecCol = Some("qvec"), queryIdCol = Some("qid"))
+        .select("qid", "id", "_distance").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(x => (x._3, x._2)).map(_._2).toSeq).toMap
+    val flat = AnnIndexManager.create(spark, "bq_st_flat", df, "id", "embedding",
+      "FLAT", Map("metric" -> "cosine", "quantization" -> "bq"), s"$tmp/bq_st_flat")
+    val ivf = AnnIndexManager.create(spark, "bq_st_ivf", df, "id", "embedding",
+      "IVF", Map("metric" -> "cosine", "quantization" -> "bq",
+        "nlist" -> "4", "nprobe" -> "4"), s"$tmp/bq_st_ivf")
+    for ((idx, np) <- Seq((flat, -1), (ivf, 4))) {
+      val got = viaTable(idx, np)
+      for ((qid, q) <- Seq((100L, vecs(5)._2), (101L, vecs(60)._2))) {
+        val single = idx.scan(q, 5, searchParam = np).collect().map(_.getLong(0)).toSeq
+        assert(got(qid) == single,
+          s"${idx.meta.engine} query $qid: ${got(qid)} vs $single")
+      }
+    }
+  }
+
   test("BQ survives delete and vacuum (decode -> re-encode keeps every sign)") {
     import spark.implicits._
     val vecs = randVecs(120, 64, seed = 53)
