@@ -106,6 +106,59 @@ object BinaryVectorSource {
     } finally out.close()
   }
 
+  /** Export a DataFrame's vectors to the reference's binary file format —
+    * the interchange path BACK to reference tooling (its streaming build
+    * consumes exactly this layout, rust_lib/src/streaming_build.rs:17-29).
+    * Rows are written in ascending `idCol` order; positions become the
+    * format's implicit 0-based labels, so a subsequent [[read]] yields
+    * ids 0..n-1 in the same order.
+    *
+    * The format is one headered file, so the final write is inherently a
+    * single stream: rows are pulled with `toLocalIterator` (one partition
+    * in memory at a time, one row buffered). Use it for bounded exports —
+    * eval sets, fixtures, reference interop — not corpus-scale dumps
+    * (parquet stays the at-scale representation).
+    */
+  def export(df: DataFrame, idCol: String, vecCol: String, path: String): Header = {
+    import org.apache.spark.sql.functions.col
+    val slim = df.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+    val n = slim.count()
+    require(n > 0, "cannot export an empty vector set (the format needs dim > 0)")
+    require(n <= Int.MaxValue, s"format caps num_vectors at u32 range, got $n")
+    val out = new DataOutputStream(
+      new java.io.BufferedOutputStream(new FileOutputStream(path), 1 << 16))
+    try {
+      def writeIntLE(v: Int): Unit = {
+        out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+      }
+      val it = slim.toLocalIterator()
+      var dim = -1
+      var bb: ByteBuffer = null
+      var wrote = 0L
+      var headerWritten = false
+      while (it.hasNext) {
+        val row = it.next()
+        val v = row.getSeq[Float](1)
+        if (!headerWritten) {
+          dim = v.length
+          require(dim > 0, "cannot export zero-dimension vectors")
+          writeIntLE(n.toInt); writeIntLE(dim)
+          bb = ByteBuffer.allocate(dim * 4).order(ByteOrder.LITTLE_ENDIAN)
+          headerWritten = true
+        }
+        require(v.length == dim,
+          s"ragged vector set: row ${row.get(0)} has dim ${v.length}, expected $dim")
+        bb.clear()
+        v.foreach(bb.putFloat)
+        out.write(bb.array())
+        wrote += 1
+      }
+      assert(wrote == n, s"row count changed during export: $wrote != $n")
+      Header(n.toInt, dim)
+    } finally out.close()
+  }
+
   /** S11 `diskann_streaming_build`: out-of-core build binary file → index
     * dataset; returns one row (num_vectors, dimension, sample_size) with
     * sample_size = max(√N, 1000) when unspecified (reference:

@@ -25,6 +25,36 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("export: DataFrame -> binary file -> read round-trips in id order") {
+    import spark.implicits._
+    val p = s"$tmp/export.bin"
+    // deliberately shuffled input ids: export must order by id
+    val df = scala.util.Random.shuffle(vecs.zipWithIndex.toList)
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "embedding")
+      .repartition(4)
+    val h = BinaryVectorSource.export(df, "id", "embedding", p)
+    assert(h.numVectors == 257 && h.dim == 5)
+    val back = BinaryVectorSource.read(spark, p).collect().sortBy(_.getLong(0))
+    back.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i)
+      assert(r.getSeq[Float](1).toArray.toSeq == vecs(i).toSeq)
+    }
+    // the exported file feeds the reference-shaped streaming build directly
+    val res = BinaryVectorSource.diskannStreamingBuild(spark, p,
+      s"$tmp/export_idx", Map("name" -> "export_rt", "shards" -> "2")).collect()
+    assert(res.head.getLong(0) == 257L && res.head.getInt(1) == 5)
+
+    // ragged and empty inputs fail fast
+    val ragged = Seq((0L, Array(1f, 2f)), (1L, Array(1f, 2f, 3f))).toDF("id", "embedding")
+    assert(intercept[IllegalArgumentException] {
+      BinaryVectorSource.export(ragged, "id", "embedding", s"$tmp/ragged.bin")
+    }.getMessage.contains("ragged"))
+    val empty = Seq.empty[(Long, Array[Float])].toDF("id", "embedding")
+    assert(intercept[IllegalArgumentException] {
+      BinaryVectorSource.export(empty, "id", "embedding", s"$tmp/empty.bin")
+    }.getMessage.contains("empty"))
+  }
+
   test("missing and empty input files error (streaming_build.test:8-26)") {
     val missing = intercept[IllegalArgumentException] {
       BinaryVectorSource.readHeader(s"$tmp/nope.bin")
