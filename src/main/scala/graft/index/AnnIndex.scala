@@ -132,13 +132,21 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         base("id") === col("__did") && base("seg") <= col("__dseg"), "left_anti")
     } else data
 
-  /** IVF centroids, collected once per index instance (nlist × dim — tiny). */
-  lazy val centroids: Array[(Int, Array[Float])] =
-    if (meta.engine != "IVF") Array((0, Array.empty[Float]))
-    else spark.read.parquet(centroidsPath)
-      .collect()
-      .map(r => (r.getAs[Int]("list_id"), r.getAs[Seq[Float]]("centroid").toArray))
-      .sortBy(_._1)
+  /** IVF centroids, collected once per index instance (nlist × dim — tiny;
+    * re-read after [[rebalanceCells]] swaps the cell set). */
+  @volatile private var centroidsCache: Array[(Int, Array[Float])] = _
+  def centroids: Array[(Int, Array[Float])] = {
+    var c = centroidsCache
+    if (c == null) {
+      c = if (meta.engine != "IVF") Array((0, Array.empty[Float]))
+      else spark.read.parquet(centroidsPath)
+        .collect()
+        .map(r => (r.getAs[Int]("list_id"), r.getAs[Seq[Float]]("centroid").toArray))
+        .sortBy(_._1)
+      centroidsCache = c
+    }
+    c
+  }
 
   def centroidsDf: DataFrame = spark.read.parquet(centroidsPath)
 
@@ -714,6 +722,126 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     }
     IndexMeta.write(path, meta)
     invalidatePin()
+  }
+
+  /** Data dirs present on disk for a cell-partitioned (FLAT/IVF) dataset. */
+  private def listCellDirs: Seq[Int] = {
+    val p = java.nio.file.Paths.get(dataPath)
+    if (!java.nio.file.Files.isDirectory(p)) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    java.nio.file.Files.list(p).forEach { f =>
+      val n = f.getFileName.toString
+      if (n.startsWith("list_id=") && java.nio.file.Files.isDirectory(f))
+        scala.util.Try(n.stripPrefix("list_id=").toInt).foreach(out += _)
+    }
+    out.sorted.toSeq
+  }
+
+  /** SPANN-style IVF cell rebalancing: split every cell whose physical row
+    * count exceeds `maxCellFactor` × the mean into sub-cells with freshly
+    * trained sub-centroids. At 100 TB a skewed posting list makes every
+    * probe that touches it a straggler; balanced lists are the SPANN
+    * design invariant (Chen et al., NeurIPS'21 — the same paper behind
+    * the adaptive-nprobe rule). Returns the number of cells split.
+    *
+    * Mutation model (same redo-window class insert documents):
+    *  1. orphan GC — a data dir the centroid table doesn't know is a
+    *     crashed writer's leftover; reclaimed first, which also makes a
+    *     crashed rebalance repair itself on the next run;
+    *  2. sub-cell rows append under FRESH list_ids — probed searches
+    *     cannot reach them (no centroid yet); only exhaustive scans see
+    *     duplicates inside the redo window;
+    *  3. the centroid-table swap (tmp + atomic replace) is the commit;
+    *  4. old cell dirs are deleted after the swap — a crash between 3
+    *     and 4 leaves orphans for step 1.
+    *
+    * Quantized cells assign sub-centroids on decoded reconstructions —
+    * clustering the stored representation, consistent with search. */
+  def rebalanceCells(maxCellFactor: Double = 4.0): Int = {
+    require(meta.engine == "IVF",
+      s"rebalanceCells is an IVF operation (engine ${meta.engine})")
+    require(maxCellFactor > 1.0, s"maxCellFactor must exceed 1, got $maxCellFactor")
+    val cdf = centroidsDf
+    val hasRadius = cdf.columns.contains("radius")
+    val cents = cdf.collect().map(r => (r.getAs[Int]("list_id"),
+      r.getAs[Seq[Float]]("centroid").toArray,
+      if (hasRadius) r.getAs[Double]("radius") else 0.0))
+    val known = cents.map(_._1).toSet
+    listCellDirs.filterNot(known).foreach(lid =>
+      IndexMeta.deleteDir(s"$dataPath/list_id=$lid")) // step 1: orphan GC
+
+    val sizes = readData().groupBy("list_id").count().collect()
+      .map(r => r.getAs[Int]("list_id") -> r.getLong(1)).toMap
+    if (sizes.isEmpty) return 0
+    val mean = sizes.values.sum.toDouble / sizes.size
+    val oversized = sizes.filter(_._2 > maxCellFactor * mean).keys.toSeq.sorted
+    if (oversized.isEmpty) return 0
+
+    var nextId = (known ++ sizes.keySet).max + 1
+    val newCents = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Float], Double)]
+    val decodedVec: Column = codec match {
+      case Some(c) => c.decodeUdf(col("codes"))
+      case None => col("vector")
+    }
+    for (lid <- oversized) {
+      val n = sizes(lid)
+      val cell = readData().filter(col("list_id") === lid)
+      val withV = cell.withColumn("__v", decodedVec)
+      // sub-cell count sized to land splits near the mean; bounded sample
+      // for training (faiss posture: training is always sampled)
+      val s = math.min(16, math.max(2, math.ceil(n / mean).toInt))
+      val cap = math.min(n, math.min(256L * s, AnnIndexBuilder.MaxTrainRows.toLong))
+      val trainDf = if (cap < n) withV.sample(withReplacement = false, cap.toDouble / n, seed = 42)
+        else withV
+      val sample = trainDf.select("__v").collect().map(_.getSeq[Float](0).toArray)
+      val subs = AnnIndexBuilder
+        .trainCentroids(sample, math.min(s, math.max(1, sample.length)),
+          maxIter = 10, seed = 42 + lid)
+        .map { case (i, c) => (nextId + i, c) }
+      nextId += subs.length
+      val bc = spark.sparkContext.broadcast(subs)
+      val assign = udf { (v: Seq[Float]) =>
+        val q = v.toArray
+        var best = bc.value.head._1; var bestD = Double.MaxValue
+        for ((sid, c) <- bc.value) {
+          val d = graft.functions.VectorKernels.l2Sq(q, c)
+          if (d < bestD) { bestD = d; best = sid }
+        }
+        best
+      }
+      val dTo = udf { (sid: Int, v: Seq[Float]) =>
+        math.sqrt(graft.functions.VectorKernels.l2Sq(v.toArray,
+          bc.value.find(_._1 == sid).get._2))
+      }
+      val assigned = withV.withColumn("list_id", assign(col("__v"))).cache()
+      // step 2: append the re-assigned rows under the fresh ids
+      assigned.drop("__v")
+        .write.mode("append").partitionBy("list_id").parquet(dataPath)
+      val radii = assigned
+        .groupBy("list_id").agg(max(dTo(col("list_id"), col("__v"))).as("r"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      assigned.unpersist()
+      newCents ++= subs.map { case (sid, c) => (sid, c, radii.getOrElse(sid, 0.0)) }
+    }
+
+    // step 3: commit — swap the centroid table
+    val merged = cents.filterNot(c => oversized.contains(c._1)) ++ newCents
+    import spark.implicits._
+    val tmp = s"$path/centroids_tmp"
+    val mergedDf =
+      if (hasRadius) merged.toSeq.toDF("list_id", "centroid", "radius")
+      else merged.toSeq.map { case (l, c, _) => (l, c) }.toDF("list_id", "centroid")
+    mergedDf.coalesce(1).write.mode("overwrite").parquet(tmp)
+    IndexMeta.replaceDir(tmp, centroidsPath)
+
+    // step 4: drop the split cells' old dirs
+    oversized.foreach(lid => IndexMeta.deleteDir(s"$dataPath/list_id=$lid"))
+
+    meta = meta.copy(params = meta.params + ("nlist" -> merged.size.toString))
+    IndexMeta.write(path, meta)
+    centroidsCache = null
+    invalidatePin()
+    oversized.size
   }
 
   /** MergeIndexes: pull every live vector from the other index and insert;

@@ -91,6 +91,18 @@ object IndexQueries {
       idx
     })
 
+  /** IVF with a forced cell-rebalance pass (SPANN-style skew fix): a low
+    * maxCellFactor makes mild imbalance split, exercising sub-centroid
+    * training, row moves, and the radius re-derivation (build-once). */
+  private def rebalancedIndex(s: SparkSession, dir: String): AnnIndex =
+    AnnIndexManager.getOrBuild(s, "emb_ivf_reb", dir, path => {
+      val idx = AnnIndexManager.create(s, "emb_ivf_reb", emb(s, dir),
+        "vec_id", "embedding", "IVF",
+        Map("metric" -> "l2", "nlist" -> "4", "nprobe" -> "4"), path)
+      idx.rebalanceCells(maxCellFactor = 1.2)
+      idx
+    })
+
   private def hnswIndex(s: SparkSession, dir: String): AnnIndex =
     AnnIndexManager.getOrBuild(s, "emb_hnsw", dir, path =>
       AnnIndexManager.create(s, "emb_hnsw", emb(s, dir), "vec_id", "embedding",
@@ -292,6 +304,12 @@ object IndexQueries {
     // equals cosine-similarity DESC ordering) → strict oracle.
     "ann_cosine_topk" -> ((s: SparkSession, dir: String) =>
       ranked(cosineIndex(s, dir).scan(qvecF(12), K))),
+
+    // exhaustive probing over a REBALANCED cell set stays exact — the
+    // strict oracle pins that splitting cells moves rows without losing,
+    // duplicating, or re-ranking any of them.
+    "ann_rebalanced_topk" -> ((s: SparkSession, dir: String) =>
+      ranked(rebalancedIndex(s, dir).scan(qvecF(21), K, searchParam = 100000))),
 
     // the flagship table-input operator composed with the refine step:
     // coarse-PQ candidates from a TABLE of queries, re-scored exactly from
@@ -567,6 +585,8 @@ object IndexQueries {
          |    ORDER BY list_cosine_similarity($EmbD, ${sqlVec(12)}) DESC, vec_id) AS BIGINT) AS rank
          |  FROM embeddings) t
          |WHERE rank <= $K ORDER BY rank""".stripMargin,
+
+    "ann_rebalanced_topk" -> bruteForceTopK(21),
 
     "ann_search_table_rerank" ->
       s"""SELECT query_idx, rank, vec_id FROM (
