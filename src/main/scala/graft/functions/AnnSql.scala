@@ -167,6 +167,23 @@ object AnnSql {
       plan(idx.searchBatch(qs, k, sp))
     }, "scala_udf")
 
+    // ann_search_filtered(table_name, index_name, query_vec, k, predicate_sql
+    // [, nprobe]) → filtered search via overfetch-and-post-filter with the
+    // exact brute-force fallback (the capability the reference documents
+    // but never implements — its optimizer bails out on any FILTER)
+    r.createOrReplaceTempFunction("ann_search_filtered", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 5 && exprs.length <= 6,
+        "usage: ann_search_filtered(table, index, query_vec, k, predicate_sql[, nprobe])")
+      val base = spark.table(constString(exprs(0)))
+      val idx = indexByName(spark, constString(exprs(1)))
+      val q = constVector(exprs(2))
+      val k = constInt(exprs(3))
+      val pred = org.apache.spark.sql.functions.expr(constString(exprs(4)))
+      val np = if (exprs.length > 5) constInt(exprs(5)) else -1
+      plan(graft.operators.AnnSearch.searchFiltered(
+        idx, base, idx.meta.idCol, q, k, pred, nprobe = np))
+    }, "scala_udf")
+
     // ann_recall(index_name, array(array(...), ...), k[, search_param])
     // → (query_idx, hits, k, recall): recall@k of the given knob vs exact
     // exhaustive ground truth over the stored rows (tuning harness)

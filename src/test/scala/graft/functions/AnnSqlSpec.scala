@@ -100,6 +100,22 @@ class AnnSqlSpec extends SparkSpec {
     assert(batch.length == 6)
   }
 
+  test("SQL TVF ann_search_filtered applies the predicate from SQL") {
+    import spark.implicits._
+    idx
+    AnnSql.register(spark)
+    vecs.toDF("id", "embedding").createOrReplaceTempView("sql_filt_vecs")
+    val rows = spark.sql(
+      """SELECT id, _distance FROM ann_search_filtered('sql_filt_vecs', 'sql_idx',
+        |  array(0.5, 0.5, 0.5), 3, 'id % 2 = 0')""".stripMargin).collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getLong(0) % 2 == 0), "predicate must filter hits")
+    val expect = vecs.filter(_._1 % 2 == 0)
+      .map { case (id, v) => (id, VectorKernels.l2Sq(Array(0.5f, 0.5f, 0.5f), v)) }
+      .sortBy { case (id, d) => (d, id) }.take(3).map(_._1)
+    assert(rows.map(_.getLong(0)).toSeq == expect)
+  }
+
   test("SQL TVF ann_recall measures 1.0 for an exact index from SQL") {
     idx
     AnnSql.register(spark)
