@@ -37,6 +37,19 @@ object TextQueries {
           "vec_id", "embedding", threshold = 0.42)
         .orderBy("a", "b")),
 
+    // near-dup over JL-projected vectors (64 -> 16): the preprocessing
+    // that makes quadratic/LSH candidate work 4x cheaper at wide dims.
+    // Deterministic rows-only (the Gaussian matrix is seeded but not
+    // SQL-mirrorable); distortion + planted-pair contracts in ProjectionSpec.
+    "neardup_projected" -> ((s: SparkSession, dir: String) => {
+      val e = table(s, dir, "embeddings")
+      Dedup.embeddingNearDups(
+          e.select(col("vec_id"), graft.functions.Projection
+            .projectColumn(col("embedding"), 64, 16).as("embedding")),
+          "vec_id", "embedding", threshold = 0.42)
+        .orderBy("a", "b")
+    }),
+
     // deterministic rows-only entries (hash families not SQL-mirrorable)
     "dedup_minhash" -> ((s: SparkSession, dir: String) =>
       Dedup.minhashNearDups(docs(s, dir), "doc_id", "text", threshold = 0.5)
