@@ -187,6 +187,18 @@ object TextQueries {
         .select("doc_id", "lang_pred", "quality_score")
         .orderBy("doc_id")),
 
+    // end-to-end composition: clean (dedup + langid + quality + length)
+    // CHAINED into per-language sequence packing — the chained strict
+    // oracle pins the composed pipeline, not just each stage
+    "corpus_clean_pack" -> ((s: SparkSession, dir: String) => {
+      val cleaned = graft.pipeline.CorpusPipeline.clean(docs(s, dir), "doc_id", "text",
+        minQuality = 0.5, langs = Set("en", "de", "fr", "es"), minChars = 20)
+      graft.pipeline.CorpusPipeline.packSequences(cleaned, "doc_id", "text",
+          seqLen = 512, partitionBy = Some("lang_pred"))
+        .select("doc_id", "lang_pred", "n_tokens", "seq_id", "seq_offset")
+        .orderBy("doc_id")
+    }),
+
     // deterministic id-keyed sampling (md5-prefix threshold): pure
     // function of the id -> reproducible across engines, so strict oracle
     "corpus_sample" -> ((s: SparkSession, dir: String) =>
@@ -234,6 +246,51 @@ object TextQueries {
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
         .orderBy("doc_id"))
   )
+
+  /** The corpus-clean mirror as a reusable WITH prefix ending in a
+    * `cleaned(doc_id, lang_pred, quality_score, n_chars, text)` CTE —
+    * composed oracles (clean → pack) share the stage verbatim, so the
+    * chained strict checks cannot drift from the single-stage one. */
+  private val CleanOracleCte: String =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    string_split_regex(lower(text), '\s+') AS toks,
+      |    CAST(length(text) AS DOUBLE) AS n_chars,
+      |    CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+      |      / greatest(length(text), 1) AS cjk,
+      |    CAST(length(regexp_replace(lower(text), '[^a-z\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+      |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio
+      |  FROM documents
+      |  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+      |), s AS (
+      |  SELECT doc_id, n_chars, cjk, alpha_ratio,
+      |    greatest(len(toks), 1) AS n_tokens,
+      |    len(list_intersect(toks, ['the','and','of','to','in','is','that','it','was','for','with','a'])) AS s_en,
+      |    len(list_intersect(toks, ['der','die','das','und','ist','nicht','mit','ein','eine','zu','den','von'])) AS s_de,
+      |    len(list_intersect(toks, ['le','la','les','et','est','un','une','dans','que','pour','des','du'])) AS s_fr,
+      |    len(list_intersect(toks, ['el','los','las','de','que','y','en','un','una','es','por','con'])) AS s_es
+      |  FROM t
+      |), scored AS (
+      |  SELECT doc_id, n_chars,
+      |    CASE WHEN cjk > 0.3 THEN 'zh'
+      |         WHEN greatest(s_en,s_de,s_fr,s_es) = 0 THEN 'und'
+      |         WHEN s_en = greatest(s_en,s_de,s_fr,s_es) THEN 'en'
+      |         WHEN s_de = greatest(s_en,s_de,s_fr,s_es) THEN 'de'
+      |         WHEN s_fr = greatest(s_en,s_de,s_fr,s_es) THEN 'fr'
+      |         ELSE 'es' END AS lang_pred,
+      |    round(least(n_chars / 500.0, 1.0) * 0.3
+      |        + least(CAST(s_en + s_de + s_fr + s_es AS DOUBLE) / 5.0, 1.0) * 0.2
+      |        + alpha_ratio * 0.3
+      |        + (CASE WHEN n_chars / n_tokens BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2
+      |        + 0.000000001, 4) AS quality_score
+      |  FROM s
+      |), cleaned AS (
+      |  SELECT sc.doc_id, sc.lang_pred, sc.quality_score, sc.n_chars, d.text
+      |  FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id
+      |  WHERE sc.quality_score >= 0.5
+      |    AND sc.lang_pred IN ('en', 'de', 'fr', 'es')
+      |    AND sc.n_chars >= 20
+      |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -383,44 +440,27 @@ object TextQueries {
     // the composed cleaning pass reuses the text_langid and text_quality
     // mirrors verbatim, plus the md5 first-id dedup winner set
     "corpus_clean" ->
-      """WITH t AS (
-        |  SELECT doc_id, text,
-        |    string_split_regex(lower(text), '\s+') AS toks,
-        |    CAST(length(text) AS DOUBLE) AS n_chars,
-        |    CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
-        |      / greatest(length(text), 1) AS cjk,
-        |    CAST(length(regexp_replace(lower(text), '[^a-z\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
-        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio
-        |  FROM documents
-        |  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
-        |), s AS (
-        |  SELECT doc_id, n_chars, cjk, alpha_ratio,
-        |    greatest(len(toks), 1) AS n_tokens,
-        |    len(list_intersect(toks, ['the','and','of','to','in','is','that','it','was','for','with','a'])) AS s_en,
-        |    len(list_intersect(toks, ['der','die','das','und','ist','nicht','mit','ein','eine','zu','den','von'])) AS s_de,
-        |    len(list_intersect(toks, ['le','la','les','et','est','un','une','dans','que','pour','des','du'])) AS s_fr,
-        |    len(list_intersect(toks, ['el','los','las','de','que','y','en','un','una','es','por','con'])) AS s_es
-        |  FROM t
-        |), scored AS (
-        |  SELECT doc_id, n_chars,
-        |    CASE WHEN cjk > 0.3 THEN 'zh'
-        |         WHEN greatest(s_en,s_de,s_fr,s_es) = 0 THEN 'und'
-        |         WHEN s_en = greatest(s_en,s_de,s_fr,s_es) THEN 'en'
-        |         WHEN s_de = greatest(s_en,s_de,s_fr,s_es) THEN 'de'
-        |         WHEN s_fr = greatest(s_en,s_de,s_fr,s_es) THEN 'fr'
-        |         ELSE 'es' END AS lang_pred,
-        |    round(least(n_chars / 500.0, 1.0) * 0.3
-        |        + least(CAST(s_en + s_de + s_fr + s_es AS DOUBLE) / 5.0, 1.0) * 0.2
-        |        + alpha_ratio * 0.3
-        |        + (CASE WHEN n_chars / n_tokens BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2
-        |        + 0.000000001, 4) AS quality_score
-        |  FROM s
-        |)
-        |SELECT doc_id, lang_pred, quality_score FROM scored
-        |WHERE quality_score >= 0.5
-        |  AND lang_pred IN ('en', 'de', 'fr', 'es')
-        |  AND n_chars >= 20
+      s"""$CleanOracleCte
+        |SELECT doc_id, lang_pred, quality_score FROM cleaned
         |ORDER BY doc_id""".stripMargin,
+
+    // end-to-end composition: the SAME cleaned set, then per-language
+    // concat-and-chunk packing — one strict oracle over two chained
+    // pipeline stages (any drift in either stage breaks the match)
+    "corpus_clean_pack" ->
+      s"""$CleanOracleCte
+        |SELECT doc_id, lang_pred, n_tokens,
+        |  CAST(floor((cum_tokens - n_tokens) / 512) AS BIGINT) AS seq_id,
+        |  CAST((cum_tokens - n_tokens) % 512 AS BIGINT) AS seq_offset
+        |FROM (
+        |  SELECT doc_id, lang_pred,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT))
+        |      OVER (PARTITION BY lang_pred ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM cleaned) t
+        |ORDER BY doc_id""".stripMargin,
+
 
     // md5 hex of the SAME input string is engine-identical, so the
     // deterministic samplers mirror exactly; thresholds are
