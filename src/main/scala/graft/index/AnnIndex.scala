@@ -756,7 +756,13 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     *     and 4 leaves orphans for step 1.
     *
     * Quantized cells assign sub-centroids on decoded reconstructions —
-    * clustering the stored representation, consistent with search. */
+    * clustering the stored representation, consistent with search.
+    *
+    * Single-writer discipline (the contract every mutation here has): an
+    * AnnIndex instance created BEFORE a rebalance holds the old centroid
+    * set and must be reloaded before further inserts — assigning into a
+    * split cell would write rows only the orphan GC can see. This
+    * instance refreshes itself. */
   def rebalanceCells(maxCellFactor: Double = 4.0): Int = {
     require(meta.engine == "IVF",
       s"rebalanceCells is an IVF operation (engine ${meta.engine})")

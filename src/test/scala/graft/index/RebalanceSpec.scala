@@ -58,6 +58,17 @@ class RebalanceSpec extends SparkSpec {
     val exactRange = vecs.filter { case (_, v) => VectorKernels.l2Sq(q, v) <= radius }
       .map(_._1).toSet
     assert(gotRange == exactRange, "range search must stay exact after rebalance")
+
+    // insert-after-rebalance (same instance): assignment sees the NEW cell
+    // set and the inserted row is findable — and survives another rebalance
+    import spark.implicits._
+    val extra = Seq((9000L, vecs(3)._2.map(_ + 0.05f)))
+    idx.insert(extra.toDF("id", "embedding"), "id", "embedding")
+    assert(idx.scan(extra.head._2, 1, searchParam = after).collect()
+      .head.getLong(0) == 9000L)
+    idx.rebalanceCells(maxCellFactor = 4.0)
+    assert(idx.data.filter(col("id") === 9000L).count() == 1,
+      "inserted row must survive a subsequent rebalance")
   }
 
   test("balanced index is a no-op; orphan dirs from a crashed run are reclaimed") {
