@@ -82,7 +82,21 @@ object RelationalQueries {
           (expr("ts div 3600000000000") * 3600L).as("hour_epoch"))
         .agg(count(lit(1)).as("n"))
         .orderBy("event_type", "hour_epoch")
-    })
+    }),
+
+    // gap-based sessionization (30-minute gaps): per-session aggregates
+    // over the interaction log — one partitioned window pass, ties broken
+    // by event_id so session ids are a pure function of the data. Both
+    // engines compute on MICROSECOND-truncated epochs (DuckDB's TIMESTAMP
+    // arithmetic is micros; Spark's raw nanos `div 1000` matches it
+    // exactly). Strict.
+    "events_sessions" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Sessionize.sessions(
+          table(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+          "user_id", "ts_us", "event_id", gap = 1800000000L)
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          col("start_ts"), col("end_ts"))
+        .orderBy("user_id", "session_seq"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -125,6 +139,23 @@ object RelationalQueries {
       """SELECT event_type,
         | CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
         | CAST(count(*) AS BIGINT) AS n
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same lag/cumsum arithmetic on epoch-micros; 30 min = 1.8e9 us
+    "events_sessions" ->
+      """SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
+        | min(tsu) AS start_ts, max(tsu) AS end_ts
+        |FROM (
+        |  SELECT user_id, tsu,
+        |    CAST(SUM(CASE WHEN prev IS NULL OR tsu - prev > 1800000000
+        |                  THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM (SELECT user_id, event_id, epoch_us(ts) AS tsu,
+        |          lag(epoch_us(ts)) OVER (
+        |            PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        |        FROM events) a) b
+        |GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin
   )
 }

@@ -58,6 +58,23 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming sessionization: Spark's built-in `session_window` (gap-
+    * based merging session windows) — the continuous analogue of
+    * [[graft.pipeline.Sessionize]]'s batch assignment. Sessions emit once
+    * the watermark passes their (dynamic) end; state per open session,
+    * bounded by the horizon. */
+  def sessionStats(stream: DataFrame, userCol: String, tsCol: String,
+                   gap: String = "30 minutes",
+                   watermarkDelay: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(userCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Continuous ANN enrichment: every micro-batch of embedded documents is
     * run through the table-input index search and lands in `sink` with its
     * top-k neighbors attached (input.*, id, _distance) — e.g. tagging

@@ -295,6 +295,30 @@ class PipelineSpec extends SparkSpec {
     assert(enIds == bandIds)
   }
 
+  test("sessionize: gaps split sessions, aggregates and session filters are exact") {
+    import spark.implicits._
+    // user 1: events at t=0,10 (one session), then 2000,2010 (gap 1990 > 100)
+    // user 2: a singleton
+    val ev = Seq((1L, 0L, 100L), (1L, 10L, 101L), (1L, 2000L, 102L),
+      (1L, 2010L, 103L), (2L, 5L, 200L)).toDF("user_id", "ts", "event_id")
+    val tagged = graft.pipeline.Sessionize.assign(ev, "user_id", "ts", "event_id", gap = 100L)
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap // event_id -> session_seq
+    assert(tagged == Map(100L -> 1L, 101L -> 1L, 102L -> 2L, 103L -> 2L, 200L -> 1L))
+
+    val sess = graft.pipeline.Sessionize.sessions(ev, "user_id", "ts", "event_id", 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(sess((1L, 1L)) == ((2L, 0L, 10L)))
+    assert(sess((1L, 2L)) == ((2L, 2000L, 2010L)))
+    assert(sess((2L, 1L)) == ((1L, 5L, 5L)))
+
+    // drop singleton sessions: user 2 disappears, user 1 keeps all events
+    val kept = graft.pipeline.Sessionize.filterSessions(ev, "user_id", "ts", "event_id",
+        100L, keep = col("n_events") >= 2)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(100L, 101L, 102L, 103L))
+  }
+
   test("temperature fractions: alpha=1 proportional, alpha=0 uniform with clamping, alpha=0.5 flattens") {
     import spark.implicits._
     val df = (Seq.fill(100)("web") ++ Seq.fill(16)("books") ++ Seq.fill(4)("code"))

@@ -48,6 +48,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionization: session_window merges within the gap, splits across it") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long)]
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val out = StreamingPipeline.sessionStats(
+      ms.toDF().toDF("ts", "user_id"), "user_id", "ts",
+      gap = "30 minutes", watermarkDelay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("session_stats")
+      .outputMode("append").start()
+    try {
+      // user 1: 10:00, 10:20 (same session), 11:30 (new session — 70 min gap)
+      // user 2: 10:05 alone
+      ms.addData((ts(10, 0), 1L), (ts(10, 20), 1L), (ts(11, 30), 1L), (ts(10, 5), 2L))
+      q.processAllAvailable()
+      ms.addData((ts(14, 0), 9L)) // advance watermark past every session end
+      q.processAllAvailable()
+      val rows = spark.table("session_stats")
+        .select("user_id", "session_start", "n_events").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString) -> r.getLong(2)).toMap
+      assert(rows((1L, "2026-01-01 10:00:00.0")) == 2L, s"$rows")
+      assert(rows((1L, "2026-01-01 11:30:00.0")) == 1L)
+      assert(rows((2L, "2026-01-01 10:05:00.0")) == 1L)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops in-horizon duplicate fingerprints, state watermark-bounded") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
