@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.functions.VectorKernels
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Maximal Marginal Relevance (MMR, Carbonell & Goldstein SIGIR'98): re-rank
+  * a candidate pool so results balance query relevance against redundancy —
+  * the standard diversity pass over ANN hits before showing/sampling them
+  * (near-identical corpus chunks otherwise fill the whole top-k).
+  *
+  * Division of labor at scale: candidate GENERATION is the distributed part
+  * (any index search producing (id, vector, _distance)); the greedy
+  * selection is inherently sequential in k and runs driver-side over the
+  * collected pool — k·oversample rows, driver-tiny by construction, same
+  * size class as every search result. `maxPool` fails fast if a caller
+  * hands an unbounded relation.
+  */
+object Diversify {
+
+  /** Greedy MMR over a candidate pool.
+    *
+    * @param candidates (idCol, vecCol, distCol) — distCol on the engine's
+    *                   ascending `_distance` scale. Relevance is min-max
+    *                   normalized to [0,1] WITHIN the pool, putting it on
+    *                   the same scale as the cosine redundancy term —
+    *                   without this, lambda's meaning would depend on the
+    *                   metric's raw magnitudes (squared-L2 distances of
+    *                   wide vectors dwarf cosine similarities).
+    * @param lambda     1.0 = pure relevance (input order), 0.0 = pure
+    *                   diversity. Redundancy = max cosine similarity to an
+    *                   already-selected result.
+    * @return (rank, id, mmr_score) — rank 1-based selection order. */
+  def mmr(candidates: DataFrame, idCol: String, vecCol: String,
+          distCol: String, k: Int, lambda: Double = 0.7,
+          maxPool: Int = 65536): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val spark = candidates.sparkSession
+    val rows = candidates.select(col(idCol), col(vecCol), col(distCol))
+      .limit(maxPool + 1).collect()
+    require(rows.length <= maxPool,
+      s"MMR pool exceeds $maxPool rows — bound the candidate set " +
+        "(k*oversample search results), MMR is a re-rank, not a scan")
+    val ids = rows.map(_.getLong(0))
+    val vecs = rows.map(_.getSeq[Float](1).toArray)
+    val dists = rows.map(_.getDouble(2))
+    val (dMin, dMax) = if (dists.isEmpty) (0.0, 0.0) else (dists.min, dists.max)
+    val rel = dists.map(d =>
+      if (dMax > dMin) (dMax - d) / (dMax - dMin) else 1.0)
+    val n = rows.length
+    val norms = vecs.map(v => math.sqrt(VectorKernels.dot(v, v)))
+    def cos(i: Int, j: Int): Double = {
+      val d = norms(i) * norms(j)
+      if (d == 0.0) 0.0 else VectorKernels.dot(vecs(i), vecs(j)) / d
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val picked = new Array[Boolean](n)
+    val maxSim = Array.fill(n)(Double.NegativeInfinity) // to selected set
+    while (selected.length < math.min(k, n)) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!picked(i)) {
+          val red = if (selected.isEmpty) 0.0 else maxSim(i)
+          val score = lambda * rel(i) - (1.0 - lambda) * red
+          // deterministic tie-break: higher relevance, then lower id
+          if (score > bestScore ||
+              (score == bestScore && best >= 0 &&
+                (rel(i) > rel(best) || (rel(i) == rel(best) && ids(i) < ids(best))))) {
+            best = i; bestScore = score
+          }
+        }
+        i += 1
+      }
+      picked(best) = true
+      selected += ((best, bestScore))
+      var j = 0
+      while (j < n) {
+        if (!picked(j)) {
+          val s = cos(best, j)
+          if (s > maxSim(j)) maxSim(j) = s
+        }
+        j += 1
+      }
+    }
+    toDf(spark, selected.toSeq.map { case (i, s) => (ids(i), s) })
+  }
+
+  private def toDf(spark: SparkSession, sel: Seq[(Long, Double)]): DataFrame = {
+    import spark.implicits._
+    sel.zipWithIndex
+      .map { case ((id, s), r) => (r + 1L, id, s) }
+      .toDF("rank", "id", "mmr_score")
+  }
+}

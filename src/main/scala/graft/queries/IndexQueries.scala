@@ -305,6 +305,20 @@ object IndexQueries {
     "ann_cosine_topk" -> ((s: SparkSession, dir: String) =>
       ranked(cosineIndex(s, dir).scan(qvecF(12), K))),
 
+    // MMR diversity re-rank over index hits (Carbonell-Goldstein):
+    // deterministic greedy selection over a k*4 candidate pool.
+    // Rows-only (the relevance/redundancy mix is not SQL-mirrorable);
+    // displacement and determinism contracts in DiversifySpec.
+    "ann_mmr" -> ((s: SparkSession, dir: String) => {
+      val hits = flatIndex(s, dir).scan(qvecF(22), K * 4)
+      val withVecs = hits.join(
+        emb(s, dir).select(col("vec_id").as("id"), col("embedding")), "id")
+      graft.operators.Diversify.mmr(withVecs, "id", "embedding", "_distance",
+          K, lambda = 0.7)
+        .select(col("rank"), col("id").as("vec_id"))
+        .orderBy("rank")
+    }),
+
     // exhaustive probing over a REBALANCED cell set stays exact — the
     // strict oracle pins that splitting cells moves rows without losing,
     // duplicating, or re-ranking any of them.

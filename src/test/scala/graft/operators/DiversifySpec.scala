@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DiversifySpec extends SparkSpec {
+
+  // pool: two near-duplicate highly-relevant vectors + one orthogonal,
+  // slightly less relevant
+  private def pool = {
+    import spark.implicits._
+    Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0.10), // best relevance
+      (2L, Array(0.999f, 0.01f, 0.0f), 0.11), // near-dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f), 0.30) // diverse, less relevant
+    ).toDF("id", "vector", "_distance")
+  }
+
+  test("lambda=1 is pure relevance order; moderate lambda promotes the diverse result") {
+    val pure = Diversify.mmr(pool, "id", "vector", "_distance", k = 3, lambda = 1.0)
+      .collect().map(_.getLong(1)).toSeq
+    assert(pure == Seq(1L, 2L, 3L), s"pure relevance: $pure")
+
+    val div = Diversify.mmr(pool, "id", "vector", "_distance", k = 2, lambda = 0.5)
+      .collect().map(_.getLong(1)).toSeq
+    assert(div == Seq(1L, 3L),
+      s"diversity must displace the near-duplicate at rank 2: $div")
+  }
+
+  test("determinism, k > n, and the pool bound") {
+    val a = Diversify.mmr(pool, "id", "vector", "_distance", k = 10, lambda = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = Diversify.mmr(pool, "id", "vector", "_distance", k = 10, lambda = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b && a.length == 3, "k > n returns the whole pool, rerun-stable")
+
+    val e = intercept[IllegalArgumentException] {
+      Diversify.mmr(pool, "id", "vector", "_distance", k = 2, maxPool = 2)
+    }
+    assert(e.getMessage.contains("pool"))
+  }
+
+  test("MMR over real index hits: near-dup pair never occupies both top slots") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    // centered vectors: random cosine similarities near 0, so redundancy
+    // genuinely separates the planted duplicate from ordinary neighbors
+    val base = Seq.tabulate(100)(i => (i.toLong, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+    // plant an exact duplicate of vector 7 as id 999
+    val vecs = base :+ (999L, base(7)._2.clone())
+    val idx = graft.index.AnnIndexManager.create(spark, "mmr_idx",
+      vecs.toDF("id", "embedding"), "id", "embedding", "FLAT",
+      Map("metric" -> "l2"),
+      s"${java.nio.file.Files.createTempDirectory("graft_mmr")}/idx")
+    val q = base(7)._2
+    val hits = idx.scan(q, 20) // (id, _distance): 7 and 999 tie at 0
+      .join(vecs.toDF("id", "embedding"), "id")
+    val picked = Diversify.mmr(hits, "id", "embedding", "_distance",
+      k = 2, lambda = 0.3).collect().map(_.getLong(1)).toSet
+    assert(!(picked.contains(7L) && picked.contains(999L)),
+      s"exact duplicates must not fill both diversity slots: $picked")
+  }
+}
