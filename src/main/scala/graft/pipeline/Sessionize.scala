@@ -43,7 +43,9 @@ object Sessionize {
 
   /** Keep-filter for session-level cuts (e.g. drop bot-like sessions with
     * too many events, or singleton sessions): the session predicate joins
-    * back by (user, session_seq) as a broadcast-free semi-join. */
+    * back by (user, session_seq) as a semi-join — both sides already
+    * shuffled on the user key by the window pass, so AQE plans the cheap
+    * side (session keys, one row per session) as the build side. */
   def filterSessions(df: DataFrame, userCol: String, tsCol: String,
                      tieBreakCol: String, gap: Long,
                      keep: Column): DataFrame = {
