@@ -295,6 +295,25 @@ class PipelineSpec extends SparkSpec {
     assert(enIds == bandIds)
   }
 
+  test("edge guards: empty-text packing follows the ws-token contract; bad params fail fast") {
+    import spark.implicits._
+    val df = Seq((1L, "")).toDF("id", "text")
+    // empty text counts ONE ws token — the same arithmetic text_stats pins
+    val p = graft.pipeline.CorpusPipeline.packSequences(df, "id", "text", 8)
+      .collect().head
+    assert(p.getAs[Long]("n_tokens") == 1L && p.getAs[Long]("seq_id") == 0L)
+    intercept[IllegalArgumentException](
+      graft.pipeline.CorpusPipeline.packSequences(df, "id", "text", 0))
+    intercept[IllegalArgumentException](
+      graft.pipeline.CorpusPipeline.temperatureFractions(df, "text", alpha = 1.5, budgetRows = 10))
+    intercept[IllegalArgumentException](
+      graft.pipeline.CorpusPipeline.temperatureFractions(df, "text", alpha = 0.5, budgetRows = 0))
+    intercept[IllegalArgumentException](
+      graft.pipeline.Sessionize.assign(df, "id", "ts", "id", gap = 0L))
+    intercept[IllegalArgumentException](
+      graft.functions.RandomProjection(null, 0, 4, 1L))
+  }
+
   test("sessionize: gaps split sessions, aggregates and session filters are exact") {
     import spark.implicits._
     // user 1: events at t=0,10 (one session), then 2000,2010 (gap 1990 > 100)
