@@ -77,7 +77,8 @@ object Bench {
     for (name <- Seq("dedup_exact", "dedup_minhash", "dedup_simhash",
                      "text_stats", "text_langid", "text_quality",
                      "neardup_cosine", "neardup_lsh",
-                     "pii_scrub", "decontaminate", "semantic_dedup_clustered")) {
+                     "pii_scrub", "decontaminate", "semantic_dedup_clustered",
+                     "events_sessions", "corpus_clean_pack")) {
       time(name) { noop(q(name)(spark, sfDir)) }
     }
 
