@@ -22,6 +22,88 @@ object MediaCodecs {
   final case class AudioData(sampleRate: Int, channels: Int,
                              samples: Array[Short])
 
+  // ---- compressed rasters via the JDK's built-in ImageIO ----
+  // PNG/JPEG/BMP/GIF readers ship with java.desktop — pure JVM, no native
+  // libraries, headless-safe (decode never touches a display). This is a
+  // REAL codec path, not a stub: pixels round-trip exactly for the
+  // lossless containers (PNG/BMP/GIF).
+
+  /** Container name for payloads ImageIO handles, by magic bytes;
+    * None = not an ImageIO container (or too short to tell). */
+  def imageIoFormat(p: Array[Byte]): Option[String] = {
+    if (p == null || p.length < 4) return None
+    if (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') Some("png")
+    else if (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte && p(2) == 0xFF.toByte) Some("jpeg")
+    else if (p(0) == 'B' && p(1) == 'M') Some("bmp")
+    else if (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') Some("gif")
+    else None
+  }
+
+  /** Decode a PNG/JPEG/BMP/GIF payload to the shared raster shape:
+    * grayscale sources → 1 channel, everything else → interleaved RGB.
+    * Total like every codec here (malformed/oversized → None). The
+    * 64M-pixel cap bounds per-row decode memory at corpus scale. */
+  def decodeImageIO(payload: Array[Byte]): Option[ImageData] = {
+    if (imageIoFormat(payload).isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
+      val gray = img.getColorModel.getNumComponents == 1
+      val c = if (gray) 1 else 3
+      val out = new Array[Byte](w * h * c)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val base = (y * w + x) * c
+          if (gray) out(base) = (rgb & 0xff).toByte
+          else {
+            out(base) = ((rgb >> 16) & 0xff).toByte
+            out(base + 1) = ((rgb >> 8) & 0xff).toByte
+            out(base + 2) = (rgb & 0xff).toByte
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Some(ImageData(w, h, c, out))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Encode the shared raster shape as PNG (lossless, pure JDK) — the
+    * write side for resized compressed-container images. */
+  def encodePng(img: ImageData): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(img.width, img.height,
+      if (img.channels == 1) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      else java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val base = (y * img.width + x) * img.channels
+        val rgb =
+          if (img.channels == 1) { val v = img.pixels(base) & 0xff; (v << 16) | (v << 8) | v }
+          else ((img.pixels(base) & 0xff) << 16) |
+            ((img.pixels(base + 1) & 0xff) << 8) | (img.pixels(base + 2) & 0xff)
+        bi.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Any supported still-image container → raster (netpbm first — cheap
+    * sniff — then the ImageIO family). */
+  def decodeAnyImage(payload: Array[Byte]): Option[ImageData] =
+    decodeNetpbm(payload).orElse(decodeImageIO(payload))
+
   // ---- netpbm (PGM P2/P5, PPM P3/P6) ----
 
   def decodeNetpbm(payload: Array[Byte]): Option[ImageData] = {

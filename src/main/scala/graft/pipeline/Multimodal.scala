@@ -8,13 +8,15 @@ import org.apache.spark.sql.types._
   * are opaque BINARY columns with typed metadata; decode / feature-extract /
   * frame-sample run as partition-batched transforms.
   *
-  * Uncompressed formats decode for REAL through [[MediaCodecs]] (netpbm
-  * PGM/PPM images; RIFF/WAV PCM-16 audio) — decode, nearest-neighbor
-  * resize, luminance-histogram and RMS-energy features are all exact and
-  * tested. Compressed formats (JPEG/MP3/H.264 — codecs unavailable in
-  * this environment) fall back to the clearly-marked header STUB; a real
-  * deployment swaps only that branch, the Spark plumbing (schema,
-  * partition batching, null/error discipline) stays.
+  * Still images decode for REAL through [[MediaCodecs]]: netpbm PGM/PPM
+  * plus PNG/JPEG/BMP/GIF via the JDK's built-in ImageIO readers (pure
+  * JVM, headless-safe) — decode, nearest-neighbor resize, luminance-
+  * histogram features, and lossless PNG re-encode are all exact and
+  * tested. RIFF/WAV PCM-16 audio decodes for real too. Only compressed
+  * AUDIO/VIDEO (MP3/H.264 — no JVM codecs exist) falls back to the
+  * clearly-marked header STUB; a real deployment swaps that one branch,
+  * the Spark plumbing (schema, partition batching, null/error
+  * discipline) stays.
   */
 object Multimodal {
 
@@ -26,7 +28,7 @@ object Multimodal {
 
   /** `width`/`height`/`channels` describe images; audio maps frames →
     * `n_frames`, rate → `sample_rate`, with width/height 0. `format` is
-    * the detected container: pgm|ppm|wav|raw12(stub)|unknown. */
+    * the detected container: pgm|ppm|png|jpeg|bmp|gif|wav|raw12(stub)|unknown. */
   val decodedMetaType: StructType = StructType(Seq(
     StructField("format", StringType, nullable = false),
     StructField("width", IntegerType, nullable = false),
@@ -61,6 +63,13 @@ object Multimodal {
         return Row(fmt, img.width, img.height, img.channels, 0, 0L, true)
       case None => ()
     }
+    // compressed rasters decode for REAL through the JDK's ImageIO
+    MediaCodecs.decodeImageIO(payload) match {
+      case Some(img) =>
+        return Row(MediaCodecs.imageIoFormat(payload).get,
+          img.width, img.height, img.channels, 0, 0L, true)
+      case None => ()
+    }
     MediaCodecs.decodeWavPcm16(payload) match {
       case Some(a) =>
         return Row("wav", 0, 0, a.channels, a.sampleRate,
@@ -83,25 +92,32 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
-  /** REAL resize: netpbm payloads are decoded, nearest-neighbor-resized to
-    * (w, h) and re-encoded (binary P5/P6); non-netpbm rows get null.
-    * Row-local → scales embarrassingly. */
+  /** REAL resize: image payloads (netpbm OR png/jpeg/bmp/gif via ImageIO)
+    * are decoded, nearest-neighbor-resized to (w, h) and re-encoded —
+    * netpbm stays binary P5/P6, compressed containers re-encode as
+    * lossless PNG. Non-image rows get null. Row-local → scales
+    * embarrassingly. */
   def resizeImages(df: DataFrame, w: Int, h: Int,
                    payloadCol: String = "payload"): DataFrame = {
     val resizeUdf = udf { payload: Array[Byte] =>
-      MediaCodecs.decodeNetpbm(payload)
-        .map(img => MediaCodecs.encodeNetpbm(MediaCodecs.resizeNearest(img, w, h)))
-        .orNull
+      MediaCodecs.decodeNetpbm(payload) match {
+        case Some(img) =>
+          MediaCodecs.encodeNetpbm(MediaCodecs.resizeNearest(img, w, h))
+        case None =>
+          MediaCodecs.decodeImageIO(payload)
+            .map(img => MediaCodecs.encodePng(MediaCodecs.resizeNearest(img, w, h)))
+            .orNull
+      }
     }
     df.withColumn("resized_payload", resizeUdf(col(payloadCol)))
   }
 
   /** REAL image features: normalized luminance histogram over `bins`
-    * buckets for netpbm payloads; null otherwise. */
+    * buckets for any decodable image payload; null otherwise. */
   def withImageFeatures(df: DataFrame, bins: Int = 16,
                         payloadCol: String = "payload"): DataFrame = {
     val histUdf = udf { payload: Array[Byte] =>
-      MediaCodecs.decodeNetpbm(payload)
+      MediaCodecs.decodeAnyImage(payload)
         .map(MediaCodecs.luminanceHistogram(_, bins)).orNull
     }
     df.withColumn("image_features", histUdf(col(payloadCol)))

@@ -31,7 +31,38 @@ object MultimodalQueries {
     bb.array()
   }
 
+  /** A real PNG whose dims derive from doc_id: gradient gray raster,
+    * encoded by the pure-JDK codec. The decode side must recover the
+    * dims through ACTUAL PNG parsing — no header arithmetic shortcut. */
+  private val pngUdf = udf { id: Long =>
+    val w = (id % 13 + 2).toInt
+    val h = (id % 7 + 2).toInt
+    val px = Array.tabulate(w * h)(i => ((i * 11 + id) % 256).toByte)
+    graft.pipeline.MediaCodecs.encodePng(
+      graft.pipeline.MediaCodecs.ImageData(w, h, 1, px))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // REAL compressed-raster decode: deterministic PNGs (dims a function
+    // of doc_id) go through ImageIO; the oracle predicts the dims
+    // arithmetically, so a strict match proves the codec actually parsed
+    // the container. Strict.
+    "multimodal_png" -> ((s: SparkSession, dir: String) => {
+      val docs = table(s, dir, "documents")
+      val media = docs.select(
+        col("doc_id").as("media_id"),
+        lit("image").as("media_type"),
+        pngUdf(col("doc_id")).as("payload"),
+        lit(null).cast("string").as("source"))
+      Multimodal.withDecodedMeta(media)
+        .select(col("media_id").as("doc_id"),
+          col("decoded.format").as("format"),
+          col("decoded.width").cast("long").as("width"),
+          col("decoded.height").cast("long").as("height"),
+          col("decoded.channels").cast("long").as("channels"))
+        .orderBy("doc_id")
+    }),
+
     "multimodal_decode" -> ((s: SparkSession, dir: String) => {
       val docs = table(s, dir, "documents")
       val media = docs.select(
@@ -55,6 +86,13 @@ object MultimodalQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "multimodal_png" ->
+      """SELECT doc_id, 'png' AS format,
+        |  CAST(doc_id % 13 + 2 AS BIGINT) AS width,
+        |  CAST(doc_id % 7 + 2 AS BIGINT) AS height,
+        |  CAST(1 AS BIGINT) AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // width/height/channels mirror the header derivation; n_frames =
     // ceil(nf/2) kept of nf = ceil(payloadBytes/64) frames, with
     // payloadBytes = 12 + strlen(text) (DuckDB strlen = UTF-8 bytes)
