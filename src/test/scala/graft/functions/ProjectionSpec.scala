@@ -63,6 +63,20 @@ class ProjectionSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("input dim")))
   }
 
+  test("up-projection (outDim > dim) and dim-1 inputs are well-defined") {
+    import spark.implicits._
+    val df = Seq((1L, Array(2.5f)), (2L, Array(-1.0f))).toDF("id", "v")
+    val up = df.select(col("id"), Projection.projectColumn(col("v"), 1, 4).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(up(1L).length == 4)
+    // projection of a 1-dim input is the matrix column scaled by the input:
+    // opposite-sign inputs give proportional, opposite-sign outputs
+    val ratio = up(1L)(0) / up(2L)(0)
+    assert(up(1L).indices.forall(j =>
+      math.abs(up(1L)(j) / up(2L)(j) - ratio) < 1e-3), "columns proportional")
+    assert(ratio < 0.0, "opposite signs preserved")
+  }
+
   test("projected near-dup: a planted duplicate pair survives the reduction") {
     import spark.implicits._
     val vecs = randVecs(80, 64, seed = 11) :+ (999L, randVecs(80, 64, 11)(5)._2)

@@ -253,6 +253,21 @@ class BqSpec extends SparkSpec {
     assert(after.forall { case (id, d) => d == before(id) })
   }
 
+  test("BQ edges: dim-1 vectors, k > n, and duplicate sign patterns") {
+    import spark.implicits._
+    val oneD = Seq((1L, Array(0.5f)), (2L, Array(-0.5f)), (3L, Array(0.9f)))
+    val idx = AnnIndexManager.create(spark, "bq_edge", oneD.toDF("id", "embedding"),
+      "id", "embedding", "FLAT",
+      Map("metric" -> "cosine", "quantization" -> "bq"), s"$tmp/bq_edge")
+    // k > n returns all rows; ids 1 and 3 share the positive sign pattern
+    // (hamming 0 to a positive query), id 2 is the full flip (distance 2)
+    val got = idx.scan(Array(1f), 10).collect()
+    assert(got.length == 3)
+    assert(got.take(2).map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(got.take(2).forall(_.getDouble(1) == 0.0))
+    assert(got(2).getLong(0) == 2L && math.abs(got(2).getDouble(1) - 2.0) < 1e-12)
+  }
+
   test("BQ persistence round-trip and insert path") {
     import spark.implicits._
     val reloaded = AnnIndexManager.load(spark, s"$tmp/bq_flat")
