@@ -85,6 +85,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // the cleaning ACTION: corpus minus non-representative group members
+    // (transitive chains keep exactly one winner) — strict
+    "dedup_components_clean" -> ((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccardExact(d, "doc_id", "text",
+        shingleSize = 2, threshold = 0.5)
+      Dedup.dedupByComponents(d, "doc_id", pairs, "a", "b")
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // moderate threshold (cos 0.42 ≈ 60°) needs short codes + many repeats:
     // collision prob per repeat (1-θ/π)^bits ≈ 0.07, 20 repeats → ~78% recall
     "neardup_lsh" -> ((s: SparkSession, dir: String) =>
@@ -246,6 +257,36 @@ object TextQueries {
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
         .orderBy("doc_id"))
   )
+
+  /** The ngram-jaccard pair graph's transitive closure as a reusable WITH
+    * prefix ending in `reach(id, r)` — r reaches id through the
+    * symmetrized near-dup pair graph. */
+  private val ComponentsOracleCte: String =
+    """WITH RECURSIVE s AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+      |      ELSE [array_to_string(toks[i+1:i+2], ' ')
+      |            FOR i IN generate_series(0, len(toks)-2)] END) AS sh
+      |  FROM (SELECT doc_id,
+      |          [t FOR t IN string_split_regex(lower(text), '\s+') IF len(t) > 0] AS toks
+      |        FROM documents)
+      |),
+      |pairs AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) >= 0.5 * greatest(len(a.sh), len(b.sh))
+      |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.5
+      |),
+      |edges AS (
+      |  SELECT a AS src, b AS dst FROM pairs
+      |  UNION ALL SELECT b AS src, a AS dst FROM pairs
+      |),
+      |reach AS (
+      |  SELECT src AS id, src AS r FROM edges
+      |  UNION
+      |  SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON e.src = reach.id
+      |)""".stripMargin
 
   /** The corpus-clean mirror as a reusable WITH prefix ending in a
     * `cleaned(doc_id, lang_pred, quality_score, n_chars, text)` CTE —
@@ -520,32 +561,17 @@ object TextQueries {
     // then MIN(reachable) = the same group representative the Spark-side
     // label propagation converges to
     "dedup_components" ->
-      """WITH RECURSIVE s AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
-        |      ELSE [array_to_string(toks[i+1:i+2], ' ')
-        |            FOR i IN generate_series(0, len(toks)-2)] END) AS sh
-        |  FROM (SELECT doc_id,
-        |          [t FOR t IN string_split_regex(lower(text), '\s+') IF len(t) > 0] AS toks
-        |        FROM documents)
-        |),
-        |pairs AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |  WHERE CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) >= 0.5 * greatest(len(a.sh), len(b.sh))
-        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |        / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.5
-        |),
-        |edges AS (
-        |  SELECT a AS src, b AS dst FROM pairs
-        |  UNION ALL SELECT b AS src, a AS dst FROM pairs
-        |),
-        |reach AS (
-        |  SELECT src AS id, src AS r FROM edges
-        |  UNION
-        |  SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON e.src = reach.id
-        |)
+      s"""$ComponentsOracleCte
         |SELECT id AS doc_id, MIN(r) AS group_id FROM reach GROUP BY id
+        |ORDER BY doc_id""".stripMargin,
+
+    // the cleaning ACTION over the same closure: keep every document
+    // except non-representative group members
+    "dedup_components_clean" ->
+      s"""$ComponentsOracleCte
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (
+        |  SELECT id FROM reach GROUP BY id HAVING id != MIN(r))
         |ORDER BY doc_id""".stripMargin,
 
     // mirrored shingle-for-shingle: list comprehension = Spark transform/
