@@ -184,6 +184,25 @@ object AnnSql {
         idx, base, idx.meta.idCol, q, k, pred, nprobe = np))
     }, "scala_udf")
 
+    // ann_mmr(table_name, index_name, query_vec, k[, lambda[, oversample]])
+    // → (rank, id, mmr_score): MMR diversity re-rank over a k·oversample
+    // candidate pool from the index (fetches vectors through the table)
+    r.createOrReplaceTempFunction("ann_mmr", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 4 && exprs.length <= 6,
+        "usage: ann_mmr(table, index, query_vec, k[, lambda[, oversample]])")
+      val base = spark.table(constString(exprs(0)))
+      val idx = indexByName(spark, constString(exprs(1)))
+      val q = constVector(exprs(2))
+      val k = constInt(exprs(3))
+      val lambda = if (exprs.length > 4) constNum(exprs(4)).toDouble else 0.7
+      val os = if (exprs.length > 5) constInt(exprs(5)) else 4
+      val hits = idx.scan(q, k * math.max(1, os))
+      val withVecs = hits.join(
+        base.select(base(idx.meta.idCol).as("id"), base(idx.meta.vecCol)), "id")
+      plan(graft.operators.Diversify.mmr(
+        withVecs, "id", idx.meta.vecCol, "_distance", k, lambda))
+    }, "scala_udf")
+
     // ann_recall(index_name, array(array(...), ...), k[, search_param])
     // → (query_idx, hits, k, recall): recall@k of the given knob vs exact
     // exhaustive ground truth over the stored rows (tuning harness)

@@ -116,6 +116,23 @@ class AnnSqlSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq == expect)
   }
 
+  test("SQL TVF ann_mmr re-ranks for diversity from SQL") {
+    import spark.implicits._
+    idx
+    AnnSql.register(spark)
+    vecs.toDF("id", "embedding").createOrReplaceTempView("sql_mmr_vecs")
+    val rows = spark.sql(
+      """SELECT rank, id, mmr_score FROM ann_mmr('sql_mmr_vecs', 'sql_idx',
+        |  array(0.5, 0.5, 0.5), 3, 0.5)""".stripMargin).collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), "1-based ranks")
+    // rank 1 is always the most relevant candidate
+    val nearest = vecs
+      .map { case (id, v) => (id, VectorKernels.l2Sq(Array(0.5f, 0.5f, 0.5f), v)) }
+      .minBy { case (id, d) => (d, id) }._1
+    assert(rows.head.getLong(1) == nearest)
+  }
+
   test("SQL TVF ann_recall measures 1.0 for an exact index from SQL") {
     idx
     AnnSql.register(spark)
