@@ -86,6 +86,35 @@ object AnnSql {
       s"expected a constant array-of-arrays literal, got: ${other.sql}")
   }
 
+  /** 'k=v,...' params CSV → map. Values may be single-quoted so that
+    * faiss-factory description strings keep their inner commas, e.g.
+    * "description='IVF16,PQ8',metric=l2". Quotes are stripped; '' inside
+    * a quoted value is a literal quote (SQL-style escaping). */
+  private[graft] def parseParamsCsv(csv: String): Map[String, String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    var i = 0
+    while (i < csv.length) {
+      val ch = csv.charAt(i)
+      if (ch == '\'') {
+        if (inQuote && i + 1 < csv.length && csv.charAt(i + 1) == '\'') {
+          cur.append('\''); i += 1 // escaped quote inside quoted value
+        } else inQuote = !inQuote
+      } else if (ch == ',' && !inQuote) {
+        parts += cur.toString; cur.clear()
+      } else cur.append(ch)
+      i += 1
+    }
+    require(!inQuote, s"unterminated quote in params CSV: $csv")
+    parts += cur.toString
+    parts.iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+      val j = kv.indexOf('=')
+      require(j > 0, s"ann_create_index params must be 'key=value,...', got: $kv")
+      kv.substring(0, j).trim -> kv.substring(j + 1).trim
+    }.toMap
+  }
+
   /** TABLE(...) argument → its analyzed child plan as a DataFrame. */
   private def tableArg(spark: SparkSession, e: Expression): org.apache.spark.sql.DataFrame =
     e match {
@@ -292,11 +321,7 @@ object AnnSql {
       val vecCol = constString(exprs(3))
       val engine = constString(exprs(4))
       val csv = if (exprs.length > 5) constString(exprs(5)) else ""
-      val params = csv.split(',').iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
-        val i = kv.indexOf('=')
-        require(i > 0, s"ann_create_index params must be 'key=value,...', got: $kv")
-        kv.substring(0, i).trim -> kv.substring(i + 1).trim
-      }.toMap + ("table_path" -> tablePath)
+      val params = parseParamsCsv(csv) + ("table_path" -> tablePath)
       val path = if (exprs.length > 6) constString(exprs(6))
         else java.nio.file.Files.createTempDirectory(s"graft_sql_idx_$name").toString
       val idx = AnnIndexManager.create(spark, name,

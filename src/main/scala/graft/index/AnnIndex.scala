@@ -174,8 +174,18 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       val dsub = meta.dim / m
       val flat = new Array[Float](m * ksub * dsub)
       spark.read.parquet(s"$path/pq").collect().foreach { r =>
-        val base = (r.getAs[Int]("sub") * ksub + r.getAs[Int]("code")) * dsub
+        val sub = r.getAs[Int]("sub")
+        val code = r.getAs[Int]("code")
         val cent = r.getSeq[Float](r.fieldIndex("centroid"))
+        // Validate persisted geometry: a corrupted $path/pq table must fail
+        // with the index name, not silently mis-populate codebooks.
+        require(sub >= 0 && sub < m && code >= 0 && code < ksub,
+          s"index ${meta.name}: pq centroid (sub=$sub, code=$code) outside " +
+            s"persisted geometry m=$m ksub=$ksub at $path/pq")
+        require(cent.length == dsub,
+          s"index ${meta.name}: pq centroid (sub=$sub, code=$code) has " +
+            s"${cent.length} dims, expected dsub=$dsub (dim=${meta.dim}, m=$m)")
+        val base = (sub * ksub + code) * dsub
         var j = 0
         cent.foreach { x => flat(base + j) = x; j += 1 }
       }

@@ -36,7 +36,10 @@ object Diversify {
           maxPool: Int = 65536): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
     val spark = candidates.sparkSession
-    val rows = candidates.select(col(idCol), col(vecCol), col(distCol))
+    // id cast to long up front: callers hand int ids (e.g. a label column)
+    // and getLong on an INT row value throws.
+    val rows = candidates
+      .select(col(idCol).cast("long"), col(vecCol), col(distCol).cast("double"))
       .limit(maxPool + 1).collect()
     require(rows.length <= maxPool,
       s"MMR pool exceeds $maxPool rows — bound the candidate set " +
@@ -44,9 +47,14 @@ object Diversify {
     val ids = rows.map(_.getLong(0))
     val vecs = rows.map(_.getSeq[Float](1).toArray)
     val dists = rows.map(_.getDouble(2))
-    val (dMin, dMax) = if (dists.isEmpty) (0.0, 0.0) else (dists.min, dists.max)
+    // NaN distances stay NaN through normalization (their scores then never
+    // win a > comparison below, so they're skipped); min/max over finite
+    // values only, else one NaN would degrade every rel to the 1.0 branch.
+    val finite = dists.filter(d => !d.isNaN)
+    val (dMin, dMax) = if (finite.isEmpty) (0.0, 0.0) else (finite.min, finite.max)
     val rel = dists.map(d =>
-      if (dMax > dMin) (dMax - d) / (dMax - dMin) else 1.0)
+      if (d.isNaN) Double.NaN
+      else if (dMax > dMin) (dMax - d) / (dMax - dMin) else 1.0)
     val n = rows.length
     val norms = vecs.map(v => math.sqrt(VectorKernels.dot(v, v)))
     def cos(i: Int, j: Int): Double = {
@@ -56,7 +64,8 @@ object Diversify {
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     val picked = new Array[Boolean](n)
     val maxSim = Array.fill(n)(Double.NegativeInfinity) // to selected set
-    while (selected.length < math.min(k, n)) {
+    var exhausted = false
+    while (!exhausted && selected.length < math.min(k, n)) {
       var best = -1
       var bestScore = Double.NegativeInfinity
       var i = 0
@@ -64,7 +73,9 @@ object Diversify {
         if (!picked(i)) {
           val red = if (selected.isEmpty) 0.0 else maxSim(i)
           val score = lambda * rel(i) - (1.0 - lambda) * red
-          // deterministic tie-break: higher relevance, then lower id
+          // deterministic tie-break: higher relevance, then lower id.
+          // NaN scores (NaN input distances) never win a > comparison —
+          // those candidates are simply skipped.
           if (score > bestScore ||
               (score == bestScore && best >= 0 &&
                 (rel(i) > rel(best) || (rel(i) == rel(best) && ids(i) < ids(best))))) {
@@ -73,6 +84,8 @@ object Diversify {
         }
         i += 1
       }
+      if (best < 0) { exhausted = true } // every remaining score was NaN
+      else {
       picked(best) = true
       selected += ((best, bestScore))
       var j = 0
@@ -82,6 +95,7 @@ object Diversify {
           if (s > maxSim(j)) maxSim(j) = s
         }
         j += 1
+      }
       }
     }
     toDf(spark, selected.toSeq.map { case (i, s) => (ids(i), s) })

@@ -54,21 +54,35 @@ object MediaCodecs {
       val gray = img.getColorModel.getNumComponents == 1
       val c = if (gray) 1 else 3
       val out = new Array[Byte](w * h * c)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val base = (y * w + x) * c
-          if (gray) out(base) = (rgb & 0xff).toByte
-          else {
+      if (gray) {
+        // Raw raster samples, not getRGB: getRGB routes 1-component images
+        // through a gray→sRGB colorspace conversion, shifting luminance for
+        // externally-produced gray PNGs. >8-bit gray scales down to 8.
+        val raster = img.getRaster
+        val shift = math.max(0, img.getColorModel.getComponentSize(0) - 8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            out(y * w + x) = ((raster.getSample(x, y, 0) >> shift) & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+      } else {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val base = (y * w + x) * c
             out(base) = ((rgb >> 16) & 0xff).toByte
             out(base + 1) = ((rgb >> 8) & 0xff).toByte
             out(base + 2) = (rgb & 0xff).toByte
+            x += 1
           }
-          x += 1
+          y += 1
         }
-        y += 1
       }
       Some(ImageData(w, h, c, out))
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -80,19 +94,31 @@ object MediaCodecs {
     val bi = new java.awt.image.BufferedImage(img.width, img.height,
       if (img.channels == 1) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
       else java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < img.height) {
-      var x = 0
-      while (x < img.width) {
-        val base = (y * img.width + x) * img.channels
-        val rgb =
-          if (img.channels == 1) { val v = img.pixels(base) & 0xff; (v << 16) | (v << 8) | v }
-          else ((img.pixels(base) & 0xff) << 16) |
-            ((img.pixels(base + 1) & 0xff) << 8) | (img.pixels(base + 2) & 0xff)
-        bi.setRGB(x, y, rgb)
-        x += 1
+    if (img.channels == 1) {
+      // Write raw samples via the raster (setRGB would push them through
+      // the sRGB→gray conversion and break exact round-trips).
+      val raster = bi.getRaster
+      var y = 0
+      while (y < img.height) {
+        var x = 0
+        while (x < img.width) {
+          raster.setSample(x, y, 0, img.pixels(y * img.width + x) & 0xff)
+          x += 1
+        }
+        y += 1
       }
-      y += 1
+    } else {
+      var y = 0
+      while (y < img.height) {
+        var x = 0
+        while (x < img.width) {
+          val base = (y * img.width + x) * 3
+          bi.setRGB(x, y, ((img.pixels(base) & 0xff) << 16) |
+            ((img.pixels(base + 1) & 0xff) << 8) | (img.pixels(base + 2) & 0xff))
+          x += 1
+        }
+        y += 1
+      }
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(bi, "png", bos)

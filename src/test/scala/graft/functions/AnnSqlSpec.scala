@@ -254,6 +254,17 @@ class AnnSqlSpec extends SparkSpec {
     spark.sql("SELECT * FROM ann_drop_index('sql_ci')").collect()
   }
 
+  test("params CSV: quoted values keep inner commas (factory descriptions)") {
+    assert(AnnSql.parseParamsCsv("description='IVF16,PQ8',metric=l2") ==
+      Map("description" -> "IVF16,PQ8", "metric" -> "l2"))
+    // '' inside quotes is a literal quote; unquoted path unchanged
+    assert(AnnSql.parseParamsCsv("a='x''y',b=2") == Map("a" -> "x'y", "b" -> "2"))
+    assert(AnnSql.parseParamsCsv("metric=l2, nlist=4") ==
+      Map("metric" -> "l2", "nlist" -> "4"))
+    assert(AnnSql.parseParamsCsv("") == Map.empty[String, String])
+    intercept[IllegalArgumentException](AnnSql.parseParamsCsv("a='open"))
+  }
+
   test("SQL TVF diskann_streaming_build builds an index from a binary file") {
     val bin = s"$tmp/sql_sb.bin"
     val rnd = new scala.util.Random(3)

@@ -39,6 +39,26 @@ class DiversifySpec extends SparkSpec {
     assert(e.getMessage.contains("pool"))
   }
 
+  test("INT ids work, and all-NaN scores terminate instead of throwing") {
+    import spark.implicits._
+    // id as INT (a label column): must be cast, not ClassCastException
+    val intIds = Seq(
+      (1, Array(1.0f, 0.0f), 0.1),
+      (2, Array(0.0f, 1.0f), 0.2)
+    ).toDF("id", "vector", "_distance")
+    val out = Diversify.mmr(intIds, "id", "vector", "_distance", k = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(out == Set(1L, 2L))
+
+    // every candidate scored NaN (NaN distances): loop must exit cleanly
+    val nan = Seq(
+      (1L, Array(1.0f, 0.0f), Double.NaN),
+      (2L, Array(0.0f, 1.0f), Double.NaN)
+    ).toDF("id", "vector", "_distance")
+    assert(Diversify.mmr(nan, "id", "vector", "_distance", k = 2).count() == 0L,
+      "all-NaN pool selects nothing rather than crashing")
+  }
+
   test("MMR over real index hits: near-dup pair never occupies both top slots") {
     import spark.implicits._
     val rnd = new scala.util.Random(97)
