@@ -406,16 +406,58 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         Hnsw.searchBatch(spark, src, qs, k + overfetch, ef, meta.metric, ck,
           prePartitioned = prePart, numShards = nShards, codec = codec)
     }
+    cleanGraphHits(res, "query_idx", k)
+  }
+
+  /** Tombstone cleanup shared by the broadcast and distributed graph
+    * paths: hits carry the per-shard insert epoch, a tombstone only masks
+    * rows it is newer than (epoch semantics, see currentSeg); the
+    * overfetched survivors re-cut to k per group. */
+  private def cleanGraphHits(res: DataFrame, groupCol: String, k: Int): DataFrame = {
     val cleaned =
       if (hasDeletes) {
-        // hits carry the per-shard insert epoch: a tombstone only masks
-        // rows it is newer than (epoch semantics, see currentSeg)
         val d = deletes.select(col("id").as("__did"), col("seg").as("__dseg"))
         val filtered = res.join(broadcast(d),
           res("id") === col("__did") && res("seg") <= col("__dseg"), "left_anti")
-        graft.operators.TopK.grouped(filtered, "query_idx", "_distance", "id", k)
+        graft.operators.TopK.grouped(filtered, groupCol, "_distance", "id", k)
       } else res
     cleaned.drop("seg")
+  }
+
+  /** Table-input graph search with NO driver collect: the query relation
+    * stays distributed end-to-end (cogrouped against whole shards, see
+    * [[GraphTableSearch]]) — the scale path behind `ann_search_table` on
+    * DISKANN/HNSW for query sets above the collect bound. Same beam
+    * widths, kernels, and deterministic merge as [[scanGraph]], so results
+    * are value-identical to the broadcast path.
+    *
+    * @param queries exactly (__qid, __qvec float[]); __qid of any type
+    * @return (__qid, id, _distance) */
+  private[graft] def scanGraphTable(queries: DataFrame, k: Int,
+                                    searchComplexity: Int): DataFrame = {
+    val overfetch = meta.numDeleted.toInt
+    val ck = shardCacheKey
+    val kk = k + overfetch
+    // the pinned dataset (memory-cached) is still the preferred source —
+    // the cogroup re-shuffles it by key, but reads come from cache, not
+    // parquet
+    val src = data
+    val res = meta.engine match {
+      case "DISKANN" =>
+        val p = Vamana.Params.from(meta)
+        val l = Vamana.beamWidth(kk, searchComplexity, p.buildComplexity) + overfetch
+        Vamana.searchTableDistributed(spark, src, queries, kk, l, meta.metric,
+          ck, liveShardIds, codec)
+      case "HNSW" =>
+        val p = Hnsw.Params.from(meta)
+        val ef = math.max(kk,
+          if (searchComplexity > 0) searchComplexity else p.efConstruction) + overfetch
+        Hnsw.searchTableDistributed(spark, src, queries, kk, ef, meta.metric,
+          ck, liveShardIds, codec)
+      case other => throw new IllegalArgumentException(
+        s"scanGraphTable: $other is not a graph engine")
+    }
+    cleanGraphHits(res, "__qid", k)
   }
 
   /** Partition-pruned cell scan: `list_id IN (...)` reaches the parquet

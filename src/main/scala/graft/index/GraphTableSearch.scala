@@ -1,0 +1,92 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.TopK
+
+/** Fully distributed table-input search over a sharded graph index — the
+  * scale path for the reference's flagship `ann_search_table`
+  * (reference: src/ann_search.cpp:397-691) when the query relation is too
+  * large to collect. The reference streams chunks through ONE in-memory
+  * index; here BOTH sides stay distributed end-to-end:
+  *
+  *   - every query row is replicated to every live shard id (graph search
+  *     has no shard pruning — each shard's graph must be walked), a cheap
+  *     `explode` with no driver materialization;
+  *   - graph rows and replicated queries cogroup on the shard id, so each
+  *     task sees one whole decoded shard plus a STREAMED iterator of its
+  *     query share — per-task memory is one shard (the existing sizing
+  *     contract) + one query row;
+  *   - per-shard top-l candidates merge through the same bounded-heap
+  *     grouped top-k as the broadcast path.
+  *
+  * Cost model vs the collect path: the cogroup shuffles the graph dataset
+  * once per call and the query relation `numShards` times. For a bounded
+  * query batch the broadcast path is strictly cheaper (zero shuffle against
+  * a pinned index) — which is why [[graft.operators.AnnSearch.searchTable]]
+  * keeps it for small batches and switches here above the collect bound.
+  * Results are value-identical: same kernels, same beam widths, same
+  * deterministic merge.
+  */
+object GraphTableSearch {
+
+  /** Run the cogrouped search.
+    *
+    * @param graphDf  column-pruned graph rows; `shard` must be field 0 and
+    *                 `seg` the LAST field (both engines' layouts comply)
+    * @param queries  exactly (__qid, __qvec float[]); __qid of any type
+    * @param shardIds live shard ids (manifest) to replicate queries onto
+    * @param k        merged per-query result count
+    * @param cacheKey executor shard-cache key prefix (None = no caching)
+    * @param decode   whole-shard rows → engine shard object (cached)
+    * @param search   (shard, query) → per-shard candidates (id, distance)
+    * @return (__qid, id, _distance, seg) — `seg` kept for tombstone masking
+    */
+  def run(spark: SparkSession, graphDf: DataFrame, queries: DataFrame,
+          shardIds: Seq[Int], k: Int, cacheKey: Option[String],
+          decode: (Int, IndexedSeq[Row]) => AnyRef,
+          search: (AnyRef, Array[Float]) => Iterator[(Long, Double)]): DataFrame = {
+    val qidField = queries.schema.fields(0).copy(name = "__qid")
+    val out = StructType(Seq(qidField,
+      StructField("id", LongType, nullable = false),
+      StructField("_distance", DoubleType, nullable = false),
+      StructField("seg", LongType, nullable = false)))
+    val segIdx = graphDf.schema.length - 1
+
+    // queries × shards: the irreducible work of graph search (every query
+    // walks every shard); explode realizes it without any driver state
+    val qx = queries.select(col(queries.columns(0)).as("__qid"),
+        col(queries.columns(1)).as("__qvec"))
+      .withColumn("__shard", explode(typedLit(shardIds.toArray)))
+
+    val gk = graphDf.groupByKey(_.getInt(0))(Encoders.scalaInt)
+    val qk = qx.groupByKey(_.getInt(2))(Encoders.scalaInt)
+
+    val perShard = gk.cogroup(qk) { (shardId, gRows, qRows) =>
+      if (!qRows.hasNext) Iterator.empty
+      else {
+        // graph side buffers (one whole shard — the sizing contract);
+        // query side STREAMS: never materialized
+        val shardRows = gRows.toIndexedSeq
+        if (shardRows.isEmpty) Iterator.empty
+        else {
+          val sh = cacheKey match {
+            case Some(ck) => GraphShardCache.getOrBuild(s"$ck#$shardId")(
+              decode(shardId, shardRows))
+            case None => decode(shardId, shardRows)
+          }
+          val shardSeg = shardRows.head.getLong(segIdx)
+          qRows.flatMap { qr =>
+            val qid = qr.get(0)
+            val q = qr.getSeq[Float](1).toArray
+            search(sh, q).map { case (id, d) => Row(qid, id, d, shardSeg) }
+          }
+        }
+      }
+    }(Encoders.row(out))
+
+    TopK.grouped(perShard.toDF(), "__qid", "_distance", "id", k)
+  }
+}

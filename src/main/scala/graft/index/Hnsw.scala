@@ -227,41 +227,10 @@ object Hnsw {
       val grouped = new scala.collection.mutable.LinkedHashMap[Int, ArrayBuffer[Row]]()
       rows.foreach { r => grouped.getOrElseUpdate(r.getInt(0), new ArrayBuffer[Row]) += r }
       grouped.iterator.flatMap { case (shardId, shardRows) =>
-        def decode(): Shard = {
-          val n = shardRows.length
-          var maxLabel = -1
-          shardRows.foreach { r => val lb = r.getInt(1); if (lb > maxLabel) maxLabel = lb }
-          if (maxLabel + 1 != n) throw new IllegalStateException(
-            s"partial or duplicated graph shard $shardId: $n rows but max label $maxLabel — " +
-              "input must deliver each shard's rows exactly once per task")
-          val ids = new Array[Long](n)
-          val vecs = new Array[Array[Float]](n)
-          val lvls = new Array[Int](n)
-          val nbrs = new Array[Array[Array[Int]]](n)
-          var entry = 0; var maxLevel = 0
-          shardRows.foreach { r =>
-            val label = r.getInt(1)
-            ids(label) = r.getLong(2)
-            vecs(label) = codec match {
-              case Some(c) => c.decode(r.getAs[Array[Byte]](3))
-              case None => r.getSeq[Float](3).toArray
-            }
-            lvls(label) = r.getInt(4)
-            // Row gives mutable ArraySeq elements; scala.Seq (=immutable) would CCE
-            nbrs(label) = r.getSeq[scala.collection.Seq[Int]](5).map(_.toArray).toArray
-            if (r.getBoolean(6)) { entry = label; maxLevel = lvls(label) }
-          }
-          var i = 0
-          while (i < n) {
-            if (vecs(i) == null) throw new IllegalStateException(
-              s"graph shard $shardId missing label $i — duplicate or dropped rows")
-            i += 1
-          }
-          Shard(ids, vecs, lvls, nbrs, entry, maxLevel)
-        }
         val sh = cacheKey match {
-          case Some(ck) => GraphShardCache.getOrBuild(s"$ck#$shardId")(decode())
-          case None => decode()
+          case Some(ck) => GraphShardCache.getOrBuild(s"$ck#$shardId")(
+            decodeShard(shardId, shardRows, codec))
+          case None => decodeShard(shardId, shardRows, codec)
         }
         // per-shard-constant insert epoch, read from the raw rows
         val shardSeg = shardRows.head.getLong(7)
@@ -273,5 +242,62 @@ object Hnsw {
     }(Encoders.row(out))
 
     TopK.grouped(perShard, "query_idx", "_distance", "id", k)
+  }
+
+  /** Whole-shard rows (layout: shard, label, id, vector|codes, level,
+    * neighbors, is_entry, ...) → in-memory [[Shard]], with the same
+    * label-completeness validation as [[Vamana.decodeShard]]. */
+  private[index] def decodeShard(shardId: Int, shardRows: collection.Seq[Row],
+                                 codec: Option[graft.functions.VectorCodec]): Shard = {
+    val n = shardRows.length
+    var maxLabel = -1
+    shardRows.foreach { r => val lb = r.getInt(1); if (lb > maxLabel) maxLabel = lb }
+    if (maxLabel + 1 != n) throw new IllegalStateException(
+      s"partial or duplicated graph shard $shardId: $n rows but max label $maxLabel — " +
+        "input must deliver each shard's rows exactly once per task")
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Float]](n)
+    val lvls = new Array[Int](n)
+    val nbrs = new Array[Array[Array[Int]]](n)
+    var entry = 0; var maxLevel = 0
+    shardRows.foreach { r =>
+      val label = r.getInt(1)
+      ids(label) = r.getLong(2)
+      vecs(label) = codec match {
+        case Some(c) => c.decode(r.getAs[Array[Byte]](3))
+        case None => r.getSeq[Float](3).toArray
+      }
+      lvls(label) = r.getInt(4)
+      // Row gives mutable ArraySeq elements; scala.Seq (=immutable) would CCE
+      nbrs(label) = r.getSeq[scala.collection.Seq[Int]](5).map(_.toArray).toArray
+      if (r.getBoolean(6)) { entry = label; maxLevel = lvls(label) }
+    }
+    var i = 0
+    while (i < n) {
+      if (vecs(i) == null) throw new IllegalStateException(
+        s"graph shard $shardId missing label $i — duplicate or dropped rows")
+      i += 1
+    }
+    Shard(ids, vecs, lvls, nbrs, entry, maxLevel)
+  }
+
+  /** Table-input batch search with NO driver collect (see
+    * [[GraphTableSearch]]); value-identical to [[searchBatch]] at the same
+    * ef. */
+  def searchTableDistributed(spark: SparkSession, graphDf: DataFrame,
+                             queries: DataFrame, k: Int, ef: Int, metric: String,
+                             cacheKey: Option[String], shardIds: Seq[Int],
+                             codec: Option[graft.functions.VectorCodec]): DataFrame = {
+    val dist = VectorKernels.orderingDistance(metric) _
+    val vecColName = if (codec.isDefined) "codes" else "vector"
+    val graph0 = graphDf.select("shard", "label", "id", vecColName, "level",
+      "neighbors", "is_entry", "seg")
+    GraphTableSearch.run(spark, graph0, queries, shardIds, k, cacheKey,
+      decode = (shardId, rows) => decodeShard(shardId, rows, codec),
+      search = (sh, q) => {
+        val s = sh.asInstanceOf[Shard]
+        search(s, q, k, ef, dist).iterator.take(math.max(k, ef))
+          .map { case (label, d) => (s.ids(label), d) }
+      })
   }
 }

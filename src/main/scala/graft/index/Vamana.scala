@@ -340,38 +340,10 @@ object Vamana {
       val grouped = new scala.collection.mutable.LinkedHashMap[Int, ArrayBuffer[Row]]()
       rows.foreach { r => grouped.getOrElseUpdate(r.getInt(0), new ArrayBuffer[Row]) += r }
       grouped.iterator.flatMap { case (shardId, shardRows) =>
-        def decode(): Shard = {
-          val n = shardRows.length
-          var maxLabel = -1
-          shardRows.foreach { r => val lb = r.getInt(1); if (lb > maxLabel) maxLabel = lb }
-          if (maxLabel + 1 != n) throw new IllegalStateException(
-            s"partial or duplicated graph shard $shardId: $n rows but max label $maxLabel — " +
-              "input must deliver each shard's rows exactly once per task")
-          val ids = new Array[Long](n)
-          val vecs = new Array[Array[Float]](n)
-          val nbrs = new Array[Array[Int]](n)
-          var entry = 0
-          shardRows.foreach { r =>
-            val label = r.getInt(1)
-            ids(label) = r.getLong(2)
-            vecs(label) = codec match {
-              case Some(c) => c.decode(r.getAs[Array[Byte]](3))
-              case None => r.getSeq[Float](3).toArray
-            }
-            nbrs(label) = r.getSeq[Int](4).toArray
-            if (r.getBoolean(5)) entry = label
-          }
-          var i = 0
-          while (i < n) {
-            if (vecs(i) == null) throw new IllegalStateException(
-              s"graph shard $shardId missing label $i — duplicate or dropped rows")
-            i += 1
-          }
-          Shard(ids, vecs, nbrs, entry)
-        }
         val sh = cacheKey match {
-          case Some(ck) => GraphShardCache.getOrBuild(s"$ck#$shardId")(decode())
-          case None => decode()
+          case Some(ck) => GraphShardCache.getOrBuild(s"$ck#$shardId")(
+            decodeShard(shardId, shardRows, codec))
+          case None => decodeShard(shardId, shardRows, codec)
         }
         // insert epoch is constant per shard by construction (create = 0,
         // each delta shard = one insert, vacuum resets uniformly) — read it
@@ -385,6 +357,61 @@ object Vamana {
     }(Encoders.row(out))
 
     TopK.grouped(perShard, "query_idx", "_distance", "id", k)
+  }
+
+  /** Whole-shard rows (layout: shard, label, id, vector|codes, neighbors,
+    * is_entry, ...) → in-memory [[Shard]], with label-completeness
+    * validation (a partial shard is a graph with dangling labels). */
+  private[index] def decodeShard(shardId: Int, shardRows: collection.Seq[Row],
+                                 codec: Option[graft.functions.VectorCodec]): Shard = {
+    val n = shardRows.length
+    var maxLabel = -1
+    shardRows.foreach { r => val lb = r.getInt(1); if (lb > maxLabel) maxLabel = lb }
+    if (maxLabel + 1 != n) throw new IllegalStateException(
+      s"partial or duplicated graph shard $shardId: $n rows but max label $maxLabel — " +
+        "input must deliver each shard's rows exactly once per task")
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Float]](n)
+    val nbrs = new Array[Array[Int]](n)
+    var entry = 0
+    shardRows.foreach { r =>
+      val label = r.getInt(1)
+      ids(label) = r.getLong(2)
+      vecs(label) = codec match {
+        case Some(c) => c.decode(r.getAs[Array[Byte]](3))
+        case None => r.getSeq[Float](3).toArray
+      }
+      nbrs(label) = r.getSeq[Int](4).toArray
+      if (r.getBoolean(5)) entry = label
+    }
+    var i = 0
+    while (i < n) {
+      if (vecs(i) == null) throw new IllegalStateException(
+        s"graph shard $shardId missing label $i — duplicate or dropped rows")
+      i += 1
+    }
+    Shard(ids, vecs, nbrs, entry)
+  }
+
+  /** Table-input batch search with NO driver collect: queries stay a
+    * DataFrame end-to-end (see [[GraphTableSearch]] for the cogroup model
+    * and cost tradeoff vs the broadcast path). Value-identical to
+    * [[searchBatch]] on the same beam width. */
+  def searchTableDistributed(spark: SparkSession, graphDf: DataFrame,
+                             queries: DataFrame, k: Int, l: Int, metric: String,
+                             cacheKey: Option[String], shardIds: Seq[Int],
+                             codec: Option[graft.functions.VectorCodec]): DataFrame = {
+    val dist = VectorKernels.orderingDistance(metric) _
+    val vecColName = if (codec.isDefined) "codes" else "vector"
+    val graph0 = graphDf
+      .select("shard", "label", "id", vecColName, "neighbors", "is_entry", "seg")
+    GraphTableSearch.run(spark, graph0, queries, shardIds, k, cacheKey,
+      decode = (shardId, rows) => decodeShard(shardId, rows, codec),
+      search = (sh, q) => {
+        val s = sh.asInstanceOf[Shard]
+        beamSearch(s, q, l, dist).iterator
+          .map { case (label, d) => (s.ids(label), d) }
+      })
   }
 
   /** Shuffle-partition count for shard-keyed repartitions: hashing shard

@@ -66,31 +66,55 @@ object AnnSearch {
 
     val top =
       if (idx.isGraphEngine) {
-        // graph engines (DISKANN/HNSW): query vectors are a bounded batch by
-        // contract (the reference streams them chunk-at-a-time through one
-        // in-memory index, src/ann_search.cpp:397-691) — collect them, run
-        // the shard-local batch kernel, map query_idx back to the caller's
-        // key with a broadcast join. The bound is ENFORCED: a table-scale
-        // query set must fail with a clear message, not an opaque driver OOM.
+        // graph engines (DISKANN/HNSW) have two plans:
+        //  - "collect": the query batch is collected and broadcast, the
+        //    shard-local batch kernel answers it against the (pinned)
+        //    index with ZERO shuffle — the cheap plan for bounded batches
+        //    (the reference's own shape: chunks streamed through one
+        //    in-memory index, src/ann_search.cpp:397-691);
+        //  - "distributed": queries stay a DataFrame end-to-end, cogrouped
+        //    against whole shards (AnnIndex.scanGraphTable) — no driver
+        //    collect anywhere, the plan that survives a table-scale query
+        //    relation.
+        // "auto" (default) probes up to the collect bound and switches to
+        // distributed above it, so no query size ever errors or OOMs.
         val spark = queries.sparkSession
+        val strategy = spark.conf.get("spark.ann.graphTableStrategy", "auto")
         val maxQ = spark.conf.get("spark.ann.maxCollectedQueries", "100000").toInt
-        val qrows = qkeys.limit(maxQ + 1).collect()
-        require(qrows.length <= maxQ,
-          s"searchTable against a graph index collects the query batch to the " +
-            s"driver and got more than $maxQ rows; raise " +
-            "spark.ann.maxCollectedQueries, split the query relation, or use " +
-            "a FLAT/IVF index for table-scale query sets (fully distributed)")
-        val vecs = qrows.map(_.getSeq[Float](1).toArray).toSeq
-        val hits = idx.searchBatch(vecs, k, nprobe) // (query_idx, id, _distance)
-        val qidField = qkeys.schema("__qid")
-        val mapping = spark.createDataFrame(
-          java.util.Arrays.asList(qrows.zipWithIndex.map {
-            case (r, i) => org.apache.spark.sql.Row(i, r.get(0))
-          }: _*),
-          StructType(Seq(StructField("query_idx", IntegerType, nullable = false),
-            qidField.copy(name = "__qid"))))
-        hits.join(broadcast(mapping), Seq("query_idx"))
-          .select(col("__qid"), col("id"), col("_distance"))
+        val qg = qkeys.select(col("__qid"), col("__qvec"))
+
+        def collected(qrows: Array[org.apache.spark.sql.Row]): DataFrame = {
+          val vecs = qrows.map(_.getSeq[Float](1).toArray).toSeq
+          val hits = idx.searchBatch(vecs, k, nprobe) // (query_idx, id, _distance)
+          val qidField = qkeys.schema("__qid")
+          val mapping = spark.createDataFrame(
+            java.util.Arrays.asList(qrows.zipWithIndex.map {
+              case (r, i) => org.apache.spark.sql.Row(i, r.get(0))
+            }: _*),
+            StructType(Seq(StructField("query_idx", IntegerType, nullable = false),
+              qidField.copy(name = "__qid"))))
+          hits.join(broadcast(mapping), Seq("query_idx"))
+            .select(col("__qid"), col("id"), col("_distance"))
+        }
+
+        strategy match {
+          case "distributed" => idx.scanGraphTable(qg, k, nprobe)
+          case "collect" =>
+            val qrows = qg.limit(maxQ + 1).collect()
+            require(qrows.length <= maxQ,
+              s"searchTable(strategy=collect) got more than $maxQ query rows; " +
+                "raise spark.ann.maxCollectedQueries or set " +
+                "spark.ann.graphTableStrategy=auto|distributed (no collect bound)")
+            collected(qrows)
+          case "auto" =>
+            // bounded probe: limit stops the scan at maxQ+1 rows, so the
+            // decision costs one early-terminating pass over the queries
+            val qrows = qg.limit(maxQ + 1).collect()
+            if (qrows.length <= maxQ) collected(qrows)
+            else idx.scanGraphTable(qg, k, nprobe)
+          case other => throw new IllegalArgumentException(
+            s"spark.ann.graphTableStrategy must be auto|collect|distributed, got: $other")
+        }
       } else {
         val candidates =
           if (idx.meta.engine == "FLAT") {

@@ -259,6 +259,26 @@ object IndexQueries {
         .orderBy("q_vec_id", "rank")
     }),
 
+    // S5 at table scale: the query relation EXCEEDS the (lowered) collect
+    // bound, so the auto strategy routes through the fully distributed
+    // cogrouped path — no driver collect anywhere in the plan
+    // (AnnIndex.scanGraphTable). Exhaustive beam → exact → strict oracle.
+    "ann_search_table_dist" -> ((s: SparkSession, dir: String) => {
+      val queries = emb(s, dir).filter(col("vec_id") < 6)
+        .select(col("vec_id").as("q_vec_id"), col("embedding"))
+      s.conf.set("spark.ann.maxCollectedQueries", "2")
+      try {
+        val res = graft.operators.AnnSearch.searchTable(
+          diskannIndex(s, dir), queries, k = 5, nprobe = 100000,
+          queryIdCol = Some("q_vec_id"))
+        res.withColumn("rank",
+            row_number().over(
+              Window.partitionBy("q_vec_id").orderBy(col("_distance"), col("id"))).cast("long"))
+          .select(col("q_vec_id"), col("rank"), col("id").as("vec_id"))
+          .orderBy("q_vec_id", "rank")
+      } finally s.conf.unset("spark.ann.maxCollectedQueries")
+    }),
+
     // filtered search exercising the exact-fallback path on a COSINE index:
     // the predicate is selective enough that the overfetch can't fill k, so
     // the raw-vector cosine fallback produces the result → strict oracle.
@@ -689,6 +709,16 @@ object IndexQueries {
          |    ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
          |                           CAST(q.embedding AS DOUBLE[])), e.vec_id) AS BIGINT) AS rank
          |  FROM (SELECT * FROM embeddings WHERE vec_id < 3) q
+         |  CROSS JOIN embeddings e) t
+         |WHERE rank <= 5 ORDER BY q_vec_id, rank""".stripMargin,
+
+    "ann_search_table_dist" ->
+      s"""SELECT q_vec_id, rank, vec_id FROM (
+         |  SELECT q.vec_id AS q_vec_id, e.vec_id, CAST(row_number() OVER (
+         |    PARTITION BY q.vec_id
+         |    ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+         |                           CAST(q.embedding AS DOUBLE[])), e.vec_id) AS BIGINT) AS rank
+         |  FROM (SELECT * FROM embeddings WHERE vec_id < 6) q
          |  CROSS JOIN embeddings e) t
          |WHERE rank <= 5 ORDER BY q_vec_id, rank""".stripMargin,
 

@@ -142,20 +142,63 @@ class OperatorSpec extends SparkSpec {
     assert(got == brute(q, 5, t => t._2 == 2))
   }
 
-  test("searchTable on a graph index enforces the bounded-query-batch contract") {
+  test("searchTable graph strategies: auto crosses the collect bound by going distributed") {
     import spark.implicits._
     val graph = AnnIndexManager.create(spark, "op_guard", vecsDf,
       "id", "vec", "DISKANN", Map("metric" -> "l2"), s"$tmp/op_guard")
     val queries = vecs.take(10).map { case (id, _, v) => (id, v) }.toDF("qid", "qvec")
     spark.conf.set("spark.ann.maxCollectedQueries", "5")
     try {
+      // strategy=collect keeps the hard bound (the explicit opt-in contract)
+      spark.conf.set("spark.ann.graphTableStrategy", "collect")
       val e = intercept[IllegalArgumentException] {
         AnnSearch.searchTable(graph, queries, k = 3)
       }
       assert(e.getMessage.contains("maxCollectedQueries"))
-    } finally spark.conf.unset("spark.ann.maxCollectedQueries")
-    // within the bound it works
-    assert(AnnSearch.searchTable(graph, queries, k = 3).count() == 30)
+      // auto (default): 10 queries > bound 5 → distributed path, no error,
+      // and with an exhaustive beam the results are the exact brute-force
+      // top-k — value-identical to what the collect path would return
+      spark.conf.set("spark.ann.graphTableStrategy", "auto")
+      val res = AnnSearch.searchTable(graph, queries, k = 3, nprobe = 100000,
+        queryIdCol = Some("qid")).collect()
+      assert(res.length == 30)
+      for ((qid, rows) <- res.groupBy(_.getAs[Long]("qid"))) {
+        val ids = rows.sortBy(r => (r.getAs[Double]("_distance"), r.getAs[Long]("id")))
+          .map(_.getAs[Long]("id")).toSeq
+        assert(ids == brute(vecs(qid.toInt)._3, 3), s"qid=$qid")
+      }
+    } finally {
+      spark.conf.unset("spark.ann.maxCollectedQueries")
+      spark.conf.unset("spark.ann.graphTableStrategy")
+    }
+  }
+
+  test("distributed table search equals collect exactly (DISKANN + HNSW), incl. tombstones") {
+    import spark.implicits._
+    val queries = vecs.take(8).map { case (id, _, v) => (id, v) }.toDF("qid", "qvec")
+    def run(idx: graft.index.AnnIndex, strategy: String): Seq[(Long, Long, Double)] = {
+      spark.conf.set("spark.ann.graphTableStrategy", strategy)
+      try AnnSearch.searchTable(idx, queries, k = 5, nprobe = 100000,
+          queryIdCol = Some("qid"))
+        .select(col("qid"), col("id"), round(col("_distance"), 6).as("d"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+      finally spark.conf.unset("spark.ann.graphTableStrategy")
+    }
+    assert(run(diskann, "distributed") == run(diskann, "collect"))
+    assert(run(hnsw, "distributed") == run(hnsw, "collect"))
+
+    // tombstone masking flows through the distributed path's seg column:
+    // delete two ids and verify neither strategy ever returns them
+    val delIdx = AnnIndexManager.create(spark, "op_dist_del", vecsDf,
+      "id", "vec", "DISKANN", Map("metric" -> "l2", "shards" -> "2"),
+      s"$tmp/op_dist_del")
+    delIdx.delete(Seq(0L, 1L))
+    val a = run(delIdx, "distributed")
+    assert(a == run(delIdx, "collect"))
+    assert(!a.exists(t => t._2 == 0L || t._2 == 1L))
+    // the deleted queries' own top hits shift to the next-nearest live rows
+    assert(a.count(_._1 == 0L) == 5)
   }
 
   test("searchFiltered honors spark.ann.overfetchMultiplier (extension-option analogue)") {
