@@ -119,34 +119,43 @@ object Bench {
     hnsw.persist()
     time("hnsw_search_50q_sf") { noop(hnsw.searchBatch(queries50, 10)) }
 
-    // ---- reference bench workload: 10k seeded vectors, dims 128 ----
-    // (bench/metal_diskann_bench.sql: 10k random, max_degree=64, bc=100,
-    // 50 queries x k=10)
-    val dim = 128
+    // ---- reference bench workload: 10k seeded vectors, dims {128,256,768}
+    // (bench/metal_diskann_bench.sql: the reference benches ALL THREE dims —
+    // 10k random, max_degree=64, bc=100, 50 queries x k=10)
     val seededVec = udf { (id: Long, d: Int) =>
       val r = new scala.util.Random(id * 2654435761L + 42)
       Array.fill(d)(r.nextFloat())
     }
-    val synthDf = spark.range(10000)
-      .repartition(cpus.toInt)
-      .select(col("id"), seededVec(col("id"), lit(dim)).as("vec"))
-      .cache()
-    synthDf.count()
-    var synthIdx: graft.index.AnnIndex = null
-    time("vamana_build_10k_d128", reps = 2) {
-      rep += 1
-      synthIdx = graft.index.AnnIndexManager.create(spark, s"bench_10k_$rep", synthDf,
-        "id", "vec", "DISKANN",
-        Map("metric" -> "l2", "max_degree" -> "64", "build_complexity" -> "100",
-          "shards" -> cpus),
-        s"$tmp/b10k$rep")
+    var synthDf: DataFrame = null // d128 frame reused by the ivfpq line below
+    for (dim <- Seq(128, 256, 768)) {
+      val df = spark.range(10000)
+        .repartition(cpus.toInt)
+        .select(col("id"), seededVec(col("id"), lit(dim)).as("vec"))
+        .cache()
+      df.count()
+      var idx: graft.index.AnnIndex = null
+      time(s"vamana_build_10k_d$dim", reps = 2) {
+        rep += 1
+        idx = graft.index.AnnIndexManager.create(spark, s"bench_10k_$rep", df,
+          "id", "vec", "DISKANN",
+          Map("metric" -> "l2", "max_degree" -> "64", "build_complexity" -> "100",
+            "shards" -> cpus),
+          s"$tmp/b10k$rep")
+      }
+      val qs50 = Seq.tabulate(50)(i => {
+        val r = new scala.util.Random(1000 + i)
+        Array.fill(dim)(r.nextFloat())
+      })
+      idx.persist()
+      time(s"vamana_50q_10k_d$dim") { noop(idx.searchBatch(qs50, 10)) }
+      idx.unpersist()
+      if (dim == 128) synthDf = df else df.unpersist()
     }
+    val dim = 128
     val synthQ = Seq.tabulate(50)(i => {
       val r = new scala.util.Random(1000 + i)
       Array.fill(dim)(r.nextFloat())
     })
-    synthIdx.persist()
-    time("vamana_50q_10k_d128") { noop(synthIdx.searchBatch(synthQ, 10)) }
 
     // IVF+PQ at the same 10k shape: 16-byte ADC codes vs 512-byte floats —
     // the compressed-index serving tier (build includes codebook training)
