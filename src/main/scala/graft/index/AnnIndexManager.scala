@@ -274,16 +274,44 @@ object AnnIndexManager {
     */
   /** FAISS `index_factory`-style description strings (reference
     * `description` param, src/include/faiss_index.hpp:37-113):
-    * "Flat" → FLAT; "IVF<n>,Flat" → IVF nlist=n; "HNSW<m>" → HNSW. */
+    *
+    *  - "Flat" → FLAT; "SQ8" / "SQfp16" → FLAT + scalar quantization;
+    *    "PQ<m>" / "PQ<m>x<b>" → FLAT + product quantization
+    *  - "IVF<n>" / "IVF<n>,Flat" → IVF nlist=n; "IVF<n>,SQ8" /
+    *    "IVF<n>,SQfp16" → + scalar codes; "IVF<n>,PQ<m>" /
+    *    "IVF<n>,PQ<m>x<b>" → + PQ codes (m subspaces, 2^b centroids each;
+    *    b defaults to 8, faiss's convention)
+    *  - "HNSW" / "HNSW<m>" → HNSW (m = graph degree)
+    */
   def parseDescription(desc: String): (String, Map[String, String]) = {
-    val ivf = "(?i)IVF(\\d+)(,Flat)?".r
+    val ivf = "(?i)IVF(\\d+)(?:,(.+))?".r
     val hnsw = "(?i)HNSW(\\d+)?".r
+
+    // the coding suffix shared by flat and IVF forms
+    def coding(c: String): Map[String, String] = {
+      val pq = "(?i)PQ(\\d+)(?:x(\\d+))?".r
+      c.trim match {
+        case f if f.equalsIgnoreCase("Flat") => Map.empty
+        case s if s.equalsIgnoreCase("SQ8") => Map("quantization" -> "sq8")
+        case s if s.equalsIgnoreCase("SQfp16") => Map("quantization" -> "fp16")
+        case pq(m, bits) =>
+          val ksub = Option(bits).map(b => math.pow(2, b.toInt).toInt)
+          require(ksub.forall(k => k >= 2 && k <= 65536),
+            s"PQ bit width out of range in description '$desc' (1..16 bits)")
+          Map("quantization" -> "pq", "pq_m" -> m) ++
+            ksub.map(k => "pq_ksub" -> k.toString)
+        case other => throw new IllegalArgumentException(
+          s"unsupported coding '$other' in index description: $desc " +
+            "(expected Flat, SQ8, SQfp16, or PQ<m>[x<b>])")
+      }
+    }
+
     desc.trim match {
       case d if d.equalsIgnoreCase("Flat") => ("FLAT", Map.empty)
-      case ivf(n, _) => ("IVF", Map("nlist" -> n))
+      case ivf(n, rest) =>
+        ("IVF", Map("nlist" -> n) ++ Option(rest).map(coding).getOrElse(Map.empty))
       case hnsw(m) => ("HNSW", Option(m).map(v => Map("hnsw_m" -> v)).getOrElse(Map.empty))
-      case other => throw new IllegalArgumentException(
-        s"unsupported index description: $other")
+      case c => ("FLAT", coding(c)) // bare SQ8 / SQfp16 / PQ<m> = coded flat
     }
   }
 

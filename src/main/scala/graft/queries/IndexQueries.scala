@@ -539,6 +539,24 @@ object IndexQueries {
         .orderBy("rank")
     }),
 
+    // faiss index_factory composite: engine + nlist + PQ coding all come
+    // from the single description string 'IVF8,PQ16' (reference
+    // src/include/faiss_index.hpp:37-113). All-cell probing + oversampled
+    // exact rerank → lossless final ranking → strict oracle.
+    "ann_factory_ivfpq" -> ((s: SparkSession, dir: String) => {
+      val idx = AnnIndexManager.getOrBuild(s, "emb_factory", dir, path =>
+        AnnIndexManager.create(s, "emb_factory", emb(s, dir), "vec_id",
+          "embedding", "FLAT" /* overridden by description */,
+          Map("description" -> "IVF8,PQ16", "nprobe" -> "8",
+            "table" -> "embeddings"), path))
+      val res = idx.search(emb(s, dir), "vec_id", qvecF(23), K,
+        oversample = 64, rerank = true)
+      res.withColumn("rank", row_number().over(
+          Window.orderBy(col("_distance"), col("vec_id"))).cast("long"))
+        .select("rank", "vec_id")
+        .orderBy("rank")
+    }),
+
     // SQ8 on the graph engine (reference SQ8 appendix,
     // rust_lib/src/index_manager.rs:508-536): the shard dataset stores u8
     // codes, dequantized once per shard decode. Rows-only (quantization
@@ -609,6 +627,7 @@ object IndexQueries {
     "ann_range_ivf" -> bruteForceRange(5, 8.5),
     "ann_search_fetch" -> bruteForceTopK(7, extraCols = ", label"),
     "ann_pq_rerank" -> bruteForceTopK(8),
+    "ann_factory_ivfpq" -> bruteForceTopK(23),
     "ann_vamana_topk" -> bruteForceTopK(9),
     "ann_hnsw_topk" -> bruteForceTopK(10),
     "sql_index_scan" -> bruteForceTopK(11),

@@ -254,6 +254,26 @@ class AnnSqlSpec extends SparkSpec {
     spark.sql("SELECT * FROM ann_drop_index('sql_ci')").collect()
   }
 
+  test("SQL TVF ann_create_index accepts a quoted factory description") {
+    import spark.implicits._
+    val tablePath = s"$tmp/sql_fact.parquet"
+    vecs.toDF("id", "embedding").write.mode("overwrite").parquet(tablePath)
+    AnnSql.register(spark)
+    // ''…'' escapes the quotes into the params CSV, which keeps the
+    // factory string's inner comma intact: description='IVF4,PQ3'
+    val row = spark.sql(
+      s"""SELECT * FROM ann_create_index('sql_fact', '$tablePath', 'id',
+         |  'embedding', 'FLAT', 'description=''IVF4,PQ3'',nprobe=4',
+         |  '$tmp/sql_fact_idx')""".stripMargin).head()
+    assert(row.getString(1) == "IVF")
+    val idx = AnnIndexManager.load(spark, s"$tmp/sql_fact_idx")
+    assert(idx.meta.quantized && idx.meta.param("pq_m", 0) == 3)
+    assert(spark.sql(
+      "SELECT * FROM ann_index_scan('sql_fact', array(0.5, 0.5, 0.5), 5)")
+      .count() == 5)
+    spark.sql("SELECT * FROM ann_drop_index('sql_fact')").collect()
+  }
+
   test("params CSV: quoted values keep inner commas (factory descriptions)") {
     assert(AnnSql.parseParamsCsv("description='IVF16,PQ8',metric=l2") ==
       Map("description" -> "IVF16,PQ8", "metric" -> "l2"))

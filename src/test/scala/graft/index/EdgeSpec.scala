@@ -85,7 +85,26 @@ class EdgeSpec extends SparkSpec {
     assert(AnnIndexManager.parseDescription("Flat") == ("FLAT", Map.empty))
     assert(AnnIndexManager.parseDescription("IVF100,Flat") == ("IVF", Map("nlist" -> "100")))
     assert(AnnIndexManager.parseDescription("HNSW32") == ("HNSW", Map("hnsw_m" -> "32")))
-    intercept[IllegalArgumentException] { AnnIndexManager.parseDescription("PQ16") }
+    // composites: coded IVF and coded flat forms
+    assert(AnnIndexManager.parseDescription("IVF8,PQ16") ==
+      ("IVF", Map("nlist" -> "8", "quantization" -> "pq", "pq_m" -> "16")))
+    assert(AnnIndexManager.parseDescription("IVF8,PQ16x6") ==
+      ("IVF", Map("nlist" -> "8", "quantization" -> "pq", "pq_m" -> "16",
+        "pq_ksub" -> "64")))
+    assert(AnnIndexManager.parseDescription("IVF32,SQ8") ==
+      ("IVF", Map("nlist" -> "32", "quantization" -> "sq8")))
+    assert(AnnIndexManager.parseDescription("IVF32,SQfp16") ==
+      ("IVF", Map("nlist" -> "32", "quantization" -> "fp16")))
+    assert(AnnIndexManager.parseDescription("PQ16") ==
+      ("FLAT", Map("quantization" -> "pq", "pq_m" -> "16")))
+    assert(AnnIndexManager.parseDescription("SQ8") ==
+      ("FLAT", Map("quantization" -> "sq8")))
+    // rejections name the offending description
+    val bad = intercept[IllegalArgumentException] {
+      AnnIndexManager.parseDescription("IVF8,LSH") }
+    assert(bad.getMessage.contains("LSH"))
+    intercept[IllegalArgumentException] { AnnIndexManager.parseDescription("OPQ16,IVF8") }
+    intercept[IllegalArgumentException] { AnnIndexManager.parseDescription("IVF8,PQ16x20") }
 
     val rnd = new scala.util.Random(37)
     val df = Seq.tabulate(60)(i => (i.toLong, Array.fill(4)(rnd.nextFloat())))
