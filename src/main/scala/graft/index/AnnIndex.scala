@@ -42,6 +42,10 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * at scale the difference between touching cached shards and moving
     * the full graph over the network per batch. */
   @volatile private var pinned: Option[DataFrame] = None
+  // a mutation dropped the pin: persist() is a STANDING request, so the
+  // next read re-pins the post-mutation dataset instead of silently
+  // serving parquet forever (cleared only by an explicit unpersist())
+  @volatile private var repinOnRead = false
 
   def persist(): this.type = synchronized {
     if (pinned.isEmpty) {
@@ -61,12 +65,19 @@ class AnnIndex(val spark: SparkSession, val path: String) {
   def unpersist(): this.type = synchronized {
     pinned.foreach(_.unpersist())
     pinned = None
+    repinOnRead = false // explicit opt-out ends the standing pin request
     this
   }
 
+  /** Whether reads currently serve from the pinned (cached) dataset. */
+  def isPinned: Boolean = pinned.isDefined
+
   private def invalidatePin(): Unit = synchronized {
-    pinned.foreach(_.unpersist())
-    pinned = None
+    if (pinned.isDefined) {
+      pinned.foreach(_.unpersist())
+      pinned = None
+      repinOnRead = true
+    }
   }
 
   /** The index dataset as a reader may see it. Graph engines go through
@@ -102,7 +113,13 @@ class AnnIndex(val spark: SparkSession, val path: String) {
   private def liveShardIds: Seq[Int] =
     meta.liveShards.getOrElse(IndexMeta.listShardDirs(dataPath))
 
-  def data: DataFrame = pinned.getOrElse(readData())
+  def data: DataFrame = {
+    // re-pin lazily after a mutation (first post-mutation read pays the
+    // one repartition+cache pass; every later batch serves from memory
+    // again — the behavior a serving loop that called persist() expects)
+    if (repinOnRead && pinned.isEmpty) persist()
+    pinned.getOrElse(readData())
+  }
 
   def hasDeletes: Boolean = IndexMeta.existsDir(deletesPath)
 
@@ -385,10 +402,13 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     val overfetch = meta.numDeleted.toInt
     val ck = shardCacheKey
     // a pinned graph dataset is persisted post-repartition(shard): serve it
-    // directly and certify the whole-shard layout (no per-batch shuffle)
+    // directly and certify the whole-shard layout (no per-batch shuffle).
+    // `data` first: it lazily re-pins after a mutation, so the match below
+    // sees the restored pin and keeps the zero-shuffle layout.
+    val readOnce = data
     val (src, prePart) = pinned match {
       case Some(p) => (p, true)
-      case None => (data, false)
+      case None => (readOnce, false)
     }
     val nShards = math.max(1, meta.param("shards", 1))
     val res = meta.engine match {
@@ -682,6 +702,23 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       params = withBatch(meta.params ++ delta, batch))
     IndexMeta.write(path, meta)
     invalidatePin()
+    maybeAutoCompact()
+  }
+
+  /** Conf-driven compaction trigger: with `spark.ann.autoCompactMinShards`
+    * set to N > 0, any graph-engine mutation that leaves >= N live shards
+    * folds the undersized ones via [[compactShards]] before returning.
+    * Runs inside the caller's mutation (insert/applyCdc), so the
+    * single-writer contract holds by construction — there is never a
+    * second concurrent writer to race. Off by default (0): steady bulk
+    * loads don't need it, and a serving deployment opts in with the
+    * shard-count ceiling it wants. Without it, repeated CDC micro-batches
+    * accumulate one delta shard each until someone calls compactShards()
+    * manually. */
+  private def maybeAutoCompact(): Unit = {
+    if (!isGraphEngine) return
+    val minShards = spark.conf.get("spark.ann.autoCompactMinShards", "0").toInt
+    if (minShards > 0 && liveShardIds.size >= minShards) compactShards()
   }
 
   /** Delete hook: tombstone the ids at the current epoch
@@ -718,6 +755,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       params = withBatch(meta.params ++ delta, batch))
     IndexMeta.write(path, meta)
     invalidatePin()
+    maybeAutoCompact()
   }
 
   /** Vacuum: compact away tombstones, atomically replacing the dataset

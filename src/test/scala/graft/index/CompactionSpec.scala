@@ -155,6 +155,43 @@ class CompactionSpec extends SparkSpec {
     assert(res == Seq(3000L))
   }
 
+  test("autoCompactMinShards bounds shard count across CDC micro-batches") {
+    import spark.implicits._
+    val idx = AnnIndexManager.create(spark, "t_autocompact",
+      baseVecs.toDF("id", "embedding"), "id", "embedding", "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "32",
+        "shards" -> "2"),
+      s"$tmp/t_autocompact")
+    val rnd = new scala.util.Random(123)
+    spark.conf.set("spark.ann.autoCompactMinShards", "4")
+    try {
+      // 6 micro-batches through BOTH mutation paths; un-compacted this
+      // would end at 2 + 6 = 8 shards
+      for (b <- 0 until 6) {
+        val batch = Seq.tabulate(5)(i => (5000L + b * 5 + i, Array.fill(4)(rnd.nextFloat())))
+          .toDF("id", "embedding")
+        if (b % 2 == 0) idx.insert(batch, "id", "embedding")
+        else idx.applyCdc(spark.emptyDataFrame.selectExpr("CAST(1 AS BIGINT) AS id").limit(0),
+          batch, "id", "embedding")
+      }
+      // every mutation that reached >= 4 live shards folded the deltas:
+      // the count stays bounded instead of growing one per batch
+      assert(idx.meta.param("shards", 0) <= 4,
+        s"auto-compaction left ${idx.meta.param("shards", 0)} shards")
+      // nothing lost: all 30 inserted ids and the base rows still serve
+      val got = idx.scan(Array(0.5f, 0.5f, 0.5f, 0.5f), 230, searchParam = 100000)
+        .collect().map(_.getLong(0)).toSet
+      assert((5000L until 5030L).forall(got.contains))
+      assert(got.size == 230)
+    } finally spark.conf.unset("spark.ann.autoCompactMinShards")
+
+    // conf unset (default 0): mutations never auto-compact
+    val before = idx.meta.param("shards", 0)
+    idx.insert(Seq((9000L, Array(0.2f, 0.2f, 0.2f, 0.2f))).toDF("id", "embedding"),
+      "id", "embedding")
+    assert(idx.meta.param("shards", 0) == before + 1)
+  }
+
   test("bulk insert splits into budget-sized delta shards (arithmetic)") {
     // the per-shard cell budget drives both create and insert sizing
     assert(AnnIndexBuilder.defaultGraphShards(10000000L, 128) == 100)

@@ -65,6 +65,33 @@ class IndexSpec extends SparkSpec {
     assert(reloaded.meta.engine == "IVF" && reloaded.meta.dim == 4)
   }
 
+  test("persist() is a standing request: mutations re-pin on next read") {
+    import spark.implicits._
+    val idx = AnnIndexManager.create(spark, "t_repin", vecsDf, "id", "embedding",
+      "DISKANN", Map("metric" -> "l2", "max_degree" -> "16",
+        "build_complexity" -> "32", "shards" -> "2"), s"$tmp/t_repin")
+    idx.persist()
+    assert(idx.isPinned)
+    val q = queries.head
+    idx.scan(q, 5, searchParam = 100000).collect()
+
+    // mutation invalidates the pin, but the next search serves the
+    // POST-mutation data AND restores the pin (no silent parquet serving)
+    idx.insert(Seq((7777L, q)).toDF("id", "embedding"), "id", "embedding")
+    assert(!idx.isPinned)
+    val hits = idx.scan(q, 5, searchParam = 100000).collect().map(_.getLong(0))
+    assert(hits.head == 7777L, "post-insert search must see the new row")
+    assert(idx.isPinned, "serving read after a mutation must re-pin")
+
+    // explicit unpersist ends the standing request: later mutations +
+    // reads stay unpinned
+    idx.unpersist()
+    idx.insert(Seq((7778L, q.map(_ + 0.01f))).toDF("id", "embedding"),
+      "id", "embedding")
+    idx.scan(q, 5, searchParam = 100000).collect()
+    assert(!idx.isPinned)
+  }
+
   test("delete tombstones exclude ids; vacuum compacts; re-insert works (F4)") {
     val idx = AnnIndexManager.create(spark, "t_dml", vecsDf, "id", "embedding",
       "FLAT", Map("metric" -> "l2"), s"$tmp/t_dml")
