@@ -146,6 +146,30 @@ object IndexQueries {
       idx
     })
 
+  /** Embeddings with every value snapped to a 1/denom grid — the lossless
+    * fixture for quantized-codec oracles: the snapped values are exactly
+    * representable in the codec (fp16 at denom=8) or exactly recoverable
+    * by codebook training (per-dim PQ at denom=4: ≤5 distinct values per
+    * subspace, each its own trained centroid), so quantized candidate
+    * order PROVABLY equals float order and the entry oracles strictly. */
+  private def snappedEmb(s: SparkSession, dir: String, denom: Int) =
+    emb(s, dir).select(col("vec_id"),
+      expr(s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $denom) / $denom AS FLOAT))")
+        .as("embedding"))
+
+  private def pqExactIndex(s: SparkSession, dir: String): AnnIndex =
+    AnnIndexManager.getOrBuild(s, "emb_pq_exact", dir, path =>
+      AnnIndexManager.create(s, "emb_pq_exact", snappedEmb(s, dir, 4),
+        "vec_id", "embedding", "FLAT",
+        Map("metric" -> "l2", "quantization" -> "pq", "pq_m" -> "64",
+          "pq_ksub" -> "16"), path))
+
+  private def fp16ExactIndex(s: SparkSession, dir: String): AnnIndex =
+    AnnIndexManager.getOrBuild(s, "emb_fp16_exact", dir, path =>
+      AnnIndexManager.create(s, "emb_fp16_exact", snappedEmb(s, dir, 8),
+        "vec_id", "embedding", "FLAT",
+        Map("metric" -> "l2", "quantization" -> "fp16"), path))
+
   /** (id, _distance) scan → (rank, vec_id) for oracle compare. */
   private def ranked(scan: DataFrame): DataFrame =
     scan
@@ -384,8 +408,24 @@ object IndexQueries {
     // ordered by XOR+popcount Hamming, an angular proxy. Rows-only (sign
     // ranking is approximate vs the float oracle); kernel exactness and
     // recall floors in BqSpec.
+    // strict: 1 - cos(pi*h/dim) is strictly monotone in the hamming count
+    // h in [0, dim], so the bq scan order IS the sign-disagreement order —
+    // mirrored per-dimension in SQL exactly like vector_bq_hamming
     "ann_bq_topk" -> ((s: SparkSession, dir: String) =>
       ranked(bqIndex(s, dir).scan(qvecF(18), K))),
+
+    // PQ on the lossless fixture: dsub=1 subspaces over 1/4-grid values —
+    // ≤5 distinct values per subspace, ksub=16 centroids trained on the
+    // full corpus recover each exactly → ADC distance == float distance →
+    // strict oracle over the same snapped vectors in SQL
+    "ann_pq_exact_topk" -> ((s: SparkSession, dir: String) =>
+      ranked(pqExactIndex(s, dir).scan(qvecF(24), K))),
+
+    // FP16 on the lossless fixture: 1/8-grid values in [-1, 1] are exactly
+    // representable in half precision, so storage round-trips bit-exactly
+    // and the quantized order equals the float order → strict oracle
+    "ann_fp16_exact_topk" -> ((s: SparkSession, dir: String) =>
+      ranked(fp16ExactIndex(s, dir).scan(qvecF(25), K))),
 
     // BQ candidates + exact cosine re-rank at exhaustive oversample
     // (k*64 >= corpus): candidate generation is quantized, the final
@@ -628,6 +668,38 @@ object IndexQueries {
     "ann_search_fetch" -> bruteForceTopK(7, extraCols = ", label"),
     "ann_pq_rerank" -> bruteForceTopK(8),
     "ann_factory_ivfpq" -> bruteForceTopK(23),
+
+    // bq scan order == hamming order (1 - cos(pi*h/d) strictly monotone in
+    // h): rank by the per-dim sign-disagreement count, the same unrolled
+    // terms the strict vector_bq_hamming oracle uses
+    "ann_bq_topk" -> {
+      val terms = QuerySupport.qvec(18).zipWithIndex.map { case (x, i) =>
+        s"CASE WHEN (embedding[${i + 1}] > 0) != ${x > 0.0} THEN 1 ELSE 0 END"
+      }
+      s"""SELECT rank, vec_id FROM (
+         |  SELECT vec_id, CAST(row_number() OVER (
+         |    ORDER BY (${terms.mkString(" + ")}), vec_id) AS BIGINT) AS rank
+         |  FROM embeddings) t
+         |WHERE rank <= $K ORDER BY rank""".stripMargin
+    },
+
+    // the quantized-boundary fixtures: brute force over the SAME snapped
+    // vectors (grid arithmetic in double on both sides)
+    "ann_pq_exact_topk" ->
+      s"""SELECT rank, vec_id FROM (
+         |  SELECT vec_id, CAST(row_number() OVER (
+         |    ORDER BY list_distance([round(x * 4) / 4 FOR x IN $EmbD],
+         |                           ${sqlVec(24)}), vec_id) AS BIGINT) AS rank
+         |  FROM embeddings) t
+         |WHERE rank <= $K ORDER BY rank""".stripMargin,
+
+    "ann_fp16_exact_topk" ->
+      s"""SELECT rank, vec_id FROM (
+         |  SELECT vec_id, CAST(row_number() OVER (
+         |    ORDER BY list_distance([round(x * 8) / 8 FOR x IN $EmbD],
+         |                           ${sqlVec(25)}), vec_id) AS BIGINT) AS rank
+         |  FROM embeddings) t
+         |WHERE rank <= $K ORDER BY rank""".stripMargin,
     "ann_vamana_topk" -> bruteForceTopK(9),
     "ann_hnsw_topk" -> bruteForceTopK(10),
     "sql_index_scan" -> bruteForceTopK(11),
