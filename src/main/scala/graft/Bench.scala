@@ -252,6 +252,27 @@ object Bench {
     }
     times("kernel_batch_l2_n1024_d768_spark") = bestSpark
 
+    // the PRODUCTION kernel shape: constant (typedLit) query over a cached
+    // corpus — the foldable query side hoists to one codegen-time decode,
+    // so per-row work is one candidate unwrap + the loop. Same total work
+    // (500 batches of 1024 rows) in one job; includes the cache scan, as a
+    // real index scan would.
+    val bigCands = spark.range(500L * kn)
+      .select(col("id"), seededVec(col("id") + 500000L, lit(kd)).as("vec"))
+      .coalesce(1).cache()
+    bigCands.count()
+    val qr5 = new scala.util.Random(5)
+    val qlit = typedLit(Array.fill(kd)(qr5.nextFloat()))
+    val scanPlan = bigCands.select(sum(l2_distance_sq(col("vec"), qlit)))
+    noop(scanPlan) // warm
+    var bestScan = Double.MaxValue
+    for (_ <- 1 to 3) {
+      val st0 = System.nanoTime()
+      noop(scanPlan)
+      bestScan = math.min(bestScan, (System.nanoTime() - st0) / 1e9 / 500)
+    }
+    times("kernel_batch_l2_n1024_d768_spark_scan") = bestScan
+
     // kernel lines are microseconds-scale: 4 decimals of seconds would
     // round 4µs to 0.0000 — keep 7 for them, 4 for engine queries
     val qs = times.map { case (k, v) =>
