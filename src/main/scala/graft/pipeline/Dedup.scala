@@ -258,17 +258,32 @@ object Dedup {
     *
     * Both sides normalize through the same [[graft.functions.NormalizeVector]]
     * kernel, so the (a,b) and (b,a) directions carry bit-identical
-    * similarities and collapse exactly in the final distinct. */
+    * similarities and collapse exactly in the final distinct.
+    *
+    * @param engine "IVF" (default — cell-pruned, O(n · nprobe/nlist · n)),
+    *               or "DISKANN"/"HNSW": graph shards searched through the
+    *               same table-input operator, whose auto strategy switches
+    *               to the cogrouped no-driver-collect plan once the corpus
+    *               exceeds the collect bound — the corpus-scale graph
+    *               self-join the reference cannot express. For graph
+    *               engines `nprobe` is the search beam (search_complexity).
+    */
   def embeddingNearDupsAnn(df: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, nlist: Int = 64, nprobe: Int = 8,
-                           k: Int = 10): DataFrame = {
+                           k: Int = 10, engine: String = "IVF"): DataFrame = {
     require(idCol != "id", "idCol must differ from the index hit column 'id'")
     val spark = df.sparkSession
     val name = s"__neardup_ann_${annDedupSeq.incrementAndGet()}"
     val path = java.nio.file.Files.createTempDirectory("graft_neardup_ann").toString
+    val params = engine match {
+      case "IVF" => Map("metric" -> "cosine", "nlist" -> nlist.toString,
+        "nprobe" -> nprobe.toString)
+      case "DISKANN" | "HNSW" => Map("metric" -> "cosine")
+      case other => throw new IllegalArgumentException(
+        s"embeddingNearDupsAnn engine must be IVF|DISKANN|HNSW, got $other")
+    }
     val idx = graft.index.AnnIndexManager.create(spark, name, df, idCol, vecCol,
-      "IVF", Map("metric" -> "cosine", "nlist" -> nlist.toString,
-        "nprobe" -> nprobe.toString), path)
+      engine, params, path)
     // scratch index: drop the catalog entry immediately (the loaded idx
     // keeps serving from its path, which the returned lazy plan needs —
     // callers own deleting `path` once the result is consumed)

@@ -228,6 +228,19 @@ class PipelineSpec extends SparkSpec {
       nlist = 8, nprobe = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(ann.count(_ == ((0L, 100L))) == 1)
+
+    // graph-engine variant at "corpus scale": the 101-row query relation
+    // exceeds the lowered collect bound, so the self-join runs through the
+    // cogrouped no-driver-collect plan; exhaustive beam ⇒ same pairs as
+    // the exhaustive IVF pass
+    spark.conf.set("spark.ann.maxCollectedQueries", "50")
+    try {
+      val graph = Dedup.embeddingNearDupsAnn(df, "vec_id", "embedding", 0.95,
+        nprobe = 100000, engine = "DISKANN")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(graph == ann.toSet,
+        "distributed graph self-join must match the exhaustive IVF pairs")
+    } finally spark.conf.unset("spark.ann.maxCollectedQueries")
   }
 
   test("near-dup thresholds reject NaN similarities (null elements, zero vectors)") {
