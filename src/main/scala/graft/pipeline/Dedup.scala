@@ -245,6 +245,37 @@ object Dedup {
         round(col("inter") / union + lit(1e-9), 4).as("jaccard"))
   }
 
+  /** Per-document cross-corpus duplication score: the fraction of a doc's
+    * distinct word n-grams that also occur in at least one OTHER document
+    * — the "duplicate text fraction" curation signal (cf. Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": repeated
+    * cross-document spans degrade models even when no two docs are
+    * near-duplicates). Pairwise operators (ngramJaccard*) find WHO
+    * duplicates whom; this scores HOW MUCH of each doc is corpus-level
+    * boilerplate, filterable per row without materializing any pair.
+    *
+    * Scale shape: one (doc, distinct-gram) explode; gram document
+    * frequency is a hash aggregate with map-side partials; the join back
+    * is by gram and the per-doc rollup a second hash aggregate — no
+    * all-pairs term anywhere, O(total grams), skew-safe (a boilerplate
+    * gram stays (doc, gram) rows, never a collected list).
+    *
+    * @return (idCol, n_grams, n_shared, shared_frac) */
+  def sharedNgramStats(df: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 8): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(sqlShingles(shingleSize)(col(textCol))).as("gram"))
+    // grams are distinct WITHIN a doc, so count(*) per gram = doc frequency
+    val docFreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    grams.join(docFreq, "gram")
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      // +1e-9 before round(4): same boundary guard as ngramJaccardExact
+      .withColumn("shared_frac",
+        round(col("n_shared") / col("n_grams") + lit(1e-9), 4))
+  }
+
   private val annDedupSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** Embedding near-dup via an ANN-index self-join — the INDEX-BACKED

@@ -73,6 +73,13 @@ object TextQueries {
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", shingleSize = 2)
         .orderBy("a", "b")),
 
+    // per-doc duplicate-text fraction: share of a doc's distinct bigrams
+    // that occur in any OTHER doc (corpus-level boilerplate score, no
+    // pair materialization) — pure set arithmetic, strict oracle
+    "dedup_shared_ngrams" -> ((s: SparkSession, dir: String) =>
+      Dedup.sharedNgramStats(docs(s, dir), "doc_id", "text", shingleSize = 2)
+        .orderBy("doc_id")),
+
     // near-dup pairs resolved into duplicate GROUPS (connected components
     // via iterative min-label propagation): transitive chains collapse to
     // one group id. Strict — the oracle replays the same pair predicate
@@ -578,6 +585,28 @@ object TextQueries {
     // sequence/slice; list_distinct/list_intersect = array_distinct/
     // array_intersect (distinct-set semantics both sides); the size-ratio
     // prefilter and the J >= 0.5 cut are exact double comparisons
+    // same tokenization CTE as ngram_jaccard; doc frequency of each
+    // distinct bigram, rolled back up per doc
+    "dedup_shared_ngrams" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |      ELSE [array_to_string(toks[i+1:i+2], ' ')
+        |            FOR i IN generate_series(0, len(toks)-2)] END) AS sh
+        |  FROM (SELECT doc_id,
+        |          [t FOR t IN string_split_regex(lower(text), '\s+') IF len(t) > 0] AS toks
+        |        FROM documents)
+        |),
+        |g AS (SELECT doc_id, unnest(sh) AS gram FROM s),
+        |f AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  round(CAST(sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |    + 0.000000001, 4) AS shared_frac
+        |FROM g JOIN f USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "ngram_jaccard" ->
       """WITH s AS (
         |  SELECT doc_id,

@@ -243,6 +243,23 @@ class PipelineSpec extends SparkSpec {
     } finally spark.conf.unset("spark.ann.maxCollectedQueries")
   }
 
+  test("sharedNgramStats scores corpus-level boilerplate per doc") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps high"),      // shares "the quick brown fox" with doc 2
+      (2L, "the quick brown fox sleeps now"),
+      (3L, "completely unique content written here today") // nothing shared
+    ).toDF("doc_id", "text")
+    val got = Dedup.sharedNgramStats(df, "doc_id", "text", shingleSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // 5 bigrams each; docs 1/2 share exactly the 3 bigrams of the common
+    // 4-word prefix
+    assert(got(1L) == ((5L, 3L, 0.6)))
+    assert(got(2L) == ((5L, 3L, 0.6)))
+    assert(got(3L) == ((5L, 0L, 0.0)))
+  }
+
   test("near-dup thresholds reject NaN similarities (null elements, zero vectors)") {
     import spark.implicits._
     val df = Seq(
