@@ -92,39 +92,25 @@ abstract class BinaryVectorDoubleExpression extends BinaryExpression
     false
   }
 
-  /** Codegen: declare a primitive copy of `arr` (one bulk copyMemory on
-    * UnsafeArrayData) so the kernel loop indexes a concrete array instead
-    * of calling the megamorphic ArrayData getter per element. */
-  private def genPrimCopy(e: Expression, arr: String, prim: String): String =
-    if (elemIsFloat(e)) s"final float[] $prim = $arr.toFloatArray();"
-    else s"final double[] $prim = $arr.toDoubleArray();"
-
   private def primAt(e: Expression, prim: String, i: String): String =
     if (elemIsFloat(e)) s"((double) $prim[$i])" else s"$prim[$i]"
 
-  /** Generates the kernel: `init` declares accumulators, `perElem` emits
-    * the per-element statements from (xa, xb) double accessors, and
+  /** Generates the kernel loop: `init` declares accumulators, `perElem`
+    * emits the per-element statements from (xa, xb) double accessors, and
     * `result` is the final double expression over the accumulators.
     *
-    * When the input TYPES cannot hold null elements (typedLit queries,
-    * canonicalized index datasets — the hot serving path), the kernel is
-    * emitted as its OWN generated function instead of inline in the fused
-    * WholeStageCodegen method. That buys two things the inline form can't
-    * have at once:
-    *  - an `instanceof UnsafeArrayData` fast path whose post-cast getters
-    *    the JIT devirtualizes and inlines to raw Platform reads — zero
-    *    per-row allocation or copy for joined/broadcast rows (the batch
-    *    search shape). Inline, the duplicated loops pushed the fused
-    *    method past JIT inlining budgets and made everything slower;
-    *    as a standalone hot method each branch compiles tight.
-    *  - a fallback for ColumnarArray/GenericArrayData that bulk-copies
-    *    each side once (`toFloatArray` = one copyMemory / vector-batch
-    *    bulk read) rather than looping a megamorphic getter.
-    * A foldable side (typedLit query vector — the scan shape) skips even
-    * that: it decodes ONCE at codegen into a referenced primitive array.
-    * When null elements are possible, the guard is folded INTO a plain
-    * inline per-element loop (one pass — a separate pre-scan would double
-    * the memory passes). */
+    * A FOLDABLE side (typedLit query vector — every constant-query index
+    * scan) is decoded ONCE at codegen time into a referenced primitive
+    * array, so the hot loop reads a plain float[] and the per-row work for
+    * that side is zero. Non-foldable sides read through the ArrayData
+    * getter in a plain inline loop — measured fastest across real shapes:
+    * per-call-site type profiles keep the getter monomorphic within one
+    * compiled plan, while both "bulk-copy each side per row" and "emit the
+    * kernel as a standalone generated function with an instanceof fast
+    * path" versions benchmarked up to 2x SLOWER on the all-pairs near-dup
+    * query (copy/alloc per pair; lost inlining into the fused loop).
+    * When null elements are possible, the guard folds INTO the loop (one
+    * pass — a separate pre-scan would double the memory passes). */
   protected final def genKernel(ctx: CodegenContext, ev: ExprCode,
                                 a: String, b: String, n: String,
                                 init: String,
@@ -133,59 +119,21 @@ abstract class BinaryVectorDoubleExpression extends BinaryExpression
     val dims = genDimCheck(a, b, n)
     val i = ctx.freshName("i")
     if (!mayHaveNullElems) {
-      val uad = "org.apache.spark.sql.catalyst.expressions.UnsafeArrayData"
-      // foldable side: decoded once at codegen, read as a class field in
-      // both branches of the kernel function
       def hoist(e: Expression): Option[String] =
         if (!e.foldable) None
         else Option(e.eval(null).asInstanceOf[ArrayData]).map { v =>
           if (elemIsFloat(e)) ctx.addReferenceObj("constVec", v.toFloatArray(), "float[]")
           else ctx.addReferenceObj("constVec", v.toDoubleArray(), "double[]")
         }
-      val hoistA = hoist(left)
-      val hoistB = hoist(right)
-
-      // per-branch accessors: hoisted ref, cast-unsafe getter, or copied
-      // primitive array
-      def fastAcc(e: Expression, hoisted: Option[String], cast: String)(i: String): String =
-        hoisted match {
-          case Some(ref) => primAt(e, ref, i)
-          case None => if (elemIsFloat(e)) s"((double) $cast.getFloat($i))"
-                       else s"$cast.getDouble($i)"
-        }
-      val fastBody = perElem(fastAcc(left, hoistA, "ua")(i), fastAcc(right, hoistB, "ub")(i))
-      val slowA = hoistA.map(primAt(left, _, i)).getOrElse(primAt(left, "pa", i))
-      val slowB = hoistB.map(primAt(right, _, i)).getOrElse(primAt(right, "pb", i))
-      val slowBody = perElem(slowA, slowB)
-      val castA = if (hoistA.isEmpty) s"final $uad ua = ($uad) a;" else ""
-      val castB = if (hoistB.isEmpty) s"final $uad ub = ($uad) b;" else ""
-      val instA = if (hoistA.isEmpty) s"a instanceof $uad" else "true"
-      val instB = if (hoistB.isEmpty) s"b instanceof $uad" else "true"
-      val copyA = if (hoistA.isEmpty) genPrimCopy(left, "a", "pa") else ""
-      val copyB = if (hoistB.isEmpty) genPrimCopy(right, "b", "pb") else ""
-      val fnName = ctx.freshName("vecKernel")
-      val fn = ctx.addNewFunction(fnName,
-        s"""private double $fnName(
-           |    org.apache.spark.sql.catalyst.util.ArrayData a,
-           |    org.apache.spark.sql.catalyst.util.ArrayData b, int $n) {
-           |  $init
-           |  if ($instA && $instB) {
-           |    $castA
-           |    $castB
-           |    for (int $i = 0; $i < $n; $i++) {
-           |      $fastBody
-           |    }
-           |  } else {
-           |    $copyA
-           |    $copyB
-           |    for (int $i = 0; $i < $n; $i++) {
-           |      $slowBody
-           |    }
-           |  }
-           |  return $result;
-           |}""".stripMargin)
+      val accA = hoist(left).map(primAt(left, _, i)).getOrElse(getter(left, a, i))
+      val accB = hoist(right).map(primAt(right, _, i)).getOrElse(getter(right, b, i))
+      val body = perElem(accA, accB)
       s"""$dims
-         |${ev.value} = $fn($a, $b, $n);""".stripMargin
+         |$init
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $body
+         |}
+         |${ev.value} = $result;""".stripMargin
     } else {
       val body = perElem(getter(left, a, i), getter(right, b, i))
       val hn = ctx.freshName("hasNullElem")
