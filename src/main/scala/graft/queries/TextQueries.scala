@@ -357,6 +357,37 @@ object TextQueries {
         | md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Karp-Rabin winnowing fingerprint replayed exactly: per 16-char
+    // window, fold (h*B + c) mod 2^64 over codepoints in HUGEINT (BMP
+    // codepoints == the JVM's UTF-16 units), map each window hash to
+    // signed 64 (the engine's Long), take the signed min
+    "doc_fingerprint_rolling" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s FROM documents
+        |),
+        |chars AS (
+        |  SELECT doc_id, [unicode(c) FOR c IN split(s, '')] AS cs, length(s) AS n FROM norm
+        |),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n <= 16 THEN
+        |      (SELECT x - CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END
+        |       FROM (SELECT list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(c AS HUGEINT) FOR c IN cs]),
+        |         (h, c) -> (h * 1099511628211 + c) % 18446744073709551616) AS x))
+        |    ELSE
+        |      list_min([
+        |        x - CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END
+        |        FOR x IN [
+        |          list_reduce(list_prepend(CAST(0 AS HUGEINT), [CAST(c AS HUGEINT) FOR c IN cs[i+1:i+16]]),
+        |            (h, c) -> (h * 1099511628211 + c) % 18446744073709551616)
+        |          FOR i IN generate_series(0, n - 16)
+        |        ]
+        |      ])
+        |    END AS fp
+        |  FROM chars
+        |)
+        |SELECT doc_id, CAST(fp AS BIGINT) AS fp_rolling FROM hashed ORDER BY doc_id""".stripMargin,
+
     "neardup_cosine" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,
         | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
