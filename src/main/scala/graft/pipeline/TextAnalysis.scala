@@ -175,6 +175,69 @@ object TextAnalysis {
     }
   }
 
+  // ---- corpus-likelihood quality (CCNet-style LM scoring) ----
+
+  /** Normalized text shared by the trigram model and its oracle. */
+  private def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Char-trigram corpus log-loss: score each document by the average
+    * negative log-likelihood of its character trigrams under a
+    * unigram-of-trigrams model fit on the corpus itself — the cheap
+    * analogue of CCNet's KenLM-perplexity quality signal (docs that look
+    * unlike the corpus — junk, wrong charset, boilerplate-free noise —
+    * score high). Adds `n_trigrams` and `trigram_logloss` (nats,
+    * round(4); null when the normalized text has < 3 chars).
+    *
+    * Scale shape: trigram counts are one explode + hash aggregate
+    * (map-side partials); the model is collected driver-side and
+    * broadcast — vocabulary is charset-bounded, enforced by `maxVocab`
+    * (fail fast rather than silently truncate: a blowup means the corpus
+    * needs charset cleaning first, and a silent cap would bias scores).
+    * Scoring is then row-local.
+    *
+    * Determinism (what makes a strict oracle possible for a float
+    * aggregate): each doc's fold runs in TEXT ORDER inside one row-local
+    * pass, so the double summation order is fixed — the oracle replays
+    * the same left-to-right fold and lands on the identical double. */
+  def withTrigramLogLoss(df: DataFrame, textCol: String,
+                         maxVocab: Int = 1 << 22): DataFrame = {
+    val spark = df.sparkSession
+    val grams = df.select(explode(trigramsUdf(normText(col(textCol)))).as("g"))
+      .groupBy("g").count()
+    val model = grams.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(model.size <= maxVocab,
+      s"trigram vocabulary ${model.size} exceeds maxVocab=$maxVocab — " +
+        "clean the corpus charset (or raise the bound) before LM scoring")
+    val total = model.valuesIterator.sum.toDouble
+    val bc = spark.sparkContext.broadcast(model)
+    val score = udf { text: String =>
+      if (text == null || text.length < 3) null
+      else {
+        val m = bc.value
+        var s = 0.0
+        var i = 0
+        val ng = text.length - 2
+        while (i < ng) {
+          s += -math.log(m.getOrElse(text.substring(i, i + 3), 1L) / total)
+          i += 1
+        }
+        java.lang.Double.valueOf(s / ng)
+      }
+    }
+    df.withColumn("n_trigrams",
+        greatest(length(normText(col(textCol))) - 2, lit(0)).cast("long"))
+      // +1e-9 before round(4): same boundary nudge as qualityScore
+      .withColumn("trigram_logloss",
+        round(score(normText(col(textCol))) + lit(1e-9), 4))
+  }
+
+  /** All char trigrams of a (pre-normalized) string, with multiplicity. */
+  private val trigramsUdf = udf { s: String =>
+    if (s == null || s.length < 3) Seq.empty[String]
+    else (0 to s.length - 3).map(i => s.substring(i, i + 3))
+  }
+
   def withFingerprints(df: DataFrame, textCol: String, window: Int = 16): DataFrame = {
     val fpRolling = udf((t: String) => rollingFingerprint(t, window))
     df.withColumn("fp_md5", fingerprintMd5(col(textCol)))

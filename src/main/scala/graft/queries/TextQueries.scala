@@ -133,6 +133,15 @@ object TextQueries {
         .select("doc_id", "fp_rolling")
         .orderBy("doc_id")),
 
+    // CCNet-style corpus-likelihood quality: avg negative log-likelihood
+    // of each doc's char trigrams under the corpus's own trigram
+    // distribution. Strict: the per-doc fold runs in TEXT ORDER on both
+    // engines, so the double summation is bit-identical before round(4).
+    "text_trigram_ll" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.withTrigramLogLoss(docs(s, dir), "text")
+        .select("doc_id", "n_trigrams", "trigram_logloss")
+        .orderBy("doc_id")),
+
     // Gopher-style duplicate-trigram fraction per doc (strict oracle:
     // same comprehension arithmetic, round(4) both sides)
     "text_repetition" -> ((s: SparkSession, dir: String) =>
@@ -356,6 +365,35 @@ object TextQueries {
       """SELECT doc_id,
         | md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the trigram model replayed: counts over all docs' char trigrams,
+    // per-doc left-to-right ordered fold of -ln(c/total) (lock-step
+    // unnest keeps text positions; list(... ORDER BY pos) + list_reduce
+    // reproduces the engine's summation order exactly)
+    "text_trigram_ll" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s FROM documents
+        |),
+        |g AS (
+        |  SELECT doc_id, unnest([i FOR i IN generate_series(0, length(s) - 3)]) AS pos,
+        |         unnest([s[i+1:i+3] FOR i IN generate_series(0, length(s) - 3)]) AS gram
+        |  FROM norm WHERE length(s) >= 3
+        |),
+        |cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM cnt),
+        |folded AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(-ln(CAST(c AS DOUBLE) / total) ORDER BY pos)), (a, b) -> a + b) AS ssum,
+        |    count(*) AS ng
+        |  FROM g JOIN cnt USING (gram) CROSS JOIN tot
+        |  GROUP BY doc_id
+        |)
+        |SELECT n.doc_id,
+        |  CAST(coalesce(f.ng, 0) AS BIGINT) AS n_trigrams,
+        |  round(f.ssum / f.ng + 0.000000001, 4) AS trigram_logloss
+        |FROM norm n LEFT JOIN folded f USING (doc_id)
+        |ORDER BY n.doc_id""".stripMargin,
 
     // Karp-Rabin winnowing fingerprint replayed exactly: per 16-char
     // window, fold (h*B + c) mod 2^64 over codepoints in HUGEINT (BMP

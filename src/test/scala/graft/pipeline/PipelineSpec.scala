@@ -243,6 +243,22 @@ class PipelineSpec extends SparkSpec {
     } finally spark.conf.unset("spark.ann.maxCollectedQueries")
   }
 
+  test("trigram log-loss: corpus-typical text scores lower than charset junk") {
+    import spark.implicits._
+    val typical = "the quick brown fox jumps over the lazy dog near the river bank"
+    val df = (Seq.tabulate(20)(i => (i.toLong, typical + s" run $i")) :+
+      (99L, "zzqxj@@##%%^^&&**!!~~||zzqxj") :+   // charset junk
+      (100L, "ab")                               // < 3 chars → null score
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.withTrigramLogLoss(df, "text")
+      .select("doc_id", "n_trigrams", "trigram_logloss").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(got(100L) == ((0L, None)))
+    val junk = got(99L)._2.get
+    val typ = got(0L)._2.get
+    assert(junk > typ + 1.0, s"junk $junk should far exceed typical $typ")
+  }
+
   test("sharedNgramStats scores corpus-level boilerplate per doc") {
     import spark.implicits._
     val df = Seq(
