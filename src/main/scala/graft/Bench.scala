@@ -78,7 +78,8 @@ object Bench {
                      "text_stats", "text_langid", "text_quality",
                      "neardup_cosine", "neardup_lsh",
                      "pii_scrub", "decontaminate", "semantic_dedup_clustered",
-                     "events_sessions", "corpus_clean_pack")) {
+                     "events_sessions", "corpus_clean_pack",
+                     "dedup_shared_ngrams", "text_trigram_ll")) {
       time(name) { noop(q(name)(spark, sfDir)) }
     }
 

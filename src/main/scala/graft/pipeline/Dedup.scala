@@ -219,12 +219,21 @@ object Dedup {
     * array built-ins — no hash family, so a SQL oracle recomputes them
     * bit-for-bit. Shared by [[ngramJaccardExact]] and the decontamination
     * operators. */
+  private[graft] def sqlShinglesPublic(n: Int)(c: Column): Column = sqlShingles(n)(c)
+
   private[pipeline] def sqlShingles(n: Int)(c: Column): Column = {
-    val toks = filter(split(lower(c), "\\s+"), t => length(t) > 0)
-    array_distinct(
-      when(size(toks) < n, array(concat_ws(" ", toks)))
-        .otherwise(transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+    val toksExpr = filter(split(lower(c), "\\s+"), t => length(t) > 0)
+    // the token array is hoisted into a lambda variable (array+transform+
+    // flatten): Catalyst does not hoist loop-invariant subtrees out of
+    // higher-order functions, so referencing `toks` directly inside the
+    // per-gram lambda would re-run lower+split+filter ONCE PER GRAM —
+    // measured 10x on the shared-ngram scan. As a lambda variable it is
+    // evaluated once per row and every reference is an array read.
+    flatten(transform(array(toksExpr), toks =>
+      array_distinct(
+        when(size(toks) < n, array(concat_ws(" ", toks)))
+          .otherwise(transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))))
   }
 
   def ngramJaccardExact(df: DataFrame, idCol: String, textCol: String,

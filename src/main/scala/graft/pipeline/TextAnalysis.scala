@@ -102,10 +102,14 @@ object TextAnalysis {
     * Row-local array built-ins (NON-distinct gram list, unlike the dedup
     * shingles), SQL-mirrorable bit-for-bit. */
   def repetitionRatio(text: Column, n: Int = 3): Column = {
-    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
-    val grams = when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+    val toksExpr = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    // token array hoisted into a lambda variable (see Dedup.sqlShingles):
+    // a direct reference inside the per-gram lambda would re-tokenize once
+    // per gram
+    val grams = flatten(transform(array(toksExpr), toks =>
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))))
     // +1e-9 before round(4): same boundary nudge as qualityScore
     round(lit(1.0) - size(array_distinct(grams)).cast("double")
       / greatest(size(grams), lit(1)).cast("double") + lit(1e-9), 4)
