@@ -102,13 +102,15 @@ abstract class BinaryVectorDoubleExpression extends BinaryExpression
     * A FOLDABLE side (typedLit query vector — every constant-query index
     * scan) is decoded ONCE at codegen time into a referenced primitive
     * array, so the hot loop reads a plain float[] and the per-row work for
-    * that side is zero. Non-foldable sides read through the ArrayData
-    * getter in a plain inline loop — measured fastest across real shapes:
-    * per-call-site type profiles keep the getter monomorphic within one
-    * compiled plan, while both "bulk-copy each side per row" and "emit the
-    * kernel as a standalone generated function with an instanceof fast
-    * path" versions benchmarked up to 2x SLOWER on the all-pairs near-dup
-    * query (copy/alloc per pair; lost inlining into the fused loop).
+    * that side is zero. Non-foldable FLOAT sides are dimension-gated at
+    * runtime: at `n >= CopyThreshold` each side is bulk-copied ONCE per row
+    * (`toFloatArray` — Platform.copyMemory for UnsafeArrayData, vector bulk
+    * reads for columnar arrays) and the loop runs over plain float[], which
+    * the JIT auto-vectorizes; the per-element ArrayData getter cannot be
+    * (measured ~3x the primitive loop at d=768: a virtual hop per element).
+    * Below the threshold the inline getter loop wins — the copy/alloc per
+    * row costs more than it saves at small d (the d=64 all-pairs near-dup
+    * A/B that reverted the earlier always-copy version).
     * When null elements are possible, the guard folds INTO the loop (one
     * pass — a separate pre-scan would double the memory passes). */
   protected final def genKernel(ctx: CodegenContext, ev: ExprCode,
@@ -125,14 +127,47 @@ abstract class BinaryVectorDoubleExpression extends BinaryExpression
           if (elemIsFloat(e)) ctx.addReferenceObj("constVec", v.toFloatArray(), "float[]")
           else ctx.addReferenceObj("constVec", v.toDoubleArray(), "double[]")
         }
-      val accA = hoist(left).map(primAt(left, _, i)).getOrElse(getter(left, a, i))
-      val accB = hoist(right).map(primAt(right, _, i)).getOrElse(getter(right, b, i))
-      val body = perElem(accA, accB)
+      val hoistA = hoist(left); val hoistB = hoist(right)
+      val accA = hoistA.map(primAt(left, _, i)).getOrElse(getter(left, a, i))
+      val accB = hoistB.map(primAt(right, _, i)).getOrElse(getter(right, b, i))
+      val getterLoop =
+        s"""for (int $i = 0; $i < $n; $i++) {
+           |  ${perElem(accA, accB)}
+           |}""".stripMargin
+      val canCopyA = hoistA.isEmpty && elemIsFloat(left)
+      val canCopyB = hoistB.isEmpty && elemIsFloat(right)
+      val body =
+        if (!canCopyA && !canCopyB) getterLoop
+        else {
+          val pa = ctx.freshName("pa"); val pb = ctx.freshName("pb")
+          // per-instance scratch: UnsafeArrayData sides copy into a reused
+          // buffer (no alloc); columnar sides return a fresh array that
+          // becomes the next scratch (see VectorKernels.unwrapFloats)
+          val kernels = "graft.functions.VectorKernels"
+          def copySide(can: Boolean, arr: String, prim: String): String =
+            if (!can) ""
+            else {
+              val st = ctx.addMutableState("float[]", "kernelScratch")
+              s"""$st = $kernels.unwrapFloats($arr, $n, $st);
+                 |final float[] $prim = $st;""".stripMargin
+            }
+          val copyA = copySide(canCopyA, a, pa)
+          val copyB = copySide(canCopyB, b, pb)
+          val fastA = if (canCopyA) s"((double) $pa[$i])" else accA
+          val fastB = if (canCopyB) s"((double) $pb[$i])" else accB
+          s"""if ($n >= ${VectorKernels.CopyThreshold}) {
+             |  $copyA
+             |  $copyB
+             |  for (int $i = 0; $i < $n; $i++) {
+             |    ${perElem(fastA, fastB)}
+             |  }
+             |} else {
+             |  $getterLoop
+             |}""".stripMargin
+        }
       s"""$dims
          |$init
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $body
-         |}
+         |$body
          |${ev.value} = $result;""".stripMargin
     } else {
       val body = perElem(getter(left, a, i), getter(right, b, i))

@@ -19,6 +19,41 @@ package graft.functions
   */
 object VectorKernels extends Serializable {
 
+  /** Dimension threshold above which the codegen'd expressions
+    * ([[VectorExpressions]]) bulk-copy an ArrayData side to float[] before
+    * the loop instead of reading per-element getters: the copy amortizes
+    * once the auto-vectorized primitive loop saves more than the per-row
+    * copy costs (A/B'd at d=64 getter-wins vs d=768 copy-wins). */
+  final val CopyThreshold = 256
+
+  /** Unwrap an ArrayData of floats to a primitive array for the codegen'd
+    * kernels' fast path, reusing `scratch` when possible. UnsafeArrayData
+    * (broadcast/shuffled/sorted rows) bulk-copies into the caller's scratch
+    * buffer — no allocation, and no zeroing of a fresh array that the copy
+    * would immediately overwrite. Other array classes (ColumnarArray from
+    * cached/parquet scans) fall back to their own bulk `toFloatArray`,
+    * which allocates — the returned array is handed back as the next
+    * scratch, so a stream of same-dim columnar rows allocates each row
+    * only because ColumnVector exposes no copy-into API.
+    *
+    * Callers must NOT retain the result across evaluations (the next call
+    * overwrites it) — the generated kernels consume it within one row.
+    * Only called from the no-null-elements codegen branch, so null slots
+    * cannot reach the raw copy. */
+  def unwrapFloats(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                   n: Int, scratch: Array[Float]): Array[Float] = a match {
+    case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+      val buf = if (scratch != null && scratch.length == n) scratch
+                else new Array[Float](n)
+      org.apache.spark.unsafe.Platform.copyMemory(
+        u.getBaseObject,
+        u.getBaseOffset + org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .calculateHeaderPortionInBytes(n),
+        buf, org.apache.spark.unsafe.Platform.FLOAT_ARRAY_OFFSET, n * 4L)
+      buf
+    case other => other.toFloatArray()
+  }
+
   /** One-branch guard on every kernel: iterating `a.length` over a shorter
     * `b` would throw mid-loop, and over a longer `b` would silently compare
     * only a prefix (e.g. a short user query vs index centroids → wrong

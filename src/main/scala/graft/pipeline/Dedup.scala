@@ -254,6 +254,60 @@ object Dedup {
         round(col("inter") / union + lit(1e-9), 4).as("jaccard"))
   }
 
+  /** MinHash+LSH near-dup pairs with a CROSS-ENGINE hash family: signature
+    * element i is the lexicographic min over shingles of the 16-hex-char
+    * prefix of `md5("<i>:" ++ shingle)` (fixed-width lowercase hex, so
+    * string order == numeric order). md5 is bit-identical everywhere, which
+    * makes the WHOLE banding pipeline — shingle → k-hash signature → band
+    * keys → skew-capped buckets → candidate pairs → exact-Jaccard verify —
+    * strictly recomputable by a SQL oracle, unlike the murmur/universal
+    * family of [[minhashNearDups]]. That one stays the throughput path
+    * (one integer hash per shingle vs numHashes md5 digests here); this one
+    * is the verification family: run it on a sample to certify the banding
+    * logic end-to-end, then trust the fast family at scale (recall
+    * equivalence of the two families is asserted in PipelineSpec).
+    *
+    * Same skew posture as every LSH generator here: bucket membership is
+    * count-filtered through [[cappedBuckets]] BEFORE any array builds, so a
+    * degenerate band key caps instead of exploding. Output is verified
+    * pairs (a < b) with their exact Jaccard — identical shape and
+    * arithmetic to [[ngramJaccardExact]]. */
+  def minhashNearDupsMirrorable(df: DataFrame, idCol: String, textCol: String,
+                                shingleSize: Int = 2, numHashes: Int = 64,
+                                bands: Int = 16, threshold: Double = 0.5,
+                                maxBucket: Int = 1000): DataFrame = {
+    val r = numHashes / bands
+    require(bands * r == numHashes, s"bands ($bands) must divide numHashes ($numHashes)")
+    val shingled = df.select(col(idCol), sqlShingles(shingleSize)(col(textCol)).as("sh"))
+    // element i of the signature; `sh` is this row's distinct shingle array
+    val sig = transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      array_min(transform(col("sh"), s =>
+        substring(md5(concat(i.cast("string"), lit(":"), s)), 1, 16))))
+    // band key = concat of the band's signature rows. The signature is
+    // hoisted into a lambda variable (array+transform+flatten, see
+    // sqlShingles): referenced directly inside the per-band lambda, the
+    // full numHashes × shingles md5 work would re-run once PER BAND.
+    val bandKeys = flatten(transform(array(sig), sg =>
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        concat_ws("", slice(sg, b * lit(r) + lit(1), lit(r))))))
+    val banded = shingled.select(col(idCol),
+      posexplode(bandKeys).as(Seq("band", "bkey")))
+    val buckets = cappedBuckets(banded, Seq("band", "bkey"), col(idCol),
+      maxBucket, "minhash_md5")
+    val cands = buckets.select(explode(pairsExpr(col("items"))).as("pair"))
+      .select(col("pair._1").as("a"), col("pair._2").as("b"))
+      .distinct()
+    // exact verification over the distinct shingle strings — the same
+    // double arithmetic (and .00005-boundary nudge) as ngramJaccardExact
+    val sa = shingled.select(col(idCol).as("a"), col("sh").as("sa"))
+    val sb = shingled.select(col(idCol).as("b"), col("sh").as("sb"))
+    val union = size(col("sa")) + size(col("sb")) - col("inter")
+    cands.join(sa, "a").join(sb, "b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .filter(col("inter") / union >= threshold)
+      .select(col("a"), col("b"), round(col("inter") / union + lit(1e-9), 4).as("jaccard"))
+  }
+
   /** Per-document cross-corpus duplication score: the fraction of a doc's
     * distinct word n-grams that also occur in at least one OTHER document
     * — the "duplicate text fraction" curation signal (cf. Lee et al. 2022,
@@ -383,6 +437,43 @@ object Dedup {
       .withColumn("hamming", hamming(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** SimHash with the cross-engine md5 bit family — the verification
+    * analogue of [[withSimhash]] (murmur stays the throughput family, one
+    * integer hash per token vs one md5 digest here). Bit j of a token's
+    * contribution is bit (3 - j%4) of hex digit j/4 of `md5(token)` — the
+    * MSB-first binary expansion of the digest string — and the signature
+    * bit is the sign of the per-bit vote sum, exactly the Charikar
+    * construction. Output is the 64-bit signature as four 16-bit ints
+    * (`chunk0..chunk3`, the same chunking [[simhashNearDups]] bands on),
+    * which keeps every value inside exact INTEGER arithmetic on any
+    * engine — so the whole operator is strictly SQL-mirrorable.
+    *
+    * Scale shape: one token explode, ONE hash aggregate with 64 map-side
+    * partial sums, a broadcast-size join back — no pair term, no skew
+    * hazard (a degenerate token just adds votes). */
+  def simhashMd5Chunks(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+    val h = df.select(col(idCol), explode(toks).as("tok"))
+      .select(col(idCol), md5(col("tok")).as("h"))
+    def nib(p: Int): Column = conv(substring(col("h"), p + 1, 1), 16, 10).cast("int")
+    val sums = (0 until 64).map { j =>
+      val bit = shiftright(nib(j / 4), 3 - j % 4).bitwiseAND(lit(1))
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val votes = h.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    val chunks = (0 until 4).map { c =>
+      (0 until 16).map { m =>
+        when(col(s"s${c * 16 + m}") > 0, lit(1 << (15 - m))).otherwise(lit(0))
+      }.reduce(_ + _).as(s"chunk$c")
+    }
+    val sig = votes.select(col(idCol) +: chunks: _*)
+    // docs with no tokens have no exploded rows: all-zero signature, like
+    // the zero vote vector the loop formulation would produce
+    df.select(col(idCol)).join(sig, Seq(idCol), "left")
+      .select(col(idCol) +:
+        (0 until 4).map(c => coalesce(col(s"chunk$c"), lit(0)).as(s"chunk$c")): _*)
   }
 
   private def pairsExprStruct(items: Column, idCol: String): Column =

@@ -14,6 +14,38 @@ object TextQueries {
 
   private def docs(s: SparkSession, dir: String) = table(s, dir, "documents")
 
+  /** DuckDB replay of [[Dedup.simhashMd5Chunks]]: 64 signed vote sums over
+    * exploded tokens' md5 nibble bits, packed into the same four 16-bit
+    * chunks. Generated, not hand-written — the terms are mechanical. */
+  private lazy val simhashMd5OracleSql: String = {
+    val sums = (0 until 64).map { j =>
+      val p = j / 4 + 1        // 1-based hex digit position in the digest
+      val k = 1 << (3 - j % 4) // divisor selecting the bit within the nibble
+      s"sum(CASE WHEN (strpos('0123456789abcdef', substr(h, $p, 1)) - 1) // $k % 2 = 1 " +
+        s"THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(",\n    ")
+    val chunks = (0 until 4).map { c =>
+      (0 until 16).map { m =>
+        s"CASE WHEN s${c * 16 + m} > 0 THEN ${1 << (15 - m)} ELSE 0 END"
+      }.mkString("(", " + ", s") AS chunk$c")
+    }.mkString(",\n    ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest([t FOR t IN string_split_regex(lower(text), '\\s+') IF len(t) > 0]) AS tok
+       |  FROM documents
+       |), hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
+       |votes AS (SELECT doc_id,
+       |    $sums
+       |  FROM hs GROUP BY doc_id),
+       |sig AS (SELECT doc_id,
+       |    $chunks
+       |  FROM votes)
+       |SELECT d.doc_id, coalesce(sig.chunk0, 0) AS chunk0, coalesce(sig.chunk1, 0) AS chunk1,
+       |       coalesce(sig.chunk2, 0) AS chunk2, coalesce(sig.chunk3, 0) AS chunk3
+       |FROM documents d LEFT JOIN sig USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s: SparkSession, dir: String) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")
@@ -60,6 +92,13 @@ object TextQueries {
         .select("doc_id", "simhash")
         .orderBy("doc_id")),
 
+    // simhash with the md5 bit family: bit votes and 16-bit chunk packing
+    // stay in exact integer arithmetic → strict oracle (murmur variant
+    // above remains the throughput family)
+    "dedup_simhash_md5" -> ((s: SparkSession, dir: String) =>
+      Dedup.simhashMd5Chunks(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // exact all-pairs bigram Jaccard: built-ins only → strict oracle
     "ngram_jaccard" -> ((s: SparkSession, dir: String) =>
       Dedup.ngramJaccardExact(docs(s, dir), "doc_id", "text",
@@ -71,6 +110,16 @@ object TextQueries {
     // variant asserted in PipelineSpec)
     "ngram_jaccard_lsh" -> ((s: SparkSession, dir: String) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", shingleSize = 2)
+        .orderBy("a", "b")),
+
+    // the VERIFICATION hash family: md5-derived minhash signatures are
+    // bit-identical across engines, so the whole banding pipeline
+    // (signature -> band keys -> capped buckets -> candidate pairs ->
+    // exact-Jaccard verify) oracles STRICTLY — certifying the same banding
+    // logic the fast murmur family above runs at scale
+    "dedup_minhash_md5" -> ((s: SparkSession, dir: String) =>
+      Dedup.minhashNearDupsMirrorable(docs(s, dir), "doc_id", "text",
+          shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.5)
         .orderBy("a", "b")),
 
     // per-doc duplicate-text fraction: share of a doc's distinct bigrams
@@ -675,6 +724,49 @@ object TextQueries {
         |    + 0.000000001, 4) AS shared_frac
         |FROM g JOIN f USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // replays the md5 simhash bit-for-bit: same per-token digest nibbles,
+    // same signed bit votes, same 16-bit chunk packing — generated
+    // programmatically because it is 64 mechanical sum terms
+    "dedup_simhash_md5" -> simhashMd5OracleSql,
+
+    // replays the md5 minhash family end-to-end: same shingles, same
+    // 16-hex-prefix signatures, same band keys, same 2..maxBucket bucket
+    // rule, same exact-Jaccard verification arithmetic
+    "dedup_minhash_md5" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |      ELSE [array_to_string(toks[i+1:i+2], ' ')
+        |            FOR i IN generate_series(0, len(toks)-2)] END) AS sh
+        |  FROM (SELECT doc_id,
+        |          [t FOR t IN string_split_regex(lower(text), '\s+') IF len(t) > 0] AS toks
+        |        FROM documents)
+        |), sig AS (
+        |  SELECT doc_id,
+        |    [list_min([substr(md5(CAST(i AS VARCHAR) || ':' || g), 1, 16) FOR g IN sh])
+        |     FOR i IN generate_series(0, 63)] AS sg
+        |  FROM s
+        |), banded AS (
+        |  SELECT doc_id, b AS band, array_to_string(sg[b*4+1:b*4+4], '') AS bkey
+        |  FROM sig, generate_series(0, 15) t(b)
+        |), ok_buckets AS (
+        |  SELECT band, bkey FROM banded GROUP BY band, bkey
+        |  HAVING count(*) BETWEEN 2 AND 1000
+        |), cands AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM banded x
+        |  JOIN ok_buckets z ON z.band = x.band AND z.bkey = x.bkey
+        |  JOIN banded y ON y.band = x.band AND y.bkey = x.bkey AND x.doc_id < y.doc_id
+        |)
+        |SELECT c.a, c.b,
+        |  round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |      / (len(sa.sh) + len(sb.sh) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE))
+        |      + 0.000000001, 4) AS jaccard
+        |FROM cands c JOIN s sa ON sa.doc_id = c.a JOIN s sb ON sb.doc_id = c.b
+        |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |      / (len(sa.sh) + len(sb.sh) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) >= 0.5
+        |ORDER BY a, b""".stripMargin,
 
     "ngram_jaccard" ->
       """WITH s AS (

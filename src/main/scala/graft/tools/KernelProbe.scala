@@ -70,6 +70,31 @@ object KernelProbe {
     val qlit = typedLit(Array.fill(kd)(qr.nextFloat()))
     val scanPlan = bigCands.select(sum(l2_distance_sq(col("vec"), qlit)))
     time("const_query_scan_sum")(noop(scanPlan))
+
+    // scan floor: same cached read + agg, trivial per-row expression —
+    // how much of the scan line is cache decode, not kernel
+    val scanFloor = bigCands.select(sum(element_at(col("vec"), 1)))
+    time("const_query_scan_floor")(noop(scanFloor))
+
+    // uncompressed cache: is the floor dominated by codec work?
+    spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
+    val bigCands2 = spark.range(500L * kn)
+      .select(col("id"), seededVec(col("id") + 500000L, lit(kd)).as("vec"))
+      .coalesce(1).cache()
+    bigCands2.count()
+    val scanPlan2 = bigCands2.select(sum(l2_distance_sq(col("vec"), qlit)))
+    time("scan_sum_uncompressed_cache")(noop(scanPlan2))
+    val scanFloor2 = bigCands2.select(sum(element_at(col("vec"), 1)))
+    time("scan_floor_uncompressed_cache")(noop(scanFloor2))
+
+    // 32-partition variants: the bench lines are coalesce(1) for a
+    // like-for-like single-thread comparison with the JVM kernel, but the
+    // ENGINE serves scans in parallel — what a real 512k-row scan costs
+    val bigCandsP = spark.range(500L * kn).repartition(32)
+      .select(col("id"), seededVec(col("id") + 500000L, lit(kd)).as("vec"))
+      .cache()
+    bigCandsP.count()
+    time("scan_sum_32part")(noop(bigCandsP.select(sum(l2_distance_sq(col("vec"), qlit)))))
     spark.stop()
   }
 }

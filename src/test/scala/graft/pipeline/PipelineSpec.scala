@@ -37,6 +37,32 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 8L || p._2 == 8L))
   }
 
+  test("md5 minhash family agrees with the murmur family and never exceeds exact pairs") {
+    // the verification family certifies the banding logic: its verified
+    // pairs must be a subset of the exact all-pairs result, find the same
+    // planted dups as the fast family, and carry identical jaccard values
+    val exact = Dedup.ngramJaccardExact(docsDf, "doc_id", "text",
+      shingleSize = 2, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val md5 = Dedup.minhashNearDupsMirrorable(docsDf, "doc_id", "text",
+      shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(md5.keySet.subsetOf(exact.keySet))
+    assert(md5.contains((1L, 2L)) && md5.contains((1L, 3L))) // planted pairs
+    md5.foreach { case (k, j) => assert(j == exact(k)) } // same verify arithmetic
+  }
+
+  test("md5 simhash: case/whitespace variants collapse, chunks stay in 16-bit range") {
+    val sig = Dedup.simhashMd5Chunks(docsDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (1 to 4).map(r.getInt)).toMap
+    assert(sig(1L) == sig(2L)) // identical text
+    assert(sig(1L) == sig(9L)) // lowercase/whitespace-normalized tokens agree
+    assert(sig(1L) != sig(8L)) // unrelated content
+    sig.values.foreach(_.foreach(c => assert(c >= 0 && c <= 0xffff)))
+    assert(sig.size == 9) // every doc present, incl. any all-zero signatures
+  }
+
   test("corpus clean: dedup, language, quality and length filters compose in one plan") {
     import spark.implicits._
     val extra = Seq(
