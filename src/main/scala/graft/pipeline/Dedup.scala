@@ -509,26 +509,38 @@ object Dedup {
   /** Scale path: random-hyperplane LSH buckets (sign bits of h seeded
     * projections) prune candidates, then exact cosine verification. Recall
     * < 1 by construction; raise repeats for higher recall. */
+  /** The seeded hyperplane family shared by [[embeddingNearDupsLsh]] and
+    * its SQL oracle generator (which inlines these exact values as double
+    * literals) — one definition so the two can never drift. */
+  private[graft] def lshPlanes(repeats: Int, bits: Int, dim: Int,
+                               seed: Int): Array[Array[Array[Float]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(repeats, bits, dim)(rnd.nextGaussian().toFloat)
+  }
+
   def embeddingNearDupsLsh(df: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, bits: Int = 12,
                            repeats: Int = 4, seed: Int = 42,
                            maxBucket: Int = 10000): DataFrame = {
     import graft.functions.AnnFunctions._
     val dim = df.select(size(col(vecCol))).head().getInt(0)
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(repeats, bits, dim)(rnd.nextGaussian().toFloat)
+    val planes = lshPlanes(repeats, bits, dim, seed)
     val sc = df.sparkSession.sparkContext
     val bc = sc.broadcast(planes)
+    // sign accumulation in DOUBLE with per-term double products: the exact
+    // arithmetic a SQL engine uses over DOUBLE[] casts, which is what lets
+    // an oracle replay the bucket assignment bit-for-bit (float
+    // accumulation would drift on the  boundary sums)
     val sigUdf = udf { (v: Seq[Float], rep: Int) =>
       val arr = v.toArray
       var sig = 0
       val ps = bc.value(rep)
       var b = 0
       while (b < bits) {
-        var acc = 0.0f
+        var acc = 0.0
         val p = ps(b)
         var i = 0
-        while (i < dim) { acc += p(i) * arr(i); i += 1 }
+        while (i < dim) { acc += p(i).toDouble * arr(i); i += 1 }
         if (acc >= 0) sig |= (1 << b)
         b += 1
       }

@@ -170,6 +170,37 @@ object IndexQueries {
         "vec_id", "embedding", "FLAT",
         Map("metric" -> "l2", "quantization" -> "fp16"), path))
 
+  /** The SQ8 lossless fixture: embeddings frac-snapped to the k/255 grid,
+    * with an all-zeros and an all-ones row appended so EVERY dimension's
+    * observed (min, max) is exactly (0, 1). fitSq8 then learns min=0f,
+    * scale=1f per dimension, u8 codes round-trip the snapped floats
+    * bitwise, and quantized candidate order PROVABLY equals float order —
+    * the sq8 analogue of the pq/fp16 fixtures above. */
+  private def sq8ExactEmb(s: SparkSession, dir: String) = {
+    val snapped = emb(s, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(round((CAST(x AS DOUBLE) - " +
+        "floor(CAST(x AS DOUBLE))) * 255) / 255 AS FLOAT))").as("embedding"))
+    val dim = emb(s, dir).select(size(col("embedding"))).head().getInt(0)
+    // range ids 0 and 1 double as the constant vector values: all-0s, all-1s
+    val extremes = s.range(2).select(
+      (col("id") + 1000001L).as("vec_id"),
+      expr(s"transform(sequence(1, $dim), i -> CAST(id AS FLOAT))").as("embedding"))
+    snapped.union(extremes)
+  }
+
+  private def sq8ExactIndex(s: SparkSession, dir: String): AnnIndex =
+    AnnIndexManager.getOrBuild(s, "emb_sq8_exact", dir, path =>
+      AnnIndexManager.create(s, "emb_sq8_exact", sq8ExactEmb(s, dir),
+        "vec_id", "embedding", "FLAT",
+        Map("metric" -> "l2", "quantization" -> "sq8"), path))
+
+  private def vamanaSq8ExactIndex(s: SparkSession, dir: String): AnnIndex =
+    AnnIndexManager.getOrBuild(s, "emb_vam_sq8_exact", dir, path =>
+      AnnIndexManager.create(s, "emb_vam_sq8_exact", sq8ExactEmb(s, dir),
+        "vec_id", "embedding", "DISKANN",
+        Map("metric" -> "l2", "max_degree" -> "32", "build_complexity" -> "64",
+          "quantization" -> "sq8"), path))
+
   /** (id, _distance) scan → (rank, vec_id) for oracle compare. */
   private def ranked(scan: DataFrame): DataFrame =
     scan
@@ -363,6 +394,22 @@ object IndexQueries {
         .orderBy("rank")
     }),
 
+    // MMR at lambda=1: the redundancy term has zero weight, so the greedy
+    // selection provably degenerates to ascending (distance, id) — pinning
+    // the whole MMR plumbing (pool collection, relevance normalization,
+    // tie-breaks, rank emission) against the brute-force oracle STRICTLY.
+    // The diversity behavior itself stays approximate-by-nature (ann_mmr,
+    // rows-only + DiversifySpec displacement contracts).
+    "ann_mmr_lambda1" -> ((s: SparkSession, dir: String) => {
+      val hits = flatIndex(s, dir).scan(qvecF(22), K * 4)
+      val withVecs = hits.join(
+        emb(s, dir).select(col("vec_id").as("id"), col("embedding")), "id")
+      graft.operators.Diversify.mmr(withVecs, "id", "embedding", "_distance",
+          K, lambda = 1.0)
+        .select(col("rank"), col("id").as("vec_id"))
+        .orderBy("rank")
+    }),
+
     // exhaustive probing over a REBALANCED cell set stays exact — the
     // strict oracle pins that splitting cells moves rows without losing,
     // duplicating, or re-ranking any of them.
@@ -544,6 +591,21 @@ object IndexQueries {
     "ann_sq8_topk" -> ((s: SparkSession, dir: String) =>
       ranked(sq8Index(s, dir).scan(qvecF(5), K))),
 
+    // SQ8 on the lossless fixture (min=0/scale=1 per dim, k/255 grid):
+    // dequant-on-access reproduces DOUBLE k/255 exactly, so the quantized
+    // scan order equals the float order → strict oracle. The oracle snaps
+    // in double WITHOUT a float cast — that IS the dequantized value the
+    // scan ranks by.
+    "ann_sq8_exact_topk" -> ((s: SparkSession, dir: String) =>
+      ranked(sq8ExactIndex(s, dir).scan(qvecF(26), K))),
+
+    // the same lossless fixture through the DISKANN + sq8 path at
+    // exhaustive beam: the graph codec dequantizes to FLOAT (bitwise the
+    // original snapped values under min=0/scale=1), so exhaustive search
+    // equals float brute force → strict. Oracle mirrors with a REAL cast.
+    "ann_vamana_sq8_exact" -> ((s: SparkSession, dir: String) =>
+      ranked(vamanaSq8ExactIndex(s, dir).scan(qvecF(27), K, searchParam = 100000))),
+
     // fp16 packed storage (2 bytes/dim): ~1e-3 relative rounding can
     // reorder near-ties vs the float oracle → rows-only; losslessness on
     // representable data and full DML survival are asserted in Fp16Spec.
@@ -700,8 +762,43 @@ object IndexQueries {
          |                           ${sqlVec(25)}), vec_id) AS BIGINT) AS rank
          |  FROM embeddings) t
          |WHERE rank <= $K ORDER BY rank""".stripMargin,
+
+    // sq8 lossless fixture, FLAT dequant-on-access path: snap in DOUBLE
+    // (double k/255 IS the dequantized value the scan ranks by); the
+    // appended all-0/all-1 rows pin each dim's (min, scale) to (0, 1)
+    "ann_sq8_exact_topk" ->
+      s"""SELECT rank, vec_id FROM (
+         |  SELECT vec_id, CAST(row_number() OVER (
+         |    ORDER BY list_distance(v, ${sqlVec(26)}), vec_id) AS BIGINT) AS rank
+         |  FROM (
+         |    SELECT vec_id, [round((x - floor(x)) * 255) / 255 FOR x IN $EmbD] AS v
+         |    FROM embeddings
+         |    UNION ALL SELECT 1000001,
+         |      (SELECT [CAST(0 AS DOUBLE) FOR x IN $EmbD] FROM embeddings LIMIT 1)
+         |    UNION ALL SELECT 1000002,
+         |      (SELECT [CAST(1 AS DOUBLE) FOR x IN $EmbD] FROM embeddings LIMIT 1))) t
+         |WHERE rank <= $K ORDER BY rank""".stripMargin,
+
+    // sq8 lossless fixture, DISKANN path: the graph codec dequantizes to
+    // FLOAT storage — bitwise the original snapped floats — so the mirror
+    // snaps through a REAL cast before the double distance
+    "ann_vamana_sq8_exact" ->
+      s"""SELECT rank, vec_id FROM (
+         |  SELECT vec_id, CAST(row_number() OVER (
+         |    ORDER BY list_distance(v, ${sqlVec(27)}), vec_id) AS BIGINT) AS rank
+         |  FROM (
+         |    SELECT vec_id,
+         |      [CAST(CAST(round((x - floor(x)) * 255) / 255 AS REAL) AS DOUBLE)
+         |       FOR x IN $EmbD] AS v
+         |    FROM embeddings
+         |    UNION ALL SELECT 1000001,
+         |      (SELECT [CAST(0 AS DOUBLE) FOR x IN $EmbD] FROM embeddings LIMIT 1)
+         |    UNION ALL SELECT 1000002,
+         |      (SELECT [CAST(1 AS DOUBLE) FOR x IN $EmbD] FROM embeddings LIMIT 1))) t
+         |WHERE rank <= $K ORDER BY rank""".stripMargin,
     "ann_vamana_topk" -> bruteForceTopK(9),
     "ann_hnsw_topk" -> bruteForceTopK(10),
+    "ann_mmr_lambda1" -> bruteForceTopK(22),
     "sql_index_scan" -> bruteForceTopK(11),
 
     "ann_cosine_topk" ->

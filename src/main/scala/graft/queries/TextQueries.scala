@@ -46,6 +46,48 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB replay of [[Dedup.embeddingNearDupsLsh]] (threshold 0.42,
+    * bits 6, repeats 20, the `neardup_lsh` config): the seeded hyperplanes
+    * are INLINED as double literals — same values, same ascending-i
+    * left-associated double accumulation, same >= 0 sign rule, same
+    * 2..maxBucket bucket cap, same exact-cosine verification. Dim 64 is
+    * the testdata embeddings width. Generated: 20 reps x 6 bits x 64
+    * mechanical product terms. */
+  private lazy val neardupLshOracleSql: String = {
+    val (bits, repeats, dim) = (6, 20, 64)
+    val planes = Dedup.lshPlanes(repeats, bits, dim, seed = 42)
+    def bucketExpr(r: Int): String =
+      (0 until bits).map { b =>
+        val sum = (0 until dim)
+          .map(i => s"${planes(r)(b)(i).toDouble} * e[${i + 1}]").mkString(" + ")
+        s"CASE WHEN ($sum) >= 0 THEN ${1 << b} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+    val banded = (0 until repeats).map { r =>
+      s"SELECT vec_id, $r AS rep, ${bucketExpr(r)} AS bucket FROM e"
+    }.mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |banded AS (
+       |$banded
+       |), ok AS (
+       |  SELECT rep, bucket FROM banded GROUP BY rep, bucket
+       |  HAVING count(*) BETWEEN 2 AND 10000
+       |), cands AS (
+       |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM banded x
+       |  JOIN ok z ON z.rep = x.rep AND z.bucket = x.bucket
+       |  JOIN banded y ON y.rep = x.rep AND y.bucket = x.bucket AND x.vec_id < y.vec_id
+       |)
+       |SELECT c.a, c.b,
+       |  round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                               CAST(eb.embedding AS DOUBLE[])), 4) AS cos_sim
+       |FROM cands c
+       |JOIN embeddings ea ON ea.vec_id = c.a
+       |JOIN embeddings eb ON eb.vec_id = c.b
+       |WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                             CAST(eb.embedding AS DOUBLE[])) > 0.42
+       |ORDER BY a, b""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s: SparkSession, dir: String) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")
@@ -153,7 +195,10 @@ object TextQueries {
     }),
 
     // moderate threshold (cos 0.42 ≈ 60°) needs short codes + many repeats:
-    // collision prob per repeat (1-θ/π)^bits ≈ 0.07, 20 repeats → ~78% recall
+    // collision prob per repeat (1-θ/π)^bits ≈ 0.07, 20 repeats → ~78% recall.
+    // STRICT since r6: the seeded hyperplanes inline into the oracle as
+    // double literals and the sign sums replay bit-for-bit (see
+    // neardupLshOracleSql) — recall stays approximate, the RESULT is exact.
     "neardup_lsh" -> ((s: SparkSession, dir: String) =>
       Dedup.embeddingNearDupsLsh(table(s, dir, "embeddings"),
           "vec_id", "embedding", threshold = 0.42, bits = 6, repeats = 20)
@@ -474,6 +519,8 @@ object TextQueries {
         |  FROM chars
         |)
         |SELECT doc_id, CAST(fp AS BIGINT) AS fp_rolling FROM hashed ORDER BY doc_id""".stripMargin,
+
+    "neardup_lsh" -> neardupLshOracleSql,
 
     "neardup_cosine" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,
