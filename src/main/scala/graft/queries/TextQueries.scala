@@ -88,6 +88,35 @@ object TextQueries {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** DuckDB replay of the JL projection behind `neardup_projected`
+    * (64 -> 16, seed 42): [[graft.functions.RandomProjection]] accumulates
+    * each output coordinate as an ascending-i left-associated sum of
+    * (float-widened-to-double matrix entry) * (double element) and casts
+    * the sum to FLOAT — so `CAST((m0*e[1] + m1*e[2] + ...) AS REAL)` in
+    * SQL reproduces every projected float bitwise, and the downstream
+    * exact-cosine pair join mirrors `neardup_cosine`'s oracle over the
+    * projected vectors. Generated: 16 coords x 64 mechanical terms. */
+  private lazy val neardupProjectedOracleSql: String = {
+    val (dim, outDim) = (64, 16)
+    val mat = graft.functions.Projection.gaussianMatrix(dim, outDim, seed = 42L)
+    val coords = (0 until outDim).map { j =>
+      val sum = (0 until dim)
+        .map(i => s"${mat(j * dim + i).toDouble} * e[${i + 1}]").mkString(" + ")
+      s"CAST(CAST(($sum) AS REAL) AS DOUBLE)"
+    }.mkString("[", ",\n   ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |p AS (
+       |  SELECT vec_id,
+       |  $coords AS pv
+       |  FROM e
+       |)
+       |SELECT a.vec_id AS a, b.vec_id AS b,
+       |  round(list_cosine_similarity(a.pv, b.pv), 4) AS cos_sim
+       |FROM p a JOIN p b ON a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(a.pv, b.pv) > 0.42
+       |ORDER BY a, b""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s: SparkSession, dir: String) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")
@@ -113,8 +142,10 @@ object TextQueries {
 
     // near-dup over JL-projected vectors (64 -> 16): the preprocessing
     // that makes quadratic/LSH candidate work 4x cheaper at wide dims.
-    // Deterministic rows-only (the Gaussian matrix is seeded but not
-    // SQL-mirrorable); distortion + planted-pair contracts in ProjectionSpec.
+    // STRICT since r6: the seeded Gaussian matrix inlines into the oracle
+    // as double literals and each projected float replays bitwise via
+    // CAST(sum AS REAL) (see neardupProjectedOracleSql); distortion +
+    // planted-pair contracts stay in ProjectionSpec.
     "neardup_projected" -> ((s: SparkSession, dir: String) => {
       val e = table(s, dir, "embeddings")
       Dedup.embeddingNearDups(
@@ -521,6 +552,8 @@ object TextQueries {
         |SELECT doc_id, CAST(fp AS BIGINT) AS fp_rolling FROM hashed ORDER BY doc_id""".stripMargin,
 
     "neardup_lsh" -> neardupLshOracleSql,
+
+    "neardup_projected" -> neardupProjectedOracleSql,
 
     "neardup_cosine" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,
