@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One-call corpus cleaning for training-data pipelines: exact dedup →
@@ -170,6 +171,48 @@ object CorpusPipeline {
       .withColumn("seq_offset", (col("__start") % seqLen).cast("long"))
       .drop("__cum", "__start")
   }
+
+  /** Deterministic training-shard assignment — the last mile of a corpus
+    * pipeline: a seeded global shuffle of the corpus into `nShards` stable
+    * shards with a total order inside each, the layout a trainer consumes
+    * (shard = input file, `shard_pos` = read order). Everything is a pure
+    * function of (seed, id): shard is the md5-bucket of "seed:id" and
+    * `shard_pos` ranks the same hash within the shard — rerunning, adding
+    * executors, or switching engines reproduces the identical shuffle,
+    * and different seeds give independent permutations (fresh data order
+    * per training run without rewriting bytes).
+    *
+    * Scale posture: one hash-partition shuffle on `shard` plus a per-shard
+    * sort (the window partitions by shard). Each shard materializes
+    * through one task — inherent to emitting a totally-ordered shard
+    * file — so pick `nShards` the way trainers do: at least the writer
+    * parallelism, with rows-per-shard bounded by what one task should
+    * write (e.g. corpus_rows / target_file_rows). */
+  def shardCorpus(df: DataFrame, idCol: String, nShards: Int,
+                  seed: Long = 42L): DataFrame = {
+    require(nShards >= 1, s"nShards=$nShards must be >= 1")
+    val h = md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string"))
+      .cast("binary"))
+    val shard = (conv(substring(h, 1, 15), 16, 10).cast("long") % nShards)
+      .cast("int")
+    df.withColumn("__h", h)
+      .withColumn("shard", shard)
+      .withColumn("shard_pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("__h"), col(idCol))).cast("long"))
+      .drop("__h")
+  }
+
+  /** Writer companion to [[shardCorpus]]: one parquet directory per shard,
+    * rows in `shard_pos` order inside each file. `repartition` on the
+    * shard column co-locates each shard in one task so the sort is local
+    * and each shard writes sequentially — the plan shape that holds at
+    * any corpus size (parallelism = nShards). */
+  def writeShards(df: DataFrame, idCol: String, nShards: Int, outDir: String,
+                  seed: Long = 42L): Unit =
+    shardCorpus(df, idCol, nShards, seed)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "shard_pos")
+      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
 
   /** Per-reason attrition report for a cleaning run: how many rows each
     * stage would drop (stages evaluated independently over the deduped

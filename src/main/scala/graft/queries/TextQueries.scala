@@ -396,6 +396,15 @@ object TextQueries {
       graft.pipeline.CorpusPipeline.tokenBudget(docs(s, dir), "doc_id", "text",
           maxTokens = 2000, partitionBy = Some("lang"))
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")),
+
+    // deterministic training shards: seeded global shuffle into 8 shards,
+    // total order inside each — shard and position are pure functions of
+    // (seed, doc_id), so the oracle replays md5-for-md5 → strict
+    "corpus_shard" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.CorpusPipeline.shardCorpus(docs(s, dir), "doc_id",
+          nShards = 8)
+        .select("doc_id", "shard", "shard_pos")
         .orderBy("doc_id"))
   )
 
@@ -759,6 +768,20 @@ object TextQueries {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         |  FROM documents)
         |WHERE cum_tokens <= 2000
+        |ORDER BY doc_id""".stripMargin,
+
+    // shard = md5-bucket of "42:id" (first 15 hex digits mod 8), position
+    // = rank of the same hash within the shard — both pure id functions
+    "corpus_shard" ->
+      """SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+        |    AS BIGINT) AS shard_pos
+        |FROM (
+        |  SELECT doc_id, h,
+        |    CAST(CAST(('0x' || substring(h, 1, 15)) AS BIGINT) % 8 AS INT) AS shard
+        |  FROM (SELECT doc_id,
+        |          md5('42:' || CAST(doc_id AS VARCHAR)) AS h
+        |        FROM documents))
         |ORDER BY doc_id""".stripMargin,
 
     // the ngram_jaccard pair predicate, transitively closed by a recursive

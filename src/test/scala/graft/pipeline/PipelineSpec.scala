@@ -488,4 +488,53 @@ class PipelineSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
     assert(g == Seq(1L, 2L))
   }
+
+  test("shardCorpus: complete, contiguous, partitioning-invariant, seed-sensitive") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val sharded = CorpusPipeline.shardCorpus(df, "id", nShards = 8)
+      .select("id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2))))
+
+    // every row exactly once, shards in range
+    assert(sharded.length == 500 && sharded.map(_._1).distinct.length == 500)
+    assert(sharded.forall { case (_, (s, _)) => s >= 0 && s < 8 })
+    // positions contiguous 1..count inside each shard (a total order a
+    // trainer can stream)
+    for ((_, grp) <- sharded.groupBy(_._2._1)) {
+      val pos = grp.map(_._2._2).sorted
+      assert(pos.toSeq == (1L to grp.length).toSeq)
+    }
+    // no degenerate skew on uniform ids (md5 bucketing: ~62 ± a few)
+    val sizes = sharded.groupBy(_._2._1).view.mapValues(_.length).values
+    assert(sizes.min > 20 && sizes.max < 110, s"shard skew: $sizes")
+
+    // pure function of (seed, id): repartitioned input reproduces the
+    // exact assignment...
+    val re = CorpusPipeline.shardCorpus(df.repartition(13), "id", 8)
+      .select("id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    assert(sharded.toMap == re)
+    // ...and a different seed is a different permutation
+    val other = CorpusPipeline.shardCorpus(df, "id", 8, seed = 7L)
+      .select("id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    assert(sharded.toMap != other)
+  }
+
+  test("writeShards: one directory per shard, rows in shard_pos order") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    CorpusPipeline.writeShards(df, "id", nShards = 4, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 200)
+    assert(back.select("shard").distinct().count() == 4)
+    // within each shard directory the file order IS shard_pos order
+    for (s <- 0 until 4) {
+      val rows = spark.read.parquet(s"$dir/shard=$s").select("shard_pos")
+        .collect().map(_.getLong(0))
+      assert(rows.toSeq == rows.sorted.toSeq, s"shard $s written out of order")
+    }
+  }
 }
