@@ -172,6 +172,39 @@ object CorpusPipeline {
       .drop("__cum", "__start")
   }
 
+  /** Overlapping token-window chunking — the step before embedding in a
+    * retrieval/embedding pipeline: each document explodes into windows of
+    * `chunkTokens` whitespace tokens advancing by `stride` (overlap =
+    * chunkTokens - stride), so every token lands in at least one chunk and
+    * boundary context is preserved in the overlap. Output appends
+    * `chunk_id` (0-based), `chunk_start` (token offset), `chunk_len`, and
+    * `chunk_text`.
+    *
+    * Entirely built-in codegen'd functions (split/sequence/explode/slice/
+    * array_join) — row-local, no shuffle, no UDF; at any corpus size the
+    * cost is the output explosion itself (~n_tokens/stride rows per doc). */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens=$chunkTokens must be >= 1")
+    require(stride >= 1 && stride <= chunkTokens,
+      s"stride=$stride must be in [1, chunkTokens=$chunkTokens]")
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    // last chunk starts at the largest multiple of stride that still has
+    // uncovered tokens: ceil((n - chunkTokens) / stride) bounded at 0
+    val lastChunk = greatest(
+      ceil((n.cast("double") - chunkTokens) / stride).cast("long"), lit(0L))
+    val start = (col("chunk_id") * stride).cast("long")
+    df.withColumn("__toks", toks)
+      .withColumn("chunk_id", explode(sequence(lit(0L), lastChunk)))
+      .withColumn("chunk_start", start)
+      .withColumn("__slice",
+        slice(col("__toks"), (start + 1).cast("int"), lit(chunkTokens)))
+      .withColumn("chunk_len", size(col("__slice")).cast("long"))
+      .withColumn("chunk_text", array_join(col("__slice"), " "))
+      .drop("__toks", "__slice")
+  }
+
   /** Deterministic training-shard assignment — the last mile of a corpus
     * pipeline: a seeded global shuffle of the corpus into `nShards` stable
     * shards with a total order inside each, the layout a trainer consumes

@@ -398,6 +398,14 @@ object TextQueries {
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
         .orderBy("doc_id")),
 
+    // overlapping 64-token windows advancing by 48 (16-token overlap):
+    // pure built-in string/array arithmetic → strict, chunk text included
+    "corpus_chunk" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.CorpusPipeline.chunkDocuments(docs(s, dir), "doc_id", "text",
+          chunkTokens = 64, stride = 48)
+        .select("doc_id", "chunk_id", "chunk_start", "chunk_len", "chunk_text")
+        .orderBy("doc_id", "chunk_id")),
+
     // deterministic training shards: seeded global shuffle into 8 shards,
     // total order inside each — shard and position are pure functions of
     // (seed, doc_id), so the oracle replays md5-for-md5 → strict
@@ -769,6 +777,20 @@ object TextQueries {
         |  FROM documents)
         |WHERE cum_tokens <= 2000
         |ORDER BY doc_id""".stripMargin,
+
+    // same split-on-space token stream; range() mirrors sequence(), list
+    // slicing mirrors slice() (both clamp at the end of the array)
+    "corpus_chunk" ->
+      """SELECT doc_id, chunk_id, chunk_id * 48 AS chunk_start,
+        |  CAST(len(toks[chunk_id*48 + 1 : chunk_id*48 + 64]) AS BIGINT) AS chunk_len,
+        |  array_to_string(toks[chunk_id*48 + 1 : chunk_id*48 + 64], ' ') AS chunk_text
+        |FROM (
+        |  SELECT doc_id, toks,
+        |    UNNEST(range(0, CAST(greatest(ceil((n - 64) / 48.0), 0) AS BIGINT) + 1)) AS chunk_id
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+        |          len(string_split(text, ' ')) AS n
+        |        FROM documents))
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     // shard = md5-bucket of "42:id" (first 15 hex digits mod 8), position
     // = rank of the same hash within the shard — both pure id functions

@@ -489,6 +489,38 @@ class PipelineSpec extends SparkSpec {
     assert(g == Seq(1L, 2L))
   }
 
+  test("chunkDocuments: full coverage, overlap, short docs, clamped tail") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: chunks @0,@3,@6
+      (2L, "a b"),                                    // short: one chunk, len 2
+      (3L, "x y z w")                                 // == chunkTokens: one chunk
+    ).toDF("id", "text")
+    val got = CorpusPipeline.chunkDocuments(df, "id", "text",
+        chunkTokens = 4, stride = 3)
+      .select("id", "chunk_id", "chunk_start", "chunk_len", "chunk_text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got((1L, 0L)) == ((0L, 4L, "t1 t2 t3 t4")))
+    assert(got((1L, 1L)) == ((3L, 4L, "t4 t5 t6 t7")))
+    assert(got((1L, 2L)) == ((6L, 4L, "t7 t8 t9 t10")))
+    assert(!got.contains((1L, 3L))) // 9 = last start: ceil((10-4)/3) = 2
+    assert(got((2L, 0L)) == ((0L, 2L, "a b")))
+    assert(got((3L, 0L)) == ((0L, 4L, "x y z w")))
+
+    // every token of every doc appears in at least one chunk (coverage)
+    val chunks = CorpusPipeline.chunkDocuments(df, "id", "text", 4, 3)
+    val covered = chunks.select(col("id"),
+        explode(org.apache.spark.sql.functions.sequence(
+          col("chunk_start"), col("chunk_start") + col("chunk_len") - 1)).as("tok"))
+      .distinct().groupBy("id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(covered == Map(1L -> 10L, 2L -> 2L, 3L -> 4L))
+
+    intercept[IllegalArgumentException](
+      CorpusPipeline.chunkDocuments(df, "id", "text", 4, 5))
+  }
+
   test("shardCorpus: complete, contiguous, partitioning-invariant, seed-sensitive") {
     import spark.implicits._
     val df = (1L to 500L).map(i => (i, s"doc $i")).toDF("id", "text")
