@@ -727,4 +727,28 @@ object Dedup {
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Quality-aware variant of [[dedupByComponents]]: inside each duplicate
+    * group keep the row with the HIGHEST `scoreCol` (min id on ties)
+    * instead of the min id — what production corpus cleaning does, since
+    * the duplicate that survives should be the best-scored copy, not the
+    * one that happened to arrive first. Rows in no group always survive.
+    *
+    * Scale: the ranking window partitions by group over the (id, group,
+    * score) label set — tiny relative to the corpus; the corpus itself is
+    * touched only by the final anti-join. */
+  def dedupByComponentsBest(df: DataFrame, idCol: String, pairs: DataFrame,
+                            aCol: String, bCol: String, scoreCol: String,
+                            maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = resolveComponents(pairs, aCol, bCol, maxIter)
+    val scored = df.select(col(idCol).cast("long").as("id"),
+      col(scoreCol).as("__score"))
+    val losers = labels.join(scored, "id")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("group_id").orderBy(col("__score").desc, col("id"))))
+      .filter(col("__rk") > 1)
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -88,6 +88,36 @@ object TextQueries {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** The text-quality scoring mirrored expression-for-expression (shared
+    * by `text_quality` and the quality-winner dedup oracle): emits
+    * (doc_id, quality_score) with the same +1e-9 round(4) the Spark
+    * column applies, so the two sides agree value-for-value and ordering
+    * by it is engine-stable. No ORDER BY — embeddable as a nested CTE. */
+  private val QualityOracleBody: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS DOUBLE) AS n_chars,
+      |    string_split_regex(lower(text), '\s+') AS toks,
+      |    CAST(length(regexp_replace(lower(text), '[^a-z\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+      |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, n_chars, alpha_ratio,
+      |    greatest(len(toks), 1) AS n_tokens,
+      |    CAST(len(list_intersect(toks, ['the','and','of','to','in','is','that','it','was','for','with','a']))
+      |      + len(list_intersect(toks, ['der','die','das','und','ist','nicht','mit','ein','eine','zu','den','von']))
+      |      + len(list_intersect(toks, ['le','la','les','et','est','un','une','dans','que','pour','des','du']))
+      |      + len(list_intersect(toks, ['el','los','las','de','que','y','en','un','una','es','por','con'])) AS DOUBLE) AS stop_hits
+      |  FROM t
+      |)
+      |SELECT doc_id,
+      |  round(least(n_chars / 500.0, 1.0) * 0.3
+      |      + least(stop_hits / 5.0, 1.0) * 0.2
+      |      + alpha_ratio * 0.3
+      |      + (CASE WHEN n_chars / n_tokens BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2
+      |      + 0.000000001, 4) AS quality_score
+      |FROM s""".stripMargin
+
   /** DuckDB replay of the JL projection behind `neardup_projected`
     * (64 -> 16, seed 42): [[graft.functions.RandomProjection]] accumulates
     * each output coordinate as an ascending-i left-associated sum of
@@ -221,6 +251,20 @@ object TextQueries {
       val pairs = Dedup.ngramJaccardExact(d, "doc_id", "text",
         shingleSize = 2, threshold = 0.5)
       Dedup.dedupByComponents(d, "doc_id", pairs, "a", "b")
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // quality-aware winner: inside each duplicate group the HIGHEST
+    // quality_score survives (min id on ties) — the production rule.
+    // Strict: closure + mirrored quality arithmetic, ranked identically
+    "dedup_components_best" -> ((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      val scored = graft.pipeline.TextAnalysis.withQualityScore(d, "text")
+      val pairs = Dedup.ngramJaccardExact(d, "doc_id", "text",
+        shingleSize = 2, threshold = 0.5)
+      Dedup.dedupByComponentsBest(scored, "doc_id", pairs, "a", "b",
+          "quality_score")
         .select("doc_id")
         .orderBy("doc_id")
     }),
@@ -609,30 +653,7 @@ object TextQueries {
         |FROM s ORDER BY doc_id""".stripMargin,
 
     // quality score mirrored term-for-term in DOUBLE; round(4) both sides
-    "text_quality" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    CAST(length(text) AS DOUBLE) AS n_chars,
-        |    string_split_regex(lower(text), '\s+') AS toks,
-        |    CAST(length(regexp_replace(lower(text), '[^a-z\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
-        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio
-        |  FROM documents
-        |), s AS (
-        |  SELECT doc_id, n_chars, alpha_ratio,
-        |    greatest(len(toks), 1) AS n_tokens,
-        |    CAST(len(list_intersect(toks, ['the','and','of','to','in','is','that','it','was','for','with','a']))
-        |      + len(list_intersect(toks, ['der','die','das','und','ist','nicht','mit','ein','eine','zu','den','von']))
-        |      + len(list_intersect(toks, ['le','la','les','et','est','un','une','dans','que','pour','des','du']))
-        |      + len(list_intersect(toks, ['el','los','las','de','que','y','en','un','una','es','por','con'])) AS DOUBLE) AS stop_hits
-        |  FROM t
-        |)
-        |SELECT doc_id,
-        |  round(least(n_chars / 500.0, 1.0) * 0.3
-        |      + least(stop_hits / 5.0, 1.0) * 0.2
-        |      + alpha_ratio * 0.3
-        |      + (CASE WHEN n_chars / n_tokens BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2
-        |      + 0.000000001, 4) AS quality_score
-        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_quality" -> s"$QualityOracleBody ORDER BY doc_id",
 
     // non-distinct trigram list (repetition needs duplicates), mirrored
     // comprehension-for-comprehension
@@ -822,6 +843,20 @@ object TextQueries {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (
         |  SELECT id FROM reach GROUP BY id HAVING id != MIN(r))
+        |ORDER BY doc_id""".stripMargin,
+
+    // the quality-winner rule over the same closure: rank each group by
+    // (mirrored quality_score DESC, id) and drop everything after rank 1
+    "dedup_components_best" ->
+      s"""$ComponentsOracleCte,
+        |q AS ($QualityOracleBody),
+        |g AS (SELECT id, MIN(r) AS gid FROM reach GROUP BY id),
+        |losers AS (
+        |  SELECT g.id FROM g JOIN q ON q.doc_id = g.id
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY g.gid ORDER BY q.quality_score DESC, g.id) > 1)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM losers)
         |ORDER BY doc_id""".stripMargin,
 
     // mirrored shingle-for-shingle: list comprehension = Spark transform/

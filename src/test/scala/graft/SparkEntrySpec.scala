@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Static contract checks on the driver entry point: a typo'd oracle key
+  * or a module-merge collision would silently zero queries in the
+  * driver's correctness run — fail the suite instead. No SparkSession
+  * needed; these are pure map assertions. */
+class SparkEntrySpec extends AnyFunSuite {
+
+  test("every oracle key names a query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty,
+      s"oracleSql entries with no matching query (typo?): $orphans")
+  }
+
+  test("query names are driver-safe identifiers") {
+    val bad = SparkEntry.queries.keys.filterNot(_.matches("[a-z0-9_]+"))
+    assert(bad.isEmpty, s"non-identifier query names: $bad")
+  }
+
+  test("module merge loses no queries (no cross-module name collisions)") {
+    val modules = Seq(
+      "RelationalQueries" -> graft.queries.RelationalQueries.queries.keySet,
+      "VectorQueries" -> graft.queries.VectorQueries.queries.keySet,
+      "IndexQueries" -> graft.queries.IndexQueries.queries.keySet,
+      "TextQueries" -> graft.queries.TextQueries.queries.keySet,
+      "MultimodalQueries" -> graft.queries.MultimodalQueries.queries.keySet)
+    for (Seq((m1, k1), (m2, k2)) <- modules.combinations(2)) {
+      val overlap = k1 & k2
+      assert(overlap.isEmpty, s"$m1 and $m2 both define: $overlap")
+    }
+    assert(SparkEntry.queries.size == modules.map(_._2.size).sum)
+  }
+
+  test("oracle SQL strings are non-empty and single-statement") {
+    for ((name, sql) <- SparkEntry.oracleSql) {
+      assert(sql.trim.nonEmpty, s"$name: empty oracle")
+      assert(!sql.trim.stripSuffix(";").contains(";"),
+        s"$name: oracle must be a single statement")
+    }
+  }
+}

@@ -101,6 +101,20 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Set(1L, 7L, 8L))
   }
 
+  test("dedupByComponentsBest keeps the max-score copy, min id on ties") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("a", "b")
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.5),  // group {1,2,3}: 2 wins on score
+      (7L, 0.1),                        // isolated: survives regardless
+      (8L, 0.7), (9L, 0.7)              // tie: min id 8 wins
+    ).toDF("id", "score")
+    val kept = graft.pipeline.Dedup.dedupByComponentsBest(
+        docs, "id", pairs, "a", "b", "score")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 7L, 8L))
+  }
+
   test("resolveComponents: maxIter guard throws instead of returning unconverged groups") {
     import spark.implicits._
     // a 12-node chain needs ~11 rounds for the min label to reach the tail
