@@ -1,0 +1,168 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.StringType
+
+import graft.pipeline.{CorpusPipeline, Dedup, TextAnalysis}
+
+/** SQL table-valued-function surface for the corpus-pipeline tier — the
+  * same operators the Scala API exposes, callable from `spark.sql` so a
+  * SQL-first user (the reference's audience) can drive the whole
+  * training-data pipeline without touching Scala:
+  *
+  *   SELECT * FROM corpus_clean(TABLE(docs), 'doc_id', 'text', 0.5, 'en,de', 20)
+  *   SELECT * FROM corpus_chunk(TABLE(docs), 'doc_id', 'text', 64, 48)
+  *   SELECT * FROM corpus_shard(TABLE(docs), 'doc_id', 8[, seed])
+  *   SELECT * FROM corpus_sample(TABLE(docs), 'doc_id', 0.25)
+  *   SELECT * FROM corpus_pack(TABLE(docs), 'doc_id', 'text', 512[, 'lang'])
+  *   SELECT * FROM corpus_token_budget(TABLE(docs), 'doc_id', 'text', 2000[, 'lang'])
+  *   SELECT * FROM text_features(TABLE(docs), 'text')         -- stats+langid+quality
+  *   SELECT * FROM text_pii_scrub(TABLE(docs), 'text')
+  *   SELECT * FROM dedup_exact_drop(TABLE(docs), 'doc_id', 'text')
+  *   SELECT * FROM dedup_minhash_pairs(TABLE(docs), 'doc_id', 'text', 0.5)
+  *   SELECT * FROM dedup_components(TABLE(pairs), 'a', 'b')
+  *   SELECT * FROM corpus_decontaminate(TABLE(corpus), 'doc_id', 'text', TABLE(bench), 'text'[, n, minOverlap])
+  *
+  * TABLE(...) arguments embed the analyzed child plan directly (same
+  * mechanism as [[AnnSql]]); the returned relation is lazy — these are
+  * plan-to-plan rewrites, not eager actions — EXCEPT dedup_components,
+  * whose iterative label propagation must run to a fixpoint and therefore
+  * executes its (bounded, label-set-sized) rounds when the plan is built,
+  * like the reference's CALL-style functions.
+  */
+object PipelineSql {
+
+  private def constString(e: Expression): String = e match {
+    case Literal(s, StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"expected a string literal, got: ${other.sql}")
+  }
+
+  private def constNum(e: Expression): Double = e match {
+    case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+    case Literal(v: java.lang.Number, _) => v.doubleValue()
+    case UnaryMinus(inner, _) => -constNum(inner)
+    case Cast(inner, _, _, _) => constNum(inner)
+    case other => throw new IllegalArgumentException(
+      s"expected a numeric literal, got: ${other.sql}")
+  }
+
+  private def constInt(e: Expression): Int = constNum(e).toInt
+
+  private def tableArg(spark: SparkSession, e: Expression): DataFrame = e match {
+    case t: FunctionTableSubqueryArgumentExpression =>
+      GraftBridge.ofRows(spark, t.plan.asInstanceOf[LogicalPlan])
+    case other => throw new IllegalArgumentException(
+      s"expected a TABLE(...) argument, got: ${other.sql}")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val r = spark.sessionState.tableFunctionRegistry
+    def plan(df: DataFrame): LogicalPlan = GraftBridge.analyzedPlan(df)
+
+    r.createOrReplaceTempFunction("corpus_clean", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 3 && exprs.length <= 6,
+        "usage: corpus_clean(TABLE(t), id_col, text_col[, min_quality, 'langs,csv', min_chars])")
+      val t = tableArg(spark, exprs(0))
+      val minQ = if (exprs.length > 3) constNum(exprs(3)) else 0.0
+      val langs = if (exprs.length > 4)
+        constString(exprs(4)).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty[String]
+      val minChars = if (exprs.length > 5) constInt(exprs(5)) else 0
+      plan(CorpusPipeline.clean(t, constString(exprs(1)), constString(exprs(2)),
+        minQ, langs, minChars))
+    }, "scala_udf")
+
+    r.createOrReplaceTempFunction("corpus_chunk", (exprs: Seq[Expression]) => {
+      require(exprs.length == 5,
+        "usage: corpus_chunk(TABLE(t), id_col, text_col, chunk_tokens, stride)")
+      plan(CorpusPipeline.chunkDocuments(tableArg(spark, exprs(0)),
+        constString(exprs(1)), constString(exprs(2)),
+        constInt(exprs(3)), constInt(exprs(4))))
+    }, "scala_udf")
+
+    r.createOrReplaceTempFunction("corpus_shard", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 3 && exprs.length <= 4,
+        "usage: corpus_shard(TABLE(t), id_col, n_shards[, seed])")
+      val seed = if (exprs.length > 3) constNum(exprs(3)).toLong else 42L
+      plan(CorpusPipeline.shardCorpus(tableArg(spark, exprs(0)),
+        constString(exprs(1)), constInt(exprs(2)), seed))
+    }, "scala_udf")
+
+    r.createOrReplaceTempFunction("corpus_sample", (exprs: Seq[Expression]) => {
+      require(exprs.length == 3,
+        "usage: corpus_sample(TABLE(t), id_col, fraction)")
+      plan(CorpusPipeline.deterministicSample(tableArg(spark, exprs(0)),
+        constString(exprs(1)), constNum(exprs(2))))
+    }, "scala_udf")
+
+    r.createOrReplaceTempFunction("corpus_pack", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 4 && exprs.length <= 5,
+        "usage: corpus_pack(TABLE(t), id_col, text_col, seq_len[, partition_col])")
+      val part = if (exprs.length > 4) Some(constString(exprs(4))) else None
+      plan(CorpusPipeline.packSequences(tableArg(spark, exprs(0)),
+        constString(exprs(1)), constString(exprs(2)), constInt(exprs(3)), part))
+    }, "scala_udf")
+
+    r.createOrReplaceTempFunction("corpus_token_budget", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 4 && exprs.length <= 5,
+        "usage: corpus_token_budget(TABLE(t), id_col, text_col, max_tokens[, partition_col])")
+      val part = if (exprs.length > 4) Some(constString(exprs(4))) else None
+      plan(CorpusPipeline.tokenBudget(tableArg(spark, exprs(0)),
+        constString(exprs(1)), constString(exprs(2)),
+        constNum(exprs(3)).toLong, part))
+    }, "scala_udf")
+
+    // stats + language + quality in one pass — the per-document feature
+    // row every filtering decision reads
+    r.createOrReplaceTempFunction("text_features", (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "usage: text_features(TABLE(t), text_col)")
+      val textCol = constString(exprs(1))
+      plan(TextAnalysis.withQualityScore(
+        TextAnalysis.withLangId(
+          TextAnalysis.withTokenStats(tableArg(spark, exprs(0)), textCol),
+          textCol), textCol))
+    }, "scala_udf")
+
+    r.createOrReplaceTempFunction("text_pii_scrub", (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "usage: text_pii_scrub(TABLE(t), text_col)")
+      plan(TextAnalysis.piiScrub(tableArg(spark, exprs(0)), constString(exprs(1))))
+    }, "scala_udf")
+
+    r.createOrReplaceTempFunction("dedup_exact_drop", (exprs: Seq[Expression]) => {
+      require(exprs.length == 3,
+        "usage: dedup_exact_drop(TABLE(t), id_col, text_col)")
+      plan(Dedup.dropExactDuplicates(tableArg(spark, exprs(0)),
+        constString(exprs(1)), constString(exprs(2))))
+    }, "scala_udf")
+
+    r.createOrReplaceTempFunction("dedup_minhash_pairs", (exprs: Seq[Expression]) => {
+      require(exprs.length == 4,
+        "usage: dedup_minhash_pairs(TABLE(t), id_col, text_col, threshold)")
+      plan(Dedup.minhashNearDups(tableArg(spark, exprs(0)),
+        constString(exprs(1)), constString(exprs(2)),
+        threshold = constNum(exprs(3))))
+    }, "scala_udf")
+
+    // CALL semantics: label propagation iterates (bounded by the label
+    // set, not the corpus) while this plan is being constructed
+    r.createOrReplaceTempFunction("dedup_components", (exprs: Seq[Expression]) => {
+      require(exprs.length == 3,
+        "usage: dedup_components(TABLE(pairs), a_col, b_col)")
+      plan(Dedup.resolveComponents(tableArg(spark, exprs(0)),
+        constString(exprs(1)), constString(exprs(2))))
+    }, "scala_udf")
+
+    r.createOrReplaceTempFunction("corpus_decontaminate", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 5 && exprs.length <= 7,
+        "usage: corpus_decontaminate(TABLE(corpus), id_col, text_col, TABLE(bench), bench_text_col[, shingle_n, min_overlap])")
+      val n = if (exprs.length > 5) constInt(exprs(5)) else 8
+      val minOv = if (exprs.length > 6) constInt(exprs(6)) else 1
+      plan(Dedup.decontaminate(tableArg(spark, exprs(0)),
+        constString(exprs(1)), constString(exprs(2)),
+        tableArg(spark, exprs(3)), constString(exprs(4)), n, minOv))
+    }, "scala_udf")
+  }
+}

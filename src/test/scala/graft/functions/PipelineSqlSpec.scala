@@ -1,0 +1,88 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.pipeline.{CorpusPipeline, Dedup}
+
+/** The SQL pipeline TVFs must return exactly what the Scala API returns —
+  * each test runs the same operator both ways and compares collected rows. */
+class PipelineSqlSpec extends SparkSpec {
+
+  private def docsDf = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "ein kleiner Text mit ein paar deutschen Worten und mehr dazu"),
+      (4L, "short"),
+      (5L, "the cat sat on the mat and that was that for the day")
+    ).toDF("doc_id", "text")
+  }
+
+  private def sameRows(sql: String, api: org.apache.spark.sql.DataFrame): Unit = {
+    val got = spark.sql(sql)
+    assert(got.columns.sorted.toSeq == api.columns.sorted.toSeq,
+      s"columns: ${got.columns.toSeq} vs ${api.columns.toSeq}")
+    val order = got.columns.sorted.toSeq
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(order.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(canon(got) == canon(api))
+  }
+
+  test("corpus TVFs mirror the Scala API") {
+    PipelineSql.register(spark)
+    docsDf.createOrReplaceTempView("pl_docs")
+
+    sameRows("SELECT * FROM corpus_chunk(TABLE(pl_docs), 'doc_id', 'text', 4, 3)",
+      CorpusPipeline.chunkDocuments(docsDf, "doc_id", "text", 4, 3))
+    sameRows("SELECT * FROM corpus_shard(TABLE(pl_docs), 'doc_id', 3)",
+      CorpusPipeline.shardCorpus(docsDf, "doc_id", 3))
+    sameRows("SELECT * FROM corpus_sample(TABLE(pl_docs), 'doc_id', 0.5)",
+      CorpusPipeline.deterministicSample(docsDf, "doc_id", 0.5))
+    sameRows("SELECT * FROM corpus_pack(TABLE(pl_docs), 'doc_id', 'text', 8)",
+      CorpusPipeline.packSequences(docsDf, "doc_id", "text", 8))
+    sameRows(
+      "SELECT * FROM corpus_token_budget(TABLE(pl_docs), 'doc_id', 'text', 20)",
+      CorpusPipeline.tokenBudget(docsDf, "doc_id", "text", 20))
+    sameRows("SELECT * FROM corpus_clean(TABLE(pl_docs), 'doc_id', 'text', 0.1, '', 10)",
+      CorpusPipeline.clean(docsDf, "doc_id", "text", 0.1, Set.empty, 10))
+  }
+
+  test("text and dedup TVFs mirror the Scala API") {
+    PipelineSql.register(spark)
+    docsDf.createOrReplaceTempView("pl_docs")
+    import spark.implicits._
+
+    sameRows("SELECT * FROM text_pii_scrub(TABLE(pl_docs), 'text')",
+      graft.pipeline.TextAnalysis.piiScrub(docsDf, "text"))
+    sameRows("SELECT * FROM dedup_exact_drop(TABLE(pl_docs), 'doc_id', 'text')",
+      Dedup.dropExactDuplicates(docsDf, "doc_id", "text"))
+    sameRows("SELECT * FROM dedup_minhash_pairs(TABLE(pl_docs), 'doc_id', 'text', 0.5)",
+      Dedup.minhashNearDups(docsDf, "doc_id", "text", threshold = 0.5))
+
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    pairs.createOrReplaceTempView("pl_pairs")
+    sameRows("SELECT * FROM dedup_components(TABLE(pl_pairs), 'a', 'b')",
+      Dedup.resolveComponents(pairs, "a", "b"))
+
+    val bench = Seq((100L, "quick brown fox jumps over the lazy dog again")).toDF("bid", "text")
+    bench.createOrReplaceTempView("pl_bench")
+    sameRows(
+      "SELECT * FROM corpus_decontaminate(TABLE(pl_docs), 'doc_id', 'text', TABLE(pl_bench), 'text', 8)",
+      Dedup.decontaminate(docsDf, "doc_id", "text", bench, "text", 8))
+
+    // text_features = stats + langid + quality stacked
+    val api = graft.pipeline.TextAnalysis.withQualityScore(
+      graft.pipeline.TextAnalysis.withLangId(
+        graft.pipeline.TextAnalysis.withTokenStats(docsDf, "text"), "text"), "text")
+    sameRows("SELECT * FROM text_features(TABLE(pl_docs), 'text')", api)
+  }
+
+  test("TVF argument validation fails fast with usage messages") {
+    PipelineSql.register(spark)
+    docsDf.createOrReplaceTempView("pl_docs")
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM corpus_chunk(TABLE(pl_docs), 'doc_id', 'text', 4)").collect())
+    assert(e.getMessage.contains("usage: corpus_chunk"))
+  }
+}
