@@ -79,7 +79,8 @@ object Bench {
                      "neardup_cosine", "neardup_lsh",
                      "pii_scrub", "decontaminate", "semantic_dedup_clustered",
                      "events_sessions", "corpus_clean_pack",
-                     "dedup_shared_ngrams", "text_trigram_ll")) {
+                     "dedup_shared_ngrams", "text_trigram_ll",
+                     "corpus_chunk", "corpus_shard", "dedup_components_best")) {
       time(name) { noop(q(name)(spark, sfDir)) }
     }
 
