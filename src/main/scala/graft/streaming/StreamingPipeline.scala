@@ -189,6 +189,97 @@ object StreamingPipeline {
       }
   }
 
+  /** Per-bucket LSH state: ids and their full minhash signatures, parallel
+    * seqs (bounded by `maxPerBucket`). */
+  final case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]])
+
+  /** A cross-batch near-duplicate candidate: `id` collided with the
+    * earlier-seen `match_id` in LSH `band`, with the estimated Jaccard
+    * from the FULL signatures. The same pair can surface from several
+    * bands (each band is its own state partition — deduplicating across
+    * bands would need a second stateful stage); group on (id, match_id)
+    * downstream if one row per pair is wanted. */
+  final case class NearDupCandidate(id: Long, match_id: Long, band: Int,
+                                    est_jaccard: Double)
+
+  /** Streaming MinHash near-dup detection — the continuous analogue of
+    * [[graft.pipeline.Dedup.minhashNearDups]]: every incoming document's
+    * banded signature is checked against the documents already seen in the
+    * same LSH buckets, across micro-batches, and collisions whose
+    * full-signature Jaccard estimate clears `threshold` emit
+    * [[NearDupCandidate]] rows. The batch operator answers "which pairs in
+    * this corpus are near-dups"; this one answers "is the document arriving
+    * NOW a near-dup of anything in the ingest horizon" — online filtering
+    * during continuous ingest.
+    *
+    * State is per (band, bucket): at most `maxPerBucket` (id, signature)
+    * entries — the same skew stance as the batch bucket caps (a degenerate
+    * bucket of boilerplate stops absorbing state instead of growing without
+    * bound; later arrivals in a full bucket still emit candidates against
+    * the retained entries). `maxIdle` evicts buckets idle longer than the
+    * horizon via ProcessingTimeTimeout — same caveat as
+    * [[runningCorpusStats]]: with a timeout set, pace the query with a
+    * trigger and poll the sink; `processAllAvailable` never returns.
+    *
+    * Within a micro-batch, bucket members are processed in id order and
+    * also compared to each other — output is deterministic per batch.
+    */
+  def streamingMinhashCandidates(stream: DataFrame, idCol: String,
+                                 textCol: String, threshold: Double = 0.7,
+                                 shingleSize: Int = 3, numHashes: Int = 64,
+                                 bands: Int = 16, maxPerBucket: Int = 256,
+                                 maxIdle: Option[String] = None)
+      : Dataset[NearDupCandidate] = {
+    require(numHashes % bands == 0,
+      s"numHashes=$numHashes must be divisible by bands=$bands")
+    val rowsPerBand = numHashes / bands
+    import stream.sparkSession.implicits._
+    import graft.pipeline.Dedup
+    val sig = Dedup.minhashUdf(numHashes)(
+      Dedup.shingleUdf(shingleSize)(col(textCol)))
+    val banded = stream
+      .select(col(idCol).cast("long").as("id"), sig.as("sig"))
+      .withColumn("band", explode(array((0 until bands).map(lit): _*)))
+      .withColumn("bucket", hash(col("band"),
+        slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
+      .select("band", "bucket", "id", "sig")
+      .as[(Int, Int, Long, Seq[Long])]
+    val timeoutConf = if (maxIdle.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+                      else GroupStateTimeout.NoTimeout()
+    banded.groupByKey(t => (t._1, t._2))
+      .flatMapGroupsWithState[BucketState, NearDupCandidate](
+        OutputMode.Append(), timeoutConf) {
+        case ((band, _), it, state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var s = state.getOption.getOrElse(BucketState(Nil, Nil))
+            var ids = s.ids.toVector
+            var sigs = s.sigs.toVector
+            val out = Seq.newBuilder[NearDupCandidate]
+            for ((_, _, id, sg) <- it.toSeq.sortBy(_._3)
+                 if !ids.contains(id)) {
+              var j = 0
+              while (j < ids.length) {
+                var eq = 0
+                var p = 0
+                val other = sigs(j)
+                while (p < numHashes) {
+                  if (sg(p) == other(p)) eq += 1
+                  p += 1
+                }
+                val est = eq.toDouble / numHashes
+                if (est >= threshold) out += NearDupCandidate(id, ids(j), band, est)
+                j += 1
+              }
+              if (ids.length < maxPerBucket) { ids :+= id; sigs :+= sg }
+            }
+            state.update(BucketState(ids, sigs))
+            maxIdle.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Interval string → microseconds, via the same catalyst parser Spark
     * applies to `withWatermark` delays. Calendar units are flattened the
     * way streaming state management does (a month as 31 days), which only

@@ -48,6 +48,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash near-dup: cross-batch and in-batch collisions emit candidates") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    val other = "completely different content about spark distributed query planning internals"
+
+    val out = StreamingPipeline.streamingMinhashCandidates(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", threshold = 0.9)
+    val q = out.writeStream.format("memory").queryName("minhash_cands")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, base), (2L, other))
+      q.processAllAvailable()
+      assert(spark.table("minhash_cands").isEmpty) // nothing similar yet
+
+      // batch 2: an exact copy of doc 1 (est = 1.0 in every band) plus an
+      // in-batch duplicate pair (5, 6)
+      ms.addData((3L, base), (5L, other), (6L, other))
+      q.processAllAvailable()
+      val rows = spark.table("minhash_cands")
+        .select("id", "match_id", "est_jaccard").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.contains((3L, 1L, 1.0)), s"cross-batch pair missing: ${rows.toSeq}")
+      assert(rows.contains((5L, 2L, 1.0)), s"cross-batch pair missing: ${rows.toSeq}")
+      assert(rows.contains((6L, 5L, 1.0)), s"in-batch pair missing: ${rows.toSeq}")
+      // the two text groups {1,3} and {2,5,6} never cross-pair
+      val baseGroup = Set(1L, 3L)
+      assert(!rows.exists { case (a, b, _) => baseGroup(a) != baseGroup(b) },
+        s"dissimilar docs paired: ${rows.toSeq}")
+
+      // re-sending an already-seen id is ignored (no self-pair, no dup state)
+      ms.addData((3L, base))
+      q.processAllAvailable()
+      val again = spark.table("minhash_cands")
+        .filter("id = 3 AND match_id = 3").count()
+      assert(again == 0L)
+    } finally q.stop()
+  }
+
   test("streaming sessionization: session_window merges within the gap, splits across it") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
