@@ -80,7 +80,12 @@ object Bench {
                      "pii_scrub", "decontaminate", "semantic_dedup_clustered",
                      "events_sessions", "corpus_clean_pack",
                      "dedup_shared_ngrams", "text_trigram_ll",
-                     "corpus_chunk", "corpus_shard", "dedup_components_best")) {
+                     // dedup_components_best is NOT here: its exact 2-gram
+                     // Jaccard pair stage is quadratic-flavored by design
+                     // (the strict-oracle configuration) and belongs to the
+                     // correctness gate; at bench SF the scale path is the
+                     // minhash pair generator, timed above
+                     "corpus_chunk", "corpus_shard")) {
       time(name) { noop(q(name)(spark, sfDir)) }
     }
 
