@@ -146,6 +146,65 @@ object TextAnalysis {
           EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>"))
   }
 
+  // ---- distributional quality signals ----
+
+  /** Shannon entropy (bits per character) of the document's codepoint
+    * distribution — low entropy flags repetitive boilerplate, padding, or
+    * degenerate generations; a standard cheap quality cut alongside the
+    * heuristic score. Row-local by necessity (per-row histogram is not
+    * expressible in builtins without a per-character shuffle); double
+    * arithmetic, summation-order differences vs an oracle are absorbed by
+    * the +1e-9 round(4) both sides apply (error ~1e-12 against a 5e-5
+    * rounding boundary). Codepoints, not UTF-16 units, so CJK text counts
+    * the way a SQL engine's character split does. */
+  val charEntropyUdf = udf { text: String =>
+    if (text == null || text.isEmpty) 0.0
+    else {
+      val counts = new scala.collection.mutable.HashMap[Int, Int]()
+      val it = text.codePoints().iterator()
+      var n = 0
+      while (it.hasNext) {
+        val cp = it.next()
+        counts.update(cp, counts.getOrElse(cp, 0) + 1)
+        n += 1
+      }
+      var h = 0.0
+      counts.valuesIterator.foreach { c =>
+        val p = c.toDouble / n
+        h -= p * math.log(p)
+      }
+      h / math.log(2.0)
+    }
+  }
+
+  def withCharEntropy(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("char_entropy",
+      round(charEntropyUdf(col(textCol)) + 1e-9, 4))
+
+  /** DEFLATE compression ratio (compressed/raw bytes, level 6, raw
+    * stream): the Dolma/RedPajama-style repetition signal — highly
+    * repetitive documents compress far below prose. Deterministic for a
+    * given JDK zlib; NOT SQL-mirrorable (no oracle), contracted in
+    * PipelineSpec instead. */
+  val deflateRatioUdf = udf { text: String =>
+    if (text == null || text.isEmpty) 1.0
+    else {
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val d = new java.util.zip.Deflater(6, true)
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      d.end()
+      total.toDouble / bytes.length
+    }
+  }
+
+  def withDeflateRatio(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("deflate_ratio",
+      round(deflateRatioUdf(col(textCol)) + 1e-9, 4))
+
   // ---- fingerprints ----
 
   /** Canonical-form md5: lowercase, collapse whitespace, trim. SQL-mirrored

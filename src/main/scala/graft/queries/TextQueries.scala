@@ -318,6 +318,21 @@ object TextQueries {
         .select("doc_id", "repetition_ratio")
         .orderBy("doc_id")),
 
+    // codepoint-distribution entropy (bits/char): the repetition/
+    // degeneracy cut. Strict — the oracle recomputes the histogram and
+    // both sides round(4) after +1e-9 (absorbs summation order)
+    "text_entropy" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.TextAnalysis.withCharEntropy(docs(s, dir), "text")
+        .select("doc_id", "char_entropy")
+        .orderBy("doc_id")),
+
+    // DEFLATE compression ratio: deterministic rows-only (no SQL zlib);
+    // repetition ordering + determinism contracted in PipelineSpec
+    "text_deflate" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.TextAnalysis.withDeflateRatio(docs(s, dir), "text")
+        .select("doc_id", "deflate_ratio")
+        .orderBy("doc_id")),
+
     // deterministic k-means topic buckets over the embedding corpus:
     // per-cluster sizes (rows-only — kmeans is not SQL-mirrorable, but the
     // seeded driver-side training + row-local assignment make the output
@@ -797,6 +812,17 @@ object TextQueries {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         |  FROM documents)
         |WHERE cum_tokens <= 2000
+        |ORDER BY doc_id""".stripMargin,
+
+    // per-doc codepoint histogram → -Σ p·log2(p); same +1e-9 round(4)
+    "text_entropy" ->
+      """SELECT doc_id, round(-sum(p * log2(p)) + 0.000000001, 4) AS char_entropy
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY doc_id) AS p
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+        |  GROUP BY doc_id, c)
+        |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
     // same split-on-space token stream; range() mirrors sequence(), list

@@ -503,6 +503,31 @@ class PipelineSpec extends SparkSpec {
     assert(g == Seq(1L, 2L))
   }
 
+  test("entropy and deflate-ratio quality signals order repetitive below diverse") {
+    import spark.implicits._
+    val rep = "spam spam spam spam spam spam spam spam spam spam spam spam"
+    val prose = "the quick brown fox jumps over one lazy dog while birds fly"
+    val df = Seq((1L, rep), (2L, prose), (3L, ""), (4L, "aabb")).toDF("id", "text")
+
+    val ent2 = graft.pipeline.TextAnalysis.withCharEntropy(df, "text")
+      .select("id", "char_entropy")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ent2(1L) < ent2(2L), s"repetitive text must score lower entropy: $ent2")
+    assert(ent2(3L) == 0.0)
+    assert(ent2(4L) == 1.0) // two symbols, equal counts
+
+    val dr = graft.pipeline.TextAnalysis.withDeflateRatio(df, "text")
+      .select("id", "deflate_ratio")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dr(1L) < dr(2L), s"repetitive text must compress better: $dr")
+    assert(dr(3L) == 1.0)
+    // determinism across runs
+    val again = graft.pipeline.TextAnalysis.withDeflateRatio(df.repartition(3), "text")
+      .select("id", "deflate_ratio")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dr == again)
+  }
+
   test("chunkDocuments: full coverage, overlap, short docs, clamped tail") {
     import spark.implicits._
     val df = Seq(
