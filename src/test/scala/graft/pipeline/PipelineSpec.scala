@@ -101,6 +101,44 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Set(1L, 7L, 8L))
   }
 
+  test("prefix-filtered exact Jaccard equals the all-pairs definition (random corpora)") {
+    import spark.implicits._
+    // dense little corpora over a tiny vocab force heavy shingle sharing —
+    // the regime where a broken prefix bound would actually drop pairs
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu")
+    for (seed <- Seq(1, 7, 23); threshold <- Seq(0.3, 0.5, 0.8)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to 50L).map { id =>
+        val len = 1 + rnd.nextInt(11)
+        (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }.toDF("id", "text")
+
+      val fast = graft.pipeline.Dedup
+        .ngramJaccardExact(docs, "id", "text", shingleSize = 2, threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+      // the unfiltered definition, inline: full a<b cross join + intersect
+      def sh(c: org.apache.spark.sql.Column) =
+        graft.pipeline.Dedup.sqlShinglesPublic(2)(c)
+      val a = docs.select(col("id").as("a"), sh(col("text")).as("sa"))
+      val b = docs.select(col("id").as("b"), sh(col("text")).as("sb"))
+      val union = size(col("sa")) + size(col("sb")) - col("inter")
+      val brute = a.join(b, col("a") < col("b"))
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+        .filter(col("inter") / union >= threshold)
+        .select(col("a"), col("b"),
+          round(col("inter") / union + lit(1e-9), 4).as("jaccard"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+      assert(fast == brute,
+        s"seed=$seed t=$threshold: prefix-filtered ${fast.size} pairs != " +
+          s"brute ${brute.size}; missing=${brute -- fast} extra=${fast -- brute}")
+      assert(brute.nonEmpty || threshold >= 0.5, // sanity: low thresholds find pairs
+        s"seed=$seed t=$threshold produced an empty brute-force baseline")
+    }
+  }
+
   test("dedupByComponentsBest keeps the max-score copy, min id on ties") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("a", "b")
