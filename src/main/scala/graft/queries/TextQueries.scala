@@ -410,6 +410,23 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // the full ingest recipe in ONE chained strict query: clean (exact
+    // dedup + langid + quality + length) -> overlapping 64/48 token
+    // chunks -> seeded 8-way shard assignment of the CHUNKS (keyed on
+    // doc_chunk) — the end-to-end path a retrieval/training ingest runs,
+    // pinned stage-composition and all against a composed oracle
+    "corpus_e2e" -> ((s: SparkSession, dir: String) => {
+      val cleaned = graft.pipeline.CorpusPipeline.clean(docs(s, dir), "doc_id", "text",
+        minQuality = 0.5, langs = Set("en", "de", "fr", "es"), minChars = 20)
+      val chunks = graft.pipeline.CorpusPipeline
+        .chunkDocuments(cleaned, "doc_id", "text", chunkTokens = 64, stride = 48)
+        .withColumn("chunk_key",
+          concat_ws("_", col("doc_id"), col("chunk_id")))
+      graft.pipeline.CorpusPipeline.shardCorpus(chunks, "chunk_key", nShards = 8)
+        .select("doc_id", "chunk_id", "lang_pred", "shard", "shard_pos")
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // deterministic id-keyed sampling (md5-prefix threshold): pure
     // function of the id -> reproducible across engines, so strict oracle
     "corpus_sample" -> ((s: SparkSession, dir: String) =>
@@ -813,6 +830,28 @@ object TextQueries {
         |  FROM documents)
         |WHERE cum_tokens <= 2000
         |ORDER BY doc_id""".stripMargin,
+
+    // composed mirror: the SAME cleaned CTE, chunk arithmetic, and
+    // md5-bucket shard rule, chained — stage composition cannot drift
+    // from the single-stage strict checks that share these fragments
+    "corpus_e2e" ->
+      s"""$CleanOracleCte,
+        |ch AS (
+        |  SELECT doc_id, lang_pred, chunk_id,
+        |    CAST(doc_id AS VARCHAR) || '_' || CAST(chunk_id AS VARCHAR) AS ck
+        |  FROM (
+        |    SELECT doc_id, lang_pred,
+        |      UNNEST(range(0, CAST(greatest(ceil((n - 64) / 48.0), 0) AS BIGINT) + 1)) AS chunk_id
+        |    FROM (SELECT doc_id, lang_pred,
+        |            len(string_split(text, ' ')) AS n FROM cleaned))
+        |), sh AS (
+        |  SELECT doc_id, chunk_id, lang_pred, ck, md5('42:' || ck) AS h,
+        |    CAST(CAST(('0x' || substring(md5('42:' || ck), 1, 15)) AS BIGINT) % 8 AS INT) AS shard
+        |  FROM ch
+        |)
+        |SELECT doc_id, chunk_id, lang_pred, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, ck) AS BIGINT) AS shard_pos
+        |FROM sh ORDER BY doc_id, chunk_id""".stripMargin,
 
     // per-doc codepoint histogram → -Σ p·log2(p); same +1e-9 round(4)
     "text_entropy" ->
