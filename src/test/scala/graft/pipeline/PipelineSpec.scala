@@ -541,6 +541,29 @@ class PipelineSpec extends SparkSpec {
     assert(g == Seq(1L, 2L))
   }
 
+  test("column-decomposed langid/quality equal their Column-expression forms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat and the dog sat with a book for a while it was good"),
+      (2L, "der hund und die katze sind nicht mit der maus zu dem haus"),
+      (3L, "le chat est dans la maison avec un livre pour le soir"),
+      (4L, "x"), (5L, ""), (6L, "el perro y el gato en la casa es por con una"),
+      (7L, "汉字汉字汉字汉字汉字汉字 some latin"),
+      (8L, "zzz qqq www eee rrr ttt yyy")
+    ).toDF("id", "text")
+    val viaColumns = graft.pipeline.TextAnalysis.withQualityScore(
+        graft.pipeline.TextAnalysis.withLangId(docs, "text"), "text")
+      .select("id", "lang_pred", "quality_score").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val viaExprs = docs
+      .withColumn("lang_pred", graft.pipeline.TextAnalysis.langId(col("text")))
+      .withColumn("quality_score",
+        graft.pipeline.TextAnalysis.qualityScore(col("text")))
+      .select("id", "lang_pred", "quality_score").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(viaColumns == viaExprs)
+  }
+
   test("entropy and deflate-ratio quality signals order repetitive below diverse") {
     import spark.implicits._
     val rep = "spam spam spam spam spam spam spam spam spam spam spam spam"
