@@ -53,7 +53,11 @@ object TextQueries {
     * 2..maxBucket bucket cap, same exact-cosine verification. Dim 64 is
     * the testdata embeddings width. Generated: 20 reps x 6 bits x 64
     * mechanical product terms. */
-  private lazy val neardupLshOracleSql: String = {
+  /** The LSH replay as a reusable WITH prefix ending in
+    * `lshv(a, b, cs)` — the VERIFIED pairs with their unrounded cosine —
+    * shared by the pair listing and the recall evaluation so the two can
+    * never drift. */
+  private lazy val NeardupLshPairsCte: String = {
     val (bits, repeats, dim) = (6, 20, 64)
     val planes = Dedup.lshPlanes(repeats, bits, dim, seed = 42)
     def bucketExpr(r: Int): String =
@@ -76,17 +80,22 @@ object TextQueries {
        |  FROM banded x
        |  JOIN ok z ON z.rep = x.rep AND z.bucket = x.bucket
        |  JOIN banded y ON y.rep = x.rep AND y.bucket = x.bucket AND x.vec_id < y.vec_id
-       |)
-       |SELECT c.a, c.b,
-       |  round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-       |                               CAST(eb.embedding AS DOUBLE[])), 4) AS cos_sim
-       |FROM cands c
-       |JOIN embeddings ea ON ea.vec_id = c.a
-       |JOIN embeddings eb ON eb.vec_id = c.b
-       |WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-       |                             CAST(eb.embedding AS DOUBLE[])) > 0.42
-       |ORDER BY a, b""".stripMargin
+       |), lshv AS (
+       |  SELECT c.a, c.b,
+       |    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                           CAST(eb.embedding AS DOUBLE[])) AS cs
+       |  FROM cands c
+       |  JOIN embeddings ea ON ea.vec_id = c.a
+       |  JOIN embeddings eb ON eb.vec_id = c.b
+       |  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                               CAST(eb.embedding AS DOUBLE[])) > 0.42
+       |)""".stripMargin
   }
+
+  private lazy val neardupLshOracleSql: String =
+    s"""$NeardupLshPairsCte
+       |SELECT a, b, round(cs, 4) AS cos_sim FROM lshv
+       |ORDER BY a, b""".stripMargin
 
   /** The text-quality scoring mirrored expression-for-expression (shared
     * by `text_quality` and the quality-winner dedup oracle): emits
@@ -253,6 +262,25 @@ object TextQueries {
       Dedup.dedupByComponents(d, "doc_id", pairs, "a", "b")
         .select("doc_id")
         .orderBy("doc_id")
+    }),
+
+    // recall of the LSH near-dup pairs against the exact all-pairs truth
+    // — the dedup-tier analogue of ann_recall_exact: the evaluation
+    // itself is a strict oracle row (both pair sets replay in SQL), so
+    // the measured recall is pinned cross-engine, not just asserted
+    "neardup_lsh_recall" -> ((s: SparkSession, dir: String) => {
+      val emb = table(s, dir, "embeddings")
+      val exact = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.42)
+        .select("a", "b")
+      val lsh = Dedup.embeddingNearDupsLsh(emb, "vec_id", "embedding",
+          threshold = 0.42, bits = 6, repeats = 20)
+        .select("a", "b")
+      val common = exact.intersect(lsh)
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(common.agg(count(lit(1)).as("n_common")))
+        .withColumn("recall", round(col("n_common").cast("double")
+          / greatest(col("n_exact"), lit(1L)) + lit(1e-9), 4))
     }),
 
     // quality-aware winner: inside each duplicate group the HIGHEST
@@ -645,6 +673,25 @@ object TextQueries {
         |SELECT doc_id, CAST(fp AS BIGINT) AS fp_rolling FROM hashed ORDER BY doc_id""".stripMargin,
 
     "neardup_lsh" -> neardupLshOracleSql,
+
+    // the recall measurement itself replays: LSH verified pairs are a
+    // subset of the exact set by construction, so n_common counts the
+    // intersection and recall = n_common / n_exact, pinned cross-engine
+    "neardup_lsh_recall" ->
+      s"""$NeardupLshPairsCte,
+        |exact AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) > 0.42
+        |), lshp AS (SELECT DISTINCT a, b FROM lshv),
+        |com AS (SELECT a, b FROM exact INTERSECT SELECT a, b FROM lshp)
+        |SELECT
+        |  CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+        |  CAST((SELECT count(*) FROM lshp) AS BIGINT) AS n_lsh,
+        |  CAST((SELECT count(*) FROM com) AS BIGINT) AS n_common,
+        |  round(CAST((SELECT count(*) FROM com) AS DOUBLE)
+        |    / greatest((SELECT count(*) FROM exact), 1) + 0.000000001, 4) AS recall""".stripMargin,
 
     "neardup_projected" -> neardupProjectedOracleSql,
 
