@@ -85,7 +85,7 @@ object Bench {
                      // (the strict-oracle configuration) and belongs to the
                      // correctness gate; at bench SF the scale path is the
                      // minhash pair generator, timed above
-                     "corpus_chunk", "corpus_shard")) {
+                     "corpus_chunk", "corpus_shard", "corpus_e2e")) {
       time(name) { noop(q(name)(spark, sfDir)) }
     }
 

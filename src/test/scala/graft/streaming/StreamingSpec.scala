@@ -48,6 +48,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunkDocuments composes into a streaming query (stateless, append)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val out = graft.pipeline.CorpusPipeline.chunkDocuments(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      chunkTokens = 4, stride = 3)
+    val q = out.writeStream.format("memory").queryName("stream_chunks")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "a b"))
+      q.processAllAvailable()
+      val rows = spark.table("stream_chunks")
+        .select("doc_id", "chunk_id", "chunk_text").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+      assert(rows((1L, 0L)) == "t1 t2 t3 t4" && rows((1L, 2L)) == "t7 t8 t9 t10")
+      assert(rows((2L, 0L)) == "a b")
+      // a later batch chunks independently — no state, no watermark needed
+      ms.addData((3L, "x y z w v"))
+      q.processAllAvailable()
+      assert(spark.table("stream_chunks").filter("doc_id = 3").count() == 2L)
+    } finally q.stop()
+  }
+
   test("streaming minhash near-dup: cross-batch and in-batch collisions emit candidates") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
