@@ -154,7 +154,14 @@ object Bench {
         Array.fill(dim)(r.nextFloat())
       })
       idx.persist()
-      time(s"vamana_50q_10k_d$dim") { noop(idx.searchBatch(qs50, 10)) }
+      // reps=5 (not the default 3): these sub-second lines are the ones a
+      // few-second host-contention window can inflate end to end — r6's
+      // d256 "cliff" (0.436s vs 0.181s neighbors) was exactly that; a
+      // clean re-run and graft.tools.DimProbe (flat ~500k distance evals
+      // at every dim, dim-proportional single-thread cost) showed the
+      // search path itself is monotonic in n·d. Extra reps cost ~0.6s and
+      // make the min estimator robust to one such window.
+      time(s"vamana_50q_10k_d$dim", reps = 5) { noop(idx.searchBatch(qs50, 10)) }
       idx.unpersist()
       if (dim == 128) synthDf = df else df.unpersist()
     }

@@ -715,10 +715,21 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * shard-count ceiling it wants. Without it, repeated CDC micro-batches
     * accumulate one delta shard each until someone calls compactShards()
     * manually. */
+  // Shard set the last NO-OP compaction attempt ran against: when every
+  // live shard is already above the size threshold, compactShards() keeps
+  // returning 0 — without this marker each subsequent micro-batch would
+  // re-pay its full per-shard count job (plus a re-pin) for a compaction
+  // that can never happen until the shard set changes again.
+  @volatile private var lastNoopCompactShards: Set[Int] = Set.empty
+
   private def maybeAutoCompact(): Unit = {
     if (!isGraphEngine) return
     val minShards = spark.conf.get("spark.ann.autoCompactMinShards", "0").toInt
-    if (minShards > 0 && liveShardIds.size >= minShards) compactShards()
+    if (minShards <= 0) return
+    val live = liveShardIds.toSet
+    if (live.size < minShards || live == lastNoopCompactShards) return
+    if (compactShards() == 0) lastNoopCompactShards = live
+    else lastNoopCompactShards = Set.empty
   }
 
   /** Delete hook: tombstone the ids at the current epoch

@@ -273,8 +273,13 @@ object Dedup {
         .as("s"))
       .withColumn("sz", size(col("s")))
       .localCheckpoint()
-    val prefixLen = (col("sz").cast("double") - ceil(lit(threshold) * col("sz"))
-      + 1).cast("int")
+    // ceil on a nudged product: when t·sz is mathematically an integer but
+    // the double product rounds UP (t not exactly representable), a bare
+    // ceil would overshoot by 1 and shorten the prefix — dropping a
+    // qualifying pair. A slightly longer prefix is always safe (only
+    // cheaper, never correctness-affecting), so nudge down before ceil.
+    val prefixLen = (col("sz").cast("double")
+      - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1).cast("int")
     val pref = shingled
       .select(col("id"), col("sz"), explode(slice(col("s"), lit(1), prefixLen)).as("tok"))
     // candidate ids only (size-ratio filter on the carried int sizes);

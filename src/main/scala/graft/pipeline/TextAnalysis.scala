@@ -307,11 +307,18 @@ object TextAnalysis {
     val spark = df.sparkSession
     val grams = df.select(explode(trigramsUdf(normText(col(textCol)))).as("g"))
       .groupBy("g").count()
-    val model = grams.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    require(model.size <= maxVocab,
-      s"trigram vocabulary ${model.size} exceeds maxVocab=$maxVocab — " +
+    // enforce maxVocab DISTRIBUTED, before any driver materialization: the
+    // guard must fire before the OOM risk it exists to prevent, so count
+    // the distinct vocabulary as a job and only then collect the model
+    val vocabSize = grams.count()
+    require(vocabSize <= maxVocab,
+      s"trigram vocabulary $vocabSize exceeds maxVocab=$maxVocab — " +
         "clean the corpus charset (or raise the bound) before LM scoring")
+    val model = grams.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val total = model.valuesIterator.sum.toDouble
+    require(total > 0.0,
+      "trigram model is empty (no document has >= 3 normalized chars) — " +
+        "an all-null scoring column would be silent garbage, fail instead")
     val bc = spark.sparkContext.broadcast(model)
     val score = udf { text: String =>
       if (text == null || text.length < 3) null

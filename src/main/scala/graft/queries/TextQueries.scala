@@ -900,16 +900,22 @@ object TextQueries {
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, ck) AS BIGINT) AS shard_pos
         |FROM sh ORDER BY doc_id, chunk_id""".stripMargin,
 
-    // per-doc codepoint histogram → -Σ p·log2(p); same +1e-9 round(4)
+    // per-doc codepoint histogram → -Σ p·log2(p); same +1e-9 round(4).
+    // LEFT JOIN back to documents (like text_trigram_ll): an empty/NULL
+    // text explodes to no char rows and would otherwise vanish from the
+    // oracle while the Spark side emits 0.0 for that doc
     "text_entropy" ->
-      """SELECT doc_id, round(-sum(p * log2(p)) + 0.000000001, 4) AS char_entropy
-        |FROM (
-        |  SELECT doc_id,
-        |    CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY doc_id) AS p
-        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
-        |  GROUP BY doc_id, c)
-        |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin,
+      """SELECT d.doc_id,
+        |  coalesce(e.char_entropy, 0.0) AS char_entropy
+        |FROM documents d LEFT JOIN (
+        |  SELECT doc_id, round(-sum(p * log2(p)) + 0.000000001, 4) AS char_entropy
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY doc_id) AS p
+        |    FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+        |    GROUP BY doc_id, c)
+        |  GROUP BY doc_id) e ON d.doc_id = e.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // same split-on-space token stream; range() mirrors sequence(), list
     // slicing mirrors slice() (both clamp at the end of the array)
