@@ -458,22 +458,28 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     val overfetch = meta.numDeleted.toInt
     val ck = shardCacheKey
     val kk = k + overfetch
-    // the pinned dataset (memory-cached) is still the preferred source —
-    // the cogroup re-shuffles it by key, but reads come from cache, not
-    // parquet
-    val src = data
+    // pinned (persisted post-repartition(shard)) → the zip path: only the
+    // query relation shuffles, the cached graph layout is read in place —
+    // a standing workload's repeat calls move zero index bytes. Unpinned →
+    // the cogroup path (its one graph shuffle reads from parquet anyway).
+    // `data` first: it lazily re-pins after a mutation (see scanGraph).
+    val readOnce = data
+    val (src, prePart) = pinned match {
+      case Some(p) => (p, true)
+      case None => (readOnce, false)
+    }
     val res = meta.engine match {
       case "DISKANN" =>
         val p = Vamana.Params.from(meta)
         val l = Vamana.beamWidth(kk, searchComplexity, p.buildComplexity) + overfetch
         Vamana.searchTableDistributed(spark, src, queries, kk, l, meta.metric,
-          ck, liveShardIds, codec)
+          ck, liveShardIds, codec, graphPrePartitioned = prePart)
       case "HNSW" =>
         val p = Hnsw.Params.from(meta)
         val ef = math.max(kk,
           if (searchComplexity > 0) searchComplexity else p.efConstruction) + overfetch
         Hnsw.searchTableDistributed(spark, src, queries, kk, ef, meta.metric,
-          ck, liveShardIds, codec)
+          ck, liveShardIds, codec, graphPrePartitioned = prePart)
       case other => throw new IllegalArgumentException(
         s"scanGraphTable: $other is not a graph engine")
     }

@@ -287,7 +287,8 @@ object Hnsw {
   def searchTableDistributed(spark: SparkSession, graphDf: DataFrame,
                              queries: DataFrame, k: Int, ef: Int, metric: String,
                              cacheKey: Option[String], shardIds: Seq[Int],
-                             codec: Option[graft.functions.VectorCodec]): DataFrame = {
+                             codec: Option[graft.functions.VectorCodec],
+                             graphPrePartitioned: Boolean = false): DataFrame = {
     val dist = VectorKernels.orderingDistance(metric) _
     val vecColName = if (codec.isDefined) "codes" else "vector"
     val graph0 = graphDf.select("shard", "label", "id", vecColName, "level",
@@ -298,6 +299,7 @@ object Hnsw {
         val s = sh.asInstanceOf[Shard]
         search(s, q, k, ef, dist).iterator.take(math.max(k, ef))
           .map { case (label, d) => (s.ids(label), d) }
-      })
+      },
+      graphPrePartitioned = graphPrePartitioned)
   }
 }

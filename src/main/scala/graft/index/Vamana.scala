@@ -400,7 +400,8 @@ object Vamana {
   def searchTableDistributed(spark: SparkSession, graphDf: DataFrame,
                              queries: DataFrame, k: Int, l: Int, metric: String,
                              cacheKey: Option[String], shardIds: Seq[Int],
-                             codec: Option[graft.functions.VectorCodec]): DataFrame = {
+                             codec: Option[graft.functions.VectorCodec],
+                             graphPrePartitioned: Boolean = false): DataFrame = {
     val dist = VectorKernels.orderingDistance(metric) _
     val vecColName = if (codec.isDefined) "codes" else "vector"
     val graph0 = graphDf
@@ -411,7 +412,8 @@ object Vamana {
         val s = sh.asInstanceOf[Shard]
         beamSearch(s, q, l, dist).iterator
           .map { case (label, d) => (s.ids(label), d) }
-      })
+      },
+      graphPrePartitioned = graphPrePartitioned)
   }
 
   /** Shuffle-partition count for shard-keyed repartitions: hashing shard

@@ -281,7 +281,17 @@ object CorpusPipeline {
     * rerun or repartition (fixed seeds, fixed iteration order). */
   def clusterEmbeddings(df: DataFrame, idCol: String, vecCol: String,
                         k: Int, maxIter: Int = 10, seed: Long = 42,
-                        sampleCap: Int = 65536): DataFrame = {
+                        sampleCap: Int = 65536): DataFrame =
+    assignClusters(df, vecCol,
+      trainClusterCentroids(df, vecCol, k, maxIter, seed, sampleCap))
+
+  /** The training half of [[clusterEmbeddings]], exposed so a caller (e.g.
+    * the strict-oracle builder, which inlines the centroids as double
+    * literals into replayable SQL) can reuse the exact centroid array the
+    * assignment ran with. */
+  def trainClusterCentroids(df: DataFrame, vecCol: String, k: Int,
+                            maxIter: Int = 10, seed: Long = 42,
+                            sampleCap: Int = 65536): Array[(Int, Array[Float])] = {
     import graft.functions.AnnFunctions.vector_nonnull
     require(k >= 1, s"k=$k must be >= 1")
     val n = df.count()
@@ -291,8 +301,16 @@ object CorpusPipeline {
       else df
     val sample = train.select(vector_nonnull(col(vecCol)).as("__v"))
       .collect().map(_.getSeq[Float](0).toArray)
-    val centroids = graft.index.AnnIndexBuilder.trainCentroids(
+    graft.index.AnnIndexBuilder.trainCentroids(
       sample, math.min(k, sample.length), maxIter, seed)
+  }
+
+  /** The assignment half of [[clusterEmbeddings]]: row-local argmin over
+    * the broadcast centroids (first-minimum wins on exact ties, matching
+    * an `ORDER BY dist, cid LIMIT 1` replay). */
+  def assignClusters(df: DataFrame, vecCol: String,
+                     centroids: Array[(Int, Array[Float])]): DataFrame = {
+    import graft.functions.AnnFunctions.vector_nonnull
     val bc = df.sparkSession.sparkContext.broadcast(centroids)
     val assign = udf { (v: Seq[Float]) =>
       val q = v.toArray

@@ -334,6 +334,28 @@ object IndexQueries {
       } finally s.conf.unset("spark.ann.maxCollectedQueries")
     }),
 
+    // S5 repeat-call shape: index PINNED, strategy=distributed → the zip
+    // path (GraphTableSearch.runZip — query relation hash-routed onto the
+    // pinned shard layout, graph side read in place with no exchange).
+    // Exhaustive beam → exact → strict oracle certifies the zip routing
+    // delivers every (shard, query) pair exactly once.
+    "ann_search_table_pinned" -> ((s: SparkSession, dir: String) => {
+      val queries = emb(s, dir).filter(col("vec_id") >= 4 && col("vec_id") < 9)
+        .select(col("vec_id").as("q_vec_id"), col("embedding"))
+      val idx = diskannIndex(s, dir).persist()
+      s.conf.set("spark.ann.graphTableStrategy", "distributed")
+      try {
+        val res = graft.operators.AnnSearch.searchTable(
+          idx, queries, k = 5, nprobe = 100000,
+          queryIdCol = Some("q_vec_id"))
+        res.withColumn("rank",
+            row_number().over(
+              Window.partitionBy("q_vec_id").orderBy(col("_distance"), col("id"))).cast("long"))
+          .select(col("q_vec_id"), col("rank"), col("id").as("vec_id"))
+          .orderBy("q_vec_id", "rank")
+      } finally s.conf.unset("spark.ann.graphTableStrategy")
+    }),
+
     // filtered search exercising the exact-fallback path on a COSINE index:
     // the predicate is selective enough that the overfetch can't fill k, so
     // the raw-vector cosine fallback produces the result → strict oracle.
@@ -907,6 +929,16 @@ object IndexQueries {
          |    ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
          |                           CAST(q.embedding AS DOUBLE[])), e.vec_id) AS BIGINT) AS rank
          |  FROM (SELECT * FROM embeddings WHERE vec_id < 6) q
+         |  CROSS JOIN embeddings e) t
+         |WHERE rank <= 5 ORDER BY q_vec_id, rank""".stripMargin,
+
+    "ann_search_table_pinned" ->
+      s"""SELECT q_vec_id, rank, vec_id FROM (
+         |  SELECT q.vec_id AS q_vec_id, e.vec_id, CAST(row_number() OVER (
+         |    PARTITION BY q.vec_id
+         |    ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+         |                           CAST(q.embedding AS DOUBLE[])), e.vec_id) AS BIGINT) AS rank
+         |  FROM (SELECT * FROM embeddings WHERE vec_id >= 4 AND vec_id < 9) q
          |  CROSS JOIN embeddings e) t
          |WHERE rank <= 5 ORDER BY q_vec_id, rank""".stripMargin,
 

@@ -362,14 +362,21 @@ object TextQueries {
         .orderBy("doc_id")),
 
     // deterministic k-means topic buckets over the embedding corpus:
-    // per-cluster sizes (rows-only — kmeans is not SQL-mirrorable, but the
-    // seeded driver-side training + row-local assignment make the output
-    // bit-stable across runs; determinism asserted in SemanticDedupSpec)
-    "corpus_clusters" -> ((s: SparkSession, dir: String) =>
-      graft.pipeline.CorpusPipeline.clusterEmbeddings(
-          table(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+    // per-cluster sizes. STRICT since r7: the TRAINING stays driver-side
+    // Scala (kmeans++ is not SQL-mirrorable), but the trained centroids
+    // are stashed and inlined into the oracle as double literals, so the
+    // ASSIGNMENT (argmin over centroid distances, first-min tie-break)
+    // and the per-cluster counts replay exactly — same technique that
+    // made neardup_lsh strict (inlined hyperplanes)
+    "corpus_clusters" -> ((s: SparkSession, dir: String) => {
+      val embs = table(s, dir, "embeddings")
+      val cents = graft.pipeline.CorpusPipeline.trainClusterCentroids(
+        embs, "embedding", k = 8)
+      corpusClusterCentroids = Some(cents)
+      graft.pipeline.CorpusPipeline.assignClusters(embs, "embedding", cents)
         .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
-        .orderBy("cluster_id")),
+        .orderBy("cluster_id")
+    }),
 
     // SemDeDup survivors, exact variant: drop rows with a more-similar-
     // than-threshold smaller-id neighbor — SQL-mirrorable (NOT EXISTS over
@@ -595,7 +602,36 @@ object TextQueries {
       |    AND sc.n_chars >= 20
       |)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  /** Centroids the `corpus_clusters` query trained this process, stashed
+    * so the oracle (dumped AFTER the queries run, see `graft.Verify`) can
+    * inline them as double literals — training is driver-side Scala, but
+    * the assignment + counts then replay exactly in SQL. */
+  @volatile private var corpusClusterCentroids: Option[Array[(Int, Array[Float])]] = None
+
+  private def corpusClustersOracleSql: Option[(String, String)] =
+    corpusClusterCentroids.map { cents =>
+      val values = cents.map { case (cid, v) =>
+        // Float→Double widening is exact; Double.toString round-trips, so
+        // DuckDB parses back the identical double the assignment used
+        s"($cid, CAST([${v.map(_.toDouble.toString).mkString(", ")}] AS DOUBLE[]))"
+      }.mkString(",\n        |  ")
+      "corpus_clusters" ->
+        s"""WITH c(cid, cv) AS (VALUES
+           |  $values
+           |), d AS (
+           |  SELECT e.vec_id, c.cid,
+           |    list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) AS dist
+           |  FROM embeddings e CROSS JOIN c
+           |), r AS (
+           |  SELECT vec_id, cid,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |  FROM d
+           |)
+           |SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_members
+           |FROM r WHERE rn = 1 GROUP BY cid ORDER BY cluster_id""".stripMargin
+    }
+
+  def oracleSql: Map[String, String] = corpusClustersOracleSql.toMap ++ Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,

@@ -201,6 +201,62 @@ class OperatorSpec extends SparkSpec {
     assert(a.count(_._1 == 0L) == 5)
   }
 
+  test("pinned distributed table search: zip path is value-identical and moves no graph bytes") {
+    import spark.implicits._
+    val queries = vecs.take(8).map { case (id, _, v) => (id, v) }.toDF("qid", "qvec")
+    val idx = AnnIndexManager.create(spark, "op_zip", vecsDf,
+      "id", "vec", "DISKANN", Map("metric" -> "l2", "shards" -> "4"), s"$tmp/op_zip")
+
+    // total shuffle-write bytes across every job an action triggers;
+    // listener events are async, so spin until the sum stabilizes
+    def shuffleBytes(f: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) acc.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        f
+        var prev = -1L
+        var spins = 0
+        while (acc.get != prev && spins < 40) {
+          prev = acc.get; spins += 1; Thread.sleep(250)
+        }
+        acc.get
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+
+    def run(): Seq[(Long, Long, Double)] = {
+      spark.conf.set("spark.ann.graphTableStrategy", "distributed")
+      try AnnSearch.searchTable(idx, queries, k = 5, nprobe = 100000,
+          queryIdCol = Some("qid"))
+        .select(col("qid"), col("id"), round(col("_distance"), 6).as("d"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+      finally spark.conf.unset("spark.ann.graphTableStrategy")
+    }
+
+    // unpinned → cogroup (shuffles the whole graph); pinned → zip path
+    var cogroupRes: Seq[(Long, Long, Double)] = null
+    var zipRes: Seq[(Long, Long, Double)] = null
+    val cogroupBytes = shuffleBytes { cogroupRes = run() }
+    idx.persist()
+    try {
+      val zipBytes = shuffleBytes { zipRes = run() }
+      assert(zipRes == cogroupRes, "zip path must be value-identical to cogroup")
+      // repeat call (the standing-workload shape) stays identical too
+      assert(run() == cogroupRes)
+      // the zip path's shuffles carry only routed queries + top-k
+      // candidates — a small fraction of the cogroup's full-graph exchange
+      assert(zipBytes * 3 < cogroupBytes,
+        s"zip path should move far fewer bytes: zip=$zipBytes cogroup=$cogroupBytes")
+    } finally idx.unpersist()
+  }
+
   test("searchFiltered honors spark.ann.overfetchMultiplier (extension-option analogue)") {
     val q = vecs(42)._3
     spark.conf.set("spark.ann.overfetchMultiplier", "1")
