@@ -66,12 +66,64 @@ object Dedup {
     * Callers pass a slim (key cols + payload) projection. */
   private val observeSeq = new java.util.concurrent.atomic.AtomicLong()
 
+  // ---- scoped release of operator-internal caches ----
+  // The LSH operators persist intermediates (hash projections feeding two
+  // plan branches). Default stance: leave them cached, LRU-evicted under
+  // storage pressure — a consumer that runs several actions over the
+  // returned plan keeps warm branches. A standing pipeline that consumes
+  // each result ONCE (the 100 TB posture) opts in to deterministic release:
+  // with spark.graft.dedup.autoRelease=true, every cache an operator
+  // created is unpersisted as soon as the first action over the returned
+  // plan completes (success or failure).
+  private val cacheScope = new ThreadLocal[scala.collection.mutable.ArrayBuffer[DataFrame]]
+
+  private def trackCache(df: DataFrame): DataFrame = {
+    Option(cacheScope.get).foreach(_ += df)
+    df
+  }
+
+  /** Collect every cache the operator body registers (via [[trackCache]])
+    * and, when auto-release is enabled, unpersist them after the first
+    * action that executes the returned plan. */
+  private def withCacheScope(body: => DataFrame): DataFrame = {
+    val outer = cacheScope.get // operators can nest (ngramJaccardPairs)
+    val buf = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    cacheScope.set(buf)
+    val result = try body finally cacheScope.set(outer)
+    if (outer != null) { outer ++= buf; return result } // innermost defers to outermost
+    if (buf.isEmpty) return result
+    val spark = result.sparkSession
+    if (!spark.conf.get("spark.graft.dedup.autoRelease", "false").toBoolean)
+      return result
+    val target = result.queryExecution.analyzed
+    val caches = buf.toSeq
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def maybeRelease(
+          qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+        // sameResult (canonicalized) rather than eq: analysis of a caller's
+        // wrapping query may copy the subtree
+        if ((qe.analyzed eq target) || qe.analyzed.exists(_.sameResult(target))) {
+          caches.foreach(_.unpersist(false))
+          spark.listenerManager.unregister(this)
+        }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = maybeRelease(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = maybeRelease(qe)
+    }
+    spark.listenerManager.register(listener)
+    result
+  }
+
   private def cappedBuckets(rows: DataFrame, keyCols: Seq[String],
                             payload: Column, maxBucket: Int,
                             what: String): DataFrame = {
     ensureCapListener(rows.sparkSession)
     val keys = keyCols.map(col)
-    val cached = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cached = trackCache(
+      rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // unique observation name per call: two dedup operators composed into
     // ONE query (e.g. a union) must not collide at analysis time
     val counts = cached.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
@@ -185,9 +237,10 @@ object Dedup {
     * band buckets → candidate pairs → Jaccard ≥ threshold. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 3, numHashes: Int = 64,
-                      bands: Int = 16, threshold: Double = 0.7): DataFrame = {
-    val shingled = df.select(col(idCol), shingleUdf(shingleSize)(col(textCol)).as("shingles"))
-      .cache()
+                      bands: Int = 16, threshold: Double = 0.7): DataFrame = withCacheScope {
+    val shingled = trackCache(
+      df.select(col(idCol), shingleUdf(shingleSize)(col(textCol)).as("shingles"))
+        .cache())
     val sigs = shingled.select(col(idCol), minhashUdf(numHashes)(col("shingles")).as("sig"))
     val cands = lshCandidates(sigs, idCol, "sig", bands)
     val sa = shingled.select(col(idCol).as("a"), col("shingles").as("sh_a"))
@@ -324,7 +377,7 @@ object Dedup {
   def minhashNearDupsMirrorable(df: DataFrame, idCol: String, textCol: String,
                                 shingleSize: Int = 2, numHashes: Int = 64,
                                 bands: Int = 16, threshold: Double = 0.5,
-                                maxBucket: Int = 1000): DataFrame = {
+                                maxBucket: Int = 1000): DataFrame = withCacheScope {
     val r = numHashes / bands
     require(bands * r == numHashes, s"bands ($bands) must divide numHashes ($numHashes)")
     val shingled = df.select(col(idCol), sqlShingles(shingleSize)(col(textCol)).as("sh"))
@@ -471,8 +524,9 @@ object Dedup {
     * via 4×16-bit chunk banding (pigeonhole: any pair within distance 3
     * shares at least one exact chunk). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val hashed = withSimhash(df, textCol).select(col(idCol), col("simhash")).cache()
+                      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = withCacheScope {
+    val hashed = trackCache(
+      withSimhash(df, textCol).select(col(idCol), col("simhash")).cache())
     val chunked = hashed.select(col(idCol), col("simhash"), posexplode(
       expr("transform(sequence(0,3), c -> shiftright(simhash, c*16) & 65535)"))
       .as(Seq("chunk", "chunk_val")))
@@ -570,7 +624,7 @@ object Dedup {
   def embeddingNearDupsLsh(df: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, bits: Int = 12,
                            repeats: Int = 4, seed: Int = 42,
-                           maxBucket: Int = 10000): DataFrame = {
+                           maxBucket: Int = 10000): DataFrame = withCacheScope {
     import graft.functions.AnnFunctions._
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     val planes = lshPlanes(repeats, bits, dim, seed)

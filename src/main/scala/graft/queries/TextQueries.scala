@@ -315,6 +315,17 @@ object TextQueries {
           "vec_id", "embedding", threshold = 0.42, nlist = 16, nprobe = 8)
         .orderBy("a", "b")),
 
+    // the same index-backed path at nprobe = nlist (every cell probed) and
+    // a k the fixture's densest neighborhood never fills: the IVF search
+    // is EXHAUSTIVE-EXACT, so the all-pairs cosine definition is a strict
+    // oracle for the whole index machinery — build-time normalize, cell
+    // routing, per-cell scoring, top-k merge, pair symmetrization
+    "neardup_ann_exact" -> ((s: SparkSession, dir: String) =>
+      Dedup.embeddingNearDupsAnn(table(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.42, nlist = 8, nprobe = 8,
+          k = 20)
+        .orderBy("a", "b")),
+
     "text_langid" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.withLangId(docs(s, dir), "text")
         .select("doc_id", "lang_pred")
@@ -732,6 +743,20 @@ object TextQueries {
     "neardup_projected" -> neardupProjectedOracleSql,
 
     "neardup_cosine" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                              CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) > 0.42
+        |ORDER BY a, b""".stripMargin,
+
+    // exhaustive probes (nprobe = nlist) make the index path exact, so the
+    // oracle IS the all-pairs definition. The index scores 1 - dot over
+    // FLOAT-normalized vectors; list_cosine_similarity runs in doubles —
+    // they agree to ~1e-7, far from any 0.00005 rounding boundary in the
+    // fixture, so the round(4) values compare equal.
+    "neardup_ann_exact" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,
         | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                              CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim

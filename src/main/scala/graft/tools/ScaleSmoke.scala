@@ -1,0 +1,160 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** 10x scale smoke: the driver's testdata caps at sf0.1 (5k docs / 2k
+  * vectors), so the 100 TB posture claims otherwise rest on design
+  * argument. This tool runs the headline dedup / text / search lines on a
+  * seeded synthetic corpus at n and at 10n (100k docs / 100k vectors at
+  * the top size) and reports the wall-clock growth ratio of each: linear-
+  * shaped operators should land near the data ratio (10x, modulo fixed
+  * overheads amortizing AWAY at scale, so ratios < 10 are common); a
+  * quadratic cliff would show ~100x. Writes SCALE.md.
+  *
+  * Corpus: ~50-200 word docs over a 10k-word zipf-ish vocabulary, a 1%
+  * planted near-dup rate (mutated copies), seeded per id — deterministic
+  * across runs. Vectors: seeded uniform [-1,1]^64.
+  *
+  * Run: `sbt "runMain graft.tools.ScaleSmoke"` (~4 min at local[32]).
+  */
+object ScaleSmoke {
+
+  private def noop(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val baseN = args.headOption.map(_.toInt).getOrElse(10000)
+    val vocab = 10000
+
+    // seeded doc text: zipf-ish draws (squared uniform concentrates mass on
+    // low ids) + 1% planted near-dups (copy of doc id-1 with one word edit)
+    val genDoc = udf { (id: Long) =>
+      val r = new scala.util.Random(id * 6364136223846793005L + 1442695040888963407L)
+      val src = if (id % 100 == 99) id - 1 else id
+      val rs = new scala.util.Random(src * 6364136223846793005L + 1442695040888963407L)
+      val n = 50 + rs.nextInt(150)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < n) {
+        val u = rs.nextDouble()
+        sb.append("w").append((u * u * vocab).toInt)
+        if (i < n - 1) sb.append(' ')
+        i += 1
+      }
+      if (src != id) { // one-word mutation keeps it a NEAR (not exact) dup
+        val words = sb.toString.split(' ')
+        words(r.nextInt(words.length)) = "mut" + id
+        words.mkString(" ")
+      } else sb.toString
+    }
+    val genVec = udf { (id: Long, d: Int) =>
+      val r = new scala.util.Random(id * 2654435761L + 99)
+      Array.fill(d)(r.nextFloat() * 2f - 1f)
+    }
+
+    def corpus(n: Int): DataFrame =
+      spark.range(n).repartition(cpus.toInt)
+        .select(col("id").as("doc_id"), genDoc(col("id")).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def vectors(n: Int): DataFrame =
+      spark.range(n).repartition(cpus.toInt)
+        .select(col("id").as("vec_id"), genVec(col("id"), lit(64)).as("vec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val tmp = Files.createTempDirectory("graft_scale").toString
+    var rep = 0
+
+    // each line: (name, docs => unit) or vector workloads below
+    def lines(docs: DataFrame, vecs: DataFrame, tag: String): Seq[(String, () => Unit)] = Seq(
+      "dedup_exact" -> (() => noop(graft.pipeline.Dedup.exactGroups(docs, "doc_id", "text"))),
+      "dedup_minhash" -> (() => noop(graft.pipeline.Dedup.minhashNearDups(
+        docs, "doc_id", "text", threshold = 0.5))),
+      "dedup_simhash" -> (() => noop(graft.pipeline.Dedup.simhashNearDups(docs, "doc_id", "text"))),
+      "dedup_shared_ngrams" -> (() => noop(graft.pipeline.Dedup.sharedNgramStats(docs, "doc_id", "text"))),
+      "decontaminate" -> (() => noop(graft.pipeline.Dedup.contaminationHits(
+        docs, "doc_id", "text", docs.filter(col("doc_id") % 200 === 0), "text", shingleSize = 8))),
+      "text_langid_quality" -> (() => noop(graft.pipeline.TextAnalysis.withQualityScore(
+        graft.pipeline.TextAnalysis.withLangId(docs, "text"), "text")
+        .select("doc_id", "lang_pred", "quality_score"))),
+      "neardup_lsh" -> (() => noop(graft.pipeline.Dedup.embeddingNearDupsLsh(
+        vecs, "vec_id", "vec", threshold = 0.8, bits = 12, repeats = 4))),
+      "ivf_build_search50" -> (() => {
+        rep += 1
+        val idx = graft.index.AnnIndexManager.create(spark, s"scale_ivf_$rep", vecs,
+          "vec_id", "vec", "IVF",
+          Map("metric" -> "l2", "nlist" -> "64", "nprobe" -> "8"), s"$tmp/ivf$rep")
+        val qs = Seq.tabulate(50) { i =>
+          val r = new scala.util.Random(5000 + i); Array.fill(64)(r.nextFloat() * 2f - 1f)
+        }
+        noop(idx.searchBatch(qs, 10))
+      }),
+      "diskann_build_search50" -> (() => {
+        rep += 1
+        val idx = graft.index.AnnIndexManager.create(spark, s"scale_vam_$rep", vecs,
+          "vec_id", "vec", "DISKANN",
+          Map("metric" -> "l2", "max_degree" -> "32", "build_complexity" -> "64",
+            "shards" -> cpus), s"$tmp/vam$rep")
+        val qs = Seq.tabulate(50) { i =>
+          val r = new scala.util.Random(6000 + i); Array.fill(64)(r.nextFloat() * 2f - 1f)
+        }
+        idx.persist()
+        noop(idx.searchBatch(qs, 10))
+        idx.unpersist()
+      })
+    )
+
+    def timeAll(n: Int, tag: String): Seq[(String, Double)] = {
+      val docs = corpus(n); docs.count()
+      val vecs = vectors(n); vecs.count()
+      val out = lines(docs, vecs, tag).map { case (name, f) =>
+        f() // warm (JIT, codegen, file footers)
+        val t0 = System.nanoTime()
+        f()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[scale $tag] $name%-24s $dt%8.2f s")
+        name -> dt
+      }
+      docs.unpersist(); vecs.unpersist()
+      out
+    }
+
+    val t1 = timeAll(baseN, s"n=$baseN")
+    val t10 = timeAll(baseN * 10, s"n=${baseN * 10}").toMap
+
+    val sb = new StringBuilder
+    sb.append("# SCALE — 10x growth smoke for the headline pipeline/search lines\n\n")
+    sb.append(s"Generated by `graft.tools.ScaleSmoke` at local[$cpus]: seeded synthetic\n")
+    sb.append(s"corpus (zipf-ish 10k-word vocab, 1% planted near-dups) and seeded\n")
+    sb.append(s"uniform d=64 vectors, timed warm (one untimed rep) at n=$baseN and\n")
+    sb.append(s"n=${baseN * 10} (100k docs / 100k vectors). A linear-shaped operator lands\n")
+    sb.append("near the 10x data ratio — often BELOW it as fixed costs (job setup,\n")
+    sb.append("codegen, small shuffles) amortize away; a quadratic cliff would show\n")
+    sb.append("~100x. Builds include full index construction.\n\n")
+    sb.append("| line | n=%,d | n=%,d | growth (x) |\n".formatLocal(java.util.Locale.US, baseN, baseN * 10))
+    sb.append("|---|---|---|---|\n")
+    var worst = 0.0
+    for ((name, a) <- t1) {
+      val b = t10(name); val r = b / a
+      worst = math.max(worst, r)
+      sb.append(f"| $name | $a%.2f s | $b%.2f s | $r%.1f |\n")
+    }
+    sb.append(f"\nWorst growth ratio: $worst%.1f x (linear budget: <= ~15x with noise; " +
+      "quadratic would be ~100x).\n")
+    Files.writeString(java.nio.file.Paths.get("/root/repo/SCALE.md"), sb.toString)
+    println(s"WROTE SCALE.md; worst ratio $worst")
+    spark.stop()
+  }
+}

@@ -669,4 +669,42 @@ class PipelineSpec extends SparkSpec {
       assert(rows.toSeq == rows.sorted.toSeq, s"shard $s written out of order")
     }
   }
+
+  test("autoRelease unpersists LSH operator caches after the consuming action") {
+    def persistedCount: Int = spark.sparkContext.getPersistentRDDs.size
+
+    // default (opt-out) keeps the caches for repeat actions: LRU stance.
+    // Checked FIRST (no async unpersists in flight yet); shingleSize=4 so
+    // the plan differs from anything this suite already cached
+    // (CacheManager dedupes same-result plans — an identical plan would
+    // reuse an existing entry and the count could not grow)
+    val before0 = persistedCount
+    Dedup.minhashNearDups(docsDf, "doc_id", "text", shingleSize = 4,
+      threshold = 0.5).count()
+    assert(persistedCount > before0, "default stance should keep caches warm")
+
+    // result consumed via an action directly over the returned plan AND via
+    // a wrapping transformation (the Verify/bench shape) — both must release
+    def drive(consume: org.apache.spark.sql.DataFrame => Unit): Unit = {
+      val before = persistedCount
+      consume(Dedup.minhashNearDups(docsDf, "doc_id", "text",
+        shingleSize = 2, threshold = 0.5))
+      // the QueryExecutionListener fires asynchronously after the action
+      var spins = 0
+      while (persistedCount > before && spins < 40) { Thread.sleep(250); spins += 1 }
+      assert(persistedCount <= before,
+        s"caches not released: $persistedCount persisted vs $before before")
+    }
+    spark.conf.set("spark.graft.dedup.autoRelease", "true")
+    try {
+      drive(_.count())
+      drive(_.orderBy("a", "b").count())
+      // simhash's cache + capped buckets go through the same scope
+      val before = persistedCount
+      Dedup.simhashNearDups(docsDf, "doc_id", "text").count()
+      var spins = 0
+      while (persistedCount > before && spins < 40) { Thread.sleep(250); spins += 1 }
+      assert(persistedCount <= before)
+    } finally spark.conf.unset("spark.graft.dedup.autoRelease")
+  }
 }
