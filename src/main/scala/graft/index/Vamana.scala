@@ -26,13 +26,101 @@ object GraphShardCache {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[AnyRef]]()
 
-  def getOrBuild[T <: AnyRef](key: String)(build: => T): T = {
+  /** Serializer for the executor-local disk tier (see [[spillDir]]). */
+  trait SpillCodec {
+    def write(v: AnyRef, out: java.io.DataOutputStream): Unit
+    def read(in: java.io.DataInputStream): AnyRef
+  }
+
+  // Executor-local disk tier under the SoftReference cache — the analogue
+  // of the reference's mmap'd disk segments (rust_lib/src/disk_provider.rs:
+  // 186-332): when GC clears a decoded shard under memory pressure, the
+  // rebuild reads a compact per-JVM binary (OS page-cache-backed, one
+  // sequential read) instead of re-paying the parquet row->array decode.
+  // Files live for the executor JVM's lifetime only (the key embeds the
+  // index meta version, so a stale file is never even looked up) and are
+  // bounded by the same entry cap as the in-memory map.
+  private lazy val spillDir: Option[java.nio.file.Path] = {
+    val conf = Option(org.apache.spark.SparkEnv.get).map(_.conf)
+    val enabled = conf.forall(_.getBoolean("spark.ann.shardSpill.enabled", true))
+    if (!enabled) None
+    else try {
+      val base = conf.flatMap(c => Option(c.get("spark.ann.shardSpill.dir", null)))
+        .getOrElse(System.getProperty("java.io.tmpdir"))
+      val p = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(base), "graft-shard-spill-")
+      p.toFile.deleteOnExit()
+      Some(p)
+    } catch { case _: Throwable => None } // spill is an optimization only
+  }
+  private val spilled =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private val Magic = 0x47534831 // "GSH1"
+  /** Reloads served from the disk tier (observability + test hook). */
+  val spillReloads = new java.util.concurrent.atomic.AtomicLong()
+
+  private def trySpillWrite(key: String, v: AnyRef, codec: SpillCodec): Unit =
+    spillDir.foreach { dir =>
+      if (!spilled.containsKey(key)) try {
+        val tmp = java.nio.file.Files.createTempFile(dir, "shard", ".tmp")
+        val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+          java.nio.file.Files.newOutputStream(tmp), 1 << 16))
+        // full key inside the file: filenames are hashed, so a (however
+        // unlikely) name collision must fail the read, never alias shards
+        try { out.writeInt(Magic); out.writeUTF(key); codec.write(v, out) }
+        finally out.close()
+        val fin = dir.resolve(
+          java.lang.Integer.toHexString(key.hashCode) + "-" +
+            java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(key).toLong & 0xffffffffL) + ".shard")
+        java.nio.file.Files.move(tmp, fin,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING) // atomic publish
+        fin.toFile.deleteOnExit()
+        while (spilled.size() >= MaxEntries) {
+          val it = spilled.keySet().iterator()
+          if (it.hasNext) {
+            val k = it.next()
+            val f = spilled.remove(k)
+            if (f != null) java.nio.file.Files.deleteIfExists(f)
+          }
+        }
+        spilled.put(key, fin)
+      } catch { case _: Throwable => () } // best-effort tier
+    }
+
+  private def trySpillRead(key: String, codec: SpillCodec): Option[AnyRef] = {
+    val f = spilled.get(key)
+    if (f == null) None
+    else try {
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        java.nio.file.Files.newInputStream(f), 1 << 16))
+      try {
+        require(in.readInt() == Magic, s"bad spill magic for $key")
+        require(in.readUTF() == key, s"spill filename collision for $key")
+        val v = codec.read(in)
+        spillReloads.incrementAndGet()
+        Some(v)
+      } finally in.close()
+    } catch { case _: Throwable => spilled.remove(key); None }
+  }
+
+  def getOrBuild[T <: AnyRef](key: String)(build: => T): T =
+    getOrBuild(key, None)(build)
+
+  def getOrBuild[T <: AnyRef](key: String, spill: Option[SpillCodec])(build: => T): T = {
     val ref = cache.get(key)
     if (ref != null) {
       val hit = ref.get()
       if (hit != null) return hit.asInstanceOf[T]
     }
-    val v = build // concurrent duplicate builds are harmless (idempotent)
+    // memory miss: the disk tier first (sequential page-cache read), then
+    // the full decode; either way re-publish a fresh SoftReference
+    val v = spill.flatMap(c => trySpillRead(key, c)) match {
+      case Some(reloaded) => reloaded.asInstanceOf[T]
+      case None =>
+        val built = build // concurrent duplicate builds are harmless (idempotent)
+        spill.foreach(c => trySpillWrite(key, built, c))
+        built
+    }
     // evict single arbitrary entries, never the whole map: clearing would
     // thrash every cached shard once the key bound is reached
     while (cache.size() >= MaxEntries) {
@@ -42,6 +130,10 @@ object GraphShardCache {
     cache.put(key, new java.lang.ref.SoftReference[AnyRef](v))
     v
   }
+
+  /** TEST ONLY: clear the in-memory references (simulates GC under
+    * pressure) without touching the disk tier. */
+  private[index] def clearSoftRefsForTest(): Unit = cache.clear()
 }
 
 /** Vamana (DiskANN) graph engine, Spark-native.
@@ -69,6 +161,52 @@ object Vamana {
   /** In-memory shard: parallel arrays by local label. */
   final case class Shard(ids: Array[Long], vectors: Array[Array[Float]],
                          neighbors: Array[Array[Int]], entry: Int)
+
+  /** Compact binary form of [[Shard]] for the executor-local disk tier
+    * (decoded floats, NOT parquet — reload is one sequential read). */
+  object ShardSpillCodec extends GraphShardCache.SpillCodec {
+    def write(v: AnyRef, out: java.io.DataOutputStream): Unit = {
+      val sh = v.asInstanceOf[Shard]
+      val n = sh.ids.length
+      out.writeInt(n); out.writeInt(sh.entry)
+      out.writeInt(if (n > 0) sh.vectors(0).length else 0)
+      var i = 0
+      while (i < n) { out.writeLong(sh.ids(i)); i += 1 }
+      i = 0
+      while (i < n) {
+        val vec = sh.vectors(i); var j = 0
+        while (j < vec.length) { out.writeFloat(vec(j)); j += 1 }
+        i += 1
+      }
+      i = 0
+      while (i < n) {
+        val nb = sh.neighbors(i); out.writeInt(nb.length); var j = 0
+        while (j < nb.length) { out.writeInt(nb(j)); j += 1 }
+        i += 1
+      }
+    }
+    def read(in: java.io.DataInputStream): AnyRef = {
+      val n = in.readInt(); val entry = in.readInt(); val dim = in.readInt()
+      val ids = new Array[Long](n)
+      var i = 0
+      while (i < n) { ids(i) = in.readLong(); i += 1 }
+      val vecs = new Array[Array[Float]](n)
+      i = 0
+      while (i < n) {
+        val vec = new Array[Float](dim); var j = 0
+        while (j < dim) { vec(j) = in.readFloat(); j += 1 }
+        vecs(i) = vec; i += 1
+      }
+      val nbrs = new Array[Array[Int]](n)
+      i = 0
+      while (i < n) {
+        val len = in.readInt(); val nb = new Array[Int](len); var j = 0
+        while (j < len) { nb(j) = in.readInt(); j += 1 }
+        nbrs(i) = nb; i += 1
+      }
+      Shard(ids, vecs, nbrs, entry)
+    }
+  }
 
   final case class Params(maxDegree: Int, buildComplexity: Int, alpha: Double)
 
