@@ -64,9 +64,10 @@ object GraphTableSearch {
           shardIds: Seq[Int], k: Int, cacheKey: Option[String],
           decode: (Int, IndexedSeq[Row]) => AnyRef,
           search: (AnyRef, Array[Float]) => Iterator[(Long, Double)],
-          graphPrePartitioned: Boolean = false): DataFrame = {
+          graphPrePartitioned: Boolean = false,
+          spill: Option[GraphShardCache.SpillCodec] = None): DataFrame = {
     if (graphPrePartitioned)
-      return runZip(spark, graphDf, queries, shardIds, k, cacheKey, decode, search)
+      return runZip(spark, graphDf, queries, shardIds, k, cacheKey, decode, search, spill)
     val qidField = queries.schema.fields(0).copy(name = "__qid")
     val out = StructType(Seq(qidField,
       StructField("id", LongType, nullable = false),
@@ -92,7 +93,7 @@ object GraphTableSearch {
         if (shardRows.isEmpty) Iterator.empty
         else {
           val sh = cacheKey match {
-            case Some(ck) => GraphShardCache.getOrBuild(s"$ck#$shardId")(
+            case Some(ck) => GraphShardCache.getOrBuild(s"$ck#$shardId", spill)(
               decode(shardId, shardRows))
             case None => decode(shardId, shardRows)
           }
@@ -130,7 +131,8 @@ object GraphTableSearch {
   private def runZip(spark: SparkSession, graphDf: DataFrame, queries: DataFrame,
                      shardIds: Seq[Int], k: Int, cacheKey: Option[String],
                      decode: (Int, IndexedSeq[Row]) => AnyRef,
-                     search: (AnyRef, Array[Float]) => Iterator[(Long, Double)]): DataFrame = {
+                     search: (AnyRef, Array[Float]) => Iterator[(Long, Double)],
+                     spill: Option[GraphShardCache.SpillCodec]): DataFrame = {
     val qidField = queries.schema.fields(0).copy(name = "__qid")
     val out = StructType(Seq(qidField,
       StructField("id", LongType, nullable = false),
@@ -165,7 +167,7 @@ object GraphTableSearch {
               "pre-partitioned contract requires"))
           val (sh, shardSeg) = decoded.getOrElseUpdate(shardId, {
             val s = cacheKey match {
-              case Some(ck) => GraphShardCache.getOrBuild(s"$ck#$shardId")(
+              case Some(ck) => GraphShardCache.getOrBuild(s"$ck#$shardId", spill)(
                 decode(shardId, rows.toIndexedSeq))
               case None => decode(shardId, rows.toIndexedSeq)
             }

@@ -28,6 +28,67 @@ object Hnsw {
                          levels: Array[Int], neighbors: Array[Array[Array[Int]]],
                          entry: Int, maxLevel: Int)
 
+  /** Compact binary form of [[Shard]] for the executor-local disk tier
+    * (see [[GraphShardCache]]) — decoded floats plus the layered adjacency,
+    * reloaded with one sequential read instead of a parquet re-decode. */
+  object ShardSpillCodec extends GraphShardCache.SpillCodec {
+    def write(v: AnyRef, out: java.io.DataOutputStream): Unit = {
+      val sh = v.asInstanceOf[Shard]
+      val n = sh.ids.length
+      out.writeInt(n); out.writeInt(sh.entry); out.writeInt(sh.maxLevel)
+      out.writeInt(if (n > 0) sh.vectors(0).length else 0)
+      var i = 0
+      while (i < n) { out.writeLong(sh.ids(i)); i += 1 }
+      i = 0
+      while (i < n) {
+        val vec = sh.vectors(i); var j = 0
+        while (j < vec.length) { out.writeFloat(vec(j)); j += 1 }
+        i += 1
+      }
+      i = 0
+      while (i < n) { out.writeInt(sh.levels(i)); i += 1 }
+      i = 0
+      while (i < n) {
+        val lv = sh.neighbors(i); out.writeInt(lv.length); var l = 0
+        while (l < lv.length) {
+          val nb = lv(l); out.writeInt(nb.length); var j = 0
+          while (j < nb.length) { out.writeInt(nb(j)); j += 1 }
+          l += 1
+        }
+        i += 1
+      }
+    }
+    def read(in: java.io.DataInputStream): AnyRef = {
+      val n = in.readInt(); val entry = in.readInt(); val maxLevel = in.readInt()
+      val dim = in.readInt()
+      val ids = new Array[Long](n)
+      var i = 0
+      while (i < n) { ids(i) = in.readLong(); i += 1 }
+      val vecs = new Array[Array[Float]](n)
+      i = 0
+      while (i < n) {
+        val vec = new Array[Float](dim); var j = 0
+        while (j < dim) { vec(j) = in.readFloat(); j += 1 }
+        vecs(i) = vec; i += 1
+      }
+      val lvls = new Array[Int](n)
+      i = 0
+      while (i < n) { lvls(i) = in.readInt(); i += 1 }
+      val nbrs = new Array[Array[Array[Int]]](n)
+      i = 0
+      while (i < n) {
+        val nLv = in.readInt(); val lv = new Array[Array[Int]](nLv); var l = 0
+        while (l < nLv) {
+          val len = in.readInt(); val nb = new Array[Int](len); var j = 0
+          while (j < len) { nb(j) = in.readInt(); j += 1 }
+          lv(l) = nb; l += 1
+        }
+        nbrs(i) = lv; i += 1
+      }
+      Shard(ids, vecs, lvls, nbrs, entry, maxLevel)
+    }
+  }
+
   final case class Params(m: Int, efConstruction: Int) {
     val mMax0: Int = 2 * m
     val mL: Double = 1.0 / math.log(m.toDouble)
@@ -228,7 +289,7 @@ object Hnsw {
       rows.foreach { r => grouped.getOrElseUpdate(r.getInt(0), new ArrayBuffer[Row]) += r }
       grouped.iterator.flatMap { case (shardId, shardRows) =>
         val sh = cacheKey match {
-          case Some(ck) => GraphShardCache.getOrBuild(s"$ck#$shardId")(
+          case Some(ck) => GraphShardCache.getOrBuild(s"$ck#$shardId", Some(ShardSpillCodec))(
             decodeShard(shardId, shardRows, codec))
           case None => decodeShard(shardId, shardRows, codec)
         }
@@ -300,6 +361,7 @@ object Hnsw {
         search(s, q, k, ef, dist).iterator.take(math.max(k, ef))
           .map { case (label, d) => (s.ids(label), d) }
       },
-      graphPrePartitioned = graphPrePartitioned)
+      graphPrePartitioned = graphPrePartitioned,
+      spill = Some(ShardSpillCodec))
   }
 }

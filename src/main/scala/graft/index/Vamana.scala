@@ -479,7 +479,7 @@ object Vamana {
       rows.foreach { r => grouped.getOrElseUpdate(r.getInt(0), new ArrayBuffer[Row]) += r }
       grouped.iterator.flatMap { case (shardId, shardRows) =>
         val sh = cacheKey match {
-          case Some(ck) => GraphShardCache.getOrBuild(s"$ck#$shardId")(
+          case Some(ck) => GraphShardCache.getOrBuild(s"$ck#$shardId", Some(ShardSpillCodec))(
             decodeShard(shardId, shardRows, codec))
           case None => decodeShard(shardId, shardRows, codec)
         }
@@ -551,7 +551,8 @@ object Vamana {
         beamSearch(s, q, l, dist).iterator
           .map { case (label, d) => (s.ids(label), d) }
       },
-      graphPrePartitioned = graphPrePartitioned)
+      graphPrePartitioned = graphPrePartitioned,
+      spill = Some(ShardSpillCodec))
   }
 
   /** Shuffle-partition count for shard-keyed repartitions: hashing shard
