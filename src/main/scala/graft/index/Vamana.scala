@@ -26,8 +26,11 @@ object GraphShardCache {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[AnyRef]]()
 
-  /** Serializer for the executor-local disk tier (see [[spillDir]]). */
-  trait SpillCodec {
+  /** Serializer for the executor-local disk tier (see [[spillDir]]).
+    * Extends [[Serializable]]: codec singletons ride inside task closures
+    * (e.g. the zipPartitions closure of [[GraphTableSearch.runZip]]), and a
+    * Scala `object` deserializes back to its module instance. */
+  trait SpillCodec extends Serializable {
     def write(v: AnyRef, out: java.io.DataOutputStream): Unit
     def read(in: java.io.DataInputStream): AnyRef
   }

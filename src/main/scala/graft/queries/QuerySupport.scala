@@ -1,6 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Shared helpers for the driver-facing query inventory.
   *
@@ -15,10 +17,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object QuerySupport {
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS), which Spark only reads as a
-    // raw long (nanos since epoch). All queries treat `ts` accordingly.
+    // Older generator runs wrote events.ts as TIMESTAMP(NANOS), which Spark
+    // only reads as a raw long (nanos since epoch); newer runs write
+    // timestamp[us] (read as TIMESTAMP_NTZ). Keep the legacy conf on and
+    // normalize via [[tsMicros]] so queries work against either vintage.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // NTZ→TIMESTAMP casts below must be wall-clock-preserving for both
+    // engines: pin UTC (DuckDB's epoch_us on a naive timestamp is tz-free).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** `events.ts` as epoch-MICROSECONDS (BIGINT), whatever physical type the
+    * generator wrote: raw int64 nanos (legacy `nanosAsLong` read) → integer
+    * div; timestamp[us] (TIMESTAMP or TIMESTAMP_NTZ) → `unix_micros` under
+    * the UTC session zone pinned in [[table]]. Matches DuckDB `epoch_us(ts)`
+    * exactly on either vintage. */
+  def tsMicros(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType         => expr("ts div 1000")
+    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+    case _                => unix_micros(col("ts"))
   }
 
   /** Embedding dimension of the driver testdata `embeddings` table. */

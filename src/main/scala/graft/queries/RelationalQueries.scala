@@ -74,12 +74,13 @@ object RelationalQueries {
     }),
 
     "q5_events_hourly" -> ((s: SparkSession, dir: String) => {
-      // ts is nanos-since-epoch (long); integer div keeps full precision
-      // (ns magnitudes exceed double's 53-bit mantissa).
-      table(s, dir, "events")
+      // epoch-micros integer arithmetic keeps full precision on either ts
+      // vintage (raw-nanos magnitudes exceed double's 53-bit mantissa).
+      val ev = table(s, dir, "events")
+      ev.withColumn("__tsu", QuerySupport.tsMicros(ev))
         .groupBy(
           col("event_type"),
-          (expr("ts div 3600000000000") * 3600L).as("hour_epoch"))
+          (expr("__tsu div 3600000000") * 3600L).as("hour_epoch"))
         .agg(count(lit(1)).as("n"))
         .orderBy("event_type", "hour_epoch")
     }),
@@ -90,13 +91,15 @@ object RelationalQueries {
     // engines compute on MICROSECOND-truncated epochs (DuckDB's TIMESTAMP
     // arithmetic is micros; Spark's raw nanos `div 1000` matches it
     // exactly). Strict.
-    "events_sessions" -> ((s: SparkSession, dir: String) =>
+    "events_sessions" -> ((s: SparkSession, dir: String) => {
+      val ev = table(s, dir, "events")
       graft.pipeline.Sessionize.sessions(
-          table(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+          ev.withColumn("ts_us", QuerySupport.tsMicros(ev)),
           "user_id", "ts_us", "event_id", gap = 1800000000L)
         .select(col("user_id"), col("session_seq"), col("n_events"),
           col("start_ts"), col("end_ts"))
-        .orderBy("user_id", "session_seq"))
+        .orderBy("user_id", "session_seq")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
