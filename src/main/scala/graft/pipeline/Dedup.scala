@@ -700,10 +700,17 @@ object Dedup {
     * quadratic join — count-filtered before any pairing. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, nClusters: Int = 256,
-                    maxCluster: Int = 10000): DataFrame = {
+                    maxCluster: Int = 10000,
+                    centroids: Option[Array[(Int, Array[Float])]] = None): DataFrame = {
     import graft.functions.AnnFunctions._
     ensureCapListener(df.sparkSession)
-    val clustered = CorpusPipeline.clusterEmbeddings(df, idCol, vecCol, nClusters)
+    // pre-trained centroids (e.g. stashed for a strict SQL oracle that
+    // inlines them as literals) skip training and go straight to the
+    // deterministic row-local assignment
+    val clustered = centroids match {
+      case Some(c) => CorpusPipeline.assignClusters(df, vecCol, c)
+      case None => CorpusPipeline.clusterEmbeddings(df, idCol, vecCol, nClusters)
+    }
     val small = clustered.groupBy("cluster_id")
       .agg(count(lit(1)).as("__cn"))
       .observe(s"graft.semdedup.capped.${observeSeq.incrementAndGet()}",

@@ -307,14 +307,20 @@ object TextAnalysis {
     val spark = df.sparkSession
     val grams = df.select(explode(trigramsUdf(normText(col(textCol)))).as("g"))
       .groupBy("g").count()
-    // enforce maxVocab DISTRIBUTED, before any driver materialization: the
-    // guard must fire before the OOM risk it exists to prevent, so count
-    // the distinct vocabulary as a job and only then collect the model
-    val vocabSize = grams.count()
-    require(vocabSize <= maxVocab,
-      s"trigram vocabulary $vocabSize exceeds maxVocab=$maxVocab — " +
-        "clean the corpus charset (or raise the bound) before LM scoring")
-    val model = grams.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // persisted across the guard + collect pair below: without it the
+      // corpus-wide explode+groupBy would be COMPUTED TWICE (once for the
+      // count job, once for the collect)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = try {
+      // enforce maxVocab DISTRIBUTED, before any driver materialization:
+      // the guard must fire before the OOM risk it exists to prevent, so
+      // count the distinct vocabulary as a job and only then collect
+      val vocabSize = grams.count()
+      require(vocabSize <= maxVocab,
+        s"trigram vocabulary $vocabSize exceeds maxVocab=$maxVocab — " +
+          "clean the corpus charset (or raise the bound) before LM scoring")
+      grams.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    } finally grams.unpersist(false)
     val total = model.valuesIterator.sum.toDouble
     require(total > 0.0,
       "trigram model is empty (no document has >= 3 normalized chars) — " +

@@ -398,15 +398,24 @@ object TextQueries {
         .select("vec_id")
         .orderBy("vec_id")),
 
-    // the clustered scale path (k-means buckets bound the quadratic pass):
-    // deterministic rows-only — cluster boundaries can split a near-dup
-    // pair, so survivors are approximate by design; equivalence to the
-    // exact variant at nClusters=1 is asserted in SemanticDedupSpec
-    "semantic_dedup_clustered" -> ((s: SparkSession, dir: String) =>
-      Dedup.semanticDedup(table(s, dir, "embeddings"),
-          "vec_id", "embedding", threshold = 0.42, nClusters = 16)
+    // the clustered scale path (k-means buckets bound the quadratic pass).
+    // STRICT since r8 via the inlined-centroid technique (corpus_clusters):
+    // training stays driver-side Scala, but the trained centroids are
+    // stashed and inlined into the oracle as double literals, so the
+    // assignment, the maxCluster pass-through rule, and the within-cluster
+    // cosine drop rule all replay exactly in SQL. Cluster boundaries can
+    // still split a near-dup pair vs the exact variant — that is the
+    // OPERATOR's declared semantics, and the oracle now mirrors it.
+    "semantic_dedup_clustered" -> ((s: SparkSession, dir: String) => {
+      val embs = table(s, dir, "embeddings")
+      val cents = graft.pipeline.CorpusPipeline.trainClusterCentroids(
+        embs, "embedding", k = 16)
+      semanticDedupCentroids = Some(cents)
+      Dedup.semanticDedup(embs, "vec_id", "embedding", threshold = 0.42,
+          nClusters = 16, centroids = Some(cents))
         .select("vec_id")
-        .orderBy("vec_id")),
+        .orderBy("vec_id")
+    }),
 
     // eval-set decontamination audit: every 50th doc plays the held-out
     // benchmark; corpus docs sharing any 8-gram with it are flagged with
@@ -642,7 +651,51 @@ object TextQueries {
            |FROM r WHERE rn = 1 GROUP BY cid ORDER BY cluster_id""".stripMargin
     }
 
-  def oracleSql: Map[String, String] = corpusClustersOracleSql.toMap ++ Map(
+  /** Centroids the `semantic_dedup_clustered` query trained this process
+    * (same stash-and-inline contract as [[corpusClusterCentroids]]). */
+  @volatile private var semanticDedupCentroids: Option[Array[(Int, Array[Float])]] = None
+
+  /** The clustered SemDeDup replayed in SQL against the inlined centroids:
+    * assignment (argmin L2, first-min tie-break) → maxCluster pass-through
+    * (oversized clusters never drop nor get dropped) → within-cluster
+    * pairs with a smaller-id neighbor above the cosine threshold drop. */
+  private def semanticDedupClusteredOracleSql: Option[(String, String)] =
+    semanticDedupCentroids.map { cents =>
+      val values = cents.map { case (cid, v) =>
+        s"($cid, CAST([${v.map(_.toDouble.toString).mkString(", ")}] AS DOUBLE[]))"
+      }.mkString(",\n        |  ")
+      "semantic_dedup_clustered" ->
+        s"""WITH c(cid, cv) AS (VALUES
+           |  $values
+           |), d AS (
+           |  SELECT e.vec_id, c.cid,
+           |    list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) AS dist
+           |  FROM embeddings e CROSS JOIN c
+           |), asg AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |    FROM d) WHERE rn = 1
+           |), m AS (
+           |  SELECT a.vec_id, a.cid FROM asg a
+           |  JOIN (SELECT cid FROM asg GROUP BY cid
+           |        HAVING count(*) <= 10000) ok USING (cid)
+           |), drops AS (
+           |  SELECT DISTINCT y.vec_id
+           |  FROM m x JOIN m y USING (cid)
+           |  JOIN embeddings ea ON ea.vec_id = x.vec_id
+           |  JOIN embeddings eb ON eb.vec_id = y.vec_id
+           |  WHERE x.vec_id < y.vec_id
+           |    AND list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+           |                               CAST(eb.embedding AS DOUBLE[])) > 0.42
+           |)
+           |SELECT e.vec_id FROM embeddings e
+           |WHERE NOT EXISTS (SELECT 1 FROM drops dr WHERE dr.vec_id = e.vec_id)
+           |ORDER BY vec_id""".stripMargin
+    }
+
+  def oracleSql: Map[String, String] = corpusClustersOracleSql.toMap ++
+    semanticDedupClusteredOracleSql.toMap ++ Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
