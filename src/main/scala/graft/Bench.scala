@@ -49,8 +49,15 @@ object Bench {
     //    WARM: steady-state serving cost, comparable round-over-round
     //    (r1-r4 search lines were effectively warm already via min-of-N;
     //    build lines gain ≈5-10% vs the old cold rep 1).
+    // per-line max/min spread across timed reps: sustained host contention
+    // (other tenants of the box) is the one thing min-of-reps cannot hide,
+    // so surface it — a run whose spreads are broadly >2x should be read
+    // as load-polluted, not as a code regression (r7's 16-23x outliers on
+    // otherwise-untouched lines were exactly this)
+    val spreads = mutable.LinkedHashMap.empty[String, Double]
     def time(name: String, reps: Int = 3)(f: => Unit): Unit = {
       var best = Double.MaxValue
+      var worst = 0.0
       var i = -1 // rep -1 = untimed warmup
       while (i < reps) {
         val t0 = System.nanoTime()
@@ -60,11 +67,17 @@ object Bench {
           return
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        if (i >= 0 && dt < best) best = dt
+        if (i >= 0) { if (dt < best) best = dt; if (dt > worst) worst = dt }
         i += 1
       }
       times(name) = best
+      if (best > 0) spreads(name) = worst / best
     }
+    def loadAvg: Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadAvg
 
     // ---- headline engine queries over driver testdata ----
     val q = SparkEntry.queries
@@ -311,7 +324,15 @@ object Bench {
       "\"" + k + "\":" + fmt
     }.mkString("{", ",", "}")
     val total = times.values.filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // contention observability: 1-min load average at start/end (a bench
+    // alone on a 32-cpu box tops out near 32 DURING Spark stages and near 0
+    // at start; a start load far above 0 or an end load far above 32 means
+    // co-tenant load) + the worst per-line rep spreads
+    val noisy = spreads.filter(_._2 > 2.0).toSeq.sortBy(-_._2).take(8)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
+      .mkString("{", ",", "}")
+    val loadEnd = loadAvg
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"load_1m_start":$loadStart%.2f,"load_1m_end":$loadEnd%.2f,"rep_spread_gt2":$noisy,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -76,6 +76,9 @@ object ScaleSmoke {
 
     val tmp = Files.createTempDirectory("graft_scale").toString
     var rep = 0
+    // pinned indexes built lazily inside a line's first (warm) invocation;
+    // released at the end of that scale's timeAll pass
+    val pinnedIdxs = scala.collection.mutable.ArrayBuffer.empty[graft.index.AnnIndex]
 
     // each line: (name, docs => unit) or vector workloads below
     def lines(docs: DataFrame, vecs: DataFrame, tag: String): Seq[(String, () => Unit)] = Seq(
@@ -113,7 +116,33 @@ object ScaleSmoke {
         idx.persist()
         noop(idx.searchBatch(qs, 10))
         idx.unpersist()
-      })
+      }),
+      // REPEAT table-input search against a standing pin (the zip path:
+      // only the query relation shuffles, the graph moves zero bytes per
+      // call). The index is built+pinned on the first (warm) invocation,
+      // so the timed rep measures ONLY the repeat-call cost — the
+      // standing-workload shape whose growth should track per-shard
+      // search work, not index size re-shuffles.
+      "diskann_table_repeat50" -> {
+        var idx: graft.index.AnnIndex = null
+        () => {
+          if (idx == null) {
+            rep += 1
+            idx = graft.index.AnnIndexManager.create(spark, s"scale_rep_$rep", vecs,
+              "vec_id", "vec", "DISKANN",
+              Map("metric" -> "l2", "max_degree" -> "32", "build_complexity" -> "64",
+                "shards" -> cpus), s"$tmp/rep$rep")
+            idx.persist()
+            pinnedIdxs += idx
+          }
+          val q = spark.range(50)
+            .select(col("id").as("qid"), genVec(col("id") + 900000L, lit(64)).as("qvec"))
+          spark.conf.set("spark.ann.graphTableStrategy", "distributed")
+          try noop(graft.operators.AnnSearch.searchTable(idx, q, 10,
+            queryIdCol = Some("qid")))
+          finally spark.conf.unset("spark.ann.graphTableStrategy")
+        }
+      }
     )
 
     def timeAll(n: Int, tag: String): Seq[(String, Double)] = {
@@ -128,6 +157,8 @@ object ScaleSmoke {
         name -> dt
       }
       docs.unpersist(); vecs.unpersist()
+      pinnedIdxs.foreach(_.unpersist())
+      pinnedIdxs.clear()
       out
     }
 
@@ -153,6 +184,13 @@ object ScaleSmoke {
     }
     sb.append(f"\nWorst growth ratio: $worst%.1f x (linear budget: <= ~15x with noise; " +
       "quadratic would be ~100x).\n")
+    sb.append("\n`diskann_table_repeat50` is the standing-workload shape: a REPEAT\n")
+    sb.append("table-input search against an index already pinned (the zip path —\n")
+    sb.append("only the 50-query relation shuffles; the graph moves zero bytes per\n")
+    sb.append("call). Its cost should stay ~FLAT as the index grows 10x, because a\n")
+    sb.append("repeat call pays per-shard beam work + a bounded top-k merge, not\n")
+    sb.append("index re-shuffles — the resident-index semantics the reference gets\n")
+    sb.append("from one long-lived in-memory index.\n")
     Files.writeString(java.nio.file.Paths.get("/root/repo/SCALE.md"), sb.toString)
     println(s"WROTE SCALE.md; worst ratio $worst")
     spark.stop()

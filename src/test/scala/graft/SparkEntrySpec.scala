@@ -40,4 +40,27 @@ class SparkEntrySpec extends AnyFunSuite {
         s"$name: oracle must be a single statement")
     }
   }
+
+  // the driver's testdata generator has shipped events.ts as BOTH raw
+  // int64 nanos (legacy TIMESTAMP(NANOS) read) and timestamp[us]
+  // (TIMESTAMP_NTZ) across rounds — tsMicros must land on the identical
+  // epoch-micros value for the same instant on every vintage
+  test("QuerySupport.tsMicros normalizes every ts vintage to epoch-micros") {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val micros = 1723577130123456L // 2024-08-13T18:45:30.123456Z
+    def tsu(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(graft.queries.QuerySupport.tsMicros(df).as("tsu"))
+        .head().getLong(0)
+    val nanosDf = Seq(micros * 1000L).toDF("ts") // legacy nanosAsLong read
+    assert(tsu(nanosDf) == micros)
+    val tsDf = spark.range(1).select(timestamp_micros(lit(micros)).as("ts"))
+    assert(tsu(tsDf) == micros)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val ntzDf = tsDf.select(col("ts").cast("timestamp_ntz").as("ts"))
+    assert(ntzDf.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    assert(tsu(ntzDf) == micros)
+  }
 }
