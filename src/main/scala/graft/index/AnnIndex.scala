@@ -397,19 +397,25 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     s"$path@$mtime"
   }.toOption
 
+  /** Graph-scan source selection: a pinned dataset (persisted
+    * post-`repartition(shard)`) is served directly, certifying the
+    * whole-shard layout (no per-batch shuffle). `data` MUST be read first:
+    * it lazily re-pins after a mutation, so the match sees the restored pin
+    * and keeps the zero-shuffle layout. Shared by [[scanGraph]] and
+    * [[scanGraphTable]] so the re-pin-ordering invariant lives once. */
+  private def pinnedSource: (DataFrame, Boolean) = {
+    val readOnce = data
+    pinned match {
+      case Some(p) => (p, true)
+      case None => (readOnce, false)
+    }
+  }
+
   private[graft] def scanGraph(qs: Seq[(Int, Array[Float])], k: Int,
                                searchComplexity: Int): DataFrame = {
     val overfetch = meta.numDeleted.toInt
     val ck = shardCacheKey
-    // a pinned graph dataset is persisted post-repartition(shard): serve it
-    // directly and certify the whole-shard layout (no per-batch shuffle).
-    // `data` first: it lazily re-pins after a mutation, so the match below
-    // sees the restored pin and keeps the zero-shuffle layout.
-    val readOnce = data
-    val (src, prePart) = pinned match {
-      case Some(p) => (p, true)
-      case None => (readOnce, false)
-    }
+    val (src, prePart) = pinnedSource
     val nShards = math.max(1, meta.param("shards", 1))
     val res = meta.engine match {
       case "DISKANN" =>
@@ -458,16 +464,11 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     val overfetch = meta.numDeleted.toInt
     val ck = shardCacheKey
     val kk = k + overfetch
-    // pinned (persisted post-repartition(shard)) → the zip path: only the
-    // query relation shuffles, the cached graph layout is read in place —
-    // a standing workload's repeat calls move zero index bytes. Unpinned →
-    // the cogroup path (its one graph shuffle reads from parquet anyway).
-    // `data` first: it lazily re-pins after a mutation (see scanGraph).
-    val readOnce = data
-    val (src, prePart) = pinned match {
-      case Some(p) => (p, true)
-      case None => (readOnce, false)
-    }
+    // pinned → the zip path: only the query relation shuffles, the cached
+    // graph layout is read in place — a standing workload's repeat calls
+    // move zero index bytes. Unpinned → the cogroup path (its one graph
+    // shuffle reads from parquet anyway).
+    val (src, prePart) = pinnedSource
     val res = meta.engine match {
       case "DISKANN" =>
         val p = Vamana.Params.from(meta)

@@ -52,10 +52,27 @@ object GraphShardCache {
         .getOrElse(System.getProperty("java.io.tmpdir"))
       val p = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(base), "graft-shard-spill-")
-      p.toFile.deleteOnExit()
+      // ONE recursive-delete shutdown hook for the whole tier: per-file
+      // File.deleteOnExit would grow a never-pruned JVM-lifetime set (one
+      // entry per spilled shard, kept even after early eviction)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case _: Throwable => () }))
       Some(p)
     } catch { case _: Throwable => None } // spill is an optimization only
   }
+  /** Byte budget for the disk tier (decoded shards are tens-to-hundreds of
+    * MB each; an entry-count cap alone could reach hundreds of GB of local
+    * disk on a mutation-heavy workload whose meta-version churn keeps
+    * minting fresh keys). Oldest-entry eviction keeps the tier under it. */
+  private lazy val spillMaxBytes: Long =
+    Option(org.apache.spark.SparkEnv.get).map(_.conf)
+      .flatMap(c => Option(c.get("spark.ann.shardSpill.maxBytes", null)))
+      .map(_.toLong).getOrElse(16L << 30)
+  private val spilledBytes = new java.util.concurrent.atomic.AtomicLong()
   private val spilled =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
   private val Magic = 0x47534831 // "GSH1"
@@ -77,16 +94,28 @@ object GraphShardCache {
             java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(key).toLong & 0xffffffffL) + ".shard")
         java.nio.file.Files.move(tmp, fin,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING) // atomic publish
-        fin.toFile.deleteOnExit()
-        while (spilled.size() >= MaxEntries) {
+        val finBytes = java.nio.file.Files.size(fin)
+        // evict oldest entries until BOTH bounds hold (entry count AND the
+        // byte budget) — stale meta-version files are unreachable by key,
+        // so byte-budget eviction is also what ultimately reclaims them
+        while (spilled.size() >= MaxEntries ||
+               (spilledBytes.get() + finBytes > spillMaxBytes && !spilled.isEmpty)) {
           val it = spilled.keySet().iterator()
           if (it.hasNext) {
             val k = it.next()
             val f = spilled.remove(k)
-            if (f != null) java.nio.file.Files.deleteIfExists(f)
+            if (f != null) {
+              try spilledBytes.addAndGet(-java.nio.file.Files.size(f))
+              catch { case _: Throwable => () }
+              java.nio.file.Files.deleteIfExists(f)
+            }
           }
         }
-        spilled.put(key, fin)
+        if (finBytes > spillMaxBytes) {
+          java.nio.file.Files.deleteIfExists(fin) // single shard over budget
+        } else if (spilled.putIfAbsent(key, fin) == null) {
+          spilledBytes.addAndGet(finBytes) // count once under racing writers
+        }
       } catch { case _: Throwable => () } // best-effort tier
     }
 
@@ -103,7 +132,16 @@ object GraphShardCache {
         spillReloads.incrementAndGet()
         Some(v)
       } finally in.close()
-    } catch { case _: Throwable => spilled.remove(key); None }
+    } catch { case _: Throwable =>
+      val gone = spilled.remove(key)
+      if (gone != null) {
+        try spilledBytes.addAndGet(-java.nio.file.Files.size(gone))
+        catch { case _: Throwable => () }
+        try java.nio.file.Files.deleteIfExists(gone)
+        catch { case _: Throwable => () }
+      }
+      None
+    }
   }
 
   def getOrBuild[T <: AnyRef](key: String)(build: => T): T =
@@ -133,6 +171,41 @@ object GraphShardCache {
     cache.put(key, new java.lang.ref.SoftReference[AnyRef](v))
     v
   }
+
+  /** Memory-then-disk lookup WITHOUT building: the repeat-call fast path
+    * of [[GraphTableSearch.runZip]] must know whether a shard is still
+    * decodable before deciding to skip the graph iterator — a build here
+    * would defeat the point (no rows are at hand). Re-publishes the soft
+    * reference on a disk-tier hit. */
+  def peek(key: String, spill: Option[SpillCodec]): Option[AnyRef] = {
+    val ref = cache.get(key)
+    if (ref != null) {
+      val hit = ref.get()
+      if (hit != null) return Some(hit)
+    }
+    spill.flatMap(c => trySpillRead(key, c)).map { v =>
+      cache.put(key, new java.lang.ref.SoftReference[AnyRef](v))
+      v
+    }
+  }
+
+  // Zipped-partition shard layouts: (shardId, seg) pairs a full partition
+  // scan observed, keyed by <cacheKey>#zipLayout#<partitionId>. Lets a
+  // repeat zip call serve queries straight from decoded shards without
+  // consuming (= decoding) the cached graph partition at all. Entries are
+  // tiny (a few ints per shard); same count bound as the main map.
+  private val layouts =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Long)]]()
+
+  def putLayout(key: String, v: Array[(Int, Long)]): Unit = {
+    while (layouts.size() >= MaxEntries) {
+      val it = layouts.keySet().iterator()
+      if (it.hasNext) layouts.remove(it.next()) else return
+    }
+    layouts.put(key, v)
+  }
+
+  def getLayout(key: String): Option[Array[(Int, Long)]] = Option(layouts.get(key))
 
   /** TEST ONLY: clear the in-memory references (simulates GC under
     * pressure) without touching the disk tier. */

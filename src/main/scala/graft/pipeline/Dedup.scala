@@ -82,6 +82,14 @@ object Dedup {
     df
   }
 
+  // Active auto-release scopes, oldest first: a result that is NEVER
+  // consumed through a Dataset action would otherwise leak its listener
+  // (scanning every subsequent query) and pin its caches for the session.
+  // Registration beyond the bound force-releases the oldest scope.
+  private val MaxActiveScopes = 32
+  private val activeScopes =
+    new java.util.ArrayDeque[() => Unit]()
+
   /** Collect every cache the operator body registers (via [[trackCache]])
     * and, when auto-release is enabled, unpersist them after the first
     * action that executes the returned plan. */
@@ -95,26 +103,50 @@ object Dedup {
     val spark = result.sparkSession
     if (!spark.conf.get("spark.graft.dedup.autoRelease", "false").toBoolean)
       return result
-    val target = result.queryExecution.analyzed
+    // Unique literal tag inside the matched subtree: two calls with
+    // identical arguments produce canonically-equal plans, and an untagged
+    // sameResult match would let the FIRST result's action release the
+    // second scope's caches before its own consumption. The tag column is
+    // projected away immediately (same output schema), but the inner
+    // Project keeps the distinct literal, so each scope only ever matches
+    // its own plan.
+    val scopeId = observeSeq.incrementAndGet()
+    val tag = s"__graft_scope_$scopeId"
+    val tagged = result
+      .withColumn(tag, org.apache.spark.sql.functions.lit(scopeId))
+      .drop(tag)
+    val target = tagged.queryExecution.analyzed
     val caches = buf.toSeq
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      private def maybeRelease(
-          qe: org.apache.spark.sql.execution.QueryExecution): Unit =
-        // sameResult (canonicalized) rather than eq: analysis of a caller's
-        // wrapping query may copy the subtree
-        if ((qe.analyzed eq target) || qe.analyzed.exists(_.sameResult(target))) {
-          caches.foreach(_.unpersist(false))
-          spark.listenerManager.unregister(this)
-        }
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit = maybeRelease(qe)
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          exception: Exception): Unit = maybeRelease(qe)
+    lazy val release: () => Unit = { () =>
+      caches.foreach(_.unpersist(false))
+      spark.listenerManager.unregister(listener)
+      activeScopes.synchronized { activeScopes.remove(release) }
+    }
+    lazy val listener: org.apache.spark.sql.util.QueryExecutionListener =
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        private def maybeRelease(
+            qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+          // sameResult (canonicalized) rather than eq: analysis of a
+          // caller's wrapping query may copy the subtree
+          if ((qe.analyzed eq target) || qe.analyzed.exists(_.sameResult(target)))
+            release()
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = maybeRelease(qe)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = maybeRelease(qe)
+      }
+    activeScopes.synchronized {
+      activeScopes.addLast(release)
+      while (activeScopes.size() > MaxActiveScopes) {
+        // oldest scope was never consumed: release it now rather than leak
+        val oldest = activeScopes.peekFirst()
+        oldest() // removes itself from the deque
+      }
     }
     spark.listenerManager.register(listener)
-    result
+    tagged
   }
 
   private def cappedBuckets(rows: DataFrame, keyCols: Seq[String],

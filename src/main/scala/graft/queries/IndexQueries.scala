@@ -342,6 +342,11 @@ object IndexQueries {
     "ann_search_table_pinned" -> ((s: SparkSession, dir: String) => {
       val queries = emb(s, dir).filter(col("vec_id") >= 4 && col("vec_id") < 9)
         .select(col("vec_id").as("q_vec_id"), col("embedding"))
+      // the index is SHARED (AnnIndexManager cache) — eagerly materialize
+      // the tiny result (localCheckpoint) so the pin can be released in the
+      // finally; otherwise the full index dataset would stay cached for the
+      // rest of the harness run and silently flip every later emb_vamana
+      // query onto the zip path (order-dependent plan shapes)
       val idx = diskannIndex(s, dir).persist()
       s.conf.set("spark.ann.graphTableStrategy", "distributed")
       try {
@@ -353,7 +358,11 @@ object IndexQueries {
               Window.partitionBy("q_vec_id").orderBy(col("_distance"), col("id"))).cast("long"))
           .select(col("q_vec_id"), col("rank"), col("id").as("vec_id"))
           .orderBy("q_vec_id", "rank")
-      } finally s.conf.unset("spark.ann.graphTableStrategy")
+          .localCheckpoint(true)
+      } finally {
+        s.conf.unset("spark.ann.graphTableStrategy")
+        idx.unpersist()
+      }
     }),
 
     // filtered search exercising the exact-fallback path on a COSINE index:

@@ -191,7 +191,8 @@ object ScaleSmoke {
     sb.append("repeat call pays per-shard beam work + a bounded top-k merge, not\n")
     sb.append("index re-shuffles — the resident-index semantics the reference gets\n")
     sb.append("from one long-lived in-memory index.\n")
-    Files.writeString(java.nio.file.Paths.get("/root/repo/SCALE.md"), sb.toString)
+    val outPath = args.lift(1).getOrElse("SCALE.md") // cwd of the sbt run
+    Files.writeString(java.nio.file.Paths.get(outPath), sb.toString)
     println(s"WROTE SCALE.md; worst ratio $worst")
     spark.stop()
   }

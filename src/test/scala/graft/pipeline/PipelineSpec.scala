@@ -707,4 +707,34 @@ class PipelineSpec extends SparkSpec {
       assert(persistedCount <= before)
     } finally spark.conf.unset("spark.graft.dedup.autoRelease")
   }
+
+  test("autoRelease: twin operator calls release per-scope and settle clean") {
+    // two calls with IDENTICAL arguments produce canonically-equal plans.
+    // The per-scope literal tag keeps each listener matched to its OWN
+    // result only (without it, the first consumption fires both scopes'
+    // listeners). Note Spark's CacheManager dedupes canonically-equal
+    // cached plans into SHARED entries, so twins share storage regardless
+    // — the contract here is: both consumptions complete, each fires its
+    // own release, releases are idempotent under sharing, and storage
+    // settles back to the pre-call baseline with no leaked listeners
+    // breaking later queries.
+    def persistedCount: Int = spark.sparkContext.getPersistentRDDs.size
+    spark.conf.set("spark.graft.dedup.autoRelease", "true")
+    try {
+      val baseline = persistedCount
+      val a = Dedup.minhashNearDups(docsDf, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      val b = Dedup.minhashNearDups(docsDf, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      val ra = a.count()
+      val rb = b.count() // must still compute correctly after a's release
+      assert(ra == rb, "twin results must agree")
+      var spins = 0
+      while (persistedCount > baseline && spins < 40) { Thread.sleep(250); spins += 1 }
+      assert(persistedCount <= baseline,
+        s"storage must settle to baseline: $persistedCount vs $baseline")
+      // a later unrelated query must not trip any leftover scope listener
+      assert(docsDf.count() > 0)
+    } finally spark.conf.unset("spark.graft.dedup.autoRelease")
+  }
 }
