@@ -28,6 +28,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // still write SOMETHING: a query that errors must surface as a
+        // failing entry in the driver's compare, not silently vanish from
+        // the correctness file (a round once lost 4 entries unnoticed
+        // because failed queries produced no output directory at all)
+        try {
+          import spark.implicits._
+          Seq(Option(e.getMessage).getOrElse(e.getClass.getName))
+            .toDF("__verify_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -576,7 +576,7 @@ object Vamana {
   /** Whole-shard rows (layout: shard, label, id, vector|codes, neighbors,
     * is_entry, ...) → in-memory [[Shard]], with label-completeness
     * validation (a partial shard is a graph with dangling labels). */
-  private[index] def decodeShard(shardId: Int, shardRows: collection.Seq[Row],
+  private[graft] def decodeShard(shardId: Int, shardRows: collection.Seq[Row],
                                  codec: Option[graft.functions.VectorCodec]): Shard = {
     val n = shardRows.length
     var maxLabel = -1

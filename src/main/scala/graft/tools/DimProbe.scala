@@ -65,24 +65,15 @@ object DimProbe {
 
       // single-thread replication: decode all shards driver-side, run the
       // same 50 beam searches, count pool insertions (= distance evals)
+      // the REAL decode path (label-completeness validation included) — a
+      // layout change must break this probe the same way it would break
+      // the engine, or the probe's conclusions are about a different index
       val rows = idx.data
         .select("shard", "label", "id", "vector", "neighbors", "is_entry")
         .collect()
       val byShard = rows.groupBy(_.getInt(0))
-      val shards = byShard.map { case (_, rws) =>
-        val n = rws.length
-        val ids = new Array[Long](n)
-        val vecs = new Array[Array[Float]](n)
-        val nbrs = new Array[Array[Int]](n)
-        var entry = 0
-        rws.foreach { r =>
-          val label = r.getInt(1)
-          ids(label) = r.getLong(2)
-          vecs(label) = r.getSeq[Float](3).toArray
-          nbrs(label) = r.getSeq[Int](4).toArray
-          if (r.getBoolean(5)) entry = label
-        }
-        graft.index.Vamana.Shard(ids, vecs, nbrs, entry)
+      val shards = byShard.map { case (sid, rws) =>
+        graft.index.Vamana.decodeShard(sid, rws.toIndexedSeq, None)
       }.toArray
       val distFn = graft.functions.VectorKernels.orderingDistance("l2") _
       var inserts = 0L
