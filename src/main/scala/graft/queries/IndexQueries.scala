@@ -74,6 +74,17 @@ object IndexQueries {
           "adaptive_nprobe" -> "true", "nprobe_ratio" -> "4.0",
           "table" -> "embeddings"), path))
 
+  /** Adaptive probing with a ratio so wide the distance-ratio prune keeps
+    * EVERY cell: the adaptive routing code runs end-to-end, the scan is
+    * exhaustive-exact, so a brute-force oracle pins it strictly (same
+    * lossless-fixture technique as `neardup_ann_exact`). */
+  private def adaptiveExactIndex(s: SparkSession, dir: String): AnnIndex =
+    AnnIndexManager.getOrBuild(s, "emb_ivf_adapt_exact", dir, path =>
+      AnnIndexManager.create(s, "emb_ivf_adapt_exact", emb(s, dir), "vec_id", "embedding",
+        "IVF", Map("metric" -> "l2", "nlist" -> "8", "nprobe" -> "1",
+          "adaptive_nprobe" -> "true", "nprobe_ratio" -> "1.0E12",
+          "table" -> "embeddings"), path))
+
   /** DISKANN lifecycle: create on most rows, two delta-shard inserts, a
     * delete, then compactShards merges the small deltas (build-once). */
   private def compactedIndex(s: SparkSession, dir: String): AnnIndex =
@@ -228,6 +239,11 @@ object IndexQueries {
     // and boundary-query exactness are asserted in CompactionSpec.
     "ann_ivf_adaptive" -> ((s: SparkSession, dir: String) =>
       ranked(adaptiveIvfIndex(s, dir).scan(qvecF(6), K))),
+
+    // adaptive probing at an all-cells-pass ratio: exhaustive-exact, so the
+    // brute-force oracle strictly pins the adaptive routing arithmetic
+    "ann_ivf_adaptive_exact" -> ((s: SparkSession, dir: String) =>
+      ranked(adaptiveExactIndex(s, dir).scan(qvecF(6), K))),
 
     // shard compaction lifecycle: create + 2 delta inserts + delete +
     // compactShards, searched with an exhaustive beam → exact → strict
@@ -755,6 +771,7 @@ object IndexQueries {
   def oracleSql: Map[String, String] = Map(
     "ann_flat_topk" -> bruteForceTopK(5),
     "ann_ivf_topk" -> bruteForceTopK(6),
+    "ann_ivf_adaptive_exact" -> bruteForceTopK(6),
     "ann_range" -> bruteForceRange(5, 8.5),
     "ann_range_vamana" -> bruteForceRange(5, 8.5),
     "ann_range_ivf" -> bruteForceRange(5, 8.5),
