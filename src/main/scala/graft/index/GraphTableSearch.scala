@@ -169,7 +169,10 @@ object GraphTableSearch {
             val hits = layout.flatMap { case (sid, seg) =>
               GraphShardCache.peek(s"$ck#$sid", spill).map(sh => sid -> (sh, seg))
             }
-            if (hits.length == layout.length) Some(hits.toMap) else None
+            if (hits.length == layout.length) {
+              GraphShardCache.zipFastPathHits.incrementAndGet()
+              Some(hits.toMap)
+            } else None
           }
         }.getOrElse {
           // ---- full path (first call, or after eviction) ----

@@ -207,6 +207,11 @@ object GraphShardCache {
 
   def getLayout(key: String): Option[Array[(Int, Long)]] = Option(layouts.get(key))
 
+  /** Zip-path repeat calls served WITHOUT consuming the graph iterator
+    * (observability + test hook; per-partition, so one repeat call over P
+    * partitions adds up to P). */
+  val zipFastPathHits = new java.util.concurrent.atomic.AtomicLong()
+
   /** TEST ONLY: clear the in-memory references (simulates GC under
     * pressure) without touching the disk tier. */
   private[index] def clearSoftRefsForTest(): Unit = cache.clear()

@@ -248,8 +248,13 @@ class OperatorSpec extends SparkSpec {
     try {
       val zipBytes = shuffleBytes { zipRes = run() }
       assert(zipRes == cogroupRes, "zip path must be value-identical to cogroup")
-      // repeat call (the standing-workload shape) stays identical too
+      // repeat call (the standing-workload shape) stays identical AND takes
+      // the layout fast path (serves queries without re-scanning the
+      // cached graph partitions — at least one partition must report it)
+      val fastBefore = graft.index.GraphShardCache.zipFastPathHits.get()
       assert(run() == cogroupRes)
+      assert(graft.index.GraphShardCache.zipFastPathHits.get() > fastBefore,
+        "repeat zip call should be served from the recorded shard layout")
       // the zip path's shuffles carry only routed queries + top-k
       // candidates — a small fraction of the cogroup's full-graph exchange
       assert(zipBytes * 3 < cogroupBytes,
