@@ -46,10 +46,15 @@ object AnnSearch {
     val vecColName = queryVecCol.getOrElse(detectVectorCol(queries.schema))
     val np = if (nprobe > 0) nprobe else idx.defaultNprobe
 
-    val (qin, qidCol) = queryIdCol match {
+    val (qin0, qidCol) = queryIdCol match {
       case Some(c) => (queries, c)
       case None => (queries.withColumn("__qid", monotonically_increasing_id()).cache(), "__qid")
     }
+    // a WHOLE-null vector stays null through vector_nonnull (transform of a
+    // null array is null) and would NPE inside every strategy's row decode
+    // — drop such rows at the edge, the same observable outcome as the
+    // null-ELEMENT case below (the query matches nothing)
+    val qin = qin0.filter(col(vecColName).isNotNull)
     // narrow at the edge: a null ELEMENT becomes NaN, so the row's
     // distances sort last and it drops out of its own top-k — without this
     // the distance would be NULL and TopK's phase-1 getDouble would NPE

@@ -394,5 +394,16 @@ class OperatorSpec extends SparkSpec {
     assert(good.length == 3 && good.forall(!_.getAs[Double]("_distance").isNaN))
     assert(out.filter(_.getAs[Long]("qid") == 20L)
       .forall(_.getAs[Double]("_distance").isNaN))
+
+    // a WHOLE-null vector (null array, not null element) drops out at the
+    // operator edge instead of NPE-ing inside a task
+    val withNullRow = Seq(
+      (10L, Seq[java.lang.Float](0.5f, 0.5f, 0.5f, 0.5f)),
+      (30L, null.asInstanceOf[Seq[java.lang.Float]])
+    ).toDF("qid", "qvec")
+    val out2 = AnnSearch.searchTable(idx, withNullRow, k = 3,
+      queryVecCol = Some("qvec"), queryIdCol = Some("qid")).collect()
+    assert(out2.count(_.getAs[Long]("qid") == 10L) == 3)
+    assert(!out2.exists(_.getAs[Long]("qid") == 30L))
   }
 }
