@@ -154,6 +154,13 @@ object GraphTableSearch {
       if (!qIt.hasNext) Iterator.empty
       else {
         val pid = TaskContext.getPartitionId()
+        // the layout key embeds the graph's PARTITION COUNT as well as the
+        // partition id: a recorded layout is only meaningful under the
+        // exact HashPartitioning(shard, P) that produced it, so if the pin
+        // layout ever becomes conf-dependent, a differently-partitioned
+        // repeat call structurally misses the stale entry (full-scan path)
+        // instead of trusting a mapping recorded under another P
+        val layoutKey = cacheKey.map(ck => s"$ck#zipLayout#$p#$pid")
         // ---- repeat-call fast path ----
         // If a prior call already full-scanned this partition (layout
         // recorded) and every one of its shards is still decodable from
@@ -165,7 +172,7 @@ object GraphTableSearch {
         // index write invalidates it. A partially-evicted cache just falls
         // back to the full scan below — never a wrong answer.
         val bySid: Map[Int, (AnyRef, Long)] = cacheKey.flatMap { ck =>
-          GraphShardCache.getLayout(s"$ck#zipLayout#$pid").flatMap { layout =>
+          GraphShardCache.getLayout(layoutKey.get).flatMap { layout =>
             val hits = layout.flatMap { case (sid, seg) =>
               GraphShardCache.peek(s"$ck#$sid", spill).map(sh => sid -> (sh, seg))
             }
@@ -196,8 +203,8 @@ object GraphTableSearch {
               }
               sid -> (s, rows.head.getLong(segIdx))
             }.toMap
-          cacheKey.foreach { ck =>
-            GraphShardCache.putLayout(s"$ck#zipLayout#$pid",
+          layoutKey.foreach { lk =>
+            GraphShardCache.putLayout(lk,
               served.iterator.map { case (sid, (_, seg)) => (sid, seg) }.toArray)
           }
           served

@@ -73,8 +73,13 @@ object GraphShardCache {
       .flatMap(c => Option(c.get("spark.ann.shardSpill.maxBytes", null)))
       .map(_.toLong).getOrElse(16L << 30)
   private val spilledBytes = new java.util.concurrent.atomic.AtomicLong()
+  // value carries the byte size RECORDED AT PUBLISH: decrements on evict/
+  // corrupt-read must be exact regardless of on-disk state (a Files.size at
+  // evict time could see a different key's replacement file after a name
+  // collision, or throw on an already-gone path — either would drift the
+  // counter and cause premature eviction in long sessions)
   private val spilled =
-    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+    new java.util.concurrent.ConcurrentHashMap[String, (java.nio.file.Path, Long)]()
   private val Magic = 0x47534831 // "GSH1"
   /** Reloads served from the disk tier (observability + test hook). */
   val spillReloads = new java.util.concurrent.atomic.AtomicLong()
@@ -105,15 +110,15 @@ object GraphShardCache {
             val k = it.next()
             val f = spilled.remove(k)
             if (f != null) {
-              try spilledBytes.addAndGet(-java.nio.file.Files.size(f))
+              spilledBytes.addAndGet(-f._2)
+              try java.nio.file.Files.deleteIfExists(f._1)
               catch { case _: Throwable => () }
-              java.nio.file.Files.deleteIfExists(f)
             }
           }
         }
         if (finBytes > spillMaxBytes) {
           java.nio.file.Files.deleteIfExists(fin) // single shard over budget
-        } else if (spilled.putIfAbsent(key, fin) == null) {
+        } else if (spilled.putIfAbsent(key, (fin, finBytes)) == null) {
           spilledBytes.addAndGet(finBytes) // count once under racing writers
         }
       } catch { case _: Throwable => () } // best-effort tier
@@ -124,7 +129,7 @@ object GraphShardCache {
     if (f == null) None
     else try {
       val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
-        java.nio.file.Files.newInputStream(f), 1 << 16))
+        java.nio.file.Files.newInputStream(f._1), 1 << 16))
       try {
         require(in.readInt() == Magic, s"bad spill magic for $key")
         require(in.readUTF() == key, s"spill filename collision for $key")
@@ -135,9 +140,8 @@ object GraphShardCache {
     } catch { case _: Throwable =>
       val gone = spilled.remove(key)
       if (gone != null) {
-        try spilledBytes.addAndGet(-java.nio.file.Files.size(gone))
-        catch { case _: Throwable => () }
-        try java.nio.file.Files.deleteIfExists(gone)
+        spilledBytes.addAndGet(-gone._2)
+        try java.nio.file.Files.deleteIfExists(gone._1)
         catch { case _: Throwable => () }
       }
       None

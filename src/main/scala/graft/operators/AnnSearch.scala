@@ -51,9 +51,13 @@ object AnnSearch {
       case None => (queries.withColumn("__qid", monotonically_increasing_id()).cache(), "__qid")
     }
     // a WHOLE-null vector stays null through vector_nonnull (transform of a
-    // null array is null) and would NPE inside every strategy's row decode
-    // — drop such rows at the edge, the same observable outcome as the
-    // null-ELEMENT case below (the query matches nothing)
+    // null array is null) and would NPE inside every strategy's row decode —
+    // drop such rows at the edge. NOTE the two null flavors are observably
+    // DIFFERENT by contract: a null-ELEMENT query (handled below) still
+    // emits its k rows with NaN distances, while a whole-null query has no
+    // vector to search at all and its rows vanish from the output (callers
+    // joining results back to the query relation see no rows for it) —
+    // asserted for both flavors in OperatorSpec
     val qin = qin0.filter(col(vecColName).isNotNull)
     // narrow at the edge: a null ELEMENT becomes NaN, so the row's
     // distances sort last and it drops out of its own top-k — without this

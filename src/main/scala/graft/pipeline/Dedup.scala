@@ -85,8 +85,13 @@ object Dedup {
   // Active auto-release scopes, oldest first: a result that is NEVER
   // consumed through a Dataset action would otherwise leak its listener
   // (scanning every subsequent query) and pin its caches for the session.
-  // Registration beyond the bound force-releases the oldest scope.
-  private val MaxActiveScopes = 32
+  // Registration beyond the bound force-releases the oldest scope — its
+  // still-unconsumed result silently degrades to full recomputation, so
+  // the eviction WARNS (and the bound is a conf) rather than being an
+  // invisible perf cliff for a workload that builds many results before
+  // consuming any.
+  private def maxActiveScopes(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get("spark.graft.dedup.maxActiveScopes", "32").toInt
   private val activeScopes =
     new java.util.ArrayDeque[() => Unit]()
 
@@ -139,8 +144,13 @@ object Dedup {
       }
     activeScopes.synchronized {
       activeScopes.addLast(release)
-      while (activeScopes.size() > MaxActiveScopes) {
+      val bound = maxActiveScopes(spark)
+      while (activeScopes.size() > bound) {
         // oldest scope was never consumed: release it now rather than leak
+        log.warn(s"dedup auto-release: more than $bound unconsumed results " +
+          "outstanding — force-releasing the oldest scope's caches; its " +
+          "result will fully recompute when consumed (consume results " +
+          "promptly, or raise spark.graft.dedup.maxActiveScopes)")
         val oldest = activeScopes.peekFirst()
         oldest() // removes itself from the deque
       }

@@ -21,21 +21,23 @@ object QuerySupport {
     // only reads as a raw long (nanos since epoch); newer runs write
     // timestamp[us] (read as TIMESTAMP_NTZ). Keep the legacy conf on and
     // normalize via [[tsMicros]] so queries work against either vintage.
+    // (This read conf is the only session conf set here — [[tsMicros]] is
+    // timezone-independent, so no session timeZone pin is needed.)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // NTZ→TIMESTAMP casts below must be wall-clock-preserving for both
-    // engines: pin UTC (DuckDB's epoch_us on a naive timestamp is tz-free).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
   /** `events.ts` as epoch-MICROSECONDS (BIGINT), whatever physical type the
     * generator wrote: raw int64 nanos (legacy `nanosAsLong` read) → integer
-    * div; timestamp[us] (TIMESTAMP or TIMESTAMP_NTZ) → `unix_micros` under
-    * the UTC session zone pinned in [[table]]. Matches DuckDB `epoch_us(ts)`
-    * exactly on either vintage. */
+    * div; TIMESTAMP_NTZ → wall-clock micros since the NTZ epoch literal
+    * (session-timezone-INDEPENDENT, exactly DuckDB's tz-free `epoch_us` on a
+    * naive timestamp); TIMESTAMP → `unix_micros` (instant-based, tz-free by
+    * definition). Matches DuckDB `epoch_us(ts)` on every vintage without
+    * touching the session timezone. */
   def tsMicros(df: DataFrame): Column = df.schema("ts").dataType match {
     case LongType         => expr("ts div 1000")
-    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+    case TimestampNTZType =>
+      expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
     case _                => unix_micros(col("ts"))
   }
 

@@ -49,7 +49,7 @@ class SparkEntrySpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val spark = SparkSpec.session
     import spark.implicits._
-    val micros = 1723577130123456L // 2024-08-13T18:45:30.123456Z
+    val micros = 1723577130123456L // 2024-08-13T19:25:30.123456Z
     def tsu(df: org.apache.spark.sql.DataFrame): Long =
       df.select(graft.queries.QuerySupport.tsMicros(df).as("tsu"))
         .head().getLong(0)
@@ -57,10 +57,17 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(tsu(nanosDf) == micros)
     val tsDf = spark.range(1).select(timestamp_micros(lit(micros)).as("ts"))
     assert(tsu(tsDf) == micros)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val ntzDf = tsDf.select(col("ts").cast("timestamp_ntz").as("ts"))
-    assert(ntzDf.schema("ts").dataType ==
-      org.apache.spark.sql.types.TimestampNTZType)
-    assert(tsu(ntzDf) == micros)
+    // NTZ branch must be SESSION-TIMEZONE-INDEPENDENT (the generator's
+    // timestamp[us] is a naive wall clock; DuckDB's epoch_us on it is
+    // tz-free): assert under a deliberately non-UTC session zone
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try {
+      val ntzDf = spark.range(1).select(
+        expr("TIMESTAMP_NTZ '2024-08-13 19:25:30.123456'").as("ts"))
+      assert(ntzDf.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType)
+      assert(tsu(ntzDf) == micros)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 }
