@@ -21,6 +21,14 @@ object SparkEntry {
       TextQueries.queries ++
       MultimodalQueries.queries
 
+  /** Parameter-sweep diagnostics (approximate probe/beam configurations
+    * with no oracle form BY CONSTRUCTION) — runnable like queries but kept
+    * out of the driver's correctness inventory; each has a strict
+    * exact-configuration sibling in [[queries]]. Exercised by
+    * DiagnosticsSpec. */
+  def diagnostics: Map[String, (SparkSession, String) => DataFrame] =
+    IndexQueries.diagnostics
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
