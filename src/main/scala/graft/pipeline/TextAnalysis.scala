@@ -223,9 +223,11 @@ object TextAnalysis {
   /** DEFLATE compression ratio (compressed/raw bytes, level 6, raw
     * stream): the Dolma/RedPajama-style repetition signal — highly
     * repetitive documents compress far below prose. Deterministic for a
-    * given JDK zlib; NOT SQL-mirrorable (no oracle), contracted in
-    * PipelineSpec instead. */
-  val deflateRatioUdf = udf { text: String =>
+    * given JDK zlib. The KERNEL is not SQL-mirrorable (no SQL zlib), but
+    * the row-level mapping is strictly verifiable by inlining driver-
+    * computed expected ratios into the oracle (TextQueries.text_deflate);
+    * determinism + repetition ordering contracted in PipelineSpec. */
+  def deflateRatio(text: String): Double =
     if (text == null || text.isEmpty) 1.0
     else {
       val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -238,7 +240,8 @@ object TextAnalysis {
       d.end()
       total.toDouble / bytes.length
     }
-  }
+
+  val deflateRatioUdf = udf(deflateRatio _)
 
   def withDeflateRatio(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("deflate_ratio",

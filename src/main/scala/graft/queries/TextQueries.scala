@@ -365,12 +365,27 @@ object TextQueries {
         .select("doc_id", "char_entropy")
         .orderBy("doc_id")),
 
-    // DEFLATE compression ratio: deterministic rows-only (no SQL zlib);
-    // repetition ordering + determinism contracted in PipelineSpec
-    "text_deflate" -> ((s: SparkSession, dir: String) =>
-      graft.pipeline.TextAnalysis.withDeflateRatio(docs(s, dir), "text")
+    // DEFLATE compression ratio. STRICT since r9 via the inlined-ground-
+    // truth technique (corpus_clusters / neardup_lsh): there is no SQL
+    // zlib, so the KERNEL (same JVM Deflater, fixed level) computes
+    // expected ratios driver-side over the collected fixture and those
+    // inline into the oracle as literals — the oracle then verifies the
+    // whole DISTRIBUTED mapping (UDF batching, row alignment, null/empty
+    // handling, the +1e-9 round) against them, exactly what a fixture
+    // column precomputed at testdata-build time would check. Driver-side
+    // work is capped (the stash skips above 100k docs → no_oracle, never
+    // an OOM); the distributed plan is unconditional.
+    "text_deflate" -> ((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      if (d.count() <= 100000) {
+        textDeflateExpected = Some(
+          d.select(col("doc_id"), col("text")).collect().map(r =>
+            (r.getLong(0), graft.pipeline.TextAnalysis.deflateRatio(r.getString(1)))))
+      } else textDeflateExpected = None
+      graft.pipeline.TextAnalysis.withDeflateRatio(d, "text")
         .select("doc_id", "deflate_ratio")
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // deterministic k-means topic buckets over the embedding corpus:
     // per-cluster sizes. STRICT since r7: the TRAINING stays driver-side
@@ -651,6 +666,29 @@ object TextQueries {
            |FROM r WHERE rn = 1 GROUP BY cid ORDER BY cluster_id""".stripMargin
     }
 
+  /** Raw (unrounded) deflate ratios the `text_deflate` query computed
+    * driver-side this process (same stash-and-inline contract as
+    * [[corpusClusterCentroids]]). */
+  @volatile private var textDeflateExpected: Option[Array[(Long, Double)]] = None
+
+  /** text_deflate replayed against the inlined kernel outputs: raw ratios
+    * ride in as full-precision double literals (Double.toString round-trips
+    * exactly), and the ORACLE applies the same `round(r + 1e-9, 4)` the
+    * Spark side does — the cross-engine rounding pattern every other strict
+    * float query here uses. The inner join against `documents` anchors the
+    * row set: a stash that missed a doc shrinks the oracle → rows mismatch,
+    * never a silent pass. */
+  private def textDeflateOracleSql: Option[(String, String)] =
+    textDeflateExpected.map { exp =>
+      val values = exp.map { case (id, r) => s"($id, ${r}::DOUBLE)" }
+        .mkString(", ")
+      "text_deflate" ->
+        s"""WITH exp(doc_id, r) AS (VALUES $values)
+           |SELECT d.doc_id, round(e.r + 1e-9, 4) AS deflate_ratio
+           |FROM documents d JOIN exp e ON d.doc_id = e.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+    }
+
   /** Centroids the `semantic_dedup_clustered` query trained this process
     * (same stash-and-inline contract as [[corpusClusterCentroids]]). */
   @volatile private var semanticDedupCentroids: Option[Array[(Int, Array[Float])]] = None
@@ -695,7 +733,7 @@ object TextQueries {
     }
 
   def oracleSql: Map[String, String] = corpusClustersOracleSql.toMap ++
-    semanticDedupClusteredOracleSql.toMap ++ Map(
+    semanticDedupClusteredOracleSql.toMap ++ textDeflateOracleSql.toMap ++ Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
