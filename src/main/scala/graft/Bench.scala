@@ -55,23 +55,40 @@ object Bench {
     // as load-polluted, not as a code regression (r7's 16-23x outliers on
     // otherwise-untouched lines were exactly this)
     val spreads = mutable.LinkedHashMap.empty[String, Double]
+    val reran = mutable.ArrayBuffer.empty[String]
     def time(name: String, reps: Int = 3)(f: => Unit): Unit = {
-      var best = Double.MaxValue
-      var worst = 0.0
+      val samples = mutable.ArrayBuffer.empty[Double]
       var i = -1 // rep -1 = untimed warmup
-      while (i < reps) {
+      def rep(): Boolean = {
         val t0 = System.nanoTime()
         try f catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           times(name) = -1.0
-          return
+          return false
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        if (i >= 0) { if (dt < best) best = dt; if (dt > worst) worst = dt }
+        if (i >= 0) samples += dt
         i += 1
+        true
       }
-      times(name) = best
-      if (best > 0) spreads(name) = worst / best
+      while (i < reps) if (!rep()) return
+      // contention gate (acting on the spread observability): a >2x
+      // max/min spread across the timed reps means a host-contention
+      // window polluted this line — immediately run extra reps (state is
+      // unchanged at this point; an end-of-run retry would race index
+      // unpersists) until the LAST `reps` samples are clean or the 3x
+      // budget is spent. The min estimator then rests on a clean window
+      // instead of hostage to one noisy block; residual spread is
+      // reported from that final window.
+      def window = samples.takeRight(reps)
+      def spreadOf(w: collection.Seq[Double]) = w.max / w.min
+      if (spreadOf(window) > 2.0) {
+        reran += name
+        while (spreadOf(window) > 2.0 && samples.length < 3 * reps)
+          if (!rep()) return
+      }
+      times(name) = samples.min
+      spreads(name) = spreadOf(window)
     }
     def loadAvg: Double =
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
@@ -98,7 +115,12 @@ object Bench {
                      // (the strict-oracle configuration) and belongs to the
                      // correctness gate; at bench SF the scale path is the
                      // minhash pair generator, timed above
-                     "corpus_chunk", "corpus_shard", "corpus_e2e")) {
+                     "corpus_chunk", "corpus_shard", "corpus_e2e",
+                     // the reference's biggest single function (BM25
+                     // inverted-index build + weighted RRF fusion,
+                     // src/ann_search.cpp:903-1163) and the multimodal
+                     // decode tier — timed like every other S-operator
+                     "hybrid_search", "multimodal_decode")) {
       time(name) { noop(q(name)(spark, sfDir)) }
     }
 
@@ -332,7 +354,12 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
       .mkString("{", ",", "}")
     val loadEnd = loadAvg
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"load_1m_start":$loadStart%.2f,"load_1m_end":$loadEnd%.2f,"rep_spread_gt2":$noisy,"sf":"$sfDir"}""")
+    val reranJson = reran.map("\"" + _ + "\"").mkString("[", ",", "]")
+    if (loadStart > 2.0)
+      System.err.println(f"[bench] WARNING: 1-min load was $loadStart%.1f at " +
+        "start — co-tenant contention likely; treat regressions vs prior " +
+        "rounds as suspect and prefer a clean-host re-run")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"load_1m_start":$loadStart%.2f,"load_1m_end":$loadEnd%.2f,"rep_spread_gt2":$noisy,"reran_noisy":$reranJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
