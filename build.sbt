@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // extra one-off JVM flags for tool runs (e.g. graft.tools.SpillPressure
+  // sets -XX:SoftRefLRUPolicyMSPerMB=0 to make GC clear soft refs
+  // deterministically); empty by default
+) ++ sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq.flatMap(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))

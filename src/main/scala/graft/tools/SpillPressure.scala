@@ -1,0 +1,106 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.index.GraphShardCache
+
+/** End-to-end proof that the executor disk spill tier actually SERVES under
+  * memory pressure — not just that its codec round-trips (ShardSpillSpec).
+  *
+  * Scenario: a standing repeat-search workload against a pinned DISKANN
+  * index whose decoded shards get reclaimed by GC between calls — the
+  * production memory-pressure path (decoded shards are SoftReference
+  * values; the JVM clears them instead of OOMing). Run with
+  *
+  *   SPARK_GRAFT_JVM_EXTRA="-XX:SoftRefLRUPolicyMSPerMB=0" \
+  *   SPARK_DRIVER_MEM=4g \
+  *   sbt -batch "runMain graft.tools.SpillPressure"
+  *
+  * `SoftRefLRUPolicyMSPerMB=0` makes every full GC reclaim soft references
+  * — the deterministic form of "free heap hit zero", which is exactly when
+  * the JVM clears them in production. The tool then asserts the
+  * eviction-then-reload path end to end:
+  *
+  *   1. call 1 (full path): decodes shards, records the zip layout, spills
+  *      each decoded shard to the disk tier;
+  *   2. full GC clears the in-memory soft references (verified: a probe
+  *      SoftReference allocated before the GC must be gone);
+  *   3. call 2 must (a) still engage the zip fast path (layout intact),
+  *      (b) serve every decoded shard FROM DISK (`spillReloads` advances
+  *      by at least the partition count served), and (c) return
+  *      bit-identical rows to call 1.
+  *
+  * Exit code != 0 on any violated assertion. */
+object SpillPressure {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val n = args.headOption.map(_.toInt).getOrElse(200000)
+    val dim = 128
+    val genVec = udf { (id: Long, d: Int) =>
+      val r = new scala.util.Random(id * 2654435761L + 7)
+      Array.fill(d)(r.nextFloat() * 2f - 1f)
+    }
+    val vecs = spark.range(n).repartition(cpus.toInt)
+      .select(col("id").as("vec_id"), genVec(col("id"), lit(dim)).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vecs.count()
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spillpressure").toString
+    println(s"[spill-pressure] building DISKANN index over $n x d$dim ...")
+    val idx = graft.index.AnnIndexManager.create(spark, "spill_pressure", vecs,
+      "vec_id", "vec", "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "32", "build_complexity" -> "64",
+        "shards" -> cpus), s"$tmp/idx")
+    idx.persist()
+
+    val q = spark.range(50)
+      .select(col("id").as("qid"), genVec(col("id") + 900000L, lit(dim)).as("qvec"))
+    spark.conf.set("spark.ann.graphTableStrategy", "distributed")
+    def call(): Array[String] =
+      graft.operators.AnnSearch.searchTable(idx, q, 10, queryIdCol = Some("qid"))
+        .select(col("qid"), col("id"), round(col("_distance"), 6).as("d"))
+        .collect().map(_.toString).sorted
+
+    // call 1: full path — decode, record layout, spill every decoded shard
+    val r1 = call()
+    val fastBefore = GraphShardCache.zipFastPathHits.get()
+    val reloadsBefore = GraphShardCache.spillReloads.get()
+
+    // GC pressure: with SoftRefLRUPolicyMSPerMB=0 a full GC clears soft
+    // refs — prove it did with a probe soft reference
+    val probe = new java.lang.ref.SoftReference(new Array[Byte](1 << 20))
+    System.gc(); Thread.sleep(200); System.gc(); Thread.sleep(200)
+    require(probe.get() == null,
+      "probe SoftReference survived full GC — run with " +
+        "SPARK_GRAFT_JVM_EXTRA=\"-XX:SoftRefLRUPolicyMSPerMB=0\" so GC " +
+        "reclaims soft references (the memory-pressure simulation)")
+    println("[spill-pressure] soft references cleared by GC (probe gone)")
+
+    // call 2: layout survives, shards come back FROM THE DISK TIER
+    val r2 = call()
+    val fastHits = GraphShardCache.zipFastPathHits.get() - fastBefore
+    val reloads = GraphShardCache.spillReloads.get() - reloadsBefore
+    println(s"[spill-pressure] repeat call after eviction: " +
+      s"zipFastPathHits +$fastHits, spillReloads +$reloads")
+    require(fastHits > 0,
+      "repeat call did not engage the zip fast path — layout lost?")
+    require(reloads > 0,
+      "no spill reloads served — the disk tier did not carry the repeat call")
+    require(r1.sameElements(r2),
+      s"results changed across eviction+reload: ${r1.length} vs ${r2.length} rows")
+    println(s"[spill-pressure] OK: ${r1.length} result rows bit-identical " +
+      s"across eviction; $reloads shard reloads served from disk")
+    spark.conf.unset("spark.ann.graphTableStrategy")
+    idx.unpersist()
+    spark.stop()
+  }
+}
