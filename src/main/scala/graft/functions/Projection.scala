@@ -127,12 +127,17 @@ case class RandomProjection(child: Expression, dim: Int, outDim: Int, seed: Long
              |  if ($a.isNullAt($z)) { ${ev.isNull} = true; break; }
              |}""".stripMargin
         }
+      // ev.isNull is only DECLARED by nullSafeCodeGen when this expression
+      // is nullable — an unguarded reference for a non-nullable input
+      // generates an undeclared name and the projection silently falls
+      // back to the interpreted path (same hazard as NormalizeVector)
+      val guardOpen = if (nullable) s"if (!${ev.isNull}) {" else "{"
       s"""if ($a.numElements() != $dim) {
          |  throw new IllegalArgumentException("$prettyName: input dim "
          |    + $a.numElements() + " != $dim");
          |}
          |$nullScan
-         |if (!${ev.isNull}) {
+         |$guardOpen
          |  final float[] $out = new float[$outDim];
          |  for (int $j = 0; $j < $outDim; $j++) {
          |    double $acc = 0.0;

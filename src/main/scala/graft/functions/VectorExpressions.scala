@@ -348,6 +348,13 @@ case class NormalizeVector(child: Expression)
       val out = ctx.freshName("out"); val x = ctx.freshName("x")
       val get = if (elemIsFloat) (idx: String) => s"((double) $a.getFloat($idx))"
                 else (idx: String) => s"$a.getDouble($idx)"
+      // `${ev.isNull}` may only be referenced when this expression is
+      // nullable: for a non-nullable child with non-null elements,
+      // nullSafeCodeGen never DECLARES the isNull variable (it pins
+      // ev.isNull to the false literal after the fact), so an unguarded
+      // `if (!${ev.isNull})` references an undeclared name — Janino
+      // rejects the class and the whole projection silently falls back
+      // to the interpreted path (the neardup_ann regression).
       val nullScan =
         if (!mayHaveNullElems) ""
         else {
@@ -356,9 +363,10 @@ case class NormalizeVector(child: Expression)
              |  if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }
              |}""".stripMargin
         }
+      val guardOpen = if (nullable) s"if (!${ev.isNull}) {" else "{"
       s"""final int $n = $a.numElements();
          |$nullScan
-         |if (!${ev.isNull}) {
+         |$guardOpen
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    final double $x = ${get(i)};
