@@ -82,6 +82,15 @@ object AnnIndexBuilder {
     * milliseconds of arithmetic). Deterministic: seeded sample, seeded
     * init, fixed iteration order.
     */
+  /** Rows per parallel training chunk. Both the seeding distance pass and
+    * the Lloyd assignment pass are O(sample·k·d) arithmetic — at the scale
+    * contract's nlist ~ √n (1M rows, nlist=1000, 256k-row sample) that is
+    * hundreds of GFLOPs, far too much for one core. Chunks are processed on
+    * the common pool but accumulation stays DETERMINISTIC: within a chunk
+    * the row order is sequential, and chunk partials merge in fixed chunk
+    * order, so results never depend on thread scheduling. */
+  private val TrainChunkRows = 8192
+
   def trainCentroids(sample: Array[Array[Float]], k: Int, maxIter: Int,
                      seed: Long): Array[(Int, Array[Float])] = {
     val n = sample.length
@@ -89,26 +98,42 @@ object AnnIndexBuilder {
     require(kk > 0, "cannot train centroids on an empty sample")
     val dim = sample(0).length
     val rnd = new scala.util.Random(seed)
+    val nChunks = (n + TrainChunkRows - 1) / TrainChunkRows
+    def parChunks(body: Int => Unit): Unit =
+      if (nChunks <= 1) { var ch = 0; while (ch < nChunks) { body(ch); ch += 1 } }
+      else java.util.stream.IntStream.range(0, nChunks).parallel().forEach(ch => body(ch))
 
-    // kmeans++ seeding
+    // kmeans++ seeding (the per-centroid distance refresh fans out over
+    // chunks; the weighted prefix-scan draw stays sequential — it is O(n)
+    // adds, negligible next to the O(n·d) distance pass)
     val centroids = Array.ofDim[Float](kk, dim)
     val d2 = Array.fill(n)(Double.MaxValue)
     var first = rnd.nextInt(n)
     System.arraycopy(sample(first), 0, centroids(0), 0, dim)
     var c = 1
+    val chunkTotals = new Array[Double](nChunks)
     while (c < kk) {
-      var total = 0.0
-      var i = 0
-      while (i < n) {
-        val d = graft.functions.VectorKernels.l2Sq(sample(i), centroids(c - 1))
-        if (d < d2(i)) d2(i) = d
-        total += d2(i)
-        i += 1
+      val prev = centroids(c - 1)
+      parChunks { ch =>
+        val lo = ch * TrainChunkRows
+        val hi = math.min(n, lo + TrainChunkRows)
+        var t = 0.0
+        var i = lo
+        while (i < hi) {
+          val d = graft.functions.VectorKernels.l2Sq(sample(i), prev)
+          if (d < d2(i)) d2(i) = d
+          t += d2(i)
+          i += 1
+        }
+        chunkTotals(ch) = t
       }
+      var total = 0.0
+      var tch = 0
+      while (tch < nChunks) { total += chunkTotals(tch); tch += 1 }
       // weighted draw proportional to squared distance
       var target = rnd.nextDouble() * total
       var pick = 0
-      i = 0
+      var i = 0
       var acc = 0.0
       while (i < n && acc + d2(i) < target) { acc += d2(i); pick = i + 1; i += 1 }
       if (pick >= n) pick = n - 1
@@ -116,37 +141,63 @@ object AnnIndexBuilder {
       c += 1
     }
 
-    // Lloyd iterations
+    // Lloyd iterations: per-chunk partial (sums, counts, changed), merged
+    // in chunk order; empty cells keep their previous centroid
     val assign = new Array[Int](n)
     val sums = Array.ofDim[Double](kk, dim)
     val counts = new Array[Int](kk)
     var iter = 0
     var changed = true
     while (iter < maxIter && changed) {
+      val chSums = new Array[Array[Array[Double]]](nChunks)
+      val chCounts = new Array[Array[Int]](nChunks)
+      val chChanged = new Array[Boolean](nChunks)
+      parChunks { ch =>
+        val lo = ch * TrainChunkRows
+        val hi = math.min(n, lo + TrainChunkRows)
+        val s = Array.ofDim[Double](kk, dim)
+        val cnt = new Array[Int](kk)
+        var anyChanged = false
+        var i = lo
+        while (i < hi) {
+          var best = 0
+          var bestD = Double.MaxValue
+          var j = 0
+          while (j < kk) {
+            val d = graft.functions.VectorKernels.l2Sq(sample(i), centroids(j))
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          if (assign(i) != best) { assign(i) = best; anyChanged = true }
+          val sb = s(best)
+          val v = sample(i)
+          var m = 0
+          while (m < dim) { sb(m) += v(m); m += 1 }
+          cnt(best) += 1
+          i += 1
+        }
+        chSums(ch) = s; chCounts(ch) = cnt; chChanged(ch) = anyChanged
+      }
       changed = false
       java.util.Arrays.fill(counts, 0)
       sums.foreach(java.util.Arrays.fill(_, 0.0))
-      var i = 0
-      while (i < n) {
-        var best = 0
-        var bestD = Double.MaxValue
+      var ch = 0
+      while (ch < nChunks) {
+        if (chChanged(ch)) changed = true
+        val s = chSums(ch); val cnt = chCounts(ch)
         var j = 0
         while (j < kk) {
-          val d = graft.functions.VectorKernels.l2Sq(sample(i), centroids(j))
-          if (d < bestD) { bestD = d; best = j }
+          counts(j) += cnt(j)
+          val sj = sums(j); val cj = s(j)
+          var m = 0
+          while (m < dim) { sj(m) += cj(m); m += 1 }
           j += 1
         }
-        if (assign(i) != best) { assign(i) = best; changed = true }
-        val s = sums(best)
-        val v = sample(i)
-        var m = 0
-        while (m < dim) { s(m) += v(m); m += 1 }
-        counts(best) += 1
-        i += 1
+        ch += 1
       }
       var j = 0
       while (j < kk) {
-        if (counts(j) > 0) { // empty cells keep their previous centroid
+        if (counts(j) > 0) {
           var m = 0
           while (m < dim) { centroids(j)(m) = (sums(j)(m) / counts(j)).toFloat; m += 1 }
         }
@@ -438,7 +489,22 @@ object AnnIndexManager {
       IndexMeta.deleteDir(path)
 
       // quantized storage: codes instead of floats (sq8 fits params first)
-      val stored = encodeStored(assigned)
+      val stored0 = encodeStored(assigned)
+      // cluster writers by cell for multi-cell engines: without this every
+      // input task writes its own file into every list_id dir it touches —
+      // tasks x nlist small files (tens of thousands at the scale
+      // contract's nlist ~ sqrt n), NameNode poison and a per-probe open()
+      // tax. Hash-clustering on list_id caps files at ~one per cell while
+      // keeping up to shuffle-partitions writers busy. Single-cell engines
+      // (FLAT, graph shards written elsewhere) keep the parallel no-shuffle
+      // write.
+      val stored =
+        if (centroids.length > 1)
+          stored0.repartition(
+            math.min(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+              centroids.length),
+            col("list_id"))
+        else stored0
 
       stored.withColumn("seg", lit(0L)) // insert epoch 0 = create
         .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/data")
