@@ -18,7 +18,7 @@ def norm(v):
         return repr(v)
     return repr(v)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, resume_after=None):
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = p.split("/")[-1].replace(".parquet", "")
@@ -26,6 +26,8 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for qname, sql in sorted(oracle.items()):
+        if resume_after is not None and qname <= resume_after:
+            continue
         try:
             want = con.execute(sql).fetch_arrow_table()
         except Exception as e:
@@ -62,4 +64,5 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))

@@ -161,6 +161,48 @@ object Bench {
     hnsw.persist()
     time("hnsw_search_50q_sf") { noop(hnsw.searchBatch(queries50, 10)) }
 
+    // ---- hybrid (BM25 + RRF) split build/serve, like every index family:
+    // the reference's FTS index is a persistent table (the existing
+    // `hybrid_search` line above keeps the cold build+query end-to-end
+    // shape). Build pins postings/doc-lens in executor storage — the prior
+    // index must release INSIDE the timed block, else Spark's cache
+    // manager serves rep 2 the same-plan cache and the build times ~0.
+    val hybridDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    var hti: graft.operators.HybridSearch.TextIndex = null
+    time("hybrid_fts_build", reps = 2) {
+      if (hti != null) hti.release()
+      hti = graft.operators.HybridSearch.buildTextIndex(
+        hybridDocs, "doc_id", "text", materialized = true)
+    }
+    // scalar warm serving latency: ONE query against the resident
+    // postings + pinned IVF — dominated by Spark's fixed per-job costs
+    // (idf broadcast, scan job, fusion broadcast), which is exactly why
+    // the table-input batch form below exists
+    val hybridTexts = Seq(
+      "spark table join merge", "hash group filter sort", "vector scan query",
+      "window order batch line", "stream key value agg", "column part fast slow",
+      "data big small sort", "query filter join scan", "table hash key group",
+      "spark vector window stream")
+    time("hybrid_search_warm") {
+      noop(graft.operators.HybridSearch.hybridSearch(
+        hybridDocs, "doc_id", hti, ivf,
+        queryText = hybridTexts.head,
+        queryVec = graft.queries.QuerySupport.qvecF(0), k = 10))
+    }
+    // batch throughput shape: 50 hybrid queries in ONE declarative plan
+    // (hybridSearchTable) — per-query cost here is what a serving fleet
+    // would amortize to
+    val hybridQs = spark.range(50).select(
+      col("id").cast("int").as("query_idx"),
+      element_at(typedLit(hybridTexts), (col("id") % 10).cast("int") + 1).as("qtext"),
+      udf((i: Int) => graft.queries.QuerySupport.qvecF(i)).apply(col("id").cast("int")).as("qvec"))
+    time("hybrid_table_50q") {
+      noop(graft.operators.HybridSearch.hybridSearchTable(
+        hybridDocs, "doc_id", hti, ivf, hybridQs,
+        "query_idx", "qtext", "qvec", k = 10))
+    }
+    hti.release()
+
     // ---- reference bench workload: 10k seeded vectors, dims {128,256,768}
     // (bench/metal_diskann_bench.sql: the reference benches ALL THREE dims —
     // 10k random, max_degree=64, bc=100, 50 queries x k=10)

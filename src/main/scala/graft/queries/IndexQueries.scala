@@ -722,6 +722,27 @@ object IndexQueries {
         .select(col("doc_id"), col("_bm25_rank").cast("long").as("_bm25_rank"),
           col("_vector_rank").cast("long").as("_vector_rank"))
         .orderBy(col("doc_id"))
+    }),
+
+    // S7 table-input batch form: N hybrid queries fused in ONE plan
+    // (scalar per-query semantics bit-for-bit — HybridSpec asserts
+    // equality against hybridSearch; oracle partitions every rank window
+    // by query_idx)
+    "hybrid_search_table" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val ti = graft.operators.HybridSearch.buildTextIndex(
+        table(s, dir, "documents"), "doc_id", "text")
+      val qs = Seq((0, "spark table join merge", qvecF(1)),
+                   (1, "filter group hash", qvecF(2)),
+                   (2, "vector window stream", qvecF(3)))
+        .toDF("query_idx", "qtext", "qvec")
+      graft.operators.HybridSearch.hybridSearchTable(
+          table(s, dir, "documents"), "doc_id", ti, flatIndex(s, dir), qs,
+          "query_idx", "qtext", "qvec", k = K)
+        .select(col("query_idx"), col("doc_id"),
+          col("_bm25_rank").cast("long").as("_bm25_rank"),
+          col("_vector_rank").cast("long").as("_vector_rank"))
+        .orderBy("query_idx", "doc_id")
     })
   )
 
@@ -1076,6 +1097,66 @@ object IndexQueries {
          |SELECT d.doc_id, CAST(f.bm25_rank AS BIGINT) AS _bm25_rank,
          |  CAST(f.vector_rank AS BIGINT) AS _vector_rank
          |FROM fused f JOIN documents d ON d.doc_id = f.id
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // S7 batch form: the scalar oracle above with every rank window
+    // PARTITION BY query_idx and the query terms/vectors riding in as
+    // VALUES relations
+    "hybrid_search_table" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id,
+         |    [t FOR t IN string_split_regex(lower(text), '[^\\p{L}\\p{Nd}]+') IF len(t) > 0] AS toks
+         |  FROM documents
+         |), qterms(query_idx, term) AS (
+         |  VALUES (CAST(0 AS INTEGER), 'spark'), (0, 'table'), (0, 'join'), (0, 'merge'),
+         |         (1, 'filter'), (1, 'group'), (1, 'hash'),
+         |         (2, 'vector'), (2, 'window'), (2, 'stream')
+         |), qvecs(query_idx, qvec) AS (
+         |  VALUES (CAST(0 AS INTEGER), ${sqlVec(1)}), (1, ${sqlVec(2)}), (2, ${sqlVec(3)})
+         |), postings AS (
+         |  SELECT id, term, count(*) AS tf
+         |  FROM (SELECT id, unnest(toks) AS term FROM toks)
+         |  WHERE term IN (SELECT term FROM qterms)
+         |  GROUP BY id, term
+         |), doclens AS (
+         |  SELECT id, CAST(len(toks) AS DOUBLE) AS dl FROM toks
+         |), stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM doclens
+         |), idf AS (
+         |  SELECT term, ln(((SELECT n FROM stats) - df + 0.5) / (df + 0.5) + 1.0) AS idf
+         |  FROM (SELECT term, count(DISTINCT id) AS df FROM postings GROUP BY term)
+         |), contribs AS (
+         |  SELECT q.query_idx, p.id, p.term,
+         |    i.idf * (p.tf * (1.2 + 1.0))
+         |      / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / (SELECT avgdl FROM stats))) AS contrib
+         |  FROM qterms q JOIN postings p USING (term) JOIN idf i USING (term)
+         |    JOIN doclens d ON d.id = p.id
+         |), bm25 AS (
+         |  SELECT query_idx, id, row_number() OVER (
+         |    PARTITION BY query_idx ORDER BY score DESC, id) AS bm25_rank
+         |  FROM (SELECT query_idx, id, sum(contrib ORDER BY term) AS score
+         |        FROM contribs GROUP BY query_idx, id)
+         |  QUALIFY bm25_rank <= 100
+         |), vec AS (
+         |  SELECT q.query_idx, vec_id AS id, row_number() OVER (
+         |    PARTITION BY q.query_idx
+         |    ORDER BY list_distance($EmbD, q.qvec), vec_id) AS vector_rank
+         |  FROM embeddings CROSS JOIN qvecs q QUALIFY vector_rank <= 100
+         |), fused0 AS (
+         |  SELECT coalesce(b.query_idx, v.query_idx) AS query_idx,
+         |    coalesce(b.id, v.id) AS id,
+         |    (CASE WHEN b.bm25_rank IS NOT NULL THEN 0.3 / (60 + b.bm25_rank) ELSE 0.0 END)
+         |      + (CASE WHEN v.vector_rank IS NOT NULL THEN 0.7 / (60 + v.vector_rank) ELSE 0.0 END) AS rrf,
+         |    coalesce(b.bm25_rank, 0) AS bm25_rank,
+         |    coalesce(v.vector_rank, 0) AS vector_rank
+         |  FROM bm25 b FULL OUTER JOIN vec v ON b.query_idx = v.query_idx AND b.id = v.id
+         |), fused AS (
+         |  SELECT * FROM fused0
+         |  QUALIFY row_number() OVER (PARTITION BY query_idx ORDER BY rrf DESC, id) <= $K
+         |)
+         |SELECT f.query_idx, d.doc_id, CAST(f.bm25_rank AS BIGINT) AS _bm25_rank,
+         |  CAST(f.vector_rank AS BIGINT) AS _vector_rank
+         |FROM fused f JOIN documents d ON d.doc_id = f.id
+         |ORDER BY query_idx, doc_id""".stripMargin
   )
 }

@@ -56,6 +56,60 @@ class HybridSpec extends SparkSpec {
     assert(math.abs(top.getAs[Double]("_rrf_score") - expect) < 1e-12)
   }
 
+  test("materialized build: identical results, postings pinned, release drops pin") {
+    val mti = HybridSearch.buildTextIndex(corpus, "doc_id", "text",
+      materialized = true)
+    try {
+      assert(mti.numDocs == ti.numDocs && mti.avgDl == ti.avgDl)
+      // resident-index pin is live (the serving shape the bench times)
+      assert(mti.postings.storageLevel.useMemory)
+      assert(mti.docLens.storageLevel.useMemory)
+      // the scratch tokens cache must NOT outlive the build
+      val toksPlan = corpus.select(col("doc_id").as("id"),
+        HybridSearch.tokenize(col("text")).as("toks"))
+      assert(toksPlan.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      // same scores as the lazy build
+      val lazyScores = HybridSearch.bm25(ti, Seq("spark", "engine"), 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+      val matScores = HybridSearch.bm25(mti, Seq("spark", "engine"), 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+      assert(matScores == lazyScores)
+    } finally mti.release()
+    assert(mti.postings.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    // post-release queries recompute from lineage, still correct
+    assert(HybridSearch.bm25(mti, Seq("cooking"), 10).collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("hybridSearchTable: per-query results equal the scalar path") {
+    import spark.implicits._
+    val qs = Seq(
+      (0, "spark engine", Array(1f, 0f, 0f, 0f)),
+      (1, "cooking dinner spark", Array(0f, 0f, 1f, 0f)),
+      (2, "zzz_absent_term", Array(0f, 1f, 0f, 0f)), // vector-only query
+      (3, "gardening tips", null.asInstanceOf[Array[Float]]) // bm25-only query
+    ).toDF("query_idx", "qtext", "qvec")
+    val batch = HybridSearch.hybridSearchTable(corpus, "doc_id", ti, idx, qs,
+        "query_idx", "qtext", "qvec", k = 5)
+      .select("query_idx", "doc_id", "_rrf_score", "_bm25_rank", "_vector_rank")
+      .collect()
+      .groupBy(_.getInt(0))
+      .view.mapValues(_.map(r =>
+        (r.getLong(1), r.getDouble(2), r.getInt(3), r.getInt(4))).toSeq).toMap
+    for ((i, text, vec) <- Seq((0, "spark engine", Array(1f, 0f, 0f, 0f)),
+                               (1, "cooking dinner spark", Array(0f, 0f, 1f, 0f)),
+                               (2, "zzz_absent_term", Array(0f, 1f, 0f, 0f)))) {
+      val scalar = HybridSearch.hybridSearch(corpus, "doc_id", ti, idx, text, vec, k = 5)
+        .select("doc_id", "_rrf_score", "_bm25_rank", "_vector_rank").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getInt(3))).toSeq
+      assert(batch(i) == scalar, s"query $i")
+    }
+    // whole-null vector: bm25 modality still answers (scalar drops the row
+    // in searchTable; the full_outer fusion keeps the text side)
+    val q3 = batch(3)
+    assert(q3.nonEmpty && q3.forall(_._4 == 0)) // no vector ranks
+  }
+
   test("cachedTextIndex: off by default (always fresh); opt-in caches per plan") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
