@@ -304,6 +304,31 @@ object AnnSql {
         qText, qVec, k, bm25Weight = bw, vectorWeight = vw))
     }, "scala_udf")
 
+    // hybrid_search_table(TABLE(docs), id_col, text_col, index_name,
+    //   TABLE(queries), qid_col, qtext_col, qvec_col, k[, bm25_w, vec_w])
+    // — the batch form of S7: N hybrid queries in ONE plan (scalar
+    // semantics per query; ~order-of-magnitude cheaper per query than
+    // repeated scalar calls, see HybridSearch.hybridSearchTable)
+    r.createOrReplaceTempFunction("hybrid_search_table", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 9 && exprs.length <= 11,
+        "usage: hybrid_search_table(TABLE(docs), id_col, text_col, index, " +
+          "TABLE(queries), qid_col, qtext_col, qvec_col, k[, bm25_w, vec_w])")
+      val docs = tableArg(spark, exprs(0))
+      val idCol = constString(exprs(1))
+      val textCol = constString(exprs(2))
+      val idx = indexByName(spark, constString(exprs(3)))
+      val queries = tableArg(spark, exprs(4))
+      val qidCol = constString(exprs(5))
+      val qtextCol = constString(exprs(6))
+      val qvecCol = constString(exprs(7))
+      val k = constInt(exprs(8))
+      val bw = if (exprs.length > 9) constNum(exprs(9)).toDouble else 0.3
+      val vw = if (exprs.length > 10) constNum(exprs(10)).toDouble else 0.7
+      val ti = graft.operators.HybridSearch.cachedTextIndex(docs, idCol, textCol)
+      plan(graft.operators.HybridSearch.hybridSearchTable(docs, idCol, ti, idx,
+        queries, qidCol, qtextCol, qvecCol, k, bm25Weight = bw, vectorWeight = vw))
+    }, "scala_udf")
+
     // ann_create_index(name, table_path, id_col, vec_col, engine
     //   [, 'k=v,...'[, index_path]]) → one row (name, engine, num_vectors,
     // dim) — the CREATE INDEX ... USING <engine> WITH (...) DDL analogue

@@ -213,6 +213,28 @@ class AnnSqlSpec extends SparkSpec {
     assert(bm25Ranked.nonEmpty && bm25Ranked.forall(_ % 2 == 0))
   }
 
+  test("SQL TVF hybrid_search_table fuses per query from a query relation") {
+    import spark.implicits._
+    idx
+    AnnSql.register(spark)
+    vecs.map { case (id, v) =>
+      (id, s"document number $id about ${if (id % 2 == 0) "spark joins" else "cats"}", v)
+    }.toDF("id", "text", "embedding").createOrReplaceTempView("sql_docs_b")
+    Seq((0, "spark joins", Array(0.5f, 0.5f, 0.5f)),
+        (1, "cats", Array(0.1f, 0.9f, 0.1f)))
+      .toDF("qid", "qtext", "qvec").createOrReplaceTempView("sql_hq")
+    val rows = spark.sql(
+      """SELECT qid, id, _bm25_rank, _vector_rank FROM hybrid_search_table(
+        |  TABLE(sql_docs_b), 'id', 'text', 'sql_idx',
+        |  TABLE(sql_hq), 'qid', 'qtext', 'qvec', 5)""".stripMargin).collect()
+    assert(rows.count(_.getInt(0) == 0) == 5 && rows.count(_.getInt(0) == 1) == 5)
+    // per-query modality split: q0's bm25 hits are even ids, q1's odd
+    assert(rows.filter(r => r.getInt(0) == 0 && r.getInt(2) > 0)
+      .forall(_.getLong(1) % 2 == 0))
+    assert(rows.filter(r => r.getInt(0) == 1 && r.getInt(2) > 0)
+      .forall(_.getLong(1) % 2 == 1))
+  }
+
   test("SQL TVF ann_drop_index removes the catalog entry and the dataset") {
     import spark.implicits._
     AnnSql.register(spark)
