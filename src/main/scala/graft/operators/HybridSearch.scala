@@ -83,9 +83,14 @@ object HybridSearch {
                      materialized: Boolean = false): TextIndex = {
     val toksRaw = docs.select(col(idCol).as("id"), tokenize(col(textCol)).as("toks"))
     val toks = if (materialized) toksRaw.persist() else toksRaw
+    // the posting carries its doc's length (classic inverted-index norm-in-
+    // posting design): dl is constant within a (term, id) group, so it
+    // rides through the explode for free — and scoring then needs NO join
+    // against the n-row doc-length relation per query
     val postings0 = toks
-      .select(col("id"), explode(col("toks")).as("term"))
-      .groupBy("term", "id").agg(count(lit(1)).as("tf"))
+      .select(col("id"), size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("term", "id").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
     val docLens0 = toks.select(col("id"), size(col("toks")).cast("double").as("dl"))
     val postings = if (materialized) postings0.persist() else postings0
     val docLens = if (materialized) docLens0.persist() else docLens0
@@ -109,9 +114,12 @@ object HybridSearch {
     val df = matched.groupBy("term").agg(countDistinct("id").as("df"))
     val idf = df.withColumn("idf",
       log((lit(ti.numDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-    val scored = matched
-      .join(broadcast(idf), "term")
-      .join(ti.docLens, "id")
+    // norm-in-posting: dl already rides in the posting rows (buildTextIndex);
+    // only a hand-assembled TextIndex without it pays the doc-length join
+    val withDl =
+      if (matched.columns.contains("dl")) matched.join(broadcast(idf), "term")
+      else matched.join(broadcast(idf), "term").join(ti.docLens, "id")
+    val scored = withDl
       .withColumn("contrib",
         col("idf") * (col("tf") * (k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / ti.avgDl)))
@@ -202,10 +210,12 @@ object HybridSearch {
     val dfIdf = matched.groupBy("term").agg(countDistinct("id").as("df"))
       .withColumn("idf",
         log((lit(ti.numDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+    val matchedDl =
+      if (matched.columns.contains("dl")) matched
+      else matched.join(ti.docLens, "id")
     val contribs = qTerms
-      .join(matched, "term")
+      .join(matchedDl, "term")
       .join(broadcast(dfIdf.select("term", "idf")), "term")
-      .join(ti.docLens, "id")
       .withColumn("contrib",
         col("idf") * (col("tf") * (k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / ti.avgDl)))

@@ -79,6 +79,40 @@ object ScaleSmoke {
     // pinned indexes built lazily inside a line's first (warm) invocation;
     // released at the end of that scale's timeAll pass
     val pinnedIdxs = scala.collection.mutable.ArrayBuffer.empty[graft.index.AnnIndex]
+    val pinnedFts = scala.collection.mutable.ArrayBuffer
+      .empty[graft.operators.HybridSearch.TextIndex]
+
+    // batch hybrid serving shape: resident FTS postings + pinned ANN index,
+    // 50 hybrid queries fused in ONE plan (HybridSearch.hybridSearchTable).
+    // Growth should track matched-posting volume (the hot terms' lists grow
+    // linearly with n), never the all-terms corpus.
+    def hybridLine(docs: DataFrame, vecs: DataFrame): (String, () => Unit) =
+      "hybrid_table_50q" -> {
+        var ti: graft.operators.HybridSearch.TextIndex = null
+        var idx: graft.index.AnnIndex = null
+        () => {
+          if (ti == null) {
+            ti = graft.operators.HybridSearch.buildTextIndex(
+              docs, "doc_id", "text", materialized = true)
+            pinnedFts += ti
+            rep += 1
+            idx = graft.index.AnnIndexManager.create(spark, s"scale_hyb_$rep", vecs,
+              "vec_id", "vec", "IVF",
+              Map("metric" -> "l2", "nlist" -> "64", "nprobe" -> "8"), s"$tmp/hyb$rep")
+            idx.persist()
+            pinnedIdxs += idx
+          }
+          // 3 vocabulary terms per query, mixing hot (zipf head) and rarer ids
+          val qs = spark.range(50).select(
+            col("id").cast("int").as("qid"),
+            concat(lit("w"), (col("id") * 7 % 100).cast("string"),
+              lit(" w"), ((col("id") * 13 + 1) % 1000).cast("string"),
+              lit(" w"), ((col("id") * 29 + 2) % 5000).cast("string")).as("qtext"),
+            genVec(col("id") + 800000L, lit(64)).as("qvec"))
+          noop(graft.operators.HybridSearch.hybridSearchTable(
+            docs, "doc_id", ti, idx, qs, "qid", "qtext", "qvec", 10))
+        }
+      }
 
     // each line: (name, docs => unit) or vector workloads below
     def lines(docs: DataFrame, vecs: DataFrame, tag: String): Seq[(String, () => Unit)] = Seq(
@@ -142,7 +176,8 @@ object ScaleSmoke {
             queryIdCol = Some("qid")))
           finally spark.conf.unset("spark.ann.graphTableStrategy")
         }
-      }
+      },
+      hybridLine(docs, vecs)
     )
 
     def timeAll(n: Int, tag: String): Seq[(String, Double)] = {
@@ -162,6 +197,8 @@ object ScaleSmoke {
       docs.unpersist(); vecs.unpersist()
       pinnedIdxs.foreach(_.unpersist())
       pinnedIdxs.clear()
+      pinnedFts.foreach(_.release())
+      pinnedFts.clear()
       out
     }
 
@@ -233,7 +270,8 @@ object ScaleSmoke {
               queryIdCol = Some("qid")))
             finally spark.conf.unset("spark.ann.graphTableStrategy")
           }
-        }
+        },
+        hybridLine(docs, vecs)
       )
       val out = entries.map { case (name, f) =>
         f() // warm
@@ -246,6 +284,8 @@ object ScaleSmoke {
       docs.unpersist(); vecs.unpersist()
       pinnedIdxs.foreach(_.unpersist())
       pinnedIdxs.clear()
+      pinnedFts.foreach(_.release())
+      pinnedFts.clear()
       out
     }
     val big = args.contains("big")
