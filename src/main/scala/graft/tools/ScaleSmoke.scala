@@ -323,6 +323,14 @@ object ScaleSmoke {
     sb.append("repeat call pays per-shard beam work + a bounded top-k merge, not\n")
     sb.append("index re-shuffles — the resident-index semantics the reference gets\n")
     sb.append("from one long-lived in-memory index.\n")
+    sb.append("\n`hybrid_table_50q` is 50 BM25+vector queries fused in ONE plan\n")
+    sb.append("(hybridSearchTable) against resident postings + a pinned IVF index.\n")
+    sb.append("Its growth tracks MATCHED-POSTING volume: the zipf-head query terms'\n")
+    sb.append("posting lists grow linearly with n and exact BM25 must score every\n")
+    sb.append("posting of a query term (the reference's FTS extension pays the\n")
+    sb.append("same), while the per-call fixed costs (query tokenize, idf, fusion,\n")
+    sb.append("doc fetch) amortize across the batch. Postings carry their doc-\n")
+    sb.append("length norm, so scoring never joins the n-row doc-length relation.\n")
 
     sb.append("\n## Why `neardup_lsh` grows >10x above: fixed bucket count\n\n")
     sb.append("The table keeps bits=12 (4096 buckets) at BOTH scales, so expected\n")
