@@ -388,7 +388,17 @@ object ScaleSmoke {
       sb.append("small fraction of the build.\n")
     }
     val outPath = args.drop(1).find(_ != "big").getOrElse("SCALE.md") // cwd of the sbt run
-    Files.writeString(java.nio.file.Paths.get(outPath), sb.toString)
+    // PRESERVE sections other tools append below the growth tables
+    // (SpillPressure's pressure proof, RecallAtScale's recall table) — a
+    // regeneration must never silently drop committed evidence
+    val outP = java.nio.file.Paths.get(outPath)
+    val keepFrom = Seq("## Spill tier under memory pressure", "## Recall@10")
+    if (Files.exists(outP)) {
+      val prev = Files.readString(outP)
+      keepFrom.flatMap(m => Option(prev.indexOf(m)).filter(_ >= 0)).sorted.headOption
+        .foreach(i => sb.append("\n").append(prev.substring(i)))
+    }
+    Files.writeString(outP, sb.toString)
     println(s"WROTE SCALE.md; worst ratio $worst")
     spark.stop()
   }
