@@ -110,6 +110,38 @@ class HybridSpec extends SparkSpec {
     assert(q3.nonEmpty && q3.forall(_._4 == 0)) // no vector ranks
   }
 
+  test("hybridSearchTable equals scalar on randomized corpora (seeded)") {
+    import spark.implicits._
+    for (seed <- Seq(11, 23, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+        "eta", "theta", "iota", "kappa", "lambda", "mu")
+      def text() = Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+      def vec() = Array.fill(4)(rnd.nextFloat() * 2f - 1f)
+      val docsSeq = (1L to 80L).map(i =>
+        (i, if (rnd.nextInt(10) == 0) "" else text(), vec()))
+      val docsDf = docsSeq.toDF("doc_id", "text", "embedding")
+      val rti = HybridSearch.buildTextIndex(docsDf, "doc_id", "text")
+      val ridx = AnnIndexManager.create(spark, s"h_rand_$seed", docsDf,
+        "doc_id", "embedding", "FLAT", Map("metric" -> "l2"), s"$tmp/h_rand_$seed")
+      val qSeq = (0 until 5).map(i => (i, text(), vec()))
+      val batch = HybridSearch.hybridSearchTable(docsDf, "doc_id", rti, ridx,
+          qSeq.toDF("query_idx", "qtext", "qvec"), "query_idx", "qtext", "qvec", k = 7)
+        .select("query_idx", "doc_id", "_rrf_score", "_bm25_rank", "_vector_rank")
+        .collect()
+        .groupBy(_.getInt(0))
+        .view.mapValues(_.map(r =>
+          (r.getLong(1), r.getDouble(2), r.getInt(3), r.getInt(4))).toSeq).toMap
+      for ((i, qt, qv) <- qSeq) {
+        val scalar = HybridSearch.hybridSearch(docsDf, "doc_id", rti, ridx, qt, qv, k = 7)
+          .select("doc_id", "_rrf_score", "_bm25_rank", "_vector_rank").collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getInt(3))).toSeq
+        assert(batch.getOrElse(i, Nil) == scalar, s"seed $seed query $i")
+      }
+    }
+  }
+
   test("cachedTextIndex: off by default (always fresh); opt-in caches per plan") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
