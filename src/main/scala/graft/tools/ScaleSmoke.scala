@@ -96,9 +96,14 @@ object ScaleSmoke {
               docs, "doc_id", "text", materialized = true)
             pinnedFts += ti
             rep += 1
+            // vector side follows the IVF scale contract (nlist ~ sqrt n,
+            // like ivf_build_search50's big section) so the line measures
+            // the hybrid fusion + BM25 scoring, not an off-contract scan
+            val nlist = math.max(64, math.sqrt(vecs.count().toDouble).toInt)
             idx = graft.index.AnnIndexManager.create(spark, s"scale_hyb_$rep", vecs,
               "vec_id", "vec", "IVF",
-              Map("metric" -> "l2", "nlist" -> "64", "nprobe" -> "8"), s"$tmp/hyb$rep")
+              Map("metric" -> "l2", "nlist" -> nlist.toString, "nprobe" -> "8"),
+              s"$tmp/hyb$rep")
             idx.persist()
             pinnedIdxs += idx
           }
