@@ -232,6 +232,30 @@ object AnnSql {
         withVecs, "id", idx.meta.vecCol, "_distance", k, lambda))
     }, "scala_udf")
 
+    // ann_mmr_table(table_name, index_name, TABLE(queries), qid_col,
+    //   qvec_col, k[, lambda[, oversample]]) → (qid, rank, id, mmr_score):
+    // grouped MMR — per-query candidate pools from the table-input search,
+    // greedy-selected executor-side (queries fan out, nothing collects)
+    r.createOrReplaceTempFunction("ann_mmr_table", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 6 && exprs.length <= 8,
+        "usage: ann_mmr_table(table, index, TABLE(queries), qid_col, qvec_col, " +
+          "k[, lambda[, oversample]])")
+      val base = spark.table(constString(exprs(0)))
+      val idx = indexByName(spark, constString(exprs(1)))
+      val queries = tableArg(spark, exprs(2))
+      val qidCol = constString(exprs(3))
+      val qvecCol = constString(exprs(4))
+      val k = constInt(exprs(5))
+      val lambda = if (exprs.length > 6) constNum(exprs(6)).toDouble else 0.7
+      val os = if (exprs.length > 7) constInt(exprs(7)) else 4
+      val hits = graft.operators.AnnSearch.searchTable(idx, queries,
+        k * math.max(1, os), queryVecCol = Some(qvecCol), queryIdCol = Some(qidCol))
+      val withVecs = hits.join(
+        base.select(base(idx.meta.idCol).as("id"), base(idx.meta.vecCol)), "id")
+      plan(graft.operators.Diversify.mmrTable(
+        withVecs, qidCol, "id", idx.meta.vecCol, "_distance", k, lambda))
+    }, "scala_udf")
+
     // ann_recall(index_name, array(array(...), ...), k[, search_param])
     // → (query_idx, hits, k, recall): recall@k of the given knob vs exact
     // exhaustive ground truth over the stored rows (tuning harness)

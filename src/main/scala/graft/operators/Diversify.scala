@@ -44,9 +44,18 @@ object Diversify {
     require(rows.length <= maxPool,
       s"MMR pool exceeds $maxPool rows — bound the candidate set " +
         "(k*oversample search results), MMR is a re-rank, not a scan")
-    val ids = rows.map(_.getLong(0))
-    val vecs = rows.map(_.getSeq[Float](1).toArray)
-    val dists = rows.map(_.getDouble(2))
+    val sel = mmrCore(rows.map(_.getLong(0)),
+      rows.map(_.getSeq[Float](1).toArray),
+      rows.map(_.getDouble(2)), k, lambda)
+    toDf(spark, sel)
+  }
+
+  /** The greedy selection over one materialized pool — shared verbatim by
+    * the scalar (driver-side) and per-query grouped (executor-side) forms,
+    * so both produce bit-identical selections. */
+  private def mmrCore(ids: Array[Long], vecs: Array[Array[Float]],
+                      dists: Array[Double], k: Int,
+                      lambda: Double): Seq[(Long, Double)] = {
     // NaN distances stay NaN through normalization (their scores then never
     // win a > comparison below, so they're skipped); min/max over finite
     // values only, else one NaN would degrade every rel to the 1.0 branch.
@@ -55,7 +64,7 @@ object Diversify {
     val rel = dists.map(d =>
       if (d.isNaN) Double.NaN
       else if (dMax > dMin) (dMax - d) / (dMax - dMin) else 1.0)
-    val n = rows.length
+    val n = ids.length
     val norms = vecs.map(v => math.sqrt(VectorKernels.dot(v, v)))
     def cos(i: Int, j: Int): Double = {
       val d = norms(i) * norms(j)
@@ -98,7 +107,45 @@ object Diversify {
       }
       }
     }
-    toDf(spark, selected.toSeq.map { case (i, s) => (ids(i), s) })
+    selected.toSeq.map { case (i, s) => (ids(i), s) }
+  }
+
+  /** Per-query grouped MMR: one bounded candidate pool per query id
+    * (e.g. `ann_search_table` output joined to vectors), greedy-selected
+    * INSIDE the executor task that owns the group — queries fan out across
+    * the cluster, nothing collects to the driver. The per-pool selection
+    * is [[mmrCore]], so each query's result equals the scalar [[mmr]] of
+    * its pool exactly.
+    *
+    * @param candidates (qidCol, idCol, vecCol, distCol); qid and id must
+    *                   cast to long
+    * @return (qid, rank, id, mmr_score) — rank 1-based per query */
+  def mmrTable(candidates: DataFrame, qidCol: String, idCol: String,
+               vecCol: String, distCol: String, k: Int, lambda: Double = 0.7,
+               maxPool: Int = 65536): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    candidates
+      .select(col(qidCol).cast("long"), col(idCol).cast("long"),
+        col(vecCol), col(distCol).cast("double"))
+      .as[(Long, Long, Seq[Float], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Float], Double)]
+        while (it.hasNext) {
+          require(buf.length < maxPool,
+            s"MMR pool for query $qid exceeds $maxPool rows — bound the " +
+              "candidate set (k*oversample search results) per query")
+          val r = it.next()
+          buf += ((r._2, r._3, r._4))
+        }
+        mmrCore(buf.map(_._1).toArray, buf.map(_._2.toArray).toArray,
+            buf.map(_._3).toArray, k, lambda)
+          .iterator.zipWithIndex
+          .map { case ((id, s), r) => (qid, r + 1L, id, s) }
+      }
+      .toDF("qid", "rank", "id", "mmr_score")
   }
 
   private def toDf(spark: SparkSession, sel: Seq[(Long, Double)]): DataFrame = {

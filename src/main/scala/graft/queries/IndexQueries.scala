@@ -444,6 +444,25 @@ object IndexQueries {
         .orderBy("rank")
     }),
 
+    // grouped MMR at lambda=1 over a TABLE of queries: per-query pools
+    // re-rank executor-side (Diversify.mmrTable shares mmrCore with the
+    // scalar form), and with zero redundancy weight each query's selection
+    // provably degenerates to ascending (distance, id) — a strict
+    // per-query oracle for the whole grouped plumbing. General-lambda
+    // equivalence with the scalar path is contracted in DiversifySpec.
+    "ann_mmr_table_lambda1" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val hits = graft.operators.AnnSearch.searchTable(
+        flatIndex(s, dir), Seq((0L, qvecF(22)), (1L, qvecF(23))).toDF("qid", "qvec"),
+        K * 4, queryIdCol = Some("qid"))
+      val withVecs = hits.join(
+        emb(s, dir).select(col("vec_id").as("id"), col("embedding")), "id")
+      graft.operators.Diversify.mmrTable(withVecs, "qid", "id", "embedding",
+          "_distance", K, lambda = 1.0)
+        .select(col("qid").as("query_idx"), col("rank"), col("id").as("vec_id"))
+        .orderBy("query_idx", "rank")
+    }),
+
     // exhaustive probing over a REBALANCED cell set stays exact — the
     // strict oracle pins that splitting cells moves rows without losing,
     // duplicating, or re-ranking any of them.
@@ -879,6 +898,17 @@ object IndexQueries {
     "ann_vamana_topk" -> bruteForceTopK(9),
     "ann_hnsw_topk" -> bruteForceTopK(10),
     "ann_mmr_lambda1" -> bruteForceTopK(22),
+
+    // grouped lambda=1 MMR = per-query brute-force rank order
+    "ann_mmr_table_lambda1" ->
+      s"""SELECT query_idx, rank, vec_id FROM (
+         |  SELECT qv.query_idx, e.vec_id, CAST(row_number() OVER (
+         |    PARTITION BY qv.query_idx
+         |    ORDER BY list_distance($EmbD, qv.qvec), e.vec_id) AS BIGINT) AS rank
+         |  FROM embeddings e CROSS JOIN (VALUES
+         |    (CAST(0 AS BIGINT), ${sqlVec(22)}),
+         |    (1, ${sqlVec(23)})) qv(query_idx, qvec)) t
+         |WHERE rank <= $K ORDER BY query_idx, rank""".stripMargin,
     "sql_index_scan" -> bruteForceTopK(11),
 
     "ann_cosine_topk" ->

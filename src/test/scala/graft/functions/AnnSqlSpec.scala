@@ -235,6 +235,27 @@ class AnnSqlSpec extends SparkSpec {
       .forall(_.getLong(1) % 2 == 1))
   }
 
+  test("SQL TVF ann_mmr_table re-ranks per query from a query relation") {
+    import spark.implicits._
+    idx
+    AnnSql.register(spark)
+    vecs.toDF("id", "embedding").createOrReplaceTempView("sql_mmr_base")
+    Seq((0L, Array(0.5f, 0.5f, 0.5f)), (1L, Array(0.9f, 0.1f, 0.0f)))
+      .toDF("qid", "qvec").createOrReplaceTempView("sql_mmr_q")
+    val rows = spark.sql(
+      """SELECT qid, rank, id FROM ann_mmr_table(
+        |  'sql_mmr_base', 'sql_idx', TABLE(sql_mmr_q), 'qid', 'qvec', 3, 1.0)
+        |ORDER BY qid, rank""".stripMargin).collect()
+    assert(rows.count(_.getLong(0) == 0L) == 3 && rows.count(_.getLong(0) == 1L) == 3)
+    // lambda=1 = pure relevance: rank order equals ascending distance per query
+    for ((qid, q) <- Seq(0L -> Array(0.5f, 0.5f, 0.5f), 1L -> Array(0.9f, 0.1f, 0.0f))) {
+      val got = rows.filter(_.getLong(0) == qid).sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+      val want = vecs.sortBy { case (id, v) =>
+        (VectorKernels.l2Sq(q, v), id) }.take(3).map(_._1).toSeq
+      assert(got == want, s"qid=$qid")
+    }
+  }
+
   test("SQL TVF ann_drop_index removes the catalog entry and the dataset") {
     import spark.implicits._
     AnnSql.register(spark)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class DiversifySpec extends SparkSpec {
 
@@ -78,5 +79,35 @@ class DiversifySpec extends SparkSpec {
       k = 2, lambda = 0.3).collect().map(_.getLong(1)).toSet
     assert(!(picked.contains(7L) && picked.contains(999L)),
       s"exact duplicates must not fill both diversity slots: $picked")
+  }
+
+  test("mmrTable: per-query results equal scalar mmr of each pool (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // three queries with pools of different sizes, random centered vectors
+    val rows = for {
+      qid <- 0L to 2L
+      i <- 0 until (8 + qid.toInt * 5)
+    } yield (qid, qid * 1000L + i,
+      Array.fill(6)(rnd.nextFloat() * 2f - 1f), rnd.nextDouble() * 4)
+    val df = rows.toDF("qid", "id", "vec", "d")
+    for (lambda <- Seq(0.0, 0.5, 1.0)) {
+      val batch = Diversify.mmrTable(df, "qid", "id", "vec", "d", k = 5, lambda)
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.sortBy(_.getLong(1))
+          .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq).toMap
+      for (qid <- 0L to 2L) {
+        val scalar = Diversify.mmr(df.filter(col("qid") === qid),
+            "id", "vec", "d", k = 5, lambda)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        assert(batch(qid) == scalar, s"lambda=$lambda qid=$qid")
+      }
+    }
+    // per-group pool bound is enforced executor-side
+    val e = intercept[org.apache.spark.SparkException] {
+      Diversify.mmrTable(df, "qid", "id", "vec", "d", k = 2, maxPool = 3).collect()
+    }
+    assert(e.getMessage.contains("pool") ||
+      Option(e.getCause).exists(_.getMessage.contains("pool")))
   }
 }
