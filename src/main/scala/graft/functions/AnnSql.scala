@@ -170,6 +170,23 @@ object AnnSql {
       plan(indexByName(spark, name).rangeScan(q, radius, sp))
     }, "scala_udf")
 
+    // ann_range_search_table(TABLE(queries), index_name, radius
+    //   [, qid_col, qvec_col]) → (qid, id, _distance): batch range — every
+    // index row within radius of each query row, per-query cell-pruned on
+    // IVF/l2 (AnnSearch.rangeTable)
+    r.createOrReplaceTempFunction("ann_range_search_table", (exprs: Seq[Expression]) => {
+      require(exprs.length == 3 || exprs.length == 5,
+        "usage: ann_range_search_table(TABLE(queries), index, radius[, qid_col, qvec_col])")
+      val queries = tableArg(spark, exprs(0))
+      val idx = indexByName(spark, constString(exprs(1)))
+      val radius = constNum(exprs(2)).toDouble
+      val (qid, qvec) =
+        if (exprs.length == 5) (Some(constString(exprs(3))), Some(constString(exprs(4))))
+        else (None, None)
+      plan(graft.operators.AnnSearch.rangeTable(idx, queries, radius,
+        queryVecCol = qvec, queryIdCol = qid))
+    }, "scala_udf")
+
     // ann_search(table_name, index_name, query_vec, k[, oversample]) →
     // base-table rows fetched through the broadcast join-back (S3,
     // reference convenience fn src/ann_search.cpp:31-195)

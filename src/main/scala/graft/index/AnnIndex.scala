@@ -348,6 +348,40 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       .orderBy(col("_distance"), col("id"))
   }
 
+  /** Table-input range search: every (query, row) pair within `radius`
+    * (engine distance scale, squared-L2 for l2) — the batch form of
+    * [[rangeScan]], fully distributed on both sides. IVF/l2 with tracked
+    * cell radii prunes PER QUERY via the same triangle inequality as
+    * [[rangeProbeLists]], as a join against the broadcast nlist-row
+    * centroid table (exact — radii are maintained upper bounds); other
+    * engines/metrics score exhaustively, which is the irreducible work
+    * without cell bounds (graph adjacency gives top-k guidance, not
+    * radius certificates).
+    *
+    * @param queries exactly (__qid, __qvec float[]) — already prepped
+    *                (cosine-normalized, nulls handled) by the caller
+    * @return (__qid, id, _distance), unordered */
+  private[graft] def rangeScanTable(queries: DataFrame, radius: Double): DataFrame = {
+    import graft.functions.AnnFunctions.l2_distance_sq
+    val prunable = meta.engine == "IVF" && meta.metric == "l2" &&
+      centroidsDf.columns.contains("radius")
+    val pairs =
+      if (prunable) {
+        val rQ = math.sqrt(math.max(radius, 0.0))
+        val cents = centroidsDf.select(col("list_id"),
+          col("centroid").as("__cent"), col("radius").as("__crad"))
+        val qCells = queries.join(broadcast(cents),
+            sqrt(l2_distance_sq(col("__qvec"), col("__cent")))
+              <= lit(rQ) + col("__crad") + lit(1e-9))
+          .select(col("__qid"), col("__qvec"), col("list_id"))
+        live.join(qCells, Seq("list_id"))
+      } else live.crossJoin(queries)
+    pairs
+      .withColumn("_distance", distColumn(col(dataVecCol), col("__qvec")))
+      .filter(col("_distance") <= radius)
+      .select("__qid", "id", "_distance")
+  }
+
   /** Cells a within-`radius` match can live in. l2 with tracked radii →
     * triangle-inequality prune (exact — radii are maintained upper
     * bounds: create computes them, insert extends, deletes only shrink

@@ -253,6 +253,32 @@ object AnnSearch {
     candidates.withColumn("_distance", d)
   }
 
+  /** Table-input range search — the batch form of [[AnnIndex.rangeScan]]:
+    * for every query row, every index row within `radius` (engine distance
+    * scale). Same query-edge contract as [[searchTable]] (whole-null query
+    * vectors drop, null elements become NaN distances and thus never pass
+    * the radius filter, cosine queries normalize); IVF/l2 prunes cells per
+    * query via the broadcast centroid table (exact), other engines score
+    * exhaustively.
+    *
+    * @return (queryIdCol, id, _distance) ordered by (query, distance, id) */
+  def rangeTable(idx: AnnIndex, queries: DataFrame, radius: Double,
+                 queryVecCol: Option[String] = None,
+                 queryIdCol: Option[String] = None): DataFrame = {
+    val vecColName = queryVecCol.getOrElse(detectVectorCol(queries.schema))
+    val (qin0, qidCol) = queryIdCol match {
+      case Some(c) => (queries, c)
+      case None => (queries.withColumn("__qid", monotonically_increasing_id()), "__qid")
+    }
+    val qin = qin0.filter(col(vecColName).isNotNull)
+    val qvecRaw = vector_nonnull(col(vecColName))
+    val qvec = if (idx.meta.metric == "cosine") normalize_vector(qvecRaw) else qvecRaw
+    val qkeys = qin.select(col(qidCol).as("__qid"), qvec.as("__qvec"))
+    idx.rangeScanTable(qkeys, radius)
+      .withColumnRenamed("__qid", qidCol)
+      .orderBy(col(qidCol), col("_distance"), col("id"))
+  }
+
   /** Filtered ANN search via overfetch-and-post-filter — the capability the
     * reference documents but never implements (README.md:164 "3x+100",
     * `ann_overfetch_multiplier` registered but unread,

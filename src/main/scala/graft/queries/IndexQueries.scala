@@ -291,6 +291,21 @@ object IndexQueries {
     "ann_range_ivf" -> ((s: SparkSession, dir: String) =>
       ranked(ivfIndex(s, dir).rangeScan(qvecF(5), 8.5))),
 
+    // batch range: a TABLE of queries, per-query triangle-inequality cell
+    // prune against the broadcast centroid table — exact, strict per-query
+    // oracle (AnnSearch.rangeTable)
+    "ann_range_table" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val res = graft.operators.AnnSearch.rangeTable(
+        ivfIndex(s, dir), Seq((0L, qvecF(5)), (1L, qvecF(6))).toDF("query_idx", "qvec"),
+        8.5, queryVecCol = Some("qvec"), queryIdCol = Some("query_idx"))
+      res.withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_idx"))
+            .orderBy(col("_distance"), col("id"))).cast("long"))
+        .select(col("query_idx"), col("rank"), col("id").as("vec_id"))
+        .orderBy("query_idx", "rank")
+    }),
+
     // S5: table-input search — queries from a relation (first 4 embeddings
     // querying themselves), input key passthrough, exact via FLAT.
     "ann_search_table" -> ((s: SparkSession, dir: String) => {
@@ -825,6 +840,18 @@ object IndexQueries {
     "ann_ivf_adaptive_exact" -> bruteForceTopK(6),
     "ann_range" -> bruteForceRange(5, 8.5),
     "ann_range_vamana" -> bruteForceRange(5, 8.5),
+
+    // batch range = per-query brute-force radius filter
+    "ann_range_table" ->
+      s"""SELECT query_idx, rank, vec_id FROM (
+         |  SELECT qv.query_idx, e.vec_id,
+         |    CAST(row_number() OVER (PARTITION BY qv.query_idx
+         |      ORDER BY list_distance($EmbD, qv.qvec), e.vec_id) AS BIGINT) AS rank,
+         |    power(list_distance($EmbD, qv.qvec), 2) AS d
+         |  FROM embeddings e CROSS JOIN (VALUES
+         |    (CAST(0 AS BIGINT), ${sqlVec(5)}),
+         |    (1, ${sqlVec(6)})) qv(query_idx, qvec)) t
+         |WHERE d <= 8.5 ORDER BY query_idx, rank""".stripMargin,
     "ann_range_ivf" -> bruteForceRange(5, 8.5),
     "ann_search_fetch" -> bruteForceTopK(7, extraCols = ", label"),
     "ann_pq_rerank" -> bruteForceTopK(8),

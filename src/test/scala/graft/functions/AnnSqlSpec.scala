@@ -235,6 +235,24 @@ class AnnSqlSpec extends SparkSpec {
       .forall(_.getLong(1) % 2 == 1))
   }
 
+  test("SQL TVF ann_range_search_table returns per-query radius matches") {
+    import spark.implicits._
+    idx
+    AnnSql.register(spark)
+    Seq((0L, Array(0.5f, 0.5f, 0.5f)), (1L, Array(-9f, -9f, -9f)))
+      .toDF("qid", "qvec").createOrReplaceTempView("sql_range_q")
+    val rows = spark.sql(
+      """SELECT qid, id, _distance FROM ann_range_search_table(
+        |  TABLE(sql_range_q), 'sql_idx', 0.1, 'qid', 'qvec')""".stripMargin).collect()
+    // far-away query matches nothing; near query's matches obey the radius
+    assert(rows.forall(_.getLong(0) == 0L))
+    assert(rows.nonEmpty && rows.forall(_.getDouble(2) <= 0.1))
+    val want = vecs.map { case (id, v) =>
+      (id, VectorKernels.l2Sq(Array(0.5f, 0.5f, 0.5f), v).toDouble) }
+      .filter(_._2 <= 0.1).map(_._1).toSet
+    assert(rows.map(_.getLong(1)).toSet == want)
+  }
+
   test("SQL TVF ann_mmr_table re-ranks per query from a query relation") {
     import spark.implicits._
     idx

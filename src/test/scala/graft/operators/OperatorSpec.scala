@@ -52,6 +52,34 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("rangeTable: per-query results equal scalar rangeScan (FLAT + pruned IVF)") {
+    import spark.implicits._
+    val qs = Seq((0L, vecs(0)._3), (1L, vecs(150)._3), (2L, vecs(299)._3))
+    val queries = qs.toDF("qid", "qvec")
+    val radius = 2.5
+    for (idx <- Seq(flat, ivf)) {
+      val batch = AnnSearch.rangeTable(idx, queries, radius,
+          queryVecCol = Some("qvec"), queryIdCol = Some("qid"))
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSeq.sorted).toMap
+      for ((qid, q) <- qs) {
+        val scalar = idx.rangeScan(q, radius).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+        assert(scalar.nonEmpty, s"fixture radius too small for qid=$qid")
+        assert(batch.getOrElse(qid, Nil) == scalar, s"engine=${idx.meta.engine} qid=$qid")
+      }
+    }
+    // whole-null query vector drops; null ELEMENT yields NaN distances that
+    // never pass the radius filter — both edge rows vanish from the output
+    val edge = Seq((9L, null.asInstanceOf[Array[Float]]))
+      .toDF("qid", "qvec")
+      .union(Seq(0).toDF("x").select(lit(10L).as("qid"),
+        array(lit(null.asInstanceOf[java.lang.Float]), lit(0f), lit(0f), lit(0f),
+          lit(0f), lit(0f), lit(0f), lit(0f)).cast("array<float>").as("qvec")))
+    assert(AnnSearch.rangeTable(flat, edge, radius,
+      queryVecCol = Some("qvec"), queryIdCol = Some("qid")).count() == 0)
+  }
+
   test("searchTable over IVF with auto-detected vector column and generated qid") {
     import spark.implicits._
     val queries = Seq.tabulate(5)(i => Tuple1(vecs(i * 50)._3)).toDF("anon_vec")
