@@ -24,9 +24,10 @@ def main(sf_dir, out_dir, resume_after=None):
         name = p.split("/")[-1].replace(".parquet", "")
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for qname, sql in sorted(oracle.items()):
         if resume_after is not None and qname <= resume_after:
+            n_skip += 1
             continue
         try:
             want = con.execute(sql).fetch_arrow_table()
@@ -60,7 +61,13 @@ def main(sf_dir, out_dir, resume_after=None):
         flag = f"  [type-diff {tdiff}]" if tdiff else ""
         print(f"PASS {qname} ({len(want)} rows){flag}")
         n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail")
+    if n_skip:
+        # a resumed run is PARTIAL verification — make that impossible to
+        # mistake for a full green run
+        print(f"== !! PARTIAL RUN: skipped {n_skip} queries <= '{resume_after}' "
+              f"(resume) — totals below cover only the remainder !!")
+    print(f"== {n_pass} pass, {n_fail} fail"
+          + (f" ({n_skip} skipped via resume — NOT a full verification)" if n_skip else ""))
     return 1 if n_fail else 0
 
 if __name__ == "__main__":

@@ -267,7 +267,11 @@ object AnnSql {
       val os = if (exprs.length > 7) constInt(exprs(7)) else 4
       val hits = graft.operators.AnnSearch.searchTable(idx, queries,
         k * math.max(1, os), queryVecCol = Some(qvecCol), queryIdCol = Some(qidCol))
-      val withVecs = hits.join(
+      // hits passes ALL query-relation columns through; project down to
+      // (qid, id, _distance) BEFORE joining base vectors, else a query
+      // relation whose vector column shares the index vecCol's name (both
+      // 'embedding', say) makes the col(vecCol) reference below ambiguous
+      val withVecs = hits.select(qidCol, "id", "_distance").join(
         base.select(base(idx.meta.idCol).as("id"), base(idx.meta.vecCol)), "id")
       plan(graft.operators.Diversify.mmrTable(
         withVecs, qidCol, "id", idx.meta.vecCol, "_distance", k, lambda))

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.VectorKernels
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit, raise_error, when}
 
 /** Maximal Marginal Relevance (MMR, Carbonell & Goldstein SIGIR'98): re-rank
   * a candidate pool so results balance query relevance against redundancy —
@@ -126,8 +126,19 @@ object Diversify {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
     val spark = candidates.sparkSession
     import spark.implicits._
+    // the grouping keys cast to long (getLong below); a NON-numeric id
+    // (e.g. a string query id) must fail loudly — with ANSI off a plain
+    // cast yields null and would silently merge every query into one
+    // null-keyed pool. try_cast keeps the check ANSI-mode-independent.
+    def longKey(name: String) = {
+      val c = col(name)
+      when(c.isNotNull && c.try_cast("long").isNull,
+        raise_error(concat(lit(s"mmrTable: $name value '"), c.cast("string"),
+          lit("' is not castable to long — query/row ids must be numeric"))))
+        .otherwise(c.try_cast("long"))
+    }
     candidates
-      .select(col(qidCol).cast("long"), col(idCol).cast("long"),
+      .select(longKey(qidCol), longKey(idCol),
         col(vecCol), col(distCol).cast("double"))
       .as[(Long, Long, Seq[Float], Double)]
       .groupByKey(_._1)

@@ -65,7 +65,11 @@ object HybridSearch {
           textIndexCache.headOption.foreach { e =>
             textIndexCache.remove(e._1).foreach(_._2.release())
           }
-        textIndexCache.put(key, (plan, ti))
+        // put returns any entry this one replaced (a concurrent build of
+        // the same key, or a hash-collision victim) — release its pins so
+        // the loser's persisted postings/doc-lens don't leak in executor
+        // storage (release only costs recompute, never correctness)
+        textIndexCache.put(key, (plan, ti)).foreach(_._2.release())
         ti
     }
   }
@@ -181,7 +185,12 @@ object HybridSearch {
     * lowercased terms, BM25 (k1=1.2, b=0.75) with per-doc term
     * contributions folded in sorted term order, candidate cutoffs per
     * modality, weighted RRF with absent ranks contributing 0, top-k per
-    * query by (score desc, id).
+    * query by (score desc, id). ONE caveat: on an IVF index built with
+    * `adaptive_nprobe=true`, the scalar path's `idx.scan` widens the probed
+    * cell cut per query when `searchParam<=0`, while the batch vector side
+    * ([[AnnSearch.searchTable]]) probes a fixed nprobe for the whole batch —
+    * vector ranks can diverge on exactly those indexes. Pass an explicit
+    * `searchParam` (both paths then probe identically) when comparing.
     *
     * Scale notes: the posting lists NEVER shuffle — the bounded distinct
     * query-term set broadcasts into the postings join; per-query ranks are

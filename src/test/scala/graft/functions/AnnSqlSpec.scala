@@ -274,6 +274,24 @@ class AnnSqlSpec extends SparkSpec {
     }
   }
 
+  test("SQL TVF ann_mmr_table works when the query vector column shares the index vecCol name") {
+    import spark.implicits._
+    idx
+    AnnSql.register(spark)
+    vecs.toDF("id", "embedding").createOrReplaceTempView("sql_mmr_base2")
+    // the query relation's vector column is ALSO named 'embedding' — the
+    // join against base vectors must not hit an ambiguous-column error
+    Seq((0L, Array(0.5f, 0.5f, 0.5f)))
+      .toDF("qid", "embedding").createOrReplaceTempView("sql_mmr_q2")
+    val rows = spark.sql(
+      """SELECT qid, rank, id FROM ann_mmr_table(
+        |  'sql_mmr_base2', 'sql_idx', TABLE(sql_mmr_q2), 'qid', 'embedding', 3, 1.0)
+        |ORDER BY rank""".stripMargin).collect()
+    val want = vecs.sortBy { case (id, v) =>
+      (VectorKernels.l2Sq(Array(0.5f, 0.5f, 0.5f), v), id) }.take(3).map(_._1).toSeq
+    assert(rows.map(_.getLong(2)).toSeq == want)
+  }
+
   test("SQL TVF ann_drop_index removes the catalog entry and the dataset") {
     import spark.implicits._
     AnnSql.register(spark)

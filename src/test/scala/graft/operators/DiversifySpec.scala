@@ -110,4 +110,19 @@ class DiversifySpec extends SparkSpec {
     assert(e.getMessage.contains("pool") ||
       Option(e.getCause).exists(_.getMessage.contains("pool")))
   }
+
+  test("mmrTable: non-numeric query/row ids fail loudly, never merge pools") {
+    import spark.implicits._
+    val df = Seq(
+      ("qA", 1L, Array(1.0f, 0.0f), 0.1),
+      ("qB", 2L, Array(0.0f, 1.0f), 0.2)
+    ).toDF("qid", "id", "vec", "d")
+    val e = intercept[Exception] {
+      Diversify.mmrTable(df, "qid", "id", "vec", "d", k = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("not castable to long")),
+      s"string qid must raise, not null-merge: ${msgs(e)}")
+  }
 }
