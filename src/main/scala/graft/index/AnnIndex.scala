@@ -348,6 +348,56 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       .orderBy(col("_distance"), col("id"))
   }
 
+  /** Expanding-beam range search for graph engines — the OPT-IN
+    * approximate alternative to [[rangeScan]]'s exact exhaustive default
+    * (graph adjacency has no radius certificate, so exact means full
+    * scan). Per shard the beam doubles until the result frontier passes
+    * `radius·(1+eps)` or the reachable component is exhausted (see
+    * [[GraphRange]]; faiss IndexHNSW range_search pattern) — cost is
+    * geometric in the final beam width, never the full index. Recall vs
+    * the exact scan is measured by [[graft.operators.Recall.rangeRecall]]
+    * and floors are asserted in VamanaSpec/HnswSpec.
+    *
+    * @param eps safety margin on the ENGINE distance scale (squared-L2
+    *            for l2): larger eps → beam runs farther past the ball →
+    *            higher recall, more work
+    * @param searchParam initial beam width (default: build complexity /
+    *            ef_construction); the width cap is
+    *            `spark.ann.rangeBeamMaxWidth` (default 4096) */
+  def rangeScanBeam(q: Array[Float], radius: Double, eps: Double = 0.1,
+                    searchParam: Int = -1): DataFrame = {
+    require(isGraphEngine,
+      "rangeScanBeam: graph engines only — IVF/FLAT range search is exact via rangeScan")
+    val qq = prepQuery(q)
+    val ck = shardCacheKey
+    val (src, prePart) = pinnedSource
+    val nShards = math.max(1, meta.param("shards", 1))
+    val maxW = spark.conf.get("spark.ann.rangeBeamMaxWidth", "4096").toInt
+    val res = meta.engine match {
+      case "DISKANN" =>
+        val p = Vamana.Params.from(meta)
+        val initL = math.max(16, if (searchParam > 0) searchParam else p.buildComplexity)
+        Vamana.rangeBatch(spark, src, Seq((0, qq)), radius, eps, initL, maxW,
+          meta.metric, ck, prePart, nShards, codec)
+      case _ =>
+        val p = Hnsw.Params.from(meta)
+        val initEf = math.max(16, if (searchParam > 0) searchParam else p.efConstruction)
+        Hnsw.rangeBatch(spark, src, Seq((0, qq)), radius, eps, initEf, maxW,
+          meta.metric, ck, prePart, nShards, codec)
+    }
+    // tombstone mask only — range semantics keep every surviving match,
+    // there is no k to re-cut (cf. cleanGraphHits)
+    val cleaned =
+      if (hasDeletes) {
+        val d = deletes.select(col("id").as("__did"), col("seg").as("__dseg"))
+        res.join(broadcast(d),
+          res("id") === col("__did") && res("seg") <= col("__dseg"), "left_anti")
+      } else res
+    cleaned.drop("seg")
+      .select("id", "_distance")
+      .orderBy(col("_distance"), col("id"))
+  }
+
   /** Table-input range search: every (query, row) pair within `radius`
     * (engine distance scale, squared-L2 for l2) — the batch form of
     * [[rangeScan]], fully distributed on both sides. IVF/l2 with tracked

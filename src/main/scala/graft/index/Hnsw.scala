@@ -305,6 +305,49 @@ object Hnsw {
     TopK.grouped(perShard, "query_idx", "_distance", "id", k)
   }
 
+  /** Expanding-beam range search (approximate; see [[GraphRange]]) — the
+    * batch plumbing of [[searchBatch]] but ef doubles per query until the
+    * layer-0 frontier passes `radius·(1+eps)`; every within-radius pool
+    * entry is emitted, no top-k cut. */
+  def rangeBatch(spark: SparkSession, graphDf: DataFrame,
+                 queries: Seq[(Int, Array[Float])], radius: Double, eps: Double,
+                 initEf: Int, maxEf: Int, metric: String,
+                 cacheKey: Option[String] = None,
+                 prePartitioned: Boolean = false, numShards: Int = 0,
+                 codec: Option[graft.functions.VectorCodec] = None): DataFrame = {
+    val dist = VectorKernels.orderingDistance(metric) _
+    val bcQueries = spark.sparkContext.broadcast(queries)
+    val out = StructType(Seq(
+      StructField("query_idx", IntegerType, nullable = false),
+      StructField("id", LongType, nullable = false),
+      StructField("_distance", DoubleType, nullable = false),
+      StructField("seg", LongType, nullable = false)))
+    val vecColName = if (codec.isDefined) "codes" else "vector"
+    val graph0 = graphDf.select("shard", "label", "id", vecColName, "level",
+      "neighbors", "is_entry", "seg")
+    val graph =
+      if (prePartitioned) graph0
+      else if (numShards > 0) graph0.repartition(Vamana.shardPartitions(numShards), col("shard"))
+      else graph0.repartition(col("shard"))
+    graph.mapPartitions { rows =>
+      val grouped = new scala.collection.mutable.LinkedHashMap[Int, ArrayBuffer[Row]]()
+      rows.foreach { r => grouped.getOrElseUpdate(r.getInt(0), new ArrayBuffer[Row]) += r }
+      grouped.iterator.flatMap { case (shardId, shardRows) =>
+        val sh = cacheKey match {
+          case Some(ck) => GraphShardCache.getOrBuild(s"$ck#$shardId", Some(ShardSpillCodec))(
+            decodeShard(shardId, shardRows, codec))
+          case None => decodeShard(shardId, shardRows, codec)
+        }
+        val shardSeg = shardRows.head.getLong(7)
+        bcQueries.value.iterator.flatMap { case (qi, q) =>
+          GraphRange.expanding(radius, eps, initEf, maxEf)(
+              ef => search(sh, q, ef, ef, dist))
+            .map { case (label, d) => Row(qi, sh.ids(label), d, shardSeg) }
+        }
+      }
+    }(Encoders.row(out))
+  }
+
   /** Whole-shard rows (layout: shard, label, id, vector|codes, level,
     * neighbors, is_entry, ...) → in-memory [[Shard]], with the same
     * label-completeness validation as [[Vamana.decodeShard]]. */

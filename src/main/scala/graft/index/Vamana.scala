@@ -582,6 +582,49 @@ object Vamana {
     TopK.grouped(perShard, "query_idx", "_distance", "id", k)
   }
 
+  /** Expanding-beam range search (approximate; see [[GraphRange]]) — the
+    * batch plumbing of [[searchBatch]] (same shard grouping, cache, seg
+    * epochs) but per query the beam doubles until the frontier passes
+    * `radius·(1+eps)`, and EVERY within-radius pool entry is emitted (no
+    * top-k cut; range semantics keep all matches). */
+  def rangeBatch(spark: SparkSession, graphDf: DataFrame,
+                 queries: Seq[(Int, Array[Float])], radius: Double, eps: Double,
+                 initL: Int, maxL: Int, metric: String,
+                 cacheKey: Option[String] = None,
+                 prePartitioned: Boolean = false, numShards: Int = 0,
+                 codec: Option[graft.functions.VectorCodec] = None): DataFrame = {
+    val dist = VectorKernels.orderingDistance(metric) _
+    val bcQueries = spark.sparkContext.broadcast(queries)
+    val out = StructType(Seq(
+      StructField("query_idx", IntegerType, nullable = false),
+      StructField("id", LongType, nullable = false),
+      StructField("_distance", DoubleType, nullable = false),
+      StructField("seg", LongType, nullable = false)))
+    val vecColName = if (codec.isDefined) "codes" else "vector"
+    val graph0 = graphDf
+      .select("shard", "label", "id", vecColName, "neighbors", "is_entry", "seg")
+    val graph =
+      if (prePartitioned) graph0
+      else if (numShards > 0) graph0.repartition(shardPartitions(numShards), col("shard"))
+      else graph0.repartition(col("shard"))
+    graph.mapPartitions { rows =>
+      val grouped = new scala.collection.mutable.LinkedHashMap[Int, ArrayBuffer[Row]]()
+      rows.foreach { r => grouped.getOrElseUpdate(r.getInt(0), new ArrayBuffer[Row]) += r }
+      grouped.iterator.flatMap { case (shardId, shardRows) =>
+        val sh = cacheKey match {
+          case Some(ck) => GraphShardCache.getOrBuild(s"$ck#$shardId", Some(ShardSpillCodec))(
+            decodeShard(shardId, shardRows, codec))
+          case None => decodeShard(shardId, shardRows, codec)
+        }
+        val shardSeg = shardRows.head.getLong(6)
+        bcQueries.value.iterator.flatMap { case (qi, q) =>
+          GraphRange.expanding(radius, eps, initL, maxL)(l => beamSearch(sh, q, l, dist))
+            .map { case (label, d) => Row(qi, sh.ids(label), d, shardSeg) }
+        }
+      }
+    }(Encoders.row(out))
+  }
+
   /** Whole-shard rows (layout: shard, label, id, vector|codes, neighbors,
     * is_entry, ...) → in-memory [[Shard]], with label-completeness
     * validation (a partial shard is a graph with dangling labels). */

@@ -211,29 +211,114 @@ object HybridSearch {
                         searchParam: Int = -1, rrfK: Int = DefaultRrfK): DataFrame = {
     require(!base.columns.contains(queryIdCol),
       s"queryIdCol '$queryIdCol' collides with a base column")
+    val spark = base.sparkSession
     val k1 = 1.2; val b = 0.75
     val qTerms = queries.select(col(queryIdCol).as("__hqid"),
       explode(array_distinct(tokenize(col(queryTextCol)))).as("term"))
     val qTermSet = qTerms.select("term").distinct()
     val matched = ti.postings.join(broadcast(qTermSet), "term")
-    val dfIdf = matched.groupBy("term").agg(countDistinct("id").as("df"))
-      .withColumn("idf",
-        log((lit(ti.numDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-    val matchedDl =
-      if (matched.columns.contains("dl")) matched
-      else matched.join(ti.docLens, "id")
-    val contribs = qTerms
-      .join(matchedDl, "term")
-      .join(broadcast(dfIdf.select("term", "idf")), "term")
-      .withColumn("contrib",
-        col("idf") * (col("tf") * (k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / ti.avgDl)))
-    // same bit-stable fold as the scalar path, keyed by (query, doc)
-    val scored = contribs
-      .groupBy("__hqid", "id")
-      .agg(sort_array(collect_list(struct(col("term"), col("contrib")))).as("cs"))
-      .withColumn("_bm25_score",
-        aggregate(col("cs"), lit(0.0d), (acc, x) => acc + x("contrib")))
+    val hasDl = matched.columns.contains("dl")
+    // per-term stats in ONE pass over the matched postings: df (→ idf, as
+    // before) plus the max-score bound ingredients — contrib is increasing
+    // in tf and decreasing in dl, so idf·f(maxTf, minDl) upper-bounds every
+    // posting's contribution for that term (Turtle & Flood max-score)
+    val termStats0 =
+      if (hasDl) matched.groupBy("term").agg(countDistinct("id").as("df"),
+        max("tf").as("__maxTf"), min("dl").as("__minDl"))
+      else matched.groupBy("term").agg(countDistinct("id").as("df"))
+    def contribExpr(tf: org.apache.spark.sql.Column, dl: org.apache.spark.sql.Column,
+                    idf: org.apache.spark.sql.Column) =
+      idf * (tf * (k1 + 1)) / (tf + lit(k1) * (lit(1 - b) + lit(b) * dl / ti.avgDl))
+    val dfIdf0 = termStats0.withColumn("idf",
+      log((lit(ti.numDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+    val dfIdf = dfIdf0.select("term", "idf")
+    val matchedDl = if (hasDl) matched else matched.join(ti.docLens, "id")
+
+    // the shared exact scorer: same bit-stable sorted-term fold as the
+    // scalar path, keyed by (query, doc); `cand` (when present) restricts
+    // scoring to a candidate (query, doc) set — the SAME rows survive, the
+    // SAME fold runs, so pruned scores are bit-identical to unpruned ones
+    def exactScore(qt: DataFrame, m: DataFrame,
+                   cand: Option[DataFrame]): DataFrame = {
+      val c0 = qt.join(m, "term")
+      val c1 = cand match {
+        case Some(cs) => c0.join(broadcast(cs), Seq("__hqid", "id"), "left_semi")
+        case None => c0
+      }
+      c1.join(broadcast(dfIdf), "term")
+        .withColumn("contrib", contribExpr(col("tf"), col("dl"), col("idf")))
+        .groupBy("__hqid", "id")
+        .agg(sort_array(collect_list(struct(col("term"), col("contrib")))).as("cs"))
+        .withColumn("_bm25_score",
+          aggregate(col("cs"), lit(0.0d), (acc, x) => acc + x("contrib")))
+    }
+
+    // ---- rank-safe max-score posting pruning (default on) ----
+    // Exact BM25 over zipf-head terms scores EVERY posting of a common
+    // term — the one super-linear cost in the batch plan. Split the query
+    // terms at a df cutoff: phase 1 scores only the cheap (rare) terms'
+    // postings and takes each query's bm25Candidates-th partial score as a
+    // lower bound θ on the true cutoff; a query whose head terms' summed
+    // contrib bound expUb stays below θ can only have winners among docs
+    // with cheap partial ≥ θ − expUb (docs matching ONLY head terms are
+    // bounded by expUb < θ — they can never reach the top set), so the
+    // heavy (query,doc) aggregation runs on that candidate set alone.
+    // Queries without that safety margin score exactly as before. Either
+    // way the final top set and scores are bit-identical (candidates are a
+    // superset of the true top-bm25Candidates incl. boundary ties; ε
+    // absorbs float fold-order drift). Head postings are still SCANNED
+    // (df/bounds + the candidate-doc semi-join) — what the pruning removes
+    // is the per-(query,doc) contrib explosion and its shuffle.
+    val pruneOn = hasDl &&
+      spark.conf.get("spark.ann.bm25MaxScorePrune", "true").toBoolean
+    val scored = if (!pruneOn) exactScore(qTerms, matchedDl, None) else {
+      val eps = 1e-9
+      val headDf = math.max(64L,
+        (ti.numDocs *
+          spark.conf.get("spark.ann.bm25HeadDfFraction", "0.02").toDouble).toLong)
+      val stats = dfIdf0.withColumn("maxContrib",
+        contribExpr(col("__maxTf"), col("__minDl"), col("idf")))
+      val cheapTerms = stats.filter(col("df") <= headDf).select("term")
+      val headStats = stats.filter(col("df") > headDf).select("term", "maxContrib")
+      // phase 1: partial scores over cheap postings only (plain sum — used
+      // only in ε-slacked inequalities, never as an output score)
+      val parts = qTerms
+        .join(matched.join(broadcast(cheapTerms), Seq("term"), "left_semi"), "term")
+        .join(broadcast(dfIdf), "term")
+        .withColumn("__c", contribExpr(col("tf"), col("dl"), col("idf")))
+        .groupBy("__hqid", "id").agg(sum("__c").as("part"))
+      val wP = Window.partitionBy("__hqid").orderBy(col("part").desc, col("id"))
+      val thetas = parts.withColumn("__pr", row_number().over(wP))
+        .filter(col("__pr") === bm25Candidates)
+        .select(col("__hqid"), col("part").as("theta"))
+      val expUbs = qTerms.join(broadcast(headStats), "term")
+        .groupBy("__hqid").agg(sum("maxContrib").as("expUb"))
+      // per-query stats: a handful of rows (one per query)
+      val qstats = qTerms.select("__hqid").distinct()
+        .join(thetas, Seq("__hqid"), "left")
+        .join(expUbs, Seq("__hqid"), "left")
+        .select(col("__hqid"),
+          coalesce(col("theta"), lit(Double.NegativeInfinity)).as("theta"),
+          coalesce(col("expUb"), lit(0.0d)).as("expUb"))
+        .withColumn("__prunable", col("expUb") < col("theta") - eps)
+      val prunableQ = qstats.filter(col("__prunable"))
+      val exactQ = qstats.filter(!col("__prunable")).select("__hqid")
+      // candidates: cheap-scored docs that could still reach the top set
+      val cands = parts.join(broadcast(prunableQ), "__hqid")
+        .filter(col("part") + col("expUb") >= col("theta") - eps)
+        .select("__hqid", "id")
+      val candDocs = cands.select("id").distinct()
+      val pruned = exactScore(
+        qTerms.join(broadcast(prunableQ.select("__hqid")), Seq("__hqid"), "left_semi"),
+        // early doc cut: head postings shrink to candidate docs BEFORE the
+        // per-query explosion
+        matchedDl.join(broadcast(candDocs), Seq("id"), "left_semi"),
+        Some(cands))
+      val exact = exactScore(
+        qTerms.join(broadcast(exactQ), Seq("__hqid"), "left_semi"),
+        matchedDl, None)
+      pruned.unionByName(exact)
+    }
     val wB = Window.partitionBy("__hqid").orderBy(col("_bm25_score").desc, col("id"))
     val bm25Ranks = scored.withColumn("_bm25_rank", row_number().over(wB))
       .filter(col("_bm25_rank") <= bm25Candidates)

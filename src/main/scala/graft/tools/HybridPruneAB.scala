@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A/B harness for the batch-hybrid max-score pruning
+  * (`spark.ann.bm25MaxScorePrune`): builds the ScaleSmoke corpus shape
+  * (zipf-ish vocab draws, hot head terms) at the given n, pins the FTS
+  * postings + an IVF index, then times `hybrid_table_50q` with pruning on
+  * vs off and asserts the two result sets are IDENTICAL (the pruning is
+  * rank-safe by construction; this harness re-proves it at scale while
+  * measuring the win).
+  *
+  * Usage: runMain graft.tools.HybridPruneAB [n] [reps]
+  */
+object HybridPruneAB {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = args.headOption.map(_.toInt).getOrElse(100000)
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val vocab = 10000
+
+    // same generators as ScaleSmoke (zipf-ish: squared uniform concentrates
+    // token mass on low word ids — w0..w99 carry ~10% of all tokens)
+    val genDoc = udf { (id: Long) =>
+      val rs = new scala.util.Random(id * 6364136223846793005L + 1442695040888963407L)
+      val len = 50 + rs.nextInt(150)
+      Seq.fill(len)("w" + { val u = rs.nextDouble(); (u * u * vocab).toInt })
+        .mkString(" ")
+    }
+    val genVec = udf { (id: Long, d: Int) =>
+      val r = new scala.util.Random(id * 2654435761L + 99)
+      Array.fill(d)(r.nextFloat() * 2f - 1f)
+    }
+    val docs = spark.range(n).repartition(cpus.toInt)
+      .select(col("id").as("doc_id"), genDoc(col("id")).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count()
+    val vecs = spark.range(n).repartition(cpus.toInt)
+      .select(col("id").as("vec_id"), genVec(col("id"), lit(64)).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vecs.count()
+    val ti = graft.operators.HybridSearch.buildTextIndex(
+      docs, "doc_id", "text", materialized = true)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hpab").toString
+    val nlist = math.max(64, math.sqrt(n.toDouble).toInt)
+    val idx = graft.index.AnnIndexManager.create(spark, "hpab_ivf", vecs,
+      "vec_id", "vec", "IVF",
+      Map("metric" -> "l2", "nlist" -> nlist.toString, "nprobe" -> "8"),
+      s"$tmp/ivf")
+    idx.persist()
+
+    val qs = spark.range(50).select(
+      col("id").cast("int").as("qid"),
+      concat(lit("w"), (col("id") * 7 % 100).cast("string"),
+        lit(" w"), ((col("id") * 13 + 1) % 1000).cast("string"),
+        lit(" w"), ((col("id") * 29 + 2) % 5000).cast("string")).as("qtext"),
+      genVec(col("id") + 800000L, lit(64)).as("qvec"))
+
+    def run(): DataFrame = graft.operators.HybridSearch.hybridSearchTable(
+      docs, "doc_id", ti, idx, qs, "qid", "qtext", "qvec", 10)
+
+    def timeIt(label: String): Double = {
+      run().foreach(_ => ()) // warm
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        run().foreach(_ => ())
+        (System.nanoTime() - t0) / 1e9
+      }
+      val best = times.min
+      println(f"[hpab] $label%-10s n=$n reps=$reps best=$best%.3fs all=${times.map(t => f"$t%.3f").mkString(",")}")
+      best
+    }
+
+    spark.conf.set("spark.ann.bm25MaxScorePrune", "true")
+    val a = run().collect().map(_.toString).sorted
+    val tOn = timeIt("prune=on")
+    spark.conf.set("spark.ann.bm25MaxScorePrune", "false")
+    val b = run().collect().map(_.toString).sorted
+    val tOff = timeIt("prune=off")
+    require(a.sameElements(b),
+      s"rank-safety violation: pruned and exact results differ (${a.length} vs ${b.length} rows)")
+    println(f"[hpab] identical=${a.length} rows; speedup=${tOff / tOn}%.2fx (off=$tOff%.3fs on=$tOn%.3fs)")
+    spark.stop()
+  }
+}

@@ -142,6 +142,50 @@ class HybridSpec extends SparkSpec {
     }
   }
 
+  test("max-score pruning: batch results bit-equal unpruned and scalar on a zipf corpus") {
+    import spark.implicits._
+    // deliberate zipf shape: "the" in EVERY doc (df=200 > the 64 head-df
+    // floor → head term), r{i} unique (df=1), m{j} mid (df=10) — so a
+    // "the + rare" query is prunable BY CONSTRUCTION (θ from rare/mid
+    // scores ≫ the head term's tiny contrib bound) while a head-only
+    // query has no cheap terms and must take the exact branch
+    val rnd = new scala.util.Random(7)
+    val docsSeq = (1L to 200L).map(i =>
+      (i, s"the r$i r$i m${i % 20}", Array.fill(4)(rnd.nextFloat() * 2f - 1f)))
+    val docsDf = docsSeq.toDF("doc_id", "text", "embedding")
+    val zti = HybridSearch.buildTextIndex(docsDf, "doc_id", "text")
+    val zidx = AnnIndexManager.create(spark, "h_zipf", docsDf,
+      "doc_id", "embedding", "FLAT", Map("metric" -> "l2"), s"$tmp/h_zipf")
+    val qSeq = Seq(
+      (0, "the r5 m3", Array(0.5f, 0.5f, 0f, 0f)),   // prunable
+      (1, "the", Array(0f, 0.5f, 0.5f, 0f)),          // head-only → exact branch
+      (2, "m7 m13", Array(0.5f, 0f, 0f, 0.5f)),       // cheap-only
+      (3, "zzz_absent the", Array(0f, 0f, 1f, 0f)))   // head + unmatched
+    val qDf = qSeq.toDF("query_idx", "qtext", "qvec")
+    def run(): Seq[(Int, Long, Double, Int, Int)] =
+      HybridSearch.hybridSearchTable(docsDf, "doc_id", zti, zidx, qDf,
+          "query_idx", "qtext", "qvec", k = 7,
+          // bm25Candidates=5 lands the cutoff among the 10 tied m3-docs —
+          // boundary ties must survive the candidate filter
+          bm25Candidates = 5)
+        .select("query_idx", "doc_id", "_rrf_score", "_bm25_rank", "_vector_rank")
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3), r.getInt(4)))
+        .toSeq
+    val pruned = run()
+    spark.conf.set("spark.ann.bm25MaxScorePrune", "false")
+    val exact = try run() finally spark.conf.unset("spark.ann.bm25MaxScorePrune")
+    assert(pruned == exact, "max-score pruning must be rank-safe (bit-identical)")
+    // and both equal the scalar path per query
+    for ((i, qt, qv) <- qSeq) {
+      val scalar = HybridSearch.hybridSearch(docsDf, "doc_id", zti, zidx, qt, qv,
+          k = 7, bm25Candidates = 5)
+        .select("doc_id", "_rrf_score", "_bm25_rank", "_vector_rank").collect()
+        .map(r => (i, r.getLong(0), r.getDouble(1), r.getInt(2), r.getInt(3))).toSeq
+      assert(pruned.filter(_._1 == i) == scalar, s"query $i vs scalar")
+    }
+  }
+
   test("cachedTextIndex: off by default (always fresh); opt-in caches per plan") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
