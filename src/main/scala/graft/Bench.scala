@@ -201,6 +201,17 @@ object Bench {
         hybridDocs, "doc_id", hti, ivf, hybridQs,
         "query_idx", "qtext", "qvec", k = 10))
     }
+    // scalar loop over 5 of the same queries: the batch/scalar per-query
+    // ratio (hybrid_scalar_5q/5 vs hybrid_table_50q/50) is the measured
+    // claim that the table form amortizes Spark's fixed per-job costs —
+    // tracked here so a regression in EITHER shape shows up
+    time("hybrid_scalar_5q") {
+      for (i <- 0 until 5)
+        noop(graft.operators.HybridSearch.hybridSearch(
+          hybridDocs, "doc_id", hti, ivf,
+          queryText = hybridTexts(i % hybridTexts.length),
+          queryVec = graft.queries.QuerySupport.qvecF(i), k = 10))
+    }
     hti.release()
 
     // ---- reference bench workload: 10k seeded vectors, dims {128,256,768}

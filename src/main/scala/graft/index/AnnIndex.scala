@@ -356,7 +356,11 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * [[GraphRange]]; faiss IndexHNSW range_search pattern) — cost is
     * geometric in the final beam width, never the full index. Recall vs
     * the exact scan is measured by [[graft.operators.Recall.rangeRecall]]
-    * and floors are asserted in VamanaSpec/HnswSpec.
+    * and floors are asserted in VamanaSpec/HnswSpec; an exhaustive beam
+    * (searchParam > n) is asserted EQUAL to [[rangeScan]] there,
+    * including the tombstone mask. The batch/table form is
+    * [[rangeBeamTable]] (opt-in from [[rangeScanTable]] via
+    * `spark.ann.rangeBeam=true`).
     *
     * @param eps safety margin on the ENGINE distance scale (squared-L2
     *            for l2): larger eps → beam runs farther past the ball →
@@ -406,13 +410,22 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * centroid table (exact — radii are maintained upper bounds); other
     * engines/metrics score exhaustively, which is the irreducible work
     * without cell bounds (graph adjacency gives top-k guidance, not
-    * radius certificates).
+    * radius certificates). Graph engines can OPT IN to the approximate
+    * expanding-beam path instead (`spark.ann.rangeBeam=true`, default
+    * off = exact): the batch form of [[rangeScanBeam]] on the
+    * [[GraphTableSearch]] plumbing — per (shard, query) beam cost is
+    * geometric in the final width, never the full-index distance scan,
+    * with `spark.ann.rangeBeamEps` (default 0.1) as the recall margin.
     *
     * @param queries exactly (__qid, __qvec float[]) — already prepped
     *                (cosine-normalized, nulls handled) by the caller
     * @return (__qid, id, _distance), unordered */
   private[graft] def rangeScanTable(queries: DataFrame, radius: Double): DataFrame = {
     import graft.functions.AnnFunctions.l2_distance_sq
+    if (isGraphEngine &&
+        spark.conf.get("spark.ann.rangeBeam", "false").toBoolean)
+      return rangeBeamTable(queries, radius,
+        spark.conf.get("spark.ann.rangeBeamEps", "0.1").toDouble)
     val prunable = meta.engine == "IVF" && meta.metric == "l2" &&
       centroidsDf.columns.contains("radius")
     val pairs =
@@ -430,6 +443,42 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       .withColumn("_distance", distColumn(col(dataVecCol), col("__qvec")))
       .filter(col("_distance") <= radius)
       .select("__qid", "id", "_distance")
+  }
+
+  /** Batch expanding-beam range search for graph engines — [[rangeScanBeam]]
+    * semantics over a query RELATION, on the distributed
+    * [[GraphTableSearch]] plumbing (zip when pinned, cogroup otherwise):
+    * no driver collect of queries, no full-index scan, tombstone mask
+    * applied with NO k re-cut (range keeps every surviving match).
+    *
+    * @param queries exactly (__qid, __qvec float[]) — already prepped
+    * @return (__qid, id, _distance), unordered */
+  private[graft] def rangeBeamTable(queries: DataFrame, radius: Double,
+                                    eps: Double = 0.1,
+                                    searchParam: Int = -1): DataFrame = {
+    require(isGraphEngine, "rangeBeamTable: graph engines only")
+    val ck = shardCacheKey
+    val (src, prePart) = pinnedSource
+    val maxW = spark.conf.get("spark.ann.rangeBeamMaxWidth", "4096").toInt
+    val res = meta.engine match {
+      case "DISKANN" =>
+        val p = Vamana.Params.from(meta)
+        val initL = math.max(16, if (searchParam > 0) searchParam else p.buildComplexity)
+        Vamana.rangeTableDistributed(spark, src, queries, radius, eps, initL,
+          maxW, meta.metric, ck, liveShardIds, codec, graphPrePartitioned = prePart)
+      case _ =>
+        val p = Hnsw.Params.from(meta)
+        val initEf = math.max(16, if (searchParam > 0) searchParam else p.efConstruction)
+        Hnsw.rangeTableDistributed(spark, src, queries, radius, eps, initEf,
+          maxW, meta.metric, ck, liveShardIds, codec, graphPrePartitioned = prePart)
+    }
+    val cleaned =
+      if (hasDeletes) {
+        val d = deletes.select(col("id").as("__did"), col("seg").as("__dseg"))
+        res.join(broadcast(d),
+          res("id") === col("__did") && res("seg") <= col("__dseg"), "left_anti")
+      } else res
+    cleaned.drop("seg").select("__qid", "id", "_distance")
   }
 
   /** Cells a within-`radius` match can live in. l2 with tracked radii →

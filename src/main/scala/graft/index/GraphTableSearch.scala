@@ -52,7 +52,10 @@ object GraphTableSearch {
     *                 `seg` the LAST field (both engines' layouts comply)
     * @param queries  exactly (__qid, __qvec float[]); __qid of any type
     * @param shardIds live shard ids (manifest) to replicate queries onto
-    * @param k        merged per-query result count
+    * @param k        merged per-query result count; k <= 0 = NO top-k cut
+    *                 (range semantics: every hit the per-shard `search`
+    *                 emits survives the merge — the caller bounds the
+    *                 emission, e.g. by a radius filter)
     * @param cacheKey executor shard-cache key prefix (None = no caching)
     * @param decode   whole-shard rows → engine shard object (cached)
     * @param search   (shard, query) → per-shard candidates (id, distance)
@@ -109,7 +112,8 @@ object GraphTableSearch {
       }
     }(Encoders.row(out))
 
-    TopK.grouped(perShard.toDF(), "__qid", "_distance", "id", k)
+    if (k <= 0) perShard.toDF()
+    else TopK.grouped(perShard.toDF(), "__qid", "_distance", "id", k)
   }
 
   /** Shuffle-free-on-the-graph-side variant for a pre-partitioned (pinned)
@@ -221,6 +225,7 @@ object GraphTableSearch {
         }
       }
     }
-    TopK.grouped(spark.createDataFrame(resRdd, out), "__qid", "_distance", "id", k)
+    if (k <= 0) spark.createDataFrame(resRdd, out)
+    else TopK.grouped(spark.createDataFrame(resRdd, out), "__qid", "_distance", "id", k)
   }
 }

@@ -388,6 +388,32 @@ object Hnsw {
   /** Table-input batch search with NO driver collect (see
     * [[GraphTableSearch]]); value-identical to [[searchBatch]] at the same
     * ef. */
+  /** Table-input expanding-beam RANGE search with NO driver collect — the
+    * batch form of [[rangeBatch]] on the [[GraphTableSearch]] plumbing;
+    * `k <= 0` on the merge keeps every within-radius hit (no top-k cut).
+    * Cost is geometric in the final ef per query, never a full scan. */
+  def rangeTableDistributed(spark: SparkSession, graphDf: DataFrame,
+                            queries: DataFrame, radius: Double, eps: Double,
+                            initEf: Int, maxEf: Int, metric: String,
+                            cacheKey: Option[String], shardIds: Seq[Int],
+                            codec: Option[graft.functions.VectorCodec],
+                            graphPrePartitioned: Boolean = false): DataFrame = {
+    val dist = VectorKernels.orderingDistance(metric) _
+    val vecColName = if (codec.isDefined) "codes" else "vector"
+    val graph0 = graphDf.select("shard", "label", "id", vecColName, "level",
+      "neighbors", "is_entry", "seg")
+    GraphTableSearch.run(spark, graph0, queries, shardIds, k = -1, cacheKey,
+      decode = (shardId, rows) => decodeShard(shardId, rows, codec),
+      search = (sh, q) => {
+        val s = sh.asInstanceOf[Shard]
+        GraphRange.expanding(radius, eps, initEf, maxEf)(
+            ef => search(s, q, ef, ef, dist))
+          .iterator.map { case (label, d) => (s.ids(label), d) }
+      },
+      graphPrePartitioned = graphPrePartitioned,
+      spill = Some(ShardSpillCodec))
+  }
+
   def searchTableDistributed(spark: SparkSession, graphDf: DataFrame,
                              queries: DataFrame, k: Int, ef: Int, metric: String,
                              cacheKey: Option[String], shardIds: Seq[Int],

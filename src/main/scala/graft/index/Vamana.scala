@@ -683,6 +683,34 @@ object Vamana {
       spill = Some(ShardSpillCodec))
   }
 
+  /** Table-input expanding-beam RANGE search with NO driver collect — the
+    * batch form of [[rangeBatch]] on the [[GraphTableSearch]] plumbing
+    * (cogroup, or zip when pinned): per (shard, query) the beam doubles
+    * until the frontier passes `radius·(1+eps)` and every within-radius
+    * pool entry is emitted; `k <= 0` on the merge keeps them ALL (range
+    * semantics — no top-k cut). Cost is geometric in the final beam width
+    * per query, never a full-index distance scan. */
+  def rangeTableDistributed(spark: SparkSession, graphDf: DataFrame,
+                            queries: DataFrame, radius: Double, eps: Double,
+                            initL: Int, maxL: Int, metric: String,
+                            cacheKey: Option[String], shardIds: Seq[Int],
+                            codec: Option[graft.functions.VectorCodec],
+                            graphPrePartitioned: Boolean = false): DataFrame = {
+    val dist = VectorKernels.orderingDistance(metric) _
+    val vecColName = if (codec.isDefined) "codes" else "vector"
+    val graph0 = graphDf
+      .select("shard", "label", "id", vecColName, "neighbors", "is_entry", "seg")
+    GraphTableSearch.run(spark, graph0, queries, shardIds, k = -1, cacheKey,
+      decode = (shardId, rows) => decodeShard(shardId, rows, codec),
+      search = (sh, q) => {
+        val s = sh.asInstanceOf[Shard]
+        GraphRange.expanding(radius, eps, initL, maxL)(l => beamSearch(s, q, l, dist))
+          .iterator.map { case (label, d) => (s.ids(label), d) }
+      },
+      graphPrePartitioned = graphPrePartitioned,
+      spill = Some(ShardSpillCodec))
+  }
+
   /** Shuffle-partition count for shard-keyed repartitions: hashing shard
     * ids collides (birthday effect — at P=numShards ~1/3 of partitions hold
     * 2+ whole shards and as many sit empty), so use a few buckets per shard

@@ -24,10 +24,28 @@ object HybridSearch {
   def tokenize(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     filter(split(lower(c), "[^\\p{L}\\p{Nd}]+"), t => length(t) > 0)
 
+  /** Driver-resident head-term document frequencies: df for every term
+    * with df > floor, where floor = max(64, numDocs/1000). The size bound
+    * is corpus-independent — at most totalPostings/floor ≈ 1000·avgDl
+    * entries — so the map stays driver-small at ANY corpus scale while
+    * covering exactly the zipf head that dominates matched-posting
+    * volume. Terms absent from the map contribute ≤ floor postings each.
+    * Lets the max-score prune's volume gate price a query batch as a pure
+    * driver lookup, no postings scan, no extra Spark job. */
+  final case class HeadDf(floor: Long, df: Map[String, Long]) {
+    /** Upper bound on Σ df over `terms` (absent terms priced at floor). */
+    def volumeUpperBound(terms: Iterable[String]): Long =
+      terms.iterator.map(t => df.getOrElse(t, floor)).sum
+  }
+
   /** Inverted-index datasets for BM25: postings (term, id, tf) and doc
-    * lengths (id, dl), plus corpus stats. */
+    * lengths (id, dl), plus corpus stats. `headDf` (populated by a
+    * `materialized = true` build) is the bounded driver-side term-df head
+    * used by the max-score prune's volume gate — absent, the gate falls
+    * back to one postings pass. */
   final case class TextIndex(postings: DataFrame, docLens: DataFrame,
-                             numDocs: Long, avgDl: Double) {
+                             numDocs: Long, avgDl: Double,
+                             headDf: Option[HeadDf] = None) {
     /** Drop the executor-storage pin taken by a `materialized = true`
       * build. Results stay correct afterwards (lineage recomputes); only
       * the resident-index serving cost is lost. */
@@ -105,8 +123,17 @@ object HybridSearch {
     if (materialized) {
       postings.count()
       toksRaw.unpersist()
-    }
-    TextIndex(postings, docLens, stats.getLong(0), stats.getDouble(1))
+      // head-term df to the driver (bounded: see [[HeadDf]]) so the
+      // max-score prune's volume gate never needs a postings scan.
+      // Postings are unique per (term, id), so df is a plain count.
+      val floor = math.max(64L, stats.getLong(0) / 1000L)
+      val head = postings.groupBy("term").agg(count(lit(1)).as("df"))
+        .filter(col("df") > floor).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      TextIndex(postings, docLens, stats.getLong(0), stats.getDouble(1),
+        Some(HeadDf(floor, head)))
+    } else
+      TextIndex(postings, docLens, stats.getLong(0), stats.getDouble(1))
   }
 
   /** BM25 (k1=1.2, b=0.75) scores for a tokenized query: only the query
@@ -238,14 +265,16 @@ object HybridSearch {
     // scalar path, keyed by (query, doc); `cand` (when present) restricts
     // scoring to a candidate (query, doc) set — the SAME rows survive, the
     // SAME fold runs, so pruned scores are bit-identical to unpruned ones
-    def exactScore(qt: DataFrame, m: DataFrame,
-                   cand: Option[DataFrame]): DataFrame = {
+    def exactScore(qt: DataFrame, m: DataFrame, cand: Option[DataFrame],
+                   idfSrc: DataFrame = dfIdf): DataFrame = {
       val c0 = qt.join(m, "term")
       val c1 = cand match {
-        case Some(cs) => c0.join(broadcast(cs), Seq("__hqid", "id"), "left_semi")
+        // no broadcast hint: the candidate set is data-dependent and
+        // unbounded; post-checkpoint AQE broadcasts it only when small
+        case Some(cs) => c0.join(cs, Seq("__hqid", "id"), "left_semi")
         case None => c0
       }
-      c1.join(broadcast(dfIdf), "term")
+      c1.join(broadcast(idfSrc), "term")
         .withColumn("contrib", contribExpr(col("tf"), col("dl"), col("idf")))
         .groupBy("__hqid", "id")
         .agg(sort_array(collect_list(struct(col("term"), col("contrib")))).as("cs"))
@@ -253,7 +282,7 @@ object HybridSearch {
           aggregate(col("cs"), lit(0.0d), (acc, x) => acc + x("contrib")))
     }
 
-    // ---- rank-safe max-score posting pruning (default on) ----
+    // ---- rank-safe max-score posting pruning (OPT-IN, volume-gated) ----
     // Exact BM25 over zipf-head terms scores EVERY posting of a common
     // term — the one super-linear cost in the batch plan. Split the query
     // terms at a df cutoff: phase 1 scores only the cheap (rare) terms'
@@ -269,55 +298,180 @@ object HybridSearch {
     // absorbs float fold-order drift). Head postings are still SCANNED
     // (df/bounds + the candidate-doc semi-join) — what the pruning removes
     // is the per-(query,doc) contrib explosion and its shuffle.
+    //
+    // Cost discipline (round-11 rework of the r10 regression):
+    //  * DEFAULT OFF (`spark.ann.bm25MaxScorePrune=false`) — exact scoring
+    //    is a single pass and wins below multi-million matched-posting
+    //    volume; enable for zipf-head-dominated corpora where the
+    //    (query,doc) explosion is the measured bottleneck (see
+    //    `graft.tools.HybridPruneAB`, whose output is the gate evidence).
+    //  * Volume gate FIRST, priced off the index: the matched-posting
+    //    count is an upper bound of Σ df over the query's terms, read
+    //    from the driver-resident bounded [[HeadDf]] map (one tiny job
+    //    over the query relation only; a hand-assembled TextIndex
+    //    without headDf pays one postings pass). Below
+    //    `spark.ann.bm25PruneMinPostings` the returned plan is bit-for-bit
+    //    the exact one — flipping the flag on a small corpus costs only
+    //    the gate probe. This mirrors the reference's cost-gated optimizer
+    //    rewrites (/root/reference/src/ann_optimizer.cpp:459-472), and the
+    //    default threshold sits at the measured engage-win crossover
+    //    (HybridPruneAB: 0.79× at 930k matched postings, n=100k — see
+    //    SCALE.md).
+    //  * When ENGAGED, the matched postings are `localCheckpoint`ed first:
+    //    one scan of the (huge) postings relation, after which every
+    //    consumer — term stats, phase-1 partials, both scoring branches —
+    //    reads the bounded matched set, not the full inverted index (the
+    //    r10 code repeated the full scan ~5× → 0.16× by HybridPruneAB).
+    //  * Term stats and per-query θ/expUb collect to the DRIVER — both are
+    //    bounded (one row per distinct query term / per query, the same
+    //    bounds as the qTermSet broadcast) — so the prunable split and the
+    //    candidate filter are literal tiny relations, not re-derived
+    //    subplans.
+    //  * Candidate sets (`cands`, `candDocs`) are data-dependent and
+    //    unbounded, so they are joined WITHOUT broadcast hints — sizes are
+    //    known post-checkpoint and AQE picks broadcast only when they are
+    //    actually small; a thin-margin corpus degrades to a shuffle
+    //    semi-join instead of an OOM-ing driver collect.
+    //  * If no query clears the prunability margin, exact scoring runs
+    //    over the checkpointed matched set (one union branch, not two).
     val pruneOn = hasDl &&
-      spark.conf.get("spark.ann.bm25MaxScorePrune", "true").toBoolean
-    val scored = if (!pruneOn) exactScore(qTerms, matchedDl, None) else {
+      spark.conf.get("spark.ann.bm25MaxScorePrune", "false").toBoolean
+    lazy val fullExact = exactScore(qTerms, matchedDl, None)
+    val scored = if (!pruneOn) fullExact else {
       val eps = 1e-9
       val headDf = math.max(64L,
         (ti.numDocs *
-          spark.conf.get("spark.ann.bm25HeadDfFraction", "0.02").toDouble).toLong)
-      val stats = dfIdf0.withColumn("maxContrib",
-        contribExpr(col("__maxTf"), col("__minDl"), col("idf")))
-      val cheapTerms = stats.filter(col("df") <= headDf).select("term")
-      val headStats = stats.filter(col("df") > headDf).select("term", "maxContrib")
-      // phase 1: partial scores over cheap postings only (plain sum — used
-      // only in ε-slacked inequalities, never as an output score)
-      val parts = qTerms
-        .join(matched.join(broadcast(cheapTerms), Seq("term"), "left_semi"), "term")
-        .join(broadcast(dfIdf), "term")
-        .withColumn("__c", contribExpr(col("tf"), col("dl"), col("idf")))
-        .groupBy("__hqid", "id").agg(sum("__c").as("part"))
-      val wP = Window.partitionBy("__hqid").orderBy(col("part").desc, col("id"))
-      val thetas = parts.withColumn("__pr", row_number().over(wP))
-        .filter(col("__pr") === bm25Candidates)
-        .select(col("__hqid"), col("part").as("theta"))
-      val expUbs = qTerms.join(broadcast(headStats), "term")
-        .groupBy("__hqid").agg(sum("maxContrib").as("expUb"))
-      // per-query stats: a handful of rows (one per query)
-      val qstats = qTerms.select("__hqid").distinct()
-        .join(thetas, Seq("__hqid"), "left")
-        .join(expUbs, Seq("__hqid"), "left")
-        .select(col("__hqid"),
-          coalesce(col("theta"), lit(Double.NegativeInfinity)).as("theta"),
-          coalesce(col("expUb"), lit(0.0d)).as("expUb"))
-        .withColumn("__prunable", col("expUb") < col("theta") - eps)
-      val prunableQ = qstats.filter(col("__prunable"))
-      val exactQ = qstats.filter(!col("__prunable")).select("__hqid")
-      // candidates: cheap-scored docs that could still reach the top set
-      val cands = parts.join(broadcast(prunableQ), "__hqid")
-        .filter(col("part") + col("expUb") >= col("theta") - eps)
-        .select("__hqid", "id")
-      val candDocs = cands.select("id").distinct()
-      val pruned = exactScore(
-        qTerms.join(broadcast(prunableQ.select("__hqid")), Seq("__hqid"), "left_semi"),
-        // early doc cut: head postings shrink to candidate docs BEFORE the
-        // per-query explosion
-        matchedDl.join(broadcast(candDocs), Seq("id"), "left_semi"),
-        Some(cands))
-      val exact = exactScore(
-        qTerms.join(broadcast(exactQ), Seq("__hqid"), "left_semi"),
-        matchedDl, None)
-      pruned.unionByName(exact)
+          spark.conf.get("spark.ann.bm25HeadDfFraction", "0.05").toDouble).toLong)
+      val dbg = spark.conf.get("spark.ann.bm25PruneDebug", "false").toBoolean
+      def timed[T](label: String)(f: => T): T = {
+        if (!dbg) f else {
+          val t0 = System.nanoTime(); val r = f
+          println(f"[bm25prune] $label: ${(System.nanoTime() - t0) / 1e9}%.3fs"); r
+        }
+      }
+      // volume gate: one tiny job over the QUERY relation (distinct
+      // terms), then a pure driver lookup against the index's bounded
+      // head-df map — the postings relation is never touched when gated
+      // off. A hand-assembled TextIndex without headDf pays one postings
+      // pass instead.
+      val qTermArr = timed("qterms-collect")(
+        qTermSet.collect().map(_.getString(0)))
+      val matchedVol = timed("vol-gate")(ti.headDf match {
+        case Some(h) => h.volumeUpperBound(qTermArr)
+        case None => ti.postings.groupBy("term").agg(count(lit(1)).as("df"))
+          .join(broadcast(qTermSet), "term")
+          .agg(coalesce(sum("df"), lit(0L))).head().getLong(0)
+      })
+      val minVol =
+        spark.conf.get("spark.ann.bm25PruneMinPostings", "4000000").toLong
+      // the collected term set pays for itself: downstream joins use the
+      // LITERAL term relation, so the broadcast subquery no longer
+      // re-derives distinct-terms from the query relation — gated-off
+      // cost is net ~zero vs the plain exact plan
+      import spark.implicits._
+      val qTermSetLit = qTermArr.toSeq.toDF("term")
+      val matchedLit = ti.postings.join(broadcast(qTermSetLit), "term")
+      lazy val dfIdfLit = matchedLit
+        .groupBy("term").agg(countDistinct("id").as("df"))
+        .withColumn("idf",
+          log((lit(ti.numDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .select("term", "idf")
+      if (matchedVol < minVol) {
+        if (dbg) println(s"[bm25prune] matchedVol=$matchedVol < minVol=$minVol — gated off")
+        exactScore(qTerms, matchedLit, None, dfIdfLit)
+      } else {
+        // the one full-postings scan: checkpoint the matched set (bounded
+        // by the query terms' posting volume), then NOTHING below ever
+        // touches the full inverted index again
+        val matchedCk = timed("matched-ckpt")(matchedLit.localCheckpoint())
+        // per-term stats to the driver (one row per distinct matched
+        // term). Matched rows are unique per (term, id) — buildTextIndex's
+        // groupBy(term, id) contract — so df is a plain count: same VALUE
+        // as the exact path's countDistinct, hence bit-identical idf.
+        // idf is computed here with the same double-op order as the SQL
+        // expression, so scores stay bit-equal to the exact plan's.
+        val termStats = timed("stats-collect")(matchedCk.groupBy("term")
+          .agg(count(lit(1)).as("df"), max("tf").as("__maxTf"), min("dl").as("__minDl"))
+          .collect())
+        val k1d = k1; val bd = b
+        val statRows = termStats.map { r =>
+          val term = r.getString(0); val df = r.getLong(1)
+          val maxTf = r.getLong(2).toDouble; val minDl = r.getDouble(3)
+          val idf = math.log((ti.numDocs.toDouble - df + 0.5) / (df + 0.5) + 1.0)
+          val maxContrib = idf * (maxTf * (k1d + 1)) /
+            (maxTf + k1d * ((1 - bd) + bd * minDl / ti.avgDl))
+          (term, df, idf, maxContrib)
+        }
+        import spark.implicits._
+        val ckIdf = statRows.map { case (t, _, idf, _) => (t, idf) }
+          .toSeq.toDF("term", "idf")
+        val cheapTerms = statRows.filter(_._2 <= headDf).map(_._1)
+          .toSeq.toDF("term")
+        val headUb = statRows.filter(_._2 > headDf)
+          .map { case (t, _, _, mc) => (t, mc) }.toSeq.toDF("term", "maxContrib")
+        def ckExact(qt: DataFrame) = exactScore(qt, matchedCk, None, ckIdf)
+        // phase 1: partial scores over cheap postings only (plain sum — used
+        // only in ε-slacked inequalities, never as an output score)
+        val parts = timed("parts-ckpt")(qTerms
+          .join(matchedCk.join(broadcast(cheapTerms), Seq("term"), "left_semi"), "term")
+          .join(broadcast(ckIdf), "term")
+          .withColumn("__c", contribExpr(col("tf"), col("dl"), col("idf")))
+          .groupBy("__hqid", "id").agg(sum("__c").as("part"))
+          .localCheckpoint())
+        val wP = Window.partitionBy("__hqid").orderBy(col("part").desc, col("id"))
+        // per-query stats to the driver (one row per query): θ = the
+        // bm25Candidates-th cheap partial, expUb = Σ head maxContrib
+        val thetaRows = timed("theta-collect")(
+          parts.withColumn("__pr", row_number().over(wP))
+            .filter(col("__pr") === bm25Candidates)
+            .select(col("__hqid"), col("part")).collect())
+        val expUbRows = timed("expub-collect")(
+          qTerms.join(broadcast(headUb), "term")
+            .groupBy("__hqid").agg(sum("maxContrib").as("expUb")).collect())
+        val thetaByQ = thetaRows.map(r => r.get(0) -> r.getDouble(1)).toMap
+        val expUbByQ = expUbRows.map(r => r.get(0) -> r.getDouble(1)).toMap
+        val allQ = timed("qids-collect")(
+          qTerms.select("__hqid").distinct().collect()).map(_.get(0))
+        val prunable = allQ.filter { q =>
+          expUbByQ.getOrElse(q, 0.0) <
+            thetaByQ.getOrElse(q, Double.NegativeInfinity) - eps
+        }.toSet
+        if (dbg) println(s"[bm25prune] matchedVol=$matchedVol headDf=$headDf " +
+          s"queries=${allQ.length} prunable=${prunable.size}")
+        if (prunable.isEmpty) ckExact(qTerms) else {
+          import org.apache.spark.sql.types.{StructType, StructField, DoubleType}
+          import org.apache.spark.sql.Row
+          val qidT = qTerms.schema("__hqid").dataType
+          // literal tiny relations (one row per query) from the collected
+          // driver stats — broadcastable for free, never re-derived
+          val prunableStats = spark.createDataFrame(
+            spark.sparkContext.parallelize(prunable.toSeq.map(q =>
+              Row(q, thetaByQ(q), expUbByQ.getOrElse(q, 0.0))), 1),
+            StructType(Seq(StructField("__hqid", qidT),
+              StructField("theta", DoubleType), StructField("expUb", DoubleType))))
+          val exactQ = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              allQ.filterNot(prunable).toSeq.map(Row(_)), 1),
+            StructType(Seq(StructField("__hqid", qidT))))
+          // candidates: cheap-scored docs that could still reach the top
+          // set; data-dependent size → NO broadcast hints on cands/candDocs
+          val cands = parts.join(broadcast(prunableStats), "__hqid")
+            .filter(col("part") + col("expUb") >= col("theta") - eps)
+            .select("__hqid", "id")
+          val candDocs = cands.select("id").distinct()
+          val pruned = exactScore(
+            qTerms.join(broadcast(prunableStats.select("__hqid")),
+              Seq("__hqid"), "left_semi"),
+            // early doc cut: head postings shrink to candidate docs BEFORE
+            // the per-query explosion
+            matchedCk.join(candDocs, Seq("id"), "left_semi"),
+            Some(cands), ckIdf)
+          val exact = exactScore(
+            qTerms.join(broadcast(exactQ), Seq("__hqid"), "left_semi"),
+            matchedCk, None, ckIdf)
+          pruned.unionByName(exact)
+        }
+      }
     }
     val wB = Window.partitionBy("__hqid").orderBy(col("_bm25_score").desc, col("id"))
     val bm25Ranks = scored.withColumn("_bm25_rank", row_number().over(wB))

@@ -68,4 +68,59 @@ object Recall {
       .agg(avg(col("recall"))).collect()(0)
     if (r.isNullAt(0)) 0.0 else r.getDouble(0)
   }
+
+  /** Range-search recall for the graph expanding-beam path
+    * ([[AnnIndex.rangeScanBeam]] / its batch form `rangeBeamTable`):
+    * fraction of the EXACT within-radius set (the exhaustive distance
+    * filter over the index's live rows — [[AnnIndex.rangeScan]]'s graph
+    * plan) that the beam returns, per query. Precision is 1 by
+    * construction — the beam filters on TRUE engine distances, so every
+    * returned row is genuinely within the radius and recall is the only
+    * quality axis. A query whose exact result is empty scores recall 1.
+    *
+    * Scale posture mirrors [[evaluate]]: ground truth is one
+    * crossJoin(broadcast queries) distance scan; the approximate side is
+    * the distributed beam table path. Nothing collects until the nq-row
+    * result.
+    *
+    * @return (query_idx, hits, total, recall) ordered by query_idx */
+  def rangeRecall(idx: AnnIndex, qs: Seq[Array[Float]], radius: Double,
+                  eps: Double = 0.1, searchParam: Int = -1): DataFrame = {
+    val spark = idx.spark
+    import spark.implicits._
+    require(qs.nonEmpty, "range recall evaluation needs at least one query")
+    val queriesDf = qs.zipWithIndex
+      .map { case (q, i) => (i, idx.prepQuery(q)) }.toDF("query_idx", "qvec")
+    val exact = idx.live.crossJoin(broadcast(queriesDf))
+      .withColumn("_distance", idx.distColumn(col(idx.dataVecCol), col("qvec")))
+      .filter(col("_distance") <= radius)
+      .select(col("query_idx"), col("id"))
+    val approx = idx.rangeBeamTable(
+        queriesDf.select(col("query_idx").as("__qid"), col("qvec").as("__qvec")),
+        radius, eps, searchParam)
+      .select(col("__qid").as("query_idx"), col("id"))
+    val totals = exact.groupBy("query_idx").agg(count(lit(1)).as("total"))
+    val hits = approx.join(exact, Seq("query_idx", "id"))
+      .groupBy("query_idx").agg(count(lit(1)).as("hits"))
+    val allQ = qs.indices.toDF("query_idx")
+    allQ.join(totals, Seq("query_idx"), "left")
+      .join(hits, Seq("query_idx"), "left")
+      .select(
+        col("query_idx"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("total"), lit(0L)).as("total"),
+        when(coalesce(col("total"), lit(0L)) === 0L, lit(1.0))
+          .otherwise(coalesce(col("hits"), lit(0L)) /
+            col("total").cast("double")).as("recall"))
+      .orderBy("query_idx")
+  }
+
+  /** Mean range recall over the batch — the single tuning number for
+    * `eps` / the initial beam width. */
+  def meanRangeRecall(idx: AnnIndex, qs: Seq[Array[Float]], radius: Double,
+                      eps: Double = 0.1, searchParam: Int = -1): Double = {
+    val r = rangeRecall(idx, qs, radius, eps, searchParam)
+      .agg(avg(col("recall"))).collect()(0)
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
 }

@@ -809,7 +809,13 @@ object IndexQueries {
     // scored against exact ground truth; floors asserted in RecallSpec
     "ann_recall_probe" -> ((s: SparkSession, dir: String) =>
       graft.operators.Recall.evaluate(ivfIndex(s, dir),
-        Seq.tabulate(4)(i => qvecF(i)), K, searchParam = 2))
+        Seq.tabulate(4)(i => qvecF(i)), K, searchParam = 2)),
+
+    // expanding-beam graph range search (approximate, opt-in alternative
+    // to the exact exhaustive default): recall floors vs the exact scan
+    // asserted in VamanaSpec/HnswSpec via Recall.rangeRecall
+    "ann_range_beam" -> ((s: SparkSession, dir: String) =>
+      ranked(diskannIndex(s, dir).rangeScanBeam(qvecF(5), 8.5, eps = 0.3)))
   )
 
   private def bruteForceTopK(qSeed: Int, extraCols: String = "",

@@ -26,6 +26,8 @@ object HybridPruneAB {
     spark.sparkContext.setLogLevel("WARN")
     val n = args.headOption.map(_.toInt).getOrElse(100000)
     val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    // optional: head-df fraction for the prune=on arm (default = conf default)
+    val headFrac = args.drop(2).headOption
     val vocab = 10000
 
     // same generators as ScaleSmoke (zipf-ish: squared uniform concentrates
@@ -80,15 +82,29 @@ object HybridPruneAB {
       best
     }
 
-    spark.conf.set("spark.ann.bm25MaxScorePrune", "true")
-    val a = run().collect().map(_.toString).sorted
-    val tOn = timeIt("prune=on")
+    // exact arm FIRST: it is the baseline, and measuring it first keeps
+    // JIT/codegen warm-up cost out of the prune arm's comparison
     spark.conf.set("spark.ann.bm25MaxScorePrune", "false")
     val b = run().collect().map(_.toString).sorted
     val tOff = timeIt("prune=off")
+    spark.conf.set("spark.ann.bm25MaxScorePrune", "true")
+    headFrac.foreach(f => spark.conf.set("spark.ann.bm25HeadDfFraction", f))
+    val a = run().collect().map(_.toString).sorted
+    val tOn = timeIt("prune=on")
     require(a.sameElements(b),
       s"rank-safety violation: pruned and exact results differ (${a.length} vs ${b.length} rows)")
-    println(f"[hpab] identical=${a.length} rows; speedup=${tOff / tOn}%.2fx (off=$tOff%.3fs on=$tOn%.3fs)")
+    val speedup = tOff / tOn
+    println(f"[hpab] identical=${a.length} rows; speedup=$speedup%.2fx (off=$tOff%.3fs on=$tOn%.3fs)")
+    // performance floor: the prune exists to be FASTER; a <1x result means
+    // it must stay default-off (this is the r10 regression's tripwire —
+    // r10 shipped prune=on at a silent 0.16x). Exit non-zero so a scripted
+    // gate run fails loudly instead of recording a regression as success.
+    if (speedup < 1.0) {
+      println(f"[hpab] FLOOR VIOLATION: prune=on is slower than exact " +
+        f"(speedup=$speedup%.2fx < 1.0x) — keep spark.ann.bm25MaxScorePrune=false")
+      spark.stop()
+      sys.exit(2)
+    }
     spark.stop()
   }
 }

@@ -19,7 +19,9 @@ class DiagnosticsSpec extends AnyFunSuite {
       "ann_ivf_probe" -> "ann_ivf_topk",
       "ann_vamana_probe" -> "ann_vamana_topk",
       "ann_hnsw_probe" -> "ann_hnsw_topk",
-      "ann_recall_probe" -> "ann_recall_exact")
+      "ann_recall_probe" -> "ann_recall_exact",
+      // approximate beam range vs the exact-scan strict sibling
+      "ann_range_beam" -> "ann_range_vamana")
     assert(SparkEntry.diagnostics.keySet == siblings.keySet)
     for ((d, s) <- siblings)
       assert(SparkEntry.queries.contains(s), s"$d: missing strict sibling $s")

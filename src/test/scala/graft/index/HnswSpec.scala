@@ -104,4 +104,38 @@ class HnswSpec extends SparkSpec {
     val afterInsert = dml.scan(q, 10).collect().map(_.getLong(0)).toSet
     assert(afterInsert.intersect(top3).nonEmpty)
   }
+
+  private def exactWithin(q: Array[Float], radius: Double): Set[Long] =
+    vecs.filter { case (_, v) => VectorKernels.l2Sq(q, v) <= radius }
+      .map(_._1).toSet
+
+  test("expanding-beam range search: precision 1, recall floor, rangeRecall harness") {
+    val radius = 0.3
+    assert(queries.count(q => exactWithin(q, radius).nonEmpty) >= 2)
+    for (q <- queries) {
+      val got = idx.rangeScanBeam(q, radius, eps = 0.3).collect()
+      for (r <- got) {
+        val truth = VectorKernels.l2Sq(q, vecs(r.getLong(0).toInt)._2)
+        assert(math.abs(r.getDouble(1) - truth) < 1e-6)
+        assert(r.getDouble(1) <= radius)
+      }
+      val ids = got.map(_.getLong(0)).toSet
+      val ex = exactWithin(q, radius)
+      assert(ids.subsetOf(ex))
+      if (ex.nonEmpty)
+        assert(ids.size * 10 >= ex.size * 7, s"range recall ${ids.size}/${ex.size}")
+    }
+    val mean = graft.operators.Recall.meanRangeRecall(idx, queries, radius, eps = 0.3)
+    assert(mean >= 0.7, s"mean range recall $mean")
+  }
+
+  test("beam range: exhaustive ef equals exact rangeScan (searchParam > n)") {
+    val q = queries.head
+    val radius = 0.3
+    val beam = idx.rangeScanBeam(q, radius, eps = 1.0, searchParam = 512)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = idx.rangeScan(q, radius)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(beam == exact)
+  }
 }

@@ -98,6 +98,74 @@ class VamanaSpec extends SparkSpec {
     assert(afterInsert.intersect(top3).nonEmpty)
   }
 
+  private def exactWithin(q: Array[Float], radius: Double,
+                          excl: Set[Long] = Set.empty): Set[Long] =
+    vecs.filterNot(v => excl(v._1))
+      .filter { case (_, v) => VectorKernels.l2Sq(q, v) <= radius }
+      .map(_._1).toSet
+
+  test("expanding-beam range search: precision 1, recall floor, rangeRecall harness") {
+    val radius = 0.3
+    val nonEmpty = queries.count(q => exactWithin(q, radius).nonEmpty)
+    assert(nonEmpty >= 2, "fixture radius must produce matches for most queries")
+    for (q <- queries) {
+      val got = idx.rangeScanBeam(q, radius, eps = 0.3).collect()
+      // precision 1 by construction: the beam filters on TRUE engine
+      // distances, so every returned row is genuinely within the radius
+      for (r <- got) {
+        val truth = VectorKernels.l2Sq(q, vecs(r.getLong(0).toInt)._2)
+        assert(math.abs(r.getDouble(1) - truth) < 1e-6)
+        assert(r.getDouble(1) <= radius)
+      }
+      val ids = got.map(_.getLong(0)).toSet
+      val ex = exactWithin(q, radius)
+      assert(ids.subsetOf(ex))
+      if (ex.nonEmpty)
+        assert(ids.size * 10 >= ex.size * 7, s"range recall ${ids.size}/${ex.size}")
+    }
+    // the distributed batch path (rangeBeamTable) through the harness the
+    // scaladoc promises: mean recall floor over the whole query batch
+    val mean = graft.operators.Recall.meanRangeRecall(idx, queries, radius, eps = 0.3)
+    assert(mean >= 0.7, s"mean range recall $mean")
+  }
+
+  test("beam range: exhaustive beam equals exact rangeScan; tombstones masked") {
+    val dml = AnnIndexManager.create(spark, "v_range_dml", vecsDf,
+      "id", "embedding", "DISKANN", Map("metric" -> "l2"), s"$tmp/v_range_dml")
+    val q = queries.head
+    val radius = 0.3
+    val toDelete = exactWithin(q, radius).toSeq.sorted.take(2)
+    assert(toDelete.size == 2)
+    dml.delete(toDelete)
+    // initL=512 > n: the beam explores the whole reachable component, so
+    // the approximate path must EQUAL the exact scan — including the
+    // tombstone mask (delete-mask parity with cleanGraphHits coverage)
+    val beam = dml.rangeScanBeam(q, radius, eps = 1.0, searchParam = 512)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = dml.rangeScan(q, radius)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(beam.map(_._1).intersect(toDelete).isEmpty)
+    assert(beam == exact)
+  }
+
+  test("rangeTable routes through the beam under spark.ann.rangeBeam=true") {
+    import spark.implicits._
+    val qdf = queries.zipWithIndex.map { case (q, i) => (i.toLong, q) }
+      .toDF("query_idx", "qvec")
+    val radius = 0.3
+    val exact = graft.operators.AnnSearch.rangeTable(idx, qdf, radius,
+      Some("qvec"), Some("query_idx")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.ann.rangeBeam", "true")
+    val beam = try {
+      graft.operators.AnnSearch.rangeTable(idx, qdf, radius,
+        Some("qvec"), Some("query_idx")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    } finally spark.conf.unset("spark.ann.rangeBeam")
+    assert(beam.subsetOf(exact))
+    assert(beam.size * 10 >= exact.size * 7, s"batch range recall ${beam.size}/${exact.size}")
+  }
+
   test("persistence round-trip gives identical results (F9)") {
     val q = queries(2)
     val before = idx.scan(q, 10).collect().map(_.getLong(0)).toSeq

@@ -172,9 +172,15 @@ class HybridSpec extends SparkSpec {
         .collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3), r.getInt(4)))
         .toSeq
-    val pruned = run()
-    spark.conf.set("spark.ann.bm25MaxScorePrune", "false")
-    val exact = try run() finally spark.conf.unset("spark.ann.bm25MaxScorePrune")
+    // pruning is OPT-IN (default off since r11) and volume-gated; force it
+    // on with a zero gate so this tiny corpus exercises the pruned plan
+    spark.conf.set("spark.ann.bm25MaxScorePrune", "true")
+    spark.conf.set("spark.ann.bm25PruneMinPostings", "0")
+    val pruned = try run() finally {
+      spark.conf.unset("spark.ann.bm25MaxScorePrune")
+      spark.conf.unset("spark.ann.bm25PruneMinPostings")
+    }
+    val exact = run()
     assert(pruned == exact, "max-score pruning must be rank-safe (bit-identical)")
     // and both equal the scalar path per query
     for ((i, qt, qv) <- qSeq) {
