@@ -300,11 +300,14 @@ object HybridSearch {
     // is the per-(query,doc) contrib explosion and its shuffle.
     //
     // Cost discipline (round-11 rework of the r10 regression):
-    //  * DEFAULT OFF (`spark.ann.bm25MaxScorePrune=false`) — exact scoring
-    //    is a single pass and wins below multi-million matched-posting
-    //    volume; enable for zipf-head-dominated corpora where the
-    //    (query,doc) explosion is the measured bottleneck (see
-    //    `graft.tools.HybridPruneAB`, whose output is the gate evidence).
+    //  * Default ON but ONLY behind the volume gate and ONLY against a
+    //    materialized text index (`spark.ann.bm25MaxScorePrune=true`) —
+    //    exact scoring is a single pass and wins below multi-million
+    //    matched-posting volume, so the gate keeps small batches on the
+    //    exact plan at ~zero cost (a lazy one-shot index never prunes:
+    //    headDf is what makes the gate free). `graft.tools.HybridPruneAB`
+    //    is the measured evidence on both sides: 1.11× gated-off at
+    //    n=100k (930k matched postings), 1.32× engaged at n=1M (9.3M).
     //  * Volume gate FIRST, priced off the index: the matched-posting
     //    count is an upper bound of Σ df over the query's terms, read
     //    from the driver-resident bounded [[HeadDf]] map (one tiny job
@@ -315,8 +318,8 @@ object HybridSearch {
     //    the gate probe. This mirrors the reference's cost-gated optimizer
     //    rewrites (/root/reference/src/ann_optimizer.cpp:459-472), and the
     //    default threshold sits at the measured engage-win crossover
-    //    (HybridPruneAB: 0.79× at 930k matched postings, n=100k — see
-    //    SCALE.md).
+    //    (HybridPruneAB: forcing engagement at 930k matched postings is
+    //    0.79×, engaging at 9.3M is 1.32× — see SCALE.md).
     //  * When ENGAGED, the matched postings are `localCheckpoint`ed first:
     //    one scan of the (huge) postings relation, after which every
     //    consumer — term stats, phase-1 partials, both scoring branches —
@@ -334,8 +337,8 @@ object HybridSearch {
     //    semi-join instead of an OOM-ing driver collect.
     //  * If no query clears the prunability margin, exact scoring runs
     //    over the checkpointed matched set (one union branch, not two).
-    val pruneOn = hasDl &&
-      spark.conf.get("spark.ann.bm25MaxScorePrune", "false").toBoolean
+    val pruneOn = hasDl && ti.headDf.isDefined &&
+      spark.conf.get("spark.ann.bm25MaxScorePrune", "true").toBoolean
     lazy val fullExact = exactScore(qTerms, matchedDl, None)
     val scored = if (!pruneOn) fullExact else {
       val eps = 1e-9
@@ -349,19 +352,14 @@ object HybridSearch {
           println(f"[bm25prune] $label: ${(System.nanoTime() - t0) / 1e9}%.3fs"); r
         }
       }
-      // volume gate: one tiny job over the QUERY relation (distinct
-      // terms), then a pure driver lookup against the index's bounded
-      // head-df map — the postings relation is never touched when gated
-      // off. A hand-assembled TextIndex without headDf pays one postings
-      // pass instead.
+      // volume gate: one tiny SINGLE-STAGE job over the QUERY relation
+      // (collect the exploded terms and dedupe on the driver — skipping
+      // the distinct's shuffle halves the job), then a pure driver lookup
+      // against the index's bounded head-df map — the postings relation
+      // is never touched when gated off
       val qTermArr = timed("qterms-collect")(
-        qTermSet.collect().map(_.getString(0)))
-      val matchedVol = timed("vol-gate")(ti.headDf match {
-        case Some(h) => h.volumeUpperBound(qTermArr)
-        case None => ti.postings.groupBy("term").agg(count(lit(1)).as("df"))
-          .join(broadcast(qTermSet), "term")
-          .agg(coalesce(sum("df"), lit(0L))).head().getLong(0)
-      })
+        qTerms.select("term").collect().map(_.getString(0)).distinct)
+      val matchedVol = timed("vol-gate")(ti.headDf.get.volumeUpperBound(qTermArr))
       val minVol =
         spark.conf.get("spark.ann.bm25PruneMinPostings", "4000000").toLong
       // the collected term set pays for itself: downstream joins use the
@@ -402,7 +400,6 @@ object HybridSearch {
             (maxTf + k1d * ((1 - bd) + bd * minDl / ti.avgDl))
           (term, df, idf, maxContrib)
         }
-        import spark.implicits._
         val ckIdf = statRows.map { case (t, _, idf, _) => (t, idf) }
           .toSeq.toDF("term", "idf")
         val cheapTerms = statRows.filter(_._2 <= headDf).map(_._1)
@@ -430,8 +427,12 @@ object HybridSearch {
             .groupBy("__hqid").agg(sum("maxContrib").as("expUb")).collect())
         val thetaByQ = thetaRows.map(r => r.get(0) -> r.getDouble(1)).toMap
         val expUbByQ = expUbRows.map(r => r.get(0) -> r.getDouble(1)).toMap
+        // single-stage: the queries relation is one row per query, so its
+        // id column collects without a distinct shuffle. Termless queries
+        // (absent from qTerms) land in the exact branch, where the term
+        // join yields no rows for them — exactly as before.
         val allQ = timed("qids-collect")(
-          qTerms.select("__hqid").distinct().collect()).map(_.get(0))
+          queries.select(col(queryIdCol)).collect()).map(_.get(0)).distinct
         val prunable = allQ.filter { q =>
           expUbByQ.getOrElse(q, 0.0) <
             thetaByQ.getOrElse(q, Double.NegativeInfinity) - eps

@@ -95,13 +95,23 @@ object HybridPruneAB {
       s"rank-safety violation: pruned and exact results differ (${a.length} vs ${b.length} rows)")
     val speedup = tOff / tOn
     println(f"[hpab] identical=${a.length} rows; speedup=$speedup%.2fx (off=$tOff%.3fs on=$tOn%.3fs)")
-    // performance floor: the prune exists to be FASTER; a <1x result means
-    // it must stay default-off (this is the r10 regression's tripwire —
-    // r10 shipped prune=on at a silent 0.16x). Exit non-zero so a scripted
-    // gate run fails loudly instead of recording a regression as success.
-    if (speedup < 1.0) {
-      println(f"[hpab] FLOOR VIOLATION: prune=on is slower than exact " +
-        f"(speedup=$speedup%.2fx < 1.0x) — keep spark.ann.bm25MaxScorePrune=false")
+    // performance floor: the prune exists to be FASTER; below the floor it
+    // must stay off (this is the r10 regression's tripwire — r10 shipped
+    // prune=on at a silent 0.16x). Two regimes: where the volume gate
+    // ENGAGES pruning (matched postings >= spark.ann.bm25PruneMinPostings;
+    // ~n >= 450k on this corpus shape) the prune must WIN — floor 1.0.
+    // Where the gate keeps the exact plan (smaller n), prune=on is the
+    // exact plan plus a free gate probe, so the contract is parity; floor
+    // 0.93 flags real overhead while not tripping on ambient +/-5% noise.
+    // Exit non-zero so a scripted gate run fails loudly either way.
+    val gateMinVol = spark.conf.get("spark.ann.bm25PruneMinPostings", "4000000").toLong
+    val approxMatchedVol = n.toLong * 125 * 3 / 40 // ~9.3 matched postings/doc measured
+    val engaged = approxMatchedVol >= gateMinVol
+    val floor = if (engaged) 1.0 else 0.93
+    if (speedup < floor) {
+      println(f"[hpab] FLOOR VIOLATION (${if (engaged) "engaged" else "gated-off parity"} " +
+        f"regime): speedup=$speedup%.2fx < $floor%.2fx — keep " +
+        "spark.ann.bm25MaxScorePrune=false")
       spark.stop()
       sys.exit(2)
     }

@@ -26,6 +26,9 @@ object RecallAtScale {
     spark.sparkContext.setLogLevel("WARN")
 
     val n = args.headOption.map(_.toInt).getOrElse(1000000)
+    // "tune" mode: the adaptive-nprobe recipe sweep (uniform regime only)
+    // instead of the full two-regime table — see tuneNprobe below
+    val mode = args.drop(1).headOption.getOrElse("all")
     val dim = 64
     val k = 10
     val genVec = udf { (id: Long, d: Int) =>
@@ -49,6 +52,41 @@ object RecallAtScale {
     }
 
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+
+    if (mode == "tune") {
+      // ---- adaptive-nprobe recipe sweep (the SCALE.md worked example) ----
+      // (a) fixed-nprobe decay: meanRecall at 8/32/64/128 — the tuning
+      //     loop a user drives to hit a recall target on uniform data;
+      // (b) adaptive probing (SPANN distance-ratio rule): same floor
+      //     nprobe, per-query widening — recall AND mean probed cells, so
+      //     the recipe can state what the ratio buys over a fixed cut.
+      val ivf = graft.index.AnnIndexManager.create(spark, "tune_ivf", vecs,
+        "vec_id", "vec", "IVF",
+        Map("metric" -> "l2", "nlist" -> nlist.toString, "nprobe" -> "8"),
+        s"$tmp/tune_ivf")
+      ivf.persist()
+      // 256 is the verification point: the sweep's decay suggests a pick
+      // for a 0.9 target, and the extra doubling confirms the interpolation
+      for (np <- Seq(8, 32, 64, 128, 256)) {
+        val r = graft.operators.Recall.meanRecall(ivf, qs, k, np)
+        println(f"[nprobe-tune] fixed nprobe=$np recall@10 = $r%.3f " +
+          f"(scan fraction = ${np.toDouble / nlist}%.3f)")
+      }
+      val adaptive = graft.index.AnnIndexManager.create(spark, "tune_ivf_ad", vecs,
+        "vec_id", "vec", "IVF",
+        Map("metric" -> "l2", "nlist" -> nlist.toString, "nprobe" -> "8",
+          "adaptive_nprobe" -> "true", "nprobe_ratio" -> "1.05"),
+        s"$tmp/tune_ivf_ad")
+      adaptive.persist()
+      val meanCells = qs.map(q =>
+        adaptive.probeLists(adaptive.prepQuery(q), 8, allowAdaptive = true).size)
+        .sum.toDouble / qs.length
+      val rAd = graft.operators.Recall.meanRecall(adaptive, qs, k)
+      println(f"[nprobe-tune] adaptive ratio=1.05 floor=8: recall@10 = $rAd%.3f, " +
+        f"mean probed cells = $meanCells%.1f of $nlist")
+      spark.stop()
+      return
+    }
 
     val ivf = graft.index.AnnIndexManager.create(spark, "recall_ivf", vecs,
       "vec_id", "vec", "IVF",

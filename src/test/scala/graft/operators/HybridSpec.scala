@@ -153,7 +153,10 @@ class HybridSpec extends SparkSpec {
     val docsSeq = (1L to 200L).map(i =>
       (i, s"the r$i r$i m${i % 20}", Array.fill(4)(rnd.nextFloat() * 2f - 1f)))
     val docsDf = docsSeq.toDF("doc_id", "text", "embedding")
-    val zti = HybridSearch.buildTextIndex(docsDf, "doc_id", "text")
+    // materialized: pruning requires the head-df map a materialized build
+    // populates (a lazy one-shot index never prunes)
+    val zti = HybridSearch.buildTextIndex(docsDf, "doc_id", "text",
+      materialized = true)
     val zidx = AnnIndexManager.create(spark, "h_zipf", docsDf,
       "doc_id", "embedding", "FLAT", Map("metric" -> "l2"), s"$tmp/h_zipf")
     val qSeq = Seq(
