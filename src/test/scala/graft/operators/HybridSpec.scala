@@ -163,7 +163,9 @@ class HybridSpec extends SparkSpec {
       (0, "the r5 m3", Array(0.5f, 0.5f, 0f, 0f)),   // prunable
       (1, "the", Array(0f, 0.5f, 0.5f, 0f)),          // head-only → exact branch
       (2, "m7 m13", Array(0.5f, 0f, 0f, 0.5f)),       // cheap-only
-      (3, "zzz_absent the", Array(0f, 0f, 1f, 0f)))   // head + unmatched
+      (3, "zzz_absent the", Array(0f, 0f, 1f, 0f)),   // head + unmatched
+      (4, "", Array(0.2f, 0f, 0.8f, 0f)),             // termless → vector-only
+      (5, "zzz_absent", Array(0f, 0.8f, 0f, 0.2f)))   // all terms unmatched
     val qDf = qSeq.toDF("query_idx", "qtext", "qvec")
     def run(): Seq[(Int, Long, Double, Int, Int)] =
       HybridSearch.hybridSearchTable(docsDf, "doc_id", zti, zidx, qDf,
@@ -175,8 +177,8 @@ class HybridSpec extends SparkSpec {
         .collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3), r.getInt(4)))
         .toSeq
-    // pruning is OPT-IN (default off since r11) and volume-gated; force it
-    // on with a zero gate so this tiny corpus exercises the pruned plan
+    // pruning is volume-gated (this tiny corpus would never cross the 4M
+    // default); force a zero gate so the pruned plan actually runs
     spark.conf.set("spark.ann.bm25MaxScorePrune", "true")
     spark.conf.set("spark.ann.bm25PruneMinPostings", "0")
     val pruned = try run() finally {
