@@ -148,6 +148,46 @@ class VamanaSpec extends SparkSpec {
     assert(beam == exact)
   }
 
+  test("rangeBeamTable on a PINNED multi-shard index (zip path): exhaustive beam equals exact") {
+    import spark.implicits._
+    val pidx = AnnIndexManager.create(spark, "v_range_pin", vecsDf,
+      "id", "embedding", "DISKANN", Map("metric" -> "l2", "shards" -> "4"),
+      s"$tmp/v_range_pin")
+    pidx.persist()
+    try {
+      val radius = 0.3
+      val qdf = queries.zipWithIndex.map { case (q, i) => (i.toLong, q) }
+        .toDF("__qid", "__qvec")
+      // searchParam > any shard size → per-shard exhaustive beam → the
+      // zipped union must EQUAL the exact within-radius set per query
+      val beam = pidx.rangeBeamTable(qdf, radius, eps = 1.0, searchParam = 512)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = queries.zipWithIndex.flatMap { case (q, i) =>
+        exactWithin(q, radius).map(id => (i.toLong, id))
+      }.toSet
+      assert(beam == exact)
+    } finally pidx.unpersist()
+  }
+
+  test("beam range on cosine metric equals exact rangeScan (1-cos distance scale)") {
+    val cidx = AnnIndexManager.create(spark, "v_range_cos", vecsDf,
+      "id", "embedding", "DISKANN", Map("metric" -> "cosine"), s"$tmp/v_range_cos")
+    val q = queries.head
+    val radius = 0.05 // 1-cos scale: cosine similarity >= 0.95
+    val beam = cidx.rangeScanBeam(q, radius, eps = 1.0, searchParam = 512)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = cidx.rangeScan(q, radius)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(exact.nonEmpty, "fixture radius should catch some aligned vectors")
+    // same ids in the same order; distances agree to float precision only —
+    // the beam's scalar kernel and the exact scan's codegen expression
+    // accumulate the cosine dot/norms in different orders (~1e-8 apart),
+    // unlike squared-L2 where the two paths are bit-identical
+    assert(beam.map(_._1) == exact.map(_._1))
+    for (((_, bd), (_, ed)) <- beam.zip(exact))
+      assert(math.abs(bd - ed) < 1e-6)
+  }
+
   test("rangeTable routes through the beam under spark.ann.rangeBeam=true") {
     import spark.implicits._
     val qdf = queries.zipWithIndex.map { case (q, i) => (i.toLong, q) }

@@ -139,6 +139,32 @@ class HybridSpec extends SparkSpec {
           .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getInt(3))).toSeq
         assert(batch.getOrElse(i, Nil) == scalar, s"seed $seed query $i")
       }
+      // forced max-score pruning must stay bit-equal on the same
+      // randomized corpus — rank-safety is a property of the algorithm,
+      // not of the crafted zipf fixture. bm25Candidates=3 keeps θ
+      // reachable on this tiny corpus (the 64-doc df floor means no term
+      // is "head" here, so every query with >=3 cheap-scored docs is
+      // prunable with expUb=0 — the candidate semi-join path runs for
+      // real, with boundary ties at the 3rd partial)
+      val mti = HybridSearch.buildTextIndex(docsDf, "doc_id", "text",
+        materialized = true)
+      def batch3(): Map[Int, Seq[(Long, Double, Int, Int)]] =
+        HybridSearch.hybridSearchTable(docsDf, "doc_id", mti, ridx,
+            qSeq.toDF("query_idx", "qtext", "qvec"),
+            "query_idx", "qtext", "qvec", k = 7, bm25Candidates = 3)
+          .select("query_idx", "doc_id", "_rrf_score", "_bm25_rank", "_vector_rank")
+          .collect()
+          .groupBy(_.getInt(0))
+          .view.mapValues(_.map(r =>
+            (r.getLong(1), r.getDouble(2), r.getInt(3), r.getInt(4))).toSeq).toMap
+      spark.conf.set("spark.ann.bm25MaxScorePrune", "true")
+      spark.conf.set("spark.ann.bm25PruneMinPostings", "0")
+      val pruned3 = try batch3() finally {
+        spark.conf.unset("spark.ann.bm25MaxScorePrune")
+        spark.conf.unset("spark.ann.bm25PruneMinPostings")
+      }
+      val exact3 = try batch3() finally mti.release()
+      assert(pruned3 == exact3, s"seed $seed: pruned batch != exact batch")
     }
   }
 
