@@ -1,0 +1,145 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.HybridSearch
+import graft.operators.HybridSearch.{HeadDf, TextIndex}
+
+/** Incremental maintenance for the BM25 inverted index — the FTS-side
+  * sibling of [[IndexMaintenance]], so a standing hybrid-search workload
+  * keeps BOTH modalities resident while the corpus streams in. The
+  * reference CANNOT do this: its FTS side is DuckDB's fts extension,
+  * whose index is a static snapshot rebuilt by `PRAGMA create_fts_index`
+  * (reference src/ann_search.cpp:903-1163 shells out per query; any
+  * corpus change means a full re-tokenize). Here an append batch
+  * tokenizes ONLY itself:
+  *
+  *  - the batch's postings/doc-length relations are built with the same
+  *    pipeline as [[HybridSearch.buildTextIndex]] and UNIONED onto the
+  *    served relations — a document lives in exactly one batch, so no
+  *    (term, id) posting group ever spans segments and the unioned
+  *    posting rows are exactly a fresh build's;
+  *  - corpus stats (numDocs, avgDl) are recomputed from the unioned
+  *    doc-length relation — an O(numDocs) pass over (id, dl) pairs,
+  *    cheap next to tokenization — so idf and length norms always match
+  *    a fresh build's values (scores can differ from a monolithic
+  *    rebuild only by the summation-order ULPs inside avg());
+  *  - the [[HeadDf]] gate map merges additively; absent-term bounds
+  *    (floors) ADD across segments so the upper-bound contract stays
+  *    true, merely looser — compaction rebuilds the map exactly.
+  *
+  * Segment growth is bounded by `compactEvery`: like delta shards on the
+  * ANN side, each append deepens the union lineage by one segment, and
+  * compaction re-pins the union as ONE materialized relation (no
+  * re-tokenize — the cached segments feed the re-pin) and releases the
+  * old segment pins, so steady-state query cost tracks corpus size, not
+  * stream age.
+  *
+  * Scope: a [[TextIndex]] is session-resident state (there is no on-disk
+  * meta), so replay protection is session-scoped — `append` skips batch
+  * ids at or below the last applied id; a restarted query rebuilds from
+  * its source of truth.
+  *
+  * Append-only by contract (ids must be new): BM25 has no tombstone
+  * analogue of the ANN epoch mask that could hide a stale posting's tf
+  * contribution, so updates/deletes require a rebuild — still strictly
+  * better than the reference, which rebuilds on APPEND too.
+  */
+class TextIndexMaintenance(initialDocs: DataFrame, idCol: String,
+                           textCol: String, compactEvery: Int = 8) {
+  require(compactEvery >= 2, s"compactEvery must be >= 2, got $compactEvery")
+
+  // every segment's pins, released on compaction (TextIndex.release only
+  // unpersists the relations it names — union children must be tracked)
+  private val segmentPins =
+    scala.collection.mutable.ArrayBuffer.empty[TextIndex]
+  private var segments = 1
+  private var lastBatchId = Long.MinValue
+  private var ti: TextIndex = {
+    val t = HybridSearch.buildTextIndex(initialDocs, idCol, textCol,
+      materialized = true)
+    segmentPins += t
+    t
+  }
+
+  /** The currently served index — safe to hand to
+    * [[HybridSearch.hybridSearchTable]] / [[HybridSearch.bm25]] at any
+    * point between appends. */
+  def current: TextIndex = synchronized(ti)
+
+  /** Live segment count (1 after build or compaction). */
+  def segmentCount: Int = synchronized(segments)
+
+  /** Append one batch of NEW documents (session-scoped replay skip on
+    * `batchId`; pass increasing ids, e.g. the foreachBatch id). */
+  def append(batch: DataFrame, batchId: Long = Long.MinValue + 1): TextIndex =
+    synchronized {
+      if (batchId <= lastBatchId) return ti // replay
+      lastBatchId = batchId
+      if (batch.isEmpty) return ti
+      val seg = HybridSearch.buildTextIndex(batch, idCol, textCol,
+        materialized = true)
+      segmentPins += seg
+      val postings = ti.postings.unionByName(seg.postings)
+      val docLens = ti.docLens.unionByName(seg.docLens)
+      // exact stats from the unioned doc lengths: idf and norms match a
+      // fresh build over the concatenated corpus
+      val stats = docLens.agg(count(lit(1)), avg("dl")).head()
+      val head = (ti.headDf, seg.headDf) match {
+        case (Some(a), Some(b)) =>
+          // additive merge; floors ADD so "absent term df <= floor"
+          // stays a true upper bound across segments
+          val df = (a.df.keySet ++ b.df.keySet).iterator.map { t =>
+            t -> (a.df.getOrElse(t, 0L) + b.df.getOrElse(t, 0L))
+          }.toMap
+          Some(HeadDf(a.floor + b.floor, df))
+        case _ => None
+      }
+      segments += 1
+      ti = TextIndex(postings, docLens, stats.getLong(0), stats.getDouble(1), head)
+      if (segments > compactEvery) compact()
+      ti
+    }
+
+  /** Re-pin the union as one materialized relation (reads the cached
+    * segments — no re-tokenize), rebuild the HeadDf map exactly, release
+    * the old segment pins. */
+  def compact(): TextIndex = synchronized {
+    val postings = ti.postings.persist()
+    val docLens = ti.docLens.persist()
+    docLens.count(); postings.count()
+    val floor = math.max(64L, ti.numDocs / 1000L)
+    val head = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") > floor).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // new pins are live before the old ones drop; release only costs
+    // recompute, never correctness
+    segmentPins.foreach(_.release())
+    segmentPins.clear()
+    segments = 1
+    ti = TextIndex(postings, docLens, ti.numDocs, ti.avgDl,
+      Some(HeadDf(floor, head)))
+    segmentPins += ti
+    ti
+  }
+
+  /** Drop every pin this maintainer holds (terminal). */
+  def release(): Unit = synchronized {
+    segmentPins.foreach(_.release())
+    segmentPins.clear()
+  }
+
+  /** Attach to a streaming source of documents: each micro-batch appends
+    * a segment; compaction folds segments per `compactEvery`. */
+  def attach(stream: DataFrame, checkpoint: String,
+             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        append(batch, batchId); ()
+      }
+      .start()
+}
