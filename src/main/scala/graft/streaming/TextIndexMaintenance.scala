@@ -42,10 +42,15 @@ import graft.operators.HybridSearch.{HeadDf, TextIndex}
   * ids at or below the last applied id; a restarted query rebuilds from
   * its source of truth.
   *
-  * Append-only by contract (ids must be new): BM25 has no tombstone
-  * analogue of the ANN epoch mask that could hide a stale posting's tf
-  * contribution, so updates/deletes require a rebuild — still strictly
-  * better than the reference, which rebuilds on APPEND too.
+  * Deletes are EXACT tombstones: the served postings/doc-length
+  * relations carry an anti-join against the deleted-id set, and the
+  * corpus stats recompute from the masked doc lengths — df/idf are
+  * derived per query from the MASKED matched postings, so every score is
+  * exactly a fresh build's over the surviving corpus (the [[HeadDf]]
+  * gate map keeps the deleted docs' counts, which only OVERSTATES the
+  * volume bound — gate-only, never a score). An update is
+  * delete + append. Compaction folds the mask physically, so the
+  * anti-join cost never outlives a compaction cycle.
   */
 class TextIndexMaintenance(initialDocs: DataFrame, idCol: String,
                            textCol: String, compactEvery: Int = 8) {
@@ -101,6 +106,43 @@ class TextIndexMaintenance(initialDocs: DataFrame, idCol: String,
       ti = TextIndex(postings, docLens, stats.getLong(0), stats.getDouble(1), head)
       if (segments > compactEvery) compact()
       ti
+    }
+
+  /** Tombstone documents by id: an anti-join against the (broadcast)
+    * deleted-id set folds INTO the served lineage — like a segment, it
+    * deepens the plan by one layer, counts toward the compaction trigger,
+    * and predates any later append, so re-appending a deleted id serves
+    * the NEW contents. Stats recompute from the surviving doc lengths,
+    * so every score is exactly a fresh build's over the remaining corpus
+    * (df/idf derive per query from the masked matched postings). The
+    * [[HeadDf]] gate map keeps the deleted docs' counts — the volume
+    * bound only ever overstates, which is gate-only, never a score
+    * input; compaction rebuilds it exactly. Unknown ids are inert. */
+  def delete(ids: Seq[Long]): TextIndex = synchronized {
+    if (ids.isEmpty) return ti
+    val spark = ti.postings.sparkSession
+    import spark.implicits._
+    val tomb = org.apache.spark.sql.functions.broadcast(ids.toDF("id"))
+    val postings = ti.postings.join(tomb, Seq("id"), "left_anti")
+    val docLens = ti.docLens.join(tomb, Seq("id"), "left_anti")
+    val stats = docLens.agg(count(lit(1)), avg("dl")).head()
+    val avgDl = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
+    segments += 1 // one more lineage layer — compaction folds it physically
+    ti = TextIndex(postings, docLens, stats.getLong(0), avgDl, ti.headDf)
+    if (segments > compactEvery) compact()
+    ti
+  }
+
+  /** Update = delete of the ids present in `batch` + append of the new
+    * contents as a segment (session-scoped replay skip as in
+    * [[append]]); the mask predates the new segment in the lineage, so
+    * only the new contents serve. */
+  def update(batch: DataFrame, batchId: Long = Long.MinValue + 1): TextIndex =
+    synchronized {
+      if (batchId <= lastBatchId) return ti
+      val ids = batch.select(col(idCol).cast("long")).collect().map(_.getLong(0))
+      delete(ids.toSeq)
+      append(batch, batchId)
     }
 
   /** Re-pin the union as one materialized relation (reads the cached

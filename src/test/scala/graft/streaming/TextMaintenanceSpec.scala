@@ -115,6 +115,51 @@ class TextMaintenanceSpec extends SparkSpec {
     m.release()
   }
 
+  test("delete is exact: scores equal a fresh build over the survivors; update re-serves new contents") {
+    import spark.implicits._
+    val a = (1L to 30L).map(docRow(_, 12))
+    val m = new TextIndexMaintenance(a.toDF("doc_id", "text"), "doc_id", "text")
+    m.delete(Seq(3L, 7L, 19L, 999L)) // 999 unknown — inert
+    val fresh = HybridSearch.buildTextIndex(
+      a.filterNot(d => Set(3L, 7L, 19L).contains(d._1)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(m.current.numDocs == 27L && fresh.numDocs == 27L)
+    assert(math.abs(m.current.avgDl - fresh.avgDl) < 1e-9)
+    for (q <- Seq(Seq("alpha", "beta"), Seq("iota"))) {
+      val got = bm25Top(m.current, q, 30)
+      val want = bm25Top(fresh, q, 30)
+      assert(got.map(_._1) == want.map(_._1), s"query $q ids")
+      assert(got.map(_._1).intersect(Seq(3L, 7L, 19L)).isEmpty)
+      got.zip(want).foreach { case ((_, gs), (_, ws)) =>
+        assert(math.abs(gs - ws) < 1e-9, s"query $q score") }
+    }
+    // update: deleted id re-appended with NEW contents serves the new text
+    m.update(Seq((5L, "zzzuniquetoken zzzuniquetoken")).toDF("doc_id", "text"), 1L)
+    val hits = bm25Top(m.current, Seq("zzzuniquetoken"), 5)
+    assert(hits.map(_._1) == Seq(5L))
+    assert(m.current.numDocs == 27L) // 27 survivors - 1 deleted + 1 re-added
+    m.release()
+  }
+
+  test("deletes count toward compaction; post-compaction mask is physical and exact") {
+    import spark.implicits._
+    val a = (1L to 25L).map(docRow(_, 13))
+    val m = new TextIndexMaintenance(a.toDF("doc_id", "text"), "doc_id", "text",
+      compactEvery = 2)
+    m.delete(Seq(2L)) // segments 2
+    m.delete(Seq(4L)) // segments 3 > 2 → compacts back to 1
+    assert(m.segmentCount == 1)
+    val fresh = HybridSearch.buildTextIndex(
+      a.filterNot(d => Set(2L, 4L).contains(d._1)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val got = bm25Top(m.current, Seq("gamma", "delta"), 25)
+    val want = bm25Top(fresh, Seq("gamma", "delta"), 25)
+    assert(got.map(_._1) == want.map(_._1))
+    // compacted HeadDf rebuilt over the SURVIVORS (exact, not overstated)
+    assert(m.current.headDf.get.floor == 64)
+    m.release()
+  }
+
   test("streaming attach: micro-batches extend the served index") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
