@@ -157,6 +157,28 @@ object IndexQueries {
       idx
     })
 
+  /** §2.10 MergeIndexes fixture (build-once): destination = the even-id
+    * half, source = the odd-id half with its label=3 rows tombstoned.
+    * [[AnnIndex.mergeFrom]] must pull exactly the source's LIVE vectors,
+    * so an exact scan of the merged index strictly oracles against
+    * even ∪ (odd ∧ label<>3); losing a live row or resurrecting a dead
+    * one breaks the hash. The dequantizing-source path stays
+    * spec-covered (IndexSpec). */
+  private def mergedIndex(s: SparkSession, dir: String): AnnIndex =
+    AnnIndexManager.getOrBuild(s, "emb_merged", dir, path => {
+      val all = emb(s, dir)
+      val dst = AnnIndexManager.create(s, "emb_merged",
+        all.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        "FLAT", Map("metric" -> "l2"), path)
+      val src = AnnIndexManager.create(s, "emb_merge_src",
+        all.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        "FLAT", Map("metric" -> "l2"), s"${path}_src")
+      src.delete(all.filter(col("label") === 3 && col("vec_id") % 2 === 1)
+        .select("vec_id"))
+      dst.mergeFrom(src)
+      dst
+    })
+
   /** Embeddings with every value snapped to a 1/denom grid — the lossless
     * fixture for quantized-codec oracles: the snapped values are exactly
     * representable in the codec (fp16 at denom=8) or exactly recoverable
@@ -270,6 +292,11 @@ object IndexQueries {
 
     "ann_vacuum_topk" -> ((s: SparkSession, dir: String) =>
       ranked(vacuumedIndex(s, dir).scan(qvecF(0), K))),
+
+    // §2.10 MergeIndexes: even-half index absorbs the odd-half index's
+    // live rows (source has deletions) — exact FLAT scan, strict oracle.
+    "ann_merge_topk" -> ((s: SparkSession, dir: String) =>
+      ranked(mergedIndex(s, dir).scan(qvecF(11), K))),
 
     // DISKANN graph search with an exhaustive beam (l >= n): the greedy
     // search visits every reachable node, so results are exact when the
@@ -777,6 +804,35 @@ object IndexQueries {
           col("_bm25_rank").cast("long").as("_bm25_rank"),
           col("_vector_rank").cast("long").as("_vector_rank"))
         .orderBy("query_idx", "doc_id")
+    }),
+
+    // §2.8 FTS-side incremental maintenance (TextIndexMaintenance): build
+    // on the even-id half, append the odd half as a segment, tombstone 4
+    // docs, update 2 (delete + re-append with rewritten text) — the
+    // update's append crosses compactEvery=4, so the COMPACTED index
+    // serves the final query. BM25 scores derive from the masked unioned
+    // postings and recomputed stats, so ranks strictly oracle against a
+    // monolithic BM25 over the equivalent final corpus.
+    "fts_maintained" -> ((s: SparkSession, dir: String) => {
+      val docs = table(s, dir, "documents")
+      val m = new graft.streaming.TextIndexMaintenance(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        compactEvery = 4)
+      m.append(docs.filter(col("doc_id") % 2 === 1), batchId = 1L)
+      m.delete(Seq(0L, 2L, 4L, 6L))
+      m.update(docs.filter(col("doc_id").isin(1L, 3L))
+        .withColumn("text", concat(lit("spark merge rewritten "), col("text"))),
+        batchId = 2L)
+      val res = graft.operators.HybridSearch.bm25(
+        m.current, Seq("spark", "table", "join", "merge"), K)
+      // ranks only — no float survives to the compare; release the pins
+      // before returning (lineage recomputes, correctness unaffected)
+      val out = res.withColumn("rank", row_number().over(
+          Window.orderBy(col("_bm25_score").desc, col("id"))).cast("long"))
+        .select(col("rank"), col("id").as("doc_id"))
+        .orderBy("rank")
+      m.release()
+      out
     })
   )
 
@@ -1022,6 +1078,9 @@ object IndexQueries {
     "ann_vacuum_topk" -> bruteForceTopK(0, where = "WHERE label <> 3"),
     // compacted index = all rows except the 5 tombstoned ids
     "ann_compact_topk" -> bruteForceTopK(17, where = "WHERE vec_id >= 5"),
+    // merged index = even half ∪ live (label<>3) odd half
+    "ann_merge_topk" ->
+      bruteForceTopK(11, where = "WHERE (vec_id % 2 = 0) OR (label <> 3)"),
 
     "ann_search_table" ->
       s"""SELECT q_vec_id, rank, vec_id FROM (
@@ -1220,6 +1279,42 @@ object IndexQueries {
          |SELECT f.query_idx, d.doc_id, CAST(f.bm25_rank AS BIGINT) AS _bm25_rank,
          |  CAST(f.vector_rank AS BIGINT) AS _vector_rank
          |FROM fused f JOIN documents d ON d.doc_id = f.id
-         |ORDER BY query_idx, doc_id""".stripMargin
+         |ORDER BY query_idx, doc_id""".stripMargin,
+
+    // §2.8 maintained FTS index == a monolithic BM25 over the final
+    // corpus: docs 0/2/4/6 deleted, docs 1/3 rewritten (update), the
+    // rest verbatim. Same operation-for-operation BM25 mirror as the
+    // hybrid_search oracle; output is ranks only.
+    "fts_maintained" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, CASE WHEN doc_id IN (1, 3)
+         |    THEN 'spark merge rewritten ' || text ELSE text END AS text
+         |  FROM documents WHERE doc_id NOT IN (0, 2, 4, 6)
+         |), toks AS (
+         |  SELECT doc_id AS id,
+         |    [t FOR t IN string_split_regex(lower(text), '[^\\p{L}\\p{Nd}]+') IF len(t) > 0] AS toks
+         |  FROM corpus
+         |), postings AS (
+         |  SELECT id, term, count(*) AS tf
+         |  FROM (SELECT id, unnest(toks) AS term FROM toks)
+         |  WHERE term IN ('spark', 'table', 'join', 'merge')
+         |  GROUP BY id, term
+         |), doclens AS (
+         |  SELECT id, CAST(len(toks) AS DOUBLE) AS dl FROM toks
+         |), stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM doclens
+         |), idf AS (
+         |  SELECT term, ln(((SELECT n FROM stats) - df + 0.5) / (df + 0.5) + 1.0) AS idf
+         |  FROM (SELECT term, count(DISTINCT id) AS df FROM postings GROUP BY term)
+         |), contribs AS (
+         |  SELECT p.id, p.term,
+         |    i.idf * (p.tf * (1.2 + 1.0))
+         |      / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / (SELECT avgdl FROM stats))) AS contrib
+         |  FROM postings p JOIN idf i USING (term) JOIN doclens d ON d.id = p.id
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT) AS rank,
+         |  id AS doc_id
+         |FROM (SELECT id, sum(contrib ORDER BY term) AS score FROM contribs GROUP BY id)
+         |QUALIFY rank <= $K ORDER BY rank""".stripMargin
   )
 }
