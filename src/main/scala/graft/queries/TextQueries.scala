@@ -559,7 +559,34 @@ object TextQueries {
       graft.pipeline.CorpusPipeline.shardCorpus(docs(s, dir), "doc_id",
           nShards = 8)
         .select("doc_id", "shard", "shard_pos")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // DSIR importance weights (Xie et al. 2023): target = the corpus's
+    // lang='en' slice, raw = the whole corpus; hashed unigram+bigram
+    // buckets (md5 2-hex prefix, 256 buckets), Laplace alpha=1. Strict:
+    // the per-doc fold runs in TEXT ORDER on both engines (the
+    // text_trigram_ll technique), and the model is pure relational
+    // arithmetic over bucket counts
+    "dsir_weights" -> ((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      val model = graft.pipeline.Dsir.fitLogRatios(
+        d, d.filter(col("lang") === "en"), "text", hexChars = 2, alpha = 1.0)
+      graft.pipeline.Dsir.withImportanceWeight(d, "text", model)
+        .select(col("doc_id"), col("n_features"),
+          (round(col("dsir_weight") + 0.000000001, 4) + 0.0).as("dsir_weight"))
+        .orderBy("doc_id")
+    }),
+
+    // DSIR Gumbel-top-n resample: same model; selection key = weight +
+    // a deterministic standard Gumbel derived from md5(doc_id) (exact
+    // integer-in-double arithmetic on both engines) → strict ranks
+    "dsir_resample" -> ((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      graft.pipeline.Dsir.resample(d, "doc_id", "text",
+          d.filter(col("lang") === "en"), n = 20, hexChars = 2, alpha = 1.0)
+        .select("rank", "doc_id")
+        .orderBy("rank")
+    })
   )
 
   /** The ngram-jaccard pair graph's transitive closure as a reusable WITH
@@ -1216,6 +1243,68 @@ object TextQueries {
         |WHERE CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) >= 0.5 * greatest(len(a.sh), len(b.sh))
         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |      / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.5
-        |ORDER BY a, b""".stripMargin
+        |ORDER BY a, b""".stripMargin,
+
+    // the DSIR model replayed: hashed unigram+bigram buckets (md5 2-hex
+    // prefix), Laplace-smoothed target/raw log ratios, per-doc LEFT-TO-
+    // RIGHT ordered fold (lock-step unnest keeps feature positions; the
+    // text_trigram_ll list_reduce technique reproduces the engine's
+    // summation order exactly)
+    "dsir_weights" ->
+      s"""$DsirModelCte
+        |SELECT t.doc_id,
+        |  CAST(CASE WHEN len(ts) > 0 THEN 2 * len(ts) - 1 ELSE 0 END AS BIGINT) AS n_features,
+        |  round(coalesce(f.w, 0.0) + 0.000000001, 4) + 0.0 AS dsir_weight
+        |FROM toks t LEFT JOIN folded f USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // Gumbel-top-n selection on the same weights: the uniform is the
+    // first 6 md5 hex digits of the id string folded to an integer
+    // (exact in DOUBLE), +0.5, over 16^6 — identical arithmetic to
+    // Dsir.gumbel, so weight + Gumbel ranks replay exactly
+    "dsir_resample" ->
+      s"""$DsirModelCte, gumb AS (
+        |  SELECT t.doc_id, coalesce(f.w, 0.0) AS w,
+        |    -ln(-ln((list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        [CAST(strpos('0123456789abcdef', c) - 1 AS DOUBLE)
+        |         FOR c IN split(substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 6), '')]),
+        |      (a, d) -> a * 16 + d) + 0.5) / 16777216.0)) AS g
+        |  FROM toks t LEFT JOIN folded f USING (doc_id)
+        |)
+        |SELECT rank, doc_id FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY w + g DESC, doc_id) AS BIGINT) AS rank,
+        |    doc_id
+        |  FROM gumb) r
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin
   )
+
+  /** Shared DSIR oracle model: tokenize → unigram+bigram features with
+    * positions → md5 2-hex buckets → smoothed log ratios (target =
+    * lang='en', raw = all docs, alpha=1, 256 buckets) → per-doc ordered
+    * fold. Mirrors [[graft.pipeline.Dsir]] count-for-count. */
+  private val DsirModelCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    [t FOR t IN string_split_regex(lower(text), '\s+') IF len(t) > 0] AS ts
+      |  FROM documents
+      |), f AS (
+      |  SELECT doc_id, lang,
+      |    unnest([i FOR i IN generate_series(1, 2 * len(ts) - 1)]) AS pos,
+      |    unnest([substring(md5(x), 1, 2) FOR x IN
+      |      ts || [ts[i] || ' ' || ts[i + 1] FOR i IN generate_series(1, len(ts) - 1)]]) AS b
+      |  FROM toks WHERE len(ts) > 0
+      |), tgt AS (SELECT b, count(*) AS c FROM f WHERE lang = 'en' GROUP BY b
+      |), rawc AS (SELECT b, count(*) AS c FROM f GROUP BY b
+      |), tots AS (
+      |  SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM tgt) + 256.0 AS tt,
+      |         (SELECT CAST(sum(c) AS DOUBLE) FROM rawc) + 256.0 AS rt
+      |), ratio AS (
+      |  SELECT r.b,
+      |    ln((coalesce(t.c, 0) + 1.0) / tt) - ln((r.c + 1.0) / rt) AS lr
+      |  FROM rawc r LEFT JOIN tgt t USING (b) CROSS JOIN tots
+      |), folded AS (
+      |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list(lr ORDER BY pos)), (a, x) -> a + x) AS w
+      |  FROM f JOIN ratio USING (b) GROUP BY doc_id
+      |)""".stripMargin
 }
