@@ -94,8 +94,70 @@ object VectorQueries {
           bq_hamming(bq_encode(col("embedding")), typedLit(qvec(4)), Dim)
             .cast("long").as("hamming"))
         .orderBy("vec_id")
+    }),
+
+    // ColBERT MaxSim, single query: 100+ multi-vector "documents" (each =
+    // 5 consecutive embedding rows in vec_id order), scored exactly by
+    // Σ_q max_d <q,d> through the codegen InnerProduct kernel inside
+    // HOFs. Strict: same fold order as the oracle's comprehension
+    "maxsim_topk" -> ((s: SparkSession, dir: String) => {
+      val top = graft.operators.MaxSim.topK(multiVecDocs(s, dir), "doc_id",
+        "vecs", Seq(qvec(21), qvec(22), qvec(23)), K)
+      top.withColumn("rank", row_number().over(
+          Window.orderBy(col("_maxsim").desc, col("doc_id"))).cast("long"))
+        .select(col("rank"), col("doc_id"),
+          (round(col("_maxsim") + 0.000000001, 4) + 0.0).as("maxsim"))
+        .orderBy("rank")
+    }),
+
+    // batch form: 3 two-token queries against every document — queries
+    // broadcast, docs never shuffle, map-side bounded-heap top-k
+    "maxsim_table" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val qdf = Seq(
+        (0, Seq(qvec(30).toSeq, qvec(40).toSeq)),
+        (1, Seq(qvec(31).toSeq, qvec(41).toSeq)),
+        (2, Seq(qvec(32).toSeq, qvec(42).toSeq))).toDF("query_idx", "qvecs")
+      graft.operators.MaxSim.searchTable(qdf, "query_idx", "qvecs",
+          multiVecDocs(s, dir), "doc_id", "vecs", k = 5)
+        .select("query_idx", "rank", "doc_id")
+        .orderBy("query_idx", "rank")
+    }),
+
+    // the staged serving shape with a RELATIONAL first stage (mean-pooled
+    // inner-product top-30 per query, all-double arithmetic) feeding the
+    // MaxSim rerank join — candidate volume bounded by nq x overfetch.
+    // Strict: pooling, first-stage ranks, and the rerank all replay in SQL
+    "maxsim_rerank" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = multiVecDocs(s, dir)
+      val qdf = Seq(
+        (0, Seq(qvec(30).toSeq, qvec(40).toSeq)),
+        (1, Seq(qvec(31).toSeq, qvec(41).toSeq)),
+        (2, Seq(qvec(32).toSeq, qvec(42).toSeq))).toDF("query_idx", "qvecs")
+      val pooledDocs = docs.withColumn("__pv",
+        graft.operators.MaxSim.meanPool(col("vecs")))
+      val pq = qdf.select(col("query_idx"),
+        graft.operators.MaxSim.meanPool(col("qvecs")).as("__pq"))
+      val cands = graft.operators.TopK.groupedWithRank(
+        pooledDocs.crossJoin(broadcast(pq))
+          .withColumn("__neg", -inner_product(col("__pv"), col("__pq"))),
+        "query_idx", "__neg", "doc_id", 30, "c_rank")
+      graft.operators.MaxSim.rerank(cands, qdf, "query_idx", "qvecs",
+          docs, "doc_id", "vecs", K)
+        .select("query_idx", "rank", "doc_id")
+        .orderBy("query_idx", "rank")
     })
   )
+
+  /** Multi-vector corpus derived from the embeddings table: document i =
+    * the token-vector bag of rows `vec_id div 5 = i`, in vec_id order
+    * (mirrored in SQL as `list(embedding ORDER BY vec_id)`). */
+  private def multiVecDocs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings")
+      .groupBy(expr("vec_id div 5").as("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+        x => x("embedding")).as("vecs"))
 
   def oracleSql: Map[String, String] = Map(
     "vector_distance_l2" ->
@@ -147,6 +209,82 @@ object VectorQueries {
       }
       s"""SELECT vec_id, CAST(${terms.mkString(" + ")} AS BIGINT) AS hamming
          |FROM embeddings ORDER BY vec_id""".stripMargin
-    }
+    },
+
+    // MaxSim replayed: the scoreLit reduce is (s21 + s22) + s23 in query-
+    // token order; list_max is order-free; per-token max-dot comprehension
+    "maxsim_topk" ->
+      s"""$MaxSimDocsCte, scored AS (
+         |  SELECT doc_id,
+         |    list_max([list_inner_product(v, ${sqlVec(21)}) FOR v IN vecs])
+         |    + list_max([list_inner_product(v, ${sqlVec(22)}) FOR v IN vecs])
+         |    + list_max([list_inner_product(v, ${sqlVec(23)}) FOR v IN vecs]) AS s
+         |  FROM dv)
+         |SELECT rank, doc_id, round(s + 0.000000001, 4) + 0.0 AS maxsim FROM (
+         |  SELECT doc_id, s, CAST(row_number() OVER (ORDER BY s DESC, doc_id)
+         |    AS BIGINT) AS rank FROM scored) t
+         |WHERE rank <= $K ORDER BY rank""".stripMargin,
+
+    // batch form: the engine's aggregate fold starts at 0.0, so the mirror
+    // keeps the leading 0.0 + for bit-identical sums
+    "maxsim_table" ->
+      s"""$MaxSimDocsCte, q AS (
+         |  SELECT * FROM (VALUES $MaxSimQValues) AS t(query_idx, qa, qb)
+         |), scored AS (
+         |  SELECT q.query_idx, d.doc_id,
+         |    0.0 + list_max([list_inner_product(v, q.qa) FOR v IN d.vecs])
+         |        + list_max([list_inner_product(v, q.qb) FOR v IN d.vecs]) AS s
+         |  FROM dv d CROSS JOIN q)
+         |SELECT query_idx, rank, doc_id FROM (
+         |  SELECT query_idx, doc_id, CAST(row_number() OVER (
+         |    PARTITION BY query_idx ORDER BY s DESC, doc_id) AS BIGINT) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5 ORDER BY query_idx, rank""".stripMargin,
+
+    // staged: mean pooling replayed with list_reduce (the engine folds
+    // v1+v2+... left-to-right, init = first vector), pooled-IP top-30
+    // candidates per query, then the exact MaxSim rerank on that set
+    "maxsim_rerank" ->
+      s"""$MaxSimDocsCte, q AS (
+         |  SELECT * FROM (VALUES $MaxSimQValues) AS t(query_idx, qa, qb)
+         |), pd AS (
+         |  SELECT doc_id, vecs,
+         |    [list_reduce([v[i] FOR v IN vecs], (a, b) -> a + b) / len(vecs)
+         |     FOR i IN generate_series(1, $Dim)] AS pv
+         |  FROM dv
+         |), pq AS (
+         |  SELECT query_idx, qa, qb,
+         |    [(qa[i] + qb[i]) / 2 FOR i IN generate_series(1, $Dim)] AS pqv
+         |  FROM q
+         |), cands AS (
+         |  SELECT query_idx, doc_id, vecs, qa, qb,
+         |    CAST(row_number() OVER (PARTITION BY query_idx
+         |      ORDER BY list_inner_product(pv, pqv) DESC, doc_id) AS BIGINT) AS c_rank
+         |  FROM pd CROSS JOIN pq
+         |), final AS (
+         |  SELECT query_idx, doc_id,
+         |    0.0 + list_max([list_inner_product(v, qa) FOR v IN vecs])
+         |        + list_max([list_inner_product(v, qb) FOR v IN vecs]) AS s
+         |  FROM cands WHERE c_rank <= 30)
+         |SELECT query_idx, rank, doc_id FROM (
+         |  SELECT query_idx, doc_id, CAST(row_number() OVER (
+         |    PARTITION BY query_idx ORDER BY s DESC, doc_id) AS BIGINT) AS rank
+         |  FROM final) t
+         |WHERE rank <= $K ORDER BY query_idx, rank""".stripMargin
   )
+
+  /** Shared multi-vector oracle fixture — mirrors `multiVecDocs`. */
+  private val MaxSimDocsCte: String =
+    """WITH dv AS (
+      |  SELECT vec_id // 5 AS doc_id,
+      |    list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS vecs
+      |  FROM embeddings GROUP BY 1
+      |)""".stripMargin
+
+  /** The 3 two-token literal queries shared by the batch MaxSim mirrors. */
+  private val MaxSimQValues: String =
+    (0 to 2).map { i =>
+      val idx = if (i == 0) "CAST(0 AS INTEGER)" else i.toString
+      s"($idx, ${sqlVec(30 + i)}, ${sqlVec(40 + i)})"
+    }.mkString(", ")
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.index.AnnIndexManager
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class MaxSimSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dim = 8
+  private val nDocs = 60
+  private val rnd = new scala.util.Random(7)
+
+  private lazy val docVecs: Seq[(Long, Seq[Seq[Float]])] =
+    Seq.tabulate(nDocs) { i =>
+      val nTok = 2 + rnd.nextInt(4)
+      (i.toLong, Seq.fill(nTok)(Seq.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    }
+  private lazy val docs: DataFrame = docVecs.toDF("doc_id", "vecs")
+
+  private lazy val queryVecs: Seq[(Int, Seq[Seq[Double]])] =
+    Seq.tabulate(3)(qi =>
+      (qi, Seq.fill(2)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))))
+  private lazy val queries: DataFrame = queryVecs.toDF("query_idx", "qvecs")
+
+  /** Scalar reference: Σ_q max_d <q,d>, plain driver-side doubles. */
+  private def refScore(q: Seq[Seq[Double]], d: Seq[Seq[Float]]): Double =
+    q.map(qv => d.map(dv => qv.zip(dv).map { case (a, b) => a * b.toDouble }.sum).max).sum
+
+  test("searchTable matches the scalar reference exactly") {
+    val got = MaxSim.searchTable(queries, "query_idx", "qvecs",
+        docs, "doc_id", "vecs", k = 5)
+      .select("query_idx", "rank", "doc_id")
+      .as[(Int, Long, Long)].collect().toSet
+    val want = (for ((qi, q) <- queryVecs) yield {
+      docVecs.map { case (id, d) => (id, refScore(q, d)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).zipWithIndex
+        .map { case ((id, _), r) => (qi, (r + 1).toLong, id) }
+    }).flatten.toSet
+    assert(got == want)
+  }
+
+  test("topK (single query) agrees with searchTable on the same query") {
+    val q = queryVecs.head._2.map(_.toArray)
+    val single = MaxSim.topK(docs, "doc_id", "vecs", q, 5)
+      .select("doc_id").as[Long].collect().toSeq
+    val batch = MaxSim.searchTable(queries.filter($"query_idx" === 0),
+        "query_idx", "qvecs", docs, "doc_id", "vecs", 5)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(single == batch)
+  }
+
+  test("meanPool is the per-dimension mean in bag order") {
+    val pooled = docs.filter($"doc_id" === 0L)
+      .select(MaxSim.meanPool($"vecs")).as[Seq[Double]].head()
+    val bag = docVecs.head._2
+    val want = Seq.tabulate(dim)(i =>
+      bag.map(_(i).toDouble).foldLeft(0.0)(_ + _) / bag.size)
+    pooled.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
+  }
+
+  test("empty and null bags drop out of scoring instead of NPEing TopK") {
+    val withBad = docs.unionByName(Seq(
+      (900L, Seq.empty[Seq[Float]]),
+      (901L, null.asInstanceOf[Seq[Seq[Float]]])).toDF("doc_id", "vecs"))
+    val got = MaxSim.searchTable(queries, "query_idx", "qvecs",
+        withBad, "doc_id", "vecs", k = nDocs + 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!got.contains(900L) && !got.contains(901L))
+    assert(got.size == nDocs)
+  }
+
+  test("ANN-staged rerank equals brute force at full overfetch, high recall at partial") {
+    val tmp = Files.createTempDirectory("graft_maxsim").toString
+    val pooled = docs.select($"doc_id",
+      MaxSim.meanPool($"vecs").cast("array<float>").as("pv"))
+    val idx = AnnIndexManager.create(spark, "maxsim_pool_idx", pooled,
+      "doc_id", "pv", "FLAT", Map("metric" -> "ip"), s"$tmp/idx")
+    try {
+      val brute = MaxSim.searchTable(queries, "query_idx", "qvecs",
+          docs, "doc_id", "vecs", k = 10)
+        .select("query_idx", "rank", "doc_id").as[(Int, Long, Long)]
+        .collect().toSet
+      val staged = MaxSim.annSearchTable(idx, queries, "query_idx", "qvecs",
+          docs, "doc_id", "vecs", k = 10, overfetch = nDocs)
+        .select("query_idx", "rank", "doc_id").as[(Int, Long, Long)]
+        .collect().toSet
+      assert(staged == brute, "full overfetch must be exact")
+
+      val part = MaxSim.annSearchTable(idx, queries, "query_idx", "qvecs",
+          docs, "doc_id", "vecs", k = 10, overfetch = 30)
+        .select("query_idx", "doc_id").as[(Int, Long)].collect().toSet
+      val bruteIds = brute.map { case (q, _, d) => (q, d) }
+      val recall = bruteIds.count(part.contains).toDouble / bruteIds.size
+      assert(recall >= 0.5, s"pooled first stage should keep most of the " +
+        s"true top-10 at overfetch=30/60: recall=$recall")
+    } finally AnnIndexManager.drop("maxsim_pool_idx")
+  }
+
+  test("searchTable plan broadcasts queries and never shuffles the doc side") {
+    val plan = MaxSim.searchTable(queries, "query_idx", "qvecs",
+      docs, "doc_id", "vecs", k = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query side must broadcast:\n$plan")
+  }
+}
