@@ -24,6 +24,10 @@ import graft.pipeline.{CorpusPipeline, Dedup, TextAnalysis}
   *   SELECT * FROM dedup_minhash_pairs(TABLE(docs), 'doc_id', 'text', 0.5)
   *   SELECT * FROM dedup_components(TABLE(pairs), 'a', 'b')
   *   SELECT * FROM corpus_decontaminate(TABLE(corpus), 'doc_id', 'text', TABLE(bench), 'text'[, n, minOverlap])
+  *   SELECT * FROM dsir_weights(TABLE(raw), 'text', TABLE(target)[, hex_chars, alpha])
+  *   SELECT * FROM dsir_resample(TABLE(raw), 'doc_id', 'text', TABLE(target), n[, hex_chars, alpha])
+  *   SELECT * FROM maxsim_search_table(TABLE(queries), 'query_idx', 'qvecs', TABLE(docs), 'doc_id', 'vecs', k)
+  *   SELECT * FROM maxsim_ann_table('pooled_idx', TABLE(queries), 'query_idx', 'qvecs', TABLE(docs), 'doc_id', 'vecs', k, overfetch)
   *
   * TABLE(...) arguments embed the analyzed child plan directly (same
   * mechanism as [[AnnSql]]); the returned relation is lazy — these are
@@ -163,6 +167,56 @@ object PipelineSql {
       plan(Dedup.decontaminate(tableArg(spark, exprs(0)),
         constString(exprs(1)), constString(exprs(2)),
         tableArg(spark, exprs(3)), constString(exprs(4)), n, minOv))
+    }, "scala_udf")
+
+    // DSIR data selection. Model fitting (two bounded bucket-count
+    // aggregations) runs when the plan is BUILT — the dedup_components
+    // CALL-style exception — because the ≤16^hex_chars ratio table must
+    // ride a broadcast into the row-local scoring pass.
+    r.createOrReplaceTempFunction("dsir_weights", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 3 && exprs.length <= 5,
+        "usage: dsir_weights(TABLE(raw), text_col, TABLE(target)[, hex_chars, alpha])")
+      val textCol = constString(exprs(1))
+      val hc = if (exprs.length > 3) constInt(exprs(3)) else 2
+      val alpha = if (exprs.length > 4) constNum(exprs(4)) else 1.0
+      val raw = tableArg(spark, exprs(0))
+      val model = graft.pipeline.Dsir.fitLogRatios(
+        raw, tableArg(spark, exprs(2)), textCol, hc, alpha)
+      plan(graft.pipeline.Dsir.withImportanceWeight(raw, textCol, model))
+    }, "scala_udf")
+
+    r.createOrReplaceTempFunction("dsir_resample", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 5 && exprs.length <= 7,
+        "usage: dsir_resample(TABLE(raw), id_col, text_col, TABLE(target), n[, hex_chars, alpha])")
+      val hc = if (exprs.length > 5) constInt(exprs(5)) else 2
+      val alpha = if (exprs.length > 6) constNum(exprs(6)) else 1.0
+      plan(graft.pipeline.Dsir.resample(tableArg(spark, exprs(0)),
+        constString(exprs(1)), constString(exprs(2)),
+        tableArg(spark, exprs(3)), constInt(exprs(4)), hc, alpha))
+    }, "scala_udf")
+
+    // ColBERT MaxSim: exact batch form, and the staged ANN form over a
+    // registered pooled-vector index (same name resolution as AnnSql)
+    r.createOrReplaceTempFunction("maxsim_search_table", (exprs: Seq[Expression]) => {
+      require(exprs.length == 7,
+        "usage: maxsim_search_table(TABLE(queries), qid_col, qvecs_col, TABLE(docs), did_col, dvecs_col, k)")
+      plan(graft.operators.MaxSim.searchTable(
+        tableArg(spark, exprs(0)), constString(exprs(1)), constString(exprs(2)),
+        tableArg(spark, exprs(3)), constString(exprs(4)), constString(exprs(5)),
+        constInt(exprs(6))))
+    }, "scala_udf")
+
+    r.createOrReplaceTempFunction("maxsim_ann_table", (exprs: Seq[Expression]) => {
+      require(exprs.length == 9,
+        "usage: maxsim_ann_table('index', TABLE(queries), qid_col, qvecs_col, TABLE(docs), did_col, dvecs_col, k, overfetch)")
+      val name = constString(exprs(0))
+      val path = graft.index.AnnIndexManager.registered.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown index: $name"))
+      plan(graft.operators.MaxSim.annSearchTable(
+        graft.index.AnnIndexManager.load(spark, path),
+        tableArg(spark, exprs(1)), constString(exprs(2)), constString(exprs(3)),
+        tableArg(spark, exprs(4)), constString(exprs(5)), constString(exprs(6)),
+        constInt(exprs(7)), constInt(exprs(8))))
     }, "scala_udf")
   }
 }

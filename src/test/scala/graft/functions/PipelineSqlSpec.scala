@@ -85,4 +85,48 @@ class PipelineSqlSpec extends SparkSpec {
       spark.sql("SELECT * FROM corpus_chunk(TABLE(pl_docs), 'doc_id', 'text', 4)").collect())
     assert(e.getMessage.contains("usage: corpus_chunk"))
   }
+
+  test("DSIR TVFs mirror the Scala API") {
+    PipelineSql.register(spark)
+    docsDf.createOrReplaceTempView("pl_docs")
+    import spark.implicits._
+    val target = Seq((10L, "the quick brown fox and the lazy dog"))
+      .toDF("doc_id", "text")
+    target.createOrReplaceTempView("pl_target")
+
+    val model = graft.pipeline.Dsir.fitLogRatios(docsDf, target, "text")
+    sameRows("SELECT * FROM dsir_weights(TABLE(pl_docs), 'text', TABLE(pl_target))",
+      graft.pipeline.Dsir.withImportanceWeight(docsDf, "text", model))
+    sameRows("SELECT * FROM dsir_resample(TABLE(pl_docs), 'doc_id', 'text', TABLE(pl_target), 3)",
+      graft.pipeline.Dsir.resample(docsDf, "doc_id", "text", target, 3))
+  }
+
+  test("MaxSim TVFs mirror the Scala API") {
+    PipelineSql.register(spark)
+    import spark.implicits._
+    val docs = Seq.tabulate(20)(i =>
+      (i.toLong, Seq.fill(3)(Seq.tabulate(4)(j => (i * 7 + j * 3 % 11) / 10.0f))))
+      .toDF("doc_id", "vecs")
+    val queries = Seq((0, Seq(Seq(0.1, 0.2, 0.3, 0.4), Seq(0.4, 0.3, 0.2, 0.1))))
+      .toDF("query_idx", "qvecs")
+    docs.createOrReplaceTempView("pl_mvdocs")
+    queries.createOrReplaceTempView("pl_mvq")
+
+    sameRows(
+      "SELECT * FROM maxsim_search_table(TABLE(pl_mvq), 'query_idx', 'qvecs', TABLE(pl_mvdocs), 'doc_id', 'vecs', 5)",
+      graft.operators.MaxSim.searchTable(queries, "query_idx", "qvecs",
+        docs, "doc_id", "vecs", 5))
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_maxsim_sql").toString
+    val pooled = docs.select($"doc_id", graft.operators.MaxSim.meanPool($"vecs")
+      .cast("array<float>").as("pv"))
+    val idx = graft.index.AnnIndexManager.create(spark, "pl_maxsim_idx", pooled,
+      "doc_id", "pv", "FLAT", Map("metric" -> "ip"), s"$tmp/idx")
+    try {
+      sameRows(
+        "SELECT * FROM maxsim_ann_table('pl_maxsim_idx', TABLE(pl_mvq), 'query_idx', 'qvecs', TABLE(pl_mvdocs), 'doc_id', 'vecs', 5, 10)",
+        graft.operators.MaxSim.annSearchTable(idx, queries, "query_idx", "qvecs",
+          docs, "doc_id", "vecs", 5, 10))
+    } finally graft.index.AnnIndexManager.drop("pl_maxsim_idx")
+  }
 }
