@@ -120,7 +120,10 @@ object Bench {
                      // inverted-index build + weighted RRF fusion,
                      // src/ann_search.cpp:903-1163) and the multimodal
                      // decode tier — timed like every other S-operator
-                     "hybrid_search", "multimodal_decode")) {
+                     "hybrid_search", "multimodal_decode",
+                     // r11 additions: DSIR selection (model fit + row-local
+                     // scoring) and the exact batch MaxSim kernel
+                     "dsir_weights", "maxsim_table")) {
       time(name) { noop(q(name)(spark, sfDir)) }
     }
 
@@ -315,6 +318,43 @@ object Bench {
     })
     bqIdx.persist()
     time("bq_50q_10k_d128") { noop(bqIdx.searchBatch(synthQC, 10)) }
+
+    // ---- MaxSim serving shapes: 10k multi-vector docs (4 x d128 tokens),
+    // 50 two-token queries. Exact batch = the brute-force kernel (queries
+    // broadcast, docs never shuffle); staged = pooled FLAT first stage +
+    // rerank on 50 x overfetch candidates — the shape whose cost stays
+    // flat as the corpus grows
+    val msDocs = spark.range(10000)
+      .repartition(cpus.toInt)
+      .select(col("id").as("doc_id"), array(Seq.tabulate(4)(t =>
+        seededVec(col("id") * 4 + t, lit(dim))): _*).as("vecs"))
+      .cache()
+    msDocs.count()
+    val msQs = spark.range(50)
+      .select(col("id").as("query_idx"), array(
+        seededVec(col("id") + 800000L, lit(dim)),
+        seededVec(col("id") + 850000L, lit(dim))).as("qvecs"))
+      .cache()
+    msQs.count()
+    time("maxsim_table_50q") {
+      noop(graft.operators.MaxSim.searchTable(msQs, "query_idx", "qvecs",
+        msDocs, "doc_id", "vecs", k = 10))
+    }
+    val msPooled = msDocs.select(col("doc_id"),
+      graft.operators.MaxSim.meanPool(col("vecs")).cast("array<float>").as("pv"))
+    var msIdx: graft.index.AnnIndex = null
+    time("maxsim_pool_build_10k", reps = 2) {
+      rep += 1
+      msIdx = graft.index.AnnIndexManager.create(spark, s"bench_ms_$rep",
+        msPooled, "doc_id", "pv", "IVF",
+        Map("metric" -> "ip", "nlist" -> "32"), s"$tmp/ms$rep")
+    }
+    msIdx.persist()
+    time("maxsim_ann_50q") {
+      noop(graft.operators.MaxSim.annSearchTable(msIdx, msQs, "query_idx",
+        "qvecs", msDocs, "doc_id", "vecs", k = 10, overfetch = 100))
+    }
+    msIdx.unpersist(); msDocs.unpersist(); msQs.unpersist()
 
     // ---- kernel microbench: batch L2, one query vs n cands (per-batch s) ----
     // the FULL reference CPU shape table (README.md:140-145: 4µs @ 64×128
