@@ -24,6 +24,7 @@ import graft.pipeline.{CorpusPipeline, Dedup, TextAnalysis}
   *   SELECT * FROM dedup_minhash_pairs(TABLE(docs), 'doc_id', 'text', 0.5)
   *   SELECT * FROM dedup_components(TABLE(pairs), 'a', 'b')
   *   SELECT * FROM corpus_decontaminate(TABLE(corpus), 'doc_id', 'text', TABLE(bench), 'text'[, n, minOverlap])
+  *   SELECT * FROM dedup_paragraphs(TABLE(t), 'doc_id', 'text'[, sep_regex])
   *   SELECT * FROM dsir_weights(TABLE(raw), 'text', TABLE(target)[, hex_chars, alpha])
   *   SELECT * FROM dsir_resample(TABLE(raw), 'doc_id', 'text', TABLE(target), n[, hex_chars, alpha])
   *   SELECT * FROM maxsim_search_table(TABLE(queries), 'query_idx', 'qvecs', TABLE(docs), 'doc_id', 'vecs', k)
@@ -167,6 +168,14 @@ object PipelineSql {
       plan(Dedup.decontaminate(tableArg(spark, exprs(0)),
         constString(exprs(1)), constString(exprs(2)),
         tableArg(spark, exprs(3)), constString(exprs(4)), n, minOv))
+    }, "scala_udf")
+
+    r.createOrReplaceTempFunction("dedup_paragraphs", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 3 && exprs.length <= 4,
+        "usage: dedup_paragraphs(TABLE(t), id_col, text_col[, sep_regex])")
+      val sep = if (exprs.length > 3) constString(exprs(3)) else "\\n+"
+      plan(Dedup.dedupParagraphs(tableArg(spark, exprs(0)),
+        constString(exprs(1)), constString(exprs(2)), sep))
     }, "scala_udf")
 
     // DSIR data selection. Model fitting (two bounded bucket-count

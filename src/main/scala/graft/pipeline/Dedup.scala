@@ -809,6 +809,52 @@ object Dedup {
         shingleSize, minOverlap).select(idCol),
       Seq(idCol), "left_anti")
 
+  /** SUB-document exact dedup at paragraph granularity (the production
+    * form of ExactSubstr — Lee et al. 2022 "Deduplicating Training Data
+    * Makes Language Models Better" — as deployed in Dolma/RedPajama-style
+    * pipelines): split each document on `sepRegex`, keep only the
+    * corpus-wide FIRST occurrence of each exact paragraph (ordered by
+    * (id, position)), and reassemble the survivors in document order
+    * joined by a single '\n'. Boilerplate repeated across documents
+    * (headers, license blocks, navigation chrome) vanishes from every
+    * document except the first that carries it; document-LEVEL dedup
+    * ([[dropExactDuplicates]]) cannot see it.
+    *
+    * Matching is byte-exact and case-sensitive (ExactSubstr semantics) —
+    * normalize upstream if fuzzier matching is wanted.
+    *
+    * Output: idCol, `text` (rewritten; "" when every paragraph was a
+    * repeat), `n_paras`, `n_paras_kept` (BIGINT).
+    *
+    * Scale shape: one paragraph explode, ONE hash shuffle keyed on
+    * md5(paragraph) (min-struct winner, partial map-side), one join back,
+    * one per-doc reassembly aggregate keyed on id — no pair term, no
+    * driver state; a degenerate viral paragraph is ONE shuffle key whose
+    * winner reduces map-side, not a skew hazard. */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      sepRegex: String = "\\n+"): DataFrame = {
+    val paras = filter(split(col(textCol), sepRegex), p => length(p) > 0)
+    val ex = df.select(col(idCol), posexplode(paras).as(Seq("__pidx", "__para")))
+      .withColumn("__h", md5(col("__para")))
+    // corpus-wide first occurrence: lexicographic struct min = (id, pos)
+    val winners = ex.groupBy("__h")
+      .agg(min(struct(col(idCol).as("wid"), col("__pidx").as("widx"))).as("__w"))
+    val kept = ex.join(winners, Seq("__h"))
+      .filter(col(idCol) === col("__w.wid") && col("__pidx") === col("__w.widx"))
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("__pidx"), col("__para")))),
+        s => s("__para")), "\n").as("__text_kept"),
+      count(lit(1)).cast("long").as("n_paras_kept"))
+    df.select(col(idCol), // null text → no paragraphs (size(null) is null)
+        coalesce(size(paras).cast("long"), lit(0L)).as("n_paras"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__text_kept"), lit("")).as("text"),
+        col("n_paras"),
+        coalesce(col("n_paras_kept"), lit(0L)).as("n_paras_kept"))
+  }
+
   /** Resolve near-duplicate PAIRS into duplicate GROUPS: every document
     * that appears in a pair gets `group_id` = the smallest id reachable
     * through the pair graph (connected components). Pairwise dedup alone

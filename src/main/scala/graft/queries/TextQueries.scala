@@ -561,6 +561,22 @@ object TextQueries {
         .select("doc_id", "shard", "shard_pos")
         .orderBy("doc_id")),
 
+    // sub-document exact dedup (ExactSubstr/Dolma paragraph form): the
+    // corpus text is unique word soup, so the query INJECTS a shared
+    // boilerplate paragraph into every doc (and a promo paragraph into
+    // every 7th) — the operator must strip them everywhere except their
+    // first occurrence and keep the unique body verbatim. Strict: the
+    // rewritten text string-compares, winner rule and reassembly replay
+    // relationally
+    "dedup_paragraphs" -> ((s: SparkSession, dir: String) => {
+      val dirty = docs(s, dir).select(col("doc_id"), concat(col("text"),
+        lit("\nshared boilerplate terms of service apply"),
+        when(col("doc_id") % 7 === 3,
+          lit("\npromo subscribe now for updates")).otherwise(lit(""))).as("text"))
+      Dedup.dedupParagraphs(dirty, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // DSIR importance weights (Xie et al. 2023): target = the corpus's
     // lang='en' slice, raw = the whole corpus; hashed unigram+bigram
     // buckets (md5 2-hex prefix, 256 buckets), Laplace alpha=1. Strict:
@@ -1244,6 +1260,36 @@ object TextQueries {
         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |      / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.5
         |ORDER BY a, b""".stripMargin,
+
+    // paragraph dedup replayed: same injected boilerplate, winner = first
+    // (doc_id, position) per exact paragraph via a window, reassembly =
+    // ordered string_agg — byte-compares against the engine's rewrite
+    "dedup_paragraphs" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'shared boilerplate terms of service apply'
+        |      || CASE WHEN doc_id % 7 = 3
+        |           THEN chr(10) || 'promo subscribe now for updates' ELSE '' END AS text
+        |  FROM documents
+        |), paras AS (
+        |  SELECT doc_id, unnest([i FOR i IN generate_series(1, len(ps))]) AS pidx,
+        |         unnest(ps) AS para
+        |  FROM (SELECT doc_id,
+        |          [p FOR p IN string_split_regex(text, '\n+') IF len(p) > 0] AS ps
+        |        FROM dirty)
+        |), kept AS (
+        |  SELECT doc_id, pidx, para FROM paras
+        |  QUALIFY row_number() OVER (PARTITION BY para ORDER BY doc_id, pidx) = 1
+        |), rebuilt AS (
+        |  SELECT doc_id, string_agg(para, chr(10) ORDER BY pidx) AS text,
+        |         CAST(count(*) AS BIGINT) AS n_paras_kept
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(r.text, '') AS text,
+        |  CAST(len([p FOR p IN string_split_regex(d.text, '\n+') IF len(p) > 0]) AS BIGINT) AS n_paras,
+        |  coalesce(r.n_paras_kept, 0) AS n_paras_kept
+        |FROM dirty d LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // the DSIR model replayed: hashed unigram+bigram buckets (md5 2-hex
     // prefix), Laplace-smoothed target/raw log ratios, per-doc LEFT-TO-

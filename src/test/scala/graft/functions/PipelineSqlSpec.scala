@@ -57,6 +57,8 @@ class PipelineSqlSpec extends SparkSpec {
       graft.pipeline.TextAnalysis.piiScrub(docsDf, "text"))
     sameRows("SELECT * FROM dedup_exact_drop(TABLE(pl_docs), 'doc_id', 'text')",
       Dedup.dropExactDuplicates(docsDf, "doc_id", "text"))
+    sameRows("SELECT * FROM dedup_paragraphs(TABLE(pl_docs), 'doc_id', 'text')",
+      Dedup.dedupParagraphs(docsDf, "doc_id", "text"))
     sameRows("SELECT * FROM dedup_minhash_pairs(TABLE(pl_docs), 'doc_id', 'text', 0.5)",
       Dedup.minhashNearDups(docsDf, "doc_id", "text", threshold = 0.5))
 
