@@ -871,7 +871,29 @@ object IndexQueries {
     // to the exact exhaustive default): recall floors vs the exact scan
     // asserted in VamanaSpec/HnswSpec via Recall.rangeRecall
     "ann_range_beam" -> ((s: SparkSession, dir: String) =>
-      ranked(diskannIndex(s, dir).rangeScanBeam(qvecF(5), 8.5, eps = 0.3)))
+      ranked(diskannIndex(s, dir).rangeScanBeam(qvecF(5), 8.5, eps = 0.3))),
+
+    // staged MaxSim at PARTIAL overfetch (approximate by construction —
+    // the pooled first stage can miss tail ranks); the strict sibling
+    // maxsim_rerank pins the same pooling/rerank machinery relationally,
+    // and MaxSimSpec asserts staged == brute force at full overfetch
+    "maxsim_ann_probe" -> ((s: SparkSession, dir: String) => {
+      val docs = VectorQueries.multiVecDocs(s, dir)
+      val idx = AnnIndexManager.getOrBuild(s, "emb_maxsim_pool", dir, path =>
+        AnnIndexManager.create(s, "emb_maxsim_pool",
+          docs.select(col("doc_id"), graft.operators.MaxSim.meanPool(col("vecs"))
+            .cast("array<float>").as("pv")),
+          "doc_id", "pv", "FLAT", Map("metric" -> "ip"), path))
+      import s.implicits._
+      val qdf = Seq(
+        (0, Seq(qvec(30).toSeq, qvec(40).toSeq)),
+        (1, Seq(qvec(31).toSeq, qvec(41).toSeq)),
+        (2, Seq(qvec(32).toSeq, qvec(42).toSeq))).toDF("query_idx", "qvecs")
+      graft.operators.MaxSim.annSearchTable(idx, qdf, "query_idx", "qvecs",
+          docs, "doc_id", "vecs", k = 10, overfetch = 20)
+        .select("query_idx", "rank", "doc_id")
+        .orderBy("query_idx", "rank")
+    })
   )
 
   private def bruteForceTopK(qSeed: Int, extraCols: String = "",

@@ -153,7 +153,7 @@ object VectorQueries {
   /** Multi-vector corpus derived from the embeddings table: document i =
     * the token-vector bag of rows `vec_id div 5 = i`, in vec_id order
     * (mirrored in SQL as `list(embedding ORDER BY vec_id)`). */
-  private def multiVecDocs(s: SparkSession, dir: String): DataFrame =
+  private[queries] def multiVecDocs(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "embeddings")
       .groupBy(expr("vec_id div 5").as("doc_id"))
       .agg(transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),

@@ -58,6 +58,23 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming DSIR data selection: apply a FROZEN log-ratio model (fit
+    * offline with [[graft.pipeline.Dsir.fitLogRatios]] on the batch
+    * raw/target corpora) to an unbounded ingest stream and keep only
+    * documents whose importance weight clears `minWeight`. Scoring is
+    * row-local and stateless (broadcast model, no watermark, no state
+    * store), so it composes with any downstream streaming stage — the
+    * standard online shape of importance-resampled selection: the model
+    * is a training-time artifact, the filter runs at ingest.
+    *
+    * `minWeight` calibration: run [[graft.pipeline.Dsir.resample]] on a
+    * batch sample and read the weight at the wanted acceptance rank. */
+  def streamingDsirFilter(stream: DataFrame, textCol: String,
+                          model: graft.pipeline.Dsir.RatioModel,
+                          minWeight: Double): DataFrame =
+    graft.pipeline.Dsir.withImportanceWeight(stream, textCol, model)
+      .filter(col("dsir_weight") >= minWeight)
+
   /** Streaming sessionization: Spark's built-in `session_window` (gap-
     * based merging session windows) — the continuous analogue of
     * [[graft.pipeline.Sessionize]]'s batch assignment. Sessions emit once

@@ -21,7 +21,9 @@ class DiagnosticsSpec extends AnyFunSuite {
       "ann_hnsw_probe" -> "ann_hnsw_topk",
       "ann_recall_probe" -> "ann_recall_exact",
       // approximate beam range vs the exact-scan strict sibling
-      "ann_range_beam" -> "ann_range_vamana")
+      "ann_range_beam" -> "ann_range_vamana",
+      // partial-overfetch staged MaxSim vs the strict relational rerank
+      "maxsim_ann_probe" -> "maxsim_rerank")
     assert(SparkEntry.diagnostics.keySet == siblings.keySet)
     for ((d, s) <- siblings)
       assert(SparkEntry.queries.contains(s), s"$d: missing strict sibling $s")

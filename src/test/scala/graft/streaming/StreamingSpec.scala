@@ -73,6 +73,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DSIR filter: frozen model scores micro-batches identically to batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val raw = (Seq.tabulate(10)(i => (i.toLong, s"spark shuffle plan $i")) ++
+      Seq.tabulate(10)(i => ((50 + i).toLong, s"meadow violin poem $i")))
+      .toDF("doc_id", "text")
+    val target = Seq.tabulate(8)(i => (i.toLong, s"spark shuffle catalyst plan $i"))
+      .toDF("doc_id", "text")
+    val model = graft.pipeline.Dsir.fitLogRatios(raw, target, "text")
+    // threshold between the two populations, read off the batch weights
+    val w = graft.pipeline.Dsir.withImportanceWeight(raw, "text", model)
+      .select("doc_id", "dsir_weight").as[(Long, Double)].collect().toMap
+    val cut = (Seq.tabulate(10)(i => w(i.toLong)).min +
+      Seq.tabulate(10)(i => w((50 + i).toLong)).max) / 2
+
+    val ms = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingPipeline.streamingDsirFilter(
+      ms.toDF().toDF("doc_id", "text"), "text", model, cut)
+    val q = out.writeStream.format("memory").queryName("stream_dsir")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, "spark shuffle plan 1"), (51L, "meadow violin poem 1"))
+      q.processAllAvailable()
+      // stateless: a second batch scores independently with the same model
+      ms.addData((2L, "spark shuffle plan 2"), (52L, "meadow violin poem 2"))
+      q.processAllAvailable()
+      val kept = spark.table("stream_dsir").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 2L), s"only target-like docs pass the filter: $kept")
+      val sw = spark.table("stream_dsir")
+        .select("doc_id", "dsir_weight").as[(Long, Double)].collect().toMap
+      assert(sw(1L) == w(1L) && sw(2L) == w(2L),
+        "streaming weights must equal the batch scorer's bit-for-bit")
+    } finally q.stop()
+  }
+
   test("streaming minhash near-dup: cross-batch and in-batch collisions emit candidates") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
