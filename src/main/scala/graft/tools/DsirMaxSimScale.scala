@@ -141,13 +141,17 @@ object DsirMaxSimScale {
       idx.unpersist(); docs.unpersist()
       (tBrute, tBuild, tStaged, recall)
     }
-    val (bSmall, buildSmall, sSmall, rSmall) = maxsimArm(nVecs / 10)
-    val (bBig, buildBig, sBig, rBig) = maxsimArm(nVecs)
+    // nVecs=0 skips the MaxSim arm (e.g. a DSIR-only second-decade run)
+    val maxsimRes =
+      if (nVecs > 0) Some((maxsimArm(nVecs / 10), maxsimArm(nVecs))) else None
 
     val scaleMd = java.nio.file.Paths.get("SCALE.md")
     if (java.nio.file.Files.exists(scaleMd)) {
       val sb = new StringBuilder
-      sb.append("\n## DSIR + MaxSim at 10x data (graft.tools.DsirMaxSimScale)\n\n")
+      if (maxsimRes.isDefined)
+        sb.append("\n## DSIR + MaxSim at 10x data (graft.tools.DsirMaxSimScale)\n\n")
+      else
+        sb.append("\n## DSIR second decade (graft.tools.DsirMaxSimScale <n> 0)\n\n")
       sb.append("DSIR (hexChars=3, 4096-bucket space, ~40-token docs, target =\n")
       sb.append("a distributionally-skewed 1-in-20 sample): fit = two bounded\n")
       sb.append("bucket aggregations + driver collect; score = ONE shuffle-free\n")
@@ -161,22 +165,25 @@ object DsirMaxSimScale {
       sb.append("docs — the zero-shuffle plan leaves nothing but the scan). The\n")
       sb.append("model stays bounded by the bucket space (16^3), NOT the corpus,\n")
       sb.append("so the broadcast and the driver share are constant at any scale.\n")
-      sb.append("\nMaxSim (4-token d64 docs on a CLUSTERED corpus — 50 docs per\n")
-      sb.append("cluster, token = centroid + 0.25 noise, the structure retrieval\n")
-      sb.append("corpora have; 50 two-token queries, k=10): exact batch kernel vs\n")
-      sb.append("staged pooled-IVF + rerank (overfetch=100). On SMOOTH random\n")
-      sb.append("data the MaxSim top spectrum is denser than token noise and any\n")
-      sb.append("single-vector prefilter degrades to chance in the tail ranks\n")
-      sb.append("(measured recall@10 ~0.12 there) — data property, not operator;\n")
-      sb.append("the exact kernel is always available as the fallback.\n\n")
-      sb.append("| n docs | exact 50q | pool build | staged 50q | staged recall@10 |\n|---|---|---|---|---|\n")
-      sb.append(f"| ${nVecs / 10}%,d | $bSmall%.2f s | $buildSmall%.2f s | $sSmall%.2f s | $rSmall%.3f |\n")
-      sb.append(f"| $nVecs%,d | $bBig%.2f s | $buildBig%.2f s | $sBig%.2f s | $rBig%.3f |\n")
-      sb.append(f"\nGrowth at 10x data: exact ${bBig / bSmall}%.1fx (O(n) per batch,\n")
-      sb.append(f"as declared), staged ${sBig / sSmall}%.1fx — the staged path's\n")
-      sb.append("rerank volume is nq x overfetch regardless of corpus size; only\n")
-      sb.append("the IVF probe share grows. At 100 TB the exact kernel is the\n")
-      sb.append("correctness oracle, the staged path is the serving plan.\n")
+      maxsimRes.foreach { case ((bSmall, buildSmall, sSmall, rSmall),
+                                (bBig, buildBig, sBig, rBig)) =>
+        sb.append("\nMaxSim (4-token d64 docs on a CLUSTERED corpus — 50 docs per\n")
+        sb.append("cluster, token = centroid + 0.25 noise, the structure retrieval\n")
+        sb.append("corpora have; 50 two-token queries, k=10): exact batch kernel vs\n")
+        sb.append("staged pooled-IVF + rerank (overfetch=100). On SMOOTH random\n")
+        sb.append("data the MaxSim top spectrum is denser than token noise and any\n")
+        sb.append("single-vector prefilter degrades to chance in the tail ranks\n")
+        sb.append("(measured recall@10 ~0.12 there) — data property, not operator;\n")
+        sb.append("the exact kernel is always available as the fallback.\n\n")
+        sb.append("| n docs | exact 50q | pool build | staged 50q | staged recall@10 |\n|---|---|---|---|---|\n")
+        sb.append(f"| ${nVecs / 10}%,d | $bSmall%.2f s | $buildSmall%.2f s | $sSmall%.2f s | $rSmall%.3f |\n")
+        sb.append(f"| $nVecs%,d | $bBig%.2f s | $buildBig%.2f s | $sBig%.2f s | $rBig%.3f |\n")
+        sb.append(f"\nGrowth at 10x data: exact ${bBig / bSmall}%.1fx (O(n) per batch,\n")
+        sb.append(f"as declared), staged ${sBig / sSmall}%.1fx — the staged path's\n")
+        sb.append("rerank volume is nq x overfetch regardless of corpus size; only\n")
+        sb.append("the IVF probe share grows. At 100 TB the exact kernel is the\n")
+        sb.append("correctness oracle, the staged path is the serving plan.\n")
+      }
       java.nio.file.Files.writeString(scaleMd, sb.toString,
         java.nio.file.StandardOpenOption.APPEND)
       println("[dsir-maxsim-scale] appended to SCALE.md")
