@@ -64,6 +64,17 @@ final case class BqCodec(dim: Int) extends VectorCodec {
   def bytesPerVector(dim: Int): Long = Bq.numBytes(dim).toLong
 }
 
+/** RaBitQ codec behind the shared [[VectorCodec]] seam — graph shard
+  * decode, inserts, vacuum, and merges pick it up unchanged (see [[Rabitq]]
+  * for the rotation + sign-bit + correction-trailer format). */
+final case class RabitqCodec(dim: Int, seed: Long) extends VectorCodec {
+  def decode(codes: Array[Byte]): Array[Float] = Rabitq.decode(codes, dim, seed)
+  def encode(v: Array[Float]): Array[Byte] = Rabitq.encode(v, seed)
+  def encodeUdf: UserDefinedFunction = Rabitq.encodeUdf(seed)
+  def decodeUdf: UserDefinedFunction = Rabitq.decodeUdf(dim, seed)
+  def bytesPerVector(dim: Int): Long = Rabitq.numBytes(dim).toLong
+}
+
 object VectorCodec {
   /** Codec for a `quantization` param value; sq8 needs its fitted params,
     * pq its trained codebooks (both persisted next to the index dataset),
@@ -71,16 +82,18 @@ object VectorCodec {
   def forQuantization(q: Option[String],
                       sq8Params: => Option[Sq8.QuantParams],
                       pqBooks: => Option[Pq.Codebooks] = None,
-                      dim: => Int = 0): Option[VectorCodec] =
+                      dim: => Int = 0,
+                      rabitqSeed: => Long = 42L): Option[VectorCodec] =
     q match {
       case Some("sq8") => sq8Params.map(Sq8Codec.apply)
       case Some("fp16") => Some(Fp16Codec)
       case Some("pq") => pqBooks.map(PqCodec.apply)
       case Some("bq") => Some(BqCodec(dim))
+      case Some("rabitq") => Some(RabitqCodec(dim, rabitqSeed))
       case _ => None
     }
 
-  val Supported: Set[String] = Set("sq8", "fp16", "pq", "bq")
+  val Supported: Set[String] = Set("sq8", "fp16", "pq", "bq", "rabitq")
 }
 
 /** IEEE 754 binary16 conversions (JDK 17 predates Float.float16ToFloat).

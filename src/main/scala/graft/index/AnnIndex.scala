@@ -212,7 +212,8 @@ class AnnIndex(val spark: SparkSession, val path: String) {
   /** Stored-vector codec (None = plain float32 storage). */
   lazy val codec: Option[graft.functions.VectorCodec] =
     graft.functions.VectorCodec.forQuantization(
-      meta.params.get("quantization"), quantParams, pqBooks, meta.dim)
+      meta.params.get("quantization"), quantParams, pqBooks, meta.dim,
+      meta.params.get("rabitq_seed").map(_.toLong).getOrElse(42L))
 
   /** Name of the stored vector column: float array, or SQ8 codes. */
   def dataVecCol: String = if (meta.quantized) "codes" else "vector"
@@ -308,6 +309,13 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         org.apache.spark.sql.GraftBridge.expression(vec),
         org.apache.spark.sql.GraftBridge.expression(query),
         d, meta.metric))
+    case Some(graft.functions.RabitqCodec(d, seed)) =>
+      // asymmetric RaBitQ estimator (all metrics — r/cf trailers carry
+      // magnitude): a literal query folds to per-byte ADC lookup tables
+      org.apache.spark.sql.GraftBridge.column(graft.functions.RabitqDistance(
+        org.apache.spark.sql.GraftBridge.expression(vec),
+        org.apache.spark.sql.GraftBridge.expression(query),
+        d, seed, meta.metric))
     case None => floatDistColumn(vec, query)
   }
 
@@ -669,11 +677,19 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     // float query column would force the O(dim) binarize-on-access kernel
     // per pair, forfeiting the packed representation's whole advantage
     val bqDim = codec.collect { case graft.functions.BqCodec(d) => d }
-    val queriesDf = bqDim match {
-      case Some(_) =>
+    // rabitq fast path: rotate the (tiny) query batch ONCE driver-side —
+    // a float query column would otherwise pay the O(dim²) per-pair
+    // rotation in the asymmetric kernel
+    val rabitqGeom = codec.collect { case graft.functions.RabitqCodec(d, s) => (d, s) }
+    val queriesDf = (bqDim, rabitqGeom) match {
+      case (Some(_), _) =>
         prepped.zipWithIndex.map { case (q, i) => (i, graft.functions.Bq.encode(q)) }
           .toDF("query_idx", "qbits")
-      case None =>
+      case (_, Some((d, s))) =>
+        prepped.zipWithIndex
+          .map { case (q, i) => (i, graft.functions.Rabitq.rotate(q, d, s)) }
+          .toDF("query_idx", "qrot")
+      case _ =>
         prepped.zipWithIndex.map { case (q, i) => (i, q) }.toDF("query_idx", "qvec")
     }
     val pairs = prepped.zipWithIndex
@@ -688,13 +704,18 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         live.join(broadcast(pairs), Seq("list_id"))
           .join(broadcast(queriesDf), Seq("query_idx"))
       }
-    val dist = bqDim match {
-      case Some(d) => org.apache.spark.sql.GraftBridge.column(
+    val dist = (bqDim, rabitqGeom) match {
+      case (Some(d), _) => org.apache.spark.sql.GraftBridge.column(
         graft.functions.BqCodesDistance(
           org.apache.spark.sql.GraftBridge.expression(col(dataVecCol)),
           org.apache.spark.sql.GraftBridge.expression(col("qbits")),
           d, meta.metric))
-      case None => distColumn(col(dataVecCol), col("qvec"))
+      case (_, Some((d, s))) => org.apache.spark.sql.GraftBridge.column(
+        graft.functions.RabitqDistance(
+          org.apache.spark.sql.GraftBridge.expression(col(dataVecCol)),
+          org.apache.spark.sql.GraftBridge.expression(col("qrot")),
+          d, s, meta.metric, preRotated = true))
+      case _ => distColumn(col(dataVecCol), col("qvec"))
     }
     val withDist = scored.withColumn("_distance", dist)
       .select("query_idx", "id", "_distance")

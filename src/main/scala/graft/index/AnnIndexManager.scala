@@ -402,7 +402,12 @@ object AnnIndexManager {
     val params = params1 ++ (if (params1.get("quantization").contains("pq")) {
       val (m, ksub) = graft.functions.Pq.resolveGeometry(dim, params1)
       Map("pq_m" -> m.toString, "pq_ksub" -> ksub.toString)
-    } else Map.empty[String, String])
+    } else Map.empty[String, String]) ++
+      // rabitq: pin the rotation seed in meta so every later encode
+      // (inserts, vacuum, merges) and every query-side rotation agree
+      (if (params1.get("quantization").contains("rabitq"))
+         Map("rabitq_seed" -> params1.getOrElse("rabitq_seed", "42"))
+       else Map.empty[String, String])
 
     val prepared = AnnIndexBuilder.prepare(df, idCol, vecCol, metric).cache()
     try {
@@ -425,6 +430,10 @@ object AnnIndexManager {
         case Some("bq") => // parameter-free sign packing, 1 bit/dim
           df0.withColumn("codes",
             graft.functions.Bq.encodeUdf(col("vector"))).drop("vector")
+        case Some("rabitq") => // rotated sign bits + (r, cf) trailers
+          val seed = params.getOrElse("rabitq_seed", "42").toLong
+          df0.withColumn("codes",
+            graft.functions.Rabitq.encodeUdf(seed)(col("vector"))).drop("vector")
         case _ => df0
       }
 

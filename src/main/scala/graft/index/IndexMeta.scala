@@ -32,6 +32,7 @@ case class IndexMeta(
       case Some("fp16") => 2L * dim // packed half floats
       case Some("pq") => param("pq_m", math.max(1, dim / 8)).toLong // m byte codes
       case Some("bq") => ((dim + 7) / 8).toLong // packed sign bits
+      case Some("rabitq") => ((dim + 7) / 8 + 8).toLong // sign bits + (r, cf)
       case _ => 4L * dim
     }
     val perVec = vecBytes + 8 + 4 // vector + id + list/label

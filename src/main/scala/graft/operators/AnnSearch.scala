@@ -67,10 +67,16 @@ object AnnSearch {
     // bq: binarize each query ONCE here (one row per query), so the pair
     // kernel below is pure XOR+popcount (mirrors AnnIndex.searchBatch)
     val bqDim = idx.codec.collect { case graft.functions.BqCodec(d) => d }
-    val qkeys = bqDim match {
-      case Some(_) => qin.select(col(qidCol).as("__qid"), qvec.as("__qvec"),
+    // rabitq: rotate each query ONCE here (one row per query), so the pair
+    // kernel below is the O(dim) bit-test loop, not an O(dim²) per-pair
+    // rotation (mirrors AnnIndex.searchBatch)
+    val rabitqGeom = idx.codec.collect { case graft.functions.RabitqCodec(d, s) => (d, s) }
+    val qkeys = (bqDim, rabitqGeom) match {
+      case (Some(_), _) => qin.select(col(qidCol).as("__qid"), qvec.as("__qvec"),
         graft.functions.Bq.encodeUdf(qvec).as("__qbits"))
-      case None => qin.select(col(qidCol).as("__qid"), qvec.as("__qvec"))
+      case (_, Some((d, s))) => qin.select(col(qidCol).as("__qid"), qvec.as("__qvec"),
+        graft.functions.Rabitq.rotateUdf(d, s)(qvec).as("__qrot"))
+      case _ => qin.select(col(qidCol).as("__qid"), qvec.as("__qvec"))
     }
 
     val top =
@@ -134,7 +140,8 @@ object AnnSearch {
             // tiny, broadcast), keep the np nearest cells per query, then
             // join the cell-pruned index partitions.
             val probeCols = Seq("__qid", "__qvec") ++
-              (if (bqDim.isDefined) Seq("__qbits") else Nil) :+ "list_id"
+              (if (bqDim.isDefined) Seq("__qbits") else Nil) ++
+              (if (rabitqGeom.isDefined) Seq("__qrot") else Nil) :+ "list_id"
             val probes = qkeys.crossJoin(broadcast(idx.centroidsDf))
               .withColumn("__cd", l2_distance_sq(col("__qvec"), col("centroid")))
               .withColumn("__cr", row_number().over(
@@ -144,13 +151,18 @@ object AnnSearch {
             idx.live.join(broadcast(probes), Seq("list_id"))
           }
 
-        val dist = bqDim match {
-          case Some(d) =>
+        val dist = (bqDim, rabitqGeom) match {
+          case (Some(d), _) =>
             org.apache.spark.sql.GraftBridge.column(graft.functions.BqCodesDistance(
               org.apache.spark.sql.GraftBridge.expression(col(idx.dataVecCol)),
               org.apache.spark.sql.GraftBridge.expression(col("__qbits")),
               d, idx.meta.metric))
-          case None => idx.distColumn(col(idx.dataVecCol), col("__qvec"))
+          case (_, Some((d, s))) =>
+            org.apache.spark.sql.GraftBridge.column(graft.functions.RabitqDistance(
+              org.apache.spark.sql.GraftBridge.expression(col(idx.dataVecCol)),
+              org.apache.spark.sql.GraftBridge.expression(col("__qrot")),
+              d, s, idx.meta.metric, preRotated = true))
+          case _ => idx.distColumn(col(idx.dataVecCol), col("__qvec"))
         }
         val scored = candidates
           .withColumn("_distance", dist)

@@ -55,6 +55,12 @@ object IndexQueries {
         "FLAT", Map("metric" -> "cosine", "quantization" -> "bq",
           "table" -> "embeddings"), path))
 
+  private def rabitqIndex(s: SparkSession, dir: String): AnnIndex =
+    AnnIndexManager.getOrBuild(s, "emb_rabitq", dir, path =>
+      AnnIndexManager.create(s, "emb_rabitq", emb(s, dir), "vec_id", "embedding",
+        "FLAT", Map("metric" -> "l2", "quantization" -> "rabitq",
+          "table" -> "embeddings"), path))
+
   private def pqIndex(s: SparkSession, dir: String): AnnIndex =
     AnnIndexManager.getOrBuild(s, "emb_pq", dir, path =>
       AnnIndexManager.create(s, "emb_pq", emb(s, dir), "vec_id", "embedding",
@@ -561,6 +567,27 @@ object IndexQueries {
     "ann_fp16_exact_topk" -> ((s: SparkSession, dir: String) =>
       ranked(fp16ExactIndex(s, dir).scan(qvecF(25), K))),
 
+    // RaBitQ (SIGMOD'24) raw estimator ranking: rotated sign bits + (r, cf)
+    // correction trailers, asymmetric float-query scoring — approximate by
+    // construction (rows-only); estimator contracts, recall-vs-bq floor,
+    // and L2-metric support are asserted in RabitqSpec.
+    "ann_rabitq_topk" -> ((s: SparkSession, dir: String) =>
+      ranked(rabitqIndex(s, dir).scan(qvecF(26), K))),
+
+    // RaBitQ candidates + exact L2 re-rank at exhaustive oversample
+    // (k*64 >= corpus): candidate generation is quantized, the final
+    // ranking is lossless → strict oracle. NOTE this is an L2-metric
+    // 1-bit index — the magnitude-restoring trailers make that legal,
+    // where plain bq is cosine-only.
+    "ann_rabitq_rerank" -> ((s: SparkSession, dir: String) => {
+      val res = rabitqIndex(s, dir).search(emb(s, dir), "vec_id", qvecF(26), K,
+        oversample = 64, rerank = true)
+      res.withColumn("rank", row_number().over(
+          Window.orderBy(col("_distance"), col("vec_id"))).cast("long"))
+        .select("rank", "vec_id")
+        .orderBy("rank")
+    }),
+
     // BQ candidates + exact cosine re-rank at exhaustive oversample
     // (k*64 >= corpus): candidate generation is quantized, the final
     // ranking is lossless → strict oracle (the IndexRefineFlat pattern).
@@ -1046,6 +1073,9 @@ object IndexQueries {
       s"""SELECT CAST(i AS INTEGER) AS query_idx, CAST($K AS BIGINT) AS hits,
          | CAST($K AS BIGINT) AS k, CAST(1.0 AS DOUBLE) AS recall
          |FROM range(4) t(i) ORDER BY query_idx""".stripMargin,
+
+    // exhaustive-oversample rerank on the L2 rabitq index = brute force
+    "ann_rabitq_rerank" -> bruteForceTopK(26),
 
     "ann_bq_rerank" ->
       s"""SELECT rank, vec_id FROM (

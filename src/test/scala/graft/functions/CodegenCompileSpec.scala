@@ -73,6 +73,9 @@ class CodegenCompileSpec extends AnyFunSuite {
       assertCompiles(s"BqDistance($n,$cn)", BqDistance(codes, q, 8, "hamming"))
       assertCompiles(s"BqCodesDistance($n)",
         BqCodesDistance(codes, bin(1, nullable = n), 8, "hamming"))
+      for (metric <- Seq("l2", "ip", "cosine"); pre <- Seq(false, true))
+        assertCompiles(s"RabitqDistance($metric,$n,$cn,pre=$pre)",
+          RabitqDistance(codes, q, 8, 42L, metric, preRotated = pre))
     }
   }
 }
