@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
+import graft.pipeline.{BpeTokenizer, Dedup, TextAnalysis}
 import QuerySupport._
 
 /** Training-data pipeline surface: dedup, text analysis, embedding near-dup
@@ -166,6 +167,29 @@ object TextQueries {
       TextAnalysis.withTokenStats(docs(s, dir), "text")
         .select("doc_id", "n_chars", "n_ws_tokens", "n_word_tokens")
         .orderBy("doc_id")),
+
+    // BPE training phase 1 — the corpus→histogram reduction (one
+    // partial-aggregated explode+count, top-N by (cnt DESC, word)):
+    // strict vs the same regex split in DuckDB. The merge loop consumes
+    // exactly this relation, so the oracle pins the trainer's input.
+    "bpe_word_hist" -> ((s: SparkSession, dir: String) =>
+      BpeTokenizer.wordHistogram(docs(s, dir), "text", maxWords = 50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("word"))).cast("long"))
+        .select("rank", "word", "cnt")
+        .orderBy("rank")),
+
+    // end-to-end BPE: train 200 merges on the corpus histogram, tokenize
+    // every document, count subwords. Rows-only (the iterative merge loop
+    // is not SQL-expressible); trainer-vs-reference equivalence, merge
+    // determinism, and round-trip contracts are pinned in BpeSpec.
+    "bpe_token_count" -> ((s: SparkSession, dir: String) => {
+      val model = BpeTokenizer.train(docs(s, dir), "text",
+        numMerges = 200, minCount = 2L)
+      BpeTokenizer.tokenCount(docs(s, dir), "text", model)
+        .select("doc_id", "n_bpe_tokens")
+        .orderBy("doc_id")
+    }),
 
     "doc_fingerprint" -> ((s: SparkSession, dir: String) =>
       docs(s, dir)
@@ -792,6 +816,16 @@ object TextQueries {
       """SELECT doc_id,
         | md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // BPE phase-1 histogram: same [a-z0-9]+ split, same total order
+    "bpe_word_hist" ->
+      """SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank,
+        |  word, cnt FROM (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        |    FROM documents) t
+        |  GROUP BY word) g
+        |QUALIFY rank <= 50 ORDER BY rank""".stripMargin,
 
     // the trigram model replayed: counts over all docs' char trigrams,
     // per-doc left-to-right ordered fold of -ln(c/total) (lock-step
