@@ -809,6 +809,69 @@ object Dedup {
         shingleSize, minOverlap).select(idCol),
       Seq(idCol), "left_anti")
 
+  /** Scala mirror of [[sqlShingles]] (distinct word n-grams, lowercase
+    * whitespace tokens, short texts collapse to one whole-text shingle) —
+    * the row-local probe side of the Bloom decontamination path. Kept
+    * adjacent to the SQL form so the two definitions stay in lock-step. */
+  private[pipeline] def shinglesLocal(text: String, n: Int): Seq[String] = {
+    val toks = text.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) Seq(toks.mkString(" "))
+    else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+  }
+
+  /** Bloom filter of a benchmark's distinct shingles — the broadcastable
+    * summary behind [[decontaminateBloom]]. No distinct pass is needed
+    * (Bloom adds are idempotent), so the build is ONE map-side pass over
+    * the benchmark plus a bitwise-OR tree reduce; sizing comes from a
+    * partial-agg `approx_count_distinct` (padded 1.5x). */
+  def benchmarkShingleBloom(benchmark: DataFrame, benchTextCol: String,
+                            shingleSize: Int = 8,
+                            fpp: Double = 1e-7): BloomFilter = {
+    import benchmark.sparkSession.implicits._
+    val exploded = benchmark
+      .select(explode(sqlShingles(shingleSize)(col(benchTextCol))).as("__sh"))
+    val est = exploded.agg(approx_count_distinct(col("__sh"))).head().getLong(0)
+    BloomFilter.build(exploded.select(col("__sh")).as[String],
+      math.max(64L, est * 3L / 2L), fpp)
+  }
+
+  /** Per-doc count of shingles probing positive against the broadcast
+    * Bloom — row-local, ZERO shuffle and zero join (vs
+    * [[contaminationHits]]'s broadcast string-set join + hit aggregation).
+    * Counts can only be ≥ the exact path's (no false negatives); at the
+    * default fpp the expected surplus is ≪ 1 hit per billions of probes. */
+  def contaminationHitsBloom(corpus: DataFrame, idCol: String, textCol: String,
+                             bloom: BloomFilter, shingleSize: Int = 8,
+                             minOverlap: Int = 1): DataFrame = {
+    val hits = bloomHitCol(corpus, textCol, bloom, shingleSize)
+    corpus.select(col(idCol), hits.as("n_hit_ngrams"))
+      .filter(col("n_hit_ngrams") >= minOverlap)
+  }
+
+  /** The corpus minus Bloom-flagged documents — the 100 TB serving form
+    * of [[decontaminate]]: the corpus is read ONCE, filtered row-locally
+    * against a fixed-size broadcast (m/8 bytes at any benchmark size),
+    * with no explode, no join, and no shuffle anywhere in the plan. The
+    * no-false-negative guarantee means nothing the exact path would
+    * remove survives; false positives only ever over-remove (the safe
+    * direction for eval hygiene), at the configured fpp. */
+  def decontaminateBloom(corpus: DataFrame, idCol: String, textCol: String,
+                         bloom: BloomFilter, shingleSize: Int = 8,
+                         minOverlap: Int = 1): DataFrame =
+    corpus.filter(bloomHitCol(corpus, textCol, bloom, shingleSize) < minOverlap)
+
+  private def bloomHitCol(corpus: DataFrame, textCol: String,
+                          bloom: BloomFilter, shingleSize: Int): Column = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val n = shingleSize
+    // primitive-returning UDFs are NOT null-skipped — guard inside
+    val count = udf((text: String) =>
+      if (text == null) 0L
+      else shinglesLocal(text, n).count(bc.value.mightContain).toLong)
+    count(col(textCol))
+  }
+
   /** SUB-document exact dedup at paragraph granularity (the production
     * form of ExactSubstr — Lee et al. 2022 "Deduplicating Training Data
     * Makes Language Models Better" — as deployed in Dolma/RedPajama-style

@@ -467,6 +467,21 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Bloom-filter decontamination: the corpus probes a fixed-size bit
+    // array row-locally — zero explode/join/shuffle over the corpus (the
+    // 100 TB serving form). No false negatives by construction; at
+    // fpp=1e-7 over this fixture's ~17k probes the expected false-positive
+    // surplus is ~0.002 hits, so the audit matches the exact oracle
+    // bit-for-bit (same class of lossless-fixture pin as
+    // ann_pq_exact_topk; superset/zero-FN contracts in DecontaminationSpec)
+    "decontaminate_bloom" -> ((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      val bloom = Dedup.benchmarkShingleBloom(
+        d.filter(col("doc_id") % 50 === 0), "text", shingleSize = 8)
+      Dedup.contaminationHitsBloom(d, "doc_id", "text", bloom, shingleSize = 8)
+        .orderBy("doc_id")
+    }),
+
     // PII redaction with a strict oracle: the corpus text is synthetic
     // word-soup with no PII, so the query first INJECTS deterministic
     // doc_id-derived emails/IPs/phones (same SQL arithmetic both engines),
@@ -816,6 +831,25 @@ object TextQueries {
       """SELECT doc_id,
         | md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same hit semantics as the exact path — the Bloom run must reproduce
+    // it exactly on this fixture (fpp pinned far below one expected FP)
+    "decontaminate_bloom" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i+1:i+8], ' ')
+        |               FOR i IN generate_series(0, len(toks)-8)] END)) AS sh
+        |  FROM (SELECT doc_id,
+        |          [t FOR t IN string_split_regex(lower(text), '\s+') IF len(t) > 0] AS toks
+        |        FROM documents)
+        |), bench AS (
+        |  SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0
+        |)
+        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hit_ngrams
+        |FROM sh s JOIN bench b USING (sh)
+        |GROUP BY s.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // BPE phase-1 histogram: same [a-z0-9]+ split, same total order
     "bpe_word_hist" ->

@@ -53,4 +53,69 @@ class DecontaminationSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(hits == Set(5L)) // doc 5's whole-text shingle == the benchmark's
   }
+
+  test("shinglesLocal mirrors sqlShingles bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val texts = Seq("alpha beta gamma delta epsilon", "short text", "",
+      "  Mixed   CASE  spacing\ttabs  ", "one one one one one", "solo")
+    for (n <- Seq(2, 4, 8)) {
+      val viaSql = texts.toDF("text")
+        .select(Dedup.sqlShinglesPublic(n)(col("text")).as("sh"))
+        .collect().map(_.getSeq[String](0).toSeq)
+      for ((t, got) <- texts.zip(viaSql))
+        assert(Dedup.shinglesLocal(t, n) == got, s"n=$n text='$t'")
+    }
+  }
+
+  test("BloomFilter: no false negatives, FPR near target, partitioning-invariant build") {
+    import spark.implicits._
+    val elems = (0 until 5000).map(i => s"elem $i payload")
+    val bf = BloomFilter.build(elems.toDS(), expectedN = 5000, fpp = 1e-3)
+    assert(elems.forall(bf.mightContain), "a Bloom filter can NEVER false-negative")
+    val probes = (0 until 20000).map(i => s"absent $i probe")
+    val fps = probes.count(bf.mightContain)
+    assert(fps <= 60, s"$fps false positives in 20k probes at fpp=1e-3")
+    // pure function of the element set: partition layout cannot matter
+    val bf2 = BloomFilter.build(elems.toDS().repartition(13),
+      expectedN = 5000, fpp = 1e-3)
+    assert(java.util.Arrays.equals(bf.bits, bf2.bits) && bf.numHashes == bf2.numHashes)
+    // an empty element set yields an all-clear filter, not an error
+    val bfe = BloomFilter.build(Seq.empty[String].toDS(), 100, 1e-3)
+    assert(!bfe.mightContain("anything"))
+  }
+
+  test("Bloom decontamination equals the exact path on the fixture (zero-shuffle plan)") {
+    val bloom = Dedup.benchmarkShingleBloom(benchmark, "btext", shingleSize = N)
+    val hits = Dedup.contaminationHitsBloom(corpus, "doc_id", "text",
+        bloom, shingleSize = N)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // no false negatives → superset with per-doc counts >= exact; at
+    // fpp=1e-7 over tens of probes the fixture result is exact equality
+    assert(hits == Map(1L -> 2L, 3L -> 1L, 4L -> 1L))
+    val clean = Dedup.decontaminateBloom(corpus, "doc_id", "text",
+        bloom, shingleSize = N)
+      .collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L, 5L))
+    // minOverlap bar behaves identically
+    val strict = Dedup.decontaminateBloom(corpus, "doc_id", "text",
+        bloom, shingleSize = N, minOverlap = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(strict == Set(2L, 3L, 4L, 5L))
+    // the cleaning plan must contain no shuffle: one filter over the scan
+    val plan = Dedup.decontaminateBloom(corpus, "doc_id", "text",
+      bloom, shingleSize = N).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bloom decontaminate plan shuffles:\n$plan")
+  }
+
+  test("Bloom path keeps null-text rows (no shingles, zero hits)") {
+    import spark.implicits._
+    val withNull = Seq((10L, "alpha beta gamma delta"), (11L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val bloom = Dedup.benchmarkShingleBloom(benchmark, "btext", shingleSize = N)
+    val clean = Dedup.decontaminateBloom(withNull, "doc_id", "text",
+        bloom, shingleSize = N)
+      .collect().map(_.getLong(0)).toSet
+    assert(clean == Set(11L), "null text must survive, contaminated row must drop")
+  }
 }
