@@ -123,7 +123,11 @@ object Bench {
                      "hybrid_search", "multimodal_decode",
                      // r11 additions: DSIR selection (model fit + row-local
                      // scoring) and the exact batch MaxSim kernel
-                     "dsir_weights", "maxsim_table")) {
+                     "dsir_weights", "maxsim_table",
+                     // r11 additions: Bloom zero-shuffle decontamination
+                     // (vs the broadcast-join "decontaminate" line above)
+                     // and end-to-end BPE train(200 merges)+tokenize
+                     "decontaminate_bloom", "bpe_token_count")) {
       time(name) { noop(q(name)(spark, sfDir)) }
     }
 
@@ -318,6 +322,20 @@ object Bench {
     })
     bqIdx.persist()
     time("bq_50q_10k_d128") { noop(bqIdx.searchBatch(synthQC, 10)) }
+
+    // RaBitQ at the identical shape: same ~1 bit/dim budget plus the
+    // (r, cf) trailers; batch search = pre-rotated queries + O(d)
+    // bit-test estimator per pair (vs bq's popcount) — the price of the
+    // magnitude-aware estimate, tracked against the bq line above
+    var rqIdx: graft.index.AnnIndex = null
+    time("rabitq_build_10k_d128", reps = 2) {
+      rep += 1
+      rqIdx = graft.index.AnnIndexManager.create(spark, s"bench_rq_$rep", synthC,
+        "id", "vec", "FLAT", Map("metric" -> "cosine", "quantization" -> "rabitq"),
+        s"$tmp/rq$rep")
+    }
+    rqIdx.persist()
+    time("rabitq_50q_10k_d128") { noop(rqIdx.searchBatch(synthQC, 10)) }
 
     // ---- MaxSim serving shapes: 10k multi-vector docs (4 x d128 tokens),
     // 50 two-token queries. Exact batch = the brute-force kernel (queries
