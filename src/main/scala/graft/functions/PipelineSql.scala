@@ -24,6 +24,9 @@ import graft.pipeline.{CorpusPipeline, Dedup, TextAnalysis}
   *   SELECT * FROM dedup_minhash_pairs(TABLE(docs), 'doc_id', 'text', 0.5)
   *   SELECT * FROM dedup_components(TABLE(pairs), 'a', 'b')
   *   SELECT * FROM corpus_decontaminate(TABLE(corpus), 'doc_id', 'text', TABLE(bench), 'text'[, n, minOverlap])
+  *   SELECT * FROM corpus_decontaminate_bloom(TABLE(corpus), 'doc_id', 'text', TABLE(bench), 'text'[, n, minOverlap, fpp])
+  *   SELECT * FROM bpe_token_count(TABLE(docs), 'text', 200[, max_words, min_count])
+  *   SELECT * FROM quality_score(TABLE(docs), 'text', TABLE(labeled), 'text', 'label'[, hash_dim, iters])
   *   SELECT * FROM dedup_paragraphs(TABLE(t), 'doc_id', 'text'[, sep_regex])
   *   SELECT * FROM dsir_weights(TABLE(raw), 'text', TABLE(target)[, hex_chars, alpha])
   *   SELECT * FROM dsir_resample(TABLE(raw), 'doc_id', 'text', TABLE(target), n[, hex_chars, alpha])
@@ -202,6 +205,51 @@ object PipelineSql {
       plan(graft.pipeline.Dsir.resample(tableArg(spark, exprs(0)),
         constString(exprs(1)), constString(exprs(2)),
         tableArg(spark, exprs(3)), constInt(exprs(4)), hc, alpha))
+    }, "scala_udf")
+
+    // Bloom decontamination: the benchmark's Bloom filter builds when the
+    // plan is BUILT (bounded benchmark pass — the dsir_weights CALL-style
+    // exception) so the corpus side stays one zero-shuffle filter.
+    r.createOrReplaceTempFunction("corpus_decontaminate_bloom", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 5 && exprs.length <= 8,
+        "usage: corpus_decontaminate_bloom(TABLE(corpus), id_col, text_col, " +
+          "TABLE(bench), bench_text_col[, shingle_n, min_overlap, fpp])")
+      val n = if (exprs.length > 5) constInt(exprs(5)) else 8
+      val minOv = if (exprs.length > 6) constInt(exprs(6)) else 1
+      val fpp = if (exprs.length > 7) constNum(exprs(7)) else 1e-7
+      val bloom = Dedup.benchmarkShingleBloom(
+        tableArg(spark, exprs(3)), constString(exprs(4)), n, fpp)
+      plan(Dedup.decontaminateBloom(tableArg(spark, exprs(0)),
+        constString(exprs(1)), constString(exprs(2)), bloom, n, minOv))
+    }, "scala_udf")
+
+    // BPE: training (histogram + driver merge loop, both bounded) runs at
+    // plan build; the returned relation is the row-local tokenize pass.
+    r.createOrReplaceTempFunction("bpe_token_count", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 3 && exprs.length <= 5,
+        "usage: bpe_token_count(TABLE(docs), text_col, num_merges[, max_words, min_count])")
+      val textCol = constString(exprs(1))
+      val maxWords = if (exprs.length > 3) constInt(exprs(3)) else 1 << 20
+      val minCount = if (exprs.length > 4) constInt(exprs(4)).toLong else 1L
+      val docs = tableArg(spark, exprs(0))
+      val model = graft.pipeline.BpeTokenizer.train(docs, textCol,
+        constInt(exprs(2)), maxWords, minCount)
+      plan(graft.pipeline.BpeTokenizer.tokenCount(docs, textCol, model))
+    }, "scala_udf")
+
+    // Trained quality filter: GD training (treeAggregate passes over the
+    // labeled table) runs at plan build; scoring is row-local broadcast.
+    r.createOrReplaceTempFunction("quality_score", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 5 && exprs.length <= 7,
+        "usage: quality_score(TABLE(docs), text_col, TABLE(labeled), " +
+          "labeled_text_col, label_col[, hash_dim, iters])")
+      val hashDim = if (exprs.length > 5) constInt(exprs(5)) else 1 << 18
+      val iters = if (exprs.length > 6) constInt(exprs(6)) else 50
+      val model = graft.pipeline.QualityClassifier.train(
+        tableArg(spark, exprs(2)), constString(exprs(3)), constString(exprs(4)),
+        hashDim, iters)
+      plan(graft.pipeline.QualityClassifier.withQualityScore(
+        tableArg(spark, exprs(0)), constString(exprs(1)), model))
     }, "scala_udf")
 
     // ColBERT MaxSim: exact batch form, and the staged ANN form over a

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.pipeline.{BpeTokenizer, Dedup, TextAnalysis}
+import graft.pipeline.{BpeTokenizer, Dedup, QualityClassifier, TextAnalysis}
 import QuerySupport._
 
 /** Training-data pipeline surface: dedup, text analysis, embedding near-dup
@@ -178,6 +178,23 @@ object TextQueries {
           Window.orderBy(col("cnt").desc, col("word"))).cast("long"))
         .select("rank", "word", "cnt")
         .orderBy("rank")),
+
+    // fastText-style trained quality filter: hashed n-gram logistic
+    // regression, one treeAggregate per GD pass, label = lang=='en'
+    // (learnable from the stopword mix the langid oracle relies on).
+    // Rows-only (iterative training is not SQL-expressible); separation,
+    // partitioning stability, and sampling contracts in
+    // QualityClassifierSpec.
+    "quality_classifier" -> ((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      val labeled = d.withColumn("__label",
+        when(col("lang") === "en", 1.0).otherwise(0.0))
+      val model = QualityClassifier.train(labeled, "text", "__label",
+        hashDim = 1 << 16, iters = 30)
+      QualityClassifier.withQualityScore(d, "text", model)
+        .select(col("doc_id"), round(col("quality_prob"), 4).as("quality_prob"))
+        .orderBy("doc_id")
+    }),
 
     // end-to-end BPE: train 200 merges on the corpus histogram, tokenize
     // every document, count subwords. Rows-only (the iterative merge loop

@@ -34,6 +34,7 @@ object NewOpsScale {
 
     val nDocs = args.headOption.map(_.toInt).getOrElse(1000000)
     val nVecs = if (args.length > 1) args(1).toInt else 1000000
+    val mode = if (args.length > 2) args(2) else "all" // all|pipeline|ann
     val dim = 64
 
     def timeIt(label: String)(f: => Long): Double = {
@@ -77,8 +78,10 @@ object NewOpsScale {
       docs.unpersist()
       (tExact, tBuild, tScan, bloom.numBits / 8)
     }
-    val (be1, bb1, bs1, bBytes1) = bloomArm(nDocs / 10)
-    val (be2, bb2, bs2, bBytes2) = bloomArm(nDocs)
+    val runPipeline = mode == "all" || mode == "pipeline"
+    val runAnn = mode == "all" || mode == "ann"
+    val (be1, bb1, bs1, bBytes1) = if (runPipeline) bloomArm(nDocs / 10) else (0.0, 0.0, 0.0, 0L)
+    val (be2, bb2, bs2, bBytes2) = if (runPipeline) bloomArm(nDocs) else (0.0, 0.0, 0.0, 0L)
 
     // ---- BPE: histogram + driver merges + apply ------------------------
     def bpeArm(n: Int): (Double, Double, Double, Int) = {
@@ -103,23 +106,31 @@ object NewOpsScale {
       docs.unpersist()
       (tHist, tTrain, tApply, hist.size)
     }
-    val (ph1, pt1, pa1, pv1) = bpeArm(nDocs / 10)
-    val (ph2, pt2, pa2, pv2) = bpeArm(nDocs)
+    val (ph1, pt1, pa1, pv1) = if (runPipeline) bpeArm(nDocs / 10) else (0.0, 0.0, 0.0, 0)
+    val (ph2, pt2, pa2, pv2) = if (runPipeline) bpeArm(nDocs) else (0.0, 0.0, 0.0, 0)
 
     // ---- RaBitQ vs BQ: build / batch search / recall -------------------
-    val nClusters = math.max(64, nVecs / 50)
-    val mkVec = udf { (id: Long) =>
-      val c = new scala.util.Random((id % nClusters) * 97 + 5)
-      val r = new scala.util.Random(id * 2654435761L + 31)
-      Array.fill(dim)(c.nextFloat() * 2f - 1f + (r.nextFloat() - 0.5f) * 0.5f)
-    }
-    def vecCorpus(n: Int): DataFrame =
-      spark.range(n).repartition(cpus.toInt)
-        .select(col("id"), mkVec(col("id")).as("vec"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // CLUSTER-ROUTING fixture: 10 docs per centroid with k=10, so the
+    // true top-10 is ~"the query's cluster" and recall measures whether
+    // 1-bit codes route to the right neighborhood — the job coarse codes
+    // actually have. Resolving rank WITHIN a dense cluster is the rerank
+    // stage's job (measured separately below); asking raw 1-bit codes to
+    // do it reads as chance for ANY sub-bit estimator (same lesson as
+    // the staged-MaxSim smooth-data fixtures).
+    final case class AnnRes(n: Int, quant: String, build: Double,
+                            search: Double, recall: Double, rerank: Double)
+    val annResults = scala.collection.mutable.ArrayBuffer.empty[AnnRes]
 
     def annArm(n: Int): Unit = {
-      val vecs = vecCorpus(n)
+      val nClusters = math.max(64, n / 10) // 10 docs per centroid AT THIS n
+      val mkVec = udf { (id: Long) =>
+        val c = new scala.util.Random((id % nClusters) * 97 + 5)
+        val r = new scala.util.Random(id * 2654435761L + 31)
+        Array.fill(dim)(c.nextFloat() * 2f - 1f + (r.nextFloat() - 0.5f) * 0.5f)
+      }
+      val vecs = spark.range(n).repartition(cpus.toInt)
+        .select(col("id"), mkVec(col("id")).as("vec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       vecs.count()
       val tmp = java.nio.file.Files.createTempDirectory(s"newops_$n").toString
       val rnd = new scala.util.Random(123)
@@ -149,49 +160,73 @@ object NewOpsScale {
         }
         val hits = idx.searchBatch(qs, 10).collect()
           .groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-        val recall = truth.keys.map(q =>
+        // NOTE .toSeq: mapping recalls over the KEY SET would collapse
+        // equal per-query recalls before the mean
+        val recall = truth.keys.toSeq.map(q =>
           hits.getOrElse(q, Set.empty).intersect(truth(q)).size / 10.0)
           .sum / truth.size
-        println(f"[newops-scale] ${quant}_recall10_n$n%-22s $recall%.3f " +
-          f"(build=$tBuild%.2f s search50q=$tSearch%.2f s)")
+        // candidates + exact re-rank (the serving pair): oversample=4
+        val rerank = qs.take(10).zipWithIndex.map { case (q, qi) =>
+          val got = idx.search(vecs, "id", q, 10, oversample = 4, rerank = true)
+            .select("id").collect().map(_.getLong(0)).toSet
+          got.intersect(truth(qi)).size / 10.0
+        }.sum / 10.0
+        println(f"[newops-scale] ${quant}_recall10_n$n%-22s raw=$recall%.3f " +
+          f"rerank4=$rerank%.3f (build=$tBuild%.2f s search50q=$tSearch%.2f s)")
+        annResults += AnnRes(n, quant, tBuild, tSearch, recall, rerank)
       }
       vecs.unpersist()
     }
-    annArm(nVecs / 10)
-    annArm(nVecs)
+    if (runAnn) { annArm(nVecs / 10); annArm(nVecs) }
 
     // ---- SCALE.md append ----------------------------------------------
     val scaleMd = java.nio.file.Paths.get("SCALE.md")
     if (java.nio.file.Files.exists(scaleMd)) {
       val sb = new StringBuilder
-      sb.append("\n## Round-11 operators at 10x data (graft.tools.NewOpsScale)\n\n")
-      sb.append("Bloom decontamination (~40-token docs, benchmark = every\n")
-      sb.append("1000th doc, 8-gram shingles, fpp=1e-7): exact = broadcast\n")
-      sb.append("string-set join over the exploded corpus; bloom = row-local\n")
-      sb.append("probe of a fixed-size bit array, ZERO corpus shuffle.\n\n")
-      sb.append("| n docs | exact | bloom build | bloom scan | filter bytes |\n|---|---|---|---|---|\n")
-      sb.append(f"| ${nDocs / 10}%,d | $be1%.2f s | $bb1%.2f s | $bs1%.2f s | $bBytes1%,d |\n")
-      sb.append(f"| $nDocs%,d | $be2%.2f s | $bb2%.2f s | $bs2%.2f s | $bBytes2%,d |\n")
-      sb.append(f"\nGrowth at 10x: exact ${be2 / be1}%.1fx, bloom scan ${bs2 / bs1}%.1fx —\n")
-      sb.append("both ride the corpus scan, but the bloom pass does it with no\n")
-      sb.append("explode/join stage and a broadcast that did not grow (the\n")
-      sb.append("benchmark grew 10x; the bit array is sized by its shingle\n")
-      sb.append("count and stays KB-scale — at a FIXED benchmark it is\n")
-      sb.append("constant-size at any corpus scale).\n")
-      sb.append("\nBPE (maxWords=50k, minCount=2, 500 merges): histogram = one\n")
-      sb.append("explode+count aggregation; train = driver loop on the bounded\n")
-      sb.append("histogram; apply = row-local tokenize with per-task memo.\n\n")
-      sb.append("| n docs | histogram | train 500 | tokenize | vocab rows |\n|---|---|---|---|---|\n")
-      sb.append(f"| ${nDocs / 10}%,d | $ph1%.2f s | $pt1%.2f s | $pa1%.2f s | $pv1%,d |\n")
-      sb.append(f"| $nDocs%,d | $ph2%.2f s | $pt2%.2f s | $pa2%.2f s | $pv2%,d |\n")
-      sb.append(f"\nGrowth at 10x: histogram ${ph2 / ph1}%.1fx (scan), train ${pt2 / pt1}%.1fx\n")
-      sb.append("(FLAT — the histogram the loop consumes is capped, so the\n")
-      sb.append(f"driver share is corpus-size-independent), apply ${pa2 / pa1}%.1fx (scan).\n")
-      sb.append("\nRaBitQ vs BQ (d=64 clustered corpus, 50 cosine queries, k=10;\n")
-      sb.append("recall vs exact float ground truth) — console lines\n")
-      sb.append("[newops-scale] *_recall10_* record the recall points; the\n")
-      sb.append("headline: same bit budget, magnitude-corrected asymmetric\n")
-      sb.append("estimator ≥ Hamming ordering at every measured n.\n")
+      if (runPipeline) {
+        sb.append("\n## Round-11 operators at 10x data (graft.tools.NewOpsScale)\n\n")
+        sb.append("Bloom decontamination (~40-token docs, benchmark = every\n")
+        sb.append("1000th doc, 8-gram shingles, fpp=1e-7): exact = broadcast\n")
+        sb.append("string-set join over the exploded corpus; bloom = row-local\n")
+        sb.append("probe of a fixed-size bit array, ZERO corpus shuffle.\n\n")
+        sb.append("| n docs | exact | bloom build | bloom scan | filter bytes |\n|---|---|---|---|---|\n")
+        sb.append(f"| ${nDocs / 10}%,d | $be1%.2f s | $bb1%.2f s | $bs1%.2f s | $bBytes1%,d |\n")
+        sb.append(f"| $nDocs%,d | $be2%.2f s | $bb2%.2f s | $bs2%.2f s | $bBytes2%,d |\n")
+        sb.append(f"\nGrowth at 10x: exact ${be2 / be1}%.1fx, bloom scan ${bs2 / bs1}%.1fx —\n")
+        sb.append("both ride the corpus scan, but the bloom pass does it with no\n")
+        sb.append("explode/join stage and a broadcast that did not grow (the\n")
+        sb.append("benchmark grew 10x; the bit array is sized by its shingle\n")
+        sb.append("count and stays KB-scale — at a FIXED benchmark it is\n")
+        sb.append("constant-size at any corpus scale).\n")
+        sb.append("\nBPE (maxWords=50k, minCount=2, 500 merges): histogram = one\n")
+        sb.append("explode+count aggregation; train = driver loop on the bounded\n")
+        sb.append("histogram; apply = row-local tokenize with per-task memo.\n\n")
+        sb.append("| n docs | histogram | train 500 | tokenize | vocab rows |\n|---|---|---|---|---|\n")
+        sb.append(f"| ${nDocs / 10}%,d | $ph1%.2f s | $pt1%.2f s | $pa1%.2f s | $pv1%,d |\n")
+        sb.append(f"| $nDocs%,d | $ph2%.2f s | $pt2%.2f s | $pa2%.2f s | $pv2%,d |\n")
+        sb.append(f"\nGrowth at 10x: histogram ${ph2 / ph1}%.1fx (scan), train ${pt2 / pt1}%.1fx\n")
+        sb.append("(FLAT — the histogram the loop consumes is capped, so the\n")
+        sb.append(f"driver share is corpus-size-independent), apply ${pa2 / pa1}%.1fx (scan).\n")
+      }
+      if (runAnn && annResults.nonEmpty) {
+        sb.append("\n## RaBitQ vs BQ at 10x data (graft.tools.NewOpsScale <n> <n> ann)\n\n")
+        sb.append("d=64 CLUSTER-ROUTING corpus (10 docs per centroid, k=10 — the\n")
+        sb.append("true top-10 is the query's cluster, so raw recall measures\n")
+        sb.append("neighborhood routing, the job 1-bit codes actually have;\n")
+        sb.append("intra-cluster rank is the rerank stage's job). 50 cosine\n")
+        sb.append("queries; rerank4 = candidates at oversample=4 + exact float\n")
+        sb.append("re-rank (the serving pair), 10-query sample.\n\n")
+        sb.append("| n | quant | build | 50q search | raw recall@10 | rerank4 recall@10 |\n|---|---|---|---|---|---|\n")
+        annResults.foreach { r =>
+          sb.append(f"| ${r.n}%,d | ${r.quant} | ${r.build}%.2f s | ${r.search}%.2f s | ${r.recall}%.3f | ${r.rerank}%.3f |\n")
+        }
+        sb.append("\nSame ~1 bit/dim budget; the magnitude-corrected asymmetric\n")
+        sb.append("estimator (rabitq) vs symmetric Hamming (bq) on routing +\n")
+        sb.append("refined recall, with the O(d)-bit-test vs XOR+popcount search\n")
+        sb.append("cost visible in the 50q column. Both scale O(n) per batch as\n")
+        sb.append("FLAT kernels; the IVF/graph engines compose with either codec\n")
+        sb.append("for sublinear routing at larger n.\n")
+      }
       java.nio.file.Files.writeString(scaleMd, sb.toString,
         java.nio.file.StandardOpenOption.APPEND)
       println("[newops-scale] appended to SCALE.md")

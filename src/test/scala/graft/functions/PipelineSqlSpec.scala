@@ -131,4 +131,31 @@ class PipelineSqlSpec extends SparkSpec {
           docs, "doc_id", "vecs", 5, 10))
     } finally graft.index.AnnIndexManager.drop("pl_maxsim_idx")
   }
+
+  test("Bloom decontamination, BPE, and quality-score TVFs mirror the Scala API") {
+    PipelineSql.register(spark)
+    import spark.implicits._
+    docsDf.createOrReplaceTempView("pl_docs")
+    val bench = docsDf.filter($"doc_id" === 1L)
+    bench.createOrReplaceTempView("pl_bench")
+
+    val bloom = Dedup.benchmarkShingleBloom(bench, "text", shingleSize = 4)
+    sameRows(
+      "SELECT * FROM corpus_decontaminate_bloom(TABLE(pl_docs), 'doc_id', 'text', TABLE(pl_bench), 'text', 4)",
+      Dedup.decontaminateBloom(docsDf, "doc_id", "text", bloom, shingleSize = 4))
+
+    val model = graft.pipeline.BpeTokenizer.train(docsDf, "text", numMerges = 20)
+    sameRows(
+      "SELECT * FROM bpe_token_count(TABLE(pl_docs), 'text', 20)",
+      graft.pipeline.BpeTokenizer.tokenCount(docsDf, "text", model))
+
+    val labeled = docsDf.withColumn("label",
+      org.apache.spark.sql.functions.when($"doc_id" <= 2L, 1.0).otherwise(0.0))
+    labeled.createOrReplaceTempView("pl_labeled")
+    val qc = graft.pipeline.QualityClassifier.train(labeled, "text", "label",
+      hashDim = 1 << 12, iters = 5)
+    sameRows(
+      "SELECT * FROM quality_score(TABLE(pl_docs), 'text', TABLE(pl_labeled), 'text', 'label', 4096, 5)",
+      graft.pipeline.QualityClassifier.withQualityScore(docsDf, "text", qc))
+  }
 }
