@@ -27,6 +27,8 @@ import graft.pipeline.{CorpusPipeline, Dedup, TextAnalysis}
   *   SELECT * FROM corpus_decontaminate_bloom(TABLE(corpus), 'doc_id', 'text', TABLE(bench), 'text'[, n, minOverlap, fpp])
   *   SELECT * FROM bpe_token_count(TABLE(docs), 'text', 200[, max_words, min_count])
   *   SELECT * FROM quality_score(TABLE(docs), 'text', TABLE(labeled), 'text', 'label'[, hash_dim, iters])
+  *   SELECT * FROM asof_join(TABLE(l), TABLE(r), 'key', 'l_ts', 'r_ts'[, direction, tolerance, tie_break])
+  *   SELECT * FROM range_join(TABLE(points), 'ts', TABLE(iv), 's', 'e', bucket_width[, 'key'])
   *   SELECT * FROM dedup_paragraphs(TABLE(t), 'doc_id', 'text'[, sep_regex])
   *   SELECT * FROM dsir_weights(TABLE(raw), 'text', TABLE(target)[, hex_chars, alpha])
   *   SELECT * FROM dsir_resample(TABLE(raw), 'doc_id', 'text', TABLE(target), n[, hex_chars, alpha])
@@ -250,6 +252,32 @@ object PipelineSql {
         hashDim, iters)
       plan(graft.pipeline.QualityClassifier.withQualityScore(
         tableArg(spark, exprs(0)), constString(exprs(1)), model))
+    }, "scala_udf")
+
+    // as-of (point-in-time) join: single-winner temporal alignment
+    r.createOrReplaceTempFunction("asof_join", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 5 && exprs.length <= 8,
+        "usage: asof_join(TABLE(left), TABLE(right), key, left_ts, " +
+          "right_ts[, direction, tolerance, tie_break])")
+      val direction = if (exprs.length > 5) constString(exprs(5)) else "backward"
+      val tol = if (exprs.length > 6) Some(constNum(exprs(6)).toLong) else None
+      val tie = if (exprs.length > 7) Some(constString(exprs(7))) else None
+      plan(graft.operators.AsofJoin.join(
+        tableArg(spark, exprs(0)), tableArg(spark, exprs(1)),
+        Seq(constString(exprs(2))), constString(exprs(3)),
+        constString(exprs(4)), direction, tol, "inner", tie))
+    }, "scala_udf")
+
+    // point-in-interval range join: bucketed containment, no nested loop
+    r.createOrReplaceTempFunction("range_join", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 6 && exprs.length <= 7,
+        "usage: range_join(TABLE(points), ts_col, TABLE(intervals), " +
+          "start_col, end_col, bucket_width[, key])")
+      val keys = if (exprs.length > 6) Seq(constString(exprs(6))) else Nil
+      plan(graft.operators.RangeJoin.pointInInterval(
+        tableArg(spark, exprs(0)), constString(exprs(1)),
+        tableArg(spark, exprs(2)), constString(exprs(3)),
+        constString(exprs(4)), keys, constNum(exprs(5)).toLong))
     }, "scala_udf")
 
     // ColBERT MaxSim: exact batch form, and the staged ANN form over a

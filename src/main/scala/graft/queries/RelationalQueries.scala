@@ -99,6 +99,65 @@ object RelationalQueries {
         .select(col("user_id"), col("session_seq"), col("n_events"),
           col("start_ts"), col("end_ts"))
         .orderBy("user_id", "session_seq")
+    }),
+
+    // as-of join (backward): each click joined to the most recent error
+    // at-or-before it by the same user — the union-window plan (one hash
+    // exchange, no join operator; AsofJoin scaladoc). The right side is
+    // pre-deduped on (user, ts) keeping max event_id so both engines are
+    // deterministic even under timestamp collisions. Strict vs DuckDB's
+    // native ASOF JOIN.
+    "events_asof" -> ((s: SparkSession, dir: String) => {
+      val ev0 = table(s, dir, "events")
+      val ev = ev0.withColumn("ts_us", QuerySupport.tsMicros(ev0))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      val dedup = Window.partitionBy("user_id", "err_ts")
+        .orderBy(col("err_event_id").desc)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts_us").as("err_ts"),
+          col("event_id").as("err_event_id"), col("value").as("err_value"))
+        .withColumn("__rn", row_number().over(dedup))
+        .filter(col("__rn") === 1).drop("__rn")
+      graft.operators.AsofJoin.join(clicks, errors, Seq("user_id"),
+          "ts_us", "err_ts", rightTieBreak = Some("err_event_id"))
+        .orderBy("event_id")
+    }),
+
+    // as-of join (forward + tolerance): the next error within 12 h after
+    // each click — the label-attribution shape ("did an error follow this
+    // interaction soon enough"). Strict vs DuckDB ASOF with <=.
+    "events_asof_fwd" -> ((s: SparkSession, dir: String) => {
+      val ev0 = table(s, dir, "events")
+      val ev = ev0.withColumn("ts_us", QuerySupport.tsMicros(ev0))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts_us").as("err_ts"),
+          col("event_id").as("err_event_id"))
+      graft.operators.AsofJoin.join(clicks, errors, Seq("user_id"),
+          "ts_us", "err_ts", direction = "forward",
+          tolerance = Some(43200000000L), rightTieBreak = Some("err_event_id"))
+        .orderBy("event_id")
+    }),
+
+    // range (interval containment) join: clicks falling inside the 12 h
+    // window after EVERY error by the same user — multi-match, unlike the
+    // as-of single-winner. Bucketed equi-join (RangeJoin scaladoc), no
+    // nested loop. Strict vs DuckDB's inequality join.
+    "events_range_join" -> ((s: SparkSession, dir: String) => {
+      val ev0 = table(s, dir, "events")
+      val ev = ev0.withColumn("ts_us", QuerySupport.tsMicros(ev0))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val windows = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_event_id"),
+          col("ts_us").as("err_ts"),
+          (col("ts_us") + 43200000000L).as("win_end"))
+      graft.operators.RangeJoin.pointInInterval(clicks, "ts_us", windows,
+          "err_ts", "win_end", Seq("user_id"), bucketWidth = 43200000000L)
+        .select("event_id", "user_id", "ts_us", "err_event_id", "err_ts")
+        .orderBy("event_id", "err_event_id")
     })
   )
 
@@ -159,6 +218,48 @@ object RelationalQueries {
         |            PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
         |        FROM events) a) b
         |GROUP BY user_id, session_seq
-        |ORDER BY user_id, session_seq""".stripMargin
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is the independent implementation of the
+    // same point-in-time semantics; QUALIFY dedup mirrors the Spark side's
+    // deterministic (user, ts) winner
+    "events_asof" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |                   event_type, value FROM events),
+        |l AS (SELECT event_id, user_id, ts_us, value FROM ev
+        |      WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts_us AS err_ts, event_id AS err_event_id,
+        |             value AS err_value
+        |      FROM ev WHERE event_type = 'error'
+        |      QUALIFY row_number() OVER (PARTITION BY user_id, ts_us
+        |                                 ORDER BY event_id DESC) = 1)
+        |SELECT l.event_id, l.user_id, l.ts_us, l.value,
+        |       r.err_event_id, r.err_ts, r.err_value
+        |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.err_ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "events_asof_fwd" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |                   event_type FROM events),
+        |l AS (SELECT event_id, user_id, ts_us FROM ev
+        |      WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts_us AS err_ts, event_id AS err_event_id
+        |      FROM ev WHERE event_type = 'error')
+        |SELECT l.event_id, l.user_id, l.ts_us, r.err_ts, r.err_event_id
+        |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts_us <= r.err_ts
+        |WHERE r.err_ts - l.ts_us <= 43200000000
+        |ORDER BY l.event_id""".stripMargin,
+
+    "events_range_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |                   event_type FROM events),
+        |c AS (SELECT event_id, user_id, ts_us FROM ev
+        |      WHERE event_type = 'click'),
+        |e AS (SELECT event_id AS err_event_id, user_id, ts_us AS err_ts
+        |      FROM ev WHERE event_type = 'error')
+        |SELECT c.event_id, c.user_id, c.ts_us, e.err_event_id, e.err_ts
+        |FROM c JOIN e ON c.user_id = e.user_id
+        |  AND c.ts_us >= e.err_ts AND c.ts_us <= e.err_ts + 43200000000
+        |ORDER BY c.event_id, e.err_event_id""".stripMargin
   )
 }

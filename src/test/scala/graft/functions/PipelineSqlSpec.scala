@@ -158,4 +158,28 @@ class PipelineSqlSpec extends SparkSpec {
       "SELECT * FROM quality_score(TABLE(pl_docs), 'text', TABLE(pl_labeled), 'text', 'label', 4096, 5)",
       graft.pipeline.QualityClassifier.withQualityScore(docsDf, "text", qc))
   }
+
+  test("asof_join and range_join TVFs mirror the Scala API") {
+    PipelineSql.register(spark)
+    import spark.implicits._
+    val left = Seq((1L, 1L, 100L), (2L, 1L, 200L), (3L, 2L, 150L))
+      .toDF("lid", "k", "lts")
+    val right = Seq((10L, 1L, 90L, "a"), (11L, 1L, 180L, "b"), (12L, 2L, 150L, "c"))
+      .toDF("rid", "k", "rts", "tag")
+    left.createOrReplaceTempView("pl_asof_l")
+    right.createOrReplaceTempView("pl_asof_r")
+    sameRows(
+      "SELECT * FROM asof_join(TABLE(pl_asof_l), TABLE(pl_asof_r), 'k', 'lts', 'rts', 'backward', 1000, 'rid')",
+      graft.operators.AsofJoin.join(left, right, Seq("k"), "lts", "rts",
+        tolerance = Some(1000L), rightTieBreak = Some("rid")))
+
+    val points = Seq((1L, 1L, 100L), (2L, 1L, 500L)).toDF("pid", "k", "ts")
+    val iv = Seq((10L, 1L, 50L, 150L), (11L, 1L, 400L, 600L)).toDF("iid", "k", "s", "e")
+    points.createOrReplaceTempView("pl_rj_p")
+    iv.createOrReplaceTempView("pl_rj_i")
+    sameRows(
+      "SELECT * FROM range_join(TABLE(pl_rj_p), 'ts', TABLE(pl_rj_i), 's', 'e', 100, 'k')",
+      graft.operators.RangeJoin.pointInInterval(points, "ts", iv, "s", "e",
+        Seq("k"), 100L))
+  }
 }
