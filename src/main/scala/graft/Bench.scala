@@ -127,7 +127,10 @@ object Bench {
                      // r11 additions: Bloom zero-shuffle decontamination
                      // (vs the broadcast-join "decontaminate" line above)
                      // and end-to-end BPE train(200 merges)+tokenize
-                     "decontaminate_bloom", "bpe_token_count")) {
+                     "decontaminate_bloom", "bpe_token_count",
+                     // r11 additions: temporal joins (union-window as-of,
+                     // bucketed range) over the events log
+                     "events_asof", "events_range_join")) {
       time(name) { noop(q(name)(spark, sfDir)) }
     }
 

@@ -26,6 +26,7 @@ import graft.pipeline.{CorpusPipeline, Dedup, TextAnalysis}
   *   SELECT * FROM corpus_decontaminate(TABLE(corpus), 'doc_id', 'text', TABLE(bench), 'text'[, n, minOverlap])
   *   SELECT * FROM corpus_decontaminate_bloom(TABLE(corpus), 'doc_id', 'text', TABLE(bench), 'text'[, n, minOverlap, fpp])
   *   SELECT * FROM bpe_token_count(TABLE(docs), 'text', 200[, max_words, min_count])
+  *   SELECT * FROM unigram_token_count(TABLE(docs), 'text', 2000[, max_words, min_count])
   *   SELECT * FROM quality_score(TABLE(docs), 'text', TABLE(labeled), 'text', 'label'[, hash_dim, iters])
   *   SELECT * FROM asof_join(TABLE(l), TABLE(r), 'key', 'l_ts', 'r_ts'[, direction, tolerance, tie_break])
   *   SELECT * FROM range_join(TABLE(points), 'ts', TABLE(iv), 's', 'e', bucket_width[, 'key'])
@@ -237,6 +238,22 @@ object PipelineSql {
       val model = graft.pipeline.BpeTokenizer.train(docs, textCol,
         constInt(exprs(2)), maxWords, minCount)
       plan(graft.pipeline.BpeTokenizer.tokenCount(docs, textCol, model))
+    }, "scala_udf")
+
+    // Unigram-LM tokenizer: EM training over the bounded histogram runs
+    // at plan build (same contract as bpe_token_count); the returned
+    // relation is the row-local Viterbi tokenize pass.
+    r.createOrReplaceTempFunction("unigram_token_count", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 3 && exprs.length <= 5,
+        "usage: unigram_token_count(TABLE(docs), text_col, vocab_size" +
+          "[, max_words, min_count])")
+      val textCol = constString(exprs(1))
+      val maxWords = if (exprs.length > 3) constInt(exprs(3)) else 1 << 20
+      val minCount = if (exprs.length > 4) constInt(exprs(4)).toLong else 1L
+      val docs = tableArg(spark, exprs(0))
+      val model = graft.pipeline.UnigramTokenizer.train(docs, textCol,
+        constInt(exprs(2)), maxWords, minCount)
+      plan(graft.pipeline.UnigramTokenizer.tokenCount(docs, textCol, model))
     }, "scala_udf")
 
     // Trained quality filter: GD training (treeAggregate passes over the

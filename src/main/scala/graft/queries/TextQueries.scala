@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.pipeline.{BpeTokenizer, Dedup, QualityClassifier, TextAnalysis}
+import graft.pipeline.{BpeTokenizer, Dedup, QualityClassifier, TextAnalysis, UnigramTokenizer}
 import QuerySupport._
 
 /** Training-data pipeline surface: dedup, text analysis, embedding near-dup
@@ -205,6 +205,20 @@ object TextQueries {
         numMerges = 200, minCount = 2L)
       BpeTokenizer.tokenCount(docs(s, dir), "text", model)
         .select("doc_id", "n_bpe_tokens")
+        .orderBy("doc_id")
+    }),
+
+    // end-to-end unigram-LM (SentencePiece-default) tokenizer: EM over
+    // the same bounded histogram BPE trains on, Viterbi apply. Rows-only
+    // (EM + lattice are not SQL-expressible); Viterbi optimality,
+    // determinism, and fallback contracts are pinned in
+    // UnigramTokenizerSpec, and the trainer's input relation is the
+    // strict bpe_word_hist sibling.
+    "unigram_token_count" -> ((s: SparkSession, dir: String) => {
+      val model = UnigramTokenizer.train(docs(s, dir), "text",
+        vocabSize = 2000, minCount = 2L, seedSize = 1 << 14)
+      UnigramTokenizer.tokenCount(docs(s, dir), "text", model)
+        .select("doc_id", "n_unigram_tokens")
         .orderBy("doc_id")
     }),
 

@@ -149,6 +149,11 @@ class PipelineSqlSpec extends SparkSpec {
       "SELECT * FROM bpe_token_count(TABLE(pl_docs), 'text', 20)",
       graft.pipeline.BpeTokenizer.tokenCount(docsDf, "text", model))
 
+    val um = graft.pipeline.UnigramTokenizer.train(docsDf, "text", vocabSize = 50)
+    sameRows(
+      "SELECT * FROM unigram_token_count(TABLE(pl_docs), 'text', 50)",
+      graft.pipeline.UnigramTokenizer.tokenCount(docsDf, "text", um))
+
     val labeled = docsDf.withColumn("label",
       org.apache.spark.sql.functions.when($"doc_id" <= 2L, 1.0).otherwise(0.0))
     labeled.createOrReplaceTempView("pl_labeled")
