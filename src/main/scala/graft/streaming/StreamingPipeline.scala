@@ -154,6 +154,94 @@ object StreamingPipeline {
       .drop(col(s"r.`$key`"))
   }
 
+  /** One buffered right-side row of the streaming as-of state. */
+  final case class AsofRight(rid: Long, rts: Long)
+  /** One left row waiting for the watermark to certify its predecessor. */
+  final case class AsofPendingLeft(lid: Long, lts: Long)
+  /** Per-key streaming as-of state: right rows sorted by (rts, rid) and
+    * the left rows whose event time the watermark has not passed yet. */
+  final case class AsofJoinState(rights: List[AsofRight],
+                                 pending: List[AsofPendingLeft])
+  /** Streaming as-of output; right fields are None when no right row
+    * at-or-before the left event existed (left-outer semantics).
+    * Timestamps are epoch millis (the watermark's clock). */
+  final case class AsofEnriched(key: Long, left_id: Long, left_ts: Long,
+                                right_id: Option[Long], right_ts: Option[Long])
+
+  /** Event-time streaming as-of join — the continuous analogue of
+    * [[graft.operators.AsofJoin]] and of Flink's temporal join: each left
+    * event is enriched with the latest right event at-or-before it (same
+    * key), CORRECTLY under out-of-order arrival. A left row is held in
+    * state until the watermark passes its event time — at that point no
+    * in-horizon right row older than it can still arrive, so its
+    * predecessor is final — then emits exactly once (append mode).
+    * Rows later than the watermark are dropped by Spark as late data on
+    * BOTH sides (the standard horizon contract).
+    *
+    * State per key is O(horizon): pending lefts not yet certified, right
+    * rows newer than the watermark, plus ONE right row below it (the only
+    * one any future left can still need — future lefts carry event times
+    * above the watermark). Pruned every invocation; an event-time timer
+    * (min pending left ts) flushes keys that stop receiving data. Ties on
+    * right event time resolve to the max rid, matching the batch
+    * operator's tie-break.
+    *
+    * Both inputs need TimestampType `tsCol`; `keyCol`/`idCol` LongType.
+    */
+  def streamingAsofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                        leftTsCol: String, rightTsCol: String,
+                        leftIdCol: String, rightIdCol: String,
+                        watermarkDelay: String = "10 minutes"): Dataset[AsofEnriched] = {
+    import left.sparkSession.implicits._
+    val tagged = left.select(col(keyCol).cast("long").as("key"),
+        col(leftTsCol).as("ts"), lit(1).as("side"),
+        col(leftIdCol).cast("long").as("id"))
+      .unionByName(right.select(col(keyCol).cast("long").as("key"),
+        col(rightTsCol).as("ts"), lit(0).as("side"),
+        col(rightIdCol).cast("long").as("id")))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp, Int, Long)]
+
+    tagged.groupByKey(_._1)
+      .flatMapGroupsWithState[AsofJoinState, AsofEnriched](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, it, state: GroupState[AsofJoinState]) =>
+          var s = state.getOption.getOrElse(AsofJoinState(Nil, Nil))
+          it.foreach { case (_, ts, side, id) =>
+            val ms = ts.getTime
+            if (side == 0) s = s.copy(rights = AsofRight(id, ms) :: s.rights)
+            else s = s.copy(pending = AsofPendingLeft(id, ms) :: s.pending)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          // certified lefts: the right buffer is complete at-or-below wm
+          val (ready, stillPending) = s.pending.partition(_.lts <= wm)
+          val rightsSorted = s.rights.sortBy(r => (r.rts, r.rid))
+          val out = ready.sortBy(p => (p.lts, p.lid)).map { p =>
+            val m = rightsSorted.foldLeft(Option.empty[AsofRight]) {
+              (acc, r) => if (r.rts <= p.lts) Some(r) else acc
+            }
+            AsofEnriched(key, p.lid, p.lts, m.map(_.rid), m.map(_.rts))
+          }
+          // prune: rights above wm stay; below wm only the latest survives
+          val (above, below) = rightsSorted.partition(_.rts > wm)
+          val keptRights = (below.lastOption.toList ++ above)
+          if (stillPending.isEmpty && keptRights.isEmpty) state.remove()
+          else {
+            state.update(AsofJoinState(keptRights, stillPending))
+            // flush timer: fires once the watermark passes the oldest
+            // uncertified left (strictly above wm here by construction);
+            // with no pending lefts, fire when it passes the earliest
+            // still-multiple right so the buffer prunes toward the single
+            // row a temporal join must keep per key (Flink keeps the same)
+            if (stillPending.nonEmpty)
+              state.setTimeoutTimestamp(stillPending.map(_.lts).min)
+            else if (above.nonEmpty)
+              state.setTimeoutTimestamp(math.max(wm + 1, above.map(_.rts).min))
+          }
+          out.iterator
+      }
+  }
+
   /** Running per-key corpus state (docs/chars/quality mean) emitted as an
     * update row per key per micro-batch. */
   final case class CorpusState(nDocs: Long, nChars: Long, qualitySum: Double)

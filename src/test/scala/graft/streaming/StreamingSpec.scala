@@ -562,4 +562,92 @@ class StreamingSpec extends SparkSpec {
       leftTs = "ingest_ts", rightTs = "check_ts",
       maxDelay = "90 minutes", watermarkDelay = "1 hour 30 minutes")
   }
+
+  test("streaming as-of join: event-time correctness under out-of-order arrival") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    def ms(h: Int, m: Int) = ts(h, m).getTime
+
+    val lStream = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val rStream = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val out = StreamingPipeline.streamingAsofJoin(
+      lStream.toDF().toDF("lts", "key", "lid"),
+      rStream.toDF().toDF("rts", "key", "rid"),
+      "key", "lts", "rts", "lid", "rid", watermarkDelay = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    def rows = spark.table("asof_stream").as[(Long, Long, Long, Option[Long], Option[Long])]
+      .collect().map(t => t._2 -> (t._4, t._5)).toMap
+    try {
+      // r100@10:00 then l1@10:05 — watermark (10:05-5m=10:00) has not
+      // passed l1's event time, so nothing emits yet
+      rStream.addData((ts(10, 0), 1L, 100L))
+      lStream.addData((ts(10, 5), 1L, 1L))
+      q.processAllAvailable()
+      assert(spark.table("asof_stream").isEmpty)
+
+      // r101@10:03 arrives OUT OF ORDER but inside the horizon; r102@10:20
+      // advances the watermark to 10:15 > l1 — l1 must certify against the
+      // COMPLETE buffer and pick r101 (10:03), not r100 (10:00)
+      rStream.addData((ts(10, 3), 1L, 101L), (ts(10, 20), 1L, 102L))
+      q.processAllAvailable()
+      assert(rows(1L) == ((Some(101L), Some(ms(10, 3)))))
+
+      // late left l2@10:02 (< watermark 10:15) is dropped as late data;
+      // l4@10:30 with out-of-order r103@10:25 lands AFTER r102 — l4 must
+      // pick r103; key-3 left with no rights emits None (left-outer)
+      lStream.addData((ts(10, 2), 1L, 2L), (ts(10, 30), 1L, 4L),
+        (ts(10, 50), 3L, 9L))
+      rStream.addData((ts(10, 25), 1L, 103L))
+      q.processAllAvailable()
+      // advance the (global) watermark past every pending left
+      rStream.addData((ts(11, 30), 2L, 900L))
+      q.processAllAvailable()
+      val got = rows
+      assert(!got.contains(2L), "late left must be dropped, not joined")
+      assert(got(4L) == ((Some(103L), Some(ms(10, 25)))))
+      assert(got(9L) == ((None, None)))
+
+      // equivalence with the batch operator on the in-horizon rows
+      val lBatch = Seq((ms(10, 5), 1L, 1L), (ms(10, 30), 1L, 4L),
+        (ms(10, 50), 3L, 9L)).toDF("lts", "key", "lid")
+      val rBatch = Seq((ms(10, 0), 1L, 100L), (ms(10, 3), 1L, 101L),
+        (ms(10, 20), 1L, 102L), (ms(10, 25), 1L, 103L),
+        (ms(11, 30), 2L, 900L)).toDF("rts", "key", "rid")
+      val batch = graft.operators.AsofJoin.join(lBatch, rBatch, Seq("key"),
+          "lts", "rts", joinType = "left", rightTieBreak = Some("rid"))
+        .select("lid", "rid").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(got.view.mapValues(_._1).toMap == batch)
+    } finally q.stop()
+  }
+
+  test("streaming as-of join: duplicate right timestamps resolve to max rid") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val lStream = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val rStream = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val out = StreamingPipeline.streamingAsofJoin(
+      lStream.toDF().toDF("lts", "key", "lid"),
+      rStream.toDF().toDF("rts", "key", "rid"),
+      "key", "lts", "rts", "lid", "rid", watermarkDelay = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("asof_ties")
+      .outputMode("append").start()
+    try {
+      rStream.addData((ts(10, 0), 1L, 7L), (ts(10, 0), 1L, 12L), (ts(10, 0), 1L, 3L))
+      lStream.addData((ts(10, 1), 1L, 1L))
+      q.processAllAvailable()
+      rStream.addData((ts(10, 30), 2L, 0L)) // advance watermark
+      q.processAllAvailable()
+      val got = spark.table("asof_ties")
+        .selectExpr("left_id", "right_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got(1L) == 12L)
+    } finally q.stop()
+  }
 }
