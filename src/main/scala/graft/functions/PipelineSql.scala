@@ -25,6 +25,7 @@ import graft.pipeline.{CorpusPipeline, Dedup, TextAnalysis}
   *   SELECT * FROM dedup_components(TABLE(pairs), 'a', 'b')
   *   SELECT * FROM corpus_decontaminate(TABLE(corpus), 'doc_id', 'text', TABLE(bench), 'text'[, n, minOverlap])
   *   SELECT * FROM corpus_decontaminate_bloom(TABLE(corpus), 'doc_id', 'text', TABLE(bench), 'text'[, n, minOverlap, fpp])
+  *   SELECT * FROM dedup_incremental(TABLE(new), 'doc_id', 'text', TABLE(prior), 'text'[, fpp])
   *   SELECT * FROM bpe_token_count(TABLE(docs), 'text', 200[, max_words, min_count])
   *   SELECT * FROM unigram_token_count(TABLE(docs), 'text', 2000[, max_words, min_count])
   *   SELECT * FROM quality_score(TABLE(docs), 'text', TABLE(labeled), 'text', 'label'[, hash_dim, iters])
@@ -269,6 +270,24 @@ object PipelineSql {
         hashDim, iters)
       plan(graft.pipeline.QualityClassifier.withQualityScore(
         tableArg(spark, exprs(0)), constString(exprs(1)), model))
+    }, "scala_udf")
+
+    // cross-snapshot incremental dedup (exact anti-join; pass fpp for the
+    // zero-shuffle Bloom serving form — prior reduces at plan build)
+    r.createOrReplaceTempFunction("dedup_incremental", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 5 && exprs.length <= 6,
+        "usage: dedup_incremental(TABLE(new), id, text, TABLE(prior), " +
+          "prior_text[, fpp])")
+      val fresh = tableArg(spark, exprs(0))
+      val prior = tableArg(spark, exprs(3))
+      val pText = constString(exprs(4))
+      if (exprs.length > 5) {
+        val bloom = Dedup.corpusTextBloom(prior, pText, constNum(exprs(5)))
+        plan(Dedup.dedupAgainstCorpusBloom(fresh, constString(exprs(1)),
+          constString(exprs(2)), bloom))
+      } else
+        plan(Dedup.dedupAgainstCorpus(fresh, constString(exprs(1)),
+          constString(exprs(2)), prior, pText))
     }, "scala_udf")
 
     // as-of (point-in-time) join: single-winner temporal alignment

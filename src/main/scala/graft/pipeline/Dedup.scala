@@ -872,6 +872,46 @@ object Dedup {
     count(col(textCol))
   }
 
+  // ---- cross-snapshot (incremental) dedup ----
+
+  /** Exact incremental dedup — drop every new document whose text already
+    * exists in a PRIOR corpus snapshot: the "dedup this month's crawl
+    * against everything we already trained on" step, which document-level
+    * [[dropExactDuplicates]] (one corpus, min-id winner) does not express.
+    * Anti-join on md5(text): one hash shuffle per side (AQE broadcasts the
+    * fingerprint side when it fits), no pair term. The winner rule is
+    * asymmetric by construction: prior always wins. */
+  def dedupAgainstCorpus(newDocs: DataFrame, idCol: String, textCol: String,
+                         prior: DataFrame, priorTextCol: String): DataFrame = {
+    val priorFps = prior.select(md5(col(priorTextCol)).as("__fp")).distinct()
+    newDocs.join(priorFps, md5(col(textCol)) === col("__fp"), "left_anti")
+  }
+
+  /** The prior snapshot reduced to a fixed-size Bloom filter over its
+    * document texts (distributed per-partition build + OR tree-reduce,
+    * like [[benchmarkShingleBloom]]). Build once per snapshot, persist the
+    * bit array, reuse across every incoming batch. */
+  def corpusTextBloom(prior: DataFrame, priorTextCol: String,
+                      fpp: Double = 1e-9): BloomFilter = {
+    import prior.sparkSession.implicits._
+    val texts = prior.select(col(priorTextCol).cast("string"))
+      .filter(col(priorTextCol).isNotNull)
+    val est = texts.agg(approx_count_distinct(col(priorTextCol))).head().getLong(0)
+    BloomFilter.build(texts.as[String], math.max(64L, est * 3L / 2L), fpp)
+  }
+
+  /** The 100 TB serving form of [[dedupAgainstCorpus]]: the new corpus is
+    * read ONCE and filtered row-locally against the broadcast prior-snapshot
+    * Bloom — zero join, zero shuffle at any size on either side. No false
+    * negatives (every true duplicate drops); false positives over-remove
+    * new documents at the configured fpp — the safe direction for dedup. */
+  def dedupAgainstCorpusBloom(newDocs: DataFrame, idCol: String,
+                              textCol: String, bloom: BloomFilter): DataFrame = {
+    val bc = newDocs.sparkSession.sparkContext.broadcast(bloom)
+    val seen = udf((text: String) => text != null && bc.value.mightContain(text))
+    newDocs.filter(!seen(col(textCol)))
+  }
+
   /** SUB-document exact dedup at paragraph granularity (the production
     * form of ExactSubstr — Lee et al. 2022 "Deduplicating Training Data
     * Makes Language Models Better" — as deployed in Dolma/RedPajama-style

@@ -405,6 +405,23 @@ object TextQueries {
         .select("doc_id", "n_trigrams", "trigram_logloss")
         .orderBy("doc_id")),
 
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): docs ranked
+    // by character-trigram LM log-loss and cut into head/middle/tail
+    // tertiles — the standard "keep the head, sample the middle, drop the
+    // tail" quality gate. Exact global ntile here because it is the
+    // strict-oracle configuration (deterministic: ties ordered by
+    // (rounded log-loss, doc_id), null-ll docs excluded on both sides);
+    // at 100 TB the same cut runs as approx-quantile CUTOFFS + row-local
+    // bucket assignment — one aggregate + one scan, no global sort.
+    "quality_perplexity_buckets" -> ((s: SparkSession, dir: String) => {
+      val ll = TextAnalysis.withTrigramLogLoss(docs(s, dir), "text")
+        .select(col("doc_id"), col("trigram_logloss"))
+        .filter(col("trigram_logloss").isNotNull)
+      val w = Window.orderBy(col("trigram_logloss"), col("doc_id"))
+      ll.withColumn("bucket", ntile(3).over(w).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style duplicate-trigram fraction per doc (strict oracle:
     // same comprehension arithmetic, round(4) both sides)
     "text_repetition" -> ((s: SparkSession, dir: String) =>
@@ -510,6 +527,32 @@ object TextQueries {
       val bloom = Dedup.benchmarkShingleBloom(
         d.filter(col("doc_id") % 50 === 0), "text", shingleSize = 8)
       Dedup.contaminationHitsBloom(d, "doc_id", "text", bloom, shingleSize = 8)
+        .orderBy("doc_id")
+    }),
+
+    // cross-snapshot incremental dedup: "new crawl" = the full corpus,
+    // "prior snapshot" = the odd doc_ids — every odd doc's text exists in
+    // prior (drops), every even doc's does not (survives). Exact md5
+    // anti-join. Strict.
+    "dedup_incremental" -> ((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      Dedup.dedupAgainstCorpus(d, "doc_id", "text",
+          d.filter(col("doc_id") % 2 === 1), "text")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // zero-shuffle serving form: the prior snapshot reduces to a Bloom
+    // bit array and the new corpus filters row-locally. No false
+    // negatives; at fpp=1e-9 over 250 probes the expected FP surplus is
+    // ~2.5e-7, so the result reproduces the exact oracle bit-for-bit
+    // (same lossless-fixture pin as decontaminate_bloom). Strict.
+    "dedup_incremental_bloom" -> ((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      val bloom = Dedup.corpusTextBloom(
+        d.filter(col("doc_id") % 2 === 1), "text")
+      Dedup.dedupAgainstCorpusBloom(d, "doc_id", "text", bloom)
+        .select("doc_id", "n_chars")
         .orderBy("doc_id")
     }),
 
@@ -863,6 +906,21 @@ object TextQueries {
         | md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // prior snapshot (odd ids) wins on text equality; even docs survive
+    "dedup_incremental" ->
+      """SELECT n.doc_id, n.n_chars FROM documents n
+        |WHERE NOT EXISTS (SELECT 1 FROM documents p
+        |                  WHERE p.doc_id % 2 = 1 AND p.text = n.text)
+        |ORDER BY n.doc_id""".stripMargin,
+
+    // the Bloom form must reproduce the exact result on this fixture
+    // (fpp pinned far below one expected false positive)
+    "dedup_incremental_bloom" ->
+      """SELECT n.doc_id, n.n_chars FROM documents n
+        |WHERE NOT EXISTS (SELECT 1 FROM documents p
+        |                  WHERE p.doc_id % 2 = 1 AND p.text = n.text)
+        |ORDER BY n.doc_id""".stripMargin,
+
     // same hit semantics as the exact path — the Bloom run must reproduce
     // it exactly on this fixture (fpp pinned far below one expected FP)
     "decontaminate_bloom" ->
@@ -920,6 +978,36 @@ object TextQueries {
         |  round(f.ssum / f.ng + 0.000000001, 4) AS trigram_logloss
         |FROM norm n LEFT JOIN folded f USING (doc_id)
         |ORDER BY n.doc_id""".stripMargin,
+
+    // same trigram-LM arithmetic as text_trigram_ll, then tertiles over
+    // the ROUNDED log-loss (both engines rank identical values; ties
+    // ordered by doc_id; null-ll docs excluded)
+    "quality_perplexity_buckets" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s FROM documents
+        |),
+        |g AS (
+        |  SELECT doc_id, unnest([i FOR i IN generate_series(0, length(s) - 3)]) AS pos,
+        |         unnest([s[i+1:i+3] FOR i IN generate_series(0, length(s) - 3)]) AS gram
+        |  FROM norm WHERE length(s) >= 3
+        |),
+        |cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM cnt),
+        |folded AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(-ln(CAST(c AS DOUBLE) / total) ORDER BY pos)), (a, b) -> a + b) AS ssum,
+        |    count(*) AS ng
+        |  FROM g JOIN cnt USING (gram) CROSS JOIN tot
+        |  GROUP BY doc_id
+        |),
+        |ll AS (
+        |  SELECT doc_id, round(ssum / ng + 0.000000001, 4) AS trigram_logloss
+        |  FROM folded
+        |)
+        |SELECT doc_id, trigram_logloss,
+        |  CAST(ntile(3) OVER (ORDER BY trigram_logloss, doc_id) AS BIGINT) AS bucket
+        |FROM ll ORDER BY doc_id""".stripMargin,
 
     // Karp-Rabin winnowing fingerprint replayed exactly: per 16-char
     // window, fold (h*B + c) mod 2^64 over codepoints in HUGEINT (BMP

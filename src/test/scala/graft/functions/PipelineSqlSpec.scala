@@ -154,6 +154,17 @@ class PipelineSqlSpec extends SparkSpec {
       "SELECT * FROM unigram_token_count(TABLE(pl_docs), 'text', 50)",
       graft.pipeline.UnigramTokenizer.tokenCount(docsDf, "text", um))
 
+    val prior = docsDf.filter($"doc_id" % 2 === 1)
+      .select($"doc_id".as("pid"), $"text".as("ptext"))
+    prior.createOrReplaceTempView("pl_prior")
+    sameRows(
+      "SELECT * FROM dedup_incremental(TABLE(pl_docs), 'doc_id', 'text', TABLE(pl_prior), 'ptext')",
+      Dedup.dedupAgainstCorpus(docsDf, "doc_id", "text", prior, "ptext"))
+    val pBloom = Dedup.corpusTextBloom(prior, "ptext", fpp = 1e-9)
+    sameRows(
+      "SELECT * FROM dedup_incremental(TABLE(pl_docs), 'doc_id', 'text', TABLE(pl_prior), 'ptext', 0.000000001)",
+      Dedup.dedupAgainstCorpusBloom(docsDf, "doc_id", "text", pBloom))
+
     val labeled = docsDf.withColumn("label",
       org.apache.spark.sql.functions.when($"doc_id" <= 2L, 1.0).otherwise(0.0))
     labeled.createOrReplaceTempView("pl_labeled")

@@ -118,4 +118,25 @@ class DecontaminationSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(clean == Set(11L), "null text must survive, contaminated row must drop")
   }
+
+  test("cross-snapshot dedup: prior wins on exact text, exact == Bloom, zero-shuffle plan") {
+    import spark.implicits._
+    val prior = Seq((1L, "seen before"), (2L, "also seen"), (3L, "unrelated"))
+      .toDF("pid", "ptext")
+    val fresh = Seq(
+      (10L, "seen before"),     // dup of prior → drops
+      (11L, "brand new text"),  // survives
+      (12L, "also seen"),       // dup of prior → drops
+      (13L, null.asInstanceOf[String])) // null text → survives
+      .toDF("doc_id", "text")
+    val exact = Dedup.dedupAgainstCorpus(fresh, "doc_id", "text", prior, "ptext")
+      .collect().map(_.getLong(0)).toSet
+    assert(exact == Set(11L, 13L))
+    val bloom = Dedup.corpusTextBloom(prior, "ptext")
+    val viaBloom = Dedup.dedupAgainstCorpusBloom(fresh, "doc_id", "text", bloom)
+    assert(viaBloom.collect().map(_.getLong(0)).toSet == exact)
+    // the Bloom serving plan reads the new corpus once, no shuffle
+    val plan = viaBloom.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bloom incremental dedup shuffles:\n$plan")
+  }
 }
