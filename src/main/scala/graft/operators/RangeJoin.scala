@@ -56,15 +56,29 @@ object RangeJoin {
     require(collisions.isEmpty,
       s"rename interval columns colliding with points: ${collisions.mkString(", ")}")
 
-    // floor division is sign-correct for negative epochs too
-    def bucketOf(c: org.apache.spark.sql.Column) =
-      floor(c.cast("long").cast("double") / bucketWidth).cast("long")
+    // exact integer floor division (sign-correct for negative epochs):
+    // (c - pmod(c, w)) is an exact multiple of w, so the SQL `div` has
+    // no fraction to truncate. Double-based floor(c/w) would round for
+    // |ts| > 2^53 — nanosecond epochs (~1.7e18) would mis-bucket
+    // boundary points into missed matches.
+    def withBucket(df: DataFrame, of: String*): DataFrame = {
+      val tmp = of.zipWithIndex.map { case (c, i) => c -> s"__rjt$i" }
+      val named = tmp.foldLeft(df) { case (d, (c, t)) =>
+        d.withColumn(t, col(c).cast("long"))
+      }
+      val bucketExprs = tmp.map { case (_, t) =>
+        expr(s"($t - pmod($t, ${bucketWidth}L)) div ${bucketWidth}L")
+      }
+      val withB =
+        if (bucketExprs.size == 1) named.withColumn("__b", bucketExprs.head)
+        else named.withColumn("__b",
+          explode(sequence(bucketExprs(0), bucketExprs(1))))
+      withB.drop(tmp.map(_._2): _*)
+    }
 
-    val p = points.withColumn("__b", bucketOf(col(tsCol)))
-    val iv = intervals
-      .filter(col(endCol) >= col(startCol))
-      .withColumn("__b",
-        explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
+    val p = withBucket(points, tsCol)
+    val iv = withBucket(intervals.filter(col(endCol) >= col(startCol)),
+      startCol, endCol)
     p.join(iv, keys :+ "__b")
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .select(points.columns.map(col) ++ iPayload.map(col): _*)

@@ -74,6 +74,18 @@ class RangeJoinSpec extends SparkSpec {
     assert(opPairs(p, iv, Nil, 10L).toSet == Set((1L, 10L), (3L, 10L)))
   }
 
+  test("bucket arithmetic is exact beyond 2^53 (nanosecond-scale epochs)") {
+    // double floor(ts/w) rounds here: base is not representable as a
+    // double, so a boundary point one bucket below an interval start
+    // would mis-bucket into a false match (or a true match would vanish)
+    val base = (1L << 60) + 1L // odd, far beyond double's 2^53 mantissa
+    val w = 1000L
+    val p = Seq((1L, base), (2L, base - 1L), (3L, base + 999L))
+      .toDF("pid", "ts")
+    val iv = Seq((10L, base, base + 999L)).toDF("iid", "s", "e")
+    assert(opPairs(p, iv, Nil, w).toSet == Set((1L, 10L), (3L, 10L)))
+  }
+
   test("plan has no cartesian or broadcast-nested-loop join") {
     val (p, iv) = randData(3)
     val out = RangeJoin.pointInInterval(p, "ts", iv, "s", "e", Seq("k"), 64L)
