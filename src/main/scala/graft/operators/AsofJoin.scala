@@ -100,13 +100,19 @@ object AsofJoin {
         lit(null).cast(org.apache.spark.sql.types.StructType(
           rPayload.map(c => org.apache.spark.sql.types.StructField(
             c, right.schema(c).dataType, nullable = true)))).as("__r")): _*)
-    val rRows = right.select(
-      keys.map(col) ++ Seq(
-        axis(col(rightTs)).as("__ts"),
-        lit(0).as("__side"),
-        rightTieBreak.map(col).getOrElse(lit(null).cast("int")).as("__tie"),
-        lit(null).cast(lRows.schema("__l").dataType).as("__l"),
-        struct(rPayload.map(col): _*).as("__r")): _*)
+    // SQL equality never matches a NULL key: drop null-key right rows so
+    // the null-key window partition holds no candidates (null-key left
+    // rows then drop under inner / null out under left — join semantics,
+    // not group-the-nulls window semantics)
+    val rRows = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keys.map(col) ++ Seq(
+          axis(col(rightTs)).as("__ts"),
+          lit(0).as("__side"),
+          rightTieBreak.map(col).getOrElse(lit(null).cast("int")).as("__tie"),
+          lit(null).cast(lRows.schema("__l").dataType).as("__l"),
+          struct(rPayload.map(col): _*).as("__r")): _*)
 
     // right rows (side 0) sort before left rows at equal ts, so an
     // exactly-simultaneous right row is visible to the left row's frame

@@ -118,6 +118,21 @@ class AsofJoinSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("join"), s"unexpected join in plan:\n$plan")
   }
 
+  test("NULL keys never match (SQL equality), both join types") {
+    val l = Seq((1L, Some(1L), 100L), (2L, None, 100L))
+      .toDF("lid", "k", "lts")
+    val r = Seq((9L, Some(1L), 90L, "a"), (8L, None, 90L, "b"))
+      .toDF("rid", "k", "rts", "tag")
+    val inner = AsofJoin.join(l, r, Seq("k"), "lts", "rts",
+      rightTieBreak = Some("rid")).collect()
+    assert(inner.map(_.getAs[Long]("lid")).toSeq == Seq(1L),
+      "null-key left row must not match a null-key right row")
+    val outer = AsofJoin.join(l, r, Seq("k"), "lts", "rts",
+      joinType = "left", rightTieBreak = Some("rid"))
+      .collect().map(row => row.getAs[Long]("lid") -> row.isNullAt(row.fieldIndex("rid"))).toMap
+    assert(outer == Map(1L -> false, 2L -> true))
+  }
+
   test("input validation: direction, joinType, ts type mismatch, collisions") {
     val (l, r) = randTables(19)
     intercept[IllegalArgumentException](
