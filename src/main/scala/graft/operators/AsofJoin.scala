@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** As-of (point-in-time) join: for each left row, the SINGLE right row
-  * with the largest `rightTs <= leftTs` (backward, the default) or the
-  * smallest `rightTs >= leftTs` (forward), matching on equal `keys` —
+  * with the largest `rightTs <= leftTs` (backward, the default), the
+  * smallest `rightTs >= leftTs` (forward), or whichever of those two is
+  * closer in time (nearest), matching on equal `keys` —
   * the event/feature-alignment step of a training-data pipeline (join
   * every interaction to the most recent model score, price, or error
   * that preceded it). Same semantics as DuckDB's `ASOF JOIN` and
@@ -41,10 +42,15 @@ object AsofJoin {
 
   /** @param keys        equality key columns, present in both inputs
     * @param leftTs      left event-time column (any orderable type;
-    *                    integral required when `tolerance` is set)
+    *                    integral required when `tolerance` is set or
+    *                    `direction` is "nearest" — both need gap
+    *                    arithmetic)
     * @param rightTs     right event-time column, same type as `leftTs`
-    * @param direction   "backward" (latest right at-or-before left) or
-    *                    "forward" (earliest right at-or-after left)
+    * @param direction   "backward" (latest right at-or-before left),
+    *                    "forward" (earliest right at-or-after left), or
+    *                    "nearest" (whichever of the two is closer in
+    *                    time; exact-distance ties prefer backward —
+    *                    pandas merge_asof semantics)
     * @param tolerance   max |leftTs - rightTs| for a match to count
     *                    (same unit as the ts columns); matches farther
     *                    away are dropped (inner) or nulled (left)
@@ -62,18 +68,22 @@ object AsofJoin {
            joinType: String = "inner",
            rightTieBreak: Option[String] = None): DataFrame = {
     require(keys.nonEmpty, "asof join needs at least one equality key")
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward, got '$direction'")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got '$direction'")
     require(joinType == "inner" || joinType == "left",
       s"joinType must be inner|left, got '$joinType'")
     val lt = left.schema(leftTs).dataType
     val rt = right.schema(rightTs).dataType
     require(lt == rt, s"ts type mismatch: $leftTs is $lt, $rightTs is $rt")
+    val integral = Seq(ByteType, ShortType, IntegerType, LongType)
     tolerance.foreach { t =>
       require(t >= 0, s"tolerance must be >= 0, got $t")
-      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(lt),
+      require(integral.contains(lt),
         s"tolerance needs an integral ts column, got $lt")
     }
+    if (direction == "nearest")
+      require(integral.contains(lt),
+        s"nearest direction needs an integral ts column (gap comparison), got $lt")
     val rPayload = right.columns.filterNot(keys.contains).toSeq
     require(rPayload.contains(rightTs),
       s"$rightTs must not be one of the key columns")
@@ -81,16 +91,9 @@ object AsofJoin {
     require(collisions.isEmpty,
       s"rename right columns colliding with left: ${collisions.mkString(", ")}")
 
-    // forward = backward on the negated axis (equality survives negation);
-    // negation needs a numeric ts
-    val flip = direction == "forward"
-    if (flip) require(Seq(ByteType, ShortType, IntegerType, LongType).contains(lt),
-      s"forward direction needs an integral ts column, got $lt")
-    def axis(c: org.apache.spark.sql.Column) = if (flip) negate(c) else c
-
     val lRows = left.select(
       keys.map(col) ++ Seq(
-        axis(col(leftTs)).as("__ts"),
+        col(leftTs).as("__ts"),
         lit(1).as("__side"),
         (rightTieBreak match {
           case Some(tb) => lit(null).cast(right.schema(tb).dataType)
@@ -108,32 +111,53 @@ object AsofJoin {
       .filter(keys.map(col(_).isNotNull).reduce(_ && _))
       .select(
         keys.map(col) ++ Seq(
-          axis(col(rightTs)).as("__ts"),
+          col(rightTs).as("__ts"),
           lit(0).as("__side"),
           rightTieBreak.map(col).getOrElse(lit(null).cast("int")).as("__tie"),
           lit(null).cast(lRows.schema("__l").dataType).as("__l"),
           struct(rPayload.map(col): _*).as("__r")): _*)
 
-    // right rows (side 0) sort before left rows at equal ts, so an
-    // exactly-simultaneous right row is visible to the left row's frame
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
+    // Both directions run on ONE hash exchange; each is a window over it
+    // (different sort order, same partitioning — Spark reuses the
+    // shuffle). Backward frame: rights at equal ts sort BEFORE the left
+    // row (side asc) so an exactly-simultaneous right is visible; tie
+    // asc + last() = max tie-break wins. Forward frame: rights at equal
+    // ts sort AFTER the left row (side desc); tie desc + first() keeps
+    // the same max-tie-break winner rule.
+    val pb = Window.partitionBy(keys.map(col): _*)
+    val wB = pb.orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matchedCol = last(col("__r"), ignoreNulls = true).over(w)
+    val wF = pb.orderBy(col("__ts").asc, col("__side").desc, col("__tie").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val bMatch = last(col("__r"), ignoreNulls = true).over(wB)
+    val fMatch = first(col("__r"), ignoreNulls = true).over(wF)
+
+    def gapOf(m: org.apache.spark.sql.Column) =
+      abs(m(rightTs).cast("long") - col("__l")(leftTs).cast("long"))
+    val matchedCol = direction match {
+      case "backward" => bMatch
+      case "forward"  => fMatch
+      case "nearest" =>
+        // closer wins; equal distance or missing forward -> backward
+        when(col("__b").isNull, col("__f"))
+          .when(col("__f").isNull, col("__b"))
+          .when(gapOf(col("__f")) < gapOf(col("__b")), col("__f"))
+          .otherwise(col("__b"))
+    }
 
     val gapOk = tolerance match {
-      case None => lit(true)
-      case Some(t) =>
-        val gap =
-          if (flip) col("__match")(rightTs).cast("long") - col("__l")(leftTs).cast("long")
-          else col("__l")(leftTs).cast("long") - col("__match")(rightTs).cast("long")
-        gap <= t
+      case None    => lit(true)
+      case Some(t) => gapOf(col("__match")) <= t
     }
     val valid = col("__match").isNotNull && gapOk
 
-    val base = lRows.unionByName(rRows)
-      .withColumn("__match", matchedCol)
-      .filter(col("__side") === 1)
+    val unioned = lRows.unionByName(rRows)
+    val base = (direction match {
+      case "nearest" =>
+        unioned.withColumn("__b", bMatch).withColumn("__f", fMatch)
+          .withColumn("__match", matchedCol).drop("__b", "__f")
+      case _ => unioned.withColumn("__match", matchedCol)
+    }).filter(col("__side") === 1)
     val withMatch =
       if (joinType == "inner") base.filter(valid)
       else base.withColumn("__match", when(valid, col("__match")))

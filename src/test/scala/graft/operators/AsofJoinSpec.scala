@@ -72,6 +72,38 @@ class AsofJoinSpec extends SparkSpec {
     assert(runOp(l, r, "forward", None, "inner") == expect)
   }
 
+  test("nearest equals brute force (closer wins; distance ties prefer backward)") {
+    for (seed <- Seq(21, 23)) {
+      val (l, r) = randTables(seed)
+      val ls = l.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      val rs = r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      val expect = ls.map { case (lid, k, lts) =>
+        val elig = rs.filter(_._2 == k)
+        val win =
+          if (elig.isEmpty) None
+          else Some(elig.minBy { case (rid, _, rts) =>
+            // min |gap|; ties prefer backward (rts <= lts), then max rid
+            (math.abs(lts - rts), if (rts <= lts) 0 else 1, -rid)
+          }._1)
+        lid -> win
+      }.toMap.filter(_._2.isDefined)
+      assert(runOp(l, r, "nearest", None, "inner") == expect, s"seed=$seed")
+    }
+  }
+
+  test("forward works on non-integral (timestamp) ts columns") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val (l0, r0) = randTables(29)
+    val l = l0.withColumn("lts", timestamp_micros(col("lts") * 1000000L))
+    val r = r0.withColumn("rts", timestamp_micros(col("rts") * 1000000L))
+    val got = AsofJoin.join(l, r, Seq("k"), "lts", "rts",
+      direction = "forward", rightTieBreak = Some("rid"))
+      .select("lid", "rid").collect()
+      .map(x => x.getLong(0) -> Some(x.getLong(1))).toMap
+    val expect = brute(l0, r0, "forward", None).filter(_._2.isDefined)
+    assert(got == expect)
+  }
+
   test("left join keeps unmatched rows with null right columns") {
     val (l, r) = randTables(11)
     val expect = brute(l, r, "backward", None)
@@ -136,7 +168,12 @@ class AsofJoinSpec extends SparkSpec {
   test("input validation: direction, joinType, ts type mismatch, collisions") {
     val (l, r) = randTables(19)
     intercept[IllegalArgumentException](
-      AsofJoin.join(l, r, Seq("k"), "lts", "rts", direction = "nearest"))
+      AsofJoin.join(l, r, Seq("k"), "lts", "rts", direction = "sideways"))
+    intercept[IllegalArgumentException]( // nearest needs integral ts
+      AsofJoin.join(
+        l.withColumn("lts", timestamp_micros(col("lts"))),
+        r.withColumn("rts", timestamp_micros(col("rts"))),
+        Seq("k"), "lts", "rts", direction = "nearest"))
     intercept[IllegalArgumentException](
       AsofJoin.join(l, r, Seq("k"), "lts", "rts", joinType = "full"))
     intercept[IllegalArgumentException](
