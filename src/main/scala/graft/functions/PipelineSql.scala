@@ -29,6 +29,7 @@ import graft.pipeline.{CorpusPipeline, Dedup, TextAnalysis}
   *   SELECT * FROM bpe_token_count(TABLE(docs), 'text', 200[, max_words, min_count])
   *   SELECT * FROM unigram_token_count(TABLE(docs), 'text', 2000[, max_words, min_count])
   *   SELECT * FROM quality_score(TABLE(docs), 'text', TABLE(labeled), 'text', 'label'[, hash_dim, iters])
+  *   SELECT * FROM quantile_buckets(TABLE(t), 'score', 3[, rel_err])
   *   SELECT * FROM asof_join(TABLE(l), TABLE(r), 'key', 'l_ts', 'r_ts'[, direction, tolerance, tie_break])
   *   SELECT * FROM range_join(TABLE(points), 'ts', TABLE(iv), 's', 'e', bucket_width[, 'key'])
   *   SELECT * FROM dedup_paragraphs(TABLE(t), 'doc_id', 'text'[, sep_regex])
@@ -270,6 +271,16 @@ object PipelineSql {
         hashDim, iters)
       plan(graft.pipeline.QualityClassifier.withQualityScore(
         tableArg(spark, exprs(0)), constString(exprs(1)), model))
+    }, "scala_udf")
+
+    // quantile bucketing: the approxQuantile aggregate runs at plan build
+    // (driver holds nBuckets-1 cutoffs); the relation is row-local
+    r.createOrReplaceTempFunction("quantile_buckets", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 3 && exprs.length <= 4,
+        "usage: quantile_buckets(TABLE(t), value_col, n_buckets[, rel_err])")
+      val relErr = if (exprs.length > 3) constNum(exprs(3)) else 1e-3
+      plan(CorpusPipeline.withQuantileBuckets(tableArg(spark, exprs(0)),
+        constString(exprs(1)), constInt(exprs(2)), relErr = relErr))
     }, "scala_udf")
 
     // cross-snapshot incremental dedup (exact anti-join; pass fpp for the

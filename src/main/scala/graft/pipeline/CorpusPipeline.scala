@@ -114,6 +114,33 @@ object CorpusPipeline {
     }.toMap
   }
 
+  /** Quantile bucketing without a global sort — the 100 TB form of the
+    * CCNet head/middle/tail cut (`quality_perplexity_buckets` runs the
+    * exact global-ntile oracle configuration; THIS is what a production
+    * pipeline runs): ONE `approxQuantile` aggregate (Greenwald–Khanna,
+    * driver receives nBuckets-1 cutoffs) and a row-local broadcast
+    * assignment — no exchange, no sort, no window anywhere.
+    *
+    * Bucket b ∈ [1, nBuckets] = 1 + #cutoffs strictly below the value
+    * (ties land in the lower bucket, matching ntile's stable ordering up
+    * to the quantile-sketch error: bucket POPULATIONS deviate from exact
+    * tertiles by at most ~relErr·n rows each — rank error, not value
+    * error). Null values get a null bucket. */
+  def withQuantileBuckets(df: DataFrame, valueCol: String, nBuckets: Int,
+                          outCol: String = "bucket",
+                          relErr: Double = 1e-3): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    require(relErr > 0 && relErr < 1, s"relErr must be in (0,1), got $relErr")
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val cutoffs = df.na.drop(Seq(valueCol))
+      .stat.approxQuantile(valueCol, probs, relErr)
+    val v = col(valueCol).cast("double")
+    val bucket = cutoffs.foldLeft(lit(1L)) { (acc, c) =>
+      acc + when(v > c, 1L).otherwise(0L)
+    }
+    df.withColumn(outCol, when(v.isNotNull, bucket))
+  }
+
   /** [[temperatureFractions]] + [[stratifiedSample]] in one call: the
     * temperature-mixed corpus itself. */
   def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,

@@ -154,6 +154,10 @@ class PipelineSqlSpec extends SparkSpec {
       "SELECT * FROM unigram_token_count(TABLE(pl_docs), 'text', 50)",
       graft.pipeline.UnigramTokenizer.tokenCount(docsDf, "text", um))
 
+    sameRows(
+      "SELECT * FROM quantile_buckets(TABLE(pl_docs), 'doc_id', 3)",
+      graft.pipeline.CorpusPipeline.withQuantileBuckets(docsDf, "doc_id", 3))
+
     val prior = docsDf.filter($"doc_id" % 2 === 1)
       .select($"doc_id".as("pid"), $"text".as("ptext"))
     prior.createOrReplaceTempView("pl_prior")

@@ -737,4 +737,35 @@ class PipelineSpec extends SparkSpec {
       assert(docsDf.count() > 0)
     } finally spark.conf.unset("spark.graft.dedup.autoRelease")
   }
+
+  test("withQuantileBuckets: near-exact tertiles with no exchange/sort/window") {
+    import spark.implicits._
+    // deterministic skewed values + nulls; n large enough that the
+    // GK sketch's rank error (relErr*n) stays well below a bucket
+    val n = 3000
+    val df = (0 until n).map { i =>
+      val v = if (i % 50 == 0) null else java.lang.Double.valueOf(
+        math.pow((i * 2654435761L % n).toDouble / n, 3.0))
+      (i.toLong, v)
+    }.toDF("id", "score")
+    val out = CorpusPipeline.withQuantileBuckets(df, "score", 3, relErr = 1e-4)
+    val sizes = out.filter($"bucket".isNotNull)
+      .groupBy("bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nonNull = df.filter($"score".isNotNull).count()
+    assert(sizes.keySet == Set(1L, 2L, 3L))
+    sizes.values.foreach(s =>
+      assert(math.abs(s - nonNull / 3.0) <= nonNull * 0.01,
+        s"bucket sizes $sizes vs exact tertile ${nonNull / 3}"))
+    // monotone: every bucket-1 value <= every bucket-3 value
+    val max1 = out.filter($"bucket" === 1).agg(max($"score")).head().getDouble(0)
+    val min3 = out.filter($"bucket" === 3).agg(min($"score")).head().getDouble(0)
+    assert(max1 <= min3)
+    // nulls get null buckets
+    assert(out.filter($"score".isNull && $"bucket".isNotNull).count() == 0)
+    // the scale contract in the plan: no exchange, no sort, no window
+    val plan = out.queryExecution.executedPlan.toString
+    for (bad <- Seq("Exchange", "Sort", "Window"))
+      assert(!plan.contains(bad), s"$bad in quantile-bucket plan:\n$plan")
+  }
 }
