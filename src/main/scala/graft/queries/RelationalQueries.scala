@@ -141,6 +141,24 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // as-of join (nearest): the temporally closest error to each click,
+    // either side, distance ties preferring backward (pandas merge_asof
+    // semantics). Strict vs a DuckDB join-then-argmin emulation — the
+    // oracle pays the pair term the operator avoids, fine at oracle SF.
+    "events_asof_nearest" -> ((s: SparkSession, dir: String) => {
+      val ev0 = table(s, dir, "events")
+      val ev = ev0.withColumn("ts_us", QuerySupport.tsMicros(ev0))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts_us").as("err_ts"),
+          col("event_id").as("err_event_id"))
+      graft.operators.AsofJoin.join(clicks, errors, Seq("user_id"),
+          "ts_us", "err_ts", direction = "nearest",
+          rightTieBreak = Some("err_event_id"))
+        .orderBy("event_id")
+    }),
+
     // range (interval containment) join: clicks falling inside the 12 h
     // window after EVERY error by the same user — multi-match, unlike the
     // as-of single-winner. Bucketed equi-join (RangeJoin scaladoc), no
@@ -249,6 +267,25 @@ object RelationalQueries {
         |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts_us <= r.err_ts
         |WHERE r.err_ts - l.ts_us <= 43200000000
         |ORDER BY l.event_id""".stripMargin,
+
+    // join-then-argmin: min |gap|, backward preferred on distance ties,
+    // max err_event_id on full ties — the operator's exact winner rule
+    "events_asof_nearest" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |                   event_type FROM events),
+        |l AS (SELECT event_id, user_id, ts_us FROM ev
+        |      WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts_us AS err_ts, event_id AS err_event_id
+        |      FROM ev WHERE event_type = 'error'),
+        |pairs AS (
+        |  SELECT l.event_id, l.user_id, l.ts_us, r.err_event_id, r.err_ts,
+        |         abs(l.ts_us - r.err_ts) AS gap,
+        |         CASE WHEN r.err_ts <= l.ts_us THEN 0 ELSE 1 END AS fw
+        |  FROM l JOIN r USING (user_id))
+        |SELECT event_id, user_id, ts_us, err_event_id, err_ts FROM pairs
+        |QUALIFY row_number() OVER (PARTITION BY event_id
+        |                           ORDER BY gap, fw, err_event_id DESC) = 1
+        |ORDER BY event_id""".stripMargin,
 
     "events_range_join" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
