@@ -141,6 +141,27 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // as-of join (left-outer): every click kept; the 150 first-activity
+    // clicks with no prior error carry null right columns. Strict vs
+    // DuckDB's native ASOF LEFT JOIN.
+    "events_asof_left" -> ((s: SparkSession, dir: String) => {
+      val ev0 = table(s, dir, "events")
+      val ev = ev0.withColumn("ts_us", QuerySupport.tsMicros(ev0))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val dedup = Window.partitionBy("user_id", "err_ts")
+        .orderBy(col("err_event_id").desc)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts_us").as("err_ts"),
+          col("event_id").as("err_event_id"))
+        .withColumn("__rn", row_number().over(dedup))
+        .filter(col("__rn") === 1).drop("__rn")
+      graft.operators.AsofJoin.join(clicks, errors, Seq("user_id"),
+          "ts_us", "err_ts", joinType = "left",
+          rightTieBreak = Some("err_event_id"))
+        .orderBy("event_id")
+    }),
+
     // as-of join (nearest): the temporally closest error to each click,
     // either side, distance ties preferring backward (pandas merge_asof
     // semantics). Strict vs a DuckDB join-then-argmin emulation — the
@@ -266,6 +287,20 @@ object RelationalQueries {
         |SELECT l.event_id, l.user_id, l.ts_us, r.err_ts, r.err_event_id
         |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts_us <= r.err_ts
         |WHERE r.err_ts - l.ts_us <= 43200000000
+        |ORDER BY l.event_id""".stripMargin,
+
+    "events_asof_left" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |                   event_type FROM events),
+        |l AS (SELECT event_id, user_id, ts_us FROM ev
+        |      WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts_us AS err_ts, event_id AS err_event_id
+        |      FROM ev WHERE event_type = 'error'
+        |      QUALIFY row_number() OVER (PARTITION BY user_id, ts_us
+        |                                 ORDER BY event_id DESC) = 1)
+        |SELECT l.event_id, l.user_id, l.ts_us, r.err_event_id, r.err_ts
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts_us >= r.err_ts
         |ORDER BY l.event_id""".stripMargin,
 
     // join-then-argmin: min |gap|, backward preferred on distance ties,
