@@ -385,9 +385,6 @@ object Hnsw {
     Shard(ids, vecs, lvls, nbrs, entry, maxLevel)
   }
 
-  /** Table-input batch search with NO driver collect (see
-    * [[GraphTableSearch]]); value-identical to [[searchBatch]] at the same
-    * ef. */
   /** Table-input expanding-beam RANGE search with NO driver collect — the
     * batch form of [[rangeBatch]] on the [[GraphTableSearch]] plumbing;
     * `k <= 0` on the merge keeps every within-radius hit (no top-k cut).
@@ -414,6 +411,9 @@ object Hnsw {
       spill = Some(ShardSpillCodec))
   }
 
+  /** Table-input batch search with NO driver collect (see
+    * [[GraphTableSearch]]); value-identical to [[searchBatch]] at the same
+    * ef. */
   def searchTableDistributed(spark: SparkSession, graphDf: DataFrame,
                              queries: DataFrame, k: Int, ef: Int, metric: String,
                              cacheKey: Option[String], shardIds: Seq[Int],

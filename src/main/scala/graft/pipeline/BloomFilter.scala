@@ -101,12 +101,13 @@ object BloomFilter {
     * ceil(log₂ partitions) merged bit arrays, never the elements. */
   def build(elems: Dataset[String], expectedN: Long, fpp: Double): BloomFilter = {
     val n = math.max(1L, expectedN)
-    val partial = elems.rdd.mapPartitions { it =>
+    val rdd = elems.rdd
+    if (rdd.partitions.isEmpty) return empty(n, fpp) // driver-side, no job
+    val partial = rdd.mapPartitions { it =>
       val bf = empty(n, fpp)
       it.foreach(bf.add)
       Iterator(bf)
     }
-    if (partial.isEmpty()) empty(n, fpp)
-    else partial.treeReduce((a, b) => a.orWith(b))
+    partial.treeReduce((a, b) => a.orWith(b))
   }
 }

@@ -132,9 +132,13 @@ object RelationalQueries {
       val ev = ev0.withColumn("ts_us", QuerySupport.tsMicros(ev0))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts_us"))
+      val dedup = Window.partitionBy("user_id", "err_ts")
+        .orderBy(col("err_event_id").desc)
       val errors = ev.filter(col("event_type") === "error")
         .select(col("user_id"), col("ts_us").as("err_ts"),
           col("event_id").as("err_event_id"))
+        .withColumn("__rn", row_number().over(dedup))
+        .filter(col("__rn") === 1).drop("__rn")
       graft.operators.AsofJoin.join(clicks, errors, Seq("user_id"),
           "ts_us", "err_ts", direction = "forward",
           tolerance = Some(43200000000L), rightTieBreak = Some("err_event_id"))
@@ -283,7 +287,9 @@ object RelationalQueries {
         |l AS (SELECT event_id, user_id, ts_us FROM ev
         |      WHERE event_type = 'click'),
         |r AS (SELECT user_id, ts_us AS err_ts, event_id AS err_event_id
-        |      FROM ev WHERE event_type = 'error')
+        |      FROM ev WHERE event_type = 'error'
+        |      QUALIFY row_number() OVER (PARTITION BY user_id, ts_us
+        |                                 ORDER BY event_id DESC) = 1)
         |SELECT l.event_id, l.user_id, l.ts_us, r.err_ts, r.err_event_id
         |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts_us <= r.err_ts
         |WHERE r.err_ts - l.ts_us <= 43200000000

@@ -94,10 +94,14 @@ class TextIndexMaintenance(initialDocs: DataFrame, idCol: String,
       val stats = docLens.agg(count(lit(1)), avg("dl")).head()
       val head = (ti.headDf, seg.headDf) match {
         case (Some(a), Some(b)) =>
-          // additive merge; floors ADD so "absent term df <= floor"
-          // stays a true upper bound across segments
+          // additive merge; floors ADD, and a term ABSENT from one side's
+          // head map is priced at that side's floor (its true df there is
+          // <= floor but unknown), so "mapped df is an upper bound on the
+          // term's df" stays true in the mixed case — under-pricing would
+          // let the volume gate skip the prune it should take (perf-only,
+          // never a score input)
           val df = (a.df.keySet ++ b.df.keySet).iterator.map { t =>
-            t -> (a.df.getOrElse(t, 0L) + b.df.getOrElse(t, 0L))
+            t -> (a.df.getOrElse(t, a.floor) + b.df.getOrElse(t, b.floor))
           }.toMap
           Some(HeadDf(a.floor + b.floor, df))
         case _ => None

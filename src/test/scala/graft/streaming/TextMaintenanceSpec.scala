@@ -80,6 +80,26 @@ class TextMaintenanceSpec extends SparkSpec {
     m.release()
   }
 
+  test("HeadDf merge prices terms absent from one side at that side's floor") {
+    import spark.implicits._
+    // segment A: "zz" in 70 docs → df 70 > floor 64 → in A's head map.
+    // segment B: "zz" in only 10 of 70 docs → absent from B's head map.
+    // The merged bound must price B's unknown df at B's floor (64), not 0:
+    // 70 + 64 = 134 >= true merged df 80. Pricing absent at 0 gives 70 < 80
+    // — no longer an upper bound, and the volume gate under-prices.
+    val segA = (1L to 70L).map(i => (i, s"zz fillerA$i")).toDF("doc_id", "text")
+    val segB = (71L to 140L).map(i =>
+      (i, if (i <= 80L) s"zz fillerB$i" else s"yy fillerB$i"))
+      .toDF("doc_id", "text")
+    val m = new TextIndexMaintenance(segA, "doc_id", "text")
+    m.append(segB, 0L)
+    val h = m.current.headDf.get
+    assert(h.floor == 128L) // floors add
+    assert(h.df("zz") == 134L) // 70 (A head) + 64 (B floor)
+    assert(h.df("zz") >= 80L) // stays a true upper bound on merged df
+    m.release()
+  }
+
   test("max-score pruning stays rank-safe on a maintained (multi-segment) index") {
     import spark.implicits._
     import graft.index.AnnIndexManager
