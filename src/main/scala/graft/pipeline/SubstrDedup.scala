@@ -1,0 +1,166 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact duplicated-substring dedup at CHARACTER granularity — the
+  * ExactSubstr algorithm of Lee et al. 2022 ("Deduplicating Training Data
+  * Makes Language Models Better"): find every substring of length >= L that
+  * occurs verbatim more than once anywhere in the corpus, merge the
+  * overlapping hits per document into maximal spans, and cut the spans from
+  * the text. Complements [[Dedup.dedupParagraphs]] (the paragraph-boundary
+  * form): this form catches boilerplate that does not align to paragraph
+  * breaks — navigation chrome mid-line, license headers pasted into code,
+  * templated sentence stems.
+  *
+  * Semantics match the published `deduplicate-text-datasets` tool's
+  * aggressive default: ALL occurrences of a duplicated L-gram are cut,
+  * including the first (a wholly-duplicated document therefore cleans to
+  * the empty string). `minCount` raises the duplication bar (default 2).
+  *
+  * Spark-first shape (the suffix-array of the reference tool replayed as
+  * three bounded shuffles — no suffix array, no driver state):
+  *
+  *  1. POSITION PASS — one row per character position carrying a 64-bit
+  *     rolling polynomial hash of the L-char window starting there (an
+  *     Array[Long] built once per doc, then `posexplode`; the document text
+  *     is NOT duplicated onto the per-position rows). O(total chars) rows
+  *     of 3 longs, the same asymptotic footprint as suffix-array
+  *     construction (8 bytes/char), but embarrassingly partition-parallel.
+  *  2. CANDIDATE PASS — `groupBy(hash)` count (partial map-side combine;
+  *     a degenerate viral window is ONE shuffle key that reduces map-side,
+  *     not a skew hazard), keep hashes with count >= minCount, semi-join
+  *     positions back. Candidate volume is the true duplicated-position
+  *     volume plus a vanishing 64-bit-collision term.
+  *  3. VERIFY PASS — join candidates to their documents (shuffle bounded
+  *     by candidate docs, not the corpus), extract the actual L-char gram,
+  *     re-count on the gram STRING, keep count >= minCount. Hash
+  *     collisions cannot survive this pass, so the result is exact — every
+  *     true duplicate's positions are all candidates (equal grams hash
+  *     equal), so the candidate-local recount equals the global count.
+  *  4. SPAN MERGE — per doc, marked positions sort under a window keyed on
+  *     the doc id; an island breaks where the gap between consecutive
+  *     marked positions exceeds L (spans [p1,p1+L) and [p2,p2+L) overlap
+  *     or touch iff p2-p1 <= L); min/max per island gives the maximal
+  *     spans. The sessionization pattern — no per-doc collect of raw
+  *     positions.
+  *  5. CUT — merged spans are disjoint and each >= L chars, so a doc
+  *     carries at most len/L of them: a bounded `collect_list` per doc,
+  *     one row-local rebuild.
+  *
+  * 100 TB posture: every stage is a hash shuffle on a high-cardinality key
+  * (window hash, then doc id); nothing collects, nothing is O(n²), and the
+  * only super-linear term is the inherent O(total chars) position
+  * enumeration the exact problem requires.
+  */
+object SubstrDedup {
+
+  /** 64-bit rolling polynomial window hashes (base 1000003, mod 2^64 via
+    * native overflow), one per 1-based start position; length < L or null
+    * text → empty. Collisions are handled by the verify pass, so the
+    * un-reduced modulus costs nothing in exactness. */
+  private[pipeline] def windowHashesUdf(L: Int) = udf { text: String =>
+    if (text == null || text.length < L) Array.empty[Long]
+    else {
+      val B = 1000003L
+      val n = text.length - L + 1
+      val out = new Array[Long](n)
+      var h = 0L
+      var pw = 1L // B^(L-1)
+      var i = 0
+      while (i < L) {
+        h = h * B + text.charAt(i)
+        if (i < L - 1) pw *= B
+        i += 1
+      }
+      out(0) = h
+      i = 1
+      while (i < n) {
+        h = (h - text.charAt(i - 1) * pw) * B + text.charAt(i + L - 1)
+        out(i) = h
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** 1-based positions `(id, p)` whose L-char window occurs >= minCount
+    * times corpus-wide (exact — hash-candidates verified on the gram
+    * string). */
+  def markedPositions(df: DataFrame, idCol: String, textCol: String,
+                      minLength: Int, minCount: Int = 2): DataFrame = {
+    require(minLength >= 2, s"minLength=$minLength must be >= 2")
+    require(minCount >= 2, s"minCount=$minCount must be >= 2")
+    val pos = df
+      .select(col(idCol), posexplode(windowHashesUdf(minLength)(col(textCol)))
+        .as(Seq("__i", "__h")))
+      .select(col(idCol), (col("__i") + 1).cast("long").as("p"), col("__h"))
+    val dupH = pos.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select("__h")
+    val cand = pos.join(dupH, Seq("__h")).select(col(idCol), col("p"))
+    val withGram = cand.join(df.select(col(idCol), col(textCol)), Seq(idCol))
+      .withColumn("__g",
+        col(textCol).substr(col("p").cast("int"), lit(minLength)))
+      .select(col(idCol), col("p"), col("__g"))
+    val dupG = withGram.groupBy("__g").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select("__g")
+    withGram.join(dupG, Seq("__g")).select(col(idCol), col("p"))
+  }
+
+  /** Maximal duplicated spans per document: `(id, span_start, span_end)`,
+    * 1-based inclusive char positions, disjoint, each >= minLength chars.
+    * Documents with no duplicated window emit no rows. */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+               minLength: Int, minCount: Int = 2): DataFrame = {
+    val marked = markedPositions(df, idCol, textCol, minLength, minCount)
+    val w = Window.partitionBy(idCol).orderBy("p")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked
+      .withColumn("__prev", lag("p", 1).over(w))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col("p") - col("__prev") > minLength, 1)
+          .otherwise(0))
+      .withColumn("__island", sum("__brk").over(run))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min("p").as("span_start"),
+        (max("p") + minLength - 1).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Cut every duplicated span from every document. Returns one row per
+    * input doc: `(id, text_clean, n_spans, n_chars_cut)` — unaffected docs
+    * pass their text through verbatim with zero counts; a wholly-duplicated
+    * doc cleans to the empty string. */
+  def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
+                      minLength: Int, minCount: Int = 2): DataFrame = {
+    val spans = dupSpans(df, idCol, textCol, minLength, minCount)
+    val perDoc = spans.groupBy(col(idCol)).agg(
+      array_sort(collect_list(struct(col("span_start"), col("span_end"))))
+        .as("__spans"),
+      count(lit(1)).cast("long").as("__n_spans"),
+      sum(col("span_end") - col("span_start") + 1).cast("long")
+        .as("__n_cut"))
+    val cut = udf { (text: String, spans: Seq[Row]) =>
+      if (text == null) null
+      else {
+        val sb = new java.lang.StringBuilder(text.length)
+        var at = 0 // 0-based next char to copy
+        spans.foreach { r =>
+          val s = r.getLong(0).toInt - 1 // 0-based span start
+          val e = r.getLong(1).toInt // 0-based one-past-end
+          if (s > at) sb.append(text, at, s)
+          at = math.max(at, e)
+        }
+        if (at < text.length) sb.append(text, at, text.length)
+        sb.toString
+      }
+    }
+    df.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(cut(col(textCol), col("__spans"))).as("text_clean"),
+        coalesce(col("__n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("__n_cut"), lit(0L)).as("n_chars_cut"))
+  }
+}

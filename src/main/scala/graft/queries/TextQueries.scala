@@ -690,6 +690,26 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // ExactSubstr at CHARACTER granularity (Lee et al. 2022): maximal
+    // corpus-wide duplicated spans of >= 25 chars per doc. The fixture
+    // corpus's small vocab makes ~300 spans arise naturally (including a
+    // handful of wholly-duplicated docs). Strict: the rolling-hash
+    // candidate set is verified on the gram string, so the span set equals
+    // the brute-force SQL definition exactly
+    "dedup_substr_spans" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.SubstrDedup.dupSpans(docs(s, dir), "doc_id", "text",
+          minLength = 25)
+        .orderBy("doc_id", "span_start")),
+
+    // the cut form: every duplicated span removed from every occurrence
+    // (the published tool's aggressive default — wholly-duplicated docs
+    // clean to ''). Strict: rewritten text byte-compares against the
+    // segment-reassembly SQL replay
+    "dedup_substr" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.SubstrDedup.dedupSubstrings(docs(s, dir), "doc_id",
+          "text", minLength = 25)
+        .orderBy("doc_id")),
+
     // DSIR importance weights (Xie et al. 2023): target = the corpus's
     // lang='en' slice, raw = the whole corpus; hashed unigram+bigram
     // buckets (md5 2-hex prefix, 256 buckets), Laplace alpha=1. Strict:
@@ -1477,6 +1497,88 @@ object TextQueries {
         |  coalesce(r.n_paras_kept, 0) AS n_paras_kept
         |FROM dirty d LEFT JOIN rebuilt r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // ExactSubstr spans replayed by brute force: enumerate every 25-char
+    // window, keep windows whose gram occurs >= 2 times corpus-wide, merge
+    // per-doc islands (break when the gap between marked starts exceeds L)
+    "dedup_substr_spans" ->
+      """WITH pos0 AS (
+        |  SELECT doc_id, unnest(generate_series(1, length(text) - 24)) AS p, text
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, p, substr(text, CAST(p AS INT), 25) AS gram FROM pos0
+        |), dup AS (
+        |  SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2
+        |), marked AS (
+        |  SELECT doc_id, p FROM pos WHERE gram IN (SELECT gram FROM dup)
+        |), isl AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > 25
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+        |), isl2 AS (
+        |  SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+        |    ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl
+        |)
+        |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+        |       CAST(max(p) + 24 AS BIGINT) AS span_end
+        |FROM isl2 GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    // the cut replayed: complement segments between spans (lag window +
+    // head/tail), ordered string_agg reassembly — byte-compares
+    "dedup_substr" ->
+      """WITH pos0 AS (
+        |  SELECT doc_id, unnest(generate_series(1, length(text) - 24)) AS p, text
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, p, substr(text, CAST(p AS INT), 25) AS gram FROM pos0
+        |), dup AS (
+        |  SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2
+        |), marked AS (
+        |  SELECT doc_id, p FROM pos WHERE gram IN (SELECT gram FROM dup)
+        |), isl AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > 25
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+        |), isl2 AS (
+        |  SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+        |    ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl
+        |), spans AS (
+        |  SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+        |         CAST(max(p) + 24 AS BIGINT) AS span_end
+        |  FROM isl2 GROUP BY doc_id, island
+        |), agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |         CAST(sum(span_end - span_start + 1) AS BIGINT) AS n_chars_cut
+        |  FROM spans GROUP BY doc_id
+        |), segs AS (
+        |  SELECT doc_id,
+        |    coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) + 1 AS seg_start,
+        |    span_start - 1 AS seg_end
+        |  FROM spans
+        |  UNION ALL
+        |  SELECT s.doc_id, max(s.span_end) + 1 AS seg_start,
+        |         any_value(length(d.text)) AS seg_end
+        |  FROM spans s JOIN documents d USING (doc_id) GROUP BY s.doc_id
+        |), clean AS (
+        |  SELECT g.doc_id,
+        |    string_agg(CASE WHEN g.seg_end >= g.seg_start
+        |      THEN substr(d.text, CAST(g.seg_start AS INT),
+        |                  CAST(g.seg_end - g.seg_start + 1 AS INT))
+        |      ELSE '' END, '' ORDER BY g.seg_start) AS text_clean
+        |  FROM segs g JOIN documents d USING (doc_id) GROUP BY g.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CASE WHEN c.doc_id IS NULL THEN d.text ELSE c.text_clean END AS text_clean,
+        |  coalesce(a.n_spans, 0) AS n_spans,
+        |  coalesce(a.n_chars_cut, 0) AS n_chars_cut
+        |FROM documents d LEFT JOIN clean c USING (doc_id)
+        |               LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // the DSIR model replayed: hashed unigram+bigram buckets (md5 2-hex
     // prefix), Laplace-smoothed target/raw log ratios, per-doc LEFT-TO-

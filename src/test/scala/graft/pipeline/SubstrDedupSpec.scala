@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SubstrDedupSpec extends SparkSpec {
+
+  private def spans(rows: Seq[(Long, String)], L: Int, minCount: Int = 2) = {
+    import spark.implicits._
+    SubstrDedup.dupSpans(rows.toDF("id", "text"), "id", "text", L, minCount)
+      .orderBy("id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+  }
+
+  private def clean(rows: Seq[(Long, String)], L: Int, minCount: Int = 2) = {
+    import spark.implicits._
+    SubstrDedup.dedupSubstrings(rows.toDF("id", "text"), "id", "text", L, minCount)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+  }
+
+  test("a shared boilerplate substring is cut from ALL docs (including the first)") {
+    val boiler = "0123456789abcdefghij" // 20 chars
+    val docs = Seq(
+      1L -> s"unique-head-one $boiler unique-tail-one",
+      2L -> s"two-prefix-text $boiler two-suffix-text",
+      3L -> "a wholly distinct document with no duplication at all")
+    val got = clean(docs, L = 20)
+    // the boilerplate occurs at char 17 (1-based) in both docs; windows at
+    // 17..21 all duplicate (" 0123…j " context differs, but the 20-char
+    // exact-equal windows span the shared region), so the merged span
+    // covers the shared " $boiler " region in each
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+    assert(!got(0)._2.contains(boiler) && !got(1)._2.contains(boiler))
+    assert(got(0)._2.startsWith("unique-head-one") && got(0)._2.endsWith("unique-tail-one"))
+    assert(got(2)._2 == docs(2)._2 && got(2)._3 == 0L && got(2)._4 == 0L)
+  }
+
+  test("overlapping duplicated windows merge into one maximal span") {
+    // a 30-char duplicated block with L=25 marks starts p..p+5 in each doc;
+    // islands merge them into ONE span of exactly 30 chars
+    val block = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123" // 30 chars
+    val docs = Seq(
+      1L -> s"xxxxx${block}yyyyy",
+      2L -> s"qqqqqqqqqq${block}rrrrr")
+    val got = spans(docs, L = 25)
+    assert(got == Seq((1L, 6L, 35L), (2L, 11L, 40L)))
+    val cl = clean(docs, L = 25)
+    assert(cl(0)._2 == "xxxxxyyyyy" && cl(0)._3 == 1L && cl(0)._4 == 30L)
+    assert(cl(1)._2 == "qqqqqqqqqqrrrrr")
+  }
+
+  test("a wholly-duplicated document cleans to the empty string") {
+    val t = "this entire document is duplicated verbatim twice in the corpus"
+    val docs = Seq(1L -> t, 2L -> t, 3L -> "completely different other text here")
+    val got = clean(docs, L = 20)
+    assert(got(0)._2 == "" && got(1)._2 == "")
+    assert(got(0)._4 == t.length.toLong)
+    assert(got(2)._2 == docs(2)._2)
+  }
+
+  test("within-doc repetition is cut too (both copies)") {
+    val rep = "repeated-inner-phrase-block!" // 28 chars, twice in ONE doc
+    val docs = Seq(1L -> s"aa $rep bb $rep cc", 2L -> "unrelated second document text")
+    val got = clean(docs, L = 28)
+    assert(!got(0)._2.contains(rep))
+    // the shared flanking spaces extend each duplicated window run by one
+    // char on each side: spans are [3,32] and [35,64], cutting " rep "
+    // both times → "aa"+"bb"+"cc"
+    assert(got(0)._2 == "aabbcc")
+    assert(got(0)._3 == 2L && got(0)._4 == 60L)
+  }
+
+  test("minCount=3 keeps a twice-occurring substring") {
+    val boiler = "0123456789abcdefghij"
+    val twice = Seq(1L -> s"aaaa $boiler bbbb", 2L -> s"cccc $boiler dddd",
+      3L -> "something else entirely here")
+    assert(clean(twice, L = 20, minCount = 3).forall(_._3 == 0L))
+    val thrice = twice.take(2) ++ Seq(3L -> s"eeee $boiler ffff")
+    val got = clean(thrice, L = 20, minCount = 3)
+    assert(got.forall(r => !r._2.contains(boiler)))
+  }
+
+  test("short and null texts pass through untouched") {
+    import spark.implicits._
+    val df = Seq((1L, Some("tiny")), (2L, None), (3L, Some("also tiny")))
+      .toDF("id", "text")
+    val got = SubstrDedup.dedupSubstrings(df, "id", "text", 20)
+      .orderBy("id").collect()
+    assert(got(0).getString(1) == "tiny")
+    assert(got(1).isNullAt(1))
+    assert(got.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L))
+  }
+
+  test("partitioning-invariant and idempotent-after-cut on the marked set") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("spark", "scan", "join", "agg", "sort", "hash", "row",
+      "col", "key", "val")
+    def doc(i: Long) = (i, Seq.fill(40)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val docs = (1L to 60L).map(doc)
+    val a = clean(docs, L = 25)
+    val b = {
+      val df = docs.toDF("id", "text").repartition(13, col("id"))
+      SubstrDedup.dedupSubstrings(df, "id", "text", 25).orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    }
+    assert(a == b)
+    // every ORIGINAL surviving position really is unique-gram: no window of
+    // the original text that survived the cut occurs twice in the corpus
+    // (the cut can only remove marked positions, never keep one)
+    val marked = SubstrDedup.markedPositions(docs.toDF("id", "text"), "id", "text", 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val grams = docs.flatMap { case (id, t) =>
+      (1 to t.length - 24).map(p => (t.substring(p - 1, p - 1 + 25), (id, p.toLong)))
+    }
+    val dupPos = grams.groupBy(_._1).filter(_._2.size >= 2).values.flatten.map(_._2).toSet
+    assert(marked == dupPos) // exact vs the brute-force definition
+  }
+}
