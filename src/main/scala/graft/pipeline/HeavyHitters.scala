@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** EXACT frequent-item mining without a full-cardinality shuffle — the
+  * candidate+verify composition of the Misra-Gries summary (Misra & Gries
+  * 1982; mergeability per Agarwal et al., "Mergeable Summaries", PODS'12):
+  *
+  *  1. CANDIDATE PASS — one `mapPartitions` scan builds a bounded
+  *     Misra-Gries summary of capacity k = ceil(1/phi) per partition
+  *     (constant memory, no shuffle). MG guarantees a per-partition
+  *     undercount of at most n_p/(k+1), so summing over partitions every
+  *     item with true count >= phi*N > N/(k+1) survives in at least one
+  *     partition's summary — the union of survivors is a guaranteed
+  *     SUPERSET of the heavy hitters, at most k rows per partition.
+  *  2. VERIFY PASS — re-scan the items, semi-join against the broadcast
+  *     (deduped) candidate set, and count exactly. Only candidate rows
+  *     shuffle — at most ~k distinct keys — so the full token vocabulary
+  *     (trillions of keys at 100 TB) never hits the wire.
+  *
+  * The result is exact: `(item, cnt)` for every item with
+  * `cnt >= ceil(phi * N)`, N = total item count. Contrast with
+  * `groupBy(item).count()`: correct but shuffles every distinct item;
+  * and with Spark's `stat.freqItems`: approximate, false positives, no
+  * counts. Two corpus scans is the inherent price of exactness in bounded
+  * memory (one-pass exact needs Omega(distinct) space).
+  *
+  * 100 TB posture: pass 1 is shuffle-free; the partials relation is
+  * bounded by (k+1) rows/partition and localCheckpoint'd ONCE so its two
+  * consumers (N, candidates) don't re-scan the corpus; the candidate set
+  * dedups (a tiny shuffle of <= k·partitions rows) BEFORE it broadcasts,
+  * so the driver-side footprint is the post-dedup survivor union — ~k
+  * items for any non-adversarial distribution.
+  *
+  * Null items are ignored (the per-partition item-count sentinel rides the
+  * null slot, and null group keys are a cross-dialect hazard anyway).
+  */
+object HeavyHitters {
+
+  private def itemStrings(items: DataFrame, itemCol: String): Dataset[String] = {
+    import items.sparkSession.implicits._
+    items.select(col(itemCol).cast("string").as("__item"))
+      .filter(col("__item").isNotNull).as[String]
+  }
+
+  /** Per-partition MG survivors `(__item, __w)` plus one null-item sentinel
+    * row per partition carrying that partition's item count. Bounded by
+    * (k+1) rows per partition; localCheckpoint'd (eager) so downstream
+    * consumers never re-scan the source. */
+  private[pipeline] def mgPartials(ds: Dataset[String], k: Int): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val m = new java.util.HashMap[String, Long](k * 2)
+      var n = 0L
+      while (it.hasNext) {
+        val x = it.next(); n += 1L
+        val cur = m.get(x) // null unboxes to 0L; MG never stores 0
+        if (cur != 0L) m.put(x, cur + 1L)
+        else if (m.size < k) m.put(x, 1L)
+        else { // all k counters held by other items: decrement the summary
+          val itr = m.entrySet().iterator()
+          while (itr.hasNext) {
+            val e = itr.next()
+            if (e.getValue == 1L) itr.remove() else e.setValue(e.getValue - 1L)
+          }
+        }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(String, Long)](m.size + 1)
+      m.forEach((key, v) => out += ((key, v)))
+      out += ((null, n))
+      out.iterator
+    }.toDF("__item", "__w").localCheckpoint()
+  }
+
+  /** Items with count >= ceil(phi * N) over `items(itemCol)` (cast to
+    * string; nulls ignored). Returns `(itemCol, cnt: BIGINT)` — exact. */
+  def frequentItems(items: DataFrame, itemCol: String, phi: Double): DataFrame = {
+    require(phi > 0.0 && phi <= 1.0, s"phi=$phi must be in (0, 1]")
+    val k = math.max(1, math.ceil(1.0 / phi).toInt)
+    val ds = itemStrings(items, itemCol)
+    val partials = mgPartials(ds, k)
+    val n = partials.filter(col("__item").isNull)
+      .agg(coalesce(sum("__w"), lit(0L))).head().getLong(0)
+    val threshold = math.max(1L, math.ceil(phi * n).toLong)
+    val candidates = partials.filter(col("__item").isNotNull)
+      .select(col("__item")).distinct()
+    ds.toDF("__item")
+      .join(broadcast(candidates), Seq("__item"), "left_semi")
+      .groupBy(col("__item").as(itemCol))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .filter(col("cnt") >= threshold)
+  }
+
+  /** Token convenience form: split `textCol` on `pattern`, drop empties,
+    * mine frequent tokens. Returns `(token, cnt)`. */
+  def frequentTokens(df: DataFrame, textCol: String, phi: Double,
+                     pattern: String = "\\s+"): DataFrame =
+    frequentItems(
+      df.select(explode(split(col(textCol), pattern)).as("token"))
+        .filter(length(col("token")) > 0),
+      "token", phi)
+
+  /** The deduped candidate superset alone — exposed for the guarantee spec
+    * (every true heavy hitter MUST appear here); use [[frequentItems]]
+    * downstream. */
+  private[pipeline] def mgCandidates(items: DataFrame, itemCol: String,
+                                     phi: Double): DataFrame = {
+    val k = math.max(1, math.ceil(1.0 / phi).toInt)
+    mgPartials(itemStrings(items, itemCol), k)
+      .filter(col("__item").isNotNull)
+      .select(col("__item").as(itemCol)).distinct()
+  }
+}

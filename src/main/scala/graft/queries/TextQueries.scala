@@ -690,6 +690,16 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // heavy hitters (Misra-Gries candidates + exact recount): tokens with
+    // count >= ceil(1% of all tokens). The sketch pass never shuffles the
+    // vocabulary; the recount makes the result EXACT, so it replays as a
+    // plain HAVING in SQL. The fixture's one rare token ('dup') exercises
+    // the threshold exclusion
+    "heavy_hitters" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.HeavyHitters.frequentTokens(docs(s, dir), "text",
+          phi = 0.01)
+        .orderBy("token")),
+
     // ExactSubstr at CHARACTER granularity (Lee et al. 2022): maximal
     // corpus-wide duplicated spans of >= 25 chars per doc. The fixture
     // corpus's small vocab makes ~300 spans arise naturally (including a
@@ -1497,6 +1507,20 @@ object TextQueries {
         |  coalesce(r.n_paras_kept, 0) AS n_paras_kept
         |FROM dirty d LEFT JOIN rebuilt r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // heavy hitters replayed as the definition: explode tokens, HAVING
+    // count >= ceil(phi*N) — exactness of the sketch+recount makes the
+    // brute-force SQL the strict mirror
+    "heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents
+        |), t AS (
+        |  SELECT token FROM toks WHERE length(token) > 0
+        |), n AS (SELECT count(*) AS n FROM t)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM t GROUP BY token
+        |HAVING count(*) >= ceil(0.01 * (SELECT n FROM n))
+        |ORDER BY token""".stripMargin,
 
     // ExactSubstr spans replayed by brute force: enumerate every 25-char
     // window, keep windows whose gram occurs >= 2 times corpus-wide, merge
