@@ -350,4 +350,104 @@ object CorpusPipeline {
     }
     df.withColumn("cluster_id", assign(vector_nonnull(col(vecCol))))
   }
+
+  /** Distributed FULL-DATA Lloyd refinement — the scale path past
+    * [[trainClusterCentroids]]'s bounded-sample stance. A sampled pilot
+    * seeds (kmeans++ on O(initSampleCap) rows, bounded driver cost at any
+    * table size); then each Lloyd round is ONE shuffle-free
+    * `mapPartitionsWithIndex` pass emitting a single (k·d sums, k counts)
+    * partial per partition, merged on the driver IN PARTITION-INDEX ORDER
+    * (deterministic for a fixed partitioning; cross-partitioning runs can
+    * differ by float-summation ULPs, never by assignment on separated
+    * data). Stops when the max centroid movement (L2) drops below `tol` or
+    * after `maxIter` rounds. Empty cells keep their previous centroid
+    * (same rule as the pilot).
+    *
+    * 100 TB posture: per round the cluster pays one full scan + n·k·d
+    * flops and the driver pays P·k·d·8 bytes of partials (coalesce the
+    * input when P·k·d is extreme); nothing row-level ever collects.
+    * Callers iterating many rounds should persist/localCheckpoint the
+    * input relation so the scan is from memory, not parquet. */
+  def trainClusterCentroidsDistributed(df: DataFrame, vecCol: String, k: Int,
+      maxIter: Int = 10, seed: Long = 42, initSampleCap: Int = 65536,
+      tol: Double = 1e-7): Array[(Int, Array[Float])] = {
+    import graft.functions.AnnFunctions.vector_nonnull
+    require(k >= 1, s"k=$k must be >= 1")
+    var cents: Array[Array[Float]] =
+      trainClusterCentroids(df, vecCol, k, maxIter = 5, seed, initSampleCap)
+        .map(_._2)
+    val kk = cents.length
+    val dim = cents(0).length
+    val vecs = df.select(vector_nonnull(col(vecCol)).as("__v")).rdd
+      .map(_.getSeq[Float](0).toArray)
+    val sc = df.sparkSession.sparkContext
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIter && moved > tol) {
+      val bc = sc.broadcast(cents)
+      val partials = vecs.mapPartitionsWithIndex { (pid, it) =>
+        val cs = bc.value
+        val sums = new Array[Double](kk * dim)
+        val cnt = new Array[Long](kk)
+        it.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < kk) { // first-minimum wins, matching assignClusters
+            val d = graft.functions.VectorKernels.l2Sq(v, cs(c))
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          val off = best * dim
+          var j = 0
+          while (j < dim) { sums(off + j) += v(j); j += 1 }
+          cnt(best) += 1L
+        }
+        Iterator((pid, sums, cnt))
+      }.collect().sortBy(_._1)
+      bc.destroy()
+      val sums = new Array[Double](kk * dim)
+      val cnt = new Array[Long](kk)
+      partials.foreach { case (_, s, c) =>
+        var i = 0
+        while (i < kk * dim) { sums(i) += s(i); i += 1 }
+        var q = 0
+        while (q < kk) { cnt(q) += c(q); q += 1 }
+      }
+      moved = 0.0
+      val next = Array.tabulate(kk) { c =>
+        if (cnt(c) == 0L) cents(c) // empty cell: keep previous centroid
+        else {
+          val off = c * dim
+          val nc = new Array[Float](dim)
+          var j = 0
+          while (j < dim) { nc(j) = (sums(off + j) / cnt(c)).toFloat; j += 1 }
+          moved = math.max(moved,
+            math.sqrt(graft.functions.VectorKernels.l2Sq(nc, cents(c))))
+          nc
+        }
+      }
+      cents = next
+      iter += 1
+    }
+    cents.zipWithIndex.map { case (v, i) => (i, v) }
+  }
+
+  /** Mean squared L2 distance to the nearest centroid — the k-means
+    * objective, for convergence/quality checks. Row-local over the
+    * broadcast centroids; one aggregate, nothing collects. */
+  def clusteringCost(df: DataFrame, vecCol: String,
+                     centroids: Array[(Int, Array[Float])]): Double = {
+    import graft.functions.AnnFunctions.vector_nonnull
+    val bc = df.sparkSession.sparkContext.broadcast(centroids)
+    val minD = udf { (v: Seq[Float]) =>
+      val q = v.toArray
+      var best = Double.MaxValue
+      for ((_, c) <- bc.value) {
+        val d = graft.functions.VectorKernels.l2Sq(q, c)
+        if (d < best) best = d
+      }
+      best
+    }
+    df.select(avg(minD(vector_nonnull(col(vecCol))))).head().getDouble(0)
+  }
 }

@@ -476,6 +476,21 @@ object TextQueries {
         .orderBy("cluster_id")
     }),
 
+    // the distributed FULL-DATA Lloyd variant: same inlined-centroid
+    // strict technique, but the training pass is the scale path (one
+    // shuffle-free partial-sum pass per round over ALL rows, not a
+    // driver-side sample) — the assignment + counts replay exactly from
+    // the stashed centroids
+    "corpus_clusters_full" -> ((s: SparkSession, dir: String) => {
+      val embs = table(s, dir, "embeddings")
+      val cents = graft.pipeline.CorpusPipeline
+        .trainClusterCentroidsDistributed(embs, "embedding", k = 8)
+      corpusClustersFullCentroids = Some(cents)
+      graft.pipeline.CorpusPipeline.assignClusters(embs, "embedding", cents)
+        .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+        .orderBy("cluster_id")
+    }),
+
     // SemDeDup survivors, exact variant: drop rows with a more-similar-
     // than-threshold smaller-id neighbor — SQL-mirrorable (NOT EXISTS over
     // the same cosine arithmetic as neardup_cosine) → strict oracle
@@ -852,6 +867,30 @@ object TextQueries {
            |FROM r WHERE rn = 1 GROUP BY cid ORDER BY cluster_id""".stripMargin
     }
 
+  /** Same stash-and-inline contract for the distributed-Lloyd variant. */
+  @volatile private var corpusClustersFullCentroids: Option[Array[(Int, Array[Float])]] = None
+
+  private def corpusClustersFullOracleSql: Option[(String, String)] =
+    corpusClustersFullCentroids.map { cents =>
+      val values = cents.map { case (cid, v) =>
+        s"($cid, CAST([${v.map(_.toDouble.toString).mkString(", ")}] AS DOUBLE[]))"
+      }.mkString(",\n        |  ")
+      "corpus_clusters_full" ->
+        s"""WITH c(cid, cv) AS (VALUES
+           |  $values
+           |), d AS (
+           |  SELECT e.vec_id, c.cid,
+           |    list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) AS dist
+           |  FROM embeddings e CROSS JOIN c
+           |), r AS (
+           |  SELECT vec_id, cid,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |  FROM d
+           |)
+           |SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_members
+           |FROM r WHERE rn = 1 GROUP BY cid ORDER BY cluster_id""".stripMargin
+    }
+
   /** Raw (unrounded) deflate ratios the `text_deflate` query computed
     * driver-side this process (same stash-and-inline contract as
     * [[corpusClusterCentroids]]). */
@@ -919,6 +958,7 @@ object TextQueries {
     }
 
   def oracleSql: Map[String, String] = corpusClustersOracleSql.toMap ++
+    corpusClustersFullOracleSql.toMap ++
     semanticDedupClusteredOracleSql.toMap ++ textDeflateOracleSql.toMap ++ Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
