@@ -130,7 +130,13 @@ object Bench {
                      "decontaminate_bloom", "bpe_token_count",
                      // r11 additions: temporal joins (union-window as-of,
                      // bucketed range) over the events log
-                     "events_asof", "events_range_join")) {
+                     "events_asof", "events_range_join",
+                     // r12 additions: ExactSubstr character-span dedup
+                     // (rolling-hash candidates + verify + span cut),
+                     // MG+recount heavy hitters, distributed full-data
+                     // Lloyd (train + assign + counts)
+                     "dedup_substr", "heavy_hitters",
+                     "corpus_clusters_full")) {
       time(name) { noop(q(name)(spark, sfDir)) }
     }
 

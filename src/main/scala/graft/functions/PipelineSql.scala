@@ -33,6 +33,10 @@ import graft.pipeline.{CorpusPipeline, Dedup, TextAnalysis}
   *   SELECT * FROM asof_join(TABLE(l), TABLE(r), 'key', 'l_ts', 'r_ts'[, direction, tolerance, tie_break])
   *   SELECT * FROM range_join(TABLE(points), 'ts', TABLE(iv), 's', 'e', bucket_width[, 'key'])
   *   SELECT * FROM dedup_paragraphs(TABLE(t), 'doc_id', 'text'[, sep_regex])
+  *   SELECT * FROM dedup_substr(TABLE(t), 'doc_id', 'text', 50[, min_count])
+  *   SELECT * FROM dedup_substr_spans(TABLE(t), 'doc_id', 'text', 50[, min_count])
+  *   SELECT * FROM heavy_hitters(TABLE(t), 'token', 0.001)
+  *   SELECT * FROM corpus_clusters_full(TABLE(t), 'embedding', 8[, max_iter])
   *   SELECT * FROM dsir_weights(TABLE(raw), 'text', TABLE(target)[, hex_chars, alpha])
   *   SELECT * FROM dsir_resample(TABLE(raw), 'doc_id', 'text', TABLE(target), n[, hex_chars, alpha])
   *   SELECT * FROM maxsim_search_table(TABLE(queries), 'query_idx', 'qvecs', TABLE(docs), 'doc_id', 'vecs', k)
@@ -184,6 +188,51 @@ object PipelineSql {
       val sep = if (exprs.length > 3) constString(exprs(3)) else "\\n+"
       plan(Dedup.dedupParagraphs(tableArg(spark, exprs(0)),
         constString(exprs(1)), constString(exprs(2)), sep))
+    }, "scala_udf")
+
+    // ExactSubstr character-span dedup (relational end-to-end: lazy like
+    // dedup_paragraphs).
+    r.createOrReplaceTempFunction("dedup_substr", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 4 && exprs.length <= 5,
+        "usage: dedup_substr(TABLE(t), id_col, text_col, min_length[, min_count])")
+      val minCount = if (exprs.length > 4) constInt(exprs(4)) else 2
+      plan(graft.pipeline.SubstrDedup.dedupSubstrings(
+        tableArg(spark, exprs(0)), constString(exprs(1)),
+        constString(exprs(2)), constInt(exprs(3)), minCount))
+    }, "scala_udf")
+
+    r.createOrReplaceTempFunction("dedup_substr_spans", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 4 && exprs.length <= 5,
+        "usage: dedup_substr_spans(TABLE(t), id_col, text_col, min_length[, min_count])")
+      val minCount = if (exprs.length > 4) constInt(exprs(4)) else 2
+      plan(graft.pipeline.SubstrDedup.dupSpans(
+        tableArg(spark, exprs(0)), constString(exprs(1)),
+        constString(exprs(2)), constInt(exprs(3)), minCount))
+    }, "scala_udf")
+
+    // Heavy hitters: the MG candidate pass and the exact N total run when
+    // the plan is BUILT (the dsir_weights CALL-style exception — the
+    // threshold and the broadcast candidate set are inputs to the returned
+    // recount relation).
+    r.createOrReplaceTempFunction("heavy_hitters", (exprs: Seq[Expression]) => {
+      require(exprs.length == 3,
+        "usage: heavy_hitters(TABLE(t), item_col, phi)")
+      plan(graft.pipeline.HeavyHitters.frequentItems(
+        tableArg(spark, exprs(0)), constString(exprs(1)), constNum(exprs(2))))
+    }, "scala_udf")
+
+    // Distributed full-data Lloyd + assignment: training runs at plan
+    // build (same CALL-style exception); the returned relation is the
+    // row-local assignment over the broadcast centroids.
+    r.createOrReplaceTempFunction("corpus_clusters_full", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 3 && exprs.length <= 4,
+        "usage: corpus_clusters_full(TABLE(t), vec_col, k[, max_iter])")
+      val vecCol = constString(exprs(1))
+      val maxIter = if (exprs.length > 3) constInt(exprs(3)) else 10
+      val t = tableArg(spark, exprs(0))
+      val cents = CorpusPipeline.trainClusterCentroidsDistributed(
+        t, vecCol, constInt(exprs(2)), maxIter)
+      plan(CorpusPipeline.assignClusters(t, vecCol, cents))
     }, "scala_udf")
 
     // DSIR data selection. Model fitting (two bounded bucket-count

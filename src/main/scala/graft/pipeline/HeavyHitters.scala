@@ -38,7 +38,7 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
-  private def itemStrings(items: DataFrame, itemCol: String): Dataset[String] = {
+  private[graft] def itemStrings(items: DataFrame, itemCol: String): Dataset[String] = {
     import items.sparkSession.implicits._
     items.select(col(itemCol).cast("string").as("__item"))
       .filter(col("__item").isNotNull).as[String]
@@ -48,7 +48,7 @@ object HeavyHitters {
     * row per partition carrying that partition's item count. Bounded by
     * (k+1) rows per partition; localCheckpoint'd (eager) so downstream
     * consumers never re-scan the source. */
-  private[pipeline] def mgPartials(ds: Dataset[String], k: Int): DataFrame = {
+  private[graft] def mgPartials(ds: Dataset[String], k: Int): DataFrame = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       val m = new java.util.HashMap[String, Long](k * 2)

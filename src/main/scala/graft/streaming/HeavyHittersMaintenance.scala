@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import graft.pipeline.HeavyHitters
+
+/** Streaming heavy hitters — a driver-resident Misra-Gries summary
+  * maintained across micro-batches, the mergeable-summaries composition
+  * (Agarwal et al., PODS'12): each batch runs the same shuffle-free
+  * distributed MG candidate pass as the batch operator
+  * ([[HeavyHitters.mgPartials]]), and the per-partition partials merge into
+  * the running k-counter summary with the MG merge rule (add counters,
+  * then subtract the (k+1)-th largest and drop non-positives). State is
+  * O(k) on the driver at ANY stream length; per batch the cluster pays one
+  * scan of the batch, nothing shuffles, nothing row-level collects.
+  *
+  * Guarantee (anytime): for every item, `est <= true count <= est + N/(k+1)`
+  * where N is the total items observed — so any item with
+  * `true count > N/(k+1)` is guaranteed present in the summary, and
+  * [[heavyHitters]] returns a certified superset for any `phi > 1/(k+1)`.
+  * For exact counts, recount the reported candidates against the retained
+  * corpus (the batch operator's verify pass) — the summary is the standing
+  * candidate generator a streaming pipeline needs.
+  *
+  * Replay protection is session-scoped like [[TextIndexMaintenance]]:
+  * `append` skips batch ids at or below the last applied id (pass the
+  * foreachBatch id); a restarted query rebuilds from its source of truth.
+  */
+class HeavyHittersMaintenance(k: Int, itemCol: String = "item") {
+  require(k >= 1, s"k=$k must be >= 1")
+
+  private val summary = new java.util.HashMap[String, Long](k * 2)
+  private var n = 0L
+  private var lastBatchId = Long.MinValue
+
+  /** Total items observed across applied batches. */
+  def totalItems: Long = synchronized(n)
+
+  /** The additive error bound: true count <= est + errorBound. */
+  def errorBound: Long = synchronized(n / (k + 1L))
+
+  /** Current summary snapshot, largest estimate first. */
+  def candidates: Seq[(String, Long)] = synchronized {
+    val out = new scala.collection.mutable.ArrayBuffer[(String, Long)](summary.size)
+    summary.forEach((key, v) => out += ((key, v)))
+    out.sortBy(-_._2).toSeq
+  }
+
+  /** Certified-superset heavy hitters at threshold phi: every item whose
+    * TRUE count is >= ceil(phi*N) is included (requires phi > 1/(k+1) for
+    * the certificate; smaller phi throws). Returns
+    * `(item, estLow, estHigh)` with `estLow <= true <= estHigh`. */
+  def heavyHitters(phi: Double): Seq[(String, Long, Long)] = synchronized {
+    require(phi > 1.0 / (k + 1), // the bound cannot certify below 1/(k+1)
+      s"phi=$phi not certifiable with k=$k (need phi > ${1.0 / (k + 1)})")
+    val thr = math.max(1L, math.ceil(phi * n).toLong)
+    val err = n / (k + 1L)
+    candidates.collect {
+      case (item, est) if est + err >= thr => (item, est, est + err)
+    }
+  }
+
+  /** Apply one micro-batch (session-scoped replay skip on `batchId`; pass
+    * increasing ids, e.g. the foreachBatch id). One shuffle-free pass over
+    * the batch; the driver receives at most (k+1) rows per partition. */
+  def append(batch: DataFrame, batchId: Long = Long.MinValue + 1): this.type =
+    synchronized {
+      if (batchId <= lastBatchId) return this // replay
+      lastBatchId = batchId
+      val partials = HeavyHitters.mgPartials(
+        HeavyHitters.itemStrings(batch, itemCol), k).collect()
+      partials.foreach { r =>
+        if (r.isNullAt(0)) n += r.getLong(1)
+        else { // additive counter merge
+          val item = r.getString(0)
+          val cur = summary.get(item) // null unboxes to 0L
+          summary.put(item, cur + r.getLong(1))
+        }
+      }
+      // MG merge compression: if over capacity, subtract the (k+1)-th
+      // largest counter from all and drop non-positives — restores |S| <= k
+      // while keeping the additive-error invariant
+      if (summary.size > k) {
+        val values = new Array[Long](summary.size)
+        var i = 0
+        summary.forEach((_, v) => { values(i) = v; i += 1 })
+        java.util.Arrays.sort(values)
+        val sub = values(summary.size - (k + 1)) // (k+1)-th largest
+        val itr = summary.entrySet().iterator()
+        while (itr.hasNext) {
+          val e = itr.next()
+          if (e.getValue <= sub) itr.remove() else e.setValue(e.getValue - sub)
+        }
+      }
+      this
+    }
+}

@@ -61,6 +61,20 @@ class PipelineSqlSpec extends SparkSpec {
       Dedup.dedupParagraphs(docsDf, "doc_id", "text"))
     sameRows("SELECT * FROM dedup_minhash_pairs(TABLE(pl_docs), 'doc_id', 'text', 0.5)",
       Dedup.minhashNearDups(docsDf, "doc_id", "text", threshold = 0.5))
+    sameRows("SELECT * FROM dedup_substr(TABLE(pl_docs), 'doc_id', 'text', 20)",
+      graft.pipeline.SubstrDedup.dedupSubstrings(docsDf, "doc_id", "text", 20))
+    sameRows("SELECT * FROM dedup_substr_spans(TABLE(pl_docs), 'doc_id', 'text', 20)",
+      graft.pipeline.SubstrDedup.dupSpans(docsDf, "doc_id", "text", 20))
+    sameRows("SELECT * FROM heavy_hitters(TABLE(pl_docs), 'text', 0.3)",
+      graft.pipeline.HeavyHitters.frequentItems(docsDf, "text", 0.3))
+
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array.tabulate(4)(j => if (j == i % 2) 5f + i * 0.01f else 0f)))
+      .toDF("vid", "emb")
+    vecs.createOrReplaceTempView("pl_vecs")
+    sameRows("SELECT * FROM corpus_clusters_full(TABLE(pl_vecs), 'emb', 2, 5)",
+      CorpusPipeline.assignClusters(vecs, "emb",
+        CorpusPipeline.trainClusterCentroidsDistributed(vecs, "emb", 2, 5)))
 
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
     pairs.createOrReplaceTempView("pl_pairs")
