@@ -193,21 +193,23 @@ object PipelineSql {
     // ExactSubstr character-span dedup (relational end-to-end: lazy like
     // dedup_paragraphs).
     r.createOrReplaceTempFunction("dedup_substr", (exprs: Seq[Expression]) => {
-      require(exprs.length >= 4 && exprs.length <= 5,
-        "usage: dedup_substr(TABLE(t), id_col, text_col, min_length[, min_count])")
+      require(exprs.length >= 4 && exprs.length <= 6,
+        "usage: dedup_substr(TABLE(t), id_col, text_col, min_length[, min_count, keep_first])")
       val minCount = if (exprs.length > 4) constInt(exprs(4)) else 2
+      val keepFirst = exprs.length > 5 && constInt(exprs(5)) != 0
       plan(graft.pipeline.SubstrDedup.dedupSubstrings(
         tableArg(spark, exprs(0)), constString(exprs(1)),
-        constString(exprs(2)), constInt(exprs(3)), minCount))
+        constString(exprs(2)), constInt(exprs(3)), minCount, keepFirst))
     }, "scala_udf")
 
     r.createOrReplaceTempFunction("dedup_substr_spans", (exprs: Seq[Expression]) => {
-      require(exprs.length >= 4 && exprs.length <= 5,
-        "usage: dedup_substr_spans(TABLE(t), id_col, text_col, min_length[, min_count])")
+      require(exprs.length >= 4 && exprs.length <= 6,
+        "usage: dedup_substr_spans(TABLE(t), id_col, text_col, min_length[, min_count, keep_first])")
       val minCount = if (exprs.length > 4) constInt(exprs(4)) else 2
+      val keepFirst = exprs.length > 5 && constInt(exprs(5)) != 0
       plan(graft.pipeline.SubstrDedup.dupSpans(
         tableArg(spark, exprs(0)), constString(exprs(1)),
-        constString(exprs(2)), constInt(exprs(3)), minCount))
+        constString(exprs(2)), constInt(exprs(3)), minCount, keepFirst))
     }, "scala_udf")
 
     // Heavy hitters: the MG candidate pass and the exact N total run when

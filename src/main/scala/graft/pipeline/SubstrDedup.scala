@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   * Semantics match the published `deduplicate-text-datasets` tool's
   * aggressive default: ALL occurrences of a duplicated L-gram are cut,
   * including the first (a wholly-duplicated document therefore cleans to
-  * the empty string). `minCount` raises the duplication bar (default 2).
+  * the empty string). `minCount` raises the duplication bar (default 2);
+  * `keepFirst = true` is the content-preserving alternative — each
+  * duplicated block's corpus-wide FIRST occurrence (min `(id, p)` per
+  * gram) survives, so exactly one canonical copy remains.
   *
   * Spark-first shape (the suffix-array of the reference tool replayed as
   * three bounded shuffles — no suffix array, no driver state):
@@ -87,9 +90,21 @@ object SubstrDedup {
 
   /** 1-based positions `(id, p)` whose L-char window occurs >= minCount
     * times corpus-wide (exact — hash-candidates verified on the gram
-    * string). */
+    * string).
+    *
+    * `keepFirst = true` switches to the content-PRESERVING policy: each
+    * duplicated gram's corpus-wide first occurrence — min `(id, p)`, the
+    * same winner rule as [[Dedup.dedupParagraphs]] — is NOT marked, so one
+    * canonical copy of every duplicated block survives the cut. The winner
+    * resolves with a gram-keyed min-struct aggregate (partial map-side, so
+    * a viral block is one reducing key, not a skew hazard). Note the
+    * policy is per-GRAM: where duplicated runs overlap, a kept document
+    * can still lose flanking positions whose own grams first occur
+    * elsewhere; for the canonical shared-block case the first document
+    * keeps the block verbatim. */
   def markedPositions(df: DataFrame, idCol: String, textCol: String,
-                      minLength: Int, minCount: Int = 2): DataFrame = {
+                      minLength: Int, minCount: Int = 2,
+                      keepFirst: Boolean = false): DataFrame = {
     require(minLength >= 2, s"minLength=$minLength must be >= 2")
     require(minCount >= 2, s"minCount=$minCount must be >= 2")
     val pos = df
@@ -105,15 +120,25 @@ object SubstrDedup {
       .select(col(idCol), col("p"), col("__g"))
     val dupG = withGram.groupBy("__g").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount).select("__g")
-    withGram.join(dupG, Seq("__g")).select(col(idCol), col("p"))
+    val verified = withGram.join(dupG, Seq("__g"))
+    if (!keepFirst) verified.select(col(idCol), col("p"))
+    else {
+      val winners = verified.groupBy("__g").agg(
+        min(struct(col(idCol).as("wid"), col("p").as("wp"))).as("__w"))
+      verified.join(winners, Seq("__g"))
+        .filter(!(col(idCol) === col("__w.wid") && col("p") === col("__w.wp")))
+        .select(col(idCol), col("p"))
+    }
   }
 
   /** Maximal duplicated spans per document: `(id, span_start, span_end)`,
     * 1-based inclusive char positions, disjoint, each >= minLength chars.
     * Documents with no duplicated window emit no rows. */
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
-               minLength: Int, minCount: Int = 2): DataFrame = {
-    val marked = markedPositions(df, idCol, textCol, minLength, minCount)
+               minLength: Int, minCount: Int = 2,
+               keepFirst: Boolean = false): DataFrame = {
+    val marked = markedPositions(df, idCol, textCol, minLength, minCount,
+      keepFirst)
     val w = Window.partitionBy(idCol).orderBy("p")
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     marked
@@ -133,8 +158,9 @@ object SubstrDedup {
     * pass their text through verbatim with zero counts; a wholly-duplicated
     * doc cleans to the empty string. */
   def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
-                      minLength: Int, minCount: Int = 2): DataFrame = {
-    val spans = dupSpans(df, idCol, textCol, minLength, minCount)
+                      minLength: Int, minCount: Int = 2,
+                      keepFirst: Boolean = false): DataFrame = {
+    val spans = dupSpans(df, idCol, textCol, minLength, minCount, keepFirst)
     val perDoc = spans.groupBy(col(idCol)).agg(
       array_sort(collect_list(struct(col("span_start"), col("span_end"))))
         .as("__spans"),

@@ -735,6 +735,15 @@ object TextQueries {
           "text", minLength = 25)
         .orderBy("doc_id")),
 
+    // the content-PRESERVING policy: each duplicated gram's corpus-wide
+    // first occurrence (min (doc_id, p) — dedupParagraphs' winner rule)
+    // survives, so one canonical copy of every shared block remains.
+    // Strict: the winner exclusion replays as a row_number window
+    "dedup_substr_keepfirst" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.SubstrDedup.dedupSubstrings(docs(s, dir), "doc_id",
+          "text", minLength = 25, keepFirst = true)
+        .orderBy("doc_id")),
+
     // DSIR importance weights (Xie et al. 2023): target = the corpus's
     // lang='en' slice, raw = the whole corpus; hashed unigram+bigram
     // buckets (md5 2-hex prefix, 256 buckets), Laplace alpha=1. Strict:
@@ -1602,6 +1611,64 @@ object TextQueries {
         |  SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2
         |), marked AS (
         |  SELECT doc_id, p FROM pos WHERE gram IN (SELECT gram FROM dup)
+        |), isl AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > 25
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+        |), isl2 AS (
+        |  SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+        |    ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl
+        |), spans AS (
+        |  SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+        |         CAST(max(p) + 24 AS BIGINT) AS span_end
+        |  FROM isl2 GROUP BY doc_id, island
+        |), agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |         CAST(sum(span_end - span_start + 1) AS BIGINT) AS n_chars_cut
+        |  FROM spans GROUP BY doc_id
+        |), segs AS (
+        |  SELECT doc_id,
+        |    coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) + 1 AS seg_start,
+        |    span_start - 1 AS seg_end
+        |  FROM spans
+        |  UNION ALL
+        |  SELECT s.doc_id, max(s.span_end) + 1 AS seg_start,
+        |         any_value(length(d.text)) AS seg_end
+        |  FROM spans s JOIN documents d USING (doc_id) GROUP BY s.doc_id
+        |), clean AS (
+        |  SELECT g.doc_id,
+        |    string_agg(CASE WHEN g.seg_end >= g.seg_start
+        |      THEN substr(d.text, CAST(g.seg_start AS INT),
+        |                  CAST(g.seg_end - g.seg_start + 1 AS INT))
+        |      ELSE '' END, '' ORDER BY g.seg_start) AS text_clean
+        |  FROM segs g JOIN documents d USING (doc_id) GROUP BY g.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CASE WHEN c.doc_id IS NULL THEN d.text ELSE c.text_clean END AS text_clean,
+        |  coalesce(a.n_spans, 0) AS n_spans,
+        |  coalesce(a.n_chars_cut, 0) AS n_chars_cut
+        |FROM documents d LEFT JOIN clean c USING (doc_id)
+        |               LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // keep-first replayed: identical to dedup_substr except marked
+    // positions exclude each gram's first (doc_id, p) via a window
+    "dedup_substr_keepfirst" ->
+      """WITH pos0 AS (
+        |  SELECT doc_id, unnest(generate_series(1, length(text) - 24)) AS p, text
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, p, substr(text, CAST(p AS INT), 25) AS gram FROM pos0
+        |), dup AS (
+        |  SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2
+        |), marked AS (
+        |  SELECT doc_id, p FROM (
+        |    SELECT doc_id, p,
+        |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, p) AS rn
+        |    FROM pos WHERE gram IN (SELECT gram FROM dup)) t
+        |  WHERE rn > 1
         |), isl AS (
         |  SELECT doc_id, p,
         |    CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > 25

@@ -82,6 +82,50 @@ class SubstrDedupSpec extends SparkSpec {
     assert(got.forall(r => !r._2.contains(boiler)))
   }
 
+  test("keepFirst preserves the corpus-wide first occurrence of a shared block") {
+    import spark.implicits._
+    val boiler = "0123456789abcdefghijklmno" // 25 chars
+    // heads end in distinct chars (d/u/n) so no cross-doc gram extends
+    // past the shared "-doc-head <boiler> " region asymmetrically
+    val docs = Seq(
+      1L -> s"red-doc-head $boiler red-doc-tail",
+      2L -> s"blu-doc-head $boiler blu-doc-tail",
+      3L -> s"grn-doc-head $boiler grn-doc-tail")
+    val got = docs.toDF("id", "text")
+      .transform(d => SubstrDedup.dedupSubstrings(d, "id", "text", 25,
+        keepFirst = true))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // doc 1 keeps its text verbatim (every duplicated gram first occurs
+    // there); docs 2 and 3 lose the block PLUS the shared "-doc-head "
+    // flank that rides in the same duplicated windows
+    assert(got(0)._2 == docs.head._2 && got(0)._3 == 0L)
+    assert(!got(1)._2.contains(boiler) && !got(2)._2.contains(boiler))
+    assert(got(1)._2 == "blublu-doc-tail")
+    assert(got(2)._2 == "grngrn-doc-tail")
+  }
+
+  test("keepFirst: wholly-duplicated pair keeps the first doc, empties the second") {
+    import spark.implicits._
+    val t = "this entire document is duplicated verbatim twice in the corpus"
+    val docs = Seq(2L -> t, 9L -> t).toDF("id", "text")
+    val got = SubstrDedup.dedupSubstrings(docs, "id", "text", 20,
+        keepFirst = true)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got(0) == (2L, t)) // min id wins
+    assert(got(1) == (9L, ""))
+  }
+
+  test("keepFirst: within-doc repetition keeps the first copy") {
+    import spark.implicits._
+    val rep = "repeated-inner-phrase-block!" // 28 chars, twice in ONE doc
+    val docs = Seq(1L -> s"aa $rep bb $rep cc").toDF("id", "text")
+    val got = SubstrDedup.dedupSubstrings(docs, "id", "text", 28,
+        keepFirst = true).collect()
+    assert(got(0).getString(1) == s"aa $rep bbcc")
+    assert(got(0).getLong(2) == 1L && got(0).getLong(3) == 30L)
+  }
+
   test("short and null texts pass through untouched") {
     import spark.implicits._
     val df = Seq((1L, Some("tiny")), (2L, None), (3L, Some("also tiny")))
