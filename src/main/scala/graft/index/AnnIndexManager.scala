@@ -321,7 +321,12 @@ object AnnIndexManager {
     * cells if requested, writes the index dataset.
     *
     * params: metric (l2|ip|cosine), nlist, nprobe, train_sample (0=all),
-    * plus engine-specific knobs carried through to meta.
+    * train_mode (sample|full — `full` refines the sampled kmeans++ pilot
+    * with distributed full-data Lloyd rounds,
+    * [[graft.pipeline.CorpusPipeline.trainClusterCentroidsDistributed]]:
+    * the 100 TB path where a driver-capped sample under-represents the
+    * distribution and cell sizes skew), plus engine-specific knobs
+    * carried through to meta.
     */
   /** FAISS `index_factory`-style description strings (reference
     * `description` param, src/include/faiss_index.hpp:37-113):
@@ -484,13 +489,26 @@ object AnnIndexManager {
           val requested =
             if (trainSample > 0) trainSample.toLong else math.min(n, 256L * nlist)
           val cap = math.min(requested, AnnIndexBuilder.MaxTrainRows.toLong)
-          val trainDf =
-            if (cap < n) prepared.sample(withReplacement = false, cap.toDouble / n, seed = 42)
-            else prepared
-          val sampleArr = trainDf.select("vector").collect()
-            .map(_.getSeq[Float](0).toArray)
-          AnnIndexBuilder.trainCentroids(sampleArr,
-            math.min(nlist, math.max(1, n.toInt)), maxIter = 10, seed = 42)
+          val kk = math.min(nlist, math.max(1, n.toInt))
+          params.getOrElse("train_mode", "sample") match {
+            case "full" =>
+              // distributed full-data Lloyd: the sampled pilot seeds, then
+              // every row participates in the refinement rounds — one
+              // shuffle-free partial-sum pass per round
+              graft.pipeline.CorpusPipeline.trainClusterCentroidsDistributed(
+                prepared, "vector", kk, maxIter = 10, seed = 42,
+                initSampleCap = math.min(cap, Int.MaxValue.toLong).toInt)
+            case "sample" =>
+              val trainDf =
+                if (cap < n) prepared.sample(withReplacement = false, cap.toDouble / n, seed = 42)
+                else prepared
+              val sampleArr = trainDf.select("vector").collect()
+                .map(_.getSeq[Float](0).toArray)
+              AnnIndexBuilder.trainCentroids(sampleArr, kk, maxIter = 10,
+                seed = 42)
+            case other => throw new IllegalArgumentException(
+              s"train_mode must be sample|full, got '$other'")
+          }
         case _ => Array((0, Array.empty[Float]))
       }
 

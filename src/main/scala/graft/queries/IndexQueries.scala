@@ -36,6 +36,12 @@ object IndexQueries {
         "IVF", Map("metric" -> "l2", "nlist" -> "8", "nprobe" -> "8",
           "table" -> "embeddings"), path))
 
+  private def ivfFullIndex(s: SparkSession, dir: String): AnnIndex =
+    AnnIndexManager.getOrBuild(s, "emb_ivf8_full", dir, path =>
+      AnnIndexManager.create(s, "emb_ivf8_full", emb(s, dir), "vec_id", "embedding",
+        "IVF", Map("metric" -> "l2", "nlist" -> "8", "nprobe" -> "8",
+          "train_mode" -> "full", "table" -> "embeddings"), path))
+
   private def fp16Index(s: SparkSession, dir: String): AnnIndex =
     AnnIndexManager.getOrBuild(s, "emb_fp16", dir, path =>
       AnnIndexManager.create(s, "emb_fp16", emb(s, dir), "vec_id", "embedding",
@@ -256,6 +262,13 @@ object IndexQueries {
     // merge machinery while staying exact → strict oracle.
     "ann_ivf_topk" -> ((s: SparkSession, dir: String) =>
       ranked(ivfIndex(s, dir).scan(qvecF(6), K, searchParam = 8))),
+
+    // IVF trained by distributed FULL-DATA Lloyd (train_mode=full): probing
+    // all cells keeps search exhaustive-exact, so the brute-force oracle
+    // strictly pins the build+assign+search path over the full-trained
+    // centroids
+    "ann_ivf_full_topk" -> ((s: SparkSession, dir: String) =>
+      ranked(ivfFullIndex(s, dir).scan(qvecF(6), K, searchParam = 8))),
 
     // adaptive probing (SPANN-style distance-ratio cell pruning): per-query
     // probe width — approximate, so rows-only; widening/floor/cap semantics
@@ -948,6 +961,7 @@ object IndexQueries {
   def oracleSql: Map[String, String] = Map(
     "ann_flat_topk" -> bruteForceTopK(5),
     "ann_ivf_topk" -> bruteForceTopK(6),
+    "ann_ivf_full_topk" -> bruteForceTopK(6),
     "ann_ivf_adaptive_exact" -> bruteForceTopK(6),
     "ann_range" -> bruteForceRange(5, 8.5),
     "ann_range_vamana" -> bruteForceRange(5, 8.5),

@@ -54,6 +54,25 @@ class IndexSpec extends SparkSpec {
     }
   }
 
+  test("IVF train_mode=full: distributed-Lloyd cells stay exhaustive-exact; bad mode throws") {
+    val idx = AnnIndexManager.create(spark, "t_ivf_full", vecsDf, "id", "embedding",
+      "IVF", Map("metric" -> "l2", "nlist" -> "8", "nprobe" -> "8",
+        "train_mode" -> "full"), s"$tmp/t_ivf_full")
+    for (q <- queries) {
+      val exact = idx.scan(q, 10, searchParam = 8).collect().map(_.getLong(0)).toSeq
+      assert(exact == bruteTopK(q, 10))
+    }
+    // full-data refinement must not leave empty cells on this smooth
+    // fixture (the balance rationale for the 100 TB path)
+    val sizes = idx.live.groupBy("list_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.size == 8 && sizes.values.forall(_ > 0L), s"cells: $sizes")
+    intercept[IllegalArgumentException] {
+      AnnIndexManager.create(spark, "t_ivf_badmode", vecsDf, "id", "embedding",
+        "IVF", Map("nlist" -> "8", "train_mode" -> "bogus"), s"$tmp/t_ivf_bad")
+    }
+  }
+
   test("persistence round-trip: reload from disk gives identical results (F9)") {
     val q = queries.head
     val before = AnnIndexManager.create(spark, "t_persist", vecsDf, "id", "embedding",
