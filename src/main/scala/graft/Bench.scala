@@ -136,7 +136,7 @@ object Bench {
                      // MG+recount heavy hitters, distributed full-data
                      // Lloyd (train + assign + counts)
                      "dedup_substr", "heavy_hitters",
-                     "corpus_clusters_full")) {
+                     "heavy_hitters_by_lang", "corpus_clusters_full")) {
       time(name) { noop(q(name)(spark, sfDir)) }
     }
 

@@ -36,6 +36,7 @@ import graft.pipeline.{CorpusPipeline, Dedup, TextAnalysis}
   *   SELECT * FROM dedup_substr(TABLE(t), 'doc_id', 'text', 50[, min_count])
   *   SELECT * FROM dedup_substr_spans(TABLE(t), 'doc_id', 'text', 50[, min_count])
   *   SELECT * FROM heavy_hitters(TABLE(t), 'token', 0.001)
+  *   SELECT * FROM heavy_hitters_by_group(TABLE(t), 'lang', 'token', 0.01)
   *   SELECT * FROM corpus_clusters_full(TABLE(t), 'embedding', 8[, max_iter])
   *   SELECT * FROM dsir_weights(TABLE(raw), 'text', TABLE(target)[, hex_chars, alpha])
   *   SELECT * FROM dsir_resample(TABLE(raw), 'doc_id', 'text', TABLE(target), n[, hex_chars, alpha])
@@ -221,6 +222,15 @@ object PipelineSql {
         "usage: heavy_hitters(TABLE(t), item_col, phi)")
       plan(graft.pipeline.HeavyHitters.frequentItems(
         tableArg(spark, exprs(0)), constString(exprs(1)), constNum(exprs(2))))
+    }, "scala_udf")
+
+    // fully relational (lazy like dedup_substr): nothing collects
+    r.createOrReplaceTempFunction("heavy_hitters_by_group", (exprs: Seq[Expression]) => {
+      require(exprs.length == 4,
+        "usage: heavy_hitters_by_group(TABLE(t), group_col, item_col, phi)")
+      plan(graft.pipeline.HeavyHitters.frequentItemsByGroup(
+        tableArg(spark, exprs(0)), constString(exprs(1)),
+        constString(exprs(2)), constNum(exprs(3))))
     }, "scala_udf")
 
     // Distributed full-data Lloyd + assignment: training runs at plan

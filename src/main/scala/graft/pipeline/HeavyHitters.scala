@@ -101,6 +101,69 @@ object HeavyHitters {
         .filter(length(col("token")) > 0),
       "token", phi)
 
+  /** Per-GROUP exact frequent items: for every group g, the items with
+    * count >= ceil(phi * N_g) where N_g is g's item count — the
+    * per-language / per-domain form (which boilerplate dominates EACH
+    * slice). Same candidate+verify composition as [[frequentItems]], but
+    * fully relational end-to-end: per-partition `mapPartitions` builds one
+    * bounded MG summary PER GROUP seen in that partition (memory =
+    * groups-in-partition x k counters), per-group totals ride the same
+    * partials as null-item sentinel rows, and the per-group threshold is a
+    * tiny aggregate JOINED in — nothing, not even a scalar, collects to
+    * the driver, so group cardinality is unbounded. The recount semi-joins
+    * on (group, item) at candidate volume (un-hinted: AQE picks broadcast
+    * vs shuffle by size). Returns `(groupCol, itemCol, cnt)` — exact.
+    * Null group keys are dropped with the null items. */
+  def frequentItemsByGroup(df: DataFrame, groupCol: String, itemCol: String,
+                           phi: Double): DataFrame = {
+    require(phi > 0.0 && phi <= 1.0, s"phi=$phi must be in (0, 1]")
+    val k = math.max(1, math.ceil(1.0 / phi).toInt)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(groupCol).cast("string").as("__grp"),
+        col(itemCol).cast("string").as("__item"))
+      .filter(col("__grp").isNotNull && col("__item").isNotNull)
+      .as[(String, String)]
+    val partials = ds.mapPartitions { it =>
+      val per = new java.util.HashMap[String, java.util.HashMap[String, Long]]()
+      val ns = new java.util.HashMap[String, Long]()
+      while (it.hasNext) {
+        val (g, x) = it.next()
+        val curN = ns.get(g)
+        ns.put(g, curN + 1L)
+        var m = per.get(g)
+        if (m == null) { m = new java.util.HashMap[String, Long](k * 2); per.put(g, m) }
+        val cur = m.get(x)
+        if (cur != 0L) m.put(x, cur + 1L)
+        else if (m.size < k) m.put(x, 1L)
+        else {
+          val itr = m.entrySet().iterator()
+          while (itr.hasNext) {
+            val e = itr.next()
+            if (e.getValue == 1L) itr.remove() else e.setValue(e.getValue - 1L)
+          }
+        }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      per.forEach { (g, m) => m.forEach((x, v) => out += ((g, x, v))) }
+      ns.forEach((g, n) => out += ((g, null, n)))
+      out.iterator
+    }.toDF("__grp", "__item", "__w").localCheckpoint()
+    val totals = partials.filter(col("__item").isNull)
+      .groupBy("__grp").agg(sum("__w").as("__n"))
+      .select(col("__grp"),
+        greatest(lit(1L), ceil(col("__n") * phi).cast("long")).as("__thr"))
+    val candidates = partials.filter(col("__item").isNotNull)
+      .select("__grp", "__item").distinct()
+    ds.toDF("__grp", "__item")
+      .join(candidates, Seq("__grp", "__item"), "left_semi")
+      .groupBy("__grp", "__item")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .join(totals, Seq("__grp"))
+      .filter(col("cnt") >= col("__thr"))
+      .select(col("__grp").as(groupCol), col("__item").as(itemCol), col("cnt"))
+  }
+
   /** The deduped candidate superset alone — exposed for the guarantee spec
     * (every true heavy hitter MUST appear here); use [[frequentItems]]
     * downstream. */

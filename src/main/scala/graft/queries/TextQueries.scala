@@ -715,6 +715,18 @@ object TextQueries {
           phi = 0.01)
         .orderBy("token")),
 
+    // per-group heavy hitters: tokens with >= 2% of EACH language slice's
+    // token mass — fully relational (per-group MG partials, thresholds
+    // joined in, nothing collects), exact, so the grouped HAVING replays
+    "heavy_hitters_by_lang" -> ((s: SparkSession, dir: String) => {
+      val toks = docs(s, dir)
+        .select(col("lang"), explode(split(col("text"), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      graft.pipeline.HeavyHitters.frequentItemsByGroup(toks, "lang", "token",
+          phi = 0.02)
+        .orderBy("lang", "token")
+    }),
+
     // ExactSubstr at CHARACTER granularity (Lee et al. 2022): maximal
     // corpus-wide duplicated spans of >= 25 chars per doc. The fixture
     // corpus's small vocab makes ~300 spans arise naturally (including a
@@ -1570,6 +1582,22 @@ object TextQueries {
         |FROM t GROUP BY token
         |HAVING count(*) >= ceil(0.01 * (SELECT n FROM n))
         |ORDER BY token""".stripMargin,
+
+    // grouped heavy hitters replayed as the definition: per-lang totals,
+    // HAVING against each group's own threshold
+    "heavy_hitters_by_lang" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents
+        |), t AS (
+        |  SELECT lang, token FROM toks
+        |  WHERE length(token) > 0 AND lang IS NOT NULL
+        |), n AS (SELECT lang, count(*) AS n FROM t GROUP BY lang)
+        |SELECT t.lang, t.token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM t JOIN n USING (lang)
+        |GROUP BY t.lang, t.token, n.n
+        |HAVING count(*) >= greatest(1, ceil(0.02 * n.n))
+        |ORDER BY lang, token""".stripMargin,
 
     // ExactSubstr spans replayed by brute force: enumerate every 25-char
     // window, keep windows whose gram occurs >= 2 times corpus-wide, merge

@@ -67,6 +67,11 @@ class PipelineSqlSpec extends SparkSpec {
       graft.pipeline.SubstrDedup.dupSpans(docsDf, "doc_id", "text", 20))
     sameRows("SELECT * FROM heavy_hitters(TABLE(pl_docs), 'text', 0.3)",
       graft.pipeline.HeavyHitters.frequentItems(docsDf, "text", 0.3))
+    val grouped = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "z"))
+      .toDF("grp", "item")
+    grouped.createOrReplaceTempView("pl_grp")
+    sameRows("SELECT * FROM heavy_hitters_by_group(TABLE(pl_grp), 'grp', 'item', 0.5)",
+      graft.pipeline.HeavyHitters.frequentItemsByGroup(grouped, "grp", "item", 0.5))
 
     val vecs = (0 until 30).map(i =>
       (i.toLong, Array.tabulate(4)(j => if (j == i % 2) 5f + i * 0.01f else 0f)))

@@ -60,6 +60,43 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("grouped heavy hitters: exact per-group vs brute force across partitionings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // three groups with different sizes and distributions
+    val rows: Seq[(String, String)] =
+      (1 to 6000).map(_ => ("big", s"item${math.min(199, (math.pow(rnd.nextDouble(), 3) * 200).toInt)}")) ++
+      (1 to 900).map(_ => ("mid", s"m${rnd.nextInt(30)}")) ++
+      (1 to 40).map(i => ("tiny", s"t${i % 7}"))
+    val phi = 0.03
+    val truth = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val n = rs.size
+      val thr = math.max(1L, math.ceil(phi * n).toLong)
+      rs.groupBy(_._2).view.mapValues(_.size.toLong)
+        .filter(_._2 >= thr).map { case (it, c) => (g, it) -> c }
+    }
+    for (parts <- Seq(1, 5, 32)) {
+      val df = rows.toDF("grp", "item").repartition(parts)
+      val got = HeavyHitters.frequentItemsByGroup(df, "grp", "item", phi)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == truth, s"parts=$parts")
+    }
+  }
+
+  test("grouped: unbounded group cardinality, singleton groups included") {
+    import spark.implicits._
+    val rows = (1 to 800).map(i => (s"g${i % 400}", s"x${i % 3}"))
+    val df = rows.toDF("grp", "item").repartition(9)
+    val got = HeavyHitters.frequentItemsByGroup(df, "grp", "item", 0.4)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val truth = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val thr = math.max(1L, math.ceil(0.4 * rs.size).toLong)
+      rs.groupBy(_._2).view.mapValues(_.size.toLong)
+        .filter(_._2 >= thr).map { case (it, c) => (g, it) -> c }
+    }
+    assert(got == truth)
+  }
+
   test("null items are ignored; empty strings are legitimate items") {
     import spark.implicits._
     val df = (Seq.fill(50)(Some("")) ++ Seq.fill(30)(Option.empty[String]) ++
