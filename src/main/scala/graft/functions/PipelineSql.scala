@@ -35,6 +35,7 @@ import graft.pipeline.{CorpusPipeline, Dedup, TextAnalysis}
   *   SELECT * FROM dedup_paragraphs(TABLE(t), 'doc_id', 'text'[, sep_regex])
   *   SELECT * FROM dedup_substr(TABLE(t), 'doc_id', 'text', 50[, min_count])
   *   SELECT * FROM dedup_substr_spans(TABLE(t), 'doc_id', 'text', 50[, min_count])
+  *   SELECT * FROM dedup_substr_tokens(TABLE(t), 'doc_id', 'text', 50[, min_count, keep_first])
   *   SELECT * FROM heavy_hitters(TABLE(t), 'token', 0.001)
   *   SELECT * FROM heavy_hitters_by_group(TABLE(t), 'lang', 'token', 0.01)
   *   SELECT * FROM corpus_clusters_full(TABLE(t), 'embedding', 8[, max_iter])
@@ -209,6 +210,16 @@ object PipelineSql {
       val minCount = if (exprs.length > 4) constInt(exprs(4)) else 2
       val keepFirst = exprs.length > 5 && constInt(exprs(5)) != 0
       plan(graft.pipeline.SubstrDedup.dupSpans(
+        tableArg(spark, exprs(0)), constString(exprs(1)),
+        constString(exprs(2)), constInt(exprs(3)), minCount, keepFirst))
+    }, "scala_udf")
+
+    r.createOrReplaceTempFunction("dedup_substr_tokens", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 4 && exprs.length <= 6,
+        "usage: dedup_substr_tokens(TABLE(t), id_col, text_col, min_tokens[, min_count, keep_first])")
+      val minCount = if (exprs.length > 4) constInt(exprs(4)) else 2
+      val keepFirst = exprs.length > 5 && constInt(exprs(5)) != 0
+      plan(graft.pipeline.SubstrDedup.dedupTokenSubstrings(
         tableArg(spark, exprs(0)), constString(exprs(1)),
         constString(exprs(2)), constInt(exprs(3)), minCount, keepFirst))
     }, "scala_udf")

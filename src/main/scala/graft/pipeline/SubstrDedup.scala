@@ -139,18 +139,150 @@ object SubstrDedup {
                keepFirst: Boolean = false): DataFrame = {
     val marked = markedPositions(df, idCol, textCol, minLength, minCount,
       keepFirst)
+    mergeIslands(marked, idCol, minLength)
+  }
+
+  /** The sessionize-pattern interval merge shared by both granularities:
+    * marked starts `(id, p)` with window length L → maximal disjoint spans
+    * `(id, span_start, span_end)` (1-based inclusive; islands break where
+    * the gap between consecutive starts exceeds L). */
+  private def mergeIslands(marked: DataFrame, idCol: String,
+                           L: Int): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy("p")
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     marked
       .withColumn("__prev", lag("p", 1).over(w))
       .withColumn("__brk",
-        when(col("__prev").isNull || col("p") - col("__prev") > minLength, 1)
+        when(col("__prev").isNull || col("p") - col("__prev") > L, 1)
           .otherwise(0))
       .withColumn("__island", sum("__brk").over(run))
       .groupBy(col(idCol), col("__island"))
       .agg(min("p").as("span_start"),
-        (max("p") + minLength - 1).as("span_end"))
+        (max("p") + L - 1).as("span_end"))
       .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Filtered token array (split on `\s+`, empties dropped) — the shared
+    * tokenization of the token-granularity forms; positions are 1-based
+    * indices into THIS array on both engines. */
+  private def tokensCol(textCol: String) =
+    filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+
+  /** Rolling window hashes over the TOKEN sequence: each token hashes via
+    * String.hashCode (JVM-spec-pinned, deterministic), then the same
+    * polynomial window as the char form. One Array[Long] per doc. */
+  private[pipeline] def tokenWindowHashesUdf(L: Int) = udf { toks: Seq[String] =>
+    if (toks == null || toks.length < L) Array.empty[Long]
+    else {
+      val B = 1000003L
+      val h0 = toks.map(_.hashCode.toLong).toArray
+      val n = h0.length - L + 1
+      val out = new Array[Long](n)
+      var h = 0L
+      var pw = 1L
+      var i = 0
+      while (i < L) {
+        h = h * B + h0(i)
+        if (i < L - 1) pw *= B
+        i += 1
+      }
+      out(0) = h
+      i = 1
+      while (i < n) {
+        h = (h - h0(i - 1) * pw) * B + h0(i + L - 1)
+        out(i) = h
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** TOKEN-granularity marked positions `(id, p)` — p is a 1-based index
+    * into the whitespace-token sequence whose L-token window occurs >=
+    * minCount times corpus-wide (verified on the joined token string, so
+    * exact). Same stages and policies as the char form. */
+  def markedTokenPositions(df: DataFrame, idCol: String, textCol: String,
+                           minTokens: Int, minCount: Int = 2,
+                           keepFirst: Boolean = false): DataFrame = {
+    require(minTokens >= 2, s"minTokens=$minTokens must be >= 2")
+    require(minCount >= 2, s"minCount=$minCount must be >= 2")
+    val pos = df
+      .select(col(idCol),
+        posexplode(tokenWindowHashesUdf(minTokens)(tokensCol(textCol)))
+          .as(Seq("__i", "__h")))
+      .select(col(idCol), (col("__i") + 1).cast("long").as("p"), col("__h"))
+    val dupH = pos.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select("__h")
+    val cand = pos.join(dupH, Seq("__h")).select(col(idCol), col("p"))
+    val gramUdf = udf { (toks: Seq[String], p: Long) =>
+      toks.slice(p.toInt - 1, p.toInt - 1 + minTokens).mkString(" ")
+    }
+    val withGram = cand
+      .join(df.select(col(idCol), tokensCol(textCol).as("__toks")), Seq(idCol))
+      .withColumn("__g", gramUdf(col("__toks"), col("p")))
+      .select(col(idCol), col("p"), col("__g"))
+    val dupG = withGram.groupBy("__g").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select("__g")
+    val verified = withGram.join(dupG, Seq("__g"))
+    if (!keepFirst) verified.select(col(idCol), col("p"))
+    else {
+      val winners = verified.groupBy("__g").agg(
+        min(struct(col(idCol).as("wid"), col("p").as("wp"))).as("__w"))
+      verified.join(winners, Seq("__g"))
+        .filter(!(col(idCol) === col("__w.wid") && col("p") === col("__w.wp")))
+        .select(col(idCol), col("p"))
+    }
+  }
+
+  /** Maximal duplicated TOKEN spans per document: `(id, span_start,
+    * span_end)` — 1-based inclusive token indices, disjoint, each >=
+    * minTokens long. */
+  def dupTokenSpans(df: DataFrame, idCol: String, textCol: String,
+                    minTokens: Int, minCount: Int = 2,
+                    keepFirst: Boolean = false): DataFrame = {
+    val marked = markedTokenPositions(df, idCol, textCol, minTokens, minCount,
+      keepFirst)
+    mergeIslands(marked, idCol, minTokens)
+  }
+
+  /** ExactSubstr at TOKEN granularity — the unit the published tool
+    * actually dedups on (50-token windows). Returns one row per input doc:
+    * `(id, text_clean, n_spans, n_tokens_cut)`. Affected documents are
+    * REASSEMBLED from their surviving tokens joined with single spaces
+    * (original inter-token whitespace is not preserved — the price of
+    * token-space semantics; the char form preserves it exactly);
+    * unaffected documents pass their text through verbatim. */
+  def dedupTokenSubstrings(df: DataFrame, idCol: String, textCol: String,
+                           minTokens: Int, minCount: Int = 2,
+                           keepFirst: Boolean = false): DataFrame = {
+    val spans = dupTokenSpans(df, idCol, textCol, minTokens, minCount,
+      keepFirst)
+    val perDoc = spans.groupBy(col(idCol)).agg(
+      array_sort(collect_list(struct(col("span_start"), col("span_end"))))
+        .as("__spans"),
+      count(lit(1)).cast("long").as("__n_spans"),
+      sum(col("span_end") - col("span_start") + 1).cast("long")
+        .as("__n_cut"))
+    val cut = udf { (toks: Seq[String], spans: Seq[Row]) =>
+      val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+      var at = 0 // 0-based next token to copy
+      spans.foreach { r =>
+        val s = r.getLong(0).toInt - 1
+        val e = r.getLong(1).toInt // one-past-end
+        var i = at
+        while (i < s) { out += toks(i); i += 1 }
+        at = math.max(at, e)
+      }
+      var i = at
+      while (i < toks.length) { out += toks(i); i += 1 }
+      out.mkString(" ")
+    }
+    df.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(cut(tokensCol(textCol), col("__spans"))).as("text_clean"),
+        coalesce(col("__n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("__n_cut"), lit(0L)).as("n_tokens_cut"))
   }
 
   /** Cut every duplicated span from every document. Returns one row per

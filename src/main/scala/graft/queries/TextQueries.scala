@@ -747,6 +747,16 @@ object TextQueries {
           "text", minLength = 25)
         .orderBy("doc_id")),
 
+    // ExactSubstr at TOKEN granularity (the published tool's actual unit):
+    // duplicated >= 5-token windows cut everywhere; affected docs
+    // reassemble from surviving tokens with single spaces. Strict: token
+    // positions, island merge, and the ordered string_agg reassembly all
+    // replay relationally
+    "dedup_substr_tokens" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.SubstrDedup.dedupTokenSubstrings(docs(s, dir), "doc_id",
+          "text", minTokens = 5)
+        .orderBy("doc_id")),
+
     // the content-PRESERVING policy: each duplicated gram's corpus-wide
     // first occurrence (min (doc_id, p) — dedupParagraphs' winner rule)
     // survives, so one canonical copy of every shared block remains.
@@ -1679,6 +1689,60 @@ object TextQueries {
         |  coalesce(a.n_chars_cut, 0) AS n_chars_cut
         |FROM documents d LEFT JOIN clean c USING (doc_id)
         |               LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // token-granularity replayed: lock-step unnest gives token positions,
+    // list-slice grams, the same island/segment machinery in token space,
+    // NOT EXISTS against spans + ordered string_agg for the reassembly
+    "dedup_substr_tokens" ->
+      """WITH tl AS (
+        |  SELECT doc_id, text,
+        |    [t FOR t IN string_split_regex(text, '\s+') IF len(t) > 0] AS ts
+        |  FROM documents
+        |), pos AS (
+        |  SELECT tl.doc_id, i AS p,
+        |    array_to_string(tl.ts[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS gram
+        |  FROM tl, unnest(generate_series(1, len(tl.ts) - 4)) AS u(i)
+        |), dup AS (
+        |  SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2
+        |), marked AS (
+        |  SELECT doc_id, p FROM pos WHERE gram IN (SELECT gram FROM dup)
+        |), isl AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > 5
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+        |), isl2 AS (
+        |  SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+        |    ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl
+        |), spans AS (
+        |  SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+        |         CAST(max(p) + 4 AS BIGINT) AS span_end
+        |  FROM isl2 GROUP BY doc_id, island
+        |), agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |         CAST(sum(span_end - span_start + 1) AS BIGINT) AS n_tokens_cut
+        |  FROM spans GROUP BY doc_id
+        |), t AS (
+        |  SELECT doc_id, unnest(ts) AS tok,
+        |         unnest(generate_series(1, len(ts))) AS tp
+        |  FROM tl
+        |), clean AS (
+        |  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.tp) AS text_clean
+        |  FROM t
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |    WHERE s.doc_id = t.doc_id
+        |      AND t.tp BETWEEN s.span_start AND s.span_end)
+        |  GROUP BY t.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN d.text
+        |       ELSE coalesce(c.text_clean, '') END AS text_clean,
+        |  coalesce(a.n_spans, 0) AS n_spans,
+        |  coalesce(a.n_tokens_cut, 0) AS n_tokens_cut
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |               LEFT JOIN clean c USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
     // keep-first replayed: identical to dedup_substr except marked

@@ -126,6 +126,70 @@ class SubstrDedupSpec extends SparkSpec {
     assert(got(0).getLong(2) == 1L && got(0).getLong(3) == 30L)
   }
 
+  test("token granularity: shared token runs are cut; survivors rejoin with single spaces") {
+    import spark.implicits._
+    // the flanking tokens differ on BOTH sides (one/two before, aaa/bbb
+    // after) so the duplicated region is exactly the 6 shared tokens
+    val docs = Seq(
+      1L -> "intro one the shared run of tokens here aaa one",
+      2L -> "intro two the shared run of tokens here bbb two",
+      3L -> "a wholly different set of words entirely now").toDF("id", "text")
+    val got = SubstrDedup.dedupTokenSubstrings(docs, "id", "text",
+        minTokens = 4).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // "the shared run of tokens here" (6 tokens) duplicates; windows of 4
+    // inside it mark token positions 3..5 in both docs -> span [3, 8]
+    assert(got(0)._2 == "intro one aaa one" && got(0)._3 == 1L && got(0)._4 == 6L)
+    assert(got(1)._2 == "intro two bbb two")
+    assert(got(2)._2 == docs.collect()(2).getString(1) && got(2)._4 == 0L)
+  }
+
+  test("token granularity: whitespace normalizes ONLY on affected docs") {
+    import spark.implicits._
+    val block = "alpha beta gamma delta eps"
+    val docs = Seq(
+      1L -> s"keep  double  spaces here with $block inside",
+      2L -> s"other   doc also carries $block too",
+      3L -> "untouched  doc   with  odd   spacing").toDF("id", "text")
+    val got = SubstrDedup.dedupTokenSubstrings(docs, "id", "text",
+        minTokens = 5).orderBy("id").collect()
+    assert(got(0).getString(1) == "keep double spaces here with inside")
+    assert(got(1).getString(1) == "other doc also carries too")
+    assert(got(2).getString(1) == "untouched  doc   with  odd   spacing") // verbatim
+  }
+
+  test("token granularity: keepFirst retains the first doc's copy") {
+    import spark.implicits._
+    val docs = Seq(
+      5L -> "x1 x2 c1 c2 c3 c4 c5 y1",
+      9L -> "z1 z2 c1 c2 c3 c4 c5 w1").toDF("id", "text")
+    val got = SubstrDedup.dedupTokenSubstrings(docs, "id", "text",
+        minTokens = 5, keepFirst = true).orderBy("id").collect()
+    assert(got(0).getString(1) == "x1 x2 c1 c2 c3 c4 c5 y1") // min id kept
+    assert(got(1).getString(1) == "z1 z2 w1")
+    assert(got(1).getLong(3) == 5L)
+  }
+
+  test("token granularity: marked set equals the brute-force definition") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (1L to 80L).map(i =>
+      (i, Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val L = 6
+    val marked = SubstrDedup.markedTokenPositions(
+        docs.toDF("id", "text"), "id", "text", L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val grams = docs.flatMap { case (id, t) =>
+      val ts = t.split("\\s+").filter(_.nonEmpty)
+      (1 to ts.length - L + 1).map(p =>
+        (ts.slice(p - 1, p - 1 + L).mkString(" "), (id, p.toLong)))
+    }
+    val dupPos = grams.groupBy(_._1).filter(_._2.size >= 2)
+      .values.flatten.map(_._2).toSet
+    assert(marked == dupPos)
+  }
+
   test("short and null texts pass through untouched") {
     import spark.implicits._
     val df = Seq((1L, Some("tiny")), (2L, None), (3L, Some("also tiny")))
