@@ -33,8 +33,8 @@ import graft.pipeline.{CorpusPipeline, Dedup, TextAnalysis}
   *   SELECT * FROM asof_join(TABLE(l), TABLE(r), 'key', 'l_ts', 'r_ts'[, direction, tolerance, tie_break])
   *   SELECT * FROM range_join(TABLE(points), 'ts', TABLE(iv), 's', 'e', bucket_width[, 'key'])
   *   SELECT * FROM dedup_paragraphs(TABLE(t), 'doc_id', 'text'[, sep_regex])
-  *   SELECT * FROM dedup_substr(TABLE(t), 'doc_id', 'text', 50[, min_count])
-  *   SELECT * FROM dedup_substr_spans(TABLE(t), 'doc_id', 'text', 50[, min_count])
+  *   SELECT * FROM dedup_substr(TABLE(t), 'doc_id', 'text', 50[, min_count, keep_first])
+  *   SELECT * FROM dedup_substr_spans(TABLE(t), 'doc_id', 'text', 50[, min_count, keep_first])
   *   SELECT * FROM dedup_substr_tokens(TABLE(t), 'doc_id', 'text', 50[, min_count, keep_first])
   *   SELECT * FROM heavy_hitters(TABLE(t), 'token', 0.001)
   *   SELECT * FROM heavy_hitters_by_group(TABLE(t), 'lang', 'token', 0.01)

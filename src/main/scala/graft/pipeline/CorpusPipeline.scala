@@ -448,6 +448,10 @@ object CorpusPipeline {
       }
       best
     }
-    df.select(avg(minD(vector_nonnull(col(vecCol))))).head().getDouble(0)
+    try {
+      val row = df.select(avg(minD(vector_nonnull(col(vecCol))))).head()
+      require(!row.isNullAt(0), "cannot compute clusteringCost of an empty relation")
+      row.getDouble(0)
+    } finally bc.destroy()
   }
 }

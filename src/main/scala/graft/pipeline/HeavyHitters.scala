@@ -38,6 +38,20 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
+  /** Max MG counters per summary — 4M string counters is already far past
+    * any sensible sketch; below phi ~ 2.4e-7 the sketch's memory stops
+    * being "bounded" in any useful sense and a plain groupBy-count is the
+    * honest plan. Guards the Int overflow of ceil(1/phi).toInt too. */
+  private[graft] val MaxK = 1 << 22
+
+  private def mgCapacity(phi: Double): Int = {
+    require(phi > 0.0 && phi <= 1.0, s"phi=$phi must be in (0, 1]")
+    require(1.0 / phi <= MaxK,
+      s"phi=$phi needs ceil(1/phi) > $MaxK MG counters per partition — " +
+        "use groupBy(item).count for thresholds this small")
+    math.max(1, math.ceil(1.0 / phi).toInt)
+  }
+
   private[graft] def itemStrings(items: DataFrame, itemCol: String): Dataset[String] = {
     import items.sparkSession.implicits._
     items.select(col(itemCol).cast("string").as("__item"))
@@ -47,10 +61,13 @@ object HeavyHitters {
   /** Per-partition MG survivors `(__item, __w)` plus one null-item sentinel
     * row per partition carrying that partition's item count. Bounded by
     * (k+1) rows per partition; localCheckpoint'd (eager) so downstream
-    * consumers never re-scan the source. */
-  private[graft] def mgPartials(ds: Dataset[String], k: Int): DataFrame = {
+    * consumers never re-scan the source — pass `checkpoint = false` for
+    * single-consumer callers (the streaming maintenance collects the
+    * partials immediately and would only pay block churn for the pin). */
+  private[graft] def mgPartials(ds: Dataset[String], k: Int,
+                                checkpoint: Boolean = true): DataFrame = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions { it =>
+    val raw = ds.mapPartitions { it =>
       val m = new java.util.HashMap[String, Long](k * 2)
       var n = 0L
       while (it.hasNext) {
@@ -70,14 +87,14 @@ object HeavyHitters {
       m.forEach((key, v) => out += ((key, v)))
       out += ((null, n))
       out.iterator
-    }.toDF("__item", "__w").localCheckpoint()
+    }.toDF("__item", "__w")
+    if (checkpoint) raw.localCheckpoint() else raw
   }
 
   /** Items with count >= ceil(phi * N) over `items(itemCol)` (cast to
     * string; nulls ignored). Returns `(itemCol, cnt: BIGINT)` — exact. */
   def frequentItems(items: DataFrame, itemCol: String, phi: Double): DataFrame = {
-    require(phi > 0.0 && phi <= 1.0, s"phi=$phi must be in (0, 1]")
-    val k = math.max(1, math.ceil(1.0 / phi).toInt)
+    val k = mgCapacity(phi)
     val ds = itemStrings(items, itemCol)
     val partials = mgPartials(ds, k)
     val n = partials.filter(col("__item").isNull)
@@ -116,8 +133,7 @@ object HeavyHitters {
     * Null group keys are dropped with the null items. */
   def frequentItemsByGroup(df: DataFrame, groupCol: String, itemCol: String,
                            phi: Double): DataFrame = {
-    require(phi > 0.0 && phi <= 1.0, s"phi=$phi must be in (0, 1]")
-    val k = math.max(1, math.ceil(1.0 / phi).toInt)
+    val k = mgCapacity(phi)
     val spark = df.sparkSession
     import spark.implicits._
     val ds = df.select(col(groupCol).cast("string").as("__grp"),
@@ -169,7 +185,7 @@ object HeavyHitters {
     * downstream. */
   private[pipeline] def mgCandidates(items: DataFrame, itemCol: String,
                                      phi: Double): DataFrame = {
-    val k = math.max(1, math.ceil(1.0 / phi).toInt)
+    val k = mgCapacity(phi)
     mgPartials(itemStrings(items, itemCol), k)
       .filter(col("__item").isNotNull)
       .select(col("__item").as(itemCol)).distinct()

@@ -62,30 +62,51 @@ object SubstrDedup {
   /** 64-bit rolling polynomial window hashes (base 1000003, mod 2^64 via
     * native overflow), one per 1-based start position; length < L or null
     * text → empty. Collisions are handled by the verify pass, so the
-    * un-reduced modulus costs nothing in exactness. */
+    * un-reduced modulus costs nothing in exactness.
+    *
+    * Positions index CODE POINTS, not UTF-16 units — the indexing world of
+    * Spark SQL `substr` (the verify extraction), DuckDB `substr` (the
+    * oracle), and the cut (which converts back via offsetByCodePoints), so
+    * supplementary-plane characters (emoji, rare CJK) cannot shift the
+    * verified gram off the hashed window. */
   private[pipeline] def windowHashesUdf(L: Int) = udf { text: String =>
-    if (text == null || text.length < L) Array.empty[Long]
+    if (text == null) Array.empty[Long]
     else {
-      val B = 1000003L
-      val n = text.length - L + 1
-      val out = new Array[Long](n)
-      var h = 0L
-      var pw = 1L // B^(L-1)
-      var i = 0
-      while (i < L) {
-        h = h * B + text.charAt(i)
-        if (i < L - 1) pw *= B
-        i += 1
+      val cps = codePoints(text)
+      if (cps.length < L) Array.empty[Long]
+      else {
+        val B = 1000003L
+        val n = cps.length - L + 1
+        val out = new Array[Long](n)
+        var h = 0L
+        var pw = 1L // B^(L-1)
+        var i = 0
+        while (i < L) {
+          h = h * B + cps(i)
+          if (i < L - 1) pw *= B
+          i += 1
+        }
+        out(0) = h
+        i = 1
+        while (i < n) {
+          h = (h - cps(i - 1) * pw) * B + cps(i + L - 1)
+          out(i) = h
+          i += 1
+        }
+        out
       }
-      out(0) = h
-      i = 1
-      while (i < n) {
-        h = (h - text.charAt(i - 1) * pw) * B + text.charAt(i + L - 1)
-        out(i) = h
-        i += 1
-      }
-      out
     }
+  }
+
+  private def codePoints(text: String): Array[Int] = {
+    val out = new Array[Int](text.codePointCount(0, text.length))
+    var i = 0; var j = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      out(j) = cp; j += 1
+      i += Character.charCount(cp)
+    }
+    out
   }
 
   /** 1-based positions `(id, p)` whose L-char window occurs >= minCount
@@ -114,10 +135,14 @@ object SubstrDedup {
     val dupH = pos.groupBy("__h").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount).select("__h")
     val cand = pos.join(dupH, Seq("__h")).select(col(idCol), col("p"))
+    // checkpoint the BOUNDED candidate-gram relation: it feeds two (three
+    // with keepFirst) consumers below, and without the pin each one would
+    // re-execute the corpus-wide position pass + the doc join
     val withGram = cand.join(df.select(col(idCol), col(textCol)), Seq(idCol))
       .withColumn("__g",
         col(textCol).substr(col("p").cast("int"), lit(minLength)))
       .select(col(idCol), col("p"), col("__g"))
+      .localCheckpoint()
     val dupG = withGram.groupBy("__g").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount).select("__g")
     val verified = withGram.join(dupG, Seq("__g"))
@@ -221,6 +246,7 @@ object SubstrDedup {
       .join(df.select(col(idCol), tokensCol(textCol).as("__toks")), Seq(idCol))
       .withColumn("__g", gramUdf(col("__toks"), col("p")))
       .select(col(idCol), col("p"), col("__g"))
+      .localCheckpoint() // bounded; two (three with keepFirst) consumers
     val dupG = withGram.groupBy("__g").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount).select("__g")
     val verified = withGram.join(dupG, Seq("__g"))
@@ -303,12 +329,19 @@ object SubstrDedup {
       if (text == null) null
       else {
         val sb = new java.lang.StringBuilder(text.length)
-        var at = 0 // 0-based next char to copy
+        var at = 0 // 0-based next UTF-16 offset to copy
+        var atCp = 0 // its codepoint index
+        def utf16At(cpIdx: Int): Int = { // advance from (at, atCp), never back
+          val off = text.offsetByCodePoints(at, cpIdx - atCp)
+          off
+        }
         spans.foreach { r =>
-          val s = r.getLong(0).toInt - 1 // 0-based span start
-          val e = r.getLong(1).toInt // 0-based one-past-end
+          val sCp = r.getLong(0).toInt - 1 // 0-based codepoint span start
+          val eCp = r.getLong(1).toInt // 0-based one-past-end (codepoints)
+          val s = utf16At(sCp)
           if (s > at) sb.append(text, at, s)
-          at = math.max(at, e)
+          at = text.offsetByCodePoints(s, eCp - sCp)
+          atCp = eCp
         }
         if (at < text.length) sb.append(text, at, text.length)
         sb.toString

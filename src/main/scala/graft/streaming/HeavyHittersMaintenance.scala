@@ -27,7 +27,8 @@ import graft.pipeline.HeavyHitters
   * foreachBatch id); a restarted query rebuilds from its source of truth.
   */
 class HeavyHittersMaintenance(k: Int, itemCol: String = "item") {
-  require(k >= 1, s"k=$k must be >= 1")
+  require(k >= 1 && k <= graft.pipeline.HeavyHitters.MaxK,
+    s"k=$k must be in [1, ${graft.pipeline.HeavyHitters.MaxK}]")
 
   private val summary = new java.util.HashMap[String, Long](k * 2)
   private var n = 0L
@@ -68,7 +69,8 @@ class HeavyHittersMaintenance(k: Int, itemCol: String = "item") {
       if (batchId <= lastBatchId) return this // replay
       lastBatchId = batchId
       val partials = HeavyHitters.mgPartials(
-        HeavyHitters.itemStrings(batch, itemCol), k).collect()
+        HeavyHitters.itemStrings(batch, itemCol), k,
+        checkpoint = false).collect() // single consumer: no block churn
       partials.foreach { r =>
         if (r.isNullAt(0)) n += r.getLong(1)
         else { // additive counter merge

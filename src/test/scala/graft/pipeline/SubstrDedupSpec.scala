@@ -190,6 +190,41 @@ class SubstrDedupSpec extends SparkSpec {
     assert(marked == dupPos)
   }
 
+  test("supplementary-plane chars: marked set matches the CODEPOINT brute force; cut is surrogate-safe") {
+    import spark.implicits._
+    val emo = new String(Character.toChars(0x1F600)) // 1 codepoint, 2 UTF-16 units
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("spark", "scan", "join", emo, "agg", s"x${emo}y")
+    val docs = (1L to 40L).map(i =>
+      (i, Seq.fill(20)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val L = 12
+    val marked = SubstrDedup.markedPositions(docs.toDF("id", "text"), "id", "text", L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force in CODEPOINT space — the indexing world of Spark/DuckDB substr
+    val grams = docs.flatMap { case (id, t) =>
+      val cps = t.codePoints().toArray
+      (1 to cps.length - L + 1).map(p =>
+        (new String(cps, p - 1, L), (id, p.toLong)))
+    }
+    val dupPos = grams.groupBy(_._1).filter(_._2.size >= 2).values.flatten.map(_._2).toSet
+    assert(marked == dupPos)
+    // the cut must never split a surrogate pair: every output is a valid
+    // round-trippable string with intact emoji codepoints
+    val cleaned = SubstrDedup.dedupSubstrings(docs.toDF("id", "text"), "id", "text", L)
+      .collect().map(_.getString(1))
+    cleaned.foreach { s =>
+      var i = 0
+      while (i < s.length) {
+        assert(!Character.isLowSurrogate(s.charAt(i)),
+          s"dangling low surrogate at $i in '$s'") // high must precede
+        if (Character.isHighSurrogate(s.charAt(i))) {
+          assert(i + 1 < s.length && Character.isLowSurrogate(s.charAt(i + 1)))
+          i += 2
+        } else i += 1
+      }
+    }
+  }
+
   test("short and null texts pass through untouched") {
     import spark.implicits._
     val df = Seq((1L, Some("tiny")), (2L, None), (3L, Some("also tiny")))
