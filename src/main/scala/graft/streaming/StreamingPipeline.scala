@@ -385,6 +385,93 @@ object StreamingPipeline {
       }
   }
 
+  /** Per-group MG summary carried across micro-batches: parallel
+    * item/counter seqs (bounded by k) plus the group's total item count. */
+  final case class MgGroupState(items: Seq[String], counts: Seq[Long], n: Long)
+
+  /** One certified candidate emitted for a group after a trigger:
+    * `est_low <= true count <= est_high`; `group_n` is the group's items
+    * observed so far. */
+  final case class HeavyHitterUpdate(key: String, item: String,
+                                     est_low: Long, est_high: Long,
+                                     group_n: Long)
+
+  /** Streaming per-group heavy hitters — the continuous analogue of
+    * [[graft.pipeline.HeavyHitters.frequentItemsByGroup]] as an explicit
+    * `flatMapGroupsWithState` state machine (update mode): each trigger
+    * folds the group's new items into its bounded k-counter Misra-Gries
+    * summary (k = ceil(1/phi), state O(k) per group at ANY stream length)
+    * and re-emits the group's current certified candidate set — every item
+    * whose TRUE count could reach ceil(phi·n) given the summary's anytime
+    * bound `est <= true <= est + n/(k+1)`. A guaranteed superset of the
+    * group's true heavy hitters at every trigger (phi > 1/(k+1) holds by
+    * construction); recount the reported items against retained data when
+    * exact counts are needed — same contract as
+    * [[HeavyHittersMaintenance]], but keyed state sharded across executors
+    * instead of one driver-resident summary, so group cardinality scales
+    * with the cluster.
+    *
+    * `maxIdle` evicts groups idle longer than the horizon
+    * (ProcessingTimeTimeout — same pacing caveat as
+    * [[runningCorpusStats]]); `None` keeps state forever (bounded group
+    * spaces only, and `processAllAvailable` works). */
+  def streamingGroupedHeavyHitters(rows: Dataset[(String, String)],
+      phi: Double, maxIdle: Option[String] = Some("30 minutes"))
+      : Dataset[HeavyHitterUpdate] = {
+    import rows.sparkSession.implicits._
+    require(phi > 0.0 && phi <= 1.0, s"phi=$phi must be in (0, 1]")
+    require(1.0 / phi <= graft.pipeline.HeavyHitters.MaxK,
+      s"phi=$phi needs more than ${graft.pipeline.HeavyHitters.MaxK} counters per group")
+    val k = math.max(1, math.ceil(1.0 / phi).toInt)
+    val timeoutConf = if (maxIdle.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+                      else GroupStateTimeout.NoTimeout()
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[MgGroupState, HeavyHitterUpdate](
+        OutputMode.Update(), timeoutConf) {
+        case (key, it, state: GroupState[MgGroupState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val s0 = state.getOption.getOrElse(MgGroupState(Nil, Nil, 0L))
+            val m = new java.util.HashMap[String, Long](k * 2)
+            s0.items.iterator.zip(s0.counts.iterator).foreach { case (x, c) =>
+              m.put(x, c)
+            }
+            var n = s0.n
+            var changed = false
+            it.foreach { case (_, x) =>
+              n += 1L; changed = true
+              val cur = m.get(x)
+              if (cur != 0L) m.put(x, cur + 1L)
+              else if (m.size < k) m.put(x, 1L)
+              else {
+                val itr = m.entrySet().iterator()
+                while (itr.hasNext) {
+                  val e = itr.next()
+                  if (e.getValue == 1L) itr.remove()
+                  else e.setValue(e.getValue - 1L)
+                }
+              }
+            }
+            if (!changed) Iterator.empty
+            else {
+              val items = new scala.collection.mutable.ArrayBuffer[String](m.size)
+              val counts = new scala.collection.mutable.ArrayBuffer[Long](m.size)
+              m.forEach { (x, c) => items += x; counts += c }
+              state.update(MgGroupState(items.toSeq, counts.toSeq, n))
+              maxIdle.foreach(state.setTimeoutDuration)
+              val thr = math.max(1L, math.ceil(phi * n).toLong)
+              val err = n / (k + 1L)
+              items.iterator.zip(counts.iterator).collect {
+                case (x, c) if c + err >= thr =>
+                  HeavyHitterUpdate(key, x, c, c + err, n)
+              }
+            }
+          }
+      }
+  }
+
   /** Interval string → microseconds, via the same catalyst parser Spark
     * applies to `withWatermark` delays. Calendar units are flattened the
     * way streaming state management does (a month as 31 days), which only

@@ -109,6 +109,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming grouped heavy hitters: anytime MG bounds hold per group across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def batch(seed: Int): Seq[(String, String)] = {
+      val r = new scala.util.Random(seed)
+      (1 to 400).map(_ => ("big", s"b${math.min(49, (math.pow(r.nextDouble(), 3) * 50).toInt)}")) ++
+        (1 to 60).map(_ => ("small", s"s${r.nextInt(4)}"))
+    }
+    val batches = (1 to 4).map(batch)
+    val truth = batches.flatten.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    }
+    val ms = MemoryStream[(String, String)]
+    val phi = 0.05 // k = 20
+    val out = graft.streaming.StreamingPipeline.streamingGroupedHeavyHitters(
+      ms.toDS(), phi, maxIdle = None)
+    val q = out.writeStream.format("memory").queryName("stream_hh")
+      .outputMode("update").start()
+    try {
+      batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      // the FINAL trigger's rows carry group_n == the group's full total
+      // (totals strictly increase per batch); within one trigger each
+      // (key, item) appears at most once
+      val all = spark.table("stream_hh")
+        .select("key", "item", "est_low", "est_high", "group_n")
+        .as[(String, String, Long, Long, Long)].collect()
+      val finalRows = all.filter { case (g, _, _, _, gn) =>
+        gn == truth(g).values.sum }
+      assert(finalRows.nonEmpty)
+      // bounds bracket the truth for every finally-reported candidate
+      finalRows.foreach { case (g, item, lo, hi, _) =>
+        val t = truth(g).getOrElse(item, 0L)
+        assert(lo <= t && t <= hi, s"$g/$item lo=$lo true=$t hi=$hi")
+      }
+      // certified superset: every TRUE heavy hitter of each group appears
+      // among that group's final-trigger reports
+      for ((g, counts) <- truth) {
+        val n = counts.values.sum
+        val thr = math.max(1L, math.ceil(phi * n).toLong)
+        val trueHH = counts.filter(_._2 >= thr).keySet
+        val reported = finalRows.filter(_._1 == g).map(_._2).toSet
+        assert(trueHH.subsetOf(reported), s"$g missing ${trueHH -- reported}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming minhash near-dup: cross-batch and in-batch collisions emit candidates") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
