@@ -20,6 +20,7 @@ import graft.pipeline.{CorpusPipeline, Dedup, TextAnalysis}
   *   SELECT * FROM corpus_token_budget(TABLE(docs), 'doc_id', 'text', 2000[, 'lang'])
   *   SELECT * FROM text_features(TABLE(docs), 'text')         -- stats+langid+quality
   *   SELECT * FROM text_pii_scrub(TABLE(docs), 'text')
+  *   SELECT * FROM text_quality_rules(TABLE(docs), 'text')  -- Gopher+C4 rule booleans
   *   SELECT * FROM dedup_exact_drop(TABLE(docs), 'doc_id', 'text')
   *   SELECT * FROM dedup_minhash_pairs(TABLE(docs), 'doc_id', 'text', 0.5)
   *   SELECT * FROM dedup_components(TABLE(pairs), 'a', 'b')
@@ -194,6 +195,13 @@ object PipelineSql {
 
     // ExactSubstr character-span dedup (relational end-to-end: lazy like
     // dedup_paragraphs).
+    r.createOrReplaceTempFunction("text_quality_rules", (exprs: Seq[Expression]) => {
+      require(exprs.length == 2,
+        "usage: text_quality_rules(TABLE(t), text_col)")
+      plan(TextAnalysis.withQualityRules(tableArg(spark, exprs(0)),
+        constString(exprs(1))))
+    }, "scala_udf")
+
     r.createOrReplaceTempFunction("dedup_substr", (exprs: Seq[Expression]) => {
       require(exprs.length >= 4 && exprs.length <= 6,
         "usage: dedup_substr(TABLE(t), id_col, text_col, min_length[, min_count, keep_first])")

@@ -140,6 +140,80 @@ object TextAnalysis {
     * 2021, §A1.1). High values flag boilerplate/spam/looping generations.
     * Row-local array built-ins (NON-distinct gram list, unlike the dedup
     * shingles), SQL-mirrorable bit-for-bit. */
+  /** The NAMED rule packs of web-corpus filtering, as per-rule boolean
+    * columns: the Gopher quality rules (Rae et al. 2021, Appendix A) and
+    * the doc-level C4 signals (Raffel et al. 2020). All codegen'd Column
+    * arithmetic over one tokenize + one line split — no UDFs — and every
+    * definition is SQL-replayable, so the whole rule table has a strict
+    * oracle. Use downstream as `filter(col("gopher_pass"))` or inspect
+    * per-rule to tune; the composite [[qualityScore]] is the soft-score
+    * sibling.
+    *
+    * Added columns (BOOLEAN unless noted):
+    *   gopher_word_count      — 50 <= words <= 100,000
+    *   gopher_mean_word_len   — 3 <= mean word length <= 10
+    *   gopher_symbol_ratio    — ('#' + '...') occurrences / words <= 0.1
+    *   gopher_bullet_lines    — <= 90% of lines start with a bullet
+    *   gopher_ellipsis_lines  — <= 30% of lines end with ... / ellipsis
+    *   gopher_alpha_words     — >= 80% of words contain a letter
+    *   gopher_stop_words      — >= 2 distinct of the 8 Gopher stop words
+    *   gopher_pass            — AND of the seven
+    *   c4_terminal_punct_frac — DOUBLE, fraction of lines ending . ! ? "
+    *   c4_has_brace           — text contains '{' (code/markup signal)
+    *   c4_has_lorem_ipsum     — lowercase text contains 'lorem ipsum'
+    *
+    * Empty documents (no words / no non-blank lines) fail every gopher
+    * rule and score 0 terminal punctuation. */
+  def withQualityRules(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val base = df
+      .withColumn("__qr_ws", filter(split(t, "\\s+"), w => length(w) > 0))
+      .withColumn("__qr_lines",
+        filter(transform(split(t, "\n"), l => trim(l)), l => length(l) > 0))
+    val ws = col("__qr_ws")
+    val lines = col("__qr_lines")
+    val nWords = size(ws).cast("long")
+    val nLines = size(lines).cast("long")
+    val sumWordLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+    val meanWordLen = sumWordLen.cast("double") / nWords.cast("double")
+    val hashes = (length(t) - length(translate(t, "#", ""))).cast("long")
+    val ellipses = ((length(t) -
+      length(call_function("replace", t, lit("..."), lit("")))) / 3).cast("long")
+    val symbolRatio = (hashes + ellipses).cast("double") / nWords.cast("double")
+    val bulletFrac = size(filter(lines, l =>
+      l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
+      .cast("double") / nLines.cast("double")
+    val ellipsisFrac = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…")))
+      .cast("double") / nLines.cast("double")
+    val alphaFrac = size(filter(ws, w => w.rlike("[A-Za-z]")))
+      .cast("double") / nWords.cast("double")
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = size(array_intersect(array_distinct(ws), typedLit(gopherStops)))
+    val termFrac = when(nLines === 0L, 0.0).otherwise(
+      size(filter(lines, l => l.endsWith(".") || l.endsWith("!") ||
+        l.endsWith("?") || l.endsWith("\"")))
+        .cast("double") / nLines.cast("double"))
+    def rule(c: Column): Column = when(nWords === 0L, lit(false)).otherwise(c)
+    val out = base
+      .withColumn("gopher_word_count", rule(nWords.between(50L, 100000L)))
+      .withColumn("gopher_mean_word_len", rule(meanWordLen.between(3.0, 10.0)))
+      .withColumn("gopher_symbol_ratio", rule(symbolRatio <= 0.1))
+      .withColumn("gopher_bullet_lines", rule(bulletFrac <= 0.9))
+      .withColumn("gopher_ellipsis_lines", rule(ellipsisFrac <= 0.3))
+      .withColumn("gopher_alpha_words", rule(alphaFrac >= 0.8))
+      .withColumn("gopher_stop_words", rule(stopHits >= 2))
+      .withColumn("c4_terminal_punct_frac", termFrac)
+      .withColumn("c4_has_brace", t.contains("{"))
+      .withColumn("c4_has_lorem_ipsum", lower(t).contains("lorem ipsum"))
+    out.withColumn("gopher_pass",
+        col("gopher_word_count") && col("gopher_mean_word_len") &&
+        col("gopher_symbol_ratio") && col("gopher_bullet_lines") &&
+        col("gopher_ellipsis_lines") && col("gopher_alpha_words") &&
+        col("gopher_stop_words"))
+      .drop("__qr_ws", "__qr_lines")
+  }
+
   def repetitionRatio(text: Column, n: Int = 3): Column = {
     val toksExpr = filter(split(lower(text), "\\s+"), t => length(t) > 0)
     // token array hoisted into a lambda variable (see Dedup.sqlShingles):

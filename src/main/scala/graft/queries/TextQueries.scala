@@ -715,6 +715,18 @@ object TextQueries {
           phi = 0.01)
         .orderBy("token")),
 
+    // the NAMED web-filter rule packs (Gopher Rae et al. 2021 App. A; C4
+    // doc-level signals): per-rule booleans from pure Column arithmetic —
+    // every definition replays in SQL, so the whole rule table is strict
+    "text_quality_rules" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.TextAnalysis.withQualityRules(docs(s, dir), "text")
+        .select("doc_id", "gopher_word_count", "gopher_mean_word_len",
+          "gopher_symbol_ratio", "gopher_bullet_lines",
+          "gopher_ellipsis_lines", "gopher_alpha_words", "gopher_stop_words",
+          "gopher_pass", "c4_terminal_punct_frac", "c4_has_brace",
+          "c4_has_lorem_ipsum")
+        .orderBy("doc_id")),
+
     // per-group heavy hitters: tokens with >= 2% of EACH language slice's
     // token mass — fully relational (per-group MG partials, thresholds
     // joined in, nothing collects), exact, so the grouped HAVING replays
@@ -1592,6 +1604,59 @@ object TextQueries {
         |FROM t GROUP BY token
         |HAVING count(*) >= ceil(0.01 * (SELECT n FROM n))
         |ORDER BY token""".stripMargin,
+
+    // the rule packs replayed definition-for-definition (list
+    // comprehensions for the word/line sets, integer-exact symbol counts,
+    // IEEE double fractions — booleans compare exactly)
+    "text_quality_rules" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    [w FOR w IN string_split_regex(text, '\s+') IF len(w) > 0] AS ws,
+        |    [l FOR l IN [trim(x) FOR x IN string_split(text, chr(10))]
+        |       IF len(l) > 0] AS ls
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, text, ws, ls,
+        |    len(ws) AS nw, len(ls) AS nl,
+        |    length(text) - length(replace(text, '#', '')) AS hashes,
+        |    (length(text) - length(replace(text, '...', ''))) // 3 AS ellipses
+        |  FROM b
+        |)
+        |SELECT doc_id,
+        |  nw > 0 AND nw BETWEEN 50 AND 100000 AS gopher_word_count,
+        |  nw > 0 AND (list_sum([len(w) FOR w IN ws])::DOUBLE / nw)
+        |    BETWEEN 3.0 AND 10.0 AS gopher_mean_word_len,
+        |  nw > 0 AND ((hashes + ellipses)::DOUBLE / nw) <= 0.1 AS gopher_symbol_ratio,
+        |  nw > 0 AND (len([l FOR l IN ls IF starts_with(l, '-')
+        |      OR starts_with(l, '*') OR starts_with(l, '•')])::DOUBLE / nl) <= 0.9
+        |    AS gopher_bullet_lines,
+        |  nw > 0 AND (len([l FOR l IN ls IF ends_with(l, '...')
+        |      OR ends_with(l, '…')])::DOUBLE / nl) <= 0.3 AS gopher_ellipsis_lines,
+        |  nw > 0 AND (len([w FOR w IN ws
+        |      IF regexp_matches(w, '[A-Za-z]')])::DOUBLE / nw) >= 0.8
+        |    AS gopher_alpha_words,
+        |  nw > 0 AND len(list_intersect(list_distinct(ws),
+        |      ['the','be','to','of','and','that','have','with'])) >= 2
+        |    AS gopher_stop_words,
+        |  (nw > 0 AND nw BETWEEN 50 AND 100000)
+        |    AND (list_sum([len(w) FOR w IN ws])::DOUBLE / nw) BETWEEN 3.0 AND 10.0
+        |    AND ((hashes + ellipses)::DOUBLE / nw) <= 0.1
+        |    AND (len([l FOR l IN ls IF starts_with(l, '-')
+        |        OR starts_with(l, '*') OR starts_with(l, '•')])::DOUBLE / nl) <= 0.9
+        |    AND (len([l FOR l IN ls IF ends_with(l, '...')
+        |        OR ends_with(l, '…')])::DOUBLE / nl) <= 0.3
+        |    AND (len([w FOR w IN ws
+        |        IF regexp_matches(w, '[A-Za-z]')])::DOUBLE / nw) >= 0.8
+        |    AND len(list_intersect(list_distinct(ws),
+        |        ['the','be','to','of','and','that','have','with'])) >= 2
+        |    AS gopher_pass,
+        |  CASE WHEN nl = 0 THEN 0.0
+        |       ELSE len([l FOR l IN ls IF ends_with(l, '.') OR ends_with(l, '!')
+        |         OR ends_with(l, '?') OR ends_with(l, '"')])::DOUBLE / nl
+        |  END AS c4_terminal_punct_frac,
+        |  contains(text, '{') AS c4_has_brace,
+        |  contains(lower(text), 'lorem ipsum') AS c4_has_lorem_ipsum
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // grouped heavy hitters replayed as the definition: per-lang totals,
     // HAVING against each group's own threshold

@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+class QualityRulesSpec extends SparkSpec {
+
+  private def rules(rows: Seq[(Long, String)]): Map[Long, org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    TextAnalysis.withQualityRules(rows.toDF("id", "text"), "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+  }
+
+  private val goodBody = // 60 words, letters, 3 distinct gopher stop words
+    (Seq.fill(12)("the cat sat with that") :+ "").mkString(" ").trim
+
+  test("a clean document passes every gopher rule") {
+    val r = rules(Seq(1L -> goodBody))(1L)
+    for (c <- Seq("gopher_word_count", "gopher_mean_word_len",
+      "gopher_symbol_ratio", "gopher_bullet_lines", "gopher_ellipsis_lines",
+      "gopher_alpha_words", "gopher_stop_words", "gopher_pass"))
+      assert(r.getAs[Boolean](c), c)
+    assert(!r.getAs[Boolean]("c4_has_brace"))
+    assert(!r.getAs[Boolean]("c4_has_lorem_ipsum"))
+  }
+
+  test("each rule fails on its targeted pathology, others keep passing") {
+    val bullets = (1 to 10).map(i => s"- item $i of the list with that thing here").mkString("\n")
+    val ellipses = (1 to 10).map(i => s"the line $i with that trailing dots here ...").mkString("\n")
+    val symbols = goodBody + " " + Seq.fill(10)("###").mkString(" ")
+    val numbers = (Seq.fill(30)("12345 67890") :+ "the with that").mkString(" ")
+    val short = "the cat with that"
+    val r = rules(Seq(1L -> bullets, 2L -> ellipses, 3L -> symbols,
+      4L -> numbers, 5L -> short))
+    assert(!r(1L).getAs[Boolean]("gopher_bullet_lines")) // 100% bullet lines
+    assert(r(1L).getAs[Boolean]("gopher_alpha_words"))
+    assert(!r(2L).getAs[Boolean]("gopher_ellipsis_lines")) // 100% ... lines
+    assert(!r(3L).getAs[Boolean]("gopher_symbol_ratio")) // 30 hashes / 70 words
+    assert(!r(4L).getAs[Boolean]("gopher_alpha_words")) // 60/63 numeric words
+    assert(!r(5L).getAs[Boolean]("gopher_word_count")) // 4 words < 50
+    assert(r.values.forall(!_.getAs[Boolean]("gopher_pass")))
+  }
+
+  test("c4 signals: terminal punctuation fraction, braces, lorem ipsum") {
+    val r = rules(Seq(
+      1L -> "First line ends well.\nsecond does not\nThird asks?",
+      2L -> "function f() { return 1 }",
+      3L -> "Classic filler Lorem Ipsum dolor sit amet."))
+    assert(math.abs(r(1L).getAs[Double]("c4_terminal_punct_frac") - 2.0 / 3) < 1e-12)
+    assert(r(2L).getAs[Boolean]("c4_has_brace"))
+    assert(r(3L).getAs[Boolean]("c4_has_lorem_ipsum"))
+  }
+
+  test("empty and null documents fail every gopher rule without errors") {
+    import spark.implicits._
+    val df = Seq((1L, Some("")), (2L, None), (3L, Some("   \n  ")))
+      .toDF("id", "text")
+    val got = TextAnalysis.withQualityRules(df, "text").collect()
+    got.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("gopher_pass")) ||
+        !r.getAs[Boolean]("gopher_pass"))
+    }
+  }
+}
