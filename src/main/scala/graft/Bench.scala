@@ -460,7 +460,8 @@ object Bench {
     // blocks, GC) — running them after the serving lines keeps every
     // pre-r12 line's JVM state comparable round-over-round.
     for (name <- Seq("dedup_substr", "heavy_hitters",
-                     "heavy_hitters_by_lang", "corpus_clusters_full")) {
+                     "heavy_hitters_by_lang", "corpus_clusters_full",
+                     "text_repetition_rules")) {
       time(name) { noop(q(name)(spark, sfDir)) }
     }
 

@@ -21,6 +21,7 @@ import graft.pipeline.{CorpusPipeline, Dedup, TextAnalysis}
   *   SELECT * FROM text_features(TABLE(docs), 'text')         -- stats+langid+quality
   *   SELECT * FROM text_pii_scrub(TABLE(docs), 'text')
   *   SELECT * FROM text_quality_rules(TABLE(docs), 'text')  -- Gopher+C4 rule booleans
+  *   SELECT * FROM text_repetition_rules(TABLE(docs), 'doc_id', 'text')  -- Gopher repetition fractions
   *   SELECT * FROM dedup_exact_drop(TABLE(docs), 'doc_id', 'text')
   *   SELECT * FROM dedup_minhash_pairs(TABLE(docs), 'doc_id', 'text', 0.5)
   *   SELECT * FROM dedup_components(TABLE(pairs), 'a', 'b')
@@ -200,6 +201,13 @@ object PipelineSql {
         "usage: text_quality_rules(TABLE(t), text_col)")
       plan(TextAnalysis.withQualityRules(tableArg(spark, exprs(0)),
         constString(exprs(1))))
+    }, "scala_udf")
+
+    r.createOrReplaceTempFunction("text_repetition_rules", (exprs: Seq[Expression]) => {
+      require(exprs.length == 3,
+        "usage: text_repetition_rules(TABLE(t), id_col, text_col)")
+      plan(TextAnalysis.withRepetitionRules(tableArg(spark, exprs(0)),
+        constString(exprs(1)), constString(exprs(2))))
     }, "scala_udf")
 
     r.createOrReplaceTempFunction("dedup_substr", (exprs: Seq[Expression]) => {

@@ -214,6 +214,139 @@ object TextAnalysis {
       .drop("__qr_ws", "__qr_lines")
   }
 
+  /** The Gopher REPETITION rule pack (Rae et al. 2021, Appendix A — the
+    * within-document half; [[withQualityRules]] is the quality half), the
+    * filter set Dolma/RefinedWeb run in production. Thirteen fractions per
+    * document plus the composite boolean:
+    *
+    *   rep_dup_line_frac       <= 0.30  lines that repeat an earlier line
+    *   rep_dup_line_char_frac  <= 0.20  chars in those repeat occurrences
+    *   rep_dup_para_frac       <= 0.30  same, paragraph granularity
+    *   rep_dup_para_char_frac  <= 0.20
+    *   rep_top_{2,3,4}gram_frac<= 0.20/0.18/0.16  word-chars covered by the
+    *                                    most frequent REPEATED word n-gram
+    *                                    (count >= 2; 0 when nothing
+    *                                    repeats — a unique doc's top gram
+    *                                    trivially covers len/total)
+    *   rep_dup_{5..10}gram_frac<= 0.15/0.14/0.13/0.12/0.11/0.10  word-chars
+    *                                    covered by ALL n-grams occurring
+    *                                    twice+ (overlap-agnostic sum, capped
+    *                                    at 1 — the RefinedWeb practical
+    *                                    definition)
+    *   gopher_repetition_pass  = AND of the thirteen (false for empty docs)
+    *
+    * Definitions pinned for cross-engine replay: a "duplicate" unit is any
+    * occurrence beyond a unit's first (frac = (n_units - n_distinct) /
+    * n_units; char frac = chars of those occurrences / total unit chars);
+    * n-gram coverage counts WORD chars (gram string length minus its n-1
+    * separator spaces) over the doc's total word chars.
+    *
+    * Shape: relational end-to-end — one line explode, one paragraph
+    * explode, ONE word explode whose window (partition id, order pos)
+    * builds all nine gram sizes via lead() in a single pass, one
+    * (id, n, gram) count shuffle, bounded per-doc aggregates joined back.
+    * No UDFs, no per-doc collects; every fraction is a ratio of exact
+    * integers so the booleans and doubles replay bit-for-bit in SQL. */
+  def withRepetitionRules(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = col(textCol)
+    val id = col(idCol)
+
+    def unitStats(units: Column, name: String): DataFrame =
+      df.select(id, explode(units).as("__u"))
+        .groupBy(id, col("__u"))
+        .agg(count(lit(1)).as("__c"), length(col("__u")).as("__len"))
+        .groupBy(id).agg(
+          sum(col("__c")).as(s"__${name}_n"),
+          count(lit(1)).as(s"__${name}_d"),
+          sum((col("__c") - 1) * col("__len")).as(s"__${name}_dupch"),
+          sum(col("__c") * col("__len")).as(s"__${name}_totch"))
+
+    val lineUnits = filter(transform(split(t, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val paraUnits = filter(transform(split(t, "\n{2,}"), p => trim(p)),
+      p => length(p) > 0)
+    val lineStats = unitStats(lineUnits, "ln")
+    val paraStats = unitStats(paraUnits, "pr")
+
+    val ws = filter(split(t, "\\s+"), w => length(w) > 0)
+    val words = df.select(id, posexplode(ws).as(Seq("__pos", "__w")))
+    val wordChars = words.groupBy(id)
+      .agg(sum(length(col("__w"))).as("__wchars"))
+    val win = Window.partitionBy(id).orderBy("__pos")
+    val withLeads = (1 to 9).foldLeft(words) { (acc, k) =>
+      acc.withColumn(s"__l$k", lead(col("__w"), k).over(win))
+    }
+    val gramCols = (2 to 10).map { n =>
+      val parts = col("__w") +: (1 until n).map(k => col(s"__l$k"))
+      // null lead ⇒ window runs past the doc end ⇒ no gram at this pos
+      when(col(s"__l${n - 1}").isNotNull, concat_ws(" ", parts: _*))
+        .as(s"__g$n")
+    }
+    val grams = withLeads.select((id +: gramCols): _*)
+      .select(id, expr(
+        "stack(9, " + (2 to 10).map(n => s"$n, __g$n").mkString(", ") +
+          ") as (__n, __g)"))
+      .filter(col("__g").isNotNull)
+    val gramStats = grams.groupBy(id, col("__n"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__gch", (length(col("__g")) - (col("__n") - 1)))
+      .groupBy(id, col("__n")).agg(
+        // only REPEATED grams count as repetition: a unique doc's most
+        // frequent gram occurs once and covers len/total of it trivially —
+        // scoring that would fail every short clean document
+        max(when(col("__c") >= 2, col("__c") * col("__gch"))
+          .otherwise(0L)).as("__topch"),
+        sum(when(col("__c") >= 2, col("__c") * col("__gch"))
+          .otherwise(0L)).as("__dupch"))
+    // wide: one row per doc with per-n columns
+    val gramWide = gramStats.groupBy(id).pivot("__n", (2 to 10).map(Integer.valueOf))
+      .agg(first("__topch").as("topch"), first("__dupch").as("dupch"))
+
+    def frac(num: Column, den: Column): Column =
+      when(den.isNull || den === 0L, 0.0)
+        .otherwise(num.cast("double") / den.cast("double"))
+
+    val joined = df
+      .join(lineStats, Seq(idCol), "left")
+      .join(paraStats, Seq(idCol), "left")
+      .join(wordChars, Seq(idCol), "left")
+      .join(gramWide, Seq(idCol), "left")
+    val out = joined
+      .withColumn("rep_dup_line_frac",
+        frac(col("__ln_n") - col("__ln_d"), col("__ln_n")))
+      .withColumn("rep_dup_line_char_frac",
+        frac(col("__ln_dupch"), col("__ln_totch")))
+      .withColumn("rep_dup_para_frac",
+        frac(col("__pr_n") - col("__pr_d"), col("__pr_n")))
+      .withColumn("rep_dup_para_char_frac",
+        frac(col("__pr_dupch"), col("__pr_totch")))
+    val withTops = (2 to 4).foldLeft(out) { (acc, n) =>
+      acc.withColumn(s"rep_top_${n}gram_frac",
+        frac(coalesce(col(s"${n}_topch"), lit(0L)), col("__wchars")))
+    }
+    val withDups = (5 to 10).foldLeft(withTops) { (acc, n) =>
+      acc.withColumn(s"rep_dup_${n}gram_frac",
+        least(lit(1.0), frac(coalesce(col(s"${n}_dupch"), lit(0L)),
+          col("__wchars"))))
+    }
+    val thresholds = Seq(
+      "rep_dup_line_frac" -> 0.30, "rep_dup_line_char_frac" -> 0.20,
+      "rep_dup_para_frac" -> 0.30, "rep_dup_para_char_frac" -> 0.20,
+      "rep_top_2gram_frac" -> 0.20, "rep_top_3gram_frac" -> 0.18,
+      "rep_top_4gram_frac" -> 0.16, "rep_dup_5gram_frac" -> 0.15,
+      "rep_dup_6gram_frac" -> 0.14, "rep_dup_7gram_frac" -> 0.13,
+      "rep_dup_8gram_frac" -> 0.12, "rep_dup_9gram_frac" -> 0.11,
+      "rep_dup_10gram_frac" -> 0.10)
+    val pass = thresholds.map { case (c, thr) => col(c) <= thr }
+      .reduce(_ && _) && coalesce(col("__wchars"), lit(0L)) > 0L
+    withDups.withColumn("gopher_repetition_pass", pass)
+      .drop((Seq("__ln_n", "__ln_d", "__ln_dupch", "__ln_totch",
+        "__pr_n", "__pr_d", "__pr_dupch", "__pr_totch", "__wchars") ++
+        (2 to 10).flatMap(n => Seq(s"${n}_topch", s"${n}_dupch"))): _*)
+  }
+
   def repetitionRatio(text: Column, n: Int = 3): Column = {
     val toksExpr = filter(split(lower(text), "\\s+"), t => length(t) > 0)
     // token array hoisted into a lambda variable (see Dedup.sqlShingles):

@@ -727,6 +727,18 @@ object TextQueries {
           "c4_has_lorem_ipsum")
         .orderBy("doc_id")),
 
+    // the Gopher REPETITION pack (the within-doc half): 13 fractions +
+    // composite boolean, all ratios of exact integers — strict
+    "text_repetition_rules" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.TextAnalysis.withRepetitionRules(docs(s, dir),
+          "doc_id", "text")
+        .select((Seq("doc_id", "rep_dup_line_frac", "rep_dup_line_char_frac",
+          "rep_dup_para_frac", "rep_dup_para_char_frac") ++
+          (2 to 4).map(n => s"rep_top_${n}gram_frac") ++
+          (5 to 10).map(n => s"rep_dup_${n}gram_frac") :+
+          "gopher_repetition_pass").map(col): _*)
+        .orderBy("doc_id")),
+
     // per-group heavy hitters: tokens with >= 2% of EACH language slice's
     // token mass — fully relational (per-group MG partials, thresholds
     // joined in, nothing collects), exact, so the grouped HAVING replays
@@ -1604,6 +1616,80 @@ object TextQueries {
         |FROM t GROUP BY token
         |HAVING count(*) >= ceil(0.01 * (SELECT n FROM n))
         |ORDER BY token""".stripMargin,
+
+    // the repetition pack replayed: per-unit group counts via unnest,
+    // per-n gram CTEs generated from the same definitions (word-chars =
+    // gram length minus separators), integer-exact sums, capped doubles
+    "text_repetition_rules" -> {
+      def grCte(n: Int): String =
+        s"""gr$n AS (
+           |  SELECT doc_id,
+           |    max(CASE WHEN c >= 2 THEN c * gch ELSE 0 END) AS topch,
+           |    sum(CASE WHEN c >= 2 THEN c * gch ELSE 0 END) AS dupch
+           |  FROM (SELECT doc_id, g, count(*) AS c, length(g) - ${n - 1} AS gch
+           |        FROM (SELECT doc_id,
+           |                unnest([array_to_string(ws[i:i+${n - 1}], ' ')
+           |                  FOR i IN generate_series(1, len(ws) - ${n - 1})]) AS g
+           |              FROM b) GROUP BY doc_id, g)
+           |  GROUP BY doc_id)""".stripMargin
+      def unitCte(name: String, listCol: String): String =
+        s"""$name AS (
+           |  SELECT doc_id, sum(c) AS n, count(*) AS d,
+           |         sum((c - 1) * len) AS dupch, sum(c * len) AS totch
+           |  FROM (SELECT doc_id, u, count(*) AS c, length(u) AS len
+           |        FROM (SELECT doc_id, unnest($listCol) AS u FROM b)
+           |        GROUP BY doc_id, u)
+           |  GROUP BY doc_id)""".stripMargin
+      def fr(num: String, den: String): String =
+        s"CASE WHEN $den IS NULL OR $den = 0 THEN 0.0 ELSE CAST($num AS DOUBLE) / $den END"
+      val fracs = Seq(
+        s"${fr("ln.n - ln.d", "ln.n")} AS rep_dup_line_frac",
+        s"${fr("ln.dupch", "ln.totch")} AS rep_dup_line_char_frac",
+        s"${fr("pr.n - pr.d", "pr.n")} AS rep_dup_para_frac",
+        s"${fr("pr.dupch", "pr.totch")} AS rep_dup_para_char_frac") ++
+        (2 to 4).map(n =>
+          s"${fr(s"coalesce(gr$n.topch, 0)", "w.wch")} AS rep_top_${n}gram_frac") ++
+        (5 to 10).map(n =>
+          s"least(1.0, ${fr(s"coalesce(gr$n.dupch, 0)", "w.wch")}) AS rep_dup_${n}gram_frac")
+      val thresholds = Seq(
+        "rep_dup_line_frac" -> 0.30, "rep_dup_line_char_frac" -> 0.20,
+        "rep_dup_para_frac" -> 0.30, "rep_dup_para_char_frac" -> 0.20,
+        "rep_top_2gram_frac" -> 0.20, "rep_top_3gram_frac" -> 0.18,
+        "rep_top_4gram_frac" -> 0.16, "rep_dup_5gram_frac" -> 0.15,
+        "rep_dup_6gram_frac" -> 0.14, "rep_dup_7gram_frac" -> 0.13,
+        "rep_dup_8gram_frac" -> 0.12, "rep_dup_9gram_frac" -> 0.11,
+        "rep_dup_10gram_frac" -> 0.10)
+      val passExpr = thresholds.map { case (c, t) => s"$c <= $t" }
+        .mkString(" AND ") + " AND wch_pos"
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    [x FOR x IN string_split_regex(text, '\\s+') IF len(x) > 0] AS ws,
+         |    [l FOR l IN [trim(x) FOR x IN string_split(text, chr(10))]
+         |       IF len(l) > 0] AS lns,
+         |    [p FOR p IN [trim(x) FOR x IN string_split_regex(text, '\\n{2,}')]
+         |       IF len(p) > 0] AS prs
+         |  FROM documents
+         |), ${unitCte("lnstat", "lns")},
+         |${unitCte("prstat", "prs")},
+         |wchars AS (
+         |  SELECT doc_id, list_sum([len(x) FOR x IN ws]) AS wch FROM b
+         |),
+         |${(2 to 10).map(grCte).mkString(",\n")}
+         |SELECT doc_id, ${(Seq("rep_dup_line_frac", "rep_dup_line_char_frac",
+            "rep_dup_para_frac", "rep_dup_para_char_frac") ++
+            (2 to 4).map(n => s"rep_top_${n}gram_frac") ++
+            (5 to 10).map(n => s"rep_dup_${n}gram_frac")).mkString(", ")},
+         |  ($passExpr) AS gopher_repetition_pass
+         |FROM (
+         |  SELECT b.doc_id, ${fracs.mkString(",\n    ")},
+         |    coalesce(w.wch, 0) > 0 AS wch_pos
+         |  FROM b
+         |  LEFT JOIN lnstat ln USING (doc_id)
+         |  LEFT JOIN prstat pr USING (doc_id)
+         |  LEFT JOIN wchars w USING (doc_id)
+         |  ${(2 to 10).map(n => s"LEFT JOIN gr$n USING (doc_id)").mkString("\n  ")}
+         |) ORDER BY doc_id""".stripMargin
+    },
 
     // the rule packs replayed definition-for-definition (list
     // comprehensions for the word/line sets, integer-exact symbol counts,
