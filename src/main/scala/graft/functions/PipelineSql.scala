@@ -22,6 +22,7 @@ import graft.pipeline.{CorpusPipeline, Dedup, TextAnalysis}
   *   SELECT * FROM text_pii_scrub(TABLE(docs), 'text')
   *   SELECT * FROM text_quality_rules(TABLE(docs), 'text')  -- Gopher+C4 rule booleans
   *   SELECT * FROM text_repetition_rules(TABLE(docs), 'doc_id', 'text')  -- Gopher repetition fractions
+  *   SELECT * FROM c4_clean_lines(TABLE(docs), 'text'[, min_words, min_lines])
   *   SELECT * FROM dedup_exact_drop(TABLE(docs), 'doc_id', 'text')
   *   SELECT * FROM dedup_minhash_pairs(TABLE(docs), 'doc_id', 'text', 0.5)
   *   SELECT * FROM dedup_components(TABLE(pairs), 'a', 'b')
@@ -201,6 +202,15 @@ object PipelineSql {
         "usage: text_quality_rules(TABLE(t), text_col)")
       plan(TextAnalysis.withQualityRules(tableArg(spark, exprs(0)),
         constString(exprs(1))))
+    }, "scala_udf")
+
+    r.createOrReplaceTempFunction("c4_clean_lines", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 2 && exprs.length <= 4,
+        "usage: c4_clean_lines(TABLE(t), text_col[, min_words_per_line, min_lines_per_doc])")
+      val mw = if (exprs.length > 2) constInt(exprs(2)) else 3
+      val ml = if (exprs.length > 3) constInt(exprs(3)) else 5
+      plan(TextAnalysis.c4CleanLines(tableArg(spark, exprs(0)),
+        constString(exprs(1)), mw, ml))
     }, "scala_udf")
 
     r.createOrReplaceTempFunction("text_repetition_rules", (exprs: Seq[Expression]) => {

@@ -214,6 +214,39 @@ object TextAnalysis {
       .drop("__qr_ws", "__qr_lines")
   }
 
+  /** The C4 line-level cleaner (Raffel et al. 2020 §2.2) — the REWRITE
+    * sibling of the scoring packs: keep only lines that (a) end in a
+    * terminal punctuation mark (. ! ? "), (b) carry at least
+    * `minWordsPerLine` words, (c) mention neither "javascript" nor
+    * "lorem ipsum" (case-insensitive), and (d) contain no '{'. Returns
+    * `(input columns…, text_clean, n_lines, n_lines_kept, doc_keep)` where
+    * `text_clean` is the kept lines re-joined with newlines and `doc_keep`
+    * applies the doc-level floor (`minLinesPerDoc` kept lines — C4's
+    * five-sentence floor, line-approximated). Entirely row-local Column
+    * HOFs over one line split — codegen end-to-end, no explode, no UDF,
+    * nothing shuffles. */
+  def c4CleanLines(df: DataFrame, textCol: String, minWordsPerLine: Int = 3,
+                   minLinesPerDoc: Int = 5): DataFrame = {
+    val t = col(textCol)
+    val lines = filter(transform(split(t, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val kept = filter(lines, l => {
+      val low = lower(l)
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+        l.endsWith("\"")) &&
+        size(filter(split(l, "\\s+"), w => length(w) > 0)) >= minWordsPerLine &&
+        !low.contains("javascript") && !low.contains("lorem ipsum") &&
+        !l.contains("{")
+    })
+    df.withColumn("__c4_lines", lines)
+      .withColumn("__c4_kept", kept)
+      .withColumn("text_clean", array_join(col("__c4_kept"), "\n"))
+      .withColumn("n_lines", size(col("__c4_lines")).cast("long"))
+      .withColumn("n_lines_kept", size(col("__c4_kept")).cast("long"))
+      .withColumn("doc_keep", col("n_lines_kept") >= minLinesPerDoc)
+      .drop("__c4_lines", "__c4_kept")
+  }
+
   /** The Gopher REPETITION rule pack (Rae et al. 2021, Appendix A — the
     * within-document half; [[withQualityRules]] is the quality half), the
     * filter set Dolma/RefinedWeb run in production. Thirteen fractions per

@@ -727,6 +727,21 @@ object TextQueries {
           "c4_has_lorem_ipsum")
         .orderBy("doc_id")),
 
+    // C4 line-level cleaning (Raffel et al. 2020 §2.2) — the rewrite form:
+    // the query INJECTS a known line mix (terminal-punct body line, short
+    // line, compliant keeper, javascript line, brace line) so every rule
+    // fires; the rewritten text byte-compares. Strict
+    "c4_clean_lines" -> ((s: SparkSession, dir: String) => {
+      val dirty = docs(s, dir).select(col("doc_id"), concat(col("text"),
+        lit(".\nshort line\nThis kept line has enough words here.\n" +
+          "A javascript mention drops this line now.\n" +
+          "Brace { kills this line as well here.")).as("text"))
+      graft.pipeline.TextAnalysis.c4CleanLines(dirty, "text",
+          minWordsPerLine = 3, minLinesPerDoc = 2)
+        .select("doc_id", "text_clean", "n_lines", "n_lines_kept", "doc_keep")
+        .orderBy("doc_id")
+    }),
+
     // the Gopher REPETITION pack (the within-doc half): 13 fractions +
     // composite boolean, all ratios of exact integers — strict
     "text_repetition_rules" -> ((s: SparkSession, dir: String) =>
@@ -1616,6 +1631,38 @@ object TextQueries {
         |FROM t GROUP BY token
         |HAVING count(*) >= ceil(0.01 * (SELECT n FROM n))
         |ORDER BY token""".stripMargin,
+
+    // the line cleaner replayed: same injected mix, comprehension filter
+    // with the four C4 predicates, array_to_string reassembly
+    "c4_clean_lines" ->
+      """WITH dirty AS (
+        |  SELECT doc_id, text || '.' || chr(10) || 'short line' || chr(10)
+        |    || 'This kept line has enough words here.' || chr(10)
+        |    || 'A javascript mention drops this line now.' || chr(10)
+        |    || 'Brace { kills this line as well here.' AS text
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id,
+        |    [l FOR l IN [trim(x) FOR x IN string_split(text, chr(10))]
+        |       IF len(l) > 0] AS ls
+        |  FROM dirty
+        |), k AS (
+        |  SELECT doc_id, ls,
+        |    [l FOR l IN ls IF
+        |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+        |        OR ends_with(l, '"'))
+        |      AND len([w FOR w IN string_split_regex(l, '\s+')
+        |               IF len(w) > 0]) >= 3
+        |      AND NOT contains(lower(l), 'javascript')
+        |      AND NOT contains(lower(l), 'lorem ipsum')
+        |      AND NOT contains(l, '{')] AS ks
+        |  FROM b
+        |)
+        |SELECT doc_id, array_to_string(ks, chr(10)) AS text_clean,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(ks) AS BIGINT) AS n_lines_kept,
+        |  len(ks) >= 2 AS doc_keep
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     // the repetition pack replayed: per-unit group counts via unnest,
     // per-n gram CTEs generated from the same definitions (word-chars =

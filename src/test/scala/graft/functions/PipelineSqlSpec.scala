@@ -59,6 +59,8 @@ class PipelineSqlSpec extends SparkSpec {
       graft.pipeline.TextAnalysis.withQualityRules(docsDf, "text"))
     sameRows("SELECT * FROM text_repetition_rules(TABLE(pl_docs), 'doc_id', 'text')",
       graft.pipeline.TextAnalysis.withRepetitionRules(docsDf, "doc_id", "text"))
+    sameRows("SELECT * FROM c4_clean_lines(TABLE(pl_docs), 'text', 3, 1)",
+      graft.pipeline.TextAnalysis.c4CleanLines(docsDf, "text", 3, 1))
     sameRows("SELECT * FROM dedup_exact_drop(TABLE(pl_docs), 'doc_id', 'text')",
       Dedup.dropExactDuplicates(docsDf, "doc_id", "text"))
     sameRows("SELECT * FROM dedup_paragraphs(TABLE(pl_docs), 'doc_id', 'text')",

@@ -50,6 +50,30 @@ class QualityRulesSpec extends SparkSpec {
     assert(r(3L).getAs[Boolean]("c4_has_lorem_ipsum"))
   }
 
+  test("c4CleanLines keeps exactly the compliant lines and applies the doc floor") {
+    import spark.implicits._
+    val text = Seq(
+      "This proper sentence stays right here.",
+      "no punct so dropped",
+      "Too short.",
+      "Sneaky JavaScript line gets removed here.",
+      "A lorem ipsum line is also removed now.",
+      "Braces { disqualify this whole line too.",
+      "Ends with a question properly asked, yes?").mkString("\n")
+    val got = TextAnalysis.c4CleanLines(
+        Seq((1L, text)).toDF("id", "text"), "text", minWordsPerLine = 3,
+        minLinesPerDoc = 2)
+      .select("text_clean", "n_lines", "n_lines_kept", "doc_keep").head()
+    assert(got.getString(0) ==
+      "This proper sentence stays right here.\nEnds with a question properly asked, yes?")
+    assert(got.getLong(1) == 7L && got.getLong(2) == 2L)
+    assert(got.getBoolean(3))
+    val strict = TextAnalysis.c4CleanLines(
+        Seq((1L, text)).toDF("id", "text"), "text", minLinesPerDoc = 5)
+      .select("doc_keep").head()
+    assert(!strict.getBoolean(0)) // 2 kept < 5
+  }
+
   test("empty and null documents fail every gopher rule without errors") {
     import spark.implicits._
     val df = Seq((1L, Some("")), (2L, None), (3L, Some("   \n  ")))
