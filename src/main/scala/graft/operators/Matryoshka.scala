@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.{AnnIndex, AnnIndexManager}
+
+/** Matryoshka (MRL) prefix serving — Kusupati et al. 2022: embeddings
+  * trained with Matryoshka representation learning carry a usable
+  * lower-dimensional embedding in every PREFIX of the vector, so the
+  * first-stage index can store and scan only the first d' dimensions
+  * (d'/d of the memory and FLOPs) and an exact full-dimension rerank of
+  * the overfetched candidates restores quality — the same
+  * coarse-then-refine contract as the PQ/BQ/RaBitQ rerank paths, with the
+  * coarse code being a plain prefix instead of a learned quantizer.
+  *
+  * Exactness: at exhaustive overfetch (k·overfetch >= n) the rerank IS the
+  * brute-force answer (the strict-oracle configuration); at serving
+  * overfetch, recall depends on how well the prefix separates the corpus —
+  * the MRL training property. Metrics: l2/ip rerank on the raw base
+  * column; for cosine pass a pre-normalized base (the prefix index
+  * normalizes its own stored prefixes at build, but a prefix of a
+  * normalized vector is not normalized — the rerank must own the
+  * convention).
+  *
+  * 100 TB posture: the first stage inherits whatever engine backs the
+  * prefix index (IVF cells, DiskANN shards — all the existing machinery);
+  * the rerank is a bounded candidate join (k·overfetch rows) against the
+  * base relation, the same shape as `ann_search_fetch`. */
+object Matryoshka {
+
+  /** Build the first-stage index over the d'-dim PREFIX of `vecCol`
+    * (any engine/params the index manager accepts). */
+  def createPrefixIndex(spark: SparkSession, name: String, df: DataFrame,
+                        idCol: String, vecCol: String, dPrefix: Int,
+                        engine: String = "FLAT",
+                        params: Map[String, String] = Map("metric" -> "l2"),
+                        path: String): AnnIndex = {
+    require(dPrefix >= 1, s"dPrefix=$dPrefix must be >= 1")
+    val pref = df.select(col(idCol), slice(col(vecCol), 1, dPrefix).as(vecCol))
+    AnnIndexManager.create(spark, name, pref, idCol, vecCol, engine, params,
+      path)
+  }
+
+  /** Prefix-stage scan (query truncated to the index's dim) + exact
+    * rerank of the k·overfetch candidates on the FULL query against
+    * `base(vecCol)` under the index's metric. Returns
+    * `(baseIdCol, _distance)` ordered by the exact distance. */
+  def searchRerank(idx: AnnIndex, base: DataFrame, baseIdCol: String,
+                   vecCol: String, q: Array[Float], k: Int, overfetch: Int,
+                   searchParam: Int = -1): DataFrame = {
+    val dp = idx.meta.dim
+    require(q.length >= dp,
+      s"query dim ${q.length} shorter than the prefix index dim $dp")
+    require(overfetch >= 1, s"overfetch=$overfetch must be >= 1")
+    val cands = idx.scan(q.take(dp), k * overfetch, searchParam)
+      .select(col("id").as(baseIdCol))
+    cands.join(base, Seq(baseIdCol))
+      .withColumn("_distance", idx.floatDistColumn(col(vecCol), typedLit(q)))
+      .select(col(baseIdCol), col("_distance"))
+      .orderBy(col("_distance"), col(baseIdCol))
+      .limit(k)
+  }
+}

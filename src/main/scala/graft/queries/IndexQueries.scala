@@ -42,6 +42,12 @@ object IndexQueries {
         "IVF", Map("metric" -> "l2", "nlist" -> "8", "nprobe" -> "8",
           "train_mode" -> "full", "table" -> "embeddings"), path))
 
+  private def matryoshkaIndex(s: SparkSession, dir: String): AnnIndex =
+    AnnIndexManager.getOrBuild(s, "emb_mrl16", dir, path =>
+      graft.operators.Matryoshka.createPrefixIndex(s, "emb_mrl16",
+        emb(s, dir), "vec_id", "embedding", dPrefix = 16, "FLAT",
+        Map("metric" -> "l2", "table" -> "embeddings"), path))
+
   private def fp16Index(s: SparkSession, dir: String): AnnIndex =
     AnnIndexManager.getOrBuild(s, "emb_fp16", dir, path =>
       AnnIndexManager.create(s, "emb_fp16", emb(s, dir), "vec_id", "embedding",
@@ -262,6 +268,19 @@ object IndexQueries {
     // merge machinery while staying exact → strict oracle.
     "ann_ivf_topk" -> ((s: SparkSession, dir: String) =>
       ranked(ivfIndex(s, dir).scan(qvecF(6), K, searchParam = 8))),
+
+    // Matryoshka prefix serving (Kusupati et al. 2022): first stage scans
+    // the 16-of-64-dim prefix index, exact full-dim rerank at exhaustive
+    // overfetch (k*50 >= corpus) → lossless → strict brute-force oracle
+    "ann_matryoshka_rerank" -> ((s: SparkSession, dir: String) => {
+      val res = graft.operators.Matryoshka.searchRerank(
+        matryoshkaIndex(s, dir), emb(s, dir), "vec_id", "embedding",
+        qvecF(21), K, overfetch = 50)
+      res.withColumn("rank", row_number().over(
+          Window.orderBy(col("_distance"), col("vec_id"))).cast("long"))
+        .select("rank", "vec_id")
+        .orderBy("rank")
+    }),
 
     // IVF trained by distributed FULL-DATA Lloyd (train_mode=full): probing
     // all cells keeps search exhaustive-exact, so the brute-force oracle
@@ -962,6 +981,7 @@ object IndexQueries {
     "ann_flat_topk" -> bruteForceTopK(5),
     "ann_ivf_topk" -> bruteForceTopK(6),
     "ann_ivf_full_topk" -> bruteForceTopK(6),
+    "ann_matryoshka_rerank" -> bruteForceTopK(21),
     "ann_ivf_adaptive_exact" -> bruteForceTopK(6),
     "ann_range" -> bruteForceRange(5, 8.5),
     "ann_range_vamana" -> bruteForceRange(5, 8.5),

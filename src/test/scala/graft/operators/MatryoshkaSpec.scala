@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.VectorKernels
+
+import java.nio.file.Files
+
+class MatryoshkaSpec extends SparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("graft_mrl_spec").toString
+
+  // MRL-shaped fixture: cluster identity lives in the FIRST 8 dims (the
+  // prefix), the tail 24 dims carry noise — the structure Matryoshka
+  // training produces
+  private lazy val vecs: Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(9)
+    Seq.tabulate(300) { i =>
+      val c = i % 8
+      val v = Array.tabulate(32) { j =>
+        (if (j == c) 6f else 0f) + (rnd.nextFloat() - 0.5f) *
+          (if (j < 8) 0.5f else 2.0f)
+      }
+      (i.toLong, v)
+    }
+  }
+
+  private def bruteTopK(q: Array[Float], k: Int): Seq[Long] =
+    vecs.map { case (id, v) => (id, VectorKernels.l2Sq(q, v)) }
+      .sortBy { case (id, d) => (d, id) }.take(k).map(_._1)
+
+  private lazy val idx = {
+    import spark.implicits._
+    Matryoshka.createPrefixIndex(spark, "mrl_t8", vecs.toDF("id", "embedding"),
+      "id", "embedding", dPrefix = 8, "FLAT", Map("metric" -> "l2"),
+      s"$tmp/mrl_t8")
+  }
+
+  private def queries(seed: Int, n: Int): Seq[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n) {
+      val c = rnd.nextInt(8)
+      Array.tabulate(32)(j => (if (j == c) 6f else 0f) + rnd.nextFloat() - 0.5f)
+    }
+  }
+
+  test("exhaustive overfetch equals brute force (the strict-oracle configuration)") {
+    import spark.implicits._
+    val base = vecs.toDF("id", "embedding")
+    for (q <- queries(1, 4)) {
+      val got = Matryoshka.searchRerank(idx, base, "id", "embedding", q,
+        k = 10, overfetch = 30) // 300 cands = corpus
+      assert(got.collect().map(_.getLong(0)).toSeq == bruteTopK(q, 10))
+    }
+  }
+
+  test("serving overfetch on MRL-shaped data keeps recall high") {
+    import spark.implicits._
+    val base = vecs.toDF("id", "embedding")
+    val recalls = queries(2, 10).map { q =>
+      val got = Matryoshka.searchRerank(idx, base, "id", "embedding", q,
+        k = 10, overfetch = 4).collect().map(_.getLong(0)).toSet
+      got.intersect(bruteTopK(q, 10).toSet).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall $mean under prefix separation")
+  }
+
+  test("a query shorter than the prefix dim is rejected") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      Matryoshka.searchRerank(idx, vecs.toDF("id", "embedding"), "id",
+        "embedding", Array.fill(4)(0f), 10, 4)
+    }
+  }
+}
