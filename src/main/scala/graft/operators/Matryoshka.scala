@@ -42,6 +42,34 @@ object Matryoshka {
       path)
   }
 
+  /** Table-input batch form: every query row's vector truncates to the
+    * prefix for stage 1 (the existing [[AnnSearch.searchTable]] machinery
+    * — any engine, bounded-heap grouped top-k), the FULL vector rides the
+    * passthrough, and the per-query rerank joins the k·overfetch
+    * candidates against `base` with a window-ranked exact cut. Returns
+    * `(queryIdCol, baseIdCol, _distance)`. */
+  def searchRerankTable(idx: AnnIndex, queries: DataFrame, base: DataFrame,
+                        baseIdCol: String, vecCol: String, k: Int,
+                        overfetch: Int, queryIdCol: String,
+                        queryVecCol: String,
+                        searchParam: Int = -1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dp = idx.meta.dim
+    require(overfetch >= 1, s"overfetch=$overfetch must be >= 1")
+    val q2 = queries.select(col(queryIdCol), col(queryVecCol).as("__qfull"),
+      slice(col(queryVecCol), 1, dp).as("__qpref"))
+    val cands = AnnSearch.searchTable(idx, q2, k * overfetch,
+      nprobe = searchParam, queryVecCol = Some("__qpref"),
+      queryIdCol = Some(queryIdCol))
+    cands.select(col(queryIdCol), col("__qfull"), col("id").as(baseIdCol))
+      .join(base.select(col(baseIdCol), col(vecCol)), Seq(baseIdCol))
+      .withColumn("_distance", idx.floatDistColumn(col(vecCol), col("__qfull")))
+      .withColumn("__rn", row_number().over(Window.partitionBy(queryIdCol)
+        .orderBy(col("_distance"), col(baseIdCol))))
+      .filter(col("__rn") <= k)
+      .select(col(queryIdCol), col(baseIdCol), col("_distance"))
+  }
+
   /** Prefix-stage scan (query truncated to the index's dim) + exact
     * rerank of the k·overfetch candidates on the FULL query against
     * `base(vecCol)` under the index's metric. Returns

@@ -282,6 +282,21 @@ object IndexQueries {
         .orderBy("rank")
     }),
 
+    // the batch table form at exhaustive overfetch: per-query exact
+    "ann_matryoshka_table" -> ((s: SparkSession, dir: String) => {
+      val queries = emb(s, dir).filter(col("vec_id") < 4)
+        .select(col("vec_id").as("q_vec_id"), col("embedding"))
+      val res = graft.operators.Matryoshka.searchRerankTable(
+        matryoshkaIndex(s, dir), queries, emb(s, dir), "vec_id", "embedding",
+        k = 5, overfetch = 100, queryIdCol = "q_vec_id",
+        queryVecCol = "embedding")
+      res.withColumn("rank", row_number().over(
+          Window.partitionBy("q_vec_id")
+            .orderBy(col("_distance"), col("vec_id"))).cast("long"))
+        .select("q_vec_id", "rank", "vec_id")
+        .orderBy("q_vec_id", "rank")
+    }),
+
     // IVF trained by distributed FULL-DATA Lloyd (train_mode=full): probing
     // all cells keeps search exhaustive-exact, so the brute-force oracle
     // strictly pins the build+assign+search path over the full-trained
@@ -982,6 +997,16 @@ object IndexQueries {
     "ann_ivf_topk" -> bruteForceTopK(6),
     "ann_ivf_full_topk" -> bruteForceTopK(6),
     "ann_matryoshka_rerank" -> bruteForceTopK(21),
+
+    "ann_matryoshka_table" ->
+      s"""SELECT q_vec_id, rank, vec_id FROM (
+         |  SELECT q.vec_id AS q_vec_id, e.vec_id, CAST(row_number() OVER (
+         |    PARTITION BY q.vec_id
+         |    ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+         |                           CAST(q.embedding AS DOUBLE[])), e.vec_id) AS BIGINT) AS rank
+         |  FROM (SELECT * FROM embeddings WHERE vec_id < 4) q
+         |  CROSS JOIN embeddings e) t
+         |WHERE rank <= 5 ORDER BY q_vec_id, rank""".stripMargin,
     "ann_ivf_adaptive_exact" -> bruteForceTopK(6),
     "ann_range" -> bruteForceRange(5, 8.5),
     "ann_range_vamana" -> bruteForceRange(5, 8.5),

@@ -65,6 +65,27 @@ class MatryoshkaSpec extends SparkSpec {
     assert(mean >= 0.9, s"mean recall $mean under prefix separation")
   }
 
+  test("table form equals the scalar form query-by-query") {
+    import spark.implicits._
+    val base = vecs.toDF("id", "embedding")
+    val qs = queries(3, 5)
+    val qdf = qs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("qid", "qvec")
+    val batch = Matryoshka.searchRerankTable(idx, qdf, base, "id",
+        "embedding", k = 7, overfetch = 5, queryIdCol = "qid",
+        queryVecCol = "qvec")
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(r => (r.getDouble(2), r.getLong(1)))
+          .map(_.getLong(1)).toSeq
+      }
+    qs.zipWithIndex.foreach { case (q, i) =>
+      val scalar = Matryoshka.searchRerank(idx, base, "id", "embedding", q,
+        k = 7, overfetch = 5).collect().map(_.getLong(0)).toSeq
+      assert(batch(i.toLong) == scalar, s"query $i")
+    }
+  }
+
   test("a query shorter than the prefix dim is rejected") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
