@@ -46,6 +46,7 @@ import graft.pipeline.{CorpusPipeline, Dedup, TextAnalysis}
   *   SELECT * FROM dsir_resample(TABLE(raw), 'doc_id', 'text', TABLE(target), n[, hex_chars, alpha])
   *   SELECT * FROM maxsim_search_table(TABLE(queries), 'query_idx', 'qvecs', TABLE(docs), 'doc_id', 'vecs', k)
   *   SELECT * FROM maxsim_ann_table('pooled_idx', TABLE(queries), 'query_idx', 'qvecs', TABLE(docs), 'doc_id', 'vecs', k, overfetch)
+  *   SELECT * FROM matryoshka_table('prefix_idx', TABLE(queries), 'qid', 'qvec', TABLE(base), 'id', 'vec', k, overfetch[, search_param])
   *
   * TABLE(...) arguments embed the analyzed child plan directly (same
   * mechanism as [[AnnSql]]); the returned relation is lazy — these are
@@ -434,6 +435,23 @@ object PipelineSql {
         tableArg(spark, exprs(0)), constString(exprs(1)), constString(exprs(2)),
         tableArg(spark, exprs(3)), constString(exprs(4)), constString(exprs(5)),
         constInt(exprs(6))))
+    }, "scala_udf")
+
+    r.createOrReplaceTempFunction("matryoshka_table", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 9 && exprs.length <= 10,
+        "usage: matryoshka_table('prefix_index', TABLE(queries), qid_col, qvec_col, " +
+          "TABLE(base), id_col, vec_col, k, overfetch[, search_param])")
+      val name = constString(exprs(0))
+      val path = graft.index.AnnIndexManager.registered.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown index: $name"))
+      val sp = if (exprs.length > 9) constInt(exprs(9)) else -1
+      plan(graft.operators.Matryoshka.searchRerankTable(
+        graft.index.AnnIndexManager.load(spark, path),
+        tableArg(spark, exprs(1)), tableArg(spark, exprs(4)),
+        constString(exprs(5)), constString(exprs(6)),
+        constInt(exprs(7)), constInt(exprs(8)),
+        queryIdCol = constString(exprs(2)), queryVecCol = constString(exprs(3)),
+        searchParam = sp))
     }, "scala_udf")
 
     r.createOrReplaceTempFunction("maxsim_ann_table", (exprs: Seq[Expression]) => {

@@ -157,6 +157,28 @@ class PipelineSqlSpec extends SparkSpec {
     } finally graft.index.AnnIndexManager.drop("pl_maxsim_idx")
   }
 
+  test("Matryoshka TVF mirrors the Scala API") {
+    PipelineSql.register(spark)
+    import spark.implicits._
+    val base = Seq.tabulate(30)(i =>
+      (i.toLong, Array.tabulate(8)(j => (i * 5 + j) % 13 / 10.0f)))
+      .toDF("id", "vec")
+    val queries = Seq((0L, Array.tabulate(8)(j => j / 10.0f)),
+      (1L, Array.tabulate(8)(j => (7 - j) / 10.0f))).toDF("qid", "qvec")
+    base.createOrReplaceTempView("pl_mrl_base")
+    queries.createOrReplaceTempView("pl_mrl_q")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mrl_sql").toString
+    val idx = graft.operators.Matryoshka.createPrefixIndex(spark,
+      "pl_mrl_idx", base, "id", "vec", dPrefix = 4, "FLAT",
+      Map("metric" -> "l2"), s"$tmp/idx")
+    try {
+      sameRows(
+        "SELECT * FROM matryoshka_table('pl_mrl_idx', TABLE(pl_mrl_q), 'qid', 'qvec', TABLE(pl_mrl_base), 'id', 'vec', 5, 6)",
+        graft.operators.Matryoshka.searchRerankTable(idx, queries, base,
+          "id", "vec", 5, 6, queryIdCol = "qid", queryVecCol = "qvec"))
+    } finally graft.index.AnnIndexManager.drop("pl_mrl_idx")
+  }
+
   test("Bloom decontamination, BPE, and quality-score TVFs mirror the Scala API") {
     PipelineSql.register(spark)
     import spark.implicits._
