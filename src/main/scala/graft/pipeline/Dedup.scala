@@ -566,9 +566,22 @@ object Dedup {
     * via 4×16-bit chunk banding (pigeonhole: any pair within distance 3
     * shares at least one exact chunk). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    hammingNearDups(withSimhash(df, textCol), idCol, "simhash", maxHamming,
+      maxBucket)
+
+  /** Banded Hamming near-dup pairs over an ARBITRARY 64-bit hash column
+    * (SimHash, image aHash/dHash, any fingerprint): same 4×16-bit chunk
+    * banding and capped buckets as [[simhashNearDups]] — complete for
+    * maxHamming <= 3 by pigeonhole; null hashes never pair. Returns
+    * `(a, b, hamming)` with a < b. */
+  def hammingNearDups(df: DataFrame, idCol: String, hashCol: String,
                       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = withCacheScope {
+    require(maxHamming <= 3,
+      s"maxHamming=$maxHamming exceeds the 4-band completeness bound (3)")
     val hashed = trackCache(
-      withSimhash(df, textCol).select(col(idCol), col("simhash")).cache())
+      df.filter(col(hashCol).isNotNull)
+        .select(col(idCol), col(hashCol).cast("long").as("simhash")).cache())
     val chunked = hashed.select(col(idCol), col("simhash"), posexplode(
       expr("transform(sequence(0,3), c -> shiftright(simhash, c*16) & 65535)"))
       .as(Seq("chunk", "chunk_val")))

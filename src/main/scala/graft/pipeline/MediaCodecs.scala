@@ -304,4 +304,68 @@ object MediaCodecs {
     }
     out
   }
+
+  // ---- perceptual hashes (image near-dup primitives) ----
+
+  /** Integer luma (ITU-R 601 weights, /1000 floor) at pixel (x, y) —
+    * exact integer arithmetic so hashes are bit-deterministic. */
+  private def grayAt(img: ImageData, x: Int, y: Int): Int =
+    if (img.channels == 1) img.pixels(y * img.width + x) & 0xff
+    else {
+      val b = (y * img.width + x) * img.channels
+      (299 * (img.pixels(b) & 0xff) + 587 * (img.pixels(b + 1) & 0xff) +
+        114 * (img.pixels(b + 2) & 0xff)) / 1000
+    }
+
+  /** Floor-mean gray over the block grid cell (bx, by) of a gw×gh grid;
+    * degenerate cells (image smaller than the grid) fall back to the
+    * single nearest pixel, so every cell is defined for any ≥1×1 image. */
+  private def blockMean(img: ImageData, bx: Int, by: Int,
+                        gw: Int, gh: Int): Int = {
+    val x0 = bx * img.width / gw
+    val x1 = math.max(x0 + 1, (bx + 1) * img.width / gw)
+    val y0 = by * img.height / gh
+    val y1 = math.max(y0 + 1, (by + 1) * img.height / gh)
+    var s = 0L; var n = 0L
+    var y = math.min(y0, img.height - 1)
+    val yEnd = math.min(y1, img.height)
+    while (y < yEnd) {
+      var x = math.min(x0, img.width - 1)
+      val xEnd = math.min(x1, img.width)
+      while (x < xEnd) { s += grayAt(img, x, y); n += 1; x += 1 }
+      y += 1
+    }
+    if (n == 0) grayAt(img, math.min(x0, img.width - 1),
+      math.min(y0, img.height - 1))
+    else (s / n).toInt
+  }
+
+  /** 64-bit AVERAGE hash: 8×8 block means, bit set where the block mean
+    * exceeds the floor-mean of the 64 block means. Bit (by*8 + bx) from
+    * the MSB. Pure integer arithmetic — deterministic across JVMs. */
+  def aHash64(img: ImageData): Long = {
+    val m = Array.tabulate(8, 8)((by, bx) => blockMean(img, bx, by, 8, 8))
+    val avg = m.flatten.map(_.toLong).sum / 64
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      if (m(i / 8)(i % 8) > avg) h |= 1L << (63 - i)
+      i += 1
+    }
+    h
+  }
+
+  /** 64-bit DIFFERENCE hash: 9×8 block means, bit set where the left
+    * block mean is less than its right neighbor (gradient direction) —
+    * more robust than aHash to global brightness shifts. */
+  def dHash64(img: ImageData): Long = {
+    val m = Array.tabulate(8, 9)((by, bx) => blockMean(img, bx, by, 9, 8))
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      if (m(i / 8)(i % 8) < m(i / 8)(i % 8 + 1)) h |= 1L << (63 - i)
+      i += 1
+    }
+    h
+  }
 }

@@ -92,6 +92,26 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Perceptual 64-bit image hashes over decoded payloads (netpbm first,
+    * then ImageIO containers): adds `ahash64` (block-mean average hash)
+    * and `dhash64` (gradient difference hash) BIGINT columns, null for
+    * rows whose payload is not a decodable image. Row-local; pair them
+    * with [[Dedup.hammingNearDups]] for image near-dup mining — the
+    * multimodal analogue of SimHash over text. */
+  def withImageHashes(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val hashes = udf { payload: Array[Byte] =>
+      val img =
+        if (payload == null) None
+        else MediaCodecs.decodeNetpbm(payload)
+          .orElse(MediaCodecs.decodeImageIO(payload))
+      img.map(i => (MediaCodecs.aHash64(i), MediaCodecs.dHash64(i))).orNull
+    }
+    df.withColumn("__ph", hashes(col(payloadCol)))
+      .withColumn("ahash64", col("__ph._1"))
+      .withColumn("dhash64", col("__ph._2"))
+      .drop("__ph")
+  }
+
   /** REAL resize: image payloads (netpbm OR png/jpeg/bmp/gif via ImageIO)
     * are decoded, nearest-neighbor-resized to (w, h) and re-encoded —
     * netpbm stays binary P5/P6, compressed containers re-encode as

@@ -42,7 +42,31 @@ object MultimodalQueries {
       graft.pipeline.MediaCodecs.ImageData(w, h, 1, px))
   }
 
+  // pseudo-random 16x16 gray netpbm seeded by doc_id % 50: the 50 groups
+  // carry IDENTICAL images within and essentially-random (64 iid bits)
+  // perceptual hashes across, so near-dup pairs are exactly the
+  // same-group pairs (cross-group collision odds ~1e-12 at a FIXED seed)
+  private val phashImgUdf = udf { id: Long =>
+    val rnd = new scala.util.Random((id % 50) * 7919L + 13L)
+    val px = Array.fill(16 * 16)(rnd.nextInt(256).toByte)
+    graft.pipeline.MediaCodecs.encodeNetpbm(
+      graft.pipeline.MediaCodecs.ImageData(16, 16, 1, px))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // perceptual-hash image near-dup (the multimodal SimHash analogue):
+    // aHash64 over decoded pixels, banded Hamming pairs. Strict: the
+    // injected group structure makes the pair set arithmetically exact
+    "multimodal_phash_pairs" -> ((s: SparkSession, dir: String) => {
+      val docs = table(s, dir, "documents")
+      val media = docs.select(col("doc_id"),
+        phashImgUdf(col("doc_id")).as("payload"))
+      val hashed = Multimodal.withImageHashes(media)
+      graft.pipeline.Dedup.hammingNearDups(hashed, "doc_id", "ahash64",
+          maxHamming = 3)
+        .orderBy("a", "b")
+    }),
+
     // REAL compressed-raster decode: deterministic PNGs (dims a function
     // of doc_id) go through ImageIO; the oracle predicts the dims
     // arithmetically, so a strict match proves the codec actually parsed
@@ -86,6 +110,12 @@ object MultimodalQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "multimodal_phash_pairs" ->
+      """SELECT a.doc_id AS a, b.doc_id AS b, CAST(0 AS INT) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id AND a.doc_id % 50 = b.doc_id % 50
+        |ORDER BY a, b""".stripMargin,
+
     "multimodal_png" ->
       """SELECT doc_id, 'png' AS format,
         |  CAST(doc_id % 13 + 2 AS BIGINT) AS width,

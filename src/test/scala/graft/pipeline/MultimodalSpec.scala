@@ -210,3 +210,57 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Array[Byte]]("frame_payload").length <= 1000))
   }
 }
+
+class PerceptualHashSpec extends graft.SparkSpec {
+  import MediaCodecs.{ImageData, aHash64, dHash64, encodeNetpbm}
+
+  private def randImg(seed: Int, w: Int = 16, h: Int = 16): ImageData = {
+    val rnd = new scala.util.Random(seed)
+    ImageData(w, h, 1, Array.fill(w * h)(rnd.nextInt(256).toByte))
+  }
+
+  test("hashes are deterministic and identical images hash equal") {
+    val a = randImg(3)
+    assert(aHash64(a) == aHash64(randImg(3)))
+    assert(dHash64(a) == dHash64(randImg(3)))
+  }
+
+  test("a single-pixel perturbation moves few bits; distinct images many") {
+    val a = randImg(7, 32, 32)
+    val px = a.pixels.clone(); px(5) = (px(5) ^ 0x7f).toByte
+    val b = ImageData(32, 32, 1, px)
+    assert(java.lang.Long.bitCount(aHash64(a) ^ aHash64(b)) <= 4)
+    val far = (1 to 10).map(s =>
+      java.lang.Long.bitCount(aHash64(a) ^ aHash64(randImg(100 + s, 32, 32))))
+    assert(far.sum / far.size >= 16, s"mean distance ${far.sum / far.size}")
+  }
+
+  test("dHash is invariant to a global brightness shift (no clipping)") {
+    val rnd = new scala.util.Random(11)
+    val px = Array.fill(16 * 16)(rnd.nextInt(200).toByte) // headroom for +20
+    val a = ImageData(16, 16, 1, px)
+    val shifted = ImageData(16, 16, 1,
+      px.map(p => ((p & 0xff) + 20).toByte))
+    assert(dHash64(a) == dHash64(shifted))
+  }
+
+  test("withImageHashes + hammingNearDups: grouped identical images pair at hamming 0") {
+    import spark.implicits._
+    val rows = (0L until 40L).map { i =>
+      val img = randImg((i % 8).toInt)
+      (i, encodeNetpbm(img))
+    } :+ ((99L, Array[Byte](1, 2, 3))) // non-image: null hashes, never pairs
+    val df = rows.toDF("id", "payload")
+    val hashed = Multimodal.withImageHashes(df)
+    assert(hashed.filter(col("id") === 99L).head().isNullAt(2))
+    val pairs = Dedup.hammingNearDups(hashed, "id", "ahash64", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      a <- 0L until 40L; b <- a + 1 until 40L; if a % 8 == b % 8
+    } yield (a, b)).toSet
+    assert(pairs == want)
+    intercept[IllegalArgumentException] {
+      Dedup.hammingNearDups(hashed, "id", "ahash64", maxHamming = 9)
+    }
+  }
+}
