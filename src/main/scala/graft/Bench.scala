@@ -461,7 +461,7 @@ object Bench {
     // pre-r12 line's JVM state comparable round-over-round.
     for (name <- Seq("dedup_substr", "heavy_hitters",
                      "heavy_hitters_by_lang", "corpus_clusters_full",
-                     "text_repetition_rules")) {
+                     "text_repetition_rules", "multimodal_phash_pairs")) {
       time(name) { noop(q(name)(spark, sfDir)) }
     }
 
