@@ -17,11 +17,9 @@ import graft.index.{AnnIndex, AnnIndexManager}
   * Exactness: at exhaustive overfetch (k·overfetch >= n) the rerank IS the
   * brute-force answer (the strict-oracle configuration); at serving
   * overfetch, recall depends on how well the prefix separates the corpus —
-  * the MRL training property. Metrics: l2/ip rerank on the raw base
-  * column; for cosine pass a pre-normalized base (the prefix index
-  * normalizes its own stored prefixes at build, but a prefix of a
-  * normalized vector is not normalized — the rerank must own the
-  * convention).
+  * the MRL training property. Metrics: the rerank uses `rawDistColumn`
+  * (the raw-base-vector convention of the filtered-search fallback), so
+  * cosine ranks correctly on an unnormalized base column too.
   *
   * 100 TB posture: the first stage inherits whatever engine backs the
   * prefix index (IVF cells, DiskANN shards — all the existing machinery);
@@ -56,18 +54,26 @@ object Matryoshka {
     import org.apache.spark.sql.expressions.Window
     val dp = idx.meta.dim
     require(overfetch >= 1, s"overfetch=$overfetch must be >= 1")
-    val q2 = queries.select(col(queryIdCol), col(queryVecCol).as("__qfull"),
-      slice(col(queryVecCol), 1, dp).as("__qpref"))
+    // internal rename: searchTable appends a hit column literally named
+    // "id", so a queryIdCol called "id" would otherwise be ambiguous; and
+    // a per-row raise_error mirrors the scalar form's short-query guard
+    // (slice would silently truncate-to-nothing instead)
+    val q2 = queries.select(col(queryIdCol).as("__mqid"),
+      col(queryVecCol).as("__qfull"),
+      when(size(col(queryVecCol)) < dp,
+        raise_error(concat(lit(s"query vector shorter than the prefix index dim $dp: size "),
+          size(col(queryVecCol)).cast("string"))).cast("array<float>"))
+        .otherwise(slice(col(queryVecCol), 1, dp)).as("__qpref"))
     val cands = AnnSearch.searchTable(idx, q2, k * overfetch,
       nprobe = searchParam, queryVecCol = Some("__qpref"),
-      queryIdCol = Some(queryIdCol))
-    cands.select(col(queryIdCol), col("__qfull"), col("id").as(baseIdCol))
+      queryIdCol = Some("__mqid"))
+    cands.select(col("__mqid"), col("__qfull"), col("id").as(baseIdCol))
       .join(base.select(col(baseIdCol), col(vecCol)), Seq(baseIdCol))
-      .withColumn("_distance", idx.floatDistColumn(col(vecCol), col("__qfull")))
-      .withColumn("__rn", row_number().over(Window.partitionBy(queryIdCol)
+      .withColumn("_distance", idx.rawDistColumn(col(vecCol), col("__qfull")))
+      .withColumn("__rn", row_number().over(Window.partitionBy("__mqid")
         .orderBy(col("_distance"), col(baseIdCol))))
       .filter(col("__rn") <= k)
-      .select(col(queryIdCol), col(baseIdCol), col("_distance"))
+      .select(col("__mqid").as(queryIdCol), col(baseIdCol), col("_distance"))
   }
 
   /** Prefix-stage scan (query truncated to the index's dim) + exact
@@ -84,7 +90,7 @@ object Matryoshka {
     val cands = idx.scan(q.take(dp), k * overfetch, searchParam)
       .select(col("id").as(baseIdCol))
     cands.join(base, Seq(baseIdCol))
-      .withColumn("_distance", idx.floatDistColumn(col(vecCol), typedLit(q)))
+      .withColumn("_distance", idx.rawDistColumn(col(vecCol), typedLit(q)))
       .select(col(baseIdCol), col("_distance"))
       .orderBy(col("_distance"), col(baseIdCol))
       .limit(k)

@@ -572,13 +572,13 @@ object Dedup {
 
   /** Banded Hamming near-dup pairs over an ARBITRARY 64-bit hash column
     * (SimHash, image aHash/dHash, any fingerprint): same 4×16-bit chunk
-    * banding and capped buckets as [[simhashNearDups]] — complete for
-    * maxHamming <= 3 by pigeonhole; null hashes never pair. Returns
+    * banding and capped buckets as [[simhashNearDups]] — COMPLETE for
+    * maxHamming <= 3 by pigeonhole; larger maxHamming stays best-effort
+    * (only pairs sharing at least one exact 16-bit chunk are candidates —
+    * the long-standing simhash contract). Null hashes never pair. Returns
     * `(a, b, hamming)` with a < b. */
   def hammingNearDups(df: DataFrame, idCol: String, hashCol: String,
                       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = withCacheScope {
-    require(maxHamming <= 3,
-      s"maxHamming=$maxHamming exceeds the 4-band completeness bound (3)")
     val hashed = trackCache(
       df.filter(col(hashCol).isNotNull)
         .select(col(idCol), col(hashCol).cast("long").as("simhash")).cache())

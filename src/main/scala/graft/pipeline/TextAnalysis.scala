@@ -152,11 +152,14 @@ object TextAnalysis {
     * Added columns (BOOLEAN unless noted):
     *   gopher_word_count      — 50 <= words <= 100,000
     *   gopher_mean_word_len   — 3 <= mean word length <= 10
-    *   gopher_symbol_ratio    — ('#' + '...') occurrences / words <= 0.1
+    *   gopher_symbol_ratio    — '#' / words <= 0.1 AND '...' / words <= 0.1
+    *                            (each symbol thresholded separately, per
+    *                            the paper's "either ... or" wording)
     *   gopher_bullet_lines    — <= 90% of lines start with a bullet
     *   gopher_ellipsis_lines  — <= 30% of lines end with ... / ellipsis
     *   gopher_alpha_words     — >= 80% of words contain a letter
     *   gopher_stop_words      — >= 2 distinct of the 8 Gopher stop words
+    *                            (case-insensitive)
     *   gopher_pass            — AND of the seven
     *   c4_terminal_punct_frac — DOUBLE, fraction of lines ending . ! ? "
     *   c4_has_brace           — text contains '{' (code/markup signal)
@@ -168,8 +171,8 @@ object TextAnalysis {
     val t = col(textCol)
     val base = df
       .withColumn("__qr_ws", filter(split(t, "\\s+"), w => length(w) > 0))
-      .withColumn("__qr_lines",
-        filter(transform(split(t, "\n"), l => trim(l)), l => length(l) > 0))
+      .withColumn("__qr_lines", // \r?\n: CRLF web text must not leave \r tails
+        filter(transform(split(t, "\r?\n"), l => trim(l)), l => length(l) > 0))
     val ws = col("__qr_ws")
     val lines = col("__qr_lines")
     val nWords = size(ws).cast("long")
@@ -179,7 +182,10 @@ object TextAnalysis {
     val hashes = (length(t) - length(translate(t, "#", ""))).cast("long")
     val ellipses = ((length(t) -
       length(call_function("replace", t, lit("..."), lit("")))) / 3).cast("long")
-    val symbolRatio = (hashes + ellipses).cast("double") / nWords.cast("double")
+    // Rae et al. threshold EACH symbol's ratio separately ("either the
+    // hash symbol or the ellipsis"), not their sum
+    val hashRatio = hashes.cast("double") / nWords.cast("double")
+    val ellipsisRatio = ellipses.cast("double") / nWords.cast("double")
     val bulletFrac = size(filter(lines, l =>
       l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
       .cast("double") / nLines.cast("double")
@@ -189,7 +195,9 @@ object TextAnalysis {
     val alphaFrac = size(filter(ws, w => w.rlike("[A-Za-z]")))
       .cast("double") / nWords.cast("double")
     val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val stopHits = size(array_intersect(array_distinct(ws), typedLit(gopherStops)))
+    // case-insensitive: sentence-initial "The"/"That" must count
+    val stopHits = size(array_intersect(
+      transform(ws, w => lower(w)), typedLit(gopherStops)))
     val termFrac = when(nLines === 0L, 0.0).otherwise(
       size(filter(lines, l => l.endsWith(".") || l.endsWith("!") ||
         l.endsWith("?") || l.endsWith("\"")))
@@ -198,7 +206,8 @@ object TextAnalysis {
     val out = base
       .withColumn("gopher_word_count", rule(nWords.between(50L, 100000L)))
       .withColumn("gopher_mean_word_len", rule(meanWordLen.between(3.0, 10.0)))
-      .withColumn("gopher_symbol_ratio", rule(symbolRatio <= 0.1))
+      .withColumn("gopher_symbol_ratio",
+        rule(hashRatio <= 0.1 && ellipsisRatio <= 0.1))
       .withColumn("gopher_bullet_lines", rule(bulletFrac <= 0.9))
       .withColumn("gopher_ellipsis_lines", rule(ellipsisFrac <= 0.3))
       .withColumn("gopher_alpha_words", rule(alphaFrac >= 0.8))
@@ -228,7 +237,7 @@ object TextAnalysis {
   def c4CleanLines(df: DataFrame, textCol: String, minWordsPerLine: Int = 3,
                    minLinesPerDoc: Int = 5): DataFrame = {
     val t = col(textCol)
-    val lines = filter(transform(split(t, "\n"), l => trim(l)),
+    val lines = filter(transform(split(t, "\r?\n"), l => trim(l)),
       l => length(l) > 0)
     val kept = filter(lines, l => {
       val low = lower(l)
@@ -279,7 +288,12 @@ object TextAnalysis {
     * builds all nine gram sizes via lead() in a single pass, one
     * (id, n, gram) count shuffle, bounded per-doc aggregates joined back.
     * No UDFs, no per-doc collects; every fraction is a ratio of exact
-    * integers so the booleans and doubles replay bit-for-bit in SQL. */
+    * integers so the booleans and doubles replay bit-for-bit in SQL.
+    *
+    * NOTE the input relation is traversed ~5 times (line, paragraph, and
+    * two word-side consumers plus the final join): fine over a parquet
+    * scan; persist/localCheckpoint a COMPUTED upstream relation before
+    * calling, or the upstream plan executes once per traversal. */
   def withRepetitionRules(df: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -296,9 +310,9 @@ object TextAnalysis {
           sum((col("__c") - 1) * col("__len")).as(s"__${name}_dupch"),
           sum(col("__c") * col("__len")).as(s"__${name}_totch"))
 
-    val lineUnits = filter(transform(split(t, "\n"), l => trim(l)),
+    val lineUnits = filter(transform(split(t, "\r?\n"), l => trim(l)),
       l => length(l) > 0)
-    val paraUnits = filter(transform(split(t, "\n{2,}"), p => trim(p)),
+    val paraUnits = filter(transform(split(t, "(\r?\n){2,}"), p => trim(p)),
       p => length(p) > 0)
     val lineStats = unitStats(lineUnits, "ln")
     val paraStats = unitStats(paraUnits, "pr")
@@ -326,11 +340,17 @@ object TextAnalysis {
       .agg(count(lit(1)).as("__c"))
       .withColumn("__gch", (length(col("__g")) - (col("__n") - 1)))
       .groupBy(id, col("__n")).agg(
-        // only REPEATED grams count as repetition: a unique doc's most
-        // frequent gram occurs once and covers len/total of it trivially —
-        // scoring that would fail every short clean document
-        max(when(col("__c") >= 2, col("__c") * col("__gch"))
-          .otherwise(0L)).as("__topch"),
+        // the MOST FREQUENT gram's coverage (the Gopher definition) —
+        // max count wins, coverage breaks ties; and only REPEATED grams
+        // count as repetition: a unique doc's most frequent gram occurs
+        // once and covers len/total of it trivially, which would fail
+        // every short clean document. The composite (count, coverage)
+        // order key packs into one long so the DuckDB oracle's arg_max
+        // replays it exactly.
+        max_by(when(col("__c") >= 2, col("__c") * col("__gch")).otherwise(0L),
+          when(col("__c") >= 2,
+            col("__c") * lit(10000000000L) + col("__c") * col("__gch"))
+            .otherwise(0L)).as("__topch"),
         sum(when(col("__c") >= 2, col("__c") * col("__gch"))
           .otherwise(0L)).as("__dupch"))
     // wide: one row per doc with per-n columns

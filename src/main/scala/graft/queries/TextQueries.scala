@@ -1643,7 +1643,7 @@ object TextQueries {
         |  FROM documents
         |), b AS (
         |  SELECT doc_id,
-        |    [l FOR l IN [trim(x) FOR x IN string_split(text, chr(10))]
+        |    [l FOR l IN [trim(x) FOR x IN string_split_regex(text, '\r?\n')]
         |       IF len(l) > 0] AS ls
         |  FROM dirty
         |), k AS (
@@ -1671,7 +1671,9 @@ object TextQueries {
       def grCte(n: Int): String =
         s"""gr$n AS (
            |  SELECT doc_id,
-           |    max(CASE WHEN c >= 2 THEN c * gch ELSE 0 END) AS topch,
+           |    arg_max(CASE WHEN c >= 2 THEN c * gch ELSE 0 END,
+           |            CASE WHEN c >= 2 THEN c * 10000000000 + c * gch
+           |                 ELSE 0 END) AS topch,
            |    sum(CASE WHEN c >= 2 THEN c * gch ELSE 0 END) AS dupch
            |  FROM (SELECT doc_id, g, count(*) AS c, length(g) - ${n - 1} AS gch
            |        FROM (SELECT doc_id,
@@ -1711,9 +1713,9 @@ object TextQueries {
       s"""WITH b AS (
          |  SELECT doc_id,
          |    [x FOR x IN string_split_regex(text, '\\s+') IF len(x) > 0] AS ws,
-         |    [l FOR l IN [trim(x) FOR x IN string_split(text, chr(10))]
+         |    [l FOR l IN [trim(x) FOR x IN string_split_regex(text, '\\r?\\n')]
          |       IF len(l) > 0] AS lns,
-         |    [p FOR p IN [trim(x) FOR x IN string_split_regex(text, '\\n{2,}')]
+         |    [p FOR p IN [trim(x) FOR x IN string_split_regex(text, '(\\r?\\n){2,}')]
          |       IF len(p) > 0] AS prs
          |  FROM documents
          |), ${unitCte("lnstat", "lns")},
@@ -1745,7 +1747,7 @@ object TextQueries {
       """WITH b AS (
         |  SELECT doc_id, text,
         |    [w FOR w IN string_split_regex(text, '\s+') IF len(w) > 0] AS ws,
-        |    [l FOR l IN [trim(x) FOR x IN string_split(text, chr(10))]
+        |    [l FOR l IN [trim(x) FOR x IN string_split_regex(text, '\r?\n')]
         |       IF len(l) > 0] AS ls
         |  FROM documents
         |), m AS (
@@ -1759,7 +1761,8 @@ object TextQueries {
         |  nw > 0 AND nw BETWEEN 50 AND 100000 AS gopher_word_count,
         |  nw > 0 AND (list_sum([len(w) FOR w IN ws])::DOUBLE / nw)
         |    BETWEEN 3.0 AND 10.0 AS gopher_mean_word_len,
-        |  nw > 0 AND ((hashes + ellipses)::DOUBLE / nw) <= 0.1 AS gopher_symbol_ratio,
+        |  nw > 0 AND (hashes::DOUBLE / nw) <= 0.1
+        |    AND (ellipses::DOUBLE / nw) <= 0.1 AS gopher_symbol_ratio,
         |  nw > 0 AND (len([l FOR l IN ls IF starts_with(l, '-')
         |      OR starts_with(l, '*') OR starts_with(l, '•')])::DOUBLE / nl) <= 0.9
         |    AS gopher_bullet_lines,
@@ -1768,19 +1771,19 @@ object TextQueries {
         |  nw > 0 AND (len([w FOR w IN ws
         |      IF regexp_matches(w, '[A-Za-z]')])::DOUBLE / nw) >= 0.8
         |    AS gopher_alpha_words,
-        |  nw > 0 AND len(list_intersect(list_distinct(ws),
+        |  nw > 0 AND len(list_intersect(list_distinct([lower(w) FOR w IN ws]),
         |      ['the','be','to','of','and','that','have','with'])) >= 2
         |    AS gopher_stop_words,
         |  (nw > 0 AND nw BETWEEN 50 AND 100000)
         |    AND (list_sum([len(w) FOR w IN ws])::DOUBLE / nw) BETWEEN 3.0 AND 10.0
-        |    AND ((hashes + ellipses)::DOUBLE / nw) <= 0.1
+        |    AND (hashes::DOUBLE / nw) <= 0.1 AND (ellipses::DOUBLE / nw) <= 0.1
         |    AND (len([l FOR l IN ls IF starts_with(l, '-')
         |        OR starts_with(l, '*') OR starts_with(l, '•')])::DOUBLE / nl) <= 0.9
         |    AND (len([l FOR l IN ls IF ends_with(l, '...')
         |        OR ends_with(l, '…')])::DOUBLE / nl) <= 0.3
         |    AND (len([w FOR w IN ws
         |        IF regexp_matches(w, '[A-Za-z]')])::DOUBLE / nw) >= 0.8
-        |    AND len(list_intersect(list_distinct(ws),
+        |    AND len(list_intersect(list_distinct([lower(w) FOR w IN ws]),
         |        ['the','be','to','of','and','that','have','with'])) >= 2
         |    AS gopher_pass,
         |  CASE WHEN nl = 0 THEN 0.0

@@ -86,6 +86,28 @@ class MatryoshkaSpec extends SparkSpec {
     }
   }
 
+  test("table form: a query-id column literally named 'id' is not ambiguous") {
+    import spark.implicits._
+    val base = vecs.toDF("id", "embedding")
+    val qdf = queries(4, 2).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "qvec")
+    val got = Matryoshka.searchRerankTable(idx, qdf, base, "id", "embedding",
+      k = 3, overfetch = 4, queryIdCol = "id", queryVecCol = "qvec")
+    assert(got.collect().length == 6) // 2 queries x k
+  }
+
+  test("table form: a short query vector raises a clear error, not silent truncation") {
+    import spark.implicits._
+    val base = vecs.toDF("id", "embedding")
+    val qdf = Seq((0L, Array.fill(3)(0f))).toDF("qid", "qvec")
+    val ex = intercept[Exception] {
+      Matryoshka.searchRerankTable(idx, qdf, base, "id", "embedding",
+        k = 3, overfetch = 2, queryIdCol = "qid", queryVecCol = "qvec")
+        .collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("a query shorter than the prefix dim is rejected") {
     import spark.implicits._
     intercept[IllegalArgumentException] {

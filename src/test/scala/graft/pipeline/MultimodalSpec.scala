@@ -259,8 +259,10 @@ class PerceptualHashSpec extends graft.SparkSpec {
       a <- 0L until 40L; b <- a + 1 until 40L; if a % 8 == b % 8
     } yield (a, b)).toSet
     assert(pairs == want)
-    intercept[IllegalArgumentException] {
-      Dedup.hammingNearDups(hashed, "id", "ahash64", maxHamming = 9)
-    }
+    // larger maxHamming stays best-effort (the simhash contract): no
+    // throw, and the exact-dup pairs are still all found
+    val loose = Dedup.hammingNearDups(hashed, "id", "ahash64", maxHamming = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.subsetOf(loose))
   }
 }

@@ -74,6 +74,32 @@ class QualityRulesSpec extends SparkSpec {
     assert(!strict.getBoolean(0)) // 2 kept < 5
   }
 
+  test("CRLF line endings behave exactly like LF (no \\r tails)") {
+    val lf = "First line ends well.\nsecond does not\nThird asks?"
+    val crlf = lf.replace("\n", "\r\n")
+    val r = rules(Seq(1L -> lf, 2L -> crlf))
+    assert(r(1L).getAs[Double]("c4_terminal_punct_frac") ==
+      r(2L).getAs[Double]("c4_terminal_punct_frac"))
+    val gotLf = TextAnalysis.c4CleanLines(
+      { import spark.implicits._; Seq((1L, lf)).toDF("id", "text") }, "text",
+      minWordsPerLine = 3, minLinesPerDoc = 1).select("text_clean").head().getString(0)
+    val gotCrlf = TextAnalysis.c4CleanLines(
+      { import spark.implicits._; Seq((1L, crlf)).toDF("id", "text") }, "text",
+      minWordsPerLine = 3, minLinesPerDoc = 1).select("text_clean").head().getString(0)
+    assert(gotLf == gotCrlf && gotLf.nonEmpty)
+  }
+
+  test("title-case stop words count; symbol ratios threshold separately") {
+    // 'The'/'That'/'With' only capitalized — must still satisfy the floor
+    val caps = (Seq.fill(12)("The Cat Sat With That") :+ "").mkString(" ").trim
+    assert(rules(Seq(1L -> caps))(1L).getAs[Boolean]("gopher_stop_words"))
+    // 60 words + 4 hashes + 4 ellipses: each ratio 4/68 ~ 0.059 <= 0.1 —
+    // the paper thresholds each symbol separately, the sum (0.118) must
+    // NOT fail the rule
+    val sym = goodBody + " " + "# # # # ... ... ... ..."
+    assert(rules(Seq(1L -> sym))(1L).getAs[Boolean]("gopher_symbol_ratio"))
+  }
+
   test("empty and null documents fail every gopher rule without errors") {
     import spark.implicits._
     val df = Seq((1L, Some("")), (2L, None), (3L, Some("   \n  ")))

@@ -31,6 +31,18 @@ class RepetitionRulesSpec extends SparkSpec {
     assert(!r.getAs[Boolean]("gopher_repetition_pass"))
   }
 
+  test("top-gram takes the MOST FREQUENT repeated gram, not the max coverage") {
+    // "a b" occurs 5x (5*2=10 word-chars); "commonwealth jurisdiction"
+    // occurs 2x (2*25=50): the most frequent 2-gram is "a b", so the
+    // fraction is 10/total, not 50/total
+    val text = Seq.fill(5)("a b").mkString(" x1 ", " x2 ", " x3 ")
+      .replace("x3 ", "x3 commonwealth jurisdiction y1 commonwealth jurisdiction")
+    val r = rules(Seq(1L -> text))(1L)
+    val wchars = text.split("\\s+").filter(_.nonEmpty).map(_.length).sum
+    assert(math.abs(r.getAs[Double]("rep_top_2gram_frac") - 10.0 / wchars) < 1e-12,
+      s"got ${r.getAs[Double]("rep_top_2gram_frac")} want ${10.0 / wchars}")
+  }
+
   test("a benign unique document passes; empty document fails") {
     val r = rules(Seq(
       1L -> "the quick brown fox jumps over lazy dogs swiftly today",
