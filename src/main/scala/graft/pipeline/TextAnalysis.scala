@@ -198,11 +198,15 @@ object TextAnalysis {
     // case-insensitive: sentence-initial "The"/"That" must count
     val stopHits = size(array_intersect(
       transform(ws, w => lower(w)), typedLit(gopherStops)))
-    val termFrac = when(nLines === 0L, 0.0).otherwise(
+    // NULL text makes nWords/nLines NULL (size(null) is null), so guard
+    // isNull explicitly — otherwise `when(nWords === 0L, …)` falls through
+    // and every rule comes out NULL instead of the documented false/0.0.
+    val termFrac = when(nLines.isNull || nLines === 0L, 0.0).otherwise(
       size(filter(lines, l => l.endsWith(".") || l.endsWith("!") ||
         l.endsWith("?") || l.endsWith("\"")))
         .cast("double") / nLines.cast("double"))
-    def rule(c: Column): Column = when(nWords === 0L, lit(false)).otherwise(c)
+    def rule(c: Column): Column =
+      when(nWords.isNull || nWords === 0L, lit(false)).otherwise(c)
     val out = base
       .withColumn("gopher_word_count", rule(nWords.between(50L, 100000L)))
       .withColumn("gopher_mean_word_len", rule(meanWordLen.between(3.0, 10.0)))
@@ -213,8 +217,9 @@ object TextAnalysis {
       .withColumn("gopher_alpha_words", rule(alphaFrac >= 0.8))
       .withColumn("gopher_stop_words", rule(stopHits >= 2))
       .withColumn("c4_terminal_punct_frac", termFrac)
-      .withColumn("c4_has_brace", t.contains("{"))
-      .withColumn("c4_has_lorem_ipsum", lower(t).contains("lorem ipsum"))
+      .withColumn("c4_has_brace", coalesce(t.contains("{"), lit(false)))
+      .withColumn("c4_has_lorem_ipsum",
+        coalesce(lower(t).contains("lorem ipsum"), lit(false)))
     out.withColumn("gopher_pass",
         col("gopher_word_count") && col("gopher_mean_word_len") &&
         col("gopher_symbol_ratio") && col("gopher_bullet_lines") &&

@@ -30,6 +30,11 @@ class HeavyHittersMaintenance(k: Int, itemCol: String = "item") {
   require(k >= 1 && k <= graft.pipeline.HeavyHitters.MaxK,
     s"k=$k must be in [1, ${graft.pipeline.HeavyHitters.MaxK}]")
 
+  // Sentinel for "no batchId given": assign lastBatchId+1 instead of a
+  // fixed constant, so repeated no-arg appends are never mistaken for
+  // replays of each other.
+  private val AutoBatchId = Long.MinValue
+
   private val summary = new java.util.HashMap[String, Long](k * 2)
   private var n = 0L
   private var lastBatchId = Long.MinValue
@@ -62,12 +67,19 @@ class HeavyHittersMaintenance(k: Int, itemCol: String = "item") {
   }
 
   /** Apply one micro-batch (session-scoped replay skip on `batchId`; pass
-    * increasing ids, e.g. the foreachBatch id). One shuffle-free pass over
+    * increasing ids, e.g. the foreachBatch id). Omitting `batchId`
+    * auto-increments past the last applied id, so the natural
+    * `m.append(df1); m.append(df2)` pattern applies both — the replay skip
+    * only engages for explicitly passed ids. One shuffle-free pass over
     * the batch; the driver receives at most (k+1) rows per partition. */
-  def append(batch: DataFrame, batchId: Long = Long.MinValue + 1): this.type =
+  def append(batch: DataFrame, batchId: Long = AutoBatchId): this.type =
     synchronized {
-      if (batchId <= lastBatchId) return this // replay
-      lastBatchId = batchId
+      val effectiveId =
+        if (batchId == AutoBatchId)
+          if (lastBatchId == Long.MinValue) 0L else lastBatchId + 1
+        else batchId
+      if (effectiveId <= lastBatchId) return this // replay
+      lastBatchId = effectiveId
       val partials = HeavyHitters.mgPartials(
         HeavyHitters.itemStrings(batch, itemCol), k,
         checkpoint = false).collect() // single consumer: no block churn

@@ -425,7 +425,11 @@ object StreamingPipeline {
     val k = math.max(1, math.ceil(1.0 / phi).toInt)
     val timeoutConf = if (maxIdle.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
                       else GroupStateTimeout.NoTimeout()
-    rows.groupByKey(_._1)
+    // Match the batch operator's contract: null group keys and null items
+    // are dropped (a null item would otherwise enter the per-group map and
+    // surface as HeavyHitterUpdate(item = null)).
+    rows.filter(r => r._1 != null && r._2 != null)
+      .groupByKey(_._1)
       .flatMapGroupsWithState[MgGroupState, HeavyHitterUpdate](
         OutputMode.Update(), timeoutConf) {
         case (key, it, state: GroupState[MgGroupState]) =>

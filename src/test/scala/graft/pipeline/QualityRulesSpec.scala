@@ -100,14 +100,22 @@ class QualityRulesSpec extends SparkSpec {
     assert(rules(Seq(1L -> sym))(1L).getAs[Boolean]("gopher_symbol_ratio"))
   }
 
-  test("empty and null documents fail every gopher rule without errors") {
+  test("empty and null documents get FALSE (not NULL) on every rule and 0.0 punct") {
     import spark.implicits._
     val df = Seq((1L, Some("")), (2L, None), (3L, Some("   \n  ")))
       .toDF("id", "text")
     val got = TextAnalysis.withQualityRules(df, "text").collect()
+    val boolCols = Seq("gopher_word_count", "gopher_mean_word_len",
+      "gopher_symbol_ratio", "gopher_bullet_lines", "gopher_ellipsis_lines",
+      "gopher_alpha_words", "gopher_stop_words", "gopher_pass",
+      "c4_has_brace", "c4_has_lorem_ipsum")
     got.foreach { r =>
-      assert(r.isNullAt(r.fieldIndex("gopher_pass")) ||
-        !r.getAs[Boolean]("gopher_pass"))
+      for (c <- boolCols) {
+        assert(!r.isNullAt(r.fieldIndex(c)), s"id=${r.getLong(0)} $c is NULL")
+        assert(!r.getAs[Boolean](c), s"id=${r.getLong(0)} $c")
+      }
+      assert(!r.isNullAt(r.fieldIndex("c4_terminal_punct_frac")))
+      assert(r.getAs[Double]("c4_terminal_punct_frac") == 0.0)
     }
   }
 }

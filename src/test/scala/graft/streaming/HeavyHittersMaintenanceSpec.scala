@@ -53,6 +53,19 @@ class HeavyHittersMaintenanceSpec extends SparkSpec {
     assert(m.totalItems == 25L)
   }
 
+  test("no-arg appends auto-increment: every batch counts, mixing with explicit ids works") {
+    import spark.implicits._
+    val m = new HeavyHittersMaintenance(k = 10)
+    m.append(Seq.fill(20)("x").toDF("item")) // auto id 0
+    m.append(Seq.fill(15)("y").toDF("item")) // auto id 1 — must NOT be a replay
+    assert(m.totalItems == 35L)
+    m.append(Seq.fill(5)("z").toDF("item"), 1L) // explicit replay of auto id 1 — skipped
+    assert(m.totalItems == 35L)
+    m.append(Seq.fill(5)("z").toDF("item"), 7L) // explicit fresh id
+    m.append(Seq.fill(3)("w").toDF("item")) // auto id 8
+    assert(m.totalItems == 43L)
+  }
+
   test("capacity stays bounded under a vocabulary far exceeding k") {
     import spark.implicits._
     val m = new HeavyHittersMaintenance(k = 8)

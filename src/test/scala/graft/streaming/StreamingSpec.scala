@@ -156,6 +156,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming grouped heavy hitters: null keys and null items are dropped, matching batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, String)]
+    val out = graft.streaming.StreamingPipeline.streamingGroupedHeavyHitters(
+      ms.toDS(), phi = 0.5, maxIdle = None)
+    val q = out.writeStream.format("memory").queryName("stream_hh_nulls")
+      .outputMode("update").start()
+    try {
+      ms.addData(("g", "a"), ("g", "a"), ("g", null), (null, "b"), ("g", "a"))
+      q.processAllAvailable()
+      val rows = spark.table("stream_hh_nulls")
+        .select("key", "item", "group_n")
+        .as[(String, String, Long)].collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall { case (k, i, _) => k != null && i != null },
+        s"null leaked: ${rows.mkString(",")}")
+      // group_n counts only the 3 non-null 'g' rows — the null item and the
+      // null key never entered the state
+      assert(rows.collect { case ("g", _, n) => n }.max == 3L)
+    } finally q.stop()
+  }
+
   test("streaming minhash near-dup: cross-batch and in-batch collisions emit candidates") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
