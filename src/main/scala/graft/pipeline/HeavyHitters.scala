@@ -102,8 +102,11 @@ object HeavyHitters {
     val threshold = math.max(1L, math.ceil(phi * n).toLong)
     val candidates = partials.filter(col("__item").isNotNull)
       .select(col("__item")).distinct()
+    // No broadcast hint: the survivor union is ~k items normally but can
+    // reach k·partitions adversarially (k up to MaxK), so let AQE pick
+    // broadcast vs shuffle from the measured candidate size.
     ds.toDF("__item")
-      .join(broadcast(candidates), Seq("__item"), "left_semi")
+      .join(candidates, Seq("__item"), "left_semi")
       .groupBy(col("__item").as(itemCol))
       .agg(count(lit(1)).cast("long").as("cnt"))
       .filter(col("cnt") >= threshold)
@@ -118,21 +121,52 @@ object HeavyHitters {
         .filter(length(col("token")) > 0),
       "token", phi)
 
+  /** Per-task resident MG counter budget for the grouped form — above this
+    * the shuffle-free pass (one summary per group seen in the partition)
+    * would OOM the executor, so the operator switches to the co-located
+    * path. ~2M entries is ~150-200 MB of HashMap at typical token sizes.
+    * Override with `spark.graft.hh.maxCountersPerTask`. */
+  private[graft] val DefaultMaxCountersPerTask = 1 << 21
+
+  /** MG update step shared by the flat and grouped passes. */
+  private def mgUpdate(m: java.util.HashMap[String, Long], x: String, k: Int): Unit = {
+    val cur = m.get(x)
+    if (cur != 0L) m.put(x, cur + 1L)
+    else if (m.size < k) m.put(x, 1L)
+    else {
+      val itr = m.entrySet().iterator()
+      while (itr.hasNext) {
+        val e = itr.next()
+        if (e.getValue == 1L) itr.remove() else e.setValue(e.getValue - 1L)
+      }
+    }
+  }
+
   /** Per-GROUP exact frequent items: for every group g, the items with
     * count >= ceil(phi * N_g) where N_g is g's item count — the
     * per-language / per-domain form (which boilerplate dominates EACH
     * slice). Same candidate+verify composition as [[frequentItems]], but
-    * fully relational end-to-end: per-partition `mapPartitions` builds one
-    * bounded MG summary PER GROUP seen in that partition (memory =
-    * groups-in-partition x k counters), per-group totals ride the same
-    * partials as null-item sentinel rows, and the per-group threshold is a
-    * tiny aggregate JOINED in — nothing, not even a scalar, collects to
-    * the driver, so group cardinality is unbounded. The recount semi-joins
-    * on (group, item) at candidate volume (un-hinted: AQE picks broadcast
-    * vs shuffle by size). Returns `(groupCol, itemCol, cnt)` — exact.
-    * Null group keys are dropped with the null items. */
+    * fully relational end-to-end: per-group totals ride the partials as
+    * null-item sentinel rows and the per-group threshold is a tiny
+    * aggregate JOINED in — nothing, not even a scalar, collects to the
+    * driver. The recount semi-joins on (group, item) at candidate volume
+    * (un-hinted: AQE picks broadcast vs shuffle by size). Returns
+    * `(groupCol, itemCol, cnt)` — exact. Null group keys are dropped with
+    * the null items.
+    *
+    * Memory bound (enforced, not aspirational): the candidate pass keeps
+    * one bounded MG summary per RESIDENT group. When `groups x k` fits the
+    * per-task budget (`spark.graft.hh.maxCountersPerTask`, default 2^21
+    * counters) the pass is shuffle-free — every partition may see every
+    * group. Above the budget (many domains x small phi — exactly the
+    * web-corpus shape) the rows are hash-repartitioned by group and sorted
+    * within partitions, so groups arrive contiguously and ONLY ONE summary
+    * is ever resident: O(k) per task at ANY group cardinality, at the
+    * price of one O(N) exchange. The gate reads `expectedGroups` when the
+    * caller knows it; otherwise one approx_count_distinct scan estimates
+    * it (pass the hint at 100 TB to skip that scan). */
   def frequentItemsByGroup(df: DataFrame, groupCol: String, itemCol: String,
-                           phi: Double): DataFrame = {
+                           phi: Double, expectedGroups: Long = -1L): DataFrame = {
     val k = mgCapacity(phi)
     val spark = df.sparkSession
     import spark.implicits._
@@ -140,31 +174,69 @@ object HeavyHitters {
         col(itemCol).cast("string").as("__item"))
       .filter(col("__grp").isNotNull && col("__item").isNotNull)
       .as[(String, String)]
-    val partials = ds.mapPartitions { it =>
-      val per = new java.util.HashMap[String, java.util.HashMap[String, Long]]()
-      val ns = new java.util.HashMap[String, Long]()
-      while (it.hasNext) {
-        val (g, x) = it.next()
-        val curN = ns.get(g)
-        ns.put(g, curN + 1L)
-        var m = per.get(g)
-        if (m == null) { m = new java.util.HashMap[String, Long](k * 2); per.put(g, m) }
-        val cur = m.get(x)
-        if (cur != 0L) m.put(x, cur + 1L)
-        else if (m.size < k) m.put(x, 1L)
-        else {
-          val itr = m.entrySet().iterator()
-          while (itr.hasNext) {
-            val e = itr.next()
-            if (e.getValue == 1L) itr.remove() else e.setValue(e.getValue - 1L)
+    val budget = spark.conf.getOption("spark.graft.hh.maxCountersPerTask")
+      .map(_.toLong).getOrElse(DefaultMaxCountersPerTask.toLong)
+    val groups =
+      if (expectedGroups >= 0L) expectedGroups
+      else ds.toDF("__grp", "__item")
+        .agg(approx_count_distinct(col("__grp"), 0.05)).head().getLong(0)
+    val partials = (if (groups * k <= budget) {
+      // Shuffle-free pass: every partition can hold all groups' summaries.
+      ds.mapPartitions { it =>
+        val per = new java.util.HashMap[String, java.util.HashMap[String, Long]]()
+        val ns = new java.util.HashMap[String, Long]()
+        while (it.hasNext) {
+          val (g, x) = it.next()
+          val curN = ns.get(g)
+          ns.put(g, curN + 1L)
+          var m = per.get(g)
+          if (m == null) { m = new java.util.HashMap[String, Long](math.min(k, 1 << 16) * 2); per.put(g, m) }
+          mgUpdate(m, x, k)
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        per.forEach { (g, m) => m.forEach((x, v) => out += ((g, x, v))) }
+        ns.forEach((g, n) => out += ((g, null, n)))
+        out.iterator
+      }
+    } else {
+      // Co-located pass: hash-partition by group, sort within partitions,
+      // stream group-contiguous rows through a SINGLE active summary —
+      // O(k) resident at any group count. Each group now lives whole in
+      // one partition, so its MG error tightens to N_g/(k+1).
+      ds.toDF("__grp", "__item")
+        .repartition(col("__grp")).sortWithinPartitions("__grp")
+        .as[(String, String)]
+        .mapPartitions { it =>
+          new Iterator[(String, String, Long)] {
+            private var activeG: String = null
+            private var m = new java.util.HashMap[String, Long](math.min(k, 1 << 16) * 2)
+            private var n = 0L
+            private var flush: Iterator[(String, String, Long)] = Iterator.empty
+            private def drain(g: String): Iterator[(String, String, Long)] = {
+              val out = new scala.collection.mutable.ArrayBuffer[(String, String, Long)](m.size + 1)
+              m.forEach((x, v) => out += ((g, x, v)))
+              out += ((g, null, n))
+              m = new java.util.HashMap[String, Long](math.min(k, 1 << 16) * 2)
+              n = 0L
+              out.iterator
+            }
+            private def advance(): Unit = {
+              while (!flush.hasNext && it.hasNext) {
+                val (g, x) = it.next()
+                if (activeG == null) activeG = g
+                else if (g != activeG) { flush = drain(activeG); activeG = g }
+                n += 1L
+                mgUpdate(m, x, k)
+              }
+              if (!flush.hasNext && !it.hasNext && activeG != null) {
+                flush = drain(activeG); activeG = null
+              }
+            }
+            def hasNext: Boolean = { advance(); flush.hasNext }
+            def next(): (String, String, Long) = { advance(); flush.next() }
           }
         }
-      }
-      val out = new scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
-      per.forEach { (g, m) => m.forEach((x, v) => out += ((g, x, v))) }
-      ns.forEach((g, n) => out += ((g, null, n)))
-      out.iterator
-    }.toDF("__grp", "__item", "__w").localCheckpoint()
+    }).toDF("__grp", "__item", "__w").localCheckpoint()
     val totals = partials.filter(col("__item").isNull)
       .groupBy("__grp").agg(sum("__w").as("__n"))
       .select(col("__grp"),

@@ -97,6 +97,33 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got == truth)
   }
 
+  test("grouped: co-located path (budget exceeded) is exact and identical to the resident path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val rows: Seq[(String, String)] =
+      (1 to 4000).map(_ => (s"g${rnd.nextInt(50)}", s"item${math.min(49, (math.pow(rnd.nextDouble(), 3) * 50).toInt)}"))
+    val phi = 0.05
+    val truth = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val thr = math.max(1L, math.ceil(phi * rs.size).toLong)
+      rs.groupBy(_._2).view.mapValues(_.size.toLong)
+        .filter(_._2 >= thr).map { case (it, c) => (g, it) -> c }
+    }
+    val df = rows.toDF("grp", "item").repartition(11)
+    // expectedGroups says 50 groups x k=20 counters = 1000 > budget 100 →
+    // the operator must take the repartition+sort single-summary path
+    spark.conf.set("spark.graft.hh.maxCountersPerTask", "100")
+    try {
+      val got = HeavyHitters.frequentItemsByGroup(df, "grp", "item", phi,
+          expectedGroups = 50L)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == truth)
+      // and the auto-estimated gate (no hint) agrees
+      val gotAuto = HeavyHitters.frequentItemsByGroup(df, "grp", "item", phi)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(gotAuto == truth)
+    } finally spark.conf.unset("spark.graft.hh.maxCountersPerTask")
+  }
+
   test("null items are ignored; empty strings are legitimate items") {
     import spark.implicits._
     val df = (Seq.fill(50)(Some("")) ++ Seq.fill(30)(Option.empty[String]) ++
