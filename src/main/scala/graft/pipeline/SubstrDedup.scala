@@ -55,9 +55,54 @@ import org.apache.spark.sql.functions._
   * 100 TB posture: every stage is a hash shuffle on a high-cardinality key
   * (window hash, then doc id); nothing collects, nothing is O(n²), and the
   * only super-linear term is the inherent O(total chars) position
-  * enumeration the exact problem requires.
+  * enumeration the exact problem requires. The position-pass exchange is
+  * SELF-SIZING: a one-pass `sum(length(text))` measures the corpus and the
+  * shuffle-partition count is set to `ceil(chars·24B / 256MB)` (grow-only;
+  * `spark.graft.substr.targetPartitionBytes` overrides the target) — the
+  * same measured-volume pilot the streaming index build uses, so each
+  * reducer slice stays in executor memory instead of sort-spilling, which
+  * is what killed the fixed-32-partition plan at n=3M docs.
   */
 object SubstrDedup {
+
+  /** Reducer-slice target for the position-pass exchange; override with
+    * `spark.graft.substr.targetPartitionBytes`. 256 MB keeps each slice's
+    * hash aggregate in executor memory instead of sort-spilling to disk —
+    * the r12 n=3M run died on exactly that spill. */
+  private val DefaultTargetPartitionBytes = 256L << 20
+
+  /** Bytes per position row in the hash-count exchange: (id, p, __h) = 3
+    * longs, measured at ~24 B/char on the wire (SCALE.md). */
+  private val BytesPerPosition = 24L
+
+  /** Self-sized shuffle-partition count for the position pass: grow-only
+    * (never below the session's `spark.sql.shuffle.partitions`, so small
+    * corpora keep their parallelism), `ceil(positions·24B / target)`
+    * above it — the SCALE.md formula the operator's 100 TB posture quotes,
+    * now applied instead of documented. Capped at 2^18 partitions. */
+  private[pipeline] def positionShufflePartitions(
+      spark: org.apache.spark.sql.SparkSession, positions: Long): Int = {
+    val target = spark.conf.getOption("spark.graft.substr.targetPartitionBytes")
+      .map(_.toLong).getOrElse(DefaultTargetPartitionBytes)
+    require(target > 0, s"targetPartitionBytes=$target must be > 0")
+    val current = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val needed = math.ceil(positions.toDouble * BytesPerPosition / target).toLong
+    math.max(current, math.min(needed, 1L << 18)).toInt
+  }
+
+  /** Run `body` (whose terminal action executes eagerly inside — e.g. a
+    * localCheckpoint) with `spark.sql.shuffle.partitions` = n, restoring
+    * the session value after. The heavy position-pass stages all execute
+    * inside the checkpoint job, so the scoped conf sizes exactly those
+    * exchanges; downstream candidate-bounded stages plan later under the
+    * caller's own setting. */
+  private def withShufflePartitions[T](
+      spark: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
 
   /** 64-bit rolling polynomial window hashes (base 1000003, mod 2^64 via
     * native overflow), one per 1-based start position; length < L or null
@@ -128,6 +173,15 @@ object SubstrDedup {
                       keepFirst: Boolean = false): DataFrame = {
     require(minLength >= 2, s"minLength=$minLength must be >= 2")
     require(minCount >= 2, s"minCount=$minCount must be >= 2")
+    val spark = df.sparkSession
+    // SELF-SIZING: one cheap agg measures the corpus char volume, and the
+    // position-pass exchanges (hash count + semi-join back) are sized so
+    // each reducer slice targets ~256 MB — the formula SCALE.md derived
+    // from the measured 24 B/char wire cost. Grow-only, so bench-scale
+    // corpora keep the session's parallelism.
+    val totalChars = df.agg(coalesce(sum(length(col(textCol))), lit(0L)))
+      .head().getLong(0)
+    val nParts = positionShufflePartitions(spark, totalChars)
     val pos = df
       .select(col(idCol), posexplode(windowHashesUdf(minLength)(col(textCol)))
         .as(Seq("__i", "__h")))
@@ -137,12 +191,16 @@ object SubstrDedup {
     val cand = pos.join(dupH, Seq("__h")).select(col(idCol), col("p"))
     // checkpoint the BOUNDED candidate-gram relation: it feeds two (three
     // with keepFirst) consumers below, and without the pin each one would
-    // re-execute the corpus-wide position pass + the doc join
-    val withGram = cand.join(df.select(col(idCol), col(textCol)), Seq(idCol))
-      .withColumn("__g",
-        col(textCol).substr(col("p").cast("int"), lit(minLength)))
-      .select(col(idCol), col("p"), col("__g"))
-      .localCheckpoint()
+    // re-execute the corpus-wide position pass + the doc join. The
+    // checkpoint is the eager action the scoped shuffle-partition conf
+    // binds to — every position-volume exchange executes inside it.
+    val withGram = withShufflePartitions(spark, nParts) {
+      cand.join(df.select(col(idCol), col(textCol)), Seq(idCol))
+        .withColumn("__g",
+          col(textCol).substr(col("p").cast("int"), lit(minLength)))
+        .select(col(idCol), col("p"), col("__g"))
+        .localCheckpoint()
+    }
     val dupG = withGram.groupBy("__g").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount).select("__g")
     val verified = withGram.join(dupG, Seq("__g"))
@@ -231,6 +289,12 @@ object SubstrDedup {
                            keepFirst: Boolean = false): DataFrame = {
     require(minTokens >= 2, s"minTokens=$minTokens must be >= 2")
     require(minCount >= 2, s"minCount=$minCount must be >= 2")
+    val spark = df.sparkSession
+    // Self-size from the measured TOKEN count (position rows are per
+    // token here, not per char) — same formula as the char form.
+    val totalTokens = df
+      .agg(coalesce(sum(size(tokensCol(textCol))), lit(0L))).head().getLong(0)
+    val nParts = positionShufflePartitions(spark, totalTokens)
     val pos = df
       .select(col(idCol),
         posexplode(tokenWindowHashesUdf(minTokens)(tokensCol(textCol)))
@@ -242,11 +306,13 @@ object SubstrDedup {
     val gramUdf = udf { (toks: Seq[String], p: Long) =>
       toks.slice(p.toInt - 1, p.toInt - 1 + minTokens).mkString(" ")
     }
-    val withGram = cand
-      .join(df.select(col(idCol), tokensCol(textCol).as("__toks")), Seq(idCol))
-      .withColumn("__g", gramUdf(col("__toks"), col("p")))
-      .select(col(idCol), col("p"), col("__g"))
-      .localCheckpoint() // bounded; two (three with keepFirst) consumers
+    val withGram = withShufflePartitions(spark, nParts) {
+      cand
+        .join(df.select(col(idCol), tokensCol(textCol).as("__toks")), Seq(idCol))
+        .withColumn("__g", gramUdf(col("__toks"), col("p")))
+        .select(col(idCol), col("p"), col("__g"))
+        .localCheckpoint() // bounded; two (three with keepFirst) consumers
+    }
     val dupG = withGram.groupBy("__g").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount).select("__g")
     val verified = withGram.join(dupG, Seq("__g"))

@@ -236,6 +236,32 @@ class SubstrDedupSpec extends SparkSpec {
     assert(got.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L))
   }
 
+  test("self-sizing: partition count follows the 24B/char formula and the conf restores") {
+    import spark.implicits._
+    // formula arithmetic: grow-only above the session setting
+    val cur = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(SubstrDedup.positionShufflePartitions(spark, 0L) == cur)
+    assert(SubstrDedup.positionShufflePartitions(spark, 1000L) == cur)
+    // 10 GB of position rows at 256 MB target → 960 partitions
+    val chars10g = (10L << 30) / 24L
+    assert(SubstrDedup.positionShufflePartitions(spark, chars10g) ==
+      math.max(cur, math.ceil(chars10g * 24.0 / (256L << 20)).toInt))
+    spark.conf.set("spark.graft.substr.targetPartitionBytes", "1024")
+    try {
+      // tiny target forces the sized path even on a spec corpus…
+      val docs = Seq(1L -> ("shared boilerplate block here " * 3 + "alpha tail"),
+                     2L -> ("shared boilerplate block here " * 3 + "beta tail"))
+      assert(SubstrDedup.positionShufflePartitions(spark,
+        docs.map(_._2.length.toLong).sum) > cur)
+      // …and the result is still exact, with the session conf restored after
+      val got = SubstrDedup.dedupSubstrings(docs.toDF("id", "text"),
+        "id", "text", 30).collect()
+      assert(got.forall(_.getLong(2) > 0)) // both docs lose the shared block
+      assert(spark.conf.get("spark.sql.shuffle.partitions").toInt == cur,
+        "scoped shuffle-partition override leaked into the session")
+    } finally spark.conf.unset("spark.graft.substr.targetPartitionBytes")
+  }
+
   test("partitioning-invariant and idempotent-after-cut on the marked set") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
