@@ -35,7 +35,15 @@ object Matryoshka {
                         params: Map[String, String] = Map("metric" -> "l2"),
                         path: String): AnnIndex = {
     require(dPrefix >= 1, s"dPrefix=$dPrefix must be >= 1")
-    val pref = df.select(col(idCol), slice(col(vecCol), 1, dPrefix).as(vecCol))
+    // Mirror the query-side guard: a base vector shorter than dPrefix
+    // would silently truncate and build an index of the wrong dim,
+    // inconsistent with the query path, which raise_errors.
+    val pref = df.select(col(idCol),
+      when(size(col(vecCol)) < dPrefix,
+        raise_error(concat(
+          lit(s"base vector shorter than the requested prefix dim $dPrefix: size "),
+          size(col(vecCol)).cast("string"))))
+        .otherwise(slice(col(vecCol), 1, dPrefix)).as(vecCol))
     AnnIndexManager.create(spark, name, pref, idCol, vecCol, engine, params,
       path)
   }
@@ -51,7 +59,6 @@ object Matryoshka {
                         overfetch: Int, queryIdCol: String,
                         queryVecCol: String,
                         searchParam: Int = -1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dp = idx.meta.dim
     require(overfetch >= 1, s"overfetch=$overfetch must be >= 1")
     // internal rename: searchTable appends a hit column literally named
@@ -67,12 +74,17 @@ object Matryoshka {
     val cands = AnnSearch.searchTable(idx, q2, k * overfetch,
       nprobe = searchParam, queryVecCol = Some("__qpref"),
       queryIdCol = Some("__mqid"))
-    cands.select(col("__mqid"), col("__qfull"), col("id").as(baseIdCol))
+    val scored = cands
+      .select(col("__mqid"), col("__qfull"), col("id").as(baseIdCol))
       .join(base.select(col(baseIdCol), col(vecCol)), Seq(baseIdCol))
-      .withColumn("_distance", idx.rawDistColumn(col(vecCol), col("__qfull")))
-      .withColumn("__rn", row_number().over(Window.partitionBy("__mqid")
-        .orderBy(col("_distance"), col(baseIdCol))))
-      .filter(col("__rn") <= k)
+      .withColumn("_distance",
+        idx.rawDistColumn(col(vecCol), col("__qfull")).cast("double"))
+      .select(col("__mqid"), col(baseIdCol), col("_distance"))
+    // Map-side bounded-heap grouped top-k (same reducer as searchBatch):
+    // each partition emits <= k rows per query before anything shuffles,
+    // instead of exchanging the full k·overfetch candidate set through a
+    // row_number Window.
+    TopK.grouped(scored, "__mqid", "_distance", baseIdCol, k)
       .select(col("__mqid").as(queryIdCol), col(baseIdCol), col("_distance"))
   }
 

@@ -108,6 +108,20 @@ class MatryoshkaSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("build side: a base vector shorter than dPrefix raises, not silent truncation") {
+    import spark.implicits._
+    val bad = Seq((0L, Array.fill(32)(0.1f)), (1L, Array.fill(5)(0.1f)))
+      .toDF("id", "embedding")
+    val ex = intercept[Exception] {
+      Matryoshka.createPrefixIndex(spark, "mrl_bad", bad, "id", "embedding",
+        dPrefix = 8, "FLAT", Map("metric" -> "l2"), s"$tmp/mrl_bad")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("shorter than the requested prefix")),
+      s"got: ${msgs(ex)}")
+  }
+
   test("a query shorter than the prefix dim is rejected") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
