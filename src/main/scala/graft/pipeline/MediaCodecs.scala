@@ -368,4 +368,65 @@ object MediaCodecs {
     }
     h
   }
+
+  /** Fixed-point DCT-II basis for N=32: round(cos(pi*(2x+1)*u/64) * 2^14),
+    * built from StrictMath (fdlibm — bit-identical on every JVM) so the
+    * whole pHash pipeline is exact integer arithmetic. */
+  private lazy val DctCos32: Array[Array[Long]] =
+    Array.tabulate(8, 32)((u, x) =>
+      math.round(StrictMath.cos(StrictMath.PI * (2 * x + 1) * u / 64.0) * (1 << 14)))
+
+  /** 64-bit PERCEPTUAL hash (the published pHash recipe): downsample to a
+    * 32×32 gray raster (floor block means — any input size), 2-D DCT-II,
+    * keep the top-left 8×8 coefficients, set bit i where coefficient i
+    * exceeds the MEDIAN of the 63 AC coefficients (DC excluded — it is
+    * pure brightness). Bit (v*8 + u) from the MSB; the DC bit (MSB) is
+    * always 0. Markedly more robust than [[aHash64]] to resize and
+    * brightness/contrast perturbation: sign-vs-median of low-frequency
+    * energy survives resampling that flips near-mean block bits.
+    *
+    * All-integer: gray is integer luma, the DCT uses the 2^14 fixed-point
+    * cosine table (separable row/column passes, plain Long products — max
+    * |coeff| < 2^14·2^14·255·32² « 2^63, no overflow), and the median is
+    * an integer compare. Bit-deterministic across JVMs and platforms. */
+  def pHash64(img: ImageData): Long = {
+    val g = Array.tabulate(32 * 32)(i => blockMean(img, i % 32, i / 32, 32, 32).toLong)
+    // separable DCT: rows first (32 rows × 8 output freqs), then columns
+    val rows = Array.ofDim[Long](32 * 8)
+    var y = 0
+    while (y < 32) {
+      var u = 0
+      while (u < 8) {
+        var acc = 0L
+        var x = 0
+        while (x < 32) { acc += DctCos32(u)(x) * g(y * 32 + x); x += 1 }
+        rows(y * 8 + u) = acc
+        u += 1
+      }
+      y += 1
+    }
+    val coef = Array.ofDim[Long](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var acc = 0L
+        var yy = 0
+        while (yy < 32) { acc += DctCos32(v)(yy) * rows(yy * 8 + u); yy += 1 }
+        coef(v * 8 + u) = acc
+        u += 1
+      }
+      v += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
+    java.util.Arrays.sort(ac)
+    val median = ac(31) // the 32nd smallest of the 63 AC coefficients
+    var h = 0L
+    var i = 1
+    while (i < 64) {
+      if (coef(i) > median) h |= 1L << (63 - i)
+      i += 1
+    }
+    h
+  }
 }

@@ -93,22 +93,27 @@ object Multimodal {
   }
 
   /** Perceptual 64-bit image hashes over decoded payloads (netpbm first,
-    * then ImageIO containers): adds `ahash64` (block-mean average hash)
-    * and `dhash64` (gradient difference hash) BIGINT columns, null for
-    * rows whose payload is not a decodable image. Row-local; pair them
-    * with [[Dedup.hammingNearDups]] for image near-dup mining — the
-    * multimodal analogue of SimHash over text. */
+    * then ImageIO containers): adds `ahash64` (block-mean average hash),
+    * `dhash64` (gradient difference hash) and `phash64` (32×32 DCT hash —
+    * the published robust recipe, exact-integer so cross-engine
+    * deterministic) BIGINT columns, null for rows whose payload is not a
+    * decodable image. Row-local; pair them with [[Dedup.hammingNearDups]]
+    * for image near-dup mining — the multimodal analogue of SimHash over
+    * text. Prefer `phash64` for web-scale near-dup: it survives the
+    * resize/re-compression perturbations that flip near-mean aHash bits. */
   def withImageHashes(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
     val hashes = udf { payload: Array[Byte] =>
       val img =
         if (payload == null) None
         else MediaCodecs.decodeNetpbm(payload)
           .orElse(MediaCodecs.decodeImageIO(payload))
-      img.map(i => (MediaCodecs.aHash64(i), MediaCodecs.dHash64(i))).orNull
+      img.map(i => (MediaCodecs.aHash64(i), MediaCodecs.dHash64(i),
+        MediaCodecs.pHash64(i))).orNull
     }
     df.withColumn("__ph", hashes(col(payloadCol)))
       .withColumn("ahash64", col("__ph._1"))
       .withColumn("dhash64", col("__ph._2"))
+      .withColumn("phash64", col("__ph._3"))
       .drop("__ph")
   }
 

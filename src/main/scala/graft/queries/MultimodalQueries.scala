@@ -67,6 +67,20 @@ object MultimodalQueries {
         .orderBy("a", "b")
     }),
 
+    // DCT pHash variant of the same fixture: identical-within-group images
+    // hash identically (hamming 0), cross-group 16x16 noise rasters land
+    // far apart in DCT space at a FIXED seed — so the exact pair set is
+    // again the same-group pairs. Strict.
+    "multimodal_phash_dct_pairs" -> ((s: SparkSession, dir: String) => {
+      val docs = table(s, dir, "documents")
+      val media = docs.select(col("doc_id"),
+        phashImgUdf(col("doc_id")).as("payload"))
+      val hashed = Multimodal.withImageHashes(media)
+      graft.pipeline.Dedup.hammingNearDups(hashed, "doc_id", "phash64",
+          maxHamming = 3)
+        .orderBy("a", "b")
+    }),
+
     // REAL compressed-raster decode: deterministic PNGs (dims a function
     // of doc_id) go through ImageIO; the oracle predicts the dims
     // arithmetically, so a strict match proves the codec actually parsed
@@ -111,6 +125,12 @@ object MultimodalQueries {
 
   def oracleSql: Map[String, String] = Map(
     "multimodal_phash_pairs" ->
+      """SELECT a.doc_id AS a, b.doc_id AS b, CAST(0 AS INT) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id AND a.doc_id % 50 = b.doc_id % 50
+        |ORDER BY a, b""".stripMargin,
+
+    "multimodal_phash_dct_pairs" ->
       """SELECT a.doc_id AS a, b.doc_id AS b, CAST(0 AS INT) AS hamming
         |FROM documents a JOIN documents b
         |  ON a.doc_id < b.doc_id AND a.doc_id % 50 = b.doc_id % 50

@@ -212,7 +212,7 @@ class MultimodalSpec extends SparkSpec {
 }
 
 class PerceptualHashSpec extends graft.SparkSpec {
-  import MediaCodecs.{ImageData, aHash64, dHash64, encodeNetpbm}
+  import MediaCodecs.{ImageData, aHash64, dHash64, pHash64, encodeNetpbm, resizeNearest}
 
   private def randImg(seed: Int, w: Int = 16, h: Int = 16): ImageData = {
     val rnd = new scala.util.Random(seed)
@@ -223,6 +223,72 @@ class PerceptualHashSpec extends graft.SparkSpec {
     val a = randImg(3)
     assert(aHash64(a) == aHash64(randImg(3)))
     assert(dHash64(a) == dHash64(randImg(3)))
+    assert(pHash64(a) == pHash64(randImg(3)))
+  }
+
+  /** Natural-image-like fixture for the robustness comparison: generated
+    * directly in the 8×8 low-frequency DCT domain with strong ± amplitudes
+    * (web images carry broad low-frequency energy; pure noise or a single
+    * sinusoid would leave the median-split coefficients noise-dominated
+    * and prove nothing — the r11 "smooth fixtures read as operator bugs"
+    * lesson, in hash space). */
+  private def dctImg(seed: Int, w: Int = 64, h: Int = 64): ImageData = {
+    val rnd = new scala.util.Random(seed)
+    val signs = Array.fill(8, 8)(if (rnd.nextBoolean()) 1 else -1)
+    val px = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      var v = 128.0
+      var u = 0
+      while (u < 8) {
+        var vv = 0
+        while (vv < 8) {
+          if (u != 0 || vv != 0)
+            v += 14.0 * signs(u)(vv) *
+              StrictMath.cos(StrictMath.PI * (2 * (x * 32 / w) + 1) * u / 64.0) *
+              StrictMath.cos(StrictMath.PI * (2 * (y * 32 / h) + 1) * vv / 64.0)
+          vv += 1
+        }
+        u += 1
+      }
+      // clamp to [15, 240]: +15 brightness headroom on both ends, so the
+      // shift-invariance test below never clips
+      math.max(15, math.min(240, v.toInt)).toByte
+    }
+    ImageData(w, h, 1, px)
+  }
+
+  private def gammaAdjust(img: ImageData, g: Double): ImageData =
+    ImageData(img.width, img.height, img.channels, img.pixels.map { p =>
+      val v = (255.0 * StrictMath.pow((p & 0xff) / 255.0, g)).toInt
+      math.max(0, math.min(255, v)).toByte
+    })
+
+  test("pHash survives resize+gamma markedly better than aHash (the near-dup case)") {
+    // the web-corpus perturbation: 64→31 downsample (misaligns aHash's 8×8
+    // block grid) plus gamma 0.8. Deterministic integer pipeline → fixed
+    // distances; margins carry slack over the measured values.
+    val dists = (1 to 10).map { seed =>
+      val a = dctImg(seed)
+      val b = gammaAdjust(resizeNearest(a, 31, 31), 0.8)
+      (java.lang.Long.bitCount(aHash64(a) ^ aHash64(b)),
+        java.lang.Long.bitCount(pHash64(a) ^ pHash64(b)))
+    }
+    val sumA = dists.map(_._1).sum
+    val sumP = dists.map(_._2).sum
+    assert(sumP * 4 <= sumA * 3,
+      s"pHash should beat aHash by ≥25% in total flipped bits: aHash=$dists sumA=$sumA sumP=$sumP")
+    // pHash stays inside a tight near-dup threshold on ≥8/10 seeds; aHash
+    // demonstrably breaks it on ≥5
+    assert(dists.count(_._2 <= 8) >= 8, s"pHash dists: ${dists.map(_._2)}")
+    assert(dists.count(_._1 > 8) >= 5, s"aHash dists: ${dists.map(_._1)}")
+  }
+
+  test("pHash is exactly invariant to a global brightness shift (DC excluded)") {
+    val a = dctImg(21)
+    val shifted = ImageData(a.width, a.height, 1,
+      a.pixels.map(p => ((p & 0xff) + 15).toByte))
+    // fixture pixels are clamped to [15, 240], so +15 never clips
+    assert(pHash64(a) == pHash64(shifted))
   }
 
   test("a single-pixel perturbation moves few bits; distinct images many") {
@@ -252,13 +318,19 @@ class PerceptualHashSpec extends graft.SparkSpec {
     } :+ ((99L, Array[Byte](1, 2, 3))) // non-image: null hashes, never pairs
     val df = rows.toDF("id", "payload")
     val hashed = Multimodal.withImageHashes(df)
-    assert(hashed.filter(col("id") === 99L).head().isNullAt(2))
+    val nullRow = hashed.filter(col("id") === 99L).head()
+    assert(nullRow.isNullAt(nullRow.fieldIndex("ahash64")))
+    assert(nullRow.isNullAt(nullRow.fieldIndex("phash64")))
     val pairs = Dedup.hammingNearDups(hashed, "id", "ahash64", maxHamming = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val want = (for {
       a <- 0L until 40L; b <- a + 1 until 40L; if a % 8 == b % 8
     } yield (a, b)).toSet
     assert(pairs == want)
+    // the DCT hash pairs the same identical-image groups at hamming 0
+    val pPairs = Dedup.hammingNearDups(hashed, "id", "phash64", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.subsetOf(pPairs))
     // larger maxHamming stays best-effort (the simhash contract): no
     // throw, and the exact-dup pairs are still all found
     val loose = Dedup.hammingNearDups(hashed, "id", "ahash64", maxHamming = 9)
