@@ -19,7 +19,8 @@ object SparkEntry {
       VectorQueries.queries ++
       IndexQueries.queries ++
       TextQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++
+      UrlQueries.queries
 
   /** Parameter-sweep diagnostics (approximate probe/beam configurations
     * with no oracle form BY CONSTRUCTION) — runnable like queries but kept
@@ -36,5 +37,6 @@ object SparkEntry {
       VectorQueries.oracleSql ++
       IndexQueries.oracleSql ++
       TextQueries.oracleSql ++
-      MultimodalQueries.oracleSql
+      MultimodalQueries.oracleSql ++
+      UrlQueries.oracleSql
 }

@@ -23,6 +23,8 @@ import graft.pipeline.{CorpusPipeline, Dedup, TextAnalysis}
   *   SELECT * FROM text_quality_rules(TABLE(docs), 'text')  -- Gopher+C4 rule booleans
   *   SELECT * FROM text_repetition_rules(TABLE(docs), 'doc_id', 'text')  -- Gopher repetition fractions
   *   SELECT * FROM c4_clean_lines(TABLE(docs), 'text'[, min_words, min_lines])
+  *   SELECT * FROM url_normalize(TABLE(docs), 'url')        -- +url_norm/url_host/url_domain
+  *   SELECT * FROM url_domain_cap(TABLE(docs), 'url', 100, 'doc_id')
   *   SELECT * FROM dedup_exact_drop(TABLE(docs), 'doc_id', 'text')
   *   SELECT * FROM dedup_minhash_pairs(TABLE(docs), 'doc_id', 'text', 0.5)
   *   SELECT * FROM dedup_components(TABLE(pairs), 'a', 'b')
@@ -212,6 +214,28 @@ object PipelineSql {
       val ml = if (exprs.length > 3) constInt(exprs(3)) else 5
       plan(TextAnalysis.c4CleanLines(tableArg(spark, exprs(0)),
         constString(exprs(1)), mw, ml))
+    }, "scala_udf")
+
+    // URL tier: normalization/domain as appended columns; per-site cap as
+    // a filter. All row-local except the cap's survivor-volume shuffle.
+    r.createOrReplaceTempFunction("url_normalize", (exprs: Seq[Expression]) => {
+      require(exprs.length == 2,
+        "usage: url_normalize(TABLE(t), url_col)")
+      val t = tableArg(spark, exprs(0))
+      val u = constString(exprs(1))
+      plan(t.withColumn("url_norm",
+          graft.pipeline.UrlOps.normalizeUrl(org.apache.spark.sql.functions.col(u)))
+        .withColumn("url_host",
+          graft.pipeline.UrlOps.urlHost(org.apache.spark.sql.functions.col(u)))
+        .withColumn("url_domain",
+          graft.pipeline.UrlOps.urlRegisteredDomain(org.apache.spark.sql.functions.col(u))))
+    }, "scala_udf")
+
+    r.createOrReplaceTempFunction("url_domain_cap", (exprs: Seq[Expression]) => {
+      require(exprs.length == 4,
+        "usage: url_domain_cap(TABLE(t), url_col, cap, order_col)")
+      plan(graft.pipeline.UrlOps.capPerDomain(tableArg(spark, exprs(0)),
+        constString(exprs(1)), constInt(exprs(2)), constString(exprs(3))))
     }, "scala_udf")
 
     r.createOrReplaceTempFunction("text_repetition_rules", (exprs: Seq[Expression]) => {

@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL operators for the web-pipeline tier — C4/CCNet/RefinedWeb all key
+  * their first dedup and their per-site caps on a NORMALIZED url and its
+  * registered domain before any text op runs, so these are the front door
+  * of a web-corpus pipeline. Everything here is pure `Column` expressions
+  * (regexp/array builtins — codegen end-to-end, no UDF, no shuffle);
+  * [[capPerDomain]] adds the one shuffle its semantics require, through
+  * the map-side bounded-heap grouped top-k.
+  *
+  * Reference scope note: the reference engine (duckdb-ann) has no URL
+  * tier; these follow the published web-pipeline recipes (Raffel et al.
+  * 2020 §2.2 URL dedup; Penedo et al. 2023 RefinedWeb §3.1 URL filtering
+  * + per-domain caps).
+  */
+object UrlOps {
+
+  /** Query parameters dropped by [[normalizeUrl]] — click-tracking noise
+    * that makes otherwise-identical URLs distinct (the dominant source of
+    * false-unique URLs in web crawls). */
+  private val TrackingParams =
+    "utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref_src|s_kwcid"
+
+  /** Canonical URL form (the C4/CCNet-style key for URL-level dedup):
+    *
+    *   - scheme and host lowercase; userinfo (`user:pass@`) dropped
+    *   - default ports stripped (`:80` for http, `:443` for https; other
+    *     ports kept)
+    *   - fragment (`#…`) dropped
+    *   - tracking query params dropped ([[TrackingParams]]); param order
+    *     otherwise preserved; an emptied query loses its `?`
+    *   - trailing slashes stripped from the path (root `/` becomes empty,
+    *     so `https://h/` and `https://h` collide — the point)
+    *
+    * Inputs without a `scheme://` are not URLs → null. Null-safe. */
+  def normalizeUrl(url: Column): Column = {
+    val u = regexp_replace(trim(url), "#.*$", "") // fragment off first
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1))
+    val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.\\-]*://", "")
+    val authority = regexp_extract(rest, "^([^/?]*)", 1)
+    val hostPort = regexp_replace(authority, "^[^@]*@", "") // drop userinfo
+    val host = lower(regexp_replace(hostPort, ":\\d+$", ""))
+    val port = regexp_extract(hostPort, ":(\\d+)$", 1)
+    val portOut = when(port === "", lit(""))
+      .when(scheme === "http" && port === "80", lit(""))
+      .when(scheme === "https" && port === "443", lit(""))
+      .otherwise(concat(lit(":"), port))
+    val pathQuery = regexp_replace(rest, "^[^/?]*", "")
+    val path = regexp_replace(regexp_extract(pathQuery, "^([^?]*)", 1), "/+$", "")
+    val query = regexp_extract(pathQuery, "\\?(.*)$", 1)
+    val keptQuery = array_join(
+      filter(split(query, "&"),
+        p => !p.rlike(s"^($TrackingParams)=") && p =!= ""),
+      "&")
+    val queryOut = when(keptQuery === "", lit(""))
+      .otherwise(concat(lit("?"), keptQuery))
+    when(url.isNull || scheme === "" || host === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, portOut, path, queryOut))
+  }
+
+  /** Two-label public suffixes where the REGISTERED domain is three labels
+    * (`example.co.uk`, not `co.uk`). A bounded approximation of the public
+    * suffix list covering the common country registries — the full PSL is
+    * a data file, not logic; swap this set for it when operating on real
+    * crawls. */
+  private val MultiPartSuffixes = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp",
+    "com.au", "net.au", "org.au", "edu.au",
+    "com.br", "net.br", "org.br",
+    "co.in", "net.in", "org.in",
+    "com.cn", "net.cn", "org.cn",
+    "co.nz", "com.mx", "com.tr", "co.za", "com.ar", "co.kr", "com.sg",
+    "com.hk", "com.tw")
+
+  /** Lowercased host of a URL (userinfo and port dropped); null when the
+    * input has no `scheme://host`. */
+  def urlHost(url: Column): Column = {
+    val u = regexp_replace(trim(url), "#.*$", "")
+    val scheme = regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1)
+    val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.\\-]*://", "")
+    val hostPort = regexp_replace(regexp_extract(rest, "^([^/?]*)", 1), "^[^@]*@", "")
+    val host = lower(regexp_replace(hostPort, ":\\d+$", ""))
+    when(url.isNull || scheme === "" || host === "", lit(null).cast("string"))
+      .otherwise(host)
+  }
+
+  /** Registered domain (site key for per-domain caps and URL-level stats):
+    * the last two host labels, or the last THREE when the two-label tail
+    * is a known multi-part public suffix ([[MultiPartSuffixes]]). Hosts
+    * with fewer than two labels (and IPv4 literals, which have no
+    * registry) pass through unchanged. Null-safe. Pure array/string
+    * Columns — row-local, codegen'd. */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".", element_at(labels, -3), element_at(labels, -2),
+      element_at(labels, -1))
+    val isIpv4 = host.rlike("^\\d{1,3}(\\.\\d{1,3}){3}$")
+    when(host.isNull, lit(null).cast("string"))
+      .when(isIpv4 || n < 2, host)
+      .when(last2.isin(MultiPartSuffixes: _*) && n >= 3, last3)
+      .otherwise(last2)
+  }
+
+  /** Registered domain straight from a URL column. */
+  def urlRegisteredDomain(url: Column): Column =
+    registeredDomain(urlHost(url))
+
+  /** Per-domain cap sampling (RefinedWeb-style site balancing): keep at
+    * most `cap` rows per registered domain of `urlCol`, the ones with the
+    * SMALLEST `orderCol` (deterministic — crawl timestamp, doc id, or a
+    * quality rank). Rows whose URL yields no registered domain are
+    * DROPPED (they are not web documents and would otherwise pool into
+    * one pseudo-domain; run URL validation upstream if they must be
+    * kept). One shuffle at survivor volume: the map-side bounded-heap
+    * grouped top-k reduces every partition to ≤ cap rows per resident
+    * domain before anything moves. `orderCol` must be an integral column
+    * (it is the tie-break of its own ordering, so the cut is total and
+    * unique). */
+  def capPerDomain(df: DataFrame, urlCol: String, cap: Int,
+                   orderCol: String): DataFrame = {
+    require(cap >= 1, s"cap=$cap must be >= 1")
+    val withDom = df.withColumn("__dom", urlRegisteredDomain(col(urlCol)))
+      .filter(col("__dom").isNotNull)
+      .withColumn("__ord", col(orderCol).cast("double"))
+    graft.operators.TopK.grouped(withDom, "__dom", "__ord", orderCol, cap)
+      .drop("__dom", "__ord")
+  }
+}

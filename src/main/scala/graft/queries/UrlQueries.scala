@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.UrlOps
+import QuerySupport._
+
+/** Driver surface for the URL web-pipeline tier. The documents table has
+  * no URL column, so each query synthesizes a deterministic MESSY url from
+  * doc_id (uppercase scheme/host, default and non-default ports, userinfo,
+  * tracking params, fragments, trailing slashes, multi-part-suffix hosts,
+  * and outright non-URLs) and runs the real operators over it; the DuckDB
+  * oracle predicts the normalized form / registered domain / cap survivors
+  * arithmetically from the same doc_id derivation, so the whole operator
+  * chain is hash-verified strictly. */
+object UrlQueries {
+
+  /** The messy-url fixture: variant = doc_id % 6, site key = doc_id % 20. */
+  private def messyUrl(idCol: String): org.apache.spark.sql.Column = {
+    val k = (col(idCol) % 20).cast("string")
+    val v = col(idCol) % 6
+    when(v === 0, concat(lit("https://Site"), k,
+        lit(".Example.com:443/path/Page?utm_source=x&ref=1#frag")))
+      .when(v === 1, concat(lit("HTTP://site"), k, lit(".example.com:80/")))
+      .when(v === 2, concat(lit("https://www.site"), k,
+        lit(".co.uk/a/b/?fbclid=abc")))
+      .when(v === 3, concat(lit("https://user:pw@site"), k,
+        lit(".example.com:8080/a?b=2&utm_medium=m&c=3")))
+      .when(v === 4, concat(lit("https://site"), k, lit(".example.com#x")))
+      .otherwise(concat(lit("not a url "), k))
+  }
+
+  private def withUrl(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"), messyUrl("doc_id").as("url"))
+
+  /** The same fixture in DuckDB SQL (shared by all three oracles). */
+  private val MessyUrlSql =
+    """CASE doc_id % 6
+      |  WHEN 0 THEN 'https://Site' || CAST(doc_id % 20 AS VARCHAR) || '.Example.com:443/path/Page?utm_source=x&ref=1#frag'
+      |  WHEN 1 THEN 'HTTP://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com:80/'
+      |  WHEN 2 THEN 'https://www.site' || CAST(doc_id % 20 AS VARCHAR) || '.co.uk/a/b/?fbclid=abc'
+      |  WHEN 3 THEN 'https://user:pw@site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com:8080/a?b=2&utm_medium=m&c=3'
+      |  WHEN 4 THEN 'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com#x'
+      |  ELSE 'not a url ' || CAST(doc_id % 20 AS VARCHAR)
+      |END""".stripMargin
+
+  /** Expected normalized form, predicted arithmetically. */
+  private val NormalizedSql =
+    """CASE doc_id % 6
+      |  WHEN 0 THEN 'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/path/Page?ref=1'
+      |  WHEN 1 THEN 'http://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'
+      |  WHEN 2 THEN 'https://www.site' || CAST(doc_id % 20 AS VARCHAR) || '.co.uk/a/b'
+      |  WHEN 3 THEN 'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com:8080/a?b=2&c=3'
+      |  WHEN 4 THEN 'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'
+      |  ELSE NULL
+      |END""".stripMargin
+
+  /** Expected registered domain (multi-part suffix case at variant 2). */
+  private val DomainSql =
+    """CASE doc_id % 6
+      |  WHEN 2 THEN 'site' || CAST(doc_id % 20 AS VARCHAR) || '.co.uk'
+      |  WHEN 5 THEN NULL
+      |  ELSE 'example.com'
+      |END""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // canonical URL form: lowercase scheme/host, default ports off,
+    // userinfo/fragment/tracking params off, trailing slash off. Strict —
+    // the oracle predicts every variant's normal form.
+    "url_normalize" -> ((s: SparkSession, dir: String) =>
+      withUrl(s, dir)
+        .select(col("doc_id"), col("url"),
+          UrlOps.normalizeUrl(col("url")).as("url_norm"))
+        .orderBy("doc_id")),
+
+    // host → registered domain, including the multi-part public-suffix
+    // path (site{k}.co.uk, not co.uk) and null for non-URLs. Strict.
+    "url_domain" -> ((s: SparkSession, dir: String) =>
+      withUrl(s, dir)
+        .select(col("doc_id"),
+          UrlOps.urlHost(col("url")).as("host"),
+          UrlOps.urlRegisteredDomain(col("url")).as("domain"))
+        .orderBy("doc_id")),
+
+    // RefinedWeb-style per-site cap: keep the 3 lowest doc_ids per
+    // registered domain (unparseable URLs drop). The bounded-heap grouped
+    // top-k makes the plan one survivor-volume shuffle. Strict: the
+    // oracle's row_number window replays the cut exactly.
+    "url_domain_cap" -> ((s: SparkSession, dir: String) =>
+      UrlOps.capPerDomain(withUrl(s, dir), "url", cap = 3,
+          orderCol = "doc_id")
+        .select(col("doc_id"),
+          UrlOps.urlRegisteredDomain(col("url")).as("domain"))
+        .orderBy("domain", "doc_id"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "url_normalize" ->
+      s"""SELECT doc_id, $MessyUrlSql AS url, $NormalizedSql AS url_norm
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "url_domain" ->
+      s"""SELECT doc_id,
+         |  CASE doc_id % 6
+         |    WHEN 0 THEN 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'
+         |    WHEN 2 THEN 'www.site' || CAST(doc_id % 20 AS VARCHAR) || '.co.uk'
+         |    WHEN 5 THEN NULL
+         |    ELSE 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'
+         |  END AS host,
+         |  $DomainSql AS domain
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "url_domain_cap" ->
+      s"""SELECT doc_id, domain FROM (
+         |  SELECT doc_id, $DomainSql AS domain,
+         |    row_number() OVER (PARTITION BY $DomainSql ORDER BY doc_id) AS rn
+         |  FROM documents WHERE doc_id % 6 <> 5)
+         |WHERE rn <= 3 ORDER BY domain, doc_id""".stripMargin
+  )
+}

@@ -25,7 +25,8 @@ class SparkEntrySpec extends AnyFunSuite {
       "VectorQueries" -> graft.queries.VectorQueries.queries.keySet,
       "IndexQueries" -> graft.queries.IndexQueries.queries.keySet,
       "TextQueries" -> graft.queries.TextQueries.queries.keySet,
-      "MultimodalQueries" -> graft.queries.MultimodalQueries.queries.keySet)
+      "MultimodalQueries" -> graft.queries.MultimodalQueries.queries.keySet,
+      "UrlQueries" -> graft.queries.UrlQueries.queries.keySet)
     for (Seq((m1, k1), (m2, k2)) <- modules.combinations(2)) {
       val overlap = k1 & k2
       assert(overlap.isEmpty, s"$m1 and $m2 both define: $overlap")

@@ -2,6 +2,7 @@ package graft.functions
 
 import graft.SparkSpec
 import graft.pipeline.{CorpusPipeline, Dedup}
+import org.apache.spark.sql.functions.col
 
 /** The SQL pipeline TVFs must return exactly what the Scala API returns —
   * each test runs the same operator both ways and compares collected rows. */
@@ -78,6 +79,19 @@ class PipelineSqlSpec extends SparkSpec {
     grouped.createOrReplaceTempView("pl_grp")
     sameRows("SELECT * FROM heavy_hitters_by_group(TABLE(pl_grp), 'grp', 'item', 0.5)",
       graft.pipeline.HeavyHitters.frequentItemsByGroup(grouped, "grp", "item", 0.5))
+
+    val urls = Seq(
+      (1L, "HTTPS://User@Site.COM:443/a/?utm_source=x&q=1#f"),
+      (2L, "https://site.com/b"), (3L, "https://other.co.uk/c"),
+      (4L, "https://site.com/d"), (5L, "garbage"))
+      .toDF("doc_id", "url")
+    urls.createOrReplaceTempView("pl_urls")
+    sameRows("SELECT * FROM url_normalize(TABLE(pl_urls), 'url')",
+      urls.withColumn("url_norm", graft.pipeline.UrlOps.normalizeUrl(col("url")))
+        .withColumn("url_host", graft.pipeline.UrlOps.urlHost(col("url")))
+        .withColumn("url_domain", graft.pipeline.UrlOps.urlRegisteredDomain(col("url"))))
+    sameRows("SELECT * FROM url_domain_cap(TABLE(pl_urls), 'url', 2, 'doc_id')",
+      graft.pipeline.UrlOps.capPerDomain(urls, "url", 2, "doc_id"))
 
     val vecs = (0 until 30).map(i =>
       (i.toLong, Array.tabulate(4)(j => if (j == i % 2) 5f + i * 0.01f else 0f)))

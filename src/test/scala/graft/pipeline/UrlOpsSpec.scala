@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UrlOpsSpec extends SparkSpec {
+
+  private def norm(urls: (String, String)*): Unit = {
+    import spark.implicits._
+    val got = UrlOps.normalizeUrl(col("u"))
+    urls.zipWithIndex.foreach { case ((in, want), i) =>
+      val out = Seq(Option(in)).toDF("u").select(got).head()
+      val v = if (out.isNullAt(0)) null else out.getString(0)
+      assert(v == want, s"case $i: $in → $v (want $want)")
+    }
+  }
+
+  test("normalizeUrl: scheme/host case, ports, userinfo, fragment, tracking params") {
+    norm(
+      "https://Example.COM/Path" -> "https://example.com/Path", // path case kept
+      "HTTPS://example.com:443/a" -> "https://example.com/a",
+      "http://example.com:80/" -> "http://example.com",
+      "http://example.com:8080/a" -> "http://example.com:8080/a", // non-default port kept
+      "https://example.com:80/a" -> "https://example.com:80/a", // 80 is not https default
+      "https://user:pw@example.com/a" -> "https://example.com/a",
+      "https://example.com/a#section" -> "https://example.com/a",
+      "https://example.com/a?utm_source=tw&x=1&utm_campaign=c&y=2" ->
+        "https://example.com/a?x=1&y=2", // param order preserved
+      "https://example.com/a?utm_source=tw" -> "https://example.com/a", // emptied query loses '?'
+      "https://example.com/a?fbclid=1&gclid=2&msclkid=3" -> "https://example.com/a",
+      "https://example.com/a/b///" -> "https://example.com/a/b", // trailing slashes
+      "https://example.com/" -> "https://example.com",
+      "  https://example.com/a  " -> "https://example.com/a", // trimmed
+      "not a url" -> null,
+      "example.com/no-scheme" -> null,
+      "https://" -> null) // scheme but no host
+    // null-safe
+    import spark.implicits._
+    assert(Seq(Option.empty[String]).toDF("u")
+      .select(UrlOps.normalizeUrl(col("u"))).head().isNullAt(0))
+  }
+
+  test("normalizeUrl is idempotent on its own output") {
+    import spark.implicits._
+    val messy = Seq(
+      "https://User@Example.COM:443/a/b/?utm_source=x&q=1#f",
+      "HTTP://a.b.C:80/", "https://h/x?fbclid=9&z=2")
+    val once = messy.toDF("u").select(UrlOps.normalizeUrl(col("u")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    val twice = once.toDF("u").select(UrlOps.normalizeUrl(col("u")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(once == twice)
+  }
+
+  test("registeredDomain: two labels, multi-part suffixes, IPv4, degenerate hosts") {
+    import spark.implicits._
+    val cases = Seq(
+      "www.example.com" -> "example.com",
+      "a.b.c.example.com" -> "example.com",
+      "news.bbc.co.uk" -> "bbc.co.uk",
+      "bbc.co.uk" -> "bbc.co.uk",
+      "co.uk" -> "co.uk", // a bare suffix has no registrant — pass through
+      "shop.example.com.au" -> "example.com.au",
+      "192.168.0.1" -> "192.168.0.1", // IPv4: no registry
+      "localhost" -> "localhost")
+    cases.foreach { case (host, want) =>
+      val got = Seq(host).toDF("h")
+        .select(UrlOps.registeredDomain(col("h"))).head().getString(0)
+      assert(got == want, s"$host → $got (want $want)")
+    }
+    assert(Seq(Option.empty[String]).toDF("h")
+      .select(UrlOps.registeredDomain(col("h"))).head().isNullAt(0))
+  }
+
+  test("urlHost routes through userinfo/port; non-URLs are null") {
+    import spark.implicits._
+    val got = Seq("https://u@WWW.Site.COM:8443/a?x#f").toDF("u")
+      .select(UrlOps.urlHost(col("u"))).head().getString(0)
+    assert(got == "www.site.com")
+    assert(Seq("no scheme here").toDF("u")
+      .select(UrlOps.urlHost(col("u"))).head().isNullAt(0))
+  }
+
+  test("capPerDomain keeps the cap lowest-order rows per domain, drops non-URLs") {
+    import spark.implicits._
+    val rows = (0L until 30L).map { i =>
+      val url =
+        if (i % 10 == 9) s"garbage $i" // undomained: dropped
+        else s"https://site${i % 3}.example${i % 3}.com/p$i"
+      (i, url)
+    }
+    val df = rows.toDF("id", "url").repartition(7)
+    val kept = UrlOps.capPerDomain(df, "url", cap = 2, orderCol = "id")
+      .collect().map(_.getLong(0)).toSet
+    // domains example{0,1,2}.com: member ids are i%3==d minus the i%10==9
+    // rows; the 2 lowest ids of each survive
+    val want = (0 to 2).flatMap { d =>
+      (0L until 30L).filter(i => i % 3 == d && i % 10 != 9).sorted.take(2)
+    }.toSet
+    assert(kept == want, s"got $kept want $want")
+  }
+}
