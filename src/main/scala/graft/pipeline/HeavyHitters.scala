@@ -252,6 +252,43 @@ object HeavyHitters {
       .select(col("__grp").as(groupCol), col("__item").as(itemCol), col("cnt"))
   }
 
+  /** EXACT recount of an externally produced candidate set against `df` —
+    * the verify half of the candidate+verify composition, for callers that
+    * already hold a certified candidate SUPERSET per group: the streaming
+    * MG operators ([[graft.streaming.StreamingPipeline.streamingGroupedHeavyHitters]],
+    * [[graft.streaming.HeavyHittersMaintenance]]) emit one at every
+    * trigger, and recounting it against the retained corpus (foreachBatch,
+    * or offline) gives the streaming path the SAME exact contract as the
+    * batch operator. Returns `(groupCol, itemCol, cnt)` with
+    * `cnt >= ceil(phi * N_g)` — exact, because every true heavy hitter is
+    * in the superset by the MG anytime bound, and false candidates cannot
+    * survive the exact count. Shuffles are bounded: per-group totals (one
+    * key per group, map-side combined) and the candidate-volume
+    * semi-join + count — the corpus vocabulary never hits the wire. */
+  def recountGroupedCandidates(df: DataFrame, groupCol: String,
+                               itemCol: String, phi: Double,
+                               candidates: DataFrame,
+                               candGroupCol: String,
+                               candItemCol: String): DataFrame = {
+    require(phi > 0.0 && phi <= 1.0, s"phi=$phi must be in (0, 1]")
+    val ds = df.select(col(groupCol).cast("string").as("__grp"),
+        col(itemCol).cast("string").as("__item"))
+      .filter(col("__grp").isNotNull && col("__item").isNotNull)
+    val cand = candidates.select(col(candGroupCol).cast("string").as("__grp"),
+        col(candItemCol).cast("string").as("__item"))
+      .filter(col("__grp").isNotNull && col("__item").isNotNull)
+      .distinct()
+    val totals = ds.groupBy("__grp").agg(count(lit(1)).as("__n"))
+      .select(col("__grp"),
+        greatest(lit(1L), ceil(col("__n") * phi).cast("long")).as("__thr"))
+    ds.join(cand, Seq("__grp", "__item"), "left_semi")
+      .groupBy("__grp", "__item")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .join(totals, Seq("__grp"))
+      .filter(col("cnt") >= col("__thr"))
+      .select(col("__grp").as(groupCol), col("__item").as(itemCol), col("cnt"))
+  }
+
   /** The deduped candidate superset alone — exposed for the guarantee spec
     * (every true heavy hitter MUST appear here); use [[frequentItems]]
     * downstream. */

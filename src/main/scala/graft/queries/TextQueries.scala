@@ -761,8 +761,10 @@ object TextQueries {
       val toks = docs(s, dir)
         .select(col("lang"), explode(split(col("text"), "\\s+")).as("token"))
         .filter(length(col("token")) > 0)
+      // expectedGroups: languages are a bounded set (the fixture has ~10;
+      // ISO has a few hundred) — the hint skips the gate's estimate scan
       graft.pipeline.HeavyHitters.frequentItemsByGroup(toks, "lang", "token",
-          phi = 0.02)
+          phi = 0.02, expectedGroups = 512L)
         .orderBy("lang", "token")
     }),
 

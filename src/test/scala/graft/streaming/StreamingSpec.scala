@@ -156,6 +156,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed candidates + exact recount equal the batch grouped operator") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def batch(seed: Int): Seq[(String, String)] = {
+      val r = new scala.util.Random(seed * 31 + 5)
+      (1 to 300).map(_ => ("big", s"b${math.min(39, (math.pow(r.nextDouble(), 3) * 40).toInt)}")) ++
+        (1 to 50).map(_ => ("small", s"s${r.nextInt(5)}"))
+    }
+    val batches = (1 to 4).map(batch)
+    val all = batches.flatten
+    val ms = MemoryStream[(String, String)]
+    val phi = 0.04
+    val out = graft.streaming.StreamingPipeline.streamingGroupedHeavyHitters(
+      ms.toDS(), phi, maxIdle = None)
+    val q = out.writeStream.format("memory").queryName("stream_hh_recount")
+      .outputMode("update").start()
+    try {
+      batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      // the accumulated emissions are a certified SUPERSET of the final
+      // heavy hitters (the final trigger's certified set is included);
+      // recounting them against the retained corpus restores exactness
+      val candidates = spark.table("stream_hh_recount").select("key", "item")
+      val retained = all.toDF("grp", "item")
+      val recounted = graft.pipeline.HeavyHitters.recountGroupedCandidates(
+          retained, "grp", "item", phi, candidates,
+          candGroupCol = "key", candItemCol = "item")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batchExact = graft.pipeline.HeavyHitters.frequentItemsByGroup(
+          retained, "grp", "item", phi)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(recounted == batchExact,
+        s"streamed+recounted ${recounted.size} vs batch ${batchExact.size}")
+      assert(recounted.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming grouped heavy hitters: null keys and null items are dropped, matching batch") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
