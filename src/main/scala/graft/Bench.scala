@@ -461,7 +461,9 @@ object Bench {
     // pre-r12 line's JVM state comparable round-over-round.
     for (name <- Seq("dedup_substr", "heavy_hitters",
                      "heavy_hitters_by_lang", "corpus_clusters_full",
-                     "text_repetition_rules", "multimodal_phash_pairs")) {
+                     "text_repetition_rules", "multimodal_phash_pairs",
+                     // r13 additions, after everything older (same rule)
+                     "multimodal_phash_dct_pairs", "url_domain_cap")) {
       time(name) { noop(q(name)(spark, sfDir)) }
     }
 
@@ -485,7 +487,39 @@ object Bench {
       System.err.println(f"[bench] WARNING: 1-min load was $loadStart%.1f at " +
         "start — co-tenant contention likely; treat regressions vs prior " +
         "rounds as suspect and prefer a clean-host re-run")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"load_1m_start":$loadStart%.2f,"load_1m_end":$loadEnd%.2f,"rep_spread_gt2":$noisy,"reran_noisy":$reranJson,"sf":"$sfDir"}""")
+    // host-drift canary: the raw-JVM kernel lines are CODE-IDENTICAL round
+    // over round (no Spark, no IO), so their geomean ratio against the last
+    // committed round's BENCH json measures the host, not the code — r12
+    // needed a manual worktree A/B to classify +30-110% movers that this
+    // ratio (kernels drifted +23% that day) would have classified directly.
+    val drift: String = {
+      val benchFiles = Option(new java.io.File(".").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      val prevOpt = benchFiles
+        .sortBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt).lastOption
+      prevOpt.flatMap { prev =>
+        val src = scala.io.Source.fromFile(prev)
+        val txt = try src.mkString finally src.close()
+        val pat = """"(kernel_batch_l2_n\d+_d\d+_jvm)":([0-9.eE+\-]+)""".r
+        val ratios = pat.findAllMatchIn(txt).flatMap { m =>
+          times.get(m.group(1)).collect {
+            case cur if m.group(2).toDouble > 0 => cur / m.group(2).toDouble
+          }
+        }.toSeq
+        if (ratios.isEmpty) None
+        else {
+          val geo = math.exp(ratios.map(math.log).sum / ratios.size)
+          val flagged = math.abs(geo - 1.0) > 0.15
+          if (flagged)
+            System.err.println(f"[bench] WARNING: host drift $geo%.2fx vs " +
+              s"${prev.getName} kernel lines (code-identical) — classify " +
+              "engine-line movers against it before calling a regression")
+          Some(f""""vs":"${prev.getName}","kernel_geomean_ratio":$geo%.3f,"flagged":$flagged""")
+        }
+      }.map(body => s"""{$body}""").getOrElse("null")
+    }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"load_1m_start":$loadStart%.2f,"load_1m_end":$loadEnd%.2f,"rep_spread_gt2":$noisy,"reran_noisy":$reranJson,"host_drift":$drift,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
