@@ -501,7 +501,9 @@ object Bench {
       prevOpt.flatMap { prev =>
         val src = scala.io.Source.fromFile(prev)
         val txt = try src.mkString finally src.close()
-        val pat = """"(kernel_batch_l2_n\d+_d\d+_jvm)":([0-9.eE+\-]+)""".r
+        // committed BENCH files wrap the JSON line in a "tail" string field
+        // with escaped quotes — accept both raw and escaped forms
+        val pat = """\\?"(kernel_batch_l2_n\d+_d\d+_jvm)\\?":([0-9.eE+\-]+)""".r
         val ratios = pat.findAllMatchIn(txt).flatMap { m =>
           times.get(m.group(1)).collect {
             case cur if m.group(2).toDouble > 0 => cur / m.group(2).toDouble
