@@ -25,6 +25,7 @@ import graft.pipeline.{CorpusPipeline, Dedup, TextAnalysis}
   *   SELECT * FROM c4_clean_lines(TABLE(docs), 'text'[, min_words, min_lines])
   *   SELECT * FROM url_normalize(TABLE(docs), 'url')        -- +url_norm/url_host/url_domain
   *   SELECT * FROM url_domain_cap(TABLE(docs), 'url', 100, 'doc_id')
+  *   SELECT * FROM url_dedup(TABLE(docs), 'url', 'doc_id')   -- one row per normalized url
   *   SELECT * FROM dedup_exact_drop(TABLE(docs), 'doc_id', 'text')
   *   SELECT * FROM dedup_minhash_pairs(TABLE(docs), 'doc_id', 'text', 0.5)
   *   SELECT * FROM dedup_components(TABLE(pairs), 'a', 'b')
@@ -236,6 +237,13 @@ object PipelineSql {
         "usage: url_domain_cap(TABLE(t), url_col, cap, order_col)")
       plan(graft.pipeline.UrlOps.capPerDomain(tableArg(spark, exprs(0)),
         constString(exprs(1)), constInt(exprs(2)), constString(exprs(3))))
+    }, "scala_udf")
+
+    r.createOrReplaceTempFunction("url_dedup", (exprs: Seq[Expression]) => {
+      require(exprs.length == 3,
+        "usage: url_dedup(TABLE(t), url_col, order_col)")
+      plan(graft.pipeline.UrlOps.dedupByUrl(tableArg(spark, exprs(0)),
+        constString(exprs(1)), constString(exprs(2))))
     }, "scala_udf")
 
     r.createOrReplaceTempFunction("text_repetition_rules", (exprs: Seq[Expression]) => {

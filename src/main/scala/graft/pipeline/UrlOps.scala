@@ -111,6 +111,23 @@ object UrlOps {
   def urlRegisteredDomain(url: Column): Column =
     registeredDomain(urlHost(url))
 
+  /** URL-level exact dedup — C4's FIRST dedup step (before any text op):
+    * keep exactly one row per NORMALIZED url ([[normalizeUrl]] is the
+    * key, so `https://A.com/x?utm_source=t#f` and `https://a.com/x`
+    * collide), the one with the smallest `orderCol` (crawl timestamp —
+    * keep-oldest — or doc id). Rows that do not normalize (no
+    * `scheme://host`) are DROPPED, like [[capPerDomain]]. One
+    * survivor-volume shuffle via the bounded-heap grouped top-k at k=1:
+    * each partition emits at most one row per resident url before
+    * anything moves — a viral url reduces map-side. */
+  def dedupByUrl(df: DataFrame, urlCol: String, orderCol: String): DataFrame = {
+    val withNorm = df.withColumn("__unorm", normalizeUrl(col(urlCol)))
+      .filter(col("__unorm").isNotNull)
+      .withColumn("__ord", col(orderCol).cast("double"))
+    graft.operators.TopK.grouped(withNorm, "__unorm", "__ord", orderCol, 1)
+      .drop("__unorm", "__ord")
+  }
+
   /** Per-domain cap sampling (RefinedWeb-style site balancing): keep at
     * most `cap` rows per registered domain of `urlCol`, the ones with the
     * SMALLEST `orderCol` (deterministic — crawl timestamp, doc id, or a

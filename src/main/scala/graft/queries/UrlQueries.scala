@@ -83,6 +83,17 @@ object UrlQueries {
           UrlOps.urlRegisteredDomain(col("url")).as("domain"))
         .orderBy("doc_id")),
 
+    // C4's first dedup step: one survivor per NORMALIZED url, keep-oldest
+    // (min doc_id). The fixture repeats each messy url every 60 ids
+    // (lcm of the variant and site-key moduli), so the survivor set is
+    // exactly the min id of each residue class — arithmetic for the
+    // oracle. Strict.
+    "url_dedup" -> ((s: SparkSession, dir: String) =>
+      UrlOps.dedupByUrl(withUrl(s, dir), "url", orderCol = "doc_id")
+        .select(col("doc_id"),
+          UrlOps.normalizeUrl(col("url")).as("url_norm"))
+        .orderBy("doc_id")),
+
     // RefinedWeb-style per-site cap: keep the 3 lowest doc_ids per
     // registered domain (unparseable URLs drop). The bounded-heap grouped
     // top-k makes the plan one survivor-volume shuffle. Strict: the
@@ -110,6 +121,13 @@ object UrlQueries {
          |  END AS host,
          |  $DomainSql AS domain
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "url_dedup" ->
+      s"""SELECT doc_id, $NormalizedSql AS url_norm FROM (
+         |  SELECT doc_id,
+         |    row_number() OVER (PARTITION BY doc_id % 60 ORDER BY doc_id) AS rn
+         |  FROM documents WHERE doc_id % 6 <> 5)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "url_domain_cap" ->
       s"""SELECT doc_id, domain FROM (

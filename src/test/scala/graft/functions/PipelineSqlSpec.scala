@@ -92,6 +92,8 @@ class PipelineSqlSpec extends SparkSpec {
         .withColumn("url_domain", graft.pipeline.UrlOps.urlRegisteredDomain(col("url"))))
     sameRows("SELECT * FROM url_domain_cap(TABLE(pl_urls), 'url', 2, 'doc_id')",
       graft.pipeline.UrlOps.capPerDomain(urls, "url", 2, "doc_id"))
+    sameRows("SELECT * FROM url_dedup(TABLE(pl_urls), 'url', 'doc_id')",
+      graft.pipeline.UrlOps.dedupByUrl(urls, "url", "doc_id"))
 
     val vecs = (0 until 30).map(i =>
       (i.toLong, Array.tabulate(4)(j => if (j == i % 2) 5f + i * 0.01f else 0f)))

@@ -81,6 +81,20 @@ class UrlOpsSpec extends SparkSpec {
       .select(UrlOps.urlHost(col("u"))).head().isNullAt(0))
   }
 
+  test("dedupByUrl: one survivor per NORMALIZED url, keep-oldest, non-URLs drop") {
+    import spark.implicits._
+    val rows = Seq(
+      (3L, "https://A.com/x?utm_source=t#f"), // normalizes same as id 7
+      (7L, "https://a.com/x"),
+      (1L, "HTTPS://a.com:443/x"), // also the same — oldest, wins
+      (5L, "https://a.com/y"), // distinct path: kept
+      (9L, "not a url")) // dropped
+      .toDF("id", "url").repartition(3)
+    val kept = UrlOps.dedupByUrl(rows, "url", "id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L), s"got $kept")
+  }
+
   test("capPerDomain keeps the cap lowest-order rows per domain, drops non-URLs") {
     import spark.implicits._
     val rows = (0L until 30L).map { i =>
