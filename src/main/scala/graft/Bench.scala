@@ -493,6 +493,10 @@ object Bench {
     // needed a manual worktree A/B to classify +30-110% movers that this
     // ratio (kernels drifted +23% that day) would have classified directly.
     val drift: String = {
+      // baseline = newest committed BENCH file. The driver writes
+      // BENCH_rN.json only at round end (in the round-marker commit), so
+      // during round N the newest is r(N-1) — exactly the record the
+      // judge compares against, never a same-round self-comparison.
       val benchFiles = Option(new java.io.File(".").listFiles())
         .getOrElse(Array.empty[java.io.File])
         .filter(_.getName.matches("BENCH_r\\d+\\.json"))

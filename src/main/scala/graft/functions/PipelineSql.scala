@@ -44,6 +44,7 @@ import graft.pipeline.{CorpusPipeline, Dedup, TextAnalysis}
   *   SELECT * FROM dedup_substr_tokens(TABLE(t), 'doc_id', 'text', 50[, min_count, keep_first])
   *   SELECT * FROM heavy_hitters(TABLE(t), 'token', 0.001)
   *   SELECT * FROM heavy_hitters_by_group(TABLE(t), 'lang', 'token', 0.01)
+  *   SELECT * FROM heavy_hitters_by_group_hinted(TABLE(t), 'domain', 'token', 0.001, 50000000)
   *   SELECT * FROM corpus_clusters_full(TABLE(t), 'embedding', 8[, max_iter])
   *   SELECT * FROM dsir_weights(TABLE(raw), 'text', TABLE(target)[, hex_chars, alpha])
   *   SELECT * FROM dsir_resample(TABLE(raw), 'doc_id', 'text', TABLE(target), n[, hex_chars, alpha])
@@ -295,6 +296,14 @@ object PipelineSql {
     }, "scala_udf")
 
     // fully relational (lazy like dedup_substr): nothing collects
+    r.createOrReplaceTempFunction("heavy_hitters_by_group_hinted", (exprs: Seq[Expression]) => {
+      require(exprs.length == 5,
+        "usage: heavy_hitters_by_group_hinted(TABLE(t), group_col, item_col, phi, expected_groups)")
+      plan(graft.pipeline.HeavyHitters.frequentItemsByGroup(
+        tableArg(spark, exprs(0)), constString(exprs(1)), constString(exprs(2)),
+        constNum(exprs(3)), constNum(exprs(4)).toLong))
+    }, "scala_udf")
+
     r.createOrReplaceTempFunction("heavy_hitters_by_group", (exprs: Seq[Expression]) => {
       require(exprs.length == 4,
         "usage: heavy_hitters_by_group(TABLE(t), group_col, item_col, phi)")

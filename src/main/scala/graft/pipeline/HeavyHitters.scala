@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
   *     item with true count >= phi*N > N/(k+1) survives in at least one
   *     partition's summary — the union of survivors is a guaranteed
   *     SUPERSET of the heavy hitters, at most k rows per partition.
-  *  2. VERIFY PASS — re-scan the items, semi-join against the broadcast
-  *     (deduped) candidate set, and count exactly. Only candidate rows
-  *     shuffle — at most ~k distinct keys — so the full token vocabulary
-  *     (trillions of keys at 100 TB) never hits the wire.
+  *  2. VERIFY PASS — re-scan the items, semi-join against the (deduped)
+  *     candidate set — broadcast when its measured count is inside the
+  *     driver-safe bound, shuffled otherwise — and count exactly. Only
+  *     candidate rows shuffle — at most ~k distinct keys — so the full
+  *     token vocabulary (trillions of keys at 100 TB) never hits the wire.
   *
   * The result is exact: `(item, cnt)` for every item with
   * `cnt >= ceil(phi * N)`, N = total item count. Contrast with
@@ -29,9 +30,11 @@ import org.apache.spark.sql.functions._
   * 100 TB posture: pass 1 is shuffle-free; the partials relation is
   * bounded by (k+1) rows/partition and localCheckpoint'd ONCE so its two
   * consumers (N, candidates) don't re-scan the corpus; the candidate set
-  * dedups (a tiny shuffle of <= k·partitions rows) BEFORE it broadcasts,
-  * so the driver-side footprint is the post-dedup survivor union — ~k
-  * items for any non-adversarial distribution.
+  * dedups (a tiny shuffle of <= k·partitions rows) and broadcasts only
+  * below a measured size bound ([[BroadcastCandidateBound]]), so the
+  * driver-side footprint is the post-dedup survivor union — ~k items for
+  * any non-adversarial distribution — and an adversarial k·P union falls
+  * back to a shuffled semi-join instead of a driver OOM.
   *
   * Null items are ignored (the per-partition item-count sentinel rides the
   * null slot, and null group keys are a cross-dialect hazard anyway).
@@ -68,20 +71,11 @@ object HeavyHitters {
                                 checkpoint: Boolean = true): DataFrame = {
     import ds.sparkSession.implicits._
     val raw = ds.mapPartitions { it =>
-      val m = new java.util.HashMap[String, Long](k * 2)
+      val m = new java.util.HashMap[String, Long](math.min(k, 1 << 16) * 2)
       var n = 0L
       while (it.hasNext) {
         val x = it.next(); n += 1L
-        val cur = m.get(x) // null unboxes to 0L; MG never stores 0
-        if (cur != 0L) m.put(x, cur + 1L)
-        else if (m.size < k) m.put(x, 1L)
-        else { // all k counters held by other items: decrement the summary
-          val itr = m.entrySet().iterator()
-          while (itr.hasNext) {
-            val e = itr.next()
-            if (e.getValue == 1L) itr.remove() else e.setValue(e.getValue - 1L)
-          }
-        }
+        mgUpdate(m, x, k)
       }
       val out = new scala.collection.mutable.ArrayBuffer[(String, Long)](m.size + 1)
       m.forEach((key, v) => out += ((key, v)))
@@ -100,11 +94,18 @@ object HeavyHitters {
     val n = partials.filter(col("__item").isNull)
       .agg(coalesce(sum("__w"), lit(0L))).head().getLong(0)
     val threshold = math.max(1L, math.ceil(phi * n).toLong)
-    val candidates = partials.filter(col("__item").isNotNull)
+    val candidates0 = partials.filter(col("__item").isNotNull)
       .select(col("__item")).distinct()
-    // No broadcast hint: the survivor union is ~k items normally but can
-    // reach k·partitions adversarially (k up to MaxK), so let AQE pick
-    // broadcast vs shuffle from the measured candidate size.
+    // Broadcast only below a measured bound: the survivor union is ~k
+    // items normally but can reach k·partitions adversarially (k up to
+    // MaxK), where a pinned broadcast would OOM the driver — yet with no
+    // hint and AQE off, the LogicalRDD-derived side has no stats and the
+    // static planner falls to a sort-merge join that shuffles the whole
+    // corpus item column. The count is one cheap job over the
+    // checkpointed, (k+1)·P-bounded partials.
+    val candidates =
+      if (candidates0.count() <= BroadcastCandidateBound) broadcast(candidates0)
+      else candidates0
     ds.toDF("__item")
       .join(candidates, Seq("__item"), "left_semi")
       .groupBy(col("__item").as(itemCol))
@@ -120,6 +121,12 @@ object HeavyHitters {
       df.select(explode(split(col(textCol), pattern)).as("token"))
         .filter(length(col("token")) > 0),
       "token", phi)
+
+  /** Candidate-set size above which the global form's verify semi-join is
+    * left un-hinted (shuffle/AQE) instead of broadcast — ~4M short strings
+    * is comfortably inside driver memory; beyond it a pinned broadcast is
+    * the OOM risk the r12 advisory flagged. */
+  private[graft] val BroadcastCandidateBound = 1L << 22
 
   /** Per-task resident MG counter budget for the grouped form — above this
     * the shuffle-free pass (one summary per group seen in the partition)
@@ -148,8 +155,10 @@ object HeavyHitters {
     * slice). Same candidate+verify composition as [[frequentItems]], but
     * fully relational end-to-end: per-group totals ride the partials as
     * null-item sentinel rows and the per-group threshold is a tiny
-    * aggregate JOINED in — nothing, not even a scalar, collects to the
-    * driver. The recount semi-joins on (group, item) at candidate volume
+    * aggregate JOINED in — no per-group state ever lands on the driver
+    * (the only driver scalar is the optional one-number group-count
+    * estimate of the memory gate, skipped when the caller passes the
+    * hint). The recount semi-joins on (group, item) at candidate volume
     * (un-hinted: AQE picks broadcast vs shuffle by size). Returns
     * `(groupCol, itemCol, cnt)` — exact. Null group keys are dropped with
     * the null items.
@@ -180,7 +189,10 @@ object HeavyHitters {
       if (expectedGroups >= 0L) expectedGroups
       else ds.toDF("__grp", "__item")
         .agg(approx_count_distinct(col("__grp"), 0.05)).head().getLong(0)
-    val partials = (if (groups * k <= budget) {
+    // overflow-safe gate: groups * k can exceed Long for a large caller
+    // hint (the scaladoc invites 100 TB-scale hints), so compare by
+    // division — a negative product would silently pick the unbounded path
+    val partials = (if (groups <= budget / k) {
       // Shuffle-free pass: every partition can hold all groups' summaries.
       ds.mapPartitions { it =>
         val per = new java.util.HashMap[String, java.util.HashMap[String, Long]]()

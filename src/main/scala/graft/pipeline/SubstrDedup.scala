@@ -90,18 +90,25 @@ object SubstrDedup {
     math.max(current, math.min(needed, 1L << 18)).toInt
   }
 
-  /** Run `body` (whose terminal action executes eagerly inside — e.g. a
-    * localCheckpoint) with `spark.sql.shuffle.partitions` = n, restoring
-    * the session value after. The heavy position-pass stages all execute
-    * inside the checkpoint job, so the scoped conf sizes exactly those
-    * exchanges; downstream candidate-bounded stages plan later under the
-    * caller's own setting. */
-  private def withShufflePartitions[T](
-      spark: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
+  /** Eagerly localCheckpoint `df` with `spark.sql.shuffle.partitions` = n
+    * for exactly that job, via an ISOLATED child session (same
+    * SparkContext, own SQLConf) — mutating the caller's session conf
+    * would race with concurrent queries on the same session and could
+    * leak the scoped value past the restore. The heavy position-pass
+    * stages all execute inside the checkpoint job under the child conf;
+    * the pinned result is re-hosted on the caller's session so every
+    * downstream (candidate-bounded) stage plans under the caller's own
+    * setting. */
+  private def checkpointWithShufflePartitions(
+      df: DataFrame, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", n.toString)
+    val pinned = org.apache.spark.sql.GraftBridge
+      .ofRows(scoped, org.apache.spark.sql.GraftBridge.analyzedPlan(df))
+      .localCheckpoint() // eager: runs the position pass at n partitions
+    org.apache.spark.sql.GraftBridge
+      .ofRows(spark, org.apache.spark.sql.GraftBridge.analyzedPlan(pinned))
   }
 
   /** 64-bit rolling polynomial window hashes (base 1000003, mod 2^64 via
@@ -194,13 +201,12 @@ object SubstrDedup {
     // re-execute the corpus-wide position pass + the doc join. The
     // checkpoint is the eager action the scoped shuffle-partition conf
     // binds to — every position-volume exchange executes inside it.
-    val withGram = withShufflePartitions(spark, nParts) {
+    val withGram = checkpointWithShufflePartitions(
       cand.join(df.select(col(idCol), col(textCol)), Seq(idCol))
         .withColumn("__g",
           col(textCol).substr(col("p").cast("int"), lit(minLength)))
-        .select(col(idCol), col("p"), col("__g"))
-        .localCheckpoint()
-    }
+        .select(col(idCol), col("p"), col("__g")),
+      nParts)
     val dupG = withGram.groupBy("__g").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount).select("__g")
     val verified = withGram.join(dupG, Seq("__g"))
@@ -306,13 +312,13 @@ object SubstrDedup {
     val gramUdf = udf { (toks: Seq[String], p: Long) =>
       toks.slice(p.toInt - 1, p.toInt - 1 + minTokens).mkString(" ")
     }
-    val withGram = withShufflePartitions(spark, nParts) {
+    // bounded; two (three with keepFirst) consumers
+    val withGram = checkpointWithShufflePartitions(
       cand
         .join(df.select(col(idCol), tokensCol(textCol).as("__toks")), Seq(idCol))
         .withColumn("__g", gramUdf(col("__toks"), col("p")))
-        .select(col(idCol), col("p"), col("__g"))
-        .localCheckpoint() // bounded; two (three with keepFirst) consumers
-    }
+        .select(col(idCol), col("p"), col("__g")),
+      nParts)
     val dupG = withGram.groupBy("__g").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount).select("__g")
     val verified = withGram.join(dupG, Seq("__g"))

@@ -114,8 +114,9 @@ object UrlOps {
   /** URL-level exact dedup — C4's FIRST dedup step (before any text op):
     * keep exactly one row per NORMALIZED url ([[normalizeUrl]] is the
     * key, so `https://A.com/x?utm_source=t#f` and `https://a.com/x`
-    * collide), the one with the smallest `orderCol` (crawl timestamp —
-    * keep-oldest — or doc id). Rows that do not normalize (no
+    * collide), the one with the smallest `orderCol` (an INTEGRAL column —
+    * a doc id or an epoch-numeric crawl timestamp; keep-oldest). Rows
+    * that do not normalize (no
     * `scheme://host`) are DROPPED, like [[capPerDomain]]. One
     * survivor-volume shuffle via the bounded-heap grouped top-k at k=1:
     * each partition emits at most one row per resident url before
@@ -130,8 +131,10 @@ object UrlOps {
 
   /** Per-domain cap sampling (RefinedWeb-style site balancing): keep at
     * most `cap` rows per registered domain of `urlCol`, the ones with the
-    * SMALLEST `orderCol` (deterministic — crawl timestamp, doc id, or a
-    * quality rank). Rows whose URL yields no registered domain are
+    * SMALLEST `orderCol` (deterministic — an INTEGRAL doc id,
+    * epoch-numeric crawl timestamp, or quality rank; TIMESTAMP columns
+    * should be converted with unix_micros first). Rows whose URL yields
+    * no registered domain are
     * DROPPED (they are not web documents and would otherwise pool into
     * one pseudo-domain; run URL validation upstream if they must be
     * kept). One shuffle at survivor volume: the map-side bounded-heap

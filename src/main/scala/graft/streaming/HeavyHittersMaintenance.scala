@@ -30,9 +30,9 @@ class HeavyHittersMaintenance(k: Int, itemCol: String = "item") {
   require(k >= 1 && k <= graft.pipeline.HeavyHitters.MaxK,
     s"k=$k must be in [1, ${graft.pipeline.HeavyHitters.MaxK}]")
 
-  // Sentinel for "no batchId given": assign lastBatchId+1 instead of a
-  // fixed constant, so repeated no-arg appends are never mistaken for
-  // replays of each other.
+  // Sentinel for "no batchId given": such appends always apply and do not
+  // move the replay cursor, so they can neither be dropped as replays of
+  // each other nor shadow a later genuine explicit id.
   private val AutoBatchId = Long.MinValue
 
   private val summary = new java.util.HashMap[String, Long](k * 2)
@@ -67,19 +67,19 @@ class HeavyHittersMaintenance(k: Int, itemCol: String = "item") {
   }
 
   /** Apply one micro-batch (session-scoped replay skip on `batchId`; pass
-    * increasing ids, e.g. the foreachBatch id). Omitting `batchId`
-    * auto-increments past the last applied id, so the natural
-    * `m.append(df1); m.append(df2)` pattern applies both — the replay skip
-    * only engages for explicitly passed ids. One shuffle-free pass over
-    * the batch; the driver receives at most (k+1) rows per partition. */
+    * increasing ids, e.g. the foreachBatch id). Omitting `batchId` applies
+    * the batch UNCONDITIONALLY and leaves the replay cursor untouched, so
+    * the natural `m.append(df1); m.append(df2)` pattern applies both AND a
+    * later genuine explicit id can never be mistaken for a replay of an
+    * auto-assigned one — replay semantics belong only to caller-owned ids.
+    * One shuffle-free pass over the batch; the driver receives at most
+    * (k+1) rows per partition. */
   def append(batch: DataFrame, batchId: Long = AutoBatchId): this.type =
     synchronized {
-      val effectiveId =
-        if (batchId == AutoBatchId)
-          if (lastBatchId == Long.MinValue) 0L else lastBatchId + 1
-        else batchId
-      if (effectiveId <= lastBatchId) return this // replay
-      lastBatchId = effectiveId
+      if (batchId != AutoBatchId) {
+        if (batchId <= lastBatchId) return this // replay
+        lastBatchId = batchId
+      }
       val partials = HeavyHitters.mgPartials(
         HeavyHitters.itemStrings(batch, itemCol), k,
         checkpoint = false).collect() // single consumer: no block churn

@@ -58,6 +58,24 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** In-stream URL-level dedup — the streaming form of
+    * [[graft.pipeline.UrlOps.dedupByUrl]], C4's first dedup step run at
+    * crawl ingest: the FIRST document per NORMALIZED url inside the
+    * watermark horizon passes, later fetches of the same page (tracking-
+    * param/case/port/fragment variants included — [[graft.pipeline.UrlOps.normalizeUrl]]
+    * is the key) drop. Rows that do not normalize (no scheme://host) are
+    * dropped, matching the batch operator. State is one row per distinct
+    * normalized url in the horizon — bounded, keyed, sharded across
+    * executors. */
+  def streamingUrlDedup(stream: DataFrame, tsCol: String, urlCol: String,
+                        watermarkDelay: String = "24 hours"): DataFrame =
+    stream
+      .withColumn("__unorm", graft.pipeline.UrlOps.normalizeUrl(col(urlCol)))
+      .filter(col("__unorm").isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__unorm")
+      .drop("__unorm")
+
   /** Streaming DSIR data selection: apply a FROZEN log-ratio model (fit
     * offline with [[graft.pipeline.Dsir.fitLogRatios]] on the batch
     * raw/target corpora) to an unbounded ingest stream and keep only

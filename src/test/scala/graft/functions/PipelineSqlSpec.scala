@@ -79,6 +79,9 @@ class PipelineSqlSpec extends SparkSpec {
     grouped.createOrReplaceTempView("pl_grp")
     sameRows("SELECT * FROM heavy_hitters_by_group(TABLE(pl_grp), 'grp', 'item', 0.5)",
       graft.pipeline.HeavyHitters.frequentItemsByGroup(grouped, "grp", "item", 0.5))
+    sameRows("SELECT * FROM heavy_hitters_by_group_hinted(TABLE(pl_grp), 'grp', 'item', 0.5, 2)",
+      graft.pipeline.HeavyHitters.frequentItemsByGroup(grouped, "grp", "item",
+        0.5, expectedGroups = 2L))
 
     val urls = Seq(
       (1L, "HTTPS://User@Site.COM:443/a/?utm_source=x&q=1#f"),

@@ -53,17 +53,20 @@ class HeavyHittersMaintenanceSpec extends SparkSpec {
     assert(m.totalItems == 25L)
   }
 
-  test("no-arg appends auto-increment: every batch counts, mixing with explicit ids works") {
+  test("no-arg appends always apply and never shadow explicit replay ids") {
     import spark.implicits._
     val m = new HeavyHittersMaintenance(k = 10)
-    m.append(Seq.fill(20)("x").toDF("item")) // auto id 0
-    m.append(Seq.fill(15)("y").toDF("item")) // auto id 1 — must NOT be a replay
-    assert(m.totalItems == 35L)
-    m.append(Seq.fill(5)("z").toDF("item"), 1L) // explicit replay of auto id 1 — skipped
+    m.append(Seq.fill(20)("x").toDF("item")) // auto — applies
+    m.append(Seq.fill(15)("y").toDF("item")) // auto — must NOT be a replay
     assert(m.totalItems == 35L)
     m.append(Seq.fill(5)("z").toDF("item"), 7L) // explicit fresh id
-    m.append(Seq.fill(3)("w").toDF("item")) // auto id 8
+    assert(m.totalItems == 40L)
+    m.append(Seq.fill(9)("z").toDF("item"), 7L) // explicit replay — skipped
+    assert(m.totalItems == 40L)
+    m.append(Seq.fill(3)("w").toDF("item")) // auto after explicit — applies
     assert(m.totalItems == 43L)
+    m.append(Seq.fill(2)("v").toDF("item"), 8L) // next REAL id: not shadowed
+    assert(m.totalItems == 45L)
   }
 
   test("capacity stays bounded under a vocabulary far exceeding k") {

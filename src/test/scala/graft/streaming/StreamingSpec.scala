@@ -310,6 +310,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming URL dedup: normalized-url variants drop across batches; non-URLs drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long, String)]
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")
+    val out = StreamingPipeline.streamingUrlDedup(
+      ms.toDF().toDF("ts", "doc_id", "url"), "ts", "url",
+      watermarkDelay = "2 hours")
+    val q = out.writeStream.format("memory").queryName("stream_url_dedup")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        (ts(10), 1L, "https://A.com/x?utm_source=t#f"),
+        (ts(10), 2L, "https://a.com/x"), // same page, same batch — drop
+        (ts(10), 3L, "not a url")) // unparseable — drop
+      q.processAllAvailable()
+      ms.addData(
+        (ts(11), 4L, "HTTPS://a.com:443/x"), // same page, later batch — drop
+        (ts(11), 5L, "https://a.com/y")) // new page — keep
+      q.processAllAvailable()
+      val ids = spark.table("stream_url_dedup")
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 5L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("running corpus stats: flatMapGroupsWithState accumulates across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
