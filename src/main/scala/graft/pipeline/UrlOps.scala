@@ -111,6 +111,45 @@ object UrlOps {
   def urlRegisteredDomain(url: Column): Column =
     registeredDomain(urlHost(url))
 
+  /** RefinedWeb-style URL filtering signals (Penedo et al. 2023 §3.1):
+    * appends three columns —
+    *
+    *   url_blocked       BOOLEAN — registered domain is in `blockedDomains`
+    *                     (the curated blocklist path; pass the real UT1/
+    *                     internal list at scale — broadcast as a literal
+    *                     set, row-local membership test)
+    *   url_word_score    DOUBLE — soft keyword score over the url string:
+    *                     Σ weight(w) · occurrences(w in lowercased url),
+    *                     the paper's weighted word match on strict-url
+    *                     (subwords count, e.g. w in the domain or path)
+    *   url_keep          BOOLEAN — !url_blocked AND score < `maxWordScore`
+    *
+    * Null/unparseable urls get url_blocked=false, score 0.0, url_keep
+    * true — URL filtering only rejects evidence of a bad SITE; validity
+    * is [[normalizeUrl]]'s job. Pure Column ops (member-of-literal-set +
+    * per-keyword occurrence counts via length arithmetic), codegen, zero
+    * shuffle. */
+  def withUrlFilterSignals(df: DataFrame, urlCol: String,
+                           blockedDomains: Set[String],
+                           wordWeights: Map[String, Double],
+                           maxWordScore: Double = 1.0): DataFrame = {
+    require(wordWeights.keys.forall(_.nonEmpty), "empty keyword")
+    val dom = urlRegisteredDomain(col(urlCol))
+    val blocked =
+      if (blockedDomains.isEmpty) lit(false)
+      else coalesce(dom.isin(blockedDomains.toSeq: _*), lit(false))
+    val low = lower(col(urlCol))
+    val score = wordWeights.foldLeft(lit(0.0)) { case (acc, (w, wt)) =>
+      // occurrences(w) = (len(url) - len(url with w removed)) / len(w)
+      acc + (length(low) - length(call_function("replace", low, lit(w), lit(""))))
+        .cast("double") / w.length * wt
+    }
+    df.withColumn("url_blocked", blocked)
+      .withColumn("url_word_score", coalesce(score, lit(0.0)))
+      .withColumn("url_keep",
+        !col("url_blocked") && col("url_word_score") < maxWordScore)
+  }
+
   /** URL-level exact dedup — C4's FIRST dedup step (before any text op):
     * keep exactly one row per NORMALIZED url ([[normalizeUrl]] is the
     * key, so `https://A.com/x?utm_source=t#f` and `https://a.com/x`

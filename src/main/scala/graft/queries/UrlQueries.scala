@@ -83,6 +83,21 @@ object UrlQueries {
           UrlOps.urlRegisteredDomain(col("url")).as("domain"))
         .orderBy("doc_id")),
 
+    // RefinedWeb URL filtering: curated domain blocklist + weighted
+    // keyword score over the url string. Keywords hit variant 0 ("page"
+    // in the path, weight 1.2 → score-rejected) and variant 3 ("8080",
+    // 0.5 → kept); the blocklist hits two .co.uk domains. Strict: every
+    // signal is arithmetic in the variant. Score rounded on both sides.
+    "url_filter" -> ((s: SparkSession, dir: String) =>
+      UrlOps.withUrlFilterSignals(withUrl(s, dir), "url",
+          blockedDomains = Set("site2.co.uk", "site8.co.uk"),
+          wordWeights = Map("page" -> 1.2, "8080" -> 0.5),
+          maxWordScore = 1.0)
+        .select(col("doc_id"), col("url_blocked"),
+          round(col("url_word_score"), 4).as("url_word_score"),
+          col("url_keep"))
+        .orderBy("doc_id")),
+
     // C4's first dedup step: one survivor per NORMALIZED url, keep-oldest
     // (min doc_id). The fixture repeats each messy url every 60 ids
     // (lcm of the variant and site-key moduli), so the survivor set is
@@ -121,6 +136,14 @@ object UrlQueries {
          |  END AS host,
          |  $DomainSql AS domain
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "url_filter" ->
+      """SELECT doc_id,
+        |  (doc_id % 6 = 2 AND doc_id % 20 IN (2, 8)) AS url_blocked,
+        |  ROUND(CAST(CASE doc_id % 6 WHEN 0 THEN 1.2 WHEN 3 THEN 0.5 ELSE 0.0 END AS DOUBLE), 4) AS url_word_score,
+        |  (NOT (doc_id % 6 = 2 AND doc_id % 20 IN (2, 8))
+        |   AND CASE doc_id % 6 WHEN 0 THEN 1.2 WHEN 3 THEN 0.5 ELSE 0.0 END < 1.0) AS url_keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "url_dedup" ->
       s"""SELECT doc_id, $NormalizedSql AS url_norm FROM (

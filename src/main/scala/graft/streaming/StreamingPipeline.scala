@@ -76,6 +76,51 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark("__unorm")
       .drop("__unorm")
 
+  /** In-stream per-domain cap — the streaming form of
+    * [[graft.pipeline.UrlOps.capPerDomain]] (RefinedWeb site balancing at
+    * crawl ingest): the first `cap` documents per REGISTERED DOMAIN pass,
+    * later arrivals from the same site drop. Arrival-order semantics (the
+    * streaming contract — the batch form's orderCol cut is the
+    * deterministic offline sibling); rows with no registered domain drop,
+    * matching the batch operator. State is ONE Long per domain, keyed and
+    * sharded; `maxIdle` evicts domains idle past the horizon
+    * (ProcessingTimeTimeout), `None` keeps state forever (bounded domain
+    * spaces only). */
+  def streamingDomainCap(stream: DataFrame, urlCol: String, cap: Int,
+                         maxIdle: Option[String] = Some("30 minutes"))
+      : DataFrame = {
+    require(cap >= 1, s"cap=$cap must be >= 1")
+    val withDom = stream
+      .withColumn("__dom", graft.pipeline.UrlOps.urlRegisteredDomain(col(urlCol)))
+      .filter(col("__dom").isNotNull)
+    val schema = withDom.schema
+    val domIdx = schema.fieldIndex("__dom")
+    val timeoutConf = if (maxIdle.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+                      else GroupStateTimeout.NoTimeout()
+    implicit val rowEnc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    withDom
+      .groupByKey(_.getString(domIdx))(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[Long, org.apache.spark.sql.Row](
+        OutputMode.Append(), timeoutConf) {
+        case (_, it, state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val seen = state.getOption.getOrElse(0L)
+            val kept = it.take(math.max(0L, cap - seen).toInt).toSeq
+            // count only up to the cap: past it the counter is saturated
+            // and further arrivals need no state growth
+            state.update(math.min(cap.toLong, seen + kept.size))
+            maxIdle.foreach(state.setTimeoutDuration)
+            kept.iterator
+          }
+      }(org.apache.spark.sql.Encoders.scalaLong, rowEnc)
+      .toDF(schema.fieldNames: _*)
+      .drop("__dom")
+  }
+
   /** Streaming DSIR data selection: apply a FROZEN log-ratio model (fit
     * offline with [[graft.pipeline.Dsir.fitLogRatios]] on the batch
     * raw/target corpora) to an unbounded ingest stream and keep only

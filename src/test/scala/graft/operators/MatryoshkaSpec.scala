@@ -108,6 +108,37 @@ class MatryoshkaSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("energy-decay (MRL-trained) fixture: serving recall floor at spec scale") {
+    import spark.implicits._
+    // the SCALE.md clustered fixture in miniature: 40 clusters × 25 docs,
+    // d=96, per-dim energy decaying 1/sqrt(1+j/8) (matryoshka training
+    // concentrates signal in the prefix), doc noise at 0.35×
+    val d = 96
+    def vec(cluster: Int, seed: Long): Array[Float] = {
+      val rc = new scala.util.Random(cluster * 9176L + 3)
+      val rd = new scala.util.Random(seed * 2654435761L + 7)
+      Array.tabulate(d) { j =>
+        val decay = 1.0 / math.sqrt(1.0 + j / 8.0)
+        ((rc.nextGaussian() + 0.35 * rd.nextGaussian()) * decay).toFloat
+      }
+    }
+    val docs = Seq.tabulate(1000)(i => (i.toLong, vec(i % 40, i.toLong)))
+    val base = docs.toDF("id", "embedding")
+    val mIdx = Matryoshka.createPrefixIndex(spark, "mrl_decay", base, "id",
+      "embedding", dPrefix = 16, "FLAT", Map("metric" -> "l2"),
+      s"$tmp/mrl_decay")
+    val qs = Seq.tabulate(20)(qi => vec(qi * 2, 100000L + qi))
+    val recalls = qs.map { q =>
+      val truth = docs.map { case (id, v) => (id, VectorKernels.l2Sq(q, v)) }
+        .sortBy { case (id, dd) => (dd, id) }.take(10).map(_._1).toSet
+      val got = Matryoshka.searchRerank(mIdx, base, "id", "embedding", q,
+        k = 10, overfetch = 4).collect().map(_.getLong(0)).toSet
+      got.intersect(truth).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@10 $mean on the energy-decay shape")
+  }
+
   test("build side: a base vector shorter than dPrefix raises, not silent truncation") {
     import spark.implicits._
     val bad = Seq((0L, Array.fill(32)(0.1f)), (1L, Array.fill(5)(0.1f)))

@@ -337,6 +337,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming per-domain cap: first `cap` docs per registered domain pass across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val out = StreamingPipeline.streamingDomainCap(
+      ms.toDF().toDF("doc_id", "url"), "url", cap = 2, maxIdle = None)
+    val q = out.writeStream.format("memory").queryName("stream_dom_cap")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        (1L, "https://a.site.com/1"), (2L, "https://b.site.com/2"), // site.com ×2
+        (3L, "https://other.org/1"),
+        (4L, "no url")) // no domain — drops
+      q.processAllAvailable()
+      ms.addData(
+        (5L, "https://c.site.com/3"), // site.com over cap — drops
+        (6L, "https://other.org/2"), // other.org #2 — passes
+        (7L, "https://other.org/3")) // over cap — drops
+      q.processAllAvailable()
+      val ids = spark.table("stream_dom_cap").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 2L, 3L, 6L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("running corpus stats: flatMapGroupsWithState accumulates across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
