@@ -463,7 +463,8 @@ object Bench {
                      "heavy_hitters_by_lang", "corpus_clusters_full",
                      "text_repetition_rules", "multimodal_phash_pairs",
                      // r13 additions, after everything older (same rule)
-                     "multimodal_phash_dct_pairs", "url_domain_cap")) {
+                     "multimodal_phash_dct_pairs", "url_domain_cap",
+                     "mine_negatives")) {
       time(name) { noop(q(name)(spark, sfDir)) }
     }
 

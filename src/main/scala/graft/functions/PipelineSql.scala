@@ -51,6 +51,7 @@ import graft.pipeline.{CorpusPipeline, Dedup, TextAnalysis}
   *   SELECT * FROM maxsim_search_table(TABLE(queries), 'query_idx', 'qvecs', TABLE(docs), 'doc_id', 'vecs', k)
   *   SELECT * FROM maxsim_ann_table('pooled_idx', TABLE(queries), 'query_idx', 'qvecs', TABLE(docs), 'doc_id', 'vecs', k, overfetch)
   *   SELECT * FROM matryoshka_table('prefix_idx', TABLE(queries), 'qid', 'qvec', TABLE(base), 'id', 'vec', k, overfetch[, search_param])
+  *   SELECT * FROM mine_hard_negatives('idx', TABLE(pairs), 'qid', 'qvec', 'pos_id', TABLE(base), 'id', 'vec', k[, overfetch, margin])
   *
   * TABLE(...) arguments embed the analyzed child plan directly (same
   * mechanism as [[AnnSql]]); the returned relation is lazy — these are
@@ -493,6 +494,23 @@ object PipelineSql {
         constInt(exprs(7)), constInt(exprs(8)),
         queryIdCol = constString(exprs(2)), queryVecCol = constString(exprs(3)),
         searchParam = sp))
+    }, "scala_udf")
+
+    r.createOrReplaceTempFunction("mine_hard_negatives", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 9 && exprs.length <= 11,
+        "usage: mine_hard_negatives('index', TABLE(pairs), qid_col, qvec_col, pos_id_col, " +
+          "TABLE(base), id_col, vec_col, k[, overfetch, denoise_margin])")
+      val name = constString(exprs(0))
+      val path = graft.index.AnnIndexManager.registered.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown index: $name"))
+      val of = if (exprs.length > 9) constInt(exprs(9)) else 3
+      val margin = if (exprs.length > 10) constNum(exprs(10)) else 0.0
+      plan(graft.pipeline.NegativeMining.mineHardNegatives(
+        graft.index.AnnIndexManager.load(spark, path),
+        tableArg(spark, exprs(1)), constString(exprs(2)), constString(exprs(3)),
+        constString(exprs(4)), tableArg(spark, exprs(5)),
+        constString(exprs(6)), constString(exprs(7)),
+        constInt(exprs(8)), of, margin))
     }, "scala_udf")
 
     r.createOrReplaceTempFunction("maxsim_ann_table", (exprs: Seq[Expression]) => {

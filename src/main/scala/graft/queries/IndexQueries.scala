@@ -297,6 +297,43 @@ object IndexQueries {
         .orderBy("q_vec_id", "rank")
     }),
 
+    // hard-negative mining (DPR/ANCE): queries are corpus vectors, the
+    // labeled positive is the vector itself — so the negatives are exactly
+    // the k nearest OTHER docs, and the brute-force window replays the
+    // whole fetch→drop→cut chain. FLAT index: the candidate cut is exact.
+    "mine_negatives" -> ((s: SparkSession, dir: String) => {
+      val pairs = emb(s, dir).filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("vec_id").as("pos_id"))
+      graft.pipeline.NegativeMining.mineHardNegatives(
+          flatIndex(s, dir), pairs, "qid", "qvec", "pos_id",
+          emb(s, dir), "vec_id", "embedding", k = 5, overfetch = 3)
+        .orderBy("qid", "rank")
+    }),
+
+    // RocketQA denoised variant: the labeled positive is each query's
+    // 8th-nearest OTHER doc (deterministic, computed with the same exact
+    // index), so margin 1.0 demonstrably drops the 7 closer candidates
+    // (likely unlabeled positives) plus the query row itself — the full
+    // denoise chain (candidate cut at k*overfetch+1, positive drop,
+    // margin filter, re-rank) replayed in SQL
+    "mine_negatives_denoised" -> ((s: SparkSession, dir: String) => {
+      val qs = emb(s, dir).filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val nn = graft.operators.AnnSearch.searchTable(flatIndex(s, dir), qs,
+        9, queryVecCol = Some("qvec"), queryIdCol = Some("qid"))
+      val pos = nn.withColumn("r", row_number().over(
+          Window.partitionBy("qid").orderBy(col("_distance"), col("id"))))
+        .filter(col("r") === 9) // rank 1 is the query row itself (d = 0)
+        .select(col("qid"), col("id").as("pos_id"))
+      val pairs = qs.join(pos, Seq("qid"))
+      graft.pipeline.NegativeMining.mineHardNegatives(
+          flatIndex(s, dir), pairs, "qid", "qvec", "pos_id",
+          emb(s, dir), "vec_id", "embedding", k = 5, overfetch = 3,
+          denoiseMargin = 1.0)
+        .orderBy("qid", "rank")
+    }),
+
     // IVF trained by distributed FULL-DATA Lloyd (train_mode=full): probing
     // all cells keeps search exhaustive-exact, so the brute-force oracle
     // strictly pins the build+assign+search path over the full-trained
@@ -997,6 +1034,38 @@ object IndexQueries {
     "ann_ivf_topk" -> bruteForceTopK(6),
     "ann_ivf_full_topk" -> bruteForceTopK(6),
     "ann_matryoshka_rerank" -> bruteForceTopK(21),
+
+    // the fetch→drop→cut chain replayed: candidates = top-(k*overfetch+1)
+    // per query by (exact distance, id), positive (= the query row) out,
+    // top-5 of the rest
+    "mine_negatives" ->
+      s"""SELECT qid, rank, vec_id FROM (
+         |  SELECT qid, vec_id, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY d, vec_id) AS BIGINT) AS rank
+         |  FROM (
+         |    SELECT q.vec_id AS qid, e.vec_id,
+         |      list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS d,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), e.vec_id) AS crank
+         |    FROM (SELECT * FROM embeddings WHERE vec_id < 4) q
+         |    CROSS JOIN embeddings e) c
+         |  WHERE crank <= 16 AND vec_id <> qid) t
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "mine_negatives_denoised" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 4),
+         |c AS (SELECT q.qid, e.vec_id,
+         |        list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) AS d,
+         |        row_number() OVER (PARTITION BY q.qid
+         |          ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])), e.vec_id) AS crank
+         |      FROM q CROSS JOIN embeddings e),
+         |pd AS (SELECT qid, d AS pdist, vec_id AS pos_id FROM c WHERE crank = 9)
+         |SELECT qid, rank, vec_id FROM (
+         |  SELECT c.qid, c.vec_id, CAST(row_number() OVER (
+         |    PARTITION BY c.qid ORDER BY c.d, c.vec_id) AS BIGINT) AS rank
+         |  FROM c JOIN pd ON pd.qid = c.qid
+         |  WHERE c.crank <= 16 AND c.vec_id <> pd.pos_id AND c.d >= pd.pdist) t
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "ann_matryoshka_table" ->
       s"""SELECT q_vec_id, rank, vec_id FROM (

@@ -198,6 +198,29 @@ class PipelineSqlSpec extends SparkSpec {
     } finally graft.index.AnnIndexManager.drop("pl_mrl_idx")
   }
 
+  test("mine_hard_negatives TVF mirrors the Scala API") {
+    PipelineSql.register(spark)
+    import spark.implicits._
+    val base = Seq.tabulate(40)(i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 7 + j * 3) % 17) / 10.0f)))
+      .toDF("id", "vec")
+    val pairs = Seq.tabulate(3)(i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 7 + j * 3) % 17) / 10.0f), (i + 5).toLong))
+      .toDF("qid", "qvec", "pos_id")
+    base.createOrReplaceTempView("pl_neg_base")
+    pairs.createOrReplaceTempView("pl_neg_pairs")
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_neg_sql").toString
+    val idx = graft.index.AnnIndexManager.create(spark, "pl_neg_idx", base,
+      "id", "vec", "FLAT", Map("metric" -> "l2"), s"$tmp2/idx")
+    try {
+      sameRows(
+        "SELECT * FROM mine_hard_negatives('pl_neg_idx', TABLE(pl_neg_pairs), 'qid', 'qvec', 'pos_id', TABLE(pl_neg_base), 'id', 'vec', 4, 2, 0.5)",
+        graft.pipeline.NegativeMining.mineHardNegatives(idx, pairs, "qid",
+          "qvec", "pos_id", base, "id", "vec", k = 4, overfetch = 2,
+          denoiseMargin = 0.5))
+    } finally graft.index.AnnIndexManager.drop("pl_neg_idx")
+  }
+
   test("Bloom decontamination, BPE, and quality-score TVFs mirror the Scala API") {
     PipelineSql.register(spark)
     import spark.implicits._
