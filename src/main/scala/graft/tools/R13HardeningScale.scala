@@ -185,10 +185,51 @@ object R13HardeningScale {
       base.unpersist()
     }
 
+    // ---- hard-negative mining: linear in pairs, corpus-bounded fetch ----
+    // 500k-vector corpus, FLAT l2; pairs at two decades. The claim is the
+    // pair-bounded shape: wall grows ~linearly with the pair count (the
+    // index scan dominates and is itself per-query), and shuffle volume is
+    // candidates, not corpus.
+    def negMineArm(): Unit = {
+      val d = 64
+      val n = 500000
+      val mkVec = udf { (id: Long) =>
+        val r = new scala.util.Random(id * 6364136223846793005L + 97)
+        Array.tabulate(d)(_ => r.nextFloat())
+      }
+      val base = spark.range(n).select(col("id"), mkVec(col("id")).as("vec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      base.count()
+      val tmp = java.nio.file.Files.createTempDirectory("graft_r13_negmine").toString
+      val idx = graft.index.AnnIndexManager.create(spark, "r13_negmine", base,
+        "id", "vec", "FLAT", Map("metric" -> "l2"), s"$tmp/flat")
+      for (nPairs <- Seq(1000, 10000)) {
+        val pairs = spark.range(nPairs)
+          .select(col("id").as("qid"), mkVec(col("id") + 7777777L).as("qvec"),
+            (col("id") % n).as("pos_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pairs.count()
+        // margin 0: on smooth-random vectors a random positive is farther
+        // than every near candidate (concentration of measure — the r11
+        // smooth-fixture lesson), so margin 1.0 would denoise the output
+        // to ~nothing and time an empty tail. Clustered data behaves
+        // differently; the margin semantics are oracle-verified at sf0.01.
+        val rows = measured(s"mine_negatives pairs=$nPairs corpus=$n") {
+          graft.pipeline.NegativeMining.mineHardNegatives(idx, pairs,
+            "qid", "qvec", "pos_id", base, "id", "vec", k = 8,
+            overfetch = 2).count()
+        }
+        println(s"[r13-scale]   pairs=$nPairs mined_rows=$rows (<= pairs*k)")
+        pairs.unpersist()
+      }
+      base.unpersist()
+    }
+
     println(s"[r13-scale] mode=$mode nSubstr=$nSubstr nHH=$nHH cpus=$cpus")
     if (mode == "all" || mode == "substr") substrArm(nSubstr)
     if (mode == "all" || mode == "hhgroups") hhGroupsArm(nHH, 12000)
     if (mode == "all" || mode == "mrl") mrlArm()
+    if (mode == "all" || mode == "negmine") negMineArm()
     spark.stop()
   }
 }
