@@ -30,22 +30,32 @@ import graft.operators.{AnnSearch, TopK}
   */
 object NegativeMining {
 
-  /** Mine `k` hard negatives per pair. `pairs` carries one row per
-    * training pair: a query id, the query VECTOR (the current encoder's
-    * output — not necessarily a corpus row), and the labeled positive's
-    * base id. Returns `(queryIdCol, baseIdCol, rank)` — the k nearest
-    * non-positive (and non-denoised) candidates per query, rank 1-based
-    * by (exact distance, id).
+  /** Mine `k` hard negatives per query. `pairs` carries one row per
+    * (query, labeled positive): a query id, the query VECTOR (the current
+    * encoder's output — not necessarily a corpus row; it must be
+    * functionally dependent on the id), and the positive's base id.
+    * MULTIPLE rows per query id = multiple labeled positives (the common
+    * DPR shape): the fetch runs once per distinct query, EVERY listed
+    * positive is excluded, and denoising thresholds on the most-similar
+    * one. A NULL positive id means "no labeled positive": nothing is
+    * excluded and denoising does not engage for that query. Returns
+    * `(queryIdCol, baseIdCol, rank)` — the k nearest surviving candidates
+    * per query, rank 1-based by (exact distance, id).
     *
     *   - `overfetch`: candidates fetched = k·overfetch + 1 (the +1 covers
-    *     the positive appearing among them).
-    *   - `denoiseMargin`: when > 0, drop candidates whose exact distance
-    *     to the query is LESS than margin × the positive's distance —
-    *     a candidate the model ranks above the labeled positive is more
-    *     likely an unlabeled positive than a useful negative (RocketQA
-    *     §4.1). 0 disables; 1.0 is the paper's cut. Requires every
-    *     pair's positive id to exist in `base` (inner-joined; pairs with
-    *     a dangling positive id are dropped with the join).
+    *     a positive appearing among them).
+    *   - `denoiseMargin`: when > 0, drop candidates the model ranks
+    *     CLOSER than margin × the nearest positive — such candidates are
+    *     more likely unlabeled positives than useful negatives (RocketQA
+    *     §4.1). 0 disables; 1.0 is the paper's cut. The margin is on the
+    *     metric's TRUE distance scale: Euclidean distance for l2 indexes
+    *     (the squared index distance is compared against margin²·posDist),
+    *     angular distance (1 − cos) for cosine. REJECTED for ip indexes —
+    *     the negated-dot "distance" is sign-indefinite, so a multiplicative
+    *     margin silently inverts (normalize and use cosine instead).
+    *     Positives whose id is missing from `base` contribute no
+    *     threshold (their pairs denoise only via their query's other
+    *     positives, if any).
     *
     * Fewer than k survivors (tiny corpus, aggressive margin) yield fewer
     * rows for that query — mining never pads. */
@@ -58,42 +68,50 @@ object NegativeMining {
     require(k >= 1, s"k=$k must be >= 1")
     require(overfetch >= 1, s"overfetch=$overfetch must be >= 1")
     require(denoiseMargin >= 0.0, s"denoiseMargin=$denoiseMargin must be >= 0")
+    require(denoiseMargin == 0.0 || idx.meta.metric != "ip",
+      "denoiseMargin needs a non-negative distance metric (l2/cosine): the " +
+        "ip metric's negated-dot distance is sign-indefinite and a " +
+        "multiplicative margin inverts on it — normalize and use cosine")
     // internal rename: searchTable appends a hit column literally named
     // "id" (same hazard as Matryoshka.searchRerankTable)
-    val q2 = pairs.select(col(queryIdCol).as("__nqid"),
+    val p2 = pairs.select(col(queryIdCol).as("__nqid"),
       col(queryVecCol).as("__nqvec"), col(positiveIdCol).as("__npos"))
+    // ONE fetch per distinct query — multi-positive pairs share it
+    val q2 = p2.select("__nqid", "__nqvec").dropDuplicates("__nqid")
     val cands = AnnSearch.searchTable(idx, q2, k * overfetch + 1,
         nprobe = searchParam, queryVecCol = Some("__nqvec"),
         queryIdCol = Some("__nqid"))
-      .select(col("__nqid"), col("__nqvec"), col("__npos"),
-        col("id").as(baseIdCol))
+      .select(col("__nqid"), col("__nqvec"), col("id").as(baseIdCol))
     // exact re-score against the raw base vectors: the index's stored
     // distance may be quantized/prefixed — the output ranking must not be
     val scored = cands
       .join(base.select(col(baseIdCol), col(vecCol)), Seq(baseIdCol))
       .withColumn("__nd",
         idx.rawDistColumn(col(vecCol), col("__nqvec")).cast("double"))
-      .filter(col(baseIdCol) =!= col("__npos")) // the labeled positive is not a negative
+    // drop EVERY labeled positive of the query (pair-volume anti-join)
+    val posSet = p2.filter(col("__npos").isNotNull)
+      .select(col("__nqid"), col("__npos").as(baseIdCol)).distinct()
+    val nonPos = scored.join(posSet, Seq("__nqid", baseIdCol), "left_anti")
     val denoised =
-      if (denoiseMargin <= 0.0) scored
+      if (denoiseMargin <= 0.0) nonPos
       else {
-        val posDist = q2
+        val posDist = p2.filter(col("__npos").isNotNull)
           .join(base.select(col(baseIdCol).as("__npos"), col(vecCol).as("__npvec")),
             Seq("__npos"))
           .withColumn("__npd",
             idx.rawDistColumn(col("__npvec"), col("__nqvec")).cast("double"))
-          .select(col("__nqid"), col("__npd"))
-        scored.join(posDist, Seq("__nqid"))
-          .filter(col("__nd") >= lit(denoiseMargin) * col("__npd"))
+          .groupBy("__nqid").agg(min("__npd").as("__npd"))
+        // l2 index distances are SQUARED: margin² there keeps the margin
+        // on the true Euclidean scale the docstring promises
+        val m = if (idx.meta.metric == "l2") denoiseMargin * denoiseMargin
+                else denoiseMargin
+        nonPos.join(posDist, Seq("__nqid"), "left")
+          .filter(col("__npd").isNull || col("__nd") >= lit(m) * col("__npd"))
+          .drop("__npd")
       }
-    val top = TopK.grouped(
-      denoised.select(col("__nqid"), col(baseIdCol), col("__nd")),
-      "__nqid", "__nd", baseIdCol, k)
-    import org.apache.spark.sql.expressions.Window
-    // rank the <= k survivors (tiny per-query window over the cut set)
-    top.withColumn("rank", row_number().over(
-        Window.partitionBy("__nqid").orderBy(col("__nd"), col(baseIdCol)))
-        .cast("long"))
+    TopK.groupedWithRank(
+        denoised.select(col("__nqid"), col(baseIdCol), col("__nd")),
+        "__nqid", "__nd", baseIdCol, k, "rank")
       .select(col("__nqid").as(queryIdCol), col(baseIdCol), col("rank"))
   }
 }

@@ -134,12 +134,17 @@ object UrlOps {
                            wordWeights: Map[String, Double],
                            maxWordScore: Double = 1.0): DataFrame = {
     require(wordWeights.keys.forall(_.nonEmpty), "empty keyword")
+    // keywords match against the LOWERCASED url — lowercase them too, or
+    // a mixed-case keyword could never score; merging collisions keeps
+    // the caller's intent ("Casino" + "casino" weights add)
+    val weights = wordWeights.groupMapReduce(_._1.toLowerCase)(_._2)(_ + _)
     val dom = urlRegisteredDomain(col(urlCol))
     val blocked =
       if (blockedDomains.isEmpty) lit(false)
-      else coalesce(dom.isin(blockedDomains.toSeq: _*), lit(false))
+      else coalesce(dom.isin(blockedDomains.map(_.toLowerCase).toSeq: _*),
+        lit(false))
     val low = lower(col(urlCol))
-    val score = wordWeights.foldLeft(lit(0.0)) { case (acc, (w, wt)) =>
+    val score = weights.foldLeft(lit(0.0)) { case (acc, (w, wt)) =>
       // occurrences(w) = (len(url) - len(url with w removed)) / len(w)
       acc + (length(low) - length(call_function("replace", low, lit(w), lit(""))))
         .cast("double") / w.length * wt

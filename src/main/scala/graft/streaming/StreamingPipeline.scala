@@ -82,12 +82,15 @@ object StreamingPipeline {
     * later arrivals from the same site drop. Arrival-order semantics (the
     * streaming contract — the batch form's orderCol cut is the
     * deterministic offline sibling); rows with no registered domain drop,
-    * matching the batch operator. State is ONE Long per domain, keyed and
-    * sharded; `maxIdle` evicts domains idle past the horizon
-    * (ProcessingTimeTimeout), `None` keeps state forever (bounded domain
-    * spaces only). */
+    * matching the batch operator. State is ONE Long per domain, keyed,
+    * sharded, and tiny (~16 bytes/domain — even 100M domains fit a
+    * cluster), so the DEFAULT keeps it forever: the cap is a corpus-level
+    * budget, and evicting a domain's counter silently re-opens it.
+    * Pass `maxIdle` only when re-opening after idleness IS the wanted
+    * semantics (a rolling per-epoch cap) — eviction resets that domain's
+    * count to zero. */
   def streamingDomainCap(stream: DataFrame, urlCol: String, cap: Int,
-                         maxIdle: Option[String] = Some("30 minutes"))
+                         maxIdle: Option[String] = None)
       : DataFrame = {
     require(cap >= 1, s"cap=$cap must be >= 1")
     val withDom = stream

@@ -95,6 +95,75 @@ class NegativeMiningSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("margin is on the TRUE distance scale for l2 (squared index distance uses margin²)") {
+    import spark.implicits._
+    val base = vecs.toDF("id", "embedding")
+    val qi = 3
+    val pos = ((qi + 30) % 300).toLong // a cluster-mate
+    val pairs = Seq((0L, vecs(qi)._2, pos)).toDF("qid", "qvec", "pos_id")
+    for (margin <- Seq(0.3, 0.7, 1.2)) {
+      val got = NegativeMining.mineHardNegatives(idx, pairs, "qid", "qvec",
+          "pos_id", base, "id", "embedding", k = 6, overfetch = 4,
+          denoiseMargin = margin)
+        .collect().sortBy(_.getLong(2)).map(_.getLong(1)).toSeq
+      // brute() computes sqrt distances, so its margin IS the true scale
+      assert(got == brute(vecs(qi)._2, pos, 6, 4, margin), s"margin=$margin")
+    }
+  }
+
+  test("multiple positives per query: one fetch, every positive excluded, denoise on the nearest") {
+    import spark.implicits._
+    val base = vecs.toDF("id", "embedding")
+    val q = vecs(0)._2
+    // positives: two cluster-mates of query 0 (ids ≡ 0 mod 10)
+    val pairs = Seq((0L, q, 10L), (0L, q, 20L)).toDF("qid", "qvec", "pos_id")
+    val got = NegativeMining.mineHardNegatives(idx, pairs, "qid", "qvec",
+        "pos_id", base, "id", "embedding", k = 5, overfetch = 4)
+      .collect()
+    val ids = got.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq
+    // brute: fetch once, drop BOTH positives, take 5
+    val cands = vecs.map { case (id, v) => (id, dist(q, v)) }
+      .sortBy { case (id, d) => (d, id) }.take(5 * 4 + 1)
+    val want = cands.filter(c => c._1 != 10L && c._1 != 20L).take(5).map(_._1)
+    assert(ids == want)
+    // no duplicate (qid, doc) rows; ranks contiguous
+    assert(got.map(_.getLong(1)).distinct.length == got.length)
+    assert(got.map(_.getLong(2)).sorted.toSeq == (1L to got.length).toSeq)
+  }
+
+  test("a NULL positive id excludes nothing and skips denoising for that query") {
+    import spark.implicits._
+    val base = vecs.toDF("id", "embedding")
+    val pairs = Seq((0L, vecs(5)._2, Option.empty[Long]))
+      .toDF("qid", "qvec", "pos_id")
+    val got = NegativeMining.mineHardNegatives(idx, pairs, "qid", "qvec",
+        "pos_id", base, "id", "embedding", k = 4, overfetch = 2,
+        denoiseMargin = 1.0)
+      .collect().sortBy(_.getLong(2)).map(_.getLong(1)).toSeq
+    // with no positive, the k nearest candidates pass untouched
+    val want = vecs.map { case (id, v) => (id, dist(vecs(5)._2, v)) }
+      .sortBy { case (id, d) => (d, id) }.take(4).map(_._1)
+    assert(got == want)
+  }
+
+  test("denoising on an ip-metric index is rejected with guidance") {
+    import spark.implicits._
+    val base = vecs.toDF("id", "embedding")
+    val ipIdx = graft.index.AnnIndexManager.create(spark, "negmine_ip",
+      base, "id", "embedding", "FLAT", Map("metric" -> "ip"), s"$tmp/ip")
+    try {
+      val pairs = Seq((0L, vecs(0)._2, 1L)).toDF("qid", "qvec", "pos_id")
+      val ex = intercept[IllegalArgumentException] {
+        NegativeMining.mineHardNegatives(ipIdx, pairs, "qid", "qvec",
+          "pos_id", base, "id", "embedding", k = 3, denoiseMargin = 0.9)
+      }
+      assert(ex.getMessage.contains("cosine"))
+      // margin 0 still works on ip
+      assert(NegativeMining.mineHardNegatives(ipIdx, pairs, "qid", "qvec",
+        "pos_id", base, "id", "embedding", k = 3).collect().length == 3)
+    } finally graft.index.AnnIndexManager.drop("negmine_ip")
+  }
+
   test("an aggressive margin yields fewer than k rows rather than padding") {
     import spark.implicits._
     val base = vecs.toDF("id", "embedding")
