@@ -464,7 +464,7 @@ object Bench {
                      "text_repetition_rules", "multimodal_phash_pairs",
                      // r13 additions, after everything older (same rule)
                      "multimodal_phash_dct_pairs", "url_domain_cap",
-                     "mine_negatives")) {
+                     "mine_negatives", "multimodal_audio_pairs")) {
       time(name) { noop(q(name)(spark, sfDir)) }
     }
 

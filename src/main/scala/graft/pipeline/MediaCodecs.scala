@@ -276,6 +276,81 @@ object MediaCodecs {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** PCM16 WAV encoder — the write half of [[decodeWavPcm16]] (canonical
+    * 44-byte header + one data chunk), so synthetic audio fixtures go
+    * through REAL container round-trips like the PNG/netpbm image path. */
+  def encodeWavPcm16(audio: AudioData): Array[Byte] = {
+    val dataLen = audio.samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(audio.channels.toShort)
+    bb.putInt(audio.sampleRate)
+    bb.putInt(audio.sampleRate * audio.channels * 2) // byte rate
+    bb.putShort((audio.channels * 2).toShort) // block align
+    bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    audio.samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** 64-bit temporal ENERGY fingerprint — the audio analogue of [[dHash64]]
+    * (the published energy-delta fingerprint family, e.g. Haitsma &
+    * Kalker 2002 reduced to one band): the signal splits into 65 equal
+    * windows on the integer grid and bit i is set where window i+1's mean
+    * squared energy exceeds window i's. Window energies are EXACT integer
+    * sums of sample squares (channel-interleaved), so the hash is
+    * bit-deterministic; comparisons of mean energies are invariant to
+    * exact global gain (both sides scale together). Degenerate inputs
+    * (< 65 frames) fall back to one-frame windows like [[blockMean]].
+    * Pair with [[graft.pipeline.Dedup.hammingNearDups]] for audio
+    * near-dup mining. */
+  def audioFingerprint64(audio: AudioData): Long = {
+    val ch = math.max(1, audio.channels)
+    val frames = audio.samples.length / ch
+    if (frames == 0) return 0L
+    // exact per-window (sumSq, count); mean comparisons cross-multiply in
+    // BigInt-free 128-bit-safe form via Math.multiplyHigh when needed —
+    // here sumSq <= 2^31·frames and count <= frames, so the product fits
+    // a Double's 53-bit mantissa only for short clips; compare with
+    // BigDecimal-free exact math: both operands as BigInt is simplest and
+    // runs 64 times per clip — negligible.
+    val sums = new Array[Long](65)
+    val counts = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      val f0 = (w.toLong * frames / 65).toInt
+      val f1 = math.max(f0 + 1, ((w + 1).toLong * frames / 65).toInt)
+      val end = math.min(f1, frames)
+      val start = math.min(f0, frames - 1)
+      var f = start
+      var s = 0L
+      while (f < end) {
+        var c = 0
+        while (c < ch) {
+          val v = audio.samples(f * ch + c).toLong
+          s += v * v
+          c += 1
+        }
+        f += 1
+      }
+      sums(w) = s
+      counts(w) = (end - start).toLong * ch
+      w += 1
+    }
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      // mean(i+1) > mean(i)  ⇔  sums(i+1)·counts(i) > sums(i)·counts(i+1)
+      val left = BigInt(sums(i + 1)) * BigInt(counts(i))
+      val right = BigInt(sums(i)) * BigInt(counts(i + 1))
+      if (left > right) h |= 1L << (63 - i)
+      i += 1
+    }
+    h
+  }
+
   /** RMS energy per window of `windowFrames` frames (channel-averaged,
     * normalized to [0,1]): a real, deterministic audio feature usable for
     * silence trimming / energy-based segmentation. */

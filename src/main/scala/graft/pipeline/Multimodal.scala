@@ -117,6 +117,18 @@ object Multimodal {
       .drop("__ph")
   }
 
+  /** 64-bit temporal energy fingerprint over decodable PCM16 WAV payloads:
+    * adds `afp64` BIGINT (null for non-audio rows) — the audio sibling of
+    * the image hash columns; pair with [[Dedup.hammingNearDups]] for
+    * audio near-dup mining. Row-local. */
+  def withAudioFingerprints(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val fp = udf { payload: Array[Byte] =>
+      MediaCodecs.decodeWavPcm16(payload)
+        .map(a => MediaCodecs.audioFingerprint64(a)): Option[Long]
+    }
+    df.withColumn("afp64", fp(col(payloadCol)))
+  }
+
   /** REAL resize: image payloads (netpbm OR png/jpeg/bmp/gif via ImageIO)
     * are decoded, nearest-neighbor-resized to (w, h) and re-encoded —
     * netpbm stays binary P5/P6, compressed containers re-encode as

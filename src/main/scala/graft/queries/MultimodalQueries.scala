@@ -53,7 +53,30 @@ object MultimodalQueries {
       graft.pipeline.MediaCodecs.ImageData(16, 16, 1, px))
   }
 
+  // pseudo-random 1s mono WAV seeded by doc_id % 40: identical samples
+  // within a group (fingerprints collide at hamming 0), iid across groups
+  // (64 essentially-random energy-delta bits at a FIXED seed) — same
+  // design as the image-hash fixture
+  private val audioUdf = udf { id: Long =>
+    val rnd = new scala.util.Random((id % 40) * 104729L + 5)
+    val samples = Array.fill(2000)((rnd.nextInt(16000) - 8000).toShort)
+    graft.pipeline.MediaCodecs.encodeWavPcm16(
+      graft.pipeline.MediaCodecs.AudioData(16000, 1, samples))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // audio near-dup via the temporal energy fingerprint: real WAV
+    // round-trip (encode → container parse → fingerprint), banded Hamming
+    // pairs. Strict: the injected group structure is the exact pair set
+    "multimodal_audio_pairs" -> ((s: SparkSession, dir: String) => {
+      val docs = table(s, dir, "documents")
+      val media = docs.select(col("doc_id"),
+        audioUdf(col("doc_id")).as("payload"))
+      val hashed = Multimodal.withAudioFingerprints(media)
+      graft.pipeline.Dedup.hammingNearDups(hashed, "doc_id", "afp64",
+          maxHamming = 3)
+        .orderBy("a", "b")
+    }),
     // perceptual-hash image near-dup (the multimodal SimHash analogue):
     // aHash64 over decoded pixels, banded Hamming pairs. Strict: the
     // injected group structure makes the pair set arithmetically exact
@@ -124,6 +147,12 @@ object MultimodalQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "multimodal_audio_pairs" ->
+      """SELECT a.doc_id AS a, b.doc_id AS b, CAST(0 AS INT) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id AND a.doc_id % 40 = b.doc_id % 40
+        |ORDER BY a, b""".stripMargin,
+
     "multimodal_phash_pairs" ->
       """SELECT a.doc_id AS a, b.doc_id AS b, CAST(0 AS INT) AS hamming
         |FROM documents a JOIN documents b

@@ -310,6 +310,49 @@ class PerceptualHashSpec extends graft.SparkSpec {
     assert(dHash64(a) == dHash64(shifted))
   }
 
+  test("audio fingerprint: deterministic, exactly gain-invariant, container round-trip") {
+    import MediaCodecs.{AudioData, audioFingerprint64, encodeWavPcm16, decodeWavPcm16}
+    val rnd = new scala.util.Random(41)
+    val samples = Array.fill(3000)((rnd.nextInt(16000) - 8000).toShort)
+    val a = AudioData(16000, 1, samples)
+    assert(audioFingerprint64(a) == audioFingerprint64(AudioData(16000, 1, samples.clone())))
+    // EXACT global gain invariance: x2 without clipping scales every
+    // window energy by exactly 4, so all delta comparisons are unchanged
+    val doubled = AudioData(16000, 1, samples.map(s => (s * 2).toShort))
+    assert(audioFingerprint64(a) == audioFingerprint64(doubled))
+    // encode → decode round-trips samples and the fingerprint
+    val back = decodeWavPcm16(encodeWavPcm16(a)).get
+    assert(back.samples.toSeq == samples.toSeq)
+    assert(audioFingerprint64(back) == audioFingerprint64(a))
+    // distinct noise is far apart
+    val other = AudioData(16000, 1,
+      Array.fill(3000)((rnd.nextInt(16000) - 8000).toShort))
+    assert(java.lang.Long.bitCount(
+      audioFingerprint64(a) ^ audioFingerprint64(other)) >= 12)
+    // degenerate: shorter than 65 frames still defined, no throw
+    audioFingerprint64(AudioData(8000, 1, Array.fill(10)(5.toShort)))
+    audioFingerprint64(AudioData(8000, 2, Array.empty[Short]))
+  }
+
+  test("withAudioFingerprints + hammingNearDups: grouped identical clips pair; non-audio null") {
+    import spark.implicits._
+    import MediaCodecs.{AudioData, encodeWavPcm16}
+    val rows = (0L until 20L).map { i =>
+      val rnd = new scala.util.Random((i % 5) * 77L + 1)
+      (i, encodeWavPcm16(AudioData(16000, 1,
+        Array.fill(1500)((rnd.nextInt(12000) - 6000).toShort))))
+    } :+ ((99L, Array[Byte](9, 9, 9)))
+    val hashed = Multimodal.withAudioFingerprints(rows.toDF("id", "payload"))
+    val nullRow = hashed.filter(col("id") === 99L).head()
+    assert(nullRow.isNullAt(nullRow.fieldIndex("afp64")))
+    val pairs = Dedup.hammingNearDups(hashed, "id", "afp64", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      a <- 0L until 20L; b <- a + 1 until 20L; if a % 5 == b % 5
+    } yield (a, b)).toSet
+    assert(pairs == want)
+  }
+
   test("withImageHashes + hammingNearDups: grouped identical images pair at hamming 0") {
     import spark.implicits._
     val rows = (0L until 40L).map { i =>
