@@ -115,9 +115,9 @@ object UrlOps {
     * appends three columns —
     *
     *   url_blocked       BOOLEAN — registered domain is in `blockedDomains`
-    *                     (the curated blocklist path; pass the real UT1/
-    *                     internal list at scale — broadcast as a literal
-    *                     set, row-local membership test)
+    *                     (the curated blocklist path; pass a real list
+    *                     like the public UT1 set at scale — broadcast as
+    *                     a literal set, row-local membership test)
     *   url_word_score    DOUBLE — soft keyword score over the url string:
     *                     Σ weight(w) · occurrences(w in lowercased url),
     *                     the paper's weighted word match on strict-url
