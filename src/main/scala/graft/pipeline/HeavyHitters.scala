@@ -101,10 +101,21 @@ object HeavyHitters {
     // MaxK), where a pinned broadcast would OOM the driver — yet with no
     // hint and AQE off, the LogicalRDD-derived side has no stats and the
     // static planner falls to a sort-merge join that shuffles the whole
-    // corpus item column. The count is one cheap job over the
-    // checkpointed, (k+1)·P-bounded partials.
+    // corpus item column. The gate measures BYTES, not just rows: items
+    // are arbitrary strings (substring/ngram candidates run kilobytes),
+    // so 4M long items can pin a multi-GB broadcast that a row count
+    // alone would wave through. One cheap agg job over the checkpointed,
+    // (k+1)·P-bounded partials.
+    val stats = candidates0
+      .agg(count(lit(1)), coalesce(sum(length(col("__item"))), lit(0L)))
+      .head()
+    val candRows = stats.getLong(0)
+    // UTF-16 chars + per-row UnsafeRow/hash-relation overhead ≈ resident
+    // broadcast footprint on the driver
+    val candBytes = candRows * BroadcastBytesPerRowOverhead + stats.getLong(1) * 2L
     val candidates =
-      if (candidates0.count() <= BroadcastCandidateBound) broadcast(candidates0)
+      if (candRows <= BroadcastCandidateBound &&
+          candBytes <= BroadcastCandidateByteBound) broadcast(candidates0)
       else candidates0
     ds.toDF("__item")
       .join(candidates, Seq("__item"), "left_semi")
@@ -125,8 +136,21 @@ object HeavyHitters {
   /** Candidate-set size above which the global form's verify semi-join is
     * left un-hinted (shuffle/AQE) instead of broadcast — ~4M short strings
     * is comfortably inside driver memory; beyond it a pinned broadcast is
-    * the OOM risk the r12 advisory flagged. */
+    * the OOM risk the r12 advisory flagged. Paired with the BYTE bound
+    * below: both must pass, because rows alone says nothing about string
+    * width. */
   private[graft] val BroadcastCandidateBound = 1L << 22
+
+  /** Estimated resident broadcast bytes above which the verify semi-join
+    * is left un-hinted: 512 MB keeps the pinned hash relation far from
+    * driver-heap trouble while preserving the broadcast for every sane
+    * candidate set (4M 20-char tokens estimate ~0.4 GB). Estimate =
+    * rows · [[BroadcastBytesPerRowOverhead]] + 2 bytes per char. */
+  private[graft] val BroadcastCandidateByteBound = 1L << 29
+
+  /** Per-row driver-resident overhead estimate for a broadcast hash
+    * relation: UnsafeRow header + offset/size word + hash-map entry. */
+  private[graft] val BroadcastBytesPerRowOverhead = 64L
 
   /** Per-task resident MG counter budget for the grouped form — above this
     * the shuffle-free pass (one summary per group seen in the partition)

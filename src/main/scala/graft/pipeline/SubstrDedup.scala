@@ -94,15 +94,19 @@ object SubstrDedup {
     * for exactly that job, via an ISOLATED child session (same
     * SparkContext, own SQLConf) — mutating the caller's session conf
     * would race with concurrent queries on the same session and could
-    * leak the scoped value past the restore. The heavy position-pass
-    * stages all execute inside the checkpoint job under the child conf;
-    * the pinned result is re-hosted on the caller's session so every
-    * downstream (candidate-bounded) stage plans under the caller's own
-    * setting. */
+    * leak the scoped value past the restore. The child is a CLONE of the
+    * caller's session (copied SQLConf), not `newSession()` — a fresh
+    * session rebuilds SQLConf from SparkConf defaults, so runtime confs
+    * the caller set via `spark.conf.set` (AQE toggles, codegen limits,
+    * `spark.sql.files.*`) would silently not apply to the heaviest job in
+    * the operator. The heavy position-pass stages all execute inside the
+    * checkpoint job under the child conf; the pinned result is re-hosted
+    * on the caller's session so every downstream (candidate-bounded)
+    * stage plans under the caller's own setting. */
   private def checkpointWithShufflePartitions(
       df: DataFrame, n: Int): DataFrame = {
     val spark = df.sparkSession
-    val scoped = spark.newSession()
+    val scoped = org.apache.spark.sql.GraftBridge.cloneSession(spark)
     scoped.conf.set("spark.sql.shuffle.partitions", n.toString)
     val pinned = org.apache.spark.sql.GraftBridge
       .ofRows(scoped, org.apache.spark.sql.GraftBridge.analyzedPlan(df))

@@ -51,9 +51,13 @@ object UrlOps {
     val pathQuery = regexp_replace(rest, "^[^/?]*", "")
     val path = regexp_replace(regexp_extract(pathQuery, "^([^?]*)", 1), "/+$", "")
     val query = regexp_extract(pathQuery, "\\?(.*)$", 1)
+    // param-NAME match is case-insensitive ((?i) covers only the name —
+    // values keep their case) and valueless params count ("?utm_source"
+    // and "?UTM_SOURCE=x" are the same click-tracking noise as
+    // "?utm_source=x")
     val keptQuery = array_join(
       filter(split(query, "&"),
-        p => !p.rlike(s"^($TrackingParams)=") && p =!= ""),
+        p => !p.rlike(s"(?i)^($TrackingParams)(=|$$)") && p =!= ""),
       "&")
     val queryOut = when(keptQuery === "", lit(""))
       .otherwise(concat(lit("?"), keptQuery))

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   *    100 docs per cluster, energy-decaying dims (the MRL shape).
   *
   * Run: SPARK_DRIVER_MEM=24g sbt -batch "runMain graft.tools.R13HardeningScale [mode] [nSubstr] [nHH]"
-  * mode: all|substr|hhgroups|mrl
+  * mode: all|substr|hhgroups|mrl|negmine
   */
 object R13HardeningScale {
   def main(args: Array[String]): Unit = {

@@ -21,4 +21,14 @@ object GraftBridge {
 
   def optimizedPlan(df: Dataset[_]): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.optimizedPlan
+
+  /** Isolated child session whose SQLConf is a COPY of the parent's —
+    * unlike `newSession()`, which rebuilds SQLConf from SparkConf defaults
+    * and silently drops every runtime conf the caller set via
+    * `spark.conf.set` (AQE toggles, codegen limits, `spark.sql.files.*`).
+    * This is Spark's own per-microbatch session mechanism
+    * (`SparkSession.cloneSession`, `private[sql]`), exposed for scoped
+    * conf overrides. */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
 }

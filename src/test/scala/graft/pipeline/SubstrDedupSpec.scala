@@ -262,6 +262,23 @@ class SubstrDedupSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.substr.targetPartitionBytes")
   }
 
+  test("scoped session CLONES caller runtime confs (newSession would drop them)") {
+    // the position pass runs under a cloned child session; runtime confs
+    // the caller set via spark.conf.set must carry over — newSession()
+    // rebuilds SQLConf from SparkConf defaults and silently drops them
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "12345678")
+    try {
+      val cloned = org.apache.spark.sql.GraftBridge.cloneSession(spark)
+      assert(cloned.conf.get("spark.sql.autoBroadcastJoinThreshold") == "12345678")
+      val fresh = spark.newSession()
+      assert(fresh.conf.get("spark.sql.autoBroadcastJoinThreshold") != "12345678",
+        "newSession unexpectedly inherits runtime confs — clone no longer needed?")
+      // and the clone's overrides stay scoped
+      cloned.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") != "7")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("partitioning-invariant and idempotent-after-cut on the marked set") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

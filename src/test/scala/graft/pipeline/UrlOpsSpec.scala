@@ -40,6 +40,18 @@ class UrlOpsSpec extends SparkSpec {
       .select(UrlOps.normalizeUrl(col("u"))).head().isNullAt(0))
   }
 
+  test("normalizeUrl: tracking-param strip is case-insensitive and covers valueless params") {
+    norm(
+      "https://example.com/a?UTM_SOURCE=x&y=2" -> "https://example.com/a?y=2",
+      "https://example.com/a?Fbclid=9" -> "https://example.com/a",
+      "https://example.com/a?utm_source&y=2" -> "https://example.com/a?y=2", // valueless
+      "https://example.com/a?UTM_CAMPAIGN" -> "https://example.com/a",
+      // param VALUES keep their case; a non-tracking name that merely
+      // CONTAINS a tracking name is kept
+      "https://example.com/a?q=UTM_SOURCE&xutm_source=1" ->
+        "https://example.com/a?q=UTM_SOURCE&xutm_source=1")
+  }
+
   test("normalizeUrl is idempotent on its own output") {
     import spark.implicits._
     val messy = Seq(
