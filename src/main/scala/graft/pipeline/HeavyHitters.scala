@@ -325,6 +325,28 @@ object HeavyHitters {
       .select(col("__grp").as(groupCol), col("__item").as(itemCol), col("cnt"))
   }
 
+  /** Flat (ungrouped) EXACT recount of an externally produced candidate
+    * superset against `df` — the one-call verify hook for
+    * [[graft.streaming.HeavyHittersMaintenance]] (whose summary is a
+    * certified superset at any `phi > 1/(k+1)`). Returns `(itemCol, cnt)`
+    * with `cnt >= ceil(phi * N)` — identical to [[frequentItems]] when the
+    * candidate set is a true superset. One corpus scan; only candidate
+    * rows shuffle (the semi-join side broadcasts when small). */
+  def recountCandidates(df: DataFrame, itemCol: String, phi: Double,
+                        candidates: DataFrame,
+                        candItemCol: String): DataFrame = {
+    require(phi > 0.0 && phi <= 1.0, s"phi=$phi must be in (0, 1]")
+    val ds = itemStrings(df, itemCol).toDF("__item")
+    val cand = candidates.select(col(candItemCol).cast("string").as("__item"))
+      .filter(col("__item").isNotNull).distinct()
+    val n = ds.count()
+    val threshold = math.max(1L, math.ceil(phi * n).toLong)
+    ds.join(cand, Seq("__item"), "left_semi")
+      .groupBy(col("__item").as(itemCol))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .filter(col("cnt") >= threshold)
+  }
+
   /** The deduped candidate superset alone — exposed for the guarantee spec
     * (every true heavy hitter MUST appear here); use [[frequentItems]]
     * downstream. */

@@ -310,12 +310,10 @@ object MediaCodecs {
     val ch = math.max(1, audio.channels)
     val frames = audio.samples.length / ch
     if (frames == 0) return 0L
-    // exact per-window (sumSq, count); mean comparisons cross-multiply in
-    // BigInt-free 128-bit-safe form via Math.multiplyHigh when needed —
-    // here sumSq <= 2^31·frames and count <= frames, so the product fits
-    // a Double's 53-bit mantissa only for short clips; compare with
-    // BigDecimal-free exact math: both operands as BigInt is simplest and
-    // runs 64 times per clip — negligible.
+    // exact per-window (sumSq, count); the mean comparison cross-multiplies
+    // into 128 bits (sumSq can reach 2^30·samples — far past a Double's
+    // 53-bit mantissa for long clips), done allocation-free with
+    // Math.multiplyHigh + an unsigned low-word compare.
     val sums = new Array[Long](65)
     val counts = new Array[Long](65)
     var w = 0
@@ -342,10 +340,18 @@ object MediaCodecs {
     var h = 0L
     var i = 0
     while (i < 64) {
-      // mean(i+1) > mean(i)  ⇔  sums(i+1)·counts(i) > sums(i)·counts(i+1)
-      val left = BigInt(sums(i + 1)) * BigInt(counts(i))
-      val right = BigInt(sums(i)) * BigInt(counts(i + 1))
-      if (left > right) h |= 1L << (63 - i)
+      // mean(i+1) > mean(i)  ⇔  sums(i+1)·counts(i) > sums(i)·counts(i+1).
+      // All operands are nonnegative, so the 128-bit products compare as
+      // (signed high word, unsigned low word) — exact, zero allocation
+      // (the earlier BigInt form allocated 128 objects per clip: noise at
+      // 500 fixtures, real at 10^9 clips).
+      val hiL = Math.multiplyHigh(sums(i + 1), counts(i))
+      val loL = sums(i + 1) * counts(i)
+      val hiR = Math.multiplyHigh(sums(i), counts(i + 1))
+      val loR = sums(i) * counts(i + 1)
+      if (hiL > hiR ||
+          (hiL == hiR && java.lang.Long.compareUnsigned(loL, loR) > 0))
+        h |= 1L << (63 - i)
       i += 1
     }
     h

@@ -65,11 +65,106 @@ object UrlOps {
       .otherwise(concat(scheme, lit("://"), host, portOut, path, queryOut))
   }
 
+  /** Public-suffix rule set with the publicsuffix.org matching semantics:
+    * `plain` entries are suffixes as written, `wildcard` holds the parent
+    * of `*.` rules (`*.ck` → `"ck"`: every single label under it is a
+    * suffix), `exception` holds `!` rules without the bang (`!www.ck`:
+    * NOT a suffix even though `*.ck` matches — its suffix is the rule
+    * minus its leftmost label). The implicit default rule `*` (every bare
+    * TLD is a suffix) is always in effect. Longest match wins; a matching
+    * exception prevails over everything.
+    *
+    * Build one from the real PSL file with [[SuffixRules.parse]] (the
+    * bundled `graft/public_suffix_sample.dat` resource is a working
+    * subset for tests and smoke runs — swap in the full
+    * publicsuffix.org/list file for production crawls). The set rides the
+    * task closure (~hundreds of KB at full-PSL size), so lookup is
+    * row-local and shuffle-free at any corpus scale. */
+  final case class SuffixRules(plain: Set[String], wildcard: Set[String],
+                               exception: Set[String]) {
+    require((plain ++ wildcard ++ exception).forall(s =>
+      s.nonEmpty && s == s.toLowerCase && !s.contains('*') && !s.contains('!')),
+      "suffix entries must be lowercase bare domains (parse() normalizes)")
+
+    /** Deepest label count any rule can match — bounds the probe loop. */
+    private val maxProbe: Int = {
+      def labels(s: String) = s.count(_ == '.') + 1
+      val p = plain.iterator.map(labels) ++
+        wildcard.iterator.map(labels(_) + 1) ++ exception.iterator.map(labels)
+      (p ++ Iterator(1)).max
+    }
+
+    /** Registered domain of a (lowercased) host under these rules: the
+      * public suffix plus one label. Hosts that ARE a public suffix, IPv4
+      * literals, and single-label hosts pass through unchanged (no
+      * registrant to name); null → null. The PSL algorithm, iterative:
+      * probe the last i labels for i = 1..maxProbe, keep the longest
+      * match, let an exception prevail immediately. */
+    private[pipeline] def registeredDomainOf(host: String): String = {
+      if (host == null) return null
+      if (Ipv4Pattern.matcher(host).matches()) return host
+      val labels = host.split('.')
+      val n = labels.length
+      if (n < 2) return host
+      var suffix = 1 // the implicit default rule: the TLD is a suffix
+      var i = 1
+      val probe = math.min(n, maxProbe)
+      var done = false
+      while (i <= probe && !done) {
+        val tail = labels.slice(n - i, n).mkString(".")
+        if (exception.contains(tail)) { suffix = i - 1; done = true }
+        else {
+          if (plain.contains(tail)) suffix = i
+          if (i >= 2 && wildcard.contains(labels.slice(n - i + 1, n).mkString(".")))
+            suffix = math.max(suffix, i)
+          i += 1
+        }
+      }
+      if (suffix >= n) host
+      else labels.slice(n - suffix - 1, n).mkString(".")
+    }
+  }
+
+  private val Ipv4Pattern =
+    java.util.regex.Pattern.compile("^\\d{1,3}(\\.\\d{1,3}){3}$")
+
+  object SuffixRules {
+    /** Parse PSL file lines (publicsuffix.org/list format): `//` comments
+      * and blanks skipped, a rule ends at the first whitespace, `!` marks
+      * exceptions, `*.` marks wildcards, everything lowercased. */
+    def parse(lines: IterableOnce[String]): SuffixRules = {
+      val plain = Set.newBuilder[String]
+      val wild = Set.newBuilder[String]
+      val exc = Set.newBuilder[String]
+      lines.iterator.foreach { raw =>
+        val line = raw.trim.takeWhile(!_.isWhitespace).toLowerCase
+        if (line.nonEmpty && !line.startsWith("//") && line != "*") {
+          if (line.startsWith("!")) exc += line.drop(1)
+          else if (line.startsWith("*.")) wild += line.drop(2)
+          else plain += line
+        }
+      }
+      SuffixRules(plain.result(), wild.result(), exc.result())
+    }
+
+    /** The bundled sample PSL (a working subset of the real list —
+      * common country registries plus the fixture-exercised wildcard and
+      * exception rules). Production crawls should parse the full file:
+      * `SuffixRules.parse(scala.io.Source.fromFile(path).getLines())`. */
+    lazy val bundledSample: SuffixRules = {
+      val in = getClass.getResourceAsStream("/graft/public_suffix_sample.dat")
+      require(in != null, "bundled PSL sample resource missing")
+      try parse(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+      finally in.close()
+    }
+  }
+
   /** Two-label public suffixes where the REGISTERED domain is three labels
     * (`example.co.uk`, not `co.uk`). A bounded approximation of the public
-    * suffix list covering the common country registries — the full PSL is
-    * a data file, not logic; swap this set for it when operating on real
-    * crawls. */
+    * suffix list covering the common country registries, kept as a LITERAL
+    * set so the default [[registeredDomain]] stays a pure codegen'd Column
+    * expression; the full PSL goes through the [[SuffixRules]] overload
+    * (a ~9k-entry set cannot be an `isin` expression tree). */
   private val MultiPartSuffixes = Seq(
     "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk",
     "co.jp", "ne.jp", "or.jp", "ac.jp",
@@ -111,9 +206,28 @@ object UrlOps {
       .otherwise(last2)
   }
 
+  /** Registered domain under a caller-supplied [[SuffixRules]] (the full
+    * PSL path — longest match, wildcards, exceptions). Same pass-through
+    * semantics as the default overload for IPv4 / single-label / bare
+    * suffix hosts. A deterministic scalar UDF rather than a Column
+    * expression, priced deliberately: a full-PSL rule set is ~9k entries —
+    * as an `isin`/CASE literal tree that is a megabyte of generated code
+    * per task (the whole-stage compiler gives up), and as a lookup join it
+    * is a per-row explode of candidate tails plus an aggregate exchange.
+    * The UDF is row-local, shuffle-free, O(maxProbe) hash lookups per
+    * host, and the rule set rides the task closure once. */
+  def registeredDomain(host: Column, rules: SuffixRules): Column = {
+    val f = udf((h: String) => rules.registeredDomainOf(h))
+    f(host)
+  }
+
   /** Registered domain straight from a URL column. */
   def urlRegisteredDomain(url: Column): Column =
     registeredDomain(urlHost(url))
+
+  /** Registered domain from a URL column under caller-supplied rules. */
+  def urlRegisteredDomain(url: Column, rules: SuffixRules): Column =
+    registeredDomain(urlHost(url), rules)
 
   /** RefinedWeb-style URL filtering signals (Penedo et al. 2023 §3.1):
     * appends three columns —
@@ -137,24 +251,61 @@ object UrlOps {
                            blockedDomains: Set[String],
                            wordWeights: Map[String, Double],
                            maxWordScore: Double = 1.0): DataFrame = {
-    require(wordWeights.keys.forall(_.nonEmpty), "empty keyword")
-    // keywords match against the LOWERCASED url — lowercase them too, or
-    // a mixed-case keyword could never score; merging collisions keeps
-    // the caller's intent ("Casino" + "casino" weights add)
-    val weights = wordWeights.groupMapReduce(_._1.toLowerCase)(_._2)(_ + _)
     val dom = urlRegisteredDomain(col(urlCol))
     val blocked =
       if (blockedDomains.isEmpty) lit(false)
       else coalesce(dom.isin(blockedDomains.map(_.toLowerCase).toSeq: _*),
         lit(false))
+    withScoreAndKeep(df.withColumn("url_blocked", blocked), urlCol,
+      wordWeights, maxWordScore)
+  }
+
+  /** [[withUrlFilterSignals]] with the blocklist as a DATAFRAME — the
+    * real-blocklist path (the public UT1 adult/malware set is ~3.7M
+    * domains; as an `isin` literal that is a multi-million-node expression
+    * tree serialized into every task, where this is one broadcast hash
+    * relation). `blocklist(blocklistCol)` holds registered domains
+    * (lowercased/trimmed here; blanks and nulls ignored); `url_blocked`
+    * comes from a broadcast LEFT join on the url's registered domain —
+    * the semi-join shape with the match surfaced as a boolean instead of
+    * a filter, so the three output signals are identical to the
+    * literal-set overload. The blocklist is deduped before the join
+    * (row multiplication impossible). Keep the `Set` overload for small
+    * curated lists — it stays a pure codegen'd expression. */
+  def withUrlFilterSignals(df: DataFrame, urlCol: String,
+                           blocklist: DataFrame, blocklistCol: String,
+                           wordWeights: Map[String, Double],
+                           maxWordScore: Double): DataFrame = {
+    val bl = broadcast(
+      blocklist.select(lower(trim(col(blocklistCol))).as("__bldom"))
+        .filter(col("__bldom").isNotNull && col("__bldom") =!= "")
+        .distinct())
+    val blocked = df
+      .withColumn("__fltdom", urlRegisteredDomain(col(urlCol)))
+      .join(bl, col("__fltdom") === col("__bldom"), "left")
+      .withColumn("url_blocked", col("__bldom").isNotNull)
+      .drop("__fltdom", "__bldom")
+    withScoreAndKeep(blocked, urlCol, wordWeights, maxWordScore)
+  }
+
+  /** Shared tail of the filter-signal overloads: the weighted word score
+    * and the keep verdict over an input that already carries
+    * `url_blocked`. */
+  private def withScoreAndKeep(df: DataFrame, urlCol: String,
+                               wordWeights: Map[String, Double],
+                               maxWordScore: Double): DataFrame = {
+    require(wordWeights.keys.forall(_.nonEmpty), "empty keyword")
+    // keywords match against the LOWERCASED url — lowercase them too, or
+    // a mixed-case keyword could never score; merging collisions keeps
+    // the caller's intent ("Casino" + "casino" weights add)
+    val weights = wordWeights.groupMapReduce(_._1.toLowerCase)(_._2)(_ + _)
     val low = lower(col(urlCol))
     val score = weights.foldLeft(lit(0.0)) { case (acc, (w, wt)) =>
       // occurrences(w) = (len(url) - len(url with w removed)) / len(w)
       acc + (length(low) - length(call_function("replace", low, lit(w), lit(""))))
         .cast("double") / w.length * wt
     }
-    df.withColumn("url_blocked", blocked)
-      .withColumn("url_word_score", coalesce(score, lit(0.0)))
+    df.withColumn("url_word_score", coalesce(score, lit(0.0)))
       .withColumn("url_keep",
         !col("url_blocked") && col("url_word_score") < maxWordScore)
   }
@@ -191,9 +342,21 @@ object UrlOps {
     * (it is the tie-break of its own ordering, so the cut is total and
     * unique). */
   def capPerDomain(df: DataFrame, urlCol: String, cap: Int,
-                   orderCol: String): DataFrame = {
+                   orderCol: String): DataFrame =
+    capPerDomainOn(df, urlRegisteredDomain(col(urlCol)), cap, orderCol)
+
+  /** [[capPerDomain]] under caller-supplied [[SuffixRules]] (full-PSL
+    * domain keying — `shop.example.com.pl` caps as `example.com.pl`, not
+    * as the `com.pl` registry the literal default would merge entire
+    * country registries into). */
+  def capPerDomain(df: DataFrame, urlCol: String, cap: Int,
+                   orderCol: String, rules: SuffixRules): DataFrame =
+    capPerDomainOn(df, urlRegisteredDomain(col(urlCol), rules), cap, orderCol)
+
+  private def capPerDomainOn(df: DataFrame, domain: Column, cap: Int,
+                             orderCol: String): DataFrame = {
     require(cap >= 1, s"cap=$cap must be >= 1")
-    val withDom = df.withColumn("__dom", urlRegisteredDomain(col(urlCol)))
+    val withDom = df.withColumn("__dom", domain)
       .filter(col("__dom").isNotNull)
       .withColumn("__ord", col(orderCol).cast("double"))
     graft.operators.TopK.grouped(withDom, "__dom", "__ord", orderCol, cap)

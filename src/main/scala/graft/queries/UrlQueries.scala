@@ -64,6 +64,22 @@ object UrlQueries {
       |  ELSE 'example.com'
       |END""".stripMargin
 
+  /** PSL-only host fixture: hosts whose registered domain the bounded
+    * constant suffix set CANNOT get right — a com.pl registry domain, a
+    * `*.ck` wildcard, the `!www.ck` exception, a private registry
+    * (blogspot.com), a higher-order wildcard (`*.kawasaki.jp`), and a
+    * default-rule TLD. variant = doc_id % 6, site key = doc_id % 20. */
+  private def pslHost(idCol: String): org.apache.spark.sql.Column = {
+    val k = (col(idCol) % 20).cast("string")
+    val v = col(idCol) % 6
+    when(v === 0, concat(lit("www.site"), k, lit(".com.pl")))
+      .when(v === 1, concat(lit("a.b.site"), k, lit(".foo.ck")))
+      .when(v === 2, concat(lit("sub"), k, lit(".www.ck")))
+      .when(v === 3, concat(lit("blog"), k, lit(".blogspot.com")))
+      .when(v === 4, concat(lit("deep.sub.site"), k, lit(".kawasaki.jp")))
+      .otherwise(concat(lit("x.y.site"), k, lit(".example")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // canonical URL form: lowercase scheme/host, default ports off,
     // userinfo/fragment/tracking params off, trailing slash off. Strict —
@@ -111,14 +127,48 @@ object UrlQueries {
 
     // RefinedWeb-style per-site cap: keep the 3 lowest doc_ids per
     // registered domain (unparseable URLs drop). The bounded-heap grouped
-    // top-k makes the plan one survivor-volume shuffle. Strict: the
+    // top-k makes the plan one survivor-volume shuffle. Runs the PARSED
+    // SuffixRules path (the bundled PSL sample — a superset of the
+    // constant set, so the fixture's domains are unchanged and the same
+    // arithmetic oracle verifies the full-PSL matcher). Strict: the
     // oracle's row_number window replays the cut exactly.
     "url_domain_cap" -> ((s: SparkSession, dir: String) =>
       UrlOps.capPerDomain(withUrl(s, dir), "url", cap = 3,
-          orderCol = "doc_id")
+          orderCol = "doc_id", rules = UrlOps.SuffixRules.bundledSample)
         .select(col("doc_id"),
           UrlOps.urlRegisteredDomain(col("url")).as("domain"))
-        .orderBy("domain", "doc_id"))
+        .orderBy("domain", "doc_id")),
+
+    // Full-PSL registered-domain semantics on hosts the constant set
+    // cannot key: com.pl registry, *.ck wildcard, !www.ck exception,
+    // blogspot.com private registry, *.kawasaki.jp, default TLD rule.
+    // Strict — the oracle predicts each variant arithmetically.
+    "url_domain_psl" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), pslHost("doc_id").as("host"))
+        .select(col("doc_id"), col("host"),
+          UrlOps.registeredDomain(col("host"),
+            UrlOps.SuffixRules.bundledSample).as("domain"))
+        .orderBy("doc_id")),
+
+    // The blocklist-as-DataFrame filter path (the UT1-scale shape): same
+    // fixture and signals as url_filter, with the two blocked domains
+    // arriving as a DataFrame (plus case/whitespace noise and a domain
+    // that matches nothing) through the broadcast left join. Same oracle
+    // as url_filter — the two overloads must agree exactly.
+    "url_filter_bl" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val bl = Seq("  Site2.CO.UK ", "site8.co.uk", "malware.example",
+        "site2.co.uk").toDF("dom")
+      UrlOps.withUrlFilterSignals(withUrl(s, dir), "url",
+          blocklist = bl, blocklistCol = "dom",
+          wordWeights = Map("page" -> 1.2, "8080" -> 0.5),
+          maxWordScore = 1.0)
+        .select(col("doc_id"), col("url_blocked"),
+          round(col("url_word_score"), 4).as("url_word_score"),
+          col("url_keep"))
+        .orderBy("doc_id")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -157,6 +207,34 @@ object UrlQueries {
          |  SELECT doc_id, $DomainSql AS domain,
          |    row_number() OVER (PARTITION BY $DomainSql ORDER BY doc_id) AS rn
          |  FROM documents WHERE doc_id % 6 <> 5)
-         |WHERE rn <= 3 ORDER BY domain, doc_id""".stripMargin
+         |WHERE rn <= 3 ORDER BY domain, doc_id""".stripMargin,
+
+    "url_domain_psl" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'www.site' || CAST(doc_id % 20 AS VARCHAR) || '.com.pl'
+        |    WHEN 1 THEN 'a.b.site' || CAST(doc_id % 20 AS VARCHAR) || '.foo.ck'
+        |    WHEN 2 THEN 'sub' || CAST(doc_id % 20 AS VARCHAR) || '.www.ck'
+        |    WHEN 3 THEN 'blog' || CAST(doc_id % 20 AS VARCHAR) || '.blogspot.com'
+        |    WHEN 4 THEN 'deep.sub.site' || CAST(doc_id % 20 AS VARCHAR) || '.kawasaki.jp'
+        |    ELSE 'x.y.site' || CAST(doc_id % 20 AS VARCHAR) || '.example'
+        |  END AS host,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'site' || CAST(doc_id % 20 AS VARCHAR) || '.com.pl'
+        |    WHEN 1 THEN 'site' || CAST(doc_id % 20 AS VARCHAR) || '.foo.ck'
+        |    WHEN 2 THEN 'www.ck'
+        |    WHEN 3 THEN 'blog' || CAST(doc_id % 20 AS VARCHAR) || '.blogspot.com'
+        |    WHEN 4 THEN 'sub.site' || CAST(doc_id % 20 AS VARCHAR) || '.kawasaki.jp'
+        |    ELSE 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example'
+        |  END AS domain
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "url_filter_bl" ->
+      """SELECT doc_id,
+        |  (doc_id % 6 = 2 AND doc_id % 20 IN (2, 8)) AS url_blocked,
+        |  ROUND(CAST(CASE doc_id % 6 WHEN 0 THEN 1.2 WHEN 3 THEN 0.5 ELSE 0.0 END AS DOUBLE), 4) AS url_word_score,
+        |  (NOT (doc_id % 6 = 2 AND doc_id % 20 IN (2, 8))
+        |   AND CASE doc_id % 6 WHEN 0 THEN 1.2 WHEN 3 THEN 0.5 ELSE 0.0 END < 1.0) AS url_keep
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

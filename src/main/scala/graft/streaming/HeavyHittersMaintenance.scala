@@ -66,6 +66,38 @@ class HeavyHittersMaintenance(k: Int, itemCol: String = "item") {
     }
   }
 
+  /** EXACT heavy hitters of `retained` at threshold `phi`, using this
+    * summary as the certified candidate generator — the one-call verify
+    * hook (candidate+verify composition): the summary's items are a
+    * guaranteed superset of the true heavy hitters for any certifiable
+    * `phi` (> 1/(k+1)), and one exact recount of that bounded set against
+    * the retained corpus ([[HeavyHitters.recountCandidates]]) restores the
+    * batch operator's exact contract — `(item, cnt)` with
+    * `cnt >= ceil(phi·N)`, equal to `HeavyHitters.frequentItems(retained,
+    * …)` whenever `retained` is the data this summary observed. The
+    * candidate relation is ≤ k driver-resident rows (a literal local
+    * relation — broadcasts for free); the corpus pays one scan and
+    * shuffles only candidate matches. */
+  def exactHeavyHitters(retained: DataFrame, phi: Double,
+                        retainedItemCol: String): DataFrame = {
+    require(phi > 1.0 / (k + 1),
+      s"phi=$phi not certifiable with k=$k (need phi > ${1.0 / (k + 1)})")
+    val spark = retained.sparkSession
+    import spark.implicits._
+    val cand = synchronized {
+      val out = new scala.collection.mutable.ArrayBuffer[String](summary.size)
+      summary.forEach((key, _) => out += key)
+      out.toSeq
+    }
+    HeavyHitters.recountCandidates(retained, retainedItemCol, phi,
+      cand.toDF("__cand"), "__cand")
+  }
+
+  /** [[exactHeavyHitters]] with the retained corpus carrying this
+    * maintenance's own `itemCol`. */
+  def exactHeavyHitters(retained: DataFrame, phi: Double): DataFrame =
+    exactHeavyHitters(retained, phi, itemCol)
+
   /** Apply one micro-batch (session-scoped replay skip on `batchId`; pass
     * increasing ids, e.g. the foreachBatch id). Omitting `batchId` applies
     * the batch UNCONDITIONALLY and leaves the replay cursor untouched, so

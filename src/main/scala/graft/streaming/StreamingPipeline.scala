@@ -542,6 +542,22 @@ object StreamingPipeline {
       }
   }
 
+  /** EXACT per-group heavy hitters from accumulated
+    * [[streamingGroupedHeavyHitters]] emissions — the one-call verify hook
+    * for the grouped streaming path: `updates` is the collected sink
+    * output (any set of triggers that includes each group's latest —
+    * accumulated update-mode emissions qualify, being a certified superset
+    * by the anytime bound), `retained` the corpus those triggers observed.
+    * Delegates to [[graft.pipeline.HeavyHitters.recountGroupedCandidates]]
+    * with the emission schema's `key`/`item` columns; the result equals
+    * `HeavyHitters.frequentItemsByGroup(retained, …)` exactly. */
+  def exactGroupedHeavyHitters(retained: DataFrame, groupCol: String,
+                               itemCol: String, phi: Double,
+                               updates: DataFrame): DataFrame =
+    graft.pipeline.HeavyHitters.recountGroupedCandidates(
+      retained, groupCol, itemCol, phi, updates,
+      candGroupCol = "key", candItemCol = "item")
+
   /** Interval string → microseconds, via the same catalyst parser Spark
     * applies to `withWatermark` delays. Calendar units are flattened the
     * way streaming state management does (a month as 31 days), which only

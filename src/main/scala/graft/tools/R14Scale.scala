@@ -1,0 +1,223 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale evidence for the round-14 work (appended to SCALE.md):
+  *
+  *  - UT1-scale URL blocklist: `withUrlFilterSignals` with a ≥1M-domain
+  *    blocklist DATAFRAME (the r13 `weak`: an `isin` literal of that size
+  *    is a multi-million-node expression tree serialized into every task;
+  *    the overload is one broadcast hash relation). Reports wall, shuffle
+  *    volume, the physical-plan SIZE (bounded — the literal path's plan
+  *    grows with the list), and verifies the blocked count arithmetically.
+  *  - `dedupByUrl` decade (the C4 front door — first operator run on any
+  *    real crawl): 10× rows at ~3 copies per normalized url; wall should
+  *    track the data ratio (normalize is row-local; the grouped top-k cut
+  *    shuffles survivors).
+  *  - Hard-negative mining with an ANN first stage at refresh scale:
+  *    FLAT exact vs IVF candidate fetch on a 1M-vector corpus — per-query
+  *    cost drop and the negative-set overlap vs the FLAT-mined truth
+  *    (approximation only costs candidate-pool recall: the exact re-score
+  *    keeps every surviving candidate exactly ranked).
+  *  - Audio fingerprint micro-decade: clips/second of `audioFingerprint64`
+  *    after the multiplyHigh rewrite (allocation-free bit compare).
+  *
+  * Run: SPARK_DRIVER_MEM=24g sbt -batch "runMain graft.tools.R14Scale [mode]"
+  * mode: all|urlblock|urldedup|negmine|audio
+  */
+object R14Scale {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val mode = args.headOption.getOrElse("all")
+    var rep = 0
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+    def measured[T](label: String)(f: => T): T = {
+      Thread.sleep(500)
+      val b0 = shuffleBytes.get()
+      val t0 = System.nanoTime()
+      val out = f
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      val mb = (shuffleBytes.get() - b0) / 1e6
+      println(f"[r14-scale] $label%-46s wall=$wall%8.2f s shuffle_write=$mb%10.2f MB")
+      out
+    }
+
+    // ---- UT1-scale blocklist through the DataFrame overload -------------
+    // 4M urls over 200k registered domains, 5% of domains blocked; the
+    // blocklist carries those 10k real hits padded to 1.2M entries with
+    // never-matching junk — the UT1 shape (a huge curated list, small hit
+    // rate). Blocked rows are arithmetic in the fixture: site%20==3.
+    def urlBlockArm(): Unit = {
+      val nUrls = 4000000L
+      val nDomains = 200000L
+      val nBlockPad = 1200000L
+      val urls = spark.range(nUrls)
+        .select(col("id"), concat(lit("https://www.d"), (col("id") % nDomains),
+          lit(".com/p"), col("id"), lit("?x=1")).as("url"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      urls.count()
+      val blocklist = spark.range(nBlockPad)
+        .select(when(col("id") % 20 === 3, concat(lit("d"), col("id"), lit(".com")))
+          .otherwise(concat(lit("junk"), col("id"), lit(".net"))).as("dom"))
+      // ids ≥ nDomains never match, so real hits = domains with id%20==3
+      // and id < nDomains → urls blocked where (id % nDomains) % 20 == 3
+      val expectBlocked = (0L until nDomains).count(d => d % 20 == 3) *
+        (nUrls / nDomains)
+      val out = graft.pipeline.UrlOps.withUrlFilterSignals(urls, "url",
+        blocklist = blocklist, blocklistCol = "dom",
+        wordWeights = Map("casino" -> 2.0), maxWordScore = 1.0)
+      val planChars = org.apache.spark.sql.GraftBridge
+        .analyzedPlan(out).toString.length
+      val blocked = measured(s"url_filter_df urls=$nUrls blocklist=$nBlockPad") {
+        out.agg(sum(when(col("url_blocked"), 1L).otherwise(0L))).head().getLong(0)
+      }
+      println(s"[r14-scale]   blocked=$blocked expect=$expectBlocked " +
+        s"match=${blocked == expectBlocked} plan_chars=$planChars (bounded — " +
+        "an isin literal at this size is ~25 MB of expression tree)")
+      urls.unpersist()
+    }
+
+    // ---- dedupByUrl decade ----------------------------------------------
+    // each normalized url appears ~3x under different messiness (tracking
+    // param, uppercase host, fragment) — survivors = n/3, keep-oldest
+    def urlDedupArm(nBase: Int): Unit = {
+      def urlsOf(n: Long) = spark.range(n).select(col("id"),
+        concat(lit("https://"),
+          when(col("id") % 3 === 1, lit("WWW.")).otherwise(lit("www.")),
+          lit("d"), (col("id") % (n / 3)), lit(".com/page"),
+          when(col("id") % 3 === 0, lit("?utm_source=x"))
+            .when(col("id") % 3 === 2, lit("#frag")).otherwise(lit("")))
+          .as("url"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      for (n <- Seq(nBase.toLong, nBase * 10L)) {
+        val u = urlsOf(n); u.count()
+        val survivors = measured(s"dedup_by_url n=$n") {
+          graft.pipeline.UrlOps.dedupByUrl(u, "url", "id").count()
+        }
+        println(s"[r14-scale]   n=$n survivors=$survivors (expect ${n / 3}, " +
+          s"match=${survivors == n / 3})")
+        u.unpersist()
+      }
+    }
+
+    // ---- hard-negative mining: ANN first stage at refresh scale ----------
+    // CLUSTERED 1M-vector corpus (the retrieval-corpus shape — smooth
+    // uniform fixtures make every staged filter read as broken; r11
+    // lesson): 10k clusters × 100 docs, d=64. Queries are fresh noise draws
+    // around distinct centroids; the positive is each query's own cluster
+    // seed. FLAT exact fetch vs IVF(nlist≈√n) candidate fetch, nprobe 8/16:
+    // per-query wall and the overlap of the mined negative sets (the ANN
+    // stage only gates CANDIDATE recall — survivors re-score exactly).
+    def negMineArm(): Unit = {
+      val d = 64
+      val nClusters = 10000
+      val perCluster = 100
+      val n = nClusters * perCluster
+      val mkVec = udf { (id: Long) =>
+        val c = (id % nClusters).toInt
+        val rc = new scala.util.Random(c * 9176L + 31)
+        val rd = new scala.util.Random(id * 2654435761L + 13)
+        Array.tabulate(d)(_ => (rc.nextGaussian() + 0.4 * rd.nextGaussian()).toFloat)
+      }
+      val base = spark.range(n).select(col("id"), mkVec(col("id")).as("vec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      base.count()
+      val tmp = java.nio.file.Files.createTempDirectory("graft_r14_negmine").toString
+      val nPairs = 5000
+      // query qi sits near cluster (qi*2)%nClusters; its labeled positive
+      // is that cluster's id-qi-congruent member (vector id = cluster index
+      // mod-class representative: id % nClusters == cluster, take the
+      // smallest such id ≥ 0 → id = cluster)
+      val pairs = spark.range(nPairs)
+        .select(col("id").as("qid"),
+          mkVec((col("id") * 2) % nClusters + lit(n.toLong * 7)).as("qvec"),
+          ((col("id") * 2) % nClusters).as("pos_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pairs.count()
+      // mkVec(id) clusters on id % nClusters, so id = c + 7n*... wait: the
+      // qvec seed id above is ≡ (qi*2) mod nClusters when n % nClusters == 0
+      // (n = nClusters*perCluster → 7n ≡ 0) — same cluster, fresh noise.
+      def mineWith(idxKind: String, params: Map[String, String],
+                   searchParam: Int, label: String): Map[Long, Set[Long]] = {
+        rep += 1
+        val idx = graft.index.AnnIndexManager.create(spark, s"r14_nm_$rep",
+          base, "id", "vec", idxKind, params, s"$tmp/i$rep")
+        idx.persist()
+        val got = measured(label) {
+          graft.pipeline.NegativeMining.mineHardNegatives(idx, pairs,
+            "qid", "qvec", "pos_id", base, "id", "vec", k = 8,
+            overfetch = 2, searchParam = searchParam).collect()
+        }
+        idx.unpersist()
+        got.groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(_.getLong(1)).toSet }
+      }
+      val flat = mineWith("FLAT", Map("metric" -> "l2"), -1,
+        s"mine_negatives FLAT pairs=$nPairs corpus=$n")
+      val nlist = math.max(64, math.sqrt(n.toDouble).toInt)
+      for (nprobe <- Seq(8, 16)) {
+        val ivf = mineWith("IVF",
+          Map("metric" -> "l2", "nlist" -> nlist.toString), nprobe,
+          s"mine_negatives IVF nlist=$nlist nprobe=$nprobe pairs=$nPairs")
+        val overlap = flat.keys.map { q =>
+          val f = flat(q); val i = ivf.getOrElse(q, Set.empty)
+          if (f.isEmpty) 1.0 else f.intersect(i).size.toDouble / f.size
+        }.sum / flat.size
+        println(f"[r14-scale]   IVF nprobe=$nprobe negative-overlap vs FLAT = $overlap%.3f")
+      }
+      pairs.unpersist(); base.unpersist()
+    }
+
+    // ---- audio fingerprint micro-decade ----------------------------------
+    // full WAV round-trip (encode → container parse → fingerprint) on 1s
+    // 8kHz clips, 10× clip counts — the multiplyHigh rewrite's law check
+    def audioArm(): Unit = {
+      val sr = 8000
+      val mkWav = udf { (id: Long) =>
+        val r = new scala.util.Random(id * 6364136223846793005L + 23)
+        val samples = Array.tabulate(sr) { t =>
+          (math.sin(2 * math.Pi * (200 + (id % 40) * 10) * t / sr) * 12000 +
+            r.nextGaussian() * 800).toShort
+        }
+        graft.pipeline.MediaCodecs.encodeWavPcm16(
+          graft.pipeline.MediaCodecs.AudioData(sr, 1, samples))
+      }
+      for (n <- Seq(20000L, 200000L)) {
+        val clips = spark.range(n)
+          .select(col("id"), mkWav(col("id")).as("payload"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        clips.count()
+        def pass() = graft.pipeline.Multimodal.withAudioFingerprints(clips)
+          .agg(count(col("afp64"))).head()
+        pass() // untimed warmup: JIT/codegen must not land in the small decade
+        measured(s"audio_fingerprint64 n=$n")(pass())
+        clips.unpersist()
+      }
+    }
+
+    println(s"[r14-scale] mode=$mode cpus=$cpus")
+    if (mode == "all" || mode == "urlblock") urlBlockArm()
+    if (mode == "all" || mode == "urldedup") urlDedupArm(2000000)
+    if (mode == "all" || mode == "negmine") negMineArm()
+    if (mode == "all" || mode == "audio") audioArm()
+    spark.stop()
+  }
+}

@@ -334,6 +334,49 @@ class PerceptualHashSpec extends graft.SparkSpec {
     audioFingerprint64(AudioData(8000, 2, Array.empty[Short]))
   }
 
+  test("audio fingerprint survives gain/resample/pad perturbations where a raw sample hash breaks") {
+    import MediaCodecs.{AudioData, audioFingerprint64}
+    // structured fixture: 65 windows × 400 frames with well-separated
+    // per-window amplitude levels (what real audio looks like at
+    // fingerprint granularity — a white-noise fixture would make every
+    // window's mean energy ~equal and the comparisons noise-dominated,
+    // the same concentration-of-measure trap as smooth ANN fixtures)
+    val nFrames = 65 * 400
+    val levels = Array.tabulate(65)(w => 300 + ((w * 97 + 13) % 64) * 120)
+    def mkSamples(n: Int): Array[Short] = Array.tabulate(n) { t =>
+      val w = math.min(64, t * 65 / n)
+      val r = new scala.util.Random(t * 31L + 7)
+      (levels(w) * (if (t % 2 == 0) 1 else -1) + r.nextInt(21) - 10).toShort
+    }
+    val samples = mkSamples(nFrames)
+    val base = audioFingerprint64(AudioData(16000, 1, samples))
+    def rawHash64(s: Array[Short]): Long = {
+      val bb = java.nio.ByteBuffer.allocate(s.length * 2)
+      s.foreach(bb.putShort)
+      java.nio.ByteBuffer.wrap(
+        java.security.MessageDigest.getInstance("MD5").digest(bb.array())).getLong
+    }
+    val rawBase = rawHash64(samples)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // gain x2 (no clipping at these levels): EXACT invariance
+    val gained = samples.map(s => (s * 2).toShort)
+    assert(audioFingerprint64(AudioData(16000, 1, gained)) == base)
+    assert(ham(rawHash64(gained), rawBase) >= 16, "raw hash should shatter")
+    // resample 2:1 (drop every other sample): windows keep their TIME span
+    // and their mean energy, so the delta bits stay inside the near-dup
+    // band (driver queries pair at maxHamming=3)
+    val decimated = Array.tabulate(nFrames / 2)(i => samples(i * 2))
+    val hDec = ham(audioFingerprint64(AudioData(8000, 1, decimated)), base)
+    assert(hDec <= 3, s"resample moved $hDec bits")
+    assert(ham(rawHash64(decimated), rawBase) >= 16)
+    // short pad (40 near-silent trailing frames, 10% of one window):
+    // boundaries shift by <=40 frames, window means barely move
+    val padded = samples ++ Array.fill(40)(0.toShort)
+    val hPad = ham(audioFingerprint64(AudioData(16000, 1, padded)), base)
+    assert(hPad <= 3, s"pad moved $hPad bits")
+    assert(ham(rawHash64(padded), rawBase) >= 16)
+  }
+
   test("withAudioFingerprints + hammingNearDups: grouped identical clips pair; non-audio null") {
     import spark.implicits._
     import MediaCodecs.{AudioData, encodeWavPcm16}

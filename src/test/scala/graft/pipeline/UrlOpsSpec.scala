@@ -84,6 +84,86 @@ class UrlOpsSpec extends SparkSpec {
       .select(UrlOps.registeredDomain(col("h"))).head().isNullAt(0))
   }
 
+  test("SuffixRules.parse reads the PSL file format; matcher covers wildcard/exception/longest") {
+    val rules = UrlOps.SuffixRules.parse(Seq(
+      "// comment line", "", "  ", "com.PL  trailing junk", "co.uk",
+      "*.ck", "!www.ck", "*.kawasaki.jp", "!city.kawasaki.jp",
+      "blogspot.com", "*").iterator)
+    assert(rules.plain == Set("com.pl", "co.uk", "blogspot.com"))
+    assert(rules.wildcard == Set("ck", "kawasaki.jp"))
+    assert(rules.exception == Set("www.ck", "city.kawasaki.jp"))
+    val cases = Seq(
+      "www.example.com.pl" -> "example.com.pl", // PSL-only registry suffix
+      "com.pl" -> "com.pl", // bare suffix: no registrant
+      "a.b.site.foo.ck" -> "site.foo.ck", // *.ck wildcard
+      "sub.www.ck" -> "www.ck", // !www.ck exception prevails over *.ck
+      "www.ck" -> "www.ck",
+      "deep.sub.x.kawasaki.jp" -> "sub.x.kawasaki.jp", // higher-order wildcard
+      "a.city.kawasaki.jp" -> "city.kawasaki.jp", // exception under it
+      "me.blogspot.com" -> "me.blogspot.com", // private registry
+      "x.y.site.example" -> "site.example", // implicit default rule
+      "192.168.0.1" -> "192.168.0.1",
+      "localhost" -> "localhost")
+    cases.foreach { case (host, want) =>
+      val got = rules.registeredDomainOf(host)
+      assert(got == want, s"$host → $got (want $want)")
+    }
+    assert(rules.registeredDomainOf(null) == null)
+  }
+
+  test("the constant default set gets a PSL-only suffix WRONG; the rules path gets it right") {
+    import spark.implicits._
+    // com.pl is a registry suffix the bounded literal set does not carry:
+    // the default path keys the whole Polish commercial registry as one
+    // "domain" — exactly the silent site-merging the PSL path exists for
+    val df = Seq("shop.example.com.pl", "other.site.com.pl").toDF("h")
+    val wrong = df.select(UrlOps.registeredDomain(col("h")))
+      .collect().map(_.getString(0)).toSet
+    assert(wrong == Set("com.pl"))
+    val right = df.select(UrlOps.registeredDomain(col("h"),
+        UrlOps.SuffixRules.bundledSample))
+      .collect().map(_.getString(0)).toSet
+    assert(right == Set("example.com.pl", "site.com.pl"))
+  }
+
+  test("bundled-sample rules agree with the default Column path on constant-set hosts") {
+    import spark.implicits._
+    val hosts = Seq("www.example.com", "a.b.c.example.com", "news.bbc.co.uk",
+      "bbc.co.uk", "co.uk", "shop.example.com.au", "192.168.0.1",
+      "localhost", "x.co.jp", "sub.site.com.tw")
+    val df = hosts.toDF("h")
+    val viaColumn = df.select(UrlOps.registeredDomain(col("h")))
+      .collect().map(_.getString(0)).toSeq
+    val viaRules = df.select(UrlOps.registeredDomain(col("h"),
+        UrlOps.SuffixRules.bundledSample))
+      .collect().map(_.getString(0)).toSeq
+    assert(viaColumn == viaRules, s"$viaColumn vs $viaRules")
+  }
+
+  test("blocklist-DataFrame overload produces the same signals as the literal-set overload") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "https://news.blocked.com/a?x=1"),
+      (2L, "https://ok.example.org/casino/page"),
+      (3L, "https://Sub.Blocked.COM:443/b"),
+      (4L, "not a url"),
+      (5L, "https://also.bad.co.uk/z")).toDF("id", "url")
+    val viaSet = UrlOps.withUrlFilterSignals(rows, "url",
+      blockedDomains = Set("blocked.com", "bad.co.uk"),
+      wordWeights = Map("casino" -> 2.0), maxWordScore = 1.0)
+    val bl = Seq(" Blocked.com", "bad.CO.UK ", "", "unmatched.net")
+      .toDF("dom")
+    val viaDf = UrlOps.withUrlFilterSignals(rows, "url",
+      blocklist = bl, blocklistCol = "dom",
+      wordWeights = Map("casino" -> 2.0), maxWordScore = 1.0)
+    val a = viaSet.orderBy("id").collect().map(_.toSeq).toSeq
+    val b = viaDf.select(viaSet.columns.map(col).toIndexedSeq: _*)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a == b, s"$a vs $b")
+    assert(a.map(r => r.head -> r(2)).toMap ==
+      Map(1L -> true, 2L -> false, 3L -> true, 4L -> false, 5L -> true))
+  }
+
   test("urlHost routes through userinfo/port; non-URLs are null") {
     import spark.implicits._
     val got = Seq("https://u@WWW.Site.COM:8443/a?x#f").toDF("u")

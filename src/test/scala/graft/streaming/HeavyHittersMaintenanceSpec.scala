@@ -42,6 +42,28 @@ class HeavyHittersMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("exactHeavyHitters(retained) equals the batch operator — one-call verify hook") {
+    import spark.implicits._
+    val batches = (1 to 5).map(s => zipfy(2500, s * 7 + 1))
+    val all = batches.flatten
+    val m = new HeavyHittersMaintenance(k = 40)
+    batches.zipWithIndex.foreach { case (b, i) => m.append(b.toDF("item"), i.toLong) }
+    val phi = 0.03 // certifiable: > 1/41
+    val retained = all.toDF("item")
+    val got = m.exactHeavyHitters(retained, phi)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = graft.pipeline.HeavyHitters.frequentItems(retained, "item", phi)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"recounted $got vs batch $want")
+    assert(got.nonEmpty)
+    // a differently-named retained column recounts through the overload
+    val got2 = m.exactHeavyHitters(all.toDF("tok"), phi, "tok")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2 == want)
+    // below the certificate the hook must refuse, not silently under-report
+    intercept[IllegalArgumentException] { m.exactHeavyHitters(retained, 0.01) }
+  }
+
   test("replayed batch ids are skipped (session-scoped exactly-once)") {
     import spark.implicits._
     val m = new HeavyHittersMaintenance(k = 10)

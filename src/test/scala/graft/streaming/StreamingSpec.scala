@@ -190,6 +190,11 @@ class StreamingSpec extends SparkSpec {
       assert(recounted == batchExact,
         s"streamed+recounted ${recounted.size} vs batch ${batchExact.size}")
       assert(recounted.nonEmpty)
+      // the one-call wrapper (emission schema pre-wired) gives the same map
+      val oneCall = graft.streaming.StreamingPipeline.exactGroupedHeavyHitters(
+          retained, "grp", "item", phi, spark.table("stream_hh_recount"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(oneCall == batchExact)
     } finally q.stop()
   }
 
