@@ -367,6 +367,103 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming URL dedup replay equals batch dedupByUrl when arrival order is the orderCol") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 480 docs over 120 pages, each page fetched 4x under different mess
+    // (utm param / host case / fragment / port), one fetch per trigger —
+    // ids increase with trigger, so streamed "first arrival" and batch
+    // "min doc_id" MUST pick the same survivors
+    def mess(id: Long): String = {
+      val page = id % 120
+      (id / 120) % 4 match {
+        case 0 => s"https://www.d$page.com/p?utm_source=x"
+        case 1 => s"https://WWW.D$page.com/p"
+        case 2 => s"https://www.d$page.com/p#frag"
+        case _ => s"https://www.d$page.com:443/p"
+      }
+    }
+    val rows = (0L until 480L).map(i => (java.sql.Timestamp.valueOf(
+      f"2026-01-01 ${10 + i / 120}%02d:00:00"), i, mess(i)))
+    val ms = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val out = StreamingPipeline.streamingUrlDedup(
+      ms.toDF().toDF("ts", "doc_id", "url"), "ts", "url",
+      watermarkDelay = "24 hours")
+    val q = out.writeStream.format("memory").queryName("url_dedup_replay")
+      .outputMode("append").start()
+    try {
+      rows.grouped(120).foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table("url_dedup_replay")
+        .select("doc_id").as[Long].collect().toSet
+      val batch = graft.pipeline.UrlOps.dedupByUrl(
+          rows.toDF("ts", "doc_id", "url"), "url", "doc_id")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+      assert(streamed == (0L until 120L).toSet) // first fetch of each page
+      // arrival-order semantics: under a SHUFFLED feed the representatives
+      // may differ, but the normalized-url KEY SET must still equal the
+      // batch operator's — one survivor per page either way
+      val ms2 = MemoryStream[(java.sql.Timestamp, Long, String)]
+      val out2 = StreamingPipeline.streamingUrlDedup(
+        ms2.toDF().toDF("ts", "doc_id", "url"), "ts", "url",
+        watermarkDelay = "24 hours")
+      val q2 = out2.writeStream.format("memory").queryName("url_dedup_shuffled")
+        .outputMode("append").start()
+      try {
+        val shuffled = new scala.util.Random(7).shuffle(rows)
+        shuffled.grouped(160).foreach { b => ms2.addData(b: _*); q2.processAllAvailable() }
+        val keyStrs = spark.table("url_dedup_shuffled")
+          .select(graft.pipeline.UrlOps.normalizeUrl(col("url")))
+          .as[String].collect().toSet
+        val batchKeys = graft.pipeline.UrlOps.dedupByUrl(
+            rows.toDF("ts", "doc_id", "url"), "url", "doc_id")
+          .select(graft.pipeline.UrlOps.normalizeUrl(col("url")))
+          .as[String].collect().toSet
+        assert(keyStrs == batchKeys)
+        assert(spark.table("url_dedup_shuffled").count() == 120L)
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
+  test("streaming domain cap replay equals batch capPerDomain; saturation holds across triggers") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 40 domains × one url per trigger over 6 triggers, ids increase with
+    // trigger → streamed first-cap-arrivals == batch min-id cut exactly
+    val rows = (0L until 240L).map { i =>
+      (i, s"https://sub${i}.site${i % 40}.com/p$i")
+    }
+    val cap = 3
+    val ms = MemoryStream[(Long, String)]
+    val out = StreamingPipeline.streamingDomainCap(
+      ms.toDF().toDF("doc_id", "url"), "url", cap = cap, maxIdle = None)
+    val q = out.writeStream.format("memory").queryName("dom_cap_replay")
+      .outputMode("append").start()
+    try {
+      rows.grouped(40).foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table("dom_cap_replay")
+        .select("doc_id").as[Long].collect().toSet
+      val batch = graft.pipeline.UrlOps.capPerDomain(
+          rows.toDF("doc_id", "url"), "url", cap = cap, orderCol = "doc_id")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      assert(streamed == (0L until 120L).toSet) // first 3 triggers' rows
+      // saturation: a flood of one domain in a LATER trigger cannot re-open
+      // its budget, and a fresh domain still gets exactly `cap`
+      ms.addData((1000L to 1019L).map(i => (i, s"https://x$i.site0.com/p")) :+
+        ((2000L, "https://a.newdom.com/1")) :+ ((2001L, "https://b.newdom.com/2")) :+
+        ((2002L, "https://c.newdom.com/3")) :+ ((2003L, "https://d.newdom.com/4")): _*)
+      q.processAllAvailable()
+      val after = spark.table("dom_cap_replay")
+        .select("doc_id").as[Long].collect().toSet
+      assert(after.intersect((1000L to 1019L).toSet).isEmpty,
+        "saturated domain re-opened")
+      assert(after.count(_ >= 2000L) == cap, "fresh domain must pass exactly cap")
+    } finally q.stop()
+  }
+
   test("running corpus stats: flatMapGroupsWithState accumulates across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
