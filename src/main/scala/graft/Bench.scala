@@ -464,7 +464,12 @@ object Bench {
                      "text_repetition_rules", "multimodal_phash_pairs",
                      // r13 additions, after everything older (same rule)
                      "multimodal_phash_dct_pairs", "url_domain_cap",
-                     "mine_negatives", "multimodal_audio_pairs")) {
+                     "mine_negatives", "multimodal_audio_pairs",
+                     // r14 additions, after everything older (same rule):
+                     // the remaining URL web-pipeline tier — url_dedup is
+                     // the C4 front door (normalize + k=1 heap cut at
+                     // corpus volume)
+                     "url_normalize", "url_dedup", "url_filter")) {
       time(name) { noop(q(name)(spark, sfDir)) }
     }
 

@@ -42,8 +42,12 @@ object NegativeMining {
     * `(queryIdCol, baseIdCol, rank)` — the k nearest surviving candidates
     * per query, rank 1-based by (exact distance, id).
     *
-    *   - `overfetch`: candidates fetched = k·overfetch + 1 (the +1 covers
-    *     a positive appearing among them).
+    *   - `overfetch`: candidates fetched = k·overfetch + (max labeled
+    *     positives on any query) — the reserve covers EVERY positive of a
+    *     query landing among its top candidates, so a multi-positive query
+    *     can still yield k·overfetch usable candidates. The max is one
+    *     cheap pair-volume aggregate; pass `maxPositives` to skip it when
+    *     the bound is known (an ANCE refresh knows its pair shape).
     *   - `denoiseMargin`: when > 0, drop candidates the model ranks
     *     CLOSER than margin × the nearest positive — such candidates are
     *     more likely unlabeled positives than useful negatives (RocketQA
@@ -64,7 +68,8 @@ object NegativeMining {
                         base: DataFrame, baseIdCol: String, vecCol: String,
                         k: Int, overfetch: Int = 3,
                         denoiseMargin: Double = 0.0,
-                        searchParam: Int = -1): DataFrame = {
+                        searchParam: Int = -1,
+                        maxPositives: Int = -1): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
     require(overfetch >= 1, s"overfetch=$overfetch must be >= 1")
     require(denoiseMargin >= 0.0, s"denoiseMargin=$denoiseMargin must be >= 0")
@@ -76,9 +81,22 @@ object NegativeMining {
     // "id" (same hazard as Matryoshka.searchRerankTable)
     val p2 = pairs.select(col(queryIdCol).as("__nqid"),
       col(queryVecCol).as("__nqvec"), col(positiveIdCol).as("__npos"))
+    // fetch reserve: room for EVERY labeled positive of the worst query to
+    // appear among its candidates (the old +1 covered exactly one — a
+    // query with p positives in the top candidates silently thinned its
+    // negative yield). One pair-volume agg when the caller didn't pass
+    // the bound; 0 positives (all-null) still reserves 1 for safety.
+    val posReserve =
+      if (maxPositives >= 0) maxPositives
+      else {
+        val m = p2.filter(col("__npos").isNotNull)
+          .groupBy("__nqid").agg(count(lit(1)).as("__np"))
+          .agg(coalesce(max("__np"), lit(0L))).head().getLong(0)
+        math.max(1L, m).toInt
+      }
     // ONE fetch per distinct query — multi-positive pairs share it
     val q2 = p2.select("__nqid", "__nqvec").dropDuplicates("__nqid")
-    val cands = AnnSearch.searchTable(idx, q2, k * overfetch + 1,
+    val cands = AnnSearch.searchTable(idx, q2, k * overfetch + posReserve,
         nprobe = searchParam, queryVecCol = Some("__nqvec"),
         queryIdCol = Some("__nqid"))
       .select(col("__nqid"), col("__nqvec"), col("id").as(baseIdCol))

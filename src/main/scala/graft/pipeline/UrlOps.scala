@@ -18,52 +18,38 @@ import org.apache.spark.sql.functions._
   */
 object UrlOps {
 
-  /** Query parameters dropped by [[normalizeUrl]] — click-tracking noise
-    * that makes otherwise-identical URLs distinct (the dominant source of
-    * false-unique URLs in web crawls). */
-  private val TrackingParams =
-    "utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref_src|s_kwcid"
-
   /** Canonical URL form (the C4/CCNet-style key for URL-level dedup):
     *
     *   - scheme and host lowercase; userinfo (`user:pass@`) dropped
     *   - default ports stripped (`:80` for http, `:443` for https; other
     *     ports kept)
     *   - fragment (`#…`) dropped
-    *   - tracking query params dropped ([[TrackingParams]]); param order
-    *     otherwise preserved; an emptied query loses its `?`
+    *   - tracking query params dropped (`utm_[A-Za-z0-9_]*`, fbclid,
+    *     gclid, msclkid, mc_eid, igshid, ref_src, s_kwcid — click-tracking
+    *     noise, the dominant source of false-unique URLs in crawls;
+    *     param-NAME match case-insensitive, valueless params count);
+    *     param order otherwise preserved; an emptied query loses its `?`
     *   - trailing slashes stripped from the path (root `/` becomes empty,
     *     so `https://h/` and `https://h` collide — the point)
     *
-    * Inputs without a `scheme://` are not URLs → null. Null-safe. */
-  def normalizeUrl(url: Column): Column = {
-    val u = regexp_replace(trim(url), "#.*$", "") // fragment off first
-    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1))
-    val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.\\-]*://", "")
-    val authority = regexp_extract(rest, "^([^/?]*)", 1)
-    val hostPort = regexp_replace(authority, "^[^@]*@", "") // drop userinfo
-    val host = lower(regexp_replace(hostPort, ":\\d+$", ""))
-    val port = regexp_extract(hostPort, ":(\\d+)$", 1)
-    val portOut = when(port === "", lit(""))
-      .when(scheme === "http" && port === "80", lit(""))
-      .when(scheme === "https" && port === "443", lit(""))
-      .otherwise(concat(lit(":"), port))
-    val pathQuery = regexp_replace(rest, "^[^/?]*", "")
-    val path = regexp_replace(regexp_extract(pathQuery, "^([^?]*)", 1), "/+$", "")
-    val query = regexp_extract(pathQuery, "\\?(.*)$", 1)
-    // param-NAME match is case-insensitive ((?i) covers only the name —
-    // values keep their case) and valueless params count ("?utm_source"
-    // and "?UTM_SOURCE=x" are the same click-tracking noise as
-    // "?utm_source=x")
-    val keptQuery = array_join(
-      filter(split(query, "&"),
-        p => !p.rlike(s"(?i)^($TrackingParams)(=|$$)") && p =!= ""),
-      "&")
-    val queryOut = when(keptQuery === "", lit(""))
-      .otherwise(concat(lit("?"), keptQuery))
-    when(url.isNull || scheme === "" || host === "", lit(null).cast("string"))
-      .otherwise(concat(scheme, lit("://"), host, portOut, path, queryOut))
-  }
+    * Inputs without a `scheme://` are not URLs → null. Null-safe.
+    *
+    * Implementation: a single-pass parse kernel
+    * ([[graft.functions.UrlKernels.normalize]]) behind a `StaticInvoke` —
+    * codegen'd, null-propagating, row-local. The original ~12-regexp
+    * Column stack had the same semantics (the kernel is spec- and
+    * oracle-pinned against it) but was the dominant per-row cost at crawl
+    * volume and inflated the generated CASE tree past the whole-stage
+    * compiler's limits. */
+  def normalizeUrl(url: Column): Column = staticInvoke("normalize", url)
+
+  private def staticInvoke(fn: String, url: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        graft.functions.UrlKernels.getClass,
+        org.apache.spark.sql.types.StringType, fn,
+        Seq(org.apache.spark.sql.GraftBridge.expression(url)),
+        inputTypes = Seq(org.apache.spark.sql.types.StringType)))
 
   /** Public-suffix rule set with the publicsuffix.org matching semantics:
     * `plain` entries are suffixes as written, `wildcard` holds the parent
@@ -176,16 +162,9 @@ object UrlOps {
     "com.hk", "com.tw")
 
   /** Lowercased host of a URL (userinfo and port dropped); null when the
-    * input has no `scheme://host`. */
-  def urlHost(url: Column): Column = {
-    val u = regexp_replace(trim(url), "#.*$", "")
-    val scheme = regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1)
-    val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.\\-]*://", "")
-    val hostPort = regexp_replace(regexp_extract(rest, "^([^/?]*)", 1), "^[^@]*@", "")
-    val host = lower(regexp_replace(hostPort, ":\\d+$", ""))
-    when(url.isNull || scheme === "" || host === "", lit(null).cast("string"))
-      .otherwise(host)
-  }
+    * input has no `scheme://host`. Same single-pass kernel as
+    * [[normalizeUrl]]. */
+  def urlHost(url: Column): Column = staticInvoke("host", url)
 
   /** Registered domain (site key for per-domain caps and URL-level stats):
     * the last two host labels, or the last THREE when the two-label tail

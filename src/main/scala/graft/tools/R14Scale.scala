@@ -177,7 +177,9 @@ object R14Scale {
         val ivf = mineWith("IVF",
           Map("metric" -> "l2", "nlist" -> nlist.toString), nprobe,
           s"mine_negatives IVF nlist=$nlist nprobe=$nprobe pairs=$nPairs")
-        val overlap = flat.keys.map { q =>
+        // keys is a SET — per-query overlaps must map through a Seq or
+        // identical values collapse before the mean
+        val overlap = flat.keys.toSeq.map { q =>
           val f = flat(q); val i = ivf.getOrElse(q, Set.empty)
           if (f.isEmpty) 1.0 else f.intersect(i).size.toDouble / f.size
         }.sum / flat.size

@@ -121,14 +121,75 @@ class NegativeMiningSpec extends SparkSpec {
         "pos_id", base, "id", "embedding", k = 5, overfetch = 4)
       .collect()
     val ids = got.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq
-    // brute: fetch once, drop BOTH positives, take 5
+    // brute: fetch once (reserve = 2, one per labeled positive), drop BOTH
+    // positives, take 5
     val cands = vecs.map { case (id, v) => (id, dist(q, v)) }
-      .sortBy { case (id, d) => (d, id) }.take(5 * 4 + 1)
+      .sortBy { case (id, d) => (d, id) }.take(5 * 4 + 2)
     val want = cands.filter(c => c._1 != 10L && c._1 != 20L).take(5).map(_._1)
     assert(ids == want)
     // no duplicate (qid, doc) rows; ranks contiguous
     assert(got.map(_.getLong(1)).distinct.length == got.length)
     assert(got.map(_.getLong(2)).sorted.toSeq == (1L to got.length).toSeq)
+  }
+
+  test("multi-positive yield: the fetch reserves room for EVERY positive (the +1 bug)") {
+    import spark.implicits._
+    val base = vecs.toDF("id", "embedding")
+    // query 0's three nearest candidates are all labeled positives:
+    // k=2, overfetch=1 fetched k·overfetch+1 = 3 under the old reserve —
+    // all three positives, ZERO negatives. The widened reserve (+3) must
+    // still yield the full k=2.
+    val q = vecs(0)._2
+    val nearest3 = vecs.map { case (id, v) => (id, dist(q, v)) }
+      .sortBy { case (id, d) => (d, id) }.take(3).map(_._1)
+    val pairs = nearest3.map(p => (0L, q, p)).toDF("qid", "qvec", "pos_id")
+    val got = NegativeMining.mineHardNegatives(idx, pairs, "qid", "qvec",
+        "pos_id", base, "id", "embedding", k = 2, overfetch = 1)
+      .collect().sortBy(_.getLong(2)).map(_.getLong(1)).toSeq
+    val want = vecs.map { case (id, v) => (id, dist(q, v)) }
+      .sortBy { case (id, d) => (d, id) }.take(5)
+      .filterNot(c => nearest3.contains(c._1)).take(2).map(_._1)
+    assert(got == want && got.length == 2, s"got $got want $want")
+    // the explicit maxPositives hint (skips the pair agg) mines the same
+    val hinted = NegativeMining.mineHardNegatives(idx, pairs, "qid", "qvec",
+        "pos_id", base, "id", "embedding", k = 2, overfetch = 1,
+        maxPositives = 3)
+      .collect().sortBy(_.getLong(2)).map(_.getLong(1)).toSeq
+    assert(hinted == got)
+  }
+
+  test("ANN first stage: exhaustive-probe IVF mines exactly the FLAT negatives; partial probe overlaps") {
+    import spark.implicits._
+    val base = vecs.toDF("id", "embedding")
+    val ivf = graft.index.AnnIndexManager.create(spark, "negmine_ivf",
+      base, "id", "embedding", "IVF",
+      Map("metric" -> "l2", "nlist" -> "10"), s"$tmp/ivf")
+    try {
+      val pairs = Seq.tabulate(6)(i =>
+        (i.toLong, vecs(i * 13)._2, ((i * 13 + 40) % 300).toLong))
+        .toDF("qid", "qvec", "pos_id")
+      def mine(index: graft.index.AnnIndex, nprobe: Int) =
+        NegativeMining.mineHardNegatives(index, pairs, "qid", "qvec",
+            "pos_id", base, "id", "embedding", k = 4, overfetch = 3,
+            searchParam = nprobe)
+          .collect().groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq }
+      val flat = mine(idx, -1)
+      // nprobe = nlist probes every cell — the candidate pool is exact, so
+      // the mined negatives (exactly re-scored either way) must be EQUAL
+      assert(mine(ivf, 10) == flat)
+      // a partial probe only gates candidate recall — never correctness of
+      // surviving candidates; nlist matches the 10 planted clusters, so a
+      // 3-cell probe covers each query's neighborhood most of the time
+      val part = mine(ivf, 3)
+      // keys is a SET — map per-query overlaps through a Seq or identical
+      // values collapse and the mean is garbage
+      val overlap = flat.keys.toSeq.map { q =>
+        val f = flat(q).toSet
+        f.intersect(part.getOrElse(q, Nil).toSet).size.toDouble / f.size
+      }.sum / flat.size
+      assert(overlap >= 0.6, s"overlap=$overlap")
+    } finally graft.index.AnnIndexManager.drop("negmine_ivf")
   }
 
   test("a NULL positive id excludes nothing and skips denoising for that query") {
