@@ -44,6 +44,72 @@ object UrlKernels {
     if (s == null) null else UTF8String.fromString(s)
   }
 
+  /** Registered domain under the bounded DEFAULT multi-part-suffix set
+    * (the pure-codegen sibling of `UrlOps.SuffixRules` — last two host
+    * labels, or three when the two-label tail is a known multi-part
+    * suffix; IPv4 literals, single-label and bare-suffix hosts pass
+    * through). Exactly the original split/isin/rlike Column semantics,
+    * one scan. */
+  def registeredDomainDefault(h: UTF8String): UTF8String = {
+    if (h == null) return null
+    val host = h.toString
+    val out = registeredDomainDefaultJava(host)
+    if (out eq host) h else UTF8String.fromString(out)
+  }
+
+  /** The default two-label public suffixes (registered domain = three
+    * labels) — the bounded approximation the Column path always used;
+    * the full PSL goes through `UrlOps.SuffixRules`. */
+  private[graft] val DefaultMultiPartSuffixes: Set[String] = Set(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp",
+    "com.au", "net.au", "org.au", "edu.au",
+    "com.br", "net.br", "org.br",
+    "co.in", "net.in", "org.in",
+    "com.cn", "net.cn", "org.cn",
+    "co.nz", "com.mx", "com.tr", "co.za", "com.ar", "co.kr", "com.sg",
+    "com.hk", "com.tw")
+
+  private val DefaultSuffixSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](64)
+    DefaultMultiPartSuffixes.foreach(s.add)
+    s
+  }
+
+  private[graft] def registeredDomainDefaultJava(host: String): String = {
+    if (isIpv4(host)) return host
+    val d1 = host.lastIndexOf('.')
+    if (d1 < 0) return host // single label
+    val d2 = host.lastIndexOf('.', d1 - 1)
+    val last2 = host.substring(d2 + 1)
+    // three labels needed for the multi-part cut (a bare suffix has no
+    // registrant and passes through)
+    if (d2 >= 0 && DefaultSuffixSet.contains(last2)) {
+      val d3 = host.lastIndexOf('.', d2 - 1)
+      host.substring(d3 + 1)
+    } else last2
+  }
+
+  /** Exactly `^\d{1,3}(\.\d{1,3}){3}$`. */
+  private def isIpv4(s: String): Boolean = {
+    val n = s.length
+    var i = 0
+    var groups = 0
+    while (groups < 4) {
+      var d = 0
+      while (i < n && d < 3 && s.charAt(i) >= '0' && s.charAt(i) <= '9') {
+        i += 1; d += 1
+      }
+      if (d == 0) return false
+      groups += 1
+      if (groups < 4) {
+        if (i >= n || s.charAt(i) != '.') return false
+        i += 1
+      }
+    }
+    i == n
+  }
+
   /** Parse result: scheme and host lowercased, port as written ("" when
     * absent), pathQuery as written. */
   private final class Parsed(val scheme: String, val host: String,

@@ -145,22 +145,6 @@ object UrlOps {
     }
   }
 
-  /** Two-label public suffixes where the REGISTERED domain is three labels
-    * (`example.co.uk`, not `co.uk`). A bounded approximation of the public
-    * suffix list covering the common country registries, kept as a LITERAL
-    * set so the default [[registeredDomain]] stays a pure codegen'd Column
-    * expression; the full PSL goes through the [[SuffixRules]] overload
-    * (a ~9k-entry set cannot be an `isin` expression tree). */
-  private val MultiPartSuffixes = Seq(
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk",
-    "co.jp", "ne.jp", "or.jp", "ac.jp",
-    "com.au", "net.au", "org.au", "edu.au",
-    "com.br", "net.br", "org.br",
-    "co.in", "net.in", "org.in",
-    "com.cn", "net.cn", "org.cn",
-    "co.nz", "com.mx", "com.tr", "co.za", "com.ar", "co.kr", "com.sg",
-    "com.hk", "com.tw")
-
   /** Lowercased host of a URL (userinfo and port dropped); null when the
     * input has no `scheme://host`. Same single-pass kernel as
     * [[normalizeUrl]]. */
@@ -168,22 +152,14 @@ object UrlOps {
 
   /** Registered domain (site key for per-domain caps and URL-level stats):
     * the last two host labels, or the last THREE when the two-label tail
-    * is a known multi-part public suffix ([[MultiPartSuffixes]]). Hosts
+    * is a known multi-part public suffix (the bounded default set,
+    * [[graft.functions.UrlKernels.DefaultMultiPartSuffixes]]; the full
+    * PSL goes through the [[SuffixRules]] overload). Hosts
     * with fewer than two labels (and IPv4 literals, which have no
-    * registry) pass through unchanged. Null-safe. Pure array/string
-    * Columns — row-local, codegen'd. */
-  def registeredDomain(host: Column): Column = {
-    val labels = split(host, "\\.")
-    val n = size(labels)
-    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
-    val last3 = concat_ws(".", element_at(labels, -3), element_at(labels, -2),
-      element_at(labels, -1))
-    val isIpv4 = host.rlike("^\\d{1,3}(\\.\\d{1,3}){3}$")
-    when(host.isNull, lit(null).cast("string"))
-      .when(isIpv4 || n < 2, host)
-      .when(last2.isin(MultiPartSuffixes: _*) && n >= 3, last3)
-      .otherwise(last2)
-  }
+    * registry) pass through unchanged. Null-safe. Same single-pass kernel
+    * family as [[normalizeUrl]] — row-local, codegen'd StaticInvoke. */
+  def registeredDomain(host: Column): Column =
+    staticInvoke("registeredDomainDefault", host)
 
   /** Registered domain under a caller-supplied [[SuffixRules]] (the full
     * PSL path — longest match, wildcards, exceptions). Same pass-through
