@@ -15,8 +15,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - leading/trailing SPACES trimmed (Spark `trim` — spaces only)
   *   - fragment cut at the first `#` before anything else
   *   - scheme `[A-Za-z][A-Za-z0-9+.\-]*://` required, else null; lowercased
-  *   - authority = up to the first `/` or `?`; userinfo up to the FIRST
-  *     `@` inside it dropped
+  *   - authority = up to the first `/` or `?`; userinfo up to the LAST
+  *     `@` inside it dropped (a host cannot contain `@` — first-`@`
+  *     stripping broke idempotence on double-`@` inputs)
   *   - port = trailing `:digits` of the host-port (string-compared:
   *     `:080` is NOT a default port); default ports dropped per scheme
   *   - empty host → null (scheme-only inputs are not URLs)
@@ -141,10 +142,13 @@ object UrlKernels {
     val j = i + 3
     var k = j
     while (k < b && url.charAt(k) != '/' && url.charAt(k) != '?') k += 1
-    // userinfo: drop through the FIRST '@' inside the authority
+    // userinfo: drop through the LAST '@' inside the authority (an RFC
+    // 3986 host cannot contain '@'; the old first-'@' regex left
+    // "pass@h" as the host of "https://user@pass@h/", breaking
+    // normalize-idempotence — the fuzz spec pins the fix)
     var hs = j
     var m = j
-    while (m < k && hs == j) {
+    while (m < k) {
       if (url.charAt(m) == '@') hs = m + 1
       m += 1
     }

@@ -164,6 +164,37 @@ class UrlOpsSpec extends SparkSpec {
       Map(1L -> true, 2L -> false, 3L -> true, 4L -> false, 5L -> true))
   }
 
+  test("kernel fuzz: adversarial and random inputs never throw; null or a string comes back") {
+    import spark.implicits._
+    val adversarial = Seq(
+      "", " ", "#", "://", "http://", "https://@", "https://:80",
+      "https://h:", "https://h:80:90/p", "https://h:08/p", "https://h?",
+      "https://h?&&&", "https://h?=v", "https://h?utm_", "https://h/p#f#g",
+      "a+b-c.d://h/p", "https://user@pass@h/p", "https://h//p//",
+      "https://..", "https://h?a=1&utm_source&b=2&FBCLID=x",
+      "ftp://h:21/f", "https://[::1]:443/v6", "https://192.168.0.1:8080/x",
+      "https://xn--bcher-kva.example/päth?ö=ü#frag",
+      "\u0000://h", "https://h\u0000/p", "https://ह.example/p")
+    val rnd = new scala.util.Random(99)
+    val random = Seq.fill(200)(new String(Array.fill(rnd.nextInt(40))(
+      (rnd.nextInt(96) + 32).toChar)))
+    val rows = (adversarial ++ random).map(Option(_)) :+ Option.empty[String]
+    // through the real Spark path (codegen'd StaticInvoke), all three
+    // kernels at once — must complete, no exceptions
+    val out = rows.toDF("u").select(
+      UrlOps.normalizeUrl(col("u")).as("n"),
+      UrlOps.urlHost(col("u")).as("h"),
+      UrlOps.urlRegisteredDomain(col("u")).as("d"),
+      UrlOps.registeredDomain(col("u"), UrlOps.SuffixRules.bundledSample).as("p"))
+      .collect()
+    assert(out.length == rows.length)
+    // normalization is still idempotent on whatever survives the fuzz
+    val survived = out.flatMap(r => Option(r.getString(0))).toSeq
+    val twice = survived.toDF("u")
+      .select(UrlOps.normalizeUrl(col("u"))).collect().map(_.getString(0)).toSeq
+    assert(survived == twice)
+  }
+
   test("urlHost routes through userinfo/port; non-URLs are null") {
     import spark.implicits._
     val got = Seq("https://u@WWW.Site.COM:8443/a?x#f").toDF("u")
