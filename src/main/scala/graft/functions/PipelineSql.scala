@@ -23,8 +23,8 @@ import graft.pipeline.{CorpusPipeline, Dedup, TextAnalysis}
   *   SELECT * FROM text_quality_rules(TABLE(docs), 'text')  -- Gopher+C4 rule booleans
   *   SELECT * FROM text_repetition_rules(TABLE(docs), 'doc_id', 'text')  -- Gopher repetition fractions
   *   SELECT * FROM c4_clean_lines(TABLE(docs), 'text'[, min_words, min_lines])
-  *   SELECT * FROM url_normalize(TABLE(docs), 'url')        -- +url_norm/url_host/url_domain
-  *   SELECT * FROM url_domain_cap(TABLE(docs), 'url', 100, 'doc_id')
+  *   SELECT * FROM url_normalize(TABLE(docs), 'url'[, psl_path]) -- +url_norm/url_host/url_domain
+  *   SELECT * FROM url_domain_cap(TABLE(docs), 'url', 100, 'doc_id'[, psl_path])
   *   SELECT * FROM url_dedup(TABLE(docs), 'url', 'doc_id')   -- one row per normalized url
   *   SELECT * FROM dedup_exact_drop(TABLE(docs), 'doc_id', 'text')
   *   SELECT * FROM dedup_minhash_pairs(TABLE(docs), 'doc_id', 'text', 0.5)
@@ -51,7 +51,7 @@ import graft.pipeline.{CorpusPipeline, Dedup, TextAnalysis}
   *   SELECT * FROM maxsim_search_table(TABLE(queries), 'query_idx', 'qvecs', TABLE(docs), 'doc_id', 'vecs', k)
   *   SELECT * FROM maxsim_ann_table('pooled_idx', TABLE(queries), 'query_idx', 'qvecs', TABLE(docs), 'doc_id', 'vecs', k, overfetch)
   *   SELECT * FROM matryoshka_table('prefix_idx', TABLE(queries), 'qid', 'qvec', TABLE(base), 'id', 'vec', k, overfetch[, search_param])
-  *   SELECT * FROM mine_hard_negatives('idx', TABLE(pairs), 'qid', 'qvec', 'pos_id', TABLE(base), 'id', 'vec', k[, overfetch, margin])
+  *   SELECT * FROM mine_hard_negatives('idx', TABLE(pairs), 'qid', 'qvec', 'pos_id', TABLE(base), 'id', 'vec', k[, overfetch, margin, search_param, max_positives])
   *
   * TABLE(...) arguments embed the analyzed child plan directly (same
   * mechanism as [[AnnSql]]); the returned relation is lazy — these are
@@ -222,23 +222,35 @@ object PipelineSql {
     // URL tier: normalization/domain as appended columns; per-site cap as
     // a filter. All row-local except the cap's survivor-volume shuffle.
     r.createOrReplaceTempFunction("url_normalize", (exprs: Seq[Expression]) => {
-      require(exprs.length == 2,
-        "usage: url_normalize(TABLE(t), url_col)")
+      require(exprs.length >= 2 && exprs.length <= 3,
+        "usage: url_normalize(TABLE(t), url_col[, psl_path]) — psl_path " +
+          "keys url_domain on a full publicsuffix.org list file")
       val t = tableArg(spark, exprs(0))
       val u = constString(exprs(1))
+      val dom =
+        if (exprs.length > 2)
+          graft.pipeline.UrlOps.urlRegisteredDomain(
+            org.apache.spark.sql.functions.col(u),
+            graft.pipeline.UrlOps.SuffixRules.parseFile(constString(exprs(2))))
+        else graft.pipeline.UrlOps.urlRegisteredDomain(
+          org.apache.spark.sql.functions.col(u))
       plan(t.withColumn("url_norm",
           graft.pipeline.UrlOps.normalizeUrl(org.apache.spark.sql.functions.col(u)))
         .withColumn("url_host",
           graft.pipeline.UrlOps.urlHost(org.apache.spark.sql.functions.col(u)))
-        .withColumn("url_domain",
-          graft.pipeline.UrlOps.urlRegisteredDomain(org.apache.spark.sql.functions.col(u))))
+        .withColumn("url_domain", dom))
     }, "scala_udf")
 
     r.createOrReplaceTempFunction("url_domain_cap", (exprs: Seq[Expression]) => {
-      require(exprs.length == 4,
-        "usage: url_domain_cap(TABLE(t), url_col, cap, order_col)")
-      plan(graft.pipeline.UrlOps.capPerDomain(tableArg(spark, exprs(0)),
-        constString(exprs(1)), constInt(exprs(2)), constString(exprs(3))))
+      require(exprs.length >= 4 && exprs.length <= 5,
+        "usage: url_domain_cap(TABLE(t), url_col, cap, order_col[, psl_path])")
+      if (exprs.length > 4)
+        plan(graft.pipeline.UrlOps.capPerDomain(tableArg(spark, exprs(0)),
+          constString(exprs(1)), constInt(exprs(2)), constString(exprs(3)),
+          graft.pipeline.UrlOps.SuffixRules.parseFile(constString(exprs(4)))))
+      else
+        plan(graft.pipeline.UrlOps.capPerDomain(tableArg(spark, exprs(0)),
+          constString(exprs(1)), constInt(exprs(2)), constString(exprs(3))))
     }, "scala_udf")
 
     r.createOrReplaceTempFunction("url_dedup", (exprs: Seq[Expression]) => {
@@ -497,20 +509,23 @@ object PipelineSql {
     }, "scala_udf")
 
     r.createOrReplaceTempFunction("mine_hard_negatives", (exprs: Seq[Expression]) => {
-      require(exprs.length >= 9 && exprs.length <= 11,
+      require(exprs.length >= 9 && exprs.length <= 13,
         "usage: mine_hard_negatives('index', TABLE(pairs), qid_col, qvec_col, pos_id_col, " +
-          "TABLE(base), id_col, vec_col, k[, overfetch, denoise_margin])")
+          "TABLE(base), id_col, vec_col, k[, overfetch, denoise_margin, " +
+          "search_param, max_positives])")
       val name = constString(exprs(0))
       val path = graft.index.AnnIndexManager.registered.getOrElse(name,
         throw new IllegalArgumentException(s"unknown index: $name"))
       val of = if (exprs.length > 9) constInt(exprs(9)) else 3
       val margin = if (exprs.length > 10) constNum(exprs(10)) else 0.0
+      val searchParam = if (exprs.length > 11) constInt(exprs(11)) else -1
+      val maxPos = if (exprs.length > 12) constInt(exprs(12)) else -1
       plan(graft.pipeline.NegativeMining.mineHardNegatives(
         graft.index.AnnIndexManager.load(spark, path),
         tableArg(spark, exprs(1)), constString(exprs(2)), constString(exprs(3)),
         constString(exprs(4)), tableArg(spark, exprs(5)),
         constString(exprs(6)), constString(exprs(7)),
-        constInt(exprs(8)), of, margin))
+        constInt(exprs(8)), of, margin, searchParam, maxPos))
     }, "scala_udf")
 
     r.createOrReplaceTempFunction("maxsim_ann_table", (exprs: Seq[Expression]) => {

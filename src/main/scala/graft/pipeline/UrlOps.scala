@@ -133,6 +133,21 @@ object UrlOps {
       SuffixRules(plain.result(), wild.result(), exc.result())
     }
 
+    /** Parse a PSL file from disk, cached by absolute path — the SQL TVF
+      * surface resolves a path argument per query, and the full PSL is
+      * ~15k lines (parse once, reuse the immutable rule set). */
+    def parseFile(path: String): SuffixRules = {
+      val key = java.nio.file.Paths.get(path).toAbsolutePath.toString
+      fileCache.computeIfAbsent(key, k => {
+        val src = scala.io.Source.fromFile(k, "UTF-8")
+        try parse(src.getLines())
+        finally src.close()
+      })
+    }
+
+    private val fileCache =
+      new java.util.concurrent.ConcurrentHashMap[String, SuffixRules]()
+
     /** The bundled sample PSL (a working subset of the real list —
       * common country registries plus the fixture-exercised wildcard and
       * exception rules). Production crawls should parse the full file:
@@ -230,13 +245,32 @@ object UrlOps {
   def withUrlFilterSignals(df: DataFrame, urlCol: String,
                            blocklist: DataFrame, blocklistCol: String,
                            wordWeights: Map[String, Double],
-                           maxWordScore: Double): DataFrame = {
+                           maxWordScore: Double): DataFrame =
+    withFilterSignalsOn(df, urlCol, urlRegisteredDomain(col(urlCol)),
+      blocklist, blocklistCol, wordWeights, maxWordScore)
+
+  /** DataFrame-blocklist filter under caller-supplied [[SuffixRules]] —
+    * real blocklists (UT1) key on real-PSL registered domains, so the
+    * membership test must use the same domain keying. */
+  def withUrlFilterSignals(df: DataFrame, urlCol: String,
+                           blocklist: DataFrame, blocklistCol: String,
+                           wordWeights: Map[String, Double],
+                           maxWordScore: Double,
+                           rules: SuffixRules): DataFrame =
+    withFilterSignalsOn(df, urlCol, urlRegisteredDomain(col(urlCol), rules),
+      blocklist, blocklistCol, wordWeights, maxWordScore)
+
+  private def withFilterSignalsOn(df: DataFrame, urlCol: String,
+                                  domain: Column,
+                                  blocklist: DataFrame, blocklistCol: String,
+                                  wordWeights: Map[String, Double],
+                                  maxWordScore: Double): DataFrame = {
     val bl = broadcast(
       blocklist.select(lower(trim(col(blocklistCol))).as("__bldom"))
         .filter(col("__bldom").isNotNull && col("__bldom") =!= "")
         .distinct())
     val blocked = df
-      .withColumn("__fltdom", urlRegisteredDomain(col(urlCol)))
+      .withColumn("__fltdom", domain)
       .join(bl, col("__fltdom") === col("__bldom"), "left")
       .withColumn("url_blocked", col("__bldom").isNotNull)
       .drop("__fltdom", "__bldom")

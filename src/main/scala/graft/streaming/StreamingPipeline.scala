@@ -91,10 +91,28 @@ object StreamingPipeline {
     * count to zero. */
   def streamingDomainCap(stream: DataFrame, urlCol: String, cap: Int,
                          maxIdle: Option[String] = None)
+      : DataFrame =
+    streamingDomainCapOn(stream,
+      graft.pipeline.UrlOps.urlRegisteredDomain(col(urlCol)), cap, maxIdle)
+
+  /** [[streamingDomainCap]] under caller-supplied full-PSL
+    * [[graft.pipeline.UrlOps.SuffixRules]] — same domain keying as the
+    * batch `capPerDomain(…, rules)` sibling. */
+  def streamingDomainCap(stream: DataFrame, urlCol: String, cap: Int,
+                         maxIdle: Option[String],
+                         rules: graft.pipeline.UrlOps.SuffixRules)
+      : DataFrame =
+    streamingDomainCapOn(stream,
+      graft.pipeline.UrlOps.urlRegisteredDomain(col(urlCol), rules), cap,
+      maxIdle)
+
+  private def streamingDomainCapOn(stream: DataFrame,
+                                   domain: org.apache.spark.sql.Column,
+                                   cap: Int, maxIdle: Option[String])
       : DataFrame = {
     require(cap >= 1, s"cap=$cap must be >= 1")
     val withDom = stream
-      .withColumn("__dom", graft.pipeline.UrlOps.urlRegisteredDomain(col(urlCol)))
+      .withColumn("__dom", domain)
       .filter(col("__dom").isNotNull)
     val schema = withDom.schema
     val domIdx = schema.fieldIndex("__dom")

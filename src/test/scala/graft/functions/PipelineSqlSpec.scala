@@ -98,6 +98,33 @@ class PipelineSqlSpec extends SparkSpec {
     sameRows("SELECT * FROM url_dedup(TABLE(pl_urls), 'url', 'doc_id')",
       graft.pipeline.UrlOps.dedupByUrl(urls, "url", "doc_id"))
 
+    // psl_path argument: domain keying from a PSL file on disk (com.pl is
+    // a registry suffix the bounded default set cannot key)
+    val pslFile = java.nio.file.Files.createTempFile("psl_tvf", ".dat")
+    java.nio.file.Files.writeString(pslFile,
+      "// test psl\ncom.pl\nco.uk\n*.ck\n!www.ck\n")
+    val pslUrls = Seq(
+      (1L, "https://a.shop.com.pl/x"), (2L, "https://b.shop.com.pl/y"),
+      (3L, "https://c.other.com.pl/z"), (4L, "https://news.site.co.uk/w"))
+      .toDF("doc_id", "url")
+    pslUrls.createOrReplaceTempView("pl_psl_urls")
+    val rules = graft.pipeline.UrlOps.SuffixRules.parseFile(pslFile.toString)
+    sameRows(s"SELECT * FROM url_normalize(TABLE(pl_psl_urls), 'url', '$pslFile')",
+      pslUrls.withColumn("url_norm", graft.pipeline.UrlOps.normalizeUrl(col("url")))
+        .withColumn("url_host", graft.pipeline.UrlOps.urlHost(col("url")))
+        .withColumn("url_domain",
+          graft.pipeline.UrlOps.urlRegisteredDomain(col("url"), rules)))
+    sameRows(s"SELECT * FROM url_domain_cap(TABLE(pl_psl_urls), 'url', 1, 'doc_id', '$pslFile')",
+      graft.pipeline.UrlOps.capPerDomain(pslUrls, "url", 1, "doc_id", rules))
+    // and the PSL cap is genuinely different from the default-set cap:
+    // under the default set all three com.pl rows merge into ONE "domain"
+    // (+ the co.uk row → 2 survivors at cap 1); under the PSL the two
+    // com.pl SITES are distinct domains (shop/other → 3 survivors)
+    assert(spark.sql(s"SELECT * FROM url_domain_cap(TABLE(pl_psl_urls), 'url', 1, 'doc_id', '$pslFile')")
+      .count() == 3L)
+    assert(spark.sql("SELECT * FROM url_domain_cap(TABLE(pl_psl_urls), 'url', 1, 'doc_id')")
+      .count() == 2L)
+
     val vecs = (0 until 30).map(i =>
       (i.toLong, Array.tabulate(4)(j => if (j == i % 2) 5f + i * 0.01f else 0f)))
       .toDF("vid", "emb")

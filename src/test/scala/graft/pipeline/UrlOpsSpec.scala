@@ -195,6 +195,28 @@ class UrlOpsSpec extends SparkSpec {
     assert(survived == twice)
   }
 
+  test("blocklist filter under SuffixRules keys membership on the PSL domain") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "https://a.shop.com.pl/x"), // PSL domain shop.com.pl — blocked
+      (2L, "https://b.other.com.pl/y"), // other.com.pl — clean
+      (3L, "https://c.shop.com.pl/z")).toDF("id", "url")
+    val bl = Seq("shop.com.pl").toDF("dom")
+    val withRules = UrlOps.withUrlFilterSignals(rows, "url",
+        blocklist = bl, blocklistCol = "dom",
+        wordWeights = Map.empty[String, Double], maxWordScore = 1.0,
+        rules = UrlOps.SuffixRules.bundledSample)
+      .select("id", "url_blocked").as[(Long, Boolean)].collect().toMap
+    assert(withRules == Map(1L -> true, 2L -> false, 3L -> true))
+    // the default-set path keys ALL of them as 'com.pl' ≠ 'shop.com.pl' —
+    // a real UT1 list (PSL-keyed) would silently never match
+    val withDefault = UrlOps.withUrlFilterSignals(rows, "url",
+        blocklist = bl, blocklistCol = "dom",
+        wordWeights = Map.empty[String, Double], maxWordScore = 1.0)
+      .select("id", "url_blocked").as[(Long, Boolean)].collect().toMap
+    assert(withDefault.values.forall(_ == false))
+  }
+
   test("urlHost routes through userinfo/port; non-URLs are null") {
     import spark.implicits._
     val got = Seq("https://u@WWW.Site.COM:8443/a?x#f").toDF("u")

@@ -426,6 +426,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming domain cap under SuffixRules keys like the batch rules sibling") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rules = graft.pipeline.UrlOps.SuffixRules.bundledSample
+    val rows = Seq( // two distinct PSL sites under com.pl + one repeat
+      (1L, "https://a.shop.com.pl/x"), (2L, "https://b.other.com.pl/y"),
+      (3L, "https://c.shop.com.pl/z"))
+    val ms = MemoryStream[(Long, String)]
+    val out = StreamingPipeline.streamingDomainCap(
+      ms.toDF().toDF("doc_id", "url"), "url", cap = 1, maxIdle = None,
+      rules = rules)
+    val q = out.writeStream.format("memory").queryName("dom_cap_psl")
+      .outputMode("append").start()
+    try {
+      // the repeat site arrives in a LATER trigger so first-arrival is
+      // deterministic (within-trigger group order is not)
+      ms.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("dom_cap_psl")
+        .select("doc_id").as[Long].collect().toSet
+      val batch = graft.pipeline.UrlOps.capPerDomain(
+          rows.toDF("doc_id", "url"), "url", cap = 1, orderCol = "doc_id",
+          rules = rules)
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batch && streamed == Set(1L, 2L), s"got $streamed")
+    } finally q.stop()
+  }
+
   test("streaming domain cap replay equals batch capPerDomain; saturation holds across triggers") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
