@@ -751,7 +751,12 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     val prepared = AnnIndexBuilder.prepare(rows, idCol, vecCol, meta.metric)
     val n = prepared.count()
     val segNew = currentSeg + 1
-    if (isGraphEngine) {
+    val onlineMax =
+      spark.conf.get("spark.ann.onlineInsertMaxRows", "0").toLong
+    if (meta.engine == "DISKANN" && codec.isEmpty && n > 0 && n <= onlineMax
+        && liveShardIds.nonEmpty) {
+      writeOnlineInsert(prepared, n, segNew)
+    } else if (isGraphEngine) {
       // size-aware delta: a small CDC batch stays one shard, but a bulk
       // insert (mergeFrom of a large index) splits by the same per-task
       // build budget as create — one fixed-size shard per task, never a
@@ -805,6 +810,101 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       if (meta.engine == "IVF") extendCellRadii(assigned)
       (n, Map("seg" -> segNew.toString))
     }
+  }
+
+  /** ONLINE graph insert: extend existing live shards' graphs in place of
+    * opening a new delta shard — the reference's per-row live insert
+    * (src/diskann_index.cpp:316-361), re-expressed as a copy-on-write shard
+    * rewrite. Opt-in via `spark.ann.onlineInsertMaxRows` (=0 off): batches
+    * at or under the cap take this path; larger batches keep the
+    * parallel delta-shard build (rewriting every live shard for a bulk
+    * load would be full-index write amplification). DISKANN + unquantized
+    * only — sq8/fp16 shards would need a decode→insert→re-encode round
+    * trip that degrades stored codes, and HNSW layer assignment is
+    * build-seeded — both fall back to the delta path.
+    *
+    * Scale shape: the batch is hash-routed to `t` target shards where
+    * t ≈ batchRows / targetShardRows (so per-task insert work stays inside
+    * the create-time build budget), chosen round-robin via the persisted
+    * `online_cursor` so repeated micro-batches grow shards evenly. Only
+    * the touched shards are read (partition-pruned scan) and rewritten
+    * under FRESH shard ids; the meta publish swaps old ids for new — a
+    * crash leaves unmanifested orphan dirs, invisible to readers and
+    * reclaimed at the ids' next allocation, exactly the delta-path
+    * contract. Write amplification per micro-batch = t shards, vs the
+    * delta path's one new shard + an eventual compaction rewrite. */
+  private def writeOnlineInsert(prepared: DataFrame, n: Long,
+                                segNew: Long): (Long, Map[String, String]) = {
+    val live = liveShardIds.sorted
+    val perShard = AnnIndexBuilder.targetShardRows(meta.dim)
+    val t = math.min(live.size.toLong,
+      math.max(1L, (n + perShard - 1) / perShard)).toInt
+    val cursor = meta.param("online_cursor", 0) % live.size
+    val targets = Array.tabulate(t)(i => live((cursor + i) % live.size))
+    val nextShard = meta.param("next_shard", meta.param("shards", 1))
+    val remap = targets.zipWithIndex
+      .map { case (old, i) => old -> (nextShard + i) }.toMap
+    // ids at/after next_shard are unlisted by definition — reclaim any
+    // crashed writer's orphans before appending under them
+    remap.values.foreach(sid => IndexMeta.deleteDir(s"$dataPath/shard=$sid"))
+    // existing graph rows of ONLY the touched shards (partition-pruned),
+    // tagged by their real label; new rows ride along with label = -1
+    val graphRows = readData()
+      .select(col("shard"), col("label"), col("id"), col("vector"),
+        col("neighbors"), col("is_entry"), col("seg"))
+      .where(col("shard").isin(targets.toSeq: _*))
+    val newRows = prepared.select(
+      element_at(typedLit(targets.toSeq),
+        (pmod(hash(col("id")), lit(t)) + 1).cast("int")).as("shard"),
+      lit(-1).as("label"), col("id"), col("vector"),
+      typedLit(Seq.empty[Int]).as("neighbors"),
+      lit(false).as("is_entry"), lit(segNew).as("seg"))
+    val bcRemap = spark.sparkContext.broadcast(remap)
+    val params = Vamana.Params.from(meta)
+    val metric = meta.metric
+    val outSchema = StructType(Seq(
+      StructField("shard", IntegerType, nullable = false),
+      StructField("label", IntegerType, nullable = false),
+      StructField("id", LongType, nullable = false),
+      StructField("vector", ArrayType(FloatType), nullable = false),
+      StructField("neighbors", ArrayType(IntegerType), nullable = false),
+      StructField("is_entry", BooleanType, nullable = false),
+      StructField("seg", LongType, nullable = false)))
+    val rewritten = graphRows.unionByName(newRows)
+      .repartition(Vamana.shardPartitions(t), col("shard"))
+      .mapPartitions { rows =>
+        // one task sees whole shards (hash-partitioned on shard above);
+        // memory bound = this task's shards + their inserts, the same
+        // bound the batch search path holds
+        rows.toSeq.groupBy(_.getInt(0)).iterator.flatMap { case (old, rs) =>
+          val (oldRows, ins) = rs.partition(_.getInt(1) >= 0)
+          val sh0 = Vamana.decodeShard(old, oldRows, None)
+          val segs = new Array[Long](oldRows.length)
+          oldRows.foreach(r => segs(r.getInt(1)) = r.getLong(6))
+          val sh = Vamana.insertIntoShard(sh0,
+            ins.map(_.getLong(2)).toArray,
+            ins.map(_.getSeq[Float](3).toArray).toArray, params, metric)
+          val sid = bcRemap.value(old)
+          val allSegs = segs ++ ins.map(_ => segNew)
+          sh.ids.indices.iterator.map { label =>
+            org.apache.spark.sql.Row(sid, label, sh.ids(label),
+              sh.vectors(label).toSeq, sh.neighbors(label).toSeq,
+              label == sh.entry, allSegs(label))
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+    rewritten.write.mode("append").partitionBy("shard").parquet(dataPath)
+    val written = IndexMeta.listShardDirs(dataPath)
+      .filter(sid => sid >= nextShard && sid < nextShard + t)
+    require(written.size == t,
+      s"online insert rewrote ${written.size} of $t target shards — " +
+        "a live shard produced no rows (corrupt manifest?)")
+    val newLive = (live.filterNot(targets.contains) ++ written).sorted
+    (n, Map("seg" -> segNew.toString,
+      "shards" -> newLive.size.toString,
+      "next_shard" -> (nextShard + t).toString,
+      "live_shards" -> newLive.mkString(","),
+      "online_cursor" -> ((cursor + t) % live.size).toString))
   }
 
   /** Grow the stored per-cell radii to cover an insert batch, keeping the

@@ -58,7 +58,10 @@ object GraphTableSearch {
     *                 emission, e.g. by a radius filter)
     * @param cacheKey executor shard-cache key prefix (None = no caching)
     * @param decode   whole-shard rows → engine shard object (cached)
-    * @param search   (shard, query) → per-shard candidates (id, distance)
+    * @param search   (shard, query) → per-shard candidates
+    *                 (id, distance, label) — the label resolves the hit's
+    *                 per-row insert epoch (online-rewritten shards mix
+    *                 epochs, see Vamana.segArray)
     * @param graphPrePartitioned graphDf is (a narrow projection of) a
     *                 dataset hash-partitioned by `col("shard")` — e.g. the
     *                 pinned index dataset. Routes only the queries; the
@@ -68,7 +71,7 @@ object GraphTableSearch {
   def run(spark: SparkSession, graphDf: DataFrame, queries: DataFrame,
           shardIds: Seq[Int], k: Int, cacheKey: Option[String],
           decode: (Int, IndexedSeq[Row]) => AnyRef,
-          search: (AnyRef, Array[Float]) => Iterator[(Long, Double)],
+          search: (AnyRef, Array[Float]) => Iterator[(Long, Double, Int)],
           graphPrePartitioned: Boolean = false,
           spill: Option[GraphShardCache.SpillCodec] = None): DataFrame = {
     if (graphPrePartitioned)
@@ -102,11 +105,11 @@ object GraphTableSearch {
               decode(shardId, shardRows))
             case None => decode(shardId, shardRows)
           }
-          val shardSeg = shardRows.head.getLong(segIdx)
+          val segs = Vamana.segArray(shardRows, segIdx)
           qRows.flatMap { qr =>
             val qid = qr.get(0)
             val q = qr.getSeq[Float](1).toArray
-            search(sh, q).map { case (id, d) => Row(qid, id, d, shardSeg) }
+            search(sh, q).map { case (id, d, label) => Row(qid, id, d, segs(label)) }
           }
         }
       }
@@ -137,7 +140,7 @@ object GraphTableSearch {
   private def runZip(spark: SparkSession, graphDf: DataFrame, queries: DataFrame,
                      shardIds: Seq[Int], k: Int, cacheKey: Option[String],
                      decode: (Int, IndexedSeq[Row]) => AnyRef,
-                     search: (AnyRef, Array[Float]) => Iterator[(Long, Double)],
+                     search: (AnyRef, Array[Float]) => Iterator[(Long, Double, Int)],
                      spill: Option[GraphShardCache.SpillCodec]): DataFrame = {
     val qidField = queries.schema.fields(0).copy(name = "__qid")
     val out = StructType(Seq(qidField,
@@ -175,10 +178,10 @@ object GraphTableSearch {
         // layout key embeds the index meta version (via cacheKey), so any
         // index write invalidates it. A partially-evicted cache just falls
         // back to the full scan below — never a wrong answer.
-        val bySid: Map[Int, (AnyRef, Long)] = cacheKey.flatMap { ck =>
+        val bySid: Map[Int, (AnyRef, Array[Long])] = cacheKey.flatMap { ck =>
           GraphShardCache.getLayout(layoutKey.get).flatMap { layout =>
-            val hits = layout.flatMap { case (sid, seg) =>
-              GraphShardCache.peek(s"$ck#$sid", spill).map(sh => sid -> (sh, seg))
+            val hits = layout.flatMap { case (sid, segs) =>
+              GraphShardCache.peek(s"$ck#$sid", spill).map(sh => sid -> (sh, segs))
             }
             if (hits.length == layout.length) {
               GraphShardCache.zipFastPathHits.incrementAndGet()
@@ -205,23 +208,23 @@ object GraphTableSearch {
                   decode(sid, rows.toIndexedSeq))
                 case None => decode(sid, rows.toIndexedSeq)
               }
-              sid -> (s, rows.head.getLong(segIdx))
+              sid -> (s, Vamana.segArray(rows, segIdx))
             }.toMap
           layoutKey.foreach { lk =>
             GraphShardCache.putLayout(lk,
-              served.iterator.map { case (sid, (_, seg)) => (sid, seg) }.toArray)
+              served.iterator.map { case (sid, (_, segs)) => (sid, segs) }.toArray)
           }
           served
         }
         qIt.flatMap { qr =>
           val shardId = qr.getInt(2)
-          val (sh, shardSeg) = bySid.getOrElse(shardId, throw new IllegalStateException(
+          val (sh, segs) = bySid.getOrElse(shardId, throw new IllegalStateException(
             s"graph shard $shardId missing from its hash partition — the " +
               "graph dataset is not partitioned by col(\"shard\") as the " +
               "pre-partitioned contract requires"))
           val qid = qr.get(0)
           val q = qr.getSeq[Float](1).toArray
-          search(sh, q).map { case (id, d) => Row(qid, id, d, shardSeg) }
+          search(sh, q).map { case (id, d, label) => Row(qid, id, d, segs(label)) }
         }
       }
     }

@@ -293,11 +293,12 @@ object Hnsw {
             decodeShard(shardId, shardRows, codec))
           case None => decodeShard(shardId, shardRows, codec)
         }
-        // per-shard-constant insert epoch, read from the raw rows
-        val shardSeg = shardRows.head.getLong(7)
+        // per-LABEL insert epochs from the raw rows (online rewrites mix
+        // epochs within a shard — see Vamana.segArray)
+        val segs = Vamana.segArray(shardRows, 7)
         bcQueries.value.iterator.flatMap { case (qi, q) =>
           search(sh, q, k, ef, dist).take(math.max(k, ef))
-            .map { case (label, d) => Row(qi, sh.ids(label), d, shardSeg) }
+            .map { case (label, d) => Row(qi, sh.ids(label), d, segs(label)) }
         }
       }
     }(Encoders.row(out))
@@ -338,11 +339,11 @@ object Hnsw {
             decodeShard(shardId, shardRows, codec))
           case None => decodeShard(shardId, shardRows, codec)
         }
-        val shardSeg = shardRows.head.getLong(7)
+        val segs = Vamana.segArray(shardRows, 7)
         bcQueries.value.iterator.flatMap { case (qi, q) =>
           GraphRange.expanding(radius, eps, initEf, maxEf)(
               ef => search(sh, q, ef, ef, dist))
-            .map { case (label, d) => Row(qi, sh.ids(label), d, shardSeg) }
+            .map { case (label, d) => Row(qi, sh.ids(label), d, segs(label)) }
         }
       }
     }(Encoders.row(out))
@@ -405,7 +406,7 @@ object Hnsw {
         val s = sh.asInstanceOf[Shard]
         GraphRange.expanding(radius, eps, initEf, maxEf)(
             ef => search(s, q, ef, ef, dist))
-          .iterator.map { case (label, d) => (s.ids(label), d) }
+          .iterator.map { case (label, d) => (s.ids(label), d, label) }
       },
       graphPrePartitioned = graphPrePartitioned,
       spill = Some(ShardSpillCodec))
@@ -428,7 +429,7 @@ object Hnsw {
       search = (sh, q) => {
         val s = sh.asInstanceOf[Shard]
         search(s, q, k, ef, dist).iterator.take(math.max(k, ef))
-          .map { case (label, d) => (s.ids(label), d) }
+          .map { case (label, d) => (s.ids(label), d, label) }
       },
       graphPrePartitioned = graphPrePartitioned,
       spill = Some(ShardSpillCodec))

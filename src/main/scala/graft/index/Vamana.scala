@@ -193,15 +193,17 @@ object GraphShardCache {
     }
   }
 
-  // Zipped-partition shard layouts: (shardId, seg) pairs a full partition
-  // scan observed, keyed by <cacheKey>#zipLayout#<partitionId>. Lets a
-  // repeat zip call serve queries straight from decoded shards without
-  // consuming (= decoding) the cached graph partition at all. Entries are
-  // tiny (a few ints per shard); same count bound as the main map.
+  // Zipped-partition shard layouts: (shardId, per-label insert epochs) a
+  // full partition scan observed, keyed by <cacheKey>#zipLayout#<partId>.
+  // Lets a repeat zip call serve queries straight from decoded shards
+  // without consuming (= decoding) the cached graph partition at all.
+  // Epochs are per LABEL (8 B/row — ~1% of the decoded shard) because an
+  // online insert (AnnIndex.writeOnlineInsert) rewrites a shard with
+  // mixed epochs; same entry-count bound as the main map.
   private val layouts =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Long)]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Long])]]()
 
-  def putLayout(key: String, v: Array[(Int, Long)]): Unit = {
+  def putLayout(key: String, v: Array[(Int, Array[Long])]): Unit = {
     while (layouts.size() >= MaxEntries) {
       val it = layouts.keySet().iterator()
       if (it.hasNext) layouts.remove(it.next()) else return
@@ -209,7 +211,8 @@ object GraphShardCache {
     layouts.put(key, v)
   }
 
-  def getLayout(key: String): Option[Array[(Int, Long)]] = Option(layouts.get(key))
+  def getLayout(key: String): Option[Array[(Int, Array[Long])]] =
+    Option(layouts.get(key))
 
   /** Zip-path repeat calls served WITHOUT consuming the graph iterator
     * (observability + test hook; per-partition, so one repeat call over P
@@ -443,16 +446,31 @@ object Vamana {
     }
 
     val partial = Shard(ids, vectors, neighbors, entry)
+    insertSweep(partial, 0, params, dist)
+    partial
+  }
+
+  /** Insert labels [from, n) into a shard IN PLACE — the per-point step of
+    * DiskANN Algorithm 3, shared by the from-scratch build ([[buildShard]],
+    * from=0) and the online append ([[insertIntoShard]], from=old n).
+    * Mutates `sh.neighbors` entries (always by whole-array replacement,
+    * never element writes — callers may share inner arrays with an older
+    * shard snapshot). */
+  private def insertSweep(sh: Shard, from: Int, params: Params,
+                          dist: (Array[Float], Array[Float]) => Double): Unit = {
+    val vectors = sh.vectors
+    val neighbors = sh.neighbors
+    val n = vectors.length
     // Reverse-edge slack (standard DiskANN implementation device): pruning a
     // saturated list on EVERY reverse edge makes the O(R²·d) RobustPrune the
     // dominant build cost (~R prunes per insert). Letting lists grow to
     // ~1.5·R and pruning only on slack overflow amortizes it ~(slack-R)×;
     // a final pass restores the strict R bound.
     val slack = math.max(params.maxDegree + 8, params.maxDegree * 3 / 2)
-    var v = 0
+    var v = from
     while (v < n) {
-      if (v != entry) {
-        val pool = beamSearchPool(partial, vectors(v), params.buildComplexity, dist)
+      if (v != sh.entry) {
+        val pool = beamSearchPool(sh, vectors(v), params.buildComplexity, dist)
         neighbors(v) = robustPruneArr(v, pool.labels, pool.dists, pool.size,
           vectors, params.alpha, params.maxDegree, dist)
         // reverse edges + amortized overflow prune
@@ -482,7 +500,34 @@ object Vamana {
       }
       u += 1
     }
-    Shard(ids, vectors, neighbors, entry)
+  }
+
+  /** Online insert: extend an EXISTING shard's graph with new points — the
+    * reference's per-row live insert (src/diskann_index.cpp:316-361) as a
+    * copy-on-write shard rewrite. Old labels keep their positions (callers
+    * can carry per-label side state, e.g. insert epochs, by appending);
+    * the entry point is unchanged; the input shard is not mutated (the
+    * neighbors spine is copied, lists are replaced wholesale). Beam
+    * searches during the sweep see old + already-inserted new points, so
+    * graph quality matches a from-scratch build of the union up to insert
+    * order — the same contract Algorithm 3 gives the batch build. */
+  def insertIntoShard(sh: Shard, newIds: Array[Long],
+                      newVectors: Array[Array[Float]],
+                      params: Params, metric: String): Shard = {
+    if (sh.ids.isEmpty) return buildShard(newIds, newVectors, params, metric)
+    if (newIds.isEmpty) return sh
+    val n0 = sh.ids.length
+    val n = n0 + newIds.length
+    val ids = java.util.Arrays.copyOf(sh.ids, n)
+    System.arraycopy(newIds, 0, ids, n0, newIds.length)
+    val vectors = java.util.Arrays.copyOf(sh.vectors, n)
+    System.arraycopy(newVectors, 0, vectors, n0, newVectors.length)
+    val neighbors = java.util.Arrays.copyOf(sh.neighbors, n)
+    var i = n0
+    while (i < n) { neighbors(i) = Array.empty[Int]; i += 1 }
+    val grown = Shard(ids, vectors, neighbors, sh.entry)
+    insertSweep(grown, n0, params, VectorKernels.orderingDistance(metric) _)
+    grown
   }
 
   // ---- DataFrame-level build / search ----
@@ -568,13 +613,15 @@ object Vamana {
             decodeShard(shardId, shardRows, codec))
           case None => decodeShard(shardId, shardRows, codec)
         }
-        // insert epoch is constant per shard by construction (create = 0,
-        // each delta shard = one insert, vacuum resets uniformly) — read it
-        // from the raw rows so cached decodes need no schema change
-        val shardSeg = shardRows.head.getLong(6)
+        // insert epoch per LABEL, read from the raw rows (cached decodes
+        // need no schema change): create/delta shards are single-epoch,
+        // but an online rewrite (AnnIndex.writeOnlineInsert) produces a
+        // MIXED-epoch shard — a per-shard constant would let a tombstone
+        // older than the shard's head row mask a newer re-inserted row
+        val segs = segArray(shardRows, 6)
         bcQueries.value.iterator.flatMap { case (qi, q) =>
           beamSearch(sh, q, l, dist).take(l)
-            .map { case (label, d) => Row(qi, sh.ids(label), d, shardSeg) }
+            .map { case (label, d) => Row(qi, sh.ids(label), d, segs(label)) }
         }
       }
     }(Encoders.row(out))
@@ -616,13 +663,25 @@ object Vamana {
             decodeShard(shardId, shardRows, codec))
           case None => decodeShard(shardId, shardRows, codec)
         }
-        val shardSeg = shardRows.head.getLong(6)
+        val segs = segArray(shardRows, 6)
         bcQueries.value.iterator.flatMap { case (qi, q) =>
           GraphRange.expanding(radius, eps, initL, maxL)(l => beamSearch(sh, q, l, dist))
-            .map { case (label, d) => Row(qi, sh.ids(label), d, shardSeg) }
+            .map { case (label, d) => Row(qi, sh.ids(label), d, segs(label)) }
         }
       }
     }(Encoders.row(out))
+  }
+
+  /** Per-LABEL insert epochs from raw shard rows (label = field 1, epoch
+    * at `segIdx`). Create/delta/vacuum shards are single-epoch, but an
+    * online insert (AnnIndex.writeOnlineInsert) rewrites a shard with the
+    * old rows' epochs preserved and the new rows at the batch epoch —
+    * tombstone masking must therefore resolve per row, not per shard.
+    * Shared by both graph engines' batch paths. */
+  def segArray(shardRows: collection.Seq[Row], segIdx: Int): Array[Long] = {
+    val segs = new Array[Long](shardRows.length)
+    shardRows.foreach(r => segs(r.getInt(1)) = r.getLong(segIdx))
+    segs
   }
 
   /** Whole-shard rows (layout: shard, label, id, vector|codes, neighbors,
@@ -677,7 +736,7 @@ object Vamana {
       search = (sh, q) => {
         val s = sh.asInstanceOf[Shard]
         beamSearch(s, q, l, dist).iterator
-          .map { case (label, d) => (s.ids(label), d) }
+          .map { case (label, d) => (s.ids(label), d, label) }
       },
       graphPrePartitioned = graphPrePartitioned,
       spill = Some(ShardSpillCodec))
@@ -705,7 +764,7 @@ object Vamana {
       search = (sh, q) => {
         val s = sh.asInstanceOf[Shard]
         GraphRange.expanding(radius, eps, initL, maxL)(l => beamSearch(s, q, l, dist))
-          .iterator.map { case (label, d) => (s.ids(label), d) }
+          .iterator.map { case (label, d) => (s.ids(label), d, label) }
       },
       graphPrePartitioned = graphPrePartitioned,
       spill = Some(ShardSpillCodec))

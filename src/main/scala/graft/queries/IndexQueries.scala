@@ -120,6 +120,39 @@ object IndexQueries {
       idx
     })
 
+  /** DISKANN mutated through the ONLINE insert path (copy-on-write shard
+    * rewrite, `spark.ann.onlineInsertMaxRows`): two micro-batch inserts, a
+    * delete, and a delete+re-insert of the same id — the CDC update
+    * encoding — all WITHOUT opening delta shards (the require below proves
+    * the online path engaged). Exhaustive-beam search is exact, so the
+    * brute-force oracle strictly pins graph extension, per-label epoch
+    * masking, and the epoch-win of the re-inserted row. */
+  private def onlineIndex(s: SparkSession, dir: String): AnnIndex =
+    AnnIndexManager.getOrBuild(s, "emb_vamana_online", dir, path => {
+      val all = emb(s, dir)
+      val idx = AnnIndexManager.create(s, "emb_vamana_online",
+        all.filter(col("vec_id") >= 20), "vec_id", "embedding",
+        "DISKANN", Map("metric" -> "l2", "max_degree" -> "64",
+          "build_complexity" -> "128"), path)
+      val shardsAtCreate = idx.meta.param("shards", 0)
+      val prev = s.conf.getOption("spark.ann.onlineInsertMaxRows")
+      s.conf.set("spark.ann.onlineInsertMaxRows", "1000")
+      try {
+        idx.insert(all.filter(col("vec_id") < 10), "vec_id", "embedding")
+        idx.insert(all.filter(col("vec_id") >= 10 && col("vec_id") < 20),
+          "vec_id", "embedding")
+        idx.delete(Seq(0L, 1L, 2L))
+        idx.insert(all.filter(col("vec_id") === 2), "vec_id", "embedding")
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.ann.onlineInsertMaxRows", v)
+        case None => s.conf.unset("spark.ann.onlineInsertMaxRows")
+      }
+      require(idx.meta.param("shards", 0) == shardsAtCreate,
+        "online insert fixture fell back to delta shards — the query would " +
+          "no longer exercise the online path")
+      idx
+    })
+
   /** IVF with a forced cell-rebalance pass (SPANN-style skew fix): a low
     * maxCellFactor makes mild imbalance split, exercising sub-centroid
     * training, row moves, and the radius re-derivation (build-once). */
@@ -357,6 +390,14 @@ object IndexQueries {
     // oracle proves compaction loses and resurrects nothing.
     "ann_compact_topk" -> ((s: SparkSession, dir: String) =>
       ranked(compactedIndex(s, dir).scan(qvecF(17), K, searchParam = 100000))),
+
+    // ONLINE insert lifecycle (per-row live graph insert, the reference's
+    // src/diskann_index.cpp:316-361): create + 2 online micro-batches +
+    // delete + online re-insert, shard count pinned flat → exhaustive beam
+    // → exact → strict oracle proves the rewrite loses and resurrects
+    // nothing and the re-inserted id is live at its new epoch.
+    "ann_online_topk" -> ((s: SparkSession, dir: String) =>
+      ranked(onlineIndex(s, dir).scan(qvecF(13), K, searchParam = 100000))),
 
     // S3: fetch base columns through the broadcast join-back.
     "ann_search_fetch" -> ((s: SparkSession, dir: String) => {
@@ -1258,6 +1299,8 @@ object IndexQueries {
     "ann_vacuum_topk" -> bruteForceTopK(0, where = "WHERE label <> 3"),
     // compacted index = all rows except the 5 tombstoned ids
     "ann_compact_topk" -> bruteForceTopK(17, where = "WHERE vec_id >= 5"),
+    // online-mutated index = all rows except ids 0,1 (2 was re-inserted)
+    "ann_online_topk" -> bruteForceTopK(13, where = "WHERE vec_id >= 2"),
     // merged index = even half ∪ live (label<>3) odd half
     "ann_merge_topk" ->
       bruteForceTopK(11, where = "WHERE (vec_id % 2 = 0) OR (label <> 3)"),

@@ -22,9 +22,13 @@ import org.apache.spark.sql.functions._
   *    keeps every surviving candidate exactly ranked).
   *  - Audio fingerprint micro-decade: clips/second of `audioFingerprint64`
   *    after the multiplyHigh rewrite (allocation-free bit compare).
+  *  - Online graph insert vs delta shards: the same CDC micro-batch stream
+  *    through both mutation paths — shard count, mutation wall, bytes
+  *    written (the online path's write amplification), search wall after
+  *    the stream, and an exhaustive-beam exactness anchor across paths.
   *
   * Run: SPARK_DRIVER_MEM=24g sbt -batch "runMain graft.tools.R14Scale [mode]"
-  * mode: all|urlblock|urldedup|negmine|audio
+  * mode: all|urlblock|urldedup|negmine|audio|online
   */
 object R14Scale {
   def main(args: Array[String]): Unit = {
@@ -215,11 +219,84 @@ object R14Scale {
       }
     }
 
+    // ---- online graph insert vs delta shards ------------------------------
+    // One CDC stream, both mutation paths. The trade being measured: the
+    // online path rewrites ~one existing shard per micro-batch (write
+    // amplification, but shard count stays flat and no compaction debt);
+    // the delta path appends a tiny shard per batch (cheap writes, but the
+    // shard set fragments and per-task search cost grows until someone
+    // compacts). Both serve fresh rows immediately and exactly.
+    def onlineArm(): Unit = {
+      val d = 128
+      val n = 150000L // → 2 shards at the n·d build budget
+      val batches = 10
+      val bs = 1000L
+      val mkVec = udf { (id: Long) =>
+        val r = new scala.util.Random(id * 6364136223846793005L + 7)
+        Array.fill(d)(r.nextFloat() * 10f)
+      }
+      val base = spark.range(n).select(col("id"), mkVec(col("id")).as("vec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      base.count()
+      val tmp = java.nio.file.Files.createTempDirectory("graft_r14_online").toString
+      def dirBytes(p: String): Long = {
+        val root = java.nio.file.Paths.get(p)
+        if (!java.nio.file.Files.exists(root)) 0L
+        else {
+          val s = java.nio.file.Files.walk(root)
+          try s.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+          finally s.close()
+        }
+      }
+      val qs = Seq.tabulate(50) { i =>
+        val r = new scala.util.Random(i * 104729L + 3)
+        Array.fill(d)(r.nextFloat() * 10f)
+      }
+      def run(label: String, online: Boolean): Seq[Long] = {
+        if (online) spark.conf.set("spark.ann.onlineInsertMaxRows", bs.toString)
+        else spark.conf.unset("spark.ann.onlineInsertMaxRows")
+        val idx = measured(s"online-arm [$label] create n=$n d=$d") {
+          graft.index.AnnIndexManager.create(spark, s"r14_ol_$label", base,
+            "id", "vec", "DISKANN",
+            Map("metric" -> "l2", "max_degree" -> "32",
+              "build_complexity" -> "64"), s"$tmp/$label")
+        }
+        val b0 = dirBytes(s"$tmp/$label/data")
+        measured(s"online-arm [$label] ${batches}x$bs inserts") {
+          for (b <- 0 until batches)
+            idx.insert(spark.range(n + b * bs, n + (b + 1) * bs)
+              .select(col("id"), mkVec(col("id")).as("vec")), "id", "vec")
+        }
+        // total bytes landed on disk by the mutation stream (orphaned
+        // pre-rewrite dirs included — they were written)
+        val mb = (dirBytes(s"$tmp/$label/data") - b0) / 1e6
+        println(f"[r14-scale]   [$label] shards=${idx.meta.param("shards", 0)} " +
+          f"bytes_written=$mb%.1f MB")
+        idx.persist()
+        measured(s"online-arm [$label] searchBatch 50q warm") {
+          idx.searchBatch(qs, 10).count() // untimed pin happens here
+          idx.searchBatch(qs, 10).count()
+        }
+        val anchor = idx.scan(qs.head, 10, searchParam = 200000)
+          .collect().map(_.getLong(0)).toSeq
+        idx.unpersist()
+        anchor
+      }
+      val aDelta = run("delta", online = false)
+      val aOnline = run("online", online = true)
+      println(s"[r14-scale]   exhaustive top-10 equal across paths: " +
+        s"${aDelta == aOnline} ($aDelta)")
+      spark.conf.unset("spark.ann.onlineInsertMaxRows")
+      base.unpersist()
+    }
+
     println(s"[r14-scale] mode=$mode cpus=$cpus")
     if (mode == "all" || mode == "urlblock") urlBlockArm()
     if (mode == "all" || mode == "urldedup") urlDedupArm(2000000)
     if (mode == "all" || mode == "negmine") negMineArm()
     if (mode == "all" || mode == "audio") audioArm()
+    if (mode == "all" || mode == "online") onlineArm()
     spark.stop()
   }
 }

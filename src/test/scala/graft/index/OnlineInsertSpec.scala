@@ -1,0 +1,159 @@
+package graft.index
+
+import graft.SparkSpec
+import graft.functions.VectorKernels
+
+import java.nio.file.Files
+
+/** Online graph insert: Vamana.insertIntoShard (the per-point Algorithm 3
+  * step on an existing shard) and the AnnIndex copy-on-write shard rewrite
+  * behind `spark.ann.onlineInsertMaxRows`. */
+class OnlineInsertSpec extends SparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("graft_online_spec").toString
+
+  private val dim = 8
+  private def vecs(n: Int, seed: Int, from: Long = 0L): Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.tabulate(n)(i => (from + i, Array.fill(dim)(rnd.nextFloat() * 10f)))
+  }
+
+  private def bruteTopK(data: Seq[(Long, Array[Float])], q: Array[Float],
+                        k: Int): Seq[Long] =
+    data.map { case (id, v) => (id, VectorKernels.l2Sq(q, v)) }
+      .sortBy { case (id, d) => (d, id) }.take(k).map(_._1)
+
+  private val params = Vamana.Params(maxDegree = 16, buildComplexity = 64, alpha = 1.2)
+
+  // ---- kernel level ----
+
+  test("insertIntoShard extends the graph without touching the input shard") {
+    val base = vecs(100, 1)
+    val extra = vecs(20, 2, from = 100L)
+    val sh0 = Vamana.buildShard(base.map(_._1).toArray,
+      base.map(_._2).toArray, params, "l2")
+    val snapshot = sh0.neighbors.map(_.clone())
+    val sh = Vamana.insertIntoShard(sh0, extra.map(_._1).toArray,
+      extra.map(_._2).toArray, params, "l2")
+
+    // input shard not mutated (copy-on-write spine, wholesale list swaps)
+    assert(sh0.ids.length == 100 && sh0.neighbors.length == 100)
+    sh0.neighbors.zip(snapshot).foreach { case (now, before) =>
+      assert(now.sameElements(before))
+    }
+    // old labels keep their positions; entry preserved
+    assert(sh.ids.length == 120)
+    assert(sh.ids.take(100).sameElements(sh0.ids))
+    assert(sh.entry == sh0.entry)
+    // structural invariants: degree bound, label range
+    sh.neighbors.foreach { nb =>
+      assert(nb.length <= params.maxDegree)
+      nb.foreach(l => assert(l >= 0 && l < 120))
+    }
+    // exhaustive beam over the grown graph is exact on the union —
+    // every new point must be reachable
+    val all = base ++ extra
+    for (q <- Seq(extra(3)._2, base(7)._2, Array.fill(dim)(5f))) {
+      val got = Vamana.beamSearch(sh, q, l = 200,
+          VectorKernels.orderingDistance("l2") _)
+        .sortBy { case (l, d) => (d, sh.ids(l)) }.take(10).map(p => sh.ids(p._1))
+      assert(got == bruteTopK(all, q, 10),
+        "exhaustive beam after online insert must be exact")
+    }
+  }
+
+  test("insertIntoShard into an empty shard builds from scratch") {
+    val pts = vecs(30, 3)
+    val empty = Vamana.Shard(Array.empty, Array.empty, Array.empty, 0)
+    val sh = Vamana.insertIntoShard(empty, pts.map(_._1).toArray,
+      pts.map(_._2).toArray, params, "l2")
+    assert(sh.ids.length == 30)
+    val q = pts(11)._2
+    val got = Vamana.beamSearch(sh, q, l = 64,
+        VectorKernels.orderingDistance("l2") _)
+      .sortBy { case (l, d) => (d, sh.ids(l)) }.take(5).map(p => sh.ids(p._1))
+    assert(got == bruteTopK(pts, q, 5))
+  }
+
+  // ---- index level ----
+
+  test("online insert rewrites shards copy-on-write; shard count stays flat") {
+    import spark.implicits._
+    val base = vecs(200, 4)
+    val idx = AnnIndexManager.create(spark, "t_online",
+      base.toDF("id", "embedding"), "id", "embedding", "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "64",
+        "shards" -> "2"),
+      s"$tmp/t_online")
+    assert(idx.meta.param("shards", 0) == 2)
+    val liveBefore = idx.meta.params("live_shards")
+
+    spark.conf.set("spark.ann.onlineInsertMaxRows", "100")
+    try {
+      var all = base
+      for (b <- 0 until 3) {
+        val batch = vecs(10, 10 + b, from = 1000L + b * 10)
+        idx.insert(batch.toDF("id", "embedding"), "id", "embedding")
+        all = all ++ batch
+      }
+      // no delta shards accumulated — the r13 append model would be at 5
+      assert(idx.meta.param("shards", 0) == 2,
+        s"online insert must not open delta shards: ${idx.meta.params("live_shards")}")
+      // but the LIVE IDS moved (fresh dirs per rewrite — crash safety)
+      assert(idx.meta.params("live_shards") != liveBefore)
+      assert(idx.meta.numVectors == 230)
+      // round-robin cursor persisted and advancing
+      assert(idx.meta.params.contains("online_cursor"))
+
+      // exhaustive search exact over the union, new rows included
+      val q = all(215)._2
+      val got = idx.scan(q, 10, searchParam = 100000)
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == bruteTopK(all, q, 10))
+
+      // old rows keep their insert epoch (seg 0) through the rewrite;
+      // new rows carry the batch epoch
+      val segs = idx.data.selectExpr("id", "seg").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(segs(base(0)._1) == 0L)
+      assert(segs(1000L) == 1L && segs(1010L) == 2L && segs(1020L) == 3L)
+
+      // delete + online re-insert of the same id: the fresh epoch wins
+      // (the CDC update encoding the epoch tombstones exist for)
+      idx.delete(Seq(1000L))
+      assert(!idx.scan(all(0)._2, 230, searchParam = 100000)
+        .collect().map(_.getLong(0)).contains(1000L))
+      idx.insert(Seq((1000L, Array.fill(dim)(0.5f))).toDF("id", "embedding"),
+        "id", "embedding")
+      assert(idx.meta.param("shards", 0) == 2)
+      val near = idx.scan(Array.fill(dim)(0.5f), 1, searchParam = 100000)
+        .collect().map(_.getLong(0)).toSeq
+      assert(near == Seq(1000L), "re-inserted id must be live at the new epoch")
+    } finally spark.conf.unset("spark.ann.onlineInsertMaxRows")
+  }
+
+  test("batches above the cap and non-eligible engines fall back to delta shards") {
+    import spark.implicits._
+    spark.conf.set("spark.ann.onlineInsertMaxRows", "5")
+    try {
+      val idx = AnnIndexManager.create(spark, "t_online_fb",
+        vecs(100, 5).toDF("id", "embedding"), "id", "embedding", "DISKANN",
+        Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "32",
+          "shards" -> "2"),
+        s"$tmp/t_online_fb")
+      // 20 rows > cap of 5 → delta path, shard count grows
+      idx.insert(vecs(20, 6, from = 500L).toDF("id", "embedding"), "id", "embedding")
+      assert(idx.meta.param("shards", 0) == 3)
+
+      // quantized graph index: online path must not fire (decode→re-encode
+      // would degrade stored codes) — delta shard instead
+      val sq8 = AnnIndexManager.create(spark, "t_online_sq8",
+        vecs(100, 7).toDF("id", "embedding"), "id", "embedding", "DISKANN",
+        Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "32",
+          "quantization" -> "sq8", "shards" -> "2"),
+        s"$tmp/t_online_sq8")
+      sq8.insert(vecs(3, 8, from = 600L).toDF("id", "embedding"), "id", "embedding")
+      assert(sq8.meta.param("shards", 0) == 3)
+    } finally spark.conf.unset("spark.ann.onlineInsertMaxRows")
+  }
+}
