@@ -753,7 +753,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     val segNew = currentSeg + 1
     val onlineMax =
       spark.conf.get("spark.ann.onlineInsertMaxRows", "0").toLong
-    if (meta.engine == "DISKANN" && codec.isEmpty && n > 0 && n <= onlineMax
+    if (isGraphEngine && codec.isEmpty && n > 0 && n <= onlineMax
         && liveShardIds.nonEmpty) {
       writeOnlineInsert(prepared, n, segNew)
     } else if (isGraphEngine) {
@@ -818,10 +818,12 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * rewrite. Opt-in via `spark.ann.onlineInsertMaxRows` (=0 off): batches
     * at or under the cap take this path; larger batches keep the
     * parallel delta-shard build (rewriting every live shard for a bulk
-    * load would be full-index write amplification). DISKANN + unquantized
-    * only — sq8/fp16 shards would need a decode→insert→re-encode round
-    * trip that degrades stored codes, and HNSW layer assignment is
-    * build-seeded — both fall back to the delta path.
+    * load would be full-index write amplification). Both graph engines
+    * (DISKANN via Vamana Algorithm 3, HNSW via the layered Algorithm 1
+    * step — new nodes draw their deterministic per-id level, the entry
+    * moves only when a taller node lands), unquantized only — sq8/fp16
+    * shards would need a decode→insert→re-encode round trip that degrades
+    * stored codes, so they fall back to the delta path.
     *
     * Scale shape: the batch is hash-routed to `t` target shards where
     * t ≈ batchRows / targetShardRows (so per-task insert work stays inside
@@ -849,27 +851,38 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     remap.values.foreach(sid => IndexMeta.deleteDir(s"$dataPath/shard=$sid"))
     // existing graph rows of ONLY the touched shards (partition-pruned),
     // tagged by their real label; new rows ride along with label = -1
+    val isHnsw = meta.engine == "HNSW"
+    val baseCols = Seq("shard", "label", "id", "vector") ++
+      (if (isHnsw) Seq("level") else Nil) ++ Seq("neighbors", "is_entry", "seg")
+    val segIdx = baseCols.length - 1
     val graphRows = readData()
-      .select(col("shard"), col("label"), col("id"), col("vector"),
-        col("neighbors"), col("is_entry"), col("seg"))
+      .select(baseCols.map(col): _*)
       .where(col("shard").isin(targets.toSeq: _*))
-    val newRows = prepared.select(
-      element_at(typedLit(targets.toSeq),
-        (pmod(hash(col("id")), lit(t)) + 1).cast("int")).as("shard"),
-      lit(-1).as("label"), col("id"), col("vector"),
-      typedLit(Seq.empty[Int]).as("neighbors"),
-      lit(false).as("is_entry"), lit(segNew).as("seg"))
+    val routed = element_at(typedLit(targets.toSeq),
+      (pmod(hash(col("id")), lit(t)) + 1).cast("int")).as("shard")
+    val newRows =
+      if (isHnsw) prepared.select(routed, lit(-1).as("label"), col("id"),
+        col("vector"), lit(0).as("level"), // recomputed per id at insert
+        typedLit(Seq.empty[Seq[Int]]).as("neighbors"),
+        lit(false).as("is_entry"), lit(segNew).as("seg"))
+      else prepared.select(routed, lit(-1).as("label"), col("id"),
+        col("vector"), typedLit(Seq.empty[Int]).as("neighbors"),
+        lit(false).as("is_entry"), lit(segNew).as("seg"))
     val bcRemap = spark.sparkContext.broadcast(remap)
-    val params = Vamana.Params.from(meta)
+    val engine = meta.engine
+    val vParams = Vamana.Params.from(meta)
+    val hParams = Hnsw.Params.from(meta)
     val metric = meta.metric
     val outSchema = StructType(Seq(
       StructField("shard", IntegerType, nullable = false),
       StructField("label", IntegerType, nullable = false),
       StructField("id", LongType, nullable = false),
-      StructField("vector", ArrayType(FloatType), nullable = false),
-      StructField("neighbors", ArrayType(IntegerType), nullable = false),
-      StructField("is_entry", BooleanType, nullable = false),
-      StructField("seg", LongType, nullable = false)))
+      StructField("vector", ArrayType(FloatType), nullable = false)) ++
+      (if (isHnsw) Seq(StructField("level", IntegerType, nullable = false),
+        StructField("neighbors", ArrayType(ArrayType(IntegerType)), nullable = false))
+      else Seq(StructField("neighbors", ArrayType(IntegerType), nullable = false))) ++
+      Seq(StructField("is_entry", BooleanType, nullable = false),
+        StructField("seg", LongType, nullable = false)))
     val rewritten = graphRows.unionByName(newRows)
       .repartition(Vamana.shardPartitions(t), col("shard"))
       .mapPartitions { rows =>
@@ -878,18 +891,32 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         // bound the batch search path holds
         rows.toSeq.groupBy(_.getInt(0)).iterator.flatMap { case (old, rs) =>
           val (oldRows, ins) = rs.partition(_.getInt(1) >= 0)
-          val sh0 = Vamana.decodeShard(old, oldRows, None)
           val segs = new Array[Long](oldRows.length)
-          oldRows.foreach(r => segs(r.getInt(1)) = r.getLong(6))
-          val sh = Vamana.insertIntoShard(sh0,
-            ins.map(_.getLong(2)).toArray,
-            ins.map(_.getSeq[Float](3).toArray).toArray, params, metric)
+          oldRows.foreach(r => segs(r.getInt(1)) = r.getLong(segIdx))
+          val newIds = ins.map(_.getLong(2)).toArray
+          val newVecs = ins.map(_.getSeq[Float](3).toArray).toArray
           val sid = bcRemap.value(old)
           val allSegs = segs ++ ins.map(_ => segNew)
-          sh.ids.indices.iterator.map { label =>
-            org.apache.spark.sql.Row(sid, label, sh.ids(label),
-              sh.vectors(label).toSeq, sh.neighbors(label).toSeq,
-              label == sh.entry, allSegs(label))
+          engine match {
+            case "HNSW" =>
+              val sh = Hnsw.insertIntoShard(
+                Hnsw.decodeShard(old, oldRows, None), newIds, newVecs,
+                hParams, metric)
+              sh.ids.indices.iterator.map { label =>
+                org.apache.spark.sql.Row(sid, label, sh.ids(label),
+                  sh.vectors(label).toSeq, sh.levels(label),
+                  sh.neighbors(label).map(_.toSeq).toSeq,
+                  label == sh.entry, allSegs(label))
+              }
+            case _ =>
+              val sh = Vamana.insertIntoShard(
+                Vamana.decodeShard(old, oldRows, None), newIds, newVecs,
+                vParams, metric)
+              sh.ids.indices.iterator.map { label =>
+                org.apache.spark.sql.Row(sid, label, sh.ids(label),
+                  sh.vectors(label).toSeq, sh.neighbors(label).toSeq,
+                  label == sh.entry, allSegs(label))
+              }
           }
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))

@@ -183,14 +183,29 @@ object Hnsw {
     val neighbors = Array.tabulate(n)(i => Array.fill(levels(i) + 1)(Array.empty[Int]))
     if (n == 0) return Shard(ids, vectors, levels, neighbors, 0, 0)
 
-    var entry = 0
-    var maxLevel = levels(0)
+    insertSweep(ids, vectors, levels, neighbors, 0, levels(0), 1, params, dist)
+  }
+
+  /** Insert labels [from, n) into the (mutable) parallel arrays — the
+    * per-point step of Malkov & Yashunin Algorithm 1, shared by
+    * [[buildShard]] (from=1, label 0 seeds the entry) and the online
+    * append ([[insertIntoShard]], from=old n). Adjacency lists are
+    * replaced wholesale, never element-written, so callers may share
+    * inner Int arrays with an older shard snapshot. Returns the final
+    * shard (entry/maxLevel updated as taller nodes land). */
+  private def insertSweep(ids: Array[Long], vectors: Array[Array[Float]],
+                          levels: Array[Int], neighbors: Array[Array[Array[Int]]],
+                          entry0: Int, maxLevel0: Int, from: Int, params: Params,
+                          dist: (Array[Float], Array[Float]) => Double): Shard = {
+    val n = vectors.length
+    var entry = entry0
+    var maxLevel = maxLevel0
     var built = Shard(ids, vectors, levels, neighbors, entry, maxLevel)
 
     def selectNeighbors(cands: ArrayBuffer[(Int, Double)], m: Int): Array[Int] =
       cands.sortBy(_._2).take(m).map(_._1).toArray
 
-    var v = 1
+    var v = from
     while (v < n) {
       val q = vectors(v)
       val vLevel = levels(v)
@@ -230,6 +245,36 @@ object Hnsw {
       v += 1
     }
     built
+  }
+
+  /** Online insert: extend an EXISTING shard's layered graph with new
+    * points (same contract as [[Vamana.insertIntoShard]]): old labels keep
+    * their positions, the input shard is not mutated (outer and per-node
+    * level spines copied; lists replaced wholesale), and the entry point
+    * moves only if a new node draws a taller level — exactly what the
+    * from-scratch build would do with the same arrival order. */
+  def insertIntoShard(sh: Shard, newIds: Array[Long],
+                      newVectors: Array[Array[Float]],
+                      params: Params, metric: String): Shard = {
+    if (sh.ids.isEmpty) return buildShard(newIds, newVectors, params, metric)
+    if (newIds.isEmpty) return sh
+    val n0 = sh.ids.length
+    val n = n0 + newIds.length
+    val ids = java.util.Arrays.copyOf(sh.ids, n)
+    System.arraycopy(newIds, 0, ids, n0, newIds.length)
+    val vectors = java.util.Arrays.copyOf(sh.vectors, n)
+    System.arraycopy(newVectors, 0, vectors, n0, newVectors.length)
+    val levels = java.util.Arrays.copyOf(sh.levels, n)
+    val neighbors = new Array[Array[Array[Int]]](n)
+    var i = 0
+    while (i < n0) { neighbors(i) = sh.neighbors(i).clone(); i += 1 }
+    while (i < n) {
+      levels(i) = levelFor(ids(i), params.mL)
+      neighbors(i) = Array.fill(levels(i) + 1)(Array.empty[Int])
+      i += 1
+    }
+    insertSweep(ids, vectors, levels, neighbors, sh.entry, sh.maxLevel, n0,
+      params, VectorKernels.orderingDistance(metric) _)
   }
 
   val graphSchema: StructType = StructType(Seq(

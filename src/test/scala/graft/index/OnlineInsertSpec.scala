@@ -132,6 +132,72 @@ class OnlineInsertSpec extends SparkSpec {
     } finally spark.conf.unset("spark.ann.onlineInsertMaxRows")
   }
 
+  test("HNSW online insert: layered extension, flat shard count, exact exhaustive") {
+    import spark.implicits._
+    val base = vecs(200, 30)
+    val idx = AnnIndexManager.create(spark, "t_online_hnsw",
+      base.toDF("id", "embedding"), "id", "embedding", "HNSW",
+      Map("metric" -> "l2", "hnsw_m" -> "16", "shards" -> "2"),
+      s"$tmp/t_online_hnsw")
+    spark.conf.set("spark.ann.onlineInsertMaxRows", "100")
+    try {
+      var all = base
+      for (b <- 0 until 3) {
+        val batch = vecs(10, 40 + b, from = 2000L + b * 10)
+        idx.insert(batch.toDF("id", "embedding"), "id", "embedding")
+        all = all ++ batch
+      }
+      assert(idx.meta.param("shards", 0) == 2,
+        "HNSW online insert must not open delta shards")
+      val q = all(225)._2
+      val got = idx.scan(q, 10, searchParam = 100000)
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == bruteTopK(all, q, 10),
+        "exhaustive ef after HNSW online insert must be exact")
+      // delete + online re-insert of the same id at a moved vector
+      idx.delete(Seq(2000L))
+      idx.insert(Seq((2000L, Array.fill(dim)(0.75f))).toDF("id", "embedding"),
+        "id", "embedding")
+      val near = idx.scan(Array.fill(dim)(0.75f), 1, searchParam = 100000)
+        .collect().map(_.getLong(0)).toSeq
+      assert(near == Seq(2000L))
+    } finally spark.conf.unset("spark.ann.onlineInsertMaxRows")
+  }
+
+  test("pinned table search resolves mixed-epoch shards, fast path included") {
+    import spark.implicits._
+    val base = vecs(150, 20)
+    val idx = AnnIndexManager.create(spark, "t_online_zip",
+      base.toDF("id", "embedding"), "id", "embedding", "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "64",
+        "shards" -> "2"),
+      s"$tmp/t_online_zip")
+    spark.conf.set("spark.ann.onlineInsertMaxRows", "100")
+    try {
+      // delete + online re-insert: the rewritten shard now mixes epochs,
+      // and the hit for the re-inserted id must carry ITS row's epoch
+      // through the zip layout cache, not the shard head's
+      idx.insert(vecs(5, 21, from = 900L).toDF("id", "embedding"), "id", "embedding")
+      idx.delete(Seq(900L))
+      idx.insert(Seq((900L, Array.fill(dim)(0.25f))).toDF("id", "embedding"),
+        "id", "embedding")
+      idx.persist()
+      val qs = Seq((1, Array.fill(dim)(0.25f)), (2, base(3)._2))
+        .toDF("__qid", "__qvec")
+      def top(df: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+        df.collect().groupBy(_.getInt(0))
+          .map { case (q, rs) => q -> rs.minBy(_.getDouble(2)).getLong(1) }
+      val first = top(idx.scanGraphTable(qs, 3, 100000))
+      assert(first(1) == 900L, "re-inserted id must surface on the zip path")
+      val hits0 = GraphShardCache.zipFastPathHits.get()
+      val second = top(idx.scanGraphTable(qs, 3, 100000))
+      assert(second == first)
+      assert(GraphShardCache.zipFastPathHits.get() > hits0,
+        "repeat call must serve from the recorded layout (per-label epochs)")
+      idx.unpersist()
+    } finally spark.conf.unset("spark.ann.onlineInsertMaxRows")
+  }
+
   test("batches above the cap and non-eligible engines fall back to delta shards") {
     import spark.implicits._
     spark.conf.set("spark.ann.onlineInsertMaxRows", "5")
