@@ -678,6 +678,60 @@ class StreamingSpec extends SparkSpec {
     assert(inserted.map(_._1).forall(all.toSet))
   }
 
+  test("online insert keeps the live shard set EXACTLY flat under a CDC stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(37)
+    def vec() = Array.fill(4)(rnd.nextFloat())
+    val initial = Seq.tabulate(60)(i => (i.toLong, vec()))
+    val idx = AnnIndexManager.create(spark, "st_online", initial.toDF("id", "embedding"),
+      "id", "embedding", "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "32",
+        "shards" -> "2"),
+      s"$tmp/st_online")
+
+    val ms = MemoryStream[(Long, Array[Float], String)]
+    spark.conf.set("spark.ann.onlineInsertMaxRows", "100")
+    val q = IndexMaintenance.attachCdc(
+      ms.toDF().toDF("id", "embedding", "op"), idx, "id", "embedding", "op",
+      s"$tmp/ckpt_online",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      for (b <- 0 until 4) {
+        val batch = Seq.tabulate(5)(i =>
+          ((2000 + b * 5 + i).toLong, vec(), "insert"))
+        ms.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      // delete + re-insert of a streamed id IN LATER BATCHES: the online
+      // rewrite mixes epochs inside a live shard and the re-inserted row
+      // must win its tombstone (per-label epoch masking end-to-end)
+      ms.addData((2000L, vec(), "delete"))
+      q.processAllAvailable()
+      val moved = Array(0.9f, 0.9f, 0.9f, 0.9f)
+      ms.addData((2000L, moved, "insert"))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.ann.onlineInsertMaxRows")
+    }
+
+    // no delta shards EVER opened: the create-time set is the live set
+    assert(idx.meta.param("shards", 0) == 2,
+      s"online CDC stream fragmented the shard set: ${idx.meta.params("live_shards")}")
+    assert(idx.meta.numVectors == 81) // 60 + 20 + 1 re-insert
+    val hit = idx.scan(Array(0.9f, 0.9f, 0.9f, 0.9f), 1, searchParam = 100000)
+      .head().getLong(0)
+    assert(hit == 2000L, "re-inserted id must be live at its new epoch")
+    // every streamed row searchable exactly once: 80 distinct live ids —
+    // numVectors counts 81 physical rows, the 81st being 2000's dead old
+    // copy, which the epoch mask must hide without hiding its successor
+    val all = idx.scan(Array(0.5f, 0.5f, 0.5f, 0.5f), 100, searchParam = 100000)
+      .collect().map(_.getLong(0))
+    assert(all.length == 80 && all.toSet.size == 80)
+  }
+
   test("replayed micro-batch is skipped: numVectors and results unchanged") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
