@@ -827,8 +827,10 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     *
     * Scale shape: the batch is hash-routed to `t` target shards where
     * t ≈ batchRows / targetShardRows (so per-task insert work stays inside
-    * the create-time build budget), chosen round-robin via the persisted
-    * `online_cursor` so repeated micro-batches grow shards evenly. Only
+    * the create-time build budget). Targets are the SMALLEST live shard
+    * ids — a rewrite re-publishes under fresh (maximal) ids, so
+    * smallest-first is least-recently-rewritten and repeated micro-batches
+    * rotate through the whole live set without any cursor state. Only
     * the touched shards are read (partition-pruned scan) and rewritten
     * under FRESH shard ids; the meta publish swaps old ids for new — a
     * crash leaves unmanifested orphan dirs, invisible to readers and
@@ -841,8 +843,9 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     val perShard = AnnIndexBuilder.targetShardRows(meta.dim)
     val t = math.min(live.size.toLong,
       math.max(1L, (n + perShard - 1) / perShard)).toInt
-    val cursor = meta.param("online_cursor", 0) % live.size
-    val targets = Array.tabulate(t)(i => live((cursor + i) % live.size))
+    // least-recently-rewritten first: rewrites land on fresh maximal ids,
+    // so the smallest live ids are the longest-untouched shards
+    val targets = live.take(t).toArray
     val nextShard = meta.param("next_shard", meta.param("shards", 1))
     val remap = targets.zipWithIndex
       .map { case (old, i) => old -> (nextShard + i) }.toMap
@@ -855,19 +858,42 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     val baseCols = Seq("shard", "label", "id", "vector") ++
       (if (isHnsw) Seq("level") else Nil) ++ Seq("neighbors", "is_entry", "seg")
     val segIdx = baseCols.length - 1
-    val graphRows = readData()
+    val deadIdx = segIdx + 1
+    val graphRows0 = readData()
       .select(baseCols.map(col): _*)
       .where(col("shard").isin(targets.toSeq: _*))
+    // Opportunistic consolidate_deletes (the reference's delete folding,
+    // src/diskann_index.cpp:701-741): the rewrite is already paying for
+    // this shard, so epoch-dead rows are dropped from the graph now —
+    // live nodes absorb their dead neighbors' live neighbors and re-prune
+    // (navigability preserved), labels compact. Tombstones stay (inert
+    // once no row matches; they may still mask rows in untouched shards),
+    // so numDeleted remains an overfetch upper bound until the next
+    // compact/vacuum recount. Without this, a delete-heavy online stream
+    // would grow its shards without bound.
+    val hadDeletes = hasDeletes
+    val graphRows =
+      if (hadDeletes) {
+        val d = deletes.groupBy("id").agg(max("seg").as("__dseg"))
+          .withColumnRenamed("id", "__did")
+        graphRows0.join(broadcast(d),
+            graphRows0("id") === col("__did") && graphRows0("seg") <= col("__dseg"),
+            "left")
+          .withColumn("__dead", col("__did").isNotNull)
+          .drop("__did", "__dseg")
+      } else graphRows0.withColumn("__dead", lit(false))
+    val touchedTotal = if (hadDeletes) graphRows0.count() else 0L
     val routed = element_at(typedLit(targets.toSeq),
       (pmod(hash(col("id")), lit(t)) + 1).cast("int")).as("shard")
     val newRows =
-      if (isHnsw) prepared.select(routed, lit(-1).as("label"), col("id"),
+      (if (isHnsw) prepared.select(routed, lit(-1).as("label"), col("id"),
         col("vector"), lit(0).as("level"), // recomputed per id at insert
         typedLit(Seq.empty[Seq[Int]]).as("neighbors"),
         lit(false).as("is_entry"), lit(segNew).as("seg"))
       else prepared.select(routed, lit(-1).as("label"), col("id"),
         col("vector"), typedLit(Seq.empty[Int]).as("neighbors"),
-        lit(false).as("is_entry"), lit(segNew).as("seg"))
+        lit(false).as("is_entry"), lit(segNew).as("seg")))
+        .withColumn("__dead", lit(false))
     val bcRemap = spark.sparkContext.broadcast(remap)
     val engine = meta.engine
     val vParams = Vamana.Params.from(meta)
@@ -892,16 +918,30 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         rows.toSeq.groupBy(_.getInt(0)).iterator.flatMap { case (old, rs) =>
           val (oldRows, ins) = rs.partition(_.getInt(1) >= 0)
           val segs = new Array[Long](oldRows.length)
-          oldRows.foreach(r => segs(r.getInt(1)) = r.getLong(segIdx))
+          val deadArr = new Array[Boolean](oldRows.length)
+          oldRows.foreach { r =>
+            val lb = r.getInt(1)
+            segs(lb) = r.getLong(segIdx)
+            if (r.getBoolean(deadIdx)) deadArr(lb) = true
+          }
           val newIds = ins.map(_.getLong(2)).toArray
           val newVecs = ins.map(_.getSeq[Float](3).toArray).toArray
           val sid = bcRemap.value(old)
-          val allSegs = segs ++ ins.map(_ => segNew)
+          def compactSegs(lmap: Array[Int]): Array[Long] = {
+            val out = new Array[Long](lmap.count(_ >= 0))
+            var i = 0
+            while (i < lmap.length) {
+              if (lmap(i) >= 0) out(lmap(i)) = segs(i)
+              i += 1
+            }
+            out
+          }
           engine match {
             case "HNSW" =>
-              val sh = Hnsw.insertIntoShard(
-                Hnsw.decodeShard(old, oldRows, None), newIds, newVecs,
-                hParams, metric)
+              val (sh0, lmap) = Hnsw.removeFromShard(
+                Hnsw.decodeShard(old, oldRows, None), deadArr, hParams, metric)
+              val sh = Hnsw.insertIntoShard(sh0, newIds, newVecs, hParams, metric)
+              val allSegs = compactSegs(lmap) ++ ins.map(_ => segNew)
               sh.ids.indices.iterator.map { label =>
                 org.apache.spark.sql.Row(sid, label, sh.ids(label),
                   sh.vectors(label).toSeq, sh.levels(label),
@@ -909,9 +949,10 @@ class AnnIndex(val spark: SparkSession, val path: String) {
                   label == sh.entry, allSegs(label))
               }
             case _ =>
-              val sh = Vamana.insertIntoShard(
-                Vamana.decodeShard(old, oldRows, None), newIds, newVecs,
-                vParams, metric)
+              val (sh0, lmap) = Vamana.removeFromShard(
+                Vamana.decodeShard(old, oldRows, None), deadArr, vParams, metric)
+              val sh = Vamana.insertIntoShard(sh0, newIds, newVecs, vParams, metric)
+              val allSegs = compactSegs(lmap) ++ ins.map(_ => segNew)
               sh.ids.indices.iterator.map { label =>
                 org.apache.spark.sql.Row(sid, label, sh.ids(label),
                   sh.vectors(label).toSeq, sh.neighbors(label).toSeq,
@@ -923,15 +964,28 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     rewritten.write.mode("append").partitionBy("shard").parquet(dataPath)
     val written = IndexMeta.listShardDirs(dataPath)
       .filter(sid => sid >= nextShard && sid < nextShard + t)
-    require(written.size == t,
+    // with no tombstones every target re-emits (its rows are preserved
+    // verbatim); with consolidation, a fully-dead shard with no routed
+    // inserts legitimately vanishes from the live set
+    if (!hadDeletes) require(written.size == t,
       s"online insert rewrote ${written.size} of $t target shards — " +
         "a live shard produced no rows (corrupt manifest?)")
+    // consolidation bookkeeping: rows dropped = (old rows of the touched
+    // shards + the batch) - rows actually written. Both counts are
+    // parquet-footer reads over the touched dirs only.
+    val dropped =
+      if (hadDeletes) {
+        val writtenCount =
+          if (written.isEmpty) 0L
+          else spark.read.option("basePath", dataPath)
+            .parquet(written.map(s => s"$dataPath/shard=$s"): _*).count()
+        touchedTotal + n - writtenCount
+      } else 0L
     val newLive = (live.filterNot(targets.contains) ++ written).sorted
-    (n, Map("seg" -> segNew.toString,
+    (n - dropped, Map("seg" -> segNew.toString,
       "shards" -> newLive.size.toString,
       "next_shard" -> (nextShard + t).toString,
-      "live_shards" -> newLive.mkString(","),
-      "online_cursor" -> ((cursor + t) % live.size).toString))
+      "live_shards" -> newLive.mkString(",")))
   }
 
   /** Grow the stored per-cell radii to cover an insert batch, keeping the

@@ -247,6 +247,73 @@ object Hnsw {
     built
   }
 
+  /** Remove dead nodes from a layered shard (the HNSW sibling of
+    * [[Vamana.removeFromShard]]): per level, a live node with a dead
+    * neighbor absorbs the dead neighbor's live same-level neighbors and
+    * keeps the closest m (mMax0 at level 0); labels then compact. If the
+    * entry died, the tallest surviving node (smallest label on ties)
+    * takes over. Returns the compacted shard + old→new label map (-1 for
+    * dead). Input shard is not mutated. */
+  def removeFromShard(sh: Shard, dead: Array[Boolean], params: Params,
+                      metric: String): (Shard, Array[Int]) = {
+    val n = sh.ids.length
+    if (n == 0 || !dead.exists(identity))
+      return (sh, Array.tabulate(n)(identity))
+    val dist = VectorKernels.orderingDistance(metric) _
+    val absorbed = new Array[Array[Array[Int]]](n)
+    var u = 0
+    while (u < n) {
+      if (!dead(u)) {
+        absorbed(u) = sh.neighbors(u).zipWithIndex.map { case (nbrs, lvl) =>
+          if (!nbrs.exists(dead)) nbrs
+          else {
+            val cand = scala.collection.mutable.LinkedHashSet.empty[Int]
+            nbrs.foreach { x =>
+              if (dead(x)) {
+                val dn = sh.neighbors(x)
+                if (lvl < dn.length) dn(lvl).foreach(y =>
+                  if (!dead(y) && y != u) cand += y)
+              } else cand += x
+            }
+            val m = if (lvl == 0) params.mMax0 else params.m
+            cand.iterator.map(x => (x, dist(sh.vectors(u), sh.vectors(x))))
+              .toArray.sortBy(_._2).take(m).map(_._1)
+          }
+        }
+      }
+      u += 1
+    }
+    val map = new Array[Int](n)
+    var next = 0
+    var i = 0
+    while (i < n) {
+      if (dead(i)) map(i) = -1 else { map(i) = next; next += 1 }
+      i += 1
+    }
+    val ids = new Array[Long](next)
+    val vecs = new Array[Array[Float]](next)
+    val lvls = new Array[Int](next)
+    val nbrs = new Array[Array[Array[Int]]](next)
+    i = 0
+    while (i < n) {
+      if (!dead(i)) {
+        val l = map(i)
+        ids(l) = sh.ids(i)
+        vecs(l) = sh.vectors(i)
+        lvls(l) = sh.levels(i)
+        nbrs(l) = absorbed(i).map(_.collect { case x if map(x) >= 0 => map(x) })
+      }
+      i += 1
+    }
+    var entry = 0; var maxLevel = -1
+    i = 0
+    while (i < next) {
+      if (lvls(i) > maxLevel) { maxLevel = lvls(i); entry = i }
+      i += 1
+    }
+    (Shard(ids, vecs, lvls, nbrs, entry, math.max(maxLevel, 0)), map)
+  }
+
   /** Online insert: extend an EXISTING shard's layered graph with new
     * points (same contract as [[Vamana.insertIntoShard]]): old labels keep
     * their positions, the input shard is not mutated (outer and per-node

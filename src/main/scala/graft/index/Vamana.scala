@@ -672,6 +672,77 @@ object Vamana {
     }(Encoders.row(out))
   }
 
+  /** Remove dead nodes from a shard — DiskANN consolidate_deletes
+    * (reference: rust_lib's consolidate pass behind
+    * src/diskann_index.cpp:701-741): every live node with a dead neighbor
+    * re-prunes over its live neighbors PLUS the dead neighbors' live
+    * neighbors (the absorb step that preserves graph navigability through
+    * the removed node), then labels compact. Returns the compacted shard
+    * and the old→new label map (-1 for dead) so callers can remap
+    * per-label side state (insert epochs). If the entry died, the live
+    * node nearest the old entry vector takes over. Input shard is not
+    * mutated. */
+  def removeFromShard(sh: Shard, dead: Array[Boolean], params: Params,
+                      metric: String): (Shard, Array[Int]) = {
+    val n = sh.ids.length
+    if (n == 0 || !dead.exists(identity))
+      return (sh, Array.tabulate(n)(identity))
+    val dist = VectorKernels.orderingDistance(metric) _
+    val absorbed = sh.neighbors.clone()
+    var u = 0
+    while (u < n) {
+      if (!dead(u) && absorbed(u).exists(dead)) {
+        val cand = scala.collection.mutable.LinkedHashSet.empty[Int]
+        absorbed(u).foreach { x =>
+          if (dead(x)) sh.neighbors(x).foreach(y =>
+            if (!dead(y) && y != u) cand += y)
+          else cand += x
+        }
+        val cands = ArrayBuffer.from(cand.iterator
+          .map(x => (x, dist(sh.vectors(u), sh.vectors(x)))))
+        absorbed(u) = robustPrune(u, cands, sh.vectors, params.alpha,
+          params.maxDegree, dist)
+      }
+      u += 1
+    }
+    val map = new Array[Int](n)
+    var next = 0
+    var i = 0
+    while (i < n) {
+      if (dead(i)) map(i) = -1 else { map(i) = next; next += 1 }
+      i += 1
+    }
+    val ids = new Array[Long](next)
+    val vecs = new Array[Array[Float]](next)
+    val nbrs = new Array[Array[Int]](next)
+    i = 0
+    while (i < n) {
+      if (!dead(i)) {
+        val l = map(i)
+        ids(l) = sh.ids(i)
+        vecs(l) = sh.vectors(i)
+        nbrs(l) = absorbed(i).collect { case x if map(x) >= 0 => map(x) }
+      }
+      i += 1
+    }
+    val entry =
+      if (next == 0) 0
+      else if (!dead(sh.entry)) map(sh.entry)
+      else {
+        var best = -1; var bestD = Double.MaxValue
+        var j = 0
+        while (j < n) {
+          if (!dead(j)) {
+            val dd = dist(sh.vectors(sh.entry), sh.vectors(j))
+            if (dd < bestD) { bestD = dd; best = map(j) }
+          }
+          j += 1
+        }
+        best
+      }
+    (Shard(ids, vecs, nbrs, entry), map)
+  }
+
   /** Per-LABEL insert epochs from raw shard rows (label = field 1, epoch
     * at `segIdx`). Create/delta/vacuum shards are single-epoch, but an
     * online insert (AnnIndex.writeOnlineInsert) rewrites a shard with the

@@ -75,6 +75,46 @@ class OnlineInsertSpec extends SparkSpec {
     assert(got == bruteTopK(pts, q, 5))
   }
 
+  test("removeFromShard: absorb + compact keeps the live graph exact (both engines)") {
+    val pts = vecs(100, 50)
+    val dead = Array.tabulate(100)(i => i % 5 == 1) // 20 dead, entry may die
+    val live = pts.zipWithIndex.collect { case (p, i) if !dead(i) => p }
+
+    val v0 = Vamana.buildShard(pts.map(_._1).toArray, pts.map(_._2).toArray,
+      params, "l2")
+    val (v, vmap) = Vamana.removeFromShard(v0, dead, params, "l2")
+    assert(v.ids.length == 80 && !v.ids.exists(id => dead(id.toInt)))
+    assert(vmap.count(_ == -1) == 20)
+    assert(v.entry >= 0 && v.entry < 80)
+    v.neighbors.foreach { nb =>
+      assert(nb.length <= params.maxDegree)
+      nb.foreach(l => assert(l >= 0 && l < 80))
+    }
+    for (q <- Seq(pts(1)._2, pts(42)._2)) { // q near a DEAD point too
+      val got = Vamana.beamSearch(v, q, l = 200,
+          graft.functions.VectorKernels.orderingDistance("l2") _)
+        .sortBy { case (l, d) => (d, v.ids(l)) }.take(10).map(p => v.ids(p._1))
+      assert(got == bruteTopK(live, q, 10),
+        "consolidated graph must stay exact under an exhaustive beam")
+    }
+
+    val hp = Hnsw.Params(m = 8, efConstruction = 64)
+    val h0 = Hnsw.buildShard(pts.map(_._1).toArray, pts.map(_._2).toArray, hp, "l2")
+    val (h, hmap) = Hnsw.removeFromShard(h0, dead, hp, "l2")
+    assert(h.ids.length == 80 && hmap.count(_ == -1) == 20)
+    assert(h.levels(h.entry) == h.maxLevel)
+    h.neighbors.zipWithIndex.foreach { case (byLevel, i) =>
+      assert(byLevel.length == h.levels(i) + 1)
+      byLevel.foreach(_.foreach(l => assert(l >= 0 && l < 80)))
+    }
+    for (q <- Seq(pts(6)._2, pts(77)._2)) {
+      val got = Hnsw.search(h, q, 10, 100000,
+          graft.functions.VectorKernels.orderingDistance("l2") _)
+        .sortBy { case (l, d) => (d, h.ids(l)) }.take(10).map(p => h.ids(p._1))
+      assert(got.toSeq == bruteTopK(live, q, 10))
+    }
+  }
+
   // ---- index level ----
 
   test("online insert rewrites shards copy-on-write; shard count stays flat") {
@@ -102,8 +142,6 @@ class OnlineInsertSpec extends SparkSpec {
       // but the LIVE IDS moved (fresh dirs per rewrite — crash safety)
       assert(idx.meta.params("live_shards") != liveBefore)
       assert(idx.meta.numVectors == 230)
-      // round-robin cursor persisted and advancing
-      assert(idx.meta.params.contains("online_cursor"))
 
       // exhaustive search exact over the union, new rows included
       val q = all(215)._2
@@ -195,6 +233,39 @@ class OnlineInsertSpec extends SparkSpec {
       assert(GraphShardCache.zipFastPathHits.get() > hits0,
         "repeat call must serve from the recorded layout (per-label epochs)")
       idx.unpersist()
+    } finally spark.conf.unset("spark.ann.onlineInsertMaxRows")
+  }
+
+  test("online rewrite consolidates tombstoned rows out of the touched shards") {
+    import spark.implicits._
+    val base = vecs(200, 60)
+    val idx = AnnIndexManager.create(spark, "t_online_cons",
+      base.toDF("id", "embedding"), "id", "embedding", "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "64",
+        "shards" -> "2"),
+      s"$tmp/t_online_cons")
+    val deletedIds = (0L until 30L).toSeq
+    idx.delete(deletedIds)
+    spark.conf.set("spark.ann.onlineInsertMaxRows", "100")
+    try {
+      // two micro-batches → least-recently-rewritten targeting touches
+      // BOTH shards, so every tombstoned row is physically consolidated
+      idx.insert(vecs(5, 61, from = 3000L).toDF("id", "embedding"), "id", "embedding")
+      idx.insert(vecs(5, 62, from = 3100L).toDF("id", "embedding"), "id", "embedding")
+      assert(idx.meta.param("shards", 0) == 2)
+      // dead rows are GONE from the dataset, not just masked
+      val physical = idx.data.select("id").collect().map(_.getLong(0)).toSet
+      assert(deletedIds.forall(id => !physical.contains(id)),
+        "consolidation must drop tombstoned rows from rewritten shards")
+      // numVectors tracks the physical row count through the drop
+      assert(idx.meta.numVectors == 200 - 30 + 10)
+      // and the consolidated graph is still exact
+      val live = base.filter(_._1 >= 30)
+      val q = live(100)._2
+      val got = idx.scan(q, 10, searchParam = 100000)
+        .collect().map(_.getLong(0)).toSeq
+      val extra = (vecs(5, 61, from = 3000L) ++ vecs(5, 62, from = 3100L))
+      assert(got == bruteTopK(live ++ extra, q, 10))
     } finally spark.conf.unset("spark.ann.onlineInsertMaxRows")
   }
 

@@ -720,13 +720,16 @@ class StreamingSpec extends SparkSpec {
     // no delta shards EVER opened: the create-time set is the live set
     assert(idx.meta.param("shards", 0) == 2,
       s"online CDC stream fragmented the shard set: ${idx.meta.params("live_shards")}")
-    assert(idx.meta.numVectors == 81) // 60 + 20 + 1 re-insert
+    // physical rows: 60 + 20 + 1 re-insert = 81, minus 2000's dead old
+    // copy IF the re-insert rewrite happened to touch its shard and
+    // consolidated it out — either way at most one inert row remains
+    assert(idx.meta.numVectors == 80 || idx.meta.numVectors == 81,
+      s"numVectors=${idx.meta.numVectors}")
     val hit = idx.scan(Array(0.9f, 0.9f, 0.9f, 0.9f), 1, searchParam = 100000)
       .head().getLong(0)
     assert(hit == 2000L, "re-inserted id must be live at its new epoch")
-    // every streamed row searchable exactly once: 80 distinct live ids —
-    // numVectors counts 81 physical rows, the 81st being 2000's dead old
-    // copy, which the epoch mask must hide without hiding its successor
+    // every streamed row searchable exactly once: 80 distinct live ids
+    // (2000's dead copy is masked or already consolidated away)
     val all = idx.scan(Array(0.5f, 0.5f, 0.5f, 0.5f), 100, searchParam = 100000)
       .collect().map(_.getLong(0))
     assert(all.length == 80 && all.toSet.size == 80)
