@@ -138,16 +138,25 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField("id", LongType), StructField("seg", LongType))))
 
+  /** THE epoch tombstone rule, defined once: a tombstone (id, s) masks a
+    * row iff the row's insert epoch is at or before it (row.seg <= s) —
+    * see [[currentSeg]] for why a re-inserted id outlives its delete.
+    * `joinType` picks the survivors ("left_anti" — the mask) or the masked
+    * rows themselves ("left_semi" — recounts). `df` must expose `id` and
+    * `seg`. Callers gate on [[hasDeletes]] (or use [[maskDead]]). */
+  private def joinDead(df: DataFrame, joinType: String): DataFrame = {
+    val d = deletes.select(col("id").as("__did"), col("seg").as("__dseg"))
+    df.join(broadcast(d),
+      df("id") === col("__did") && df("seg") <= col("__dseg"), joinType)
+  }
+
+  private def maskDead(df: DataFrame): DataFrame =
+    if (hasDeletes) joinDead(df, "left_anti") else df
+
   /** Live rows = data minus epoch-masked tombstones (reference filters
     * post-search, src/diskann_index.cpp:584-592; an anti-join before top-k
     * keeps exactness without the k+|deleted| overfetch). */
-  def live: DataFrame =
-    if (hasDeletes) {
-      val d = deletes.select(col("id").as("__did"), col("seg").as("__dseg"))
-      val base = data // bind once: `data` is a def, each call has fresh expr ids
-      base.join(broadcast(d),
-        base("id") === col("__did") && base("seg") <= col("__dseg"), "left_anti")
-    } else data
+  def live: DataFrame = maskDead(data)
 
   /** IVF centroids, collected once per index instance (nlist × dim — tiny;
     * re-read after [[rebalanceCells]] swaps the cell set). */
@@ -399,12 +408,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     }
     // tombstone mask only — range semantics keep every surviving match,
     // there is no k to re-cut (cf. cleanGraphHits)
-    val cleaned =
-      if (hasDeletes) {
-        val d = deletes.select(col("id").as("__did"), col("seg").as("__dseg"))
-        res.join(broadcast(d),
-          res("id") === col("__did") && res("seg") <= col("__dseg"), "left_anti")
-      } else res
+    val cleaned = maskDead(res)
     cleaned.drop("seg")
       .select("id", "_distance")
       .orderBy(col("_distance"), col("id"))
@@ -480,12 +484,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         Hnsw.rangeTableDistributed(spark, src, queries, radius, eps, initEf,
           maxW, meta.metric, ck, liveShardIds, codec, graphPrePartitioned = prePart)
     }
-    val cleaned =
-      if (hasDeletes) {
-        val d = deletes.select(col("id").as("__did"), col("seg").as("__dseg"))
-        res.join(broadcast(d),
-          res("id") === col("__did") && res("seg") <= col("__dseg"), "left_anti")
-      } else res
+    val cleaned = maskDead(res)
     cleaned.drop("seg").select("__qid", "id", "_distance")
   }
 
@@ -577,17 +576,16 @@ class AnnIndex(val spark: SparkSession, val path: String) {
   }
 
   /** Tombstone cleanup shared by the broadcast and distributed graph
-    * paths: hits carry the per-shard insert epoch, a tombstone only masks
-    * rows it is newer than (epoch semantics, see currentSeg); the
-    * overfetched survivors re-cut to k per group. */
+    * paths: each hit carries its OWN row's insert epoch (per label, not
+    * per shard — online rewrites mix epochs within a shard, see
+    * Vamana.segArray), a tombstone only masks rows it is newer than
+    * (epoch semantics, see currentSeg); the overfetched survivors re-cut
+    * to k per group. */
   private def cleanGraphHits(res: DataFrame, groupCol: String, k: Int): DataFrame = {
     val cleaned =
-      if (hasDeletes) {
-        val d = deletes.select(col("id").as("__did"), col("seg").as("__dseg"))
-        val filtered = res.join(broadcast(d),
-          res("id") === col("__did") && res("seg") <= col("__dseg"), "left_anti")
-        graft.operators.TopK.grouped(filtered, groupCol, "_distance", "id", k)
-      } else res
+      if (hasDeletes)
+        graft.operators.TopK.grouped(maskDead(res), groupCol, "_distance", "id", k)
+      else res
     cleaned.drop("seg")
   }
 
@@ -874,6 +872,8 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     val hadDeletes = hasDeletes
     val graphRows =
       if (hadDeletes) {
+        // same rule as joinDead (row.seg <= tombstone.seg), as a flag
+        // instead of a mask: max tombstone epoch per id ≡ exists-tombstone
         val d = deletes.groupBy("id").agg(max("seg").as("__dseg"))
           .withColumnRenamed("id", "__did")
         graphRows0.join(broadcast(d),
@@ -982,10 +982,15 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         touchedTotal + n - writtenCount
       } else 0L
     val newLive = (live.filterNot(targets.contains) ++ written).sorted
+    // __online_* are bookkeeping for the publisher (splitOnlineMarkers):
+    // swapped dirs are reclaimed AFTER the meta commit, and the dropped
+    // count deflates numDeleted — neither belongs in meta.params
     (n - dropped, Map("seg" -> segNew.toString,
       "shards" -> newLive.size.toString,
       "next_shard" -> (nextShard + t).toString,
-      "live_shards" -> newLive.mkString(",")))
+      "live_shards" -> newLive.mkString(","),
+      "__online_dropped" -> dropped.toString,
+      "__online_swapped" -> targets.mkString(",")))
   }
 
   /** Grow the stored per-cell radii to cover an insert batch, keeping the
@@ -1039,12 +1044,39 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * redo has those semantics, src/diskann_index.cpp:536-546). */
   def insert(rows: DataFrame, idCol: String, vecCol: String,
              batch: Option[(String, Long)] = None): Unit = {
-    val (n, delta) = writeInsertData(rows, idCol, vecCol)
+    val (n, delta0) = writeInsertData(rows, idCol, vecCol)
+    val (delta, dropped, swapped) = splitOnlineMarkers(delta0)
     meta = meta.copy(numVectors = meta.numVectors + n,
+      numDeleted = math.max(0L, meta.numDeleted - dropped),
       params = withBatch(meta.params ++ delta, batch))
     IndexMeta.write(path, meta)
+    finishOnlinePublish(dropped, swapped)
     invalidatePin()
     maybeAutoCompact()
+  }
+
+  /** Post-publish half of an online rewrite (no-op on the delta path):
+    * reclaim the swapped-out pre-rewrite shard dirs (pure space
+    * reclamation AFTER the meta commit, like compactShards — without it a
+    * steady online stream leaks one full-size dead dir per micro-batch,
+    * since those ids sit below next_shard and are never re-allocated),
+    * and when consolidation has driven the masked-row bound to zero, run
+    * the exact recount once so the now-inert tombstone log is dropped
+    * instead of being broadcast into every future search and rewrite. */
+  private def finishOnlinePublish(dropped: Long, swapped: Seq[Int]): Unit = {
+    swapped.foreach(sid => IndexMeta.deleteDir(s"$dataPath/shard=$sid"))
+    if (dropped > 0 && meta.numDeleted == 0) refreshDeadCount()
+  }
+
+  /** Strip the reserved bookkeeping keys an online rewrite returns next to
+    * its real params delta: (clean delta, consolidated-away row count,
+    * swapped-out shard ids). */
+  private def splitOnlineMarkers(
+      delta: Map[String, String]): (Map[String, String], Long, Seq[Int]) = {
+    val dropped = delta.get("__online_dropped").map(_.toLong).getOrElse(0L)
+    val swapped = delta.get("__online_swapped").toSeq
+      .flatMap(_.split(",")).filter(_.nonEmpty).map(_.toInt)
+    (delta - "__online_dropped" - "__online_swapped", dropped, swapped)
   }
 
   /** Conf-driven compaction trigger: with `spark.ann.autoCompactMinShards`
@@ -1099,14 +1131,16 @@ class AnnIndex(val spark: SparkSession, val path: String) {
   def applyCdc(delIds: DataFrame, insRows: DataFrame, idCol: String,
                vecCol: String, batch: Option[(String, Long)] = None): Unit = {
     val nDel = if (delIds.isEmpty) 0L else writeTombstones(delIds)
-    val (nIns, delta) =
+    val (nIns, delta0) =
       if (insRows.isEmpty) (0L, Map.empty[String, String])
       else writeInsertData(insRows, idCol, vecCol)
+    val (delta, dropped, swapped) = splitOnlineMarkers(delta0)
     meta = meta.copy(
       numVectors = meta.numVectors + nIns,
-      numDeleted = meta.numDeleted + nDel,
+      numDeleted = math.max(0L, meta.numDeleted + nDel - dropped),
       params = withBatch(meta.params ++ delta, batch))
     IndexMeta.write(path, meta)
+    finishOnlinePublish(dropped, swapped)
     invalidatePin()
     maybeAutoCompact()
   }
@@ -1128,11 +1162,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         case None => data.select(col("id"), col("vector"), col("seg"))
       }
       // epoch-aware tombstone mask, matching `live`
-      val d = deletes.select(col("id").as("__did"), col("seg").as("__dseg"))
-      val liveVecs = liveFloats.join(broadcast(d),
-          liveFloats("id") === col("__did") && liveFloats("seg") <= col("__dseg"),
-          "left_anti")
-        .select("id", "vector")
+      val liveVecs = maskDead(liveFloats).select("id", "vector")
       val liveCount = liveVecs.count()
       val shards = meta.param("shards", 1)
       val rebuilt0 = meta.engine match {
@@ -1350,10 +1380,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       case None => subset.select(col("id"), col("vector"), col("seg"))
     }
     // epoch-aware tombstone mask, matching `live`
-    val d = deletes.select(col("id").as("__did"), col("seg").as("__dseg"))
-    val liveSub = floats.join(broadcast(d),
-        floats("id") === col("__did") && floats("seg") <= col("__dseg"), "left_anti")
-      .select("id", "vector")
+    val liveSub = maskDead(floats).select("id", "vector")
     val liveCount = liveSub.count()
 
     val nextShard = meta.param("next_shard", meta.param("shards", 1))
@@ -1426,11 +1453,8 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * masked anymore the delete log itself is removed (the log is an
     * upper bound between refreshes; `vacuum()` still clears everything). */
   private def refreshDeadCount(): Unit = if (hasDeletes) {
-    val d = deletes.select(col("id").as("__did"), col("seg").as("__dseg"))
     val base = readData() // unpinned: the pin may predate the drop
-    val dead = base.join(broadcast(d),
-      base("id") === col("__did") && base("seg") <= col("__dseg"), "left_semi")
-      .count()
+    val dead = joinDead(base, "left_semi").count()
     if (dead == 0) IndexMeta.deleteDir(deletesPath)
     meta = meta.copy(numDeleted = dead)
     IndexMeta.write(path, meta)

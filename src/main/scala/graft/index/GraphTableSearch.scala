@@ -48,7 +48,9 @@ object GraphTableSearch {
 
   /** Run the distributed table-input search.
     *
-    * @param graphDf  column-pruned graph rows; `shard` must be field 0 and
+    * @param graphDf  column-pruned graph rows; `shard` must be field 0,
+    *                 `label` field 1 (dense 0..n-1 per shard — per-label
+    *                 epoch resolution indexes by it, Vamana.segArray), and
     *                 `seg` the LAST field (both engines' layouts comply)
     * @param queries  exactly (__qid, __qvec float[]); __qid of any type
     * @param shardIds live shard ids (manifest) to replicate queries onto

@@ -45,12 +45,16 @@ object R14Scale {
     var rep = 0
 
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val outputBytes = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
-            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           shuffleBytes.addAndGet(
             s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          outputBytes.addAndGet(
+            s.stageInfo.taskMetrics.outputMetrics.bytesWritten)
+        }
       })
     def measured[T](label: String)(f: => T): T = {
       Thread.sleep(500)
@@ -263,16 +267,19 @@ object R14Scale {
               "build_complexity" -> "64"), s"$tmp/$label")
         }
         val b0 = dirBytes(s"$tmp/$label/data")
+        val w0 = outputBytes.get()
         measured(s"online-arm [$label] ${batches}x$bs inserts") {
           for (b <- 0 until batches)
             idx.insert(spark.range(n + b * bs, n + (b + 1) * bs)
               .select(col("id"), mkVec(col("id")).as("vec")), "id", "vec")
         }
-        // total bytes landed on disk by the mutation stream (orphaned
-        // pre-rewrite dirs included — they were written)
-        val mb = (dirBytes(s"$tmp/$label/data") - b0) / 1e6
+        // write amplification = task output bytes (each online batch
+        // rewrites ~one shard); retained = disk delta AFTER the publish
+        // reclaims the swapped-out pre-rewrite dirs
+        val writtenMb = (outputBytes.get() - w0) / 1e6
+        val retainedMb = (dirBytes(s"$tmp/$label/data") - b0) / 1e6
         println(f"[r14-scale]   [$label] shards=${idx.meta.param("shards", 0)} " +
-          f"bytes_written=$mb%.1f MB")
+          f"bytes_written=$writtenMb%.1f MB bytes_retained=$retainedMb%.1f MB")
         idx.persist()
         measured(s"online-arm [$label] searchBatch 50q warm") {
           idx.searchBatch(qs, 10).count() // untimed pin happens here

@@ -142,6 +142,13 @@ class OnlineInsertSpec extends SparkSpec {
       // but the LIVE IDS moved (fresh dirs per rewrite — crash safety)
       assert(idx.meta.params("live_shards") != liveBefore)
       assert(idx.meta.numVectors == 230)
+      // swapped-out pre-rewrite dirs are reclaimed after each publish —
+      // a steady online stream must not leak one dead dir per batch
+      val onDisk = IndexMeta.listShardDirs(s"$tmp/t_online/data").toSet
+      val manifested = idx.meta.params("live_shards")
+        .split(",").map(_.toInt).toSet
+      assert(onDisk == manifested,
+        s"unreclaimed shard dirs: ${onDisk -- manifested}")
 
       // exhaustive search exact over the union, new rows included
       val q = all(215)._2
@@ -259,6 +266,12 @@ class OnlineInsertSpec extends SparkSpec {
         "consolidation must drop tombstoned rows from rewritten shards")
       // numVectors tracks the physical row count through the drop
       assert(idx.meta.numVectors == 200 - 30 + 10)
+      // the masked-row bound deflates with the drop, and once it reaches
+      // zero the now-inert tombstone log is removed — searches stop
+      // paying overfetch beam width for rows that no longer exist
+      assert(idx.meta.numDeleted == 0,
+        s"numDeleted=${idx.meta.numDeleted} must deflate as dead rows drop")
+      assert(!idx.hasDeletes, "inert tombstone log must be dropped")
       // and the consolidated graph is still exact
       val live = base.filter(_._1 >= 30)
       val q = live(100)._2
