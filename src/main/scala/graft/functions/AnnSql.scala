@@ -414,6 +414,73 @@ object AnnSql {
       plan(Seq((name, dropped)).toDF("name", "dropped"))
     }, "scala_udf")
 
+    // ---- §2.10 maintenance verbs (CALL semantics, like ann_drop_index:
+    // the mutation executes EAGERLY at analysis time — the driver owns the
+    // index registry and the single-writer contract). The reference drives
+    // these hooks from table DML (src/diskann_index.cpp:316-385); the SQL
+    // analogue is an explicit verb per hook.
+
+    // ann_insert(name, table_path[, id_col[, vec_col]]) → one row
+    // (name, inserted, num_vectors, shards). Columns default to the ones
+    // the index was created on. Honors spark.ann.onlineInsertMaxRows —
+    // a small batch extends live shard graphs in place.
+    r.createOrReplaceTempFunction("ann_insert", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 2 && exprs.length <= 4,
+        "usage: ann_insert(name, table_path[, id_col[, vec_col]])")
+      val name = constString(exprs(0))
+      val idx = indexByName(spark, name)
+      val idCol = if (exprs.length > 2) constString(exprs(2)) else idx.meta.idCol
+      val vecCol = if (exprs.length > 3) constString(exprs(3)) else idx.meta.vecCol
+      val rows = spark.read.parquet(constString(exprs(1)))
+      val before = idx.meta.numVectors
+      idx.insert(rows, idCol, vecCol)
+      import spark.implicits._
+      plan(Seq((name, idx.meta.numVectors - before, idx.meta.numVectors,
+          idx.meta.param("shards", 1)))
+        .toDF("name", "inserted", "num_vectors", "shards"))
+    }, "scala_udf")
+
+    // ann_delete(name, 'id,id,...') → one row (name, deleted, num_deleted)
+    // — epoch tombstones, same semantics as the Scala delete
+    r.createOrReplaceTempFunction("ann_delete", (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "usage: ann_delete(name, 'id,id,...')")
+      val name = constString(exprs(0))
+      val ids = constString(exprs(1)).split(",").map(_.trim)
+        .filter(_.nonEmpty).map(_.toLong).toSeq
+      val idx = indexByName(spark, name)
+      idx.delete(ids)
+      import spark.implicits._
+      plan(Seq((name, ids.size.toLong, idx.meta.numDeleted))
+        .toDF("name", "deleted", "num_deleted"))
+    }, "scala_udf")
+
+    // ann_vacuum(name) → one row (name, num_vectors, num_deleted) —
+    // rebuild without tombstoned rows, atomic replace
+    r.createOrReplaceTempFunction("ann_vacuum", (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, "usage: ann_vacuum(name)")
+      val name = constString(exprs(0))
+      val idx = indexByName(spark, name)
+      idx.vacuum()
+      import spark.implicits._
+      plan(Seq((name, idx.meta.numVectors, idx.meta.numDeleted))
+        .toDF("name", "num_vectors", "num_deleted"))
+    }, "scala_udf")
+
+    // ann_compact(name[, min_rows]) → one row (name, merged, shards) —
+    // fold undersized graph delta shards (no-op on FLAT/IVF-style layouts
+    // is rejected by compactShards' engine check, mirroring the API)
+    r.createOrReplaceTempFunction("ann_compact", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 1 && exprs.length <= 2,
+        "usage: ann_compact(name[, min_rows])")
+      val name = constString(exprs(0))
+      val minRows = if (exprs.length > 1) constInt(exprs(1)).toLong else 0L
+      val idx = indexByName(spark, name)
+      val merged = idx.compactShards(minRows)
+      import spark.implicits._
+      plan(Seq((name, merged.toLong, idx.meta.param("shards", 1)))
+        .toDF("name", "merged", "shards"))
+    }, "scala_udf")
+
     // diskann_streaming_build(input_bin, output_dir[, name]) → one stats
     // row (num_vectors, dimension, sample_size) (S11,
     // rust_lib/src/streaming_build.rs:42-122)

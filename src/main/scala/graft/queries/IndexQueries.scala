@@ -153,6 +153,38 @@ object IndexQueries {
       idx
     })
 
+  /** Index mutated ENTIRELY through the SQL maintenance verbs (ann_create_
+    * index → ann_insert with the online path → ann_delete), so the strict
+    * row pins the whole SQL CALL surface, not just the Scala API it wraps.
+    * Base = vec_id >= 20 written to a scratch parquet (ann_create_index
+    * takes a table path), insert = vec_id < 20, delete = ids 0,1,2. */
+  private def sqlMaintIndex(s: SparkSession, dir: String): AnnIndex =
+    AnnIndexManager.getOrBuild(s, "emb_sql_maint", dir, path => {
+      graft.functions.AnnSql.register(s)
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_sql_maint").toString
+      val all = emb(s, dir)
+      all.filter(col("vec_id") >= 20)
+        .write.mode("overwrite").parquet(s"$scratch/base.parquet")
+      all.filter(col("vec_id") < 20)
+        .write.mode("overwrite").parquet(s"$scratch/extra.parquet")
+      s.sql(
+        s"""SELECT * FROM ann_create_index('emb_sql_maint',
+           |  '$scratch/base.parquet', 'vec_id', 'embedding', 'DISKANN',
+           |  'metric=l2,max_degree=64,build_complexity=128', '$path')""".stripMargin)
+        .collect()
+      val prev = s.conf.getOption("spark.ann.onlineInsertMaxRows")
+      s.conf.set("spark.ann.onlineInsertMaxRows", "1000")
+      try s.sql(s"SELECT * FROM ann_insert('emb_sql_maint', '$scratch/extra.parquet')")
+        .collect()
+      finally prev match {
+        case Some(v) => s.conf.set("spark.ann.onlineInsertMaxRows", v)
+        case None => s.conf.unset("spark.ann.onlineInsertMaxRows")
+      }
+      s.sql("SELECT * FROM ann_delete('emb_sql_maint', '0,1,2')").collect()
+      AnnIndexManager.load(s, path)
+    })
+
   /** IVF with a forced cell-rebalance pass (SPANN-style skew fix): a low
     * maxCellFactor makes mild imbalance split, exercising sub-centroid
     * training, row moves, and the radius re-derivation (build-once). */
@@ -398,6 +430,19 @@ object IndexQueries {
     // nothing and the re-inserted id is live at its new epoch.
     "ann_online_topk" -> ((s: SparkSession, dir: String) =>
       ranked(onlineIndex(s, dir).scan(qvecF(13), K, searchParam = 100000))),
+
+    // the whole §2.10 SQL verb surface in one lifecycle (create → online
+    // insert → delete, all through SQL), scanned exhaustively via the SQL
+    // TVF too → exact → strict oracle
+    "sql_maintenance" -> ((s: SparkSession, dir: String) => {
+      sqlMaintIndex(s, dir)
+      val vecSql = qvec(14).mkString("array(", ", ", ")")
+      s.sql(
+        s"""SELECT CAST(row_number() OVER (ORDER BY _distance, id) AS BIGINT) AS rank,
+           |  id AS vec_id
+           |FROM ann_index_scan('emb_sql_maint', $vecSql, $K, 100000)
+           |ORDER BY rank""".stripMargin)
+    }),
 
     // S3: fetch base columns through the broadcast join-back.
     "ann_search_fetch" -> ((s: SparkSession, dir: String) => {
@@ -1301,6 +1346,8 @@ object IndexQueries {
     "ann_compact_topk" -> bruteForceTopK(17, where = "WHERE vec_id >= 5"),
     // online-mutated index = all rows except ids 0,1 (2 was re-inserted)
     "ann_online_topk" -> bruteForceTopK(13, where = "WHERE vec_id >= 2"),
+    // SQL-verb-mutated index = all rows except the 3 SQL-deleted ids
+    "sql_maintenance" -> bruteForceTopK(14, where = "WHERE vec_id >= 3"),
     // merged index = even half ∪ live (label<>3) odd half
     "ann_merge_topk" ->
       bruteForceTopK(11, where = "WHERE (vec_id % 2 = 0) OR (label <> 3)"),

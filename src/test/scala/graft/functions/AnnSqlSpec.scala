@@ -333,6 +333,53 @@ class AnnSqlSpec extends SparkSpec {
     spark.sql("SELECT * FROM ann_drop_index('sql_ci')").collect()
   }
 
+  test("SQL maintenance verbs: insert (online), delete, compact, vacuum") {
+    import spark.implicits._
+    AnnSql.register(spark)
+    val tablePath = s"$tmp/sql_maint.parquet"
+    vecs.toDF("id", "embedding").write.mode("overwrite").parquet(tablePath)
+    spark.sql(
+      s"""SELECT * FROM ann_create_index('sql_mt', '$tablePath', 'id', 'embedding',
+         |  'DISKANN', 'metric=l2,max_degree=16,build_complexity=32,shards=2',
+         |  '$tmp/sql_mt_idx')""".stripMargin).collect()
+
+    // insert through SQL, online path engaged via the session conf —
+    // column names default to the index's create-time columns
+    val extraPath = s"$tmp/sql_maint_extra.parquet"
+    Seq.tabulate(10)(i => (500L + i, Array.fill(3)(0.9f)))
+      .toDF("id", "embedding").write.mode("overwrite").parquet(extraPath)
+    spark.conf.set("spark.ann.onlineInsertMaxRows", "100")
+    try {
+      val ins = spark.sql(s"SELECT * FROM ann_insert('sql_mt', '$extraPath')").head()
+      assert(ins.getLong(1) == 10 && ins.getLong(2) == 110)
+      assert(ins.getInt(3) == 2, "online path must not open a delta shard")
+    } finally spark.conf.unset("spark.ann.onlineInsertMaxRows")
+    assert(spark.sql(
+      "SELECT * FROM ann_index_scan('sql_mt', array(0.9, 0.9, 0.9), 1, 100000)")
+      .head().getLong(0) >= 500L)
+
+    // delete through SQL: tombstoned ids vanish from scans
+    val del = spark.sql("SELECT * FROM ann_delete('sql_mt', '500, 501')").head()
+    assert(del.getLong(1) == 2 && del.getLong(2) == 2)
+    val ids = spark.sql(
+      "SELECT * FROM ann_index_scan('sql_mt', array(0.9, 0.9, 0.9), 200, 100000)")
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(500L) && !ids.contains(501L) && ids.contains(502L))
+
+    // compact through SQL: a delta-path insert first (cap unset), then fold
+    val extra2 = s"$tmp/sql_maint_extra2.parquet"
+    Seq.tabulate(5)(i => (600L + i, Array.fill(3)(0.1f)))
+      .toDF("id", "embedding").write.mode("overwrite").parquet(extra2)
+    spark.sql(s"SELECT * FROM ann_insert('sql_mt', '$extra2')").collect()
+    val comp = spark.sql("SELECT * FROM ann_compact('sql_mt', 50)").head()
+    assert(comp.getLong(1) >= 2, "compact must fold the undersized shards")
+
+    // vacuum through SQL: tombstones gone for good
+    val vac = spark.sql("SELECT * FROM ann_vacuum('sql_mt')").head()
+    assert(vac.getLong(1) == 113 && vac.getLong(2) == 0) // 100+10+5-2
+    spark.sql("SELECT * FROM ann_drop_index('sql_mt')").collect()
+  }
+
   test("SQL TVF ann_create_index accepts a quoted factory description") {
     import spark.implicits._
     val tablePath = s"$tmp/sql_fact.parquet"
