@@ -286,6 +286,33 @@ object Bench {
       Array.fill(dim)(r.nextFloat())
     })
 
+    // ---- online CDC insert: 5 micro-batches extend a live shard graph ----
+    // the serving-freshness mutation path (spark.ann.onlineInsertMaxRows):
+    // each batch beam-inserts 200 points into the resident 20k-row Vamana
+    // shard and rewrites it copy-on-write — per-batch cost is the number a
+    // freshness SLA budgets against (the delta path defers the same work
+    // to compaction). Each rep inserts FRESH ids, so the index grows ~1k
+    // rows across reps (<5% — the min estimator is unaffected).
+    val ocDf = spark.range(20000).repartition(cpus.toInt)
+      .select(col("id"), seededVec(col("id") + 300000L, lit(64)).as("vec"))
+      .cache()
+    ocDf.count()
+    val ocIdx = graft.index.AnnIndexManager.create(spark, "bench_online", ocDf,
+      "id", "vec", "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "32", "build_complexity" -> "64"),
+      s"$tmp/bonline")
+    spark.conf.set("spark.ann.onlineInsertMaxRows", "1000")
+    var ocNext = 100000L
+    time("ann_online_cdc_5x200", reps = 2) {
+      for (_ <- 0 until 5) {
+        ocIdx.insert(spark.range(ocNext, ocNext + 200)
+          .select(col("id"), seededVec(col("id"), lit(64)).as("vec")), "id", "vec")
+        ocNext += 200
+      }
+    }
+    spark.conf.unset("spark.ann.onlineInsertMaxRows")
+    ocDf.unpersist()
+
     // IVF+PQ at the same 10k shape: 16-byte ADC codes vs 512-byte floats —
     // the compressed-index serving tier (build includes codebook training)
     var pqIdx: graft.index.AnnIndex = null

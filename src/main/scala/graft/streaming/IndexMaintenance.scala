@@ -12,9 +12,12 @@ import graft.index.AnnIndex
   * by table DML + WAL persistence (src/diskann_index.cpp:316-385,536-546).
   * The Spark-native equivalent (SURVEY §2.8): a streaming source feeds
   * `foreachBatch`, each micro-batch appends an index segment (FLAT/IVF
-  * rows, or a DISKANN delta shard) or tombstones ids; a periodic Vacuum
-  * job compacts. No watermark state is needed — maintenance is stateless
-  * per batch.
+  * rows, or a DISKANN delta shard — or, with
+  * `spark.ann.onlineInsertMaxRows` set, an IN-PLACE extension of live
+  * shard graphs that keeps the shard set flat, see
+  * AnnIndex.writeOnlineInsert) or tombstones ids; a periodic Vacuum job
+  * compacts. No watermark state is needed — maintenance is stateless per
+  * batch.
   *
   * Replay safety: micro-batch ids are monotonic per checkpoint, and the
   * index records the last applied id in meta.json atomically with the
