@@ -285,6 +285,11 @@ object R14Scale {
           idx.searchBatch(qs, 10).count() // untimed pin happens here
           idx.searchBatch(qs, 10).count()
         }
+        // graph QUALITY at a realistic beam: an online-grown graph must
+        // hold the same recall as the delta layout (Algorithm 3 gives the
+        // same contract either way; this measures it, not assumes it)
+        val rec = graft.operators.Recall.meanRecall(idx, qs, 10, searchParam = 64)
+        println(f"[r14-scale]   [$label] recall@10 beam=64: $rec%.3f")
         val anchor = idx.scan(qs.head, 10, searchParam = 200000)
           .collect().map(_.getLong(0)).toSeq
         idx.unpersist()

@@ -75,6 +75,34 @@ class OnlineInsertSpec extends SparkSpec {
     assert(got == bruteTopK(pts, q, 5))
   }
 
+  test("online-grown graph holds from-scratch recall at a realistic beam") {
+    val all = vecs(800, 70)
+    val (base, extra) = all.splitAt(600)
+    val dist = graft.functions.VectorKernels.orderingDistance("l2") _
+    val scratch = Vamana.buildShard(all.map(_._1).toArray,
+      all.map(_._2).toArray, params, "l2")
+    val grown = Vamana.insertIntoShard(
+      Vamana.buildShard(base.map(_._1).toArray, base.map(_._2).toArray,
+        params, "l2"),
+      extra.map(_._1).toArray, extra.map(_._2).toArray, params, "l2")
+    def recall(sh: Vamana.Shard): Double = {
+      val qs = Seq.tabulate(25)(i => vecs(1, 200 + i).head._2)
+      qs.map { q =>
+        val got = Vamana.beamSearch(sh, q, l = 64, dist)
+          .sortBy { case (l, d) => (d, sh.ids(l)) }.take(10)
+          .map(p => sh.ids(p._1)).toSet
+        bruteTopK(all, q, 10).count(got).toDouble / 10
+      }.sum / qs.size
+    }
+    val rs = recall(scratch)
+    val rg = recall(grown)
+    // the same ≥70% contract VamanaSpec pins for the from-scratch build,
+    // plus parity: growing 25% of the graph online must not degrade it
+    // beyond run-shape noise vs building the union at once
+    assert(rg >= 0.7, s"online-grown recall $rg below the floor")
+    assert(rg >= rs - 0.1, s"online-grown $rg vs from-scratch $rs")
+  }
+
   test("removeFromShard: absorb + compact keeps the live graph exact (both engines)") {
     val pts = vecs(100, 50)
     val dead = Array.tabulate(100)(i => i % 5 == 1) // 20 dead, entry may die
