@@ -291,25 +291,55 @@ object Bench {
     // each batch beam-inserts 200 points into the resident 20k-row Vamana
     // shard and rewrites it copy-on-write — per-batch cost is the number a
     // freshness SLA budgets against (the delta path defers the same work
-    // to compaction). Each rep inserts FRESH ids, so the index grows ~1k
-    // rows across reps (<5% — the min estimator is unaffected).
+    // to compaction). Mutations grow the fixture, so instead of time()
+    // (whose reps assume unchanged state) each rep RESTORES the pre-
+    // mutation snapshot untimed and the min over timed reps is recorded —
+    // every rep rewrites the identical 20k-row shard.
     val ocDf = spark.range(20000).repartition(cpus.toInt)
       .select(col("id"), seededVec(col("id") + 300000L, lit(64)).as("vec"))
       .cache()
     ocDf.count()
-    val ocIdx = graft.index.AnnIndexManager.create(spark, "bench_online", ocDf,
+    graft.index.AnnIndexManager.create(spark, "bench_online", ocDf,
       "id", "vec", "DISKANN",
       Map("metric" -> "l2", "max_degree" -> "32", "build_complexity" -> "64"),
       s"$tmp/bonline")
-    spark.conf.set("spark.ann.onlineInsertMaxRows", "1000")
-    var ocNext = 100000L
-    time("ann_online_cdc_5x200", reps = 2) {
-      for (_ <- 0 until 5) {
-        ocIdx.insert(spark.range(ocNext, ocNext + 200)
-          .select(col("id"), seededVec(col("id"), lit(64)).as("vec")), "id", "vec")
-        ocNext += 200
+    def copyDir(from: String, to: String): Unit = {
+      import java.nio.file.{Files, Paths, Path}
+      val src = Paths.get(from); val dst = Paths.get(to)
+      val s = Files.walk(src)
+      try s.forEach { p =>
+        val target = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(target)
+        else Files.copy(p, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally s.close()
+    }
+    def deleteDirRec(p: String): Unit = {
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root)) {
+        val s = java.nio.file.Files.walk(root)
+        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(java.nio.file.Files.delete(_))
+        finally s.close()
       }
     }
+    copyDir(s"$tmp/bonline", s"$tmp/bonline_snap")
+    spark.conf.set("spark.ann.onlineInsertMaxRows", "1000")
+    var ocBest = Double.MaxValue
+    for (r <- 0 to 2) { // rep 0 = untimed warmup, same as time()
+      deleteDirRec(s"$tmp/bonline")
+      copyDir(s"$tmp/bonline_snap", s"$tmp/bonline")
+      val ocIdx = graft.index.AnnIndexManager.load(spark, s"$tmp/bonline")
+      val t0 = System.nanoTime()
+      for (b <- 0 until 5) {
+        val lo = 100000L + b * 200
+        ocIdx.insert(spark.range(lo, lo + 200)
+          .select(col("id"), seededVec(col("id"), lit(64)).as("vec")), "id", "vec")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (r > 0) ocBest = math.min(ocBest, dt)
+    }
+    times("ann_online_cdc_5x200") = ocBest
     spark.conf.unset("spark.ann.onlineInsertMaxRows")
     ocDf.unpersist()
 

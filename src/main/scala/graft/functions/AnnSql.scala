@@ -432,10 +432,14 @@ object AnnSql {
       val idCol = if (exprs.length > 2) constString(exprs(2)) else idx.meta.idCol
       val vecCol = if (exprs.length > 3) constString(exprs(3)) else idx.meta.vecCol
       val rows = spark.read.parquet(constString(exprs(1)))
-      val before = idx.meta.numVectors
+      // 'inserted' = the batch row count (footer-cheap), NOT the net
+      // numVectors delta — an online rewrite may consolidate tombstoned
+      // rows away in the same mutation, which would read as a negative
+      // insert count here while being pure space reclamation
+      val inserted = rows.count()
       idx.insert(rows, idCol, vecCol)
       import spark.implicits._
-      plan(Seq((name, idx.meta.numVectors - before, idx.meta.numVectors,
+      plan(Seq((name, inserted, idx.meta.numVectors,
           idx.meta.param("shards", 1)))
         .toDF("name", "inserted", "num_vectors", "shards"))
     }, "scala_udf")

@@ -1021,12 +1021,17 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     IndexMeta.replaceDir(tmp, centroidsPath)
   }
 
-  /** Append (id, epoch) tombstones; returns the tombstone count. */
+  /** Append (id, epoch) tombstones; returns the tombstone count. Counts
+    * FIRST and skips the write for an empty batch — an append of zero
+    * rows would still create the deletes/ dir, flipping [[hasDeletes]] on
+    * forever and making every search pay the mask join for nothing. */
   private def writeTombstones(ids: DataFrame): Long = {
-    ids.select(col(ids.columns.head).cast(LongType).as("id"),
-        lit(currentSeg).as("seg"))
-      .write.mode("append").parquet(deletesPath)
-    ids.count()
+    val n = ids.count()
+    if (n > 0)
+      ids.select(col(ids.columns.head).cast(LongType).as("id"),
+          lit(currentSeg).as("seg"))
+        .write.mode("append").parquet(deletesPath)
+    n
   }
 
   /** Append/Insert hook: assign cells (FLAT/IVF) or build a delta graph

@@ -436,6 +436,9 @@ object IndexQueries {
     // TVF too → exact → strict oracle
     "sql_maintenance" -> ((s: SparkSession, dir: String) => {
       sqlMaintIndex(s, dir)
+      // register in THIS session too: the builder above is skipped on a
+      // warm index cache, and the TVFs are session-scoped
+      graft.functions.AnnSql.register(s)
       val vecSql = qvec(14).mkString("array(", ", ", ")")
       s.sql(
         s"""SELECT CAST(row_number() OVER (ORDER BY _distance, id) AS BIGINT) AS rank,

@@ -366,17 +366,22 @@ class AnnSqlSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(!ids.contains(500L) && !ids.contains(501L) && ids.contains(502L))
 
-    // compact through SQL: a delta-path insert first (cap unset), then fold
-    val extra2 = s"$tmp/sql_maint_extra2.parquet"
-    Seq.tabulate(5)(i => (600L + i, Array.fill(3)(0.1f)))
-      .toDF("id", "embedding").write.mode("overwrite").parquet(extra2)
-    spark.sql(s"SELECT * FROM ann_insert('sql_mt', '$extra2')").collect()
-    val comp = spark.sql("SELECT * FROM ann_compact('sql_mt', 50)").head()
-    assert(comp.getLong(1) >= 2, "compact must fold the undersized shards")
+    // compact through SQL: TWO delta-path inserts first (cap unset), so
+    // two 5-row shards sit under min_rows=20 regardless of how the hash
+    // split the ~50/50 base shards (a threshold of 50 would ride the
+    // knife edge of that split)
+    for (batch <- 0 until 2) {
+      val extra2 = s"$tmp/sql_maint_extra2_$batch.parquet"
+      Seq.tabulate(5)(i => (600L + batch * 10 + i, Array.fill(3)(0.1f)))
+        .toDF("id", "embedding").write.mode("overwrite").parquet(extra2)
+      spark.sql(s"SELECT * FROM ann_insert('sql_mt', '$extra2')").collect()
+    }
+    val comp = spark.sql("SELECT * FROM ann_compact('sql_mt', 20)").head()
+    assert(comp.getLong(1) >= 2, "compact must fold the undersized delta shards")
 
     // vacuum through SQL: tombstones gone for good
     val vac = spark.sql("SELECT * FROM ann_vacuum('sql_mt')").head()
-    assert(vac.getLong(1) == 113 && vac.getLong(2) == 0) // 100+10+5-2
+    assert(vac.getLong(1) == 118 && vac.getLong(2) == 0) // 100+10+2x5-2
     spark.sql("SELECT * FROM ann_drop_index('sql_mt')").collect()
   }
 
