@@ -310,6 +310,38 @@ class OnlineInsertSpec extends SparkSpec {
     } finally spark.conf.unset("spark.ann.onlineInsertMaxRows")
   }
 
+  test("same-batch CDC update (delete+insert of one id) through the online path") {
+    import spark.implicits._
+    val base = vecs(120, 80)
+    val idx = AnnIndexManager.create(spark, "t_online_cdcup",
+      base.toDF("id", "embedding"), "id", "embedding", "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "64",
+        "shards" -> "2"),
+      s"$tmp/t_online_cdcup")
+    spark.conf.set("spark.ann.onlineInsertMaxRows", "100")
+    try {
+      // the CDC update encoding: tombstone at the pre-batch epoch, insert
+      // at the next — in ONE applyCdc. The online rewrite sees the fresh
+      // tombstone, consolidates the OLD copy of id 7 out of its shard,
+      // and the new copy (seg > tombstone) must stay visible.
+      idx.applyCdc(Seq(7L).toDF("id"),
+        Seq((7L, Array.fill(dim)(0.33f))).toDF("id", "embedding"),
+        "id", "embedding")
+      assert(idx.meta.param("shards", 0) == 2)
+      val near = idx.scan(Array.fill(dim)(0.33f), 1, searchParam = 100000)
+        .collect().map(_.getLong(0)).toSeq
+      assert(near == Seq(7L), "updated row must be live at the new epoch")
+      // exactly one physical copy of id 7 remains IF its shard was the
+      // rewrite target; never more than two, and never zero
+      val copies = idx.data.where("id = 7").count()
+      assert(copies >= 1 && copies <= 2)
+      // the old vector is gone from search results either way
+      val all = idx.scan(base(7)._2, 200, searchParam = 100000)
+        .collect().filter(_.getLong(0) == 7L)
+      assert(all.length == 1)
+    } finally spark.conf.unset("spark.ann.onlineInsertMaxRows")
+  }
+
   test("batches above the cap and non-eligible engines fall back to delta shards") {
     import spark.implicits._
     spark.conf.set("spark.ann.onlineInsertMaxRows", "5")
