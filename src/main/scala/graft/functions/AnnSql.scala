@@ -485,6 +485,42 @@ object AnnSql {
         .toDF("name", "merged", "shards"))
     }, "scala_udf")
 
+    // ann_gc(name) → one row (name, removed) — delete unmanifested shard
+    // dirs (crashed writers' leftovers), making space reclamation
+    // schedulable; single-writer contract, like every mutation verb here
+    r.createOrReplaceTempFunction("ann_gc", (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, "usage: ann_gc(name)")
+      val name = constString(exprs(0))
+      val removed = indexByName(spark, name).gcOrphans()
+      import spark.implicits._
+      plan(Seq((name, removed.toLong)).toDF("name", "removed"))
+    }, "scala_udf")
+
+    // ann_refresh_stats(name) → one row (name, num_vectors, num_deleted)
+    // — exact masked-row recount: deflates the search-overfetch bound
+    // after physical drops and retires an all-inert tombstone log
+    r.createOrReplaceTempFunction("ann_refresh_stats", (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, "usage: ann_refresh_stats(name)")
+      val name = constString(exprs(0))
+      val idx = indexByName(spark, name)
+      idx.refreshDeadCount()
+      import spark.implicits._
+      plan(Seq((name, idx.meta.numVectors, idx.meta.numDeleted))
+        .toDF("name", "num_vectors", "num_deleted"))
+    }, "scala_udf")
+
+    // ann_rebalance(name[, max_cell_factor]) → one row (name, split) —
+    // SPANN-style IVF cell rebalance (split cells above factor x the mean)
+    r.createOrReplaceTempFunction("ann_rebalance", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 1 && exprs.length <= 2,
+        "usage: ann_rebalance(name[, max_cell_factor])")
+      val name = constString(exprs(0))
+      val factor = if (exprs.length > 1) constNum(exprs(1)).toDouble else 4.0
+      val split = indexByName(spark, name).rebalanceCells(factor)
+      import spark.implicits._
+      plan(Seq((name, split.toLong)).toDF("name", "split"))
+    }, "scala_udf")
+
     // diskann_streaming_build(input_bin, output_dir[, name]) → one stats
     // row (num_vectors, dimension, sample_size) (S11,
     // rust_lib/src/streaming_build.rs:42-122)

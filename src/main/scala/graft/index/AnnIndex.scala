@@ -1456,8 +1456,10 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * search overfetch (k + numDeleted) — left to only grow, every search
     * carries beam width for rows that no longer exist. When no row is
     * masked anymore the delete log itself is removed (the log is an
-    * upper bound between refreshes; `vacuum()` still clears everything). */
-  private def refreshDeadCount(): Unit = if (hasDeletes) {
+    * upper bound between refreshes; `vacuum()` still clears everything).
+    * Public: an operator (or the SQL verb `ann_refresh_stats`) schedules
+    * it when overfetch drift matters between compactions. */
+  def refreshDeadCount(): Unit = if (hasDeletes) {
     val base = readData() // unpinned: the pin may predate the drop
     val dead = joinDead(base, "left_semi").count()
     if (dead == 0) IndexMeta.deleteDir(deletesPath)

@@ -379,10 +379,37 @@ class AnnSqlSpec extends SparkSpec {
     val comp = spark.sql("SELECT * FROM ann_compact('sql_mt', 20)").head()
     assert(comp.getLong(1) >= 2, "compact must fold the undersized delta shards")
 
+    // refresh stats through SQL: the exact recount — the two tombstoned
+    // rows still physically sit in base shards compact never folded, so
+    // the bound stays exactly 2 (vacuum below is what zeroes it)
+    val ref = spark.sql("SELECT * FROM ann_refresh_stats('sql_mt')").head()
+    assert(ref.getLong(2) == 2, s"recount read num_deleted=${ref.getLong(2)}")
+
+    // gc through SQL: plant a fake orphan dir (a crashed writer's
+    // leftover at an unmanifested shard id), verify it is reclaimed
+    val orphan = java.nio.file.Paths.get(s"$tmp/sql_mt_idx/data/shard=9999")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("junk"), Array[Byte](1))
+    val gc = spark.sql("SELECT * FROM ann_gc('sql_mt')").head()
+    assert(gc.getLong(1) >= 1 && !java.nio.file.Files.exists(orphan))
+
     // vacuum through SQL: tombstones gone for good
     val vac = spark.sql("SELECT * FROM ann_vacuum('sql_mt')").head()
     assert(vac.getLong(1) == 118 && vac.getLong(2) == 0) // 100+10+2x5-2
     spark.sql("SELECT * FROM ann_drop_index('sql_mt')").collect()
+
+    // rebalance through SQL (IVF-only op): a skewed 2-cell index splits
+    val rebPath = s"$tmp/sql_reb.parquet"
+    Seq.tabulate(90)(i => (i.toLong, Array(0.01f * i, 0f, 0f)))
+      .++(Seq.tabulate(10)(i => ((200 + i).toLong, Array(10f + 0.01f * i, 10f, 10f))))
+      .toDF("id", "embedding").write.mode("overwrite").parquet(rebPath)
+    spark.sql(
+      s"""SELECT * FROM ann_create_index('sql_reb', '$rebPath', 'id',
+         |  'embedding', 'IVF', 'metric=l2,nlist=2,nprobe=2', '$tmp/sql_reb_idx')"""
+        .stripMargin).collect()
+    val reb = spark.sql("SELECT * FROM ann_rebalance('sql_reb', 1.2)").head()
+    assert(reb.getLong(1) >= 1, "the 90/10 skew must split at factor 1.2")
+    spark.sql("SELECT * FROM ann_drop_index('sql_reb')").collect()
   }
 
   test("SQL TVF ann_create_index accepts a quoted factory description") {
