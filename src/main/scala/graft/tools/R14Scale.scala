@@ -257,14 +257,17 @@ object R14Scale {
         val r = new scala.util.Random(i * 104729L + 3)
         Array.fill(d)(r.nextFloat() * 10f)
       }
-      def run(label: String, online: Boolean): Seq[Long] = {
+      def run(label: String, online: Boolean,
+              engine: String = "DISKANN"): Seq[Long] = {
         if (online) spark.conf.set("spark.ann.onlineInsertMaxRows", bs.toString)
         else spark.conf.unset("spark.ann.onlineInsertMaxRows")
+        val params =
+          if (engine == "HNSW") Map("metric" -> "l2", "hnsw_m" -> "16")
+          else Map("metric" -> "l2", "max_degree" -> "32",
+            "build_complexity" -> "64")
         val idx = measured(s"online-arm [$label] create n=$n d=$d") {
           graft.index.AnnIndexManager.create(spark, s"r14_ol_$label", base,
-            "id", "vec", "DISKANN",
-            Map("metric" -> "l2", "max_degree" -> "32",
-              "build_complexity" -> "64"), s"$tmp/$label")
+            "id", "vec", engine, params, s"$tmp/$label")
         }
         val b0 = dirBytes(s"$tmp/$label/data")
         val w0 = outputBytes.get()
@@ -299,6 +302,11 @@ object R14Scale {
       val aOnline = run("online", online = true)
       println(s"[r14-scale]   exhaustive top-10 equal across paths: " +
         s"${aDelta == aOnline} ($aDelta)")
+      // the second graph engine through the same online stream: layered
+      // insert cost + the same exhaustive-exactness anchor
+      val aHnsw = run("hnsw-online", online = true, engine = "HNSW")
+      println(s"[r14-scale]   HNSW exhaustive top-10 equal to DISKANN paths: " +
+        s"${aHnsw == aDelta}")
       spark.conf.unset("spark.ann.onlineInsertMaxRows")
       base.unpersist()
     }
