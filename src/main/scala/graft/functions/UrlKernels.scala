@@ -3,9 +3,18 @@ package graft.functions
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass URL parsing kernels behind [[graft.pipeline.UrlOps]] —
-  * byte-for-byte the semantics of the original regexp-Column stack
-  * (UrlOpsSpec and the `url_*` strict driver rows are the oracle), one
-  * character scan instead of ~12 regex passes. Exposed to Catalyst via
+  * the semantics of the original regexp-Column stack (UrlOpsSpec and the
+  * `url_*` strict driver rows are the oracle), one character scan instead
+  * of ~12 regex passes. ONE deliberate divergence: inputs containing line
+  * terminators. Java regex `$`/`.` stop at `\n`, so the old stack's
+  * fragment/query/tracking rules silently ignored anything after an
+  * embedded newline (an accident of anchor semantics, not a spec); the
+  * kernel treats control characters like any other byte — the fragment
+  * cuts at the FIRST `#` wherever it sits, and a host carrying `\n` is
+  * just a (garbage) host. Deterministic garbage-in/garbage-out beats
+  * anchor artifacts for crawl dedup keys; the fuzz spec generates control
+  * characters and pins no-throw + idempotence over them. Exposed to
+  * Catalyst via
   * `StaticInvoke` (codegen'd straight-line call, interpreted-safe,
   * null-propagating) — on the C4 front-door shapes (`dedupByUrl` at crawl
   * volume) the regex stack was the dominant per-row cost AND pushed the

@@ -330,7 +330,8 @@ object HeavyHitters {
     * [[graft.streaming.HeavyHittersMaintenance]] (whose summary is a
     * certified superset at any `phi > 1/(k+1)`). Returns `(itemCol, cnt)`
     * with `cnt >= ceil(phi * N)` — identical to [[frequentItems]] when the
-    * candidate set is a true superset. One corpus scan; only candidate
+    * candidate set is a true superset. Fully lazy: execution pays the
+    * recount pass plus a count-only total pass over df; only candidate
     * rows shuffle (the semi-join side broadcasts when small). */
   def recountCandidates(df: DataFrame, itemCol: String, phi: Double,
                         candidates: DataFrame,
@@ -339,12 +340,21 @@ object HeavyHitters {
     val ds = itemStrings(df, itemCol).toDF("__item")
     val cand = candidates.select(col(candItemCol).cast("string").as("__item"))
       .filter(col("__item").isNotNull).distinct()
-    val n = ds.count()
-    val threshold = math.max(1L, math.ceil(phi * n).toLong)
+    // N computed IN-PLAN (one-row count aggregate broadcast-cross-joined
+    // onto the bounded recount output), matching the grouped sibling's
+    // lazy totals join — the eager ds.count() this replaces ran a full
+    // corpus scan at CONSTRUCTION time (even for EXPLAIN, even if the
+    // result was never collected) on top of the execution-time scans.
+    // Execution now pays the recount pass plus the count-only aggregate
+    // pass; nothing runs until the caller does.
+    val total = ds.agg(count(lit(1)).cast("long").as("__n"))
     ds.join(cand, Seq("__item"), "left_semi")
       .groupBy(col("__item").as(itemCol))
       .agg(count(lit(1)).cast("long").as("cnt"))
-      .filter(col("cnt") >= threshold)
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") >= greatest(lit(1L),
+        ceil(lit(phi) * col("__n")).cast("long")))
+      .drop("__n")
   }
 
   /** The deduped candidate superset alone — exposed for the guarantee spec

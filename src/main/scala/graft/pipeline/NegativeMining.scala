@@ -86,6 +86,11 @@ object NegativeMining {
     // query with p positives in the top candidates silently thinned its
     // negative yield). One pair-volume agg when the caller didn't pass
     // the bound; 0 positives (all-null) still reserves 1 for safety.
+    // NOTE the agg is an EAGER action at construction time (the fetch
+    // size must be a driver literal) — the pairs relation is the small
+    // side by design, but hot paths (the SQL TVF resolves at analysis,
+    // so even EXPLAIN pays it) should pass maxPositives explicitly: 1 is
+    // exact for the standard one-positive-per-query shape.
     val posReserve =
       if (maxPositives >= 0) maxPositives
       else {

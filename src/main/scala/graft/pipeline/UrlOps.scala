@@ -89,7 +89,11 @@ object UrlOps {
     private[pipeline] def registeredDomainOf(host: String): String = {
       if (host == null) return null
       if (Ipv4Pattern.matcher(host).matches()) return host
-      val labels = host.split('.')
+      // limit -1 keeps trailing empty labels: a trailing-dot FQDN
+      // ("bbc.co.uk.") must key identically to the default kernel path,
+      // which sees the empty last label (Scala's split(Char) would
+      // silently drop it and name a different registered domain)
+      val labels = host.split("\\.", -1)
       val n = labels.length
       if (n < 2) return host
       var suffix = 1 // the implicit default rule: the TLD is a suffix
@@ -133,13 +137,19 @@ object UrlOps {
       SuffixRules(plain.result(), wild.result(), exc.result())
     }
 
-    /** Parse a PSL file from disk, cached by absolute path — the SQL TVF
-      * surface resolves a path argument per query, and the full PSL is
-      * ~15k lines (parse once, reuse the immutable rule set). */
+    /** Parse a PSL file from disk, cached by (absolute path, mtime) — the
+      * SQL TVF surface resolves a path argument per query, and the full
+      * PSL is ~15k lines (parse once, reuse the immutable rule set).
+      * Keying on the mtime means a long-running service that refreshes
+      * the downloaded list in place (the publicsuffix.org weekly cadence)
+      * picks the new rules up on the next query instead of keying whole
+      * registries on a stale set for the JVM lifetime. */
     def parseFile(path: String): SuffixRules = {
-      val key = java.nio.file.Paths.get(path).toAbsolutePath.toString
-      fileCache.computeIfAbsent(key, k => {
-        val src = scala.io.Source.fromFile(k, "UTF-8")
+      val p = java.nio.file.Paths.get(path).toAbsolutePath
+      val key = s"$p@${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+      if (fileCache.size() > 64) fileCache.clear() // superseded mtimes age out
+      fileCache.computeIfAbsent(key, _ => {
+        val src = scala.io.Source.fromFile(p.toString, "UTF-8")
         try parse(src.getLines())
         finally src.close()
       })

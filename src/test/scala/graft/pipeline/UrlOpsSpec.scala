@@ -111,6 +111,25 @@ class UrlOpsSpec extends SparkSpec {
     assert(rules.registeredDomainOf(null) == null)
   }
 
+  test("trailing-dot FQDN hosts key identically on the rules and default paths") {
+    // Scala's split(Char) drops trailing empty labels — the rules path
+    // must split with limit -1 so a trailing-dot host sees the same
+    // label sequence as the default kernel (and the old Column stack,
+    // whose split(..., -1) kept it). Divergence here keys the SAME url
+    // under different domains depending on the overload used.
+    val rules = UrlOps.SuffixRules.bundledSample
+    for (host <- Seq("news.bbc.co.uk.", "a.b.example.com.", "x.",
+                     "example.com.pl.")) {
+      val viaRules = rules.registeredDomainOf(host)
+      val viaDefault =
+        graft.functions.UrlKernels.registeredDomainDefaultJava(host)
+      // PSL rules are dot-clean, so a trailing-dot host matches none of
+      // them and BOTH paths degrade to the same implicit-default answer
+      // — identical keying is the contract, not PSL awareness of FQDNs
+      assert(viaRules == viaDefault, s"$host: $viaRules vs $viaDefault")
+    }
+  }
+
   test("the constant default set gets a PSL-only suffix WRONG; the rules path gets it right") {
     import spark.implicits._
     // com.pl is a registry suffix the bounded literal set does not carry:
@@ -174,10 +193,17 @@ class UrlOpsSpec extends SparkSpec {
       "https://..", "https://h?a=1&utm_source&b=2&FBCLID=x",
       "ftp://h:21/f", "https://[::1]:443/v6", "https://192.168.0.1:8080/x",
       "https://xn--bcher-kva.example/päth?ö=ü#frag",
-      "\u0000://h", "https://h\u0000/p", "https://ह.example/p")
+      "\u0000://h", "https://h\u0000/p", "https://ह.example/p",
+      // line terminators: the old regex $/.-anchors silently ignored what
+      // followed them (an anchor accident); the kernel treats them as
+      // ordinary bytes — deliberate divergence, pinned here
+      "https://h/p#a\nb", "https://h/p?a=1\n&utm_source=x",
+      "https://h\n/p", "https://1.2.3.4\n/p", "https://h/p?utm_a\n")
     val rnd = new scala.util.Random(99)
+    val ctl = Array('\n', '\t', '\r')
     val random = Seq.fill(200)(new String(Array.fill(rnd.nextInt(40))(
-      (rnd.nextInt(96) + 32).toChar)))
+      if (rnd.nextInt(12) == 0) ctl(rnd.nextInt(3))
+      else (rnd.nextInt(96) + 32).toChar)))
     val rows = (adversarial ++ random).map(Option(_)) :+ Option.empty[String]
     // through the real Spark path (codegen'd StaticInvoke), all three
     // kernels at once — must complete, no exceptions
