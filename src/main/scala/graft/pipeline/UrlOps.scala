@@ -146,13 +146,26 @@ object UrlOps {
       * registries on a stale set for the JVM lifetime. */
     def parseFile(path: String): SuffixRules = {
       val p = java.nio.file.Paths.get(path).toAbsolutePath
-      val key = s"$p@${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
-      if (fileCache.size() > 64) fileCache.clear() // superseded mtimes age out
-      fileCache.computeIfAbsent(key, _ => {
-        val src = scala.io.Source.fromFile(p.toString, "UTF-8")
-        try parse(src.getLines())
-        finally src.close()
-      })
+      val prefix = s"$p@"
+      val key = s"$prefix${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+      // targeted eviction, never a blunt clear (which would re-parse every
+      // hot file's ~15k lines once past the bound): first drop THIS path's
+      // superseded-mtime entries (the refresh-in-place case the mtime key
+      // exists for), then shed arbitrary single entries while still over
+      // the bound — a service rotating across many distinct PSL files
+      // loses some, never all
+      fileCache.keySet.removeIf(k => k.startsWith(prefix) && k != key)
+      while (fileCache.size() > 64) {
+        val it = fileCache.keySet().iterator()
+        if (it.hasNext) fileCache.remove(it.next()) else return parseOne(p)
+      }
+      fileCache.computeIfAbsent(key, _ => parseOne(p))
+    }
+
+    private def parseOne(p: java.nio.file.Path): SuffixRules = {
+      val src = scala.io.Source.fromFile(p.toString, "UTF-8")
+      try parse(src.getLines())
+      finally src.close()
     }
 
     private val fileCache =

@@ -31,4 +31,9 @@ object GraftBridge {
     * conf overrides. */
   def cloneSession(spark: SparkSession): SparkSession =
     spark.asInstanceOf[classic.SparkSession].cloneSession()
+
+  /** Drain the async listener bus — lets tests assert on SparkListener
+    * counters (e.g. "analysis launched zero jobs") without sleeps. */
+  def waitListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

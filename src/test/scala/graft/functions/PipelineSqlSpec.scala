@@ -248,6 +248,66 @@ class PipelineSqlSpec extends SparkSpec {
     } finally graft.index.AnnIndexManager.drop("pl_neg_idx")
   }
 
+  test("mine_hard_negatives TVF with max_positives launches no job at analysis") {
+    PipelineSql.register(spark)
+    import spark.implicits._
+    val base = Seq.tabulate(40)(i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 7 + j * 3) % 17) / 10.0f)))
+      .toDF("id", "vec")
+    val pairs = Seq.tabulate(3)(i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 7 + j * 3) % 17) / 10.0f), (i + 5).toLong))
+      .toDF("qid", "qvec", "pos_id")
+    base.createOrReplaceTempView("pl_negx_base")
+    pairs.createOrReplaceTempView("pl_negx_pairs")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_negx_sql").toString
+    graft.index.AnnIndexManager.create(spark, "pl_negx_idx", base,
+      "id", "vec", "FLAT", Map("metric" -> "l2"), s"$tmp/idx")
+    // the one job class allowed at analysis is the parquet-footer schema
+    // read of the index dataset (one tiny file-listing job at index open,
+    // stage name "parquet at ..."); any other job at analysis time is
+    // computation — specifically the pair-volume aggregate the
+    // max_positives hint exists to eliminate (under AQE it surfaces as
+    // thread-pool jobs with mangled stage names, so the test counts
+    // everything that is not a footer scan)
+    val workJobs = new scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val names = j.stageInfos.map(_.name).mkString(" | ")
+        if (!names.contains("parquet at"))
+          workJobs.synchronized { workJobs += names }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // the TVF resolves at analysis time; with max_positives the fetch
+      // reserve is a literal, so building (and EXPLAINing) the plan must
+      // not run the pair-volume aggregate job
+      org.apache.spark.sql.GraftBridge.waitListenerBus(spark)
+      workJobs.synchronized(workJobs.clear())
+      val df = spark.sql(
+        "SELECT * FROM mine_hard_negatives('pl_negx_idx', TABLE(pl_negx_pairs), " +
+          "'qid', 'qvec', 'pos_id', TABLE(pl_negx_base), 'id', 'vec', 4, 2, 0.0, -1, 1)")
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode) // full EXPLAIN, still job-free
+      org.apache.spark.sql.GraftBridge.waitListenerBus(spark)
+      assert(workJobs.isEmpty,
+        s"analysis/EXPLAIN with max_positives launched work jobs: ${workJobs.mkString("; ")}")
+      // contrast: without the hint the reserve is an eager aggregate
+      spark.sql(
+        "SELECT * FROM mine_hard_negatives('pl_negx_idx', TABLE(pl_negx_pairs), " +
+          "'qid', 'qvec', 'pos_id', TABLE(pl_negx_base), 'id', 'vec', 4)")
+      org.apache.spark.sql.GraftBridge.waitListenerBus(spark)
+      assert(workJobs.nonEmpty, "hint-less TVF should pay the pair-volume agg")
+      // and the hinted plan still answers correctly when executed
+      val got = df.collect()
+      assert(got.nonEmpty)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      graft.index.AnnIndexManager.drop("pl_negx_idx")
+    }
+  }
+
   test("Bloom decontamination, BPE, and quality-score TVFs mirror the Scala API") {
     PipelineSql.register(spark)
     import spark.implicits._
