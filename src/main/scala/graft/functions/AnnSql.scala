@@ -504,6 +504,9 @@ object AnnSql {
       val name = constString(exprs(0))
       val idx = indexByName(spark, name)
       idx.refreshDeadCount()
+      // graph engines: also repair shard-routing summary coverage (the
+      // post-crash / legacy-index path; mutations maintain it inline)
+      if (idx.isGraphEngine) idx.refreshShardSummaries()
       import spark.implicits._
       plan(Seq((name, idx.meta.numVectors, idx.meta.numDeleted))
         .toDF("name", "num_vectors", "num_deleted"))

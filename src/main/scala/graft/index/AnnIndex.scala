@@ -529,6 +529,101 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * src/diskann_index.cpp:558-561). */
   def isGraphEngine: Boolean = meta.engine == "DISKANN" || meta.engine == "HNSW"
 
+  // ---- shard routing (graph engines; see ShardSummaries) ----
+
+  /** Driver-cached shard summaries; null = not loaded yet. Invalidated by
+    * every mutation that touches the shard set (same sites as the pin). */
+  @volatile private var summariesCache: Array[ShardSummaries.Summary] = _
+  private[index] def invalidateSummaries(): Unit = summariesCache = null
+
+  /** Summaries usable for routing: Some iff every live shard has EXACTLY
+    * one summary (unknown ids — dead shards' leftovers — are ignored).
+    * Any gap means a write landed without its summary (crash between the
+    * meta publish and the summary merge, or a legacy index): routing
+    * falls back to walk-all, which is always correct, and
+    * [[refreshShardSummaries]] restores coverage on demand. */
+  private def routingSummaries: Option[Array[ShardSummaries.Summary]] = {
+    var s = summariesCache
+    if (s == null) {
+      s = ShardSummaries.read(path).getOrElse(Array.empty)
+      summariesCache = s
+    }
+    val live = liveShardIds
+    val liveSet = live.toSet
+    val covered = s.filter(x => liveSet(x.shard))
+    if (covered.length == live.size &&
+        covered.iterator.map(_.shard).toSet.size == live.size)
+      Some(covered)
+    else None
+  }
+
+  /** The per-query probe width: `spark.ann.shardProbes` (0/absent = off —
+    * walk every live shard, the exact-compat default). */
+  private def shardProbes: Int =
+    spark.conf.get("spark.ann.shardProbes", "0").toInt
+
+  /** Routing decision shared by the broadcast and table paths: Some
+    * whenever probing is on and summaries fully cover the manifest. A
+    * width at or above the live count still goes THROUGH the router
+    * (topShards clamps to all shards, in distance order) — value-identical
+    * to walk-all, which is what lets a strict-oracle row pin the routing
+    * plumbing itself. */
+  private def routingFor(s: Int): Option[Array[ShardSummaries.Summary]] =
+    if (s <= 0 || !isGraphEngine) None else routingSummaries
+
+  /** Recompute summaries for live shards lacking one and drop dead
+    * entries; returns how many shards were (re)computed. Create and every
+    * mutation maintain coverage incrementally — this is the repair path
+    * (post-crash, legacy index, or after a failed merge). */
+  def refreshShardSummaries(): Int = {
+    require(isGraphEngine,
+      s"refreshShardSummaries: ${meta.engine} routes via its own centroids")
+    val live = liveShardIds
+    val liveSet = live.toSet
+    val kept = ShardSummaries.read(path).getOrElse(Array.empty)
+      .filter(x => liveSet(x.shard))
+    val have = kept.iterator.map(_.shard).toSet
+    val missing = live.filterNot(have)
+    val added =
+      if (missing.isEmpty) Seq.empty
+      else ShardSummaries.compute(
+        spark.read.option("basePath", dataPath)
+          .parquet(missing.map(s => s"$dataPath/shard=$s"): _*)
+          .select(col("shard"), col(dataVecCol)),
+        codec, meta.metric == "cosine")
+    ShardSummaries.write(path, (kept.toSeq ++ added).sortBy(_.shard))
+    invalidateSummaries()
+    missing.size
+  }
+
+  /** Post-publish summary maintenance: compute for the freshly written
+    * shard ids (partition-pruned scan), drop the replaced/removed ids.
+    * Runs AFTER the meta commit, so a crash here leaves a coverage gap
+    * (→ walk-all fallback), never a wrong summary; failure degrades to
+    * the same fallback by dropping the file. */
+  private def updateSummariesAfterWrite(newIds: Seq[Int],
+                                        removedIds: Seq[Int]): Unit = {
+    if (!isGraphEngine || (newIds.isEmpty && removedIds.isEmpty)) return
+    try {
+      val added =
+        if (newIds.isEmpty) Seq.empty
+        else ShardSummaries.compute(
+          spark.read.option("basePath", dataPath)
+            .parquet(newIds.map(s => s"$dataPath/shard=$s"): _*)
+            .select(col("shard"), col(dataVecCol)),
+          codec, meta.metric == "cosine")
+      ShardSummaries.merge(path, added, removedIds)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // routing is an optimization with a safe fallback; the index
+        // mutation itself is already committed and must not fail here
+        System.err.println(s"[graft] shard summary update failed for $path: " +
+          s"${e.getMessage} — routing falls back to walk-all until " +
+          "refreshShardSummaries()")
+        ShardSummaries.delete(path)
+    } finally invalidateSummaries()
+  }
+
   /** Cache key for executor-side decoded shards: any index write rewrites
     * meta.json, so its mtime versions the dataset. */
   private def shardCacheKey: Option[String] = scala.util.Try {
@@ -557,20 +652,42 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     val ck = shardCacheKey
     val (src, prePart) = pinnedSource
     val nShards = math.max(1, meta.param("shards", 1))
+    // shard routing (spark.ann.shardProbes > 0 + full summary coverage):
+    // rank live shards per query by centroid distance driver-side (the
+    // query batch and the summary table are both broadcast-sized here) and
+    // hand the engines the INVERTED map — shard → probing queries — so an
+    // unrouted shard is skipped before decode
+    val probes: Option[Map[Int, Array[Int]]] = {
+      val s = shardProbes
+      routingFor(s).map { sums =>
+        val shards = sums.map(_.shard)
+        val cents = sums.map(_.centroid)
+        val inv = scala.collection.mutable.HashMap
+          .empty[Int, scala.collection.mutable.ArrayBuffer[Int]]
+        qs.foreach { case (qi, q) =>
+          ShardSummaries.topShards(q, shards, cents, s, meta.metric)
+            .foreach(sid => inv.getOrElseUpdate(sid,
+              new scala.collection.mutable.ArrayBuffer[Int]) += qi)
+        }
+        inv.iterator.map { case (sid, b) => sid -> b.toArray }.toMap
+      }
+    }
     val res = meta.engine match {
       case "DISKANN" =>
         val p = Vamana.Params.from(meta)
         val l = Vamana.beamWidth(k + overfetch, searchComplexity,
           p.buildComplexity) + overfetch
         Vamana.searchBatch(spark, src, qs, k + overfetch, l, meta.metric, ck,
-          prePartitioned = prePart, numShards = nShards, codec = codec)
+          prePartitioned = prePart, numShards = nShards, codec = codec,
+          probes = probes)
       case "HNSW" =>
         // searchParam = ef_search override; default ef = ef_construction
         val p = Hnsw.Params.from(meta)
         val ef = math.max(k + overfetch,
           if (searchComplexity > 0) searchComplexity else p.efConstruction) + overfetch
         Hnsw.searchBatch(spark, src, qs, k + overfetch, ef, meta.metric, ck,
-          prePartitioned = prePart, numShards = nShards, codec = codec)
+          prePartitioned = prePart, numShards = nShards, codec = codec,
+          probes = probes)
     }
     cleanGraphHits(res, "query_idx", k)
   }
@@ -608,18 +725,38 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     // move zero index bytes. Unpinned → the cogroup path (its one graph
     // shuffle reads from parquet anyway).
     val (src, prePart) = pinnedSource
+    // shard routing on the table path: a row-local expression mapping each
+    // query vector to its top-s shard ids (summary table broadcast once),
+    // which replaces the walk-all explode inside GraphTableSearch — the
+    // query relation replicates s ways instead of |live shards| ways, and
+    // per-query beam work stops growing with corpus size
+    val route: Option[org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column] = {
+      val s = shardProbes
+      routingFor(s).map { sums =>
+        val bc = spark.sparkContext.broadcast(
+          (sums.map(_.shard), sums.map(_.centroid)))
+        val metric = meta.metric
+        val sN = s
+        val f = udf { (v: Seq[Float]) =>
+          val (shards, cents) = bc.value
+          ShardSummaries.topShards(v.toArray, shards, cents, sN, metric)
+        }
+        (qv: org.apache.spark.sql.Column) => f(qv)
+      }
+    }
     val res = meta.engine match {
       case "DISKANN" =>
         val p = Vamana.Params.from(meta)
         val l = Vamana.beamWidth(kk, searchComplexity, p.buildComplexity) + overfetch
         Vamana.searchTableDistributed(spark, src, queries, kk, l, meta.metric,
-          ck, liveShardIds, codec, graphPrePartitioned = prePart)
+          ck, liveShardIds, codec, graphPrePartitioned = prePart, route = route)
       case "HNSW" =>
         val p = Hnsw.Params.from(meta)
         val ef = math.max(kk,
           if (searchComplexity > 0) searchComplexity else p.efConstruction) + overfetch
         Hnsw.searchTableDistributed(spark, src, queries, kk, ef, meta.metric,
-          ck, liveShardIds, codec, graphPrePartitioned = prePart)
+          ck, liveShardIds, codec, graphPrePartitioned = prePart, route = route)
       case other => throw new IllegalArgumentException(
         s"scanGraphTable: $other is not a graph engine")
     }
@@ -742,6 +879,28 @@ class AnnIndex(val spark: SparkSession, val path: String) {
                         batch: Option[(String, Long)]): Map[String, String] =
     params ++ batch.map { case (sid, b) => s"last_batch_id.$sid" -> b.toString }
 
+  /** Build a graph over `rows` (id, vector) honoring this index's
+    * `shard_assign` mode: a spatial index keeps NEW shards spatially
+    * coherent too (fresh centers trained on the batch, seeded by the
+    * epoch for determinism) so its routing summaries stay meaningful
+    * through deltas, compactions, and vacuums. Hash indexes keep the
+    * id-hash layout. */
+  private def buildGraphFor(rows: DataFrame, nShards: Int, nRows: Long): DataFrame = {
+    val spatial = meta.params.get("shard_assign").contains("spatial") && nShards > 1
+    val (src, assignCol) =
+      if (spatial) {
+        val centers = AnnIndexBuilder.trainShardCenters(rows, nRows, nShards,
+          seed = 42L + currentSeg)
+        (AnnIndexBuilder.assignShards(rows, centers), Some("__sa"))
+      } else (rows, None)
+    meta.engine match {
+      case "DISKANN" => Vamana.build(src, nShards, Vamana.Params.from(meta),
+        meta.metric, assignCol)
+      case "HNSW" => Hnsw.build(src, nShards, Hnsw.Params.from(meta),
+        meta.metric, assignCol)
+    }
+  }
+
   /** Append the insert rows to the data dataset at epoch currentSeg+1;
     * returns (rowCount, paramsDelta) for the caller's single meta publish. */
   private def writeInsertData(rows: DataFrame, idCol: String,
@@ -772,10 +931,8 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       // append can't mix two graphs under one shard id.
       (nextShard until nextShard + nDelta).foreach(sid =>
         IndexMeta.deleteDir(s"$dataPath/shard=$sid"))
-      val delta0 = (meta.engine match {
-        case "DISKANN" => Vamana.build(prepared, nDelta, Vamana.Params.from(meta), meta.metric)
-        case "HNSW" => Hnsw.build(prepared, nDelta, Hnsw.Params.from(meta), meta.metric)
-      }).withColumn("shard", (col("shard") + lit(nextShard)).cast("int"))
+      val delta0 = buildGraphFor(prepared, nDelta, n)
+        .withColumn("shard", (col("shard") + lit(nextShard)).cast("int"))
       val delta = codec match {
         case Some(c) => delta0 // sq8: out-of-range values clamp to the build-time range
           .withColumn("codes", c.encodeUdf(col("vector")))
@@ -794,7 +951,8 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       (n, Map("seg" -> segNew.toString,
         "shards" -> newLive.size.toString,
         "next_shard" -> (nextShard + nDelta).toString,
-        "live_shards" -> newLive.mkString(",")))
+        "live_shards" -> newLive.mkString(","),
+        "__new_shards" -> written.mkString(",")))
     } else {
       val assigned = AnnIndexBuilder.assignLists(prepared, centroids, meta.engine)
       val stored = codec match {
@@ -883,8 +1041,36 @@ class AnnIndex(val spark: SparkSession, val path: String) {
           .drop("__did", "__dseg")
       } else graphRows0.withColumn("__dead", lit(false))
     val touchedTotal = if (hadDeletes) graphRows0.count() else 0L
-    val routed = element_at(typedLit(targets.toSeq),
-      (pmod(hash(col("id")), lit(t)) + 1).cast("int")).as("shard")
+    // batch → target routing: hash(id) by default; a SPATIAL index routes
+    // each new row to the nearest target shard's summary centroid instead,
+    // so online CDC preserves the spatial coherence the routing tier
+    // depends on (falls back to hash when coverage is missing — safe, the
+    // summaries of the rewritten shards are recomputed either way)
+    val spatialCents: Option[Array[Array[Float]]] =
+      if (!meta.params.get("shard_assign").contains("spatial")) None
+      else ShardSummaries.read(path).flatMap { sums =>
+        val byId = sums.iterator.map(s => s.shard -> s.centroid).toMap
+        val cents = targets.flatMap(byId.get)
+        if (cents.length == targets.length) Some(cents) else None
+      }
+    val routed = spatialCents match {
+      case Some(cents) =>
+        val bcT = spark.sparkContext.broadcast((targets, cents))
+        udf { (v: Seq[Float]) =>
+          val (tids, cs) = bcT.value
+          val q = v.toArray
+          var best = 0; var bestD = Double.MaxValue
+          var i = 0
+          while (i < cs.length) {
+            val d = graft.functions.VectorKernels.l2Sq(q, cs(i))
+            if (d < bestD) { bestD = d; best = i }
+            i += 1
+          }
+          tids(best)
+        }.apply(col("vector")).as("shard")
+      case None => element_at(typedLit(targets.toSeq),
+        (pmod(hash(col("id")), lit(t)) + 1).cast("int")).as("shard")
+    }
     val newRows =
       (if (isHnsw) prepared.select(routed, lit(-1).as("label"), col("id"),
         col("vector"), lit(0).as("level"), // recomputed per id at insert
@@ -911,11 +1097,14 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         StructField("seg", LongType, nullable = false)))
     val rewritten = graphRows.unionByName(newRows)
       .repartition(Vamana.shardPartitions(t), col("shard"))
+      .sortWithinPartitions(col("shard"))
       .mapPartitions { rows =>
         // one task sees whole shards (hash-partitioned on shard above);
-        // memory bound = this task's shards + their inserts, the same
-        // bound the batch search path holds
-        rows.toSeq.groupBy(_.getInt(0)).iterator.flatMap { case (old, rs) =>
+        // the sort makes each shard's rows CONTIGUOUS, so this streams one
+        // shard group at a time — peak memory is one shard + its inserts,
+        // not every hash-colocated shard's boxed rows at once (a task can
+        // hold 2+ whole shards when shard ids collide in the hash)
+        AnnIndex.groupedByIntKey(rows, _.getInt(0)).flatMap { case (old, rs) =>
           val (oldRows, ins) = rs.partition(_.getInt(1) >= 0)
           val segs = new Array[Long](oldRows.length)
           val deadArr = new Array[Boolean](oldRows.length)
@@ -990,7 +1179,8 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       "next_shard" -> (nextShard + t).toString,
       "live_shards" -> newLive.mkString(","),
       "__online_dropped" -> dropped.toString,
-      "__online_swapped" -> targets.mkString(",")))
+      "__online_swapped" -> targets.mkString(","),
+      "__new_shards" -> written.mkString(",")))
   }
 
   /** Grow the stored per-cell radii to cover an insert batch, keeping the
@@ -1050,12 +1240,13 @@ class AnnIndex(val spark: SparkSession, val path: String) {
   def insert(rows: DataFrame, idCol: String, vecCol: String,
              batch: Option[(String, Long)] = None): Unit = {
     val (n, delta0) = writeInsertData(rows, idCol, vecCol)
-    val (delta, dropped, swapped) = splitOnlineMarkers(delta0)
+    val (delta, dropped, swapped, newShards) = splitOnlineMarkers(delta0)
     meta = meta.copy(numVectors = meta.numVectors + n,
       numDeleted = math.max(0L, meta.numDeleted - dropped),
       params = withBatch(meta.params ++ delta, batch))
     IndexMeta.write(path, meta)
     finishOnlinePublish(dropped, swapped)
+    updateSummariesAfterWrite(newShards, swapped)
     invalidatePin()
     maybeAutoCompact()
   }
@@ -1065,23 +1256,31 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * reclamation AFTER the meta commit, like compactShards — without it a
     * steady online stream leaks one full-size dead dir per micro-batch,
     * since those ids sit below next_shard and are never re-allocated),
-    * and when consolidation has driven the masked-row bound to zero, run
-    * the exact recount once so the now-inert tombstone log is dropped
-    * instead of being broadcast into every future search and rewrite. */
+    * and when consolidation dropped rows, run the exact recount so the
+    * overfetch bound stays an UPPER bound: delete() increments numDeleted
+    * by tombstone count, but one tombstone can mask several physical
+    * copies of an id (re-insert without delete is legal append
+    * semantics), so decrementing by physically-dropped rows can leave the
+    * counter UNDER the surviving masked-row count — and an undercounted
+    * k+numDeleted beam silently returns short/wrong top-k. The recount is
+    * one partition-pruned count against the tombstone broadcast, paid
+    * only on delete-consolidating batches; it also drops a delete log
+    * that no longer masks anything. */
   private def finishOnlinePublish(dropped: Long, swapped: Seq[Int]): Unit = {
     swapped.foreach(sid => IndexMeta.deleteDir(s"$dataPath/shard=$sid"))
-    if (dropped > 0 && meta.numDeleted == 0) refreshDeadCount()
+    if (dropped > 0) refreshDeadCount()
   }
 
-  /** Strip the reserved bookkeeping keys an online rewrite returns next to
+  /** Strip the reserved bookkeeping keys a graph write returns next to
     * its real params delta: (clean delta, consolidated-away row count,
-    * swapped-out shard ids). */
+    * swapped-out shard ids, freshly written shard ids). */
   private def splitOnlineMarkers(
-      delta: Map[String, String]): (Map[String, String], Long, Seq[Int]) = {
-    val dropped = delta.get("__online_dropped").map(_.toLong).getOrElse(0L)
-    val swapped = delta.get("__online_swapped").toSeq
+      delta: Map[String, String]): (Map[String, String], Long, Seq[Int], Seq[Int]) = {
+    def ids(key: String) = delta.get(key).toSeq
       .flatMap(_.split(",")).filter(_.nonEmpty).map(_.toInt)
-    (delta - "__online_dropped" - "__online_swapped", dropped, swapped)
+    val dropped = delta.get("__online_dropped").map(_.toLong).getOrElse(0L)
+    (delta - "__online_dropped" - "__online_swapped" - "__new_shards",
+      dropped, ids("__online_swapped"), ids("__new_shards"))
   }
 
   /** Conf-driven compaction trigger: with `spark.ann.autoCompactMinShards`
@@ -1139,13 +1338,14 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     val (nIns, delta0) =
       if (insRows.isEmpty) (0L, Map.empty[String, String])
       else writeInsertData(insRows, idCol, vecCol)
-    val (delta, dropped, swapped) = splitOnlineMarkers(delta0)
+    val (delta, dropped, swapped, newShards) = splitOnlineMarkers(delta0)
     meta = meta.copy(
       numVectors = meta.numVectors + nIns,
       numDeleted = math.max(0L, meta.numDeleted + nDel - dropped),
       params = withBatch(meta.params ++ delta, batch))
     IndexMeta.write(path, meta)
     finishOnlinePublish(dropped, swapped)
+    updateSummariesAfterWrite(newShards, swapped)
     invalidatePin()
     maybeAutoCompact()
   }
@@ -1170,10 +1370,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       val liveVecs = maskDead(liveFloats).select("id", "vector")
       val liveCount = liveVecs.count()
       val shards = meta.param("shards", 1)
-      val rebuilt0 = meta.engine match {
-        case "DISKANN" => Vamana.build(liveVecs, shards, Vamana.Params.from(meta), meta.metric)
-        case "HNSW" => Hnsw.build(liveVecs, shards, Hnsw.Params.from(meta), meta.metric)
-      }
+      val rebuilt0 = buildGraphFor(liveVecs, shards, liveCount)
       val rebuilt = (codec match {
         case Some(c) => rebuilt0
           .withColumn("codes", c.encodeUdf(col("vector")))
@@ -1191,6 +1388,15 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         params = meta.params + ("shards" -> math.max(liveNow.size, 1).toString)
           + ("next_shard" -> shards.toString)
           + ("live_shards" -> liveNow.mkString(",")))
+      IndexMeta.write(path, meta)
+      // vacuum REUSES shard ids (the one mutation that does), so stale
+      // summaries under the same ids would be silently wrong — drop the
+      // file first, then recompute from scratch
+      ShardSummaries.delete(path)
+      invalidateSummaries()
+      updateSummariesAfterWrite(liveNow, Nil)
+      invalidatePin()
+      return
     } else {
       val liveCount = live.count()
       live.write.mode("overwrite").partitionBy("list_id").parquet(tmp)
@@ -1398,10 +1604,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     (nextShard until nextShard + nNew).foreach(sid =>
       IndexMeta.deleteDir(s"$dataPath/shard=$sid"))
     if (nNew > 0) {
-      val rebuilt0 = meta.engine match {
-        case "DISKANN" => Vamana.build(liveSub, nNew, Vamana.Params.from(meta), meta.metric)
-        case "HNSW" => Hnsw.build(liveSub, nNew, Hnsw.Params.from(meta), meta.metric)
-      }
+      val rebuilt0 = buildGraphFor(liveSub, nNew, liveCount)
       val rebuilt = (codec match {
         case Some(c) => rebuilt0
           .withColumn("codes", c.encodeUdf(col("vector")))
@@ -1426,6 +1629,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         + ("live_shards" -> newLive.mkString(",")))
     IndexMeta.write(path, meta)
     small.foreach(sid => IndexMeta.deleteDir(s"$dataPath/shard=$sid"))
+    updateSummariesAfterWrite(written, small.toSeq)
     invalidatePin()
     refreshDeadCount()
     small.length
@@ -1465,5 +1669,27 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     if (dead == 0) IndexMeta.deleteDir(deletesPath)
     meta = meta.copy(numDeleted = dead)
     IndexMeta.write(path, meta)
+  }
+}
+
+object AnnIndex {
+  /** Stream key-contiguous row groups from a sorted iterator — the caller
+    * must have `sortWithinPartitions` on the key column, which is what
+    * lets one group at a time live in memory instead of a whole-partition
+    * `toSeq.groupBy`. */
+  private[index] def groupedByIntKey(
+      rows: Iterator[org.apache.spark.sql.Row],
+      key: org.apache.spark.sql.Row => Int)
+      : Iterator[(Int, scala.collection.Seq[org.apache.spark.sql.Row])] = {
+    val it = rows.buffered
+    new Iterator[(Int, scala.collection.Seq[org.apache.spark.sql.Row])] {
+      def hasNext: Boolean = it.hasNext
+      def next(): (Int, scala.collection.Seq[org.apache.spark.sql.Row]) = {
+        val k = key(it.head)
+        val buf = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]
+        while (it.hasNext && key(it.head) == k) buf += it.next()
+        (k, buf)
+      }
+    }
   }
 }

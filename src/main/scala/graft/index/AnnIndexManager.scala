@@ -55,6 +55,36 @@ object AnnIndexBuilder {
     * caller asks for — training is ALWAYS sampled, as in faiss. */
   val MaxTrainRows = 262144
 
+  /** Spatial shard centers for a graph index (`shard_assign=spatial`):
+    * k-means over a bounded driver-side sample, exactly the IVF coarse
+    * training posture (256 rows/center, MaxTrainRows ceiling). Spatially
+    * coherent shards are what give per-shard routing summaries
+    * ([[ShardSummaries]]) their signal — under the default hash-by-id
+    * sharding every shard spans the whole space and a shard centroid is
+    * just the global mean. Balance is data-dependent (SPANN §3 uses
+    * balanced clustering); k-means on blobby data lands near-even cells,
+    * and a skewed cell shows up as a big shard dir that compactShards /
+    * a larger `shards` setting addresses. */
+  def trainShardCenters(prepared: DataFrame, n: Long, k: Int,
+                        seed: Long): Array[(Int, Array[Float])] = {
+    val cap = math.min(n, math.min(256L * k, MaxTrainRows.toLong))
+    val sampleDf =
+      if (cap < n)
+        prepared.sample(withReplacement = false,
+          math.min(1.0, cap.toDouble / n * 1.2), seed).limit(cap.toInt)
+      else prepared
+    val sample = sampleDf.select("vector").collect()
+      .map(_.getSeq[Float](0).toArray)
+    trainCentroids(sample, math.min(k, math.max(1, sample.length)),
+      maxIter = 10, seed = seed)
+  }
+
+  /** Nearest-center shard assignment (row-local, broadcast centers) as a
+    * `__sa` column for the graph builders' assignCol path. */
+  def assignShards(prepared: DataFrame,
+                   centers: Array[(Int, Array[Float])]): DataFrame =
+    assignLists(prepared, centers, "IVF").withColumnRenamed("list_id", "__sa")
+
   /** Default graph-engine shard count: bounded per-task BUILD TIME, not
     * just memory. Empirical (tools/ShardSizing, single thread): insert cost
     * scales ~ n·d — 1.5 ms/insert at d=64 but ~17 ms at d=768, so a fixed
@@ -447,14 +477,27 @@ object AnnIndexManager {
         // build time AND memory at any total scale (dimension-aware)
         val shards = params.get("shards").map(_.toInt)
           .getOrElse(AnnIndexBuilder.defaultGraphShards(n, dim))
+        // shard_assign=spatial: rows go to their nearest trained shard
+        // center (SPANN-style), giving per-shard routing summaries their
+        // signal — spark.ann.shardProbes can then prune shards per query.
+        // Default "hash" keeps the id-hash layout (uniform shards, no
+        // routing signal, zero behavior change).
+        val assignMode = params.getOrElse("shard_assign", "hash")
+        require(assignMode == "hash" || assignMode == "spatial",
+          s"shard_assign must be hash|spatial, got: $assignMode")
+        val (buildSrc, assignCol) =
+          if (assignMode == "spatial" && shards > 1) {
+            val centers = AnnIndexBuilder.trainShardCenters(prepared, n, shards, 42L)
+            (AnnIndexBuilder.assignShards(prepared, centers), Some("__sa"))
+          } else (prepared, None)
         val graph = engine match {
-          case "DISKANN" => Vamana.build(prepared, shards, Vamana.Params(
+          case "DISKANN" => Vamana.build(buildSrc, shards, Vamana.Params(
             params.getOrElse("max_degree", "64").toInt,
             params.getOrElse("build_complexity", "128").toInt,
-            params.getOrElse("alpha", "1.2").toDouble), metric)
-          case "HNSW" => Hnsw.build(prepared, shards, Hnsw.Params(
+            params.getOrElse("alpha", "1.2").toDouble), metric, assignCol)
+          case "HNSW" => Hnsw.build(buildSrc, shards, Hnsw.Params(
             params.getOrElse("hnsw_m", "32").toInt,
-            params.getOrElse("ef_construction", "64").toInt), metric)
+            params.getOrElse("ef_construction", "64").toInt), metric, assignCol)
         }
         IndexMeta.deleteDir(path)
         // Quantization on graph engines: the topology is built on EXACT
@@ -476,7 +519,13 @@ object AnnIndexManager {
             + ("live_shards" -> liveIds.mkString(",")))
         IndexMeta.write(path, meta)
         register(name, path)
-        return new AnnIndex(spark, path)
+        val idx = new AnnIndex(spark, path)
+        // per-shard routing summaries (ShardSummaries): one columnar pass
+        // over the just-written dataset — cheap next to the graph build —
+        // so spark.ann.shardProbes works from the first query. Mutations
+        // maintain coverage incrementally from here on.
+        idx.refreshShardSummaries()
+        return idx
       }
 
       val centroids: Array[(Int, Array[Float])] = engine match {

@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -68,6 +68,12 @@ object GraphTableSearch {
     *                 dataset hash-partitioned by `col("shard")` — e.g. the
     *                 pinned index dataset. Routes only the queries; the
     *                 graph side is read in place, shuffle-free.
+    * @param route    per-query shard routing (ShardSummaries): maps the
+    *                 `__qvec` column to the ARRAY of shard ids this query
+    *                 probes, replacing the walk-all explode over the full
+    *                 manifest — THE lever that stops per-query cost growing
+    *                 linearly with shard count. None = every live shard
+    *                 (exact-compat walk-all).
     * @return (__qid, id, _distance, seg) — `seg` kept for tombstone masking
     */
   def run(spark: SparkSession, graphDf: DataFrame, queries: DataFrame,
@@ -75,9 +81,11 @@ object GraphTableSearch {
           decode: (Int, IndexedSeq[Row]) => AnyRef,
           search: (AnyRef, Array[Float]) => Iterator[(Long, Double, Int)],
           graphPrePartitioned: Boolean = false,
-          spill: Option[GraphShardCache.SpillCodec] = None): DataFrame = {
+          spill: Option[GraphShardCache.SpillCodec] = None,
+          route: Option[Column => Column] = None): DataFrame = {
     if (graphPrePartitioned)
-      return runZip(spark, graphDf, queries, shardIds, k, cacheKey, decode, search, spill)
+      return runZip(spark, graphDf, queries, shardIds, k, cacheKey, decode,
+        search, spill, route)
     val qidField = queries.schema.fields(0).copy(name = "__qid")
     val out = StructType(Seq(qidField,
       StructField("id", LongType, nullable = false),
@@ -85,11 +93,14 @@ object GraphTableSearch {
       StructField("seg", LongType, nullable = false)))
     val segIdx = graphDf.schema.length - 1
 
-    // queries × shards: the irreducible work of graph search (every query
-    // walks every shard); explode realizes it without any driver state
+    // queries × probed shards: with no router this is the walk-all explode
+    // (every query walks every shard — graph search's irreducible work
+    // absent summaries); with one, each query fans out to only its top-s
+    // shards and the cogroup below simply sees fewer replicated rows
     val qx = queries.select(col(queries.columns(0)).as("__qid"),
         col(queries.columns(1)).as("__qvec"))
-      .withColumn("__shard", explode(typedLit(shardIds.toArray)))
+      .withColumn("__shard", explode(
+        route.map(f => f(col("__qvec"))).getOrElse(typedLit(shardIds.toArray))))
 
     val gk = graphDf.groupByKey(_.getInt(0))(Encoders.scalaInt)
     val qk = qx.groupByKey(_.getInt(2))(Encoders.scalaInt)
@@ -143,7 +154,8 @@ object GraphTableSearch {
                      shardIds: Seq[Int], k: Int, cacheKey: Option[String],
                      decode: (Int, IndexedSeq[Row]) => AnyRef,
                      search: (AnyRef, Array[Float]) => Iterator[(Long, Double, Int)],
-                     spill: Option[GraphShardCache.SpillCodec]): DataFrame = {
+                     spill: Option[GraphShardCache.SpillCodec],
+                     route: Option[Column => Column] = None): DataFrame = {
     val qidField = queries.schema.fields(0).copy(name = "__qid")
     val out = StructType(Seq(qidField,
       StructField("id", LongType, nullable = false),
@@ -155,7 +167,8 @@ object GraphTableSearch {
     val p = gRdd.getNumPartitions
     val qx = queries.select(col(queries.columns(0)).as("__qid"),
         col(queries.columns(1)).as("__qvec"))
-      .withColumn("__shard", explode(typedLit(shardIds.toArray)))
+      .withColumn("__shard", explode(
+        route.map(f => f(col("__qvec"))).getOrElse(typedLit(shardIds.toArray))))
       .repartition(p, col("__shard"))
 
     val shardSet = shardIds.toSet

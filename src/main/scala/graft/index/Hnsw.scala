@@ -353,23 +353,50 @@ object Hnsw {
     StructField("neighbors", ArrayType(ArrayType(IntegerType)), nullable = false),
     StructField("is_entry", BooleanType, nullable = false)))
 
-  def build(prepared: DataFrame, shards: Int, params: Params, metric: String): DataFrame =
-    prepared
-      .repartition(shards, col("id"))
-      .mapPartitions { rows =>
-        val buf = rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toArray
-        if (buf.isEmpty) Iterator.empty
-        else {
-          val shardId = TaskContext.getPartitionId()
-          val sh = buildShard(buf.map(_._1), buf.map(_._2), params, metric)
-          sh.ids.indices.iterator.map { label =>
-            Row(shardId, label, sh.ids(label), sh.vectors(label).toSeq,
-              sh.levels(label),
-              sh.neighbors(label).map(_.toIndexedSeq).toIndexedSeq,
-              label == sh.entry)
+  /** `assignCol`: optional spatial shard assignment — see
+    * [[Vamana.build]]; identical contract. */
+  def build(prepared: DataFrame, shards: Int, params: Params, metric: String,
+            assignCol: Option[String] = None): DataFrame = assignCol match {
+    case None =>
+      prepared
+        .repartition(shards, col("id"))
+        .mapPartitions { rows =>
+          val buf = rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toArray
+          if (buf.isEmpty) Iterator.empty
+          else {
+            val shardId = TaskContext.getPartitionId()
+            val sh = buildShard(buf.map(_._1), buf.map(_._2), params, metric)
+            sh.ids.indices.iterator.map { label =>
+              Row(shardId, label, sh.ids(label), sh.vectors(label).toSeq,
+                sh.levels(label),
+                sh.neighbors(label).map(_.toIndexedSeq).toIndexedSeq,
+                label == sh.entry)
+            }
           }
-        }
-      }(Encoders.row(graphSchema))
+        }(Encoders.row(graphSchema))
+    case Some(c) =>
+      prepared
+        .select(col(c).cast("int").as("__sa"), col("id"), col("vector"))
+        .repartition(Vamana.shardPartitions(shards), col("__sa"))
+        .sortWithinPartitions("__sa")
+        .mapPartitions { rows =>
+          AnnIndex.groupedByIntKey(rows, _.getInt(0)).flatMap { case (sid, rs) =>
+            val ids = new Array[Long](rs.length)
+            val vecs = new Array[Array[Float]](rs.length)
+            var i = 0
+            rs.foreach { r =>
+              ids(i) = r.getLong(1); vecs(i) = r.getSeq[Float](2).toArray; i += 1
+            }
+            val sh = buildShard(ids, vecs, params, metric)
+            sh.ids.indices.iterator.map { label =>
+              Row(sid, label, sh.ids(label), sh.vectors(label).toSeq,
+                sh.levels(label),
+                sh.neighbors(label).map(_.toIndexedSeq).toIndexedSeq,
+                label == sh.entry)
+            }
+          }
+        }(Encoders.row(graphSchema))
+  }
 
   /** Batch search; see [[Vamana.searchBatch]] for the whole-shard
     * guarantee — identical contract: repartition by shard unless the caller
@@ -378,9 +405,13 @@ object Hnsw {
                   queries: Seq[(Int, Array[Float])], k: Int, ef: Int,
                   metric: String, cacheKey: Option[String] = None,
                   prePartitioned: Boolean = false, numShards: Int = 0,
-                  codec: Option[graft.functions.VectorCodec] = None): DataFrame = {
+                  codec: Option[graft.functions.VectorCodec] = None,
+                  probes: Option[Map[Int, Array[Int]]] = None): DataFrame = {
     val dist = VectorKernels.orderingDistance(metric) _
     val bcQueries = spark.sparkContext.broadcast(queries)
+    // shard routing: shard id → probing query indices; unrouted shards are
+    // skipped before decode (see Vamana.searchBatch / ShardSummaries)
+    val bcProbes = probes.map(spark.sparkContext.broadcast(_))
     val out = StructType(Seq(
       StructField("query_idx", IntegerType, nullable = false),
       StructField("id", LongType, nullable = false),
@@ -399,18 +430,27 @@ object Hnsw {
     val perShard = graph.mapPartitions { rows =>
       val grouped = new scala.collection.mutable.LinkedHashMap[Int, ArrayBuffer[Row]]()
       rows.foreach { r => grouped.getOrElseUpdate(r.getInt(0), new ArrayBuffer[Row]) += r }
+      lazy val queriesByIdx = bcQueries.value.toMap
       grouped.iterator.flatMap { case (shardId, shardRows) =>
-        val sh = cacheKey match {
-          case Some(ck) => GraphShardCache.getOrBuild(s"$ck#$shardId", Some(ShardSpillCodec))(
-            decodeShard(shardId, shardRows, codec))
-          case None => decodeShard(shardId, shardRows, codec)
-        }
-        // per-LABEL insert epochs from the raw rows (online rewrites mix
-        // epochs within a shard — see Vamana.segArray)
-        val segs = Vamana.segArray(shardRows, 7)
-        bcQueries.value.iterator.flatMap { case (qi, q) =>
-          search(sh, q, k, ef, dist).take(math.max(k, ef))
-            .map { case (label, d) => Row(qi, sh.ids(label), d, segs(label)) }
+        val routed = bcProbes.map(_.value.getOrElse(shardId, Array.empty[Int]))
+        if (routed.exists(_.isEmpty)) Iterator.empty
+        else {
+          val sh = cacheKey match {
+            case Some(ck) => GraphShardCache.getOrBuild(s"$ck#$shardId", Some(ShardSpillCodec))(
+              decodeShard(shardId, shardRows, codec))
+            case None => decodeShard(shardId, shardRows, codec)
+          }
+          // per-LABEL insert epochs from the raw rows (online rewrites mix
+          // epochs within a shard — see Vamana.segArray)
+          val segs = Vamana.segArray(shardRows, 7)
+          val qIter: Iterator[(Int, Array[Float])] = routed match {
+            case Some(idxs) => idxs.iterator.map(i => (i, queriesByIdx(i)))
+            case None => bcQueries.value.iterator
+          }
+          qIter.flatMap { case (qi, q) =>
+            search(sh, q, k, ef, dist).take(math.max(k, ef))
+              .map { case (label, d) => Row(qi, sh.ids(label), d, segs(label)) }
+          }
         }
       }
     }(Encoders.row(out))
@@ -531,7 +571,9 @@ object Hnsw {
                              queries: DataFrame, k: Int, ef: Int, metric: String,
                              cacheKey: Option[String], shardIds: Seq[Int],
                              codec: Option[graft.functions.VectorCodec],
-                             graphPrePartitioned: Boolean = false): DataFrame = {
+                             graphPrePartitioned: Boolean = false,
+                             route: Option[org.apache.spark.sql.Column =>
+                               org.apache.spark.sql.Column] = None): DataFrame = {
     val dist = VectorKernels.orderingDistance(metric) _
     val vecColName = if (codec.isDefined) "codes" else "vector"
     val graph0 = graphDf.select("shard", "label", "id", vecColName, "level",
@@ -544,6 +586,7 @@ object Hnsw {
           .map { case (label, d) => (s.ids(label), d, label) }
       },
       graphPrePartitioned = graphPrePartitioned,
-      spill = Some(ShardSpillCodec))
+      spill = Some(ShardSpillCodec),
+      route = route)
   }
 }

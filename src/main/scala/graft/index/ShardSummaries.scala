@@ -1,0 +1,195 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-shard routing summaries for the graph engines — the coarse stage
+  * that makes table-scale graph search SUBLINEAR in shard count.
+  *
+  * Without routing, every query walks every live shard
+  * ([[GraphTableSearch]] replicates queries across the whole manifest), so
+  * per-query cost grows linearly with corpus size even though the walk
+  * inside each shard is sublinear — the one scale wall graph search keeps
+  * that IVF does not. The fix is the same coarse-quantization idea the
+  * in-repo IVF engine already uses (centroids + nprobe,
+  * [[AnnIndex.probeLists]]) and that SPANN (Chen et al., NeurIPS'21) and
+  * distributed DiskANN deployments use between machines: keep one centroid
+  * per shard, probe the `spark.ann.shardProbes` nearest shards per query,
+  * walk only those.
+  *
+  * Storage: ONE driver-written binary file (`summaries.bin`) next to
+  * meta.json — shards × dim floats is centroid-table-sized (a few MB at
+  * thousands of shards), so it reads in one driver I/O with no Spark job
+  * and publishes atomically (tmp + rename) like the metadata. It is
+  * deliberately NOT part of the manifest commit: maintenance appends
+  * summaries AFTER the meta publish, and the read side treats any
+  * mismatch against `live_shards` (missing id, unknown id is fine, or a
+  * crashed half-update) as "stale" and falls back to walking all shards —
+  * routing can therefore never make a result WRONG, only a stale summary
+  * set slower. [[AnnIndex.refreshShardSummaries]] rebuilds coverage on
+  * demand.
+  *
+  * Copy-on-write makes per-id staleness impossible: every mutation
+  * publishes rewritten shards under FRESH ids (see
+  * [[AnnIndex.writeOnlineInsert]], compactShards), so a summary keyed by
+  * shard id can only be missing or orphaned, never silently wrong —
+  * except `vacuum()`, which reuses ids and therefore recomputes the whole
+  * file.
+  */
+object ShardSummaries {
+
+  /** One shard's routing summary: mean vector of its (stored) rows. For a
+    * cosine-metric index the centroid is L2-normalized at WRITE time so
+    * query ranking can use the same 1-dot ordering as row distances. */
+  final case class Summary(shard: Int, nrows: Long, centroid: Array[Float])
+
+  private val Magic = 0x4753554d // "GSUM"
+  private val Version = 1
+
+  def filePath(indexPath: String): java.nio.file.Path =
+    java.nio.file.Paths.get(indexPath, "summaries.bin")
+
+  def exists(indexPath: String): Boolean =
+    java.nio.file.Files.exists(filePath(indexPath))
+
+  def delete(indexPath: String): Unit =
+    java.nio.file.Files.deleteIfExists(filePath(indexPath))
+
+  /** Atomic publish (tmp + rename), mirroring IndexMeta.write. */
+  def write(indexPath: String, summaries: Seq[Summary]): Unit = {
+    val dir = java.nio.file.Paths.get(indexPath)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve("summaries.bin.tmp")
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(tmp), 1 << 16))
+    try {
+      out.writeInt(Magic); out.writeInt(Version)
+      out.writeInt(summaries.size)
+      out.writeInt(summaries.headOption.map(_.centroid.length).getOrElse(0))
+      summaries.foreach { s =>
+        out.writeInt(s.shard); out.writeLong(s.nrows)
+        var j = 0
+        while (j < s.centroid.length) { out.writeFloat(s.centroid(j)); j += 1 }
+      }
+    } finally out.close()
+    java.nio.file.Files.move(tmp, filePath(indexPath),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Read the summary file; None when absent or unreadable (a corrupt or
+    * foreign file must degrade to walk-all, never throw on the read path). */
+  def read(indexPath: String): Option[Array[Summary]] = {
+    val p = filePath(indexPath)
+    if (!java.nio.file.Files.exists(p)) return None
+    try {
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        java.nio.file.Files.newInputStream(p), 1 << 16))
+      try {
+        if (in.readInt() != Magic || in.readInt() != Version) return None
+        val n = in.readInt(); val d = in.readInt()
+        val out = new Array[Summary](n)
+        var i = 0
+        while (i < n) {
+          val sid = in.readInt(); val rows = in.readLong()
+          val c = new Array[Float](d)
+          var j = 0
+          while (j < d) { c(j) = in.readFloat(); j += 1 }
+          out(i) = Summary(sid, rows, c)
+          i += 1
+        }
+        Some(out)
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Compute summaries for the shards present in `graphRows` — one
+    * columnar pass emitting per-partition partial sums (each partition
+    * holds whole shards on every caller's layout, but correctness does not
+    * depend on that: partials merge by shard id driver-side). Quantized
+    * storage decodes row-locally; cosine centroids normalize at the end so
+    * the routing ordering matches the engine's 1-dot row distances.
+    *
+    * @param graphRows any projection whose FIRST column is `shard` and
+    *                  SECOND is the stored vector column (float array, or
+    *                  codes when `codec` is set) */
+  def compute(graphRows: DataFrame, codec: Option[graft.functions.VectorCodec],
+              normalizeForCosine: Boolean): Seq[Summary] = {
+    val out = StructType(Seq(
+      StructField("shard", IntegerType, nullable = false),
+      StructField("sums", ArrayType(DoubleType), nullable = false),
+      StructField("cnt", LongType, nullable = false)))
+    val partials = graphRows.mapPartitions { rows =>
+      val acc = scala.collection.mutable.HashMap.empty[Int, (Array[Double], Array[Long])]
+      rows.foreach { r =>
+        val v: Array[Float] = codec match {
+          case Some(c) => c.decode(r.getAs[Array[Byte]](1))
+          case None =>
+            val s = r.getSeq[Float](1); val a = new Array[Float](s.length)
+            var j = 0; while (j < a.length) { a(j) = s(j); j += 1 }; a
+        }
+        val e = acc.getOrElseUpdate(r.getInt(0), (new Array[Double](v.length), new Array[Long](1)))
+        val sums = e._1
+        var j = 0
+        while (j < v.length) { sums(j) += v(j); j += 1 }
+        e._2(0) += 1L
+      }
+      acc.iterator.map { case (sid, (sums, cnt)) => Row(sid, sums.toSeq, cnt(0)) }
+    }(Encoders.row(out)).collect()
+
+    partials.groupBy(_.getInt(0)).iterator.map { case (sid, parts) =>
+      val d = parts.head.getSeq[Double](1).length
+      val sums = new Array[Double](d)
+      var cnt = 0L
+      parts.foreach { p =>
+        val s = p.getSeq[Double](1)
+        var j = 0
+        while (j < d) { sums(j) += s(j); j += 1 }
+        cnt += p.getLong(2)
+      }
+      val c = new Array[Float](d)
+      var j = 0
+      while (j < d) { c(j) = (sums(j) / math.max(1L, cnt)).toFloat; j += 1 }
+      val cen =
+        if (normalizeForCosine) graft.functions.VectorKernels.normalize(c) else c
+      Summary(sid, cnt, cen)
+    }.toSeq.sortBy(_.shard)
+  }
+
+  /** Merge an update into the stored file: drop `removed` ids, add/replace
+    * `added`, keep everything else. Missing file starts empty. */
+  def merge(indexPath: String, added: Seq[Summary], removed: Seq[Int]): Unit = {
+    val removedSet = removed.toSet ++ added.map(_.shard)
+    val kept = read(indexPath).map(_.filterNot(s => removedSet(s.shard)).toSeq)
+      .getOrElse(Seq.empty)
+    write(indexPath, (kept ++ added).sortBy(_.shard))
+  }
+
+  /** The s nearest shards for one query by centroid distance on the
+    * engine's ordering scale — the routing decision, row-local and
+    * serializable (rides UDF closures on the table path). Deterministic:
+    * `shards`/`centroids` are parallel arrays sorted by shard id and the
+    * bounded pool breaks distance ties by insertion (= id) order. NaN
+    * distances (null-element queries) lose every comparison, so a junk
+    * query routes to an arbitrary-but-valid shard set and its NaN hits
+    * drop in top-k exactly as on the walk-all path. */
+  def topShards(q: Array[Float], shards: Array[Int],
+                centroids: Array[Array[Float]], s: Int,
+                metric: String): Array[Int] = {
+    val dist = graft.functions.VectorKernels.orderingDistance(metric) _
+    // clamp: s at/above the shard count returns ALL shards (distance
+    // order) — the exact-compat full-width probe — without allocating a
+    // pool sized to a caller's "effectively infinite" width
+    val pool = new Vamana.Pool(math.min(math.max(1, s), math.max(1, shards.length)))
+    var i = 0
+    while (i < shards.length) {
+      pool.insert(i, dist(q, centroids(i)))
+      i += 1
+    }
+    val out = new Array[Int](pool.size)
+    var j = 0
+    while (j < pool.size) { out(j) = shards(pool.labels(j)); j += 1 }
+    out
+  }
+}

@@ -543,24 +543,51 @@ object Vamana {
   /** Distributed build: hash-repartition into `shards` independent graphs,
     * each built locally inside its task — fully parallel, bounded memory
     * per task (the property the reference's streaming build chases with
-    * two passes, rust_lib/src/streaming_build.rs:42-122). */
-  def build(prepared: DataFrame, shards: Int, params: Params, metric: String): DataFrame = {
-    val spark = prepared.sparkSession
-    val graphRows = prepared
-      .repartition(shards, col("id"))
-      .mapPartitions { rows =>
-        val buf = rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toArray
-        if (buf.isEmpty) Iterator.empty
-        else {
-          val shardId = TaskContext.getPartitionId()
-          val sh = buildShard(buf.map(_._1), buf.map(_._2), params, metric)
-          sh.ids.indices.iterator.map { label =>
-            Row(shardId, label, sh.ids(label), sh.vectors(label).toSeq,
-              sh.neighbors(label).toSeq, label == sh.entry)
+    * two passes, rust_lib/src/streaming_build.rs:42-122).
+    *
+    * `assignCol`: optional precomputed shard-assignment column (int) —
+    * the `shard_assign=spatial` path, where rows go to their nearest
+    * trained shard center instead of hash-by-id so per-shard routing
+    * summaries carry signal (see ShardSummaries / SPANN). Rows group by
+    * the ASSIGNMENT inside each task (hash collisions can co-locate two
+    * assignments per partition), streamed one shard at a time. */
+  def build(prepared: DataFrame, shards: Int, params: Params, metric: String,
+            assignCol: Option[String] = None): DataFrame = assignCol match {
+    case None =>
+      prepared
+        .repartition(shards, col("id"))
+        .mapPartitions { rows =>
+          val buf = rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toArray
+          if (buf.isEmpty) Iterator.empty
+          else {
+            val shardId = TaskContext.getPartitionId()
+            val sh = buildShard(buf.map(_._1), buf.map(_._2), params, metric)
+            sh.ids.indices.iterator.map { label =>
+              Row(shardId, label, sh.ids(label), sh.vectors(label).toSeq,
+                sh.neighbors(label).toSeq, label == sh.entry)
+            }
           }
-        }
-      }(Encoders.row(graphSchema))
-    graphRows
+        }(Encoders.row(graphSchema))
+    case Some(c) =>
+      prepared
+        .select(col(c).cast("int").as("__sa"), col("id"), col("vector"))
+        .repartition(shardPartitions(shards), col("__sa"))
+        .sortWithinPartitions("__sa")
+        .mapPartitions { rows =>
+          AnnIndex.groupedByIntKey(rows, _.getInt(0)).flatMap { case (sid, rs) =>
+            val ids = new Array[Long](rs.length)
+            val vecs = new Array[Array[Float]](rs.length)
+            var i = 0
+            rs.foreach { r =>
+              ids(i) = r.getLong(1); vecs(i) = r.getSeq[Float](2).toArray; i += 1
+            }
+            val sh = buildShard(ids, vecs, params, metric)
+            sh.ids.indices.iterator.map { label =>
+              Row(sid, label, sh.ids(label), sh.vectors(label).toSeq,
+                sh.neighbors(label).toSeq, label == sh.entry)
+            }
+          }
+        }(Encoders.row(graphSchema))
   }
 
   /** Batch search: one pass over the graph dataset; each task materializes
@@ -580,9 +607,15 @@ object Vamana {
                   queries: Seq[(Int, Array[Float])], k: Int, l: Int,
                   metric: String, cacheKey: Option[String] = None,
                   prePartitioned: Boolean = false, numShards: Int = 0,
-                  codec: Option[graft.functions.VectorCodec] = None): DataFrame = {
+                  codec: Option[graft.functions.VectorCodec] = None,
+                  probes: Option[Map[Int, Array[Int]]] = None): DataFrame = {
     val dist = VectorKernels.orderingDistance(metric) _
     val bcQueries = spark.sparkContext.broadcast(queries)
+    // shard routing (spark.ann.shardProbes, see ShardSummaries): shard id →
+    // the query indices probing it. An unrouted shard is SKIPPED before
+    // decode — the whole point: per-query work stops being linear in the
+    // live-shard count.
+    val bcProbes = probes.map(spark.sparkContext.broadcast(_))
     val out = StructType(Seq(
       StructField("query_idx", IntegerType, nullable = false),
       StructField("id", LongType, nullable = false),
@@ -607,21 +640,30 @@ object Vamana {
       // a task may receive several (whole) shards — group by the shard column
       val grouped = new scala.collection.mutable.LinkedHashMap[Int, ArrayBuffer[Row]]()
       rows.foreach { r => grouped.getOrElseUpdate(r.getInt(0), new ArrayBuffer[Row]) += r }
+      lazy val queriesByIdx = bcQueries.value.toMap
       grouped.iterator.flatMap { case (shardId, shardRows) =>
-        val sh = cacheKey match {
-          case Some(ck) => GraphShardCache.getOrBuild(s"$ck#$shardId", Some(ShardSpillCodec))(
-            decodeShard(shardId, shardRows, codec))
-          case None => decodeShard(shardId, shardRows, codec)
-        }
-        // insert epoch per LABEL, read from the raw rows (cached decodes
-        // need no schema change): create/delta shards are single-epoch,
-        // but an online rewrite (AnnIndex.writeOnlineInsert) produces a
-        // MIXED-epoch shard — a per-shard constant would let a tombstone
-        // older than the shard's head row mask a newer re-inserted row
-        val segs = segArray(shardRows, 6)
-        bcQueries.value.iterator.flatMap { case (qi, q) =>
-          beamSearch(sh, q, l, dist).take(l)
-            .map { case (label, d) => Row(qi, sh.ids(label), d, segs(label)) }
+        val routed = bcProbes.map(_.value.getOrElse(shardId, Array.empty[Int]))
+        if (routed.exists(_.isEmpty)) Iterator.empty // no query probes this shard
+        else {
+          val sh = cacheKey match {
+            case Some(ck) => GraphShardCache.getOrBuild(s"$ck#$shardId", Some(ShardSpillCodec))(
+              decodeShard(shardId, shardRows, codec))
+            case None => decodeShard(shardId, shardRows, codec)
+          }
+          // insert epoch per LABEL, read from the raw rows (cached decodes
+          // need no schema change): create/delta shards are single-epoch,
+          // but an online rewrite (AnnIndex.writeOnlineInsert) produces a
+          // MIXED-epoch shard — a per-shard constant would let a tombstone
+          // older than the shard's head row mask a newer re-inserted row
+          val segs = segArray(shardRows, 6)
+          val qIter: Iterator[(Int, Array[Float])] = routed match {
+            case Some(idxs) => idxs.iterator.map(i => (i, queriesByIdx(i)))
+            case None => bcQueries.value.iterator
+          }
+          qIter.flatMap { case (qi, q) =>
+            beamSearch(sh, q, l, dist).take(l)
+              .map { case (label, d) => Row(qi, sh.ids(label), d, segs(label)) }
+          }
         }
       }
     }(Encoders.row(out))
@@ -797,7 +839,9 @@ object Vamana {
                              queries: DataFrame, k: Int, l: Int, metric: String,
                              cacheKey: Option[String], shardIds: Seq[Int],
                              codec: Option[graft.functions.VectorCodec],
-                             graphPrePartitioned: Boolean = false): DataFrame = {
+                             graphPrePartitioned: Boolean = false,
+                             route: Option[org.apache.spark.sql.Column =>
+                               org.apache.spark.sql.Column] = None): DataFrame = {
     val dist = VectorKernels.orderingDistance(metric) _
     val vecColName = if (codec.isDefined) "codes" else "vector"
     val graph0 = graphDf
@@ -810,7 +854,8 @@ object Vamana {
           .map { case (label, d) => (s.ids(label), d, label) }
       },
       graphPrePartitioned = graphPrePartitioned,
-      spill = Some(ShardSpillCodec))
+      spill = Some(ShardSpillCodec),
+      route = route)
   }
 
   /** Table-input expanding-beam RANGE search with NO driver collect — the

@@ -209,6 +209,28 @@ object IndexQueries {
         "DISKANN", Map("metric" -> "l2", "max_degree" -> "64",
           "build_complexity" -> "128", "table" -> "embeddings"), path))
 
+  /** Spatially-sharded DISKANN (`shard_assign=spatial`): rows land on
+    * their nearest trained shard center instead of hash-by-id — the
+    * layout the shard-routing tier (ShardSummaries +
+    * `spark.ann.shardProbes`) exists for (build-once). */
+  private def routedIndex(s: SparkSession, dir: String): AnnIndex =
+    AnnIndexManager.getOrBuild(s, "emb_vamana_routed", dir, path =>
+      AnnIndexManager.create(s, "emb_vamana_routed", emb(s, dir),
+        "vec_id", "embedding", "DISKANN",
+        Map("metric" -> "l2", "max_degree" -> "64",
+          "build_complexity" -> "128", "shards" -> "4",
+          "shard_assign" -> "spatial"), path))
+
+  /** Run `f` with `spark.ann.shardProbes` set, restoring the prior value. */
+  private def withProbes[T](s: SparkSession, probes: Int)(f: => T): T = {
+    val prev = s.conf.getOption("spark.ann.shardProbes")
+    s.conf.set("spark.ann.shardProbes", probes.toString)
+    try f finally prev match {
+      case Some(v) => s.conf.set("spark.ann.shardProbes", v)
+      case None => s.conf.unset("spark.ann.shardProbes")
+    }
+  }
+
   private def cosineIndex(s: SparkSession, dir: String): AnnIndex =
     AnnIndexManager.getOrBuild(s, "emb_cos", dir, path =>
       AnnIndexManager.create(s, "emb_cos", emb(s, dir), "vec_id", "embedding",
@@ -482,6 +504,25 @@ object IndexQueries {
     // graph is connected → strict oracle (verified locally at both SFs).
     "ann_vamana_topk" -> ((s: SparkSession, dir: String) =>
       ranked(diskannIndex(s, dir).scan(qvecF(9), K, searchParam = 100000))),
+
+    // SHARD-ROUTED graph search (ShardSummaries + spark.ann.shardProbes)
+    // on a spatially-sharded index, probe width >= the live set: every
+    // query still goes THROUGH the router (per-query shard ranking,
+    // inverted probe map, routed fan-out) but prunes nothing, and the
+    // exhaustive beam keeps the scan exact → strict oracle pins the whole
+    // routing plumbing. The narrowed sibling below measures what routing
+    // trades.
+    "ann_routed_exact" -> ((s: SparkSession, dir: String) =>
+      withProbes(s, 1000000)(
+        ranked(routedIndex(s, dir).scan(qvecF(15), K, searchParam = 100000)))),
+
+    // the same index at probe width 2 of 4 — approximate by construction
+    // (a pruned shard can hold a true neighbor), so rows-only; the recall
+    // floor vs walk-all is pinned in ShardRoutingSpec and measured at the
+    // 1M scale in SCALE.md
+    "ann_routed_topk" -> ((s: SparkSession, dir: String) =>
+      withProbes(s, 2)(
+        ranked(routedIndex(s, dir).scan(qvecF(15), K, searchParam = 100000)))),
 
     // radius search (faiss range_search analogue): exact on FLAT, exact on
     // graph engines by construction (exhaustive codegen filter, no beam) —
@@ -1122,6 +1163,9 @@ object IndexQueries {
     "ann_flat_topk" -> bruteForceTopK(5),
     "ann_ivf_topk" -> bruteForceTopK(6),
     "ann_ivf_full_topk" -> bruteForceTopK(6),
+    // routed-at-full-width = exact (the router ranks but prunes nothing,
+    // beam exhaustive); ann_routed_topk (width 2) is approximate → no row
+    "ann_routed_exact" -> bruteForceTopK(15),
     "ann_matryoshka_rerank" -> bruteForceTopK(21),
 
     // the fetch→drop→cut chain replayed: candidates = top-(k*overfetch+1)

@@ -1,0 +1,238 @@
+package graft.index
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Shard-routed graph search (`spark.ann.shardProbes` + ShardSummaries):
+  * per-shard centroid summaries maintained alongside the manifest, a
+  * coarse top-s shard probe per query (the SPANN posting-selection idea
+  * applied between shards), and walk-all fallback whenever coverage is
+  * stale — routing may cost recall, never correctness. */
+class ShardRoutingSpec extends SparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("graft_routing_spec").toString
+  import scala.jdk.CollectionConverters._
+
+  private val dim = 8
+
+  /** Clustered corpus: `perCluster` points around each of `nc` well-
+    * separated centers — shard routing only has signal when geometry has
+    * structure (uniform noise makes every staged filter read as broken). */
+  private def clustered(nc: Int, perCluster: Int): Seq[(Long, Array[Float])] =
+    Seq.tabulate(nc * perCluster) { i =>
+      val c = i % nc
+      val rc = new scala.util.Random(c * 7919 + 3)
+      val rd = new scala.util.Random(i * 2654435761L + 11)
+      val center = Array.fill(dim)(rc.nextFloat() * 100f)
+      (i.toLong, center.map(x => x + rd.nextFloat().toFloat))
+    }
+
+  private def df(rows: Seq[(Long, Array[Float])]) = {
+    import spark.implicits._
+    rows.toDF("id", "vec")
+  }
+
+  private var n = 0
+  private def create(rows: Seq[(Long, Array[Float])], engine: String,
+                     params: Map[String, String]): AnnIndex = {
+    n += 1
+    AnnIndexManager.create(spark, s"routing_$n", df(rows), "id", "vec",
+      engine, params, s"$tmp/idx$n")
+  }
+
+  private def ids(dfr: org.apache.spark.sql.DataFrame): Seq[Long] =
+    dfr.collect().map(_.getAs[Long]("id")).toSeq
+
+  private def withProbes[T](s: Int)(f: => T): T = {
+    spark.conf.set("spark.ann.shardProbes", s.toString)
+    try f finally spark.conf.unset("spark.ann.shardProbes")
+  }
+
+  private val queries = Seq.tabulate(12) { i =>
+    val rc = new scala.util.Random((i % 6) * 7919 + 3)
+    val rd = new scala.util.Random(i * 104729L + 5)
+    Array.fill(dim)(rc.nextFloat() * 100f).map(x => x + rd.nextFloat().toFloat)
+  }
+
+  test("create writes summaries covering exactly the manifest") {
+    val idx = create(clustered(6, 120), "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "32",
+        "shards" -> "6"))
+    val sums = ShardSummaries.read(idx.path).get
+    assert(sums.map(_.shard).toSeq == idx.meta.liveShards.get.sorted)
+    assert(sums.forall(_.centroid.length == dim))
+    assert(sums.map(_.nrows).sum == 720L)
+  }
+
+  test("routed search: s >= shards is value-identical; s < shards holds a recall floor") {
+    // spatial shard assignment — hash-by-id shards all span the whole
+    // space (their centroids are the global mean) and carry no routing
+    // signal; spatial is the mode the routing tier exists for
+    val idx = create(clustered(6, 120), "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "64",
+        "shards" -> "6", "shard_assign" -> "spatial"))
+    val walkAll = queries.map(q => ids(idx.scan(q, 5)))
+    // s >= live shard count: the routing gate stands down, results identical
+    val wide = withProbes(100) { queries.map(q => ids(idx.scan(q, 5))) }
+    assert(wide == walkAll)
+    // s = 2 of 6 on well-separated clusters: near-total overlap
+    val routed = withProbes(2) { queries.map(q => ids(idx.scan(q, 5))) }
+    val overlap = walkAll.zip(routed).map { case (w, r) =>
+      w.toSet.intersect(r.toSet).size.toDouble / w.size }.sum / walkAll.size
+    assert(overlap >= 0.95, s"routed overlap $overlap below floor")
+  }
+
+  test("stale or missing summaries fall back to walk-all (never wrong, never throws)") {
+    val idx = create(clustered(4, 100), "HNSW",
+      Map("metric" -> "l2", "hnsw_m" -> "8", "shards" -> "4"))
+    val walkAll = queries.take(4).map(q => ids(idx.scan(q, 5)))
+    ShardSummaries.delete(idx.path)
+    idx.invalidateSummaries()
+    val routed = withProbes(1) { queries.take(4).map(q => ids(idx.scan(q, 5))) }
+    assert(routed == walkAll) // fallback = walk-all, exact same answer
+    // refresh restores coverage, routing engages again
+    assert(idx.refreshShardSummaries() == idx.meta.liveShards.get.size)
+    val afterRefresh = withProbes(1) { queries.take(4).map(q => ids(idx.scan(q, 5))) }
+    afterRefresh.zip(walkAll).foreach { case (r, w) =>
+      assert(r.nonEmpty && r.size == w.size)
+    }
+  }
+
+  test("mutations maintain coverage: delta insert, online insert, compact, vacuum") {
+    val idx = create(clustered(4, 100), "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "32",
+        "shards" -> "4"))
+    def coverage(): Unit = {
+      val sums = ShardSummaries.read(idx.path).get
+      assert(sums.map(_.shard).toSeq.sorted == idx.meta.liveShards.get.sorted,
+        s"summary ids ${sums.map(_.shard).toSeq} != manifest ${idx.meta.liveShards.get}")
+    }
+    coverage()
+    // delta insert (above the online cap = default 0/off)
+    idx.insert(df(clustered(2, 30).map { case (id, v) => (id + 10000L, v) }),
+      "id", "vec")
+    coverage()
+    // online insert
+    spark.conf.set("spark.ann.onlineInsertMaxRows", "100")
+    try {
+      idx.insert(df(Seq.tabulate(40) { i =>
+        (20000L + i, Array.fill(dim)(new scala.util.Random(i + 77).nextFloat() * 100f))
+      }), "id", "vec")
+      coverage()
+    } finally spark.conf.unset("spark.ann.onlineInsertMaxRows")
+    // compact the accumulated small shards
+    if (idx.compactShards() > 0) coverage()
+    // delete + vacuum (id reuse → full recompute)
+    idx.delete(Seq(1L, 2L, 3L))
+    idx.vacuum()
+    coverage()
+    // routing stays engaged and exact-at-full-width after the whole cycle
+    val walkAll = queries.take(4).map(q => ids(idx.scan(q, 5)))
+    val wide = withProbes(1000) { queries.take(4).map(q => ids(idx.scan(q, 5))) }
+    assert(wide == walkAll)
+  }
+
+  test("routing composes with online-rewritten shards and tombstones") {
+    val rows = clustered(4, 100)
+    val idx = create(rows, "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "64",
+        "shards" -> "4", "shard_assign" -> "spatial"))
+    spark.conf.set("spark.ann.onlineInsertMaxRows", "200")
+    try {
+      idx.delete(Seq(0L, 4L, 8L)) // one id per early cluster
+      idx.insert(df(Seq.tabulate(50) { i =>
+        val c = i % 4
+        val rc = new scala.util.Random(c * 7919 + 3)
+        val rd = new scala.util.Random(i * 31L + 9)
+        (30000L + i,
+          Array.fill(dim)(rc.nextFloat() * 100f).map(_ + rd.nextFloat().toFloat))
+      }), "id", "vec")
+    } finally spark.conf.unset("spark.ann.onlineInsertMaxRows")
+    // rewritten shards sit under fresh ids; coverage must have followed
+    val sums = ShardSummaries.read(idx.path).get
+    assert(sums.map(_.shard).toSeq.sorted == idx.meta.liveShards.get.sorted)
+    // deleted ids stay masked on the routed path too
+    val walkAll = queries.take(6).map(q => ids(idx.scan(q, 5)))
+    val routed = withProbes(2) { queries.take(6).map(q => ids(idx.scan(q, 5))) }
+    routed.flatten.foreach(id => assert(!Seq(0L, 4L, 8L).contains(id)))
+    val overlap = walkAll.zip(routed).map { case (w, r) =>
+      w.toSet.intersect(r.toSet).size.toDouble / w.size }.sum / walkAll.size
+    assert(overlap >= 0.9, s"post-mutation routed overlap $overlap")
+  }
+
+  test("table path routes: distributed cogroup and pinned zip agree with walk-all at full width") {
+    import spark.implicits._
+    val idx = create(clustered(6, 120), "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "64",
+        "shards" -> "6", "shard_assign" -> "spatial"))
+    val qdf = queries.zipWithIndex.map { case (q, i) => (i.toLong, q) }
+      .toDF("qid", "qvec")
+    def tableIds(): Map[Long, Seq[Long]] =
+      graft.operators.AnnSearch.searchTable(idx, qdf, 5,
+          queryIdCol = Some("qid"))
+        .select("qid", "id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(_.getLong(1)).toSeq.sorted }
+    spark.conf.set("spark.ann.graphTableStrategy", "distributed")
+    try {
+      val walkAll = tableIds()
+      val wide = withProbes(50) { tableIds() }
+      assert(wide == walkAll) // full width = identical through the router
+      val routed = withProbes(2) { tableIds() }
+      val overlap = walkAll.keys.toSeq.map { q =>
+        walkAll(q).toSet.intersect(routed(q).toSet).size.toDouble / walkAll(q).size
+      }.sum / walkAll.size
+      assert(overlap >= 0.95, s"table-path routed overlap $overlap")
+      // pinned zip path: same contract
+      idx.persist()
+      try {
+        val zipWide = withProbes(50) { tableIds() }
+        assert(zipWide == walkAll)
+        val zipRouted = withProbes(2) { tableIds() }
+        val zo = walkAll.keys.toSeq.map { q =>
+          walkAll(q).toSet.intersect(zipRouted(q).toSet).size.toDouble / walkAll(q).size
+        }.sum / walkAll.size
+        assert(zo >= 0.95, s"zip-path routed overlap $zo")
+      } finally idx.unpersist()
+    } finally spark.conf.unset("spark.ann.graphTableStrategy")
+  }
+
+  test("quantized graph summaries compute from decoded codes; cosine centroids normalize") {
+    val idx = create(clustered(4, 100), "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "32",
+        "shards" -> "4", "quantization" -> "sq8"))
+    val sums = ShardSummaries.read(idx.path).get
+    assert(sums.map(_.shard).toSeq == idx.meta.liveShards.get.sorted)
+    // centroid of decoded sq8 codes lands near the true cluster scale
+    assert(sums.forall(_.centroid.exists(v => v > 0f && v < 110f)))
+
+    val cosRows = clustered(4, 80).map { case (id, v) => (id, v) }
+    val cidx = create(cosRows, "HNSW",
+      Map("metric" -> "cosine", "hnsw_m" -> "8", "shards" -> "4"))
+    val csums = ShardSummaries.read(cidx.path).get
+    csums.foreach { s =>
+      val norm = math.sqrt(s.centroid.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-3, s"cosine centroid not unit: $norm")
+    }
+    // and routing on the cosine index at full width stays identical
+    val qs = queries.take(4).map(graft.functions.VectorKernels.normalize)
+    val walkAll = qs.map(q => ids(cidx.scan(q, 5)))
+    val wide = withProbes(100) { qs.map(q => ids(cidx.scan(q, 5))) }
+    assert(wide == walkAll)
+  }
+
+  test("topShards is deterministic, bounded, and orders by centroid distance") {
+    val shards = Array(10, 20, 30)
+    val cents = Array(
+      Array(0f, 0f), Array(10f, 0f), Array(20f, 0f))
+    val got = ShardSummaries.topShards(Array(11f, 0f), shards, cents, 2, "l2")
+    assert(got.toSeq == Seq(20, 30)) // 10f center nearest, then 20f
+    assert(ShardSummaries.topShards(Array(1f, 0f), shards, cents, 5, "l2")
+      .toSeq == Seq(10, 20, 30))
+    // NaN query: still returns s valid shards (junk in, bounded junk out)
+    val nan = ShardSummaries.topShards(Array(Float.NaN, 0f), shards, cents, 2, "l2")
+    assert(nan.length == 2 && nan.forall(shards.contains))
+  }
+}
