@@ -596,14 +596,26 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     missing.size
   }
 
+  /** Whether this index maintains routing summaries: spatially-sharded
+    * indexes always (routing is why spatial exists), hash-sharded ones
+    * only after an explicit [[refreshShardSummaries]] opt-in (their
+    * create-time shard centroids are ~the global mean — no routing
+    * signal — so the maintenance scans would be pure overhead; A/B'd on
+    * the hnsw_build_sf bench line at +39%). */
+  private def summariesMaintained: Boolean = isGraphEngine &&
+    (meta.params.get("shard_assign").contains("spatial") ||
+      ShardSummaries.exists(path))
+
   /** Post-publish summary maintenance: compute for the freshly written
     * shard ids (partition-pruned scan), drop the replaced/removed ids.
     * Runs AFTER the meta commit, so a crash here leaves a coverage gap
     * (→ walk-all fallback), never a wrong summary; failure degrades to
     * the same fallback by dropping the file. */
   private def updateSummariesAfterWrite(newIds: Seq[Int],
-                                        removedIds: Seq[Int]): Unit = {
-    if (!isGraphEngine || (newIds.isEmpty && removedIds.isEmpty)) return
+                                        removedIds: Seq[Int],
+                                        force: Boolean = false): Unit = {
+    if ((!summariesMaintained && !force) ||
+        (newIds.isEmpty && removedIds.isEmpty)) return
     try {
       val added =
         if (newIds.isEmpty) Seq.empty
@@ -1391,10 +1403,12 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       IndexMeta.write(path, meta)
       // vacuum REUSES shard ids (the one mutation that does), so stale
       // summaries under the same ids would be silently wrong — drop the
-      // file first, then recompute from scratch
+      // file first, then recompute from scratch (preserving a hash
+      // index's explicit opt-in, captured before the delete)
+      val maintained = summariesMaintained
       ShardSummaries.delete(path)
       invalidateSummaries()
-      updateSummariesAfterWrite(liveNow, Nil)
+      if (maintained) updateSummariesAfterWrite(liveNow, Nil, force = true)
       invalidatePin()
       return
     } else {

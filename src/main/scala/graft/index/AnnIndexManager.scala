@@ -520,11 +520,15 @@ object AnnIndexManager {
         IndexMeta.write(path, meta)
         register(name, path)
         val idx = new AnnIndex(spark, path)
-        // per-shard routing summaries (ShardSummaries): one columnar pass
-        // over the just-written dataset — cheap next to the graph build —
-        // so spark.ann.shardProbes works from the first query. Mutations
-        // maintain coverage incrementally from here on.
-        idx.refreshShardSummaries()
+        // per-shard routing summaries (ShardSummaries), SPATIAL indexes
+        // only: one columnar pass over the just-written dataset so
+        // spark.ann.shardProbes works from the first query; mutations
+        // maintain coverage incrementally from here on. Hash-sharded
+        // indexes skip it — their shard centroids are ~the global mean
+        // (no routing signal), and the pass showed up as +39% on the
+        // hnsw_build_sf bench line (r15 A/B). refreshShardSummaries()
+        // remains the explicit opt-in for them.
+        if (assignMode == "spatial") idx.refreshShardSummaries()
         return idx
       }
 

@@ -56,14 +56,26 @@ class ShardRoutingSpec extends SparkSpec {
     Array.fill(dim)(rc.nextFloat() * 100f).map(x => x + rd.nextFloat().toFloat)
   }
 
-  test("create writes summaries covering exactly the manifest") {
+  test("spatial create writes summaries covering exactly the manifest; hash create skips (opt-in via refresh)") {
     val idx = create(clustered(6, 120), "DISKANN",
       Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "32",
-        "shards" -> "6"))
+        "shards" -> "6", "shard_assign" -> "spatial"))
     val sums = ShardSummaries.read(idx.path).get
     assert(sums.map(_.shard).toSeq == idx.meta.liveShards.get.sorted)
     assert(sums.forall(_.centroid.length == dim))
     assert(sums.map(_.nrows).sum == 720L)
+    // hash-sharded: no summaries at create (their centroids carry no
+    // routing signal — the pass would be pure build overhead), but the
+    // explicit refresh opts in and later mutations then maintain coverage
+    val hidx = create(clustered(4, 60), "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "32",
+        "shards" -> "4"))
+    assert(ShardSummaries.read(hidx.path).isEmpty)
+    assert(hidx.refreshShardSummaries() == hidx.meta.liveShards.get.size)
+    hidx.insert(df(clustered(1, 30).map { case (id, v) => (id + 50000L, v) }),
+      "id", "vec")
+    val hsums = ShardSummaries.read(hidx.path).get
+    assert(hsums.map(_.shard).toSeq.sorted == hidx.meta.liveShards.get.sorted)
   }
 
   test("routed search: s >= shards is value-identical; s < shards holds a recall floor") {
@@ -86,7 +98,8 @@ class ShardRoutingSpec extends SparkSpec {
 
   test("stale or missing summaries fall back to walk-all (never wrong, never throws)") {
     val idx = create(clustered(4, 100), "HNSW",
-      Map("metric" -> "l2", "hnsw_m" -> "8", "shards" -> "4"))
+      Map("metric" -> "l2", "hnsw_m" -> "8", "shards" -> "4",
+        "shard_assign" -> "spatial"))
     val walkAll = queries.take(4).map(q => ids(idx.scan(q, 5)))
     ShardSummaries.delete(idx.path)
     idx.invalidateSummaries()
@@ -103,7 +116,7 @@ class ShardRoutingSpec extends SparkSpec {
   test("mutations maintain coverage: delta insert, online insert, compact, vacuum") {
     val idx = create(clustered(4, 100), "DISKANN",
       Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "32",
-        "shards" -> "4"))
+        "shards" -> "4", "shard_assign" -> "spatial"))
     def coverage(): Unit = {
       val sums = ShardSummaries.read(idx.path).get
       assert(sums.map(_.shard).toSeq.sorted == idx.meta.liveShards.get.sorted,
@@ -202,7 +215,7 @@ class ShardRoutingSpec extends SparkSpec {
   test("quantized graph summaries compute from decoded codes; cosine centroids normalize") {
     val idx = create(clustered(4, 100), "DISKANN",
       Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "32",
-        "shards" -> "4", "quantization" -> "sq8"))
+        "shards" -> "4", "quantization" -> "sq8", "shard_assign" -> "spatial"))
     val sums = ShardSummaries.read(idx.path).get
     assert(sums.map(_.shard).toSeq == idx.meta.liveShards.get.sorted)
     // centroid of decoded sq8 codes lands near the true cluster scale
@@ -210,7 +223,8 @@ class ShardRoutingSpec extends SparkSpec {
 
     val cosRows = clustered(4, 80).map { case (id, v) => (id, v) }
     val cidx = create(cosRows, "HNSW",
-      Map("metric" -> "cosine", "hnsw_m" -> "8", "shards" -> "4"))
+      Map("metric" -> "cosine", "hnsw_m" -> "8", "shards" -> "4",
+        "shard_assign" -> "spatial"))
     val csums = ShardSummaries.read(cidx.path).get
     csums.foreach { s =>
       val norm = math.sqrt(s.centroid.map(x => x.toDouble * x).sum)
