@@ -922,7 +922,20 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     val segNew = currentSeg + 1
     val onlineMax =
       spark.conf.get("spark.ann.onlineInsertMaxRows", "0").toLong
-    if (isGraphEngine && codec.isEmpty && n > 0 && n <= onlineMax
+    // online-insertable storage: floats, or a codec whose decode is
+    // row-local and near-lossless (sq8/fp16) — old rows keep their codes
+    // BYTE-IDENTICAL through the rewrite (only the new rows encode, with
+    // the build-time params), and insert-time distance work runs on the
+    // decoded stored representation, exactly what search sees. PQ/BQ/
+    // RaBitQ decode is sign/codebook-lossy — graph edge selection on it
+    // would diverge from the build-on-floats contract, so they keep the
+    // delta path.
+    val onlineCodecOk = codec.forall {
+      case graft.functions.Sq8Codec(_) => true
+      case graft.functions.Fp16Codec => true
+      case _ => false
+    }
+    if (isGraphEngine && onlineCodecOk && n > 0 && n <= onlineMax
         && liveShardIds.nonEmpty) {
       writeOnlineInsert(prepared, n, segNew)
     } else if (isGraphEngine) {
@@ -989,9 +1002,13 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * load would be full-index write amplification). Both graph engines
     * (DISKANN via Vamana Algorithm 3, HNSW via the layered Algorithm 1
     * step — new nodes draw their deterministic per-id level, the entry
-    * moves only when a taller node lands), unquantized only — sq8/fp16
-    * shards would need a decode→insert→re-encode round trip that degrades
-    * stored codes, so they fall back to the delta path.
+    * moves only when a taller node lands). Float and sq8/fp16 storage:
+    * quantized shards carry codes through the rewrite — OLD rows' bytes
+    * re-emit verbatim (no decode→re-encode degradation), only NEW rows
+    * encode (build-time params, delta-path clamp semantics), and insert
+    * distance work runs on decoded codes exactly as search does. PQ/BQ/
+    * RaBitQ storage keeps the delta fallback (lossy decode would steer
+    * edge selection).
     *
     * Scale shape: the batch is hash-routed to `t` target shards where
     * t ≈ batchRows / targetShardRows (so per-task insert work stays inside
@@ -1021,9 +1038,14 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     // crashed writer's orphans before appending under them
     remap.values.foreach(sid => IndexMeta.deleteDir(s"$dataPath/shard=$sid"))
     // existing graph rows of ONLY the touched shards (partition-pruned),
-    // tagged by their real label; new rows ride along with label = -1
+    // tagged by their real label; new rows ride along with label = -1.
+    // Quantized (sq8/fp16) shards carry their CODES through the whole
+    // rewrite — old rows' bytes are preserved verbatim, new rows encode
+    // once up front, and the in-task float working set decodes from codes
+    // (the same values search scores).
     val isHnsw = meta.engine == "HNSW"
-    val baseCols = Seq("shard", "label", "id", "vector") ++
+    val vecColName = dataVecCol
+    val baseCols = Seq("shard", "label", "id", vecColName) ++
       (if (isHnsw) Seq("level") else Nil) ++ Seq("neighbors", "is_entry", "seg")
     val segIdx = baseCols.length - 1
     val deadIdx = segIdx + 1
@@ -1083,13 +1105,18 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       case None => element_at(typedLit(targets.toSeq),
         (pmod(hash(col("id")), lit(t)) + 1).cast("int")).as("shard")
     }
+    val newVecExpr = (codec match {
+      case Some(c) => c.encodeUdf(col("vector")) // build-time params; clamp
+        // semantics identical to the delta path's encode
+      case None => col("vector")
+    }).as(vecColName)
     val newRows =
       (if (isHnsw) prepared.select(routed, lit(-1).as("label"), col("id"),
-        col("vector"), lit(0).as("level"), // recomputed per id at insert
+        newVecExpr, lit(0).as("level"), // recomputed per id at insert
         typedLit(Seq.empty[Seq[Int]]).as("neighbors"),
         lit(false).as("is_entry"), lit(segNew).as("seg"))
       else prepared.select(routed, lit(-1).as("label"), col("id"),
-        col("vector"), typedLit(Seq.empty[Int]).as("neighbors"),
+        newVecExpr, typedLit(Seq.empty[Int]).as("neighbors"),
         lit(false).as("is_entry"), lit(segNew).as("seg")))
         .withColumn("__dead", lit(false))
     val bcRemap = spark.sparkContext.broadcast(remap)
@@ -1097,11 +1124,16 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     val vParams = Vamana.Params.from(meta)
     val hParams = Hnsw.Params.from(meta)
     val metric = meta.metric
+    val codecLocal = codec // local val: the codec rides the task closure
+      // (it is Serializable); capturing `this` would drag AnnIndex along
+    val vecField =
+      if (codecLocal.isDefined) StructField("codes", BinaryType, nullable = false)
+      else StructField("vector", ArrayType(FloatType), nullable = false)
     val outSchema = StructType(Seq(
       StructField("shard", IntegerType, nullable = false),
       StructField("label", IntegerType, nullable = false),
       StructField("id", LongType, nullable = false),
-      StructField("vector", ArrayType(FloatType), nullable = false)) ++
+      vecField) ++
       (if (isHnsw) Seq(StructField("level", IntegerType, nullable = false),
         StructField("neighbors", ArrayType(ArrayType(IntegerType)), nullable = false))
       else Seq(StructField("neighbors", ArrayType(IntegerType), nullable = false))) ++
@@ -1120,43 +1152,69 @@ class AnnIndex(val spark: SparkSession, val path: String) {
           val (oldRows, ins) = rs.partition(_.getInt(1) >= 0)
           val segs = new Array[Long](oldRows.length)
           val deadArr = new Array[Boolean](oldRows.length)
+          // per-label stored codes (quantized only): surviving rows'
+          // bytes re-emit VERBATIM — the rewrite never decodes+re-encodes
+          // an existing row, so stored precision cannot degrade
+          val oldCodes: Array[Array[Byte]] =
+            if (codecLocal.isDefined) new Array[Array[Byte]](oldRows.length)
+            else null
           oldRows.foreach { r =>
             val lb = r.getInt(1)
             segs(lb) = r.getLong(segIdx)
+            if (oldCodes != null) oldCodes(lb) = r.getAs[Array[Byte]](3)
             if (r.getBoolean(deadIdx)) deadArr(lb) = true
           }
           val newIds = ins.map(_.getLong(2)).toArray
-          val newVecs = ins.map(_.getSeq[Float](3).toArray).toArray
+          // insert-time distance work runs on the DECODED stored
+          // representation — the same values every search scores
+          val newVecs = codecLocal match {
+            case Some(c) => ins.map(r => c.decode(r.getAs[Array[Byte]](3))).toArray
+            case None => ins.map(_.getSeq[Float](3).toArray).toArray
+          }
+          val insCodes: Seq[Array[Byte]] =
+            if (codecLocal.isDefined) ins.map(_.getAs[Array[Byte]](3)).toSeq
+            else null
           val sid = bcRemap.value(old)
-          def compactSegs(lmap: Array[Int]): Array[Long] = {
-            val out = new Array[Long](lmap.count(_ >= 0))
+          def compact[T](src: Array[T], lmap: Array[Int])(
+              implicit tag: scala.reflect.ClassTag[T]): Array[T] = {
+            val out = new Array[T](lmap.count(_ >= 0))
             var i = 0
             while (i < lmap.length) {
-              if (lmap(i) >= 0) out(lmap(i)) = segs(i)
+              if (lmap(i) >= 0) out(lmap(i)) = src(i)
               i += 1
             }
             out
           }
+          def vecValue(vectors: Int => Array[Float],
+                       allCodes: Array[Array[Byte]], label: Int): Any =
+            if (allCodes != null) allCodes(label) else vectors(label).toSeq
           engine match {
             case "HNSW" =>
               val (sh0, lmap) = Hnsw.removeFromShard(
-                Hnsw.decodeShard(old, oldRows, None), deadArr, hParams, metric)
+                Hnsw.decodeShard(old, oldRows, codecLocal), deadArr, hParams, metric)
               val sh = Hnsw.insertIntoShard(sh0, newIds, newVecs, hParams, metric)
-              val allSegs = compactSegs(lmap) ++ ins.map(_ => segNew)
+              val allSegs = compact(segs, lmap) ++ ins.map(_ => segNew)
+              val allCodes =
+                if (oldCodes == null) null
+                else compact(oldCodes, lmap) ++ insCodes
               sh.ids.indices.iterator.map { label =>
                 org.apache.spark.sql.Row(sid, label, sh.ids(label),
-                  sh.vectors(label).toSeq, sh.levels(label),
+                  vecValue(sh.vectors, allCodes, label), sh.levels(label),
                   sh.neighbors(label).map(_.toSeq).toSeq,
                   label == sh.entry, allSegs(label))
               }
             case _ =>
               val (sh0, lmap) = Vamana.removeFromShard(
-                Vamana.decodeShard(old, oldRows, None), deadArr, vParams, metric)
+                Vamana.decodeShard(old, oldRows, codecLocal), deadArr, vParams, metric)
               val sh = Vamana.insertIntoShard(sh0, newIds, newVecs, vParams, metric)
-              val allSegs = compactSegs(lmap) ++ ins.map(_ => segNew)
+              val allSegs = compact(segs, lmap) ++ ins.map(_ => segNew)
+              val allCodes =
+                if (oldCodes == null) null
+                else compact(oldCodes, lmap) ++ insCodes
               sh.ids.indices.iterator.map { label =>
                 org.apache.spark.sql.Row(sid, label, sh.ids(label),
-                  sh.vectors(label).toSeq, sh.neighbors(label).toSeq,
+                  vecValue(sh.vectors, allCodes, label),
+                  sh.neighbors(label).toSeq,
                   label == sh.entry, allSegs(label))
               }
           }

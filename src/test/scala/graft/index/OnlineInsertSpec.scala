@@ -342,6 +342,75 @@ class OnlineInsertSpec extends SparkSpec {
     } finally spark.conf.unset("spark.ann.onlineInsertMaxRows")
   }
 
+  test("sq8 online insert: old codes byte-identical through the rewrite; exhaustive top-k equals the delta path") {
+    import spark.implicits._
+    val base = vecs(200, 90)
+    val batch = vecs(20, 91, from = 3000L)
+    def mk(name: String) = AnnIndexManager.create(spark, name,
+      base.toDF("id", "embedding"), "id", "embedding", "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "64",
+        "shards" -> "2", "quantization" -> "sq8"),
+      s"$tmp/$name")
+    val idxO = mk("t_sq8_online")
+    val idxD = mk("t_sq8_delta")
+    def codesById(idx: AnnIndex): Map[Long, Array[Byte]] =
+      idx.data.select("id", "codes").collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val before = codesById(idxO)
+
+    spark.conf.set("spark.ann.onlineInsertMaxRows", "100")
+    try idxO.insert(batch.toDF("id", "embedding"), "id", "embedding")
+    finally spark.conf.unset("spark.ann.onlineInsertMaxRows")
+    // the online path engaged (no delta shard opened)
+    assert(idxO.meta.param("shards", 0) == 2,
+      s"sq8 online insert fell back to delta: ${idxO.meta.params("live_shards")}")
+    idxD.insert(batch.toDF("id", "embedding"), "id", "embedding") // delta path
+    assert(idxD.meta.param("shards", 0) == 3)
+
+    // OLD rows' stored codes are BIT-identical across the rewrite — the
+    // online path must never decode+re-encode an existing row
+    val after = codesById(idxO)
+    base.foreach { case (id, _) =>
+      assert(java.util.Arrays.equals(before(id), after(id)),
+        s"stored codes for id $id changed through the online rewrite")
+    }
+    // new rows encode with the build-time params — identical bytes to
+    // what the delta path wrote for the same floats
+    val deltaCodes = codesById(idxD)
+    batch.foreach { case (id, _) =>
+      assert(java.util.Arrays.equals(after(id), deltaCodes(id)),
+        s"online-encoded codes for new id $id differ from the delta path's")
+    }
+    // exhaustive beam over identical stored codes → identical top-k
+    for (q <- Seq(batch(7)._2, base(13)._2)) {
+      val o = idxO.scan(q, 10, searchParam = 100000).collect().map(_.getLong(0)).toSeq
+      val d = idxD.scan(q, 10, searchParam = 100000).collect().map(_.getLong(0)).toSeq
+      assert(o == d, s"online vs delta exhaustive top-k diverged: $o vs $d")
+    }
+  }
+
+  test("fp16 online insert engages and stays exact vs the delta path") {
+    import spark.implicits._
+    val base = vecs(150, 95)
+    val batch = vecs(15, 96, from = 4000L)
+    def mk(name: String) = AnnIndexManager.create(spark, name,
+      base.toDF("id", "embedding"), "id", "embedding", "HNSW",
+      Map("metric" -> "l2", "hnsw_m" -> "16", "shards" -> "2",
+        "quantization" -> "fp16"),
+      s"$tmp/$name")
+    val idxO = mk("t_fp16_online")
+    val idxD = mk("t_fp16_delta")
+    spark.conf.set("spark.ann.onlineInsertMaxRows", "100")
+    try idxO.insert(batch.toDF("id", "embedding"), "id", "embedding")
+    finally spark.conf.unset("spark.ann.onlineInsertMaxRows")
+    assert(idxO.meta.param("shards", 0) == 2, "fp16 online insert fell back to delta")
+    idxD.insert(batch.toDF("id", "embedding"), "id", "embedding")
+    val q = batch(3)._2
+    val o = idxO.scan(q, 10, searchParam = 100000).collect().map(_.getLong(0)).toSeq
+    val d = idxD.scan(q, 10, searchParam = 100000).collect().map(_.getLong(0)).toSeq
+    assert(o == d)
+  }
+
   test("batches above the cap and non-eligible engines fall back to delta shards") {
     import spark.implicits._
     spark.conf.set("spark.ann.onlineInsertMaxRows", "5")
@@ -355,15 +424,17 @@ class OnlineInsertSpec extends SparkSpec {
       idx.insert(vecs(20, 6, from = 500L).toDF("id", "embedding"), "id", "embedding")
       assert(idx.meta.param("shards", 0) == 3)
 
-      // quantized graph index: online path must not fire (decode→re-encode
-      // would degrade stored codes) — delta shard instead
-      val sq8 = AnnIndexManager.create(spark, "t_online_sq8",
+      // lossy-decode storage (pq/bq/rabitq): online path must not fire
+      // (decoded codebook/sign vectors would steer graph edge selection
+      // away from the build-on-floats contract) — delta shard instead.
+      // sq8/fp16 are online-eligible since r15 (codes carried verbatim).
+      val pq = AnnIndexManager.create(spark, "t_online_pq",
         vecs(100, 7).toDF("id", "embedding"), "id", "embedding", "DISKANN",
         Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "32",
-          "quantization" -> "sq8", "shards" -> "2"),
-        s"$tmp/t_online_sq8")
-      sq8.insert(vecs(3, 8, from = 600L).toDF("id", "embedding"), "id", "embedding")
-      assert(sq8.meta.param("shards", 0) == 3)
+          "quantization" -> "pq", "pq_m" -> "4", "shards" -> "2"),
+        s"$tmp/t_online_pq")
+      pq.insert(vecs(3, 8, from = 600L).toDF("id", "embedding"), "id", "embedding")
+      assert(pq.meta.param("shards", 0) == 3)
     } finally spark.conf.unset("spark.ann.onlineInsertMaxRows")
   }
 }
