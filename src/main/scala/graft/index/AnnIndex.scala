@@ -80,6 +80,37 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     }
   }
 
+  /** Exact stored schema of the graph dataset (manifest layout), supplied
+    * to every graph parquet read: Spark then SKIPS the footer-inference
+    * job it otherwise runs per `spark.read.parquet` call — one fewer job
+    * on every unpinned search and on every phase of a mutation (the
+    * online-insert per-batch floor decomposition flagged these). The
+    * layout is fully writer-controlled (this class + the builders), so
+    * the schema is knowledge, not a guess. */
+  private def graphDataSchema: StructType = {
+    val vecField =
+      if (meta.quantized) StructField("codes", BinaryType)
+      else StructField("vector", ArrayType(FloatType))
+    StructType(Seq(
+      StructField("shard", IntegerType),
+      StructField("label", IntegerType),
+      StructField("id", LongType),
+      vecField) ++
+      (if (meta.engine == "HNSW")
+        Seq(StructField("level", IntegerType),
+          StructField("neighbors", ArrayType(ArrayType(IntegerType))))
+      else Seq(StructField("neighbors", ArrayType(IntegerType)))) ++
+      Seq(StructField("is_entry", BooleanType),
+        StructField("seg", LongType)))
+  }
+
+  /** Schema-supplied graph read over specific shard dirs (see
+    * [[graphDataSchema]]); shared by data reads, the online rewrite's
+    * written-count, and summary computation. */
+  private def readGraphShards(ids: Seq[Int]): DataFrame =
+    spark.read.option("basePath", dataPath).schema(graphDataSchema)
+      .parquet(ids.map(s => s"$dataPath/shard=$s"): _*)
+
   /** The index dataset as a reader may see it. Graph engines go through
     * the shard manifest (`meta.liveShards`): only dirs named by the
     * atomically-published manifest are read, so in-flight or crashed
@@ -91,23 +122,15 @@ class AnnIndex(val spark: SparkSession, val path: String) {
   private def readData(): DataFrame = meta.liveShards match {
     case Some(live) if isGraphEngine =>
       if (live.isEmpty) emptyGraphData
-      else spark.read.option("basePath", dataPath)
-        .parquet(live.map(s => s"$dataPath/shard=$s"): _*)
+      else readGraphShards(live)
     case _ => spark.read.parquet(dataPath)
   }
 
-  /** Zero-row frame in the stored graph layout (fully-vacuumed index). */
-  private def emptyGraphData: DataFrame = {
-    val vecField =
-      if (meta.quantized) StructField("codes", BinaryType)
-      else StructField("vector", ArrayType(FloatType))
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("shard", IntegerType),
-        StructField("label", IntegerType), StructField("id", LongType),
-        vecField, StructField("neighbors", ArrayType(IntegerType)),
-        StructField("is_entry", BooleanType), StructField("seg", LongType))))
-  }
+  /** Zero-row frame in the stored graph layout (fully-vacuumed index) —
+    * the same engine-aware schema reads use, so an HNSW empty read still
+    * carries its `level` column. */
+  private def emptyGraphData: DataFrame = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], graphDataSchema)
 
   /** Live shard ids (manifest, or dir listing for legacy layouts). */
   private def liveShardIds: Seq[Int] =
@@ -587,9 +610,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     val added =
       if (missing.isEmpty) Seq.empty
       else ShardSummaries.compute(
-        spark.read.option("basePath", dataPath)
-          .parquet(missing.map(s => s"$dataPath/shard=$s"): _*)
-          .select(col("shard"), col(dataVecCol)),
+        readGraphShards(missing).select(col("shard"), col(dataVecCol)),
         codec, meta.metric == "cosine")
     ShardSummaries.write(path, (kept.toSeq ++ added).sortBy(_.shard))
     invalidateSummaries()
@@ -620,9 +641,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       val added =
         if (newIds.isEmpty) Seq.empty
         else ShardSummaries.compute(
-          spark.read.option("basePath", dataPath)
-            .parquet(newIds.map(s => s"$dataPath/shard=$s"): _*)
-            .select(col("shard"), col(dataVecCol)),
+          readGraphShards(newIds).select(col("shard"), col(dataVecCol)),
           codec, meta.metric == "cosine")
       ShardSummaries.merge(path, added, removedIds)
     } catch {
@@ -891,6 +910,20 @@ class AnnIndex(val spark: SparkSession, val path: String) {
                         batch: Option[(String, Long)]): Map[String, String] =
     params ++ batch.map { case (sid, b) => s"last_batch_id.$sid" -> b.toString }
 
+  /** Opt-in phase timing (`spark.ann.debugTiming=true`): one stderr line
+    * per phase, for decomposing mutation-path constants (the online
+    * insert's per-batch floor is a freshness-SLA budget item). */
+  private def timedPhase[T](label: String)(f: => T): T = {
+    if (!spark.conf.get("spark.ann.debugTiming", "false").toBoolean) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[ann-timing] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+  }
+
   /** Build a graph over `rows` (id, vector) honoring this index's
     * `shard_assign` mode: a spatial index keeps NEW shards spatially
     * coherent too (fresh centers trained on the batch, seeded by the
@@ -918,7 +951,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
   private def writeInsertData(rows: DataFrame, idCol: String,
                               vecCol: String): (Long, Map[String, String]) = {
     val prepared = AnnIndexBuilder.prepare(rows, idCol, vecCol, meta.metric)
-    val n = prepared.count()
+    val n = timedPhase("insert:prepare-count")(prepared.count())
     val segNew = currentSeg + 1
     val onlineMax =
       spark.conf.get("spark.ann.onlineInsertMaxRows", "0").toLong
@@ -1036,7 +1069,8 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       .map { case (old, i) => old -> (nextShard + i) }.toMap
     // ids at/after next_shard are unlisted by definition — reclaim any
     // crashed writer's orphans before appending under them
-    remap.values.foreach(sid => IndexMeta.deleteDir(s"$dataPath/shard=$sid"))
+    timedPhase("online:orphan-reclaim")(
+      remap.values.foreach(sid => IndexMeta.deleteDir(s"$dataPath/shard=$sid")))
     // existing graph rows of ONLY the touched shards (partition-pruned),
     // tagged by their real label; new rows ride along with label = -1.
     // Quantized (sq8/fp16) shards carry their CODES through the whole
@@ -1074,7 +1108,9 @@ class AnnIndex(val spark: SparkSession, val path: String) {
           .withColumn("__dead", col("__did").isNotNull)
           .drop("__did", "__dseg")
       } else graphRows0.withColumn("__dead", lit(false))
-    val touchedTotal = if (hadDeletes) graphRows0.count() else 0L
+    val touchedTotal =
+      if (hadDeletes) timedPhase("online:touched-count")(graphRows0.count())
+      else 0L
     // batch → target routing: hash(id) by default; a SPATIAL index routes
     // each new row to the nearest target shard's summary centroid instead,
     // so online CDC preserves the spatial coherence the routing tier
@@ -1220,9 +1256,11 @@ class AnnIndex(val spark: SparkSession, val path: String) {
           }
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
-    rewritten.write.mode("append").partitionBy("shard").parquet(dataPath)
-    val written = IndexMeta.listShardDirs(dataPath)
-      .filter(sid => sid >= nextShard && sid < nextShard + t)
+    timedPhase("online:rewrite-job")(
+      rewritten.write.mode("append").partitionBy("shard").parquet(dataPath))
+    val written = timedPhase("online:dir-listing")(
+      IndexMeta.listShardDirs(dataPath)
+        .filter(sid => sid >= nextShard && sid < nextShard + t))
     // with no tombstones every target re-emits (its rows are preserved
     // verbatim); with consolidation, a fully-dead shard with no routed
     // inserts legitimately vanishes from the live set
@@ -1236,8 +1274,8 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       if (hadDeletes) {
         val writtenCount =
           if (written.isEmpty) 0L
-          else spark.read.option("basePath", dataPath)
-            .parquet(written.map(s => s"$dataPath/shard=$s"): _*).count()
+          else timedPhase("online:written-count")(
+            readGraphShards(written).count())
         touchedTotal + n - writtenCount
       } else 0L
     val newLive = (live.filterNot(targets.contains) ++ written).sorted
@@ -1314,11 +1352,11 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     meta = meta.copy(numVectors = meta.numVectors + n,
       numDeleted = math.max(0L, meta.numDeleted - dropped),
       params = withBatch(meta.params ++ delta, batch))
-    IndexMeta.write(path, meta)
-    finishOnlinePublish(dropped, swapped)
-    updateSummariesAfterWrite(newShards, swapped)
+    timedPhase("insert:meta-publish")(IndexMeta.write(path, meta))
+    timedPhase("insert:reclaim-recount")(finishOnlinePublish(dropped, swapped))
+    timedPhase("insert:summaries")(updateSummariesAfterWrite(newShards, swapped))
     invalidatePin()
-    maybeAutoCompact()
+    timedPhase("insert:auto-compact")(maybeAutoCompact())
   }
 
   /** Post-publish half of an online rewrite (no-op on the delta path):
