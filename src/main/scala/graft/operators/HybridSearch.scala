@@ -357,8 +357,21 @@ object HybridSearch {
       // the distinct's shuffle halves the job), then a pure driver lookup
       // against the index's bounded head-df map — the postings relation
       // is never touched when gated off
+      // collect-bound probe (the AnnSearch.searchTable pattern): the
+      // per-query driver stats below are fine at serving batch sizes but
+      // linear in query count — a corpus-scale hybrid join (millions of
+      // queries) must keep them distributed. One early-terminating pass
+      // decides; everything downstream branches on `driverStats`.
+      val maxQ = spark.conf.get("spark.ann.maxCollectedQueries", "100000").toInt
+      val qidProbe = timed("qid-probe")(
+        queries.select(col(queryIdCol)).limit(maxQ + 1).collect())
+      val driverStats = qidProbe.length <= maxQ
+      // distinct query terms: collect-then-dedupe halves the small-batch
+      // job; above the bound the explosion is query-volume-sized, so
+      // dedupe FIRST (distinct terms are vocabulary-bounded)
       val qTermArr = timed("qterms-collect")(
-        qTerms.select("term").collect().map(_.getString(0)).distinct)
+        if (driverStats) qTerms.select("term").collect().map(_.getString(0)).distinct
+        else qTerms.select("term").distinct().collect().map(_.getString(0)))
       val matchedVol = timed("vol-gate")(ti.headDf.get.volumeUpperBound(qTermArr))
       val minVol =
         spark.conf.get("spark.ann.bm25PruneMinPostings", "4000000").toLong
@@ -416,61 +429,103 @@ object HybridSearch {
           .groupBy("__hqid", "id").agg(sum("__c").as("part"))
           .localCheckpoint())
         val wP = Window.partitionBy("__hqid").orderBy(col("part").desc, col("id"))
-        // per-query stats to the driver (one row per query): θ = the
-        // bm25Candidates-th cheap partial, expUb = Σ head maxContrib
-        val thetaRows = timed("theta-collect")(
-          parts.withColumn("__pr", row_number().over(wP))
-            .filter(col("__pr") === bm25Candidates)
-            .select(col("__hqid"), col("part")).collect())
-        val expUbRows = timed("expub-collect")(
-          qTerms.join(broadcast(headUb), "term")
-            .groupBy("__hqid").agg(sum("maxContrib").as("expUb")).collect())
-        val thetaByQ = thetaRows.map(r => r.get(0) -> r.getDouble(1)).toMap
-        val expUbByQ = expUbRows.map(r => r.get(0) -> r.getDouble(1)).toMap
-        // single-stage: the queries relation is one row per query, so its
-        // id column collects without a distinct shuffle. Termless queries
-        // (absent from qTerms) land in the exact branch, where the term
-        // join yields no rows for them — exactly as before.
-        val allQ = timed("qids-collect")(
-          queries.select(col(queryIdCol)).collect()).map(_.get(0)).distinct
-        val prunable = allQ.filter { q =>
-          expUbByQ.getOrElse(q, 0.0) <
-            thetaByQ.getOrElse(q, Double.NegativeInfinity) - eps
-        }.toSet
-        if (dbg) println(s"[bm25prune] matchedVol=$matchedVol headDf=$headDf " +
-          s"queries=${allQ.length} prunable=${prunable.size}")
-        if (prunable.isEmpty) ckExact(qTerms) else {
-          import org.apache.spark.sql.types.{StructType, StructField, DoubleType}
-          import org.apache.spark.sql.Row
-          val qidT = qTerms.schema("__hqid").dataType
-          // literal tiny relations (one row per query) from the collected
-          // driver stats — broadcastable for free, never re-derived
-          val prunableStats = spark.createDataFrame(
-            spark.sparkContext.parallelize(prunable.toSeq.map(q =>
-              Row(q, thetaByQ(q), expUbByQ.getOrElse(q, 0.0))), 1),
-            StructType(Seq(StructField("__hqid", qidT),
-              StructField("theta", DoubleType), StructField("expUb", DoubleType))))
-          val exactQ = spark.createDataFrame(
-            spark.sparkContext.parallelize(
-              allQ.filterNot(prunable).toSeq.map(Row(_)), 1),
-            StructType(Seq(StructField("__hqid", qidT))))
-          // candidates: cheap-scored docs that could still reach the top
-          // set; data-dependent size → NO broadcast hints on cands/candDocs
-          val cands = parts.join(broadcast(prunableStats), "__hqid")
+        // shared tail over a (prunableStats, exactQ) split — literal tiny
+        // relations on the driver path, computed DataFrames on the
+        // distributed one. Candidate sets are data-dependent either way →
+        // no broadcast hints on cands/candDocs (AQE decides).
+        def prunedPlusExact(prunableStats: DataFrame, exactQ: DataFrame,
+                            hintPrunable: Boolean): DataFrame = {
+          def maybeBc(df: DataFrame) = if (hintPrunable) broadcast(df) else df
+          val cands = parts.join(maybeBc(prunableStats), "__hqid")
             .filter(col("part") + col("expUb") >= col("theta") - eps)
             .select("__hqid", "id")
           val candDocs = cands.select("id").distinct()
           val pruned = exactScore(
-            qTerms.join(broadcast(prunableStats.select("__hqid")),
+            qTerms.join(maybeBc(prunableStats.select("__hqid")),
               Seq("__hqid"), "left_semi"),
             // early doc cut: head postings shrink to candidate docs BEFORE
             // the per-query explosion
             matchedCk.join(candDocs, Seq("id"), "left_semi"),
             Some(cands), ckIdf)
           val exact = exactScore(
-            qTerms.join(broadcast(exactQ), Seq("__hqid"), "left_semi"),
+            qTerms.join(maybeBc(exactQ), Seq("__hqid"), "left_semi"),
             matchedCk, None, ckIdf)
           pruned.unionByName(exact)
+        }
+        if (driverStats) {
+          // per-query stats to the driver (one row per query — bounded by
+          // the probe above): θ = the bm25Candidates-th cheap partial,
+          // expUb = Σ head maxContrib
+          val thetaRows = timed("theta-collect")(
+            parts.withColumn("__pr", row_number().over(wP))
+              .filter(col("__pr") === bm25Candidates)
+              .select(col("__hqid"), col("part")).collect())
+          val expUbRows = timed("expub-collect")(
+            qTerms.join(broadcast(headUb), "term")
+              .groupBy("__hqid").agg(sum("maxContrib").as("expUb")).collect())
+          val thetaByQ = thetaRows.map(r => r.get(0) -> r.getDouble(1)).toMap
+          val expUbByQ = expUbRows.map(r => r.get(0) -> r.getDouble(1)).toMap
+          // the probe already holds every qid (single-stage, no distinct
+          // shuffle — the queries relation is one row per query). Termless
+          // queries (absent from qTerms) land in the exact branch, where
+          // the term join yields no rows for them — exactly as before.
+          val allQ = qidProbe.map(_.get(0)).distinct
+          val prunable = allQ.filter { q =>
+            expUbByQ.getOrElse(q, 0.0) <
+              thetaByQ.getOrElse(q, Double.NegativeInfinity) - eps
+          }.toSet
+          if (dbg) println(s"[bm25prune] matchedVol=$matchedVol headDf=$headDf " +
+            s"queries=${allQ.length} prunable=${prunable.size}")
+          if (prunable.isEmpty) ckExact(qTerms) else {
+            import org.apache.spark.sql.types.{StructType, StructField, DoubleType}
+            import org.apache.spark.sql.Row
+            val qidT = qTerms.schema("__hqid").dataType
+            // literal tiny relations (one row per query) from the collected
+            // driver stats — broadcastable for free, never re-derived
+            val prunableStats = spark.createDataFrame(
+              spark.sparkContext.parallelize(prunable.toSeq.map(q =>
+                Row(q, thetaByQ(q), expUbByQ.getOrElse(q, 0.0))), 1),
+              StructType(Seq(StructField("__hqid", qidT),
+                StructField("theta", DoubleType), StructField("expUb", DoubleType))))
+            val exactQ = spark.createDataFrame(
+              spark.sparkContext.parallelize(
+                allQ.filterNot(prunable).toSeq.map(Row(_)), 1),
+              StructType(Seq(StructField("__hqid", qidT))))
+            prunedPlusExact(prunableStats, exactQ, hintPrunable = true)
+          }
+        } else {
+          // DISTRIBUTED θ/expUb (query count above the collect bound):
+          // the same arithmetic as joins — θ and expUb never leave the
+          // cluster, the driver holds nothing per-query. Identical
+          // values: left joins + coalesce reproduce the getOrElse
+          // defaults (missing θ → -inf → never prunable; missing expUb →
+          // 0), pinned value-identical at a forced tiny bound in
+          // HybridSpec. No empty-prunable shortcut (checking is a job);
+          // an empty prunable side just unions an empty branch.
+          val thetaDf = parts.withColumn("__pr", row_number().over(wP))
+            .filter(col("__pr") === bm25Candidates)
+            .select(col("__hqid"), col("part").as("__theta"))
+          val expUbDf = qTerms.join(broadcast(headUb), "term")
+            .groupBy("__hqid").agg(sum("maxContrib").as("__expUb"))
+          val allQDf = queries.select(col(queryIdCol).as("__hqid")).distinct()
+          val statsDf = allQDf
+            .join(thetaDf, Seq("__hqid"), "left")
+            .join(expUbDf, Seq("__hqid"), "left")
+            .select(col("__hqid"),
+              col("__theta"),
+              coalesce(col("__expUb"), lit(0.0)).as("__expUb"))
+          val prunableStats = statsDf
+            .filter(col("__expUb") <
+              coalesce(col("__theta"), lit(Double.NegativeInfinity)) - eps)
+            .select(col("__hqid"), col("__theta").as("theta"),
+              col("__expUb").as("expUb"))
+            .localCheckpoint() // two consumers below + the anti-join
+          val exactQ = allQDf.join(prunableStats.select("__hqid"),
+            Seq("__hqid"), "left_anti")
+          if (dbg) println(s"[bm25prune] matchedVol=$matchedVol headDf=$headDf " +
+            "distributed per-query stats (query count above " +
+            s"spark.ann.maxCollectedQueries=$maxQ)")
+          prunedPlusExact(prunableStats, exactQ, hintPrunable = false)
         }
       }
     }

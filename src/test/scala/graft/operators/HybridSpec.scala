@@ -223,6 +223,49 @@ class HybridSpec extends SparkSpec {
     }
   }
 
+  test("max-score pruning above the collect bound: distributed θ/expUb is value-identical") {
+    import spark.implicits._
+    // same zipf construction as the driver-stats test above — prunable,
+    // exact-branch, cheap-only, unmatched, and termless queries all in
+    // one batch — but run with spark.ann.maxCollectedQueries forced to 2,
+    // so the per-query θ/ub/qid stats MUST stay distributed (the corpus-
+    // scale path where collecting one row per query would pin the driver)
+    val rnd = new scala.util.Random(11)
+    val docsSeq = (1L to 200L).map(i =>
+      (i, s"the r$i r$i m${i % 20}", Array.fill(4)(rnd.nextFloat() * 2f - 1f)))
+    val docsDf = docsSeq.toDF("doc_id", "text", "embedding")
+    val zti = HybridSearch.buildTextIndex(docsDf, "doc_id", "text",
+      materialized = true)
+    val zidx = AnnIndexManager.create(spark, "h_zipf_dist", docsDf,
+      "doc_id", "embedding", "FLAT", Map("metric" -> "l2"), s"$tmp/h_zipf_dist")
+    val qSeq = Seq(
+      (0, "the r5 m3", Array(0.5f, 0.5f, 0f, 0f)),
+      (1, "the", Array(0f, 0.5f, 0.5f, 0f)),
+      (2, "m7 m13", Array(0.5f, 0f, 0f, 0.5f)),
+      (3, "zzz_absent the", Array(0f, 0f, 1f, 0f)),
+      (4, "", Array(0.2f, 0f, 0.8f, 0f)),
+      (5, "zzz_absent", Array(0f, 0.8f, 0f, 0.2f)))
+    val qDf = qSeq.toDF("query_idx", "qtext", "qvec")
+    def run(): Seq[(Int, Long, Double, Int, Int)] =
+      HybridSearch.hybridSearchTable(docsDf, "doc_id", zti, zidx, qDf,
+          "query_idx", "qtext", "qvec", k = 7, bm25Candidates = 5)
+        .select("query_idx", "doc_id", "_rrf_score", "_bm25_rank", "_vector_rank")
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3), r.getInt(4)))
+        .toSeq.sortBy(t => (t._1, t._4, t._2))
+    spark.conf.set("spark.ann.bm25MaxScorePrune", "true")
+    spark.conf.set("spark.ann.bm25PruneMinPostings", "0")
+    val driverStats = try run() finally () // 6 queries < default bound
+    spark.conf.set("spark.ann.maxCollectedQueries", "2") // force distributed
+    val distributed = try run() finally {
+      spark.conf.unset("spark.ann.maxCollectedQueries")
+      spark.conf.unset("spark.ann.bm25MaxScorePrune")
+      spark.conf.unset("spark.ann.bm25PruneMinPostings")
+    }
+    assert(distributed == driverStats,
+      "distributed per-query prune stats must be value-identical to the driver path")
+  }
+
   test("cachedTextIndex: off by default (always fresh); opt-in caches per plan") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
