@@ -427,7 +427,7 @@ object Hnsw {
       else if (numShards > 0) graph0.repartition(Vamana.shardPartitions(numShards), col("shard"))
       else graph0.repartition(col("shard"))
 
-    val perShard = graph.mapPartitions { rows =>
+    val body: Iterator[Row] => Iterator[Row] = { rows =>
       val grouped = new scala.collection.mutable.LinkedHashMap[Int, ArrayBuffer[Row]]()
       rows.foreach { r => grouped.getOrElseUpdate(r.getInt(0), new ArrayBuffer[Row]) += r }
       lazy val queriesByIdx = bcQueries.value.toMap
@@ -453,7 +453,24 @@ object Hnsw {
           }
         }
       }
-    }(Encoders.row(out))
+    }
+
+    // routed partition pruning at the DAG level — see Vamana.searchBatch
+    // (identical layout contract; only probed partitions are scheduled)
+    val probedParts: Option[Set[Int]] = probes.flatMap { p =>
+      val nParts =
+        if (prePartitioned) Some(graph.rdd.getNumPartitions)
+        else if (numShards > 0) Some(Vamana.shardPartitions(numShards))
+        else None
+      nParts.map(np => p.keysIterator.map(Vamana.shardPartitionId(_, np)).toSet)
+    }
+    val perShard = probedParts match {
+      case Some(parts) =>
+        val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(
+          graph.rdd, parts.contains)
+        spark.createDataFrame(pruned.mapPartitions(body), out)
+      case None => graph.mapPartitions(body)(Encoders.row(out))
+    }
 
     TopK.grouped(perShard, "query_idx", "_distance", "id", k)
   }

@@ -636,7 +636,9 @@ object Vamana {
       else if (numShards > 0) graph0.repartition(shardPartitions(numShards), col("shard"))
       else graph0.repartition(col("shard"))
 
-    val perShard = graph.mapPartitions { rows =>
+    // the per-partition search body, shared by the plain and the
+    // partition-pruned plans below
+    val body: Iterator[Row] => Iterator[Row] = { rows =>
       // a task may receive several (whole) shards — group by the shard column
       val grouped = new scala.collection.mutable.LinkedHashMap[Int, ArrayBuffer[Row]]()
       rows.foreach { r => grouped.getOrElseUpdate(r.getInt(0), new ArrayBuffer[Row]) += r }
@@ -666,7 +668,33 @@ object Vamana {
           }
         }
       }
-    }(Encoders.row(out))
+    }
+
+    // routed partition pruning at the DAG level: the input layout is (or
+    // is the cached image of) HashPartitioning(shard, P) — the contract
+    // the zip path already relies on — so the partitions that can hold a
+    // probed shard are computable driver-side, and the job SCHEDULES only
+    // those (PartitionPruningRDD). On a pinned index the cached-partition
+    // scans and the empty-task scheduling, not the beam work, are the
+    // per-call floor routing exists to cut: a single routed query costs s
+    // shard tasks regardless of corpus size. Only when P is knowable: the
+    // pinned dataset's own partition count, or our explicit repartition
+    // above (AQE never resizes an explicit numPartitions); unknown-P
+    // keeps the per-shard skip inside `body` only.
+    val probedParts: Option[Set[Int]] = probes.flatMap { p =>
+      val nParts =
+        if (prePartitioned) Some(graph.rdd.getNumPartitions)
+        else if (numShards > 0) Some(shardPartitions(numShards))
+        else None
+      nParts.map(np => p.keysIterator.map(shardPartitionId(_, np)).toSet)
+    }
+    val perShard = probedParts match {
+      case Some(parts) =>
+        val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(
+          graph.rdd, parts.contains)
+        spark.createDataFrame(pruned.mapPartitions(body), out)
+      case None => graph.mapPartitions(body)(Encoders.row(out))
+    }
 
     TopK.grouped(perShard, "query_idx", "_distance", "id", k)
   }
@@ -893,6 +921,20 @@ object Vamana {
     * counts where multi-shard tasks are inevitable anyway. */
   def shardPartitions(numShards: Int): Int =
     math.max(numShards, math.min(numShards * 4, 4096))
+
+  /** The partition a `repartition(P, col("shard"))` layout puts shard id
+    * `s` in — evaluated through Spark's own HashPartitioning expression
+    * (Pmod(Murmur3Hash, P)), so it is identical-by-construction to the
+    * layout, not a reimplementation. Lets a ROUTED search skip whole
+    * unrouted partitions before even consuming their (cached) iterators —
+    * on a pinned 1M-row index the partition scan, not the beams, is the
+    * per-call floor. */
+  def shardPartitionId(shardId: Int, numPartitions: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash, Pmod}
+    Pmod(new Murmur3Hash(Seq(Literal(shardId))), Literal(numPartitions))
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Int]
+  }
 
   /** Search-time beam width: l = max(k, search_complexity or
     * build_complexity) (reference: rust_lib/src/index_manager.rs:344-350). */
