@@ -107,6 +107,9 @@ object R14Scale {
     // each normalized url appears ~3x under different messiness (tracking
     // param, uppercase host, fragment) — survivors = n/3, keep-oldest
     def urlDedupArm(nBase: Int): Unit = {
+      // the 20M leg holds ~4 GB of persisted fixture — fail fast instead
+      // of OOMing mid-run at the forked JVM's default 8g (r15 guard)
+      if (nBase >= 2000000) R15Scale.requireDriverMem(24, "urldedup")
       def urlsOf(n: Long) = spark.range(n).select(col("id"),
         concat(lit("https://"),
           when(col("id") % 3 === 1, lit("WWW.")).otherwise(lit("www.")),

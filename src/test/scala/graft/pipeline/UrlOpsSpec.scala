@@ -159,6 +159,45 @@ class UrlOpsSpec extends SparkSpec {
     assert(viaColumn == viaRules, s"$viaColumn vs $viaRules")
   }
 
+  test("the REAL full publicsuffix.org list (vendored fixture): rules the sample lacks resolve correctly") {
+    import spark.implicits._
+    // the vendored full list (test fixture, MPL-2.0 public data; the
+    // bundled 214-rule sample stays the shipped default)
+    val res = getClass.getResource("/graft/public_suffix_full.dat")
+    assert(res != null, "vendored full PSL fixture missing")
+    val full = UrlOps.SuffixRules.parseFile(
+      java.nio.file.Paths.get(res.toURI).toString)
+    assert(full.plain.size + full.wildcard.size > 9000,
+      s"expected ~9.5k rules, got ${full.plain.size + full.wildcard.size}")
+    assert(full.exception.nonEmpty)
+    val sample = UrlOps.SuffixRules.bundledSample
+    // rules present ONLY in the full file — the cases a production crawl
+    // hits that the sample cannot know
+    assert(!sample.plain.contains("kobierzyce.pl") && full.plain.contains("kobierzyce.pl"))
+    assert(!sample.plain.contains("pvt.k12.ma.us") && full.plain.contains("pvt.k12.ma.us"))
+    def domUnder(rules: UrlOps.SuffixRules, host: String): String = {
+      val r = Seq(host).toDF("h")
+        .select(UrlOps.registeredDomain(col("h"), rules)).head()
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    // under the full rules, shop.kobierzyce.pl is a REGISTRABLE name one
+    // under the Polish municipal registry; the sample (which only knows
+    // pl/com.pl) collapses it to kobierzyce.pl — whole-registry pooling
+    assert(domUnder(full, "a.shop.kobierzyce.pl") == "shop.kobierzyce.pl")
+    assert(domUnder(sample, "a.shop.kobierzyce.pl") == "kobierzyce.pl")
+    // a 4-label public suffix, full file only
+    assert(domUnder(full, "x.district.pvt.k12.ma.us") == "district.pvt.k12.ma.us")
+    // wildcard + exception semantics keep working at full-file size
+    assert(domUnder(full, "a.b.ck") == "a.b.ck") // *.ck: b.ck is a suffix
+    assert(domUnder(full, "sub.www.ck") == "www.ck") // !www.ck exception
+    // both files live in the mtime-keyed cache simultaneously (targeted
+    // eviction, not clear-all): re-parse is a cache hit returning the
+    // SAME instance
+    val again = UrlOps.SuffixRules.parseFile(
+      java.nio.file.Paths.get(res.toURI).toString)
+    assert(again eq full, "full-PSL cache entry evicted by an unrelated parse")
+  }
+
   test("blocklist-DataFrame overload produces the same signals as the literal-set overload") {
     import spark.implicits._
     val rows = Seq(
