@@ -73,23 +73,31 @@ object Bench {
         .lastOption.map { prev =>
           val src = scala.io.Source.fromFile(prev)
           val txt = try src.mkString finally src.close()
-          // parse ONLY the "queries" object — rep_spread_gt2/xround_gt2
-          // reuse line names for spreads/ratios and must not shadow the
-          // recorded times. The object has no nested braces, so the first
-          // '}' after "queries" closes it. Committed BENCH files may wrap
-          // the JSON in a "tail" field with escaped quotes — the pattern
-          // accepts both raw and escaped forms.
-          val qAt = txt.indexOf("queries")
-          val body =
-            if (qAt < 0) "" else {
-              val open = txt.indexOf('{', qAt)
-              val close = if (open < 0) -1 else txt.indexOf('}', open)
-              if (close < 0) "" else txt.substring(open, close + 1)
+          // Committed BENCH files hold only a TRUNCATED "tail" string
+          // (the last ~2000 chars of the JSON line, escaped quotes, no
+          // "queries" marker — verified against BENCH_r11..r14), so the
+          // visible record is the SUFFIX of the queries map plus the
+          // spread/ratio fields. Parse name:number pairs up to the
+          // rep_spread_gt2 marker (those fields reuse line names for
+          // spreads and must not shadow times), falling back to the first
+          // '}' (the queries object's close — the outer brace closes only
+          // at EOF). Best-effort by design: only tail-visible lines get
+          // the cross-round trigger; a truncated leading fragment parses
+          // as a name no timed line uses.
+          val cut = {
+            val m = txt.indexOf("rep_spread_gt2")
+            if (m >= 0) m else {
+              val c = txt.indexOf('}')
+              if (c >= 0) c else txt.length
             }
+          }
+          val body = txt.substring(0, cut)
+          val stop = Set("n", "rc", "cpus", "sf", "value",
+            "load_1m_start", "load_1m_end", "kernel_geomean_ratio")
           val pat = """\\?"([A-Za-z0-9_]+)\\?":(-?[0-9][0-9.eE+\-]*)""".r
           pat.findAllMatchIn(body)
             .map(m => m.group(1) -> scala.util.Try(m.group(2).toDouble).getOrElse(-1.0))
-            .filter(_._2 > 0).toMap
+            .filter { case (k, v) => v > 0 && !stop(k) }.toMap
         }.getOrElse(Map.empty)
     }
     val reranXround = mutable.ArrayBuffer.empty[String]

@@ -504,9 +504,13 @@ object AnnSql {
       val name = constString(exprs(0))
       val idx = indexByName(spark, name)
       idx.refreshDeadCount()
-      // graph engines: also repair shard-routing summary coverage (the
-      // post-crash / legacy-index path; mutations maintain it inline)
-      if (idx.isGraphEngine) idx.refreshShardSummaries()
+      // graph engines that MAINTAIN routing summaries (spatial, or an
+      // already-opted-in hash index): repair coverage — the post-crash
+      // path. Deliberately NOT an implicit opt-in: on a plain hash index
+      // this would silently scan the whole corpus and then charge every
+      // future mutation the maintenance pass for summaries with no
+      // routing signal (a stats call must stay cheap).
+      if (idx.summariesMaintained) idx.refreshShardSummaries()
       import spark.implicits._
       plan(Seq((name, idx.meta.numVectors, idx.meta.numDeleted))
         .toDF("name", "num_vectors", "num_deleted"))

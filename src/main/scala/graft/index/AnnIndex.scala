@@ -622,8 +622,10 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * only after an explicit [[refreshShardSummaries]] opt-in (their
     * create-time shard centroids are ~the global mean — no routing
     * signal — so the maintenance scans would be pure overhead; A/B'd on
-    * the hnsw_build_sf bench line at +39%). */
-  private def summariesMaintained: Boolean = isGraphEngine &&
+    * the hnsw_build_sf bench line at +39%). Public so ops surfaces
+    * (ann_refresh_stats) can repair coverage without accidentally
+    * OPTING a hash index in. */
+  def summariesMaintained: Boolean = isGraphEngine &&
     (meta.params.get("shard_assign").contains("spatial") ||
       ShardSummaries.exists(path))
 
@@ -931,7 +933,12 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * through deltas, compactions, and vacuums. Hash indexes keep the
     * id-hash layout. */
   private def buildGraphFor(rows: DataFrame, nShards: Int, nRows: Long): DataFrame = {
-    val spatial = meta.params.get("shard_assign").contains("spatial") && nShards > 1
+    // nRows == 0: nothing to assign — the hash branch builds the empty
+    // graph fine (mapPartitions emits nothing), while spatial center
+    // training would throw on an empty sample. Reachable via vacuum() of
+    // a fully-deleted spatial index (a normal purge lifecycle).
+    val spatial = meta.params.get("shard_assign").contains("spatial") &&
+      nShards > 1 && nRows > 0
     val (src, assignCol) =
       if (spatial) {
         val centers = AnnIndexBuilder.trainShardCenters(rows, nRows, nShards,

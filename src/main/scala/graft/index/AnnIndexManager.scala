@@ -528,7 +528,16 @@ object AnnIndexManager {
         // (no routing signal), and the pass showed up as +39% on the
         // hnsw_build_sf bench line (r15 A/B). refreshShardSummaries()
         // remains the explicit opt-in for them.
-        if (assignMode == "spatial") idx.refreshShardSummaries()
+        if (assignMode == "spatial") try idx.refreshShardSummaries() catch {
+          case scala.util.control.NonFatal(e) =>
+            // the index is already committed and registered; summaries
+            // are an optimization with a walk-all fallback — a transient
+            // failure here must not make the caller believe (and retry)
+            // a whole failed build
+            System.err.println(s"[graft] create-time shard summaries failed " +
+              s"for $name: ${e.getMessage} — routing falls back to walk-all " +
+              "until refreshShardSummaries()")
+        }
         return idx
       }
 

@@ -171,9 +171,12 @@ object ShardSummaries {
     * serializable (rides UDF closures on the table path). Deterministic:
     * `shards`/`centroids` are parallel arrays sorted by shard id and the
     * bounded pool breaks distance ties by insertion (= id) order. NaN
-    * distances (null-element queries) lose every comparison, so a junk
-    * query routes to an arbitrary-but-valid shard set and its NaN hits
-    * drop in top-k exactly as on the walk-all path. */
+    * distances are EXCLUDED before the pool (Pool's binary search would
+    * otherwise rank NaN first — a shard whose rows contain a NaN would
+    * permanently steal one probe slot from every query); a query whose
+    * every centroid distance is NaN (null-element query vector) falls
+    * back to the first s shards, keeping the walk-all contract that such
+    * a query still produces its NaN-distance rows for top-k to drop. */
   def topShards(q: Array[Float], shards: Array[Int],
                 centroids: Array[Array[Float]], s: Int,
                 metric: String): Array[Int] = {
@@ -181,12 +184,15 @@ object ShardSummaries {
     // clamp: s at/above the shard count returns ALL shards (distance
     // order) — the exact-compat full-width probe — without allocating a
     // pool sized to a caller's "effectively infinite" width
-    val pool = new Vamana.Pool(math.min(math.max(1, s), math.max(1, shards.length)))
+    val cap = math.min(math.max(1, s), math.max(1, shards.length))
+    val pool = new Vamana.Pool(cap)
     var i = 0
     while (i < shards.length) {
-      pool.insert(i, dist(q, centroids(i)))
+      val d = dist(q, centroids(i))
+      if (!java.lang.Double.isNaN(d)) pool.insert(i, d)
       i += 1
     }
+    if (pool.size == 0) return shards.take(cap)
     val out = new Array[Int](pool.size)
     var j = 0
     while (j < pool.size) { out(j) = shards(pool.labels(j)); j += 1 }

@@ -146,15 +146,17 @@ object UrlOps {
       * registries on a stale set for the JVM lifetime. */
     def parseFile(path: String): SuffixRules = {
       val p = java.nio.file.Paths.get(path).toAbsolutePath
-      val prefix = s"$p@"
-      val key = s"$prefix${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+      // structured (path, mtime) key — a string key with a separator can
+      // collide across paths (one path may be a prefix of another plus
+      // any separator character, since '@' etc. are legal in paths)
+      val key = (p.toString, java.nio.file.Files.getLastModifiedTime(p).toMillis)
       // targeted eviction, never a blunt clear (which would re-parse every
       // hot file's ~15k lines once past the bound): first drop THIS path's
       // superseded-mtime entries (the refresh-in-place case the mtime key
       // exists for), then shed arbitrary single entries while still over
       // the bound — a service rotating across many distinct PSL files
       // loses some, never all
-      fileCache.keySet.removeIf(k => k.startsWith(prefix) && k != key)
+      fileCache.keySet.removeIf(k => k._1 == key._1 && k._2 != key._2)
       while (fileCache.size() > 64) {
         val it = fileCache.keySet().iterator()
         if (it.hasNext) fileCache.remove(it.next()) else return parseOne(p)
@@ -169,7 +171,7 @@ object UrlOps {
     }
 
     private val fileCache =
-      new java.util.concurrent.ConcurrentHashMap[String, SuffixRules]()
+      new java.util.concurrent.ConcurrentHashMap[(String, Long), SuffixRules]()
 
     /** The bundled sample PSL (a working subset of the real list —
       * common country registries plus the fixture-exercised wildcard and

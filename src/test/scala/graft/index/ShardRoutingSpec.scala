@@ -237,6 +237,21 @@ class ShardRoutingSpec extends SparkSpec {
     assert(wide == walkAll)
   }
 
+  test("vacuum of a fully-deleted spatial index yields the empty index (no train crash)") {
+    val rows = clustered(2, 40)
+    val idx = create(rows, "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "32",
+        "shards" -> "2", "shard_assign" -> "spatial"))
+    idx.delete(rows.map(_._1))
+    idx.vacuum() // purge lifecycle: spatial center training must not run on 0 rows
+    assert(idx.meta.numVectors == 0 && idx.meta.numDeleted == 0)
+    assert(idx.scan(queries.head, 5, searchParam = 100000).collect().isEmpty)
+    // and the index accepts new rows again afterwards
+    idx.insert(df(clustered(1, 20).map { case (id, v) => (id + 90000L, v) }),
+      "id", "vec")
+    assert(idx.scan(queries.head, 5, searchParam = 100000).collect().nonEmpty)
+  }
+
   test("topShards is deterministic, bounded, and orders by centroid distance") {
     val shards = Array(10, 20, 30)
     val cents = Array(
@@ -248,5 +263,10 @@ class ShardRoutingSpec extends SparkSpec {
     // NaN query: still returns s valid shards (junk in, bounded junk out)
     val nan = ShardSummaries.topShards(Array(Float.NaN, 0f), shards, cents, 2, "l2")
     assert(nan.length == 2 && nan.forall(shards.contains))
+    // a NaN CENTROID (poisoned shard) must never steal a probe slot —
+    // the other shards rank normally
+    val cents2 = Array(Array(Float.NaN, 0f), Array(10f, 0f), Array(20f, 0f))
+    val skip = ShardSummaries.topShards(Array(11f, 0f), shards, cents2, 2, "l2")
+    assert(skip.toSeq == Seq(20, 30), s"NaN centroid stole a slot: ${skip.toSeq}")
   }
 }
