@@ -341,6 +341,27 @@ object Bench {
       Array.fill(dim)(r.nextFloat())
     })
 
+    // ---- shard-routed serving (r15): spatial 10k index, single-query
+    // scans with and without routing — tracks the per-query serving cost
+    // (the 100 TB metric: routed cost stays flat as shards grow) and any
+    // routing overhead cross-round. Same pinned warm-call shape as the
+    // repeat line above; the batch layout cache serves the repeats.
+    var rtIdx: graft.index.AnnIndex = null
+    time("vamana_spatial_build_10k_d128", reps = 2) {
+      rep += 1
+      rtIdx = graft.index.AnnIndexManager.create(spark, s"bench_rt_$rep", synthDf,
+        "id", "vec", "DISKANN",
+        Map("metric" -> "l2", "max_degree" -> "64", "build_complexity" -> "100",
+          "shards" -> "16", "shard_assign" -> "spatial"), s"$tmp/rt$rep")
+    }
+    rtIdx.persist()
+    val rtQs = synthQ.take(10)
+    time("vamana_walkall_1qx10_10k") { rtQs.foreach(q => noop(rtIdx.scan(q, 10))) }
+    spark.conf.set("spark.ann.shardProbes", "4")
+    time("vamana_routed_1qx10_10k") { rtQs.foreach(q => noop(rtIdx.scan(q, 10))) }
+    spark.conf.unset("spark.ann.shardProbes")
+    rtIdx.unpersist()
+
     // ---- online CDC insert: 5 micro-batches extend a live shard graph ----
     // the serving-freshness mutation path (spark.ann.onlineInsertMaxRows):
     // each batch beam-inserts 200 points into the resident 20k-row Vamana

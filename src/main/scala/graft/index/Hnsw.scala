@@ -427,29 +427,65 @@ object Hnsw {
       else if (numShards > 0) graph0.repartition(Vamana.shardPartitions(numShards), col("shard"))
       else graph0.repartition(col("shard"))
 
-    val body: Iterator[Row] => Iterator[Row] = { rows =>
-      val grouped = new scala.collection.mutable.LinkedHashMap[Int, ArrayBuffer[Row]]()
-      rows.foreach { r => grouped.getOrElseUpdate(r.getInt(0), new ArrayBuffer[Row]) += r }
+    // see Vamana.searchBatch — identical structure: knowable partition
+    // count keys the repeat-call layout cache and the DAG-level pruning
+    val nPartsKnown: Option[Int] =
+      if (prePartitioned) Some(graph.rdd.getNumPartitions)
+      else if (numShards > 0) Some(Vamana.shardPartitions(numShards))
+      else None
+
+    val body: (Int, Iterator[Row]) => Iterator[Row] = { (parentPid, rows) =>
       lazy val queriesByIdx = bcQueries.value.toMap
-      grouped.iterator.flatMap { case (shardId, shardRows) =>
+      def answer(shardId: Int, sh: Shard, segs: Array[Long]): Iterator[Row] = {
         val routed = bcProbes.map(_.value.getOrElse(shardId, Array.empty[Int]))
-        if (routed.exists(_.isEmpty)) Iterator.empty
-        else {
-          val sh = cacheKey match {
-            case Some(ck) => GraphShardCache.getOrBuild(s"$ck#$shardId", Some(ShardSpillCodec))(
-              decodeShard(shardId, shardRows, codec))
-            case None => decodeShard(shardId, shardRows, codec)
+        val qIter: Iterator[(Int, Array[Float])] = routed match {
+          case Some(idxs) => idxs.iterator.map(i => (i, queriesByIdx(i)))
+          case None => bcQueries.value.iterator
+        }
+        qIter.flatMap { case (qi, q) =>
+          search(sh, q, k, ef, dist).take(math.max(k, ef))
+            .map { case (label, d) => Row(qi, sh.ids(label), d, segs(label)) }
+        }
+      }
+      def needed(shardId: Int): Boolean =
+        bcProbes.forall(_.value.getOrElse(shardId, Array.empty[Int]).nonEmpty)
+      // repeat-call fast path (pinned only) — see Vamana.searchBatch
+      val layoutKey = for { ck <- cacheKey; np <- nPartsKnown if prePartitioned }
+        yield s"$ck#batchLayout#$np#$parentPid"
+      val fast: Option[Iterator[Row]] = layoutKey.flatMap { lk =>
+        GraphShardCache.getLayout(lk).flatMap { layout =>
+          val need = layout.filter { case (sid, _) => needed(sid) }
+          val hits = need.flatMap { case (sid, segs) =>
+            GraphShardCache.peek(s"${cacheKey.get}#$sid", Some(ShardSpillCodec))
+              .map(sh => (sid, sh.asInstanceOf[Shard], segs))
           }
-          // per-LABEL insert epochs from the raw rows (online rewrites mix
-          // epochs within a shard — see Vamana.segArray)
-          val segs = Vamana.segArray(shardRows, 7)
-          val qIter: Iterator[(Int, Array[Float])] = routed match {
-            case Some(idxs) => idxs.iterator.map(i => (i, queriesByIdx(i)))
-            case None => bcQueries.value.iterator
+          if (hits.length != need.length) None
+          else {
+            GraphShardCache.batchFastPathHits.incrementAndGet()
+            Some(hits.iterator.flatMap { case (sid, sh, segs) =>
+              answer(sid, sh, segs) })
           }
-          qIter.flatMap { case (qi, q) =>
-            search(sh, q, k, ef, dist).take(math.max(k, ef))
-              .map { case (label, d) => Row(qi, sh.ids(label), d, segs(label)) }
+        }
+      }
+      fast.getOrElse {
+        val grouped = new scala.collection.mutable.LinkedHashMap[Int, ArrayBuffer[Row]]()
+        rows.foreach { r => grouped.getOrElseUpdate(r.getInt(0), new ArrayBuffer[Row]) += r }
+        val withSegs = grouped.iterator
+          .map { case (sid, shardRows) => (sid, shardRows, Vamana.segArray(shardRows, 7)) }
+          .toArray
+        layoutKey.foreach(lk => GraphShardCache.putLayout(lk,
+          withSegs.map { case (sid, _, segs) => (sid, segs) }))
+        withSegs.iterator.flatMap { case (shardId, shardRows, segs) =>
+          if (!needed(shardId)) Iterator.empty
+          else {
+            val sh = cacheKey match {
+              case Some(ck) => GraphShardCache.getOrBuild(s"$ck#$shardId", Some(ShardSpillCodec))(
+                decodeShard(shardId, shardRows, codec))
+              case None => decodeShard(shardId, shardRows, codec)
+            }
+            // per-LABEL insert epochs from the raw rows (online rewrites
+            // mix epochs within a shard — see Vamana.segArray)
+            answer(shardId, sh, segs)
           }
         }
       }
@@ -458,18 +494,20 @@ object Hnsw {
     // routed partition pruning at the DAG level — see Vamana.searchBatch
     // (identical layout contract; only probed partitions are scheduled)
     val probedParts: Option[Set[Int]] = probes.flatMap { p =>
-      val nParts =
-        if (prePartitioned) Some(graph.rdd.getNumPartitions)
-        else if (numShards > 0) Some(Vamana.shardPartitions(numShards))
-        else None
-      nParts.map(np => p.keysIterator.map(Vamana.shardPartitionId(_, np)).toSet)
+      nPartsKnown.map(np => p.keysIterator.map(Vamana.shardPartitionId(_, np)).toSet)
     }
     val perShard = probedParts match {
       case Some(parts) =>
         val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(
           graph.rdd, parts.contains)
-        spark.createDataFrame(pruned.mapPartitions(body), out)
-      case None => graph.mapPartitions(body)(Encoders.row(out))
+        val parentIds = parts.toArray.sorted
+        spark.createDataFrame(
+          pruned.mapPartitionsWithIndex((i, rows) => body(parentIds(i), rows)),
+          out)
+      case None =>
+        graph.mapPartitions { rows =>
+          body(TaskContext.getPartitionId(), rows)
+        }(Encoders.row(out))
     }
 
     TopK.grouped(perShard, "query_idx", "_distance", "id", k)

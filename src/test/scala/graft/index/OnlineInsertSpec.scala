@@ -271,6 +271,46 @@ class OnlineInsertSpec extends SparkSpec {
     } finally spark.conf.unset("spark.ann.onlineInsertMaxRows")
   }
 
+  test("pinned BROADCAST search: repeat calls serve from the batch layout cache, mixed epochs exact") {
+    import spark.implicits._
+    val base = vecs(150, 25)
+    val idx = AnnIndexManager.create(spark, "t_online_bfast",
+      base.toDF("id", "embedding"), "id", "embedding", "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "64",
+        "shards" -> "2"),
+      s"$tmp/t_online_bfast")
+    spark.conf.set("spark.ann.onlineInsertMaxRows", "100")
+    try {
+      // delete + online re-insert → a mixed-epoch shard; the fast path
+      // must carry per-LABEL epochs, not a shard constant
+      idx.insert(vecs(5, 26, from = 950L).toDF("id", "embedding"), "id", "embedding")
+      idx.delete(Seq(950L))
+      idx.insert(Seq((950L, Array.fill(dim)(0.35f))).toDF("id", "embedding"),
+        "id", "embedding")
+      idx.persist()
+      val qs = Seq(Array.fill(dim)(0.35f), base(3)._2)
+      def top(): Seq[(Int, Long)] =
+        idx.searchBatch(qs, 3, searchParam = 100000).collect()
+          .groupBy(_.getInt(0)).toSeq
+          .map { case (q, rs) => q -> rs.minBy(_.getDouble(2)).getLong(1) }
+          .sortBy(_._1)
+      val first = top() // full scan: records the batch layout
+      assert(first.head._2 == 950L, "re-inserted id must surface")
+      val hits0 = GraphShardCache.batchFastPathHits.get()
+      val second = top()
+      assert(second == first)
+      assert(GraphShardCache.batchFastPathHits.get() > hits0,
+        "pinned repeat searchBatch must serve from the recorded layout")
+      // a mutation rotates the meta version: the stale layout is
+      // structurally unreachable and results stay exact
+      idx.insert(vecs(3, 27, from = 980L).toDF("id", "embedding"), "id", "embedding")
+      val third = idx.searchBatch(Seq(base(3)._2), 150, searchParam = 100000)
+        .collect().map(_.getLong(1)).toSet
+      assert(third.contains(980L) && third.contains(950L) && !third.contains(-1L))
+      idx.unpersist()
+    } finally spark.conf.unset("spark.ann.onlineInsertMaxRows")
+  }
+
   test("online rewrite consolidates tombstoned rows out of the touched shards") {
     import spark.implicits._
     val base = vecs(200, 60)
