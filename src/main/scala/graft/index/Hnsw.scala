@@ -428,10 +428,12 @@ object Hnsw {
       else graph0.repartition(col("shard"))
 
     // see Vamana.searchBatch — identical structure: knowable partition
-    // count keys the repeat-call layout cache and the DAG-level pruning
+    // count (arithmetic, never a per-call plan-to-RDD conversion when the
+    // shard count is known) keys the repeat-call layout cache and the
+    // DAG-level pruning
     val nPartsKnown: Option[Int] =
-      if (prePartitioned) Some(graph.rdd.getNumPartitions)
-      else if (numShards > 0) Some(Vamana.shardPartitions(numShards))
+      if (numShards > 0) Some(Vamana.shardPartitions(numShards))
+      else if (prePartitioned) Some(graph.rdd.getNumPartitions)
       else None
 
     val body: (Int, Iterator[Row]) => Iterator[Row] = { (parentPid, rows) =>

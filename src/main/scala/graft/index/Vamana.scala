@@ -640,13 +640,19 @@ object Vamana {
       else if (numShards > 0) graph0.repartition(shardPartitions(numShards), col("shard"))
       else graph0.repartition(col("shard"))
 
-    // partition count, when knowable: the pinned dataset's own count, or
-    // our explicit repartition width (AQE never resizes an explicit
-    // numPartitions). Keys the repeat-call layout cache and the routed
-    // partition pruning; unknown-P disables both (per-shard skip remains).
+    // partition count, when knowable: shardPartitions(numShards) covers
+    // BOTH layouts — our explicit repartition below uses it, and the pin
+    // (AnnIndex.persist) lays the dataset out with the same formula from
+    // the same meta (AQE never resizes an explicit numPartitions). The
+    // arithmetic beats graph.rdd.getNumPartitions, which forces a full
+    // plan-to-RDD conversion PER CALL (~20-40 ms of driver planning — a
+    // measured ~1.2x on warm sub-second searches); the .rdd fallback
+    // remains only for external prePartitioned callers without a shard
+    // count. Keys the repeat-call layout cache and the routed partition
+    // pruning; unknown-P disables both (per-shard skip remains).
     val nPartsKnown: Option[Int] =
-      if (prePartitioned) Some(graph.rdd.getNumPartitions)
-      else if (numShards > 0) Some(shardPartitions(numShards))
+      if (numShards > 0) Some(shardPartitions(numShards))
+      else if (prePartitioned) Some(graph.rdd.getNumPartitions)
       else None
 
     // the per-partition search body, shared by the plain and the
