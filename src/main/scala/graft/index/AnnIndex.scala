@@ -932,25 +932,32 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * epoch for determinism) so its routing summaries stay meaningful
     * through deltas, compactions, and vacuums. Hash indexes keep the
     * id-hash layout. */
-  private def buildGraphFor(rows: DataFrame, nShards: Int, nRows: Long): DataFrame = {
+  private def buildGraphFor(rows: DataFrame, nShards: Int,
+                            nRows: Long): (DataFrame, Int) = {
     // nRows == 0: nothing to assign — the hash branch builds the empty
     // graph fine (mapPartitions emits nothing), while spatial center
     // training would throw on an empty sample. Reachable via vacuum() of
     // a fully-deleted spatial index (a normal purge lifecycle).
     val spatial = meta.params.get("shard_assign").contains("spatial") &&
       nShards > 1 && nRows > 0
-    val (src, assignCol) =
+    val (src, assignCol, actualShards) =
       if (spatial) {
         val centers = AnnIndexBuilder.trainShardCenters(rows, nRows, nShards,
           seed = 42L + currentSeg)
-        (AnnIndexBuilder.assignShards(rows, centers), Some("__sa"))
-      } else (rows, None)
-    meta.engine match {
-      case "DISKANN" => Vamana.build(src, nShards, Vamana.Params.from(meta),
+        // oversized cells hash-split (per-task build budget holds under
+        // skew), so the ACTUAL shard count can exceed the center count —
+        // callers size their id range by it
+        val (asg, total) = AnnIndexBuilder.boundedSpatialAssign(
+          rows, centers, AnnIndexBuilder.targetShardRows(meta.dim))
+        (asg, Some("__sa"), total)
+      } else (rows, None, nShards)
+    val graph = meta.engine match {
+      case "DISKANN" => Vamana.build(src, actualShards, Vamana.Params.from(meta),
         meta.metric, assignCol)
-      case "HNSW" => Hnsw.build(src, nShards, Hnsw.Params.from(meta),
+      case "HNSW" => Hnsw.build(src, actualShards, Hnsw.Params.from(meta),
         meta.metric, assignCol)
     }
+    (graph, actualShards)
   }
 
   /** Append the insert rows to the data dataset at epoch currentSeg+1;
@@ -984,19 +991,22 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       // build budget as create — one fixed-size shard per task, never a
       // single straggler task building a giant graph
       val nDelta = AnnIndexBuilder.defaultGraphShards(n, meta.dim)
+      // build first: spatial skew splitting can widen the shard count, and
+      // the id range below must cover what the build ACTUALLY produces
+      val (delta0raw, nActual) = buildGraphFor(prepared, nDelta, n)
       // `next_shard` allocates ids; `shards` counts live shards for
       // partition sizing. They diverge once compactShards leaves id gaps —
       // reusing a live id would mix two graphs in one shard directory.
       val nextShard = meta.param("next_shard", meta.param("shards", 1))
       val preLive = liveShardIds // capture before the write (legacy
         // fallback lists dirs, which would include the delta post-write)
-        .filterNot(sid => sid >= nextShard && sid < nextShard + nDelta)
+        .filterNot(sid => sid >= nextShard && sid < nextShard + nActual)
       // Ids at/after next_shard are unlisted by definition: any dir there
       // is a crashed writer's orphan. Reclaim before writing so the
       // append can't mix two graphs under one shard id.
-      (nextShard until nextShard + nDelta).foreach(sid =>
+      (nextShard until nextShard + nActual).foreach(sid =>
         IndexMeta.deleteDir(s"$dataPath/shard=$sid"))
-      val delta0 = buildGraphFor(prepared, nDelta, n)
+      val delta0 = delta0raw
         .withColumn("shard", (col("shard") + lit(nextShard)).cast("int"))
       val delta = codec match {
         case Some(c) => delta0 // sq8: out-of-range values clamp to the build-time range
@@ -1011,11 +1021,11 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       // and publish them. Readers see the delta only after the caller's
       // meta write lands — the commit point.
       val written = IndexMeta.listShardDirs(dataPath)
-        .filter(sid => sid >= nextShard && sid < nextShard + nDelta)
+        .filter(sid => sid >= nextShard && sid < nextShard + nActual)
       val newLive = preLive ++ written
       (n, Map("seg" -> segNew.toString,
         "shards" -> newLive.size.toString,
-        "next_shard" -> (nextShard + nDelta).toString,
+        "next_shard" -> (nextShard + nActual).toString,
         "live_shards" -> newLive.mkString(","),
         "__new_shards" -> written.mkString(",")))
     } else {
@@ -1485,7 +1495,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       val liveVecs = maskDead(liveFloats).select("id", "vector")
       val liveCount = liveVecs.count()
       val shards = meta.param("shards", 1)
-      val rebuilt0 = buildGraphFor(liveVecs, shards, liveCount)
+      val (rebuilt0, shardsActual) = buildGraphFor(liveVecs, shards, liveCount)
       val rebuilt = (codec match {
         case Some(c) => rebuilt0
           .withColumn("codes", c.encodeUdf(col("vector")))
@@ -1501,7 +1511,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       val liveNow = IndexMeta.listShardDirs(dataPath)
       meta = meta.copy(numVectors = liveCount, numDeleted = 0,
         params = meta.params + ("shards" -> math.max(liveNow.size, 1).toString)
-          + ("next_shard" -> shards.toString)
+          + ("next_shard" -> shardsActual.toString)
           + ("live_shards" -> liveNow.mkString(",")))
       IndexMeta.write(path, meta)
       // vacuum REUSES shard ids (the one mutation that does), so stale
@@ -1712,8 +1722,12 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     val liveCount = liveSub.count()
 
     val nextShard = meta.param("next_shard", meta.param("shards", 1))
-    val nNew = if (liveCount == 0) 0
+    val nNewTarget = if (liveCount == 0) 0
       else AnnIndexBuilder.defaultGraphShards(liveCount, meta.dim)
+    // build first: spatial skew splitting can widen the id range below
+    val (rebuiltRaw, nNew) =
+      if (nNewTarget == 0) (null: DataFrame, 0)
+      else buildGraphFor(liveSub, nNewTarget, liveCount)
     val preLive = liveShardIds // legacy fallback lists dirs: exclude the
       // target range, which is reclaimed and rewritten below
       .filterNot(sid => sid >= nextShard && sid < nextShard + nNew)
@@ -1721,12 +1735,11 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     (nextShard until nextShard + nNew).foreach(sid =>
       IndexMeta.deleteDir(s"$dataPath/shard=$sid"))
     if (nNew > 0) {
-      val rebuilt0 = buildGraphFor(liveSub, nNew, liveCount)
       val rebuilt = (codec match {
-        case Some(c) => rebuilt0
+        case Some(c) => rebuiltRaw
           .withColumn("codes", c.encodeUdf(col("vector")))
           .drop("vector")
-        case None => rebuilt0
+        case None => rebuiltRaw
       }).withColumn("shard", (col("shard") + lit(nextShard)).cast("int"))
         .withColumn("seg", lit(currentSeg))
       rebuilt.write.mode("append").partitionBy("shard").parquet(dataPath)

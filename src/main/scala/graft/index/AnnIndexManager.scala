@@ -85,6 +85,42 @@ object AnnIndexBuilder {
                    centers: Array[(Int, Array[Float])]): DataFrame =
     assignLists(prepared, centers, "IVF").withColumnRenamed("list_id", "__sa")
 
+  /** Spatial assignment with BOUNDED cells: rows go to their nearest
+    * center, then any cell above `targetRows` hash-splits into
+    * ceil(n/target) sub-shards. k-means balance is data-dependent — on a
+    * real corpus one dominant cluster would otherwise become a build task
+    * arbitrarily larger than the per-task budget (straggler/OOM at
+    * exactly the scale spatial sharding exists for). Sub-shards keep
+    * their parent's locality, so each gets a meaningful routing summary;
+    * a query near a split cluster ranks its sub-shards adjacently and
+    * widens into them as `spark.ann.shardProbes` allows. Costs one
+    * cell-count aggregate over the batch. Returns (assigned rows with a
+    * dense `__sa` in [0, total), total shard count). */
+  def boundedSpatialAssign(prepared: DataFrame,
+                           centers: Array[(Int, Array[Float])],
+                           targetRows: Long): (DataFrame, Int) = {
+    val assigned = assignShards(prepared, centers)
+    val counts = assigned.groupBy("__sa").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val centerIds = centers.map(_._1).sorted
+    val splits = centerIds.map(c =>
+      math.max(1L, (counts.getOrElse(c, 0L) + targetRows - 1) / targetRows).toInt)
+    val total = splits.sum
+    if (total == centerIds.length) return (assigned, centerIds.length)
+    val bases = splits.scanLeft(0)(_ + _)
+    val baseOf = centerIds.zip(bases).toMap
+    val splitOf = centerIds.zip(splits).toMap
+    val sc = prepared.sparkSession.sparkContext
+    val bc = sc.broadcast((baseOf, splitOf))
+    val sub = udf { (c: Int, id: Long) =>
+      val (baseM, splitM) = bc.value
+      val s = splitM(c)
+      baseM(c) + (if (s == 1) 0
+        else (scala.util.hashing.MurmurHash3.productHash(Tuple1(id)) % s + s) % s)
+    }
+    (assigned.withColumn("__sa", sub(col("__sa"), col("id"))), total)
+  }
+
   /** Default graph-engine shard count: bounded per-task BUILD TIME, not
     * just memory. Empirical (tools/ShardSizing, single thread): insert cost
     * scales ~ n·d — 1.5 ms/insert at d=64 but ~17 ms at d=768, so a fixed
@@ -485,17 +521,22 @@ object AnnIndexManager {
         val assignMode = params.getOrElse("shard_assign", "hash")
         require(assignMode == "hash" || assignMode == "spatial",
           s"shard_assign must be hash|spatial, got: $assignMode")
-        val (buildSrc, assignCol) =
+        // spatial: `shards` is the CENTER count; oversized cells
+        // hash-split to keep every build task inside the per-task budget
+        // (boundedSpatialAssign), so the actual shard count may exceed it
+        val (buildSrc, assignCol, buildShards) =
           if (assignMode == "spatial" && shards > 1) {
             val centers = AnnIndexBuilder.trainShardCenters(prepared, n, shards, 42L)
-            (AnnIndexBuilder.assignShards(prepared, centers), Some("__sa"))
-          } else (prepared, None)
+            val (asg, total) = AnnIndexBuilder.boundedSpatialAssign(
+              prepared, centers, AnnIndexBuilder.targetShardRows(dim))
+            (asg, Some("__sa"), total)
+          } else (prepared, None, shards)
         val graph = engine match {
-          case "DISKANN" => Vamana.build(buildSrc, shards, Vamana.Params(
+          case "DISKANN" => Vamana.build(buildSrc, buildShards, Vamana.Params(
             params.getOrElse("max_degree", "64").toInt,
             params.getOrElse("build_complexity", "128").toInt,
             params.getOrElse("alpha", "1.2").toDouble), metric, assignCol)
-          case "HNSW" => Hnsw.build(buildSrc, shards, Hnsw.Params(
+          case "HNSW" => Hnsw.build(buildSrc, buildShards, Hnsw.Params(
             params.getOrElse("hnsw_m", "32").toInt,
             params.getOrElse("ef_construction", "64").toInt), metric, assignCol)
         }
@@ -515,7 +556,7 @@ object AnnIndexManager {
         val liveIds = IndexMeta.listShardDirs(s"$path/data")
         val meta = IndexMeta(name, engine, metric, dim, idCol, vecCol, n, 0L,
           params + ("shards" -> math.max(liveIds.size, 1).toString)
-            + ("next_shard" -> shards.toString)
+            + ("next_shard" -> buildShards.toString)
             + ("live_shards" -> liveIds.mkString(",")))
         IndexMeta.write(path, meta)
         register(name, path)

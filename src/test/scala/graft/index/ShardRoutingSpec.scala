@@ -237,6 +237,51 @@ class ShardRoutingSpec extends SparkSpec {
     assert(wide == walkAll)
   }
 
+  test("skewed spatial cells hash-split to the per-task budget; search stays exact at full width") {
+    import org.apache.spark.sql.functions.col
+    // one dominant cluster (90% of rows) — k-means puts most mass in one
+    // cell; unbounded assignment would make that cell one giant build
+    // task (straggler/OOM at scale). targetShardRows(8) is huge, so pin a
+    // small budget via dimension math: use dim where target is small? No —
+    // drive the split by CLUSTER SIZE exceeding the d=8 target is
+    // impossible at test scale, so exercise boundedSpatialAssign directly
+    // with a tiny target, then the end-to-end create path via sub-count
+    // assertions on the helper's output.
+    val rows = (Seq.tabulate(900) { i => // dominant cluster
+      val rd = new scala.util.Random(i * 31L + 1)
+      (i.toLong, Array.fill(dim)(50f + rd.nextFloat()))
+    } ++ Seq.tabulate(100) { i => // small far cluster
+      val rd = new scala.util.Random(i * 37L + 2)
+      (900L + i, Array.fill(dim)(5f + rd.nextFloat()))
+    })
+    val prepared = graft.index.AnnIndexBuilder.prepare(
+      df(rows), "id", "vec", "l2")
+    val centers = graft.index.AnnIndexBuilder.trainShardCenters(
+      prepared, rows.size, 2, seed = 42L)
+    val (asg, total) = graft.index.AnnIndexBuilder.boundedSpatialAssign(
+      prepared, centers, targetRows = 250)
+    // the ~900-row cell splits into ceil(900/250)=4 sub-shards; the small
+    // cell stays whole → 5 total, and no shard exceeds the budget band
+    assert(total >= 4, s"dominant cell did not split (total=$total)")
+    val counts = asg.groupBy("__sa").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keys.forall(s => s >= 0 && s < total))
+    assert(counts.values.sum == 1000L)
+    assert(counts.values.max <= 300L,
+      s"a sub-shard exceeds the budget band: $counts")
+    // end-to-end: a spatial index over the same skewed data searches
+    // exactly at full width (summaries cover whatever split happened)
+    val idx = create(rows, "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "64",
+        "shards" -> "2", "shard_assign" -> "spatial"))
+    val sums = ShardSummaries.read(idx.path).get
+    assert(sums.map(_.shard).toSeq.sorted == idx.meta.liveShards.get.sorted)
+    val q = rows(13)._2
+    val walkAll = ids(idx.scan(q, 5, searchParam = 100000))
+    val wide = withProbes(1000) { ids(idx.scan(q, 5, searchParam = 100000)) }
+    assert(wide == walkAll)
+  }
+
   test("vacuum of a fully-deleted spatial index yields the empty index (no train crash)") {
     val rows = clustered(2, 40)
     val idx = create(rows, "DISKANN",
