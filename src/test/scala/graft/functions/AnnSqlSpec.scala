@@ -70,6 +70,37 @@ class AnnSqlSpec extends SparkSpec {
     assert(joined.length == 3)
   }
 
+  test("shard routing drives the SQL surface via SET spark.ann.shardProbes") {
+    import spark.implicits._
+    AnnSql.register(spark)
+    // clustered rows + spatial shards: the layout routing has signal on
+    val rows = Seq.tabulate(200) { i =>
+      val c = i % 4
+      val rc = new scala.util.Random(c * 7919 + 3)
+      val rd = new scala.util.Random(i * 31L + 9)
+      (i.toLong, Array.fill(6)(rc.nextFloat() * 100f + rd.nextFloat()))
+    }
+    AnnIndexManager.create(spark, "sql_routed", rows.toDF("id", "embedding"),
+      "id", "embedding", "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "64",
+        "shards" -> "4", "shard_assign" -> "spatial"), s"$tmp/sql_routed")
+    val qSql = rows(7)._2.mkString("array(", ", ", ")")
+    def scan(): Seq[Long] = spark.sql(
+      s"SELECT id FROM ann_index_scan('sql_routed', $qSql, 5, 100000)")
+      .collect().map(_.getLong(0)).toSeq
+    val walkAll = scan()
+    // a SQL-only user turns routing on with plain SET — full width through
+    // the router is value-identical, narrow width stays plausible
+    spark.sql("SET spark.ann.shardProbes=100")
+    try {
+      assert(scan() == walkAll)
+      spark.sql("SET spark.ann.shardProbes=1")
+      val routed = scan()
+      assert(routed.size == 5 && routed.toSet.subsetOf(rows.map(_._1).toSet))
+    } finally spark.sql("RESET spark.ann.shardProbes")
+    assert(scan() == walkAll) // RESET restores walk-all
+  }
+
   test("ann_index_scan errors: unknown index, non-literal vector") {
     AnnSql.register(spark)
     val e = intercept[Exception] {
