@@ -964,7 +964,19 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * returns (rowCount, paramsDelta) for the caller's single meta publish. */
   private def writeInsertData(rows: DataFrame, idCol: String,
                               vecCol: String): (Long, Map[String, String]) = {
+    // pin the prepared batch for the mutation's duration: the caller's
+    // `rows` can be an arbitrarily expensive upstream pipeline, and this
+    // method runs it at least twice (the path-decision count, then the
+    // build/union/write). persist keeps lineage (safe under task loss,
+    // unlike localCheckpoint) and is released in the finally.
     val prepared = AnnIndexBuilder.prepare(rows, idCol, vecCol, meta.metric)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try writeInsertPrepared(prepared)
+    finally prepared.unpersist()
+  }
+
+  private def writeInsertPrepared(
+      prepared: DataFrame): (Long, Map[String, String]) = {
     val n = timedPhase("insert:prepare-count")(prepared.count())
     val segNew = currentSeg + 1
     val onlineMax =
