@@ -42,6 +42,12 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * at scale the difference between touching cached shards and moving
     * the full graph over the network per batch. */
   @volatile private var pinned: Option[DataFrame] = None
+  // the pin's exact partition count, recorded AT PIN TIME — downstream
+  // search plumbing keys its layout cache and partition pruning on it
+  // without a per-call plan-to-RDD conversion, and without assuming the
+  // sizing formula stays in sync with persist() (it is the same value by
+  // construction here, recorded rather than re-derived)
+  @volatile private var pinnedPartsVar: Option[Int] = None
   // a mutation dropped the pin: persist() is a STANDING request, so the
   // next read re-pins the post-mutation dataset instead of silently
   // serving parquet forever (cleared only by an explicit unpersist())
@@ -50,14 +56,15 @@ class AnnIndex(val spark: SparkSession, val path: String) {
   def persist(): this.type = synchronized {
     if (pinned.isEmpty) {
       val raw = readData()
-      val laidOut =
-        if (isGraphEngine)
-          raw.repartition(Vamana.shardPartitions(math.max(1, meta.param("shards", 1))),
-            col("shard"))
-        else raw
+      val (laidOut, parts) =
+        if (isGraphEngine) {
+          val p = Vamana.shardPartitions(math.max(1, meta.param("shards", 1)))
+          (raw.repartition(p, col("shard")), Some(p))
+        } else (raw, None)
       val df = laidOut.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // materialize now
       pinned = Some(df)
+      pinnedPartsVar = parts
     }
     this
   }
@@ -65,6 +72,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
   def unpersist(): this.type = synchronized {
     pinned.foreach(_.unpersist())
     pinned = None
+    pinnedPartsVar = None
     repinOnRead = false // explicit opt-out ends the standing pin request
     this
   }
@@ -76,6 +84,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     if (pinned.isDefined) {
       pinned.foreach(_.unpersist())
       pinned = None
+      pinnedPartsVar = None
       repinOnRead = true
     }
   }
@@ -705,6 +714,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         inv.iterator.map { case (sid, b) => sid -> b.toArray }.toMap
       }
     }
+    val pinParts = if (prePart) pinnedPartsVar else None
     val res = meta.engine match {
       case "DISKANN" =>
         val p = Vamana.Params.from(meta)
@@ -712,7 +722,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
           p.buildComplexity) + overfetch
         Vamana.searchBatch(spark, src, qs, k + overfetch, l, meta.metric, ck,
           prePartitioned = prePart, numShards = nShards, codec = codec,
-          probes = probes)
+          probes = probes, pinnedParts = pinParts)
       case "HNSW" =>
         // searchParam = ef_search override; default ef = ef_construction
         val p = Hnsw.Params.from(meta)
@@ -720,7 +730,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
           if (searchComplexity > 0) searchComplexity else p.efConstruction) + overfetch
         Hnsw.searchBatch(spark, src, qs, k + overfetch, ef, meta.metric, ck,
           prePartitioned = prePart, numShards = nShards, codec = codec,
-          probes = probes)
+          probes = probes, pinnedParts = pinParts)
     }
     cleanGraphHits(res, "query_idx", k)
   }
@@ -942,13 +952,12 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       nShards > 1 && nRows > 0
     val (src, assignCol, actualShards) =
       if (spatial) {
-        val centers = AnnIndexBuilder.trainShardCenters(rows, nRows, nShards,
-          seed = 42L + currentSeg)
         // oversized cells hash-split (per-task build budget holds under
         // skew), so the ACTUAL shard count can exceed the center count —
         // callers size their id range by it
-        val (asg, total) = AnnIndexBuilder.boundedSpatialAssign(
-          rows, centers, AnnIndexBuilder.targetShardRows(meta.dim))
+        val (asg, total) = AnnIndexBuilder.spatialShardAssign(
+          rows, nRows, nShards, AnnIndexBuilder.targetShardRows(meta.dim),
+          seed = 42L + currentSeg)
         (asg, Some("__sa"), total)
       } else (rows, None, nShards)
     val graph = meta.engine match {
@@ -1506,7 +1515,12 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       // epoch-aware tombstone mask, matching `live`
       val liveVecs = maskDead(liveFloats).select("id", "vector")
       val liveCount = liveVecs.count()
-      val shards = meta.param("shards", 1)
+      // re-size to the SURVIVING data (the same per-task budget create
+      // defaults to) rather than reusing meta's live-shard count: that
+      // count may be skew-split-inflated or delete-deflated, and reusing
+      // it would ratchet — a 90%-deleted index would rebuild its tiny
+      // remainder across the old wide shard set forever
+      val shards = AnnIndexBuilder.defaultGraphShards(liveCount, meta.dim)
       val (rebuilt0, shardsActual) = buildGraphFor(liveVecs, shards, liveCount)
       val rebuilt = (codec match {
         case Some(c) => rebuilt0

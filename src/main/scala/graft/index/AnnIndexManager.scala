@@ -55,18 +55,38 @@ object AnnIndexBuilder {
     * caller asks for — training is ALWAYS sampled, as in faiss. */
   val MaxTrainRows = 262144
 
-  /** Spatial shard centers for a graph index (`shard_assign=spatial`):
-    * k-means over a bounded driver-side sample, exactly the IVF coarse
-    * training posture (256 rows/center, MaxTrainRows ceiling). Spatially
-    * coherent shards are what give per-shard routing summaries
-    * ([[ShardSummaries]]) their signal — under the default hash-by-id
-    * sharding every shard spans the whole space and a shard centroid is
-    * just the global mean. Balance is data-dependent (SPANN §3 uses
-    * balanced clustering); k-means on blobby data lands near-even cells,
-    * and a skewed cell shows up as a big shard dir that compactShards /
-    * a larger `shards` setting addresses. */
-  def trainShardCenters(prepared: DataFrame, n: Long, k: Int,
-                        seed: Long): Array[(Int, Array[Float])] = {
+  /** Nearest-center shard assignment (row-local, broadcast centers) as a
+    * `__sa` column for the graph builders' assignCol path. */
+  def assignShards(prepared: DataFrame,
+                   centers: Array[(Int, Array[Float])]): DataFrame =
+    assignLists(prepared, centers, "IVF").withColumnRenamed("list_id", "__sa")
+
+  /** Bounded-cell spatial assignment for a graph index
+    * (`shard_assign=spatial`), trained and SIZED from one driver sample
+    * (the IVF coarse-training posture: 256 rows/center, MaxTrainRows
+    * ceiling — spatially coherent shards are what give per-shard routing
+    * summaries their signal; hash shards' centroids are ~the global
+    * mean): k-means trains the centers, the sample's per-cell shares
+    * estimate cell sizes, and any cell whose
+    * estimate exceeds `targetRows` hash-splits into ceil(est/target)
+    * sub-shards. k-means balance is data-dependent — on a real corpus one
+    * dominant cluster would otherwise become a build task arbitrarily
+    * larger than the per-task budget (straggler/OOM at exactly the scale
+    * spatial sharding exists for). Sub-shards keep their parent's
+    * locality, so each gets a meaningful routing summary; a query near a
+    * split cluster ranks its sub-shards adjacently and widens into them
+    * as `spark.ann.shardProbes` allows.
+    *
+    * Sizing from the SAMPLE (not an exact count pass) keeps this to a
+    * single cluster-side assignment: an exact pre-count would evaluate
+    * the O(n·k·d) nearest-center UDF twice over the full batch. The
+    * estimate's error band (~1/√sample per cell at the 256·k sample) can
+    * leave a borderline cell ~modestly above target — a soft perf budget
+    * with headroom, not a correctness bound.
+    *
+    * Returns (rows with a dense `__sa` in [0, total), total). */
+  def spatialShardAssign(prepared: DataFrame, n: Long, k: Int,
+                         targetRows: Long, seed: Long): (DataFrame, Int) = {
     val cap = math.min(n, math.min(256L * k, MaxTrainRows.toLong))
     val sampleDf =
       if (cap < n)
@@ -75,37 +95,27 @@ object AnnIndexBuilder {
       else prepared
     val sample = sampleDf.select("vector").collect()
       .map(_.getSeq[Float](0).toArray)
-    trainCentroids(sample, math.min(k, math.max(1, sample.length)),
+    val centers = trainCentroids(sample, math.min(k, math.max(1, sample.length)),
       maxIter = 10, seed = seed)
-  }
-
-  /** Nearest-center shard assignment (row-local, broadcast centers) as a
-    * `__sa` column for the graph builders' assignCol path. */
-  def assignShards(prepared: DataFrame,
-                   centers: Array[(Int, Array[Float])]): DataFrame =
-    assignLists(prepared, centers, "IVF").withColumnRenamed("list_id", "__sa")
-
-  /** Spatial assignment with BOUNDED cells: rows go to their nearest
-    * center, then any cell above `targetRows` hash-splits into
-    * ceil(n/target) sub-shards. k-means balance is data-dependent — on a
-    * real corpus one dominant cluster would otherwise become a build task
-    * arbitrarily larger than the per-task budget (straggler/OOM at
-    * exactly the scale spatial sharding exists for). Sub-shards keep
-    * their parent's locality, so each gets a meaningful routing summary;
-    * a query near a split cluster ranks its sub-shards adjacently and
-    * widens into them as `spark.ann.shardProbes` allows. Costs one
-    * cell-count aggregate over the batch. Returns (assigned rows with a
-    * dense `__sa` in [0, total), total shard count). */
-  def boundedSpatialAssign(prepared: DataFrame,
-                           centers: Array[(Int, Array[Float])],
-                           targetRows: Long): (DataFrame, Int) = {
-    val assigned = assignShards(prepared, centers)
-    val counts = assigned.groupBy("__sa").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val centerIds = centers.map(_._1).sorted
-    val splits = centerIds.map(c =>
-      math.max(1L, (counts.getOrElse(c, 0L) + targetRows - 1) / targetRows).toInt)
+    // estimate cell sizes from the training sample's shares
+    val sampleCounts = new Array[Long](centers.length)
+    sample.foreach { v =>
+      var best = 0; var bestD = Double.MaxValue
+      var i = 0
+      while (i < centers.length) {
+        val d = graft.functions.VectorKernels.l2Sq(v, centers(i)._2)
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      sampleCounts(best) += 1
+    }
+    val centerIds = centers.map(_._1) // 0..k-1 from trainCentroids
+    val splits = sampleCounts.map { sc =>
+      val est = if (sample.isEmpty) 0L else sc * n / sample.length
+      math.max(1L, (est + targetRows - 1) / targetRows).toInt
+    }
     val total = splits.sum
+    val assigned = assignShards(prepared, centers)
     if (total == centerIds.length) return (assigned, centerIds.length)
     val bases = splits.scanLeft(0)(_ + _)
     val baseOf = centerIds.zip(bases).toMap
@@ -115,8 +125,9 @@ object AnnIndexBuilder {
     val sub = udf { (c: Int, id: Long) =>
       val (baseM, splitM) = bc.value
       val s = splitM(c)
-      baseM(c) + (if (s == 1) 0
-        else (scala.util.hashing.MurmurHash3.productHash(Tuple1(id)) % s + s) % s)
+      // splitmix-style id mix: deterministic, uniform across sub-shards
+      val h = java.lang.Long.hashCode(id * -7046029254386353131L)
+      baseM(c) + (if (s == 1) 0 else (h % s + s) % s)
     }
     (assigned.withColumn("__sa", sub(col("__sa"), col("id"))), total)
   }
@@ -523,12 +534,11 @@ object AnnIndexManager {
           s"shard_assign must be hash|spatial, got: $assignMode")
         // spatial: `shards` is the CENTER count; oversized cells
         // hash-split to keep every build task inside the per-task budget
-        // (boundedSpatialAssign), so the actual shard count may exceed it
+        // (spatialShardAssign), so the actual shard count may exceed it
         val (buildSrc, assignCol, buildShards) =
           if (assignMode == "spatial" && shards > 1) {
-            val centers = AnnIndexBuilder.trainShardCenters(prepared, n, shards, 42L)
-            val (asg, total) = AnnIndexBuilder.boundedSpatialAssign(
-              prepared, centers, AnnIndexBuilder.targetShardRows(dim))
+            val (asg, total) = AnnIndexBuilder.spatialShardAssign(
+              prepared, n, shards, AnnIndexBuilder.targetShardRows(dim), 42L)
             (asg, Some("__sa"), total)
           } else (prepared, None, shards)
         val graph = engine match {

@@ -406,113 +406,23 @@ object Hnsw {
                   metric: String, cacheKey: Option[String] = None,
                   prePartitioned: Boolean = false, numShards: Int = 0,
                   codec: Option[graft.functions.VectorCodec] = None,
-                  probes: Option[Map[Int, Array[Int]]] = None): DataFrame = {
+                  probes: Option[Map[Int, Array[Int]]] = None,
+                  pinnedParts: Option[Int] = None): DataFrame = {
     val dist = VectorKernels.orderingDistance(metric) _
-    val bcQueries = spark.sparkContext.broadcast(queries)
-    // shard routing: shard id → probing query indices; unrouted shards are
-    // skipped before decode (see Vamana.searchBatch / ShardSummaries)
-    val bcProbes = probes.map(spark.sparkContext.broadcast(_))
-    val out = StructType(Seq(
-      StructField("query_idx", IntegerType, nullable = false),
-      StructField("id", LongType, nullable = false),
-      StructField("_distance", DoubleType, nullable = false),
-      StructField("seg", LongType, nullable = false)))
-
     // quantized datasets store codes; decode once at shard decode (cached)
     val vecColName = if (codec.isDefined) "codes" else "vector"
     val graph0 = graphDf.select("shard", "label", "id", vecColName, "level",
       "neighbors", "is_entry", "seg")
-    val graph =
-      if (prePartitioned) graph0
-      else if (numShards > 0) graph0.repartition(Vamana.shardPartitions(numShards), col("shard"))
-      else graph0.repartition(col("shard"))
-
-    // see Vamana.searchBatch — identical structure: knowable partition
-    // count (arithmetic, never a per-call plan-to-RDD conversion when the
-    // shard count is known) keys the repeat-call layout cache and the
-    // DAG-level pruning
-    val nPartsKnown: Option[Int] =
-      if (numShards > 0) Some(Vamana.shardPartitions(numShards))
-      else if (prePartitioned) Some(graph.rdd.getNumPartitions)
-      else None
-
-    val body: (Int, Iterator[Row]) => Iterator[Row] = { (parentPid, rows) =>
-      lazy val queriesByIdx = bcQueries.value.toMap
-      def answer(shardId: Int, sh: Shard, segs: Array[Long]): Iterator[Row] = {
-        val routed = bcProbes.map(_.value.getOrElse(shardId, Array.empty[Int]))
-        val qIter: Iterator[(Int, Array[Float])] = routed match {
-          case Some(idxs) => idxs.iterator.map(i => (i, queriesByIdx(i)))
-          case None => bcQueries.value.iterator
-        }
-        qIter.flatMap { case (qi, q) =>
-          search(sh, q, k, ef, dist).take(math.max(k, ef))
-            .map { case (label, d) => Row(qi, sh.ids(label), d, segs(label)) }
-        }
-      }
-      def needed(shardId: Int): Boolean =
-        bcProbes.forall(_.value.getOrElse(shardId, Array.empty[Int]).nonEmpty)
-      // repeat-call fast path (pinned only) — see Vamana.searchBatch
-      val layoutKey = for { ck <- cacheKey; np <- nPartsKnown if prePartitioned }
-        yield s"$ck#batchLayout#$np#$parentPid"
-      val fast: Option[Iterator[Row]] = layoutKey.flatMap { lk =>
-        GraphShardCache.getLayout(lk).flatMap { layout =>
-          val need = layout.filter { case (sid, _) => needed(sid) }
-          val hits = need.flatMap { case (sid, segs) =>
-            GraphShardCache.peek(s"${cacheKey.get}#$sid", Some(ShardSpillCodec))
-              .map(sh => (sid, sh.asInstanceOf[Shard], segs))
-          }
-          if (hits.length != need.length) None
-          else {
-            GraphShardCache.batchFastPathHits.incrementAndGet()
-            Some(hits.iterator.flatMap { case (sid, sh, segs) =>
-              answer(sid, sh, segs) })
-          }
-        }
-      }
-      fast.getOrElse {
-        val grouped = new scala.collection.mutable.LinkedHashMap[Int, ArrayBuffer[Row]]()
-        rows.foreach { r => grouped.getOrElseUpdate(r.getInt(0), new ArrayBuffer[Row]) += r }
-        val withSegs = grouped.iterator
-          .map { case (sid, shardRows) => (sid, shardRows, Vamana.segArray(shardRows, 7)) }
-          .toArray
-        layoutKey.foreach(lk => GraphShardCache.putLayout(lk,
-          withSegs.map { case (sid, _, segs) => (sid, segs) }))
-        withSegs.iterator.flatMap { case (shardId, shardRows, segs) =>
-          if (!needed(shardId)) Iterator.empty
-          else {
-            val sh = cacheKey match {
-              case Some(ck) => GraphShardCache.getOrBuild(s"$ck#$shardId", Some(ShardSpillCodec))(
-                decodeShard(shardId, shardRows, codec))
-              case None => decodeShard(shardId, shardRows, codec)
-            }
-            // per-LABEL insert epochs from the raw rows (online rewrites
-            // mix epochs within a shard — see Vamana.segArray)
-            answer(shardId, sh, segs)
-          }
-        }
-      }
-    }
-
-    // routed partition pruning at the DAG level — see Vamana.searchBatch
-    // (identical layout contract; only probed partitions are scheduled)
-    val probedParts: Option[Set[Int]] = probes.flatMap { p =>
-      nPartsKnown.map(np => p.keysIterator.map(Vamana.shardPartitionId(_, np)).toSet)
-    }
-    val perShard = probedParts match {
-      case Some(parts) =>
-        val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(
-          graph.rdd, parts.contains)
-        val parentIds = parts.toArray.sorted
-        spark.createDataFrame(
-          pruned.mapPartitionsWithIndex((i, rows) => body(parentIds(i), rows)),
-          out)
-      case None =>
-        graph.mapPartitions { rows =>
-          body(TaskContext.getPartitionId(), rows)
-        }(Encoders.row(out))
-    }
-
-    TopK.grouped(perShard, "query_idx", "_distance", "id", k)
+    GraphBatchSearch.run(spark, graph0, queries, k, segIdx = 7,
+      cacheKey = cacheKey, prePartitioned = prePartitioned,
+      pinnedParts = pinnedParts, numShards = numShards,
+      codecSpill = ShardSpillCodec, probes = probes,
+      decode = (shardId, rows) => decodeShard(shardId, rows, codec),
+      search = (sh, q) => {
+        val s = sh.asInstanceOf[Shard]
+        search(s, q, k, ef, dist).iterator.take(math.max(k, ef))
+          .map { case (label, d) => (s.ids(label), d, label) }
+      })
   }
 
   /** Expanding-beam range search (approximate; see [[GraphRange]]) — the

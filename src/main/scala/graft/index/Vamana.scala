@@ -612,155 +612,25 @@ object Vamana {
                   metric: String, cacheKey: Option[String] = None,
                   prePartitioned: Boolean = false, numShards: Int = 0,
                   codec: Option[graft.functions.VectorCodec] = None,
-                  probes: Option[Map[Int, Array[Int]]] = None): DataFrame = {
+                  probes: Option[Map[Int, Array[Int]]] = None,
+                  pinnedParts: Option[Int] = None): DataFrame = {
     val dist = VectorKernels.orderingDistance(metric) _
-    val bcQueries = spark.sparkContext.broadcast(queries)
-    // shard routing (spark.ann.shardProbes, see ShardSummaries): shard id →
-    // the query indices probing it. An unrouted shard is SKIPPED before
-    // decode — the whole point: per-query work stops being linear in the
-    // live-shard count.
-    val bcProbes = probes.map(spark.sparkContext.broadcast(_))
-    val out = StructType(Seq(
-      StructField("query_idx", IntegerType, nullable = false),
-      StructField("id", LongType, nullable = false),
-      StructField("_distance", DoubleType, nullable = false),
-      StructField("seg", LongType, nullable = false)))
-
     // Quantized graph datasets store codes (sq8 u8 / fp16 halves); decode
     // ONCE at shard decode (the float arrays live in GraphShardCache) —
     // value-identical to per-access decoding, amortized across batches.
     val vecColName = if (codec.isDefined) "codes" else "vector"
     val graph0 = graphDf
       .select("shard", "label", "id", vecColName, "neighbors", "is_entry", "seg")
-    // sized to the shard count when known — default shuffle partitions would
-    // leave most output partitions empty; either way one task buffers an
-    // entire shard's rows (plus decoded arrays), which bounds shard sizing
-    val graph =
-      if (prePartitioned) graph0
-      else if (numShards > 0) graph0.repartition(shardPartitions(numShards), col("shard"))
-      else graph0.repartition(col("shard"))
-
-    // partition count, when knowable: shardPartitions(numShards) covers
-    // BOTH layouts — our explicit repartition below uses it, and the pin
-    // (AnnIndex.persist) lays the dataset out with the same formula from
-    // the same meta (AQE never resizes an explicit numPartitions). The
-    // arithmetic beats graph.rdd.getNumPartitions, which forces a full
-    // plan-to-RDD conversion PER CALL (~20-40 ms of driver planning — a
-    // measured ~1.2x on warm sub-second searches); the .rdd fallback
-    // remains only for external prePartitioned callers without a shard
-    // count. Keys the repeat-call layout cache and the routed partition
-    // pruning; unknown-P disables both (per-shard skip remains).
-    val nPartsKnown: Option[Int] =
-      if (numShards > 0) Some(shardPartitions(numShards))
-      else if (prePartitioned) Some(graph.rdd.getNumPartitions)
-      else None
-
-    // the per-partition search body, shared by the plain and the
-    // partition-pruned plans below. `parentPid` is the partition id in
-    // the UNPRUNED layout (pruned plans renumber partitions, so the
-    // caller maps back) — it keys the repeat-call layout cache.
-    val body: (Int, Iterator[Row]) => Iterator[Row] = { (parentPid, rows) =>
-      lazy val queriesByIdx = bcQueries.value.toMap
-      def answer(shardId: Int, sh: Shard, segs: Array[Long]): Iterator[Row] = {
-        val routed = bcProbes.map(_.value.getOrElse(shardId, Array.empty[Int]))
-        val qIter: Iterator[(Int, Array[Float])] = routed match {
-          case Some(idxs) => idxs.iterator.map(i => (i, queriesByIdx(i)))
-          case None => bcQueries.value.iterator
-        }
-        qIter.flatMap { case (qi, q) =>
-          beamSearch(sh, q, l, dist).take(l)
-            .map { case (label, d) => Row(qi, sh.ids(label), d, segs(label)) }
-        }
-      }
-      def needed(shardId: Int): Boolean =
-        bcProbes.forall(_.value.getOrElse(shardId, Array.empty[Int]).nonEmpty)
-      // ---- repeat-call fast path (pinned only — the layout cache needs a
-      // stable partition identity): if a prior call recorded this
-      // partition's (shard → per-label epochs) layout and every shard this
-      // call NEEDS is still decodable from the executor cache, serve the
-      // beams without consuming (= deserializing) the cached partition at
-      // all — a warm serving call then costs beam work, not a scan of the
-      // resident corpus. Same machinery and invalidation as the zip path
-      // (key embeds the index meta version and P); partial eviction falls
-      // back to the full scan below, never a wrong answer.
-      val layoutKey = for { ck <- cacheKey; np <- nPartsKnown if prePartitioned }
-        yield s"$ck#batchLayout#$np#$parentPid"
-      val fast: Option[Iterator[Row]] = layoutKey.flatMap { lk =>
-        GraphShardCache.getLayout(lk).flatMap { layout =>
-          val need = layout.filter { case (sid, _) => needed(sid) }
-          val hits = need.flatMap { case (sid, segs) =>
-            GraphShardCache.peek(s"${cacheKey.get}#$sid", Some(ShardSpillCodec))
-              .map(sh => (sid, sh.asInstanceOf[Shard], segs))
-          }
-          if (hits.length != need.length) None
-          else {
-            GraphShardCache.batchFastPathHits.incrementAndGet()
-            Some(hits.iterator.flatMap { case (sid, sh, segs) =>
-              answer(sid, sh, segs) })
-          }
-        }
-      }
-      fast.getOrElse {
-        // ---- full path: a task may receive several (whole) shards —
-        // group by the shard column, record the layout for repeat calls
-        val grouped = new scala.collection.mutable.LinkedHashMap[Int, ArrayBuffer[Row]]()
-        rows.foreach { r => grouped.getOrElseUpdate(r.getInt(0), new ArrayBuffer[Row]) += r }
-        // layout covers EVERY shard in the partition (segs come from the
-        // raw rows, no decode), so a later call with a different probe
-        // set can still trust it
-        val withSegs = grouped.iterator
-          .map { case (sid, shardRows) => (sid, shardRows, segArray(shardRows, 6)) }
-          .toArray
-        layoutKey.foreach(lk => GraphShardCache.putLayout(lk,
-          withSegs.map { case (sid, _, segs) => (sid, segs) }))
-        withSegs.iterator.flatMap { case (shardId, shardRows, segs) =>
-          if (!needed(shardId)) Iterator.empty // no query probes this shard
-          else {
-            val sh = cacheKey match {
-              case Some(ck) => GraphShardCache.getOrBuild(s"$ck#$shardId", Some(ShardSpillCodec))(
-                decodeShard(shardId, shardRows, codec))
-              case None => decodeShard(shardId, shardRows, codec)
-            }
-            // insert epoch per LABEL, read from the raw rows (cached
-            // decodes need no schema change): create/delta shards are
-            // single-epoch, but an online rewrite mixes epochs — a
-            // per-shard constant would let a tombstone older than the
-            // shard's head row mask a newer re-inserted row
-            answer(shardId, sh, segs)
-          }
-        }
-      }
-    }
-
-    // routed partition pruning at the DAG level: the input layout is (or
-    // is the cached image of) HashPartitioning(shard, P) — the contract
-    // the zip path already relies on — so the partitions that can hold a
-    // probed shard are computable driver-side, and the job SCHEDULES only
-    // those (PartitionPruningRDD). On a pinned index the cached-partition
-    // scans and the empty-task scheduling, not the beam work, are the
-    // per-call floor routing exists to cut: a single routed query costs s
-    // shard tasks regardless of corpus size. PartitionPruningRDD keeps
-    // retained parent partitions in index order, so the sorted retained
-    // set maps the pruned index back to the parent id the layout cache
-    // keys on.
-    val probedParts: Option[Set[Int]] = probes.flatMap { p =>
-      nPartsKnown.map(np => p.keysIterator.map(shardPartitionId(_, np)).toSet)
-    }
-    val perShard = probedParts match {
-      case Some(parts) =>
-        val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(
-          graph.rdd, parts.contains)
-        val parentIds = parts.toArray.sorted
-        spark.createDataFrame(
-          pruned.mapPartitionsWithIndex((i, rows) => body(parentIds(i), rows)),
-          out)
-      case None =>
-        graph.mapPartitions { rows =>
-          body(TaskContext.getPartitionId(), rows)
-        }(Encoders.row(out))
-    }
-
-    TopK.grouped(perShard, "query_idx", "_distance", "id", k)
+    GraphBatchSearch.run(spark, graph0, queries, k, segIdx = 6,
+      cacheKey = cacheKey, prePartitioned = prePartitioned,
+      pinnedParts = pinnedParts, numShards = numShards,
+      codecSpill = ShardSpillCodec, probes = probes,
+      decode = (shardId, rows) => decodeShard(shardId, rows, codec),
+      search = (sh, q) => {
+        val s = sh.asInstanceOf[Shard]
+        beamSearch(s, q, l, dist).iterator.take(l)
+          .map { case (label, d) => (s.ids(label), d, label) }
+      })
   }
 
   /** Expanding-beam range search (approximate; see [[GraphRange]]) — the

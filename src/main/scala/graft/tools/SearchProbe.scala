@@ -4,8 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Tiny warm-search probe for same-host A/B of the pinned searchBatch
-  * path (drop this file uncommitted into a scratch worktree at a marker
-  * commit, run both sides back-to-back). */
+  * path. Committed as a reusable harness (like ABProbe): to A/B against
+  * an older commit, copy it into a scratch worktree at that commit and
+  * run both sides back-to-back. Paths/CPUs come from the same env vars
+  * every tool here uses (SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS). */
 object SearchProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
