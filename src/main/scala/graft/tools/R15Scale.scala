@@ -149,6 +149,42 @@ object R15Scale {
             qs.take(10).foreach(q => idx.scan(q, 10).collect())
           }
         }
+        // TABLE path (the corpus-scale join shape): 200-query relation
+        // through the distributed plan against the pin (the zip path) —
+        // routing replaces the walk-all explode, so the query relation
+        // replicates s ways instead of |shards| ways
+        if (shards > 4) {
+          val qdf = spark.range(200).select(col("id").as("qid"),
+              mkVec((col("id") * 37) % nClusters + 7000000L).as("qvec"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          qdf.count()
+          spark.conf.set("spark.ann.graphTableStrategy", "distributed")
+          try {
+            def tableHits(): Map[Long, Set[Long]] =
+              graft.operators.AnnSearch.searchTable(idx, qdf, 10,
+                  queryIdCol = Some("qid"))
+                .select("qid", "id").collect()
+                .groupBy(_.getLong(0)).map { case (q, rs) =>
+                  q -> rs.map(_.getLong(1)).toSet }
+            tableHits() // warm
+            val wAll = measured(s"routing TABLE 200q n=$n shards=$shards walk-all") {
+              tableHits()
+            }
+            val routed = withProbes(4) {
+              tableHits() // warm under the routed plan
+              measured(s"routing TABLE 200q n=$n shards=$shards probes=4") {
+                tableHits()
+              }
+            }
+            val ov = wAll.keys.toSeq.map { q =>
+              val w = wAll(q)
+              if (w.isEmpty) 1.0
+              else w.intersect(routed.getOrElse(q, Set.empty)).size.toDouble / w.size
+            }.sum / wAll.size
+            println(f"[r15-scale]   TABLE-path recall(routed s=4 of $shards) = $ov%.3f")
+          } finally spark.conf.unset("spark.ann.graphTableStrategy")
+          qdf.unpersist()
+        }
         idx.unpersist(); base.unpersist()
         out
       }
