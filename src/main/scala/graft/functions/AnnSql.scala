@@ -516,6 +516,22 @@ object AnnSql {
         .toDF("name", "num_vectors", "num_deleted"))
     }, "scala_udf")
 
+    // ann_routing_info(name) → one row (name, engine, shard_assign,
+    // covered) — whether shard routing (spark.ann.shardProbes) is USABLE
+    // on this index right now: graph engine + every live shard carries a
+    // routing summary. covered=false after a crash-interrupted summary
+    // merge (searches silently walk-all) → ann_refresh_stats repairs.
+    r.createOrReplaceTempFunction("ann_routing_info", (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, "usage: ann_routing_info(name)")
+      val name = constString(exprs(0))
+      val idx = indexByName(spark, name)
+      val (mode, live, summarized) = idx.routingStatus
+      import spark.implicits._
+      plan(Seq((name, idx.meta.engine, mode,
+          idx.isGraphEngine && live > 0 && summarized == live))
+        .toDF("name", "engine", "shard_assign", "covered"))
+    }, "scala_udf")
+
     // ann_rebalance(name[, max_cell_factor]) → one row (name, split) —
     // SPANN-style IVF cell rebalance (split cells above factor x the mean)
     r.createOrReplaceTempFunction("ann_rebalance", (exprs: Seq[Expression]) => {

@@ -603,6 +603,19 @@ class AnnIndex(val spark: SparkSession, val path: String) {
   private def routingFor(s: Int): Option[Array[ShardSummaries.Summary]] =
     if (s <= 0 || !isGraphEngine) None else routingSummaries
 
+  /** Routing status for ops surfaces (the SQL `ann_routing_info` verb):
+    * (shard_assign mode, live shard count, live shards with a summary).
+    * Routing is usable iff the last two are equal and positive. */
+  def routingStatus: (String, Int, Int) = {
+    if (!isGraphEngine)
+      return (meta.params.getOrElse("shard_assign", "n/a"), 0, 0)
+    val live = liveShardIds
+    val liveSet = live.toSet
+    val summarized = ShardSummaries.read(path)
+      .map(_.count(s => liveSet(s.shard))).getOrElse(0)
+    (meta.params.getOrElse("shard_assign", "hash"), live.size, summarized)
+  }
+
   /** Recompute summaries for live shards lacking one and drop dead
     * entries; returns how many shards were (re)computed. Create and every
     * mutation maintain coverage incrementally — this is the repair path

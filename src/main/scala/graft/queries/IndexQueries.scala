@@ -524,6 +524,16 @@ object IndexQueries {
       withProbes(s, 2)(
         ranked(routedIndex(s, dir).scan(qvecF(15), K, searchParam = 100000)))),
 
+    // routing ops surface: the spatial fixture reports usable coverage
+    // through the SQL verb — strict (constant oracle; the fixture's mode
+    // and full coverage are deterministic at every SF)
+    "sql_routing_info" -> ((s: SparkSession, dir: String) => {
+      routedIndex(s, dir)
+      graft.functions.AnnSql.register(s)
+      s.sql("SELECT name, engine, shard_assign, covered " +
+        "FROM ann_routing_info('emb_vamana_routed')")
+    }),
+
     // radius search (faiss range_search analogue): exact on FLAT, exact on
     // graph engines by construction (exhaustive codegen filter, no beam) —
     // both strict; radius 8.5 sits in a distance gap at every sf
@@ -1166,6 +1176,9 @@ object IndexQueries {
     // routed-at-full-width = exact (the router ranks but prunes nothing,
     // beam exhaustive); ann_routed_topk (width 2) is approximate → no row
     "ann_routed_exact" -> bruteForceTopK(15),
+    "sql_routing_info" ->
+      """SELECT 'emb_vamana_routed' AS name, 'DISKANN' AS engine,
+        |'spatial' AS shard_assign, true AS covered""".stripMargin,
     "ann_matryoshka_rerank" -> bruteForceTopK(21),
 
     // the fetch→drop→cut chain replayed: candidates = top-(k*overfetch+1)
