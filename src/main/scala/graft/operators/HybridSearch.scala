@@ -352,26 +352,15 @@ object HybridSearch {
           println(f"[bm25prune] $label: ${(System.nanoTime() - t0) / 1e9}%.3fs"); r
         }
       }
-      // volume gate: one tiny SINGLE-STAGE job over the QUERY relation
-      // (collect the exploded terms and dedupe on the driver — skipping
-      // the distinct's shuffle halves the job), then a pure driver lookup
+      // volume gate: one tiny job over the QUERY relation (distinct query
+      // terms are vocabulary-bounded regardless of query volume, so
+      // dedupe-first is safe in BOTH regimes), then a pure driver lookup
       // against the index's bounded head-df map — the postings relation
-      // is never touched when gated off
-      // collect-bound probe (the AnnSearch.searchTable pattern): the
-      // per-query driver stats below are fine at serving batch sizes but
-      // linear in query count — a corpus-scale hybrid join (millions of
-      // queries) must keep them distributed. One early-terminating pass
-      // decides; everything downstream branches on `driverStats`.
-      val maxQ = spark.conf.get("spark.ann.maxCollectedQueries", "100000").toInt
-      val qidProbe = timed("qid-probe")(
-        queries.select(col(queryIdCol)).limit(maxQ + 1).collect())
-      val driverStats = qidProbe.length <= maxQ
-      // distinct query terms: collect-then-dedupe halves the small-batch
-      // job; above the bound the explosion is query-volume-sized, so
-      // dedupe FIRST (distinct terms are vocabulary-bounded)
+      // is never touched when gated off. The qid probe (which decides the
+      // driver-vs-distributed stats regime) lives INSIDE the engaged
+      // branch below: a gated-off call must not pay a 100k-row collect.
       val qTermArr = timed("qterms-collect")(
-        if (driverStats) qTerms.select("term").collect().map(_.getString(0)).distinct
-        else qTerms.select("term").distinct().collect().map(_.getString(0)))
+        qTerms.select("term").distinct().collect().map(_.getString(0)))
       val matchedVol = timed("vol-gate")(ti.headDf.get.volumeUpperBound(qTermArr))
       val minVol =
         spark.conf.get("spark.ann.bm25PruneMinPostings", "4000000").toLong
@@ -391,6 +380,15 @@ object HybridSearch {
         if (dbg) println(s"[bm25prune] matchedVol=$matchedVol < minVol=$minVol — gated off")
         exactScore(qTerms, matchedLit, None, dfIdfLit)
       } else {
+        // collect-bound probe (the AnnSearch.searchTable pattern): the
+        // per-query driver stats below are fine at serving batch sizes but
+        // linear in query count — a corpus-scale hybrid join (millions of
+        // queries) must keep them distributed. One early-terminating pass
+        // decides; everything downstream branches on `driverStats`.
+        val maxQ = spark.conf.get("spark.ann.maxCollectedQueries", "100000").toInt
+        val qidProbe = timed("qid-probe")(
+          queries.select(col(queryIdCol)).limit(maxQ + 1).collect())
+        val driverStats = qidProbe.length <= maxQ
         // the one full-postings scan: checkpoint the matched set (bounded
         // by the query terms' posting volume), then NOTHING below ever
         // touches the full inverted index again

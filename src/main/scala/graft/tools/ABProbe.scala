@@ -3,22 +3,24 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Same-host A/B probe for the three committed-bench movers the r14
-  * verdict flagged (BENCH_r13 → BENCH_r14 ratios on lines whose code was
-  * untouched or only lightly touched):
+/** Same-host A/B probe for committed-bench movers flagged by the verdict.
   *
-  *   - `events_asof`   3.03× (AsofJoin untouched in r14)
-  *   - `hnsw_build_sf` 1.48× (Hnsw.scala touched by online-insert commits)
-  *   - `kernel_batch_l2_n1024_d768_spark_scan` 1.56× (kernel untouched)
+  * r15 round (BENCH_r13 → BENCH_r14 ratios, all adjudicated HOST STATE):
+  *   - `events_asof`   3.03× / `hnsw_build_sf` 1.48× / `..._spark_scan` 1.56×
   *
-  * This file is dropped UNCOMMITTED into a scratch worktree at the r13
-  * marker commit and run at both HEADs back-to-back on the same idle
-  * host — the r12/r13 adjudication method. Each line reproduces the exact
-  * Bench.scala workload and methodology (one untimed warmup, min over
-  * reps), so the printed numbers are directly comparable to the committed
-  * BENCH records.
+  * r16 round (BENCH_r14 → BENCH_r15 ratios; the r15 record was taken on a
+  * load-2.94 host, these four did not move in the builder's clean sweep):
+  *   - `ivf_search_50q` 5.64× — mode `ivf`
+  *   - `url_dedup` 5.21×, `url_filter` 5.19×, `url_normalize` 4.59× — mode `url`
   *
-  * Run: sbt -batch "runMain graft.tools.ABProbe [asof|hnswbuild|scan|all] [reps]"
+  * This file is dropped UNCOMMITTED into a scratch worktree at the prior
+  * round's marker commit and run at both HEADs back-to-back on the same
+  * idle host — the r12-r15 adjudication method. Each line reproduces the
+  * exact Bench.scala workload and methodology (one untimed warmup, min
+  * over reps), so the printed numbers are directly comparable to the
+  * committed BENCH records.
+  *
+  * Run: sbt -batch "runMain graft.tools.ABProbe [asof|hnswbuild|scan|ivf|url|all] [reps]"
   */
 object ABProbe {
   def main(args: Array[String]): Unit = {
@@ -63,6 +65,95 @@ object ABProbe {
           Map("metric" -> "l2", "hnsw_m" -> "32", "shards" -> "8"),
           s"$tmp/hnsw$rep")
       }
+    }
+
+    if (mode == "all" || mode == "ivf") {
+      // exact Bench shape: build IVF(nlist=16, nprobe=4) over sf embeddings,
+      // persist (the reference serves from RAM), 50-query batch search
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ab_ivf").toString
+      val ivf = graft.index.AnnIndexManager.create(spark, "ab_ivf", emb,
+        "vec_id", "embedding", "IVF",
+        Map("metric" -> "l2", "nlist" -> "16", "nprobe" -> "4"), s"$tmp/ivf")
+      val queries50 = Seq.tabulate(50)(i => graft.queries.QuerySupport.qvecF(i))
+      ivf.persist()
+      time("ivf_search_50q") { noop(ivf.searchBatch(queries50, 10)) }
+    }
+
+    if (mode == "all" || mode == "url") {
+      val q = graft.SparkEntry.queries
+      for (name <- Seq("url_normalize", "url_dedup", "url_filter"))
+        time(name) { noop(q(name)(spark, sfDir)) }
+    }
+
+    if (mode == "all" || mode == "maxsim") {
+      // the r15 record's only rep_spread_gt2 line (13.9x on a load-2.94
+      // host): exact Bench shape — 10k 4-token d=128 docs, 50 two-token
+      // queries, exact batch MaxSim. GC observability: print per-rep GC
+      // time alongside, so a spread classifies as GC vs host vs code.
+      val dim = 128
+      val seededVec = udf { (id: Long, d: Int) =>
+        val r = new scala.util.Random(id * 2654435761L + 42)
+        Array.fill(d)(r.nextFloat())
+      }
+      val msDocs = spark.range(10000)
+        .repartition(cpus.toInt)
+        .select(col("id").as("doc_id"), array(Seq.tabulate(4)(t =>
+          seededVec(col("id") * 4 + t, lit(dim))): _*).as("vecs"))
+        .cache()
+      msDocs.count()
+      val msQs = spark.range(50)
+        .select(col("id").as("query_idx"), array(
+          seededVec(col("id") + 800000L, lit(dim)),
+          seededVec(col("id") + 850000L, lit(dim))).as("qvecs"))
+        .cache()
+      msQs.count()
+      def gcMillis: Long = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(_.getCollectionTime).sum
+      }
+      val plan = graft.operators.MaxSim.searchTable(msQs, "query_idx", "qvecs",
+        msDocs, "doc_id", "vecs", k = 10)
+      noop(plan) // warmup, as Bench.time()
+      val samples = Seq.fill(math.max(reps, 8)) {
+        val g0 = gcMillis; val t0 = System.nanoTime()
+        noop(plan)
+        ((System.nanoTime() - t0) / 1e9, gcMillis - g0)
+      }
+      val ts = samples.map(_._1)
+      println(f"[ab-probe] maxsim_table_50q min=${ts.min}%.4f s " +
+        f"spread=${ts.max / ts.min}%.2fx samples=" +
+        samples.map { case (t, g) => f"$t%.3f(gc=${g}ms)" }.mkString(","))
+    }
+
+    if (mode == "spatialbuild") {
+      // decompose the spatial build premium (r16 directive #4): the exact
+      // vamana_spatial_build_10k_d128 bench shape, hash vs spatial, with
+      // spark.ann.debugTiming phase lines (assign train / build+write /
+      // create-time summaries)
+      val dim = 128
+      val seededVec = udf { (id: Long, d: Int) =>
+        val r = new scala.util.Random(id * 2654435761L + 42)
+        Array.fill(d)(r.nextFloat())
+      }
+      val synthDf = spark.range(10000)
+        .select(col("id"), seededVec(col("id"), lit(dim)).as("vec")).cache()
+      synthDf.count()
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ab_sb").toString
+      spark.conf.set("spark.ann.debugTiming", "true")
+      var rep = 0
+      for (assign <- Seq("hash", "spatial"); _ <- 1 to reps) {
+        rep += 1
+        val t0 = System.nanoTime()
+        graft.index.AnnIndexManager.create(spark, s"ab_sb_$rep", synthDf,
+          "id", "vec", "DISKANN",
+          Map("metric" -> "l2", "max_degree" -> "64",
+            "build_complexity" -> "100", "shards" -> "16",
+            "shard_assign" -> assign), s"$tmp/sb$rep")
+        println(f"[ab-probe] build_10k_d128 $assign%-8s total=${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      spark.conf.unset("spark.ann.debugTiming")
     }
 
     if (mode == "all" || mode == "scan") {
