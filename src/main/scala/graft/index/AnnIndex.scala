@@ -566,7 +566,14 @@ class AnnIndex(val spark: SparkSession, val path: String) {
   /** Driver-cached shard summaries; null = not loaded yet. Invalidated by
     * every mutation that touches the shard set (same sites as the pin). */
   @volatile private var summariesCache: Array[ShardSummaries.Summary] = _
-  private[index] def invalidateSummaries(): Unit = summariesCache = null
+  /** Driver-cached router (keyed on the summaries read + the covered live
+    * set + the coarse confs) — the coarse level's k-means-over-centroids
+    * build is one-time per summaries version, not per search call. */
+  @volatile private var routerCache: (AnyRef, Int, ShardSummaries.Router) = _
+  private[index] def invalidateSummaries(): Unit = {
+    summariesCache = null
+    routerCache = null
+  }
 
   /** Summaries usable for routing: Some iff every live shard has EXACTLY
     * one summary (unknown ids — dead shards' leftovers — are ignored).
@@ -597,11 +604,34 @@ class AnnIndex(val spark: SparkSession, val path: String) {
   /** Routing decision shared by the broadcast and table paths: Some
     * whenever probing is on and summaries fully cover the manifest. A
     * width at or above the live count still goes THROUGH the router
-    * (topShards clamps to all shards, in distance order) — value-identical
-    * to walk-all, which is what lets a strict-oracle row pin the routing
-    * plumbing itself. */
-  private def routingFor(s: Int): Option[Array[ShardSummaries.Summary]] =
-    if (s <= 0 || !isGraphEngine) None else routingSummaries
+    * (topShards clamps to all shards, in distance order, bypassing the
+    * coarse level) — value-identical to walk-all, which is what lets a
+    * strict-oracle row pin the routing plumbing itself.
+    *
+    * Above `spark.ann.routeCoarseThreshold` live shards (default 256) the
+    * router carries a coarse cell level (see [[ShardSummaries.Router]])
+    * that keeps per-query routing O(√shards × dim) — the 100 TB shape has
+    * 100k+ shards, where a flat per-query centroid scan is the next
+    * linear wall. Built once per summaries version and cached. */
+  private def routerFor(s: Int): Option[ShardSummaries.Router] =
+    if (s <= 0 || !isGraphEngine) None
+    else routingSummaries.map { covered =>
+      val raw: AnyRef = summariesCache // non-null after routingSummaries
+      val threshold =
+        spark.conf.get("spark.ann.routeCoarseThreshold", "256").toInt
+      val overscan =
+        spark.conf.get("spark.ann.routeOverscan", "4").toInt
+      val key = java.util.Arrays.hashCode(covered.map(_.shard)) * 31 +
+        threshold * 7 + overscan
+      val cached = routerCache
+      if (cached != null && (cached._1 eq raw) && cached._2 == key) cached._3
+      else {
+        val r = ShardSummaries.Router.build(covered, meta.metric,
+          threshold, overscan)
+        routerCache = (raw, key, r)
+        r
+      }
+    }
 
   /** Routing status for ops surfaces (the SQL `ann_routing_info` verb):
     * (shard_assign mode, live shard count, live shards with a summary).
@@ -625,10 +655,14 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       s"refreshShardSummaries: ${meta.engine} routes via its own centroids")
     val live = liveShardIds
     val liveSet = live.toSet
-    val kept = ShardSummaries.read(path).getOrElse(Array.empty)
-      .filter(x => liveSet(x.shard))
+    val existing = ShardSummaries.read(path).getOrElse(Array.empty)
+    val kept = existing.filter(x => liveSet(x.shard))
     val have = kept.iterator.map(_.shard).toSet
     val missing = live.filterNot(have)
+    // read-mostly fast path: coverage already complete and nothing dead to
+    // drop — a stats verb calling this must not rewrite summaries.bin (and
+    // churn the driver cache) on every invocation
+    if (missing.isEmpty && kept.length == existing.length) return 0
     val added =
       if (missing.isEmpty) Seq.empty
       else ShardSummaries.compute(
@@ -714,13 +748,11 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     // unrouted shard is skipped before decode
     val probes: Option[Map[Int, Array[Int]]] = {
       val s = shardProbes
-      routingFor(s).map { sums =>
-        val shards = sums.map(_.shard)
-        val cents = sums.map(_.centroid)
+      routerFor(s).map { router =>
         val inv = scala.collection.mutable.HashMap
           .empty[Int, scala.collection.mutable.ArrayBuffer[Int]]
         qs.foreach { case (qi, q) =>
-          ShardSummaries.topShards(q, shards, cents, s, meta.metric)
+          router.topShards(q, s)
             .foreach(sid => inv.getOrElseUpdate(sid,
               new scala.collection.mutable.ArrayBuffer[Int]) += qi)
         }
@@ -789,14 +821,11 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     val route: Option[org.apache.spark.sql.Column =>
         org.apache.spark.sql.Column] = {
       val s = shardProbes
-      routingFor(s).map { sums =>
-        val bc = spark.sparkContext.broadcast(
-          (sums.map(_.shard), sums.map(_.centroid)))
-        val metric = meta.metric
+      routerFor(s).map { router =>
+        val bc = spark.sparkContext.broadcast(router)
         val sN = s
         val f = udf { (v: Seq[Float]) =>
-          val (shards, cents) = bc.value
-          ShardSummaries.topShards(v.toArray, shards, cents, sN, metric)
+          bc.value.topShards(v.toArray, sN)
         }
         (qv: org.apache.spark.sql.Column) => f(qv)
       }

@@ -120,6 +120,13 @@ object ShardSummaries {
       StructField("shard", IntegerType, nullable = false),
       StructField("sums", ArrayType(DoubleType), nullable = false),
       StructField("cnt", LongType, nullable = false)))
+    // per-partition partials, then a DISTRIBUTED by-shard merge before the
+    // collect: on the standard whole-shards-per-partition layout this is a
+    // near-no-op (one partial per shard), but on an arbitrary layout the
+    // driver would otherwise receive O(partitions × shards × dim) — the
+    // reduce caps the collect at exactly O(shards × dim), the same order
+    // as summaries.bin itself (the designed driver-resident floor: one
+    // centroid per shard is what lets routing decide without a Spark job).
     val partials = graphRows.mapPartitions { rows =>
       val acc = scala.collection.mutable.HashMap.empty[Int, (Array[Double], Array[Long])]
       rows.foreach { r =>
@@ -136,18 +143,17 @@ object ShardSummaries {
         e._2(0) += 1L
       }
       acc.iterator.map { case (sid, (sums, cnt)) => Row(sid, sums.toSeq, cnt(0)) }
-    }(Encoders.row(out)).collect()
-
-    partials.groupBy(_.getInt(0)).iterator.map { case (sid, parts) =>
-      val d = parts.head.getSeq[Double](1).length
-      val sums = new Array[Double](d)
-      var cnt = 0L
-      parts.foreach { p =>
-        val s = p.getSeq[Double](1)
+    }(Encoders.row(out))
+      .rdd.map(r => (r.getInt(0), (r.getSeq[Double](1).toArray, r.getLong(2))))
+      .reduceByKey { (a, b) =>
+        val (sa, ca) = a; val (sb, cb) = b
         var j = 0
-        while (j < d) { sums(j) += s(j); j += 1 }
-        cnt += p.getLong(2)
-      }
+        while (j < sa.length) { sa(j) += sb(j); j += 1 }
+        (sa, ca + cb)
+      }.collect()
+
+    partials.iterator.map { case (sid, (sums, cnt)) =>
+      val d = sums.length
       val c = new Array[Float](d)
       var j = 0
       while (j < d) { c(j) = (sums(j) / math.max(1L, cnt)).toFloat; j += 1 }
@@ -197,5 +203,118 @@ object ShardSummaries {
     var j = 0
     while (j < pool.size) { out(j) = shards(pool.labels(j)); j += 1 }
     out
+  }
+
+  /** Two-level shard router — the structure that keeps PER-QUERY routing
+    * cost sublinear in shard count (the r15 design's remaining linear
+    * wall: at the 100 TB shape an index has 100k+ shards, and scanning
+    * every shard centroid per query — driver-side on the broadcast path,
+    * row-local on the table path — is an O(shards × dim) fixed cost per
+    * query).
+    *
+    * Below `coarseThreshold` live shards this is exactly the r15 one-level
+    * scan (a flat pass over a few hundred centroids is already
+    * microseconds — a coarse level would only add misrouting risk). Above
+    * it, the coarse level is an in-memory Vamana graph over the shard
+    * centroids themselves, searched with the repo's own greedy beam
+    * kernel at width `overscan × s` — ANN over centroids. A k-means cell
+    * hierarchy (SPANN's posting tree) was measured first and REJECTED:
+    * when shard centroids are not crisply clustered (2,000 data modes
+    * over 400 shards — each centroid a diffuse mean of ~5 modes), cell
+    * means carry almost no ranking signal and routed recall fell 0.98 →
+    * 0.82; the graph makes no cell-geometry assumption and the beam
+    * recovers the one-level ranking (r16 SCALE arm). Per-query cost is
+    * ~O(overscan·s·degree·dim) — independent of shard count — vs the
+    * one-level O(shards × dim).
+    *
+    * Exact-compat contract preserved: a probe width at/above the live
+    * count bypasses the coarse level entirely (full-width ranking over
+    * all shards, same as r15), so `ann_routed_exact`-style full-width
+    * calls stay value-identical to walk-all. Serializable: rides the
+    * table path's broadcast + row-local UDF unchanged.
+    */
+  final class Router(
+      val shards: Array[Int],
+      val centroids: Array[Array[Float]],
+      val metric: String,
+      val coarse: Option[Router.Coarse],
+      val overscan: Int) extends Serializable {
+
+    def topShards(q: Array[Float], s: Int): Array[Int] = coarse match {
+      // the coarse path only pays off when the beam is NARROW relative to
+      // the graph: a beam of width l evaluates ~degree(32)·l distances
+      // plus O(l) pool maintenance per insert, vs the flat scan's n
+      // distance evals with an s-sized pool — at l ≳ n/8 the graph walk
+      // costs MORE than scanning everything (measured: s=4,000 of 40,000
+      // read 11.8 s through the graph vs 0.41 s flat). Fixed serving
+      // widths (s ≪ shards) are the shape the coarse level exists for.
+      case Some(co) if s < shards.length && !Router.hasNaN(q) &&
+          math.max(s * math.max(1, overscan), 48) < co.graphShards.length / 8 =>
+        // beam-search the centroid graph at width overscan×s (floor 48 —
+        // tiny widths under-explore and the whole point is recall
+        // parity), then keep the best s reachable labels. Pool order is
+        // ascending distance — same output contract as the flat scan.
+        val dist = graft.functions.VectorKernels.orderingDistance(metric) _
+        val l = math.max(s * math.max(1, overscan), 48)
+        val pool = Vamana.beamSearchPool(co.graph, q, l, dist)
+        val take = math.min(s, pool.size)
+        val out = new Array[Int](take)
+        var j = 0
+        while (j < take) { out(j) = co.graphShards(pool.labels(j)); j += 1 }
+        if (take == s) out
+        else {
+          // under-filled pool (graph smaller than s after NaN-centroid
+          // exclusion): deterministically pad with the lowest unrouted ids
+          val seen = out.toSet
+          (out.iterator ++ shards.iterator.filterNot(seen)).take(s).toArray
+        }
+      case _ =>
+        ShardSummaries.topShards(q, shards, centroids, s, metric)
+    }
+  }
+
+  object Router {
+    /** Centroid graph: labels index `graphShards` (shard ids of the
+      * non-NaN centroids the graph was built over). */
+    final case class Coarse(graph: Vamana.Shard,
+                            graphShards: Array[Int]) extends Serializable
+
+    private[index] def hasNaN(v: Array[Float]): Boolean = {
+      var i = 0
+      while (i < v.length) {
+        if (java.lang.Float.isNaN(v(i))) return true
+        i += 1
+      }
+      false
+    }
+
+    /** Build from covered summaries (sorted by shard id — read/refresh
+      * guarantee order, so the build is deterministic: fixed insertion
+      * order, fixed graph params). NaN-poisoned centroids are excluded at
+      * build (they must never steal a probe slot — the one-level scan's
+      * NaN discipline); a NaN QUERY falls back to the one-level path,
+      * which keeps the first-s deterministic junk-in/bounded-junk-out
+      * contract. Cost at N shards: one single-threaded Vamana build over
+      * N centroid rows (R=32, L=64) — one-time per summaries version
+      * (AnnIndex caches the router until a mutation invalidates the
+      * summaries). */
+    def build(sums: Array[Summary], metric: String,
+              coarseThreshold: Int, overscan: Int): Router = {
+      val shards = sums.map(_.shard)
+      val cents = sums.map(_.centroid)
+      val n = shards.length
+      val threshold = math.max(16, coarseThreshold)
+      if (n < threshold)
+        return new Router(shards, cents, metric, None, overscan)
+      val keep = (0 until n).filterNot(i => hasNaN(cents(i))).toArray
+      if (keep.length < threshold / 2) // poisoned summary set: stay flat
+        return new Router(shards, cents, metric, None, overscan)
+      val graph = Vamana.buildShard(
+        keep.map(_.toLong), keep.map(cents),
+        Vamana.Params(maxDegree = 32, buildComplexity = 64, alpha = 1.2),
+        metric)
+      new Router(shards, cents, metric,
+        Some(Coarse(graph, keep.map(shards))), overscan)
+    }
   }
 }

@@ -311,4 +311,53 @@ class ShardRoutingSpec extends SparkSpec {
     val skip = ShardSummaries.topShards(Array(11f, 0f), shards, cents2, 2, "l2")
     assert(skip.toSeq == Seq(20, 30), s"NaN centroid stole a slot: ${skip.toSeq}")
   }
+
+  test("two-level Router: coarse level engages above the threshold, keeps the exact-compat contract") {
+    // 1,000 synthetic shard centroids on a 2-d grid of 25 well-separated
+    // cluster sites (40 shards each, σ=0.3 jitter — deterministic)
+    val rnd = new scala.util.Random(7)
+    val sites = for (x <- 0 until 5; y <- 0 until 5) yield (x * 10f, y * 10f)
+    val sums = Array.tabulate(1000) { i =>
+      val (sx, sy) = sites(i % 25)
+      ShardSummaries.Summary(i, 100L,
+        Array(sx + rnd.nextGaussian().toFloat * 0.3f,
+              sy + rnd.nextGaussian().toFloat * 0.3f))
+    }.sortBy(_.shard)
+
+    // below threshold → one-level (no coarse structure)
+    val flat = ShardSummaries.Router.build(sums, "l2",
+      coarseThreshold = 2000, overscan = 4)
+    assert(flat.coarse.isEmpty)
+
+    val routed = ShardSummaries.Router.build(sums, "l2",
+      coarseThreshold = 256, overscan = 4)
+    assert(routed.coarse.isDefined)
+    val co = routed.coarse.get
+    // the centroid graph covers every (non-NaN) shard exactly once
+    assert(co.graph.ids.length == 1000)
+    assert(co.graphShards.sorted.toSeq == (0 until 1000))
+
+    // deterministic: a second build routes identically
+    val routed2 = ShardSummaries.Router.build(sums, "l2",
+      coarseThreshold = 256, overscan = 4)
+    val probe = Array(31f, 12f)
+    assert(routed.topShards(probe, 8).toSeq == routed2.topShards(probe, 8).toSeq)
+
+    // full width bypasses the coarse level: identical to the flat ranking
+    // over ALL shards (the ann_routed_exact contract)
+    assert(routed.topShards(probe, 1000).toSeq == flat.topShards(probe, 1000).toSeq)
+    assert(routed.topShards(probe, 5000).length == 1000)
+
+    // narrow width: top-s through the coarse level agrees with the flat
+    // scan on this well-separated layout (the cells ARE the clusters)
+    for (q <- Seq(Array(0f, 0f), Array(20f, 20f), Array(41f, 3f), Array(17f, 38f))) {
+      val viaCells = routed.topShards(q, 8).toSeq
+      val viaFlat = flat.topShards(q, 8).toSeq
+      assert(viaCells == viaFlat,
+        s"coarse routing diverged at ${q.toSeq}: $viaCells vs $viaFlat")
+    }
+    // bounded output and no duplicates at intermediate widths
+    val got = routed.topShards(probe, 40)
+    assert(got.length == 40 && got.distinct.length == 40)
+  }
 }
