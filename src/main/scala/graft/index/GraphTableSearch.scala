@@ -14,9 +14,12 @@ import graft.operators.TopK
   * large to collect. The reference streams chunks through ONE in-memory
   * index; here BOTH sides stay distributed end-to-end:
   *
-  *   - every query row is replicated to every live shard id (graph search
-  *     has no shard pruning — each shard's graph must be walked), a cheap
-  *     `explode` with no driver materialization;
+  *   - every query row is replicated to the shard ids it probes — ALL
+  *     live shards by default (walk-all, the exact-compat baseline), or
+  *     only its routed top-s when shard routing is on (`spark.ann
+  *     .shardProbes` + full summary coverage; the row-local routing UDF
+  *     ranks shard centroids per query) — a cheap `explode` with no
+  *     driver materialization;
   *   - graph rows and replicated queries cogroup on the shard id, so each
   *     task sees one whole decoded shard plus a STREAMED iterator of its
   *     query share — per-task memory is one shard (the existing sizing

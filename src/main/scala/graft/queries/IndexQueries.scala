@@ -524,13 +524,54 @@ object IndexQueries {
       withProbes(s, 2)(
         ranked(routedIndex(s, dir).scan(qvecF(15), K, searchParam = 100000)))),
 
+    // routed TABLE path: the two strict rows above pin the BROADCAST
+    // path's router; this one forces the fully distributed table path
+    // (collect bound lowered below the 6-row batch) with the row-local
+    // routing UDF engaged at full width — per-query shard ranking happens
+    // ON THE EXECUTORS inside the explode, prunes nothing, exhaustive
+    // beam → exact → strict oracle pins the routed explode + cogroup legs.
+    "ann_routed_table_exact" -> ((s: SparkSession, dir: String) => {
+      val queries = emb(s, dir).filter(col("vec_id") < 6)
+        .select(col("vec_id").as("q_vec_id"), col("embedding"))
+      s.conf.set("spark.ann.maxCollectedQueries", "2")
+      try withProbes(s, 1000000) {
+        val res = graft.operators.AnnSearch.searchTable(
+          routedIndex(s, dir), queries, k = 5, nprobe = 100000,
+          queryIdCol = Some("q_vec_id"))
+        res.withColumn("rank",
+            row_number().over(
+              Window.partitionBy("q_vec_id").orderBy(col("_distance"), col("id"))).cast("long"))
+          .select(col("q_vec_id"), col("rank"), col("id").as("vec_id"))
+          .orderBy("q_vec_id", "rank")
+      } finally s.conf.unset("spark.ann.maxCollectedQueries")
+    }),
+
+    // width-2 sibling on the same distributed path — routing actually
+    // prunes (approximate by construction) → rows-only
+    "ann_routed_table_topk" -> ((s: SparkSession, dir: String) => {
+      val queries = emb(s, dir).filter(col("vec_id") < 6)
+        .select(col("vec_id").as("q_vec_id"), col("embedding"))
+      s.conf.set("spark.ann.maxCollectedQueries", "2")
+      try withProbes(s, 2) {
+        val res = graft.operators.AnnSearch.searchTable(
+          routedIndex(s, dir), queries, k = 5, nprobe = 100000,
+          queryIdCol = Some("q_vec_id"))
+        res.withColumn("rank",
+            row_number().over(
+              Window.partitionBy("q_vec_id").orderBy(col("_distance"), col("id"))).cast("long"))
+          .select(col("q_vec_id"), col("rank"), col("id").as("vec_id"))
+          .orderBy("q_vec_id", "rank")
+      } finally s.conf.unset("spark.ann.maxCollectedQueries")
+    }),
+
     // routing ops surface: the spatial fixture reports usable coverage
     // through the SQL verb — strict (constant oracle; the fixture's mode
     // and full coverage are deterministic at every SF)
     "sql_routing_info" -> ((s: SparkSession, dir: String) => {
       routedIndex(s, dir)
       graft.functions.AnnSql.register(s)
-      s.sql("SELECT name, engine, shard_assign, covered " +
+      s.sql("SELECT name, engine, shard_assign, covered, live_shards, " +
+        "summarized_shards, probe_width " +
         "FROM ann_routing_info('emb_vamana_routed')")
     }),
 
@@ -1176,9 +1217,24 @@ object IndexQueries {
     // routed-at-full-width = exact (the router ranks but prunes nothing,
     // beam exhaustive); ann_routed_topk (width 2) is approximate → no row
     "ann_routed_exact" -> bruteForceTopK(15),
+    // same contract on the distributed TABLE path (routed explode);
+    // ann_routed_table_topk (width 2) is approximate → no row
+    "ann_routed_table_exact" ->
+      s"""SELECT q_vec_id, rank, vec_id FROM (
+         |  SELECT q.vec_id AS q_vec_id, e.vec_id, CAST(row_number() OVER (
+         |    PARTITION BY q.vec_id
+         |    ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+         |                           CAST(q.embedding AS DOUBLE[])), e.vec_id) AS BIGINT) AS rank
+         |  FROM (SELECT * FROM embeddings WHERE vec_id < 6) q
+         |  CROSS JOIN embeddings e) t
+         |WHERE rank <= 5 ORDER BY q_vec_id, rank""".stripMargin,
+    // counts are constants here because the fixture pins shards=4 and the
+    // spatial build fills every budgeted shard on this data; probe_width=0
+    // because the query runs outside withProbes (session default)
     "sql_routing_info" ->
       """SELECT 'emb_vamana_routed' AS name, 'DISKANN' AS engine,
-        |'spatial' AS shard_assign, true AS covered""".stripMargin,
+        |'spatial' AS shard_assign, true AS covered, 4 AS live_shards,
+        |4 AS summarized_shards, 0 AS probe_width""".stripMargin,
     "ann_matryoshka_rerank" -> bruteForceTopK(21),
 
     // the fetch→drop→cut chain replayed: candidates = top-(k*overfetch+1)

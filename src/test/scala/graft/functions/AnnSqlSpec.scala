@@ -489,4 +489,45 @@ class AnnSqlSpec extends SparkSpec {
       "SELECT * FROM ann_index_scan('sql_sb_idx', array(0.5, 0.5, 0.5, 0.5), 3)").collect()
     assert(hits.length == 3)
   }
+
+  test("SQL TVF ann_routing_info exposes coverage counts and probe width") {
+    import spark.implicits._
+    idx // ensure the FLAT 'sql_idx' fixture exists (used below)
+    val tablePath = s"$tmp/sql_ri.parquet"
+    vecs.toDF("id", "embedding").write.mode("overwrite").parquet(tablePath)
+    AnnSql.register(spark)
+    spark.sql(
+      s"""SELECT * FROM ann_create_index('sql_ri', '$tablePath', 'id',
+         |  'embedding', 'DISKANN',
+         |  'metric=l2,shards=2,shard_assign=spatial', '$tmp/sql_ri_idx')"""
+        .stripMargin).collect()
+    def info() = spark.sql(
+      """SELECT covered, live_shards, summarized_shards, probe_width
+        |FROM ann_routing_info('sql_ri')""".stripMargin).head()
+    // spatial create maintains full coverage; probes off by default
+    val r0 = info()
+    assert(r0.getBoolean(0) && r0.getInt(1) == 2 && r0.getInt(2) == 2 &&
+      r0.getInt(3) == 0)
+    // probe_width echoes the live session conf
+    spark.conf.set("spark.ann.shardProbes", "3")
+    try assert(info().getInt(3) == 3)
+    finally spark.conf.unset("spark.ann.shardProbes")
+    // simulate a crash between the shard publish and the summary merge:
+    // the counts now show HOW stale the index is, not just that it is
+    // (routingStatus reads summaries.bin fresh — no driver-cache hazard)
+    graft.index.ShardSummaries.delete(s"$tmp/sql_ri_idx")
+    val r1 = info()
+    assert(!r1.getBoolean(0) && r1.getInt(1) == 2 && r1.getInt(2) == 0)
+    // repair restores coverage and the counts re-converge
+    spark.sql("SELECT * FROM ann_refresh_stats('sql_ri')").collect()
+    val r2 = info()
+    assert(r2.getBoolean(0) && r2.getInt(2) == 2)
+    // non-graph engines: routing not applicable — counts are zero
+    val flatInfo = spark.sql(
+      """SELECT covered, live_shards, summarized_shards
+        |FROM ann_routing_info('sql_idx')""".stripMargin).head()
+    assert(!flatInfo.getBoolean(0) && flatInfo.getInt(1) == 0 &&
+      flatInfo.getInt(2) == 0)
+    spark.sql("SELECT * FROM ann_drop_index('sql_ri')").collect()
+  }
 }
