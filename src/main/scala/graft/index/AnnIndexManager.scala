@@ -535,10 +535,26 @@ object AnnIndexManager {
         // spatial: `shards` is the CENTER count; oversized cells
         // hash-split to keep every build task inside the per-task budget
         // (spatialShardAssign), so the actual shard count may exceed it
+        // opt-in build-phase timing (spark.ann.debugTiming=true), the
+        // mutation-path timedPhase convention — decomposes the spatial
+        // build premium (assignment train vs graph build+write vs
+        // create-time summaries)
+        def timedPhase[T](label: String)(f: => T): T = {
+          if (!spark.conf.get("spark.ann.debugTiming", "false").toBoolean) f
+          else {
+            val t0 = System.nanoTime()
+            val r = f
+            System.err.println(
+              f"[ann-timing] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+            r
+          }
+        }
         val (buildSrc, assignCol, buildShards) =
           if (assignMode == "spatial" && shards > 1) {
-            val (asg, total) = AnnIndexBuilder.spatialShardAssign(
-              prepared, n, shards, AnnIndexBuilder.targetShardRows(dim), 42L)
+            val (asg, total) = timedPhase("create.spatialAssign") {
+              AnnIndexBuilder.spatialShardAssign(
+                prepared, n, shards, AnnIndexBuilder.targetShardRows(dim), 42L)
+            }
             (asg, Some("__sa"), total)
           } else (prepared, None, shards)
         val graph = engine match {
@@ -559,7 +575,9 @@ object AnnIndexManager {
         // dequantize-on-access.
         val storedGraph =
           encodeStored(graph).withColumn("seg", lit(0L)) // insert epoch 0 = create
-        storedGraph.write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
+        timedPhase("create.buildWrite") {
+          storedGraph.write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
+        }
         // manifest = the dirs the build actually produced (an empty task
         // writes none); readers only ever see manifested dirs, making
         // every later mutation a copy-on-write commit (IndexMeta.liveShards)
@@ -579,7 +597,9 @@ object AnnIndexManager {
         // (no routing signal), and the pass showed up as +39% on the
         // hnsw_build_sf bench line (r15 A/B). refreshShardSummaries()
         // remains the explicit opt-in for them.
-        if (assignMode == "spatial") try idx.refreshShardSummaries() catch {
+        if (assignMode == "spatial") try timedPhase("create.summaries") {
+          idx.refreshShardSummaries()
+        } catch {
           case scala.util.control.NonFatal(e) =>
             // the index is already committed and registered; summaries
             // are an optimization with a walk-all fallback — a transient

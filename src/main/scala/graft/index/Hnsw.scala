@@ -375,10 +375,12 @@ object Hnsw {
           }
         }(Encoders.row(graphSchema))
     case Some(c) =>
-      prepared
-        .select(col(c).cast("int").as("__sa"), col("id"), col("vector"))
-        .repartition(Vamana.shardPartitions(shards), col("__sa"))
-        .sortWithinPartitions("__sa")
+      // exact one-shard-per-task build layout (see
+      // Vamana.identityPartitionByIntKey — hash buckets collide shards
+      // into serial two-graph straggler tasks)
+      Vamana.identityPartitionByIntKey(
+        prepared.select(col(c).cast("int").as("__sa"), col("id"), col("vector")),
+        "__sa", shards)
         .mapPartitions { rows =>
           AnnIndex.groupedByIntKey(rows, _.getInt(0)).flatMap { case (sid, rs) =>
             val ids = new Array[Long](rs.length)
