@@ -73,16 +73,30 @@ object Bench {
       // committed BENCH_r*.json fallback below only covers tail-visible
       // lines (and a name:number pair inside its leading truncated
       // fragment could seed a wrong baseline).
+      // Baseline semantics: the file reflects the most recent COMPLETED
+      // Bench run in this working tree — a mid-round local run moves the
+      // baseline forward (the trigger then adjudicates "did this line move
+      // vs the last recorded state", which is what a re-run is for); the
+      // judge's committed-record comparison is BENCH_rN vs BENCH_r(N-1),
+      // computed by the verdict, not by this field. `git checkout
+      // BENCH_TIMES.json` restores the committed baseline before a record
+      // run if round-boundary semantics are wanted.
       val timesFile = new java.io.File("BENCH_TIMES.json")
       val fromTimesFile: Option[Map[String, Double]] =
         if (!timesFile.isFile) None
         else scala.util.Try {
           val src = scala.io.Source.fromFile(timesFile)
           val txt = try src.mkString finally src.close()
+          // same stop-filter and per-match tolerance as the fallback
+          // parser below: scalar fields must not seed baselines, and one
+          // malformed number must not discard the whole file
+          val stop = Set("n", "rc", "cpus", "sf", "value",
+            "load_1m_start", "load_1m_end", "kernel_geomean_ratio")
           val pat = """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+\-]*)""".r
           pat.findAllMatchIn(txt)
-            .map(m => m.group(1) -> m.group(2).toDouble)
-            .filter(_._2 > 0).toMap
+            .map(m => m.group(1) ->
+              scala.util.Try(m.group(2).toDouble).getOrElse(-1.0))
+            .filter { case (k, v) => v > 0 && !stop(k) }.toMap
         }.toOption.filter(_.nonEmpty)
       val benchFiles = Option(new java.io.File(".").listFiles())
         .getOrElse(Array.empty[java.io.File])
@@ -697,9 +711,16 @@ object Bench {
     // keeps only a ~2000-char truncated tail of the line above, so only
     // tail-visible lines would otherwise get the >2x re-run protection.
     scala.util.Try {
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_TIMES.json"),
+      // atomic publish (tmp + rename, the repo's meta.json discipline): a
+      // crash mid-write must not leave a truncated file that still
+      // regex-parses into a partial baseline
+      val tmpPath = java.nio.file.Paths.get("BENCH_TIMES.json.tmp")
+      java.nio.file.Files.writeString(tmpPath,
         s"""{"queries":$qs,"load_1m_start":$loadStart,"sf":"$sfDir"}""")
+      java.nio.file.Files.move(tmpPath,
+        java.nio.file.Paths.get("BENCH_TIMES.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     spark.stop()
   }

@@ -566,13 +566,21 @@ class AnnIndex(val spark: SparkSession, val path: String) {
   /** Driver-cached shard summaries; null = not loaded yet. Invalidated by
     * every mutation that touches the shard set (same sites as the pin). */
   @volatile private var summariesCache: Array[ShardSummaries.Summary] = _
-  /** Driver-cached router (keyed on the summaries read + the covered live
-    * set + the coarse confs) — the coarse level's k-means-over-centroids
-    * build is one-time per summaries version, not per search call. */
-  @volatile private var routerCache: (AnyRef, Int, ShardSummaries.Router) = _
+  /** Monotonic version for the router cache below: bumped by every
+    * invalidation, so a router built from pre-mutation summaries can
+    * never be served after the mutation — even when a vacuum reuses the
+    * same shard ids, and even if an invalidation lands mid-build (the
+    * build's result is then returned unstored). */
+  @volatile private var summariesVersion: Long = 0L
+  /** Driver-cached routing decision per (summaries version, coarse
+    * confs): a cache HIT is O(1) — no per-call coverage scan — which
+    * matters at the 100k-shard shape where even rebuilding the covered
+    * set per search call would be a linear fixed cost. */
+  @volatile private var routerCache: AnnIndex.RouterCacheEntry = _
   private[index] def invalidateSummaries(): Unit = {
     summariesCache = null
     routerCache = null
+    summariesVersion += 1
   }
 
   /** Summaries usable for routing: Some iff every live shard has EXACTLY
@@ -613,25 +621,28 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * that keeps per-query routing O(√shards × dim) — the 100 TB shape has
     * 100k+ shards, where a flat per-query centroid scan is the next
     * linear wall. Built once per summaries version and cached. */
-  private def routerFor(s: Int): Option[ShardSummaries.Router] =
-    if (s <= 0 || !isGraphEngine) None
-    else routingSummaries.map { covered =>
-      val raw: AnyRef = summariesCache // non-null after routingSummaries
-      val threshold =
-        spark.conf.get("spark.ann.routeCoarseThreshold", "256").toInt
-      val overscan =
-        spark.conf.get("spark.ann.routeOverscan", "4").toInt
-      val key = java.util.Arrays.hashCode(covered.map(_.shard)) * 31 +
-        threshold * 7 + overscan
-      val cached = routerCache
-      if (cached != null && (cached._1 eq raw) && cached._2 == key) cached._3
-      else {
-        val r = ShardSummaries.Router.build(covered, meta.metric,
-          threshold, overscan)
-        routerCache = (raw, key, r)
-        r
-      }
-    }
+  private def routerFor(s: Int): Option[ShardSummaries.Router] = {
+    if (s <= 0 || !isGraphEngine) return None
+    val threshold =
+      spark.conf.get("spark.ann.routeCoarseThreshold", "256").toInt
+    val overscan =
+      spark.conf.get("spark.ann.routeOverscan", "4").toInt
+    val v0 = summariesVersion
+    val cached = routerCache
+    if (cached != null && cached.version == v0 &&
+        cached.threshold == threshold && cached.overscan == overscan)
+      return cached.router
+    val built = routingSummaries.map(covered =>
+      ShardSummaries.Router.build(covered, meta.metric, threshold, overscan))
+    // store only if no invalidation landed while building — a racing
+    // mutation's version bump must win (the stale router is still
+    // RETURNED for this in-flight call, which read its summaries before
+    // the mutation's copy-on-write commit: same outcome as a search that
+    // started a moment earlier)
+    if (summariesVersion == v0)
+      routerCache = AnnIndex.RouterCacheEntry(v0, threshold, overscan, built)
+    built
+  }
 
   /** Routing status for ops surfaces (the SQL `ann_routing_info` verb):
     * (shard_assign mode, live shard count, live shards with a summary).
@@ -1871,6 +1882,13 @@ class AnnIndex(val spark: SparkSession, val path: String) {
 }
 
 object AnnIndex {
+
+  /** Router-cache slot: the routing decision (None = coverage gap →
+    * walk-all) pinned to the summaries version and the coarse confs it
+    * was computed under. */
+  private[index] final case class RouterCacheEntry(
+      version: Long, threshold: Int, overscan: Int,
+      router: Option[ShardSummaries.Router])
   /** Stream key-contiguous row groups from a sorted iterator — the caller
     * must have `sortWithinPartitions` on the key column, which is what
     * lets one group at a time live in memory instead of a whole-partition

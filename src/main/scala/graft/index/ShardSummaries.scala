@@ -264,9 +264,14 @@ object ShardSummaries {
         if (take == s) out
         else {
           // under-filled pool (graph smaller than s after NaN-centroid
-          // exclusion): deterministically pad with the lowest unrouted ids
+          // exclusion, or unreachable nodes): deterministically pad with
+          // the lowest unrouted GRAPH ids — graphShards excludes
+          // NaN-poisoned centroids by construction, so the pad keeps the
+          // flat scan's contract that such a shard never takes a probe
+          // slot (the result may then be shorter than s, exactly like the
+          // flat path's NaN exclusion)
           val seen = out.toSet
-          (out.iterator ++ shards.iterator.filterNot(seen)).take(s).toArray
+          (out.iterator ++ co.graphShards.iterator.filterNot(seen)).take(s).toArray
         }
       case _ =>
         ShardSummaries.topShards(q, shards, centroids, s, metric)
@@ -298,16 +303,22 @@ object ShardSummaries {
       * N centroid rows (R=32, L=64) — one-time per summaries version
       * (AnnIndex caches the router until a mutation invalidates the
       * summaries). */
+    /** The smallest graph the engage guard (l < graph/8, beam floor 48)
+      * can ever use: below 8·48+1 shards EVERY query would fall back to
+      * the flat scan, so building (and rebuilding, per mutation) the
+      * graph would be pure wasted driver work. */
+    private val MinUsableGraph = 8 * 48 + 1
+
     def build(sums: Array[Summary], metric: String,
               coarseThreshold: Int, overscan: Int): Router = {
       val shards = sums.map(_.shard)
       val cents = sums.map(_.centroid)
       val n = shards.length
-      val threshold = math.max(16, coarseThreshold)
+      val threshold = math.max(MinUsableGraph, coarseThreshold)
       if (n < threshold)
         return new Router(shards, cents, metric, None, overscan)
       val keep = (0 until n).filterNot(i => hasNaN(cents(i))).toArray
-      if (keep.length < threshold / 2) // poisoned summary set: stay flat
+      if (keep.length < MinUsableGraph) // poisoned summary set: stay flat
         return new Router(shards, cents, metric, None, overscan)
       val graph = Vamana.buildShard(
         keep.map(_.toLong), keep.map(cents),

@@ -573,9 +573,9 @@ object Vamana {
           }
         }(Encoders.row(graphSchema))
     case Some(c) =>
-      // exact one-shard-per-task layout (see identityPartitionByIntKey);
-      // groupedByIntKey below still handles any grouping, so the build
-      // stays correct if a caller ever feeds a sparser key space
+      // exact one-shard-per-task layout (see identityPartitionByIntKey;
+      // requires the dense [0, shards) keys spatialShardAssign produces —
+      // the partitioner fails loudly on anything else)
       identityPartitionByIntKey(
         prepared.select(col(c).cast("int").as("__sa"), col("id"), col("vector")),
         "__sa", shards)
@@ -877,7 +877,14 @@ object Vamana {
       .map(r => (r.getInt(keyIdx), r))
       .partitionBy(new org.apache.spark.Partitioner {
         override def numPartitions: Int = math.max(1, n)
-        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+        override def getPartition(key: Any): Int = {
+          val k = key.asInstanceOf[Int]
+          // loud contract check: a sparse/out-of-range key would otherwise
+          // surface as an opaque ArrayIndexOutOfBounds deep in the shuffle
+          require(k >= 0 && k < numPartitions,
+            s"identityPartitionByIntKey: key $k outside [0, $n) — keys must be dense")
+          k
+        }
       })
       .map(_._2)
     spark.createDataFrame(parted, schema)

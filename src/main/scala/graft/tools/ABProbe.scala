@@ -18,9 +18,16 @@ import org.apache.spark.sql.functions._
   * idle host — the r12-r15 adjudication method. Each line reproduces the
   * exact Bench.scala workload and methodology (one untimed warmup, min
   * over reps), so the printed numbers are directly comparable to the
-  * committed BENCH records.
+  * committed BENCH records. DELIBERATELY self-contained (fixtures inline,
+  * no shared tool helpers): the file must compile when dropped into OLD
+  * worktrees where those helpers don't exist.
   *
-  * Run: sbt -batch "runMain graft.tools.ABProbe [asof|hnswbuild|scan|ivf|url|all] [reps]"
+  * Diagnostic modes outside the A/B sweep (`all` excludes them):
+  *   - `maxsim`: the r15 rep_spread_gt2 line with per-rep GC time
+  *   - `spatialbuild`: hash-vs-spatial create with debugTiming phases
+  *
+  * Run: sbt -batch "runMain graft.tools.ABProbe
+  *        [asof|hnswbuild|scan|ivf|url|maxsim|spatialbuild|all] [reps]"
   */
 object ABProbe {
   def main(args: Array[String]): Unit = {
@@ -86,7 +93,7 @@ object ABProbe {
         time(name) { noop(q(name)(spark, sfDir)) }
     }
 
-    if (mode == "all" || mode == "maxsim") {
+    if (mode == "maxsim") {
       // the r15 record's only rep_spread_gt2 line (13.9x on a load-2.94
       // host): exact Bench shape — 10k 4-token d=128 docs, 50 two-token
       // queries, exact batch MaxSim. GC observability: print per-rep GC

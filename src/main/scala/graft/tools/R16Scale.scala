@@ -25,6 +25,23 @@ import org.apache.spark.sql.functions._
   */
 object R16Scale {
 
+  /** The clustered synthetic used by every r15/r16 routing arm: gaussian
+    * cluster sites (seed from the cluster id) + per-row jitter — one
+    * definition so the router and cdc arms measure the same data shape. */
+  private def clusteredPoint(cluster: Int, rowSeed: Long, d: Int,
+                             jitter: Double = 0.3): Array[Float] = {
+    val rc = new scala.util.Random(cluster * 9176L + 31)
+    val rr = new scala.util.Random(rowSeed)
+    Array.tabulate(d)(_ => (rc.nextGaussian() * 3 + jitter * rr.nextGaussian()).toFloat)
+  }
+
+  private def clusteredVecUdf(nClusters: Int, d: Int) = udf { (id: Long) =>
+    clusteredPoint((id % nClusters).toInt, id * 2654435761L + 13, d)
+  }
+
+  private def clusteredQueries(nQ: Int, nClusters: Int, d: Int): Seq[Array[Float]] =
+    Seq.tabulate(nQ)(i => clusteredPoint((i * 37) % nClusters, i * 7717L + 5, d))
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -79,19 +96,11 @@ object R16Scale {
       val d = 64
       def synthSummaries(nShards: Int): Array[ShardSummaries.Summary] = {
         val nSites = math.max(1, nShards / 20)
-        Array.tabulate(nShards) { i =>
-          val site = i % nSites
-          val rc = new scala.util.Random(site * 9176L + 31)
-          val rd = new scala.util.Random(i * 7717L + 5)
-          ShardSummaries.Summary(i, 1000L,
-            Array.tabulate(d)(_ => (rc.nextGaussian() * 3 + 0.2 * rd.nextGaussian()).toFloat))
-        }
+        Array.tabulate(nShards)(i => ShardSummaries.Summary(i, 1000L,
+          clusteredPoint(i % nSites, i * 7717L + 5, d, jitter = 0.2)))
       }
-      val qs = Seq.tabulate(50) { i =>
-        val rc = new scala.util.Random((i % 37) * 9176L + 31)
-        val rd = new scala.util.Random(i * 131L + 7)
-        Array.tabulate(d)(_ => (rc.nextGaussian() * 3 + 0.2 * rd.nextGaussian()).toFloat)
-      }
+      val qs = Seq.tabulate(50)(i =>
+        clusteredPoint(i % 37, i * 131L + 7, d, jitter = 0.2))
       def timeDriver(label: String, reps: Int = 7)(f: => Unit): Double = {
         f // warm
         val ts = Seq.fill(reps) {
@@ -142,12 +151,7 @@ object R16Scale {
       // floor as a forced one-level router at the same probe width.
       val rd2 = 32
       val nClusters = 2000
-      val mkVec = udf { (id: Long) =>
-        val c = (id % nClusters).toInt
-        val rc = new scala.util.Random(c * 9176L + 31)
-        val rr = new scala.util.Random(id * 2654435761L + 13)
-        Array.tabulate(rd2)(_ => (rc.nextGaussian() * 3 + 0.3 * rr.nextGaussian()).toFloat)
-      }
+      val mkVec = clusteredVecUdf(nClusters, rd2)
       val n = 1000000L
       val tmp = java.nio.file.Files.createTempDirectory("graft_r16_router").toString
       val base = spark.range(n).select(col("id"), mkVec(col("id")).as("vec"))
@@ -161,12 +165,7 @@ object R16Scale {
             "shard_assign" -> "spatial"), s"$tmp/rt")
       }
       idx.persist()
-      val qs2 = Seq.tabulate(50) { i =>
-        val c = (i * 37) % nClusters
-        val rc = new scala.util.Random(c * 9176L + 31)
-        val rr = new scala.util.Random(i * 7717L + 5)
-        Array.tabulate(rd2)(_ => (rc.nextGaussian() * 3 + 0.3 * rr.nextGaussian()).toFloat)
-      }
+      val qs2 = clusteredQueries(50, nClusters, rd2)
       def hits(): Map[Int, Set[Long]] = {
         idx.searchBatch(qs2, 10).count() // per-setting warm pass
         measured(s"router batch 50q n=$n shards=400 " +
@@ -199,12 +198,7 @@ object R16Scale {
       val d = 64
       val perShard = 25000
       val nClusters = 2000
-      val mkVec = udf { (id: Long) =>
-        val c = (id % nClusters).toInt
-        val rc = new scala.util.Random(c * 9176L + 31)
-        val rr = new scala.util.Random(id * 2654435761L + 13)
-        Array.tabulate(d)(_ => (rc.nextGaussian() * 3 + 0.3 * rr.nextGaussian()).toFloat)
-      }
+      val mkVec = clusteredVecUdf(nClusters, d)
       val n = 40L * perShard
       val tmp = java.nio.file.Files.createTempDirectory("graft_r16_cdc").toString
       val base = spark.range(n).select(col("id"), mkVec(col("id")).as("vec"))
@@ -217,12 +211,7 @@ object R16Scale {
             "build_complexity" -> "64", "shards" -> "40",
             "shard_assign" -> "spatial"), s"$tmp/cdc")
       }
-      val qs = Seq.tabulate(50) { i =>
-        val c = (i * 37) % nClusters
-        val rc = new scala.util.Random(c * 9176L + 31)
-        val rr = new scala.util.Random(i * 7717L + 5)
-        Array.tabulate(d)(_ => (rc.nextGaussian() * 3 + 0.3 * rr.nextGaussian()).toFloat)
-      }
+      val qs = clusteredQueries(50, nClusters, d)
       def recallRouted(label: String): Double = {
         idx.persist()
         def hits(): Map[Int, Set[Long]] = idx.searchBatch(qs, 10).collect()
