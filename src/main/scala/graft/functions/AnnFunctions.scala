@@ -24,6 +24,12 @@ object AnnFunctions {
 
   def cosine_similarity(a: Column, b: Column): Column = col(CosineSimilarity(expr(a), expr(b)))
 
+  /** ColBERT MaxSim of a query token bag against a doc token bag — one
+    * codegen'd loop nest, no per-pair array materialization (see
+    * [[MaxSimScore]]). */
+  def maxsim_score(queryVecs: Column, docVecs: Column): Column =
+    col(MaxSimScore(expr(queryVecs), expr(docVecs)))
+
   /** Pack an ARRAY<FLOAT> column's sign bits, 8 dims/byte (see [[Bq]]). */
   def bq_encode(c: Column): Column = Bq.encodeUdf(c)
 

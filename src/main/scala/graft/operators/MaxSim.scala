@@ -31,10 +31,13 @@ object MaxSim {
   /** MaxSim score of one dynamic query-vectors column against a
     * doc-vectors column: left-to-right fold over query tokens of the max
     * inner product over doc tokens (NULL if either bag is NULL; NULL max
-    * on an empty doc bag — callers filter empties at the edge). */
+    * on an empty doc bag — callers filter empties at the edge). Native
+    * codegen expression ([[graft.functions.MaxSimScore]]) — value-identical
+    * to the former `aggregate`/`array_max`/`transform` composition, which
+    * materialized one array per (row, query-token) and dominated the
+    * line's GC. */
   def score(queryVecs: Column, docVecs: Column): Column =
-    aggregate(queryVecs, lit(0.0),
-      (acc, qv) => acc + array_max(transform(docVecs, dv => inner_product(qv, dv))))
+    maxsim_score(queryVecs, docVecs)
 
   /** MaxSim score for a FIXED query (literal token vectors), summed in
     * query-token order. */
@@ -63,7 +66,8 @@ object MaxSim {
     TopK.global(
         docs.filter(nonEmpty(col(vecsCol)))
           .withColumn("_maxsim", scoreLit(query, col(vecsCol)))
-          .withColumn("__neg", -col("_maxsim")),
+          .withColumn("__neg", -col("_maxsim"))
+          .select(col(idCol), col("_maxsim"), col("__neg")), // vecs out of the sort
         "__neg", k, idCol)
       .select(col(idCol), col("_maxsim"))
 
@@ -81,6 +85,11 @@ object MaxSim {
       .crossJoin(broadcast(q))
       .withColumn("_maxsim", score(col(queryVecsCol), col(docVecsCol)))
       .withColumn("__neg", -col("_maxsim"))
+      // prune the token bags BEFORE the heap: TopK.grouped round-trips its
+      // input through external Rows (Encoders.row), so every surviving
+      // column is boxed per scored row — carrying |Q|+|D| vectors through
+      // it dominated the line's GC (r16)
+      .select(col(queryIdCol), col(docIdCol), col("_maxsim"), col("__neg"))
     TopK.groupedWithRank(scored, queryIdCol, "__neg", docIdCol, k, "rank")
       .select(col(queryIdCol), col("rank"), col(docIdCol), col("_maxsim"))
   }
@@ -102,6 +111,7 @@ object MaxSim {
         .select(col(queryIdCol), col(queryVecsCol))), Seq(queryIdCol))
       .withColumn("_maxsim", score(col(queryVecsCol), col(docVecsCol)))
       .withColumn("__neg", -col("_maxsim"))
+      .select(col(queryIdCol), col(docIdCol), col("_maxsim"), col("__neg"))
     TopK.groupedWithRank(pairs, queryIdCol, "__neg", docIdCol, k, "rank")
       .select(col(queryIdCol), col("rank"), col(docIdCol), col("_maxsim"))
   }

@@ -56,6 +56,32 @@ class CodegenCompileSpec extends AnyFunSuite {
     }
   }
 
+  test("MaxSimScore compiles for every nested-array nullability shape and both element types") {
+    def bag(ordinal: Int, nullable: Boolean, outerCN: Boolean,
+            innerCN: Boolean, elem: DataType): BoundReference =
+      BoundReference(ordinal,
+        ArrayType(ArrayType(elem, innerCN), outerCN), nullable)
+    for {
+      n <- Seq(false, true)
+      ocn <- Seq(false, true)
+      icn <- Seq(false, true)
+      elem <- Seq[DataType](FloatType, DoubleType)
+    } {
+      val q = bag(0, n, ocn, icn, elem)
+      val d = bag(1, n, ocn, icn, elem)
+      assertCompiles(s"MaxSimScore(n=$n,ocn=$ocn,icn=$icn,$elem)",
+        MaxSimScore(q, d))
+    }
+    // mixed shapes: the fast path requires BOTH sides clean — one dirty
+    // side must still compile down the general path
+    assertCompiles("MaxSimScore(mixed fast/general)",
+      MaxSimScore(bag(0, false, false, false, FloatType),
+        bag(1, false, true, false, FloatType)))
+    assertCompiles("MaxSimScore(mixed float/double)",
+      MaxSimScore(bag(0, false, false, false, FloatType),
+        bag(1, false, false, false, DoubleType)))
+  }
+
   test("quantized-code distances compile for every query nullability shape") {
     val mins = Array.fill(8)(0f); val scales = Array.fill(8)(1f)
     val books = Pq.Codebooks(2, 4, 4, Array.fill(2 * 4 * 4)(0.5f))

@@ -107,4 +107,50 @@ class MaxSimSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"query side must broadcast:\n$plan")
   }
+
+  test("native maxsim_score is value-identical to the HOF composition on adversarial inputs") {
+    // the composition MaxSim.score replaced in r16 — kept here as the
+    // semantics oracle (nulls at every level, NaN ordering, -0.0 vs 0.0,
+    // empty bags)
+    def hofScore(q: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
+      aggregate(q, lit(0.0), (acc, qv) =>
+        acc + array_max(transform(d, dv =>
+          graft.functions.AnnFunctions.inner_product(qv, dv))))
+    val f = Float.NaN
+    val rows: Seq[(Int, Seq[Seq[Float]], Seq[Seq[Float]])] = Seq(
+      (0, Seq(Seq(1f, 2f), Seq(0.5f, -1f)), Seq(Seq(3f, 4f), Seq(-1f, 0f))),
+      (1, Seq.empty, Seq(Seq(1f, 2f))),            // empty Q -> 0.0
+      (2, Seq(Seq(1f, 2f)), Seq.empty),            // empty D -> null
+      (3, null, Seq(Seq(1f, 2f))),                 // null Q -> null
+      (4, Seq(Seq(1f, 2f)), null),                 // null D -> null
+      (5, Seq.empty, null),                        // empty Q beats null D -> 0.0
+      (6, Seq(Seq(f, 1f)), Seq(Seq(1f, 1f))),      // NaN dot -> NaN total
+      (7, Seq(Seq(1f, 1f)), Seq(Seq(f, 0f), Seq(1f, 1f))), // NaN doc wins max
+      (8, Seq(Seq(0f, 0f)), Seq(Seq(-0f, 1f), Seq(0f, -1f))), // -0.0 vs 0.0 ties
+      (9, Seq(null, Seq(1f, 2f)), Seq(Seq(1f, 1f))),  // null q token -> null
+      (10, Seq(Seq(1f, 2f)), Seq(null, Seq(2f, 1f)))) // null d token skipped
+    val df = rows.toDF("id", "q", "d")
+    val both = df.select(col("id"),
+        graft.functions.AnnFunctions.maxsim_score(col("q"), col("d")).as("native"),
+        hofScore(col("q"), col("d")).as("hof"))
+      .collect()
+    both.foreach { r =>
+      val n = if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))
+      val h = if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2))
+      // compare bit patterns so NaN == NaN and -0.0 != 0.0
+      def bits(x: java.lang.Double) =
+        if (x == null) null else java.lang.Long.valueOf(java.lang.Double.doubleToRawLongBits(x))
+      assert(bits(n) == bits(h), s"row ${r.getInt(0)}: native=$n hof=$h")
+    }
+    // dim mismatch throws on both paths (inner_product contract)
+    val bad = Seq((0, Seq(Seq(1f, 2f)), Seq(Seq(1f, 2f, 3f)))).toDF("id", "q", "d")
+    intercept[Exception](bad.select(
+      graft.functions.AnnFunctions.maxsim_score(col("q"), col("d"))).collect())
+    // null q ELEMENT inside a token vector -> null (every dot nulls)
+    val qe = Seq((0, Seq(Seq[java.lang.Float](1f, null)), Seq(Seq(1f, 2f))))
+      .toDF("id", "q", "d")
+    val r = qe.select(
+      graft.functions.AnnFunctions.maxsim_score(col("q"), col("d"))).head()
+    assert(r.isNullAt(0))
+  }
 }
