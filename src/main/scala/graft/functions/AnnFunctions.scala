@@ -74,5 +74,6 @@ object AnnFunctions {
     r.createOrReplaceTempFunction("array_cosine_similarity", es => CosineSimilarity(es(0), es(1)), "scala_udf")
     r.createOrReplaceTempFunction("list_cosine_similarity", es => CosineSimilarity(es(0), es(1)), "scala_udf")
     r.createOrReplaceTempFunction("normalize_vector", es => NormalizeVector(es(0)), "scala_udf")
+    r.createOrReplaceTempFunction("maxsim_score", es => MaxSimScore(es(0), es(1)), "scala_udf")
   }
 }

@@ -141,7 +141,9 @@ object VectorQueries {
         graft.operators.MaxSim.meanPool(col("qvecs")).as("__pq"))
       val cands = graft.operators.TopK.groupedWithRank(
         pooledDocs.crossJoin(broadcast(pq))
-          .withColumn("__neg", -inner_product(col("__pv"), col("__pq"))),
+          .withColumn("__neg", -inner_product(col("__pv"), col("__pq")))
+          // token bags and pooled vecs out before the object-encoded heap
+          .select("query_idx", "doc_id", "__neg"),
         "query_idx", "__neg", "doc_id", 30, "c_rank")
       graft.operators.MaxSim.rerank(cands, qdf, "query_idx", "qvecs",
           docs, "doc_id", "vecs", K)

@@ -58,6 +58,15 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(d.head.getInt(0) == 1 && d.head.getDouble(1) == 0.0)
   }
 
+  test("SQL registration: maxsim_score over nested array literals") {
+    AnnFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT maxsim_score(
+        |  array(array(1.0D, 0.0D), array(0.0D, 1.0D)),
+        |  array(array(2.0D, 0.0D), array(0.0D, 3.0D))) AS s""".stripMargin).head()
+    assert(r.getDouble(0) == 5.0) // max(2,0) + max(0,3)
+  }
+
   test("expressions agree with plain-Scala kernels on random vectors") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
