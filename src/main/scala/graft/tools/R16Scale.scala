@@ -256,10 +256,47 @@ object R16Scale {
       base.unpersist()
     }
 
+    // ---- coarse-graph build params: does routing need R=32/L=64? ---------
+    // The coarse build is single-threaded Vamana insertion (deterministic);
+    // at 40k shards it reads ~11 s, projected minutes at 100k x d768. The
+    // query side only needs coarse RECALL (beam floor 48 + overscan), so
+    // measure build time and flat-scan agreement across param tiers.
+    def routerBuildArm(): Unit = {
+      import graft.index.{ShardSummaries, Vamana}
+      val d = 64
+      for (nShards <- Seq(4000, 40000)) {
+        val nSites = math.max(1, nShards / 20)
+        val sums = Array.tabulate(nShards)(i => ShardSummaries.Summary(i, 1000L,
+          clusteredPoint(i % nSites, i * 7717L + 5, d, jitter = 0.2)))
+        val flat = ShardSummaries.Router.build(sums, "l2",
+          coarseThreshold = Int.MaxValue, overscan = 4)
+        val qs = Seq.tabulate(50)(i => clusteredPoint(i % 37, i * 131L + 7, d, jitter = 0.2))
+        for ((r, l) <- Seq((32, 64), (24, 48), (16, 32), (12, 24))) {
+          val cents = sums.map(_.centroid)
+          val t0 = System.nanoTime()
+          val g = Vamana.buildShard(Array.tabulate(nShards)(_.toLong), cents,
+            Vamana.Params(maxDegree = r, buildComplexity = l, alpha = 1.2), "l2")
+          val buildMs = (System.nanoTime() - t0) / 1e6
+          // query through the same beam the Router uses (s=8, overscan 4 -> l=48)
+          val dist = graft.functions.VectorKernels.orderingDistance("l2") _
+          val s = 8
+          val agree = qs.map { q =>
+            val pool = Vamana.beamSearchPool(g, q, 48, dist)
+            val got = (0 until math.min(s, pool.size)).map(j => pool.labels(j)).toSet
+            val want = flat.topShards(q, s).toSet
+            want.intersect(got.map(x => x)).size.toDouble / want.size
+          }.sum / qs.size
+          println(f"[r16-scale] coarse build shards=$nShards R=$r L=$l " +
+            f"build=${buildMs}%9.1f ms agreement(s=8)=$agree%.3f")
+        }
+      }
+    }
+
     println(s"[r16-scale] mode=$mode cpus=$cpus " +
       s"driver_heap_gb=${Runtime.getRuntime.maxMemory() / (1L << 30)}")
     if (mode == "all" || mode == "router") routerArm()
     if (mode == "all" || mode == "cdc") cdcArm()
+    if (mode == "routerbuild") routerBuildArm()
     spark.stop()
   }
 }

@@ -360,4 +360,31 @@ class ShardRoutingSpec extends SparkSpec {
     val got = routed.topShards(probe, 40)
     assert(got.length == 40 && got.distinct.length == 40)
   }
+
+  test("two-level Router routes by dot product on a cosine index") {
+    // cosine summaries are L2-normalized at write time (ShardSummaries
+    // contract); the coarse graph must rank by the same 1-dot ordering
+    val rnd = new scala.util.Random(11)
+    val sums = Array.tabulate(600) { i =>
+      val raw = Array.tabulate(8)(k =>
+        (math.cos(i % 24 * 0.26 + k) + rnd.nextGaussian() * 0.05).toFloat)
+      ShardSummaries.Summary(i, 10L,
+        graft.functions.VectorKernels.normalize(raw))
+    }
+    val flat = ShardSummaries.Router.build(sums, "cosine",
+      coarseThreshold = Int.MaxValue, overscan = 4)
+    val routed = ShardSummaries.Router.build(sums, "cosine",
+      coarseThreshold = 256, overscan = 4)
+    assert(routed.coarse.isDefined)
+    for (qi <- Seq(3, 9, 17)) {
+      val q = sums(qi * 20).centroid
+      // full width bypass == flat ranking (exact-compat)
+      assert(routed.topShards(q, 600).toSeq == flat.topShards(q, 600).toSeq)
+      // serving width: high agreement with the flat dot-product ranking
+      val want = flat.topShards(q, 8).toSet
+      val got = routed.topShards(q, 8).toSet
+      assert(want.intersect(got).size >= 7,
+        s"cosine coarse routing diverged: $got vs $want")
+    }
+  }
 }
