@@ -500,12 +500,19 @@ case class MaxSimScore(left: Expression, right: Expression)
     var total = 0.0
     var i = 0
     while (i < nq) {
+      // a WHOLLY null query token short-circuits with no dim checks
+      // (inner_product's null-safe eval never ran); a token with a null
+      // ELEMENT must still dim-check every non-null doc token first —
+      // inner_product checks dims BEFORE null elements, so the old
+      // composition threw on a mismatched pair even when the dot would
+      // have been null
       if (outerMayNull(left) && q.isNullAt(i)) return null
       val qv = q.getArray(i)
       val dim = qv.numElements()
+      var qHasNull = false
       if (qInner) {
         var k = 0
-        while (k < dim) { if (qv.isNullAt(k)) return null; k += 1 }
+        while (k < dim && !qHasNull) { if (qv.isNullAt(k)) qHasNull = true; k += 1 }
       }
       var best = 0.0
       var found = false
@@ -515,7 +522,8 @@ case class MaxSimScore(left: Expression, right: Expression)
         if (!skip) {
           val dv = docs.getArray(j)
           if (dv.numElements() != dim) throw dimError(dim, dv.numElements())
-          if (dInner) {
+          if (qHasNull) skip = true
+          if (dInner && !skip) {
             var k = 0
             while (k < dim && !skip) { if (dv.isNullAt(k)) skip = true; k += 1 }
           }
@@ -608,11 +616,16 @@ case class MaxSimScore(left: Expression, right: Expression)
       val qGet = if (qf) s"((double) $qv.getFloat($k))" else s"$qv.getDouble($k)"
       val dGet = if (df) s"((double) $dv.getFloat($k))" else s"$dv.getDouble($k)"
       val skip = ctx.freshName("skip")
-      val qNullScan = if (!innerMayNull(left)) "" else
-        s"""for (int $k = 0; $k < $dim && !$bail; $k++) {
-           |  if ($qv.isNullAt($k)) $bail = true;
-           |}
-           |if ($bail) break;""".stripMargin
+      val qHasNull = ctx.freshName("qHasNull")
+      // a token with a null ELEMENT must still dim-check every non-null
+      // doc token (inner_product checks dims BEFORE null elements — the
+      // composition threw on a mismatched pair even when the dot would
+      // have been null); only a WHOLLY null token short-circuits
+      val qNullScan = if (!innerMayNull(left)) s"final boolean $qHasNull = false;" else
+        s"""boolean $qHasNull = false;
+           |for (int $k = 0; $k < $dim && !$qHasNull; $k++) {
+           |  if ($qv.isNullAt($k)) $qHasNull = true;
+           |}""".stripMargin
       val qOuterCheck = if (!outerMayNull(left)) "" else
         s"if (${qGen.value}.isNullAt($i)) { $bail = true; break; }"
       val dOuterCheck = if (!outerMayNull(right)) "false" else
@@ -637,6 +650,7 @@ case class MaxSimScore(left: Expression, right: Expression)
          |      if ($dv.numElements() != $dim) {
          |        ${throwDim.format(s"$dv.numElements()")}
          |      }
+         |      if ($qHasNull) $skip = true;
          |      $dNullScan
          |      if (!$skip) {
          |        double $acc = 0.0;

@@ -40,11 +40,12 @@ object MaxSim {
     maxsim_score(queryVecs, docVecs)
 
   /** MaxSim score for a FIXED query (literal token vectors), summed in
-    * query-token order. */
+    * query-token order. Same native kernel as [[score]] — the fold start
+    * is immaterial (0.0 + a == a bit-exact here: inner_product accumulates
+    * from +0.0, so a dot can never be -0.0). */
   def scoreLit(query: Seq[Array[Double]], docVecs: Column): Column = {
     require(query.nonEmpty, "query must have at least one token vector")
-    query.map(q => array_max(transform(docVecs, dv => inner_product(dv, typedLit(q)))))
-      .reduce(_ + _)
+    maxsim_score(typedLit(query.map(_.toSeq)), docVecs)
   }
 
   /** Mean-pool a bag of token vectors into one DOUBLE vector — the
@@ -67,7 +68,9 @@ object MaxSim {
         docs.filter(nonEmpty(col(vecsCol)))
           .withColumn("_maxsim", scoreLit(query, col(vecsCol)))
           .withColumn("__neg", -col("_maxsim"))
-          .select(col(idCol), col("_maxsim"), col("__neg")), // vecs out of the sort
+          .select(col(idCol), col("_maxsim"), col("__neg")) // vecs out of the sort
+          // asc-sort puts NULLs first — an all-null bag would TOP the list
+          .filter(col("_maxsim").isNotNull),
         "__neg", k, idCol)
       .select(col(idCol), col("_maxsim"))
 
@@ -90,6 +93,9 @@ object MaxSim {
       // column is boxed per scored row — carrying |Q|+|D| vectors through
       // it dominated the line's GC (r16)
       .select(col(queryIdCol), col(docIdCol), col("_maxsim"), col("__neg"))
+      // a NULL score (all-null token bag that passed the nonEmpty edge
+      // filter) can never rank — drop it here rather than NPE the heap
+      .filter(col("_maxsim").isNotNull)
     TopK.groupedWithRank(scored, queryIdCol, "__neg", docIdCol, k, "rank")
       .select(col(queryIdCol), col("rank"), col(docIdCol), col("_maxsim"))
   }
@@ -112,6 +118,7 @@ object MaxSim {
       .withColumn("_maxsim", score(col(queryVecsCol), col(docVecsCol)))
       .withColumn("__neg", -col("_maxsim"))
       .select(col(queryIdCol), col(docIdCol), col("_maxsim"), col("__neg"))
+      .filter(col("_maxsim").isNotNull) // all-null bags can't rank (see searchTable)
     TopK.groupedWithRank(pairs, queryIdCol, "__neg", docIdCol, k, "rank")
       .select(col(queryIdCol), col("rank"), col(docIdCol), col("_maxsim"))
   }

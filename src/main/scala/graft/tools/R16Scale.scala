@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   *    fast path: ~0 when coverage is already complete and exact).
   *
   * Run: SPARK_DRIVER_MEM=24g sbt -batch "runMain graft.tools.R16Scale [mode]"
-  * mode: all|router|cdc
+  * mode: all|router|cdc — plus the standalone diagnostic `routerbuild`
+  * (coarse-graph param tiers: build time vs flat-scan agreement; excluded
+  * from `all` because its 40k-shard graph builds take ~20 s of pure
+  * driver CPU and the committed conclusion is a kept default).
   */
 object R16Scale {
 
@@ -284,7 +287,7 @@ object R16Scale {
             val pool = Vamana.beamSearchPool(g, q, 48, dist)
             val got = (0 until math.min(s, pool.size)).map(j => pool.labels(j)).toSet
             val want = flat.topShards(q, s).toSet
-            want.intersect(got.map(x => x)).size.toDouble / want.size
+            want.intersect(got).size.toDouble / want.size
           }.sum / qs.size
           println(f"[r16-scale] coarse build shards=$nShards R=$r L=$l " +
             f"build=${buildMs}%9.1f ms agreement(s=8)=$agree%.3f")

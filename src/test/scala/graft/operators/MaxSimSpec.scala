@@ -152,5 +152,43 @@ class MaxSimSpec extends SparkSpec {
     val r = qe.select(
       graft.functions.AnnFunctions.maxsim_score(col("q"), col("d"))).head()
     assert(r.isNullAt(0))
+    // null q ELEMENT + a dim-mismatched doc token: inner_product checks
+    // dims BEFORE null elements, so this must THROW (not return null) —
+    // exactly as the HOF composition did
+    val qeBad = Seq((0, Seq(Seq[java.lang.Float](1f, null)), Seq(Seq(1f, 2f, 3f))))
+      .toDF("id", "q", "d")
+    intercept[Exception](qeBad.select(
+      graft.functions.AnnFunctions.maxsim_score(col("q"), col("d"))).collect())
+  }
+
+  test("float fast path (non-nullable schema) matches the scalar reference") {
+    // toDF infers containsNull=true everywhere, which routes MaxSimScore
+    // down the GENERAL codegen path — build an explicitly non-nullable
+    // nested-float schema so the scratch-reuse fast path actually runs
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("q", ArrayType(ArrayType(FloatType, false), false), nullable = false),
+      StructField("d", ArrayType(ArrayType(FloatType, false), false), nullable = false)))
+    val rnd2 = new scala.util.Random(23)
+    def bag(n: Int, d: Int) = Seq.fill(n)(Seq.fill(d)(rnd2.nextFloat() * 2 - 1))
+    val data = Seq.tabulate(40)(i =>
+      Row(i.toLong, bag(2 + i % 3, 16), bag(1 + i % 5, 16)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 4), schema)
+    val got = df.select(col("id"),
+        graft.functions.AnnFunctions.maxsim_score(col("q"), col("d")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    data.foreach { row =>
+      val id = row.getLong(0)
+      val q = row.getSeq[Seq[Float]](1)
+      val d = row.getSeq[Seq[Float]](2)
+      val want = q.map(qv =>
+        d.map(dv => qv.zip(dv).map { case (a, b) => a.toDouble * b.toDouble }.sum).max).sum
+      assert(math.abs(got(id) - want) < 1e-9, s"id=$id got=${got(id)} want=$want")
+    }
+    // varying doc-bag sizes across rows exercise the scratch-reuse resize
+    assert(got.size == 40)
   }
 }
