@@ -361,6 +361,32 @@ class ShardRoutingSpec extends SparkSpec {
     assert(got.length == 40 && got.distinct.length == 40)
   }
 
+  test("Router survives a Java serialization round-trip (the table-path broadcast contract)") {
+    val rnd = new scala.util.Random(3)
+    val sums = Array.tabulate(500)(i => ShardSummaries.Summary(i, 10L,
+      Array.fill(4)((rnd.nextGaussian() * (i % 10)).toFloat)))
+    val router = ShardSummaries.Router.build(sums, "l2",
+      coarseThreshold = 256, overscan = 4)
+    assert(router.coarse.isDefined)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(router); oos.close(); bos.toByteArray
+    }
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes)).readObject()
+      .asInstanceOf[ShardSummaries.Router]
+    for (qi <- Seq(1, 7, 42); s <- Seq(4, 8, 500)) {
+      val q = sums(qi * 9).centroid
+      assert(back.topShards(q, s).toSeq == router.topShards(q, s).toSeq,
+        s"round-trip diverged at q=$qi s=$s")
+    }
+    // shared-array dedup: the graph's vectors ARE the centroid arrays
+    // (identity-shared refs), so Java serialization writes each centroid
+    // once — the broadcast payload is O(shards×dim), not 2×
+    assert(router.coarse.get.graph.vectors(0) eq router.centroids(0))
+  }
+
   test("two-level Router routes by dot product on a cosine index") {
     // cosine summaries are L2-normalized at write time (ShardSummaries
     // contract); the coarse graph must rank by the same 1-dot ordering
