@@ -633,7 +633,11 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         cached.threshold == threshold && cached.overscan == overscan)
       return cached.router
     val built = routingSummaries.map(covered =>
-      ShardSummaries.Router.build(covered, meta.metric, threshold, overscan))
+      // cachePath: the coarse graph persists next to summaries.bin
+      // (digest-validated), so a fresh driver skips the single-threaded
+      // rebuild — once per summaries version, not per session
+      ShardSummaries.Router.build(covered, meta.metric, threshold, overscan,
+        cachePath = Some(path)))
     // store only if no invalidation landed while building — a racing
     // mutation's version bump must win (the stale router is still
     // RETURNED for this in-flight call, which read its summaries before

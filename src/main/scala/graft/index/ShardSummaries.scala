@@ -284,6 +284,84 @@ object ShardSummaries {
     final case class Coarse(graph: Vamana.Shard,
                             graphShards: Array[Int]) extends Serializable
 
+    private val CacheMagic = 0x47525452 // "GRTR"
+    private val CacheVersion = 1
+
+    def cacheFilePath(indexPath: String): java.nio.file.Path =
+      java.nio.file.Paths.get(indexPath, "router.bin")
+
+    /** Content digest (FNV-1a over shard ids, row counts, and centroid
+      * bits) of the covered summary set a coarse graph was built from —
+      * ANY membership or centroid change invalidates the cache. A stale
+      * or corrupt cache can only cost a rebuild, never a wrong answer
+      * (mismatch → rebuild; the exact-compat full-width path never
+      * touches the coarse level at all). */
+    def digest(sums: Array[Summary]): Long = {
+      var h = 0xcbf29ce484222325L
+      @inline def mix(x: Long): Unit = { h ^= x; h *= 0x100000001b3L }
+      mix(sums.length.toLong)
+      var i = 0
+      while (i < sums.length) {
+        val s = sums(i)
+        mix(s.shard.toLong); mix(s.nrows)
+        var j = 0
+        while (j < s.centroid.length) {
+          mix(java.lang.Float.floatToRawIntBits(s.centroid(j)).toLong & 0xffffffffL)
+          j += 1
+        }
+        i += 1
+      }
+      h
+    }
+
+    /** Persist a built coarse graph next to summaries.bin (atomic tmp +
+      * rename) so a FRESH DRIVER skips the single-threaded rebuild — at
+      * the 100k×d768 shape that is minutes per driver restart, paid once
+      * per summaries version instead. Best-effort: failure only costs the
+      * amortization. */
+    private[index] def writeCache(indexPath: String, dig: Long,
+                                  coarse: Coarse): Unit = {
+      val dir = java.nio.file.Paths.get(indexPath)
+      if (!java.nio.file.Files.isDirectory(dir)) return
+      val tmp = dir.resolve("router.bin.tmp")
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        java.nio.file.Files.newOutputStream(tmp), 1 << 16))
+      try {
+        out.writeInt(CacheMagic); out.writeInt(CacheVersion)
+        out.writeLong(dig)
+        out.writeInt(coarse.graphShards.length)
+        var i = 0
+        while (i < coarse.graphShards.length) {
+          out.writeInt(coarse.graphShards(i)); i += 1
+        }
+        Vamana.ShardSpillCodec.write(coarse.graph, out)
+      } finally out.close()
+      java.nio.file.Files.move(tmp, cacheFilePath(indexPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    /** Read the persisted coarse graph iff its digest matches the live
+      * summary set; None on absence, mismatch, or corruption (→ rebuild). */
+    private[index] def readCache(indexPath: String, dig: Long): Option[Coarse] = {
+      val p = cacheFilePath(indexPath)
+      if (!java.nio.file.Files.exists(p)) return None
+      try {
+        val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+          java.nio.file.Files.newInputStream(p), 1 << 16))
+        try {
+          if (in.readInt() != CacheMagic || in.readInt() != CacheVersion) return None
+          if (in.readLong() != dig) return None
+          val n = in.readInt()
+          val gs = new Array[Int](n)
+          var i = 0
+          while (i < n) { gs(i) = in.readInt(); i += 1 }
+          val graph = Vamana.ShardSpillCodec.read(in).asInstanceOf[Vamana.Shard]
+          if (graph.ids.length != n) None else Some(Coarse(graph, gs))
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
     private[index] def hasNaN(v: Array[Float]): Boolean = {
       var i = 0
       while (i < v.length) {
@@ -310,7 +388,8 @@ object ShardSummaries {
     private val MinUsableGraph = 8 * 48 + 1
 
     def build(sums: Array[Summary], metric: String,
-              coarseThreshold: Int, overscan: Int): Router = {
+              coarseThreshold: Int, overscan: Int,
+              cachePath: Option[String] = None): Router = {
       val shards = sums.map(_.shard)
       val cents = sums.map(_.centroid)
       val n = shards.length
@@ -320,12 +399,22 @@ object ShardSummaries {
       val keep = (0 until n).filterNot(i => hasNaN(cents(i))).toArray
       if (keep.length < MinUsableGraph) // poisoned summary set: stay flat
         return new Router(shards, cents, metric, None, overscan)
-      val graph = Vamana.buildShard(
-        keep.map(_.toLong), keep.map(cents),
-        Vamana.Params(maxDegree = 32, buildComplexity = 64, alpha = 1.2),
-        metric)
-      new Router(shards, cents, metric,
-        Some(Coarse(graph, keep.map(shards))), overscan)
+      val dig = cachePath.map(_ => digest(sums))
+      val cached = for {
+        p <- cachePath; d <- dig; c <- readCache(p, d)
+      } yield c
+      val coarse = cached.getOrElse {
+        val graph = Vamana.buildShard(
+          keep.map(_.toLong), keep.map(cents),
+          Vamana.Params(maxDegree = 32, buildComplexity = 64, alpha = 1.2),
+          metric)
+        val c = Coarse(graph, keep.map(shards))
+        for (p <- cachePath; d <- dig)
+          try writeCache(p, d, c)
+          catch { case scala.util.control.NonFatal(_) => () } // amortization only
+        c
+      }
+      new Router(shards, cents, metric, Some(coarse), overscan)
     }
   }
 }

@@ -292,6 +292,17 @@ object R16Scale {
           println(f"[r16-scale] coarse build shards=$nShards R=$r L=$l " +
             f"build=${buildMs}%9.1f ms agreement(s=8)=$agree%.3f")
         }
+        // persisted router.bin: cold (build + write) vs a fresh driver's
+        // digest-validated read — the per-driver-restart amortization
+        val dir = java.nio.file.Files.createTempDirectory("graft_rb_cache").toString
+        val t0 = System.nanoTime()
+        ShardSummaries.Router.build(sums, "l2", 256, 4, cachePath = Some(dir))
+        val cold = (System.nanoTime() - t0) / 1e6
+        val t1 = System.nanoTime()
+        ShardSummaries.Router.build(sums, "l2", 256, 4, cachePath = Some(dir))
+        val warm = (System.nanoTime() - t1) / 1e6
+        println(f"[r16-scale] router.bin cache shards=$nShards " +
+          f"cold(build+write)=$cold%9.1f ms warm(read)=$warm%9.1f ms")
       }
     }
 

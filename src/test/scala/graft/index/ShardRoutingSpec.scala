@@ -387,6 +387,42 @@ class ShardRoutingSpec extends SparkSpec {
     assert(router.coarse.get.graph.vectors(0) eq router.centroids(0))
   }
 
+  test("Router coarse graph persists to router.bin and is digest-validated") {
+    val rnd = new scala.util.Random(19)
+    def mkSums(shift: Float) = Array.tabulate(500)(i =>
+      ShardSummaries.Summary(i, 10L,
+        Array.fill(4)((rnd.nextGaussian() * (i % 10)).toFloat + shift)))
+    val sums = mkSums(0f)
+    val dir = Files.createTempDirectory("graft_router_cache").toString
+    val cachePath = ShardSummaries.Router.cacheFilePath(dir)
+    // first build writes the cache
+    val r1 = ShardSummaries.Router.build(sums, "l2",
+      coarseThreshold = 256, overscan = 4, cachePath = Some(dir))
+    assert(r1.coarse.isDefined && Files.exists(cachePath))
+    val firstBytes = Files.readAllBytes(cachePath)
+    // a fresh build (new driver) reads it back: identical routing, file
+    // untouched (no rewrite on a hit)
+    val r2 = ShardSummaries.Router.build(sums, "l2",
+      coarseThreshold = 256, overscan = 4, cachePath = Some(dir))
+    for (qi <- Seq(2, 11, 47)) {
+      val q = sums(qi * 7).centroid
+      assert(r2.topShards(q, 8).toSeq == r1.topShards(q, 8).toSeq)
+    }
+    assert(java.util.Arrays.equals(firstBytes, Files.readAllBytes(cachePath)))
+    // changed summaries (a mutation) -> digest mismatch -> rebuild + rewrite
+    val moved = mkSums(5f)
+    val r3 = ShardSummaries.Router.build(moved, "l2",
+      coarseThreshold = 256, overscan = 4, cachePath = Some(dir))
+    assert(r3.coarse.isDefined)
+    assert(!java.util.Arrays.equals(firstBytes, Files.readAllBytes(cachePath)),
+      "mutated summaries must not serve the old cached graph")
+    // corruption degrades to a rebuild, never a throw
+    Files.write(cachePath, Array.fill[Byte](32)(7))
+    val r4 = ShardSummaries.Router.build(moved, "l2",
+      coarseThreshold = 256, overscan = 4, cachePath = Some(dir))
+    assert(r4.coarse.isDefined)
+  }
+
   test("two-level Router routes by dot product on a cosine index") {
     // cosine summaries are L2-normalized at write time (ShardSummaries
     // contract); the coarse graph must rank by the same 1-dot ordering
