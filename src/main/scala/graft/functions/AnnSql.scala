@@ -517,27 +517,36 @@ object AnnSql {
     }, "scala_udf")
 
     // ann_routing_info(name) → one row (name, engine, shard_assign,
-    // covered, live_shards, summarized_shards, probe_width) — whether
-    // shard routing (spark.ann.shardProbes) is USABLE on this index right
-    // now (graph engine + every live shard carries a routing summary) AND
-    // how stale it is: live vs summarized counts show the coverage gap's
-    // SIZE (an operator watching a CDC stream can alert on drift, not just
-    // on the boolean flipping), probe_width echoes the session's
-    // configured spark.ann.shardProbes (0 = routing off). covered=false
-    // after a crash-interrupted summary merge (searches silently
-    // walk-all) → ann_refresh_stats repairs.
+    // covered, live_shards, summarized_shards, probe_width, router_state,
+    // coarse_nodes, coarse_live, router_bin) — whether shard routing
+    // (spark.ann.shardProbes) is USABLE on this index right now (graph
+    // engine + every live shard carries a routing summary) AND how stale
+    // it is: live vs summarized counts show the coverage gap's SIZE (an
+    // operator watching a CDC stream can alert on drift, not just on the
+    // boolean flipping), probe_width echoes the session's configured
+    // spark.ann.shardProbes (0 = routing off). covered=false after a
+    // crash-interrupted summary merge (searches silently walk-all) →
+    // ann_refresh_stats repairs. The router_* columns surface the COARSE
+    // level's lifecycle (see AnnIndex.routerState): a rebuild storm under
+    // a CDC stream reads as router_state flapping to "stale" with
+    // router_bin "stale" per batch; healthy incremental upkeep reads as
+    // "graph"/"current" with coarse_nodes − coarse_live tombstones
+    // accumulating toward the compaction ceiling.
     r.createOrReplaceTempFunction("ann_routing_info", (exprs: Seq[Expression]) => {
       require(exprs.length == 1, "usage: ann_routing_info(name)")
       val name = constString(exprs(0))
       val idx = indexByName(spark, name)
       val (mode, live, summarized) = idx.routingStatus
+      val (routerSt, coarseNodes, coarseLive, routerBin) = idx.routerState
       val probeWidth = spark.conf.get("spark.ann.shardProbes", "0").toInt
       import spark.implicits._
       plan(Seq((name, idx.meta.engine, mode,
           idx.isGraphEngine && live > 0 && summarized == live,
-          live, summarized, probeWidth))
+          live, summarized, probeWidth,
+          routerSt, coarseNodes, coarseLive, routerBin))
         .toDF("name", "engine", "shard_assign", "covered",
-          "live_shards", "summarized_shards", "probe_width"))
+          "live_shards", "summarized_shards", "probe_width",
+          "router_state", "coarse_nodes", "coarse_live", "router_bin"))
     }, "scala_udf")
 
     // ann_rebalance(name[, max_cell_factor]) → one row (name, split) —

@@ -445,7 +445,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   *    never evaluates its lambda on an empty array);
   *  - non-empty Q with NULL or empty D → NULL (array_max of nothing);
   *  - a NULL query token (or one containing a NULL element) nulls every
-  *    dot for that token → NULL result;
+  *    dot for that token → NULL result; the fold still KEEPS GOING over
+  *    the remaining tokens (the aggregate composition folded a null
+  *    accumulator through every token), so a LATER token's dimension
+  *    mismatch still throws even when the result is already null;
   *  - a NULL doc token (or one containing a NULL element) is SKIPPED by
   *    the max (array_max ignores nulls); all docs skipped → NULL;
   *  - max uses Spark's ordering (ArrayMax's `gt`): NaN is largest,
@@ -498,56 +501,61 @@ case class MaxSimScore(left: Expression, right: Expression)
     val qInner = innerMayNull(left); val dInner = innerMayNull(right)
     val dOuter = outerMayNull(right)
     var total = 0.0
+    var nullResult = false
     var i = 0
     while (i < nq) {
-      // a WHOLLY null query token short-circuits with no dim checks
-      // (inner_product's null-safe eval never ran); a token with a null
-      // ELEMENT must still dim-check every non-null doc token first —
-      // inner_product checks dims BEFORE null elements, so the old
-      // composition threw on a mismatched pair even when the dot would
-      // have been null
-      if (outerMayNull(left) && q.isNullAt(i)) return null
-      val qv = q.getArray(i)
-      val dim = qv.numElements()
-      var qHasNull = false
-      if (qInner) {
-        var k = 0
-        while (k < dim && !qHasNull) { if (qv.isNullAt(k)) qHasNull = true; k += 1 }
-      }
-      var best = 0.0
-      var found = false
-      var j = 0
-      while (j < nd) {
-        var skip = dOuter && docs.isNullAt(j)
-        if (!skip) {
-          val dv = docs.getArray(j)
-          if (dv.numElements() != dim) throw dimError(dim, dv.numElements())
-          if (qHasNull) skip = true
-          if (dInner && !skip) {
-            var k = 0
-            while (k < dim && !skip) { if (dv.isNullAt(k)) skip = true; k += 1 }
-          }
-          if (!skip) {
-            var acc = 0.0
-            var k = 0
-            while (k < dim) {
-              val x = if (qf) qv.getFloat(k).toDouble else qv.getDouble(k)
-              val y = if (df) dv.getFloat(k).toDouble else dv.getDouble(k)
-              acc += x * y
-              k += 1
-            }
-            if (!found || java.lang.Double.compare(acc, best) > 0) {
-              best = acc; found = true
-            }
-          }
+      // a WHOLLY null query token skips its own dots with no dim checks
+      // (inner_product's null-safe eval never ran for that token) but
+      // does NOT end the fold — the composition carried a null
+      // accumulator through the REMAINING tokens, whose dim checks still
+      // run (and can throw). A token with a null ELEMENT must likewise
+      // dim-check every non-null doc token first — inner_product checks
+      // dims BEFORE null elements, so the old composition threw on a
+      // mismatched pair even when the dot would have been null.
+      if (outerMayNull(left) && q.isNullAt(i)) nullResult = true
+      else {
+        val qv = q.getArray(i)
+        val dim = qv.numElements()
+        var qHasNull = false
+        if (qInner) {
+          var k = 0
+          while (k < dim && !qHasNull) { if (qv.isNullAt(k)) qHasNull = true; k += 1 }
         }
-        j += 1
+        var best = 0.0
+        var found = false
+        var j = 0
+        while (j < nd) {
+          var skip = dOuter && docs.isNullAt(j)
+          if (!skip) {
+            val dv = docs.getArray(j)
+            if (dv.numElements() != dim) throw dimError(dim, dv.numElements())
+            if (qHasNull) skip = true
+            if (dInner && !skip) {
+              var k = 0
+              while (k < dim && !skip) { if (dv.isNullAt(k)) skip = true; k += 1 }
+            }
+            if (!skip) {
+              var acc = 0.0
+              var k = 0
+              while (k < dim) {
+                val x = if (qf) qv.getFloat(k).toDouble else qv.getDouble(k)
+                val y = if (df) dv.getFloat(k).toDouble else dv.getDouble(k)
+                acc += x * y
+                k += 1
+              }
+              if (!found || java.lang.Double.compare(acc, best) > 0) {
+                best = acc; found = true
+              }
+            }
+          }
+          j += 1
+        }
+        if (!found) nullResult = true
+        else total += best
       }
-      if (!found) return null
-      total += best
       i += 1
     }
-    total
+    if (nullResult) null else total
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -620,14 +628,16 @@ case class MaxSimScore(left: Expression, right: Expression)
       // a token with a null ELEMENT must still dim-check every non-null
       // doc token (inner_product checks dims BEFORE null elements — the
       // composition threw on a mismatched pair even when the dot would
-      // have been null); only a WHOLLY null token short-circuits
+      // have been null); a WHOLLY null token skips only its OWN dots —
+      // the fold continues over later tokens, whose dim checks can still
+      // throw (the composition folded a null accumulator to the end)
       val qNullScan = if (!innerMayNull(left)) s"final boolean $qHasNull = false;" else
         s"""boolean $qHasNull = false;
            |for (int $k = 0; $k < $dim && !$qHasNull; $k++) {
            |  if ($qv.isNullAt($k)) $qHasNull = true;
            |}""".stripMargin
       val qOuterCheck = if (!outerMayNull(left)) "" else
-        s"if (${qGen.value}.isNullAt($i)) { $bail = true; break; }"
+        s"if (${qGen.value}.isNullAt($i)) { $bail = true; continue; }"
       val dOuterCheck = if (!outerMayNull(right)) "false" else
         s"${dGen.value}.isNullAt($j)"
       val dNullScan = if (!innerMayNull(right)) "" else
@@ -636,7 +646,7 @@ case class MaxSimScore(left: Expression, right: Expression)
            |}""".stripMargin
       s"""boolean $bail = false;
          |double $total = 0.0;
-         |for (int $i = 0; $i < $nq && !$bail; $i++) {
+         |for (int $i = 0; $i < $nq; $i++) {
          |  $qOuterCheck
          |  org.apache.spark.sql.catalyst.util.ArrayData $qv = ${qGen.value}.getArray($i);
          |  final int $dim = $qv.numElements();

@@ -570,17 +570,27 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * invalidation, so a router built from pre-mutation summaries can
     * never be served after the mutation — even when a vacuum reuses the
     * same shard ids, and even if an invalidation lands mid-build (the
-    * build's result is then returned unstored). */
-  @volatile private var summariesVersion: Long = 0L
+    * build's result is then returned unstored). AtomicLong + the
+    * `synchronized` store in [[routerFor]]: a racing bump always wins
+    * (a volatile `+= 1` could lose increments under concurrent
+    * mutations, letting a pre-mutation router match the current
+    * version). */
+  private val summariesVersion = new java.util.concurrent.atomic.AtomicLong(0L)
   /** Driver-cached routing decision per (summaries version, coarse
     * confs): a cache HIT is O(1) — no per-call coverage scan — which
     * matters at the 100k-shard shape where even rebuilding the covered
-    * set per search call would be a linear fixed cost. */
+    * set per search call would be a linear fixed cost. Invalidation
+    * marks the entry STALE (version mismatch) but keeps it: the stale
+    * router is the incremental-patch base for the next build (see
+    * [[ShardSummaries.Router.patch]]) — a mutation's router upkeep is
+    * then O(changed shards), not a full coarse rebuild per online
+    * batch. */
   @volatile private var routerCache: AnnIndex.RouterCacheEntry = _
-  private[index] def invalidateSummaries(): Unit = {
+  private[index] def invalidateSummaries(): Unit = synchronized {
     summariesCache = null
-    routerCache = null
-    summariesVersion += 1
+    val rc = routerCache
+    if (rc != null) rc.unpersistBroadcast() // executors re-fetch next version
+    summariesVersion.incrementAndGet()
   }
 
   /** Summaries usable for routing: Some iff every live shard has EXACTLY
@@ -621,31 +631,84 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * that keeps per-query routing O(√shards × dim) — the 100 TB shape has
     * 100k+ shards, where a flat per-query centroid scan is the next
     * linear wall. Built once per summaries version and cached. */
-  private def routerFor(s: Int): Option[ShardSummaries.Router] = {
+  private def routerFor(s: Int): Option[ShardSummaries.Router] =
+    routerEntryFor(s).flatMap(_.router)
+
+  /** The cache-entry form of [[routerFor]] — the table path needs the
+    * ENTRY to reuse its pinned `Broadcast[Router]` across calls. */
+  private def routerEntryFor(s: Int): Option[AnnIndex.RouterCacheEntry] = {
     if (s <= 0 || !isGraphEngine) return None
     val threshold =
       spark.conf.get("spark.ann.routeCoarseThreshold", "256").toInt
     val overscan =
       spark.conf.get("spark.ann.routeOverscan", "4").toInt
-    val v0 = summariesVersion
+    val v0 = summariesVersion.get()
     val cached = routerCache
     if (cached != null && cached.version == v0 &&
         cached.threshold == threshold && cached.overscan == overscan)
-      return cached.router
+      return Some(cached)
+    // a stale entry (older version, or other coarse confs) is still the
+    // patch base: the coarse GRAPH depends only on the summary set, so
+    // reconciling it beats rebuilding regardless of why the entry missed
+    val base = if (cached != null) cached.router else None
     val built = routingSummaries.map(covered =>
       // cachePath: the coarse graph persists next to summaries.bin
-      // (digest-validated), so a fresh driver skips the single-threaded
-      // rebuild — once per summaries version, not per session
+      // (digest-validated), so a fresh driver skips the rebuild — once
+      // per summaries version, not per session
       ShardSummaries.Router.build(covered, meta.metric, threshold, overscan,
-        cachePath = Some(path)))
+        cachePath = Some(path), base = base))
+    val entry = AnnIndex.RouterCacheEntry(v0, threshold, overscan, built)
     // store only if no invalidation landed while building — a racing
     // mutation's version bump must win (the stale router is still
     // RETURNED for this in-flight call, which read its summaries before
     // the mutation's copy-on-write commit: same outcome as a search that
-    // started a moment earlier)
-    if (summariesVersion == v0)
-      routerCache = AnnIndex.RouterCacheEntry(v0, threshold, overscan, built)
-    built
+    // started a moment earlier). The synchronized re-check pairs with
+    // invalidateSummaries' synchronized bump: the bump either lands
+    // first (this store is skipped) or after (the stored entry's version
+    // no longer matches — a plain stale entry).
+    synchronized {
+      if (summariesVersion.get() == v0) {
+        if (cached != null && (cached ne entry)) cached.unpersistBroadcast()
+        routerCache = entry
+      }
+    }
+    Some(entry)
+  }
+
+  /** Spec/scale-arm accessor: the current router cache entry, if one is
+    * stored (stale entries — version behind — included: they are the
+    * patch base). */
+  private[graft] def routerCacheEntry: Option[AnnIndex.RouterCacheEntry] =
+    Option(routerCache)
+
+  /** Spec/scale-arm accessor: current summaries version. */
+  private[graft] def summariesVersionNow: Long = summariesVersion.get()
+
+  /** Coarse-router observability for `ann_routing_info`:
+    * (router_state, coarse_nodes, coarse_live, router_bin).
+    *  - router_state: "none" (no driver-cached router), "stale" (cached
+    *    but a mutation bumped the version — the next search pays a
+    *    reconcile), "flat" (current, one-level), "graph" (current, with
+    *    a coarse centroid-graph level).
+    *  - coarse_nodes/coarse_live: centroid-graph size and its
+    *    non-tombstoned node count (dilution = nodes − live).
+    *  - router_bin: the persisted coarse cache vs the live summary set
+    *    ("absent" | "current" | "stale") — an operator watching a CDC
+    *    stream can see a rebuild storm as persistent "stale" here. */
+  def routerState: (String, Int, Int, String) = {
+    if (!isGraphEngine) return ("none", 0, 0, "absent")
+    val rc = routerCache
+    val state =
+      if (rc == null || rc.router.isEmpty) "none"
+      else if (rc.version != summariesVersion.get()) "stale"
+      else if (rc.router.get.coarse.isDefined) "graph"
+      else "flat"
+    val (nodes, live) = Option(rc).flatMap(_.router).flatMap(_.coarse) match {
+      case Some(co) => (co.graphShards.length, co.liveCount)
+      case None => (0, 0)
+    }
+    (state, nodes, live,
+      ShardSummaries.Router.cacheState(path, routingSummaries))
   }
 
   /** Routing status for ops surfaces (the SQL `ann_routing_info` verb):
@@ -676,8 +739,18 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     val missing = live.filterNot(have)
     // read-mostly fast path: coverage already complete and nothing dead to
     // drop — a stats verb calling this must not rewrite summaries.bin (and
-    // churn the driver cache) on every invocation
-    if (missing.isEmpty && kept.length == existing.length) return 0
+    // churn the driver cache) on every invocation. It must still RECONCILE
+    // the driver caches: if another driver/process repaired summaries.bin,
+    // this driver's cached walk-all None (or pre-repair router) would
+    // otherwise outlive the documented repair verb itself.
+    if (missing.isEmpty && kept.length == existing.length) {
+      val cachedSums = summariesCache
+      if (cachedSums != null &&
+          ShardSummaries.Router.digest(cachedSums) !=
+            ShardSummaries.Router.digest(existing))
+        invalidateSummaries()
+      return 0
+    }
     val added =
       if (missing.isEmpty) Seq.empty
       else ShardSummaries.compute(
@@ -836,8 +909,9 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     val route: Option[org.apache.spark.sql.Column =>
         org.apache.spark.sql.Column] = {
       val s = shardProbes
-      routerFor(s).map { router =>
-        val bc = spark.sparkContext.broadcast(router)
+      // the Broadcast[Router] is pinned in the cache entry — one ship per
+      // summaries version, however many table searches run against it
+      routerEntryFor(s).flatMap(_.broadcastFor(spark.sparkContext)).map { bc =>
         val sN = s
         val f = udf { (v: Seq[Float]) =>
           bc.value.topShards(v.toArray, sN)
@@ -1889,10 +1963,40 @@ object AnnIndex {
 
   /** Router-cache slot: the routing decision (None = coverage gap →
     * walk-all) pinned to the summaries version and the coarse confs it
-    * was computed under. */
+    * was computed under — plus the routed TABLE path's
+    * `Broadcast[Router]`, created at most once per entry. Before the pin,
+    * every `scanGraphTable` call re-broadcast the O(shards × dim) router
+    * (~300 MB at 100k×d768) and never unpersisted it: a standing
+    * workload (the near-dup loop is exactly repeat table searches)
+    * re-shipped the payload per pass and leaked broadcast blocks for the
+    * driver's lifetime. Now one broadcast serves every call of a
+    * summaries version; invalidation unpersists it (non-blocking —
+    * executors holding the old blocks re-fetch from the driver if an
+    * in-flight task still needs them; only `destroy()` would break that,
+    * and we never destroy). */
   private[index] final case class RouterCacheEntry(
       version: Long, threshold: Int, overscan: Int,
-      router: Option[ShardSummaries.Router])
+      router: Option[ShardSummaries.Router]) {
+    @volatile private var bcVar
+        : org.apache.spark.broadcast.Broadcast[ShardSummaries.Router] = _
+    def broadcastFor(sc: org.apache.spark.SparkContext)
+        : Option[org.apache.spark.broadcast.Broadcast[ShardSummaries.Router]] =
+      router.map { r =>
+        var b = bcVar
+        if (b == null) synchronized {
+          b = bcVar
+          if (b == null) { b = sc.broadcast(r); bcVar = b }
+        }
+        b
+      }
+    def unpersistBroadcast(): Unit = {
+      val b = bcVar
+      if (b != null) b.unpersist(false)
+    }
+    /** Broadcast identity for specs/arms pinning the one-per-version
+      * contract (None until the table path first materializes it). */
+    private[graft] def broadcastId: Option[Long] = Option(bcVar).map(_.id)
+  }
   /** Stream key-contiguous row groups from a sorted iterator — the caller
     * must have `sortWithinPartitions` on the key column, which is what
     * lets one group at a time live in memory instead of a whole-partition

@@ -361,6 +361,19 @@ object AnnIndexManager {
   private val registry = TrieMap.empty[String, String] // name → path
   private val buildLocks = TrieMap.empty[String, Object]
   private val metaCache = TrieMap.empty[String, ((Long, Long), IndexMeta)] // path → ((mtime, size), meta)
+  /** Loaded-instance cache (path → AnnIndex): the driver-side serving
+    * caches an AnnIndex carries — shard summaries, the two-level router,
+    * its pinned `Broadcast[Router]`, the decoded-shard cache key — only
+    * pay off when repeat calls REUSE the instance. The SQL surface loads
+    * by name per STATEMENT, so without this every SQL search re-read the
+    * summaries, rebuilt/re-read the router, and re-broadcast it.
+    * Validity = in-memory `meta` equals the current on-disk meta: an
+    * instance's own mutations rewrite meta.json to exactly its new
+    * in-memory value (reused), while an out-of-process rewrite diverges
+    * (fresh instance — same contract as `cachedMeta`'s stamp). A cached
+    * instance bound to a DIFFERENT (stopped) SparkSession is likewise
+    * replaced. */
+  private val instanceCache = TrieMap.empty[String, AnnIndex]
 
   def register(name: String, path: String): Unit = registry.put(name, path)
   def registered: Map[String, String] = registry.toMap
@@ -693,12 +706,20 @@ object AnnIndexManager {
       val meta = IndexMeta(name, engine, metric, dim, idCol, vecCol, n, 0L, params)
       IndexMeta.write(path, meta)
       register(name, path)
-      new AnnIndex(spark, path)
+      val idx = new AnnIndex(spark, path)
+      instanceCache.put(path, idx) // replace any instance of a prior index here
+      idx
     } finally prepared.unpersist()
   }
 
   def load(spark: SparkSession, path: String): AnnIndex = {
-    val idx = new AnnIndex(spark, path)
+    val idx = instanceCache.get(path)
+      .filter(i => (i.spark eq spark) && cachedMeta(path).contains(i.meta))
+      .getOrElse {
+        val fresh = new AnnIndex(spark, path)
+        instanceCache.put(path, fresh)
+        fresh
+      }
     register(idx.meta.name, path)
     idx
   }
@@ -710,6 +731,7 @@ object AnnIndexManager {
   def drop(name: String): Boolean = registry.remove(name) match {
     case Some(path) =>
       metaCache.remove(path)
+      instanceCache.remove(path)
       IndexMeta.deleteDir(path)
       true
     case None => false

@@ -248,30 +248,44 @@ object ShardSummaries {
       // costs MORE than scanning everything (measured: s=4,000 of 40,000
       // read 11.8 s through the graph vs 0.41 s flat). Fixed serving
       // widths (s ≪ shards) are the shape the coarse level exists for.
+      // liveCount (not raw graph size) is the flat alternative's cost, so
+      // tombstone dilution from incremental patches narrows the guard.
       case Some(co) if s < shards.length && !Router.hasNaN(q) &&
-          math.max(s * math.max(1, overscan), 48) < co.graphShards.length / 8 =>
+          math.max(s * math.max(1, overscan), 48) < co.liveCount / 8 =>
         // beam-search the centroid graph at width overscan×s (floor 48 —
         // tiny widths under-explore and the whole point is recall
-        // parity), then keep the best s reachable labels. Pool order is
-        // ascending distance — same output contract as the flat scan.
+        // parity), then keep the best s LIVE reachable labels. Pool order
+        // is ascending distance — same output contract as the flat scan.
+        // Tombstoned labels (incrementally removed shards) still navigate
+        // but never route; NaN distances (a poisoned centroid inserted by
+        // a patch, or Inf arithmetic) are dropped at harvest — the flat
+        // scan's NaN discipline, kept at the pool boundary.
         val dist = graft.functions.VectorKernels.orderingDistance(metric) _
         val l = math.max(s * math.max(1, overscan), 48)
         val pool = Vamana.beamSearchPool(co.graph, q, l, dist)
-        val take = math.min(s, pool.size)
-        val out = new Array[Int](take)
+        val out = new Array[Int](math.min(s, pool.size))
+        var take = 0
         var j = 0
-        while (j < take) { out(j) = co.graphShards(pool.labels(j)); j += 1 }
-        if (take == s) out
+        while (j < pool.size && take < s) {
+          val sid = co.graphShards(pool.labels(j))
+          if (sid >= 0 && !java.lang.Double.isNaN(pool.dists(j))) {
+            out(take) = sid; take += 1
+          }
+          j += 1
+        }
+        val got = if (take == out.length) out else java.util.Arrays.copyOf(out, take)
+        if (take == s) got
         else {
           // under-filled pool (graph smaller than s after NaN-centroid
           // exclusion, or unreachable nodes): deterministically pad with
-          // the lowest unrouted GRAPH ids — graphShards excludes
+          // the lowest unrouted LIVE graph ids — graphShards excludes
           // NaN-poisoned centroids by construction, so the pad keeps the
           // flat scan's contract that such a shard never takes a probe
           // slot (the result may then be shorter than s, exactly like the
           // flat path's NaN exclusion)
-          val seen = out.toSet
-          (out.iterator ++ co.graphShards.iterator.filterNot(seen)).take(s).toArray
+          val seen = got.toSet
+          (got.iterator ++ co.graphShards.iterator.filter(x => x >= 0 && !seen(x)))
+            .take(s).toArray
         }
       case _ =>
         ShardSummaries.topShards(q, shards, centroids, s, metric)
@@ -280,9 +294,20 @@ object ShardSummaries {
 
   object Router {
     /** Centroid graph: labels index `graphShards` (shard ids of the
-      * non-NaN centroids the graph was built over). */
+      * routable centroids the graph was built over). A `-1` entry is a
+      * TOMBSTONE — an incrementally removed shard whose node stays in the
+      * graph for navigation but never routes (see [[Router.patch]]). */
     final case class Coarse(graph: Vamana.Shard,
-                            graphShards: Array[Int]) extends Serializable
+                            graphShards: Array[Int]) extends Serializable {
+      /** Routable (non-tombstoned) node count — the engage guard's "what
+        * the flat scan would cost" side. Recomputed after deserialization
+        * (transient), O(n) once. */
+      @transient lazy val liveCount: Int = {
+        var c = 0; var i = 0
+        while (i < graphShards.length) { if (graphShards(i) >= 0) c += 1; i += 1 }
+        c
+      }
+    }
 
     private val CacheMagic = 0x47525452 // "GRTR"
     private val CacheVersion = 1
@@ -362,6 +387,31 @@ object ShardSummaries {
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 
+    /** Persisted coarse-cache status vs a covered summary set — the ops
+      * surface behind `ann_routing_info`'s `router_bin` column ("absent" |
+      * "current" | "stale"). Header-only read (magic + version + digest,
+      * 16 bytes): cheap enough for a stats verb; an unreadable header
+      * reports "stale" (a rebuild is what it will cost, same as a
+      * mismatch). A storm of "stale" readings across mutations is the
+      * rebuild-storm signal the incremental patch exists to kill. */
+    def cacheState(indexPath: String,
+                   covered: Option[Array[Summary]]): String = {
+      val p = cacheFilePath(indexPath)
+      if (!java.nio.file.Files.exists(p)) return "absent"
+      val stored =
+        try {
+          val in = new java.io.DataInputStream(java.nio.file.Files.newInputStream(p))
+          try {
+            if (in.readInt() != CacheMagic || in.readInt() != CacheVersion) None
+            else Some(in.readLong())
+          } finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      stored match {
+        case Some(d) if covered.exists(c => digest(c) == d) => "current"
+        case _ => "stale"
+      }
+    }
+
     private[index] def hasNaN(v: Array[Float]): Boolean = {
       var i = 0
       while (i < v.length) {
@@ -369,6 +419,24 @@ object ShardSummaries {
         i += 1
       }
       false
+    }
+
+    /** A centroid no query can rank: NaN components, or — under the
+      * cosine metric only — zero norm (an all-zero shard mean, which
+      * `normalize` passes through unchanged and `1 - dot/(|a||b|)`
+      * turns into 0/0 = NaN for EVERY query). The flat scan drops such
+      * shards per query via its NaN-distance filter; the graph must
+      * exclude them at build, or Pool's binary search would rank their
+      * NaN first and let them steal beam slots. */
+    private[index] def unroutable(v: Array[Float], metric: String): Boolean = {
+      if (hasNaN(v)) return true
+      if (metric != "cosine") return false
+      var i = 0
+      while (i < v.length) {
+        if (v(i) != 0.0f) return false
+        i += 1
+      }
+      true
     }
 
     /** Build from covered summaries (sorted by shard id — read/refresh
@@ -381,22 +449,33 @@ object ShardSummaries {
       * N centroid rows (R=32, L=64) — one-time per summaries version
       * (AnnIndex caches the router until a mutation invalidates the
       * summaries). */
-    /** The smallest graph the engage guard (l < graph/8, beam floor 48)
+    /** The smallest graph the engage guard (l < live/8, beam floor 48)
       * can ever use: below 8·48+1 shards EVERY query would fall back to
       * the flat scan, so building (and rebuilding, per mutation) the
       * graph would be pure wasted driver work. */
     private val MinUsableGraph = 8 * 48 + 1
 
+    /** Coarse-graph build parameters — fixed so builds and incremental
+      * patches of the same summary history are reproducible. */
+    private val CoarseParams =
+      Vamana.Params(maxDegree = 32, buildComplexity = 64, alpha = 1.2)
+
+    /** Dead-node ceiling: past this fraction of tombstones a patch gives
+      * way to a full rebuild (compaction) — dead nodes still cost beam
+      * work and degrade navigation quality. */
+    private val MaxDeadFraction = 0.25
+
     def build(sums: Array[Summary], metric: String,
               coarseThreshold: Int, overscan: Int,
-              cachePath: Option[String] = None): Router = {
+              cachePath: Option[String] = None,
+              base: Option[Router] = None): Router = {
       val shards = sums.map(_.shard)
       val cents = sums.map(_.centroid)
       val n = shards.length
       val threshold = math.max(MinUsableGraph, coarseThreshold)
       if (n < threshold)
         return new Router(shards, cents, metric, None, overscan)
-      val keep = (0 until n).filterNot(i => hasNaN(cents(i))).toArray
+      val keep = (0 until n).filterNot(i => unroutable(cents(i), metric)).toArray
       if (keep.length < MinUsableGraph) // poisoned summary set: stay flat
         return new Router(shards, cents, metric, None, overscan)
       val dig = cachePath.map(_ => digest(sums))
@@ -404,17 +483,98 @@ object ShardSummaries {
         p <- cachePath; d <- dig; c <- readCache(p, d)
       } yield c
       val coarse = cached.getOrElse {
-        val graph = Vamana.buildShard(
-          keep.map(_.toLong), keep.map(cents),
-          Vamana.Params(maxDegree = 32, buildComplexity = 64, alpha = 1.2),
-          metric)
-        val c = Coarse(graph, keep.map(shards))
+        // incremental path first: a mutation typically touches a handful
+        // of shards out of tens of thousands — reconciling the PREVIOUS
+        // version's graph (tombstone removed ids, insert new centroids)
+        // costs O(changed × insert), not a full O(n) rebuild per batch
+        val c = base.flatMap(b => patch(b, sums, keep, metric)).getOrElse {
+          val graph = Vamana.buildShardParallel(
+            keep.map(_.toLong), keep.map(cents), CoarseParams, metric)
+          Coarse(graph, keep.map(shards))
+        }
         for (p <- cachePath; d <- dig)
           try writeCache(p, d, c)
           catch { case scala.util.control.NonFatal(_) => () } // amortization only
         c
       }
       new Router(shards, cents, metric, Some(coarse), overscan)
+    }
+
+    /** Reconcile a previously built coarse graph to a NEW summary set —
+      * the router-lifecycle fix for the mutating (CDC/online-insert)
+      * regime, where a full rebuild per online batch would dwarf the
+      * insert it follows. Copy-on-write publishes rewritten shards under
+      * fresh ids, so a batch's footprint on the summary set is a few
+      * removed ids plus a few added ones; matching ids with unchanged
+      * centroid bits keep their graph node, removed ones tombstone in
+      * `graphShards` (the node stays for navigation, never routes), and
+      * new centroids insert via the same Algorithm-3 step the per-shard
+      * online path uses ([[Vamana.insertIntoShard]]). Deterministic:
+      * `sums`/`keep` arrive sorted by shard id, so tombstone and insert
+      * order are fixed.
+      *
+      * None (→ full rebuild) when: the base has no coarse level or a
+      * different metric; the change set exceeds n/8 (a parallel rebuild
+      * beats a serial patch well before half the set churns); or
+      * tombstones would exceed [[MaxDeadFraction]] (compaction). The base
+      * is never mutated — its spine is copied — so an in-flight search
+      * holding the old Router is unaffected. */
+    private[index] def patch(base: Router, sums: Array[Summary],
+                             keep: Array[Int], metric: String): Option[Coarse] = {
+      val co = base.coarse.orNull
+      if (co == null || base.metric != metric) return None
+      val n0 = co.graphShards.length
+      // live shard id -> graph label
+      val oldLabel = new java.util.HashMap[Integer, Integer](n0 * 2)
+      var i = 0
+      while (i < n0) {
+        if (co.graphShards(i) >= 0) oldLabel.put(co.graphShards(i), i)
+        i += 1
+      }
+      val matched = new java.util.BitSet(n0)
+      val addIdx = new scala.collection.mutable.ArrayBuffer[Int]
+      var ki = 0
+      while (ki < keep.length) {
+        val s = sums(keep(ki))
+        val lbl = oldLabel.get(Integer.valueOf(s.shard))
+        // bit-exact centroid match required: a vacuum reuses shard ids,
+        // and routing to a node carrying the OLD centroid would silently
+        // misrank (Arrays.equals compares float bits — NaN centroids
+        // never reach keep)
+        if (lbl != null &&
+            java.util.Arrays.equals(co.graph.vectors(lbl.intValue()), s.centroid))
+          matched.set(lbl.intValue())
+        else addIdx += keep(ki)
+        ki += 1
+      }
+      var removes = 0
+      i = 0
+      while (i < n0) {
+        if (co.graphShards(i) >= 0 && !matched.get(i)) removes += 1
+        i += 1
+      }
+      val changes = addIdx.length + removes
+      if (changes == 0) return Some(co) // nrows-only drift: graph unchanged
+      if (changes > math.max(64, keep.length / 8)) return None
+      val prevDead = n0 - co.liveCount
+      val nAfter = n0 + addIdx.length
+      if (prevDead + removes > MaxDeadFraction * nAfter) return None
+      val gs = java.util.Arrays.copyOf(co.graphShards, nAfter)
+      i = 0
+      while (i < n0) {
+        if (gs(i) >= 0 && !matched.get(i)) gs(i) = -1
+        i += 1
+      }
+      i = 0
+      while (i < addIdx.length) {
+        gs(n0 + i) = sums(addIdx(i)).shard
+        i += 1
+      }
+      val graph = Vamana.insertIntoShard(co.graph,
+        addIdx.iterator.map(x => sums(x).shard.toLong).toArray,
+        addIdx.iterator.map(x => sums(x).centroid).toArray,
+        CoarseParams, metric)
+      Some(Coarse(graph, gs))
     }
   }
 }

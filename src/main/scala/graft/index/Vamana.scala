@@ -428,16 +428,10 @@ object Vamana {
       sorted.length, vectors, alpha, maxDegree, dist)
   }
 
-  /** Build one shard's graph by incremental insert (DiskANN Algorithm 3). */
-  def buildShard(ids: Array[Long], vectors: Array[Array[Float]],
-                 params: Params, metric: String): Shard = {
-    val n = vectors.length
-    val dist = VectorKernels.orderingDistance(metric) _
-    val neighbors = Array.fill(n)(Array.empty[Int])
-    if (n == 0) return Shard(ids, vectors, neighbors, 0)
-
-    // entry = approximate medoid of a bounded sample (cheap, deterministic)
-    val sampleN = math.min(n, 256)
+  /** Approximate medoid of a bounded prefix sample (cheap, deterministic). */
+  private def sampleMedoid(vectors: Array[Array[Float]],
+                           dist: (Array[Float], Array[Float]) => Double): Int = {
+    val sampleN = math.min(vectors.length, 256)
     var entry = 0
     var bestSum = Double.MaxValue
     var c = 0
@@ -448,10 +442,119 @@ object Vamana {
       if (s < bestSum) { bestSum = s; entry = c }
       c += 1
     }
+    entry
+  }
 
+  /** Build one shard's graph by incremental insert (DiskANN Algorithm 3). */
+  def buildShard(ids: Array[Long], vectors: Array[Array[Float]],
+                 params: Params, metric: String): Shard = {
+    val n = vectors.length
+    val dist = VectorKernels.orderingDistance(metric) _
+    val neighbors = Array.fill(n)(Array.empty[Int])
+    if (n == 0) return Shard(ids, vectors, neighbors, 0)
+    val entry = sampleMedoid(vectors, dist)
     val partial = Shard(ids, vectors, neighbors, entry)
     insertSweep(partial, 0, params, dist)
     partial
+  }
+
+  /** Serial prefix that bootstraps connectivity before the first parallel
+    * round of [[buildShardParallel]] (an empty pre-round graph would hand
+    * every round-1 point the entry as its only candidate — the points the
+    * entry's pruned list then drops would start unreachable and never
+    * attract reverse edges). */
+  private val ParallelBuildSeed = 256
+  /** Points per parallel round. A fixed constant — NOT derived from core
+    * count — so the built graph is machine-independent. */
+  private val ParallelBuildBatch = 512
+
+  /** Deterministic batched-parallel variant of [[buildShard]] for
+    * DRIVER-side builds over large point sets — the coarse router graph
+    * (one graph over 10k–100k shard centroids) builds on the driver where
+    * no task parallelism exists, and the serial insert loop was measured
+    * at 10.9 s / 40k centroids (minutes at the 100k×d768 shape). The
+    * per-shard EXECUTOR builds stay on the serial [[buildShard]]: their
+    * tasks are already fully parallel across shards, and nesting a
+    * common-pool fan-out inside 32 concurrent tasks would only thrash.
+    *
+    * Same Algorithm 3 structure, reorganized into rounds (the batched
+    * insert shape of FreshDiskANN, Singh et al. 2021, arXiv:2105.09613):
+    * each round's points beam-search the PRE-ROUND graph concurrently
+    * (read-only), then forward lists, reverse edges, and overflow prunes
+    * apply in fixed label order — the output graph is a pure function of
+    * the inputs and the two build constants, independent of thread count
+    * or timing (phase barriers are parallel-stream terminal ops, which
+    * also give the cross-round happens-before). Points inside one round
+    * do not see each other as candidates (the serial build's later points
+    * do see earlier same-round ones); at router scale the effect on
+    * routing agreement is measured at 1.000 vs the serial build
+    * (R17Scale routerbuild arm) — centroid graphs are navigated at beam
+    * widths far above the per-round candidate loss. */
+  def buildShardParallel(ids: Array[Long], vectors: Array[Array[Float]],
+                         params: Params, metric: String): Shard = {
+    val n = vectors.length
+    if (n <= ParallelBuildSeed + ParallelBuildBatch)
+      return buildShard(ids, vectors, params, metric)
+    val dist = VectorKernels.orderingDistance(metric) _
+    val neighbors = Array.fill(n)(Array.empty[Int])
+    val entry = sampleMedoid(vectors, dist)
+    val sh = Shard(ids, vectors, neighbors, entry)
+    insertSweepRange(sh, 0, ParallelBuildSeed, params, dist)
+    val slack = degreeSlack(params)
+    var from = ParallelBuildSeed
+    while (from < n) {
+      val until = math.min(n, from + ParallelBuildBatch)
+      // phase 1 — concurrent read-only searches against the pre-round
+      // graph; every candidate a search returns is a pre-round label (the
+      // beam reaches nodes only through existing edges)
+      val pruned = new Array[Array[Int]](until - from)
+      java.util.stream.IntStream.range(from, until).parallel().forEach { v =>
+        if (v != entry) {
+          val pool = beamSearchPool(sh, vectors(v), params.buildComplexity, dist)
+          pruned(v - from) = robustPruneArr(v, pool.labels, pool.dists, pool.size,
+            vectors, params.alpha, params.maxDegree, dist)
+        }
+      }
+      // phase 2 — deterministic merge: forward lists land in label order,
+      // reverse edges accumulate per target in that same order
+      val pending = new java.util.HashMap[Integer, ArrayBuffer[Int]]()
+      var v = from
+      while (v < until) {
+        if (v != entry) {
+          val fw = pruned(v - from)
+          neighbors(v) = fw
+          var j = 0
+          while (j < fw.length) {
+            val u = fw(j)
+            if (!neighbors(u).contains(v))
+              pending.computeIfAbsent(u, _ => new ArrayBuffer[Int]) += v
+            j += 1
+          }
+        }
+        v += 1
+      }
+      // phase 3 — per-target finalize, concurrent (targets are pre-round
+      // labels, disjoint from this round's forward-list writes; each
+      // touches only its own list): append within slack, robust-prune past
+      // it — the serial sweep's exact policy
+      val targets = pending.keySet().toArray(new Array[Integer](0))
+      java.util.stream.Stream.of(targets: _*).parallel().forEach { ub =>
+        val u = ub.intValue()
+        val merged = neighbors(u) ++ pending.get(ub)
+        neighbors(u) =
+          if (merged.length <= slack) merged
+          else robustPrune(u,
+            ArrayBuffer.from(merged.map(x => (x, dist(vectors(u), vectors(x))))),
+            vectors, params.alpha, params.maxDegree, dist)
+      }
+      from = until
+    }
+    // final strict-degree pass, concurrent per node (reads only the node's
+    // own list — same output as the serial tail pass)
+    java.util.stream.IntStream.range(0, n).parallel().forEach { u =>
+      enforceDegree(sh, u, u + 1, params, dist)
+    }
+    sh
   }
 
   /** Insert labels [from, n) into a shard IN PLACE — the per-point step of
@@ -462,17 +565,32 @@ object Vamana {
     * shard snapshot). */
   private def insertSweep(sh: Shard, from: Int, params: Params,
                           dist: (Array[Float], Array[Float]) => Double): Unit = {
+    insertSweepRange(sh, from, sh.vectors.length, params, dist)
+    enforceDegree(sh, 0, sh.vectors.length, params, dist)
+  }
+
+  /** Slack bound for reverse-edge lists during a sweep (see
+    * [[insertSweepRange]]). */
+  private def degreeSlack(params: Params): Int =
+    math.max(params.maxDegree + 8, params.maxDegree * 3 / 2)
+
+  /** The insert loop of [[insertSweep]] WITHOUT the final strict-degree
+    * pass — lists may still sit inside the slack bound on return. Callers
+    * doing multiple sweeps (the batched coarse build) run
+    * [[enforceDegree]] once at the very end, exactly like the serial
+    * build does. */
+  private def insertSweepRange(sh: Shard, from: Int, until: Int, params: Params,
+                               dist: (Array[Float], Array[Float]) => Double): Unit = {
     val vectors = sh.vectors
     val neighbors = sh.neighbors
-    val n = vectors.length
     // Reverse-edge slack (standard DiskANN implementation device): pruning a
     // saturated list on EVERY reverse edge makes the O(R²·d) RobustPrune the
     // dominant build cost (~R prunes per insert). Letting lists grow to
     // ~1.5·R and pruning only on slack overflow amortizes it ~(slack-R)×;
     // a final pass restores the strict R bound.
-    val slack = math.max(params.maxDegree + 8, params.maxDegree * 3 / 2)
+    val slack = degreeSlack(params)
     var v = from
-    while (v < n) {
+    while (v < until) {
       if (v != sh.entry) {
         val pool = beamSearchPool(sh, vectors(v), params.buildComplexity, dist)
         neighbors(v) = robustPruneArr(v, pool.labels, pool.dists, pool.size,
@@ -493,9 +611,18 @@ object Vamana {
       }
       v += 1
     }
-    // restore the strict maxDegree bound on lists still inside the slack
-    var u = 0
-    while (u < n) {
+  }
+
+  /** Restore the strict maxDegree bound on lists still inside the slack —
+    * the tail pass of DiskANN Algorithm 3. Per-node independent (each
+    * prune reads only that node's own list), so callers may run disjoint
+    * ranges concurrently. */
+  private def enforceDegree(sh: Shard, from: Int, until: Int, params: Params,
+                            dist: (Array[Float], Array[Float]) => Double): Unit = {
+    val vectors = sh.vectors
+    val neighbors = sh.neighbors
+    var u = from
+    while (u < until) {
       if (neighbors(u).length > params.maxDegree) {
         val cands = ArrayBuffer.from(
           neighbors(u).map(x => (x, dist(vectors(u), vectors(x)))))

@@ -564,14 +564,61 @@ object IndexQueries {
       } finally s.conf.unset("spark.ann.maxCollectedQueries")
     }),
 
+    // routed RECALL floor as a strict row (r16 verdict #4): until now the
+    // routed paths' recall evidence lived only in SCALE arms and specs —
+    // this pins routing QUALITY, not just plumbing, in CORRECTNESS. The
+    // fixture is seeded and SF-INDEPENDENT (16 well-separated clusters,
+    // 1024 rows — the geometry routing exists for), so per-query recall of
+    // a width-4-of-16 routed search vs the same index's walk-all answers
+    // is a deterministic value with fat margin over the thresholds; the
+    // oracle hashes the thresholded row. Exhaustive beams on both sides:
+    // the only approximation measured is the routing decision itself.
+    "ann_routed_recall" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val dim = 16; val nc = 16; val per = 64; val k = 10
+      def point(cluster: Int, salt: Long): Seq[Float] = {
+        val rc = new scala.util.Random(cluster * 7919 + 3)
+        val center = Array.fill(dim)(rc.nextFloat() * 100f)
+        val rd = new scala.util.Random(salt)
+        center.map(x => x + rd.nextFloat()).toSeq
+      }
+      val rows = Seq.tabulate(nc * per)(i =>
+        (i.toLong, point(i % nc, i * 2654435761L + 11)))
+      val idx = AnnIndexManager.getOrBuild(s, "emb_routed_recall_fx", dir,
+        path => AnnIndexManager.create(s, "emb_routed_recall_fx",
+          rows.toDF("id", "vec"), "id", "vec", "DISKANN",
+          Map("metric" -> "l2", "max_degree" -> "16",
+            "build_complexity" -> "64", "shards" -> "16",
+            "shard_assign" -> "spatial"), path))
+      val queries = Seq.tabulate(32)(qi =>
+        point(qi % nc, qi * 104729L + 5).toArray)
+      def topIds(df: org.apache.spark.sql.DataFrame): Map[Int, Set[Long]] =
+        df.select("query_idx", "id").collect()
+          .groupBy(_.getInt(0)).map { case (q, rs) =>
+            q -> rs.map(_.getLong(1)).toSet }
+      val truth = topIds(idx.searchBatch(queries, k, searchParam = 100000))
+      val routed = withProbes(s, 4)(
+        topIds(idx.searchBatch(queries, k, searchParam = 100000)))
+      val recalls = queries.indices.map(q =>
+        truth(q).intersect(routed(q)).size.toDouble / k)
+      Seq((recalls.size.toLong, recalls.min >= 0.7,
+          recalls.sum / recalls.size >= 0.9))
+        .toDF("queries", "min_ok", "mean_ok")
+    }),
+
     // routing ops surface: the spatial fixture reports usable coverage
     // through the SQL verb — strict (constant oracle; the fixture's mode
-    // and full coverage are deterministic at every SF)
+    // and full coverage are deterministic at every SF). One routed scan
+    // first pins the router_* lifecycle columns: 4 shards is far below
+    // the coarse floor, so the cached router is deterministically "flat"
+    // with no coarse graph and no router.bin on disk.
     "sql_routing_info" -> ((s: SparkSession, dir: String) => {
-      routedIndex(s, dir)
+      val idx = routedIndex(s, dir)
+      withProbes(s, 2)(idx.scan(qvecF(5), 5).collect())
       graft.functions.AnnSql.register(s)
       s.sql("SELECT name, engine, shard_assign, covered, live_shards, " +
-        "summarized_shards, probe_width " +
+        "summarized_shards, probe_width, router_state, coarse_nodes, " +
+        "coarse_live, router_bin " +
         "FROM ann_routing_info('emb_vamana_routed')")
     }),
 
@@ -1228,13 +1275,23 @@ object IndexQueries {
          |  FROM (SELECT * FROM embeddings WHERE vec_id < 6) q
          |  CROSS JOIN embeddings e) t
          |WHERE rank <= 5 ORDER BY q_vec_id, rank""".stripMargin,
+    // the fixture is seeded and SF-independent, so the thresholded recall
+    // row is a constant (margins verified: min/mean sit far above the
+    // 0.7/0.9 floors on the clustered geometry)
+    "ann_routed_recall" ->
+      """SELECT CAST(32 AS BIGINT) AS queries, true AS min_ok,
+        |true AS mean_ok""".stripMargin,
     // counts are constants here because the fixture pins shards=4 and the
     // spatial build fills every budgeted shard on this data; probe_width=0
-    // because the query runs outside withProbes (session default)
+    // because the query runs outside withProbes (session default);
+    // router_state='flat' because the pinning scan caches a router and 4
+    // shards sits far below the coarse floor (no graph, no router.bin)
     "sql_routing_info" ->
       """SELECT 'emb_vamana_routed' AS name, 'DISKANN' AS engine,
         |'spatial' AS shard_assign, true AS covered, 4 AS live_shards,
-        |4 AS summarized_shards, 0 AS probe_width""".stripMargin,
+        |4 AS summarized_shards, 0 AS probe_width, 'flat' AS router_state,
+        |0 AS coarse_nodes, 0 AS coarse_live,
+        |'absent' AS router_bin""".stripMargin,
     "ann_matryoshka_rerank" -> bruteForceTopK(21),
 
     // the fetch→drop→cut chain replayed: candidates = top-(k*overfetch+1)

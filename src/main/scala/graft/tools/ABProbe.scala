@@ -93,6 +93,46 @@ object ABProbe {
         time(name) { noop(q(name)(spark, sfDir)) }
     }
 
+    if (mode == "hybrid") {
+      // r17 adjudication target: hybrid_table_50q read 2.0328 (4225461,
+      // load 0.55) → 2.7434 (ef42380, load 0.80) WITHIN r16's two clean
+      // records with only MaxSim/SCALE.md commits in between (1.8814 in
+      // r15). Exact Bench shape: sf docs + IVF(16/4, persisted) + resident
+      // FTS postings, 50 hybrid queries in ONE declarative plan.
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ab_hy").toString
+      val ivf = graft.index.AnnIndexManager.create(spark, "ab_hy_ivf", emb,
+        "vec_id", "embedding", "IVF",
+        Map("metric" -> "l2", "nlist" -> "16", "nprobe" -> "4"), s"$tmp/ivf")
+      ivf.persist()
+      val hybridDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val hti = graft.operators.HybridSearch.buildTextIndex(
+        hybridDocs, "doc_id", "text", materialized = true)
+      val hybridTexts = Seq(
+        "spark table join merge", "hash group filter sort", "vector scan query",
+        "window order batch line", "stream key value agg", "column part fast slow",
+        "data big small sort", "query filter join scan", "table hash key group",
+        "spark vector window stream")
+      val hybridQs = spark.range(50).select(
+        col("id").cast("int").as("query_idx"),
+        element_at(typedLit(hybridTexts), (col("id") % 10).cast("int") + 1).as("qtext"),
+        udf((i: Int) => graft.queries.QuerySupport.qvecF(i))
+          .apply(col("id").cast("int")).as("qvec"))
+      time("hybrid_table_50q") {
+        noop(graft.operators.HybridSearch.hybridSearchTable(
+          hybridDocs, "doc_id", hti, ivf, hybridQs,
+          "query_idx", "qtext", "qvec", k = 10))
+      }
+      time("hybrid_scalar_5q") {
+        for (i <- 0 until 5)
+          noop(graft.operators.HybridSearch.hybridSearch(
+            hybridDocs, "doc_id", hti, ivf,
+            queryText = hybridTexts(i % hybridTexts.length),
+            queryVec = graft.queries.QuerySupport.qvecF(i), k = 10))
+      }
+      hti.release()
+    }
+
     if (mode == "maxsim") {
       // the r15 record's only rep_spread_gt2 line (13.9x on a load-2.94
       // host): exact Bench shape — 10k 4-token d=128 docs, 50 two-token

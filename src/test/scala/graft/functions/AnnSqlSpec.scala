@@ -530,4 +530,50 @@ class AnnSqlSpec extends SparkSpec {
       flatInfo.getInt(2) == 0)
     spark.sql("SELECT * FROM ann_drop_index('sql_ri')").collect()
   }
+
+  test("SQL TVF ann_routing_info surfaces the coarse-router lifecycle") {
+    import spark.implicits._
+    AnnSql.register(spark)
+    val tablePath = s"$tmp/sql_rs.parquet"
+    vecs.toDF("id", "embedding").write.mode("overwrite").parquet(tablePath)
+    spark.sql(
+      s"""SELECT * FROM ann_create_index('sql_rs', '$tablePath', 'id',
+         |  'embedding', 'DISKANN',
+         |  'metric=l2,shards=2,shard_assign=spatial', '$tmp/sql_rs_idx')"""
+        .stripMargin).collect()
+    def state() = spark.sql(
+      """SELECT router_state, coarse_nodes, coarse_live, router_bin
+        |FROM ann_routing_info('sql_rs')""".stripMargin).head()
+    // fresh index, no routed search yet: nothing cached, nothing persisted
+    val s0 = state()
+    assert(s0.getString(0) == "none" && s0.getInt(1) == 0 &&
+      s0.getString(3) == "absent", s"fresh: $s0")
+    // one routed scan caches a router; 2 shards is far below the coarse
+    // floor, so it is flat (no centroid graph, no router.bin)
+    spark.conf.set("spark.ann.shardProbes", "1")
+    try spark.sql(
+      "SELECT * FROM ann_index_scan('sql_rs', array(0.5, 0.5, 0.5), 3)")
+      .collect()
+    finally spark.conf.unset("spark.ann.shardProbes")
+    val s1 = state()
+    assert(s1.getString(0) == "flat" && s1.getInt(1) == 0 &&
+      s1.getInt(2) == 0 && s1.getString(3) == "absent", s"post-scan: $s1")
+    // a shard-set mutation bumps the summaries version: the cached router
+    // reads STALE until the next routed search reconciles it (a tombstone
+    // delete alone leaves the shard set — and the router — untouched)
+    spark.sql("SELECT * FROM ann_delete('sql_rs', '1')").collect()
+    assert(state().getString(0) == "flat", "tombstones must not churn the router")
+    val extraPath = s"$tmp/sql_rs_extra.parquet"
+    (2000 until 2010).map(i => (i.toLong, Seq(0.9f, 0.1f, 0.5f)))
+      .toDF("id", "embedding").write.mode("overwrite").parquet(extraPath)
+    spark.sql(s"SELECT * FROM ann_insert('sql_rs', '$extraPath')").collect()
+    assert(state().getString(0) == "stale")
+    spark.conf.set("spark.ann.shardProbes", "1")
+    try spark.sql(
+      "SELECT * FROM ann_index_scan('sql_rs', array(0.5, 0.5, 0.5), 3)")
+      .collect()
+    finally spark.conf.unset("spark.ann.shardProbes")
+    assert(state().getString(0) == "flat")
+    spark.sql("SELECT * FROM ann_drop_index('sql_rs')").collect()
+  }
 }

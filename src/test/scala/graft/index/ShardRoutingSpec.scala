@@ -423,6 +423,180 @@ class ShardRoutingSpec extends SparkSpec {
     assert(r4.coarse.isDefined)
   }
 
+  test("Router.patch reconciles a mutation incrementally: tombstones + inserts, no rebuild") {
+    val rnd = new scala.util.Random(23)
+    val sums0 = Array.tabulate(500)(i => ShardSummaries.Summary(i, 10L,
+      Array.fill(4)((rnd.nextGaussian() * (1 + i % 10)).toFloat)))
+    val r0 = ShardSummaries.Router.build(sums0, "l2",
+      coarseThreshold = 256, overscan = 4)
+    assert(r0.coarse.isDefined)
+    // a typical online batch: 10 shards rewritten under fresh ids
+    val removedIds = (0 until 10).map(_ * 37).toSet
+    val fresh = Array.tabulate(10)(i => ShardSummaries.Summary(1000 + i, 12L,
+      Array.fill(4)((rnd.nextGaussian() * 3).toFloat)))
+    val sums1 = (sums0.filterNot(s => removedIds(s.shard)) ++ fresh).sortBy(_.shard)
+    val r1 = ShardSummaries.Router.build(sums1, "l2",
+      coarseThreshold = 256, overscan = 4, base = Some(r0))
+    val co1 = r1.coarse.get
+    // patched, not rebuilt: the graph kept the old 500 nodes (10 now
+    // tombstoned) and grew by the 10 inserts
+    assert(co1.graphShards.length == 510,
+      s"expected a patched 510-node graph, got ${co1.graphShards.length}")
+    assert(co1.graphShards.count(_ == -1) == 10)
+    assert(co1.liveCount == 500)
+    // tombstoned ids never route; fresh ids do
+    for (qi <- Seq(5, 60, 199)) {
+      val got = r1.topShards(sums1(qi).centroid, 12)
+      assert(got.forall(sid => !removedIds(sid)), s"tombstone routed: ${got.toSeq}")
+      assert(got.length == 12 && got.distinct.length == 12)
+    }
+    val nearFresh = r1.topShards(fresh(3).centroid, 8)
+    assert(nearFresh.contains(1003), s"fresh shard unreachable: ${nearFresh.toSeq}")
+    // full width still bypasses the coarse level: exact-compat unchanged
+    val flat1 = ShardSummaries.Router.build(sums1, "l2",
+      coarseThreshold = Int.MaxValue, overscan = 4)
+    val q = sums1(123).centroid
+    assert(r1.topShards(q, 5000).toSeq == flat1.topShards(q, 5000).toSeq)
+    // narrow-width parity with a from-scratch rebuild of the same set
+    val rebuilt = ShardSummaries.Router.build(sums1, "l2",
+      coarseThreshold = 256, overscan = 4)
+    val agree = Seq(7, 77, 207, 307).map { qi =>
+      val a = r1.topShards(sums1(qi).centroid, 8).toSet
+      val b = rebuilt.topShards(sums1(qi).centroid, 8).toSet
+      a.intersect(b).size.toDouble / 8
+    }.sum / 4
+    assert(agree >= 0.9, s"patched routing diverged from rebuild: $agree")
+    // nrows-only drift (no centroid change) reuses the graph object outright
+    val sums2 = sums1.map(s => s.copy(nrows = s.nrows + 1))
+    val r2 = ShardSummaries.Router.build(sums2, "l2",
+      coarseThreshold = 256, overscan = 4, base = Some(r1))
+    assert(r2.coarse.get eq co1)
+  }
+
+  test("Router.patch stands down on large diffs and on tombstone dilution (compaction)") {
+    val rnd = new scala.util.Random(29)
+    def mk(id: Int) = ShardSummaries.Summary(id, 10L,
+      Array.fill(4)((rnd.nextGaussian() * (1 + id % 7)).toFloat))
+    val sums0 = Array.tabulate(500)(mk).sortBy(_.shard)
+    val r0 = ShardSummaries.Router.build(sums0, "l2",
+      coarseThreshold = 256, overscan = 4)
+    // 100 changes > max(64, 500/8): a rebuild beats a serial patch
+    val big = (sums0.drop(100) ++ Array.tabulate(100)(i => mk(2000 + i)))
+      .sortBy(_.shard)
+    val rBig = ShardSummaries.Router.build(big, "l2",
+      coarseThreshold = 256, overscan = 4, base = Some(r0))
+    assert(rBig.coarse.get.graphShards.length == 500 &&
+      !rBig.coarse.get.graphShards.contains(-1),
+      "oversized diff must trigger a full rebuild")
+    // repeated small patches accumulate tombstones until the 25% ceiling
+    // forces a compacting rebuild
+    var cur = sums0
+    var router = r0
+    var rounds = 0
+    var compacted = false
+    while (!compacted && rounds < 12) {
+      rounds += 1
+      val drop = cur.take(30).map(_.shard).toSet
+      val add = Array.tabulate(30)(i => mk(10000 + rounds * 100 + i))
+      cur = (cur.filterNot(s => drop(s.shard)) ++ add).sortBy(_.shard)
+      router = ShardSummaries.Router.build(cur, "l2",
+        coarseThreshold = 256, overscan = 4, base = Some(router))
+      val co = router.coarse.get
+      compacted = !co.graphShards.contains(-1)
+      // live count always tracks the covered set exactly
+      assert(co.liveCount == 500)
+    }
+    assert(compacted && rounds >= 4,
+      s"dilution ceiling never compacted (rounds=$rounds)")
+  }
+
+  test("cosine coarse build excludes zero-norm centroids (NaN under 1-dot can't steal beam slots)") {
+    val rnd = new scala.util.Random(31)
+    val sums = Array.tabulate(600) { i =>
+      val c =
+        if (i == 7 || i == 400) Array.fill(4)(0f) // all-zero shard means
+        else graft.functions.VectorKernels.normalize(
+          Array.fill(4)((rnd.nextGaussian() + math.cos(i % 20)).toFloat))
+      ShardSummaries.Summary(i, 10L, c)
+    }
+    val routed = ShardSummaries.Router.build(sums, "cosine",
+      coarseThreshold = 256, overscan = 4)
+    val co = routed.coarse.get
+    assert(!co.graphShards.contains(7) && !co.graphShards.contains(400),
+      "zero-norm centroid entered the cosine coarse graph")
+    assert(co.graphShards.length == 598)
+    // and they never route at narrow width (parity with the flat scan's
+    // per-query NaN filter)
+    for (qi <- Seq(3, 111, 222)) {
+      val got = routed.topShards(sums(qi).centroid, 8)
+      assert(!got.contains(7) && !got.contains(400))
+    }
+  }
+
+  test("buildShardParallel is deterministic and agrees with the serial build") {
+    val rnd = new scala.util.Random(41)
+    val n = 2000
+    val vecs = Array.tabulate(n) { i =>
+      val site = i % 40
+      Array.tabulate(8)(k =>
+        (math.sin(site * 0.7 + k) * 10 + rnd.nextGaussian() * 0.4).toFloat)
+    }
+    val ids = Array.tabulate(n)(_.toLong)
+    val params = Vamana.Params(maxDegree = 32, buildComplexity = 64, alpha = 1.2)
+    val serial = Vamana.buildShard(ids, vecs, params, "l2")
+    val par1 = Vamana.buildShardParallel(ids, vecs, params, "l2")
+    val par2 = Vamana.buildShardParallel(ids, vecs, params, "l2")
+    // machine-independent determinism: two parallel builds are IDENTICAL
+    assert(par1.entry == par2.entry)
+    (0 until n).foreach { v =>
+      assert(java.util.Arrays.equals(par1.neighbors(v), par2.neighbors(v)),
+        s"parallel build nondeterministic at node $v")
+    }
+    // search agreement with the serial build: same top-8 neighborhoods
+    val dist = graft.functions.VectorKernels.orderingDistance("l2") _
+    val agree = (0 until 20).map { qi =>
+      val q = vecs(qi * 97)
+      val a = Vamana.beamSearch(serial, q, 48, dist).take(8).map(_._1).toSet
+      val b = Vamana.beamSearch(par1, q, 48, dist).take(8).map(_._1).toSet
+      a.intersect(b).size.toDouble / 8
+    }.sum / 20
+    assert(agree >= 0.95, s"parallel build agreement $agree below floor")
+    // degree bound holds everywhere
+    assert(par1.neighbors.forall(_.length <= params.maxDegree))
+  }
+
+  test("routed table path pins ONE Broadcast[Router] per summaries version") {
+    import spark.implicits._
+    val idx = create(clustered(6, 120), "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "64",
+        "shards" -> "6", "shard_assign" -> "spatial"))
+    val qdf = queries.take(6).zipWithIndex.map { case (q, i) => (i.toLong, q) }
+      .toDF("qid", "qvec")
+    def tableSearch(): Unit =
+      graft.operators.AnnSearch.searchTable(idx, qdf, 5,
+        queryIdCol = Some("qid")).collect()
+    spark.conf.set("spark.ann.graphTableStrategy", "distributed")
+    try withProbes(2) {
+      tableSearch()
+      val v0 = idx.summariesVersionNow
+      val id0 = idx.routerCacheEntry.flatMap(_.broadcastId)
+      assert(id0.isDefined, "table search with probes must broadcast a router")
+      // repeat calls on the same version reuse the SAME broadcast
+      tableSearch(); tableSearch()
+      assert(idx.routerCacheEntry.flatMap(_.broadcastId) == id0,
+        "repeat table searches re-broadcast the router")
+      assert(idx.summariesVersionNow == v0)
+      // a mutation bumps the version; the next search ships a NEW broadcast
+      idx.insert(df(clustered(1, 30).map { case (id, v) => (id + 70000L, v) }),
+        "id", "vec")
+      assert(idx.summariesVersionNow > v0)
+      tableSearch()
+      val id1 = idx.routerCacheEntry.flatMap(_.broadcastId)
+      assert(id1.isDefined && id1 != id0,
+        s"post-mutation search served the stale broadcast ($id1 vs $id0)")
+    } finally spark.conf.unset("spark.ann.graphTableStrategy")
+  }
+
   test("two-level Router routes by dot product on a cosine index") {
     // cosine summaries are L2-normalized at write time (ShardSummaries
     // contract); the coarse graph must rank by the same 1-dot ordering

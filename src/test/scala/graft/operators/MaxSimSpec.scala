@@ -159,6 +159,28 @@ class MaxSimSpec extends SparkSpec {
       .toDF("id", "q", "d")
     intercept[Exception](qeBad.select(
       graft.functions.AnnFunctions.maxsim_score(col("q"), col("d"))).collect())
+    // a WHOLLY null q token does not END the fold: a LATER token's dim
+    // mismatch must still throw (the composition folded the null
+    // accumulator through every remaining token) — r16 ADVICE regression
+    val qTokBad: org.apache.spark.sql.DataFrame =
+      Seq[(Int, Seq[Seq[Float]], Seq[Seq[Float]])](
+        (0, Seq(null, Seq(1f, 2f)), Seq(Seq(1f, 2f, 3f)))).toDF("id", "q", "d")
+    intercept[Exception](qTokBad.select(
+      graft.functions.AnnFunctions.maxsim_score(col("q"), col("d"))).collect())
+    // same shape with matching dims stays null (fold reaches the end)
+    val qTokOk: org.apache.spark.sql.DataFrame =
+      Seq[(Int, Seq[Seq[Float]], Seq[Seq[Float]])](
+        (0, Seq(null, Seq(1f, 2f)), Seq(Seq(1f, 2f)))).toDF("id", "q", "d")
+    assert(qTokOk.select(
+      graft.functions.AnnFunctions.maxsim_score(col("q"), col("d"))).head().isNullAt(0))
+    // an all-docs-skipped token (found=false, here via a null q ELEMENT
+    // whose dims DO match) also keeps folding: the LATER mismatched token
+    // must still throw
+    val ndBad = Seq((0,
+        Seq(Seq[java.lang.Float](1f, null, 3f), Seq[java.lang.Float](1f, 2f)),
+        Seq(Seq(1f, 2f, 3f)))).toDF("id", "q", "d")
+    intercept[Exception](ndBad.select(
+      graft.functions.AnnFunctions.maxsim_score(col("q"), col("d"))).collect())
   }
 
   test("float fast path (non-nullable schema) matches the scalar reference") {
