@@ -537,16 +537,19 @@ object AnnSql {
       val name = constString(exprs(0))
       val idx = indexByName(spark, name)
       val (mode, live, summarized) = idx.routingStatus
-      val (routerSt, coarseNodes, coarseLive, routerBin) = idx.routerState
+      val (routerSt, coarseNodes, coarseLive, coarseFloor, coarseAgree,
+        routerBin) = idx.routerState
       val probeWidth = spark.conf.get("spark.ann.shardProbes", "0").toInt
       import spark.implicits._
       plan(Seq((name, idx.meta.engine, mode,
           idx.isGraphEngine && live > 0 && summarized == live,
           live, summarized, probeWidth,
-          routerSt, coarseNodes, coarseLive, routerBin))
+          routerSt, coarseNodes, coarseLive, coarseFloor, coarseAgree,
+          routerBin))
         .toDF("name", "engine", "shard_assign", "covered",
           "live_shards", "summarized_shards", "probe_width",
-          "router_state", "coarse_nodes", "coarse_live", "router_bin"))
+          "router_state", "coarse_nodes", "coarse_live", "coarse_floor",
+          "coarse_agreement", "router_bin"))
     }, "scala_udf")
 
     // ann_rebalance(name[, max_cell_factor]) → one row (name, split) —

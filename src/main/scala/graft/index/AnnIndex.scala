@@ -685,29 +685,36 @@ class AnnIndex(val spark: SparkSession, val path: String) {
   private[graft] def summariesVersionNow: Long = summariesVersion.get()
 
   /** Coarse-router observability for `ann_routing_info`:
-    * (router_state, coarse_nodes, coarse_live, router_bin).
+    * (router_state, coarse_nodes, coarse_live, coarse_floor,
+    * coarse_agreement, router_bin).
     *  - router_state: "none" (no driver-cached router), "stale" (cached
     *    but a mutation bumped the version — the next search pays a
     *    reconcile), "flat" (current, one-level), "graph" (current, with
     *    a coarse centroid-graph level).
     *  - coarse_nodes/coarse_live: centroid-graph size and its
     *    non-tombstoned node count (dilution = nodes − live).
+    *  - coarse_floor/coarse_agreement: the validated beam floor and the
+    *    routing agreement it measured against the flat truth at build
+    *    (ShardSummaries.Router.validatedCoarse) — agreement sliding
+    *    across mutations is the recall-health gauge.
     *  - router_bin: the persisted coarse cache vs the live summary set
     *    ("absent" | "current" | "stale") — an operator watching a CDC
     *    stream can see a rebuild storm as persistent "stale" here. */
-  def routerState: (String, Int, Int, String) = {
-    if (!isGraphEngine) return ("none", 0, 0, "absent")
+  def routerState: (String, Int, Int, Int, Double, String) = {
+    if (!isGraphEngine) return ("none", 0, 0, 0, 0.0, "absent")
     val rc = routerCache
     val state =
       if (rc == null || rc.router.isEmpty) "none"
       else if (rc.version != summariesVersion.get()) "stale"
       else if (rc.router.get.coarse.isDefined) "graph"
       else "flat"
-    val (nodes, live) = Option(rc).flatMap(_.router).flatMap(_.coarse) match {
-      case Some(co) => (co.graphShards.length, co.liveCount)
-      case None => (0, 0)
-    }
-    (state, nodes, live,
+    val (nodes, live, floor, agreement) =
+      Option(rc).flatMap(_.router).flatMap(_.coarse) match {
+        case Some(co) =>
+          (co.graphShards.length, co.liveCount, co.floor, co.agreement.toDouble)
+        case None => (0, 0, 0, 0.0)
+      }
+    (state, nodes, live, floor, agreement,
       ShardSummaries.Router.cacheState(path, routingSummaries))
   }
 

@@ -251,42 +251,16 @@ object ShardSummaries {
       // liveCount (not raw graph size) is the flat alternative's cost, so
       // tombstone dilution from incremental patches narrows the guard.
       case Some(co) if s < shards.length && !Router.hasNaN(q) &&
-          math.max(s * math.max(1, overscan), 48) < co.liveCount / 8 =>
-        // beam-search the centroid graph at width overscan×s (floor 48 —
-        // tiny widths under-explore and the whole point is recall
-        // parity), then keep the best s LIVE reachable labels. Pool order
-        // is ascending distance — same output contract as the flat scan.
-        // Tombstoned labels (incrementally removed shards) still navigate
-        // but never route; NaN distances (a poisoned centroid inserted by
-        // a patch, or Inf arithmetic) are dropped at harvest — the flat
-        // scan's NaN discipline, kept at the pool boundary.
-        val dist = graft.functions.VectorKernels.orderingDistance(metric) _
-        val l = math.max(s * math.max(1, overscan), 48)
-        val pool = Vamana.beamSearchPool(co.graph, q, l, dist)
-        val out = new Array[Int](math.min(s, pool.size))
-        var take = 0
-        var j = 0
-        while (j < pool.size && take < s) {
-          val sid = co.graphShards(pool.labels(j))
-          if (sid >= 0 && !java.lang.Double.isNaN(pool.dists(j))) {
-            out(take) = sid; take += 1
-          }
-          j += 1
-        }
-        val got = if (take == out.length) out else java.util.Arrays.copyOf(out, take)
-        if (take == s) got
-        else {
-          // under-filled pool (graph smaller than s after NaN-centroid
-          // exclusion, or unreachable nodes): deterministically pad with
-          // the lowest unrouted LIVE graph ids — graphShards excludes
-          // NaN-poisoned centroids by construction, so the pad keeps the
-          // flat scan's contract that such a shard never takes a probe
-          // slot (the result may then be shorter than s, exactly like the
-          // flat path's NaN exclusion)
-          val seen = got.toSet
-          (got.iterator ++ co.graphShards.iterator.filter(x => x >= 0 && !seen(x)))
-            .take(s).toArray
-        }
+          math.max(s * math.max(1, overscan), co.floor) < co.liveCount / 8 =>
+        // beam-search the centroid graph at width overscan×s, floored at
+        // the graph's own VALIDATED beam floor (build-time
+        // self-validation picked the narrowest width reaching ≥0.98
+        // agreement against the flat truth on this graph's geometry —
+        // see validatedCoarse), then keep the best s LIVE reachable
+        // labels. Pool order is ascending distance — same output
+        // contract as the flat scan.
+        Router.coarseProbe(co, q, s,
+          math.max(s * math.max(1, overscan), co.floor), metric)
       case _ =>
         ShardSummaries.topShards(q, shards, centroids, s, metric)
     }
@@ -296,9 +270,16 @@ object ShardSummaries {
     /** Centroid graph: labels index `graphShards` (shard ids of the
       * routable centroids the graph was built over). A `-1` entry is a
       * TOMBSTONE — an incrementally removed shard whose node stays in the
-      * graph for navigation but never routes (see [[Router.patch]]). */
+      * graph for navigation but never routes (see [[Router.patch]]).
+      *
+      * `floor` is the graph's VALIDATED beam floor and `agreement` the
+      * routing agreement it measured against the flat truth at build time
+      * (see [[Router.validatedCoarse]]) — both content-derived, so they
+      * persist in router.bin and survive driver restarts. */
     final case class Coarse(graph: Vamana.Shard,
-                            graphShards: Array[Int]) extends Serializable {
+                            graphShards: Array[Int],
+                            floor: Int,
+                            agreement: Float) extends Serializable {
       /** Routable (non-tombstoned) node count — the engage guard's "what
         * the flat scan would cost" side. Recomputed after deserialization
         * (transient), O(n) once. */
@@ -310,7 +291,10 @@ object ShardSummaries {
     }
 
     private val CacheMagic = 0x47525452 // "GRTR"
-    private val CacheVersion = 1
+    // v2 (r17): + validated beam floor and measured agreement after the
+    // graphShards table — v1 files mismatch on the version int and
+    // degrade to a rebuild, never a misread
+    private val CacheVersion = 2
 
     def cacheFilePath(indexPath: String): java.nio.file.Path =
       java.nio.file.Paths.get(indexPath, "router.bin")
@@ -354,6 +338,8 @@ object ShardSummaries {
       try {
         out.writeInt(CacheMagic); out.writeInt(CacheVersion)
         out.writeLong(dig)
+        out.writeInt(coarse.floor)
+        out.writeFloat(coarse.agreement)
         out.writeInt(coarse.graphShards.length)
         var i = 0
         while (i < coarse.graphShards.length) {
@@ -377,12 +363,15 @@ object ShardSummaries {
         try {
           if (in.readInt() != CacheMagic || in.readInt() != CacheVersion) return None
           if (in.readLong() != dig) return None
+          val floor = in.readInt()
+          val agreement = in.readFloat()
           val n = in.readInt()
           val gs = new Array[Int](n)
           var i = 0
           while (i < n) { gs(i) = in.readInt(); i += 1 }
           val graph = Vamana.ShardSpillCodec.read(in).asInstanceOf[Vamana.Shard]
-          if (graph.ids.length != n) None else Some(Coarse(graph, gs))
+          if (graph.ids.length != n) None
+          else Some(Coarse(graph, gs, floor, agreement))
         } finally in.close()
       } catch { case scala.util.control.NonFatal(_) => None }
     }
@@ -441,19 +430,31 @@ object ShardSummaries {
 
     /** Build from covered summaries (sorted by shard id — read/refresh
       * guarantee order, so the build is deterministic: fixed insertion
-      * order, fixed graph params). NaN-poisoned centroids are excluded at
-      * build (they must never steal a probe slot — the one-level scan's
-      * NaN discipline); a NaN QUERY falls back to the one-level path,
-      * which keeps the first-s deterministic junk-in/bounded-junk-out
-      * contract. Cost at N shards: one single-threaded Vamana build over
-      * N centroid rows (R=32, L=64) — one-time per summaries version
-      * (AnnIndex caches the router until a mutation invalidates the
-      * summaries). */
+      * order, fixed graph params). Unroutable centroids (NaN, zero-norm
+      * under cosine) are excluded at build — they must never steal a
+      * probe slot (the one-level scan's NaN discipline); a NaN QUERY
+      * falls back to the one-level path, which keeps the first-s
+      * deterministic junk-in/bounded-junk-out contract. Cost at N shards:
+      * one batched-parallel Vamana build over N centroid rows (R=32,
+      * L=64) plus floor validation — once per summaries version on a
+      * cold cache; mutations reconcile incrementally via [[patch]]. */
     /** The smallest graph the engage guard (l < live/8, beam floor 48)
       * can ever use: below 8·48+1 shards EVERY query would fall back to
       * the flat scan, so building (and rebuilding, per mutation) the
-      * graph would be pure wasted driver work. */
+      * graph would be pure wasted driver work. (beamFloor(n) == 48 for
+      * every n this bound can see, so the coupling is exact.) */
     private val MinUsableGraph = 8 * 48 + 1
+
+    /** Harvest beam floor by GRAPH size: 48 through 8k nodes (measured
+      * recall-complete at the 400–4,000-shard arms), +8 per doubling
+      * beyond. Greedy path length grows ~log(n), and a fixed 48 that was
+      * agreement-1.000 at 4k shards dropped one query's whole probe set
+      * at 40k (its site sat just past the l=48 basin; l=64 recovered it —
+      * r17 diagnostics). The floor's cost is per-query beam work, so the
+      * log shape keeps routing effectively flat in shard count. */
+    def beamFloor(n: Int): Int =
+      if (n <= 8192) 48
+      else 48 + 8 * (32 - Integer.numberOfLeadingZeros((n - 1) / 8192))
 
     /** Coarse-graph build parameters — fixed so builds and incremental
       * patches of the same summary history are reproducible. */
@@ -464,6 +465,107 @@ object ShardSummaries {
       * way to a full rebuild (compaction) — dead nodes still cost beam
       * work and degrade navigation quality. */
     private val MaxDeadFraction = 0.25
+
+    /** Self-validation dials: the floor ladder must reach `ValidateTarget`
+      * routing agreement against the flat truth before a rung is
+      * accepted; a graph whose BEST rung stays under `StandDownBelow` is
+      * judged unroutable for this geometry and the router serves the flat
+      * scan instead (never a silent recall cliff). */
+    private val ValidateTarget = 0.98
+    private val StandDownBelow = 0.90
+    private val ValidateQueries = 64
+    private val ValidateK = 8
+
+    /** One coarse probe: beam at width l, harvest the best s LIVE labels.
+      * Tombstoned labels (incrementally removed shards) still navigate
+      * but never route; NaN distances (a poisoned centroid inserted by a
+      * patch, or Inf arithmetic) are dropped at harvest — the flat scan's
+      * NaN discipline, kept at the pool boundary. Shared by the serving
+      * path ([[Router.topShards]]) and build-time validation, so the
+      * agreement the validator measures is the agreement serving gets. */
+    private[index] def coarseProbe(co: Coarse, q: Array[Float], s: Int,
+                                   l: Int, metric: String): Array[Int] = {
+      val dist = graft.functions.VectorKernels.orderingDistance(metric) _
+      val pool = Vamana.beamSearchPool(co.graph, q, l, dist)
+      val out = new Array[Int](math.min(s, pool.size))
+      var take = 0
+      var j = 0
+      while (j < pool.size && take < s) {
+        val sid = co.graphShards(pool.labels(j))
+        if (sid >= 0 && !java.lang.Double.isNaN(pool.dists(j))) {
+          out(take) = sid; take += 1
+        }
+        j += 1
+      }
+      val got = if (take == out.length) out else java.util.Arrays.copyOf(out, take)
+      if (take == s) got
+      else {
+        // under-filled pool (graph smaller than s after NaN-centroid
+        // exclusion, or unreachable nodes): deterministically pad with
+        // the lowest unrouted LIVE graph ids — graphShards excludes
+        // NaN-poisoned centroids by construction, so the pad keeps the
+        // flat scan's contract that such a shard never takes a probe
+        // slot (the result may then be shorter than s, exactly like the
+        // flat path's NaN exclusion)
+        val seen = got.toSet
+        (got.iterator ++ co.graphShards.iterator.filter(x => x >= 0 && !seen(x)))
+          .take(s).toArray
+      }
+    }
+
+    /** Build-time self-validation — "measure, don't guess" applied to the
+      * coarse level's one free parameter. The builder HOLDS the flat
+      * truth (the covered centroid table), so instead of trusting a fixed
+      * beam floor it probes the finished graph with a deterministic
+      * spread of its own live centroids, compares each top-8 against the
+      * flat ranking, and walks a ×2 floor ladder from [[beamFloor]] until
+      * agreement reaches [[ValidateTarget]] (or the engage cap live/8,
+      * where the flat scan is cheaper anyway). Geometry decides the cost:
+      * crisply clustered centroid sets validate at the base floor (no
+      * change vs r16), DIFFUSE sets — the r17 upkeep arm measured 0.94 at
+      * l=48 on 4k diffuse d=32 centroids where the synthetic grid read
+      * 1.000 — pay a wider beam instead of silently losing recall, and a
+      * set the graph cannot route at all (best < [[StandDownBelow]])
+      * stands down to the flat scan. The chosen floor and measured
+      * agreement persist in router.bin and surface in `ann_routing_info`.
+      * Deterministic (fixed probes, fixed ladder); the probe fan-out runs
+      * on the common pool, results are order-independent. */
+    private def validatedCoarse(graph: Vamana.Shard, gs: Array[Int],
+                                shards: Array[Int],
+                                cents: Array[Array[Float]],
+                                metric: String): Option[Coarse] = {
+      val liveLabels = gs.indices.filter(gs(_) >= 0).toArray
+      val live = liveLabels.length
+      val cap = live / 8
+      val base = beamFloor(gs.length)
+      if (base >= cap) return None // the engage guard could never pass
+      val nQ = math.min(ValidateQueries, live)
+      val qs = Array.tabulate(nQ)(i =>
+        graph.vectors(liveLabels((i.toLong * live / nQ).toInt)))
+      val truth = new Array[Set[Int]](nQ)
+      java.util.stream.IntStream.range(0, nQ).parallel().forEach { i =>
+        truth(i) =
+          ShardSummaries.topShards(qs(i), shards, cents, ValidateK, metric).toSet
+      }
+      var bestFloor = base
+      var bestAgree = -1.0
+      var f = base
+      while (f < cap) {
+        val probe = Coarse(graph, gs, f, 0f)
+        val hits = new java.util.concurrent.atomic.LongAdder()
+        java.util.stream.IntStream.range(0, nQ).parallel().forEach { i =>
+          val got = coarseProbe(probe, qs(i), ValidateK, f, metric).toSet
+          hits.add(truth(i).intersect(got).size.toLong)
+        }
+        val agree = hits.sum.toDouble / (nQ.toLong * ValidateK)
+        if (agree >= ValidateTarget) return Some(Coarse(graph, gs, f, agree.toFloat))
+        if (agree > bestAgree) { bestAgree = agree; bestFloor = f }
+        f *= 2
+      }
+      if (bestAgree >= StandDownBelow)
+        Some(Coarse(graph, gs, bestFloor, bestAgree.toFloat))
+      else None
+    }
 
     def build(sums: Array[Summary], metric: String,
               coarseThreshold: Int, overscan: Int,
@@ -482,22 +584,24 @@ object ShardSummaries {
       val cached = for {
         p <- cachePath; d <- dig; c <- readCache(p, d)
       } yield c
-      val coarse = cached.getOrElse {
+      val coarse: Option[Coarse] = cached.orElse {
         // incremental path first: a mutation typically touches a handful
         // of shards out of tens of thousands — reconciling the PREVIOUS
         // version's graph (tombstone removed ids, insert new centroids)
-        // costs O(changed × insert), not a full O(n) rebuild per batch
-        val c = base.flatMap(b => patch(b, sums, keep, metric)).getOrElse {
-          val graph = Vamana.buildShardParallel(
-            keep.map(_.toLong), keep.map(cents), CoarseParams, metric)
-          Coarse(graph, keep.map(shards))
-        }
-        for (p <- cachePath; d <- dig)
-          try writeCache(p, d, c)
+        // costs O(changed × insert + validation), not a full O(n) rebuild
+        // per batch
+        val c = base.flatMap(b => patch(b, sums, keep, shards, cents, metric))
+          .orElse {
+            val graph = Vamana.buildShardParallel(
+              keep.map(_.toLong), keep.map(cents), CoarseParams, metric)
+            validatedCoarse(graph, keep.map(shards), shards, cents, metric)
+          }
+        for (co <- c; p <- cachePath; d <- dig)
+          try writeCache(p, d, co)
           catch { case scala.util.control.NonFatal(_) => () } // amortization only
         c
       }
-      new Router(shards, cents, metric, Some(coarse), overscan)
+      new Router(shards, cents, metric, coarse, overscan)
     }
 
     /** Reconcile a previously built coarse graph to a NEW summary set —
@@ -513,14 +617,23 @@ object ShardSummaries {
       * `sums`/`keep` arrive sorted by shard id, so tombstone and insert
       * order are fixed.
       *
+      * The patched graph re-validates its beam floor
+      * ([[validatedCoarse]]) — mutation can shift the geometry (the r17
+      * upkeep arm's rewritten shards pulled centroids toward the global
+      * mean and cost the FIXED floor 0.04 agreement), and the floor must
+      * answer for the graph as it now is, not as it was built.
+      *
       * None (→ full rebuild) when: the base has no coarse level or a
       * different metric; the change set exceeds n/8 (a parallel rebuild
-      * beats a serial patch well before half the set churns); or
-      * tombstones would exceed [[MaxDeadFraction]] (compaction). The base
-      * is never mutated — its spine is copied — so an in-flight search
-      * holding the old Router is unaffected. */
+      * beats a serial patch well before half the set churns); tombstones
+      * would exceed [[MaxDeadFraction]] (compaction); or the re-validation
+      * stands down (the rebuild then re-validates from scratch and makes
+      * the final call). The base is never mutated — its spine is copied —
+      * so an in-flight search holding the old Router is unaffected. */
     private[index] def patch(base: Router, sums: Array[Summary],
-                             keep: Array[Int], metric: String): Option[Coarse] = {
+                             keep: Array[Int], shards: Array[Int],
+                             cents: Array[Array[Float]],
+                             metric: String): Option[Coarse] = {
       val co = base.coarse.orNull
       if (co == null || base.metric != metric) return None
       val n0 = co.graphShards.length
@@ -574,7 +687,7 @@ object ShardSummaries {
         addIdx.iterator.map(x => sums(x).shard.toLong).toArray,
         addIdx.iterator.map(x => sums(x).centroid).toArray,
         CoarseParams, metric)
-      Some(Coarse(graph, gs))
+      validatedCoarse(graph, gs, shards, cents, metric)
     }
   }
 }

@@ -491,19 +491,21 @@ object Vamana {
     * (R17Scale routerbuild arm) — centroid graphs are navigated at beam
     * widths far above the per-round candidate loss. */
   def buildShardParallel(ids: Array[Long], vectors: Array[Array[Float]],
-                         params: Params, metric: String): Shard = {
+                         params: Params, metric: String,
+                         seed: Int = ParallelBuildSeed,
+                         batch: Int = ParallelBuildBatch): Shard = {
     val n = vectors.length
-    if (n <= ParallelBuildSeed + ParallelBuildBatch)
+    if (n <= seed + batch)
       return buildShard(ids, vectors, params, metric)
     val dist = VectorKernels.orderingDistance(metric) _
     val neighbors = Array.fill(n)(Array.empty[Int])
     val entry = sampleMedoid(vectors, dist)
     val sh = Shard(ids, vectors, neighbors, entry)
-    insertSweepRange(sh, 0, ParallelBuildSeed, params, dist)
+    insertSweepRange(sh, 0, seed, params, dist)
     val slack = degreeSlack(params)
-    var from = ParallelBuildSeed
+    var from = seed
     while (from < n) {
-      val until = math.min(n, from + ParallelBuildBatch)
+      val until = math.min(n, from + batch)
       // phase 1 — concurrent read-only searches against the pre-round
       // graph; every candidate a search returns is a pre-round label (the
       // beam reaches nodes only through existing edges)

@@ -618,7 +618,7 @@ object IndexQueries {
       graft.functions.AnnSql.register(s)
       s.sql("SELECT name, engine, shard_assign, covered, live_shards, " +
         "summarized_shards, probe_width, router_state, coarse_nodes, " +
-        "coarse_live, router_bin " +
+        "coarse_live, coarse_floor, coarse_agreement, router_bin " +
         "FROM ann_routing_info('emb_vamana_routed')")
     }),
 
@@ -1290,7 +1290,8 @@ object IndexQueries {
       """SELECT 'emb_vamana_routed' AS name, 'DISKANN' AS engine,
         |'spatial' AS shard_assign, true AS covered, 4 AS live_shards,
         |4 AS summarized_shards, 0 AS probe_width, 'flat' AS router_state,
-        |0 AS coarse_nodes, 0 AS coarse_live,
+        |0 AS coarse_nodes, 0 AS coarse_live, 0 AS coarse_floor,
+        |CAST(0.0 AS DOUBLE) AS coarse_agreement,
         |'absent' AS router_bin""".stripMargin,
     "ann_matryoshka_rerank" -> bruteForceTopK(21),
 

@@ -185,6 +185,16 @@ object R17Scale {
       val w1 = hits("upkeep walk-all 50q AFTER cdc")
       println(f"[r17-scale]   routed recall s=8 of $nShards AFTER  = ${recall(w1, r1)}%.3f " +
         "(parity floor: BEFORE - 0.02)")
+      // adjudication leg: the same width through the ONE-LEVEL scan (the
+      // exact flat ranking, no coarse graph, no patch) — if it reads the
+      // same, the loss is the index's spatial dilution under tiny online
+      // batches (the r16 cdc finding, vacuum is the repair), not the
+      // patched coarse graph
+      val rFlat = withConf("spark.ann.shardProbes" -> "8",
+        "spark.ann.routeCoarseThreshold" -> "100000000")(
+        hits("upkeep ONE-LEVEL-routed 50q s=8 AFTER cdc"))
+      println(f"[r17-scale]   one-level recall s=8 AFTER           = ${recall(w1, rFlat)}%.3f " +
+        "(patched-coarse parity target)")
       val _ = insertWall
       idx.unpersist(); base.unpersist()
     }
@@ -215,8 +225,9 @@ object R17Scale {
         val qs = Seq.tabulate(50)(i => clusteredPoint(i % 37, i * 131L + 7, d, jitter = 0.2))
         val dist = graft.functions.VectorKernels.orderingDistance("l2") _
         val s = 8
+        val l = ShardSummaries.Router.beamFloor(nShards) // the Router's beam at s=8
         def top(g: Vamana.Shard, q: Array[Float]): Set[Int] = {
-          val pool = Vamana.beamSearchPool(g, q, 48, dist)
+          val pool = Vamana.beamSearchPool(g, q, l, dist)
           (0 until math.min(s, pool.size)).map(j => pool.labels(j)).toSet
         }
         var agreePS = 0.0; var agreePF = 0.0; var agreeSF = 0.0

@@ -597,6 +597,42 @@ class ShardRoutingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.ann.graphTableStrategy")
   }
 
+  test("coarse floor self-validates: diffuse centroid sets keep the flat-scan agreement") {
+    // pure-gaussian d=32 centroids — the DIFFUSE geometry where a fixed
+    // beam floor silently lost 4-5% routing agreement at 4k shards (r17
+    // upkeep arm). Build-time validation probes the finished graph with
+    // its own centroids and widens the floor until >=0.98 agreement vs
+    // the flat truth (or stands down), so the user-visible guarantee is
+    // the agreement, not the width.
+    val rnd = new scala.util.Random(53)
+    val sums = Array.tabulate(4000)(i => ShardSummaries.Summary(i, 10L,
+      Array.fill(32)(rnd.nextGaussian().toFloat)))
+    val flat = ShardSummaries.Router.build(sums, "l2",
+      coarseThreshold = Int.MaxValue, overscan = 4)
+    val routed = ShardSummaries.Router.build(sums, "l2",
+      coarseThreshold = 256, overscan = 4)
+    val co = routed.coarse.get
+    assert(co.floor >= 48 && co.agreement >= 0.90f,
+      s"validated floor=${co.floor} agreement=${co.agreement}")
+    val qs = Seq.tabulate(50)(i => sums(i * 79 % 4000).centroid)
+    val agree = qs.map { q =>
+      val a = routed.topShards(q, 8).toSet
+      val b = flat.topShards(q, 8).toSet
+      a.intersect(b).size.toDouble / b.size
+    }.sum / qs.size
+    assert(agree >= 0.95,
+      s"routed agreement $agree below the validated guarantee " +
+        s"(floor=${co.floor}, measured=${co.agreement})")
+    // the validated floor and measured agreement persist through
+    // router.bin (v2) — a fresh driver serves the same behavior
+    val dir = Files.createTempDirectory("graft_router_floor").toString
+    ShardSummaries.Router.build(sums, "l2", 256, 4, cachePath = Some(dir))
+    val back = ShardSummaries.Router.build(sums, "l2", 256, 4,
+      cachePath = Some(dir))
+    assert(back.coarse.get.floor == co.floor &&
+      back.coarse.get.agreement == co.agreement)
+  }
+
   test("two-level Router routes by dot product on a cosine index") {
     // cosine summaries are L2-normalized at write time (ShardSummaries
     // contract); the coarse graph must rank by the same 1-dot ordering
