@@ -199,6 +199,71 @@ object R17Scale {
       idx.unpersist(); base.unpersist()
     }
 
+    // ---- spatial vs rotation online-insert targeting ---------------------
+    // Correlated CDC batches (each drawn around ONE cluster — the
+    // realistic arrival pattern) under both target policies: rotation
+    // merges each batch into whatever shard is next (bimodalizes its
+    // centroid; routing then misses the fresh rows and the old ones the
+    // diluted centroid no longer represents), spatial targeting rewrites
+    // the shard the batch belongs to.
+    def spatialTargetArm(): Unit = {
+      val d = 32
+      val nClusters = 2000
+      val nShards = 400
+      val n = 100000L
+      val mkVec = clusteredVecUdf(nClusters, d)
+      val batches = 10
+      for (policy <- Seq("spatial", "rotation")) {
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_r17_st_$policy").toString
+        val base = spark.range(n).select(col("id"), mkVec(col("id")).as("vec"))
+        val idx = measured(s"st[$policy] create n=$n shards=$nShards (spatial d=$d)") {
+          graft.index.AnnIndexManager.create(spark, s"r17_st_$policy", base,
+            "id", "vec", "DISKANN",
+            Map("metric" -> "l2", "max_degree" -> "16",
+              "build_complexity" -> "32", "shards" -> nShards.toString,
+              "shard_assign" -> "spatial"), s"$tmp/st")
+        }
+        idx.persist()
+        val freshClusters = Seq.tabulate(batches)(b => (b * 37) % nClusters)
+        withConf("spark.ann.onlineInsertMaxRows" -> "1000",
+          "spark.ann.onlineSpatialTargets" ->
+            (if (policy == "spatial") "true" else "false")) {
+          measured(s"st[$policy] $batches correlated batches x200") {
+            for (b <- 0 until batches) {
+              val c = freshClusters(b)
+              val ids = spark.range(20000000L + b * 200, 20000000L + b * 200 + 200)
+              // every row of the batch jitters around cluster c's site
+              idx.insert(ids.select(col("id"),
+                udf((id: Long) => clusteredPoint(c, id * 31L + 5, d)).apply(col("id")).as("vec")),
+                "id", "vec")
+            }
+          }
+        }
+        // recall at the FRESH clusters (query = the cluster site) and at
+        // 50 standard queries, routed s=4 vs walk-all
+        val freshQs = freshClusters.map(c => clusteredPoint(c, 999983L, d))
+        val stdQs = clusteredQueries(50, nClusters, d)
+        def hits(qs: Seq[Array[Float]]): Map[Int, Set[Long]] = {
+          idx.searchBatch(qs, 10).count()
+          idx.searchBatch(qs, 10).collect()
+            .groupBy(_.getInt(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        }
+        def recall(w: Map[Int, Set[Long]], a: Map[Int, Set[Long]]): Double =
+          w.keys.toSeq.map { q =>
+            val x = w(q)
+            if (x.isEmpty) 1.0
+            else x.intersect(a.getOrElse(q, Set.empty)).size.toDouble / x.size
+          }.sum / w.size
+        val wF = hits(freshQs); val wS = hits(stdQs)
+        val (rF, rS) = withConf("spark.ann.shardProbes" -> "4") {
+          (hits(freshQs), hits(stdQs))
+        }
+        println(f"[r17-scale]   st[$policy] routed s=4 recall: " +
+          f"fresh-cluster=${recall(wF, rF)}%.3f standard=${recall(wS, rS)}%.3f")
+        idx.unpersist()
+      }
+    }
+
     // ---- batched-parallel coarse build vs serial -------------------------
     def routerBuildArm(): Unit = {
       import graft.index.{ShardSummaries, Vamana}
@@ -305,6 +370,7 @@ object R17Scale {
     println(s"[r17-scale] mode=$mode cpus=$cpus " +
       s"driver_heap_gb=${Runtime.getRuntime.maxMemory() / (1L << 30)}")
     if (mode == "all" || mode == "upkeep") upkeepArm()
+    if (mode == "all" || mode == "spatialtarget") spatialTargetArm()
     if (mode == "all" || mode == "routerbuild") routerBuildArm()
     if (mode == "all" || mode == "bcast") bcastArm()
     spark.stop()

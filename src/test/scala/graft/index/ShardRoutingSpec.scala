@@ -597,6 +597,57 @@ class ShardRoutingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.ann.graphTableStrategy")
   }
 
+  test("online insert targets the batch's spatial shard, not the rotation cursor") {
+    // 4 well-separated clusters / 4 spatial shards. A batch drawn around
+    // cluster 2 must rewrite the shard whose summary centroid is nearest
+    // to the batch — NOT the least-recently-rewritten smallest id —
+    // so online CDC stops bimodalizing unrelated shards (the r17 upkeep
+    // arm measured routed recall drifting 1.000 → 0.988 in 20 rotation
+    // batches). Rotation remains behind spark.ann.onlineSpatialTargets=false
+    // and for unsummarized indexes.
+    val rows = clustered(4, 100)
+    val idx = create(rows, "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "64",
+        "shards" -> "4", "shard_assign" -> "spatial"))
+    val c2 = {
+      val rc = new scala.util.Random(2 * 7919 + 3)
+      Array.fill(dim)(rc.nextFloat() * 100f)
+    }
+    val sums0 = ShardSummaries.read(idx.path).get
+    val nearest0 = sums0.minBy(s =>
+      graft.functions.VectorKernels.l2Sq(c2, s.centroid)).shard
+    val liveBefore = idx.meta.liveShards.get.toSet
+    spark.conf.set("spark.ann.onlineInsertMaxRows", "100")
+    try {
+      val batch = Seq.tabulate(40) { i =>
+        val rd = new scala.util.Random(i * 131L + 7)
+        (50000L + i, c2.map(x => x + rd.nextFloat()))
+      }
+      idx.insert(df(batch), "id", "vec")
+      val removed = liveBefore -- idx.meta.liveShards.get.toSet
+      assert(removed == Set(nearest0),
+        s"online batch rewrote $removed, expected the spatial target $nearest0")
+      // a fresh row is reachable through width-1 routing: querying its own
+      // vector must find it (distance 0) — i.e. the routing decision sends
+      // the query to the rewritten shard the row landed in
+      val routedIds = withProbes(1)(
+        ids(idx.scan(batch(7)._2, 10, searchParam = 100000)))
+      assert(routedIds.contains(50007L),
+        s"width-1 routing misses the fresh row's own shard: $routedIds")
+      // escape hatch: rotation targeting still reachable by conf
+      spark.conf.set("spark.ann.onlineSpatialTargets", "false")
+      try {
+        val live1 = idx.meta.liveShards.get
+        idx.insert(df(Seq.tabulate(10) { i =>
+          (60000L + i, c2.map(x => x + new scala.util.Random(i + 9).nextFloat()))
+        }), "id", "vec")
+        val removed2 = live1.toSet -- idx.meta.liveShards.get.toSet
+        assert(removed2 == Set(live1.min),
+          s"rotation fallback must target the smallest live id: $removed2")
+      } finally spark.conf.unset("spark.ann.onlineSpatialTargets")
+    } finally spark.conf.unset("spark.ann.onlineInsertMaxRows")
+  }
+
   test("coarse floor self-validates: diffuse centroid sets keep the flat-scan agreement") {
     // pure-gaussian d=32 centroids — the DIFFUSE geometry where a fixed
     // beam floor silently lost 4-5% routing agreement at 4k shards (r17
