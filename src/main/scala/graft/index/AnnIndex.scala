@@ -566,6 +566,11 @@ class AnnIndex(val spark: SparkSession, val path: String) {
   /** Driver-cached shard summaries; null = not loaded yet. Invalidated by
     * every mutation that touches the shard set (same sites as the pin). */
   @volatile private var summariesCache: Array[ShardSummaries.Summary] = _
+  /** Lazily computed digest of `summariesCache` (null until first use;
+    * dropped with the cache) — the refresh fast path compares file vs
+    * cache by digest, and hashing ~O(shards×dim) of resident centroids on
+    * EVERY stats call would defeat that path's purpose. */
+  @volatile private var summariesCacheDigest: java.lang.Long = _
   /** Monotonic version for the router cache below: bumped by every
     * invalidation, so a router built from pre-mutation summaries can
     * never be served after the mutation — even when a vacuum reuses the
@@ -588,6 +593,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
   @volatile private var routerCache: AnnIndex.RouterCacheEntry = _
   private[index] def invalidateSummaries(): Unit = synchronized {
     summariesCache = null
+    summariesCacheDigest = null
     val rc = routerCache
     if (rc != null) rc.unpersistBroadcast() // executors re-fetch next version
     summariesVersion.incrementAndGet()
@@ -667,7 +673,13 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     // first (this store is skipped) or after (the stored entry's version
     // no longer matches — a plain stale entry).
     synchronized {
-      if (summariesVersion.get() == v0) {
+      // a COVERAGE-GAP result (router=None: a mutation published its
+      // shards but the summary merge hasn't landed) must not evict a
+      // usable patch base — storing it would downgrade the post-repair
+      // build from an O(changed) patch to a full rebuild. The gap window
+      // re-reads summaries per call instead (short-lived by design).
+      val keepBase = built.isEmpty && cached != null && cached.router.isDefined
+      if (summariesVersion.get() == v0 && !keepBase) {
         if (cached != null && (cached ne entry)) cached.unpersistBroadcast()
         routerCache = entry
       }
@@ -680,6 +692,14 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * patch base). */
   private[graft] def routerCacheEntry: Option[AnnIndex.RouterCacheEntry] =
     Option(routerCache)
+
+  /** Release the pinned router broadcast (instance-cache eviction hook):
+    * the router object itself stays usable as a patch base; the next
+    * table search re-broadcasts on demand. */
+  private[index] def releaseRouterBroadcast(): Unit = {
+    val rc = routerCache
+    if (rc != null) rc.unpersistBroadcast()
+  }
 
   /** Spec/scale-arm accessor: current summaries version. */
   private[graft] def summariesVersionNow: Long = summariesVersion.get()
@@ -706,7 +726,8 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     val state =
       if (rc == null || rc.router.isEmpty) "none"
       else if (rc.version != summariesVersion.get()) "stale"
-      else if (rc.router.get.coarse.isDefined) "graph"
+      else if (rc.router.get.coarse.exists(_.servable)) "graph"
+      else if (rc.router.get.coarse.isDefined) "standdown" // kept, unserved
       else "flat"
     val (nodes, live, floor, agreement) =
       Option(rc).flatMap(_.router).flatMap(_.coarse) match {
@@ -752,10 +773,19 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     // otherwise outlive the documented repair verb itself.
     if (missing.isEmpty && kept.length == existing.length) {
       val cachedSums = summariesCache
-      if (cachedSums != null &&
-          ShardSummaries.Router.digest(cachedSums) !=
-            ShardSummaries.Router.digest(existing))
-        invalidateSummaries()
+      if (cachedSums != null) {
+        var cachedDig = summariesCacheDigest
+        if (cachedDig == null) {
+          cachedDig = ShardSummaries.Router.digest(cachedSums)
+          // store only while the digested array is still THE cache — a
+          // racing invalidation must not get its digest resurrected
+          synchronized {
+            if (summariesCache eq cachedSums) summariesCacheDigest = cachedDig
+          }
+        }
+        if (cachedDig.longValue() != ShardSummaries.Router.digest(existing))
+          invalidateSummaries()
+      }
       return 0
     }
     val added =

@@ -372,8 +372,24 @@ object AnnIndexManager {
     * in-memory value (reused), while an out-of-process rewrite diverges
     * (fresh instance — same contract as `cachedMeta`'s stamp). A cached
     * instance bound to a DIFFERENT (stopped) SparkSession is likewise
-    * replaced. */
-  private val instanceCache = TrieMap.empty[String, AnnIndex]
+    * replaced. LRU-bounded: each instance roots up to O(shards×dim) of
+    * router state for the driver's lifetime (invalidation keeps stale
+    * routers as patch bases by design), so an unbounded map would grow
+    * with every index a long-lived session ever touches; eviction
+    * unpersists the pinned router broadcast (the evicted instance, if
+    * still referenced elsewhere, keeps working — an unpersisted broadcast
+    * re-ships on demand until destroyed, and we never destroy). */
+  private val InstanceCacheMax = 64
+  private val instanceCache: java.util.Map[String, AnnIndex] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, AnnIndex](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, AnnIndex]): Boolean = {
+          val evict = size() > InstanceCacheMax
+          if (evict) e.getValue.releaseRouterBroadcast()
+          evict
+        }
+      })
 
   def register(name: String, path: String): Unit = registry.put(name, path)
   def registered: Map[String, String] = registry.toMap
@@ -602,6 +618,10 @@ object AnnIndexManager {
         IndexMeta.write(path, meta)
         register(name, path)
         val idx = new AnnIndex(spark, path)
+        // replace any prior index's instance at this path — the graph
+        // engines are exactly the ones whose driver caches (summaries,
+        // router, its broadcast) the instance cache exists to share
+        instanceCache.put(path, idx)
         // per-shard routing summaries (ShardSummaries), SPATIAL indexes
         // only: one columnar pass over the just-written dataset so
         // spark.ann.shardProbes works from the first query; mutations
@@ -713,7 +733,7 @@ object AnnIndexManager {
   }
 
   def load(spark: SparkSession, path: String): AnnIndex = {
-    val idx = instanceCache.get(path)
+    val idx = Option(instanceCache.get(path))
       .filter(i => (i.spark eq spark) && cachedMeta(path).contains(i.meta))
       .getOrElse {
         val fresh = new AnnIndex(spark, path)

@@ -250,7 +250,7 @@ object ShardSummaries {
       // widths (s ≪ shards) are the shape the coarse level exists for.
       // liveCount (not raw graph size) is the flat alternative's cost, so
       // tombstone dilution from incremental patches narrows the guard.
-      case Some(co) if s < shards.length && !Router.hasNaN(q) &&
+      case Some(co) if co.servable && s < shards.length && !Router.hasNaN(q) &&
           math.max(s * math.max(1, overscan), co.floor) < co.liveCount / 8 =>
         // beam-search the centroid graph at width overscan×s, floored at
         // the graph's own VALIDATED beam floor (build-time
@@ -275,11 +275,18 @@ object ShardSummaries {
       * `floor` is the graph's VALIDATED beam floor and `agreement` the
       * routing agreement it measured against the flat truth at build time
       * (see [[Router.validatedCoarse]]) — both content-derived, so they
-      * persist in router.bin and survive driver restarts. */
+      * persist in router.bin and survive driver restarts. A graph whose
+      * best rung stayed under [[Router.StandDownBelow]] is retained but
+      * NOT [[servable]]: it still rides the cache and the incremental
+      * patch path (so a pathological geometry never becomes a
+      * rebuild-the-ladder-per-mutation storm), while every query serves
+      * from the flat scan. */
     final case class Coarse(graph: Vamana.Shard,
                             graphShards: Array[Int],
                             floor: Int,
                             agreement: Float) extends Serializable {
+      /** Whether the validated agreement clears the serving bar. */
+      def servable: Boolean = agreement >= Router.StandDownBelow
       /** Routable (non-tombstoned) node count — the engage guard's "what
         * the flat scan would cost" side. Recomputed after deserialization
         * (transient), O(n) once. */
@@ -438,12 +445,14 @@ object ShardSummaries {
       * one batched-parallel Vamana build over N centroid rows (R=32,
       * L=64) plus floor validation — once per summaries version on a
       * cold cache; mutations reconcile incrementally via [[patch]]. */
-    /** The smallest graph the engage guard (l < live/8, beam floor 48)
-      * can ever use: below 8·48+1 shards EVERY query would fall back to
-      * the flat scan, so building (and rebuilding, per mutation) the
-      * graph would be pure wasted driver work. (beamFloor(n) == 48 for
-      * every n this bound can see, so the coupling is exact.) */
-    private val MinUsableGraph = 8 * 48 + 1
+    /** The smallest graph the engage guard (48 < live/8 under INTEGER
+      * division → live ≥ 8·49) can ever use: below 392 shards EVERY query
+      * would fall back to the flat scan, so building (and rebuilding, per
+      * mutation) the graph would be pure wasted driver work. (beamFloor(n)
+      * == 48 for every n this bound can see, so the coupling is exact; the
+      * r17 review caught the off-by-a-band 8·48+1 that built-then-always-
+      * rejected graphs for 385–391 live shards.) */
+    private val MinUsableGraph = 8 * 49
 
     /** Harvest beam floor by GRAPH size: 48 through 8k nodes (measured
       * recall-complete at the 400–4,000-shard arms), +8 per doubling
@@ -533,12 +542,15 @@ object ShardSummaries {
     private def validatedCoarse(graph: Vamana.Shard, gs: Array[Int],
                                 shards: Array[Int],
                                 cents: Array[Array[Float]],
-                                metric: String): Option[Coarse] = {
+                                metric: String): Coarse = {
       val liveLabels = gs.indices.filter(gs(_) >= 0).toArray
       val live = liveLabels.length
       val cap = live / 8
       val base = beamFloor(gs.length)
-      if (base >= cap) return None // the engage guard could never pass
+      // engage guard could never pass (unreachable after the
+      // MinUsableGraph floor, kept as a safety): retain the graph as a
+      // patch base, agreement 0 = unservable
+      if (base >= cap) return Coarse(graph, gs, base, 0f)
       val nQ = math.min(ValidateQueries, live)
       val qs = Array.tabulate(nQ)(i =>
         graph.vectors(liveLabels((i.toLong * live / nQ).toInt)))
@@ -558,13 +570,13 @@ object ShardSummaries {
           hits.add(truth(i).intersect(got).size.toLong)
         }
         val agree = hits.sum.toDouble / (nQ.toLong * ValidateK)
-        if (agree >= ValidateTarget) return Some(Coarse(graph, gs, f, agree.toFloat))
+        if (agree >= ValidateTarget) return Coarse(graph, gs, f, agree.toFloat)
         if (agree > bestAgree) { bestAgree = agree; bestFloor = f }
         f *= 2
       }
-      if (bestAgree >= StandDownBelow)
-        Some(Coarse(graph, gs, bestFloor, bestAgree.toFloat))
-      else None
+      // best rung under the target: servable iff it clears StandDownBelow
+      // (Coarse.servable); either way the graph stays cached and patchable
+      Coarse(graph, gs, bestFloor, bestAgree.toFloat)
     }
 
     def build(sums: Array[Summary], metric: String,
@@ -584,24 +596,24 @@ object ShardSummaries {
       val cached = for {
         p <- cachePath; d <- dig; c <- readCache(p, d)
       } yield c
-      val coarse: Option[Coarse] = cached.orElse {
+      val coarse: Coarse = cached.getOrElse {
         // incremental path first: a mutation typically touches a handful
         // of shards out of tens of thousands — reconciling the PREVIOUS
         // version's graph (tombstone removed ids, insert new centroids)
         // costs O(changed × insert + validation), not a full O(n) rebuild
         // per batch
         val c = base.flatMap(b => patch(b, sums, keep, shards, cents, metric))
-          .orElse {
+          .getOrElse {
             val graph = Vamana.buildShardParallel(
               keep.map(_.toLong), keep.map(cents), CoarseParams, metric)
             validatedCoarse(graph, keep.map(shards), shards, cents, metric)
           }
-        for (co <- c; p <- cachePath; d <- dig)
-          try writeCache(p, d, co)
+        for (p <- cachePath; d <- dig)
+          try writeCache(p, d, c)
           catch { case scala.util.control.NonFatal(_) => () } // amortization only
         c
       }
-      new Router(shards, cents, metric, coarse, overscan)
+      new Router(shards, cents, metric, Some(coarse), overscan)
     }
 
     /** Reconcile a previously built coarse graph to a NEW summary set —
@@ -625,11 +637,13 @@ object ShardSummaries {
       *
       * None (→ full rebuild) when: the base has no coarse level or a
       * different metric; the change set exceeds n/8 (a parallel rebuild
-      * beats a serial patch well before half the set churns); tombstones
-      * would exceed [[MaxDeadFraction]] (compaction); or the re-validation
-      * stands down (the rebuild then re-validates from scratch and makes
-      * the final call). The base is never mutated — its spine is copied —
-      * so an in-flight search holding the old Router is unaffected. */
+      * beats a serial patch well before half the set churns); or
+      * tombstones would exceed [[MaxDeadFraction]] (compaction). A
+      * re-validation that lands under the serving bar does NOT force a
+      * rebuild — the patched graph is kept (unservable → flat scan) so a
+      * pathological geometry never pays the ladder-plus-rebuild per
+      * mutation. The base is never mutated — its spine is copied — so an
+      * in-flight search holding the old Router is unaffected. */
     private[index] def patch(base: Router, sums: Array[Summary],
                              keep: Array[Int], shards: Array[Int],
                              cents: Array[Array[Float]],
@@ -687,7 +701,7 @@ object ShardSummaries {
         addIdx.iterator.map(x => sums(x).shard.toLong).toArray,
         addIdx.iterator.map(x => sums(x).centroid).toArray,
         CoarseParams, metric)
-      validatedCoarse(graph, gs, shards, cents, metric)
+      Some(validatedCoarse(graph, gs, shards, cents, metric))
     }
   }
 }

@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   *    unpersisted); a mutation rotates to exactly one new id.
   *
   * Run: SPARK_DRIVER_MEM=24g sbt -batch "runMain graft.tools.R17Scale [mode]"
-  * mode: all|upkeep|routerbuild|bcast
+  * mode: all|upkeep|spatialtarget|routerbuild|bcast
   */
 object R17Scale {
 
