@@ -1606,21 +1606,61 @@ class AnnIndex(val spark: SparkSession, val path: String) {
              batch: Option[(String, Long)] = None): Unit = {
     val (n, delta0) = writeInsertData(rows, idCol, vecCol)
     val (delta, dropped, swapped, newShards) = splitOnlineMarkers(delta0)
+    val (reclaimPatch, ripe) = deferReclaim(swapped)
     meta = meta.copy(numVectors = meta.numVectors + n,
       numDeleted = math.max(0L, meta.numDeleted - dropped),
-      params = withBatch(meta.params ++ delta, batch))
+      params = reclaimPatch(withBatch(meta.params ++ delta, batch)))
     timedPhase("insert:meta-publish")(IndexMeta.write(path, meta))
-    timedPhase("insert:reclaim-recount")(finishOnlinePublish(dropped, swapped))
+    timedPhase("insert:reclaim-recount")(finishOnlinePublish(dropped, ripe))
     timedPhase("insert:summaries")(updateSummariesAfterWrite(newShards, swapped))
     invalidatePin()
     timedPhase("insert:auto-compact")(maybeAutoCompact())
   }
 
+  /** GRACE-DEFERRED space reclamation for swapped-out shard dirs. The
+    * old immediate post-publish delete raced standing readers: a scan
+    * PLANNED against the pre-mutation manifest (its parquet file listing
+    * is fixed at plan time) whose tasks run after the publish read
+    * deleted files — measured as a hard FAILED_READ_FILE.FILE_NOT_EXIST
+    * on a plan that merely spanned one online batch. Swapped-out ids sit
+    * below next_shard and are NEVER re-allocated, so deletion is pure
+    * space reclamation and can wait: each publish stamps its newly dead
+    * ids into the `reclaim_pending` meta param and deletes only entries
+    * older than `spark.ann.reclaimGraceMs` (default 60 s; 0 = the old
+    * immediate behavior). A reader outliving the grace against a
+    * mutating index should pin (persist) the index — the same advice any
+    * snapshot-isolation system gives long readers. Crash-safe: the
+    * pending list rides the meta commit, so the NEXT successful publish
+    * (or an explicit gcOrphans) reclaims a crashed writer's backlog.
+    *
+    * @return (params patch to apply INSIDE the publishing meta write,
+    *         ids ripe for deletion AFTER that write lands) */
+  private def deferReclaim(newlyDead: Seq[Int])
+      : (Map[String, String] => Map[String, String], Seq[Int]) = {
+    val grace = spark.conf.get("spark.ann.reclaimGraceMs", "60000").toLong
+    val now = System.currentTimeMillis()
+    val pending = meta.params.get(AnnIndex.ReclaimKey).toSeq
+      .flatMap(_.split(",")).filter(_.nonEmpty).map { e =>
+        val at = e.lastIndexOf('@')
+        (e.substring(0, at).toInt, e.substring(at + 1).toLong)
+      }
+    val (ripe0, kept) = pending.partition { case (_, t) => now - t >= grace }
+    val (ripe, remain) =
+      if (grace <= 0) (ripe0.map(_._1) ++ newlyDead, Seq.empty[(Int, Long)])
+      else (ripe0.map(_._1), kept ++ newlyDead.map(sid => (sid, now)))
+    val patch: Map[String, String] => Map[String, String] =
+      if (remain.isEmpty) _ - AnnIndex.ReclaimKey
+      else _ + (AnnIndex.ReclaimKey ->
+        remain.map { case (s, t) => s"$s@$t" }.mkString(","))
+    (patch, ripe)
+  }
+
   /** Post-publish half of an online rewrite (no-op on the delta path):
-    * reclaim the swapped-out pre-rewrite shard dirs (pure space
-    * reclamation AFTER the meta commit, like compactShards — without it a
-    * steady online stream leaks one full-size dead dir per micro-batch,
-    * since those ids sit below next_shard and are never re-allocated),
+    * reclaim the RIPE pre-rewrite shard dirs (pure space reclamation
+    * AFTER the meta commit, grace-deferred via [[deferReclaim]] — without
+    * it a steady online stream leaks one full-size dead dir per
+    * micro-batch, since those ids sit below next_shard and are never
+    * re-allocated),
     * and when consolidation dropped rows, run the exact recount so the
     * overfetch bound stays an UPPER bound: delete() increments numDeleted
     * by tombstone count, but one tombstone can mask several physical
@@ -1631,8 +1671,8 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * one partition-pruned count against the tombstone broadcast, paid
     * only on delete-consolidating batches; it also drops a delete log
     * that no longer masks anything. */
-  private def finishOnlinePublish(dropped: Long, swapped: Seq[Int]): Unit = {
-    swapped.foreach(sid => IndexMeta.deleteDir(s"$dataPath/shard=$sid"))
+  private def finishOnlinePublish(dropped: Long, ripe: Seq[Int]): Unit = {
+    ripe.foreach(sid => IndexMeta.deleteDir(s"$dataPath/shard=$sid"))
     if (dropped > 0) refreshDeadCount()
   }
 
@@ -1704,12 +1744,13 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       if (insRows.isEmpty) (0L, Map.empty[String, String])
       else writeInsertData(insRows, idCol, vecCol)
     val (delta, dropped, swapped, newShards) = splitOnlineMarkers(delta0)
+    val (reclaimPatch, ripe) = deferReclaim(swapped)
     meta = meta.copy(
       numVectors = meta.numVectors + nIns,
       numDeleted = math.max(0L, meta.numDeleted + nDel - dropped),
-      params = withBatch(meta.params ++ delta, batch))
+      params = reclaimPatch(withBatch(meta.params ++ delta, batch)))
     IndexMeta.write(path, meta)
-    finishOnlinePublish(dropped, swapped)
+    finishOnlinePublish(dropped, ripe)
     updateSummariesAfterWrite(newShards, swapped)
     invalidatePin()
     maybeAutoCompact()
@@ -1996,14 +2037,15 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     val written = IndexMeta.listShardDirs(dataPath)
       .filter(sid => sid >= nextShard && sid < nextShard + nNew)
     val newLive = preLive.filterNot(smallSet) ++ written
+    val (reclaimPatch, ripe) = deferReclaim(small.toSeq)
     meta = meta.copy(
       numVectors = meta.numVectors - (subsetTotal - liveCount),
-      params = meta.params
+      params = reclaimPatch(meta.params
         + ("shards" -> newLive.size.toString)
         + ("next_shard" -> (nextShard + nNew).toString)
-        + ("live_shards" -> newLive.mkString(",")))
+        + ("live_shards" -> newLive.mkString(","))))
     IndexMeta.write(path, meta)
-    small.foreach(sid => IndexMeta.deleteDir(s"$dataPath/shard=$sid"))
+    ripe.foreach(sid => IndexMeta.deleteDir(s"$dataPath/shard=$sid"))
     updateSummariesAfterWrite(written, small.toSeq)
     invalidatePin()
     refreshDeadCount()
@@ -2025,6 +2067,13 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         val liveSet = live.toSet
         val orphans = IndexMeta.listShardDirs(dataPath).filterNot(liveSet)
         orphans.foreach(sid => IndexMeta.deleteDir(s"$dataPath/shard=$sid"))
+        // the sweep just deleted any grace-pending dirs too (they are
+        // unmanifested by definition) — retire their bookkeeping; the
+        // verb is the explicit reclaim-NOW lever, grace included
+        if (meta.params.contains(AnnIndex.ReclaimKey)) {
+          meta = meta.copy(params = meta.params - AnnIndex.ReclaimKey)
+          IndexMeta.write(path, meta)
+        }
         orphans.size
     }
   }
@@ -2048,6 +2097,10 @@ class AnnIndex(val spark: SparkSession, val path: String) {
 }
 
 object AnnIndex {
+
+  /** Meta-param key holding grace-pending shard dirs (`sid@deadMillis`
+    * CSV) awaiting deferred reclamation — see `deferReclaim`. */
+  private[index] val ReclaimKey = "reclaim_pending"
 
   /** Router-cache slot: the routing decision (None = coverage gap →
     * walk-all) pinned to the summaries version and the coarse confs it

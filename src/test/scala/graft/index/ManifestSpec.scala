@@ -110,6 +110,52 @@ class ManifestSpec extends SparkSpec {
     assert(!reader.meta.liveShards.get.exists(smallDirs.contains))
   }
 
+  test("grace-deferred reclamation: a pre-mutation plan survives an online rewrite") {
+    import spark.implicits._
+    val path = s"$tmp/t_mf_grace"
+    val idx = AnnIndexManager.create(spark, "t_mf_grace",
+      baseVecs.toDF("id", "embedding"), "id", "embedding", "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "32",
+        "shards" -> "2"),
+      path)
+    val q = Array(0.4f, 0.4f, 0.4f, 0.4f)
+    // a standing reader: planned against the pre-mutation manifest, its
+    // parquet file listing fixed at plan time
+    val prePlan = idx.scan(q, 5, searchParam = 100000)
+    assert(prePlan.count() == 5)
+    spark.conf.set("spark.ann.onlineInsertMaxRows", "100")
+    try {
+      // two online batches rewrite BOTH shards copy-on-write; the old
+      // immediate post-publish delete made the pre-mutation plan's
+      // collect throw FAILED_READ_FILE.FILE_NOT_EXIST (measured r17)
+      idx.insert(Seq.tabulate(5)(i => (9000L + i, Array.fill(4)(0.5f)))
+        .toDF("id", "embedding"), "id", "embedding")
+      idx.insert(Seq.tabulate(5)(i => (9100L + i, Array.fill(4)(0.6f)))
+        .toDF("id", "embedding"), "id", "embedding")
+      val got = prePlan.collect() // within the default 60 s grace
+      assert(got.length == 5, "standing reader broke across an online rewrite")
+      // the swapped dirs are bookkept, invisible to fresh readers, and on
+      // disk pending their grace
+      assert(idx.meta.params.contains("reclaim_pending"))
+      val onDisk = IndexMeta.listShardDirs(s"$path/data").toSet
+      val manifested = idx.meta.liveShards.get.toSet
+      assert((onDisk -- manifested).nonEmpty, "pending dirs must survive the grace")
+      assert(AnnIndexManager.load(spark, path).data.count() == 130)
+      // grace 0 + the next publish reclaims the backlog (crash-safe: the
+      // pending list rides the meta commit)
+      spark.conf.set("spark.ann.reclaimGraceMs", "0")
+      idx.insert(Seq.tabulate(5)(i => (9200L + i, Array.fill(4)(0.7f)))
+        .toDF("id", "embedding"), "id", "embedding")
+      val onDisk2 = IndexMeta.listShardDirs(s"$path/data").toSet
+      assert(onDisk2 == idx.meta.liveShards.get.toSet,
+        s"backlog not reclaimed: ${onDisk2 -- idx.meta.liveShards.get.toSet}")
+      assert(!idx.meta.params.contains("reclaim_pending"))
+    } finally {
+      spark.conf.unset("spark.ann.onlineInsertMaxRows")
+      spark.conf.unset("spark.ann.reclaimGraceMs")
+    }
+  }
+
   test("gcOrphans removes exactly the unmanifested dirs") {
     import spark.implicits._
     val path = s"$tmp/t_mf_gc"

@@ -157,6 +157,10 @@ class OnlineInsertSpec extends SparkSpec {
     val liveBefore = idx.meta.params("live_shards")
 
     spark.conf.set("spark.ann.onlineInsertMaxRows", "100")
+    // grace 0 = reclaim swapped dirs at publish (this test pins the
+    // no-leak property; the grace-deferred default is pinned in
+    // ManifestSpec's standing-reader case)
+    spark.conf.set("spark.ann.reclaimGraceMs", "0")
     try {
       var all = base
       for (b <- 0 until 3) {
@@ -202,7 +206,10 @@ class OnlineInsertSpec extends SparkSpec {
       val near = idx.scan(Array.fill(dim)(0.5f), 1, searchParam = 100000)
         .collect().map(_.getLong(0)).toSeq
       assert(near == Seq(1000L), "re-inserted id must be live at the new epoch")
-    } finally spark.conf.unset("spark.ann.onlineInsertMaxRows")
+    } finally {
+      spark.conf.unset("spark.ann.onlineInsertMaxRows")
+      spark.conf.unset("spark.ann.reclaimGraceMs")
+    }
   }
 
   test("HNSW online insert: layered extension, flat shard count, exact exhaustive") {
