@@ -648,6 +648,58 @@ class ShardRoutingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.ann.onlineInsertMaxRows")
   }
 
+  test("concurrent routed scans survive racing online mutations") {
+    // the standing-workload + CDC regime end-to-end: searcher threads
+    // hammer routed scans while the main thread lands online batches.
+    // Every scan must return a full result set over SOME committed state
+    // — never an exception (grace-deferred dir reclamation), never a
+    // stale-router wrong answer (versioned cache; a racing bump wins).
+    val idx = create(clustered(4, 100), "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "64",
+        "shards" -> "4", "shard_assign" -> "spatial"))
+    spark.conf.set("spark.ann.shardProbes", "2")
+    spark.conf.set("spark.ann.onlineInsertMaxRows", "200")
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val v0 = idx.summariesVersionNow
+    try {
+      val searchers = (0 until 3).map { t =>
+        new Thread(() => {
+          try {
+            for (i <- 0 until 10) {
+              val got = ids(idx.scan(
+                queries((t * 5 + i) % queries.size), 5, searchParam = 100000))
+              if (got.size != 5)
+                throw new IllegalStateException(s"short result: $got")
+            }
+          } catch { case e: Throwable => errors.add(e) }
+        })
+      }
+      searchers.foreach(_.start())
+      for (b <- 0 until 4) {
+        idx.insert(df(Seq.tabulate(30) { i =>
+          val c = i % 4
+          val rc = new scala.util.Random(c * 7919 + 3)
+          val rd = new scala.util.Random((b * 100 + i) * 17L + 3)
+          (80000L + b * 100 + i,
+            Array.fill(dim)(rc.nextFloat() * 100f).map(_ + rd.nextFloat()))
+        }), "id", "vec")
+      }
+      searchers.foreach(_.join(120000))
+      assert(errors.isEmpty, s"concurrent failure: ${errors.peek()}")
+      assert(idx.summariesVersionNow >= v0 + 4, "every batch must bump the version")
+      // the post-stream router serves the final summary set exactly:
+      // full-width routed == true walk-all (probes OFF for the baseline —
+      // the stress left probes=2 set)
+      spark.conf.unset("spark.ann.shardProbes")
+      val walkAll = queries.take(4).map(q => ids(idx.scan(q, 5)))
+      val wide = withProbes(1000)(queries.take(4).map(q => ids(idx.scan(q, 5))))
+      assert(wide == walkAll)
+    } finally {
+      spark.conf.unset("spark.ann.shardProbes")
+      spark.conf.unset("spark.ann.onlineInsertMaxRows")
+    }
+  }
+
   test("coarse floor self-validates: diffuse centroid sets keep the flat-scan agreement") {
     // pure-gaussian d=32 centroids — the DIFFUSE geometry where a fixed
     // beam floor silently lost 4-5% routing agreement at 4k shards (r17
