@@ -566,11 +566,15 @@ class AnnIndex(val spark: SparkSession, val path: String) {
   /** Driver-cached shard summaries; null = not loaded yet. Invalidated by
     * every mutation that touches the shard set (same sites as the pin). */
   @volatile private var summariesCache: Array[ShardSummaries.Summary] = _
-  /** Lazily computed digest of `summariesCache` (null until first use;
-    * dropped with the cache) — the refresh fast path compares file vs
-    * cache by digest, and hashing ~O(shards×dim) of resident centroids on
-    * EVERY stats call would defeat that path's purpose. */
-  @volatile private var summariesCacheDigest: java.lang.Long = _
+  /** Lazily computed digest of `summariesCache`, PAIRED with the exact
+    * array it was computed from (a bare Long could be read against a
+    * different cache generation under a racing invalidation+refill and
+    * trigger a spurious invalidate). Null until first use; dropped with
+    * the cache. The refresh fast path compares file vs cache by digest,
+    * and hashing ~O(shards×dim) of resident centroids on EVERY stats
+    * call would defeat that path's purpose. */
+  @volatile private var summariesDigestPair
+      : (Array[ShardSummaries.Summary], Long) = _
   /** Monotonic version for the router cache below: bumped by every
     * invalidation, so a router built from pre-mutation summaries can
     * never be served after the mutation — even when a vacuum reuses the
@@ -591,9 +595,16 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * then O(changed shards), not a full coarse rebuild per online
     * batch. */
   @volatile private var routerCache: AnnIndex.RouterCacheEntry = _
+  /** The most recent router that carried a coarse graph — the incremental
+    * patch base, held SEPARATELY from the entry cache so neither
+    * invalidation nor a coverage-gap (router=None) entry can evict it
+    * (losing it downgrades the next build from an O(changed) patch to a
+    * full rebuild). One Router object of O(shards×dim) per index, by
+    * design — the same order as the summaries themselves. */
+  @volatile private var patchBaseVar: ShardSummaries.Router = _
   private[index] def invalidateSummaries(): Unit = synchronized {
     summariesCache = null
-    summariesCacheDigest = null
+    summariesDigestPair = null
     val rc = routerCache
     if (rc != null) rc.unpersistBroadcast() // executors re-fetch next version
     summariesVersion.incrementAndGet()
@@ -653,10 +664,10 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     if (cached != null && cached.version == v0 &&
         cached.threshold == threshold && cached.overscan == overscan)
       return Some(cached)
-    // a stale entry (older version, or other coarse confs) is still the
-    // patch base: the coarse GRAPH depends only on the summary set, so
-    // reconciling it beats rebuilding regardless of why the entry missed
-    val base = if (cached != null) cached.router else None
+    // the dedicated patch-base slot: the coarse GRAPH depends only on the
+    // summary set, so reconciling the most recent one beats rebuilding
+    // regardless of why the entry cache missed
+    val base = Option(patchBaseVar)
     val built = routingSummaries.map(covered =>
       // cachePath: the coarse graph persists next to summaries.bin
       // (digest-validated), so a fresh driver skips the rebuild — once
@@ -673,23 +684,23 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     // first (this store is skipped) or after (the stored entry's version
     // no longer matches — a plain stale entry).
     synchronized {
-      // a COVERAGE-GAP result (router=None: a mutation published its
-      // shards but the summary merge hasn't landed) must not evict a
-      // usable patch base — storing it would downgrade the post-repair
-      // build from an O(changed) patch to a full rebuild. The gap window
-      // re-reads summaries per call instead (short-lived by design).
-      val keepBase = built.isEmpty && cached != null && cached.router.isDefined
-      if (summariesVersion.get() == v0 && !keepBase) {
+      // the patch base updates on EVERY coarse-carrying build (even one a
+      // racing bump keeps out of the entry cache — it is still the
+      // freshest graph content available to the next reconcile)
+      for (r <- built; if r.coarse.isDefined) patchBaseVar = r
+      if (summariesVersion.get() == v0) {
         if (cached != null && (cached ne entry)) cached.unpersistBroadcast()
-        routerCache = entry
+        routerCache = entry // coverage-gap None entries cache negatively
+        // too — a PERSISTENT gap (crash-deleted summaries, never
+        // repaired) must not pay an O(shards) coverage scan per call
       }
     }
     Some(entry)
   }
 
   /** Spec/scale-arm accessor: the current router cache entry, if one is
-    * stored (stale entries — version behind — included: they are the
-    * patch base). */
+    * stored (stale entries — version behind — included; the patch base
+    * lives in its own slot). */
   private[graft] def routerCacheEntry: Option[AnnIndex.RouterCacheEntry] =
     Option(routerCache)
 
@@ -774,16 +785,22 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     if (missing.isEmpty && kept.length == existing.length) {
       val cachedSums = summariesCache
       if (cachedSums != null) {
-        var cachedDig = summariesCacheDigest
-        if (cachedDig == null) {
-          cachedDig = ShardSummaries.Router.digest(cachedSums)
-          // store only while the digested array is still THE cache — a
-          // racing invalidation must not get its digest resurrected
-          synchronized {
-            if (summariesCache eq cachedSums) summariesCacheDigest = cachedDig
+        val pair = summariesDigestPair
+        val cachedDig =
+          if (pair != null && (pair._1 eq cachedSums)) pair._2
+          else {
+            val d = ShardSummaries.Router.digest(cachedSums)
+            // store only while the digested array is still THE cache — a
+            // racing invalidation must not get its digest resurrected,
+            // and a reader must never pair a digest with a different
+            // cache generation
+            synchronized {
+              if (summariesCache eq cachedSums)
+                summariesDigestPair = (cachedSums, d)
+            }
+            d
           }
-        }
-        if (cachedDig.longValue() != ShardSummaries.Router.digest(existing))
+        if (cachedDig != ShardSummaries.Router.digest(existing))
           invalidateSummaries()
       }
       return 0
@@ -1640,9 +1657,15 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     val grace = spark.conf.get("spark.ann.reclaimGraceMs", "60000").toLong
     val now = System.currentTimeMillis()
     val pending = meta.params.get(AnnIndex.ReclaimKey).toSeq
-      .flatMap(_.split(",")).filter(_.nonEmpty).map { e =>
+      .flatMap(_.split(",")).filter(_.nonEmpty).flatMap { e =>
+        // tolerant parse: a malformed entry (hand-edited meta.json, a
+        // foreign writer) must not poison every future mutation with a
+        // parse throw — drop it (worst case one leaked dir; gcOrphans
+        // reclaims)
         val at = e.lastIndexOf('@')
-        (e.substring(0, at).toInt, e.substring(at + 1).toLong)
+        if (at <= 0) None
+        else scala.util.Try(
+          (e.substring(0, at).toInt, e.substring(at + 1).toLong)).toOption
       }
     val (ripe0, kept) = pending.partition { case (_, t) => now - t >= grace }
     val (ripe, remain) =
@@ -1793,10 +1816,15 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       IndexMeta.replaceDir(tmp, dataPath)
       IndexMeta.deleteDir(deletesPath)
       // full-rebuild manifest: exactly the dirs the rebuild produced
-      // (orphans died with the old dir); contiguous ids again
+      // (orphans died with the old dir); contiguous ids again. The
+      // grace-pending list MUST die here too: vacuum is the one mutation
+      // that REUSES shard ids, so a carried-over reclaim_pending entry
+      // would later grace-delete a now-LIVE dir (permanent data loss) —
+      // the old pending dirs were replaced wholesale by replaceDir anyway.
       val liveNow = IndexMeta.listShardDirs(dataPath)
       meta = meta.copy(numVectors = liveCount, numDeleted = 0,
-        params = meta.params + ("shards" -> math.max(liveNow.size, 1).toString)
+        params = meta.params - AnnIndex.ReclaimKey
+          + ("shards" -> math.max(liveNow.size, 1).toString)
           + ("next_shard" -> shardsActual.toString)
           + ("live_shards" -> liveNow.mkString(",")))
       IndexMeta.write(path, meta)

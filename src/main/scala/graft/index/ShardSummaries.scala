@@ -299,9 +299,12 @@ object ShardSummaries {
 
     private val CacheMagic = 0x47525452 // "GRTR"
     // v2 (r17): + validated beam floor and measured agreement after the
-    // graphShards table — v1 files mismatch on the version int and
-    // degrade to a rebuild, never a misread
-    private val CacheVersion = 2
+    // graphShards table. v3 (r17 review): the file may now carry an
+    // UNSERVABLE graph (agreement under the serving bar, kept as a patch
+    // base) — a v2 reader has no servable gate and would route through
+    // it, so the semantic change bumps the version; older files mismatch
+    // on the version int and degrade to a rebuild, never a misread.
+    private val CacheVersion = 3
 
     def cacheFilePath(indexPath: String): java.nio.file.Path =
       java.nio.file.Paths.get(indexPath, "router.bin")
@@ -701,7 +704,14 @@ object ShardSummaries {
         addIdx.iterator.map(x => sums(x).shard.toLong).toArray,
         addIdx.iterator.map(x => sums(x).centroid).toArray,
         CoarseParams, metric)
-      Some(validatedCoarse(graph, gs, shards, cents, metric))
+      val validated = validatedCoarse(graph, gs, shards, cents, metric)
+      // a patch that drags a SERVABLE graph under the serving bar returns
+      // None so the full rebuild makes the final call (a fresh build of
+      // the current centroids usually re-validates at target); once the
+      // base itself is unservable the rebuild has already spoken for this
+      // geometry — keep patching (no per-mutation rebuild storm) until
+      // the churn caps force a natural retry
+      if (!validated.servable && co.servable) None else Some(validated)
     }
   }
 }

@@ -156,6 +156,40 @@ class ManifestSpec extends SparkSpec {
     }
   }
 
+  test("vacuum drops the grace-pending backlog (id reuse must not grace-delete live dirs)") {
+    import spark.implicits._
+    val path = s"$tmp/t_mf_vacgrace"
+    val idx = AnnIndexManager.create(spark, "t_mf_vacgrace",
+      baseVecs.toDF("id", "embedding"), "id", "embedding", "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "32",
+        "shards" -> "2"),
+      path)
+    spark.conf.set("spark.ann.onlineInsertMaxRows", "100")
+    try {
+      // an online rewrite leaves a grace-pending entry (default 60 s)
+      idx.insert(Seq.tabulate(5)(i => (7000L + i, Array.fill(4)(0.3f)))
+        .toDF("id", "embedding"), "id", "embedding")
+      assert(idx.meta.params.contains("reclaim_pending"))
+      // vacuum REUSES shard ids — carrying the pending list across it
+      // would later grace-delete a now-LIVE dir (data loss)
+      idx.delete(Seq(1L))
+      idx.vacuum()
+      assert(!idx.meta.params.contains("reclaim_pending"),
+        "vacuum must drop the pending backlog before ids are reused")
+      // a post-vacuum mutation past the grace must not touch live dirs
+      spark.conf.set("spark.ann.reclaimGraceMs", "0")
+      idx.insert(Seq.tabulate(5)(i => (7100L + i, Array.fill(4)(0.7f)))
+        .toDF("id", "embedding"), "id", "embedding")
+      val onDisk = IndexMeta.listShardDirs(s"$path/data").toSet
+      assert(onDisk == idx.meta.liveShards.get.toSet)
+      assert(idx.scan(Array(0.7f, 0.7f, 0.7f, 0.7f), 5, searchParam = 100000)
+        .count() == 5)
+    } finally {
+      spark.conf.unset("spark.ann.onlineInsertMaxRows")
+      spark.conf.unset("spark.ann.reclaimGraceMs")
+    }
+  }
+
   test("gcOrphans removes exactly the unmanifested dirs") {
     import spark.implicits._
     val path = s"$tmp/t_mf_gc"
