@@ -496,6 +496,35 @@ object AnnSql {
       plan(Seq((name, removed.toLong)).toDF("name", "removed"))
     }, "scala_udf")
 
+    // ann_pin_scan(name[, ttl_ms]) → one row (name, token, expires_ms) —
+    // register a standing-reader pin BEFORE planning a scan expected to
+    // outlive spark.ann.reclaimGraceMs: online mutations then defer
+    // reclaiming any shard dir the pin's plan may reference. Lease file
+    // under the index dir (cross-process); TTL-bounded
+    // (spark.ann.scanPinTtlMs) so a crashed reader can't block
+    // reclamation forever. Release with ann_unpin_scan(name, token).
+    r.createOrReplaceTempFunction("ann_pin_scan", (exprs: Seq[Expression]) => {
+      require(exprs.length >= 1 && exprs.length <= 2,
+        "usage: ann_pin_scan(name[, ttl_ms])")
+      val name = constString(exprs(0))
+      val ttl = if (exprs.length > 1) constInt(exprs(1)).toLong else -1L
+      val idx = indexByName(spark, name)
+      val token = idx.pinScan(ttl)
+      import spark.implicits._
+      plan(Seq((name, token)).toDF("name", "token"))
+    }, "scala_udf")
+
+    // ann_unpin_scan(name, token) → one row (name, released) — release a
+    // pin taken by ann_pin_scan; unknown/expired tokens are a no-op
+    r.createOrReplaceTempFunction("ann_unpin_scan", (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "usage: ann_unpin_scan(name, token)")
+      val name = constString(exprs(0))
+      val idx = indexByName(spark, name)
+      idx.unpinScan(constString(exprs(1)))
+      import spark.implicits._
+      plan(Seq((name, true)).toDF("name", "released"))
+    }, "scala_udf")
+
     // ann_refresh_stats(name) → one row (name, num_vectors, num_deleted)
     // — exact masked-row recount: deflates the search-overfetch bound
     // after physical drops and retires an all-inert tombstone log

@@ -80,6 +80,33 @@ class AnnIndex(val spark: SparkSession, val path: String) {
   /** Whether reads currently serve from the pinned (cached) dataset. */
   def isPinned: Boolean = pinned.isDefined
 
+  /** Run `body` as THE writer for this index — the cross-driver mutation
+    * contract (README "Concurrent writers"). Every mutation entry point
+    * wraps its WHOLE body (data writes, destructive replaces, the meta
+    * publish) here: same-driver mutations serialize on a reentrant JVM
+    * lock, cross-process writers serialize on an OS advisory file lock
+    * (crash-released), and a writer whose instance is BEHIND the on-disk
+    * publish generation — another driver published since this instance
+    * last synced — fails fast BEFORE any destructive step runs. On
+    * conflict this instance resyncs from disk (meta + caches) so it is
+    * immediately reusable for a retry on the fresh state. */
+  private def asWriter[T](body: => T): T =
+    try IndexMeta.withWriter(path)(IndexMeta.publishGen(meta))(body)
+    catch {
+      case e: IndexMeta.ConcurrentWriteException =>
+        meta = IndexMeta.read(path)
+        invalidatePin()
+        centroidsCache = null
+        invalidateSummaries()
+        throw e
+    }
+
+  /** The single meta-publish of a mutation: generation-CAS'd and stamped
+    * (see [[IndexMeta.publish]]); the stamped meta becomes this
+    * instance's truth only on success. */
+  private def publishMeta(newMeta: IndexMeta): Unit =
+    meta = IndexMeta.publish(path, newMeta, IndexMeta.publishGen(meta))
+
   private def invalidatePin(): Unit = synchronized {
     if (pinned.isDefined) {
       pinned.foreach(_.unpersist())
@@ -619,8 +646,19 @@ class AnnIndex(val spark: SparkSession, val path: String) {
   private def routingSummaries: Option[Array[ShardSummaries.Summary]] = {
     var s = summariesCache
     if (s == null) {
+      // Capture the version BEFORE the disk read and store only if no
+      // invalidation landed in between (mirrors the summariesDigestPair
+      // store): a thread that read pre-mutation summaries.bin must not
+      // refill the cache after invalidateSummaries() nulled it, or a
+      // later routerEntryFor at the NEW version would build and cache a
+      // pre-mutation router as current (vacuum reuses shard ids — the
+      // stale centroids would route until the next mutation).
+      val v0 = summariesVersion.get()
       s = ShardSummaries.read(path).getOrElse(Array.empty)
-      summariesCache = s
+      synchronized {
+        if (summariesVersion.get() == v0 && summariesCache == null)
+          summariesCache = s
+      }
     }
     val live = liveShardIds
     val liveSet = live.toSet
@@ -746,8 +784,16 @@ class AnnIndex(val spark: SparkSession, val path: String) {
           (co.graphShards.length, co.liveCount, co.floor, co.agreement.toDouble)
         case None => (0, 0, 0, 0.0)
       }
+    // Prefer the digest the current-version router already carries —
+    // rehashing O(shards×dim) of resident centroids per stats call is
+    // the exact cost the digest machinery exists to avoid (the fallback
+    // rehash only runs when no current router is cached).
+    val coveredDigest: Option[Long] =
+      if (rc != null && rc.version == summariesVersion.get())
+        rc.router.map(_.sumsDigest)
+      else routingSummaries.map(ShardSummaries.Router.digest)
     (state, nodes, live, floor, agreement,
-      ShardSummaries.Router.cacheState(path, routingSummaries))
+      ShardSummaries.Router.cacheState(path, coveredDigest))
   }
 
   /** Routing status for ops surfaces (the SQL `ann_routing_info` verb):
@@ -1097,11 +1143,11 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     meta.params.get(s"last_batch_id.$streamId").map(_.toLong).getOrElse(-1L)
 
   /** Record a batch id without any data change (empty micro-batch). */
-  def recordAppliedBatch(batchId: Long, streamId: String = "default"): Unit = {
-    meta = meta.copy(params =
-      meta.params + (s"last_batch_id.$streamId" -> batchId.toString))
-    IndexMeta.write(path, meta)
-  }
+  def recordAppliedBatch(batchId: Long, streamId: String = "default"): Unit =
+    asWriter {
+      publishMeta(meta.copy(params =
+        meta.params + (s"last_batch_id.$streamId" -> batchId.toString)))
+    }
 
   private def withBatch(params: Map[String, String],
                         batch: Option[(String, Long)]): Map[String, String] =
@@ -1620,14 +1666,14 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * with duplicate rows until the batch replays (the reference's WAL
     * redo has those semantics, src/diskann_index.cpp:536-546). */
   def insert(rows: DataFrame, idCol: String, vecCol: String,
-             batch: Option[(String, Long)] = None): Unit = {
+             batch: Option[(String, Long)] = None): Unit = asWriter {
     val (n, delta0) = writeInsertData(rows, idCol, vecCol)
     val (delta, dropped, swapped, newShards) = splitOnlineMarkers(delta0)
     val (reclaimPatch, ripe) = deferReclaim(swapped)
-    meta = meta.copy(numVectors = meta.numVectors + n,
-      numDeleted = math.max(0L, meta.numDeleted - dropped),
-      params = reclaimPatch(withBatch(meta.params ++ delta, batch)))
-    timedPhase("insert:meta-publish")(IndexMeta.write(path, meta))
+    timedPhase("insert:meta-publish")(publishMeta(
+      meta.copy(numVectors = meta.numVectors + n,
+        numDeleted = math.max(0L, meta.numDeleted - dropped),
+        params = reclaimPatch(withBatch(meta.params ++ delta, batch)))))
     timedPhase("insert:reclaim-recount")(finishOnlinePublish(dropped, ripe))
     timedPhase("insert:summaries")(updateSummariesAfterWrite(newShards, swapped))
     invalidatePin()
@@ -1667,15 +1713,89 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         else scala.util.Try(
           (e.substring(0, at).toInt, e.substring(at + 1).toLong)).toOption
       }
-    val (ripe0, kept) = pending.partition { case (_, t) => now - t >= grace }
-    val (ripe, remain) =
-      if (grace <= 0) (ripe0.map(_._1) ++ newlyDead, Seq.empty[(Int, Long)])
-      else (ripe0.map(_._1), kept ++ newlyDead.map(sid => (sid, now)))
+    // Reader pins make the grace a FLOOR, not the whole story: a scan
+    // longer than the grace registers a pin (pinScan) BEFORE planning,
+    // and a dir that died at time t stays pending while any unexpired
+    // pin was taken at or before t — that pin's planned manifest may
+    // still reference it. Pins taken AFTER the death don't block (their
+    // manifest already excludes the dir), so rolling short pins can't
+    // starve reclamation; a crashed reader's pin expires by TTL.
+    val pins = activePinTimes(now)
+    val candidates = pending ++ newlyDead.map(sid => (sid, now))
+    val (ripeEntries, remain) = candidates.partition { case (_, t) =>
+      (grace <= 0 || now - t >= grace) && !pins.exists(_ <= t)
+    }
+    val ripe = ripeEntries.map(_._1)
     val patch: Map[String, String] => Map[String, String] =
       if (remain.isEmpty) _ - AnnIndex.ReclaimKey
       else _ + (AnnIndex.ReclaimKey ->
         remain.map { case (s, t) => s"$s@$t" }.mkString(","))
     (patch, ripe)
+  }
+
+  // ---- standing-reader pins (the documented "long readers should pin"
+  //      advice, as code) ----
+
+  private def pinsDir = java.nio.file.Paths.get(path, "pins")
+
+  /** Register a standing-reader pin and return its token. Call BEFORE
+    * planning a scan expected to outlive `spark.ann.reclaimGraceMs`
+    * (a 100 TB near-dup pass over a CDC index): while the pin is live,
+    * grace reclamation defers deleting any shard dir that was still
+    * manifested when the pin was taken, so the scan's plan-time file
+    * listing stays readable across online batches. Cross-process by
+    * construction (a lease file under the index dir — another driver's
+    * mutations see it); crash-safe via the TTL
+    * (`spark.ann.scanPinTtlMs`, default 6 h — a died reader's pin
+    * expires instead of blocking reclamation forever). Release with
+    * [[unpinScan]] when the scan completes. NOT a snapshot: vacuum()'s
+    * wholesale dataset replace and the explicit gcOrphans() lever still
+    * proceed — pins cover the online-mutation reclaim path. */
+  def pinScan(ttlMs: Long = -1L): String = {
+    val ttl =
+      if (ttlMs > 0) ttlMs
+      else spark.conf.get("spark.ann.scanPinTtlMs", "21600000").toLong
+    java.nio.file.Files.createDirectories(pinsDir)
+    val token = java.util.UUID.randomUUID().toString
+    val now = System.currentTimeMillis()
+    val tmp = pinsDir.resolve(s"$token.tmp")
+    java.nio.file.Files.writeString(tmp, s"$now@${now + ttl}")
+    java.nio.file.Files.move(tmp, pinsDir.resolve(token),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    token
+  }
+
+  /** Release a [[pinScan]] pin; unknown/expired tokens are a no-op. */
+  def unpinScan(token: String): Unit =
+    try java.nio.file.Files.deleteIfExists(pinsDir.resolve(token))
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Timestamps of unexpired reader pins; expired lease files are
+    * cleaned opportunistically. Tolerant of malformed files (a foreign
+    * writer must not poison mutations). */
+  private def activePinTimes(now: Long): Seq[Long] = {
+    val dir = pinsDir
+    if (!java.nio.file.Files.isDirectory(dir)) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    java.nio.file.Files.list(dir).forEach { f =>
+      val name = f.getFileName.toString
+      if (!name.endsWith(".tmp")) {
+        val parsed = scala.util.Try {
+          val s = java.nio.file.Files.readString(f)
+          val at = s.indexOf('@')
+          (s.substring(0, at).toLong, s.substring(at + 1).toLong)
+        }.toOption
+        parsed match {
+          case Some((pinnedAt, expires)) if expires > now => out += pinnedAt
+          case Some(_) => // expired lease: clean it up
+            try java.nio.file.Files.deleteIfExists(f)
+            catch { case scala.util.control.NonFatal(_) => () }
+          case None => () // unreadable: leave it; TTL-less garbage is
+            // inert (no timestamp parses → never blocks)
+        }
+      }
+    }
+    out.toSeq
   }
 
   /** Post-publish half of an online rewrite (no-op on the delta path):
@@ -1740,12 +1860,12 @@ class AnnIndex(val spark: SparkSession, val path: String) {
 
   /** Delete hook: tombstone the ids at the current epoch
     * (reference: src/diskann_index.cpp:363-385). */
-  def delete(ids: DataFrame, batch: Option[(String, Long)] = None): Unit = {
-    val n = writeTombstones(ids)
-    meta = meta.copy(numDeleted = meta.numDeleted + n,
-      params = withBatch(meta.params, batch))
-    IndexMeta.write(path, meta)
-  }
+  def delete(ids: DataFrame, batch: Option[(String, Long)] = None): Unit =
+    asWriter {
+      val n = writeTombstones(ids)
+      publishMeta(meta.copy(numDeleted = meta.numDeleted + n,
+        params = withBatch(meta.params, batch)))
+    }
 
   def delete(ids: Seq[Long]): Unit = {
     import spark.implicits._
@@ -1761,18 +1881,18 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * re-appended data rows are superseded only by the watermark skip, so
     * the redo window stays the same single append-vs-meta gap as insert. */
   def applyCdc(delIds: DataFrame, insRows: DataFrame, idCol: String,
-               vecCol: String, batch: Option[(String, Long)] = None): Unit = {
+               vecCol: String, batch: Option[(String, Long)] = None): Unit =
+      asWriter {
     val nDel = if (delIds.isEmpty) 0L else writeTombstones(delIds)
     val (nIns, delta0) =
       if (insRows.isEmpty) (0L, Map.empty[String, String])
       else writeInsertData(insRows, idCol, vecCol)
     val (delta, dropped, swapped, newShards) = splitOnlineMarkers(delta0)
     val (reclaimPatch, ripe) = deferReclaim(swapped)
-    meta = meta.copy(
+    publishMeta(meta.copy(
       numVectors = meta.numVectors + nIns,
       numDeleted = math.max(0L, meta.numDeleted + nDel - dropped),
-      params = reclaimPatch(withBatch(meta.params ++ delta, batch)))
-    IndexMeta.write(path, meta)
+      params = reclaimPatch(withBatch(meta.params ++ delta, batch))))
     finishOnlinePublish(dropped, ripe)
     updateSummariesAfterWrite(newShards, swapped)
     invalidatePin()
@@ -1783,6 +1903,14 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * (reference: src/diskann_index.cpp:701-741). */
   def vacuum(): Unit = {
     if (!hasDeletes) return
+    // whole-body writer lock: vacuum destructively replaces the live
+    // dataset BEFORE its publish — a vacuum racing another driver's
+    // publish must fail fast before replaceDir, or it would destroy dirs
+    // the winning mutation just manifested
+    asWriter(vacuumLocked())
+  }
+
+  private def vacuumLocked(): Unit = {
     val tmp = s"$path/data_compact"
     if (isGraphEngine) {
       // graph compaction = rebuild without tombstones (the reference also
@@ -1822,12 +1950,11 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       // would later grace-delete a now-LIVE dir (permanent data loss) —
       // the old pending dirs were replaced wholesale by replaceDir anyway.
       val liveNow = IndexMeta.listShardDirs(dataPath)
-      meta = meta.copy(numVectors = liveCount, numDeleted = 0,
+      publishMeta(meta.copy(numVectors = liveCount, numDeleted = 0,
         params = meta.params - AnnIndex.ReclaimKey
           + ("shards" -> math.max(liveNow.size, 1).toString)
           + ("next_shard" -> shardsActual.toString)
-          + ("live_shards" -> liveNow.mkString(",")))
-      IndexMeta.write(path, meta)
+          + ("live_shards" -> liveNow.mkString(","))))
       // vacuum REUSES shard ids (the one mutation that does), so stale
       // summaries under the same ids would be silently wrong — drop the
       // file first, then recompute from scratch (preserving a hash
@@ -1843,9 +1970,8 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       live.write.mode("overwrite").partitionBy("list_id").parquet(tmp)
       IndexMeta.replaceDir(tmp, dataPath)
       IndexMeta.deleteDir(deletesPath)
-      meta = meta.copy(numVectors = liveCount, numDeleted = 0)
+      publishMeta(meta.copy(numVectors = liveCount, numDeleted = 0))
     }
-    IndexMeta.write(path, meta)
     invalidatePin()
   }
 
@@ -1892,6 +2018,10 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     require(meta.engine == "IVF",
       s"rebalanceCells is an IVF operation (engine ${meta.engine})")
     require(maxCellFactor > 1.0, s"maxCellFactor must exceed 1, got $maxCellFactor")
+    asWriter(rebalanceCellsLocked(maxCellFactor))
+  }
+
+  private def rebalanceCellsLocked(maxCellFactor: Double): Int = {
     val cdf = centroidsDf
     val hasRadius = cdf.columns.contains("radius")
     val cents = cdf.collect().map(r => (r.getAs[Int]("list_id"),
@@ -1968,8 +2098,8 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     // step 4: drop the split cells' old dirs
     oversized.foreach(lid => IndexMeta.deleteDir(s"$dataPath/list_id=$lid"))
 
-    meta = meta.copy(params = meta.params + ("nlist" -> merged.size.toString))
-    IndexMeta.write(path, meta)
+    publishMeta(meta.copy(params =
+      meta.params + ("nlist" -> merged.size.toString)))
     centroidsCache = null
     invalidatePin()
     oversized.size
@@ -2015,6 +2145,10 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * Returns the number of shards compacted away (0 = nothing to do). */
   def compactShards(minRows: Long = 0): Int = {
     require(isGraphEngine, s"compactShards: ${meta.engine} has no graph shards")
+    asWriter(compactShardsLocked(minRows))
+  }
+
+  private def compactShardsLocked(minRows: Long): Int = {
     val counts = data.groupBy("shard").count().collect()
       .map(r => (r.getInt(0), r.getLong(1)))
     val threshold =
@@ -2066,13 +2200,12 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       .filter(sid => sid >= nextShard && sid < nextShard + nNew)
     val newLive = preLive.filterNot(smallSet) ++ written
     val (reclaimPatch, ripe) = deferReclaim(small.toSeq)
-    meta = meta.copy(
+    publishMeta(meta.copy(
       numVectors = meta.numVectors - (subsetTotal - liveCount),
       params = reclaimPatch(meta.params
         + ("shards" -> newLive.size.toString)
         + ("next_shard" -> (nextShard + nNew).toString)
-        + ("live_shards" -> newLive.mkString(","))))
-    IndexMeta.write(path, meta)
+        + ("live_shards" -> newLive.mkString(",")))))
     ripe.foreach(sid => IndexMeta.deleteDir(s"$dataPath/shard=$sid"))
     updateSummariesAfterWrite(written, small.toSeq)
     invalidatePin()
@@ -2089,20 +2222,20 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * are indistinguishable from orphans. Returns dirs removed. */
   def gcOrphans(): Int = {
     require(isGraphEngine, s"gcOrphans: ${meta.engine} has no shard manifest")
-    meta.liveShards match {
-      case None => 0 // legacy layout: every dir is live
-      case Some(live) =>
-        val liveSet = live.toSet
-        val orphans = IndexMeta.listShardDirs(dataPath).filterNot(liveSet)
-        orphans.foreach(sid => IndexMeta.deleteDir(s"$dataPath/shard=$sid"))
-        // the sweep just deleted any grace-pending dirs too (they are
-        // unmanifested by definition) — retire their bookkeeping; the
-        // verb is the explicit reclaim-NOW lever, grace included
-        if (meta.params.contains(AnnIndex.ReclaimKey)) {
-          meta = meta.copy(params = meta.params - AnnIndex.ReclaimKey)
-          IndexMeta.write(path, meta)
-        }
-        orphans.size
+    asWriter {
+      meta.liveShards match {
+        case None => 0 // legacy layout: every dir is live
+        case Some(live) =>
+          val liveSet = live.toSet
+          val orphans = IndexMeta.listShardDirs(dataPath).filterNot(liveSet)
+          orphans.foreach(sid => IndexMeta.deleteDir(s"$dataPath/shard=$sid"))
+          // the sweep just deleted any grace-pending dirs too (they are
+          // unmanifested by definition) — retire their bookkeeping; the
+          // verb is the explicit reclaim-NOW lever, grace included
+          if (meta.params.contains(AnnIndex.ReclaimKey))
+            publishMeta(meta.copy(params = meta.params - AnnIndex.ReclaimKey))
+          orphans.size
+      }
     }
   }
 
@@ -2115,12 +2248,11 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * upper bound between refreshes; `vacuum()` still clears everything).
     * Public: an operator (or the SQL verb `ann_refresh_stats`) schedules
     * it when overfetch drift matters between compactions. */
-  def refreshDeadCount(): Unit = if (hasDeletes) {
+  def refreshDeadCount(): Unit = if (hasDeletes) asWriter {
     val base = readData() // unpinned: the pin may predate the drop
     val dead = joinDead(base, "left_semi").count()
     if (dead == 0) IndexMeta.deleteDir(deletesPath)
-    meta = meta.copy(numDeleted = dead)
-    IndexMeta.write(path, meta)
+    publishMeta(meta.copy(numDeleted = dead))
   }
 }
 

@@ -751,7 +751,10 @@ object AnnIndexManager {
   def drop(name: String): Boolean = registry.remove(name) match {
     case Some(path) =>
       metaCache.remove(path)
-      instanceCache.remove(path)
+      // remove() bypasses removeEldestEntry, so release the dropped
+      // instance's pinned Broadcast[Router] here too — otherwise the
+      // executor-side blocks linger until GC/ContextCleaner.
+      Option(instanceCache.remove(path)).foreach(_.releaseRouterBroadcast())
       IndexMeta.deleteDir(path)
       true
     case None => false

@@ -62,6 +62,113 @@ object IndexMeta {
   import org.json4s.jackson.Serialization
   private implicit val formats: Formats = Serialization.formats(NoTypeHints)
 
+  /** A second writer raced this one: the on-disk publish generation moved
+    * past the generation this writer's instance last synced. The losing
+    * mutation published NOTHING (its data dirs, if any, are unmanifested
+    * orphans — invisible to readers, reclaimed at the next allocation or
+    * gcOrphans); reload the index and retry on the fresh state. */
+  final class ConcurrentWriteException(path: String, expected: Long, found: Long)
+      extends IllegalStateException(
+        s"concurrent writer on index at $path: this instance last synced " +
+          s"publish generation $expected but disk is at $found — another " +
+          "driver/process published a mutation in between. Nothing was " +
+          "published by this writer; reload the index and retry.")
+
+  /** Meta-param key of the monotonic publish generation — the cross-driver
+    * single-writer enforcement token. Absent (legacy index) reads as 0. */
+  private[index] val PublishGenKey = "publish_gen"
+
+  def publishGen(meta: IndexMeta): Long =
+    meta.params.get(PublishGenKey).map(_.toLong).getOrElse(0L)
+
+  /** On-disk publish generation; 0 when meta.json is absent or unreadable
+    * mid-swap (the atomic write makes the unreadable window ~nothing). */
+  private def diskGen(path: String): Long =
+    if (!exists(path)) 0L
+    else scala.util.Try(publishGen(read(path))).getOrElse(0L)
+
+  /** Per-path writer lock: a JVM ReentrantLock (same-driver threads
+    * serialize instead of corrupting the shared instance) paired with an
+    * OS advisory FileLock on `writer.lock` (cross-process writers
+    * serialize; released by the OS if the holder crashes — no TTL lease
+    * needed). On filesystems without advisory locking (object stores),
+    * the FileLock degrades silently and the generation CAS at
+    * [[publish]] remains the enforcement. */
+  private final class WriterLock {
+    val jvm = new java.util.concurrent.locks.ReentrantLock
+    var channel: java.nio.channels.FileChannel = _
+    var fileLock: java.nio.channels.FileLock = _
+  }
+  private val writerLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, WriterLock]
+
+  /** Run `body` as THE writer for the index at `path` — the cross-driver
+    * mutation contract. Acquires the per-path writer lock (reentrant:
+    * nested mutations — auto-compact inside insert — re-enter freely),
+    * then verifies the on-disk publish generation still equals
+    * `expectedGen` (by-name: evaluated AFTER acquisition, so a
+    * same-driver mutation queued behind another sees the refreshed
+    * in-memory meta). A mismatch throws [[ConcurrentWriteException]]
+    * BEFORE `body` runs — destructive steps (vacuum's dataset replace)
+    * never start against a state another writer has already moved. */
+  def withWriter[T](path: String)(expectedGen: => Long)(body: => T): T = {
+    val key = Paths.get(path).toAbsolutePath.normalize.toString
+    val wl = writerLocks.computeIfAbsent(key, _ => new WriterLock)
+    wl.jvm.lock()
+    val outermost = wl.jvm.getHoldCount == 1
+    try {
+      if (outermost) {
+        try {
+          Files.createDirectories(Paths.get(path))
+          val ch = java.nio.channels.FileChannel.open(
+            Paths.get(path, "writer.lock"),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE)
+          wl.channel = ch
+          wl.fileLock = ch.lock()
+        } catch {
+          // no advisory locking here (object store mount): generation CAS
+          // at publish() is the remaining (documented) enforcement
+          case scala.util.control.NonFatal(_) =>
+            if (wl.channel != null) {
+              try wl.channel.close()
+              catch { case scala.util.control.NonFatal(_) => () }
+              wl.channel = null
+            }
+            wl.fileLock = null
+        }
+      }
+      val expected = expectedGen
+      val found = diskGen(path)
+      if (found != expected)
+        throw new ConcurrentWriteException(path, expected, found)
+      body
+    } finally {
+      if (outermost) {
+        try {
+          if (wl.fileLock != null) wl.fileLock.release()
+          if (wl.channel != null) wl.channel.close()
+        } catch { case scala.util.control.NonFatal(_) => () }
+        wl.fileLock = null
+        wl.channel = null
+      }
+      wl.jvm.unlock()
+    }
+  }
+
+  /** Publish a mutation's metadata: re-verify the generation CAS (the
+    * enforcement on lock-less filesystems; a no-op re-check under a held
+    * [[withWriter]]), stamp `publish_gen = expected + 1`, and write
+    * atomically. Returns the stamped meta — the caller's new in-memory
+    * truth. */
+  def publish(path: String, newMeta: IndexMeta, expectedGen: Long): IndexMeta =
+    withWriter(path)(expectedGen) {
+      val stamped = newMeta.copy(params =
+        newMeta.params + (PublishGenKey -> (expectedGen + 1).toString))
+      write(path, stamped)
+      stamped
+    }
+
   def write(path: String, meta: IndexMeta): Unit = {
     Files.createDirectories(Paths.get(path))
     // atomic replace: write tmp then move over

@@ -238,7 +238,12 @@ object ShardSummaries {
       val centroids: Array[Array[Float]],
       val metric: String,
       val coarse: Option[Router.Coarse],
-      val overscan: Int) extends Serializable {
+      val overscan: Int,
+      /** Digest of the summary set this router was built from — carried
+        * so stats verbs ([[Router.cacheState]]) can compare router.bin
+        * against the live set without rehashing O(shards×dim) of
+        * resident centroids per call. */
+      val sumsDigest: Long) extends Serializable {
 
     def topShards(q: Array[Float], s: Int): Array[Int] = coarse match {
       // the coarse path only pays off when the beam is NARROW relative to
@@ -394,7 +399,7 @@ object ShardSummaries {
       * mismatch). A storm of "stale" readings across mutations is the
       * rebuild-storm signal the incremental patch exists to kill. */
     def cacheState(indexPath: String,
-                   covered: Option[Array[Summary]]): String = {
+                   coveredDigest: Option[Long]): String = {
       val p = cacheFilePath(indexPath)
       if (!java.nio.file.Files.exists(p)) return "absent"
       val stored =
@@ -406,7 +411,7 @@ object ShardSummaries {
           } finally in.close()
         } catch { case scala.util.control.NonFatal(_) => None }
       stored match {
-        case Some(d) if covered.exists(c => digest(c) == d) => "current"
+        case Some(d) if coveredDigest.contains(d) => "current"
         case _ => "stale"
       }
     }
@@ -590,14 +595,14 @@ object ShardSummaries {
       val cents = sums.map(_.centroid)
       val n = shards.length
       val threshold = math.max(MinUsableGraph, coarseThreshold)
+      val dig = digest(sums)
       if (n < threshold)
-        return new Router(shards, cents, metric, None, overscan)
+        return new Router(shards, cents, metric, None, overscan, dig)
       val keep = (0 until n).filterNot(i => unroutable(cents(i), metric)).toArray
       if (keep.length < MinUsableGraph) // poisoned summary set: stay flat
-        return new Router(shards, cents, metric, None, overscan)
-      val dig = cachePath.map(_ => digest(sums))
+        return new Router(shards, cents, metric, None, overscan, dig)
       val cached = for {
-        p <- cachePath; d <- dig; c <- readCache(p, d)
+        p <- cachePath; c <- readCache(p, dig)
       } yield c
       val coarse: Coarse = cached.getOrElse {
         // incremental path first: a mutation typically touches a handful
@@ -611,12 +616,12 @@ object ShardSummaries {
               keep.map(_.toLong), keep.map(cents), CoarseParams, metric)
             validatedCoarse(graph, keep.map(shards), shards, cents, metric)
           }
-        for (p <- cachePath; d <- dig)
-          try writeCache(p, d, c)
+        for (p <- cachePath)
+          try writeCache(p, dig, c)
           catch { case scala.util.control.NonFatal(_) => () } // amortization only
         c
       }
-      new Router(shards, cents, metric, Some(coarse), overscan)
+      new Router(shards, cents, metric, Some(coarse), overscan, dig)
     }
 
     /** Reconcile a previously built coarse graph to a NEW summary set —

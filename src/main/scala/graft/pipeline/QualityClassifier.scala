@@ -35,10 +35,11 @@ object QualityClassifier {
   private val TokenPattern = java.util.regex.Pattern.compile("[a-z0-9]+")
 
   final case class Model(weights: Array[Double], bias: Double,
-                         hashDim: Int) extends Serializable {
+                         hashDim: Int,
+                         hashFamily: String = "murmur") extends Serializable {
     def score(text: String): Double = {
       if (text == null) return sigmoid(bias)
-      val (idx, v) = featurize(text, hashDim)
+      val (idx, v) = featurize(text, hashDim, hashFamily)
       var z = bias
       var i = 0
       while (i < idx.length) { z += weights(idx(i)) * v(i); i += 1 }
@@ -48,9 +49,33 @@ object QualityClassifier {
 
   private def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
 
+  // MessageDigest is stateful and not thread-safe; executors re-initialize
+  // per thread (same pattern as Dsir/BloomFilter)
+  private val mdTl: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** The SQL-replayable feature bucket: first 15 hex chars of the md5 of
+    * the gram, as an unsigned long, mod `hashDim` — byte-for-byte the
+    * oracle idiom `CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) %
+    * dim` (same family as the dedup_*_md5 strict siblings; murmur stays
+    * the throughput default). */
+  private[pipeline] def md5Bucket(s: String, hashDim: Int): Int = {
+    val d = mdTl.get()
+    d.reset()
+    val h = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = new StringBuilder(15)
+    var i = 0
+    while (hex.length < 15) {
+      hex.append(f"${h(i) & 0xff}%02x")
+      i += 1
+    }
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % hashDim).toInt
+  }
+
   /** Hashed uni+bi-gram L1-normalized sparse vector: (indices, values),
     * indices strictly increasing (merged duplicates). */
-  private[pipeline] def featurize(text: String, hashDim: Int): (Array[Int], Array[Double]) = {
+  private[pipeline] def featurize(text: String, hashDim: Int,
+                                  family: String = "murmur"): (Array[Int], Array[Double]) = {
     val m = TokenPattern.matcher(text.toLowerCase(java.util.Locale.ROOT))
     val toks = Array.newBuilder[String]
     while (m.find()) toks += m.group()
@@ -58,8 +83,12 @@ object QualityClassifier {
     if (t.isEmpty) return (Array.empty, Array.empty)
     val counts = new java.util.HashMap[Int, Double]()
     var total = 0.0
+    val bucket: String => Int =
+      if (family == "md5") md5Bucket(_, hashDim)
+      else s => math.floorMod(
+        scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c), hashDim)
     def add(s: String): Unit = {
-      val h = math.floorMod(scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c), hashDim)
+      val h = bucket(s)
       counts.merge(h, 1.0, _ + _)
       total += 1.0
     }
@@ -134,6 +163,19 @@ object QualityClassifier {
     }
     feats.unpersist()
     Model(w, b, hashDim)
+  }
+
+  /** A deterministic PINNED model for oracle replay: md5 feature buckets
+    * and formulaic weights `w(h) = ((h mod 17) - 8) / 10`, bias 0.1 —
+    * every number is SQL arithmetic, so the full scoring path (tokenize →
+    * uni+bi-gram → bucket → L1-normalize → ascending-bucket dot product →
+    * sigmoid) replays bit-for-bit in the DuckDB oracle
+    * (`quality_score_md5`). The TRAINED murmur path stays the production
+    * shape; this pins the scorer's arithmetic, the exact-sibling pattern
+    * of dedup_minhash_md5. */
+  def pinnedMd5Model(hashDim: Int = 64): Model = {
+    val w = Array.tabulate(hashDim)(h => ((h % 17) - 8) / 10.0)
+    Model(w, 0.1, hashDim, hashFamily = "md5")
   }
 
   /** Row-local scoring against the broadcast model: P(label=1 | text). */

@@ -196,6 +196,22 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // the classifier's SCORING path, STRICT: the same tokenize →
+    // uni+bi-gram → bucket → L1-normalize → ascending-bucket dot product
+    // → sigmoid pipeline Model.score runs, against a PINNED model whose
+    // weights are SQL arithmetic (w(h) = ((h mod 17) - 8)/10, bias 0.1)
+    // and whose feature buckets use the md5 family (the dedup_minhash_md5
+    // pattern) — the oracle replays every double bit-for-bit via an
+    // ordered list_reduce fold. Training stays rows-only above
+    // (quality_classifier); its GD contracts live in
+    // QualityClassifierSpec.
+    "quality_score_md5" -> ((s: SparkSession, dir: String) =>
+      QualityClassifier.withQualityScore(docs(s, dir), "text",
+          QualityClassifier.pinnedMd5Model(hashDim = 64))
+        .select(col("doc_id"),
+          round(col("quality_prob"), 6).as("quality_prob"))
+        .orderBy("doc_id")),
+
     // end-to-end BPE: train 200 merges on the corpus histogram, tokenize
     // every document, count subwords. Rows-only (the iterative merge loop
     // is not SQL-expressible); trainer-vs-reference equivalence, merge
@@ -221,6 +237,28 @@ object TextQueries {
         .select("doc_id", "n_unigram_tokens")
         .orderBy("doc_id")
     }),
+
+    // unigram trainer phase 0, STRICT: the count-weighted substring
+    // histogram the seed vocabulary is selected from (UnigramTokenizer
+    // .trainFromHistogram's subCounts — every substring of length ≤
+    // MaxPieceLen of every histogram word, weighted by word count).
+    // Pure integer arithmetic over the same bounded word histogram
+    // bpe_word_hist pins → exact oracle; the EM that CONSUMES this
+    // relation stays rows-only above (unigram_token_count), its lattice
+    // contracts in UnigramTokenizerSpec.
+    "unigram_seed_hist" -> ((s: SparkSession, dir: String) =>
+      BpeTokenizer.wordHistogram(docs(s, dir), "text",
+          maxWords = 500, minCount = 2L)
+        .select(col("cnt"), explode(expr(
+          "flatten(transform(sequence(1, length(word)), " +
+            "j -> transform(sequence(j, least(length(word), j + 7)), " +
+            "k -> substring(word, j, k - j + 1))))")).as("piece"))
+        .groupBy("piece").agg(sum("cnt").as("piece_cnt"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("piece_cnt").desc, col("piece"))).cast("long"))
+        .filter(col("rank") <= 200)
+        .select("rank", "piece", "piece_cnt")
+        .orderBy("rank")),
 
     "doc_fingerprint" -> ((s: SparkSession, dir: String) =>
       docs(s, dir)
@@ -1091,6 +1129,65 @@ object TextQueries {
         |    FROM documents) t
         |  GROUP BY word) g
         |QUALIFY rank <= 50 ORDER BY rank""".stripMargin,
+
+    // unigram trainer phase 0: count-weighted substring histogram over
+    // the bounded word histogram (nested comprehension = every substring
+    // of length <= 8 per position, multiplicity kept — exactly the
+    // engine's subCounts loop); integer counts, total rank order
+    "unigram_seed_hist" ->
+      """WITH hist AS (
+        |  SELECT word, cnt FROM (
+        |    SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        |      FROM documents) t
+        |    GROUP BY word) g
+        |  WHERE cnt >= 2
+        |  ORDER BY cnt DESC, word LIMIT 500
+        |), sub AS (
+        |  SELECT cnt, unnest(flatten(
+        |    [[word[j:k] FOR k IN generate_series(j, least(length(word), j+7))]
+        |     FOR j IN generate_series(1, length(word))])) AS piece
+        |  FROM hist
+        |), agg AS (
+        |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS piece_cnt FROM sub GROUP BY piece
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY piece_cnt DESC, piece) AS BIGINT) AS rank,
+        |  piece, piece_cnt
+        |FROM agg
+        |QUALIFY rank <= 200 ORDER BY rank""".stripMargin,
+
+    // the classifier scorer replayed with pinned SQL-arithmetic weights:
+    // md5 feature buckets (the proven '0x'||substr(md5) idiom), per-doc
+    // L1 normalization, ascending-bucket ordered fold (bit-identical
+    // summation order to Model.score), sigmoid; tokenless/NULL docs get
+    // sigmoid(bias) via the LEFT JOIN
+    "quality_score_md5" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(list_concat(ts,
+        |    [ts[i] || ' ' || ts[i+1] FOR i IN generate_series(1, len(ts) - 1)])) AS g
+        |  FROM toks WHERE len(ts) > 0
+        |), bucketed AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) % 64 AS INT) AS h,
+        |    count(*) AS c
+        |  FROM grams GROUP BY doc_id, h
+        |), tot AS (
+        |  SELECT doc_id, CAST(sum(c) AS DOUBLE) AS total FROM bucketed GROUP BY doc_id
+        |), z AS (
+        |  SELECT b.doc_id,
+        |    list_reduce(list_prepend(CAST(0.1 AS DOUBLE),
+        |      list((((h % 17) - 8) / 10.0) * (CAST(c AS DOUBLE) / total) ORDER BY h)),
+        |      (a, x) -> a + x) AS zval
+        |  FROM bucketed b JOIN tot USING (doc_id)
+        |  GROUP BY b.doc_id, total
+        |)
+        |SELECT d.doc_id,
+        |  round(CASE WHEN z.zval IS NULL THEN 1.0 / (1.0 + exp(-0.1))
+        |             ELSE 1.0 / (1.0 + exp(-z.zval)) END, 6) AS quality_prob
+        |FROM documents d LEFT JOIN z ON d.doc_id = z.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // the trigram model replayed: counts over all docs' char trigrams,
     // per-doc left-to-right ordered fold of -ln(c/total) (lock-step

@@ -229,4 +229,131 @@ class ManifestSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(ids == Seq(7L))
   }
+
+  test("two writers on one path: one publishes, the stale one fails fast " +
+      "without touching live dirs, and retries cleanly after resync") {
+    import spark.implicits._
+    val path = s"$tmp/t_mf_twowriter"
+    val a = AnnIndexManager.create(spark, "t_mf_twowriter",
+      baseVecs.toDF("id", "embedding"), "id", "embedding", "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "32",
+        "shards" -> "2"),
+      path)
+    a.delete(baseVecs.take(5).map(_._1)) // so the second writer's vacuum has work
+    // "driver B": its own instance, synced at the current publish generation
+    val b = new AnnIndex(spark, path)
+    val genB = IndexMeta.publishGen(b.meta)
+
+    // driver A publishes a mutation B has not seen
+    a.insert(Seq((7000L, Array(0.9f, 0.9f, 0.9f, 0.9f))).toDF("id", "embedding"),
+      "id", "embedding")
+    assert(IndexMeta.publishGen(a.meta) == genB + 1)
+    val manifested = a.meta.liveShards.get.toSet
+    val q = Array(0.5f, 0.5f, 0.5f, 0.5f)
+    val winners = exhaustive(a, q, 121).toSet
+
+    // B's vacuum is the dangerous interleaving: it destructively replaces
+    // the dataset BEFORE its publish. The stale generation must fail it
+    // fast — before replaceDir — leaving A's manifested dirs intact.
+    intercept[IndexMeta.ConcurrentWriteException] { b.vacuum() }
+    val onDisk = IndexMeta.listShardDirs(s"$path/data").toSet
+    assert(manifested.subsetOf(onDisk),
+      s"losing writer deleted live dirs: ${manifested -- onDisk}")
+    assert(exhaustive(a, q, 121).toSet == winners,
+      "winning writer's published state was damaged by the losing writer")
+
+    // the loser resynced from disk on conflict: a retry on the fresh
+    // state succeeds and is the next generation
+    b.vacuum()
+    assert(IndexMeta.publishGen(b.meta) == genB + 2)
+    assert(b.meta.numDeleted == 0)
+    assert(new AnnIndex(spark, path).data.count() == 116) // 120 - 5 + 1
+
+    // insert-vs-insert: same contract, no destructive step either way
+    val c = new AnnIndex(spark, path)
+    b.insert(Seq((7100L, Array(0.8f, 0.8f, 0.8f, 0.8f))).toDF("id", "embedding"),
+      "id", "embedding")
+    intercept[IndexMeta.ConcurrentWriteException] {
+      c.insert(Seq((7200L, Array(0.7f, 0.7f, 0.7f, 0.7f))).toDF("id", "embedding"),
+        "id", "embedding")
+    }
+    c.insert(Seq((7200L, Array(0.7f, 0.7f, 0.7f, 0.7f))).toDF("id", "embedding"),
+      "id", "embedding") // resynced retry
+    assert(new AnnIndex(spark, path).data.count() == 118)
+  }
+
+  test("a pinned standing reader survives online batches past the reclaim " +
+      "grace; unpinned dirs reclaim on schedule") {
+    import spark.implicits._
+    val path = s"$tmp/t_mf_pin"
+    val idx = AnnIndexManager.create(spark, "t_mf_pin",
+      baseVecs.toDF("id", "embedding"), "id", "embedding", "DISKANN",
+      Map("metric" -> "l2", "max_degree" -> "16", "build_complexity" -> "32",
+        "shards" -> "2"),
+      path)
+    spark.conf.set("spark.ann.onlineInsertMaxRows", "100")
+    spark.conf.set("spark.ann.reclaimGraceMs", "1")
+    try {
+      // control arm: UNPINNED, grace 1 ms — the first batch's swapped
+      // dirs are ripe by the second batch's publish and reclaimed
+      idx.insert(Seq.tabulate(5)(i => (9000L + i, Array.fill(4)(0.5f)))
+        .toDF("id", "embedding"), "id", "embedding")
+      Thread.sleep(5)
+      idx.insert(Seq.tabulate(5)(i => (9100L + i, Array.fill(4)(0.6f)))
+        .toDF("id", "embedding"), "id", "embedding")
+      Thread.sleep(5)
+      idx.insert(Seq.tabulate(5)(i => (9150L + i, Array.fill(4)(0.55f)))
+        .toDF("id", "embedding"), "id", "embedding")
+      val unpinnedLeft =
+        IndexMeta.listShardDirs(s"$path/data").toSet -- idx.meta.liveShards.get
+      assert(unpinnedLeft.size <= 2, // at most the LAST batch's swaps pend
+        s"unpinned dirs did not reclaim on schedule: $unpinnedLeft")
+
+      // pinned arm: register the pin BEFORE planning, like a long scan
+      val token = idx.pinScan()
+      val prePlan = idx.scan(Array(0.4f, 0.4f, 0.4f, 0.4f), 5,
+        searchParam = 100000)
+      assert(prePlan.count() == 5)
+      for (b <- 0 until 3) { // N online batches, every one past the grace
+        idx.insert(Seq.tabulate(5)(i =>
+            (9200L + b * 100 + i, Array.fill(4)(0.5f + 0.1f * b)))
+          .toDF("id", "embedding"), "id", "embedding")
+        Thread.sleep(5)
+      }
+      assert(idx.meta.params.contains("reclaim_pending"),
+        "pin was not respected: nothing pending after 3 post-pin batches")
+      val got = prePlan.collect()
+      assert(got.length == 5,
+        "pinned standing reader died across online batches")
+
+      // release: the backlog reclaims at the next publish
+      idx.unpinScan(token)
+      Thread.sleep(5)
+      idx.insert(Seq.tabulate(5)(i => (9900L + i, Array.fill(4)(0.45f)))
+        .toDF("id", "embedding"), "id", "embedding")
+      Thread.sleep(5)
+      idx.insert(Seq.tabulate(5)(i => (9950L + i, Array.fill(4)(0.65f)))
+        .toDF("id", "embedding"), "id", "embedding")
+      val left =
+        IndexMeta.listShardDirs(s"$path/data").toSet -- idx.meta.liveShards.get
+      assert(left.size <= 2,
+        s"backlog not reclaimed after unpin: $left")
+
+      // an EXPIRED pin never blocks (crashed reader): TTL 1 ms
+      idx.pinScan(ttlMs = 1)
+      Thread.sleep(5)
+      idx.insert(Seq.tabulate(5)(i => (9990L + i, Array.fill(4)(0.35f)))
+        .toDF("id", "embedding"), "id", "embedding")
+      Thread.sleep(5)
+      idx.insert(Seq.tabulate(3)(i => (9995L + i, Array.fill(4)(0.25f)))
+        .toDF("id", "embedding"), "id", "embedding")
+      val left2 =
+        IndexMeta.listShardDirs(s"$path/data").toSet -- idx.meta.liveShards.get
+      assert(left2.size <= 2,
+        s"an expired pin blocked reclamation: $left2")
+    } finally {
+      spark.conf.unset("spark.ann.onlineInsertMaxRows")
+      spark.conf.unset("spark.ann.reclaimGraceMs")
+    }
+  }
 }

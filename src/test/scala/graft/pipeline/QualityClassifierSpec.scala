@@ -80,4 +80,20 @@ class QualityClassifierSpec extends SparkSpec {
     assert(acc >= 0.9, s"sampled-training accuracy $acc")
     assert(model.score(null) == 1.0 / (1.0 + math.exp(-model.bias)))
   }
+
+  test("pinned md5 model replays the oracle arithmetic bit-for-bit") {
+    // reference values computed independently (python hashlib/math) from
+    // the documented formula: bucket = first 15 md5 hex chars mod 64,
+    // w(h) = ((h mod 17) - 8)/10, bias 0.1, ascending-bucket fold
+    assert(QualityClassifier.md5Bucket("the", 64) == 45)
+    assert(QualityClassifier.md5Bucket("quick brown", 64) == 4)
+    val m = QualityClassifier.pinnedMd5Model(hashDim = 64)
+    assert(m.hashFamily == "md5")
+    assert(m.score("The quick brown fox jumps over the lazy dog")
+      == 0.5337720301152894)
+    // tokenless text scores exactly sigmoid(bias) — the oracle's
+    // LEFT-JOIN branch
+    assert(m.score("!!!") == 0.52497918747894)
+    assert(m.score(null) == 1.0 / (1.0 + math.exp(-0.1)))
+  }
 }
