@@ -289,7 +289,13 @@ object ShardSummaries {
     final case class Coarse(graph: Vamana.Shard,
                             graphShards: Array[Int],
                             floor: Int,
-                            agreement: Float) extends Serializable {
+                            agreement: Float,
+                            /** Nodes changed since the last FULL floor
+                              * validation — incremental patches defer the
+                              * ladder (a spot-check guards drift) until
+                              * churn crosses the revalidation cap; see
+                              * [[Router.patch]]. */
+                            churn: Int = 0) extends Serializable {
       /** Whether the validated agreement clears the serving bar. */
       def servable: Boolean = agreement >= Router.StandDownBelow
       /** Routable (non-tombstoned) node count — the engage guard's "what
@@ -309,7 +315,13 @@ object ShardSummaries {
     // base) — a v2 reader has no servable gate and would route through
     // it, so the semantic change bumps the version; older files mismatch
     // on the version int and degrade to a rebuild, never a misread.
-    private val CacheVersion = 3
+    // v4 (r18): LIVE nodes' vectors are no longer stored — they are
+    // bit-identical to the summary centroids the digest already pins, so
+    // the reader REBINDS them from the covered set (only tombstoned
+    // nodes, whose summaries are gone, keep their vectors in the file).
+    // Measured at 100k×d768: 304 MB → ~14 MB, read 2.9 s → ~0.1 s, and
+    // every per-patch cache write shrinks the same way. + churn counter.
+    private val CacheVersion = 4
 
     def cacheFilePath(indexPath: String): java.nio.file.Path =
       java.nio.file.Paths.get(indexPath, "router.bin")
@@ -351,16 +363,41 @@ object ShardSummaries {
       val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
         java.nio.file.Files.newOutputStream(tmp), 1 << 16))
       try {
+        val g = coarse.graph
+        val n = coarse.graphShards.length
         out.writeInt(CacheMagic); out.writeInt(CacheVersion)
         out.writeLong(dig)
         out.writeInt(coarse.floor)
         out.writeFloat(coarse.agreement)
-        out.writeInt(coarse.graphShards.length)
+        out.writeInt(coarse.churn)
+        out.writeInt(n)
         var i = 0
-        while (i < coarse.graphShards.length) {
-          out.writeInt(coarse.graphShards(i)); i += 1
+        while (i < n) { out.writeInt(coarse.graphShards(i)); i += 1 }
+        out.writeInt(g.entry)
+        out.writeInt(if (n > 0) g.vectors(0).length else 0)
+        i = 0
+        while (i < n) { out.writeLong(g.ids(i)); i += 1 }
+        i = 0
+        while (i < n) {
+          val nb = g.neighbors(i)
+          out.writeInt(nb.length)
+          var j = 0
+          while (j < nb.length) { out.writeInt(nb(j)); j += 1 }
+          i += 1
         }
-        Vamana.ShardSpillCodec.write(coarse.graph, out)
+        // only TOMBSTONED nodes ship their vectors (their summaries are
+        // gone); live nodes rebind to the digest-pinned summary centroids
+        // at read — the O(shards × dim) payload stays in summaries.bin,
+        // not duplicated here
+        i = 0
+        while (i < n) {
+          if (coarse.graphShards(i) < 0) {
+            val v = g.vectors(i)
+            var j = 0
+            while (j < v.length) { out.writeFloat(v(j)); j += 1 }
+          }
+          i += 1
+        }
       } finally out.close()
       java.nio.file.Files.move(tmp, cacheFilePath(indexPath),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
@@ -368,8 +405,12 @@ object ShardSummaries {
     }
 
     /** Read the persisted coarse graph iff its digest matches the live
-      * summary set; None on absence, mismatch, or corruption (→ rebuild). */
-    private[index] def readCache(indexPath: String, dig: Long): Option[Coarse] = {
+      * summary set; None on absence, mismatch, or corruption (→ rebuild).
+      * `centOf` resolves a LIVE node's shard id to its summary centroid
+      * (v4 stores no live vectors); an unresolvable id means the file
+      * does not belong to this summary set after all → rebuild. */
+    private[index] def readCache(indexPath: String, dig: Long,
+                                 centOf: Int => Array[Float]): Option[Coarse] = {
       val p = cacheFilePath(indexPath)
       if (!java.nio.file.Files.exists(p)) return None
       try {
@@ -380,13 +421,43 @@ object ShardSummaries {
           if (in.readLong() != dig) return None
           val floor = in.readInt()
           val agreement = in.readFloat()
+          val churn = in.readInt()
           val n = in.readInt()
           val gs = new Array[Int](n)
           var i = 0
           while (i < n) { gs(i) = in.readInt(); i += 1 }
-          val graph = Vamana.ShardSpillCodec.read(in).asInstanceOf[Vamana.Shard]
-          if (graph.ids.length != n) None
-          else Some(Coarse(graph, gs, floor, agreement))
+          val entry = in.readInt()
+          val dim = in.readInt()
+          val ids = new Array[Long](n)
+          i = 0
+          while (i < n) { ids(i) = in.readLong(); i += 1 }
+          val neighbors = new Array[Array[Int]](n)
+          i = 0
+          while (i < n) {
+            val len = in.readInt()
+            val nb = new Array[Int](len)
+            var j = 0
+            while (j < len) { nb(j) = in.readInt(); j += 1 }
+            neighbors(i) = nb
+            i += 1
+          }
+          val vectors = new Array[Array[Float]](n)
+          i = 0
+          while (i < n) {
+            if (gs(i) < 0) {
+              val v = new Array[Float](dim)
+              var j = 0
+              while (j < dim) { v(j) = in.readFloat(); j += 1 }
+              vectors(i) = v
+            } else {
+              val c = centOf(gs(i))
+              if (c == null) return None // foreign file: rebuild
+              vectors(i) = c
+            }
+            i += 1
+          }
+          Some(Coarse(Vamana.Shard(ids, vectors, neighbors, entry),
+            gs, floor, agreement, churn))
         } finally in.close()
       } catch { case scala.util.control.NonFatal(_) => None }
     }
@@ -492,6 +563,18 @@ object ShardSummaries {
     private val StandDownBelow = 0.90
     private val ValidateQueries = 64
     private val ValidateK = 8
+    /** Churn-deferred revalidation (r18): a patch re-runs the FULL floor
+      * ladder only once accumulated churn crosses `max(32, live/100)`;
+      * smaller patches pay a one-rung `SpotQueries`-query drift check at
+      * the carried floor instead (full revalidate on a failed check).
+      * The 1% cap is tighter than the drift the r17 upkeep arm measured
+      * (0.04 agreement over ~2% churn), and the spot check catches a
+      * geometry shift within one batch anyway. At 100k×d768 the
+      * per-batch upkeep was 6.3 s with the unconditional ladder, ~0.1 s
+      * with the spot check (r18 arm). */
+    private val SpotQueries = 8
+    private def churnCap(live: Int): Int = math.max(32, live / 100)
+    private val SpotSlack = 0.02 // 8q×k8 = 64 probe hits → 1/64 granularity
 
     /** One coarse probe: beam at width l, harvest the best s LIVE labels.
       * Tombstoned labels (incrementally removed shards) still navigate
@@ -550,7 +633,8 @@ object ShardSummaries {
     private def validatedCoarse(graph: Vamana.Shard, gs: Array[Int],
                                 shards: Array[Int],
                                 cents: Array[Array[Float]],
-                                metric: String): Coarse = {
+                                metric: String,
+                                startFloor: Int = 0): Coarse = {
       val liveLabels = gs.indices.filter(gs(_) >= 0).toArray
       val live = liveLabels.length
       val cap = live / 8
@@ -563,28 +647,77 @@ object ShardSummaries {
       val qs = Array.tabulate(nQ)(i =>
         graph.vectors(liveLabels((i.toLong * live / nQ).toInt)))
       val truth = new Array[Set[Int]](nQ)
+      val t0 = System.nanoTime()
       java.util.stream.IntStream.range(0, nQ).parallel().forEach { i =>
         truth(i) =
           ShardSummaries.topShards(qs(i), shards, cents, ValidateK, metric).toSet
       }
+      val flatNanos = System.nanoTime() - t0
+      // the cost gate only bites where it is measurable AND matters: on
+      // small fixtures (sub-20ms flat pass) wall noise would flip tiny
+      // graphs to stand-down for nothing — there routing cost is
+      // irrelevant either way
+      val costGate = flatNanos >= 20e6.toLong
       var bestFloor = base
       var bestAgree = -1.0
-      var f = base
-      while (f < cap) {
+      // a patch revalidation resumes NEAR the operating floor (one rung
+      // below, so a post-compaction geometry can narrow again) instead of
+      // re-climbing the whole ladder per mutation — at 100k×d768 the full
+      // climb was ~6 s per online batch (r18 arm)
+      var f = if (startFloor > base) math.max(base, startFloor / 2) else base
+      var stop = false
+      while (f < cap && !stop) {
         val probe = Coarse(graph, gs, f, 0f)
         val hits = new java.util.concurrent.atomic.LongAdder()
+        val r0 = System.nanoTime()
         java.util.stream.IntStream.range(0, nQ).parallel().forEach { i =>
           val got = coarseProbe(probe, qs(i), ValidateK, f, metric).toSet
           hits.add(truth(i).intersect(got).size.toLong)
         }
+        val rungNanos = System.nanoTime() - r0
         val agree = hits.sum.toDouble / (nQ.toLong * ValidateK)
-        if (agree >= ValidateTarget) return Coarse(graph, gs, f, agree.toFloat)
-        if (agree > bestAgree) { bestAgree = agree; bestFloor = f }
+        // MEASURED cost cap (r18): a rung whose probe pass costs more
+        // than the flat truth pass cannot beat the flat scan at serving
+        // time no matter its agreement — climbing further is pure loss
+        // (at 100k×d768 the old agreement-only ladder accepted floor
+        // 10240, measured 1.5× SLOWER than flat at serve). Rungs past
+        // the crossover neither accept nor update best; the ladder
+        // stands down to the best rung measured cheaper than flat.
+        val tooCostly = costGate && rungNanos > flatNanos
+        if (!tooCostly) {
+          if (agree >= ValidateTarget) return Coarse(graph, gs, f, agree.toFloat)
+          if (agree > bestAgree) { bestAgree = agree; bestFloor = f }
+        }
+        stop = tooCostly
         f *= 2
       }
       // best rung under the target: servable iff it clears StandDownBelow
       // (Coarse.servable); either way the graph stays cached and patchable
-      Coarse(graph, gs, bestFloor, bestAgree.toFloat)
+      Coarse(graph, gs, bestFloor, math.max(bestAgree, 0.0).toFloat)
+    }
+
+    /** Cheap drift tripwire for churn-deferred revalidation: agreement at
+      * the CARRIED floor over `SpotQueries` fresh probe points (offset by
+      * `salt` so successive patches sample different nodes). One rung,
+      * ~1/8 the queries — ~2 orders cheaper than the full ladder. */
+    private def spotAgreement(co: Coarse, shards: Array[Int],
+                              cents: Array[Array[Float]],
+                              metric: String, salt: Int): Double = {
+      val liveLabels = co.graphShards.indices
+        .filter(co.graphShards(_) >= 0).toArray
+      val live = liveLabels.length
+      if (live == 0) return 0.0
+      val nQ = math.min(SpotQueries, live)
+      val qs = Array.tabulate(nQ)(i =>
+        co.graph.vectors(liveLabels(((i.toLong * live / nQ + salt) % live).toInt)))
+      val hits = new java.util.concurrent.atomic.LongAdder()
+      java.util.stream.IntStream.range(0, nQ).parallel().forEach { i =>
+        val truth =
+          ShardSummaries.topShards(qs(i), shards, cents, ValidateK, metric).toSet
+        val got = coarseProbe(co, qs(i), ValidateK, co.floor, metric).toSet
+        hits.add(truth.intersect(got).size.toLong)
+      }
+      hits.sum.toDouble / (nQ.toLong * ValidateK)
     }
 
     def build(sums: Array[Summary], metric: String,
@@ -601,9 +734,18 @@ object ShardSummaries {
       val keep = (0 until n).filterNot(i => unroutable(cents(i), metric)).toArray
       if (keep.length < MinUsableGraph) // poisoned summary set: stay flat
         return new Router(shards, cents, metric, None, overscan, dig)
-      val cached = for {
-        p <- cachePath; c <- readCache(p, dig)
-      } yield c
+      val cached = cachePath.flatMap { p =>
+        // v4 files rebind live vectors from the digest-pinned summaries:
+        // resolve shard id → centroid once (O(n) map build, only when a
+        // candidate file exists)
+        if (!java.nio.file.Files.exists(cacheFilePath(p))) None
+        else {
+          val byShard = new java.util.HashMap[Integer, Array[Float]](n * 2)
+          var i = 0
+          while (i < n) { byShard.put(shards(i), cents(i)); i += 1 }
+          readCache(p, dig, sid => byShard.get(Integer.valueOf(sid)))
+        }
+      }
       val coarse: Coarse = cached.getOrElse {
         // incremental path first: a mutation typically touches a handful
         // of shards out of tens of thousands — reconciling the PREVIOUS
@@ -709,7 +851,23 @@ object ShardSummaries {
         addIdx.iterator.map(x => sums(x).shard.toLong).toArray,
         addIdx.iterator.map(x => sums(x).centroid).toArray,
         CoarseParams, metric)
-      val validated = validatedCoarse(graph, gs, shards, cents, metric)
+      // churn-deferred revalidation (r18): the full ladder re-runs only
+      // once accumulated churn crosses churnCap — below it, a one-rung
+      // spot check at the carried floor guards against drift (the r17
+      // upkeep arm's geometry shift) at ~2 orders less cost than the
+      // ladder, which at 100k×d768 was seconds PER ONLINE BATCH
+      val newChurn = co.churn + changes
+      val validated =
+        if (co.servable && newChurn < churnCap(keep.length)) {
+          val carried = Coarse(graph, gs, co.floor, co.agreement, newChurn)
+          val spot = spotAgreement(carried, shards, cents, metric, salt = newChurn)
+          if (spot >= math.min(ValidateTarget, co.agreement.toDouble) - SpotSlack)
+            carried
+          else // drift tripped: pay the ladder now, resume near the floor
+            validatedCoarse(graph, gs, shards, cents, metric,
+              startFloor = co.floor)
+        } else validatedCoarse(graph, gs, shards, cents, metric,
+          startFloor = co.floor)
       // a patch that drags a SERVABLE graph under the serving bar returns
       // None so the full rebuild makes the final call (a fresh build of
       // the current centroids usually re-validates at target); once the

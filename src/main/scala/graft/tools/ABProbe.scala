@@ -25,9 +25,13 @@ import org.apache.spark.sql.functions._
   * Diagnostic modes outside the A/B sweep (`all` excludes them):
   *   - `maxsim`: the r15 rep_spread_gt2 line with per-rep GC time
   *   - `spatialbuild`: hash-vs-spatial create with debugTiming phases
+  *   - `hybrid`: the r17 hybrid_table_50q / hybrid_scalar_5q pair
+  *   - `hybridscalar`: r18 decomposition of the scalar-hybrid per-call
+  *     premium (plan-only / bm25 leg / vector leg / full fused, with
+  *     per-phase Spark job counts)
   *
   * Run: sbt -batch "runMain graft.tools.ABProbe
-  *        [asof|hnswbuild|scan|ivf|url|maxsim|spatialbuild|all] [reps]"
+  *        [asof|hnswbuild|scan|ivf|url|maxsim|spatialbuild|hybrid|hybridscalar|all] [reps]"
   */
 object ABProbe {
   def main(args: Array[String]): Unit = {
@@ -130,6 +134,57 @@ object ABProbe {
             queryText = hybridTexts(i % hybridTexts.length),
             queryVec = graft.queries.QuerySupport.qvecF(i), k = 10))
       }
+      hti.release()
+    }
+
+    if (mode == "hybridscalar") {
+      // r18 directive #7: DECOMPOSE the scalar-hybrid per-call premium
+      // (~0.49 s/q vs 39 ms/q batched, tracked since r10). Same fixture
+      // as mode `hybrid`; phases isolate (a) pure Catalyst planning of
+      // the scalar DataFrame, (b) the BM25 leg alone, (c) the vector leg
+      // alone, (d) the full fused call — with per-phase Spark job counts
+      // from a listener, so "re-planning vs re-reading vs scheduling"
+      // stops being a guess.
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ab_hs").toString
+      val ivf = graft.index.AnnIndexManager.create(spark, "ab_hs_ivf", emb,
+        "vec_id", "embedding", "IVF",
+        Map("metric" -> "l2", "nlist" -> "16", "nprobe" -> "4"), s"$tmp/ivf")
+      ivf.persist()
+      val hybridDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val hti = graft.operators.HybridSearch.buildTextIndex(
+        hybridDocs, "doc_id", "text", materialized = true)
+      val hybridTexts = Seq(
+        "spark table join merge", "hash group filter sort", "vector scan query",
+        "window order batch line", "stream key value agg")
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.incrementAndGet()
+        })
+      def phase(name: String)(f: Int => Unit): Unit = {
+        f(0) // warmup
+        Thread.sleep(200)
+        val j0 = jobs.get()
+        val t0 = System.nanoTime()
+        for (i <- 0 until 5) f(i)
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(200)
+        println(f"[ab-probe] hybridscalar/$name%-28s ${wall / 5}%.4f s/q " +
+          f"jobs/q=${(jobs.get() - j0) / 5.0}%.1f")
+      }
+      def scalarDf(i: Int) = graft.operators.HybridSearch.hybridSearch(
+        hybridDocs, "doc_id", hti, ivf,
+        queryText = hybridTexts(i % hybridTexts.length),
+        queryVec = graft.queries.QuerySupport.qvecF(i), k = 10)
+      phase("plan_only")(i => { scalarDf(i).queryExecution.executedPlan; () })
+      phase("bm25_leg")(i => noop(graft.operators.HybridSearch.bm25(hti,
+        hybridTexts(i % hybridTexts.length).split(" ").toSeq, 100)))
+      phase("vector_leg")(i =>
+        noop(ivf.scan(graft.queries.QuerySupport.qvecF(i), 100)))
+      phase("full_fused")(i => noop(scalarDf(i)))
       hti.release()
     }
 

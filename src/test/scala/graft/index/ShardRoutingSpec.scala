@@ -762,4 +762,79 @@ class ShardRoutingSpec extends SparkSpec {
         s"cosine coarse routing diverged: $got vs $want")
     }
   }
+
+  test("router.bin v4 rebinds live vectors from summaries and keeps tombstoned ones") {
+    val rnd = new scala.util.Random(41)
+    val sums0 = Array.tabulate(500)(i => ShardSummaries.Summary(i, 10L,
+      Array.fill(4)((rnd.nextGaussian() * (1 + i % 10)).toFloat)))
+    val dir = Files.createTempDirectory("graft_router_v4").toString
+    val r0 = ShardSummaries.Router.build(sums0, "l2",
+      coarseThreshold = 256, overscan = 4, cachePath = Some(dir))
+    assert(r0.coarse.isDefined)
+    // a patch tombstones 5 nodes (their summaries disappear) and the
+    // patched graph persists — the v4 file must carry ONLY those 5
+    // nodes' vectors, everything else rebinds from the summary set
+    val removedIds = (0 until 5).map(_ * 29).toSet
+    val fresh = Array.tabulate(5)(i => ShardSummaries.Summary(2000 + i, 12L,
+      Array.fill(4)((rnd.nextGaussian() * 3).toFloat)))
+    val sums1 = (sums0.filterNot(s => removedIds(s.shard)) ++ fresh).sortBy(_.shard)
+    val r1 = ShardSummaries.Router.build(sums1, "l2",
+      coarseThreshold = 256, overscan = 4, cachePath = Some(dir), base = Some(r0))
+    val co1 = r1.coarse.get
+    assert(co1.graphShards.count(_ == -1) == 5)
+    // the size win only shows at real dims (304 MB → 14 MB at 100k×d768,
+    // r18 arm); at d=4 just sanity-bound the structure-only payload
+    val binBytes = Files.size(ShardSummaries.Router.cacheFilePath(dir))
+    assert(binBytes < 200 * 1024, s"v4 file unexpectedly large: $binBytes B")
+    // a fresh driver (cache read) reproduces the patched router exactly:
+    // same graph shape, same vectors (live REBOUND, tombstoned READ)
+    val r2 = ShardSummaries.Router.build(sums1, "l2",
+      coarseThreshold = 256, overscan = 4, cachePath = Some(dir))
+    val co2 = r2.coarse.get
+    assert(co2.graphShards.toSeq == co1.graphShards.toSeq)
+    assert(co2.floor == co1.floor && co2.agreement == co1.agreement &&
+      co2.churn == co1.churn)
+    for (i <- co1.graphShards.indices)
+      assert(java.util.Arrays.equals(co2.graph.vectors(i), co1.graph.vectors(i)),
+        s"vector mismatch at node $i (gs=${co1.graphShards(i)})")
+    for (qi <- Seq(3, 111, 222)) {
+      val q = sums1(qi).centroid
+      assert(r2.topShards(q, 8).toSeq == r1.topShards(q, 8).toSeq)
+    }
+  }
+
+  test("churn-deferred revalidation: small patches carry the floor, the cap forces a ladder") {
+    val rnd = new scala.util.Random(43)
+    val sums0 = Array.tabulate(600)(i => ShardSummaries.Summary(i, 10L,
+      Array.fill(4)((rnd.nextGaussian() * (1 + i % 10)).toFloat)))
+    var router = ShardSummaries.Router.build(sums0, "l2",
+      coarseThreshold = 256, overscan = 4)
+    assert(router.coarse.exists(_.servable))
+    var sums = sums0
+    var nextId = 3000
+    var sawCarry = false
+    var sawReset = false
+    // churnCap(600) = 32; 2-shard swaps accumulate churn 4 per patch —
+    // several carried patches (churn grows, floor/agreement frozen),
+    // then one crossing patch revalidates (churn back to 0)
+    for (_ <- 0 until 12) {
+      val victims = Seq(sums(rnd.nextInt(sums.length)).shard,
+        sums(rnd.nextInt(sums.length)).shard).distinct.toSet
+      val fresh = victims.toSeq.sorted.zipWithIndex.map { case (_, j) =>
+        ShardSummaries.Summary(nextId + j, 12L,
+          Array.fill(4)((rnd.nextGaussian() * 3).toFloat))
+      }
+      nextId += fresh.size
+      sums = (sums.filterNot(s => victims(s.shard)) ++ fresh).sortBy(_.shard)
+      val prevChurn = router.coarse.get.churn
+      router = ShardSummaries.Router.build(sums, "l2",
+        coarseThreshold = 256, overscan = 4, base = Some(router))
+      val co = router.coarse.get
+      if (co.churn > prevChurn) sawCarry = true
+      if (co.churn == 0 && prevChurn > 0) sawReset = true
+      assert(co.servable, "patched router lost servability on a tame geometry")
+    }
+    assert(sawCarry, "no patch ever deferred the ladder (churn never grew)")
+    assert(sawReset, "the churn cap never forced a revalidation")
+  }
 }
