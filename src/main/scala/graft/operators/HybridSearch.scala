@@ -45,11 +45,24 @@ object HybridSearch {
     * back to one postings pass. */
   final case class TextIndex(postings: DataFrame, docLens: DataFrame,
                              numDocs: Long, avgDl: Double,
-                             headDf: Option[HeadDf] = None) {
+                             headDf: Option[HeadDf] = None,
+                             /** Materialize-time per-term document
+                               * frequency (term, df) — corpus-wide, query-
+                               * independent, so a MATERIALIZED index pays
+                               * the df aggregation once instead of one
+                               * agg job per scalar query (r18 ABProbe
+                               * decomposition: the scalar premium is plan
+                               * compile + per-call jobs; this removes one
+                               * of each). Distributed relation — distinct-
+                               * term-sized, never driver-resident. */
+                             dfStats: Option[DataFrame] = None) {
     /** Drop the executor-storage pin taken by a `materialized = true`
       * build. Results stay correct afterwards (lineage recomputes); only
       * the resident-index serving cost is lost. */
-    def release(): Unit = { postings.unpersist(); docLens.unpersist() }
+    def release(): Unit = {
+      postings.unpersist(); docLens.unpersist()
+      dfStats.foreach(_.unpersist())
+    }
   }
 
   private val MaxCachedTextIndexes = 32
@@ -123,15 +136,19 @@ object HybridSearch {
     if (materialized) {
       postings.count()
       toksRaw.unpersist()
+      // per-term df as a PERSISTED distributed relation: query-independent,
+      // so scalar bm25 calls read their terms' rows instead of re-running
+      // the agg per call. Postings are unique per (term, id), so df is a
+      // plain count.
+      val dfStats = postings.groupBy("term").agg(count(lit(1)).as("df")).persist()
       // head-term df to the driver (bounded: see [[HeadDf]]) so the
-      // max-score prune's volume gate never needs a postings scan.
-      // Postings are unique per (term, id), so df is a plain count.
+      // max-score prune's volume gate never needs a postings scan —
+      // derived from the df relation (same action materializes it)
       val floor = math.max(64L, stats.getLong(0) / 1000L)
-      val head = postings.groupBy("term").agg(count(lit(1)).as("df"))
-        .filter(col("df") > floor).collect()
+      val head = dfStats.filter(col("df") > floor).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       TextIndex(postings, docLens, stats.getLong(0), stats.getDouble(1),
-        Some(HeadDf(floor, head)))
+        Some(HeadDf(floor, head)), Some(dfStats))
     } else
       TextIndex(postings, docLens, stats.getLong(0), stats.getDouble(1))
   }
@@ -142,7 +159,13 @@ object HybridSearch {
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = queryTerms.map(_.toLowerCase).distinct
     val matched = ti.postings.filter(col("term").isin(terms: _*))
-    val df = matched.groupBy("term").agg(countDistinct("id").as("df"))
+    // a materialized index carries the per-term df relation: identical
+    // values (postings are unique per (term, id)), one less agg job and
+    // one less plan subtree per scalar call
+    val df = ti.dfStats match {
+      case Some(rel) => rel.filter(col("term").isin(terms: _*))
+      case None => matched.groupBy("term").agg(countDistinct("id").as("df"))
+    }
     val idf = df.withColumn("idf",
       log((lit(ti.numDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
     // norm-in-posting: dl already rides in the posting rows (buildTextIndex);
