@@ -509,9 +509,9 @@ object AnnSql {
       val name = constString(exprs(0))
       val ttl = if (exprs.length > 1) constInt(exprs(1)).toLong else -1L
       val idx = indexByName(spark, name)
-      val token = idx.pinScan(ttl)
+      val (token, expires) = idx.pinScanWithExpiry(ttl)
       import spark.implicits._
-      plan(Seq((name, token)).toDF("name", "token"))
+      plan(Seq((name, token, expires)).toDF("name", "token", "expires_ms"))
     }, "scala_udf")
 
     // ann_unpin_scan(name, token) → one row (name, released) — release a

@@ -1751,7 +1751,12 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     * [[unpinScan]] when the scan completes. NOT a snapshot: vacuum()'s
     * wholesale dataset replace and the explicit gcOrphans() lever still
     * proceed — pins cover the online-mutation reclaim path. */
-  def pinScan(ttlMs: Long = -1L): String = {
+  def pinScan(ttlMs: Long = -1L): String = pinScanWithExpiry(ttlMs)._1
+
+  /** [[pinScan]] plus the lease's absolute expiry millis — the SQL verb
+    * surfaces the expiry so an operator can tell whether a planned scan
+    * will outlive its pin. */
+  def pinScanWithExpiry(ttlMs: Long = -1L): (String, Long) = {
     val ttl =
       if (ttlMs > 0) ttlMs
       else spark.conf.get("spark.ann.scanPinTtlMs", "21600000").toLong
@@ -1762,13 +1767,20 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     java.nio.file.Files.writeString(tmp, s"$now@${now + ttl}")
     java.nio.file.Files.move(tmp, pinsDir.resolve(token),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    token
+    (token, now + ttl)
   }
 
-  /** Release a [[pinScan]] pin; unknown/expired tokens are a no-op. */
-  def unpinScan(token: String): Unit =
+  /** Release a [[pinScan]] pin; unknown/expired tokens are a no-op.
+    * Tokens are validated against the UUID alphabet BEFORE the path
+    * resolve — the SQL verb passes user strings here, and a traversal
+    * token ("../meta.json", an absolute path) must never delete anything
+    * outside the pins dir. */
+  def unpinScan(token: String): Unit = {
+    if (token == null || token.isEmpty || token.length > 64 ||
+        !token.forall(c => c.isLetterOrDigit || c == '-')) return
     try java.nio.file.Files.deleteIfExists(pinsDir.resolve(token))
     catch { case scala.util.control.NonFatal(_) => () }
+  }
 
   /** Timestamps of unexpired reader pins; expired lease files are
     * cleaned opportunistically. Tolerant of malformed files (a foreign
@@ -1777,7 +1789,11 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     val dir = pinsDir
     if (!java.nio.file.Files.isDirectory(dir)) return Nil
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-    java.nio.file.Files.list(dir).forEach { f =>
+    // Files.list holds an open DirectoryStream until closed — this runs
+    // inside deferReclaim on EVERY mutation, so relying on GC to close
+    // it leaks one fd per micro-batch (EMFILE on a long CDC driver)
+    val listing = java.nio.file.Files.list(dir)
+    try listing.forEach { f =>
       val name = f.getFileName.toString
       if (!name.endsWith(".tmp")) {
         val parsed = scala.util.Try {
@@ -1794,7 +1810,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
             // inert (no timestamp parses → never blocks)
         }
       }
-    }
+    } finally listing.close()
     out.toSeq
   }
 
@@ -1980,11 +1996,12 @@ class AnnIndex(val spark: SparkSession, val path: String) {
     val p = java.nio.file.Paths.get(dataPath)
     if (!java.nio.file.Files.isDirectory(p)) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
-    java.nio.file.Files.list(p).forEach { f =>
+    val listing = java.nio.file.Files.list(p)
+    try listing.forEach { f =>
       val n = f.getFileName.toString
       if (n.startsWith("list_id=") && java.nio.file.Files.isDirectory(f))
         scala.util.Try(n.stripPrefix("list_id=").toInt).foreach(out += _)
-    }
+    } finally listing.close()
     out.sorted.toSeq
   }
 

@@ -595,33 +595,46 @@ object AnnIndexManager {
             params.getOrElse("hnsw_m", "32").toInt,
             params.getOrElse("ef_construction", "64").toInt), metric, assignCol)
         }
-        IndexMeta.deleteDir(path)
-        // Quantization on graph engines: the topology is built on EXACT
-        // floats (no quantization noise in edge selection), then only the
-        // stored rows carry codes — 4x (sq8) / 2x (fp16) smaller on disk
-        // and over any shuffle. Search decodes once per shard at decode
-        // time (cached) — value-identical to the reference's
-        // dequantize-on-access.
-        val storedGraph =
-          encodeStored(graph).withColumn("seg", lit(0L)) // insert epoch 0 = create
-        timedPhase("create.buildWrite") {
-          storedGraph.write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
+        // destructive replace window under the writer lock (exclusion,
+        // not CAS — a create overwrites by design; the lock keeps a
+        // concurrent mutation of the PRIOR index from interleaving with
+        // the replace, and the generation continues monotonically so
+        // that mutation fails its CAS afterwards)
+        IndexMeta.withWriter(path)(IndexMeta.diskGenNow(path)) {
+          // replaced index's generation, captured BEFORE the clear wipes
+          // meta.json — the new index continues the sequence at +1 so a
+          // stale instance of the old index fails its next CAS
+          val priorGen = IndexMeta.diskGenNow(path)
+          IndexMeta.clearDirForReplace(path)
+          // Quantization on graph engines: the topology is built on EXACT
+          // floats (no quantization noise in edge selection), then only the
+          // stored rows carry codes — 4x (sq8) / 2x (fp16) smaller on disk
+          // and over any shuffle. Search decodes once per shard at decode
+          // time (cached) — value-identical to the reference's
+          // dequantize-on-access.
+          val storedGraph =
+            encodeStored(graph).withColumn("seg", lit(0L)) // insert epoch 0 = create
+          timedPhase("create.buildWrite") {
+            storedGraph.write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
+          }
+          // manifest = the dirs the build actually produced (an empty task
+          // writes none); readers only ever see manifested dirs, making
+          // every later mutation a copy-on-write commit (IndexMeta.liveShards)
+          val liveIds = IndexMeta.listShardDirs(s"$path/data")
+          val meta = IndexMeta(name, engine, metric, dim, idCol, vecCol, n, 0L,
+            params + ("shards" -> math.max(liveIds.size, 1).toString)
+              + ("next_shard" -> buildShards.toString)
+              + ("live_shards" -> liveIds.mkString(",")))
+          IndexMeta.publishReplace(path, meta, priorGen)
         }
-        // manifest = the dirs the build actually produced (an empty task
-        // writes none); readers only ever see manifested dirs, making
-        // every later mutation a copy-on-write commit (IndexMeta.liveShards)
-        val liveIds = IndexMeta.listShardDirs(s"$path/data")
-        val meta = IndexMeta(name, engine, metric, dim, idCol, vecCol, n, 0L,
-          params + ("shards" -> math.max(liveIds.size, 1).toString)
-            + ("next_shard" -> buildShards.toString)
-            + ("live_shards" -> liveIds.mkString(",")))
-        IndexMeta.write(path, meta)
         register(name, path)
         val idx = new AnnIndex(spark, path)
         // replace any prior index's instance at this path — the graph
         // engines are exactly the ones whose driver caches (summaries,
-        // router, its broadcast) the instance cache exists to share
-        instanceCache.put(path, idx)
+        // router, its broadcast) the instance cache exists to share;
+        // the DISPLACED instance's pinned router broadcast is released
+        // (put() bypasses the LRU eviction hook, same as drop())
+        Option(instanceCache.put(path, idx)).foreach(_.releaseRouterBroadcast())
         // per-shard routing summaries (ShardSummaries), SPATIAL indexes
         // only: one columnar pass over the just-written dataset so
         // spark.ann.shardProbes works from the first query; mutations
@@ -679,7 +692,10 @@ object AnnIndexManager {
       }
 
       val assigned = AnnIndexBuilder.assignLists(prepared, centroids, engine)
-      IndexMeta.deleteDir(path)
+      // same destructive-replace lock window as the graph branch
+      IndexMeta.withWriter(path)(IndexMeta.diskGenNow(path)) {
+      val priorGen = IndexMeta.diskGenNow(path) // before the clear, as above
+      IndexMeta.clearDirForReplace(path)
 
       // quantized storage: codes instead of floats (sq8 fits params first)
       val stored0 = encodeStored(assigned)
@@ -724,10 +740,13 @@ object AnnIndexManager {
       }
 
       val meta = IndexMeta(name, engine, metric, dim, idCol, vecCol, n, 0L, params)
-      IndexMeta.write(path, meta)
+      IndexMeta.publishReplace(path, meta, priorGen)
+      } // end writer-lock window
       register(name, path)
       val idx = new AnnIndex(spark, path)
-      instanceCache.put(path, idx) // replace any instance of a prior index here
+      // replace any instance of a prior index here, releasing the
+      // displaced instance's pinned broadcast (put() bypasses the LRU hook)
+      Option(instanceCache.put(path, idx)).foreach(_.releaseRouterBroadcast())
       idx
     } finally prepared.unpersist()
   }
@@ -747,7 +766,9 @@ object AnnIndexManager {
   /** DROP INDEX: unregister AND delete the on-disk dataset (reference
     * CommitDrop hook). Returns whether the name was registered. Any
     * still-referenced lazy plan over this index fails on next execution —
-    * same contract as dropping a table out from under a reader. */
+    * same contract as dropping a table out from under a reader. The dir
+    * itself remains holding only the `writer.lock` anchor (see the
+    * comment in the body). */
   def drop(name: String): Boolean = registry.remove(name) match {
     case Some(path) =>
       metaCache.remove(path)
@@ -755,7 +776,17 @@ object AnnIndexManager {
       // instance's pinned Broadcast[Router] here too — otherwise the
       // executor-side blocks linger until GC/ContextCleaner.
       Option(instanceCache.remove(path)).foreach(_.releaseRouterBroadcast())
-      IndexMeta.deleteDir(path)
+      // under the writer lock: a mutation in flight on another driver
+      // finishes (or fails its CAS) before the dataset disappears under
+      // it mid-commit. The `writer.lock` ANCHOR deliberately survives:
+      // unlinking a lock file while holding it hands the next writer a
+      // fresh inode to lock — two writers inside a destructive window.
+      // A later create on this path locks the same anchor (exclusion
+      // preserved across drop/create cycles); the empty dir + anchor is
+      // the one on-disk residue of a dropped index.
+      IndexMeta.withWriter(path)(IndexMeta.diskGenNow(path)) {
+        IndexMeta.clearDirForReplace(path)
+      }
       true
     case None => false
   }

@@ -169,6 +169,47 @@ object IndexMeta {
       stamped
     }
 
+  /** The on-disk publish generation right now — for CREATE/DROP flows,
+    * which replace an index wholesale and therefore take the writer lock
+    * for EXCLUSION (passing this as the expected gen makes the CAS
+    * trivially true at acquisition) rather than for conflict detection. */
+  private[index] def diskGenNow(path: String): Long = diskGen(path)
+
+  /** Create/replace publish: CONTINUES the generation sequence past the
+    * REPLACED index's generation (`priorGen + 1`, never a reset to 0 — a
+    * reset would collide with a stale instance of the replaced index,
+    * letting its next CAS pass and silently write into the new index).
+    * `priorGen` must be captured BEFORE the destructive clear (the clear
+    * deletes meta.json, so a read here would see 0), and the caller must
+    * hold [[withWriter]] across capture→clear→publish — no CAS runs
+    * here, the held lock IS the exclusion. */
+  private[index] def publishReplace(path: String, newMeta: IndexMeta,
+                                    priorGen: Long): IndexMeta = {
+    val stamped = newMeta.copy(params =
+      newMeta.params + (PublishGenKey -> (priorGen + 1).toString))
+    write(path, stamped)
+    stamped
+  }
+
+  /** Clear an index dir for in-place replacement WITHOUT deleting
+    * `writer.lock`: create() holds the lock across its destructive
+    * window, and deleting the lock file would hand a concurrent writer a
+    * fresh inode to lock — two writers inside the window. Everything
+    * else (meta, data, summaries, router.bin, pins) goes. */
+  private[index] def clearDirForReplace(path: String): Unit = {
+    val p = Paths.get(path)
+    if (!Files.isDirectory(p)) return
+    val listing = Files.list(p)
+    val children =
+      try {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+        listing.forEach(f =>
+          if (f.getFileName.toString != "writer.lock") buf += f)
+        buf.toSeq
+      } finally listing.close()
+    children.foreach(c => deleteDir(c.toString))
+  }
+
   def write(path: String, meta: IndexMeta): Unit = {
     Files.createDirectories(Paths.get(path))
     // atomic replace: write tmp then move over
@@ -188,17 +229,23 @@ object IndexMeta {
 
   def existsDir(path: String): Boolean = {
     val p = Paths.get(path)
+    if (!Files.isDirectory(p)) return false
     // a parquet dataset dir must contain at least one data file
-    Files.isDirectory(p) && Files.list(p).anyMatch(f =>
+    // (Files.list holds an fd until closed — never rely on GC)
+    val listing = Files.list(p)
+    try listing.anyMatch(f =>
       f.getFileName.toString.endsWith(".parquet") ||
         Files.isDirectory(f) && f.getFileName.toString.contains("="))
+    finally listing.close()
   }
 
   def deleteDir(path: String): Unit = {
     val p = Paths.get(path)
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
+      finally walk.close()
     }
   }
 
@@ -217,11 +264,12 @@ object IndexMeta {
     val p = Paths.get(dataPath)
     if (!Files.isDirectory(p)) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
-    Files.list(p).forEach { f =>
+    val listing = Files.list(p)
+    try listing.forEach { f =>
       val n = f.getFileName.toString
       if (n.startsWith("shard=") && Files.isDirectory(f))
         scala.util.Try(n.stripPrefix("shard=").toInt).foreach(out += _)
-    }
+    } finally listing.close()
     out.sorted.toSeq
   }
 }

@@ -628,8 +628,13 @@ object ShardSummaries {
       * set the graph cannot route at all (best < [[StandDownBelow]])
       * stands down to the flat scan. The chosen floor and measured
       * agreement persist in router.bin and surface in `ann_routing_info`.
-      * Deterministic (fixed probes, fixed ladder); the probe fan-out runs
-      * on the common pool, results are order-independent. */
+      * Agreement VALUES are deterministic (fixed probes, fixed ladder;
+      * the probe fan-out runs on the common pool, results are
+      * order-independent). The r18 cost cap makes the CHOSEN floor
+      * host-sensitive only near the measured cost crossover — two wall
+      * samples decide where the climb stops; every floor it can pick is
+      * a valid (agreement-measured) operating point, and the value
+      * contract (probed-set quality) is unchanged. */
     private def validatedCoarse(graph: Vamana.Shard, gs: Array[Int],
                                 shards: Array[Int],
                                 cents: Array[Array[Float]],
@@ -665,8 +670,9 @@ object ShardSummaries {
       // re-climbing the whole ladder per mutation — at 100k×d768 the full
       // climb was ~6 s per online batch (r18 arm)
       var f = if (startFloor > base) math.max(base, startFloor / 2) else base
-      var stop = false
-      while (f < cap && !stop) {
+      var overCost = 0
+      var firstProbed = true
+      while (f < cap && overCost < 2) {
         val probe = Coarse(graph, gs, f, 0f)
         val hits = new java.util.concurrent.atomic.LongAdder()
         val r0 = System.nanoTime()
@@ -680,15 +686,27 @@ object ShardSummaries {
         // than the flat truth pass cannot beat the flat scan at serving
         // time no matter its agreement — climbing further is pure loss
         // (at 100k×d768 the old agreement-only ladder accepted floor
-        // 10240, measured 1.5× SLOWER than flat at serve). Rungs past
-        // the crossover neither accept nor update best; the ladder
-        // stands down to the best rung measured cheaper than flat.
-        val tooCostly = costGate && rungNanos > flatNanos
+        // 10240, measured 1.5× SLOWER than flat at serve). Noise
+        // robustness: a single wall sample can lie (JIT, GC), so (a) the
+        // FIRST probed rung is always exempt — on a cold climb that is
+        // the base rung (a beam-`base` walk genuinely costing more than
+        // an n-centroid scan does not exist, so an over-flat reading
+        // there is noise), and on a startFloor RESUME it is the rung
+        // below the carried floor (already certified cost-acceptable by
+        // the last full ladder) — exempting it guarantees bestAgree is
+        // always seeded, so a noisy sample can never zero the agreement
+        // and cascade into a per-batch rebuild storm via the patch
+        // servability check; and (b) the climb stops only after TWO
+        // consecutive over-cost rungs (cost is monotone in f; two
+        // independent samples both reading over the crossover is
+        // signal).
+        val tooCostly = costGate && !firstProbed && rungNanos > flatNanos
+        firstProbed = false
         if (!tooCostly) {
+          overCost = 0
           if (agree >= ValidateTarget) return Coarse(graph, gs, f, agree.toFloat)
           if (agree > bestAgree) { bestAgree = agree; bestFloor = f }
-        }
-        stop = tooCostly
+        } else overCost += 1
         f *= 2
       }
       // best rung under the target: servable iff it clears StandDownBelow

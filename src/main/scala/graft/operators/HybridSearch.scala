@@ -136,21 +136,29 @@ object HybridSearch {
     if (materialized) {
       postings.count()
       toksRaw.unpersist()
-      // per-term df as a PERSISTED distributed relation: query-independent,
-      // so scalar bm25 calls read their terms' rows instead of re-running
-      // the agg per call. Postings are unique per (term, id), so df is a
-      // plain count.
-      val dfStats = postings.groupBy("term").agg(count(lit(1)).as("df")).persist()
-      // head-term df to the driver (bounded: see [[HeadDf]]) so the
-      // max-score prune's volume gate never needs a postings scan —
-      // derived from the df relation (same action materializes it)
-      val floor = math.max(64L, stats.getLong(0) / 1000L)
-      val head = dfStats.filter(col("df") > floor).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val (dfStats, head) = dfStatsAndHead(postings, stats.getLong(0))
       TextIndex(postings, docLens, stats.getLong(0), stats.getDouble(1),
-        Some(HeadDf(floor, head)), Some(dfStats))
+        Some(head), Some(dfStats))
     } else
       TextIndex(postings, docLens, stats.getLong(0), stats.getDouble(1))
+  }
+
+  /** The materialize-time df derivations, shared by [[buildTextIndex]]
+    * and the maintained-index compaction
+    * ([[graft.streaming.TextIndexMaintenance]].compact): the PERSISTED
+    * per-term df relation (query-independent — scalar bm25 calls read
+    * their terms' rows instead of re-running the agg per call; postings
+    * are unique per (term, id), so df is a plain count) and the bounded
+    * driver-side head map derived from it (the max-score prune's volume
+    * gate). One implementation so gate pricing can never desynchronize
+    * between fresh builds and compacted streams. */
+  private[graft] def dfStatsAndHead(postings: DataFrame,
+                                    numDocs: Long): (DataFrame, HeadDf) = {
+    val dfStats = postings.groupBy("term").agg(count(lit(1)).as("df")).persist()
+    val floor = math.max(64L, numDocs / 1000L)
+    val head = dfStats.filter(col("df") > floor).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (dfStats, HeadDf(floor, head))
   }
 
   /** BM25 (k1=1.2, b=0.75) scores for a tokenized query: only the query

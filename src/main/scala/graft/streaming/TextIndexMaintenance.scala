@@ -156,17 +156,21 @@ class TextIndexMaintenance(initialDocs: DataFrame, idCol: String,
     val postings = ti.postings.persist()
     val docLens = ti.docLens.persist()
     docLens.count(); postings.count()
-    val floor = math.max(64L, ti.numDocs / 1000L)
-    val head = postings.groupBy("term").agg(count(lit(1)).as("df"))
-      .filter(col("df") > floor).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the compacted postings are the exact (masked, unioned) corpus, so
+    // the shared materialize-time derivation applies verbatim: persisted
+    // dfStats (scalar bm25 then skips the per-call df agg, same as a
+    // fresh materialized build) + the head map derived from it.
+    // Append/delete between compactions intentionally DROP dfStats: a
+    // union/mask changes df, and serving a stale relation would change
+    // scores — the per-query agg fallback stays exact there.
+    val (dfStats, head) = HybridSearch.dfStatsAndHead(postings, ti.numDocs)
     // new pins are live before the old ones drop; release only costs
     // recompute, never correctness
     segmentPins.foreach(_.release())
     segmentPins.clear()
     segments = 1
     ti = TextIndex(postings, docLens, ti.numDocs, ti.avgDl,
-      Some(HeadDf(floor, head)))
+      Some(head), Some(dfStats))
     segmentPins += ti
     ti
   }

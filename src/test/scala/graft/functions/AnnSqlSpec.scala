@@ -2,7 +2,7 @@ package graft.functions
 
 import graft.SparkSpec
 import graft.functions.VectorKernels
-import graft.index.AnnIndexManager
+import graft.index.{AnnIndexManager, IndexMeta}
 
 import java.nio.file.Files
 
@@ -335,7 +335,18 @@ class AnnSqlSpec extends SparkSpec {
     assert(row.getString(0) == "drop_me" && row.getBoolean(1))
     assert(!spark.sql("SELECT name FROM ann_list()").collect()
       .exists(_.getString(0) == "drop_me"))
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+    // dataset and metadata are gone; only the writer.lock anchor may
+    // remain (deleting a held lock file would let two writers into a
+    // destructive window — see AnnIndexManager.drop)
+    assert(!IndexMeta.exists(path))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "data")))
+    val residue = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+      try { val b = scala.collection.mutable.ArrayBuffer.empty[String]
+        l.forEach(p => b += p.getFileName.toString); b.toSeq }
+      finally l.close()
+    }
+    assert(residue.forall(_ == "writer.lock"), s"unexpected residue: $residue")
     // dropping again reports false, not an error
     assert(!spark.sql("SELECT * FROM ann_drop_index('drop_me')").head().getBoolean(1))
   }
