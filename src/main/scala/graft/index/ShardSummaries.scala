@@ -295,7 +295,19 @@ object ShardSummaries {
                               * ladder (a spot-check guards drift) until
                               * churn crosses the revalidation cap; see
                               * [[Router.patch]]. */
-                            churn: Int = 0) extends Serializable {
+                            churn: Int = 0,
+                            /** Agreement measured at the last FULL
+                              * build (never updated by patches): the
+                              * self-healing reference — a revalidation
+                              * reading more than [[Router.RebuildDrift]]
+                              * below it means patch accumulation has
+                              * degraded the GRAPH (r18 driftcheck arm:
+                              * −0.04 serving agreement vs a rebuild
+                              * after 20 patches on a near-tie
+                              * geometry), and the patch stands down to
+                              * a full rebuild. Negative = unknown
+                              * (legacy). */
+                            coldAgreement: Float = -1f) extends Serializable {
       /** Whether the validated agreement clears the serving bar. */
       def servable: Boolean = agreement >= Router.StandDownBelow
       /** Routable (non-tombstoned) node count — the engage guard's "what
@@ -321,7 +333,9 @@ object ShardSummaries {
     // nodes, whose summaries are gone, keep their vectors in the file).
     // Measured at 100k×d768: 304 MB → ~14 MB, read 2.9 s → ~0.1 s, and
     // every per-patch cache write shrinks the same way. + churn counter.
-    private val CacheVersion = 4
+    // v5 (r18): + coldAgreement (the last full build's agreement — the
+    // self-healing reference for patch-accumulation drift).
+    private val CacheVersion = 5
 
     def cacheFilePath(indexPath: String): java.nio.file.Path =
       java.nio.file.Paths.get(indexPath, "router.bin")
@@ -370,6 +384,7 @@ object ShardSummaries {
         out.writeInt(coarse.floor)
         out.writeFloat(coarse.agreement)
         out.writeInt(coarse.churn)
+        out.writeFloat(coarse.coldAgreement)
         out.writeInt(n)
         var i = 0
         while (i < n) { out.writeInt(coarse.graphShards(i)); i += 1 }
@@ -422,6 +437,7 @@ object ShardSummaries {
           val floor = in.readInt()
           val agreement = in.readFloat()
           val churn = in.readInt()
+          val coldAgreement = in.readFloat()
           val n = in.readInt()
           val gs = new Array[Int](n)
           var i = 0
@@ -457,7 +473,7 @@ object ShardSummaries {
             i += 1
           }
           Some(Coarse(Vamana.Shard(ids, vectors, neighbors, entry),
-            gs, floor, agreement, churn))
+            gs, floor, agreement, churn, coldAgreement))
         } finally in.close()
       } catch { case scala.util.control.NonFatal(_) => None }
     }
@@ -575,6 +591,15 @@ object ShardSummaries {
     private val SpotQueries = 8
     private def churnCap(live: Int): Int = math.max(32, live / 100)
     private val SpotSlack = 0.02 // 8q×k8 = 64 probe hits → 1/64 granularity
+    /** Patch-accumulation rebuild trigger (r18): a FULL revalidation
+      * reading this far below the last full build's agreement means
+      * tombstones + incremental inserts have degraded the graph itself
+      * (driftcheck arm: −0.04 serving agreement vs a rebuild after 20
+      * patches on a near-tie geometry) — the patch stands down and the
+      * ~15 s rebuild (amortized over the hundreds of patches between
+      * triggers) restores the cold quality. Above validation noise
+      * (±0.01 at 64×k8) and below the measured decay. */
+    private val RebuildDrift = 0.03
 
     /** One coarse probe: beam at width l, harvest the best s LIVE labels.
       * Tombstoned labels (incrementally removed shards) still navigate
@@ -774,7 +799,10 @@ object ShardSummaries {
           .getOrElse {
             val graph = Vamana.buildShardParallel(
               keep.map(_.toLong), keep.map(cents), CoarseParams, metric)
-            validatedCoarse(graph, keep.map(shards), shards, cents, metric)
+            val v = validatedCoarse(graph, keep.map(shards), shards, cents, metric)
+            // a FULL build's agreement is the self-healing reference
+            // future patch revalidations are compared against
+            v.copy(coldAgreement = v.agreement)
           }
         for (p <- cachePath)
           try writeCache(p, dig, c)
@@ -875,17 +903,27 @@ object ShardSummaries {
       // upkeep arm's geometry shift) at ~2 orders less cost than the
       // ladder, which at 100k×d768 was seconds PER ONLINE BATCH
       val newChurn = co.churn + changes
+      def revalidated(): Coarse = {
+        val v = validatedCoarse(graph, gs, shards, cents, metric,
+          startFloor = co.floor)
+        v.copy(coldAgreement = co.coldAgreement) // patches never move the reference
+      }
       val validated =
         if (co.servable && newChurn < churnCap(keep.length)) {
-          val carried = Coarse(graph, gs, co.floor, co.agreement, newChurn)
+          val carried = Coarse(graph, gs, co.floor, co.agreement, newChurn,
+            co.coldAgreement)
           val spot = spotAgreement(carried, shards, cents, metric, salt = newChurn)
           if (spot >= math.min(ValidateTarget, co.agreement.toDouble) - SpotSlack)
             carried
-          else // drift tripped: pay the ladder now, resume near the floor
-            validatedCoarse(graph, gs, shards, cents, metric,
-              startFloor = co.floor)
-        } else validatedCoarse(graph, gs, shards, cents, metric,
-          startFloor = co.floor)
+          else revalidated() // drift tripped: pay the ladder now
+        } else revalidated()
+      // self-healing (r18): a revalidation (churn reset to 0) reading
+      // RebuildDrift below the last FULL build's agreement means the
+      // accumulated tombstones/inserts degraded the graph — stand down
+      // to the full rebuild, which also resets the reference
+      if (validated.churn == 0 && co.servable && co.coldAgreement > 0 &&
+          validated.agreement < co.coldAgreement - RebuildDrift)
+        return None
       // a patch that drags a SERVABLE graph under the serving bar returns
       // None so the full rebuild makes the final call (a fresh build of
       // the current centroids usually re-validates at target); once the

@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
   * so wall time is the honest unit here.
   *
   * Run: SPARK_DRIVER_MEM=24g sbt -batch "runMain graft.tools.R18Scale [mode]"
-  * mode: all|router100k
+  * mode: all|router100k|driftcheck
   */
 object R18Scale {
 
@@ -44,7 +44,81 @@ object R18Scale {
     spark.sparkContext.setLogLevel("WARN")
 
     if (mode == "all" || mode == "router100k") router100kArm()
+    if (mode == "all" || mode == "driftcheck") driftCheckArm()
     spark.stop()
+  }
+
+  /** Carried-agreement staleness under churn-deferred revalidation: 20
+    * small patches at 100k×d768 stay under the churn cap (40 changed of
+    * a 1,000 cap), so floor/agreement are CARRIED the whole window with
+    * only the 8-query spot check guarding drift. This arm measures what
+    * that guard may have missed: the END state's TRUE serving agreement
+    * (64 fresh probe points, routed topShards vs the flat ranking —
+    * end-to-end through the Router, not the internal ladder) against the
+    * carried value. */
+  private def driftCheckArm(): Unit = {
+    R15Scale.requireDriverMem(20, "driftcheck")
+    import graft.index.ShardSummaries.{Router, Summary}
+    val d = 768
+    val nShards = 100000
+    val nSites = nShards / 20
+    var sums = Array.tabulate(nShards)(i => Summary(i, 1000L,
+      clusteredPoint(i % nSites, i * 7717L + 5, d)))
+    var router = Router.build(sums, "l2", coarseThreshold = 256, overscan = 4)
+    val co0 = router.coarse.getOrElse(sys.error("no coarse level"))
+    println(f"[r18-scale] driftcheck cold: floor=${co0.floor} " +
+      f"agreement=${co0.agreement}%.3f churn=${co0.churn}")
+    var nextId = nShards
+    val rnd = new scala.util.Random(11)
+    for (c <- 0 until 20) {
+      val removeIdx = Array.fill(20)(rnd.nextInt(sums.length)).distinct
+      val removed = removeIdx.map(sums(_).shard).toSet
+      val added = Array.tabulate(20)(j => Summary(nextId + j, 1000L,
+        clusteredPoint((nextId + j) % nSites, (nextId + j) * 7717L + 5, d)))
+      nextId += 20
+      sums = (sums.filterNot(s => removed(s.shard)) ++ added).sortBy(_.shard)
+      router = Router.build(sums, "l2", coarseThreshold = 256, overscan = 4,
+        base = Some(router))
+      if (c % 5 == 4) {
+        val co = router.coarse.get
+        println(f"[r18-scale]   after ${c + 1}%2d patches: floor=${co.floor} " +
+          f"carried agreement=${co.agreement}%.3f churn=${co.churn}")
+      }
+    }
+    val co = router.coarse.get
+    // true end-to-end serving agreement: routed vs flat, 64 fresh queries
+    val flat = Router.build(sums, "l2", coarseThreshold = Int.MaxValue,
+      overscan = 4)
+    val qs = Array.tabulate(64)(i =>
+      clusteredPoint((i * 101) % nSites, i * 977L + 3, d))
+    var hits = 0
+    qs.foreach { q =>
+      val got = router.topShards(q, 8).toSet
+      val want = flat.topShards(q, 8).toSet
+      hits += got.intersect(want).size
+    }
+    val trueAgree = hits.toDouble / (64 * 8)
+    println(f"[r18-scale] driftcheck end: carried=${co.agreement}%.3f " +
+      f"TRUE serving agreement=$trueAgree%.3f " +
+      f"(delta=${trueAgree - co.agreement}%+.3f, churn=${co.churn} of cap 1000)")
+    // CONTROL: a fresh full rebuild of the FINAL summary set, measured on
+    // the SAME queries against the SAME flat truth — the fair comparator
+    // (the fresh query points are a different distribution than the
+    // validation probes, so carried-vs-true alone conflates probe shift
+    // with real patch drift; rebuild-vs-patched on identical queries
+    // isolates what deferred validation actually cost)
+    val rebuilt = Router.build(sums, "l2", coarseThreshold = 256, overscan = 4)
+    var rHits = 0
+    qs.foreach { q =>
+      val got = rebuilt.topShards(q, 8).toSet
+      val want = flat.topShards(q, 8).toSet
+      rHits += got.intersect(want).size
+    }
+    val rebuildAgree = rHits.toDouble / (64 * 8)
+    println(f"[r18-scale] driftcheck control: fresh-rebuild serving " +
+      f"agreement=$rebuildAgree%.3f on the same queries " +
+      f"(patched-vs-rebuild delta=${trueAgree - rebuildAgree}%+.3f — " +
+      "the isolated cost of churn-deferred validation)")
   }
 
   private def router100kArm(): Unit = {

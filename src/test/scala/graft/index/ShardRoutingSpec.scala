@@ -763,7 +763,7 @@ class ShardRoutingSpec extends SparkSpec {
     }
   }
 
-  test("router.bin v4 rebinds live vectors from summaries and keeps tombstoned ones") {
+  test("router.bin v5 rebinds live vectors from summaries and keeps tombstoned ones") {
     val rnd = new scala.util.Random(41)
     val sums0 = Array.tabulate(500)(i => ShardSummaries.Summary(i, 10L,
       Array.fill(4)((rnd.nextGaussian() * (1 + i % 10)).toFloat)))
