@@ -48,14 +48,17 @@ object R18Scale {
     spark.stop()
   }
 
-  /** Carried-agreement staleness under churn-deferred revalidation: 20
-    * small patches at 100k×d768 stay under the churn cap (40 changed of
-    * a 1,000 cap), so floor/agreement are CARRIED the whole window with
-    * only the 8-query spot check guarding drift. This arm measures what
-    * that guard may have missed: the END state's TRUE serving agreement
-    * (64 fresh probe points, routed topShards vs the flat ranking —
-    * end-to-end through the Router, not the internal ladder) against the
-    * carried value. */
+  /** 20 patch cycles of 20-shard swaps at 100k×d768 (this fixture's
+    * churn cap is 1,000, so most cycles CARRY the floor/agreement behind
+    * the 8-query spot check; the check can TRIP mid-window and
+    * revalidate — the recorded run shows one doing exactly that). The
+    * arm then measures the END state's TRUE serving agreement (64 fresh
+    * probe points, routed topShards vs the flat ranking — end-to-end
+    * through the Router, not the internal ladder) against (a) the
+    * last validation reading and (b) a CONTROL fresh rebuild of the same
+    * final summary set on the same queries — (b) isolates the
+    * patch-accumulation graph-quality cost from probe-distribution
+    * shift and from validation staleness. */
   private def driftCheckArm(): Unit = {
     R15Scale.requireDriverMem(20, "driftcheck")
     import graft.index.ShardSummaries.{Router, Summary}
@@ -71,18 +74,14 @@ object R18Scale {
     var nextId = nShards
     val rnd = new scala.util.Random(11)
     for (c <- 0 until 20) {
-      val removeIdx = Array.fill(20)(rnd.nextInt(sums.length)).distinct
-      val removed = removeIdx.map(sums(_).shard).toSet
-      val added = Array.tabulate(20)(j => Summary(nextId + j, 1000L,
-        clusteredPoint((nextId + j) % nSites, (nextId + j) * 7717L + 5, d)))
-      nextId += 20
-      sums = (sums.filterNot(s => removed(s.shard)) ++ added).sortBy(_.shard)
+      val (sums2, nextId2) = swapCycle(sums, nextId, nSites, d, rnd)
+      sums = sums2; nextId = nextId2
       router = Router.build(sums, "l2", coarseThreshold = 256, overscan = 4,
         base = Some(router))
       if (c % 5 == 4) {
         val co = router.coarse.get
         println(f"[r18-scale]   after ${c + 1}%2d patches: floor=${co.floor} " +
-          f"carried agreement=${co.agreement}%.3f churn=${co.churn}")
+          f"last validation reading=${co.agreement}%.3f churn=${co.churn}")
       }
     }
     val co = router.coarse.get
@@ -91,34 +90,43 @@ object R18Scale {
       overscan = 4)
     val qs = Array.tabulate(64)(i =>
       clusteredPoint((i * 101) % nSites, i * 977L + 3, d))
-    var hits = 0
-    qs.foreach { q =>
-      val got = router.topShards(q, 8).toSet
-      val want = flat.topShards(q, 8).toSet
-      hits += got.intersect(want).size
+    def serveAgree(r: Router): Double = {
+      var hits = 0
+      qs.foreach { q =>
+        hits += r.topShards(q, 8).toSet
+          .intersect(flat.topShards(q, 8).toSet).size
+      }
+      hits.toDouble / (64 * 8)
     }
-    val trueAgree = hits.toDouble / (64 * 8)
-    println(f"[r18-scale] driftcheck end: carried=${co.agreement}%.3f " +
+    val trueAgree = serveAgree(router)
+    println(f"[r18-scale] driftcheck end: last validation=${co.agreement}%.3f " +
       f"TRUE serving agreement=$trueAgree%.3f " +
       f"(delta=${trueAgree - co.agreement}%+.3f, churn=${co.churn} of cap 1000)")
-    // CONTROL: a fresh full rebuild of the FINAL summary set, measured on
-    // the SAME queries against the SAME flat truth — the fair comparator
-    // (the fresh query points are a different distribution than the
-    // validation probes, so carried-vs-true alone conflates probe shift
-    // with real patch drift; rebuild-vs-patched on identical queries
-    // isolates what deferred validation actually cost)
-    val rebuilt = Router.build(sums, "l2", coarseThreshold = 256, overscan = 4)
-    var rHits = 0
-    qs.foreach { q =>
-      val got = rebuilt.topShards(q, 8).toSet
-      val want = flat.topShards(q, 8).toSet
-      rHits += got.intersect(want).size
-    }
-    val rebuildAgree = rHits.toDouble / (64 * 8)
+    // CONTROL: a fresh full rebuild of the FINAL summary set on the SAME
+    // queries — rebuild-vs-patched isolates the patch-accumulation cost
+    val rebuildAgree = serveAgree(
+      Router.build(sums, "l2", coarseThreshold = 256, overscan = 4))
     println(f"[r18-scale] driftcheck control: fresh-rebuild serving " +
       f"agreement=$rebuildAgree%.3f on the same queries " +
       f"(patched-vs-rebuild delta=${trueAgree - rebuildAgree}%+.3f — " +
-      "the isolated cost of churn-deferred validation)")
+      "the patch-accumulation graph-quality cost)")
+  }
+
+  /** One online-batch-shaped mutation of the summary set: ~20 random
+    * shards swapped for fresh ids with fresh centroids (shared by the
+    * router100k patch cycles and driftcheck so the two arms can never
+    * drift apart in shape). Returns (new sums, next free id). */
+  private def swapCycle(sums: Array[graft.index.ShardSummaries.Summary],
+                        nextId: Int, nSites: Int, d: Int,
+                        rnd: scala.util.Random)
+      : (Array[graft.index.ShardSummaries.Summary], Int) = {
+    import graft.index.ShardSummaries.Summary
+    val removeIdx = Array.fill(20)(rnd.nextInt(sums.length)).distinct
+    val removed = removeIdx.map(sums(_).shard).toSet
+    val added = Array.tabulate(20)(j => Summary(nextId + j, 1000L,
+      clusteredPoint((nextId + j) % nSites, (nextId + j) * 7717L + 5, d)))
+    ((sums.filterNot(s => removed(s.shard)) ++ added).sortBy(_.shard),
+      nextId + 20)
   }
 
   private def router100kArm(): Unit = {
@@ -175,15 +183,8 @@ object R18Scale {
     val rnd = new scala.util.Random(7)
     val patchMs = new Array[Double](20)
     for (c <- 0 until 20) {
-      val removeIdx = Array.fill(20)(rnd.nextInt(sums.length)).distinct
-      val removed = removeIdx.map(sums(_).shard).toSet
-      val added = Array.tabulate(20) { j =>
-        val s = Summary(nextId + j, 1000L,
-          clusteredPoint((nextId + j) % nSites, (nextId + j) * 7717L + 5, d))
-        s
-      }
-      nextId += 20
-      sums = (sums.filterNot(s => removed(s.shard)) ++ added).sortBy(_.shard)
+      val (sums2, nextId2) = swapCycle(sums, nextId, nSites, d, rnd)
+      sums = sums2; nextId = nextId2
       val (r, ms) = timedMs(
         Router.build(sums, "l2", coarseThreshold = 256, overscan = 4,
           cachePath = Some(tmp), base = Some(prev)))

@@ -803,6 +803,67 @@ class ShardRoutingSpec extends SparkSpec {
     }
   }
 
+  test("coldAgreement: set by full builds, carried by patches, persisted in v5, " +
+      "and a drifted revalidation stands the patch down to a rebuild") {
+    val rnd = new scala.util.Random(47)
+    val sums0 = Array.tabulate(500)(i => ShardSummaries.Summary(i, 10L,
+      Array.fill(4)((rnd.nextGaussian() * (1 + i % 10)).toFloat)))
+    val dir = Files.createTempDirectory("graft_router_cold").toString
+    val r0 = ShardSummaries.Router.build(sums0, "l2",
+      coarseThreshold = 256, overscan = 4, cachePath = Some(dir))
+    val co0 = r0.coarse.get
+    // a FULL build anchors the reference to its own measured agreement
+    assert(co0.coldAgreement == co0.agreement && co0.coldAgreement > 0)
+
+    // a small carried patch keeps the reference (and accrues churn)
+    val fresh = Array.tabulate(3)(i => ShardSummaries.Summary(9000 + i, 12L,
+      Array.fill(4)((rnd.nextGaussian() * 3).toFloat)))
+    val removed = Set(0, 29, 58)
+    val sums1 = (sums0.filterNot(s => removed(s.shard)) ++ fresh).sortBy(_.shard)
+    val r1 = ShardSummaries.Router.build(sums1, "l2",
+      coarseThreshold = 256, overscan = 4, cachePath = Some(dir), base = Some(r0))
+    val co1 = r1.coarse.get
+    assert(co1.churn > 0, "expected a carried (or revalidated) patch")
+    assert(co1.coldAgreement == co0.coldAgreement,
+      "a patch must never move the full-build reference")
+    // v5 round-trip preserves the reference (a dropped field would
+    // silently disable the self-healing trigger on every fresh driver)
+    val r2 = ShardSummaries.Router.build(sums1, "l2",
+      coarseThreshold = 256, overscan = 4, cachePath = Some(dir))
+    assert(r2.coarse.get.coldAgreement == co1.coldAgreement)
+    assert(r2.coarse.get.churn == co1.churn)
+
+    // the drift trigger, pinned deterministically through patch() itself:
+    // a base whose reference is unreachably high forces ANY revalidation
+    // to read RebuildDrift below it -> the patch stands down (None);
+    // the same change set with an unknown reference (-1) keeps patching
+    def patchArgs(sums: Array[ShardSummaries.Summary]) = {
+      val shards = sums.map(_.shard)
+      val cents = sums.map(_.centroid)
+      val keep = sums.indices.toArray // fixture has no NaN/zero centroids
+      (shards, cents, keep)
+    }
+    val fresh2 = Array.tabulate(3)(i => ShardSummaries.Summary(9100 + i, 12L,
+      Array.fill(4)((rnd.nextGaussian() * 3).toFloat)))
+    val removed2 = Set(7, 37, 67)
+    val sums2 = (sums1.filterNot(s => removed2(s.shard)) ++ fresh2).sortBy(_.shard)
+    val (sh2, ce2, keep2) = patchArgs(sums2)
+    // churn at the cap forces the REVALIDATION path (not carried)
+    def baseWith(coldAgreement: Float): ShardSummaries.Router =
+      new ShardSummaries.Router(r1.shards, r1.centroids, "l2",
+        Some(co1.copy(churn = 100000, coldAgreement = coldAgreement)),
+        4, r1.sumsDigest)
+    val drifted = ShardSummaries.Router.patch(
+      baseWith(2.0f), sums2, keep2, sh2, ce2, "l2")
+    assert(drifted.isEmpty,
+      "a revalidation far under the full-build reference must stand down to a rebuild")
+    val unknownRef = ShardSummaries.Router.patch(
+      baseWith(-1f), sums2, keep2, sh2, ce2, "l2")
+    assert(unknownRef.isDefined,
+      "an unknown reference (legacy) must not block patching")
+    assert(unknownRef.get.churn == 0, "cap crossing must revalidate")
+  }
+
   test("churn-deferred revalidation: small patches carry the floor, the cap forces a ladder") {
     val rnd = new scala.util.Random(43)
     val sums0 = Array.tabulate(600)(i => ShardSummaries.Summary(i, 10L,
