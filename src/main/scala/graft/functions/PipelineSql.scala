@@ -31,6 +31,8 @@ import graft.pipeline.{CorpusPipeline, Dedup, TextAnalysis}
   *   SELECT * FROM dedup_components(TABLE(pairs), 'a', 'b')
   *   SELECT * FROM corpus_decontaminate(TABLE(corpus), 'doc_id', 'text', TABLE(bench), 'text'[, n, minOverlap])
   *   SELECT * FROM corpus_decontaminate_bloom(TABLE(corpus), 'doc_id', 'text', TABLE(bench), 'text'[, n, minOverlap, fpp])
+  *   SELECT * FROM corpus_contamination_semantic(TABLE(corpus), 'id', 'vec', TABLE(bench), 'bid', 'bvec', 0.9)
+  *   SELECT * FROM corpus_decontaminate_semantic(TABLE(corpus), 'id', 'vec', TABLE(bench), 'bid', 'bvec', 0.9)
   *   SELECT * FROM dedup_incremental(TABLE(new), 'doc_id', 'text', TABLE(prior), 'text'[, fpp])
   *   SELECT * FROM bpe_token_count(TABLE(docs), 'text', 200[, max_words, min_count])
   *   SELECT * FROM unigram_token_count(TABLE(docs), 'text', 2000[, max_words, min_count])
@@ -191,6 +193,28 @@ object PipelineSql {
       plan(Dedup.decontaminate(tableArg(spark, exprs(0)),
         constString(exprs(1)), constString(exprs(2)),
         tableArg(spark, exprs(3)), constString(exprs(4)), n, minOv))
+    }, "scala_udf")
+
+    // semantic (embedding-space) decontamination — the n-gram-blind
+    // paraphrase check; audit form returns (id, bench_id, cos_sim)
+    r.createOrReplaceTempFunction("corpus_contamination_semantic", (exprs: Seq[Expression]) => {
+      require(exprs.length == 7,
+        "usage: corpus_contamination_semantic(TABLE(corpus), id_col, vec_col, " +
+          "TABLE(bench), bench_id_col, bench_vec_col, threshold)")
+      plan(Dedup.semanticContaminationHits(tableArg(spark, exprs(0)),
+        constString(exprs(1)), constString(exprs(2)),
+        tableArg(spark, exprs(3)), constString(exprs(4)), constString(exprs(5)),
+        constNum(exprs(6))))
+    }, "scala_udf")
+
+    r.createOrReplaceTempFunction("corpus_decontaminate_semantic", (exprs: Seq[Expression]) => {
+      require(exprs.length == 7,
+        "usage: corpus_decontaminate_semantic(TABLE(corpus), id_col, vec_col, " +
+          "TABLE(bench), bench_id_col, bench_vec_col, threshold)")
+      plan(Dedup.decontaminateSemantic(tableArg(spark, exprs(0)),
+        constString(exprs(1)), constString(exprs(2)),
+        tableArg(spark, exprs(3)), constString(exprs(4)), constString(exprs(5)),
+        constNum(exprs(6))))
     }, "scala_udf")
 
     r.createOrReplaceTempFunction("dedup_paragraphs", (exprs: Seq[Expression]) => {

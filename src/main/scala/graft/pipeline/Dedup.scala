@@ -822,6 +822,58 @@ object Dedup {
         shingleSize, minOverlap).select(idCol),
       Seq(idCol), "left_anti")
 
+  /** EMBEDDING-space contamination audit — the semantic sibling of
+    * [[contaminationHits]] (the Phi/FineWeb-style check: a paraphrased or
+    * lightly-reworded eval example shares no 8-gram with its source, but
+    * its embedding still sits next to it). A corpus row is contaminated
+    * when its max cosine against ANY benchmark embedding clears
+    * `threshold`; the output carries that argmax benchmark id and the
+    * rounded similarity (ties on similarity break by smallest bench id —
+    * total order, oracle-replayable).
+    *
+    * Scale posture: the benchmark side is an EVAL SET — small by nature —
+    * so it broadcasts and the corpus is read once with a row-local
+    * max-cosine loop (broadcast nested-loop, no corpus shuffle); the only
+    * exchange is the per-corpus-id argmax window over the HIT set, which
+    * contamination-rate-sized, not corpus-sized. A benchmark too large to
+    * broadcast is the index-backed shape instead: build an ANN index over
+    * the benchmark and run the corpus through `searchTable` (the
+    * composition `neardup_ann_exact` already pins). */
+  def semanticContaminationHits(corpus: DataFrame, idCol: String, vecCol: String,
+                                benchmark: DataFrame, benchIdCol: String,
+                                benchVecCol: String,
+                                threshold: Double): DataFrame = {
+    import graft.functions.AnnFunctions._
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("__cid"),
+      vector_nonnull(col(vecCol)).as("__cv"))
+    val b = benchmark.select(col(benchIdCol).as("bench_id"),
+      vector_nonnull(col(benchVecCol)).as("__bv"))
+    c.join(broadcast(b))
+      .withColumn("__cos", cosine_similarity(col("__cv"), col("__bv")))
+      // NaN (null-element or zero-norm vectors) must FAIL the cut — see
+      // embeddingNearDups
+      .filter(col("__cos") > threshold && !isnan(col("__cos")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__cid")
+          .orderBy(col("__cos").desc, col("bench_id"))))
+      .filter(col("__rn") === 1)
+      .select(col("__cid").as(idCol), col("bench_id"),
+        round(col("__cos"), 4).as("cos_sim"))
+  }
+
+  /** The corpus minus semantically-contaminated documents — the cleaning
+    * step over [[semanticContaminationHits]]'s audit, mirroring
+    * [[decontaminate]]. */
+  def decontaminateSemantic(corpus: DataFrame, idCol: String, vecCol: String,
+                            benchmark: DataFrame, benchIdCol: String,
+                            benchVecCol: String,
+                            threshold: Double): DataFrame =
+    corpus.join(
+      semanticContaminationHits(corpus, idCol, vecCol,
+        benchmark, benchIdCol, benchVecCol, threshold).select(idCol),
+      Seq(idCol), "left_anti")
+
   /** Scala mirror of [[sqlShingles]] (distinct word n-grams, lowercase
     * whitespace tokens, short texts collapse to one whole-text shingle) —
     * the row-local probe side of the Bloom decontamination path. Kept

@@ -583,6 +583,31 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // EMBEDDING-space decontamination (the Phi/FineWeb semantic check —
+    // paraphrases share no 8-gram but sit next to their eval source in
+    // embedding space): benchmark = every 37th embedding, broadcast;
+    // corpus rows whose max cosine vs any benchmark row clears 0.42 are
+    // flagged with the argmax bench id (ties by smallest id — total
+    // order). Strict: DuckDB replays the same cross join + argmax window
+    // in doubles (the neardup_cosine float-vs-double parity argument).
+    "contamination_semantic" -> ((s: SparkSession, dir: String) => {
+      val e = table(s, dir, "embeddings")
+      Dedup.semanticContaminationHits(e, "vec_id", "embedding",
+          e.filter(col("vec_id") % 37 === 0), "vec_id", "embedding",
+          threshold = 0.42)
+        .orderBy("vec_id")
+    }),
+
+    // the cleaning step: surviving ids after the semantic anti-join
+    "decontaminate_semantic" -> ((s: SparkSession, dir: String) => {
+      val e = table(s, dir, "embeddings")
+      Dedup.decontaminateSemantic(e, "vec_id", "embedding",
+          e.filter(col("vec_id") % 37 === 0), "vec_id", "embedding",
+          threshold = 0.42)
+        .select("vec_id")
+        .orderBy("vec_id")
+    }),
+
     // cross-snapshot incremental dedup: "new crawl" = the full corpus,
     // "prior snapshot" = the odd doc_ids — every odd doc's text exists in
     // prior (drops), every even doc's does not (survives). Exact md5
@@ -1310,6 +1335,41 @@ object TextQueries {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) > 0.42
         |ORDER BY a, b""".stripMargin,
+
+    // semantic decontamination: same cross join + per-corpus-row argmax
+    // window (ties by bench id) in doubles; float-vs-double parity per
+    // the neardup_cosine argument, and the argmax tie-break only depends
+    // on ordering, which both engines compute monotonically
+    "contamination_semantic" ->
+      """WITH b AS (
+        |  SELECT vec_id AS bench_id, embedding FROM embeddings WHERE vec_id % 37 = 0
+        |), hits AS (
+        |  SELECT c.vec_id, b.bench_id,
+        |    list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS cs
+        |  FROM embeddings c, b
+        |  WHERE list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) > 0.42
+        |), best AS (
+        |  SELECT vec_id, bench_id, round(cs, 4) AS cos_sim,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, bench_id) AS rn
+        |  FROM hits
+        |)
+        |SELECT vec_id, bench_id, cos_sim FROM best WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
+
+    "decontaminate_semantic" ->
+      """WITH b AS (
+        |  SELECT embedding FROM embeddings WHERE vec_id % 37 = 0
+        |), flagged AS (
+        |  SELECT DISTINCT c.vec_id
+        |  FROM embeddings c, b
+        |  WHERE list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) > 0.42
+        |)
+        |SELECT e.vec_id FROM embeddings e
+        |WHERE e.vec_id NOT IN (SELECT vec_id FROM flagged)
+        |ORDER BY e.vec_id""".stripMargin,
 
     // exhaustive probes (nprobe = nlist) make the index path exact, so the
     // oracle IS the all-pairs definition. The index scores 1 - dot over

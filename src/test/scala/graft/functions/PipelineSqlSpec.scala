@@ -144,6 +144,24 @@ class PipelineSqlSpec extends SparkSpec {
       "SELECT * FROM corpus_decontaminate(TABLE(pl_docs), 'doc_id', 'text', TABLE(pl_bench), 'text', 8)",
       Dedup.decontaminate(docsDf, "doc_id", "text", bench, "text", 8))
 
+    // semantic decontamination TVFs mirror the embedding-space API
+    val corpusVec = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0.9f, 0.1f, 0f)),
+      (3L, Array(0f, 0f, 1f))).toDF("id", "vec")
+    val benchVec = Seq((100L, Array(1f, 0f, 0f))).toDF("bid", "bvec")
+    corpusVec.createOrReplaceTempView("pl_vec_corpus")
+    benchVec.createOrReplaceTempView("pl_vec_bench")
+    sameRows(
+      "SELECT * FROM corpus_contamination_semantic(TABLE(pl_vec_corpus), 'id', 'vec', " +
+        "TABLE(pl_vec_bench), 'bid', 'bvec', 0.8)",
+      Dedup.semanticContaminationHits(corpusVec, "id", "vec",
+        benchVec, "bid", "bvec", 0.8))
+    sameRows(
+      "SELECT * FROM corpus_decontaminate_semantic(TABLE(pl_vec_corpus), 'id', 'vec', " +
+        "TABLE(pl_vec_bench), 'bid', 'bvec', 0.8)",
+      Dedup.decontaminateSemantic(corpusVec, "id", "vec",
+        benchVec, "bid", "bvec", 0.8))
+
     // text_features = stats + langid + quality stacked
     val api = graft.pipeline.TextAnalysis.withQualityScore(
       graft.pipeline.TextAnalysis.withLangId(

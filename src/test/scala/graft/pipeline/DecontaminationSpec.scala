@@ -139,4 +139,46 @@ class DecontaminationSpec extends SparkSpec {
     val plan = viaBloom.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"bloom incremental dedup shuffles:\n$plan")
   }
+
+  test("semantic contamination: max-cosine audit with argmax bench id; anti-join cleans") {
+    import spark.implicits._
+    // corpus: two rows near bench directions, one orthogonal, one
+    // zero-norm (NaN cosine must never flag)
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),      // = bench 100 exactly
+      (2L, Array(0.9f, 0.1f, 0f, 0f)),  // near bench 100
+      (3L, Array(0f, 0f, 1f, 0f)),      // orthogonal to both benches
+      (4L, Array(0f, 0f, 0f, 0f)),      // zero-norm -> NaN -> never flags
+      (5L, Array(0f, 1f, 0f, 0f))       // = bench 200 exactly
+    ).toDF("id", "vec")
+    val bench = Seq(
+      (100L, Array(1f, 0f, 0f, 0f)),
+      (200L, Array(0f, 1f, 0f, 0f))
+    ).toDF("bid", "bvec")
+    val hits = Dedup.semanticContaminationHits(corpus, "id", "vec",
+        bench, "bid", "bvec", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(hits.map(h => (h._1, h._2)).toSeq == Seq((1L, 100L), (2L, 100L), (5L, 200L)),
+      s"unexpected hit set: ${hits.toSeq}")
+    assert(hits.find(_._1 == 1L).get._3 == 1.0)
+    // argmax tie-break: a row equidistant to two benches takes the
+    // SMALLER bench id (the documented total order)
+    val tied = Seq((9L, Array(1f, 1f, 0f, 0f))).toDF("id", "vec")
+    val tiedHit = Dedup.semanticContaminationHits(tied, "id", "vec",
+        bench, "bid", "bvec", threshold = 0.5).collect()
+    assert(tiedHit.length == 1 && tiedHit(0).getLong(1) == 100L)
+    // cleaning: exactly the unflagged rows survive
+    val clean = Dedup.decontaminateSemantic(corpus, "id", "vec",
+        bench, "bid", "bvec", threshold = 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(clean == Set(3L, 4L))
+    // scale posture: the corpus side joins the BROADCAST benchmark with
+    // no corpus-sized exchange (the only window runs over the hit set)
+    val plan = Dedup.semanticContaminationHits(corpus, "id", "vec",
+        bench, "bid", "bvec", threshold = 0.8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark side is not broadcast:\n$plan")
+  }
 }
