@@ -862,6 +862,39 @@ object Dedup {
         round(col("__cos"), 4).as("cos_sim"))
   }
 
+  /** Index-backed form of [[semanticContaminationHits]] for a benchmark
+    * too LARGE to broadcast (a mega-benchmark union, or decontaminating
+    * against another corpus): build an ANN index over the benchmark and
+    * run the corpus through the batch table search — k=1 under the
+    * cosine metric IS the argmax, and the table search's (distance, id)
+    * tie-break equals the broadcast form's (cos DESC, bench_id). With
+    * exhaustive probes (`nprobe = nlist`) the result is exactly the
+    * broadcast form's; narrower probes trade recall for the usual IVF
+    * probe cost, never correctness of what IS returned. */
+  def semanticContaminationHitsAnn(corpus: DataFrame, idCol: String,
+                                   vecCol: String, benchmark: DataFrame,
+                                   benchIdCol: String, benchVecCol: String,
+                                   threshold: Double, nlist: Int = 64,
+                                   nprobe: Int = 8): DataFrame = {
+    require(idCol != "id", "idCol must differ from the index hit column 'id'")
+    val spark = corpus.sparkSession
+    val name = s"__semcontam_ann_${annDedupSeq.incrementAndGet()}"
+    val path = java.nio.file.Files.createTempDirectory("graft_semcontam").toString
+    val idx = graft.index.AnnIndexManager.create(spark, name,
+      benchmark.select(col(benchIdCol), col(benchVecCol)),
+      benchIdCol, benchVecCol, "IVF",
+      Map("metric" -> "cosine", "nlist" -> nlist.toString,
+        "nprobe" -> nprobe.toString), path)
+    graft.index.AnnIndexManager.unregister(name) // scratch, as neardup_ann
+    graft.operators.AnnSearch.searchTable(idx,
+        corpus.select(col(idCol), col(vecCol)), 1, nprobe,
+        queryVecCol = Some(vecCol), queryIdCol = Some(idCol))
+      .withColumn("cos_sim", lit(1.0) - col("_distance"))
+      .filter(col("cos_sim") > threshold && !isnan(col("cos_sim")))
+      .select(col(idCol), col("id").as("bench_id"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
   /** The corpus minus semantically-contaminated documents — the cleaning
     * step over [[semanticContaminationHits]]'s audit, mirroring
     * [[decontaminate]]. */

@@ -598,6 +598,18 @@ object TextQueries {
         .orderBy("vec_id")
     }),
 
+    // the same audit through the ANN-index path (the benchmark-too-large-
+    // to-broadcast composition): k=1 cosine search over a benchmark index
+    // at EXHAUSTIVE probes (nprobe = nlist) is exactly the broadcast
+    // argmax — same oracle, strict
+    "contamination_semantic_ann" -> ((s: SparkSession, dir: String) => {
+      val e = table(s, dir, "embeddings")
+      Dedup.semanticContaminationHitsAnn(e, "vec_id", "embedding",
+          e.filter(col("vec_id") % 37 === 0), "vec_id", "embedding",
+          threshold = 0.42, nlist = 4, nprobe = 4)
+        .orderBy("vec_id")
+    }),
+
     // the cleaning step: surviving ids after the semantic anti-join
     "decontaminate_semantic" -> ((s: SparkSession, dir: String) => {
       val e = table(s, dir, "embeddings")
@@ -1341,6 +1353,27 @@ object TextQueries {
     // the neardup_cosine argument, and the argmax tie-break only depends
     // on ordering, which both engines compute monotonically
     "contamination_semantic" ->
+      """WITH b AS (
+        |  SELECT vec_id AS bench_id, embedding FROM embeddings WHERE vec_id % 37 = 0
+        |), hits AS (
+        |  SELECT c.vec_id, b.bench_id,
+        |    list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS cs
+        |  FROM embeddings c, b
+        |  WHERE list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) > 0.42
+        |), best AS (
+        |  SELECT vec_id, bench_id, round(cs, 4) AS cos_sim,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, bench_id) AS rn
+        |  FROM hits
+        |)
+        |SELECT vec_id, bench_id, cos_sim FROM best WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
+
+    // exhaustive probes make the index path exactly the broadcast argmax:
+    // the oracle IS contamination_semantic's (index scores 1 - dot over
+    // float-normalized vectors; double parity per neardup_ann_exact)
+    "contamination_semantic_ann" ->
       """WITH b AS (
         |  SELECT vec_id AS bench_id, embedding FROM embeddings WHERE vec_id % 37 = 0
         |), hits AS (

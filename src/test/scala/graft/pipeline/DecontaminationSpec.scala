@@ -181,4 +181,22 @@ class DecontaminationSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"benchmark side is not broadcast:\n$plan")
   }
+
+  test("ANN-backed semantic contamination equals the broadcast form at exhaustive probes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val corpus = Seq.tabulate(120)(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))).toDF("cid", "vec")
+    val bench = corpus.filter($"cid" % 11 === 0)
+      .select($"cid".as("bid"), $"vec".as("bvec"))
+    val direct = Dedup.semanticContaminationHits(corpus, "cid", "vec",
+        bench, "bid", "bvec", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaAnn = Dedup.semanticContaminationHitsAnn(corpus, "cid", "vec",
+        bench, "bid", "bvec", threshold = 0.4, nlist = 4, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaAnn == direct,
+      s"index path diverged: only-direct=${direct -- viaAnn} only-ann=${viaAnn -- direct}")
+    assert(direct.nonEmpty, "fixture produced no contamination (self-matches expected)")
+  }
 }
