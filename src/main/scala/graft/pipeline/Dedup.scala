@@ -587,12 +587,13 @@ object Dedup {
       .as(Seq("chunk", "chunk_val")))
     val buckets = cappedBuckets(chunked, Seq("chunk", "chunk_val"),
       struct(col(idCol), col("simhash")), maxBucket, "simhash")
-    val hamming = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
     buckets.select(explode(pairsExprStruct(col("items"), idCol)).as("pair"))
       .select(col(s"pair.a_$idCol").as("a"), col(s"pair.b_$idCol").as("b"),
         col("pair.a_sim").as("sim_a"), col("pair.b_sim").as("sim_b"))
       .distinct()
-      .withColumn("hamming", hamming(col("sim_a"), col("sim_b")))
+      // bit_count is the codegen'd builtin twin of the old
+      // Long.bitCount UDF (identical values, no UDF eval node)
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
   }

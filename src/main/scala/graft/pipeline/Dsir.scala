@@ -71,21 +71,6 @@ object Dsir {
   private val mdTl: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
-  private def bucketOf(feature: String, hexChars: Int): String = {
-    val md = mdTl.get()
-    md.reset()
-    val d = md.digest(feature.getBytes("UTF-8"))
-    val sb = new java.lang.StringBuilder(hexChars)
-    var i = 0
-    while (sb.length < hexChars) {
-      val b = d(i) & 0xff
-      sb.append(Character.forDigit(b >> 4, 16))
-      if (sb.length < hexChars) sb.append(Character.forDigit(b & 0xf, 16))
-      i += 1
-    }
-    sb.toString
-  }
-
   private def bucketCounts(df: DataFrame, textCol: String,
                            hexChars: Int): Map[String, Long] =
     df.select(explode(features(col(textCol))).as("f"))
@@ -99,12 +84,44 @@ object Dsir {
     * construction, not by data). */
   def fitLogRatios(raw: DataFrame, target: DataFrame, textCol: String,
                    hexChars: Int = 2, alpha: Double = 1.0): RatioModel = {
+    requireFitArgs(hexChars, alpha)
+    val tgt = bucketCounts(target, textCol, hexChars)
+    val rawC = bucketCounts(raw, textCol, hexChars)
+    ratioModel(rawC, tgt, hexChars, alpha)
+  }
+
+  /** Single-pass fit for the common "target is a slice of the raw corpus"
+    * shape (r18 optimization): one feature explode over `raw` counts every
+    * bucket twice — raw unconditionally, target where `isTarget` holds —
+    * so the corpus is scanned (and every feature md5-hashed) ONCE instead
+    * of once for raw plus once more for the target slice. Counts are
+    * exactly what the two-pass form produces when
+    * `target == raw.filter(isTarget)`. */
+  def fitLogRatios(raw: DataFrame, isTarget: Column, textCol: String,
+                   hexChars: Int, alpha: Double): RatioModel = {
+    requireFitArgs(hexChars, alpha)
+    val rows = raw
+      .select(isTarget.as("__t"), explode(features(col(textCol))).as("f"))
+      .select(col("__t"), bucket(col("f"), hexChars).as("b"))
+      .groupBy("b").agg(
+        count(lit(1)).as("rc"),
+        count(when(col("__t"), 1)).as("tc"))
+      .collect()
+    val rawC = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tgt = rows.iterator.map(r => r.getString(0) -> r.getLong(2))
+      .filter(_._2 > 0L).toMap
+    ratioModel(rawC, tgt, hexChars, alpha)
+  }
+
+  private def requireFitArgs(hexChars: Int, alpha: Double): Unit = {
     require(hexChars >= 1 && hexChars <= 4,
       s"hexChars=$hexChars out of range [1,4] (bucket table must stay driver-resident)")
     require(alpha > 0.0, "alpha must be positive (unsmoothed ratios are unbounded)")
+  }
+
+  private def ratioModel(rawC: Map[String, Long], tgt: Map[String, Long],
+                         hexChars: Int, alpha: Double): RatioModel = {
     val nBuckets = 1L << (4 * hexChars)
-    val tgt = bucketCounts(target, textCol, hexChars)
-    val rawC = bucketCounts(raw, textCol, hexChars)
     val tgtTot = tgt.valuesIterator.sum.toDouble + alpha * nBuckets
     val rawTot = rawC.valuesIterator.sum.toDouble + alpha * nBuckets
     require(tgtTot > alpha * nBuckets, "target corpus has no features")
@@ -118,24 +135,60 @@ object Dsir {
 
   /** Adds `n_features` (BIGINT) and `dsir_weight` (the text-order fold of
     * per-feature log ratios; 0.0 for an empty/NULL document). Row-local —
-    * one scan, no shuffle. */
+    * one scan, no shuffle.
+    *
+    * r18 optimization of the per-feature work (same values): the bucket
+    * is the first `hexChars` md5 nibbles, so the ratio table flattens to
+    * a dense double[16^hexChars] indexed straight off the digest bytes —
+    * no hex-string allocation, no hash-map probe per feature — and
+    * bigram digests stream the two token byte arrays through the digest
+    * (UTF-8 of a concatenation is the concatenation of UTF-8), so no
+    * bigram string or its bytes are ever materialized. */
   def withImportanceWeight(df: DataFrame, textCol: String,
                            model: RatioModel): DataFrame = {
-    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val n = 1 << (4 * model.hexChars)
+    val flat = new Array[Double](n)
+    java.util.Arrays.fill(flat, model.default)
+    model.ratios.foreach { case (hex, v) =>
+      flat(Integer.parseInt(hex, 16)) = v
+    }
+    val bc = df.sparkSession.sparkContext.broadcast(flat)
+    val hexChars = model.hexChars
     val weight = udf { ts: Seq[String] =>
-      val m = bc.value
-      var s = 0.0
+      val a = bc.value
+      val md = mdTl.get()
+      val nToks = ts.length
+      // token bytes computed once, shared by the unigram and both bigram
+      // digests that touch each token
+      val bytes = new Array[Array[Byte]](nToks)
       var i = 0
+      while (i < nToks) { bytes(i) = ts(i).getBytes("UTF-8"); i += 1 }
+      def idxOfDigest(d: Array[Byte]): Int = {
+        var idx = 0
+        var nib = 0
+        while (nib < hexChars) {
+          val b = d(nib >> 1) & 0xff
+          idx = (idx << 4) | (if ((nib & 1) == 0) b >> 4 else b & 0xf)
+          nib += 1
+        }
+        idx
+      }
+      var s = 0.0
       // unigrams in text order…
-      while (i < ts.length) {
-        s += m.ratios.getOrElse(bucketOf(ts(i), m.hexChars), m.default)
+      i = 0
+      while (i < nToks) {
+        md.reset()
+        s += a(idxOfDigest(md.digest(bytes(i))))
         i += 1
       }
       // …then bigrams in text order (matches [[features]])
       i = 0
-      while (i < ts.length - 1) {
-        s += m.ratios.getOrElse(bucketOf(ts(i) + " " + ts(i + 1), m.hexChars),
-          m.default)
+      while (i < nToks - 1) {
+        md.reset()
+        md.update(bytes(i))
+        md.update(' '.toByte)
+        md.update(bytes(i + 1))
+        s += a(idxOfDigest(md.digest()))
         i += 1
       }
       s
@@ -163,8 +216,20 @@ object Dsir {
     * Output: `rank` (1-based BIGINT), the id column, `dsir_weight`. */
   def resample(raw: DataFrame, idCol: String, textCol: String,
                target: DataFrame, n: Int, hexChars: Int = 2,
-               alpha: Double = 1.0): DataFrame = {
-    val model = fitLogRatios(raw, target, textCol, hexChars, alpha)
+               alpha: Double = 1.0): DataFrame =
+    resampleWith(raw, idCol, textCol,
+      fitLogRatios(raw, target, textCol, hexChars, alpha), n)
+
+  /** [[resample]] with the single-pass slice fit (target =
+    * `raw.filter(isTarget)`) — see the `fitLogRatios` Column overload. */
+  def resample(raw: DataFrame, idCol: String, textCol: String,
+               isTarget: Column, n: Int, hexChars: Int,
+               alpha: Double): DataFrame =
+    resampleWith(raw, idCol, textCol,
+      fitLogRatios(raw, isTarget, textCol, hexChars, alpha), n)
+
+  private def resampleWith(raw: DataFrame, idCol: String, textCol: String,
+                           model: RatioModel, n: Int): DataFrame = {
     val scored = withImportanceWeight(raw, textCol, model)
       .withColumn("__gumbel_key", -(col("dsir_weight") + gumbel(col(idCol))))
     import org.apache.spark.sql.expressions.Window

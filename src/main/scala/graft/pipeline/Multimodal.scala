@@ -102,19 +102,24 @@ object Multimodal {
     * text. Prefer `phash64` for web-scale near-dup: it survives the
     * resize/re-compression perturbations that flip near-mean aHash bits. */
   def withImageHashes(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
-    val hashes = udf { payload: Array[Byte] =>
+    // one INDEPENDENT UDF per hash family (r18 optimization): the old
+    // single tuple-UDF computed all three hashes for every consumer —
+    // column pruning cannot reach inside a UDF, so a pipeline reading only
+    // `ahash64` still paid the DCT pHash per row. Separate columns let
+    // pruning drop the unused families (each surviving one re-decodes the
+    // payload, which is the right trade: the near-dup queries read exactly
+    // one family, so they now pay one decode + one hash instead of one
+    // decode + all three). Values are unchanged per family.
+    def hashWith(h: MediaCodecs.ImageData => Long) = udf { payload: Array[Byte] =>
       val img =
         if (payload == null) None
         else MediaCodecs.decodeNetpbm(payload)
           .orElse(MediaCodecs.decodeImageIO(payload))
-      img.map(i => (MediaCodecs.aHash64(i), MediaCodecs.dHash64(i),
-        MediaCodecs.pHash64(i))).orNull
+      img.map(h): Option[Long]
     }
-    df.withColumn("__ph", hashes(col(payloadCol)))
-      .withColumn("ahash64", col("__ph._1"))
-      .withColumn("dhash64", col("__ph._2"))
-      .withColumn("phash64", col("__ph._3"))
-      .drop("__ph")
+    df.withColumn("ahash64", hashWith(MediaCodecs.aHash64)(col(payloadCol)))
+      .withColumn("dhash64", hashWith(MediaCodecs.dHash64)(col(payloadCol)))
+      .withColumn("phash64", hashWith(MediaCodecs.pHash64)(col(payloadCol)))
   }
 
   /** 64-bit temporal energy fingerprint over decodable PCM16 WAV payloads:

@@ -193,13 +193,26 @@ object SubstrDedup {
     val totalChars = df.agg(coalesce(sum(length(col(textCol))), lit(0L)))
       .head().getLong(0)
     val nParts = positionShufflePartitions(spark, totalChars)
+    // ONE corpus scan + ONE full-volume exchange (r18 optimization): the
+    // hash count rides a window over the __h partitioning instead of the
+    // r17 groupBy-then-join-back, which paid the position volume TWICE —
+    // a count exchange (window hashes are mostly unique, so map-side
+    // partial aggregation reduced ~nothing) plus a second full shuffle of
+    // `pos` for the semi-join — and ran the corpus scan + rolling-hash
+    // UDF + explode once per consumer (exchange reuse cannot fire: column
+    // pruning makes the two subtrees differ). WindowExec sorts each
+    // reducer slice by __h; the same-JVM A/B (R18SubstrProbe) measured
+    // the sort strictly cheaper than the extra scan + exchange
+    // (0.74 s vs 2.31 s old / 1.05 s shared-repartition variant).
     val pos = df
       .select(col(idCol), posexplode(windowHashesUdf(minLength)(col(textCol)))
         .as(Seq("__i", "__h")))
       .select(col(idCol), (col("__i") + 1).cast("long").as("p"), col("__h"))
-    val dupH = pos.groupBy("__h").agg(count(lit(1)).as("__c"))
-      .filter(col("__c") >= minCount).select("__h")
-    val cand = pos.join(dupH, Seq("__h")).select(col(idCol), col("p"))
+      .repartition(nParts, col("__h"))
+    val cand = pos
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy("__h")))
+      .filter(col("__c") >= minCount)
+      .select(col(idCol), col("p"))
     // checkpoint the BOUNDED candidate-gram relation: it feeds two (three
     // with keepFirst) consumers below, and without the pin each one would
     // re-execute the corpus-wide position pass + the doc join. The
@@ -211,17 +224,32 @@ object SubstrDedup {
           col(textCol).substr(col("p").cast("int"), lit(minLength)))
         .select(col(idCol), col("p"), col("__g")),
       nParts)
-    val dupG = withGram.groupBy("__g").agg(count(lit(1)).as("__c"))
-      .filter(col("__c") >= minCount).select("__g")
-    val verified = withGram.join(dupG, Seq("__g"))
-    if (!keepFirst) verified.select(col(idCol), col("p"))
-    else {
-      val winners = verified.groupBy("__g").agg(
-        min(struct(col(idCol).as("wid"), col("p").as("wp"))).as("__w"))
-      verified.join(winners, Seq("__g"))
-        .filter(!(col(idCol) === col("__w.wid") && col("p") === col("__w.wp")))
-        .select(col(idCol), col("p"))
-    }
+    verifyMarked(withGram, idCol, minCount, keepFirst)
+  }
+
+  /** Shared verification pass over the pinned candidate-gram relation:
+    * keep positions whose GRAM STRING occurs >= minCount times (hash
+    * candidates verified on content); keepFirst additionally unmarks each
+    * gram's corpus-wide first occurrence (min (id, p)). r18 optimization:
+    * the verified count (and the keepFirst winner) ride ONE window over a
+    * single __g exchange of the bounded candidate set — the r17 shape
+    * shuffled the candidates once for the count groupBy, again for the
+    * verify join, and (keepFirst) a third time for the winner join.
+    * The window's count/min see the same per-gram groups the groupBys
+    * did, so the surviving position set is identical. */
+  private def verifyMarked(withGram: DataFrame, idCol: String,
+                           minCount: Int, keepFirst: Boolean): DataFrame = {
+    val w = Window.partitionBy("__g")
+    val counted = withGram
+      .withColumn("__c", count(lit(1)).over(w))
+    if (!keepFirst) counted.filter(col("__c") >= minCount)
+      .select(col(idCol), col("p"))
+    else counted
+      .withColumn("__w",
+        min(struct(col(idCol).as("wid"), col("p").as("wp"))).over(w))
+      .filter(col("__c") >= minCount &&
+        !(col(idCol) === col("__w.wid") && col("p") === col("__w.wp")))
+      .select(col(idCol), col("p"))
   }
 
   /** Maximal duplicated spans per document: `(id, span_start, span_end)`,
@@ -305,35 +333,28 @@ object SubstrDedup {
     val totalTokens = df
       .agg(coalesce(sum(size(tokensCol(textCol))), lit(0L))).head().getLong(0)
     val nParts = positionShufflePartitions(spark, totalTokens)
+    // same one-scan one-exchange windowed-count shape as the char form
     val pos = df
       .select(col(idCol),
         posexplode(tokenWindowHashesUdf(minTokens)(tokensCol(textCol)))
           .as(Seq("__i", "__h")))
       .select(col(idCol), (col("__i") + 1).cast("long").as("p"), col("__h"))
-    val dupH = pos.groupBy("__h").agg(count(lit(1)).as("__c"))
-      .filter(col("__c") >= minCount).select("__h")
-    val cand = pos.join(dupH, Seq("__h")).select(col(idCol), col("p"))
+      .repartition(nParts, col("__h"))
+    val cand = pos
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy("__h")))
+      .filter(col("__c") >= minCount)
+      .select(col(idCol), col("p"))
     val gramUdf = udf { (toks: Seq[String], p: Long) =>
       toks.slice(p.toInt - 1, p.toInt - 1 + minTokens).mkString(" ")
     }
-    // bounded; two (three with keepFirst) consumers
+    // bounded candidate set; one windowed verify pass (see verifyMarked)
     val withGram = checkpointWithShufflePartitions(
       cand
         .join(df.select(col(idCol), tokensCol(textCol).as("__toks")), Seq(idCol))
         .withColumn("__g", gramUdf(col("__toks"), col("p")))
         .select(col(idCol), col("p"), col("__g")),
       nParts)
-    val dupG = withGram.groupBy("__g").agg(count(lit(1)).as("__c"))
-      .filter(col("__c") >= minCount).select("__g")
-    val verified = withGram.join(dupG, Seq("__g"))
-    if (!keepFirst) verified.select(col(idCol), col("p"))
-    else {
-      val winners = verified.groupBy("__g").agg(
-        min(struct(col(idCol).as("wid"), col("p").as("wp"))).as("__w"))
-      verified.join(winners, Seq("__g"))
-        .filter(!(col(idCol) === col("__w.wid") && col("p") === col("__w.wp")))
-        .select(col(idCol), col("p"))
-    }
+    verifyMarked(withGram, idCol, minCount, keepFirst)
   }
 
   /** Maximal duplicated TOKEN spans per document: `(id, span_start,

@@ -288,106 +288,50 @@ object TextAnalysis {
     * n-gram coverage counts WORD chars (gram string length minus its n-1
     * separator spaces) over the doc's total word chars.
     *
-    * Shape: relational end-to-end — one line explode, one paragraph
-    * explode, ONE word explode whose window (partition id, order pos)
-    * builds all nine gram sizes via lead() in a single pass, one
-    * (id, n, gram) count shuffle, bounded per-doc aggregates joined back.
-    * No UDFs, no per-doc collects; every fraction is a ratio of exact
-    * integers so the booleans and doubles replay bit-for-bit in SQL.
-    *
-    * NOTE the input relation is traversed ~5 times (line, paragraph, and
-    * two word-side consumers plus the final join): fine over a parquet
-    * scan; persist/localCheckpoint a COMPUTED upstream relation before
-    * calling, or the upstream plan executes once per traversal. */
+    * Shape (r18 optimization): ROW-LOCAL end-to-end — every one of the
+    * thirteen fractions is a per-document function, so they all compute
+    * in ONE fused per-doc pass (a single UDF returning the integer stats
+    * struct) over a single scan: no shuffles, no joins, no windows. The
+    * r17 relational shape paid 22 Exchanges (2 unit explodes × 2
+    * groupBys, a full word-stream window + stack + two gram groupBys +
+    * pivot, 4 joins back) to move per-doc token streams around the
+    * cluster; at 100 TB the token stream IS the corpus — this shape never
+    * shuffles it (measured: 2.73 s → see OPTIMIZATION_r18.md; a pure
+    * Column-HOF row-local formulation was also tried and REJECTED at
+    * 7.5 s — interpreted lambda folds allocate a struct per gram). The
+    * UDF mirrors Spark expression semantics exactly: split = Java regex
+    * with limit −1, trim = the ' '-only StringTrim, length = code points
+    * (UTF8String.numChars); gram winners use the identical packed
+    * (count·10^10 + count·coverage) long key the old max_by shuffle
+    * used. Every fraction remains a ratio of exact integers so booleans
+    * and doubles replay bit-for-bit in SQL (oracle unchanged,
+    * hash-verified). */
   def withRepetitionRules(df: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val t = col(textCol)
-    val id = col(idCol)
-
-    def unitStats(units: Column, name: String): DataFrame =
-      df.select(id, explode(units).as("__u"))
-        .groupBy(id, col("__u"))
-        .agg(count(lit(1)).as("__c"), length(col("__u")).as("__len"))
-        .groupBy(id).agg(
-          sum(col("__c")).as(s"__${name}_n"),
-          count(lit(1)).as(s"__${name}_d"),
-          sum((col("__c") - 1) * col("__len")).as(s"__${name}_dupch"),
-          sum(col("__c") * col("__len")).as(s"__${name}_totch"))
-
-    val lineUnits = filter(transform(split(t, "\r?\n"), l => trim(l)),
-      l => length(l) > 0)
-    val paraUnits = filter(transform(split(t, "(\r?\n){2,}"), p => trim(p)),
-      p => length(p) > 0)
-    val lineStats = unitStats(lineUnits, "ln")
-    val paraStats = unitStats(paraUnits, "pr")
-
-    val ws = filter(split(t, "\\s+"), w => length(w) > 0)
-    val words = df.select(id, posexplode(ws).as(Seq("__pos", "__w")))
-    val wordChars = words.groupBy(id)
-      .agg(sum(length(col("__w"))).as("__wchars"))
-    val win = Window.partitionBy(id).orderBy("__pos")
-    val withLeads = (1 to 9).foldLeft(words) { (acc, k) =>
-      acc.withColumn(s"__l$k", lead(col("__w"), k).over(win))
-    }
-    val gramCols = (2 to 10).map { n =>
-      val parts = col("__w") +: (1 until n).map(k => col(s"__l$k"))
-      // null lead ⇒ window runs past the doc end ⇒ no gram at this pos
-      when(col(s"__l${n - 1}").isNotNull, concat_ws(" ", parts: _*))
-        .as(s"__g$n")
-    }
-    val grams = withLeads.select((id +: gramCols): _*)
-      .select(id, expr(
-        "stack(9, " + (2 to 10).map(n => s"$n, __g$n").mkString(", ") +
-          ") as (__n, __g)"))
-      .filter(col("__g").isNotNull)
-    val gramStats = grams.groupBy(id, col("__n"), col("__g"))
-      .agg(count(lit(1)).as("__c"))
-      .withColumn("__gch", (length(col("__g")) - (col("__n") - 1)))
-      .groupBy(id, col("__n")).agg(
-        // the MOST FREQUENT gram's coverage (the Gopher definition) —
-        // max count wins, coverage breaks ties; and only REPEATED grams
-        // count as repetition: a unique doc's most frequent gram occurs
-        // once and covers len/total of it trivially, which would fail
-        // every short clean document. The composite (count, coverage)
-        // order key packs into one long so the DuckDB oracle's arg_max
-        // replays it exactly.
-        max_by(when(col("__c") >= 2, col("__c") * col("__gch")).otherwise(0L),
-          when(col("__c") >= 2,
-            col("__c") * lit(10000000000L) + col("__c") * col("__gch"))
-            .otherwise(0L)).as("__topch"),
-        sum(when(col("__c") >= 2, col("__c") * col("__gch"))
-          .otherwise(0L)).as("__dupch"))
-    // wide: one row per doc with per-n columns
-    val gramWide = gramStats.groupBy(id).pivot("__n", (2 to 10).map(Integer.valueOf))
-      .agg(first("__topch").as("topch"), first("__dupch").as("dupch"))
 
     def frac(num: Column, den: Column): Column =
       when(den.isNull || den === 0L, 0.0)
         .otherwise(num.cast("double") / den.cast("double"))
 
-    val joined = df
-      .join(lineStats, Seq(idCol), "left")
-      .join(paraStats, Seq(idCol), "left")
-      .join(wordChars, Seq(idCol), "left")
-      .join(gramWide, Seq(idCol), "left")
-    val out = joined
+    val withStats = df.withColumn("__rep", repStatsUdf(t))
+    val out = withStats
       .withColumn("rep_dup_line_frac",
-        frac(col("__ln_n") - col("__ln_d"), col("__ln_n")))
+        frac(col("__rep.ln.n") - col("__rep.ln.d"), col("__rep.ln.n")))
       .withColumn("rep_dup_line_char_frac",
-        frac(col("__ln_dupch"), col("__ln_totch")))
+        frac(col("__rep.ln.dupch"), col("__rep.ln.totch")))
       .withColumn("rep_dup_para_frac",
-        frac(col("__pr_n") - col("__pr_d"), col("__pr_n")))
+        frac(col("__rep.pr.n") - col("__rep.pr.d"), col("__rep.pr.n")))
       .withColumn("rep_dup_para_char_frac",
-        frac(col("__pr_dupch"), col("__pr_totch")))
+        frac(col("__rep.pr.dupch"), col("__rep.pr.totch")))
     val withTops = (2 to 4).foldLeft(out) { (acc, n) =>
       acc.withColumn(s"rep_top_${n}gram_frac",
-        frac(coalesce(col(s"${n}_topch"), lit(0L)), col("__wchars")))
+        frac(col("__rep.grams")(n - 2)("topch"), col("__rep.wchars")))
     }
     val withDups = (5 to 10).foldLeft(withTops) { (acc, n) =>
       acc.withColumn(s"rep_dup_${n}gram_frac",
-        least(lit(1.0), frac(coalesce(col(s"${n}_dupch"), lit(0L)),
-          col("__wchars"))))
+        least(lit(1.0), frac(col("__rep.grams")(n - 2)("dupch"),
+          col("__rep.wchars"))))
     }
     val thresholds = Seq(
       "rep_dup_line_frac" -> 0.30, "rep_dup_line_char_frac" -> 0.20,
@@ -398,12 +342,122 @@ object TextAnalysis {
       "rep_dup_8gram_frac" -> 0.12, "rep_dup_9gram_frac" -> 0.11,
       "rep_dup_10gram_frac" -> 0.10)
     val pass = thresholds.map { case (c, thr) => col(c) <= thr }
-      .reduce(_ && _) && coalesce(col("__wchars"), lit(0L)) > 0L
+      .reduce(_ && _) && coalesce(col("__rep.wchars"), lit(0L)) > 0L
     withDups.withColumn("gopher_repetition_pass", pass)
-      .drop((Seq("__ln_n", "__ln_d", "__ln_dupch", "__ln_totch",
-        "__pr_n", "__pr_d", "__pr_dupch", "__pr_totch", "__wchars") ++
-        (2 to 10).flatMap(n => Seq(s"${n}_topch", s"${n}_dupch"))): _*)
+      .drop("__rep")
   }
+
+  /** Per-unit duplicate stats: n units, d distinct, dupch = chars of
+    * occurrences beyond each unit's first, totch = total unit chars.
+    * Char counts are CODE POINTS (Spark `length` semantics). */
+  final case class RepUnitStats(n: Long, d: Long, dupch: Long, totch: Long)
+
+  /** Per-n gram stats: topch = the most frequent REPEATED gram's coverage
+    * (count·word-chars; ties by the packed key resolve to the same
+    * value), dupch = Σ count·word-chars over grams with count ≥ 2. */
+  final case class RepGramStats(topch: Long, dupch: Long)
+
+  /** All integer inputs of the thirteen Gopher repetition fractions,
+    * computed in one pass over the document (grams index 0..8 ⇔ n=2..10). */
+  final case class RepStats(ln: RepUnitStats, pr: RepUnitStats,
+                            wchars: Long, grams: Seq[RepGramStats])
+
+  private val EmptyRepStats = RepStats(RepUnitStats(0L, 0L, 0L, 0L),
+    RepUnitStats(0L, 0L, 0L, 0L), 0L,
+    Seq.fill(9)(RepGramStats(0L, 0L)))
+
+  private val LineRe = java.util.regex.Pattern.compile("\r?\n")
+  private val ParaRe = java.util.regex.Pattern.compile("(\r?\n){2,}")
+  private val WsRe = java.util.regex.Pattern.compile("\\s+")
+
+  /** Spark `trim` semantics: the ' ' character only (NOT Java trim's
+    * all-controls ≤ 0x20), so results match the old trim() expression. */
+  private def sparkTrim(s: String): String = {
+    var from = 0; var to = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    if (from == 0 && to == s.length) s else s.substring(from, to)
+  }
+
+  /** Spark `length` semantics on strings: code points, not UTF-16 units. */
+  private def cpLen(s: String): Long = s.codePointCount(0, s.length).toLong
+
+  private def unitStatsOf(units: Array[String]): RepUnitStats = {
+    // single pass: count + total chars overall, first-seen chars per
+    // distinct unit (dupch = totch − Σ first-seen lens)
+    val seen = new java.util.HashMap[String, Object]()
+    var n = 0L; var totch = 0L; var firstch = 0L
+    var i = 0
+    while (i < units.length) {
+      val u = units(i)
+      if (u.nonEmpty) {
+        val len = cpLen(u)
+        n += 1; totch += len
+        if (seen.put(u, java.lang.Boolean.TRUE) == null) firstch += len
+      }
+      i += 1
+    }
+    RepUnitStats(n, seen.size.toLong, totch - firstch, totch)
+  }
+
+  private def repStatsOf(text: String): RepStats = {
+    if (text == null) return EmptyRepStats
+    val lines = LineRe.split(text, -1).map(sparkTrim)
+    val paras = ParaRe.split(text, -1).map(sparkTrim)
+    val words = WsRe.split(text, -1).filter(_.nonEmpty)
+    val w = words.length
+    // prefix code-point lengths: gram word-chars = plen(i+n) − plen(i)
+    val plen = new Array[Long](w + 1)
+    var i = 0
+    while (i < w) { plen(i + 1) = plen(i) + cpLen(words(i)); i += 1 }
+    val grams = (2 to 10).map { n =>
+      if (w < n) RepGramStats(0L, 0L)
+      else {
+        // count per gram CONTENT (exact — HashMap compares on collision);
+        // value = (count, word-chars), word-chars identical for equal
+        // content so any instance's value serves
+        val counts = new java.util.HashMap[String, Array[Long]]((w - n + 1) * 2)
+        val sb = new java.lang.StringBuilder(64)
+        var p = 0
+        while (p <= w - n) {
+          sb.setLength(0)
+          var j = p
+          while (j < p + n) {
+            if (j > p) sb.append(' ')
+            sb.append(words(j))
+            j += 1
+          }
+          val g = sb.toString
+          val e = counts.get(g)
+          if (e == null) counts.put(g, Array(1L, plen(p + n) - plen(p)))
+          else e(0) += 1L
+          p += 1
+        }
+        // winner by the packed (count, coverage) key — the exact long the
+        // relational max_by used, so equal keys give the equal coverage
+        var topkey = 0L; var topch = 0L; var dupch = 0L
+        val it = counts.values().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val c = e(0)
+          if (c >= 2L) {
+            val cov = c * e(1)
+            dupch += cov
+            val key = c * 10000000000L + cov
+            if (key > topkey) { topkey = key; topch = cov }
+          }
+        }
+        RepGramStats(topch, dupch)
+      }
+    }
+    RepStats(unitStatsOf(lines), unitStatsOf(paras), plen(w), grams)
+  }
+
+  /** One fused per-doc pass behind [[withRepetitionRules]] — see its
+    * docstring for why this beats both the relational (22-Exchange) and
+    * the Column-HOF formulations. */
+  private val repStatsUdf =
+    udf((text: String) => repStatsOf(text))
 
   def repetitionRatio(text: Column, n: Int = 3): Column = {
     val toksExpr = filter(split(lower(text), "\\s+"), t => length(t) > 0)

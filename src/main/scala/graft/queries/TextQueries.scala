@@ -890,8 +890,10 @@ object TextQueries {
     // arithmetic over bucket counts
     "dsir_weights" -> ((s: SparkSession, dir: String) => {
       val d = docs(s, dir)
+      // single-pass slice fit (r18): target = the corpus's en slice, so
+      // one flagged explode replaces the raw-pass + target-pass pair
       val model = graft.pipeline.Dsir.fitLogRatios(
-        d, d.filter(col("lang") === "en"), "text", hexChars = 2, alpha = 1.0)
+        d, col("lang") === "en", "text", hexChars = 2, alpha = 1.0)
       graft.pipeline.Dsir.withImportanceWeight(d, "text", model)
         .select(col("doc_id"), col("n_features"),
           (round(col("dsir_weight") + 0.000000001, 4) + 0.0).as("dsir_weight"))
@@ -904,7 +906,7 @@ object TextQueries {
     "dsir_resample" -> ((s: SparkSession, dir: String) => {
       val d = docs(s, dir)
       graft.pipeline.Dsir.resample(d, "doc_id", "text",
-          d.filter(col("lang") === "en"), n = 20, hexChars = 2, alpha = 1.0)
+          col("lang") === "en", n = 20, hexChars = 2, alpha = 1.0)
         .select("rank", "doc_id")
         .orderBy("rank")
     })
