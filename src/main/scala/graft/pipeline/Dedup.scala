@@ -472,9 +472,15 @@ object Dedup {
                        shingleSize: Int = 8): DataFrame = {
     val grams = df.select(col(idCol),
       explode(sqlShingles(shingleSize)(col(textCol))).as("gram"))
-    // grams are distinct WITHIN a doc, so count(*) per gram = doc frequency
-    val docFreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
-    grams.join(docFreq, "gram")
+    // grams are distinct WITHIN a doc, so count(*) per gram = doc frequency.
+    // r18: the count rides a window over ONE gram exchange — the old
+    // groupBy-then-join-back scanned and shuffled the full gram stream
+    // twice (mostly-unique grams defeat map-side partial aggregation, and
+    // column pruning blocks exchange reuse between the two consumers);
+    // same per-gram counts, one scan, one full-volume exchange.
+    grams
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("gram")))
       .groupBy(idCol)
       .agg(count(lit(1)).cast("long").as("n_grams"),
         sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))

@@ -29,11 +29,20 @@ object R18Plan {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get("plans/r18"))
+    // R18PLAN_EXECUTED=1 additionally appends the AQE-final executed plan
+    // (runs the query) — initial formatted plans cannot show runtime
+    // ReusedExchange / AQEShuffleRead decisions
+    val executed = sys.env.get("R18PLAN_EXECUTED").contains("1")
     val q = graft.SparkEntry.queries
     names.foreach { name =>
       val df = q(name)(spark, sfDir)
-      val plan = df.queryExecution.explainString(
+      var plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
+      if (executed) {
+        df.collect() // materialize THIS queryExecution so AQE finalizes it
+        plan += "\n\n== Executed (AQE-final) ==\n" +
+          df.queryExecution.executedPlan.toString
+      }
       Files.writeString(Paths.get(s"plans/r18/${name}_$suffix.txt"), plan)
       println(s"[r18plan] wrote plans/r18/${name}_$suffix.txt")
     }
