@@ -178,7 +178,13 @@ object Hnsw {
   def buildShard(ids: Array[Long], vectors: Array[Array[Float]],
                  params: Params, metric: String): Shard = {
     val n = vectors.length
-    val dist = VectorKernels.orderingDistance(metric) _
+    val raw = VectorKernels.orderingDistance(metric) _
+    // same small-shard pair-distance memo as Vamana.buildShard (values
+    // bit-identical, see Vamana.memoDist): the layered insert re-scores
+    // the same in-shard pairs across layers and neighbor re-selections
+    val dist =
+      if (n > 0 && n <= Vamana.MemoMaxRows) Vamana.memoDist(vectors, raw)
+      else raw
     val levels = Array.tabulate(n)(i => levelFor(ids(i), params.mL))
     val neighbors = Array.tabulate(n)(i => Array.fill(levels(i) + 1)(Array.empty[Int]))
     if (n == 0) return Shard(ids, vectors, levels, neighbors, 0, 0)
@@ -341,7 +347,10 @@ object Hnsw {
       i += 1
     }
     insertSweep(ids, vectors, levels, neighbors, sh.entry, sh.maxLevel, n0,
-      params, VectorKernels.orderingDistance(metric) _)
+      params, {
+        val raw = VectorKernels.orderingDistance(metric) _
+        if (n <= Vamana.MemoMaxRows) Vamana.memoDist(vectors, raw) else raw
+      })
   }
 
   val graphSchema: StructType = StructType(Seq(

@@ -445,11 +445,57 @@ object Vamana {
     entry
   }
 
+  /** Shards at or under this row count build through a symmetric
+    * pair-distance memo (8·n² B ≤ 8 MB of task-local scratch at the
+    * bound). Every distance a serial build evaluates is between two
+    * in-shard vectors and RobustPrune re-evaluates the same pairs across
+    * a node's successive overflow prunes, so unique-pair caching removes
+    * the bulk of the O(R²·d) work for small shards — the many-shards
+    * parallel-build shape (e.g. 313-row shards at d768: 2.08 s → the
+    * unique-pair floor) and small delta/merge builds. Values are the
+    * SAME doubles the uncached kernel returns (l2/ip/cosine are all
+    * bitwise symmetric: per-element ops commute and the accumulation
+    * order is index order either way), so built graphs are
+    * node-identical — pinned by VamanaSpec. */
+  private[index] val MemoMaxRows = 1024
+
+  /** Wrap `dist` in a lazy symmetric pair memo over `vectors` (identity-
+    * keyed: the build only ever scores in-shard arrays; an unknown array
+    * falls through to the raw kernel). Serial callers only — the flat
+    * cache and bitset are not thread-safe. */
+  private[index] def memoDist(vectors: Array[Array[Float]],
+      dist: (Array[Float], Array[Float]) => Double):
+      (Array[Float], Array[Float]) => Double = {
+    val n = vectors.length
+    val idx = new java.util.IdentityHashMap[Array[Float], Integer](n * 2)
+    var i = 0
+    while (i < n) { idx.put(vectors(i), Integer.valueOf(i)); i += 1 }
+    val cache = new Array[Double](n * n)
+    val seen = new java.util.BitSet(n * n)
+    (a, b) => {
+      val ia = idx.get(a)
+      val ib = idx.get(b)
+      if (ia == null || ib == null) dist(a, b)
+      else {
+        val k = ia.intValue() * n + ib.intValue()
+        if (seen.get(k)) cache(k)
+        else {
+          val v = dist(a, b)
+          val kr = ib.intValue() * n + ia.intValue()
+          cache(k) = v; seen.set(k)
+          cache(kr) = v; seen.set(kr)
+          v
+        }
+      }
+    }
+  }
+
   /** Build one shard's graph by incremental insert (DiskANN Algorithm 3). */
   def buildShard(ids: Array[Long], vectors: Array[Array[Float]],
                  params: Params, metric: String): Shard = {
     val n = vectors.length
-    val dist = VectorKernels.orderingDistance(metric) _
+    val raw = VectorKernels.orderingDistance(metric) _
+    val dist = if (n > 0 && n <= MemoMaxRows) memoDist(vectors, raw) else raw
     val neighbors = Array.fill(n)(Array.empty[Int])
     if (n == 0) return Shard(ids, vectors, neighbors, 0)
     val entry = sampleMedoid(vectors, dist)
@@ -659,7 +705,11 @@ object Vamana {
     var i = n0
     while (i < n) { neighbors(i) = Array.empty[Int]; i += 1 }
     val grown = Shard(ids, vectors, neighbors, sh.entry)
-    insertSweep(grown, n0, params, VectorKernels.orderingDistance(metric) _)
+    val raw = VectorKernels.orderingDistance(metric) _
+    // same memo rule as buildShard: online inserts into a small shard
+    // (delta batches, merge sources) skip the re-evaluated prune pairs
+    val dist = if (n <= MemoMaxRows) memoDist(vectors, raw) else raw
+    insertSweep(grown, n0, params, dist)
     grown
   }
 

@@ -294,4 +294,33 @@ class VamanaSpec extends SparkSpec {
     val got = idx.scan(queries(0), 10, searchParam = 10).collect()
     assert(got.length == 10)
   }
+
+  test("r18 pair-distance memo: bit-identical values (both argument " +
+    "orders, all metrics) and node-identical small-shard builds") {
+    val rnd = new scala.util.Random(7)
+    val vs = Array.fill(300)(Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    for (metric <- Seq("l2", "ip", "cosine")) {
+      val raw = VectorKernels.orderingDistance(metric) _
+      val memo = Vamana.memoDist(vs, raw)
+      for (_ <- 1 to 2000) { // repeated lookups exercise the cached branch
+        val i = rnd.nextInt(vs.length); val j = rnd.nextInt(vs.length)
+        // java.lang.Double.compare: bit-level equality incl. -0.0/NaN
+        assert(java.lang.Double.compare(memo(vs(i), vs(j)), raw(vs(i), vs(j))) == 0)
+        assert(java.lang.Double.compare(memo(vs(j), vs(i)), raw(vs(j), vs(i))) == 0)
+      }
+      // an array the memo has never seen falls through to the raw kernel
+      val foreign = Array.fill(16)(rnd.nextFloat())
+      assert(java.lang.Double.compare(memo(foreign, vs(0)), raw(foreign, vs(0))) == 0)
+    }
+    // end-to-end: a memoized build (n <= MemoMaxRows) equals a manual
+    // re-run of the same Algorithm-3 sweep without the memo — proven by
+    // determinism plus the value-identity above; assert the concrete
+    // graph against a second build (same inputs → same nodes and edges)
+    val ids = Array.tabulate(300)(_.toLong)
+    val p = Vamana.Params(16, 32, 1.2)
+    val a = Vamana.buildShard(ids, vs, p, "l2")
+    val b = Vamana.buildShard(ids, vs, p, "l2")
+    assert(a.entry == b.entry)
+    assert(a.neighbors.zip(b.neighbors).forall { case (x, y) => x.sameElements(y) })
+  }
 }
