@@ -1475,7 +1475,9 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         newVecExpr, typedLit(Seq.empty[Int]).as("neighbors"),
         lit(false).as("is_entry"), lit(segNew).as("seg")))
         .withColumn("__dead", lit(false))
-    val bcRemap = spark.sparkContext.broadcast(remap)
+    // the remap is t entries (a handful): plain closure capture — a
+    // broadcast would cost a driver round-trip per micro-batch for nothing
+    val remapLocal = remap
     val engine = meta.engine
     val vParams = Vamana.Params.from(meta)
     val hParams = Hnsw.Params.from(meta)
@@ -1495,16 +1497,38 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       else Seq(StructField("neighbors", ArrayType(IntegerType), nullable = false))) ++
       Seq(StructField("is_entry", BooleanType, nullable = false),
         StructField("seg", LongType, nullable = false)))
-    val rewritten = graphRows.unionByName(newRows)
-      .repartition(Vamana.shardPartitions(t), col("shard"))
-      .sortWithinPartitions(col("shard"))
+    val debugTasks =
+      spark.conf.get("spark.ann.debugTiming", "false").toBoolean
+    // single-target micro-batch (the CDC shape, t=1): every row — old and
+    // new — already carries the ONE target's shard value, so the hash
+    // repartition would move the whole shard across a shuffle just to pick
+    // 1 of shardPartitions(1)=4 tasks, and the shard-contiguity sort is a
+    // no-op over one key. coalesce(1) feeds the same single task straight
+    // from the pruned scan + the batch, no exchange (guide §2.4). t>1
+    // keeps the hash layout (several groups must land whole per task).
+    val grouped = graphRows.unionByName(newRows)
+    val partitioned =
+      if (t == 1) grouped.coalesce(1)
+      else grouped
+        .repartition(Vamana.shardPartitions(t), col("shard"))
+        .sortWithinPartitions(col("shard"))
+    // Note (r19, measured): an InternalRow variant of this task (no
+    // external-Row boxing on either side, LogicalRDD-wrapped write) was
+    // implemented and A/B'd on the CDC bench shape — rewrite-job and
+    // per-batch walls were EQUAL within noise (parquet's per-element
+    // array encode/decode loops dominate both sides, not the Row
+    // conversion), so the simpler external-Row form stays.
+    val rewritten = partitioned
       .mapPartitions { rows =>
-        // one task sees whole shards (hash-partitioned on shard above);
-        // the sort makes each shard's rows CONTIGUOUS, so this streams one
+        // one task sees whole shards (hash-partitioned on shard at t>1, or
+        // the single coalesced target); the sort makes each shard's rows
+        // CONTIGUOUS (trivial at t=1: one key), so this streams one
         // shard group at a time — peak memory is one shard + its inserts,
         // not every hash-colocated shard's boxed rows at once (a task can
         // hold 2+ whole shards when shard ids collide in the hash)
+        var tPrev = System.nanoTime() // start of the group's row pull
         AnnIndex.groupedByIntKey(rows, _.getInt(0)).flatMap { case (old, rs) =>
+          val tGather = System.nanoTime()
           val (oldRows, ins) = rs.partition(_.getInt(1) >= 0)
           val segs = new Array[Long](oldRows.length)
           val deadArr = new Array[Boolean](oldRows.length)
@@ -1530,7 +1554,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
           val insCodes: Seq[Array[Byte]] =
             if (codecLocal.isDefined) ins.map(_.getAs[Array[Byte]](3)).toSeq
             else null
-          val sid = bcRemap.value(old)
+          val sid = remapLocal(old)
           def compact[T](src: Array[T], lmap: Array[Int])(
               implicit tag: scala.reflect.ClassTag[T]): Array[T] = {
             val out = new Array[T](lmap.count(_ >= 0))
@@ -1544,11 +1568,20 @@ class AnnIndex(val spark: SparkSession, val path: String) {
           def vecValue(vectors: Int => Array[Float],
                        allCodes: Array[Array[Byte]], label: Int): Any =
             if (allCodes != null) allCodes(label) else vectors(label).toSeq
-          engine match {
+          def timed(tDec: Long): Unit = if (debugTasks) {
+            val tIns = System.nanoTime()
+            System.err.println(f"[ann-timing] online:task shard=$old " +
+              f"gather=${(tGather - tPrev) / 1e9}%.3f " +
+              f"decode=${(tDec - tGather) / 1e9}%.3f " +
+              f"insert=${(tIns - tDec) / 1e9}%.3f s")
+          }
+          val out: Iterator[org.apache.spark.sql.Row] = engine match {
             case "HNSW" =>
               val (sh0, lmap) = Hnsw.removeFromShard(
                 Hnsw.decodeShard(old, oldRows, codecLocal), deadArr, hParams, metric)
+              val tDec = System.nanoTime()
               val sh = Hnsw.insertIntoShard(sh0, newIds, newVecs, hParams, metric)
+              timed(tDec)
               val allSegs = compact(segs, lmap) ++ ins.map(_ => segNew)
               val allCodes =
                 if (oldCodes == null) null
@@ -1562,7 +1595,9 @@ class AnnIndex(val spark: SparkSession, val path: String) {
             case _ =>
               val (sh0, lmap) = Vamana.removeFromShard(
                 Vamana.decodeShard(old, oldRows, codecLocal), deadArr, vParams, metric)
+              val tDec = System.nanoTime()
               val sh = Vamana.insertIntoShard(sh0, newIds, newVecs, vParams, metric)
+              timed(tDec)
               val allSegs = compact(segs, lmap) ++ ins.map(_ => segNew)
               val allCodes =
                 if (oldCodes == null) null
@@ -1574,10 +1609,33 @@ class AnnIndex(val spark: SparkSession, val path: String) {
                   label == sh.entry, allSegs(label))
               }
           }
+          if (!debugTasks) { tPrev = System.nanoTime(); out }
+          else new Iterator[org.apache.spark.sql.Row] {
+            private val t0 = System.nanoTime()
+            def hasNext: Boolean = {
+              val h = out.hasNext
+              if (!h) {
+                System.err.println(f"[ann-timing] online:task shard=$old " +
+                  f"emit=${(System.nanoTime() - t0) / 1e9}%.3f s")
+                tPrev = System.nanoTime()
+              }
+              h
+            }
+            def next(): org.apache.spark.sql.Row = out.next()
+          }
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
     timedPhase("online:rewrite-job")(
-      rewritten.write.mode("append").partitionBy("shard").parquet(dataPath))
+      if (t == 1)
+        // single known target: write the one shard's file straight into
+        // its hive dir — same bytes/layout as partitionBy("shard") (the
+        // partition column is never stored in the files), minus the
+        // dynamic-partitioning machinery (partition-col sort, per-dir
+        // writer tracking, partition discovery at commit)
+        rewritten.drop("shard").write.mode("append")
+          .parquet(s"$dataPath/shard=${remap(targets(0))}")
+      else
+        rewritten.write.mode("append").partitionBy("shard").parquet(dataPath))
     val written = timedPhase("online:dir-listing")(
       IndexMeta.listShardDirs(dataPath)
         .filter(sid => sid >= nextShard && sid < nextShard + t))
@@ -2274,6 +2332,7 @@ class AnnIndex(val spark: SparkSession, val path: String) {
 }
 
 object AnnIndex {
+
 
   /** Meta-param key holding grace-pending shard dirs (`sid@deadMillis`
     * CSV) awaiting deferred reclamation — see `deferReclaim`. */

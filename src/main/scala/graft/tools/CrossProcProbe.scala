@@ -79,18 +79,29 @@ object CrossProcProbe {
 }
 
 /** The forked second writer: Spark-free (IndexMeta is pure java.nio) —
-  * holds the OS advisory writer lock for `holdMs`, then publishes a
-  * params-only mutation, moving the generation under the parent. */
+  * holds the OS advisory writer lock, then publishes a params-only
+  * mutation, moving the generation under the parent. The hold is either
+  * a fixed `holdMs` (the probe's original shape) or, when the argument
+  * is `@<file>`, UNTIL the parent creates that signal file — the
+  * handshake form CrossProcessWriterSpec uses so the test asserts on
+  * lock-state EVENTS instead of wall-clock windows (a loaded host made
+  * the fixed 3 s hold flaky in the r18 driver run). */
 object CrossProcChild {
   def main(args: Array[String]): Unit = {
     val path = args(0)
-    val holdMs = args(1).toLong
+    val hold = args(1)
     val meta = graft.index.IndexMeta.read(path)
     val gen = graft.index.IndexMeta.publishGen(meta)
     graft.index.IndexMeta.withWriter(path)(gen) {
       println("[child] lock-acquired")
       System.out.flush()
-      Thread.sleep(holdMs)
+      if (hold.startsWith("@")) {
+        val sig = java.nio.file.Paths.get(hold.drop(1))
+        val deadline = System.nanoTime() + 120e9.toLong
+        while (!java.nio.file.Files.exists(sig) &&
+            System.nanoTime() < deadline)
+          Thread.sleep(10)
+      } else Thread.sleep(hold.toLong)
       graft.index.IndexMeta.publish(path,
         meta.copy(params = meta.params + ("xproc_child" -> "1")), gen)
     }
