@@ -136,9 +136,13 @@ object HybridSearch {
     if (materialized) {
       postings.count()
       toksRaw.unpersist()
-      val (dfStats, head) = dfStatsAndHead(postings, stats.getLong(0))
-      TextIndex(postings, docLens, stats.getLong(0), stats.getDouble(1),
-        Some(head), Some(dfStats))
+      val numDocs = stats.getLong(0)
+      val avgDl = stats.getDouble(1)
+      val (dfStats, head) = dfStatsAndHead(postings, numDocs)
+      val impacts = bakeImpacts(postings, dfStats, numDocs, avgDl).persist()
+      impacts.count()
+      postings.unpersist() // superseded by the impact-augmented pin
+      TextIndex(impacts, docLens, numDocs, avgDl, Some(head), Some(dfStats))
     } else
       TextIndex(postings, docLens, stats.getLong(0), stats.getDouble(1))
   }
@@ -161,30 +165,76 @@ object HybridSearch {
     (dfStats, HeadDf(floor, head))
   }
 
+  /** Bake the per-(term, doc) BM25 impact into a postings relation (r19):
+    * idf and the tf/dl normalization are query-INDEPENDENT at the default
+    * k1/b, so a scalar bm25 call reads `contrib` straight off the resident
+    * relation instead of paying a df cache-scan stage, an idf broadcast
+    * stage, and a join per call (the measured scalar premium is exactly
+    * this fixed per-job scheduling). Same Column expressions as the
+    * per-call path, evaluated once at build: values bit-identical, pinned
+    * by HybridSpec. +8 B/posting of pin. CONTRACT: the stored impact is
+    * only valid for the exact (dfStats, numDocs, avgDl) corpus it was
+    * baked against — any composition that changes those (segment union,
+    * tombstone mask) must DROP the column (see TextIndexMaintenance),
+    * falling back to the per-call derivation. */
+  private[graft] def bakeImpacts(postings: DataFrame, dfStats: DataFrame,
+                                 numDocs: Long, avgDl: Double): DataFrame = {
+    val k1 = 1.2; val b = 0.75
+    val idfRel = dfStats.withColumn("idf",
+      log((lit(numDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .select("term", "idf")
+    postings.join(idfRel, "term")
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgDl)))
+      .drop("idf")
+  }
+
+  /** Drop a baked impact column (if present) — the invalidation step for
+    * any postings composition that changes df/numDocs/avgDl. */
+  private[graft] def dropImpacts(postings: DataFrame): DataFrame =
+    if (postings.columns.contains("contrib")) postings.drop("contrib")
+    else postings
+
   /** BM25 (k1=1.2, b=0.75) scores for a tokenized query: only the query
     * terms' posting lists are read. Ties broken by id for determinism. */
   def bm25(ti: TextIndex, queryTerms: Seq[String], k: Int,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = queryTerms.map(_.toLowerCase).distinct
     val matched = ti.postings.filter(col("term").isin(terms: _*))
-    // a materialized index carries the per-term df relation: identical
-    // values (postings are unique per (term, id)), one less agg job and
-    // one less plan subtree per scalar call
-    val df = ti.dfStats match {
-      case Some(rel) => rel.filter(col("term").isin(terms: _*))
-      case None => matched.groupBy("term").agg(countDistinct("id").as("df"))
-    }
-    val idf = df.withColumn("idf",
-      log((lit(ti.numDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-    // norm-in-posting: dl already rides in the posting rows (buildTextIndex);
-    // only a hand-assembled TextIndex without it pays the doc-length join
-    val withDl =
-      if (matched.columns.contains("dl")) matched.join(broadcast(idf), "term")
-      else matched.join(broadcast(idf), "term").join(ti.docLens, "id")
-    val scored = withDl
-      .withColumn("contrib",
-        col("idf") * (col("tf") * (k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / ti.avgDl)))
+    // a MATERIALIZED index carries the per-(term, doc) BM25 impact
+    // precomputed (buildTextIndex) — the contribution is fully
+    // query-independent, so a scalar call reads it straight off the
+    // pinned postings: the df/idf subtree (one cache-scan stage + one
+    // broadcast stage + a join per call, all fixed scheduling cost at
+    // serving time) disappears from the per-call plan. Values are
+    // bit-identical: the same Column expressions over the same inputs,
+    // evaluated once at build instead of per call (r19; the default-k1/b
+    // contract is asserted below because the stored impact bakes them in).
+    val withContrib =
+      if (matched.columns.contains("contrib") && k1 == 1.2 && b == 0.75)
+        matched
+      else {
+        // a materialized index still carries the per-term df relation:
+        // identical values (postings are unique per (term, id)), one less
+        // agg job and one less plan subtree per scalar call
+        val df = ti.dfStats match {
+          case Some(rel) => rel.filter(col("term").isin(terms: _*))
+          case None => matched.groupBy("term").agg(countDistinct("id").as("df"))
+        }
+        val idf = df.withColumn("idf",
+          log((lit(ti.numDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        // norm-in-posting: dl already rides in the posting rows
+        // (buildTextIndex); only a hand-assembled TextIndex without it
+        // pays the doc-length join
+        val withDl =
+          if (matched.columns.contains("dl")) matched.join(broadcast(idf), "term")
+          else matched.join(broadcast(idf), "term").join(ti.docLens, "id")
+        withDl.withColumn("contrib",
+          col("idf") * (col("tf") * (k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / ti.avgDl)))
+      }
+    val scored = withContrib
       // deterministic score: double addition is not associative, and a plain
       // sum() combines per-term contributions in partition order — near-equal
       // docs could flip ranks between runs. Summing the (few) query-term
@@ -227,9 +277,15 @@ object HybridSearch {
       .orderBy(col("_rrf_score").desc, col("id"))
       .limit(k)
 
+    // the result is ≤ k rows by construction (fused is limit(k), ids are
+    // unique), so the trailing limit is value-free — it turns the output
+    // sort into TakeOrderedAndProject: no range-partitioning exchange and
+    // no range-sampling pass just to order a handful of rows (r19; one
+    // AQE stage less per scalar call)
     base.join(broadcast(fused), base(baseIdCol) === fused("id"))
       .drop(fused("id"))
       .orderBy(col("_rrf_score").desc, base(baseIdCol))
+      .limit(k)
   }
 
   /** Table-input S7: N hybrid queries fused in ONE declarative plan — the

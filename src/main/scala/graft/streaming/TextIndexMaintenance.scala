@@ -87,7 +87,12 @@ class TextIndexMaintenance(initialDocs: DataFrame, idCol: String,
       val seg = HybridSearch.buildTextIndex(batch, idCol, textCol,
         materialized = true)
       segmentPins += seg
-      val postings = ti.postings.unionByName(seg.postings)
+      // the segments' baked per-posting impacts (contrib) are only valid
+      // against their OWN df/numDocs/avgDl — a union changes all three, so
+      // the column is dropped and scoring falls back to the exact
+      // per-query derivation until compaction re-bakes it
+      val postings = HybridSearch.dropImpacts(ti.postings)
+        .unionByName(HybridSearch.dropImpacts(seg.postings))
       val docLens = ti.docLens.unionByName(seg.docLens)
       // exact stats from the unioned doc lengths: idf and norms match a
       // fresh build over the concatenated corpus
@@ -127,7 +132,9 @@ class TextIndexMaintenance(initialDocs: DataFrame, idCol: String,
     val spark = ti.postings.sparkSession
     import spark.implicits._
     val tomb = org.apache.spark.sql.functions.broadcast(ids.toDF("id"))
-    val postings = ti.postings.join(tomb, Seq("id"), "left_anti")
+    // the mask changes numDocs/avgDl/df: baked impacts (if any) are stale
+    val postings = HybridSearch.dropImpacts(ti.postings)
+      .join(tomb, Seq("id"), "left_anti")
     val docLens = ti.docLens.join(tomb, Seq("id"), "left_anti")
     val stats = docLens.agg(count(lit(1)), avg("dl")).head()
     val avgDl = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
@@ -164,12 +171,19 @@ class TextIndexMaintenance(initialDocs: DataFrame, idCol: String,
     // union/mask changes df, and serving a stale relation would change
     // scores — the per-query agg fallback stays exact there.
     val (dfStats, head) = HybridSearch.dfStatsAndHead(postings, ti.numDocs)
+    // re-bake the per-posting impacts against the compacted corpus's
+    // exact (dfStats, numDocs, avgDl) — the same derivation a fresh
+    // materialized build runs, so scalar serving regains the baked path
+    val impacts = HybridSearch.bakeImpacts(
+      postings, dfStats, ti.numDocs, ti.avgDl).persist()
+    impacts.count()
+    postings.unpersist() // superseded by the impact-augmented pin
     // new pins are live before the old ones drop; release only costs
     // recompute, never correctness
     segmentPins.foreach(_.release())
     segmentPins.clear()
     segments = 1
-    ti = TextIndex(postings, docLens, ti.numDocs, ti.avgDl,
+    ti = TextIndex(impacts, docLens, ti.numDocs, ti.avgDl,
       Some(head), Some(dfStats))
     segmentPins += ti
     ti

@@ -185,6 +185,35 @@ object ABProbe {
       phase("vector_leg")(i =>
         noop(ivf.scan(graft.queries.QuerySupport.qvecF(i), 100)))
       phase("full_fused")(i => noop(scalarDf(i)))
+      // r19 candidates for the remaining premium:
+      // (a) AQE off for the one scalar action — the fused plan is ~6 tiny
+      //     exchanges, each of which AQE turns into its own job +
+      //     replanning round-trip; a non-adaptive run submits one job
+      phase("full_fused_aqeoff") { i =>
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try noop(scalarDf(i))
+        finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+      // (b) the VERDICT's batch-of-1 route: hybridSearchTable with a
+      //     1-row queries relation (same plan-compile cost class, but the
+      //     batch plan's windows replace the scalar plan's orderBy limits)
+      phase("batch_1q") { i =>
+        import spark.implicits._
+        val q1 = Seq((i, hybridTexts(i % hybridTexts.length),
+          graft.queries.QuerySupport.qvecF(i))).toDF("qidx", "qtext", "qvec")
+        noop(graft.operators.HybridSearch.hybridSearchTable(
+          hybridDocs, "doc_id", hti, ivf, q1, "qidx", "qtext", "qvec", k = 10))
+      }
+      // (c) both
+      phase("batch_1q_aqeoff") { i =>
+        import spark.implicits._
+        val q1 = Seq((i, hybridTexts(i % hybridTexts.length),
+          graft.queries.QuerySupport.qvecF(i))).toDF("qidx", "qtext", "qvec")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try noop(graft.operators.HybridSearch.hybridSearchTable(
+          hybridDocs, "doc_id", hti, ivf, q1, "qidx", "qtext", "qvec", k = 10))
+        finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
       hti.release()
     }
 
