@@ -1267,7 +1267,9 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         case None => delta0
       }
       delta.withColumn("seg", lit(segNew))
-        .write.mode("append").partitionBy("shard").parquet(dataPath)
+        .write.mode("append").partitionBy("shard")
+        .option("parquet.enable.dictionary", "false") // §6: see create
+        .parquet(dataPath)
       // Learn which target ids actually received rows (an empty build
       // task writes no dir; manifesting a missing dir would break reads),
       // and publish them. Readers see the delta only after the caller's
@@ -1289,7 +1291,9 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         case None => assigned
       }
       stored.withColumn("seg", lit(segNew))
-        .write.mode("append").partitionBy("list_id").parquet(dataPath)
+        .write.mode("append").partitionBy("list_id")
+        .option("parquet.enable.dictionary", "false") // §6: see create
+        .parquet(dataPath)
       if (meta.engine == "IVF") extendCellRadii(assigned)
       (n, Map("seg" -> segNew.toString))
     }
@@ -1633,9 +1637,12 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         // dynamic-partitioning machinery (partition-col sort, per-dir
         // writer tracking, partition discovery at commit)
         rewritten.drop("shard").write.mode("append")
+          .option("parquet.enable.dictionary", "false") // §6: see create
           .parquet(s"$dataPath/shard=${remap(targets(0))}")
       else
-        rewritten.write.mode("append").partitionBy("shard").parquet(dataPath))
+        rewritten.write.mode("append").partitionBy("shard")
+          .option("parquet.enable.dictionary", "false") // §6: see create
+          .parquet(dataPath))
     val written = timedPhase("online:dir-listing")(
       IndexMeta.listShardDirs(dataPath)
         .filter(sid => sid >= nextShard && sid < nextShard + t))
@@ -2014,7 +2021,9 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         case None => rebuilt0
       }).withColumn("seg", lit(currentSeg)) // tombstones are cleared below,
       // so a uniform epoch on the rebuilt shards is sound
-      rebuilt.write.mode("overwrite").partitionBy("shard").parquet(tmp)
+      rebuilt.write.mode("overwrite").partitionBy("shard")
+        .option("parquet.enable.dictionary", "false") // §6: see create
+        .parquet(tmp)
       IndexMeta.replaceDir(tmp, dataPath)
       IndexMeta.deleteDir(deletesPath)
       // full-rebuild manifest: exactly the dirs the rebuild produced
@@ -2041,7 +2050,9 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       return
     } else {
       val liveCount = live.count()
-      live.write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+      live.write.mode("overwrite").partitionBy("list_id")
+        .option("parquet.enable.dictionary", "false") // §6: see create
+        .parquet(tmp)
       IndexMeta.replaceDir(tmp, dataPath)
       IndexMeta.deleteDir(deletesPath)
       publishMeta(meta.copy(numVectors = liveCount, numDeleted = 0))
@@ -2152,7 +2163,9 @@ class AnnIndex(val spark: SparkSession, val path: String) {
       val assigned = withV.withColumn("list_id", assign(col("__v"))).cache()
       // step 2: append the re-assigned rows under the fresh ids
       assigned.drop("__v")
-        .write.mode("append").partitionBy("list_id").parquet(dataPath)
+        .write.mode("append").partitionBy("list_id")
+        .option("parquet.enable.dictionary", "false") // §6: see create
+        .parquet(dataPath)
       val radii = assigned
         .groupBy("list_id").agg(max(dTo(col("list_id"), col("__v"))).as("r"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
@@ -2265,7 +2278,9 @@ class AnnIndex(val spark: SparkSession, val path: String) {
         case None => rebuiltRaw
       }).withColumn("shard", (col("shard") + lit(nextShard)).cast("int"))
         .withColumn("seg", lit(currentSeg))
-      rebuilt.write.mode("append").partitionBy("shard").parquet(dataPath)
+      rebuilt.write.mode("append").partitionBy("shard")
+        .option("parquet.enable.dictionary", "false") // §6: see create
+        .parquet(dataPath)
     }
     // Manifest swap: old small shards out, written merged shards in —
     // published in ONE atomic meta write, so every reader sees either the

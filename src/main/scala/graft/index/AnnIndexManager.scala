@@ -309,6 +309,18 @@ object AnnIndexBuilder {
     * grows with the data (same posture as IVF centroid training above). */
   def fitPq(prepared: DataFrame, path: String, dim: Int, n: Long,
             params: Map[String, String]): graft.functions.Pq.Codebooks = {
+    val books = fitPqBooks(prepared, dim, n, params)
+    writePqBooks(prepared.sparkSession, books, path)
+    books
+  }
+
+  /** The training half of [[fitPq]] — pure (no writes), so a create can
+    * run it CONCURRENTLY with the coarse centroid training (§2.6 overlap:
+    * both are independent sample-collect + driver-kmeans steps, and
+    * running them sequentially left the cluster idle during each other's
+    * driver phase) and persist the books later inside its commit window. */
+  def fitPqBooks(prepared: DataFrame, dim: Int, n: Long,
+                 params: Map[String, String]): graft.functions.Pq.Codebooks = {
     val (m, ksub) = graft.functions.Pq.resolveGeometry(dim, params)
     val dsub = dim / m
     val want = math.min(math.max(64L * ksub, 16384L), MaxTrainRows.toLong)
@@ -335,14 +347,19 @@ object AnnIndexBuilder {
       })
     }
     futures.foreach(_.join())
-    val spark = prepared.sparkSession
+    graft.functions.Pq.Codebooks(m, ksub, dsub, flat)
+  }
+
+  /** The persistence half of [[fitPq]] (see [[fitPqBooks]]). */
+  def writePqBooks(spark: SparkSession,
+                   books: graft.functions.Pq.Codebooks, path: String): Unit = {
     import spark.implicits._
+    val m = books.m; val ksub = books.ksub; val dsub = books.dsub
     (0 until m).flatMap(s => (0 until ksub).map { c =>
       val base = (s * ksub + c) * dsub
-      (s, c, java.util.Arrays.copyOfRange(flat, base, base + dsub).toSeq)
+      (s, c, java.util.Arrays.copyOfRange(books.flat, base, base + dsub).toSeq)
     }).toDF("sub", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
-    graft.functions.Pq.Codebooks(m, ksub, dsub, flat)
   }
 }
 
@@ -524,6 +541,19 @@ object AnnIndexManager {
     try {
       val n = prepared.count()
 
+      // §2.6 overlap: PQ codebook training reads only the cached prepared
+      // set and nothing else until the encode step — start it NOW so its
+      // sample-collect + driver kmeans run concurrently with whatever the
+      // engine does next (coarse centroid training, or a graph engine's
+      // whole shard build). Values unchanged: same sample seed and
+      // per-subspace seeds; only the book WRITE stays inside the commit
+      // window (it lands in the cleared index dir).
+      val pqBooksFut =
+        if (params.get("quantization").contains("pq"))
+          Some(java.util.concurrent.CompletableFuture.supplyAsync(() =>
+            AnnIndexBuilder.fitPqBooks(prepared, dim, n, params)))
+        else None
+
       // build the stored representation: sq8 fits per-dim params from the
       // data first; fp16 is parameter-free half-precision packing
       def encodeStored(df0: DataFrame): DataFrame = params.get("quantization") match {
@@ -535,7 +565,8 @@ object AnnIndexManager {
           df0.withColumn("codes",
             graft.functions.Fp16.encodeUdf(col("vector"))).drop("vector")
         case Some("pq") =>
-          val books = AnnIndexBuilder.fitPq(prepared, path, dim, n, params)
+          val books = pqBooksFut.get.join()
+          AnnIndexBuilder.writePqBooks(spark, books, path)
           df0.withColumn("codes",
             graft.functions.Pq.encodeUdf(books)(col("vector"))).drop("vector")
         case Some("bq") => // parameter-free sign packing, 1 bit/dim
@@ -615,7 +646,9 @@ object AnnIndexManager {
           val storedGraph =
             encodeStored(graph).withColumn("seg", lit(0L)) // insert epoch 0 = create
           timedPhase("create.buildWrite") {
-            storedGraph.write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
+            storedGraph.write.mode("overwrite").partitionBy("shard")
+              .option("parquet.enable.dictionary", "false") // §6: float/code payloads never dictionary-encode — the attempted pages are wasted write CPU (r19 R19BuildPhase A/B)
+              .parquet(s"$path/data")
           }
           // manifest = the dirs the build actually produced (an empty task
           // writes none); readers only ever see manifested dirs, making
@@ -715,25 +748,35 @@ object AnnIndexManager {
             col("list_id"))
         else stored0
 
+      // Per-cell max member distance (sqrt L2) alongside each centroid:
+      // the triangle-inequality bound that lets range search prune cells
+      // EXACTLY — a cell can hold a point within r of q only if
+      // d(q, centroid) <= r + cell_radius. One extra agg pass over the
+      // cached prepared set; radii are upper bounds thereafter (deletes/
+      // vacuum only shrink cells; inserts extend them, AnnIndex keeps
+      // the maxima fresh). §2.6 overlap: the pass reads only the cached
+      // prepared set — independent of the data write below — so it runs
+      // as a concurrent job whose tasks back-fill the write's tail.
+      val radiiFut =
+        if (engine == "IVF") {
+          val bcC = spark.sparkContext.broadcast(centroids.toMap)
+          val dToCent = udf { (lid: Int, v: Seq[Float]) =>
+            math.sqrt(graft.functions.VectorKernels.l2Sq(v.toArray, bcC.value(lid)))
+          }
+          Some(java.util.concurrent.CompletableFuture.supplyAsync(() =>
+            assigned
+              .groupBy("list_id").agg(max(dToCent(col("list_id"), col("vector"))).as("r"))
+              .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap))
+        } else None
+
       stored.withColumn("seg", lit(0L)) // insert epoch 0 = create
-        .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/data")
+        .write.mode("overwrite").partitionBy("list_id")
+        .option("parquet.enable.dictionary", "false")
+        .parquet(s"$path/data")
 
       if (engine == "IVF") {
         import spark.implicits._
-        // Per-cell max member distance (sqrt L2) alongside each centroid:
-        // the triangle-inequality bound that lets range search prune cells
-        // EXACTLY — a cell can hold a point within r of q only if
-        // d(q, centroid) <= r + cell_radius. One extra agg pass over the
-        // cached prepared set; radii are upper bounds thereafter (deletes/
-        // vacuum only shrink cells; inserts extend them, AnnIndex keeps
-        // the maxima fresh).
-        val bcC = spark.sparkContext.broadcast(centroids.toMap)
-        val dToCent = udf { (lid: Int, v: Seq[Float]) =>
-          math.sqrt(graft.functions.VectorKernels.l2Sq(v.toArray, bcC.value(lid)))
-        }
-        val radii = assigned
-          .groupBy("list_id").agg(max(dToCent(col("list_id"), col("vector"))).as("r"))
-          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        val radii = radiiFut.get.join()
         centroids.toSeq.map { case (l, c) => (l, c, radii.getOrElse(l, 0.0)) }
           .toDF("list_id", "centroid", "radius")
           .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
