@@ -361,8 +361,17 @@ object HybridSearch {
         case Some(cs) => c0.join(cs, Seq("__hqid", "id"), "left_semi")
         case None => c0
       }
-      c1.join(broadcast(idfSrc), "term")
-        .withColumn("contrib", contribExpr(col("tf"), col("dl"), col("idf")))
+      // a MATERIALIZED index carries the baked per-posting impact
+      // (buildTextIndex, r19): same expression over the same inputs as
+      // contribExpr at the table path's fixed k1/b, evaluated once at
+      // build — the per-batch idf derivation (an agg over the matched
+      // postings + a broadcast join) drops out, values bit-identical
+      // (HybridSpec pins batch ≡ scalar and pruned ≡ unpruned)
+      val scoredIn =
+        if (m.columns.contains("contrib")) c1
+        else c1.join(broadcast(idfSrc), "term")
+          .withColumn("contrib", contribExpr(col("tf"), col("dl"), col("idf")))
+      scoredIn
         .groupBy("__hqid", "id")
         .agg(sort_array(collect_list(struct(col("term"), col("contrib")))).as("cs"))
         .withColumn("_bm25_score",
