@@ -309,25 +309,40 @@ object AnnIndexBuilder {
     * grows with the data (same posture as IVF centroid training above). */
   def fitPq(prepared: DataFrame, path: String, dim: Int, n: Long,
             params: Map[String, String]): graft.functions.Pq.Codebooks = {
-    val books = fitPqBooks(prepared, dim, n, params)
+    val proj = pqTrainProjection(prepared, dim, n, params)
+    val books = fitPqBooksFromSample(
+      proj.collect().map(_.getSeq[Float](0).toArray), dim, params)
     writePqBooks(prepared.sparkSession, books, path)
     books
   }
 
-  /** The training half of [[fitPq]] — pure (no writes), so a create can
-    * run it CONCURRENTLY with the coarse centroid training (§2.6 overlap:
-    * both are independent sample-collect + driver-kmeans steps, and
-    * running them sequentially left the cluster idle during each other's
-    * driver phase) and persist the books later inside its commit window. */
-  def fitPqBooks(prepared: DataFrame, dim: Int, n: Long,
-                 params: Map[String, String]): graft.functions.Pq.Codebooks = {
-    val (m, ksub) = graft.functions.Pq.resolveGeometry(dim, params)
-    val dsub = dim / m
+  /** The caller-thread half of the PQ fit: builds AND fully plans the
+    * bounded training projection. A create can then collect it + train on
+    * a worker thread (§2.6 overlap with the coarse centroid training or a
+    * graph engine's shard build) — but Dataset CONSTRUCTION must stay on
+    * the calling thread: a create() invoked during SQL analysis (the
+    * `ann_create` TVF path) holds the SessionCatalog monitor, and a
+    * worker-thread analysis would deadlock on it (observed: AnnSqlSpec
+    * hung at the r19 overlap's first form). Forcing `executedPlan` here
+    * leaves only catalog-free job execution to the async side. */
+  def pqTrainProjection(prepared: DataFrame, dim: Int, n: Long,
+                        params: Map[String, String]): DataFrame = {
+    val (_, ksub) = graft.functions.Pq.resolveGeometry(dim, params)
     val want = math.min(math.max(64L * ksub, 16384L), MaxTrainRows.toLong)
     val trainDf =
       if (want < n) prepared.sample(withReplacement = false, want.toDouble / n, seed = 42)
       else prepared
-    val sample = trainDf.select("vector").collect().map(_.getSeq[Float](0).toArray)
+    val proj = trainDf.select("vector")
+    proj.queryExecution.executedPlan // analyze+optimize+plan on THIS thread
+    proj
+  }
+
+  /** The pure-CPU training half of [[fitPq]] (see [[pqTrainProjection]]
+    * for the split's thread-safety rationale). */
+  def fitPqBooksFromSample(sample: Array[Array[Float]], dim: Int,
+      params: Map[String, String]): graft.functions.Pq.Codebooks = {
+    val (m, ksub) = graft.functions.Pq.resolveGeometry(dim, params)
+    val dsub = dim / m
     require(sample.nonEmpty, "cannot train PQ codebooks on an empty sample")
     val kk = math.min(ksub, sample.length)
     val flat = new Array[Float](m * ksub * dsub)
@@ -547,12 +562,17 @@ object AnnIndexManager {
       // engine does next (coarse centroid training, or a graph engine's
       // whole shard build). Values unchanged: same sample seed and
       // per-subspace seeds; only the book WRITE stays inside the commit
-      // window (it lands in the cleared index dir).
+      // window (it lands in the cleared index dir). The projection is
+      // built AND planned on THIS thread — only the catalog-free job runs
+      // async (see pqTrainProjection: a TVF-invoked create holds the
+      // SessionCatalog monitor, and off-thread analysis deadlocks on it).
       val pqBooksFut =
-        if (params.get("quantization").contains("pq"))
+        if (params.get("quantization").contains("pq")) {
+          val proj = AnnIndexBuilder.pqTrainProjection(prepared, dim, n, params)
           Some(java.util.concurrent.CompletableFuture.supplyAsync(() =>
-            AnnIndexBuilder.fitPqBooks(prepared, dim, n, params)))
-        else None
+            AnnIndexBuilder.fitPqBooksFromSample(
+              proj.collect().map(_.getSeq[Float](0).toArray), dim, params)))
+        } else None
 
       // build the stored representation: sq8 fits per-dim params from the
       // data first; fp16 is parameter-free half-precision packing
@@ -763,10 +783,13 @@ object AnnIndexManager {
           val dToCent = udf { (lid: Int, v: Seq[Float]) =>
             math.sqrt(graft.functions.VectorKernels.l2Sq(v.toArray, bcC.value(lid)))
           }
+          // built AND planned on THIS thread; only the catalog-free job
+          // runs async (see pqTrainProjection for the deadlock this avoids)
+          val radiiDf = assigned
+            .groupBy("list_id").agg(max(dToCent(col("list_id"), col("vector"))).as("r"))
+          radiiDf.queryExecution.executedPlan
           Some(java.util.concurrent.CompletableFuture.supplyAsync(() =>
-            assigned
-              .groupBy("list_id").agg(max(dToCent(col("list_id"), col("vector"))).as("r"))
-              .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap))
+            radiiDf.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap))
         } else None
 
       stored.withColumn("seg", lit(0L)) // insert epoch 0 = create
