@@ -31,10 +31,23 @@ object R19HybridPlan {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val hti = graft.operators.HybridSearch.buildTextIndex(
       docs, "doc_id", "text", materialized = true)
-    val df = graft.operators.HybridSearch.hybridSearch(
-      docs, "doc_id", hti, ivf,
-      queryText = "spark table join merge",
-      queryVec = graft.queries.QuerySupport.qvecF(0), k = 10)
+    val mode = args.drop(1).headOption.getOrElse("scalar")
+    val df =
+      if (mode == "table") {
+        import spark.implicits._
+        val texts = Seq("spark table join merge", "hash group filter sort",
+          "vector scan query")
+        val qs = spark.range(6).select(
+          col("id").cast("int").as("qidx"),
+          element_at(typedLit(texts), (col("id") % 3).cast("int") + 1).as("qtext"),
+          udf((i: Int) => graft.queries.QuerySupport.qvecF(i))
+            .apply(col("id").cast("int")).as("qvec"))
+        graft.operators.HybridSearch.hybridSearchTable(
+          docs, "doc_id", hti, ivf, qs, "qidx", "qtext", "qvec", k = 10)
+      } else graft.operators.HybridSearch.hybridSearch(
+        docs, "doc_id", hti, ivf,
+        queryText = "spark table join merge",
+        queryVec = graft.queries.QuerySupport.qvecF(0), k = 10)
     df.collect() // finalize AQE
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
